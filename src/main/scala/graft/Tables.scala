@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture layer (SURVEY.md §7 step 1).
+  *
+  * Loads the driver-generated Parquet star schema
+  * (`/root/testdata/sf*`, FIXTURES.md §1) and registers temp views so
+  * queries can be written either with the DataFrame API or
+  * `spark.sql` against the same names the DuckDB oracle sees.
+  *
+  * The reference reads pre-existing Iceberg tables via a catalog
+  * (`IcebergBenchmark.java:153`); locally the equivalent is a plain
+  * Parquet scan per table — Catalyst still gets predicate pushdown,
+  * column pruning and partition-sized splits for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every fixture table as a temp view (idempotent). Used by
+    * the `spark.sql`-form queries (null-aware NOT IN, OR-of-EXISTS —
+    * SURVEY.md §7 "hard parts").
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
