@@ -52,13 +52,19 @@ def main(sf_dir, out_dir):
         got = con.execute(
             f"SELECT * FROM read_parquet({files!r})").fetchall()
         gcols = [d[0] for d in con.description]
+        gtypes = dict(zip(gcols, (d[1] for d in con.description)))
         try:
             want = con.execute(sql).fetchall()
             wcols = [d[0] for d in con.description]
+            wtypes = dict(zip(wcols, (d[1] for d in con.description)))
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
+        if sorted(gcols) == sorted(wcols) and gtypes != wtypes:
+            diffs = {c: (gtypes[c], wtypes[c]) for c in gtypes
+                     if gtypes[c] != wtypes[c]}
+            print(f"WARN {name}: type mismatch {diffs}")
         gc, gr = canon(got, gcols)
         wc, wr = canon(want, wcols)
         if gc != wc:
