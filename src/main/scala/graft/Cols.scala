@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
@@ -31,6 +32,17 @@ object Cols {
 
   /** Deterministic average: exact sum / count, both in double space. */
   def davg(c: Column): Column = dsum(c) / count(lit(1))
+
+  /** Window form of [[dsum]]: exact decimal sum over a window spec,
+    * returned as double. Oracle text: `CAST(SUM(CAST(x AS
+    * DECIMAL(38,6))) OVER (...) AS DOUBLE)`.
+    */
+  def dsumOver(c: Column, w: WindowSpec): Column =
+    sum(c.cast(Dec)).over(w).cast(DoubleType)
+
+  /** Window form of [[davg]]. */
+  def davgOver(c: Column, w: WindowSpec): Column =
+    dsumOver(c, w) / count(lit(1)).over(w)
 
   /** Oracle-side SQL for dsum. */
   def dsumSql(expr: String): String =
