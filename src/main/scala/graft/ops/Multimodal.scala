@@ -1,10 +1,104 @@
 package graft.ops
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.ops.TextAnalysis.{foldHashExpr, foldHashSql}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: opaque binary payloads + typed
-  * metadata; decode/feature steps stubbed deterministically.
+/** A "media blob" row: opaque binary payload + typed metadata —
+  * the multimodal column layout (image/audio/video as `binary` with
+  * a typed sidecar). Locally the blob is the UTF-8 document text.
+  */
+final case class MediaBlob(
+    doc_id: Long, blob: Array[Byte], lang: String, source: String, n_chars: Long)
+
+/** Deterministic stand-in for decoded media features. */
+final case class BlobFeatures(
+    doc_id: Long, width: Int, height: Int, n_frames: Int, checksum: Long)
+
+/** Multimodal-column operators (builder brief): treat media as opaque
+  * `binary` columns with typed metadata; decode / feature-extract /
+  * frame-sample run as per-partition batch functions over the typed
+  * Dataset — the Spark-side plumbing (schema, encoders, partitioning,
+  * batch iteration) is real; the actual codec is STUBBED with a
+  * deterministic fake (no image/audio libs in this container; a real
+  * deployment swaps `fakeDecode` for the codec call).
+  *
+  * Scale design: `mapPartitions` keeps the decode batched per
+  * partition (one codec init per partition, not per row) — the same
+  * shape `mapInPandas` gives Python pipelines. Everything before the
+  * decode is columnar and pruned; everything after is a narrow typed
+  * result, so the expensive stage is embarrassingly parallel.
   */
 object Multimodal {
-  def all: Seq[Q] = Seq()
+
+  /** STUB: deterministic fake decode standing in for an image/video
+    * codec (`???` in a real deployment until the codec is linked).
+    * Derives "dimensions" and a frame count from the payload length
+    * and a rolling checksum from the first 16 bytes.
+    */
+  def fakeDecode(b: MediaBlob): BlobFeatures = {
+    val len = b.blob.length
+    val checksum = b.blob.take(16).foldLeft(0L)((a, c) => (a * 31 + (c & 0xffL)) % 1000000007L)
+    BlobFeatures(b.doc_id, (len % 64) + 1, (len % 48) + 1, (len + 31) / 32, checksum)
+  }
+
+  // ---------------------------------------------------------------
+  /** Decode + feature-extract over the typed blob Dataset via
+    * mapPartitions (batch shape: Iterator[MediaBlob] →
+    * Iterator[BlobFeatures]).
+    */
+  def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"),
+        col("lang"), col("source"), col("n_chars"))
+      .as[MediaBlob]
+      .mapPartitions(_.map(fakeDecode))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle recomputes the fake decode arithmetically: the blob is
+    * ASCII text, so byte values = codepoints and byte length =
+    * string length.
+    */
+  val decodeFeaturesOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(length(text) % 64 + 1 AS INTEGER) AS width,
+       |  CAST(length(text) % 48 + 1 AS INTEGER) AS height,
+       |  CAST((length(text) + 31) // 32 AS INTEGER) AS n_frames,
+       |  ${foldHashSql("substr(text, 1, 16)")} AS checksum
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Frame sampling without decode: the payload is chunked into
+    * 32-byte "frames", every 4th frame is sampled and checksummed —
+    * pure columnar expressions (explode + substring + fold), no
+    * partition function needed.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("f", explode(expr(
+        "sequence(1, CAST((length(text) + 31) div 32 AS INT))")))
+      .filter((col("f") - 1) % 4 === 0)
+      .withColumn("frame", expr("substring(text, (f - 1) * 32 + 1, 32)"))
+      .select(col("doc_id"), col("f").cast("long").as("frame_idx"),
+        expr(foldHashExpr("frame")).as("frame_checksum"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
+  val frameSampleOracle: String =
+    s"""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       |  ${foldHashSql("substr(text, (f - 1) * 32 + 1, 32)")} AS frame_checksum
+       |FROM documents, range(1, 1024) t(f)
+       |WHERE f <= (length(text) + 31) // 32 AND (f - 1) % 4 = 0
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
+  // ---------------------------------------------------------------
+  def all: Seq[Q] = Seq(
+    Q("mm_decode_features", decodeFeatures, Some(decodeFeaturesOracle),
+      "typed mapPartitions stub-decode over binary blobs"),
+    Q("mm_frame_sample", frameSample, Some(frameSampleOracle),
+      "32-byte frame chunking + every-4th sampling, columnar"))
 }

@@ -1,10 +1,178 @@
 package graft.ops
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.Cols._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Similarity search over `embeddings`: brute-force cosine top-k and
-  * bucketed (IVF/LSH) approximate variants.
+/** Approximate-nearest-neighbor search over the `embeddings` fixture
+  * (builder brief): brute-force cosine top-k as the correctness
+  * baseline, and an IVF-style two-stage search (centroid route →
+  * cluster-local scan) as the scale path.
+  *
+  * Scale design (100 TB): the query set is tiny and broadcast; the
+  * brute-force scan is a single pass over the vectors with no
+  * shuffle until the per-query top-k (TakeOrderedAndProject-shaped).
+  * The IVF variant prunes the scan to one cluster per query — the
+  * same plan a real IVF index executes, with the fixture `label` as
+  * the posting-list key; centroids are a tiny aggregate that
+  * broadcasts.
+  *
+  * Dot products are left folds over `zip_with` in index order, in
+  * double — bit-identical to the DuckDB oracle's list_reduce.
   */
 object Similarity {
-  def all: Seq[Q] = Seq()
+
+  private val dotExpr =
+    "aggregate(zip_with(q_v, c_v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+  private val normExpr =
+    "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))"
+
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr(normExpr))
+
+  // ---------------------------------------------------------------
+  /** Brute-force cosine top-10 for each query vector (vec_id < 3):
+    * broadcast the queries, one scan over all candidates, window
+    * top-k per query.
+    */
+  def bruteForceTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("norm").as("q_norm"))
+    val c = e.select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+      col("v").as("c_v"), col("norm").as("c_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(q).join(c, col("q_id") =!= col("cand_id"))
+      .withColumn("cosine", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select(col("q_id"), col("cand_id"), col("cand_label"), col("cosine"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val bruteForceTopKOracle: String = {
+    val norm = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(v, x -> x * x)), (a, x) -> a + x))"
+    val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, $norm AS norm
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) raw),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id, c.label AS cand_label,
+       |    $dot / (q.norm * c.norm) AS cosine
+       |  FROM e q, e c
+       |  WHERE q.vec_id < 3 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cand_label, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, cand_id, cand_label, cosine, rnk
+       |FROM ranked WHERE rnk <= 10
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** IVF-style ANN: (1) per-label centroids from a column-wise
+    * average (posexplode → groupBy(label, dim)); (2) route each query
+    * to its max-cosine centroid; (3) scan only that cluster for the
+    * top-5. Exact decimal sums keep centroid values and scores
+    * bit-identical to DuckDB.
+    */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val dims = e.select(col("label"), col("vec_id"), posexplode(col("v")))
+      .select(col("label"), col("vec_id"), (col("pos") + 1).as("i"), col("col").as("val"))
+    val centroids = dims.groupBy(col("label"), col("i"))
+      .agg(davg(col("val")).as("cval"))
+    val cnorms = centroids.groupBy(col("label"))
+      .agg(sqrt(dsum(col("cval") * col("cval"))).as("cnorm"))
+    val q = e.filter(col("vec_id") < 3)
+    val qdims = q.select(col("vec_id").as("q_id"), posexplode(col("v")))
+      .select(col("q_id"), (col("pos") + 1).as("i"), col("col").as("qval"))
+    val routed = qdims.join(broadcast(centroids), Seq("i"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(dsum(col("qval") * col("cval")).as("dot"))
+      .join(broadcast(cnorms), Seq("label"))
+      .join(q.select(col("vec_id").as("q_id"), col("norm").as("q_norm")), Seq("q_id"))
+      .withColumn("ccos", col("dot") / (col("q_norm") * col("cnorm")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("crnk") === 1)
+      .select(col("q_id"), col("label").as("best_label"))
+    val qv = q.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+      col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(routed.join(qv, Seq("q_id")))
+      .join(e.select(col("vec_id").as("cand_id"), col("label"),
+          col("v").as("c_v"), col("norm").as("c_norm")),
+        col("best_label") === col("label") && col("q_id") =!= col("cand_id"))
+      .withColumn("cosine", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("best_label"), col("cand_id"), col("cosine"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val ivfTopKOracle: String = {
+    val norm = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(v, x -> x * x)), (a, x) -> a + x))"
+    val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, $norm AS norm
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) raw),
+       |dims AS (
+       |  SELECT label, vec_id, i, v[i] AS val
+       |  FROM e, range(1, 65) t(i)),
+       |centroids AS (
+       |  SELECT label, i, ${davgSql("val")} AS cval
+       |  FROM dims GROUP BY label, i),
+       |cnorms AS (
+       |  SELECT label, sqrt(${dsumSql("cval * cval")}) AS cnorm
+       |  FROM centroids GROUP BY label),
+       |qdims AS (
+       |  SELECT vec_id AS q_id, i, v[i] AS qval
+       |  FROM e, range(1, 65) t(i) WHERE vec_id < 3),
+       |dots AS (
+       |  SELECT qd.q_id, cd.label, ${dsumSql("qval * cval")} AS dot
+       |  FROM qdims qd, centroids cd WHERE qd.i = cd.i
+       |  GROUP BY qd.q_id, cd.label),
+       |routed AS (
+       |  SELECT d.q_id, d.label,
+       |    ROW_NUMBER() OVER (PARTITION BY d.q_id
+       |      ORDER BY d.dot / (qn.norm * cn.cnorm) DESC, d.label) AS crnk
+       |  FROM dots d, cnorms cn, e qn
+       |  WHERE d.label = cn.label AND qn.vec_id = d.q_id),
+       |best AS (SELECT q_id, label AS best_label FROM routed WHERE crnk = 1),
+       |scored AS (
+       |  SELECT best.q_id, best_label, c.vec_id AS cand_id,
+       |    $dot / (q.norm * c.norm) AS cosine
+       |  FROM best, e q, e c
+       |  WHERE q.vec_id = best.q_id AND c.label = best_label
+       |    AND c.vec_id <> best.q_id),
+       |ranked AS (
+       |  SELECT q_id, best_label, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, best_label, cand_id, cosine, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  def all: Seq[Q] = Seq(
+    Q("sim_topk_brute", bruteForceTopK, Some(bruteForceTopKOracle),
+      "broadcast queries, brute-force cosine top-10"),
+    Q("sim_topk_ivf", ivfTopK, Some(ivfTopKOracle),
+      "IVF: centroid routing then cluster-local top-5"))
 }

@@ -1,10 +1,176 @@
 package graft.ops
 
-import graft.Q
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Text-analysis operators over `documents` (builder-prompt north
-  * star): language-ID, quality scoring, token counting, fingerprints.
+/** Text-analysis operators over the `documents` fixture — the
+  * training-data-pipeline extensions beyond the reference's SQL corpus
+  * (builder brief; SURVEY.md §7 step 8): language ID, quality scoring,
+  * token counting, and rolling-hash fingerprinting.
+  *
+  * Everything is built from codegen'd Spark built-ins and higher-order
+  * functions (no UDFs), so predicates/pruning still push down and the
+  * per-row work scales linearly with no shuffle until the final
+  * aggregate.
+  *
+  * Cross-engine determinism: all scoring is integer arithmetic or
+  * single IEEE double expressions; the char-level rolling hash is a
+  * left fold `(acc*31 + codepoint) mod 1e9+7` that DuckDB reproduces
+  * exactly with list_reduce.
   */
 object TextAnalysis {
-  def all: Seq[Q] = Seq()
+
+  /** Spark-side char-fold rolling hash of a string SQL expression. */
+  def foldHashExpr(s: String): String =
+    s"aggregate(transform(split($s, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  /** DuckDB-side equivalent of [[foldHashExpr]]. */
+  def foldHashSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($s, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % 1000000007)"
+
+  private val enWords = Seq("the", "a")
+  private val deWords = Seq("data", "table", "row")
+  private val frWords = Seq("fast", "slow")
+
+  private def arr(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  // ---------------------------------------------------------------
+  /** Language ID via marker-word scoring (an n-gram/stopword
+    * heuristic): count marker hits per language over the token
+    * stream, argmax with deterministic tie-break order, then emit the
+    * lang × predicted confusion matrix.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    def hits(ws: Seq[String]) =
+      expr(s"size(filter(split(text, ' '), w -> array_contains(array(${arr(ws)}), w)))")
+    Tables.documents(s, dir)
+      .withColumn("en_hits", hits(enWords))
+      .withColumn("de_hits", hits(deWords))
+      .withColumn("fr_hits", hits(frWords))
+      .withColumn("pred_lang",
+        when(col("en_hits") > 0 && col("en_hits") >= col("de_hits") &&
+          col("en_hits") >= col("fr_hits"), "en")
+          .when(col("de_hits") > 0 && col("de_hits") >= col("fr_hits"), "de")
+          .when(col("fr_hits") > 0, "fr")
+          .otherwise("und"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langIdOracle: String = {
+    def hits(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), w -> list_contains([${arr(ws)}], w)))"
+    s"""SELECT lang, pred_lang, COUNT(*) AS docs
+       |FROM (
+       |  SELECT lang,
+       |    CASE WHEN en_hits > 0 AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |         WHEN de_hits > 0 AND de_hits >= fr_hits THEN 'de'
+       |         WHEN fr_hits > 0 THEN 'fr'
+       |         ELSE 'und' END AS pred_lang
+       |  FROM (SELECT lang, ${hits(enWords)} AS en_hits,
+       |          ${hits(deWords)} AS de_hits, ${hits(frWords)} AS fr_hits
+       |        FROM documents) scored) preds
+       |GROUP BY lang, pred_lang
+       |ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** Per-document quality score: token count, average word length,
+    * stopword ratio, combined into one bounded score. All ratios are
+    * int/int divisions (→ double in both engines) and the blend is a
+    * single IEEE expression.
+    */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", expr("size(split(text, ' '))"))
+      .withColumn("stop_hits",
+        expr(s"size(filter(split(text, ' '), w -> array_contains(array(${arr(enWords)}), w)))"))
+      .withColumn("avg_wlen",
+        (length(col("text")) - col("n_tokens") + 1) / col("n_tokens"))
+      .withColumn("stop_ratio", col("stop_hits") / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.4) * least(lit(1.0), col("n_tokens") / 100.0) +
+          lit(0.3) * (lit(1.0) - least(lit(1.0), col("stop_ratio") * 5.0)) +
+          lit(0.3) * least(lit(1.0), col("avg_wlen") / 8.0))
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        col("avg_wlen"), col("stop_ratio"), col("quality"))
+      .orderBy(col("doc_id"))
+
+  val qualityOracle: String =
+    s"""SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, avg_wlen, stop_ratio,
+       |  0.4 * least(1.0, n_tokens / 100.0) +
+       |  0.3 * (1.0 - least(1.0, stop_ratio * 5.0)) +
+       |  0.3 * least(1.0, avg_wlen / 8.0) AS quality
+       |FROM (
+       |  SELECT doc_id, n_tokens, stop_hits,
+       |    (length(text) - n_tokens + 1) / n_tokens AS avg_wlen,
+       |    stop_hits * 1.0 / n_tokens AS stop_ratio
+       |  FROM (SELECT doc_id, text,
+       |          len(string_split(text, ' ')) AS n_tokens,
+       |          len(list_filter(string_split(text, ' '),
+       |            w -> list_contains([${arr(enWords)}], w))) AS stop_hits
+       |        FROM documents) counted) scored
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Token counting per source: whitespace tokens plus a BPE-ish
+    * subtoken estimate (⌈len/4⌉ pieces per word, folded with integer
+    * arithmetic).
+    */
+  def tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("ws_tokens", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("subtokens",
+        expr("aggregate(split(text, ' '), CAST(0 AS BIGINT), " +
+          "(acc, w) -> acc + CAST((length(w) + 3) div 4 AS BIGINT))"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("ws_tokens")).as("tok_sum"),
+        sum(col("subtokens")).as("subtok_sum"),
+        sum(length(col("text"))).as("chars_sum"))
+      .orderBy(col("source"))
+
+  val tokensOracle: String =
+    """SELECT source, COUNT(*) AS docs,
+      |  CAST(SUM(ws_tokens) AS BIGINT) AS tok_sum,
+      |  CAST(SUM(subtokens) AS BIGINT) AS subtok_sum,
+      |  CAST(SUM(length(text)) AS BIGINT) AS chars_sum
+      |FROM (SELECT source, text,
+      |        len(string_split(text, ' ')) AS ws_tokens,
+      |        list_sum(list_transform(string_split(text, ' '),
+      |          w -> (length(w) + 3) // 4)) AS subtokens
+      |      FROM documents) counted
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Rolling-hash document fingerprint (char-level polynomial fold) —
+    * the exact-dedup / shingle-hash primitive. Emitted per doc plus a
+    * distinct-fingerprint summary column via a window-free self-agg.
+    */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), expr(foldHashExpr("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintOracle: String =
+    s"""SELECT doc_id, ${foldHashSql("text")} AS fp
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  def all: Seq[Q] = Seq(
+    Q("text_langid", langId, Some(langIdOracle),
+      "marker-word language ID -> confusion matrix"),
+    Q("text_quality", quality, Some(qualityOracle),
+      "per-doc quality score from token/length/stopword stats"),
+    Q("text_tokens", tokens, Some(tokensOracle),
+      "whitespace + BPE-ish subtoken counts per source"),
+    Q("text_fingerprint", fingerprint, Some(fingerprintOracle),
+      "rolling polynomial hash fingerprint per doc"))
 }

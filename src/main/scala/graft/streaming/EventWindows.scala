@@ -1,10 +1,172 @@
 package graft.streaming
 
-import graft.Q
+import graft.{Q, Tables}
+import graft.Cols._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-/** Event-time windowing over `events`: tumbling/sliding/session, batch
-  * (oracle-checked) and Structured Streaming variants (spec-checked).
+/** Event-time windowing over the `events` fixture (builder brief;
+  * SURVEY.md §7 step 8 — the reference itself is batch-only, §2.10).
+  *
+  * Each operator has two faces sharing one logical definition:
+  * - a batch face registered in `queries` (DuckDB-verifiable: the
+  *   final state a stream reaches after all events arrive);
+  * - a Structured Streaming face ([[streamingEvents]] +
+  *   [[tumblingStream]] etc.) with watermarks, exercised by
+  *   StreamingSpec via Trigger.AvailableNow — proving the same
+  *   aggregation runs incrementally with state + late-data handling.
+  *
+  * Scale design: tumbling/sliding aggs shuffle once on (window, key);
+  * session windows shuffle on user_id and merge locally; the
+  * stateful dedup keys state by (user_id, event_type) — all
+  * partition-parallel with no driver state.
   */
 object EventWindows {
-  def all: Seq[Q] = Seq()
+
+  // ---------------------------------------------------------------
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("total"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  val tumblingOracle: String =
+    s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
+       |  COUNT(*) AS cnt, ${dsumSql("value")} AS total
+       |FROM events
+       |GROUP BY wstart, event_type
+       |ORDER BY wstart, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Sliding windows: 1 hour long, every 30 minutes — each event
+    * lands in two windows. The oracle expands the window assignment
+    * explicitly (bucket and bucket − 30 min).
+    */
+  def sliding(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("total"))
+      .orderBy(col("wstart"), col("event_type"))
+
+  val slidingOracle: String =
+    s"""SELECT wstart, event_type, COUNT(*) AS cnt, ${dsumSql("value")} AS total
+       |FROM (
+       |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) AS wstart,
+       |    event_type, value
+       |  FROM events
+       |  UNION ALL
+       |  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+       |      - INTERVAL '30 minutes' AS wstart,
+       |    event_type, value
+       |  FROM events) assigned
+       |GROUP BY wstart, event_type
+       |ORDER BY wstart, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Session windows per user with a 30-minute gap. The oracle is
+    * the classic gaps-and-islands rewrite (lag → new-session flag →
+    * running sum → island id).
+    */
+  def session(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("sess_start"), col("w.end").as("sess_end"),
+        col("user_id"), col("cnt"), col("total"))
+      .orderBy(col("user_id"), col("sess_start"))
+
+  val sessionOracle: String =
+    s"""WITH ordered AS (
+       |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |    CASE WHEN CAST(ts AS TIMESTAMP) >=
+       |        lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+       |        + INTERVAL '30 minutes'
+       |      OR lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       |      THEN 1 ELSE 0 END AS new_sess
+       |  FROM events),
+       |islands AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+       |  FROM ordered)
+       |SELECT MIN(ts) AS sess_start, MAX(ts) + INTERVAL '30 minutes' AS sess_end,
+       |  user_id, COUNT(*) AS cnt, ${dsumSql("value")} AS total
+       |FROM islands
+       |GROUP BY user_id, sess_id
+       |ORDER BY user_id, sess_start""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Stateful dedup semantics (batch face): keep the earliest event
+    * per (user_id, event_type) — what a streaming
+    * dropDuplicates-with-watermark converges to, with a total-order
+    * tiebreak on event_id.
+    */
+  def dedupEarliest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  val dedupEarliestOracle: String =
+    """SELECT user_id, event_type, ts, event_id, value
+      |FROM (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts, event_id) AS rn
+      |  FROM events) numbered
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // ---------------------------------------------------------------
+  // Structured Streaming faces (exercised by StreamingSpec).
+
+  /** File-source streaming read of the events fixture, normalizing
+    * the TIMESTAMP(NANOS) column exactly like [[Tables.events]].
+    */
+  def streamingEvents(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Tables.events(s, dir).schema.map {
+      case f @ StructField("ts", _, _, _) => f.copy(dataType = LongType)
+      case f => f
+    })
+    s.readStream.schema(schema).parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Watermarked tumbling aggregation over a streaming frame —
+    * same logical agg as [[tumbling]]. */
+  def tumblingStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("value")).as("total"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"), col("total"))
+
+  /** Watermarked streaming dedup by key — state expires with the
+    * watermark; same converged semantics as [[dedupEarliest]] when
+    * events arrive in order. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
+  // ---------------------------------------------------------------
+  def all: Seq[Q] = Seq(
+    Q("stream_tumbling", tumbling, Some(tumblingOracle),
+      "tumbling 1h event-time windows (batch face of streaming agg)"),
+    Q("stream_sliding", sliding, Some(slidingOracle),
+      "sliding 1h/30min windows, 2 windows per event"),
+    Q("stream_session", session, Some(sessionOracle),
+      "session windows, 30min gap (oracle: gaps-and-islands)"),
+    Q("stream_dedup_earliest", dedupEarliest, Some(dedupEarliestOracle),
+      "earliest-event-per-key dedup (batch face of stateful dedup)"))
 }
