@@ -1,0 +1,144 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Harness parity (SURVEY.md §7 step 5): the reference's benchmark
+  * orchestration re-expressed in Scala — query-file discovery and
+  * templating (`IcebergBenchmark.java:162-175`), noop-sink execution
+  * (`:183`), per-query wall-clock timing with continue-on-failure and
+  * 2000-char error truncation (`:177-190`), listener-driven metric
+  * attribution (`:216-267`), and the quoted/escaped results CSV
+  * (`:131-147,388-399`).
+  */
+object Runner {
+
+  /** One result row — the reference's results schema
+    * (`IcebergBenchmark.java:131-147`).
+    */
+  val resultsSchema: StructType = StructType(Seq(
+    StructField("run_id", StringType),
+    StructField("schema_size", StringType),
+    StructField("benchmark_type", StringType),
+    StructField("query_name", StringType),
+    StructField("execution_time_sec", DoubleType),
+    StructField("status", BooleanType),
+    StructField("error_message", StringType),
+    StructField("metrics_json", StringType),
+    StructField("analytics_core_enabled", BooleanType),
+    StructField("client_type", StringType),
+    StructField("total_batch_scan_time_ms", LongType),
+    StructField("timestamp", TimestampType)))
+
+  /** Discover `*.sql` files sorted by filename
+    * (`IcebergBenchmark.java:162-167`).
+    */
+  def discoverQueries(dir: String): Seq[(String, String)] = {
+    val p = Paths.get(dir)
+    if (!Files.isDirectory(p)) return Seq.empty
+    Files.list(p).iterator.asScala
+      .filter(_.toString.endsWith(".sql"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map(f => f.getFileName.toString.stripSuffix(".sql") -> Files.readString(f))
+  }
+
+  /** `${database}`/`${schema}` substitution — plain string replace,
+    * applying even inside string literals, exactly like
+    * `IcebergBenchmark.java:175`.
+    */
+  def template(sql: String, database: String, schema: String): String =
+    sql.replace("${database}", database).replace("${schema}", schema)
+
+  /** Materialize fully through the built-in noop sink — forces
+    * execution without collecting (`IcebergBenchmark.java:183`).
+    */
+  def executeNoop(spark: SparkSession, sql: String): Unit =
+    spark.sql(sql).write.format("noop").mode("overwrite").save()
+
+  /** Run one suite: time each query, SUCCESS/FAILED with truncated
+    * error, keep going on failure (`IcebergBenchmark.java:149-222`).
+    */
+  def runSuite(
+      spark: SparkSession,
+      benchmarkType: String,
+      queryDir: String,
+      database: String,
+      schema: String,
+      runId: String,
+      listener: Option[MetricListener] = None): Seq[Row] = {
+    discoverQueries(queryDir).map { case (name, rawSql) =>
+      val sql = template(rawSql, database, schema)
+      listener.foreach(_.reset())
+      val t0 = System.nanoTime()
+      val (ok, err) =
+        try { executeNoop(spark, sql); (true, "") }
+        catch { case NonFatal(e) =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          (false, msg.take(2000)) // truncation per IcebergBenchmark.java:186
+        }
+      val elapsedSec = (System.nanoTime() - t0) / 1e9
+      val (metricsJson, scanMs) = listener
+        .flatMap(l => l.awaitExecutionId(10000).map(l.metrics))
+        .getOrElse(("{}", 0L))
+      Row(runId, schema, benchmarkType, name, elapsedSec, ok, err, metricsJson,
+        false, "local", scanMs, new java.sql.Timestamp(System.currentTimeMillis()))
+    }
+  }
+
+  /** Results CSV exactly as the reference writes it: single
+    * partition, header, quoteAll, `"` escape, Append into a per-run
+    * directory (`IcebergBenchmark.java:388-399`).
+    */
+  def writeResultsCsv(spark: SparkSession, rows: Seq[Row], outputPath: String,
+      runId: String): Unit =
+    spark.createDataFrame(rows.asJava, resultsSchema)
+      .repartition(1)
+      .write
+      .option("header", "true")
+      .option("quoteAll", "true")
+      .option("escape", "\"")
+      .mode("append")
+      .csv(s"$outputPath/$runId")
+
+  /** CLI: `Runner <queryDir> <sfDir> <outDir> [database] [schema]` —
+    * registers the fixture views, runs the suite against them, writes
+    * the results CSV.
+    */
+  def main(args: Array[String]): Unit = {
+    val queryDir = args(0)
+    val sfDir = args(1)
+    val outDir = args(2)
+    val database = args.lift(3).getOrElse("")
+    val schema = args.lift(4).getOrElse("")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      .config("spark.sql.debug.maxToStringFields", "1000")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Tables.registerAll(spark, sfDir)
+      val runId = s"run_${System.currentTimeMillis()}"
+      val rows = runSuite(spark, "LOCAL", queryDir, database, schema, runId,
+        Some(listener))
+      Thread.sleep(2000) // drain listener bus (reference sleeps 10s, :217)
+      writeResultsCsv(spark, rows, outDir, runId)
+      rows.foreach(r => println(s"[runner] ${r.getString(3)} " +
+        s"${if (r.getBoolean(5)) "SUCCESS" else "FAILED"} ${r.getDouble(4)}%.3f".stripMargin))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.stop()
+    }
+  }
+}

@@ -138,7 +138,9 @@ object EventWindows {
       case f @ StructField("ts", _, _, _) => f.copy(dataType = LongType)
       case f => f
     })
-    s.readStream.schema(schema).parquet(s"$dir/events.parquet")
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

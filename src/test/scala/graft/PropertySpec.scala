@@ -1,0 +1,55 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Algebraic invariants via scalacheck's raw runner (SURVEY.md §5
+  * item 4; no scalatestplus bridge in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val smallList = Gen.listOfN(30, Gen.chooseNum(-5, 5))
+
+  test("unionAll count equals sum of counts") {
+    check(Prop.forAll(smallList, smallList) { (a, b) =>
+      val (da, db) = (a.toDF("x"), b.toDF("x"))
+      da.unionAll(db).count() == da.count() + db.count()
+    })
+  }
+
+  test("semi-join rows are a subset of distinct inner-join keys") {
+    check(Prop.forAll(smallList, smallList) { (a, b) =>
+      val da = a.toDF("x")
+      val db = b.toDF("y")
+      val semi = da.join(db, da("x") === db("y"), "left_semi")
+        .as[Int].collect().toSet
+      val inner = da.join(db, da("x") === db("y")).select(da("x"))
+        .as[Int].collect().toSet
+      semi == inner
+    })
+  }
+
+  test("rollup row count = leaf groups + distinct prefixes + 1") {
+    check(Prop.forAll(Gen.listOfN(25, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0, 3)))) { rows =>
+      val df = rows.toDF("g1", "g2")
+      val n = df.rollup("g1", "g2").count().count()
+      val leaves = rows.distinct.size
+      val prefixes = rows.map(_._1).distinct.size
+      n == leaves + prefixes + 1
+    })
+  }
+
+  test("intersect ⊆ both sides; except ∩ right = ∅") {
+    check(Prop.forAll(smallList, smallList) { (a, b) =>
+      val inter = a.toDF("x").intersect(b.toDF("x")).as[Int].collect().toSet
+      val exc = a.toDF("x").except(b.toDF("x")).as[Int].collect().toSet
+      inter.subsetOf(a.toSet) && inter.subsetOf(b.toSet) &&
+        exc.subsetOf(a.toSet) && exc.intersect(b.toSet).isEmpty
+    })
+  }
+}
