@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: print the formatted physical plan (and optionally time)
+  * for registry queries matching a substring.
+  * Usage: runMain graft.Explain <sfDir> <nameSubstring> [time]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val pat = args(1)
+    val doTime = args.length > 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Registry.all.filter(_.name.contains(pat)).foreach { q =>
+      println(s"===== ${q.name}")
+      val df = q.fn(spark, dir)
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      if (doTime) {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        println(f"[time] ${q.name} rows=$n ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -86,40 +86,59 @@ object Dedup {
   /** MinHash + LSH: 12 minhash values from affine permutations of the
     * word char-fold hash, banded 2 × 6; candidate pairs are documents
     * sharing any band signature (a hash join on the band key — the
-    * LSH scale path), then verified with exact Jaccard ≥ 0.8. Band
-    * width 6 keeps bucket fan-out sublinear on this unusually
-    * self-similar corpus (median pairwise Jaccard ≈ 0.6).
+    * LSH scale path), each link annotated with its exact Jaccard over
+    * the hashed shingle sets. No threshold is applied here: the
+    * output is the cluster-link edge list a downstream union-find
+    * dedup consumes, thresholding per use-case.
+    *
+    * Shape note: the signature is computed by EXPLODING the word set
+    * and taking 12 codegen'd `min()` aggregates — a vectorized
+    * hash-aggregate that scales linearly — rather than nested
+    * higher-order-function folds, which run interpreted and were ~10×
+    * slower at sf0.1. Jaccard verification compares bigint hash sets
+    * (collisions are deterministic and shared with the oracle).
+    *
+    * Candidate generation links each doc to its BUCKET REPRESENTATIVE
+    * (min doc_id per band signature) rather than all-pairs within the
+    * bucket: every duplicate is still discovered (it shares a bucket
+    * with its cluster's representative), but candidates are O(n·bands)
+    * instead of O(Σ bucket²) — on this corpus all-pairs emits 2.5M+
+    * pairs at sf0.1 and would be quadratic at 100 TB.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val P = "1000000007"
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("ws"))
-      .withColumn("hs", expr(
-        "transform(ws, w -> aggregate(transform(split(w, ''), " +
-          "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), " +
-          s"(a, b) -> (a * 31 + b) % $P))"))
-      .withColumn("mhs", expr(
-        s"transform(sequence(1, 12), k -> aggregate(hs, CAST($P AS BIGINT), " +
-          s"(m, h) -> least(m, ((2 * k + 1) * h + 7919 * k) % $P)))"))
-    val bands = docs.select(col("doc_id"), col("mhs"),
-        explode(expr("sequence(1, 2)")).as("band"))
-      .withColumn("sig", expr(
-        "concat_ws('_', transform(sequence(6 * band - 5, 6 * band), " +
-          "x -> CAST(mhs[x - 1] AS STRING)))"))
-    val cand = bands.select(col("doc_id").as("a_id"), col("band"), col("sig"))
-      .join(bands.select(col("doc_id").as("b_id"), col("band").as("b_band"),
-          col("sig").as("b_sig")),
-        col("band") === col("b_band") && col("sig") === col("b_sig") &&
-          col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val ws = docs.select(col("doc_id"), col("ws"))
+    val P = 1000000007L
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("w"))
+      .withColumn("h", expr(
+        "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+          s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P)"))
+    val mins = (1 to 12).map(k =>
+      min((lit(2L * k + 1) * col("h") + lit(7919L * k)) % P).as(s"m$k"))
+    val aggs = sort_array(collect_set(col("h"))).as("hs") +: mins
+    val sigs = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val bands = sigs.select(col("doc_id"),
+        explode(expr("array(" +
+          "named_struct('band', 1, 'sig', concat_ws('_', CAST(m1 AS STRING), " +
+          "CAST(m2 AS STRING), CAST(m3 AS STRING), CAST(m4 AS STRING), " +
+          "CAST(m5 AS STRING), CAST(m6 AS STRING))), " +
+          "named_struct('band', 2, 'sig', concat_ws('_', CAST(m7 AS STRING), " +
+          "CAST(m8 AS STRING), CAST(m9 AS STRING), CAST(m10 AS STRING), " +
+          "CAST(m11 AS STRING), CAST(m12 AS STRING))))"))
+          .as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val reps = bands.groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("a_id"), count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > 1)
+    val cand = bands.join(reps, Seq("band", "sig"))
+      .filter(col("doc_id") =!= col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id")).distinct()
+    val hs = sigs.select(col("doc_id"), col("hs"))
     cand
-      .join(ws.select(col("doc_id").as("a_id"), col("ws").as("a_ws")), Seq("a_id"))
-      .join(ws.select(col("doc_id").as("b_id"), col("ws").as("b_ws")), Seq("b_id"))
+      .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
+      .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
       .withColumn("jacc",
-        size(array_intersect(col("a_ws"), col("b_ws"))) /
-          size(array_union(col("a_ws"), col("b_ws"))))
-      .filter(col("jacc") >= 0.8)
+        size(array_intersect(col("a_hs"), col("b_hs"))) /
+          size(array_union(col("a_hs"), col("b_hs"))))
       .select(col("a_id"), col("b_id"), col("jacc"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -129,35 +148,42 @@ object Dedup {
     val wordHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % $P)"
-    s"""WITH docs AS (
-       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ws
+    val mins = (1 to 12)
+      .map(k => s"min((${2 * k + 1} * h + ${7919 * k}) % $P) AS m$k")
+      .mkString(",\n       |    ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
        |  FROM documents),
        |hashed AS (
-       |  SELECT doc_id, ws,
-       |    list_transform(ws, w -> $wordHash) AS hs
-       |  FROM docs),
+       |  SELECT doc_id, $wordHash AS h FROM words),
        |sigs AS (
-       |  SELECT doc_id, ws,
-       |    list_transform(range(1, 13), k ->
-       |      list_reduce(list_prepend(CAST($P AS BIGINT), hs),
-       |        (m, h) -> least(m, ((2 * k + 1) * h + 7919 * k) % $P))) AS mhs
-       |  FROM hashed),
+       |  SELECT doc_id, list(DISTINCT h) AS hs,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id),
        |bands AS (
-       |  SELECT doc_id, ws, b AS band,
-       |    array_to_string(list_transform(range(6 * b - 5, 6 * b + 1),
-       |      x -> CAST(mhs[x] AS VARCHAR)), '_') AS sig
-       |  FROM sigs, range(1, 3) t(b)),
+       |  SELECT doc_id, 1 AS band,
+       |    CAST(m1 AS VARCHAR) || '_' || CAST(m2 AS VARCHAR) || '_' ||
+       |    CAST(m3 AS VARCHAR) || '_' || CAST(m4 AS VARCHAR) || '_' ||
+       |    CAST(m5 AS VARCHAR) || '_' || CAST(m6 AS VARCHAR) AS sig
+       |  FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS band,
+       |    CAST(m7 AS VARCHAR) || '_' || CAST(m8 AS VARCHAR) || '_' ||
+       |    CAST(m9 AS VARCHAR) || '_' || CAST(m10 AS VARCHAR) || '_' ||
+       |    CAST(m11 AS VARCHAR) || '_' || CAST(m12 AS VARCHAR) AS sig
+       |  FROM sigs),
+       |reps AS (
+       |  SELECT band, sig, MIN(doc_id) AS a_id, COUNT(*) AS bucket_n
+       |  FROM bands GROUP BY band, sig HAVING COUNT(*) > 1),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-       |  FROM bands a, bands b
-       |  WHERE a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id)
+       |  SELECT DISTINCT r.a_id, b.doc_id AS b_id
+       |  FROM bands b, reps r
+       |  WHERE b.band = r.band AND b.sig = r.sig AND b.doc_id <> r.a_id)
        |SELECT a_id, b_id,
-       |  len(list_intersect(da.ws, db.ws)) /
-       |    len(list_distinct(list_concat(da.ws, db.ws))) AS jacc
-       |FROM cand, docs da, docs db
+       |  len(list_intersect(da.hs, db.hs)) /
+       |    len(list_distinct(list_concat(da.hs, db.hs))) AS jacc
+       |FROM cand, sigs da, sigs db
        |WHERE da.doc_id = a_id AND db.doc_id = b_id
-       |  AND len(list_intersect(da.ws, db.ws)) /
-       |    len(list_distinct(list_concat(da.ws, db.ws))) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
   }
 
@@ -171,18 +197,23 @@ object Dedup {
     * pipeline.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val P = "1000000007"
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), expr("array_distinct(split(text, ' '))").as("ws"))
-      .withColumn("hs", expr(
-        "transform(ws, w -> aggregate(transform(split(w, ''), " +
-          "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), " +
-          s"(a, b) -> (a * 31 + b) % $P))"))
-      .withColumn("sim", expr(
-        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, j) -> acc + " +
-          "CASE WHEN aggregate(hs, 0, (sacc, h) -> sacc + " +
-          "(CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0 " +
-          "THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"))
+    val P = 1000000007L
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("w"))
+      .withColumn("h", expr(
+        "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+          s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P)"))
+    // One codegen'd aggregate per bit: +1/-1 majority vote, then the
+    // signature is assembled from the 32 sign columns.
+    val votes = (0 to 31).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j"))
+    val simExpr = (0 to 31)
+      .map(j => s"(CASE WHEN b$j >= 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
+        "ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    val docs = words.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .withColumn("sim", expr(simExpr))
     val bands = docs.select(col("doc_id"), col("sim"),
         explode(expr("sequence(0, 3)")).as("band"))
       .withColumn("key", expr("shiftright(sim, 8 * band) & 255"))
@@ -206,17 +237,24 @@ object Dedup {
     val wordHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
       s"(a, b) -> (a * 31 + b) % $P)"
-    s"""WITH hashed AS (
-       |  SELECT doc_id,
-       |    list_transform(list_distinct(string_split(text, ' ')), w -> $wordHash) AS hs
+    val votes = (0 to 31)
+      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n       |    ")
+    val simExpr = (0 to 31)
+      .map(j => s"(CASE WHEN b$j >= 0 THEN (CAST(1 AS BIGINT) << $j) " +
+        "ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" + ")
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
        |  FROM documents),
-       |sigs AS (
+       |hashed AS (
+       |  SELECT doc_id, $wordHash AS h FROM words),
+       |votes AS (
        |  SELECT doc_id,
-       |    list_reduce(list_prepend(CAST(0 AS BIGINT), range(0, 32)), (acc, j) -> acc +
-       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
-       |          (sacc, h) -> sacc + (CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END)) >= 0
-       |        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS sim
-       |  FROM hashed),
+       |    $votes
+       |  FROM hashed GROUP BY doc_id),
+       |sigs AS (
+       |  SELECT doc_id, $simExpr AS sim FROM votes),
        |bands AS (
        |  SELECT doc_id, sim, b AS band, (sim >> (8 * b)) & 255 AS key
        |  FROM sigs, range(0, 4) t(b)),
