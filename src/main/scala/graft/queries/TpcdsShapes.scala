@@ -176,9 +176,12 @@ object TpcdsShapes {
       .agg(dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("sum_sales"))
     val wSeq = Window.partitionBy(col("n_name")).orderBy(col("month"))
     val wYear = Window.partitionBy(col("n_name"), year(col("month")))
+    // v1 is referenced 3× (self, lag, lead) — cache the small
+    // aggregated frame rather than recomputing the base join per ref.
     val v1 = base
       .withColumn("rn", row_number().over(wSeq).cast("long"))
       .withColumn("avg_monthly", davgOver(col("sum_sales"), wYear))
+      .cache()
     val prev = v1.select(col("n_name").as("p_name"), col("rn").as("p_rn"),
       col("sum_sales").as("psum"))
     val next = v1.select(col("n_name").as("x_name"), col("rn").as("x_rn"),
@@ -405,9 +408,15 @@ object TpcdsShapes {
       .select(col("o_custkey").as("custkey"), lit("l").as("chan"),
         year(asDate(col("l_shipdate"))).as("yr"),
         revenue(col("l_extendedprice"), col("l_discount")).as("amt"))
+    // Referenced 4×; without caching, Spark pushes each slice's
+    // chan/yr filter below the aggregate and recomputes the full
+    // union+join per slice (no ReuseExchange — the subplans differ).
+    // The aggregated frame is tiny (customers × channels × years), so
+    // cache it — SURVEY.md §2.9's multi-reference-CTE guidance.
     val yearTotal = o.unionAll(l)
       .groupBy(col("custkey"), col("chan"), col("yr"))
       .agg(dsum(col("amt")).as("year_total"))
+      .cache()
     def slice(chan: String, yr: Int, k: String, v: String): DataFrame =
       yearTotal.filter(col("chan") === chan && col("yr") === yr)
         .select(col("custkey").as(k), col("year_total").as(v))
