@@ -277,18 +277,17 @@ object Dedup {
     * precomputed in the scan pass.
     */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))"))
+      .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
     val a = e.select(col("vec_id").as("a_id"), col("label"),
       col("v").as("a_v"), col("norm").as("a_norm"))
     val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
       col("v").as("b_v"), col("norm").as("b_norm"))
     a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(a_v, b_v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"))
+      .withColumn("dot", expr("vec_dot(a_v, b_v)"))
       .withColumn("cosine", col("dot") / (col("a_norm") * col("b_norm")))
       .filter(col("cosine") >= 0.25)
       .select(col("a_id"), col("b_id"), col("label"), col("cosine"))

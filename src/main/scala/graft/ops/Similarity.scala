@@ -24,16 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private val dotExpr =
-    "aggregate(zip_with(q_v, c_v, (x, y) -> x * y), CAST(0 AS DOUBLE), (a, x) -> a + x)"
-  private val normExpr =
-    "sqrt(aggregate(transform(v, x -> x * x), CAST(0 AS DOUBLE), (a, x) -> a + x))"
+  // Codegen'd native expression (graft.functions.VectorDot) — same
+  // index-ordered summation as the HOF fold it replaced, ~an order of
+  // magnitude less per-pair overhead.
+  private val dotExpr = "vec_dot(q_v, c_v)"
+  private val normExpr = "sqrt(vec_dot(v, v))"
 
-  private def vecs(s: SparkSession, dir: String): DataFrame =
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", expr(normExpr))
+  }
 
   // ---------------------------------------------------------------
   /** Brute-force cosine top-10 for each query vector (vec_id < 3):
