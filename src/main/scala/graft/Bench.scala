@@ -3,10 +3,15 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Measured on the 32-core bench box at sf0.1: local[8]/shuffle=8
+    // beats local[32] (63s vs 113s) — per-task scheduling and GC
+    // overhead dominate these sub-second stages. Env overrides allow
+    // any grid point.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

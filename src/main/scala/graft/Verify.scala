@@ -9,7 +9,7 @@ object Verify {
     // Optional third arg (local dev only): restrict to queries whose
     // name contains the substring. The driver always passes 2 args.
     val nameFilter = args.lift(2)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
