@@ -2,10 +2,17 @@ package graft.streaming
 
 import graft.{Q, Tables}
 import graft.Cols._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Running per-user state carried across micro-batches. */
+final case class UserRunningState(count: Long, total: Double)
+
+/** Per-user snapshot emitted each micro-batch. */
+final case class UserSnapshot(user_id: Long, events: Long, total: Double)
 
 /** Event-time windowing over the `events` fixture (builder brief;
   * SURVEY.md §7 step 8 — the reference itself is batch-only, §2.10).
@@ -160,6 +167,29 @@ object EventWindows {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
+
+  /** Custom keyed state via
+    * `KeyValueGroupedDataset.mapGroupsWithState`: a running
+    * (count, value-total) per user, updated each micro-batch — the
+    * building block for stateful enrichments the built-in windowed
+    * aggs can't express. State is partitioned by user_id in the state
+    * store; nothing accumulates on the driver.
+    */
+  def runningPerUserStream(events: DataFrame): Dataset[UserSnapshot] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunningState, UserSnapshot](GroupStateTimeout.NoTimeout) {
+        (user, rows, state) =>
+          val prev = state.getOption.getOrElse(UserRunningState(0L, 0.0))
+          var c = prev.count
+          var t = prev.total
+          rows.foreach { r => c += 1; t += r._2 }
+          state.update(UserRunningState(c, t))
+          UserSnapshot(user, c, t)
+      }
+  }
 
   // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(

@@ -37,4 +37,17 @@ class StreamingSpec extends SparkSpec {
     val want = EventWindows.dedupEarliest(spark, sf).count()
     assert(got === want)
   }
+
+  test("mapGroupsWithState running per-user counts match batch counts") {
+    val stream = EventWindows.runningPerUserStream(
+      EventWindows.streamingEvents(spark, sf))
+    runToMemory("state_mem", stream.toDF(), "update")
+    // Last snapshot per user carries the converged running count.
+    val got = spark.sql(
+      """SELECT user_id, max(events) AS events FROM state_mem GROUP BY user_id""")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.events(spark, sf).groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+  }
 }
