@@ -19,6 +19,7 @@ object Registry {
       queries.TpcdsShapes.all ++
       ops.TextAnalysis.all ++
       ops.Dedup.all ++
+      ops.SkewJoin.all ++
       ops.Similarity.all ++
       ops.Multimodal.all ++
       streaming.EventWindows.all
