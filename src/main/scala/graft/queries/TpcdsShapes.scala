@@ -714,7 +714,147 @@ object TpcdsShapes {
        |ORDER BY best.rnk, best_name, worst_name""".stripMargin
 
   // ---------------------------------------------------------------
+  /** q66 shape (`queries/tpcds/q66.sql:8-20`): 12-column month pivot
+    * via conditional sums (`jan_sales` … `dec_sales`) per group, plus
+    * a total.
+    */
+  def monthPivot(s: SparkSession, dir: String): DataFrame = {
+    val rev = revenue(col("l_extendedprice"), col("l_discount"))
+    val m = month(asDate(col("l_shipdate")))
+    val monthCols = (1 to 12).map(i => dsum(when(m === i, rev).otherwise(0.0)).as(f"m$i%02d_rev"))
+    val aggs = monthCols :+ dsum(rev).as("total_rev")
+    Tables.lineitem(s, dir)
+      .filter(year(asDate(col("l_shipdate"))) === 1997)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("n_name"))
+  }
+
+  val monthPivotOracle: String = {
+    val rev = "l_extendedprice * (1.0 - l_discount)"
+    val cols = (1 to 12).map { i =>
+      val name = f"m$i%02d_rev"
+      s"${dsumSql(s"CASE WHEN month(CAST(l_shipdate AS DATE)) = $i THEN $rev ELSE 0.0 END")} AS $name"
+    }.mkString(",\n       |  ")
+    s"""SELECT n_name,
+       |  $cols,
+       |  ${dsumSql(rev)} AS total_rev
+       |FROM lineitem, supplier, nation
+       |WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND year(CAST(l_shipdate AS DATE)) = 1997
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** q05/q77/q80 family shape: per-channel (sales, returns, profit)
+    * subqueries UNION ALL'd, then ROLLUP over (channel, id) with
+    * GROUPING()-aware ordering.
+    */
+  def channelRollup(s: SparkSession, dir: String): DataFrame = {
+    def chan(name: String, priorities: Seq[String]): DataFrame =
+      Tables.orders(s, dir)
+        .filter(col("o_orderpriority").isin(priorities: _*))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("id"))
+        .agg(dsum(col("o_totalprice")).as("sales"),
+          dsum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0))
+            .as("returns"))
+        .select(lit(name).as("channel"), col("id"), col("sales"), col("returns"),
+          (col("sales") - col("returns")).as("profit"))
+    val channels =
+      chan("urgent", Seq("1-URGENT", "2-HIGH"))
+        .unionAll(chan("medium", Seq("3-MEDIUM")))
+        .unionAll(chan("relaxed", Seq("4-NOT SPECIFIED", "5-LOW")))
+    channels.rollup(col("channel"), col("id"))
+      .agg(dsum(col("sales")).as("sales"), dsum(col("returns")).as("returns"),
+        dsum(col("profit")).as("profit"),
+        (grouping(col("channel")) + grouping(col("id"))).cast("long").as("lochierarchy"))
+      .orderBy(col("lochierarchy").desc, col("channel"), col("id"))
+  }
+
+  val channelRollupOracle: String = {
+    def chan(name: String, prios: String) =
+      s"""SELECT '$name' AS channel, n_name AS id,
+         |    ${dsumSql("o_totalprice")} AS sales,
+         |    ${dsumSql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END")} AS returns
+         |  FROM orders, customer, nation
+         |  WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+         |    AND o_orderpriority IN ($prios)
+         |  GROUP BY n_name""".stripMargin
+    s"""WITH channels AS (
+       |  SELECT channel, id, sales, returns, sales - returns AS profit FROM (
+       |  ${chan("urgent", "'1-URGENT','2-HIGH'")}
+       |  UNION ALL
+       |  ${chan("medium", "'3-MEDIUM'")}
+       |  UNION ALL
+       |  ${chan("relaxed", "'4-NOT SPECIFIED','5-LOW'")}) c)
+       |SELECT channel, id,
+       |  ${dsumSql("sales")} AS sales, ${dsumSql("returns")} AS returns,
+       |  ${dsumSql("profit")} AS profit,
+       |  CAST(GROUPING(channel) + GROUPING(id) AS BIGINT) AS lochierarchy
+       |FROM channels
+       |GROUP BY ROLLUP(channel, id)
+       |ORDER BY lochierarchy DESC, channel, id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
+  /** q39_1/q39_2 pair shape: the same cov aggregate computed for two
+    * adjacent periods and joined on the key, keeping keys whose
+    * variability exceeds the threshold in both.
+    */
+  def covPair(s: SparkSession, dir: String): DataFrame = {
+    def period(from: String, to: String, kc: String, prefix: String): DataFrame =
+      Tables.lineitem(s, dir)
+        .filter(asDate(col("l_shipdate")) >= dt(from) && asDate(col("l_shipdate")) < dt(to))
+        .groupBy(col("l_suppkey").as(kc))
+        .agg(count(lit(1)).as(s"${prefix}_n"), dsum(col("l_quantity")).as(s"${prefix}_sx"),
+          dsum(col("l_quantity") * col("l_quantity")).as(s"${prefix}_sxx"))
+        .filter(col(s"${prefix}_n") > 1)
+        .withColumn(s"${prefix}_mean", col(s"${prefix}_sx") / col(s"${prefix}_n"))
+        .withColumn(s"${prefix}_cov",
+          sqrt((col(s"${prefix}_sxx") - col(s"${prefix}_sx") * col(s"${prefix}_sx") /
+            col(s"${prefix}_n")) / (col(s"${prefix}_n") - 1)) / col(s"${prefix}_mean"))
+        .filter(col(s"${prefix}_cov") > 0.25)
+    period("1997-01-01", "1997-04-01", "k1", "p1")
+      .join(period("1997-04-01", "1997-07-01", "k2", "p2"), col("k1") === col("k2"))
+      .select(col("k1").as("l_suppkey"), col("p1_mean"), col("p1_cov"),
+        col("p2_mean"), col("p2_cov"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  val covPairOracle: String = {
+    def period(from: String, to: String, p: String) =
+      s"""SELECT l_suppkey, n, sx / n AS mean,
+         |    sqrt((sxx - sx * sx / n) / (n - 1)) / (sx / n) AS cov
+         |  FROM (SELECT l_suppkey, COUNT(*) AS n,
+         |          ${dsumSql("l_quantity")} AS sx,
+         |          ${dsumSql("l_quantity * l_quantity")} AS sxx
+         |        FROM lineitem
+         |        WHERE CAST(l_shipdate AS DATE) >= DATE '$from'
+         |          AND CAST(l_shipdate AS DATE) < DATE '$to'
+         |        GROUP BY l_suppkey HAVING COUNT(*) > 1) g
+         |  WHERE sqrt((sxx - sx * sx / n) / (n - 1)) / (sx / n) > 0.25""".stripMargin
+    s"""WITH p1 AS (${period("1997-01-01", "1997-04-01", "p1")}),
+       |p2 AS (${period("1997-04-01", "1997-07-01", "p2")})
+       |SELECT p1.l_suppkey, p1.mean AS p1_mean, p1.cov AS p1_cov,
+       |  p2.mean AS p2_mean, p2.cov AS p2_cov
+       |FROM p1, p2
+       |WHERE p1.l_suppkey = p2.l_suppkey
+       |ORDER BY p1.l_suppkey""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
+    Q("tpcds_month_pivot", monthPivot, Some(monthPivotOracle),
+      "12-column month pivot via conditional sums (q66)"),
+    Q("tpcds_channel_rollup", channelRollup, Some(channelRollupOracle),
+      "per-channel sales/returns/profit UNION ALL -> ROLLUP (q05/q77/q80)"),
+    Q("tpcds_cov_pair", covPair, Some(covPairOracle),
+      "adjacent-period cov aggregates joined on key (q39 pair)"),
     Q("tpcds_rollup_grouping", rollupGrouping, Some(rollupGroupingOracle),
       "ROLLUP + GROUPING() -> lochierarchy -> window rank-within-parent (q36/q70/q86)"),
     Q("tpcds_running_total", runningTotalFullJoin, Some(runningTotalFullJoinOracle),
