@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 60+ queries of generated whole-stage-codegen classes in one JVM
+  // overflow the default ~240m JIT code cache; once full the JVM
+  // stops compiling and later queries run interpreted (2-3x slower).
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -134,6 +134,46 @@ object EventWindows {
       |ORDER BY user_id, event_type""".stripMargin
 
   // ---------------------------------------------------------------
+  /** As-of join by composition (the builder brief's preference order
+    * (a): compose existing ops): each 'purchase' event picks up the
+    * timestamp/value of the same user's most recent prior-or-equal
+    * 'view' event — `last(..., ignoreNulls)` over an ordered ROWS
+    * frame on the tagged union, instead of a custom SparkPlan. One
+    * shuffle on user_id; ties broken by event_id for determinism.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "view"))
+      .withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .withColumn("last_view_value",
+        last(when(col("event_type") === "view", col("value")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+        col("last_view_ts"), col("last_view_value"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val asofJoinOracle: String = {
+    val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    s"""SELECT user_id, event_id, ts, value, last_view_ts, last_view_value
+       |FROM (
+       |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value, event_type,
+       |    last_value(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END
+       |      IGNORE NULLS) $over AS last_view_ts,
+       |    last_value(CASE WHEN event_type = 'view' THEN value END
+       |      IGNORE NULLS) $over AS last_view_value
+       |  FROM events
+       |  WHERE event_type IN ('purchase', 'view')) tagged
+       |WHERE event_type = 'purchase'
+       |ORDER BY user_id, ts, event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   // Structured Streaming faces (exercised by StreamingSpec).
 
   /** File-source streaming read of the events fixture, normalizing
@@ -200,5 +240,7 @@ object EventWindows {
     Q("stream_session", session, Some(sessionOracle),
       "session windows, 30min gap (oracle: gaps-and-islands)"),
     Q("stream_dedup_earliest", dedupEarliest, Some(dedupEarliestOracle),
-      "earliest-event-per-key dedup (batch face of stateful dedup)"))
+      "earliest-event-per-key dedup (batch face of stateful dedup)"),
+    Q("stream_asof_join", asofJoin, Some(asofJoinOracle),
+      "as-of join by composition: last prior 'view' per 'purchase'"))
 }
