@@ -164,7 +164,31 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Deterministic hash sampling — the pipeline primitive for
+    * repeatable subsets at scale (no `rand()`: the sample is a pure
+    * function of the key, so it is stable across retries, engines,
+    * and partitionings). An affine hash of doc_id mod 100 keeps ~5%.
+    */
+  def sample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("h", (lit(1103515245L) * col("doc_id") + 12345L) % 1000000007L % 100)
+      .filter(col("h") < 5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("sampled_docs"), sum(col("n_chars")).as("sampled_chars"))
+      .orderBy(col("lang"))
+
+  val sampleOracle: String =
+    """SELECT lang, COUNT(*) AS sampled_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+      |FROM documents
+      |WHERE (1103515245 * doc_id + 12345) % 1000000007 % 100 < 5
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
+    Q("text_sample", sample, Some(sampleOracle),
+      "deterministic hash sampling (~5%), stable across engines"),
     Q("text_langid", langId, Some(langIdOracle),
       "marker-word language ID -> confusion matrix"),
     Q("text_quality", quality, Some(qualityOracle),

@@ -174,6 +174,45 @@ object EventWindows {
   }
 
   // ---------------------------------------------------------------
+  /** Range join via time-bucketing (the scalable plan for interval
+    * joins): each 'error' event aggregates the same user's events
+    * from the preceding 5 minutes. Instead of a non-equi join
+    * (nested-loop at scale), both sides are bucketed to the window
+    * length and the probe explodes to {bucket−1, bucket} — an
+    * equi-join on (user, bucket) whose fan-out is bounded by 2×, with
+    * the exact range predicate applied after. The oracle is the plain
+    * non-equi range join, proving the rewrite.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("b", expr("floor(unix_micros(ts) / 300000000)"))
+    val probe = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), col("user_id").as("e_user"),
+        col("ts").as("e_ts"), col("b").as("e_b"))
+      .withColumn("jb", explode(expr("array(e_b - 1, e_b)")))
+    val build = ev.select(col("user_id"), col("b"), col("ts").as("o_ts"),
+      col("value").as("o_value"))
+    probe.join(build,
+        col("e_user") === col("user_id") && col("jb") === col("b") &&
+          col("o_ts") >= expr("e_ts - INTERVAL '5' MINUTE") && col("o_ts") <= col("e_ts"))
+      .groupBy(col("e_id"), col("e_user"), col("e_ts"))
+      .agg(count(lit(1)).as("preceding_events"), dsum(col("o_value")).as("preceding_value"))
+      .orderBy(col("e_id"))
+  }
+
+  val rangeJoinOracle: String =
+    s"""SELECT e.event_id AS e_id, e.user_id AS e_user,
+       |  CAST(e.ts AS TIMESTAMP) AS e_ts,
+       |  COUNT(*) AS preceding_events,
+       |  ${dsumSql("o.value")} AS preceding_value
+       |FROM events e, events o
+       |WHERE e.event_type = 'error' AND o.user_id = e.user_id
+       |  AND CAST(o.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP) - INTERVAL '5 minutes'
+       |  AND CAST(o.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP)
+       |GROUP BY e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP)
+       |ORDER BY e_id""".stripMargin
+
+  // ---------------------------------------------------------------
   // Structured Streaming faces (exercised by StreamingSpec).
 
   /** File-source streaming read of the events fixture, normalizing
@@ -242,5 +281,7 @@ object EventWindows {
     Q("stream_dedup_earliest", dedupEarliest, Some(dedupEarliestOracle),
       "earliest-event-per-key dedup (batch face of stateful dedup)"),
     Q("stream_asof_join", asofJoin, Some(asofJoinOracle),
-      "as-of join by composition: last prior 'view' per 'purchase'"))
+      "as-of join by composition: last prior 'view' per 'purchase'"),
+    Q("stream_range_join", rangeJoin, Some(rangeJoinOracle),
+      "range join via time-bucket equi-join == plain non-equi join"))
 }
