@@ -173,7 +173,40 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  /** Per-label centroids via the typed [[graft.functions.VecSumMicro]]
+    * Aggregator: one scan, element-wise exact micro-unit sums with
+    * map-side partials — no posexplode row blow-up. Output is the
+    * integer micro-sum vector (order-independent, hash-comparable);
+    * centroid = micro/1e6/n downstream.
+    */
+  def centroids(s: SparkSession, dir: String): DataFrame = {
+    val vecSum = udaf(new graft.functions.VecSumMicro(64))
+    Tables.embeddings(s, dir)
+      .select(col("label"), col("embedding").cast("array<double>").as("v"))
+      .groupBy(col("label"))
+      .agg(vecSum(col("v")).as("centroid_micro"), count(lit(1)).as("n"))
+      .orderBy(col("label"))
+  }
+
+  val centroidsOracle: String =
+    """WITH dims AS (
+      |  SELECT label, i, CAST(floor(v[i] * 1e6) AS BIGINT) AS micro
+      |  FROM (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e,
+      |    range(1, 65) t(i)),
+      |sums AS (
+      |  SELECT label, i, CAST(SUM(micro) AS BIGINT) AS m
+      |  FROM dims GROUP BY label, i),
+      |cent AS (
+      |  SELECT label, list(m ORDER BY i) AS centroid_micro FROM sums GROUP BY label),
+      |counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+      |SELECT cent.label, centroid_micro, n
+      |FROM cent, counts WHERE cent.label = counts.label
+      |ORDER BY cent.label""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
+    Q("sim_centroids", centroids, Some(centroidsOracle),
+      "typed Aggregator: exact element-wise vector sums per label"),
     Q("sim_topk_brute", bruteForceTopK, Some(bruteForceTopKOracle),
       "broadcast queries, brute-force cosine top-10"),
     Q("sim_topk_ivf", ivfTopK, Some(ivfTopKOracle),
