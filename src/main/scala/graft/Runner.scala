@@ -134,8 +134,8 @@ object Runner {
         Some(listener))
       Thread.sleep(2000) // drain listener bus (reference sleeps 10s, :217)
       writeResultsCsv(spark, rows, outDir, runId)
-      rows.foreach(r => println(s"[runner] ${r.getString(3)} " +
-        s"${if (r.getBoolean(5)) "SUCCESS" else "FAILED"} ${r.getDouble(4)}%.3f".stripMargin))
+      rows.foreach(r => println(f"[runner] ${r.getString(3)} " +
+        f"${if (r.getBoolean(5)) "SUCCESS" else "FAILED"} ${r.getDouble(4)}%.3f"))
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.stop()

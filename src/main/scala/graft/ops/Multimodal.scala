@@ -80,6 +80,10 @@ object Multimodal {
     */
   def frameSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      // Empty docs have zero frames: without the guard, sequence(1, 0)
+      // yields a DESCENDING [1, 0] and emits phantom frame rows the
+      // oracle's `f <= n_frames` bound excludes.
+      .filter(length(col("text")) > 0)
       .withColumn("f", explode(expr(
         "sequence(1, CAST((length(text) + 31) div 32 AS INT))")))
       .filter((col("f") - 1) % 4 === 0)

