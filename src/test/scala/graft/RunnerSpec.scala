@@ -31,6 +31,22 @@ class RunnerSpec extends SparkSpec {
       === "USE cat.db; SELECT 'cat'")
   }
 
+  test("reference TPC-H corpus: 22 files discovered and run VERBATIM") {
+    val dir = queries.Corpus.corpusDir
+    val discovered = Runner.discoverQueries(dir)
+    assert(discovered.length === 22)
+    assert(discovered.map(_._1) === (1 to 22).map(i => f"q$i%02d"))
+    // Raw file text (trailing semicolons and all) through the noop
+    // sink, exactly as IcebergBenchmark.java:162-183 executes it.
+    queries.Corpus.register(spark, sf)
+    val rows = Runner.runSuite(spark, "TPC-H", dir,
+      queries.Corpus.catalog, queries.Corpus.db, "run_corpus")
+    assert(rows.length === 22)
+    val failed = rows.filter(!_.getBoolean(5)).map(r =>
+      r.getString(3) + ": " + r.getString(6))
+    assert(failed.isEmpty, s"corpus failures: ${failed.mkString("; ")}")
+  }
+
   test("suite runs all queries, failures recorded and truncated, CSV written") {
     val dir = writeQueries()
     Tables.registerAll(spark, sf)
