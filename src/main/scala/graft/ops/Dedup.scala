@@ -45,42 +45,76 @@ object Dedup {
       |ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------
-  /** N-gram (unigram-shingle) Jaccard near-dup: distinct word sets,
-    * pairs generated within (lang, source) partitions only, kept at
-    * jaccard ≥ 0.8. The partition key bounds the join; at 100 TB the
-    * same plan holds with a salted key if a partition skews.
+  /** N-gram (unigram-shingle) Jaccard near-dup, scale-safe: blocking
+    * key = (lang, source, MIN word hash) — single-permutation
+    * MinHash, which two J ≥ 0.8 documents share with probability ≥
+    * 0.8 — then each document links only to its block REPRESENTATIVE
+    * (min doc_id), annotated with the exact Jaccard over the hashed
+    * shingle sets and thresholded at 0.8.
+    *
+    * Scale design: blocking cardinality grows with the vocabulary
+    * (O(n) blocks), and representative linking caps candidates at one
+    * per document regardless of block size — no all-pairs join over a
+    * fixed-cardinality key anywhere. Like [[minhashLsh]], the output
+    * is the candidate edge list a downstream union-find consumes.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val P = 1000000007L
+    val words = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
-        expr("array_distinct(split(text, ' '))").as("ws"))
-    val a = docs.select(col("doc_id").as("a_id"), col("lang"), col("source"),
-      col("ws").as("a_ws"))
-    val b = docs.select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
-      col("source").as("b_source"), col("ws").as("b_ws"))
-    a.join(b, col("lang") === col("b_lang") && col("source") === col("b_source") &&
-        col("a_id") < col("b_id"))
+        explode(expr("array_distinct(split(text, ' '))")).as("w"))
+      .withColumn("h", expr(
+        "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+          s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P)"))
+    val sets = words.groupBy(col("doc_id"), col("lang"), col("source"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"), min(col("h")).as("minh"))
+    val reps = sets.groupBy(col("lang"), col("source"), col("minh"))
+      .agg(min(col("doc_id")).as("a_id"), count(lit(1)).as("block_n"))
+      .filter(col("block_n") > 1)
+    val hs = sets.select(col("doc_id"), col("hs"))
+    sets.join(reps, Seq("lang", "source", "minh"))
+      .filter(col("doc_id") =!= col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id"), col("lang"), col("source"))
+      .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
+      .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
       .withColumn("jacc",
-        size(array_intersect(col("a_ws"), col("b_ws"))) /
-          size(array_union(col("a_ws"), col("b_ws"))))
+        size(array_intersect(col("a_hs"), col("b_hs"))) /
+          size(array_union(col("a_hs"), col("b_hs"))))
       .filter(col("jacc") >= 0.8)
       .select(col("a_id"), col("b_id"), col("lang"), col("source"), col("jacc"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val ngramJaccardOracle: String =
-    """WITH w AS (
-      |  SELECT doc_id, lang, source,
-      |    list_distinct(string_split(text, ' ')) AS ws
-      |  FROM documents)
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.lang, a.source,
-      |  len(list_intersect(a.ws, b.ws)) /
-      |    len(list_distinct(list_concat(a.ws, b.ws))) AS jacc
-      |FROM w a, w b
-      |WHERE a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-      |  AND len(list_intersect(a.ws, b.ws)) /
-      |    len(list_distinct(list_concat(a.ws, b.ws))) >= 0.8
-      |ORDER BY a_id, b_id""".stripMargin
+  val ngramJaccardOracle: String = {
+    val wordHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(a, b) -> (a * 31 + b) % 1000000007)"
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, source,
+       |    unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, lang, source, $wordHash AS h FROM words),
+       |sets AS (
+       |  SELECT doc_id, lang, source, list(DISTINCT h) AS hs, MIN(h) AS minh
+       |  FROM hashed GROUP BY doc_id, lang, source),
+       |reps AS (
+       |  SELECT lang, source, minh, MIN(doc_id) AS a_id, COUNT(*) AS block_n
+       |  FROM sets GROUP BY lang, source, minh HAVING COUNT(*) > 1),
+       |links AS (
+       |  SELECT r.a_id, s.doc_id AS b_id, s.lang, s.source
+       |  FROM sets s, reps r
+       |  WHERE s.lang = r.lang AND s.source = r.source AND s.minh = r.minh
+       |    AND s.doc_id <> r.a_id)
+       |SELECT l.a_id, l.b_id, l.lang, l.source,
+       |  len(list_intersect(sa.hs, sb.hs)) /
+       |    len(list_distinct(list_concat(sa.hs, sb.hs))) AS jacc
+       |FROM links l, sets sa, sets sb
+       |WHERE sa.doc_id = l.a_id AND sb.doc_id = l.b_id
+       |  AND len(list_intersect(sa.hs, sb.hs)) /
+       |    len(list_distinct(list_concat(sa.hs, sb.hs))) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------
   /** MinHash + LSH: 12 minhash values from affine permutations of the
@@ -188,44 +222,70 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
-  /** SimHash: 32-bit signature — per bit, majority vote of word
-    * hashes' bit values; candidate pairs share one of four 8-bit
-    * bands (pigeonhole guarantee for hamming ≤ 3), verified with
-    * bit_count(xor). Output is the hamming histogram of near-dup
-    * pairs — compact regardless of how self-similar the corpus is,
-    * while still forcing the full sign-fold + band-join + verify
-    * pipeline.
+  /** SimHash: 64-bit signature carried as two 32-bit halves — per
+    * bit, majority vote of word hashes' bit values. The halves come
+    * from two independent sub-2^32 modulus folds, so every
+    * intermediate fits a BIGINT in both engines (Java wraps 64-bit
+    * overflow silently, DuckDB raises — a packed 64-bit signature
+    * could not be computed identically).
+    *
+    * Scale path (100 TB): candidates share one of FOUR 16-BIT bands
+    * (65,536 buckets per band — pigeonhole still guarantees every
+    * hamming ≤ 3 pair shares a band), and each document links only to
+    * its bucket REPRESENTATIVE (min doc_id), not all-pairs: candidate
+    * count is O(n·bands) while every near-dup cluster is still
+    * discovered through its representative. Verification is
+    * bit_count over both halves; output is the hamming histogram of
+    * representative links.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val P = 1000000007L
+    val P1 = 4294967291L // largest prime < 2^32
+    val P2 = 4294967279L
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("w"))
-      .withColumn("h", expr(
+      .withColumn("h1", expr(
         "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-          s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P)"))
-    // One codegen'd aggregate per bit: +1/-1 majority vote, then the
-    // signature is assembled from the 32 sign columns.
-    val votes = (0 to 31).map(j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"b$j"))
-    val simExpr = (0 to 31)
-      .map(j => s"(CASE WHEN b$j >= 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
+          s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P1)"))
+      .withColumn("h2", expr(
+        "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)), " +
+          s"CAST(0 AS BIGINT), (a, b) -> (a * 37 + b + 17) % $P2)"))
+    // One codegen'd aggregate per bit: +1/-1 majority vote, then each
+    // 32-bit half is assembled from its sign columns.
+    val votes =
+      (0 to 31).map(j => sum(when(expr(s"(shiftright(h1, $j) & 1) = 1"), 1)
+        .otherwise(-1)).as(s"a$j")) ++
+      (0 to 31).map(j => sum(when(expr(s"(shiftright(h2, $j) & 1) = 1"), 1)
+        .otherwise(-1)).as(s"b$j"))
+    def half(prefix: String) = (0 to 31)
+      .map(j => s"(CASE WHEN $prefix$j >= 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
         "ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
-    val docs = words.groupBy(col("doc_id"))
+    val sigs = words.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
-      .withColumn("sim", expr(simExpr))
-    val bands = docs.select(col("doc_id"), col("sim"),
-        explode(expr("sequence(0, 3)")).as("band"))
-      .withColumn("key", expr("shiftright(sim, 8 * band) & 255"))
-    bands.select(col("doc_id").as("a_id"), col("sim").as("a_sim"),
-        col("band"), col("key"))
-      .join(bands.select(col("doc_id").as("b_id"), col("sim").as("b_sim"),
-          col("band").as("b_band"), col("key").as("b_key")),
-        col("band") === col("b_band") && col("key") === col("b_key") &&
-          col("a_id") < col("b_id"))
+      .withColumn("sim_lo", expr(half("a")))
+      .withColumn("sim_hi", expr(half("b")))
+      .select(col("doc_id"), col("sim_lo"), col("sim_hi"))
+    val bands = sigs.select(col("doc_id"),
+        explode(expr("array(" +
+          "named_struct('band', 0, 'key', sim_lo & 65535), " +
+          "named_struct('band', 1, 'key', shiftright(sim_lo, 16) & 65535), " +
+          "named_struct('band', 2, 'key', sim_hi & 65535), " +
+          "named_struct('band', 3, 'key', shiftright(sim_hi, 16) & 65535))")).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val reps = bands.groupBy(col("band"), col("key"))
+      .agg(min(col("doc_id")).as("a_id"), count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > 1)
+    val links = bands.join(reps, Seq("band", "key"))
+      .filter(col("doc_id") =!= col("a_id"))
+      .select(col("a_id"), col("doc_id").as("b_id")).distinct()
+    links
+      .join(sigs.select(col("doc_id").as("a_id"), col("sim_lo").as("a_lo"),
+        col("sim_hi").as("a_hi")), Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id"), col("sim_lo").as("b_lo"),
+        col("sim_hi").as("b_hi")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
-        expr("bit_count(a_sim ^ b_sim)").cast("long").as("hamming"))
-      .distinct()
+        (expr("bit_count(a_lo ^ b_lo)") + expr("bit_count(a_hi ^ b_hi)"))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .groupBy(col("hamming"))
       .agg(count(lit(1)).as("pairs"))
@@ -233,62 +293,104 @@ object Dedup {
   }
 
   val simhashOracle: String = {
-    val P = "1000000007"
-    val wordHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+    val wordHash1 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
-      s"(a, b) -> (a * 31 + b) % $P)"
-    val votes = (0 to 31)
-      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j")
+      "(a, b) -> (a * 31 + b) % 4294967291)"
+    val wordHash2 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      "(a, b) -> (a * 37 + b + 17) % 4294967279)"
+    val votes = ((0 to 31)
+      .map(j => s"SUM(CASE WHEN ((h1 >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS a$j") ++
+      (0 to 31)
+        .map(j => s"SUM(CASE WHEN ((h2 >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j"))
       .mkString(",\n       |    ")
-    val simExpr = (0 to 31)
-      .map(j => s"(CASE WHEN b$j >= 0 THEN (CAST(1 AS BIGINT) << $j) " +
+    def half(prefix: String) = (0 to 31)
+      .map(j => s"(CASE WHEN $prefix$j >= 0 THEN (CAST(1 AS BIGINT) << $j) " +
         "ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
     s"""WITH words AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
        |  FROM documents),
        |hashed AS (
-       |  SELECT doc_id, $wordHash AS h FROM words),
+       |  SELECT doc_id, $wordHash1 AS h1, $wordHash2 AS h2 FROM words),
        |votes AS (
        |  SELECT doc_id,
        |    $votes
        |  FROM hashed GROUP BY doc_id),
        |sigs AS (
-       |  SELECT doc_id, $simExpr AS sim FROM votes),
+       |  SELECT doc_id, ${half("a")} AS sim_lo, ${half("b")} AS sim_hi
+       |  FROM votes),
        |bands AS (
-       |  SELECT doc_id, sim, b AS band, (sim >> (8 * b)) & 255 AS key
-       |  FROM sigs, range(0, 4) t(b)),
-       |pairs AS (
-       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
-       |  FROM bands a, bands b
-       |  WHERE a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
-       |    AND bit_count(xor(a.sim, b.sim)) <= 3)
+       |  SELECT doc_id, 0 AS band, sim_lo & 65535 AS key FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, (sim_lo >> 16) & 65535 AS key FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 2 AS band, sim_hi & 65535 AS key FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 3 AS band, (sim_hi >> 16) & 65535 AS key FROM sigs),
+       |reps AS (
+       |  SELECT band, key, MIN(doc_id) AS a_id, COUNT(*) AS bucket_n
+       |  FROM bands GROUP BY band, key HAVING COUNT(*) > 1),
+       |links AS (
+       |  SELECT DISTINCT r.a_id, b.doc_id AS b_id
+       |  FROM bands b, reps r
+       |  WHERE b.band = r.band AND b.key = r.key AND b.doc_id <> r.a_id),
+       |verified AS (
+       |  SELECT l.a_id, l.b_id,
+       |    CAST(bit_count(xor(sa.sim_lo, sb.sim_lo))
+       |      + bit_count(xor(sa.sim_hi, sb.sim_hi)) AS BIGINT) AS hamming
+       |  FROM links l, sigs sa, sigs sb
+       |  WHERE sa.doc_id = l.a_id AND sb.doc_id = l.b_id)
        |SELECT hamming, COUNT(*) AS pairs
-       |FROM pairs
+       |FROM verified
+       |WHERE hamming <= 3
        |GROUP BY hamming
        |ORDER BY hamming""".stripMargin
   }
 
   // ---------------------------------------------------------------
-  /** Embedding-cosine near-dup: pairs within the same `label`
-    * partition (the cluster id bounds the pair space — the same plan
-    * an IVF index gives at scale), full cosine with per-vector norms
-    * precomputed in the scan pass.
+  /** Embedding-cosine near-dup, scale-safe: random-hyperplane LSH
+    * sub-buckets within each `label` cluster — 6 deterministic ±1
+    * hyperplanes (Knuth-multiplier pattern, mirrored in the oracle)
+    * give a (label, 64-way sign bucket) key — then each vector links
+    * only to its bucket REPRESENTATIVE and the link is verified with
+    * the exact cosine at ≥ 0.25.
+    *
+    * Scale design: bucket count grows with labels × 2^bits (both
+    * tunable), and representative linking caps candidates at one per
+    * vector regardless of bucket size — the all-pairs within-label
+    * join (quadratic in cluster size) is gone. Dot products are
+    * index-ordered folds; signs are exact double comparisons, so both
+    * engines bucket identically.
     */
   def embeddingCosine(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // Hyperplane k (0..5), dim i (1..64): +1 iff (i * (3+2k) * 2654435761) % 97 < 48.
+    def planeDot(k: Int): String =
+      s"aggregate(transform(sequence(1, 64), i -> element_at(v, i) * " +
+        s"(CASE WHEN pmod(i * ${3 + 2 * k} * 2654435761, 97) < 48 " +
+        s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)), " +
+        "CAST(0 AS DOUBLE), (a, x) -> a + x)"
+    val bucketExpr = (0 to 5)
+      .map(k => s"(CASE WHEN ${planeDot(k)} >= 0 THEN ${1 << k} ELSE 0 END)")
+      .mkString(" + ")
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
-    val a = e.select(col("vec_id").as("a_id"), col("label"),
-      col("v").as("a_v"), col("norm").as("a_norm"))
-    val b = e.select(col("vec_id").as("b_id"), col("label").as("b_label"),
-      col("v").as("b_v"), col("norm").as("b_norm"))
-    a.join(b, col("label") === col("b_label") && col("a_id") < col("b_id"))
-      .withColumn("dot", expr("vec_dot(a_v, b_v)"))
-      .withColumn("cosine", col("dot") / (col("a_norm") * col("b_norm")))
+      .withColumn("bucket", expr(bucketExpr))
+    val reps = e.groupBy(col("label"), col("bucket"))
+      .agg(min(col("vec_id")).as("a_id"), count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > 1)
+    val sides = e.select(col("vec_id"), col("label"), col("bucket"),
+      col("v"), col("norm"))
+    sides.join(reps, Seq("label", "bucket"))
+      .filter(col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"), col("label"),
+        col("v").as("b_v"), col("norm").as("b_norm"))
+      .join(sides.select(col("vec_id").as("a_id"), col("v").as("a_v"),
+        col("norm").as("a_norm")), Seq("a_id"))
+      .withColumn("cosine", expr("vec_dot(a_v, b_v)") / (col("a_norm") * col("b_norm")))
       .filter(col("cosine") >= 0.25)
       .select(col("a_id"), col("b_id"), col("label"), col("cosine"))
       .orderBy(col("a_id"), col("b_id"))
@@ -297,19 +399,33 @@ object Dedup {
   val embeddingCosineOracle: String = {
     val norm = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       "list_transform(v, x -> x * x)), (a, x) -> a + x))"
+    def planeDot(k: Int): String =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, 65), i -> v[i] * " +
+        s"(CASE WHEN (i * ${3 + 2 * k} * 2654435761) % 97 < 48 " +
+        s"THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))), (a, x) -> a + x)"
+    val bucketExpr = (0 to 5)
+      .map(k => s"(CASE WHEN ${planeDot(k)} >= 0 THEN ${1 << k} ELSE 0 END)")
+      .mkString(" + ")
+    val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> sa.v[i] * sb.v[i])), (x, y) -> x + y)"
     s"""WITH e AS (
        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
        |  FROM embeddings),
-       |n AS (SELECT vec_id, label, v, $norm AS norm FROM e)
-       |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label,
-       |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
-       |    / (a.norm * b.norm) AS cosine
-       |FROM n a, n b
-       |WHERE a.label = b.label AND a.vec_id < b.vec_id
-       |  AND list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |    list_transform(range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)
-       |    / (a.norm * b.norm) >= 0.25
+       |n AS (
+       |  SELECT vec_id, label, v, $norm AS norm, $bucketExpr AS bucket
+       |  FROM e),
+       |reps AS (
+       |  SELECT label, bucket, MIN(vec_id) AS a_id, COUNT(*) AS bucket_n
+       |  FROM n GROUP BY label, bucket HAVING COUNT(*) > 1),
+       |links AS (
+       |  SELECT r.a_id, s.vec_id AS b_id, s.label
+       |  FROM n s, reps r
+       |  WHERE s.label = r.label AND s.bucket = r.bucket AND s.vec_id <> r.a_id)
+       |SELECT l.a_id, l.b_id, l.label, $dot / (sa.norm * sb.norm) AS cosine
+       |FROM links l, n sa, n sb
+       |WHERE sa.vec_id = l.a_id AND sb.vec_id = l.b_id
+       |  AND $dot / (sa.norm * sb.norm) >= 0.25
        |ORDER BY a_id, b_id""".stripMargin
   }
 
@@ -318,11 +434,11 @@ object Dedup {
     Q("dedup_exact", exact, Some(exactOracle),
       "exact hash-groupBy dedup stats per source"),
     Q("dedup_ngram_jaccard", ngramJaccard, Some(ngramJaccardOracle),
-      "unigram-shingle Jaccard near-dup within (lang, source)"),
+      "shingle Jaccard near-dup: 1-hash blocking + representative links"),
     Q("dedup_minhash_lsh", minhashLsh, Some(minhashLshOracle),
       "MinHash 12-sig, 2x6 LSH bands, Jaccard-verified pairs"),
     Q("dedup_simhash", simhash, Some(simhashOracle),
-      "32-bit SimHash, 8-bit band blocking, hamming<=3 histogram"),
+      "64-bit SimHash, 16-bit band blocking, representative-link histogram"),
     Q("dedup_embedding_cosine", embeddingCosine, Some(embeddingCosineOracle),
-      "cosine near-dup within label partitions"))
+      "cosine near-dup: hyperplane-LSH sub-buckets + representative links"))
 }
