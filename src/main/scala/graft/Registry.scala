@@ -17,6 +17,7 @@ object Registry {
   def all: Seq[Q] =
     queries.Tpch.all ++
       queries.TpcdsShapes.all ++
+      queries.TpcdsCtes.all ++
       queries.Corpus.all ++
       ops.TextAnalysis.all ++
       ops.Dedup.all ++
