@@ -60,8 +60,24 @@ object Runner {
   def executeNoop(spark: SparkSession, sql: String): Unit =
     spark.sql(sql).write.format("noop").mode("overwrite").save()
 
-  /** Run one suite: time each query, SUCCESS/FAILED with truncated
-    * error, keep going on failure (`IcebergBenchmark.java:149-222`).
+  /** Conf-derived result flags (`IcebergBenchmark.java:107-118`):
+    * analytics-core enablement and HTTP/GRPC client type read from
+    * the catalog's configuration namespace.
+    */
+  def confFlags(spark: SparkSession, catalogName: String): (Boolean, String) = {
+    val enabled = spark.conf
+      .get(s"spark.sql.catalog.$catalogName.gcs.analytics-core.enabled", "false")
+      .toBoolean
+    val clientType =
+      if (spark.conf.get(s"spark.sql.catalog.$catalogName.gcs.client.type",
+        "HTTP_CLIENT") == "GRPC_CLIENT") "GRPC"
+      else "HTTP"
+    (enabled, clientType)
+  }
+
+  /** Run one suite: `USE catalog.db`, then time each query,
+    * SUCCESS/FAILED with truncated error, keep going on failure
+    * (`IcebergBenchmark.java:149-222`).
     */
   def runSuite(
       spark: SparkSession,
@@ -70,7 +86,12 @@ object Runner {
       database: String,
       schema: String,
       runId: String,
-      listener: Option[MetricListener] = None): Seq[Row] = {
+      listener: Option[MetricListener] = None,
+      flags: (Boolean, String) = (false, "HTTP")): Seq[Row] = {
+    // Per-suite namespace, exactly `IcebergBenchmark.java:153` —
+    // unqualified table names in the suite resolve against it.
+    if (database.nonEmpty && schema.nonEmpty)
+      spark.sql(s"USE $database.$schema")
     discoverQueries(queryDir).map { case (name, rawSql) =>
       val sql = template(rawSql, database, schema)
       listener.foreach(_.reset())
@@ -86,7 +107,8 @@ object Runner {
         .flatMap(l => l.awaitExecutionId(10000).map(l.metrics))
         .getOrElse(("{}", 0L))
       Row(runId, schema, benchmarkType, name, elapsedSec, ok, err, metricsJson,
-        false, "local", scanMs, new java.sql.Timestamp(System.currentTimeMillis()))
+        flags._1, flags._2, scanMs,
+        new java.sql.Timestamp(System.currentTimeMillis()))
     }
   }
 
@@ -105,16 +127,35 @@ object Runner {
       .mode("append")
       .csv(s"$outputPath/$runId")
 
-  /** CLI: `Runner <queryDir> <sfDir> <outDir> [database] [schema]` —
-    * registers the fixture views, runs the suite against them, writes
-    * the results CSV.
+  /** Named-option parsing, mirroring the reference's picocli surface
+    * (`IcebergBenchmark.java:38-78`): `--key value` pairs.
+    */
+  def parseArgs(args: Array[String]): Map[String, String] =
+    args.grouped(2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+
+  /** CLI, same options as the reference plus `--sf-dir` for the local
+    * fixtures:
+    *
+    * {{{
+    * Runner --tpch-dir <dir> [--tpcds-dir <dir>]
+    *   --tpch-data-db <db> [--tpcds-data-db <db>]
+    *   [--catalog-name <cat>] --output-path <dir> --run-id <id>
+    *   --sf-dir <fixtureDir>
+    * }}}
+    *
+    * Suites run TPC-DS first then TPC-H (`IcebergBenchmark.java:
+    * 121-122`); each issues `USE catalog.db`; results append to one
+    * CSV under `--output-path/--run-id`.
     */
   def main(args: Array[String]): Unit = {
-    val queryDir = args(0)
-    val sfDir = args(1)
-    val outDir = args(2)
-    val database = args.lift(3).getOrElse("")
-    val schema = args.lift(4).getOrElse("")
+    val opts = parseArgs(args)
+    val sfDir = opts.getOrElse("sf-dir", "/root/testdata/sf0.001")
+    val outDir = opts.getOrElse("output-path",
+      opts.getOrElse("output-gcs-path", "/tmp/graft-results"))
+    val catalog = opts.getOrElse("catalog-name", "spark_catalog")
+    val runId = opts.getOrElse("run-id", s"run_${System.currentTimeMillis()}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -129,9 +170,16 @@ object Runner {
     spark.sparkContext.addSparkListener(listener)
     try {
       Tables.registerAll(spark, sfDir)
-      val runId = s"run_${System.currentTimeMillis()}"
-      val rows = runSuite(spark, "LOCAL", queryDir, database, schema, runId,
-        Some(listener))
+      queries.Corpus.register(spark, sfDir)
+      val flags = confFlags(spark, catalog)
+      val suites = Seq(
+        ("TPC-DS", opts.get("tpcds-dir"), opts.getOrElse("tpcds-data-db", "")),
+        ("TPC-H", opts.get("tpch-dir"), opts.getOrElse("tpch-data-db", "")))
+      val rows = suites.flatMap {
+        case (kind, Some(dir), db) =>
+          runSuite(spark, kind, dir, catalog, db, runId, Some(listener), flags)
+        case _ => Seq.empty
+      }
       Thread.sleep(2000) // drain listener bus (reference sleeps 10s, :217)
       writeResultsCsv(spark, rows, outDir, runId)
       rows.foreach(r => println(f"[runner] ${r.getString(3)} " +

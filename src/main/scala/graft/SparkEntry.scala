@@ -2,9 +2,13 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Rotated to the rollup+GROUPING()+window shape so the
+    * smoke check exercises joins, ROLLUP, grouping-derived window
+    * partitioning, and rank filtering in one plan (VERDICT r1 #10).
+    */
   def entry(spark: SparkSession): DataFrame =
-    graft.queries.Tpch.q01(spark, "/root/testdata/sf0.001")
+    graft.queries.TpcdsShapes.rollupGrouping(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Registry.all.map(q => q.name -> q.fn).toMap

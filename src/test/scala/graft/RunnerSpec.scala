@@ -31,6 +31,51 @@ class RunnerSpec extends SparkSpec {
       === "USE cat.db; SELECT 'cat'")
   }
 
+  test("named CLI options parse like the reference's picocli surface") {
+    val opts = Runner.parseArgs(Array(
+      "--tpch-dir", "/q/tpch", "--tpcds-dir", "/q/tpcds",
+      "--tpch-data-db", "tpch_sf1", "--tpcds-data-db", "tpcds_sf1",
+      "--catalog-name", "cat", "--output-path", "/out", "--run-id", "r1"))
+    assert(opts("tpch-dir") === "/q/tpch")
+    assert(opts("tpcds-data-db") === "tpcds_sf1")
+    assert(opts("catalog-name") === "cat")
+    assert(opts("run-id") === "r1")
+  }
+
+  test("conf-derived flags: analytics-core + client type per catalog") {
+    assert(Runner.confFlags(spark, "nosuchcat") === (false, "HTTP"))
+    spark.conf.set("spark.sql.catalog.fcat.gcs.analytics-core.enabled", "true")
+    spark.conf.set("spark.sql.catalog.fcat.gcs.client.type", "GRPC_CLIENT")
+    assert(Runner.confFlags(spark, "fcat") === (true, "GRPC"))
+    val dir = Files.createTempDirectory("graft-flagq")
+    Files.writeString(dir.resolve("q1.sql"), "SELECT 1 AS one")
+    val rows = Runner.runSuite(spark, "TEST", dir.toString, "", "", "run_f",
+      flags = Runner.confFlags(spark, "fcat"))
+    assert(rows.head.getBoolean(8) === true)   // analytics_core_enabled
+    assert(rows.head.getString(9) === "GRPC")  // client_type
+  }
+
+  test("two-suite run resolves unqualified names via distinct namespaces") {
+    // Same query file, two databases: the per-suite USE
+    // (IcebergBenchmark.java:153) must steer the unqualified name.
+    spark.sql("CREATE DATABASE IF NOT EXISTS ns_a")
+    spark.sql("CREATE DATABASE IF NOT EXISTS ns_b")
+    spark.sql("CREATE OR REPLACE VIEW ns_a.probe AS SELECT 'a' AS side")
+    spark.sql("CREATE OR REPLACE VIEW ns_b.probe AS SELECT 'b' AS side")
+    val dir = Files.createTempDirectory("graft-nsq")
+    Files.writeString(dir.resolve("q1.sql"), "SELECT side FROM probe")
+    def run(db: String) = Runner.runSuite(spark, "TEST", dir.toString,
+      "spark_catalog", db, "run_ns")
+    // `probe` exists only inside the namespaces, so suite success
+    // itself proves the USE resolved the unqualified name; the
+    // current database must track each suite's USE.
+    assert(run("ns_a").forall(_.getBoolean(5)))
+    assert(spark.catalog.currentDatabase === "ns_a")
+    assert(run("ns_b").forall(_.getBoolean(5)))
+    assert(spark.catalog.currentDatabase === "ns_b")
+    spark.sql("USE default")
+  }
+
   test("reference TPC-H corpus: 22 files discovered and run VERBATIM") {
     val dir = queries.Corpus.corpusDir
     val discovered = Runner.discoverQueries(dir)
