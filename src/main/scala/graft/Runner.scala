@@ -171,6 +171,7 @@ object Runner {
     try {
       Tables.registerAll(spark, sfDir)
       queries.Corpus.register(spark, sfDir)
+      queries.TpcdsCorpus.register(spark, sfDir)
       val flags = confFlags(spark, catalog)
       val suites = Seq(
         ("TPC-DS", opts.get("tpcds-dir"), opts.getOrElse("tpcds-data-db", "")),

@@ -92,6 +92,19 @@ class RunnerSpec extends SparkSpec {
     assert(failed.isEmpty, s"corpus failures: ${failed.mkString("; ")}")
   }
 
+  test("reference TPC-DS corpus: 103 files discovered and run VERBATIM") {
+    val dir = queries.TpcdsCorpus.corpusDir
+    val discovered = Runner.discoverQueries(dir)
+    assert(discovered.length === 103)
+    queries.TpcdsCorpus.register(spark, sf)
+    val rows = Runner.runSuite(spark, "TPC-DS", dir,
+      queries.TpcdsCorpus.catalog, queries.TpcdsCorpus.db, "run_ds")
+    assert(rows.length === 103)
+    val failed = rows.filter(!_.getBoolean(5)).map(r =>
+      r.getString(3) + ": " + r.getString(6).take(120))
+    assert(failed.isEmpty, s"corpus failures: ${failed.mkString("; ")}")
+  }
+
   test("suite runs all queries, failures recorded and truncated, CSV written") {
     val dir = writeQueries()
     Tables.registerAll(spark, sf)
