@@ -19,6 +19,7 @@ object Registry {
       queries.TpcdsShapes.all ++
       queries.TpcdsCtes.all ++
       queries.Corpus.all ++
+      queries.TpcdsCorpus.all ++
       ops.TextAnalysis.all ++
       ops.Dedup.all ++
       ops.SkewJoin.all ++

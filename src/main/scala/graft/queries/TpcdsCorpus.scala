@@ -2,7 +2,7 @@ package graft.queries
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Verbatim EXECUTION of the reference TPC-DS corpus (103 files,
   * `/root/reference/queries/tpcds`).
@@ -93,6 +93,10 @@ object TpcdsCorpus {
   private val dayNames = Seq("Sunday", "Monday", "Tuesday", "Wednesday",
     "Thursday", "Friday", "Saturday")
   private val webCompanies = Seq("pri", "unimodal", "ought", "ation", "able", "ese")
+  // dbgen's digit syllables — store names in the spec data are these,
+  // and the corpus filters on them (s_store_name = 'ese', q88/q96).
+  private val syllables = Seq("ought", "able", "pri", "ese", "anti",
+    "cally", "ation", "eing", "n st", "bar")
   private val nationNames = Seq(
     "ALGERIA", "ARGENTINA", "BRAZIL", "CANADA", "EGYPT", "ETHIOPIA",
     "FRANCE", "GERMANY", "INDIA", "INDONESIA", "IRAN", "IRAQ", "JAPAN",
@@ -154,7 +158,7 @@ object TpcdsCorpus {
       "store" ->
         s"""SELECT s_suppkey AS s_store_sk,
            |  concat('STORE', lpad(CAST(s_suppkey AS STRING), 16, '0')) AS s_store_id,
-           |  concat('Store#', CAST(s_suppkey AS STRING)) AS s_store_name,
+           |  ${pick(syllables, "s_suppkey % 10")} AS s_store_name,
            |  CAST(s_suppkey % 5 + 1 AS INT) AS s_company_id,
            |  concat('Company#', CAST(s_suppkey % 5 + 1 AS STRING)) AS s_company_name,
            |  CAST(s_suppkey % 10 + 1 AS INT) AS s_market_id,
@@ -415,4 +419,88 @@ object TpcdsCorpus {
       lastDir(k) = dir
     }
   }
+
+  // ----------------------------------------------------------------
+  // Oracle-checked corpus entries: the pure-COUNT queries (q88, q96)
+  // have no floating-point accumulation, so the DuckDB oracle can
+  // mirror the synthesis exactly and hash-compare — proving the
+  // synthesized tables are cross-engine deterministic.
+  // ----------------------------------------------------------------
+  private def gate(name: String, renames: Seq[String]): (SparkSession, String) => DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    (s, dir) => {
+      register(s, dir)
+      val raw = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$corpusDir/$name.sql"))
+      val sql = graft.Runner.template(raw, catalog, db).trim.stripSuffix(";")
+      s.sql(sql).toDF(renames: _*)
+    }
+  }
+
+  /** DuckDB mirror of the synthesized tables q88/q96 touch. */
+  private val oraclePrefix: String =
+    s"""t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name
+       |  FROM supplier),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk, CAST(i % 10 AS INTEGER) AS hd_dep_count,
+       |    CAST((i // 10) % 6 - 1 AS INTEGER) AS hd_vehicle_count
+       |  FROM range(0, 720) t(i)),
+       |t_time AS (
+       |  SELECT i AS t_time_sk, CAST(i // 3600 AS INTEGER) AS t_hour,
+       |    CAST((i // 60) % 60 AS INTEGER) AS t_minute
+       |  FROM range(0, 86400) t(i)),
+       |t_ss AS (
+       |  SELECT (l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS ss_sold_time_sk,
+       |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
+       |    l_suppkey AS ss_store_sk
+       |  FROM lineitem)""".stripMargin
+
+  private def countBucket(hourCond: String, depVehicle: String): String =
+    s"""SELECT count(*) AS c
+       |FROM t_ss, t_hd, t_time, t_store
+       |WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+       |  AND ss_store_sk = s_store_sk AND $hourCond
+       |  AND $depVehicle
+       |  AND s_store_name = 'ese'""".stripMargin
+
+  private val q88DepVehicle =
+    "((hd_dep_count = 4 AND hd_vehicle_count <= 6) " +
+      "OR (hd_dep_count = 2 AND hd_vehicle_count <= 4) " +
+      "OR (hd_dep_count = 0 AND hd_vehicle_count <= 2))"
+
+  private val q88Oracle: String = {
+    val buckets = Seq(
+      ("h8_30_to_9", "t_hour = 8 AND t_minute >= 30"),
+      ("h9_to_9_30", "t_hour = 9 AND t_minute < 30"),
+      ("h9_30_to_10", "t_hour = 9 AND t_minute >= 30"),
+      ("h10_to_10_30", "t_hour = 10 AND t_minute < 30"),
+      ("h10_30_to_11", "t_hour = 10 AND t_minute >= 30"),
+      ("h11_to_11_30", "t_hour = 11 AND t_minute < 30"),
+      ("h11_30_to_12", "t_hour = 11 AND t_minute >= 30"),
+      ("h12_to_12_30", "t_hour = 12 AND t_minute < 30"))
+    val subs = buckets.map { case (alias, cond) =>
+      s"(SELECT c AS $alias FROM (${countBucket(cond, q88DepVehicle)}) x) $alias"
+    }.mkString(",\n")
+    s"WITH $oraclePrefix\nSELECT * FROM\n$subs"
+  }
+
+  private val q96Oracle: String =
+    s"""WITH $oraclePrefix
+       |SELECT count(*) AS cnt
+       |FROM t_ss, t_hd, t_time, t_store
+       |WHERE ss_sold_time_sk = t_time_sk AND ss_hdemo_sk = hd_demo_sk
+       |  AND ss_store_sk = s_store_sk AND t_hour = 20 AND t_minute >= 30
+       |  AND hd_dep_count = 7 AND s_store_name = 'ese'
+       |ORDER BY cnt
+       |LIMIT 100""".stripMargin
+
+  def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q88", gate("q88", Seq("h8_30_to_9", "h9_to_9_30",
+      "h9_30_to_10", "h10_to_10_30", "h10_30_to_11", "h11_to_11_30",
+      "h11_30_to_12", "h12_to_12_30")), Some(q88Oracle),
+      "verbatim reference file queries/tpcds/q88.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q96", gate("q96", Seq("cnt")), Some(q96Oracle),
+      "verbatim reference file queries/tpcds/q96.sql via synthesized tables"))
 }
