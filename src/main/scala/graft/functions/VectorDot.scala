@@ -73,7 +73,10 @@ object GraftFunctions {
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))),
+    (FunctionIdentifier("fold_hash"),
+      new ExpressionInfo(classOf[FoldHash].getName, "fold_hash"),
+      (exprs: Seq[Expression]) => FoldHash.fromExprs(exprs)))
 
   /** Imperative registration for an existing session (what the query
     * library uses — idempotent).

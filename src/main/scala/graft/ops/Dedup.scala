@@ -59,13 +59,12 @@ object Dedup {
     * is the candidate edge list a downstream union-find consumes.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val P = 1000000007L
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         explode(expr("array_distinct(split(text, ' '))")).as("w"))
-      .withColumn("h", expr(
-        "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-          s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P)"))
+      .withColumn("h", expr(s"fold_hash(w, 31, 0, $P)"))
     val sets = words.groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(sort_array(collect_set(col("h"))).as("hs"), min(col("h")).as("minh"))
     val reps = sets.groupBy(col("lang"), col("source"), col("minh"))
@@ -140,12 +139,11 @@ object Dedup {
     * pairs at sf0.1 and would be quadratic at 100 TB.
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val P = 1000000007L
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("w"))
-      .withColumn("h", expr(
-        "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-          s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P)"))
+      .withColumn("h", expr(s"fold_hash(w, 31, 0, $P)"))
     val mins = (1 to 12).map(k =>
       min((lit(2L * k + 1) * col("h") + lit(7919L * k)) % P).as(s"m$k"))
     val aggs = sort_array(collect_set(col("h"))).as("hs") +: mins
@@ -239,16 +237,13 @@ object Dedup {
     * representative links.
     */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val P1 = 4294967291L // largest prime < 2^32
     val P2 = 4294967279L
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("w"))
-      .withColumn("h1", expr(
-        "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-          s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % $P1)"))
-      .withColumn("h2", expr(
-        "aggregate(transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-          s"CAST(0 AS BIGINT), (a, b) -> (a * 37 + b + 17) % $P2)"))
+      .withColumn("h1", expr(s"fold_hash(w, 31, 0, $P1)"))
+      .withColumn("h2", expr(s"fold_hash(w, 37, 17, $P2)"))
     // One codegen'd aggregate per bit: +1/-1 majority vote, then each
     // 32-bit half is assembled from its sign columns.
     val votes =

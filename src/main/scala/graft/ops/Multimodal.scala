@@ -78,7 +78,8 @@ object Multimodal {
     * pure columnar expressions (explode + substring + fold), no
     * partition function needed.
     */
-  def frameSample(s: SparkSession, dir: String): DataFrame =
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       // Empty docs have zero frames: without the guard, sequence(1, 0)
       // yields a DESCENDING [1, 0] and emits phantom frame rows the
@@ -91,6 +92,7 @@ object Multimodal {
       .select(col("doc_id"), col("f").cast("long").as("frame_idx"),
         expr(foldHashExpr("frame")).as("frame_checksum"))
       .orderBy(col("doc_id"), col("frame_idx"))
+  }
 
   val frameSampleOracle: String =
     s"""SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,

@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Spark-side char-fold rolling hash of a string SQL expression. */
+  /** Spark-side char-fold rolling hash of a string SQL expression —
+    * the native codegen'd [[graft.functions.FoldHash]] (callers
+    * register via `GraftFunctions.register`); fold order and modular
+    * arithmetic identical to the interpreted HOF form it replaced.
+    */
   def foldHashExpr(s: String): String =
-    s"aggregate(transform(split($s, ''), c -> CAST(ascii(c) AS BIGINT)), " +
-      s"CAST(0 AS BIGINT), (a, b) -> (a * 31 + b) % 1000000007)"
+    s"fold_hash($s, 31, 0, 1000000007)"
 
   /** DuckDB-side equivalent of [[foldHashExpr]]. */
   def foldHashSql(s: String): String =
@@ -153,10 +156,12 @@ object TextAnalysis {
     * the exact-dedup / shingle-hash primitive. Emitted per doc plus a
     * distinct-fingerprint summary column via a window-free self-agg.
     */
-  def fingerprint(s: SparkSession, dir: String): DataFrame =
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     Tables.documents(s, dir)
       .select(col("doc_id"), expr(foldHashExpr("text")).as("fp"))
       .orderBy(col("doc_id"))
+  }
 
   val fingerprintOracle: String =
     s"""SELECT doc_id, ${foldHashSql("text")} AS fp
