@@ -426,16 +426,21 @@ object TpcdsCorpus {
   // mirror the synthesis exactly and hash-compare — proving the
   // synthesized tables are cross-engine deterministic.
   // ----------------------------------------------------------------
-  private def gate(name: String, renames: Seq[String]): (SparkSession, String) => DataFrame = {
-    import org.apache.spark.sql.DataFrame
+  private def gate(name: String, renames: Seq[String]): (SparkSession, String) => DataFrame =
     (s, dir) => {
       register(s, dir)
       val raw = java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$corpusDir/$name.sql"))
       val sql = graft.Runner.template(raw, catalog, db).trim.stripSuffix(";")
-      s.sql(sql).toDF(renames: _*)
+      val df = s.sql(sql).toDF(renames: _*)
+      df.select(df.schema.fields.toSeq.map { f =>
+        f.dataType match {
+          case _: org.apache.spark.sql.types.DecimalType =>
+            org.apache.spark.sql.functions.col(f.name).cast("double").as(f.name)
+          case _ => org.apache.spark.sql.functions.col(f.name)
+        }
+      }: _*)
     }
-  }
 
   /** DuckDB mirror of the synthesized tables q88/q96 touch. */
   private val oraclePrefix: String =
@@ -496,7 +501,43 @@ object TpcdsCorpus {
        |ORDER BY cnt
        |LIMIT 100""".stripMargin
 
+  /** q90's web-channel slice of the synthesis, mirrored for DuckDB. */
+  private val q90Prefix: String =
+    s"""t_wp AS (
+       |  SELECT i + 1 AS wp_web_page_sk,
+       |    CAST(4000 + i * 40 AS INTEGER) AS wp_char_count
+       |  FROM range(0, 60) t(i)),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk, CAST(i % 10 AS INTEGER) AS hd_dep_count
+       |  FROM range(0, 720) t(i)),
+       |t_time AS (
+       |  SELECT i AS t_time_sk, CAST(i // 3600 AS INTEGER) AS t_hour
+       |  FROM range(0, 86400) t(i)),
+       |t_ws AS (
+       |  SELECT (l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS ws_sold_time_sk,
+       |    (l_orderkey * 17 + l_linenumber) % 720 AS ws_ship_hdemo_sk,
+       |    (l_orderkey * 3 + l_linenumber) % 60 + 1 AS ws_web_page_sk
+       |  FROM lineitem)""".stripMargin
+
+  private def q90Bucket(hourLo: Int): String =
+    s"""SELECT count(*) AS c
+       |FROM t_ws, t_hd, t_time, t_wp
+       |WHERE ws_sold_time_sk = t_time_sk AND ws_ship_hdemo_sk = hd_demo_sk
+       |  AND ws_web_page_sk = wp_web_page_sk
+       |  AND t_hour BETWEEN $hourLo AND ${hourLo + 1}
+       |  AND hd_dep_count = 6 AND wp_char_count BETWEEN 5000 AND 5200""".stripMargin
+
+  private val q90Oracle: String =
+    s"""WITH $q90Prefix
+       |SELECT CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE) AS am_pm_ratio
+       |FROM (SELECT c AS amc FROM (${q90Bucket(8)}) a) am,
+       |     (SELECT c AS pmc FROM (${q90Bucket(19)}) p) pm
+       |ORDER BY am_pm_ratio
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q90", gate("q90", Seq("am_pm_ratio")), Some(q90Oracle),
+      "verbatim reference file queries/tpcds/q90.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q88", gate("q88", Seq("h8_30_to_9", "h9_to_9_30",
       "h9_30_to_10", "h10_to_10_30", "h10_30_to_11", "h11_to_11_30",
       "h11_30_to_12", "h12_to_12_30")), Some(q88Oracle),
