@@ -10,17 +10,20 @@ import org.apache.spark.sql.functions._
   * hash-group dedup, n-gram Jaccard, MinHash+LSH, SimHash, and
   * embedding-cosine near-dup.
   *
-  * Scale design (100 TB): no operator here enumerates the full O(n²)
-  * pair space. Candidate pairs are generated only inside hash-join
-  * buckets — LSH band signatures (minhash), 4-bit simhash bands, or
-  * partition keys (lang/source, label) — so the shuffle is keyed and
-  * bounded, joins stay hash joins, and nothing collects to the
-  * driver. Signatures are computed with codegen-friendly higher-order
-  * functions in one scan.
+  * Scale design (100 TB): no operator here enumerates pair spaces at
+  * all. Every near-dup variant generates candidates as
+  * bucket-REPRESENTATIVE links — per blocking key (MinHash LSH band
+  * signatures, 16-bit SimHash bands, (lang, source, min-hash) blocks,
+  * per-label hyperplane sign buckets) each row links only to the
+  * bucket's min-id representative, so candidates are O(n·bands)
+  * regardless of bucket skew, the shuffle is keyed, joins stay hash
+  * joins, and nothing collects to the driver. Signatures are exploded
+  * codegen'd aggregates over the native `fold_hash` char hash
+  * ([[graft.functions.FoldHash]]), not interpreted lambda folds.
   *
-  * Cross-engine determinism: word hashes use the char-fold hash from
-  * [[TextAnalysis]]; all signature arithmetic is integer; jaccard and
-  * cosine are single IEEE expressions over identical fold orders.
+  * Cross-engine determinism: all signature arithmetic is integer;
+  * jaccard and cosine are single IEEE expressions over identical fold
+  * orders.
   */
 object Dedup {
 
