@@ -112,4 +112,35 @@ class OperatorSpec extends SparkSpec {
     assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
       s"scan was: $scan")
   }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    // The 100 TB pattern for repeated big-fact joins: bucket both
+    // sides on the join key so the sort-merge join reads co-located
+    // buckets with NO Exchange (SURVEY §7 "pre-partitioning").
+    val wh = java.nio.file.Files.createTempDirectory("graft-buckets").toString
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bkt LOCATION '$wh'")
+    Tables.lineitem(spark, sf).write.mode("overwrite")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("bkt.lineitem_b")
+    Tables.orders(spark, sf).write.mode("overwrite")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("bkt.orders_b")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt.lineitem_b")
+        .join(spark.table("bkt.orders_b"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority").count()
+      val plan = joined.queryExecution.executedPlan.toString
+      // The tree prints top-down, so the join's INPUTS are everything
+      // after the join operator's line: that section must hold no
+      // Exchange (the groupBy's exchange sits above the join).
+      val joinIdx = plan.indexOf("SortMergeJoin") max plan.indexOf("ShuffledHashJoin")
+      assert(joinIdx >= 0, plan)
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"join inputs were shuffled despite bucketing: $plan")
+      val totalRows = joined.agg(sum($"count")).as[Long].head()
+      assert(totalRows === Tables.lineitem(spark, sf).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
 }
