@@ -173,6 +173,98 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  /** IVF with nprobe = 2: route each query to its TWO highest-cosine
+    * centroids and scan the union of both posting lists — the
+    * recall/cost dial every real IVF index exposes (nprobe=1 risks
+    * missing neighbors that sit just across a cluster boundary).
+    * Clusters are disjoint, so the union needs no dedup; the final
+    * top-5 ranks across both probed clusters.
+    */
+  def ivfTopKProbe2(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val dims = e.select(col("label"), col("vec_id"), posexplode(col("v")))
+      .select(col("label"), col("vec_id"), (col("pos") + 1).as("i"), col("col").as("val"))
+    val centroids = dims.groupBy(col("label"), col("i"))
+      .agg(davg(col("val")).as("cval"))
+    val cnorms = centroids.groupBy(col("label"))
+      .agg(sqrt(dsum(col("cval") * col("cval"))).as("cnorm"))
+    val q = e.filter(col("vec_id") < 3)
+    val qdims = q.select(col("vec_id").as("q_id"), posexplode(col("v")))
+      .select(col("q_id"), (col("pos") + 1).as("i"), col("col").as("qval"))
+    val routed = qdims.join(broadcast(centroids), Seq("i"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(dsum(col("qval") * col("cval")).as("dot"))
+      .join(broadcast(cnorms), Seq("label"))
+      .join(q.select(col("vec_id").as("q_id"), col("norm").as("q_norm")), Seq("q_id"))
+      .withColumn("ccos", col("dot") / (col("q_norm") * col("cnorm")))
+      .withColumn("crnk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("label"))))
+      .filter(col("crnk") <= 2)
+      .select(col("q_id"), col("label").as("probe_label"))
+    val qv = q.select(col("vec_id").as("q_id"), col("v").as("q_v"),
+      col("norm").as("q_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    broadcast(routed.join(qv, Seq("q_id")))
+      .join(e.select(col("vec_id").as("cand_id"), col("label"),
+          col("v").as("c_v"), col("norm").as("c_norm")),
+        col("probe_label") === col("label") && col("q_id") =!= col("cand_id"))
+      .withColumn("cosine", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("cand_id"), col("label").as("cand_label"),
+        col("cosine"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val ivfTopKProbe2Oracle: String = {
+    val norm = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(v, x -> x * x)), (a, x) -> a + x))"
+    val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)"
+    s"""WITH e AS (
+       |  SELECT vec_id, label, v, $norm AS norm
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) raw),
+       |dims AS (
+       |  SELECT label, vec_id, i, v[i] AS val
+       |  FROM e, range(1, 65) t(i)),
+       |centroids AS (
+       |  SELECT label, i, ${davgSql("val")} AS cval
+       |  FROM dims GROUP BY label, i),
+       |cnorms AS (
+       |  SELECT label, sqrt(${dsumSql("cval * cval")}) AS cnorm
+       |  FROM centroids GROUP BY label),
+       |qdims AS (
+       |  SELECT vec_id AS q_id, i, v[i] AS qval
+       |  FROM e, range(1, 65) t(i) WHERE vec_id < 3),
+       |dots AS (
+       |  SELECT qd.q_id, cd.label, ${dsumSql("qval * cval")} AS dot
+       |  FROM qdims qd, centroids cd WHERE qd.i = cd.i
+       |  GROUP BY qd.q_id, cd.label),
+       |routed AS (
+       |  SELECT d.q_id, d.label,
+       |    ROW_NUMBER() OVER (PARTITION BY d.q_id
+       |      ORDER BY d.dot / (qn.norm * cn.cnorm) DESC, d.label) AS crnk
+       |  FROM dots d, cnorms cn, e qn
+       |  WHERE d.label = cn.label AND qn.vec_id = d.q_id),
+       |probes AS (SELECT q_id, label AS probe_label FROM routed WHERE crnk <= 2),
+       |scored AS (
+       |  SELECT probes.q_id, c.vec_id AS cand_id, c.label AS cand_label,
+       |    $dot / (q.norm * c.norm) AS cosine
+       |  FROM probes, e q, e c
+       |  WHERE q.vec_id = probes.q_id AND c.label = probe_label
+       |    AND c.vec_id <> probes.q_id),
+       |ranked AS (
+       |  SELECT q_id, cand_id, cand_label, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, cand_id, cand_label, cosine, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** Per-label centroids via the typed [[graft.functions.VecSumMicro]]
     * Aggregator: one scan, element-wise exact micro-unit sums with
     * map-side partials — no posexplode row blow-up. The micro-sum
@@ -219,5 +311,7 @@ object Similarity {
     Q("sim_topk_brute", bruteForceTopK, Some(bruteForceTopKOracle),
       "broadcast queries, brute-force cosine top-10"),
     Q("sim_topk_ivf", ivfTopK, Some(ivfTopKOracle),
-      "IVF: centroid routing then cluster-local top-5"))
+      "IVF: centroid routing then cluster-local top-5"),
+    Q("sim_topk_ivf_nprobe", ivfTopKProbe2, Some(ivfTopKProbe2Oracle),
+      "IVF with nprobe=2: top-5 across the two nearest clusters"))
 }
