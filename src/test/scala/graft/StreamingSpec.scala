@@ -38,6 +38,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("watermark drops events arriving later than the delay") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions.window
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(java.sql.Timestamp, String)]
+    val agg = ms.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"), $"k")
+      .count()
+    val q = agg.writeStream.format("memory").queryName("late_mem")
+      .outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      ms.addData((t(5), "a")) // window [0,10), count 1
+      q.processAllAvailable()
+      ms.addData((t(40), "b")) // advances the watermark to 30 min
+      q.processAllAvailable()
+      // Same key, event-time 7 min: behind the 30-min watermark, so
+      // the row must be DISCARDED, not added to the closed window.
+      ms.addData((t(7), "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_mem")
+      .select($"k", $"count").as[(String, Long)].collect().toMap
+    assert(rows.get("a").contains(1L),
+      s"late event was not dropped (emitted rows: $rows)")
+  }
+
   test("mapGroupsWithState running per-user counts match batch counts") {
     val stream = EventWindows.runningPerUserStream(
       EventWindows.streamingEvents(spark, sf))
