@@ -281,7 +281,7 @@ object TpcdsCorpus {
       "inventory" ->
         s"""SELECT 2924 + wk * 35 AS inv_date_sk, p_partkey AS inv_item_sk,
            |  wh + 1 AS inv_warehouse_sk,
-           |  CAST(pmod(p_partkey * 31 + wh * 7 + wk * 13, 1000) AS INT) AS inv_quantity_on_hand
+           |  CAST(pmod(p_partkey * 31 + wh * 211 + wk * 13, 1000) AS INT) AS inv_quantity_on_hand
            |FROM ${pq("part")}
            |LATERAL VIEW explode(sequence(0, 4)) genw AS wh
            |LATERAL VIEW explode(sequence(0, 39)) genk AS wk""".stripMargin,
@@ -535,7 +535,43 @@ object TpcdsCorpus {
        |ORDER BY am_pm_ratio
        |LIMIT 100""".stripMargin
 
+  /** q82's slice: item/inventory/date_dim/store_sales. The only float
+    * column (i_current_price) is a pure key function — no
+    * accumulation, so the mirror is exact.
+    */
+  private val q82Oracle: String =
+    s"""WITH t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
+       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
+       |    CAST(p_partkey % 100 AS DOUBLE) + 0.99 AS i_current_price,
+       |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id
+       |  FROM part),
+       |t_inv AS (
+       |  SELECT 2924 + wk.i * 35 AS inv_date_sk, p_partkey AS inv_item_sk,
+       |    CAST((p_partkey * 31 + wh.i * 211 + wk.i * 13) % 1000 AS INTEGER) AS inv_quantity_on_hand
+       |  FROM part, range(0, 5) wh(i), range(0, 40) wk(i)),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) AS d_date,
+       |    CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_ss AS (SELECT l_partkey AS ss_item_sk FROM lineitem)
+       |SELECT i_item_id, i_item_desc, i_current_price
+       |FROM t_item, t_inv, t_dd, t_ss
+       |WHERE i_current_price BETWEEN 62 AND 92
+       |  AND inv_item_sk = i_item_sk AND d_date_sk = inv_date_sk
+       |  AND d_date BETWEEN DATE '2000-05-25' AND DATE '2000-05-25' + 60
+       |  AND i_manufact_id IN (129, 270, 821, 423)
+       |  AND inv_quantity_on_hand BETWEEN 100 AND 500
+       |  AND ss_item_sk = i_item_sk
+       |GROUP BY i_item_id, i_item_desc, i_current_price
+       |ORDER BY i_item_id
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q82", gate("q82",
+      Seq("i_item_id", "i_item_desc", "i_current_price")), Some(q82Oracle),
+      "verbatim reference file queries/tpcds/q82.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q90", gate("q90", Seq("am_pm_ratio")), Some(q90Oracle),
       "verbatim reference file queries/tpcds/q90.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q88", gate("q88", Seq("h8_30_to_9", "h9_to_9_30",
