@@ -61,8 +61,9 @@ object TpcdsCorpus {
   private val counties = Seq("Williamson County", "Ziebach County",
     "Walker County", "Daviess County", "Barrow County", "Franklin Parish",
     "Luce County", "Richland County", "Bronx County", "Orange County")
+  // Midway/Fairview/Edgewood are the cities the corpus filters on.
   private val cities = Seq("Midway", "Fairview", "Oak Grove", "Five Points",
-    "Pleasant Hill", "Centerville", "Liberty", "Salem", "Union", "Spring Hill")
+    "Pleasant Hill", "Centerville", "Liberty", "Edgewood", "Union", "Spring Hill")
   private val streetTypes = Seq("Street", "Ave", "Blvd", "Court", "Dr",
     "Lane", "Pkwy", "Way", "Circle", "Road")
   private val streetNames = Seq("Main", "Oak", "Park", "Elm", "Maple",
@@ -317,7 +318,7 @@ object TpcdsCorpus {
       "catalog_sales" ->
         s"""SELECT $soldDateSk AS cs_sold_date_sk, $timeSk AS cs_sold_time_sk,
            |  $soldDateSk + CAST(pmod(l_orderkey * 3 + l_linenumber, 60) + 2 AS INT) AS cs_ship_date_sk,
-           |  ${custSk(custCount)} AS cs_bill_customer_sk,
+           |  pmod(l_orderkey * 29 + 17, $custCount) AS cs_bill_customer_sk,
            |  $cdemoSk AS cs_bill_cdemo_sk, $hdemoSk AS cs_bill_hdemo_sk,
            |  ${custSk(custCount)} AS cs_bill_addr_sk,
            |  ${shipCustSk(custCount)} AS cs_ship_customer_sk,
@@ -360,7 +361,7 @@ object TpcdsCorpus {
       "web_sales" ->
         s"""SELECT $soldDateSk AS ws_sold_date_sk, $timeSk AS ws_sold_time_sk,
            |  $soldDateSk + CAST(pmod(l_orderkey * 5 + l_linenumber, 60) + 2 AS INT) AS ws_ship_date_sk,
-           |  ${custSk(custCount)} AS ws_bill_customer_sk,
+           |  pmod(l_orderkey * 23 + 11, $custCount) AS ws_bill_customer_sk,
            |  ${custSk(custCount)} AS ws_bill_addr_sk,
            |  ${shipCustSk(custCount)} AS ws_ship_customer_sk,
            |  ${shipCustSk(custCount)} AS ws_ship_addr_sk,
@@ -568,7 +569,141 @@ object TpcdsCorpus {
        |ORDER BY i_item_id
        |LIMIT 100""".stripMargin
 
+  /** q37 = q82's shape on the catalog channel. */
+  private val q37Oracle: String =
+    s"""WITH t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
+       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
+       |    CAST(p_partkey % 100 AS DOUBLE) + 0.99 AS i_current_price,
+       |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id
+       |  FROM part),
+       |t_inv AS (
+       |  SELECT 2924 + wk.i * 35 AS inv_date_sk, p_partkey AS inv_item_sk,
+       |    CAST((p_partkey * 31 + wh.i * 211 + wk.i * 13) % 1000 AS INTEGER) AS inv_quantity_on_hand
+       |  FROM part, range(0, 5) wh(i), range(0, 40) wk(i)),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) AS d_date,
+       |    CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_cs AS (SELECT l_partkey AS cs_item_sk FROM lineitem)
+       |SELECT i_item_id, i_item_desc, i_current_price
+       |FROM t_item, t_inv, t_dd, t_cs
+       |WHERE i_current_price BETWEEN 68 AND 98
+       |  AND inv_item_sk = i_item_sk AND d_date_sk = inv_date_sk
+       |  AND d_date BETWEEN DATE '2000-02-01' AND DATE '2000-02-01' + 60
+       |  AND i_manufact_id IN (677, 940, 694, 808)
+       |  AND inv_quantity_on_hand BETWEEN 100 AND 500
+       |  AND cs_item_sk = i_item_sk
+       |GROUP BY i_item_id, i_item_desc, i_current_price
+       |ORDER BY i_item_id
+       |LIMIT 100""".stripMargin
+
+  /** q84's slice: a six-way dimension chain with no aggregates. */
+  private val q84Oracle: String =
+    s"""WITH t_customer AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    concat('CUST', lpad(CAST(c_custkey AS VARCHAR), 16, '0')) AS c_customer_id,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name,
+       |    c_custkey AS c_current_addr_sk,
+       |    (c_custkey * 7 + 1) % 7200 AS c_current_cdemo_sk,
+       |    (c_custkey * 11 + 5) % 720 AS c_current_hdemo_sk
+       |  FROM customer),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(cities)}])[CAST((c_custkey // 7) % 10 AS INTEGER) + 1] AS ca_city
+       |  FROM customer),
+       |t_cd AS (SELECT i AS cd_demo_sk FROM range(0, 7200) t(i)),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk, i % 20 + 1 AS hd_income_band_sk
+       |  FROM range(0, 720) t(i)),
+       |t_ib AS (
+       |  SELECT i + 1 AS ib_income_band_sk,
+       |    CAST(i * 10000 AS INTEGER) AS ib_lower_bound,
+       |    CAST(i * 10000 + 9999 AS INTEGER) AS ib_upper_bound
+       |  FROM range(0, 20) t(i)),
+       |t_sr AS (
+       |  SELECT (l_orderkey * 31 + l_partkey) % 7200 AS sr_cdemo_sk
+       |  FROM lineitem WHERE l_returnflag = 'R')
+       |SELECT c_customer_id AS customer_id,
+       |  concat(concat(c_last_name, ', '), c_first_name) AS customername
+       |FROM t_customer, t_ca, t_cd, t_hd, t_ib, t_sr
+       |WHERE ca_city = 'Edgewood' AND c_current_addr_sk = ca_address_sk
+       |  AND ib_lower_bound >= 38128 AND ib_upper_bound <= 88128
+       |  AND ib_income_band_sk = hd_income_band_sk
+       |  AND cd_demo_sk = c_current_cdemo_sk
+       |  AND hd_demo_sk = c_current_hdemo_sk
+       |  AND sr_cdemo_sk = cd_demo_sk
+       |ORDER BY c_customer_id
+       |LIMIT 100""".stripMargin
+
+  /** Shared prefix for q38/q87: the three channels' (customer, date)
+    * slices — web buyers use a different key formula, so the channel
+    * name-date sets genuinely differ (EXCEPT is non-degenerate).
+    */
+  private val q38Prefix: String =
+    s"""t_dd AS (
+       |  SELECT CAST(g AS DATE) AS d_date,
+       |    CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_customer AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name
+       |  FROM customer),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS cust_sk
+       |  FROM lineitem),
+       |t_cs AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |    (l_orderkey * 29 + 17) % (SELECT count(*) FROM customer) AS cust_sk
+       |  FROM lineitem),
+       |t_ws AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |    (l_orderkey * 23 + 11) % (SELECT count(*) FROM customer) AS cust_sk
+       |  FROM lineitem)""".stripMargin
+
+  private def q38Channel(src: String): String =
+    s"""SELECT DISTINCT c_last_name, c_first_name, d_date
+       |FROM $src, t_dd, t_customer
+       |WHERE sold_sk = d_date_sk AND cust_sk = c_customer_sk
+       |  AND d_month_seq BETWEEN 1200 AND 1211""".stripMargin
+
+  private val q38Oracle: String =
+    s"""WITH $q38Prefix
+       |SELECT count(*) AS cnt FROM (
+       |${q38Channel("t_ss")}
+       |INTERSECT
+       |${q38Channel("t_cs")}
+       |INTERSECT
+       |${q38Channel("t_ws")}
+       |) hot_cust
+       |LIMIT 100""".stripMargin
+
+  private val q87Oracle: String =
+    s"""WITH $q38Prefix
+       |SELECT count(*) AS cnt FROM (
+       |(${q38Channel("t_ss")})
+       |EXCEPT
+       |(${q38Channel("t_cs")})
+       |EXCEPT
+       |(${q38Channel("t_ws")})
+       |) cool_cust""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q38", gate("q38", Seq("cnt")), Some(q38Oracle),
+      "verbatim reference file queries/tpcds/q38.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q87", gate("q87", Seq("cnt")), Some(q87Oracle),
+      "verbatim reference file queries/tpcds/q87.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q37", gate("q37",
+      Seq("i_item_id", "i_item_desc", "i_current_price")), Some(q37Oracle),
+      "verbatim reference file queries/tpcds/q37.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q84", gate("q84",
+      Seq("customer_id", "customername")), Some(q84Oracle),
+      "verbatim reference file queries/tpcds/q84.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q82", gate("q82",
       Seq("i_item_id", "i_item_desc", "i_current_price")), Some(q82Oracle),
       "verbatim reference file queries/tpcds/q82.sql via synthesized tables"),
