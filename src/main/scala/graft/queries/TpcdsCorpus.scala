@@ -693,7 +693,64 @@ object TpcdsCorpus {
        |(${q38Channel("t_ws")})
        |) cool_cust""".stripMargin
 
+  /** q73's slice: per-(ticket, customer) counts through dom/county/
+    * buy-potential filters, joined back to customer attributes.
+    */
+  private val q73Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    day(CAST(g AS DATE)) AS d_dom, year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(counties)}])[CAST((s_suppkey // 2) % 10 AS INTEGER) + 1] AS s_county
+       |  FROM supplier),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk,
+       |    ([${lit(buyPotentials)}])[CAST(i % 6 AS INTEGER) + 1] AS hd_buy_potential,
+       |    CAST(i % 10 AS INTEGER) AS hd_dep_count,
+       |    CAST((i // 10) % 6 - 1 AS INTEGER) AS hd_vehicle_count
+       |  FROM range(0, 720) t(i)),
+       |t_customer AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    concat('CUST', lpad(CAST(c_custkey AS VARCHAR), 16, '0')) AS c_customer_id,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name,
+       |    (['Mr.', 'Mrs.', 'Ms.', 'Dr.', 'Miss', 'Sir'])[CAST(c_custkey % 6 AS INTEGER) + 1] AS c_salutation,
+       |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag
+       |  FROM customer),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_orderkey AS ss_ticket_number,
+       |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
+       |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
+       |    l_suppkey AS ss_store_sk
+       |  FROM lineitem)
+       |SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       |  ss_ticket_number, cnt
+       |FROM (
+       |  SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+       |  FROM t_ss, t_dd, t_store, t_hd
+       |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+       |    AND ss_hdemo_sk = hd_demo_sk AND d_dom BETWEEN 1 AND 2
+       |    AND (hd_buy_potential = '>10000' OR hd_buy_potential = 'Unknown')
+       |    AND hd_vehicle_count > 0
+       |    AND (CASE WHEN hd_vehicle_count > 0
+       |         THEN CAST(hd_dep_count AS DECIMAL(7,2)) / hd_vehicle_count
+       |         ELSE NULL END) > 1
+       |    AND d_year IN (1999, 2000, 2001)
+       |    AND s_county IN ('Williamson County', 'Franklin Parish',
+       |      'Bronx County', 'Orange County')
+       |  GROUP BY ss_ticket_number, ss_customer_sk
+       |) dj, t_customer
+       |WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
+       |ORDER BY cnt DESC, c_last_name""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q73", gate("q73", Seq("c_last_name", "c_first_name",
+      "c_salutation", "c_preferred_cust_flag", "ss_ticket_number", "cnt")),
+      Some(q73Oracle),
+      "verbatim reference file queries/tpcds/q73.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q38", gate("q38", Seq("cnt")), Some(q38Oracle),
       "verbatim reference file queries/tpcds/q38.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q87", gate("q87", Seq("cnt")), Some(q87Oracle),
