@@ -746,7 +746,73 @@ object TpcdsCorpus {
        |WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 1 AND 5
        |ORDER BY cnt DESC, c_last_name""".stripMargin
 
+  /** q69's slice: EXISTS store AND NOT EXISTS web/catalog over the
+    * synthesized channels, counting demographic buckets.
+    */
+  private val q69Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year, month(CAST(g AS DATE)) AS d_moy
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_customer AS (
+       |  SELECT c_custkey AS c_customer_sk, c_custkey AS c_current_addr_sk,
+       |    (c_custkey * 7 + 1) % 7200 AS c_current_cdemo_sk
+       |  FROM customer),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
+       |  FROM customer),
+       |t_cd AS (
+       |  SELECT i AS cd_demo_sk,
+       |    CASE WHEN i % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+       |    ([${lit(maritalStatuses)}])[CAST((i // 2) % 5 AS INTEGER) + 1] AS cd_marital_status,
+       |    ([${lit(educations)}])[CAST((i // 10) % 7 AS INTEGER) + 1] AS cd_education_status,
+       |    CAST((i % 20) * 500 + 500 AS INTEGER) AS cd_purchase_estimate,
+       |    ([${lit(creditRatings)}])[CAST((i // 70) % 4 AS INTEGER) + 1] AS cd_credit_rating
+       |  FROM range(0, 7200) t(i)),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS cust_sk
+       |  FROM lineitem),
+       |t_ws AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |    (l_orderkey * 23 + 11) % (SELECT count(*) FROM customer) AS cust_sk
+       |  FROM lineitem),
+       |t_cs AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |    (l_orderkey * 19 + 3) % (SELECT count(*) FROM customer) AS cust_sk
+       |  FROM lineitem)
+       |SELECT cd_gender, cd_marital_status, cd_education_status,
+       |  count(*) AS cnt1, cd_purchase_estimate, count(*) AS cnt2,
+       |  cd_credit_rating, count(*) AS cnt3
+       |FROM t_customer c, t_ca ca, t_cd
+       |WHERE c.c_current_addr_sk = ca.ca_address_sk
+       |  AND ca_state IN ('KY', 'GA', 'NM')
+       |  AND cd_demo_sk = c.c_current_cdemo_sk
+       |  AND EXISTS (
+       |    SELECT 1 FROM t_ss, t_dd
+       |    WHERE c.c_customer_sk = cust_sk AND sold_sk = d_date_sk
+       |      AND d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM t_ws, t_dd
+       |    WHERE c.c_customer_sk = cust_sk AND sold_sk = d_date_sk
+       |      AND d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM t_cs, t_dd
+       |    WHERE c.c_customer_sk = cust_sk AND sold_sk = d_date_sk
+       |      AND d_year = 2001 AND d_moy BETWEEN 4 AND 6)
+       |GROUP BY cd_gender, cd_marital_status, cd_education_status,
+       |  cd_purchase_estimate, cd_credit_rating
+       |ORDER BY cd_gender, cd_marital_status, cd_education_status,
+       |  cd_purchase_estimate, cd_credit_rating
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q69", gate("q69", Seq("cd_gender",
+      "cd_marital_status", "cd_education_status", "cnt1",
+      "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3")),
+      Some(q69Oracle),
+      "verbatim reference file queries/tpcds/q69.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q73", gate("q73", Seq("c_last_name", "c_first_name",
       "c_salutation", "c_preferred_cust_flag", "ss_ticket_number", "cnt")),
       Some(q73Oracle),
