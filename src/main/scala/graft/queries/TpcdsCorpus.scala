@@ -807,7 +807,172 @@ object TpcdsCorpus {
        |  cd_purchase_estimate, cd_credit_rating
        |LIMIT 100""".stripMargin
 
+  /** q62's slice: web shipping-lag count buckets per (warehouse,
+    * ship mode, site) over a 12-month d_month_seq window. Pure
+    * integer day-diff buckets — no float accumulation.
+    */
+  private val q62Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_wh AS (
+       |  SELECT i + 1 AS w_warehouse_sk,
+       |    concat('Warehouse#', CAST(i + 1 AS VARCHAR)) AS w_warehouse_name
+       |  FROM range(0, 10) t(i)),
+       |t_sm AS (
+       |  SELECT i + 1 AS sm_ship_mode_sk,
+       |    ([${lit(shipTypes)}])[CAST(i % 5 AS INTEGER) + 1] AS sm_type
+       |  FROM range(0, 20) t(i)),
+       |t_web AS (
+       |  SELECT i + 1 AS web_site_sk,
+       |    concat('site_', CAST(i % 15 AS VARCHAR)) AS web_name
+       |  FROM range(0, 30) t(i)),
+       |t_ws AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ws_sold_date_sk,
+       |    CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |      + (l_orderkey * 5 + l_linenumber) % 60 + 2 AS ws_ship_date_sk,
+       |    (l_orderkey + l_linenumber) % 10 + 1 AS ws_warehouse_sk,
+       |    (l_orderkey + l_linenumber * 7) % 20 + 1 AS ws_ship_mode_sk,
+       |    (l_orderkey + l_linenumber) % 30 + 1 AS ws_web_site_sk
+       |  FROM lineitem)
+       |SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, web_name,
+       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS d30,
+       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
+       |       AND ws_ship_date_sk - ws_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS d31_60,
+       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
+       |       AND ws_ship_date_sk - ws_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS d61_90,
+       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
+       |       AND ws_ship_date_sk - ws_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS d91_120,
+       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120 THEN 1 ELSE 0 END) AS d120p
+       |FROM t_ws, t_wh, t_sm, t_web, t_dd
+       |WHERE d_month_seq BETWEEN 1200 AND 1211
+       |  AND ws_ship_date_sk = d_date_sk
+       |  AND ws_warehouse_sk = w_warehouse_sk
+       |  AND ws_ship_mode_sk = sm_ship_mode_sk
+       |  AND ws_web_site_sk = web_site_sk
+       |GROUP BY substr(w_warehouse_name, 1, 20), sm_type, web_name
+       |ORDER BY substr(w_warehouse_name, 1, 20) ASC, sm_type ASC, web_name ASC
+       |LIMIT 100""".stripMargin
+
+  /** q99's slice: catalog shipping-lag count buckets per (warehouse,
+    * ship mode, call center), same integer-bucket structure as q62.
+    */
+  private val q99Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_wh AS (
+       |  SELECT i + 1 AS w_warehouse_sk,
+       |    concat('Warehouse#', CAST(i + 1 AS VARCHAR)) AS w_warehouse_name
+       |  FROM range(0, 10) t(i)),
+       |t_sm AS (
+       |  SELECT i + 1 AS sm_ship_mode_sk,
+       |    ([${lit(shipTypes)}])[CAST(i % 5 AS INTEGER) + 1] AS sm_type
+       |  FROM range(0, 20) t(i)),
+       |t_cc AS (
+       |  SELECT i + 1 AS cc_call_center_sk,
+       |    (['NY Metro', 'Mid Atlantic', 'North Midwest', 'California',
+       |      'Pacific Northwest', 'Hawaii/Alaska'])[CAST(i % 6 AS INTEGER) + 1] AS cc_name
+       |  FROM range(0, 6) t(i)),
+       |t_cs AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS cs_sold_date_sk,
+       |    CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |      + (l_orderkey * 3 + l_linenumber) % 60 + 2 AS cs_ship_date_sk,
+       |    (l_orderkey + l_linenumber * 3) % 10 + 1 AS cs_warehouse_sk,
+       |    (l_orderkey + l_linenumber) % 20 + 1 AS cs_ship_mode_sk,
+       |    l_orderkey % 6 + 1 AS cs_call_center_sk
+       |  FROM lineitem)
+       |SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, cc_name,
+       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS d30,
+       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
+       |       AND cs_ship_date_sk - cs_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS d31_60,
+       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
+       |       AND cs_ship_date_sk - cs_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS d61_90,
+       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
+       |       AND cs_ship_date_sk - cs_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS d91_120,
+       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120 THEN 1 ELSE 0 END) AS d120p
+       |FROM t_cs, t_wh, t_sm, t_cc, t_dd
+       |WHERE d_month_seq BETWEEN 1200 AND 1211
+       |  AND cs_ship_date_sk = d_date_sk
+       |  AND cs_warehouse_sk = w_warehouse_sk
+       |  AND cs_ship_mode_sk = sm_ship_mode_sk
+       |  AND cs_call_center_sk = cc_call_center_sk
+       |GROUP BY substr(w_warehouse_name, 1, 20), sm_type, cc_name
+       |ORDER BY substr(w_warehouse_name, 1, 20) ASC, sm_type ASC, cc_name ASC
+       |LIMIT 100""".stripMargin
+
+  /** q50's slice: store sale→return lag count buckets per full store
+    * address, joining store_sales to store_returns on the shared
+    * (ticket, item, customer) key the synthesis guarantees.
+    */
+  private val q50Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year, month(CAST(g AS DATE)) AS d_moy
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name,
+       |    CAST(s_suppkey % 5 + 1 AS INTEGER) AS s_company_id,
+       |    CAST(s_suppkey % 1000 AS VARCHAR) AS s_street_number,
+       |    ([${lit(streetNames)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_street_name,
+       |    ([${lit(streetTypes)}])[CAST((s_suppkey // 5) % 10 AS INTEGER) + 1] AS s_street_type,
+       |    concat('Suite ', CAST(s_suppkey % 100 AS VARCHAR)) AS s_suite_number,
+       |    ([${lit(cities)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_city,
+       |    ([${lit(counties)}])[CAST((s_suppkey // 2) % 10 AS INTEGER) + 1] AS s_county,
+       |    ([${lit(states)}])[CAST((s_suppkey // 3) % 10 AS INTEGER) + 1] AS s_state,
+       |    lpad(CAST((s_suppkey * 2471 + 13) % 100000 AS VARCHAR), 5, '0') AS s_zip
+       |  FROM supplier),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_partkey AS ss_item_sk, l_orderkey AS ss_ticket_number,
+       |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
+       |    l_suppkey AS ss_store_sk
+       |  FROM lineitem),
+       |t_sr AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |      + l_orderkey % 60 + 7 AS sr_returned_date_sk,
+       |    l_partkey AS sr_item_sk, l_orderkey AS sr_ticket_number,
+       |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS sr_customer_sk
+       |  FROM lineitem WHERE l_returnflag = 'R')
+       |SELECT s_store_name, s_company_id, s_street_number, s_street_name,
+       |  s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
+       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS d30,
+       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 30
+       |       AND sr_returned_date_sk - ss_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS d31_60,
+       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 60
+       |       AND sr_returned_date_sk - ss_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS d61_90,
+       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 90
+       |       AND sr_returned_date_sk - ss_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS d91_120,
+       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 120 THEN 1 ELSE 0 END) AS d120p
+       |FROM t_ss, t_sr, t_store, t_dd d1, t_dd d2
+       |WHERE d2.d_year = 2001 AND d2.d_moy = 8
+       |  AND ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
+       |  AND ss_sold_date_sk = d1.d_date_sk
+       |  AND sr_returned_date_sk = d2.d_date_sk
+       |  AND ss_customer_sk = sr_customer_sk
+       |  AND ss_store_sk = s_store_sk
+       |GROUP BY s_store_name, s_company_id, s_street_number, s_street_name,
+       |  s_street_type, s_suite_number, s_city, s_county, s_state, s_zip
+       |ORDER BY s_store_name ASC, s_company_id ASC, s_street_number ASC,
+       |  s_street_name ASC, s_street_type ASC, s_suite_number ASC, s_city ASC,
+       |  s_county ASC, s_state ASC, s_zip ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q62", gate("q62", Seq("wh", "sm_type", "web_name",
+      "d30", "d31_60", "d61_90", "d91_120", "d120p")), Some(q62Oracle),
+      "verbatim reference file queries/tpcds/q62.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q99", gate("q99", Seq("wh", "sm_type", "cc_name",
+      "d30", "d31_60", "d61_90", "d91_120", "d120p")), Some(q99Oracle),
+      "verbatim reference file queries/tpcds/q99.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q50", gate("q50", Seq("s_store_name", "s_company_id",
+      "s_street_number", "s_street_name", "s_street_type", "s_suite_number",
+      "s_city", "s_county", "s_state", "s_zip",
+      "d30", "d31_60", "d61_90", "d91_120", "d120p")), Some(q50Oracle),
+      "verbatim reference file queries/tpcds/q50.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q69", gate("q69", Seq("cd_gender",
       "cd_marital_status", "cd_education_status", "cnt1",
       "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3")),
