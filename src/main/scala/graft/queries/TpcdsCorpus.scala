@@ -961,7 +961,113 @@ object TpcdsCorpus {
        |  s_county ASC, s_state ASC, s_zip ASC
        |LIMIT 100""".stripMargin
 
+  /** q21's slice: inventory quantity split before/after a pivot date
+    * per (warehouse, item). Integer sums; the DECIMAL(7,2) ratio
+    * band filter is mirrored with exact integer cross-products
+    * (`3*after >= 2*before AND 2*after <= 3*before`), which matches
+    * Spark's scale-23 HALF_UP division at every reachable boundary
+    * (a sum ratio within 5e-24 of 2/3 other than 2/3 itself would
+    * need a ~1e23 denominator).
+    */
+  private val q21Oracle: String =
+    s"""WITH t_inv AS (
+       |  SELECT 2924 + wk * 35 AS inv_date_sk, p_partkey AS inv_item_sk,
+       |    wh + 1 AS inv_warehouse_sk,
+       |    CAST((p_partkey * 31 + wh * 211 + wk * 13) % 1000 AS INTEGER) AS inv_quantity_on_hand
+       |  FROM part, range(0, 5) t_w(wh), range(0, 40) t_k(wk)),
+       |t_wh AS (
+       |  SELECT i + 1 AS w_warehouse_sk,
+       |    concat('Warehouse#', CAST(i + 1 AS VARCHAR)) AS w_warehouse_name
+       |  FROM range(0, 10) t(i)),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
+       |    CAST(p_partkey % 100 AS DOUBLE) + 0.99 AS i_current_price
+       |  FROM part),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    CAST(g AS DATE) AS d_date
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g))
+       |SELECT w_warehouse_name, i_item_id, inv_before, inv_after
+       |FROM (
+       |  SELECT w_warehouse_name, i_item_id,
+       |    sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
+       |    sum(CASE WHEN d_date >= DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+       |  FROM t_inv, t_wh, t_item, t_dd
+       |  WHERE i_current_price BETWEEN 0.99 AND 1.49
+       |    AND i_item_sk = inv_item_sk
+       |    AND inv_warehouse_sk = w_warehouse_sk
+       |    AND inv_date_sk = d_date_sk
+       |    AND d_date BETWEEN DATE '2000-03-11' - INTERVAL 30 DAY
+       |                   AND DATE '2000-03-11' + INTERVAL 30 DAY
+       |  GROUP BY w_warehouse_name, i_item_id
+       |) x
+       |WHERE inv_before > 0
+       |  AND 3 * inv_after >= 2 * inv_before
+       |  AND 2 * inv_after <= 3 * inv_before
+       |ORDER BY w_warehouse_name ASC, i_item_id ASC
+       |LIMIT 100""".stripMargin
+
+  /** q72's slice: catalog sales short on same-week inventory, promo
+    * vs no-promo counts. The LEFT JOINs are count-preserving except
+    * catalog_returns (same (item, order) fan-out), mirrored exactly.
+    */
+  private val q72Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_cs AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS cs_sold_date_sk,
+       |    CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |      + (l_orderkey * 3 + l_linenumber) % 60 + 2 AS cs_ship_date_sk,
+       |    l_partkey AS cs_item_sk, l_orderkey AS cs_order_number,
+       |    (l_orderkey * 31 + l_partkey) % 7200 AS cs_bill_cdemo_sk,
+       |    (l_orderkey * 17 + l_linenumber) % 720 AS cs_bill_hdemo_sk,
+       |    CASE WHEN (l_orderkey + l_partkey) % 11 = 0 THEN NULL
+       |         ELSE (l_orderkey + l_partkey) % 300 + 1 END AS cs_promo_sk,
+       |    CAST(l_quantity AS INTEGER) AS cs_quantity
+       |  FROM lineitem),
+       |t_cr AS (
+       |  SELECT l_partkey AS cr_item_sk, l_orderkey AS cr_order_number
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |t_inv AS (
+       |  SELECT 2924 + wk * 35 AS inv_date_sk, p_partkey AS inv_item_sk,
+       |    wh + 1 AS inv_warehouse_sk,
+       |    (p_partkey * 31 + wh * 211 + wk * 13) % 1000 AS inv_quantity_on_hand
+       |  FROM part, range(0, 5) t_w(wh), range(0, 40) t_k(wk)),
+       |t_wh AS (
+       |  SELECT i + 1 AS w_warehouse_sk,
+       |    concat('Warehouse#', CAST(i + 1 AS VARCHAR)) AS w_warehouse_name
+       |  FROM range(0, 10) t(i)),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc
+       |  FROM part)
+       |SELECT i_item_desc, w_warehouse_name, cs_sold_date_sk // 7 AS d_week_seq,
+       |  sum(CASE WHEN cs_promo_sk IS NULL THEN 1 ELSE 0 END) AS no_promo,
+       |  sum(CASE WHEN cs_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS promo,
+       |  count(*) AS total_cnt
+       |FROM t_cs
+       |JOIN t_inv ON cs_item_sk = inv_item_sk
+       |  AND cs_sold_date_sk // 7 = inv_date_sk // 7
+       |JOIN t_wh ON w_warehouse_sk = inv_warehouse_sk
+       |JOIN t_item ON i_item_sk = cs_item_sk
+       |LEFT JOIN t_cr ON cr_item_sk = cs_item_sk AND cr_order_number = cs_order_number
+       |WHERE inv_quantity_on_hand < cs_quantity
+       |  AND cs_ship_date_sk > cs_sold_date_sk + 5
+       |  AND cs_bill_hdemo_sk % 6 = 0
+       |  AND (cs_bill_cdemo_sk // 2) % 5 = 2
+       |  AND year(DATE '1989-12-31' + INTERVAL (cs_sold_date_sk) DAY) = 1999
+       |GROUP BY i_item_desc, w_warehouse_name, cs_sold_date_sk // 7
+       |ORDER BY total_cnt DESC, i_item_desc ASC, w_warehouse_name ASC, d_week_seq ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q72", gate("q72", Seq("i_item_desc",
+      "w_warehouse_name", "d_week_seq", "no_promo", "promo", "total_cnt")),
+      Some(q72Oracle),
+      "verbatim reference file queries/tpcds/q72.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q21", gate("q21", Seq("w_warehouse_name",
+      "i_item_id", "inv_before", "inv_after")), Some(q21Oracle),
+      "verbatim reference file queries/tpcds/q21.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q62", gate("q62", Seq("wh", "sm_type", "web_name",
       "d30", "d31_60", "d61_90", "d91_120", "d120p")), Some(q62Oracle),
       "verbatim reference file queries/tpcds/q62.sql via synthesized tables"),
