@@ -108,6 +108,15 @@ object TpcdsCorpus {
   /** Shared fact derivations from a lineitem row (facts must agree on
     * key formulas so cross-fact joins hold).
     */
+  // Whole-row money amounts are exact decimal products (DECIMAL(12,2)
+  // base × decimal literals/columns, no division), so verbatim corpus
+  // sum()s over them are bit-identical cross-engine — the same
+  // pattern [[Corpus]] uses for the TPC-H money columns. Per-unit
+  // prices (÷ quantity) stay double: division is not exact.
+  private val dPrice = "CAST(l_extendedprice AS DECIMAL(12,2))"
+  private val dDisc = "CAST(l_discount AS DECIMAL(12,2))"
+  private val dTax = "CAST(l_tax AS DECIMAL(12,2))"
+
   private val soldDateSk = "datediff(CAST(l_shipdate AS DATE), DATE '1989-12-31')"
   private def custSk(c: Long) = s"pmod(l_orderkey * 13 + 7, $c)"
   private def shipCustSk(c: Long) = s"pmod(l_orderkey * 19 + 3, $c)"
@@ -290,20 +299,20 @@ object TpcdsCorpus {
         s"""SELECT $soldDateSk AS ss_sold_date_sk, $timeSk AS ss_sold_time_sk,
            |  l_partkey AS ss_item_sk, ${custSk(custCount)} AS ss_customer_sk,
            |  $cdemoSk AS ss_cdemo_sk, $hdemoSk AS ss_hdemo_sk,
-           |  ${custSk(custCount)} AS ss_addr_sk, l_suppkey AS ss_store_sk,
+           |  pmod(l_orderkey * 37 + 23, $custCount) AS ss_addr_sk, l_suppkey AS ss_store_sk,
            |  $promoSk AS ss_promo_sk, l_orderkey AS ss_ticket_number,
            |  CAST(l_quantity AS INT) AS ss_quantity,
            |  l_extendedprice / l_quantity * 0.8 AS ss_wholesale_cost,
            |  l_extendedprice / l_quantity * 1.2 AS ss_list_price,
            |  l_extendedprice / l_quantity * (1 - l_discount) AS ss_sales_price,
-           |  l_extendedprice * l_discount AS ss_ext_discount_amt,
-           |  l_extendedprice * (1 - l_discount) AS ss_ext_sales_price,
-           |  l_extendedprice * 0.8 AS ss_ext_wholesale_cost,
-           |  l_extendedprice * 1.2 AS ss_ext_list_price,
-           |  l_extendedprice * l_tax AS ss_ext_tax,
-           |  l_extendedprice * l_discount * 0.5 AS ss_coupon_amt,
-           |  l_extendedprice * (1 - l_discount) AS ss_net_paid,
-           |  l_extendedprice * (0.2 - l_discount) AS ss_net_profit
+           |  $dPrice * $dDisc AS ss_ext_discount_amt,
+           |  $dPrice * (1 - $dDisc) AS ss_ext_sales_price,
+           |  $dPrice * 0.8 AS ss_ext_wholesale_cost,
+           |  $dPrice * 1.2 AS ss_ext_list_price,
+           |  $dPrice * $dTax AS ss_ext_tax,
+           |  $dPrice * $dDisc * 0.5 AS ss_coupon_amt,
+           |  $dPrice * (1 - $dDisc) AS ss_net_paid,
+           |  $dPrice * (0.2 - $dDisc) AS ss_net_profit
            |FROM ${pq("lineitem")}""".stripMargin,
       "store_returns" ->
         s"""SELECT $soldDateSk + CAST(pmod(l_orderkey, 60) + 7 AS INT) AS sr_returned_date_sk,
@@ -312,8 +321,8 @@ object TpcdsCorpus {
            |  pmod(l_orderkey + l_partkey, 35) + 1 AS sr_reason_sk,
            |  l_orderkey AS sr_ticket_number,
            |  CAST(l_quantity / 2 AS INT) + 1 AS sr_return_quantity,
-           |  l_extendedprice * (1 - l_discount) * 0.5 AS sr_return_amt,
-           |  l_extendedprice * 0.1 + 5.0 AS sr_net_loss
+           |  $dPrice * (1 - $dDisc) * 0.5 AS sr_return_amt,
+           |  $dPrice * 0.1 + 5.0 AS sr_net_loss
            |FROM ${pq("lineitem")} WHERE l_returnflag = 'R'""".stripMargin,
       "catalog_sales" ->
         s"""SELECT $soldDateSk AS cs_sold_date_sk, $timeSk AS cs_sold_time_sk,
@@ -333,15 +342,15 @@ object TpcdsCorpus {
            |  l_extendedprice / l_quantity * 0.8 AS cs_wholesale_cost,
            |  l_extendedprice / l_quantity * 1.2 AS cs_list_price,
            |  l_extendedprice / l_quantity * (1 - l_discount) AS cs_sales_price,
-           |  l_extendedprice * l_discount AS cs_ext_discount_amt,
-           |  l_extendedprice * (1 - l_discount) AS cs_ext_sales_price,
-           |  l_extendedprice * 0.8 AS cs_ext_wholesale_cost,
-           |  l_extendedprice * 1.2 AS cs_ext_list_price,
-           |  l_extendedprice * 0.05 AS cs_ext_ship_cost,
-           |  l_extendedprice * l_discount * 0.5 AS cs_coupon_amt,
-           |  l_extendedprice * (1 - l_discount) AS cs_net_paid,
-           |  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS cs_net_paid_inc_tax,
-           |  l_extendedprice * (0.2 - l_discount) AS cs_net_profit
+           |  $dPrice * $dDisc AS cs_ext_discount_amt,
+           |  $dPrice * (1 - $dDisc) AS cs_ext_sales_price,
+           |  $dPrice * 0.8 AS cs_ext_wholesale_cost,
+           |  $dPrice * 1.2 AS cs_ext_list_price,
+           |  $dPrice * 0.05 AS cs_ext_ship_cost,
+           |  $dPrice * $dDisc * 0.5 AS cs_coupon_amt,
+           |  $dPrice * (1 - $dDisc) AS cs_net_paid,
+           |  $dPrice * (1 - $dDisc) * (1 + $dTax) AS cs_net_paid_inc_tax,
+           |  $dPrice * (0.2 - $dDisc) AS cs_net_profit
            |FROM ${pq("lineitem")}""".stripMargin,
       "catalog_returns" ->
         s"""SELECT $soldDateSk + CAST(pmod(l_orderkey, 60) + 9 AS INT) AS cr_returned_date_sk,
@@ -351,12 +360,12 @@ object TpcdsCorpus {
            |  pmod(l_orderkey, 6) + 1 AS cr_call_center_sk,
            |  pmod(l_orderkey + l_partkey, 200) + 1 AS cr_catalog_page_sk,
            |  CAST(l_quantity / 2 AS INT) + 1 AS cr_return_quantity,
-           |  l_extendedprice * (1 - l_discount) * 0.5 AS cr_return_amount,
-           |  l_extendedprice * (1 - l_discount) * 0.5 * (1 + l_tax) AS cr_return_amt_inc_tax,
-           |  l_extendedprice * (1 - l_discount) * 0.3 AS cr_refunded_cash,
-           |  l_extendedprice * (1 - l_discount) * 0.1 AS cr_reversed_charge,
-           |  l_extendedprice * (1 - l_discount) * 0.1 AS cr_store_credit,
-           |  l_extendedprice * 0.1 + 5.0 AS cr_net_loss
+           |  $dPrice * (1 - $dDisc) * 0.5 AS cr_return_amount,
+           |  $dPrice * (1 - $dDisc) * 0.5 * (1 + $dTax) AS cr_return_amt_inc_tax,
+           |  $dPrice * (1 - $dDisc) * 0.3 AS cr_refunded_cash,
+           |  $dPrice * (1 - $dDisc) * 0.1 AS cr_reversed_charge,
+           |  $dPrice * (1 - $dDisc) * 0.1 AS cr_store_credit,
+           |  $dPrice * 0.1 + 5.0 AS cr_net_loss
            |FROM ${pq("lineitem")} WHERE l_returnflag = 'R'""".stripMargin,
       "web_sales" ->
         s"""SELECT $soldDateSk AS ws_sold_date_sk, $timeSk AS ws_sold_time_sk,
@@ -376,13 +385,13 @@ object TpcdsCorpus {
            |  l_extendedprice / l_quantity * 0.8 AS ws_wholesale_cost,
            |  l_extendedprice / l_quantity * 1.2 AS ws_list_price,
            |  l_extendedprice / l_quantity * (1 - l_discount) AS ws_sales_price,
-           |  l_extendedprice * l_discount AS ws_ext_discount_amt,
-           |  l_extendedprice * (1 - l_discount) AS ws_ext_sales_price,
-           |  l_extendedprice * 0.8 AS ws_ext_wholesale_cost,
-           |  l_extendedprice * 1.2 AS ws_ext_list_price,
-           |  l_extendedprice * 0.05 AS ws_ext_ship_cost,
-           |  l_extendedprice * (1 - l_discount) AS ws_net_paid,
-           |  l_extendedprice * (0.2 - l_discount) AS ws_net_profit
+           |  $dPrice * $dDisc AS ws_ext_discount_amt,
+           |  $dPrice * (1 - $dDisc) AS ws_ext_sales_price,
+           |  $dPrice * 0.8 AS ws_ext_wholesale_cost,
+           |  $dPrice * 1.2 AS ws_ext_list_price,
+           |  $dPrice * 0.05 AS ws_ext_ship_cost,
+           |  $dPrice * (1 - $dDisc) AS ws_net_paid,
+           |  $dPrice * (0.2 - $dDisc) AS ws_net_profit
            |FROM ${pq("lineitem")}""".stripMargin,
       "web_returns" ->
         s"""SELECT $soldDateSk + CAST(pmod(l_orderkey, 60) + 11 AS INT) AS wr_returned_date_sk,
@@ -395,10 +404,10 @@ object TpcdsCorpus {
            |  pmod(l_orderkey + l_partkey, 35) + 1 AS wr_reason_sk,
            |  pmod(l_orderkey * 3 + l_linenumber, 60) + 1 AS wr_web_page_sk,
            |  CAST(l_quantity / 2 AS INT) + 1 AS wr_return_quantity,
-           |  l_extendedprice * (1 - l_discount) * 0.5 AS wr_return_amt,
-           |  l_extendedprice * (1 - l_discount) * 0.3 AS wr_refunded_cash,
-           |  l_extendedprice * 0.02 AS wr_fee,
-           |  l_extendedprice * 0.1 + 5.0 AS wr_net_loss
+           |  $dPrice * (1 - $dDisc) * 0.5 AS wr_return_amt,
+           |  $dPrice * (1 - $dDisc) * 0.3 AS wr_refunded_cash,
+           |  $dPrice * 0.02 AS wr_fee,
+           |  $dPrice * 0.1 + 5.0 AS wr_net_loss
            |FROM ${pq("lineitem")} WHERE l_returnflag = 'R'""".stripMargin)
   }
 
@@ -1060,7 +1069,297 @@ object TpcdsCorpus {
        |ORDER BY total_cnt DESC, i_item_desc ASC, w_warehouse_name ASC, d_week_seq ASC
        |LIMIT 100""".stripMargin
 
+  /** Shared DuckDB mirror CTEs for the (date_dim × store_sales ×
+    * item) brand/category monthly-revenue family (q3/q42/q52/q55).
+    * `ss_ext_sales_price` is the exact decimal product the Spark view
+    * defines, so sums are bit-identical cross-engine.
+    */
+  private val brandFamilyPrefix: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year, month(CAST(g AS DATE)) AS d_moy
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk, p_brand AS i_brand,
+       |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_brand_id,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    CAST(p_partkey % 10 + 1 AS INTEGER) AS i_category_id,
+       |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id,
+       |    CAST(p_partkey % 100 + 1 AS INTEGER) AS i_manager_id
+       |  FROM part),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_partkey AS ss_item_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ss_ext_sales_price
+       |  FROM lineitem)""".stripMargin
+
+  private val q03Oracle: String =
+    s"""$brandFamilyPrefix
+       |SELECT d_year, i_brand_id AS brand_id, i_brand AS brand,
+       |  CAST(sum(ss_ext_sales_price) AS DOUBLE) AS sum_agg
+       |FROM t_dd, t_ss, t_item
+       |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+       |  AND i_manufact_id = 128 AND d_moy = 11
+       |GROUP BY d_year, i_brand, i_brand_id
+       |ORDER BY d_year ASC, sum_agg DESC, brand_id ASC
+       |LIMIT 100""".stripMargin
+
+  private val q42Oracle: String =
+    s"""$brandFamilyPrefix
+       |SELECT d_year, i_category_id, i_category,
+       |  CAST(sum(ss_ext_sales_price) AS DOUBLE) AS sum_price
+       |FROM t_dd, t_ss, t_item
+       |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+       |  AND i_manager_id = 1 AND d_moy = 11 AND d_year = 2000
+       |GROUP BY d_year, i_category_id, i_category
+       |ORDER BY sum_price DESC, d_year ASC, i_category_id ASC, i_category ASC
+       |LIMIT 100""".stripMargin
+
+  private val q52Oracle: String =
+    s"""$brandFamilyPrefix
+       |SELECT d_year, i_brand_id AS brand_id, i_brand AS brand,
+       |  CAST(sum(ss_ext_sales_price) AS DOUBLE) AS ext_price
+       |FROM t_dd, t_ss, t_item
+       |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+       |  AND i_manager_id = 1 AND d_moy = 11 AND d_year = 2000
+       |GROUP BY d_year, i_brand, i_brand_id
+       |ORDER BY d_year ASC, ext_price DESC, brand_id ASC
+       |LIMIT 100""".stripMargin
+
+  private val q55Oracle: String =
+    s"""$brandFamilyPrefix
+       |SELECT i_brand_id AS brand_id, i_brand AS brand,
+       |  CAST(sum(ss_ext_sales_price) AS DOUBLE) AS ext_price
+       |FROM t_dd, t_ss, t_item
+       |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+       |  AND i_manager_id = 28 AND d_moy = 11 AND d_year = 1999
+       |GROUP BY i_brand, i_brand_id
+       |ORDER BY ext_price DESC, i_brand_id ASC
+       |LIMIT 100""".stripMargin
+
+  /** q19's slice: brand revenue where customer and store zip prefixes
+    * differ (the cross-shopping filter), November 1998.
+    */
+  private val q19Oracle: String =
+    s"""$brandFamilyPrefix,
+       |t_ss2 AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_partkey AS ss_item_sk, l_suppkey AS ss_store_sk,
+       |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ss_ext_sales_price
+       |  FROM lineitem),
+       |t_cust AS (
+       |  SELECT c_custkey AS c_customer_sk, c_custkey AS c_current_addr_sk
+       |  FROM customer),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    lpad(CAST((c_custkey * 6151 + 7) % 100000 AS VARCHAR), 5, '0') AS ca_zip
+       |  FROM customer),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    lpad(CAST((s_suppkey * 2471 + 13) % 100000 AS VARCHAR), 5, '0') AS s_zip
+       |  FROM supplier)
+       |SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id,
+       |  concat('Manufact#', CAST(i_manufact_id AS VARCHAR)) AS i_manufact,
+       |  CAST(sum(ss_ext_sales_price) AS DOUBLE) AS ext_price
+       |FROM t_dd, t_ss2, t_item, t_cust, t_ca, t_store
+       |WHERE d_date_sk = ss_sold_date_sk AND ss_item_sk = i_item_sk
+       |  AND i_manager_id = 8 AND d_moy = 11 AND d_year = 1998
+       |  AND ss_customer_sk = c_customer_sk
+       |  AND c_current_addr_sk = ca_address_sk
+       |  AND substr(ca_zip, 1, 5) <> substr(s_zip, 1, 5)
+       |  AND ss_store_sk = s_store_sk
+       |GROUP BY i_brand, i_brand_id, i_manufact_id
+       |ORDER BY ext_price DESC, i_brand ASC, i_brand_id ASC, i_manufact_id ASC
+       |LIMIT 100""".stripMargin
+
+  /** q79's slice: per-ticket Monday coupon/profit for large stores,
+    * exact decimal sums.
+    */
+  private val q79Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (CAST(g AS DATE) - DATE '1989-12-31') % 7 AS d_dow,
+       |    year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_orderkey AS ss_ticket_number, l_suppkey AS ss_store_sk,
+       |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
+       |    (l_orderkey * 37 + 23) % (SELECT count(*) FROM customer) AS ss_addr_sk,
+       |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(l_discount AS DECIMAL(12,2)) * 0.5 AS ss_coupon_amt,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS ss_net_profit
+       |  FROM lineitem),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    CAST(200 + s_suppkey % 100 AS INTEGER) AS s_number_employees,
+       |    ([${lit(cities)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_city
+       |  FROM supplier),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk, CAST(i % 10 AS INTEGER) AS hd_dep_count,
+       |    CAST((i // 10) % 6 - 1 AS INTEGER) AS hd_vehicle_count
+       |  FROM range(0, 720) t(i)),
+       |t_cust AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name
+       |  FROM customer)
+       |SELECT c_last_name, c_first_name, substr(s_city, 1, 30) AS city,
+       |  ss_ticket_number, CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit
+       |FROM (
+       |  SELECT ss_ticket_number, ss_customer_sk, s_city,
+       |    sum(ss_coupon_amt) AS amt, sum(ss_net_profit) AS profit
+       |  FROM t_ss, t_dd, t_store, t_hd
+       |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+       |    AND ss_hdemo_sk = hd_demo_sk
+       |    AND (hd_dep_count = 6 OR hd_vehicle_count > 2)
+       |    AND d_dow = 1 AND d_year IN (1999, 2000, 2001)
+       |    AND s_number_employees BETWEEN 200 AND 295
+       |  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, s_city
+       |) ms, t_cust
+       |WHERE ss_customer_sk = c_customer_sk
+       |ORDER BY c_last_name ASC, c_first_name ASC, substr(s_city, 1, 30) ASC, profit ASC
+       |LIMIT 100""".stripMargin
+
+  /** q68's slice: first-days-of-month tickets in Midway/Fairview
+    * where the buyer's current city differs from the bought city.
+    */
+  private val q68Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    day(CAST(g AS DATE)) AS d_dom, year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_orderkey AS ss_ticket_number, l_suppkey AS ss_store_sk,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS ss_customer_sk,
+       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
+       |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ss_ext_sales_price,
+       |    CAST(l_extendedprice AS DECIMAL(12,2)) * 1.2 AS ss_ext_list_price,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(l_tax AS DECIMAL(12,2)) AS ss_ext_tax
+       |  FROM lineitem),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(cities)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_city
+       |  FROM supplier),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk, CAST(i % 10 AS INTEGER) AS hd_dep_count,
+       |    CAST((i // 10) % 6 - 1 AS INTEGER) AS hd_vehicle_count
+       |  FROM range(0, 720) t(i)),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(cities)}])[CAST((c_custkey // 7) % 10 AS INTEGER) + 1] AS ca_city
+       |  FROM customer),
+       |t_cust AS (
+       |  SELECT c_custkey AS c_customer_sk, c_custkey AS c_current_addr_sk,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name
+       |  FROM customer)
+       |SELECT c_last_name, c_first_name, cur.ca_city, bought_city,
+       |  ss_ticket_number, CAST(extended_price AS DOUBLE) AS extended_price,
+       |  CAST(extended_tax AS DOUBLE) AS extended_tax,
+       |  CAST(list_price AS DOUBLE) AS list_price
+       |FROM (
+       |  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+       |    sum(ss_ext_sales_price) AS extended_price,
+       |    sum(ss_ext_list_price) AS list_price,
+       |    sum(ss_ext_tax) AS extended_tax
+       |  FROM t_ss, t_dd, t_store, t_hd, t_ca
+       |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+       |    AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+       |    AND d_dom BETWEEN 1 AND 2
+       |    AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+       |    AND d_year IN (1999, 2000, 2001)
+       |    AND s_city IN ('Midway', 'Fairview')
+       |  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city
+       |) dn, t_cust, t_ca cur
+       |WHERE ss_customer_sk = c_customer_sk
+       |  AND c_current_addr_sk = cur.ca_address_sk
+       |  AND cur.ca_city <> bought_city
+       |ORDER BY c_last_name ASC, ss_ticket_number ASC
+       |LIMIT 100""".stripMargin
+
+  /** q70's slice: state/county profit rollup with per-level ranks;
+    * the state semi-join keeps every state (rank over a one-row
+    * partition is always 1 — the spec's well-known quirk, mirrored
+    * verbatim).
+    */
+  private val q70Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_suppkey AS ss_store_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS ss_net_profit
+       |  FROM lineitem),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(counties)}])[CAST((s_suppkey // 2) % 10 AS INTEGER) + 1] AS s_county,
+       |    ([${lit(states)}])[CAST((s_suppkey // 3) % 10 AS INTEGER) + 1] AS s_state
+       |  FROM supplier)
+       |SELECT CAST(sum(ss_net_profit) AS DOUBLE) AS total_sum, s_state, s_county,
+       |  GROUPING(s_state) + GROUPING(s_county) AS lochierarchy,
+       |  rank() OVER (PARTITION BY GROUPING(s_state) + GROUPING(s_county),
+       |    CASE WHEN GROUPING(s_county) = 0 THEN s_state END
+       |    ORDER BY sum(ss_net_profit) DESC) AS rank_within_parent
+       |FROM t_ss, t_dd d1, t_store
+       |WHERE d1.d_month_seq BETWEEN 1200 AND 1211
+       |  AND d1.d_date_sk = ss_sold_date_sk
+       |  AND s_store_sk = ss_store_sk
+       |  AND s_state IN (
+       |    SELECT s_state FROM (
+       |      SELECT s_state,
+       |        rank() OVER (PARTITION BY s_state ORDER BY sum(ss_net_profit) DESC) AS ranking
+       |      FROM t_ss, t_store, t_dd
+       |      WHERE d_month_seq BETWEEN 1200 AND 1211
+       |        AND d_date_sk = ss_sold_date_sk
+       |        AND s_store_sk = ss_store_sk
+       |      GROUP BY s_state
+       |    ) tmp1 WHERE ranking <= 5)
+       |GROUP BY ROLLUP (s_state, s_county)
+       |ORDER BY lochierarchy DESC,
+       |  CASE WHEN lochierarchy = 0 THEN s_state END ASC,
+       |  rank_within_parent ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q68", gate("q68", Seq("c_last_name", "c_first_name",
+      "ca_city", "bought_city", "ss_ticket_number", "extended_price",
+      "extended_tax", "list_price")), Some(q68Oracle),
+      "verbatim reference file queries/tpcds/q68.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q70", gate("q70", Seq("total_sum", "s_state",
+      "s_county", "lochierarchy", "rank_within_parent")), Some(q70Oracle),
+      "verbatim reference file queries/tpcds/q70.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q19", gate("q19", Seq("brand_id", "brand",
+      "i_manufact_id", "i_manufact", "ext_price")), Some(q19Oracle),
+      "verbatim reference file queries/tpcds/q19.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q79", gate("q79", Seq("c_last_name", "c_first_name",
+      "city", "ss_ticket_number", "amt", "profit")), Some(q79Oracle),
+      "verbatim reference file queries/tpcds/q79.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q03", gate("q03",
+      Seq("d_year", "brand_id", "brand", "sum_agg")), Some(q03Oracle),
+      "verbatim reference file queries/tpcds/q03.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q42", gate("q42",
+      Seq("d_year", "i_category_id", "i_category", "sum_price")), Some(q42Oracle),
+      "verbatim reference file queries/tpcds/q42.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q52", gate("q52",
+      Seq("d_year", "brand_id", "brand", "ext_price")), Some(q52Oracle),
+      "verbatim reference file queries/tpcds/q52.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q55", gate("q55",
+      Seq("brand_id", "brand", "ext_price")), Some(q55Oracle),
+      "verbatim reference file queries/tpcds/q55.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q72", gate("q72", Seq("i_item_desc",
       "w_warehouse_name", "d_week_seq", "no_promo", "promo", "total_cnt")),
       Some(q72Oracle),
