@@ -1334,7 +1334,329 @@ object TpcdsCorpus {
        |  rank_within_parent ASC
        |LIMIT 100""".stripMargin
 
+  /** q46's slice: weekend tickets in Fairview/Midway where the buyer
+    * now lives in a different city (q68's weekend sibling).
+    */
+  private val q46Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (CAST(g AS DATE) - DATE '1989-12-31') % 7 AS d_dow,
+       |    year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_orderkey AS ss_ticket_number, l_suppkey AS ss_store_sk,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS ss_customer_sk,
+       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
+       |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(l_discount AS DECIMAL(12,2)) * 0.5 AS ss_coupon_amt,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS ss_net_profit
+       |  FROM lineitem),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(cities)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_city
+       |  FROM supplier),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk, CAST(i % 10 AS INTEGER) AS hd_dep_count,
+       |    CAST((i // 10) % 6 - 1 AS INTEGER) AS hd_vehicle_count
+       |  FROM range(0, 720) t(i)),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(cities)}])[CAST((c_custkey // 7) % 10 AS INTEGER) + 1] AS ca_city
+       |  FROM customer),
+       |t_cust AS (
+       |  SELECT c_custkey AS c_customer_sk, c_custkey AS c_current_addr_sk,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name
+       |  FROM customer)
+       |SELECT c_last_name, c_first_name, cur.ca_city, bought_city,
+       |  ss_ticket_number, CAST(amt AS DOUBLE) AS amt, CAST(profit AS DOUBLE) AS profit
+       |FROM (
+       |  SELECT ss_ticket_number, ss_customer_sk, ca_city AS bought_city,
+       |    sum(ss_coupon_amt) AS amt, sum(ss_net_profit) AS profit
+       |  FROM t_ss, t_dd, t_store, t_hd, t_ca
+       |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+       |    AND ss_hdemo_sk = hd_demo_sk AND ss_addr_sk = ca_address_sk
+       |    AND (hd_dep_count = 4 OR hd_vehicle_count = 3)
+       |    AND d_dow IN (6, 0) AND d_year IN (1999, 2000, 2001)
+       |    AND s_city IN ('Fairview', 'Midway')
+       |  GROUP BY ss_ticket_number, ss_customer_sk, ss_addr_sk, ca_city
+       |) dn, t_cust, t_ca cur
+       |WHERE ss_customer_sk = c_customer_sk
+       |  AND c_current_addr_sk = cur.ca_address_sk
+       |  AND cur.ca_city <> bought_city
+       |ORDER BY c_last_name ASC, c_first_name ASC, cur.ca_city ASC,
+       |  bought_city ASC, ss_ticket_number ASC
+       |LIMIT 100""".stripMargin
+
+  /** q48's slice: quantity sold under OR-of-band demographic/address/
+    * price predicates (the per-unit price bands compare doubles,
+    * which are IEEE-identical cross-engine; only SUMS of doubles
+    * would diverge).
+    */
+  private val q48Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_suppkey AS ss_store_sk, CAST(l_quantity AS INTEGER) AS ss_quantity,
+       |    (l_orderkey * 31 + l_partkey) % 7200 AS ss_cdemo_sk,
+       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
+       |    l_extendedprice / l_quantity * (1 - l_discount) AS ss_sales_price,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS ss_net_profit
+       |  FROM lineitem),
+       |t_cd AS (
+       |  SELECT i AS cd_demo_sk,
+       |    ([${lit(maritalStatuses)}])[CAST((i // 2) % 5 AS INTEGER) + 1] AS cd_marital_status,
+       |    ([${lit(educations)}])[CAST((i // 10) % 7 AS INTEGER) + 1] AS cd_education_status
+       |  FROM range(0, 7200) t(i)),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk, 'United States' AS ca_country,
+       |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
+       |  FROM customer)
+       |SELECT sum(ss_quantity) AS sum_qty
+       |FROM t_ss, t_dd, t_cd, t_ca
+       |WHERE ss_sold_date_sk = d_date_sk AND d_year = 2000
+       |  AND ((cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'M'
+       |        AND cd_education_status = '4 yr Degree'
+       |        AND ss_sales_price BETWEEN 100.00 AND 150.00)
+       |    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'D'
+       |        AND cd_education_status = '2 yr Degree'
+       |        AND ss_sales_price BETWEEN 50.00 AND 100.00)
+       |    OR (cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'S'
+       |        AND cd_education_status = 'College'
+       |        AND ss_sales_price BETWEEN 150.00 AND 200.00))
+       |  AND ((ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+       |        AND ca_state IN ('CO', 'OH', 'TX')
+       |        AND ss_net_profit BETWEEN 0 AND 2000)
+       |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+       |        AND ca_state IN ('OR', 'MN', 'KY')
+       |        AND ss_net_profit BETWEEN 150 AND 3000)
+       |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
+       |        AND ca_state IN ('VA', 'CA', 'MS')
+       |        AND ss_net_profit BETWEEN 50 AND 25000))""".stripMargin
+
+  /** q86's slice: category/class net-paid rollup with per-level
+    * ranks (q70's item-dimension sibling).
+    */
+  private val q86Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_ws AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ws_sold_date_sk,
+       |    l_partkey AS ws_item_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ws_net_paid
+       |  FROM lineitem),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class
+       |  FROM part)
+       |SELECT CAST(sum(ws_net_paid) AS DOUBLE) AS total_sum, i_category, i_class,
+       |  GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+       |  rank() OVER (PARTITION BY GROUPING(i_category) + GROUPING(i_class),
+       |    CASE WHEN GROUPING(i_class) = 0 THEN i_category END
+       |    ORDER BY sum(ws_net_paid) DESC) AS rank_within_parent
+       |FROM t_ws, t_dd d1, t_item
+       |WHERE d1.d_month_seq BETWEEN 1200 AND 1211
+       |  AND d1.d_date_sk = ws_sold_date_sk
+       |  AND i_item_sk = ws_item_sk
+       |GROUP BY ROLLUP (i_category, i_class)
+       |ORDER BY lochierarchy DESC,
+       |  CASE WHEN lochierarchy = 0 THEN i_category END ASC,
+       |  rank_within_parent ASC
+       |LIMIT 100""".stripMargin
+
+  /** q97's slice: store/catalog (customer, item) basket overlap via
+    * FULL JOIN, pure counts.
+    */
+  private val q97Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |ssci AS (
+       |  SELECT (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS customer_sk,
+       |    l_partkey AS item_sk
+       |  FROM lineitem, t_dd
+       |  WHERE CAST(l_shipdate AS DATE) - DATE '1989-12-31' = d_date_sk
+       |    AND d_month_seq BETWEEN 1200 AND 1211
+       |  GROUP BY 1, 2),
+       |csci AS (
+       |  SELECT (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS customer_sk,
+       |    l_partkey AS item_sk
+       |  FROM lineitem, t_dd
+       |  WHERE CAST(l_shipdate AS DATE) - DATE '1989-12-31' = d_date_sk
+       |    AND d_month_seq BETWEEN 1200 AND 1211
+       |  GROUP BY 1, 2)
+       |SELECT
+       |  sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+       |      THEN 1 ELSE 0 END) AS store_only,
+       |  sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS catalog_only,
+       |  sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS store_and_catalog
+       |FROM ssci
+       |FULL JOIN csci ON ssci.customer_sk = csci.customer_sk
+       |  AND ssci.item_sk = csci.item_sk
+       |LIMIT 100""".stripMargin
+
+  /** Shared DuckDB mirror CTEs for the three-channel ext-sales-price
+    * union family (q33/q56/q60/q71): per-channel fact slices with
+    * their distinct addr formulas, the item dimension, gmt-banded
+    * addresses, and the time dimension.
+    */
+  private val channelFamilyPrefix: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year, month(CAST(g AS DATE)) AS d_moy
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
+       |    p_brand AS i_brand,
+       |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_brand_id,
+       |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id,
+       |    CAST(p_partkey % 100 + 1 AS INTEGER) AS i_manager_id,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    ([${lit(colors)}])[CAST((p_partkey // 3) % 16 AS INTEGER) + 1] AS i_color
+       |  FROM part),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    CASE WHEN c_custkey % 4 = 0 THEN -5.0 WHEN c_custkey % 4 = 1 THEN -6.0
+       |         WHEN c_custkey % 4 = 2 THEN -7.0 ELSE -8.0 END AS ca_gmt_offset
+       |  FROM customer),
+       |t_time AS (
+       |  SELECT i AS t_time_sk, CAST(i // 3600 AS INTEGER) AS t_hour,
+       |    CAST((i // 60) % 60 AS INTEGER) AS t_minute,
+       |    CASE WHEN i // 3600 BETWEEN 6 AND 8 THEN 'breakfast'
+       |         WHEN i // 3600 BETWEEN 11 AND 13 THEN 'lunch'
+       |         WHEN i // 3600 BETWEEN 17 AND 19 THEN 'dinner' END AS t_meal_time
+       |  FROM range(0, 86400) t(i)),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_date_sk,
+       |    l_partkey AS item_sk,
+       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS addr_sk,
+       |    (l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS time_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ext_sales_price
+       |  FROM lineitem),
+       |t_cs AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_date_sk,
+       |    l_partkey AS item_sk,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS addr_sk,
+       |    (l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS time_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ext_sales_price
+       |  FROM lineitem),
+       |t_ws AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_date_sk,
+       |    l_partkey AS item_sk,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS addr_sk,
+       |    (l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS time_sk,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ext_sales_price
+       |  FROM lineitem)""".stripMargin
+
+  /** One channel leg of q33/q56/q60: sum ext_sales_price by `key`
+    * over a (year, moy, gmt) slice restricted to an item subset.
+    */
+  private def chanLeg(fact: String, key: String, subset: String,
+      year: Int, moy: Int): String =
+    s"""SELECT $key, sum(ext_sales_price) AS total_sales
+       |FROM $fact f, t_dd, t_ca, t_item i
+       |WHERE i.$key IN ($subset)
+       |  AND f.item_sk = i.i_item_sk AND f.sold_date_sk = d_date_sk
+       |  AND d_year = $year AND d_moy = $moy
+       |  AND f.addr_sk = ca_address_sk AND ca_gmt_offset = -5
+       |GROUP BY $key""".stripMargin
+
+  private def unionFamilyOracle(key: String, subset: String,
+      year: Int, moy: Int): String =
+    s"""$channelFamilyPrefix,
+       |c_ss AS (${chanLeg("t_ss", key, subset, year, moy)}),
+       |c_cs AS (${chanLeg("t_cs", key, subset, year, moy)}),
+       |c_ws AS (${chanLeg("t_ws", key, subset, year, moy)})
+       |SELECT $key, CAST(sum(total_sales) AS DOUBLE) AS total_sales
+       |FROM (SELECT * FROM c_ss UNION ALL SELECT * FROM c_cs
+       |      UNION ALL SELECT * FROM c_ws) tmp1
+       |GROUP BY $key
+       |ORDER BY total_sales ASC
+       |LIMIT 100""".stripMargin
+
+  private val q33Oracle: String = unionFamilyOracle("i_manufact_id",
+    "SELECT i_manufact_id FROM t_item WHERE i_category IN ('Electronics')",
+    1998, 5)
+
+  private val q56Oracle: String = unionFamilyOracle("i_item_id",
+    "SELECT i_item_id FROM t_item WHERE i_color IN ('slate', 'blanched', 'burnished')",
+    2001, 2)
+
+  private val q60Oracle: String = unionFamilyOracle("i_item_id",
+    "SELECT i_item_id FROM t_item WHERE i_category IN ('Music')",
+    1998, 9)
+
+  /** q71's slice: brand revenue by breakfast/dinner minute across
+    * the three channels, November 1999.
+    */
+  private val q71Oracle: String =
+    s"""$channelFamilyPrefix
+       |SELECT i_brand_id AS brand_id, i_brand AS brand, t_hour, t_minute,
+       |  CAST(sum(ext_price) AS DOUBLE) AS ext_price
+       |FROM t_item, (
+       |  SELECT ext_sales_price AS ext_price, sold_date_sk,
+       |    item_sk AS sold_item_sk, time_sk
+       |  FROM t_ws, t_dd WHERE d_date_sk = sold_date_sk AND d_moy = 11 AND d_year = 1999
+       |  UNION ALL
+       |  SELECT ext_sales_price, sold_date_sk, item_sk, time_sk
+       |  FROM t_cs, t_dd WHERE d_date_sk = sold_date_sk AND d_moy = 11 AND d_year = 1999
+       |  UNION ALL
+       |  SELECT ext_sales_price, sold_date_sk, item_sk, time_sk
+       |  FROM t_ss, t_dd WHERE d_date_sk = sold_date_sk AND d_moy = 11 AND d_year = 1999
+       |) tmp, t_time
+       |WHERE sold_item_sk = i_item_sk AND i_manager_id = 1
+       |  AND time_sk = t_time_sk
+       |  AND (t_meal_time = 'breakfast' OR t_meal_time = 'dinner')
+       |GROUP BY i_brand, i_brand_id, t_hour, t_minute
+       |ORDER BY ext_price DESC, i_brand_id ASC""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q33", gate("q33",
+      Seq("i_manufact_id", "total_sales")), Some(q33Oracle),
+      "verbatim reference file queries/tpcds/q33.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q56", gate("q56",
+      Seq("i_item_id", "total_sales")), Some(q56Oracle),
+      "verbatim reference file queries/tpcds/q56.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q60", gate("q60",
+      Seq("i_item_id", "total_sales")), Some(q60Oracle),
+      "verbatim reference file queries/tpcds/q60.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q71", gate("q71", Seq("brand_id", "brand",
+      "t_hour", "t_minute", "ext_price")), Some(q71Oracle),
+      "verbatim reference file queries/tpcds/q71.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q46", gate("q46", Seq("c_last_name", "c_first_name",
+      "ca_city", "bought_city", "ss_ticket_number", "amt", "profit")),
+      Some(q46Oracle),
+      "verbatim reference file queries/tpcds/q46.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q48", gate("q48", Seq("sum_qty")), Some(q48Oracle),
+      "verbatim reference file queries/tpcds/q48.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q86", gate("q86", Seq("total_sum", "i_category",
+      "i_class", "lochierarchy", "rank_within_parent")), Some(q86Oracle),
+      "verbatim reference file queries/tpcds/q86.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q97", gate("q97", Seq("store_only", "catalog_only",
+      "store_and_catalog")), Some(q97Oracle),
+      "verbatim reference file queries/tpcds/q97.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q68", gate("q68", Seq("c_last_name", "c_first_name",
       "ca_city", "bought_city", "ss_ticket_number", "extended_price",
       "extended_tax", "list_price")), Some(q68Oracle),
