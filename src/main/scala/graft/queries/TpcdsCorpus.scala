@@ -1632,7 +1632,196 @@ object TpcdsCorpus {
        |GROUP BY i_brand, i_brand_id, t_hour, t_minute
        |ORDER BY ext_price DESC, i_brand_id ASC""".stripMargin
 
+  /** q12/q20/q98's shape: per-item revenue and its share of the
+    * class total. Spark types the share `(sum*100)/sum-over-class`
+    * as DECIMAL(38,6) (HALF_UP); the mirror reproduces it with exact
+    * HUGEINT half-up division at scale 6 — same technique as
+    * [[Corpus]]'s ratio6.
+    */
+  private def revenueRatioOracle(fact: String, limit: String): String =
+    s"""$channelFamilyPrefix,
+       |t_item2 AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
+       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class,
+       |    CAST(p_partkey % 100 AS DOUBLE) + 0.99 AS i_current_price
+       |  FROM part),
+       |grouped AS (
+       |  SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       |    sum(ext_sales_price) AS itemrevenue
+       |  FROM $fact f, t_item2 i
+       |  WHERE f.item_sk = i.i_item_sk
+       |    AND i_category IN ('Sports', 'Books', 'Home')
+       |    AND DATE '1989-12-31' + INTERVAL (f.sold_date_sk) DAY
+       |        BETWEEN DATE '1999-02-22' AND DATE '1999-02-22' + INTERVAL 30 DAY
+       |  GROUP BY i_item_id, i_item_desc, i_category, i_class, i_current_price)
+       |SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
+       |  CAST(itemrevenue AS DOUBLE) AS itemrevenue,
+       |  CAST((2 * CAST(itemrevenue * 10000 AS HUGEINT) * 100000000 + class_rev)
+       |       // (2 * class_rev) AS DOUBLE) / 1000000.0 AS revenueratio
+       |FROM (
+       |  SELECT *, CAST(sum(itemrevenue) OVER (PARTITION BY i_class) * 10000 AS HUGEINT) AS class_rev
+       |  FROM grouped) g
+       |ORDER BY i_category ASC, i_class ASC, i_item_id ASC, i_item_desc ASC,
+       |  revenueratio ASC
+       |$limit""".stripMargin
+
+  private val q12Oracle = revenueRatioOracle("t_ws", "LIMIT 100")
+  private val q20Oracle = revenueRatioOracle("t_cs", "LIMIT 100")
+  private val q98Oracle = revenueRatioOracle("t_ss", "")
+
+  private val ratioCols = Seq("i_item_id", "i_item_desc", "i_category",
+    "i_class", "i_current_price", "itemrevenue", "revenueratio")
+
+  /** q32/q92's shape: discounts exceeding 1.3× the item's window
+    * average. Spark divides sum(DECIMAL(35,4)) by the count at
+    * adjusted scale 7 (HALF_UP) before widening to the avg type, so
+    * the mirror compares `ext*10^5 > 13 * avg7` in exact HUGEINT
+    * arithmetic (avg7 = half-up sum/count at scale 7).
+    */
+  private def excessDiscountOracle(manufact: Int, tail: String): String =
+    s"""$channelFamilyPrefix,
+       |t_f AS (
+       |  SELECT l_partkey AS item_sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |         * CAST(l_discount AS DECIMAL(12,2)) * 10000 AS HUGEINT) AS ext_i
+       |  FROM lineitem
+       |  WHERE CAST(l_shipdate AS DATE)
+       |        BETWEEN DATE '2000-01-27' AND DATE '2000-01-27' + INTERVAL 90 DAY)
+       |SELECT CAST(sum(ext_i) AS DOUBLE) / 10000.0 AS excess_discount_amount
+       |FROM t_f f, t_item i
+       |WHERE i.i_manufact_id = $manufact AND i.i_item_sk = f.item_sk
+       |  AND f.ext_i * 10000 > 13 * (
+       |    SELECT (2 * sum(g.ext_i) * 1000 + count(*)) // (2 * count(*))
+       |    FROM t_f g WHERE g.item_sk = f.item_sk)
+       |$tail""".stripMargin
+
+  // cs_ext_discount_amt and ws_ext_discount_amt share one derivation
+  // (every lineitem row), so both mirrors differ only in the manufact
+  // constant and final ordering.
+  private val q32Oracle = excessDiscountOracle(977, "LIMIT 100")
+  private val q92Oracle = excessDiscountOracle(350,
+    "ORDER BY excess_discount_amount ASC\nLIMIT 100")
+
+  /** q01's slice: TN customers returning > 1.2× their store's average.
+    * ctr_total_return is DECIMAL(38,5); Spark's avg divides the sum
+    * at adjusted scale 6 HALF_UP, so the comparison mirrors as
+    * `100*T > 12*avg6` in HUGEINT.
+    */
+  private val q01Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |ctr AS (
+       |  SELECT (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS ctr_customer_sk,
+       |    l_suppkey AS ctr_store_sk,
+       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.5 * 100000 AS HUGEINT)) AS t5
+       |  FROM lineitem
+       |  WHERE l_returnflag = 'R'
+       |    AND year(CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 7) DAY) = 2000
+       |  GROUP BY 1, 2),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(states)}])[CAST((s_suppkey // 3) % 10 AS INTEGER) + 1] AS s_state
+       |  FROM supplier),
+       |t_cust AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    concat('CUST', lpad(CAST(c_custkey AS VARCHAR), 16, '0')) AS c_customer_id
+       |  FROM customer)
+       |SELECT c_customer_id
+       |FROM ctr ctr1, t_store, t_cust
+       |WHERE 100 * ctr1.t5 > 12 * (
+       |    SELECT (2 * sum(t5) * 10 + count(*)) // (2 * count(*))
+       |    FROM ctr ctr2 WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
+       |  AND s_store_sk = ctr1.ctr_store_sk
+       |  AND s_state = 'TN'
+       |  AND ctr1.ctr_customer_sk = c_customer_sk
+       |ORDER BY c_customer_id ASC
+       |LIMIT 100""".stripMargin
+
+  /** q81's slice: GA customers with catalog returns-including-tax
+    * > 1.2× the state average. The inc-tax product overflows to
+    * DECIMAL(38,6) in Spark, i.e. each ROW value is half-up rounded
+    * at scale 6 before summing — the mirror rounds `(2*P7+10)//20`
+    * per row (P7 = exact product at scale 7).
+    */
+  private val q81Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |ctr AS (
+       |  SELECT (l_orderkey * 19 + 3) % (SELECT n FROM custs) AS ctr_customer_sk,
+       |    ((((l_orderkey * 19 + 3) % (SELECT n FROM custs)) // 5) % 10) AS state_idx,
+       |    sum((2 * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)
+       |           * CAST((1 - CAST(l_discount AS DECIMAL(12,2))) * 100 AS HUGEINT)
+       |           * 5
+       |           * CAST((1 + CAST(l_tax AS DECIMAL(12,2))) * 100 AS HUGEINT)
+       |         + 10) // 20) AS t6
+       |  FROM lineitem
+       |  WHERE l_returnflag = 'R'
+       |    AND year(CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 9) DAY) = 2000
+       |  GROUP BY 1, 2),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    CAST((c_custkey * 3 + 1) % 1000 AS VARCHAR) AS ca_street_number,
+       |    ([${lit(streetNames)}])[CAST((c_custkey // 2) % 10 AS INTEGER) + 1] AS ca_street_name,
+       |    ([${lit(streetTypes)}])[CAST(c_custkey % 10 AS INTEGER) + 1] AS ca_street_type,
+       |    concat('Suite ', CAST(c_custkey % 100 AS VARCHAR)) AS ca_suite_number,
+       |    ([${lit(cities)}])[CAST((c_custkey // 7) % 10 AS INTEGER) + 1] AS ca_city,
+       |    ([${lit(counties)}])[CAST(c_custkey % 10 AS INTEGER) + 1] AS ca_county,
+       |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state,
+       |    lpad(CAST((c_custkey * 6151 + 7) % 100000 AS VARCHAR), 5, '0') AS ca_zip,
+       |    'United States' AS ca_country,
+       |    CASE WHEN c_custkey % 4 = 0 THEN -5.0 WHEN c_custkey % 4 = 1 THEN -6.0
+       |         WHEN c_custkey % 4 = 2 THEN -7.0 ELSE -8.0 END AS ca_gmt_offset,
+       |    (['apartment', 'condo', 'single family'])[CAST(c_custkey % 3 AS INTEGER) + 1] AS ca_location_type
+       |  FROM customer),
+       |t_cust AS (
+       |  SELECT c_custkey AS c_customer_sk, c_custkey AS c_current_addr_sk,
+       |    concat('CUST', lpad(CAST(c_custkey AS VARCHAR), 16, '0')) AS c_customer_id,
+       |    (['Mr.', 'Mrs.', 'Ms.', 'Dr.', 'Miss', 'Sir'])[CAST(c_custkey % 6 AS INTEGER) + 1] AS c_salutation,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name
+       |  FROM customer)
+       |SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       |  ca_street_number, ca_street_name, ca_street_type, ca_suite_number,
+       |  ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
+       |  ca_location_type, CAST(t6 AS DOUBLE) / 1000000.0 AS ctr_total_return
+       |FROM ctr ctr1, t_ca, t_cust
+       |WHERE 10 * ctr1.t6 > 12 * (
+       |    SELECT (2 * sum(t6) + count(*)) // (2 * count(*))
+       |    FROM ctr ctr2 WHERE ctr1.state_idx = ctr2.state_idx)
+       |  AND ca_address_sk = c_current_addr_sk
+       |  AND ca_state = 'GA'
+       |  AND ctr1.ctr_customer_sk = c_customer_sk
+       |ORDER BY c_customer_id ASC, c_salutation ASC, c_first_name ASC,
+       |  c_last_name ASC, ca_street_number ASC, ca_street_name ASC,
+       |  ca_street_type ASC, ca_suite_number ASC, ca_city ASC, ca_county ASC,
+       |  ca_state ASC, ca_zip ASC, ca_country ASC, ca_gmt_offset ASC,
+       |  ca_location_type ASC, ctr_total_return ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q01", gate("q01", Seq("c_customer_id")),
+      Some(q01Oracle),
+      "verbatim reference file queries/tpcds/q01.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q81", gate("q81", Seq("c_customer_id",
+      "c_salutation", "c_first_name", "c_last_name", "ca_street_number",
+      "ca_street_name", "ca_street_type", "ca_suite_number", "ca_city",
+      "ca_county", "ca_state", "ca_zip", "ca_country", "ca_gmt_offset",
+      "ca_location_type", "ctr_total_return")), Some(q81Oracle),
+      "verbatim reference file queries/tpcds/q81.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q32", gate("q32", Seq("excess_discount_amount")),
+      Some(q32Oracle),
+      "verbatim reference file queries/tpcds/q32.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q92", gate("q92", Seq("excess_discount_amount")),
+      Some(q92Oracle),
+      "verbatim reference file queries/tpcds/q92.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q12", gate("q12", ratioCols), Some(q12Oracle),
+      "verbatim reference file queries/tpcds/q12.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q20", gate("q20", ratioCols), Some(q20Oracle),
+      "verbatim reference file queries/tpcds/q20.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q98", gate("q98", ratioCols), Some(q98Oracle),
+      "verbatim reference file queries/tpcds/q98.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q33", gate("q33",
       Seq("i_manufact_id", "total_sales")), Some(q33Oracle),
       "verbatim reference file queries/tpcds/q33.sql via synthesized tables"),
