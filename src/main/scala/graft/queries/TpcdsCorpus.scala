@@ -1800,7 +1800,191 @@ object TpcdsCorpus {
        |  ca_location_type ASC, ctr_total_return ASC
        |LIMIT 100""".stripMargin
 
+  /** q22's slice: average on-hand quantity over a 4-level rollup.
+    * avg(INTEGER) is exact-long-sum / count in both engines (integer
+    * partial sums stay exact in doubles below 2^53), so the mirror
+    * uses plain avg. The LIMIT-100 cut depends on null ordering:
+    * Spark ASC is NULLS FIRST, spelled out for DuckDB.
+    */
+  private val q22Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_inv AS (
+       |  SELECT 2924 + wk * 35 AS inv_date_sk, p_partkey AS inv_item_sk,
+       |    CAST((p_partkey * 31 + wh * 211 + wk * 13) % 1000 AS INTEGER) AS inv_quantity_on_hand
+       |  FROM part, range(0, 5) t_w(wh), range(0, 40) t_k(wk)),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk, p_name AS i_product_name,
+       |    p_brand AS i_brand,
+       |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category
+       |  FROM part)
+       |SELECT i_product_name, i_brand, i_class, i_category,
+       |  CAST(avg(inv_quantity_on_hand) AS DOUBLE) AS qoh
+       |FROM t_inv, t_dd, t_item
+       |WHERE inv_date_sk = d_date_sk AND inv_item_sk = i_item_sk
+       |  AND d_month_seq BETWEEN 1200 AND 1211
+       |GROUP BY ROLLUP (i_product_name, i_brand, i_class, i_category)
+       |ORDER BY qoh ASC, i_product_name ASC NULLS FIRST, i_brand ASC NULLS FIRST,
+       |  i_class ASC NULLS FIRST, i_category ASC NULLS FIRST
+       |LIMIT 100""".stripMargin
+
+  /** q36's slice: gross-margin (profit/revenue) category/class
+    * rollup with per-level ranks; the ratio mirrors Spark's
+    * DECIMAL(38,6) half-up division (both sums positive: the
+    * synthesis discount never exceeds 0.2).
+    */
+  private val q36Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_partkey AS ss_item_sk, l_suppkey AS ss_store_sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit_i,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS sales_i
+       |  FROM lineitem),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category
+       |  FROM part),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(states)}])[CAST((s_suppkey // 3) % 10 AS INTEGER) + 1] AS s_state
+       |  FROM supplier),
+       |grouped AS (
+       |  SELECT i_category, i_class,
+       |    GROUPING(i_category) + GROUPING(i_class) AS lochierarchy,
+       |    GROUPING(i_class) AS g_class,
+       |    (2 * sum(profit_i) * 1000000 + sum(sales_i))
+       |      // (2 * sum(sales_i)) AS margin6
+       |  FROM t_ss, t_dd d1, t_item, t_store
+       |  WHERE d1.d_year = 2001 AND d1.d_date_sk = ss_sold_date_sk
+       |    AND i_item_sk = ss_item_sk AND s_store_sk = ss_store_sk
+       |    AND s_state IN ('TN')
+       |  GROUP BY ROLLUP (i_category, i_class))
+       |SELECT CAST(margin6 AS DOUBLE) / 1000000.0 AS gross_margin,
+       |  i_category, i_class, lochierarchy,
+       |  rank() OVER (PARTITION BY lochierarchy,
+       |    CASE WHEN g_class = 0 THEN i_category END
+       |    ORDER BY margin6 ASC) AS rank_within_parent
+       |FROM grouped
+       |ORDER BY lochierarchy DESC,
+       |  CASE WHEN lochierarchy = 0 THEN i_category END ASC NULLS FIRST,
+       |  rank_within_parent ASC, i_category ASC NULLS FIRST, i_class ASC NULLS FIRST
+       |LIMIT 100""".stripMargin
+
+  /** q31's slice: counties where web sales grew faster than store
+    * sales across 2000 Q1→Q2→Q3. Output ratios are DECIMAL(38,6)
+    * half-up; the FILTER ratios first round the numerator to scale 3
+    * (the verbatim `CAST(... AS DECIMAL(38,3))`) — both mirrored in
+    * HUGEINT.
+    */
+  private val q31Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year,
+       |    (month(CAST(g AS DATE)) - 1) // 3 + 1 AS d_qoy
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(counties)}])[CAST(c_custkey % 10 AS INTEGER) + 1] AS ca_county
+       |  FROM customer),
+       |f_ss AS (
+       |  SELECT ca_county, d_qoy, d_year,
+       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS sales_i
+       |  FROM lineitem, t_dd, t_ca
+       |  WHERE CAST(l_shipdate AS DATE) - DATE '1989-12-31' = d_date_sk
+       |    AND (l_orderkey * 37 + 23) % (SELECT n FROM custs) = ca_address_sk
+       |  GROUP BY ca_county, d_qoy, d_year),
+       |f_ws AS (
+       |  SELECT ca_county, d_qoy, d_year,
+       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS sales_i
+       |  FROM lineitem, t_dd, t_ca
+       |  WHERE CAST(l_shipdate AS DATE) - DATE '1989-12-31' = d_date_sk
+       |    AND (l_orderkey * 13 + 7) % (SELECT n FROM custs) = ca_address_sk
+       |  GROUP BY ca_county, d_qoy, d_year)
+       |SELECT ss1.ca_county, ss1.d_year,
+       |  CAST((2 * ws2.sales_i * 1000000 + ws1.sales_i) // (2 * ws1.sales_i) AS DOUBLE)
+       |    / 1000000.0 AS web_q1_q2_increase,
+       |  CAST((2 * ss2.sales_i * 1000000 + ss1.sales_i) // (2 * ss1.sales_i) AS DOUBLE)
+       |    / 1000000.0 AS store_q1_q2_increase,
+       |  CAST((2 * ws3.sales_i * 1000000 + ws2.sales_i) // (2 * ws2.sales_i) AS DOUBLE)
+       |    / 1000000.0 AS web_q2_q3_increase,
+       |  CAST((2 * ss3.sales_i * 1000000 + ss2.sales_i) // (2 * ss2.sales_i) AS DOUBLE)
+       |    / 1000000.0 AS store_q2_q3_increase
+       |FROM f_ss ss1, f_ss ss2, f_ss ss3, f_ws ws1, f_ws ws2, f_ws ws3
+       |WHERE ss1.d_qoy = 1 AND ss1.d_year = 2000 AND ss1.ca_county = ss2.ca_county
+       |  AND ss2.d_qoy = 2 AND ss2.d_year = 2000 AND ss2.ca_county = ss3.ca_county
+       |  AND ss3.d_qoy = 3 AND ss3.d_year = 2000 AND ss1.ca_county = ws1.ca_county
+       |  AND ws1.d_qoy = 1 AND ws1.d_year = 2000 AND ws1.ca_county = ws2.ca_county
+       |  AND ws2.d_qoy = 2 AND ws2.d_year = 2000 AND ws1.ca_county = ws3.ca_county
+       |  AND ws3.d_qoy = 3 AND ws3.d_year = 2000
+       |  AND (2 * ((2 * ws2.sales_i + 10) // 20) * 10000000 + ws1.sales_i)
+       |      // (2 * ws1.sales_i)
+       |    > (2 * ((2 * ss2.sales_i + 10) // 20) * 10000000 + ss1.sales_i)
+       |      // (2 * ss1.sales_i)
+       |  AND (2 * ((2 * ws3.sales_i + 10) // 20) * 10000000 + ws2.sales_i)
+       |      // (2 * ws2.sales_i)
+       |    > (2 * ((2 * ss3.sales_i + 10) // 20) * 10000000 + ss2.sales_i)
+       |      // (2 * ss2.sales_i)
+       |ORDER BY ss1.ca_county ASC""".stripMargin
+
+  /** q61's slice: promoted share of Jewelry revenue. The verbatim
+    * DECIMAL(15,4) casts divide at scale 20, then the ×100 overflows
+    * precision and rounds to scale 19 — both steps mirrored exactly.
+    */
+  private val q61Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_base AS (
+       |  SELECT (l_orderkey + l_partkey) % 11 AS promo_null,
+       |    (l_orderkey + l_partkey) % 300 AS promo_idx,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS ext_i
+       |  FROM lineitem
+       |  WHERE year(CAST(l_shipdate AS DATE)) = 1998
+       |    AND month(CAST(l_shipdate AS DATE)) = 11
+       |    AND l_partkey % 10 = 4
+       |    AND l_suppkey % 2 = 0
+       |    AND ((l_orderkey * 13 + 7) % (SELECT n FROM custs)) % 4 = 0
+       |    AND (l_orderkey * 13 + 7) % (SELECT n FROM custs) >= 1),
+       |promo AS (
+       |  SELECT sum(ext_i) AS p4 FROM t_base
+       |  WHERE promo_null <> 0
+       |    AND (promo_idx % 2 = 0 OR promo_idx % 3 = 0 OR promo_idx % 5 = 0)),
+       |total AS (SELECT sum(ext_i) AS t4 FROM t_base)
+       |SELECT CAST(p4 AS DOUBLE) / 10000.0 AS promotions,
+       |  CAST(t4 AS DOUBLE) / 10000.0 AS total,
+       |  CAST(concat(substr(s19, 1, length(s19) - 19), '.',
+       |              substr(s19, length(s19) - 18, 19)) AS DOUBLE) AS promo_pct
+       |FROM promo, total, (
+       |  SELECT lpad(CAST((2 * 100 * ((2 * p4 * ${"1" + "0" * 20} + t4) // (2 * t4)) + 10) // 20
+       |              AS VARCHAR), 40, '0') AS s19
+       |  FROM promo, total) v""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q31", gate("q31", Seq("ca_county", "d_year",
+      "web_q1_q2_increase", "store_q1_q2_increase", "web_q2_q3_increase",
+      "store_q2_q3_increase")), Some(q31Oracle),
+      "verbatim reference file queries/tpcds/q31.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q61", gate("q61", Seq("promotions", "total",
+      "promo_pct")), Some(q61Oracle),
+      "verbatim reference file queries/tpcds/q61.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q22", gate("q22", Seq("i_product_name", "i_brand",
+      "i_class", "i_category", "qoh")), Some(q22Oracle),
+      "verbatim reference file queries/tpcds/q22.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q36", gate("q36", Seq("gross_margin", "i_category",
+      "i_class", "lochierarchy", "rank_within_parent")), Some(q36Oracle),
+      "verbatim reference file queries/tpcds/q36.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q01", gate("q01", Seq("c_customer_id")),
       Some(q01Oracle),
       "verbatim reference file queries/tpcds/q01.sql via synthesized tables"),
