@@ -302,9 +302,9 @@ object TpcdsCorpus {
            |  pmod(l_orderkey * 37 + 23, $custCount) AS ss_addr_sk, l_suppkey AS ss_store_sk,
            |  $promoSk AS ss_promo_sk, l_orderkey AS ss_ticket_number,
            |  CAST(l_quantity AS INT) AS ss_quantity,
-           |  l_extendedprice / l_quantity * 0.8 AS ss_wholesale_cost,
-           |  l_extendedprice / l_quantity * 1.2 AS ss_list_price,
-           |  l_extendedprice / l_quantity * (1 - l_discount) AS ss_sales_price,
+           |  l_extendedprice / l_quantity * 0.08 AS ss_wholesale_cost,
+           |  l_extendedprice / l_quantity * 0.12 AS ss_list_price,
+           |  l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS ss_sales_price,
            |  $dPrice * $dDisc AS ss_ext_discount_amt,
            |  $dPrice * (1 - $dDisc) AS ss_ext_sales_price,
            |  $dPrice * 0.8 AS ss_ext_wholesale_cost,
@@ -339,9 +339,9 @@ object TpcdsCorpus {
            |  l_partkey AS cs_item_sk, $promoSk AS cs_promo_sk,
            |  l_orderkey AS cs_order_number,
            |  CAST(l_quantity AS INT) AS cs_quantity,
-           |  l_extendedprice / l_quantity * 0.8 AS cs_wholesale_cost,
-           |  l_extendedprice / l_quantity * 1.2 AS cs_list_price,
-           |  l_extendedprice / l_quantity * (1 - l_discount) AS cs_sales_price,
+           |  l_extendedprice / l_quantity * 0.08 AS cs_wholesale_cost,
+           |  l_extendedprice / l_quantity * 0.12 AS cs_list_price,
+           |  l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS cs_sales_price,
            |  $dPrice * $dDisc AS cs_ext_discount_amt,
            |  $dPrice * (1 - $dDisc) AS cs_ext_sales_price,
            |  $dPrice * 0.8 AS cs_ext_wholesale_cost,
@@ -382,9 +382,9 @@ object TpcdsCorpus {
            |  l_partkey AS ws_item_sk, $promoSk AS ws_promo_sk,
            |  l_orderkey AS ws_order_number,
            |  CAST(l_quantity AS INT) AS ws_quantity,
-           |  l_extendedprice / l_quantity * 0.8 AS ws_wholesale_cost,
-           |  l_extendedprice / l_quantity * 1.2 AS ws_list_price,
-           |  l_extendedprice / l_quantity * (1 - l_discount) AS ws_sales_price,
+           |  l_extendedprice / l_quantity * 0.08 AS ws_wholesale_cost,
+           |  l_extendedprice / l_quantity * 0.12 AS ws_list_price,
+           |  l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS ws_sales_price,
            |  $dPrice * $dDisc AS ws_ext_discount_amt,
            |  $dPrice * (1 - $dDisc) AS ws_ext_sales_price,
            |  $dPrice * 0.8 AS ws_ext_wholesale_cost,
@@ -1408,7 +1408,7 @@ object TpcdsCorpus {
        |    l_suppkey AS ss_store_sk, CAST(l_quantity AS INTEGER) AS ss_quantity,
        |    (l_orderkey * 31 + l_partkey) % 7200 AS ss_cdemo_sk,
        |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
-       |    l_extendedprice / l_quantity * (1 - l_discount) AS ss_sales_price,
+       |    l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS ss_sales_price,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS ss_net_profit
        |  FROM lineitem),
@@ -1971,7 +1971,202 @@ object TpcdsCorpus {
        |              AS VARCHAR), 40, '0') AS s19
        |  FROM promo, total) v""".stripMargin
 
+  /** q77's slice: 30-day P&L per channel with a ROLLUP total. All
+    * money amounts are exact-decimal sums (sales/profit scale 4,
+    * returns scale 5, losses scale 3) carried as scaled HUGEINTs;
+    * the store-channel literal keeps the templated
+    * 'spark_catalog.tpcds.store channel' string verbatim.
+    */
+  private val q77Oracle: String =
+    s"""WITH win AS (
+       |  SELECT DATE '2000-08-23' AS lo, DATE '2000-08-23' + INTERVAL 30 DAY AS hi),
+       |b AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS sold_d,
+       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 7) DAY AS sr_d,
+       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 9) DAY AS cr_d,
+       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 11) DAY AS wr_d,
+       |    l_returnflag = 'R' AS ret,
+       |    l_suppkey AS store_sk,
+       |    l_orderkey % 6 + 1 AS cc_sk,
+       |    (l_orderkey * 3 + l_linenumber) % 60 + 1 AS wp_sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS sales_i4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit_i4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.5 * 100000 AS HUGEINT) AS ramt_i5,
+       |    CAST((CAST(l_extendedprice AS DECIMAL(12,2)) * 0.1 + 5.0) * 1000 AS HUGEINT) AS loss_i3
+       |  FROM lineitem),
+       |ss AS (
+       |  SELECT store_sk AS s_store_sk, sum(sales_i4) AS sales, sum(profit_i4) AS profit
+       |  FROM b, win WHERE sold_d BETWEEN lo AND hi GROUP BY 1),
+       |sr AS (
+       |  SELECT store_sk AS s_store_sk, sum(ramt_i5) AS returns, sum(loss_i3) AS profit_loss
+       |  FROM b, win WHERE ret AND sr_d BETWEEN lo AND hi GROUP BY 1),
+       |cs AS (
+       |  SELECT cc_sk AS cs_call_center_sk, sum(sales_i4) AS sales, sum(profit_i4) AS profit
+       |  FROM b, win WHERE sold_d BETWEEN lo AND hi GROUP BY 1),
+       |cr AS (
+       |  SELECT cc_sk AS cr_call_center_sk, sum(ramt_i5) AS returns, sum(loss_i3) AS profit_loss
+       |  FROM b, win WHERE ret AND cr_d BETWEEN lo AND hi GROUP BY 1),
+       |ws AS (
+       |  SELECT wp_sk AS wp_web_page_sk, sum(sales_i4) AS sales, sum(profit_i4) AS profit
+       |  FROM b, win WHERE sold_d BETWEEN lo AND hi GROUP BY 1),
+       |wr AS (
+       |  SELECT wp_sk AS wp_web_page_sk, sum(ramt_i5) AS returns, sum(loss_i3) AS profit_loss
+       |  FROM b, win WHERE ret AND wr_d BETWEEN lo AND hi GROUP BY 1),
+       |x AS (
+       |  SELECT 'spark_catalog.tpcds.store channel' AS channel, ss.s_store_sk AS id,
+       |    sales, COALESCE(sr.returns, 0) AS returns,
+       |    profit - COALESCE(sr.profit_loss, 0) * 10 AS profit
+       |  FROM ss LEFT JOIN sr ON ss.s_store_sk = sr.s_store_sk
+       |  UNION ALL
+       |  SELECT 'catalog channel', cs_call_center_sk, sales, cr.returns,
+       |    profit - cr.profit_loss * 10
+       |  FROM cs, cr
+       |  UNION ALL
+       |  SELECT 'web channel', ws.wp_web_page_sk, sales,
+       |    COALESCE(wr.returns, 0), profit - COALESCE(wr.profit_loss, 0) * 10
+       |  FROM ws LEFT JOIN wr ON ws.wp_web_page_sk = wr.wp_web_page_sk)
+       |SELECT channel, id, CAST(sum(sales) AS DOUBLE) / 10000.0 AS sales,
+       |  CAST(sum(returns) AS DOUBLE) / 100000.0 AS returns,
+       |  CAST(sum(profit) AS DOUBLE) / 10000.0 AS profit
+       |FROM x
+       |GROUP BY ROLLUP (channel, id)
+       |ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST, sales ASC
+       |LIMIT 100""".stripMargin
+
+  /** q80's slice: promoted high-price-item P&L per channel id with
+    * sale→return LEFT JOIN fan-out on the shared (item, order) key.
+    */
+  private val q80Oracle: String =
+    s"""WITH win AS (
+       |  SELECT DATE '2000-08-23' AS lo, DATE '2000-08-23' + INTERVAL 30 DAY AS hi),
+       |b AS (
+       |  SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS store_sk,
+       |    CAST(l_shipdate AS DATE) AS sold_d, l_returnflag = 'R' AS ret,
+       |    (l_orderkey + l_partkey) % 200 + 1 AS cp_sk,
+       |    (l_orderkey + l_linenumber) % 30 + 1 AS web_sk,
+       |    (l_orderkey + l_partkey) % 11 AS promo_null,
+       |    (l_orderkey + l_partkey) % 300 AS promo_idx,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS sales_i4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit_i4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.5 * 100000 AS HUGEINT) AS ramt_i5,
+       |    CAST((CAST(l_extendedprice AS DECIMAL(12,2)) * 0.1 + 5.0) * 1000 AS HUGEINT) AS loss_i3
+       |  FROM lineitem),
+       |sale AS (
+       |  SELECT b.*, r.ramt_i5 AS r_amt, r.loss_i3 AS r_loss
+       |  FROM (SELECT * FROM b, win WHERE sold_d BETWEEN lo AND hi
+       |        AND pk % 100 >= 50 AND promo_null <> 0 AND promo_idx % 5 <> 0) b
+       |  LEFT JOIN (SELECT ok, pk, ramt_i5, loss_i3 FROM b WHERE ret) r
+       |    ON b.pk = r.pk AND b.ok = r.ok),
+       |ssr AS (
+       |  SELECT concat('STORE', lpad(CAST(store_sk AS VARCHAR), 16, '0')) AS store_id,
+       |    sum(sales_i4) AS sales, sum(COALESCE(r_amt, 0)) AS returns,
+       |    sum(profit_i4 - COALESCE(r_loss, 0) * 10) AS profit
+       |  FROM sale GROUP BY 1),
+       |csr AS (
+       |  SELECT concat('PAGE', lpad(CAST(cp_sk AS VARCHAR), 16, '0')) AS catalog_page_id,
+       |    sum(sales_i4) AS sales, sum(COALESCE(r_amt, 0)) AS returns,
+       |    sum(profit_i4 - COALESCE(r_loss, 0) * 10) AS profit
+       |  FROM sale GROUP BY 1),
+       |wsr AS (
+       |  SELECT concat('SITE', lpad(CAST(web_sk AS VARCHAR), 16, '0')) AS web_site_id,
+       |    sum(sales_i4) AS sales, sum(COALESCE(r_amt, 0)) AS returns,
+       |    sum(profit_i4 - COALESCE(r_loss, 0) * 10) AS profit
+       |  FROM sale GROUP BY 1),
+       |x AS (
+       |  SELECT 'spark_catalog.tpcds.store channel' AS channel,
+       |    concat('store', store_id) AS id, sales, returns, profit FROM ssr
+       |  UNION ALL
+       |  SELECT 'catalog channel', concat('catalog_page', catalog_page_id),
+       |    sales, returns, profit FROM csr
+       |  UNION ALL
+       |  SELECT 'web channel', concat('web_site', web_site_id),
+       |    sales, returns, profit FROM wsr)
+       |SELECT channel, id, CAST(sum(sales) AS DOUBLE) / 10000.0 AS sales,
+       |  CAST(sum(returns) AS DOUBLE) / 100000.0 AS returns,
+       |  CAST(sum(profit) AS DOUBLE) / 10000.0 AS profit
+       |FROM x
+       |GROUP BY ROLLUP (channel, id)
+       |ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST
+       |LIMIT 100""".stripMargin
+
+  /** q83's slice: per-item return-quantity share across the three
+    * channels in three picked weeks. Spark's chained decimal ops
+    * round at scales 14 → 13 → 9 → 2 (each HALF_UP); the mirror
+    * reproduces every step in HUGEINT.
+    */
+  private val q83Oracle: String =
+    s"""WITH wks AS (
+       |  SELECT (d - DATE '1989-12-31') // 7 AS w
+       |  FROM (VALUES (DATE '2000-06-30'), (DATE '2000-09-27'),
+       |               (DATE '2000-11-17')) t(d)),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id
+       |  FROM part),
+       |sr_items AS (
+       |  SELECT i_item_id AS item_id, sum(CAST(floor(l_quantity / 2) AS INTEGER) + 1) AS q
+       |  FROM lineitem, t_item
+       |  WHERE l_returnflag = 'R' AND l_partkey = i_item_sk
+       |    AND (CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |         + l_orderkey % 60 + 7) // 7 IN (SELECT w FROM wks)
+       |  GROUP BY 1),
+       |cr_items AS (
+       |  SELECT i_item_id AS item_id, sum(CAST(floor(l_quantity / 2) AS INTEGER) + 1) AS q
+       |  FROM lineitem, t_item
+       |  WHERE l_returnflag = 'R' AND l_partkey = i_item_sk
+       |    AND (CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |         + l_orderkey % 60 + 9) // 7 IN (SELECT w FROM wks)
+       |  GROUP BY 1),
+       |wr_items AS (
+       |  SELECT i_item_id AS item_id, sum(CAST(floor(l_quantity / 2) AS INTEGER) + 1) AS q
+       |  FROM lineitem, t_item
+       |  WHERE l_returnflag = 'R' AND l_partkey = i_item_sk
+       |    AND (CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |         + l_orderkey % 60 + 11) // 7 IN (SELECT w FROM wks)
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT sr_items.item_id, CAST(sr_items.q AS HUGEINT) AS s,
+       |    CAST(cr_items.q AS HUGEINT) AS c, CAST(wr_items.q AS HUGEINT) AS w,
+       |    CAST(sr_items.q + cr_items.q + wr_items.q AS HUGEINT) * 10000 AS d4
+       |  FROM sr_items, cr_items, wr_items
+       |  WHERE sr_items.item_id = cr_items.item_id
+       |    AND sr_items.item_id = wr_items.item_id),
+       |dev AS (
+       |  SELECT item_id, s, c, w,
+       |    (2 * ((2 * ((2 * ((2 * s * ${"1" + "0" * 18} + d4) // (2 * d4)) + 30) // 60)
+       |       + 100) // 200) + 10000000) // 20000000 AS s_dev2,
+       |    (2 * ((2 * ((2 * ((2 * c * ${"1" + "0" * 18} + d4) // (2 * d4)) + 30) // 60)
+       |       + 100) // 200) + 10000000) // 20000000 AS c_dev2,
+       |    (2 * ((2 * ((2 * ((2 * w * ${"1" + "0" * 18} + d4) // (2 * d4)) + 30) // 60)
+       |       + 100) // 200) + 10000000) // 20000000 AS w_dev2,
+       |    (2 * (s + c + w) * 1000000 + 3) // 6 AS avg6
+       |  FROM j)
+       |SELECT item_id, s AS sr_item_qty,
+       |  CAST(s_dev2 AS DOUBLE) / 100.0 AS sr_dev,
+       |  c AS cr_item_qty, CAST(c_dev2 AS DOUBLE) / 100.0 AS cr_dev,
+       |  w AS wr_item_qty, CAST(w_dev2 AS DOUBLE) / 100.0 AS wr_dev,
+       |  CAST(avg6 AS DOUBLE) / 1000000.0 AS average
+       |FROM dev
+       |ORDER BY item_id ASC, sr_item_qty ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q83", gate("q83", Seq("item_id", "sr_item_qty",
+      "sr_dev", "cr_item_qty", "cr_dev", "wr_item_qty", "wr_dev", "average")),
+      Some(q83Oracle),
+      "verbatim reference file queries/tpcds/q83.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q80", gate("q80", Seq("channel", "id", "sales",
+      "returns", "profit")), Some(q80Oracle),
+      "verbatim reference file queries/tpcds/q80.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q77", gate("q77", Seq("channel", "id", "sales",
+      "returns", "profit")), Some(q77Oracle),
+      "verbatim reference file queries/tpcds/q77.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q31", gate("q31", Seq("ca_county", "d_year",
       "web_q1_q2_increase", "store_q1_q2_increase", "web_q2_q3_increase",
       "store_q2_q3_increase")), Some(q31Oracle),
