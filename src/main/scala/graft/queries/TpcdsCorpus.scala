@@ -1676,10 +1676,9 @@ object TpcdsCorpus {
     "i_class", "i_current_price", "itemrevenue", "revenueratio")
 
   /** q32/q92's shape: discounts exceeding 1.3× the item's window
-    * average. Spark divides sum(DECIMAL(35,4)) by the count at
-    * adjusted scale 7 (HALF_UP) before widening to the avg type, so
-    * the mirror compares `ext*10^5 > 13 * avg7` in exact HUGEINT
-    * arithmetic (avg7 = half-up sum/count at scale 7).
+    * average. Spark's decimal avg rounds half-up at input scale + 4
+    * (verified empirically via q09's scale-8 digits), so the mirror
+    * compares `ext*10^5 > 13 * avg8` in exact HUGEINT arithmetic.
     */
   private def excessDiscountOracle(manufact: Int, tail: String): String =
     s"""$channelFamilyPrefix,
@@ -1693,8 +1692,8 @@ object TpcdsCorpus {
        |SELECT CAST(sum(ext_i) AS DOUBLE) / 10000.0 AS excess_discount_amount
        |FROM t_f f, t_item i
        |WHERE i.i_manufact_id = $manufact AND i.i_item_sk = f.item_sk
-       |  AND f.ext_i * 10000 > 13 * (
-       |    SELECT (2 * sum(g.ext_i) * 1000 + count(*)) // (2 * count(*))
+       |  AND f.ext_i * 100000 > 13 * (
+       |    SELECT (2 * sum(g.ext_i) * 10000 + count(*)) // (2 * count(*))
        |    FROM t_f g WHERE g.item_sk = f.item_sk)
        |$tail""".stripMargin
 
@@ -1706,9 +1705,9 @@ object TpcdsCorpus {
     "ORDER BY excess_discount_amount ASC\nLIMIT 100")
 
   /** q01's slice: TN customers returning > 1.2× their store's average.
-    * ctr_total_return is DECIMAL(38,5); Spark's avg divides the sum
-    * at adjusted scale 6 HALF_UP, so the comparison mirrors as
-    * `100*T > 12*avg6` in HUGEINT.
+    * ctr_total_return is DECIMAL(38,5); Spark's avg rounds half-up
+    * at scale 5+4, so the comparison mirrors as `10^5*T > 12*avg9`
+    * in HUGEINT.
     */
   private val q01Oracle: String =
     s"""WITH custs AS (SELECT count(*) AS n FROM customer),
@@ -1731,8 +1730,8 @@ object TpcdsCorpus {
        |  FROM customer)
        |SELECT c_customer_id
        |FROM ctr ctr1, t_store, t_cust
-       |WHERE 100 * ctr1.t5 > 12 * (
-       |    SELECT (2 * sum(t5) * 10 + count(*)) // (2 * count(*))
+       |WHERE 100000 * ctr1.t5 > 12 * (
+       |    SELECT (2 * sum(t5) * 10000 + count(*)) // (2 * count(*))
        |    FROM ctr ctr2 WHERE ctr1.ctr_store_sk = ctr2.ctr_store_sk)
        |  AND s_store_sk = ctr1.ctr_store_sk
        |  AND s_state = 'TN'
@@ -1787,8 +1786,8 @@ object TpcdsCorpus {
        |  ca_city, ca_county, ca_state, ca_zip, ca_country, ca_gmt_offset,
        |  ca_location_type, CAST(t6 AS DOUBLE) / 1000000.0 AS ctr_total_return
        |FROM ctr ctr1, t_ca, t_cust
-       |WHERE 10 * ctr1.t6 > 12 * (
-       |    SELECT (2 * sum(t6) + count(*)) // (2 * count(*))
+       |WHERE 100000 * ctr1.t6 > 12 * (
+       |    SELECT (2 * sum(t6) * 10000 + count(*)) // (2 * count(*))
        |    FROM ctr ctr2 WHERE ctr1.state_idx = ctr2.state_idx)
        |  AND ca_address_sk = c_current_addr_sk
        |  AND ca_state = 'GA'
@@ -2156,7 +2155,151 @@ object TpcdsCorpus {
        |ORDER BY item_id ASC, sr_item_qty ASC
        |LIMIT 100""".stripMargin
 
+  /** q09's shape: five quantity-band buckets picking
+    * avg(ext_discount) vs avg(net_paid) on a count threshold. The
+    * counts are identical cross-engine, so both engines take the
+    * same CASE branch; avgs mirror at Spark's adjusted scales
+    * (net_paid → 6, ext_discount → 7).
+    */
+  private def q09Bucket(lo: Int, hi: Int, threshold: Long): String =
+    s"""CASE WHEN (SELECT count(*) FROM t_ss WHERE qty BETWEEN $lo AND $hi) > $threshold
+       |THEN (SELECT CAST((2 * sum(disc_i4) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE)
+       |      / 100000000.0 FROM t_ss WHERE qty BETWEEN $lo AND $hi)
+       |ELSE (SELECT CAST((2 * sum(paid_i4) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE)
+       |      / 100000000.0 FROM t_ss WHERE qty BETWEEN $lo AND $hi)
+       |END""".stripMargin
+
+  private val q09Oracle: String =
+    s"""WITH t_ss AS (
+       |  SELECT CAST(l_quantity AS INTEGER) AS qty,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(l_discount AS DECIMAL(12,2)) * 10000 AS HUGEINT) AS disc_i4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS paid_i4
+       |  FROM lineitem)
+       |SELECT
+       |  ${q09Bucket(1, 20, 74129L)} AS bucket1,
+       |  ${q09Bucket(21, 40, 122840L)} AS bucket2,
+       |  ${q09Bucket(41, 60, 56580L)} AS bucket3,
+       |  ${q09Bucket(61, 80, 10097L)} AS bucket4,
+       |  ${q09Bucket(81, 100, 165306L)} AS bucket5""".stripMargin
+
+  /** q18's slice: rollup averages of DECIMAL(12,2)-cast measures for
+    * F/Unknown demographics. The verbatim casts quantize every row
+    * at scale 2 first (so even per-unit doubles mirror exactly);
+    * avg(DECIMAL(12,2)) then rounds half-up at scale 6.
+    */
+  private val q18Oracle: String = {
+    def avg6(c: String) =
+      s"CAST((2 * sum($c) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0"
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_cs AS (
+       |  SELECT l_partkey AS item_sk,
+       |    (l_orderkey * 31 + l_partkey) % 7200 AS cdemo,
+       |    (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS bill_cust,
+       |    CAST(l_quantity AS HUGEINT) * 100 AS qty2,
+       |    CAST(CAST(l_extendedprice / l_quantity * 0.12 AS DECIMAL(12,2)) * 100 AS HUGEINT) AS list2,
+       |    (2 * CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * CAST(l_discount AS DECIMAL(12,2)) * 0.5 * 100000 AS HUGEINT) + 1000) // 2000 AS coupon2,
+       |    CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) * 100 AS HUGEINT) AS sales2,
+       |    (2 * CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) + 100) // 200 AS profit2
+       |  FROM lineitem
+       |  WHERE year(CAST(l_shipdate AS DATE)) = 1998),
+       |t_cd AS (
+       |  SELECT i AS cd_demo_sk, CAST(i % 7 AS HUGEINT) * 100 AS dep2
+       |  FROM range(0, 7200) t(i)
+       |  WHERE i % 2 = 1 AND (i // 10) % 7 = 6),
+       |t_cust AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    CAST(1924 + c_custkey % 69 AS HUGEINT) * 100 AS birth2
+       |  FROM customer
+       |  WHERE c_custkey % 12 + 1 IN (1, 6, 8, 9, 12, 2)),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk, 'United States' AS ca_country,
+       |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state,
+       |    ([${lit(counties)}])[CAST(c_custkey % 10 AS INTEGER) + 1] AS ca_county
+       |  FROM customer),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id
+       |  FROM part)
+       |SELECT i_item_id, ca_country, ca_state, ca_county,
+       |  ${avg6("qty2")} AS agg1, ${avg6("list2")} AS agg2,
+       |  ${avg6("coupon2")} AS agg3, ${avg6("sales2")} AS agg4,
+       |  ${avg6("profit2")} AS agg5, ${avg6("birth2")} AS agg6,
+       |  ${avg6("dep2")} AS agg7
+       |FROM t_cs, t_cd, t_cust, t_ca, t_item
+       |WHERE cdemo = cd_demo_sk AND bill_cust = c_customer_sk
+       |  AND c_customer_sk = ca_address_sk AND item_sk = i_item_sk
+       |  AND ca_state IN ('MS', 'IN', 'ND', 'OK', 'NM', 'VA')
+       |GROUP BY ROLLUP (i_item_id, ca_country, ca_state, ca_county)
+       |ORDER BY ca_country ASC NULLS FIRST, ca_state ASC NULLS FIRST,
+       |  ca_county ASC NULLS FIRST, i_item_id ASC NULLS FIRST
+       |LIMIT 100""".stripMargin
+  }
+
+  /** q58's slice: items with balanced revenue across the three
+    * channels in the week of 2000-01-03. The synthesis derives all
+    * three facts from every lineitem row, so the three revenues
+    * coincide — the decimal chain (scale-7 cast, adds rounding to
+    * scale 6, divide → /3 → ×100 → DECIMAL(7,2)) is still mirrored
+    * step-for-step.
+    */
+  private val q58Oracle: String =
+    s"""WITH wk AS (SELECT (DATE '2000-01-03' - DATE '1989-12-31') // 7 AS w),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id
+       |  FROM part),
+       |rev AS (
+       |  SELECT i_item_id AS item_id,
+       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS r4
+       |  FROM lineitem, t_item
+       |  WHERE l_partkey = i_item_sk
+       |    AND (CAST(l_shipdate AS DATE) - DATE '1989-12-31') // 7 = (SELECT w FROM wk)
+       |  GROUP BY 1),
+       |j AS (
+       |  SELECT s.item_id, s.r4 AS ss4, c.r4 AS cs4, w.r4 AS ws4
+       |  FROM rev s, rev c, rev w
+       |  WHERE s.item_id = c.item_id AND s.item_id = w.item_id
+       |    AND 10 * s.r4 BETWEEN 9 * c.r4 AND 11 * c.r4
+       |    AND 10 * s.r4 BETWEEN 9 * w.r4 AND 11 * w.r4
+       |    AND 10 * c.r4 BETWEEN 9 * s.r4 AND 11 * s.r4
+       |    AND 10 * c.r4 BETWEEN 9 * w.r4 AND 11 * w.r4
+       |    AND 10 * w.r4 BETWEEN 9 * s.r4 AND 11 * s.r4
+       |    AND 10 * w.r4 BETWEEN 9 * c.r4 AND 11 * c.r4),
+       |d AS (
+       |  SELECT *,
+       |    (2 * (ss4 * 1000 + cs4 * 1000) + 10) // 20 + ws4 * 100 AS den6
+       |  FROM j)
+       |SELECT item_id, CAST(ss4 AS DOUBLE) / 10000.0 AS ss_item_rev,
+       |  CAST((2 * (((2 * ((2 * ss4 * 100000000 + den6) // (2 * den6)) + 3) // 6) * 100)
+       |       + 10000) // 20000 AS DOUBLE) / 100.0 AS ss_dev,
+       |  CAST(cs4 AS DOUBLE) / 10000.0 AS cs_item_rev,
+       |  CAST((2 * (((2 * ((2 * cs4 * 100000000 + den6) // (2 * den6)) + 3) // 6) * 100)
+       |       + 10000) // 20000 AS DOUBLE) / 100.0 AS cs_dev,
+       |  CAST(ws4 AS DOUBLE) / 10000.0 AS ws_item_rev,
+       |  CAST((2 * (((2 * ((2 * ws4 * 100000000 + den6) // (2 * den6)) + 3) // 6) * 100)
+       |       + 10000) // 20000 AS DOUBLE) / 100.0 AS ws_dev,
+       |  CAST((2 * (ss4 + cs4 + ws4) * 100 + 3) // 6 AS DOUBLE) / 1000000.0 AS average
+       |FROM d
+       |ORDER BY item_id ASC, ss_item_rev ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q58", gate("q58", Seq("item_id", "ss_item_rev",
+      "ss_dev", "cs_item_rev", "cs_dev", "ws_item_rev", "ws_dev", "average")),
+      Some(q58Oracle),
+      "verbatim reference file queries/tpcds/q58.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q18", gate("q18", Seq("i_item_id", "ca_country",
+      "ca_state", "ca_county", "agg1", "agg2", "agg3", "agg4", "agg5",
+      "agg6", "agg7")), Some(q18Oracle),
+      "verbatim reference file queries/tpcds/q18.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q09", gate("q09", Seq("bucket1", "bucket2",
+      "bucket3", "bucket4", "bucket5")), Some(q09Oracle),
+      "verbatim reference file queries/tpcds/q09.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q83", gate("q83", Seq("item_id", "sr_item_qty",
       "sr_dev", "cr_item_qty", "cr_dev", "wr_item_qty", "wr_dev", "average")),
       Some(q83Oracle),
