@@ -80,6 +80,9 @@ object TpcdsCorpus {
   private val educations = Seq("Advanced Degree", "College", "4 yr Degree",
     "2 yr Degree", "Secondary", "Primary", "Unknown")
   private val creditRatings = Seq("Good", "Low Risk", "High Risk", "Unknown")
+  // Spec zip codes drawn from the corpus literal lists (q08) so
+  // zip-cluster predicates (HAVING count>10 per zip) are non-trivial.
+  private val specZips = Seq("24128", "57834", "13354", "15734", "78668", "76232", "62878", "45375", "63435", "22245", "65084", "49130", "40558", "25733", "15798", "87816", "81096", "56458", "35474", "27156", "83926", "18840", "28286", "24676", "37930", "77556", "27700", "45266", "94627", "62971", "20548", "23470", "47305", "53535", "21337", "26231", "50412", "69399", "17879", "51622")
   private val buyPotentials = Seq(">10000", "5001-10000", "1001-5000",
     "501-1000", "0-500", "Unknown")
   private val carriers = Seq("DHL", "BARIAN", "UPS", "USPS", "FEDEX",
@@ -212,7 +215,7 @@ object TpcdsCorpus {
            |  ${pick(cities, "(c_custkey div 7) % 10")} AS ca_city,
            |  ${pick(counties, "c_custkey % 10")} AS ca_county,
            |  ${pick(states, "(c_custkey div 5) % 10")} AS ca_state,
-           |  lpad(CAST((c_custkey * 6151 + 7) % 100000 AS STRING), 5, '0') AS ca_zip,
+           |  ${pick(specZips, "(c_custkey * 7) % 40")} AS ca_zip,
            |  'United States' AS ca_country,
            |  CASE WHEN c_custkey % 4 = 0 THEN -5.0 WHEN c_custkey % 4 = 1 THEN -6.0
            |       WHEN c_custkey % 4 = 2 THEN -7.0 ELSE -8.0 END AS ca_gmt_offset,
@@ -1155,7 +1158,7 @@ object TpcdsCorpus {
        |  FROM customer),
        |t_ca AS (
        |  SELECT c_custkey AS ca_address_sk,
-       |    lpad(CAST((c_custkey * 6151 + 7) % 100000 AS VARCHAR), 5, '0') AS ca_zip
+       |    ([${lit(specZips)}])[CAST((c_custkey * 7) % 40 AS INTEGER) + 1] AS ca_zip
        |  FROM customer),
        |t_store AS (
        |  SELECT s_suppkey AS s_store_sk,
@@ -1768,7 +1771,7 @@ object TpcdsCorpus {
        |    ([${lit(cities)}])[CAST((c_custkey // 7) % 10 AS INTEGER) + 1] AS ca_city,
        |    ([${lit(counties)}])[CAST(c_custkey % 10 AS INTEGER) + 1] AS ca_county,
        |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state,
-       |    lpad(CAST((c_custkey * 6151 + 7) % 100000 AS VARCHAR), 5, '0') AS ca_zip,
+       |    ([${lit(specZips)}])[CAST((c_custkey * 7) % 40 AS INTEGER) + 1] AS ca_zip,
        |    'United States' AS ca_country,
        |    CASE WHEN c_custkey % 4 = 0 THEN -5.0 WHEN c_custkey % 4 = 1 THEN -6.0
        |         WHEN c_custkey % 4 = 2 THEN -7.0 ELSE -8.0 END AS ca_gmt_offset,
@@ -2288,7 +2291,129 @@ object TpcdsCorpus {
        |ORDER BY item_id ASC, ss_item_rev ASC
        |LIMIT 100""".stripMargin
 
+  /** q05's slice: 14-day sales+returns P&L per channel id via
+    * union-then-group CTEs; the web leg fans returns out over the
+    * sale rows of the same (item, order).
+    */
+  private val q05Oracle: String =
+    s"""WITH win AS (
+       |  SELECT DATE '2000-08-23' AS lo, DATE '2000-08-23' + INTERVAL 14 DAY AS hi),
+       |b AS (
+       |  SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS store_sk,
+       |    CAST(l_shipdate AS DATE) AS sold_d, l_returnflag = 'R' AS ret,
+       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 7) DAY AS sr_d,
+       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 9) DAY AS cr_d,
+       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 11) DAY AS wr_d,
+       |    (l_orderkey + l_partkey) % 200 + 1 AS cp_sk,
+       |    (l_orderkey + l_linenumber) % 30 + 1 AS web_sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS sales_i4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit_i4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.5 * 100000 AS HUGEINT) AS ramt_i5,
+       |    CAST((CAST(l_extendedprice AS DECIMAL(12,2)) * 0.1 + 5.0) * 1000 AS HUGEINT) AS loss_i3
+       |  FROM lineitem),
+       |ssr AS (
+       |  SELECT id, sum(s4) AS sales, sum(p4) AS profit, sum(r5) AS returns,
+       |    sum(l3) AS profit_loss
+       |  FROM (
+       |    SELECT concat('STORE', lpad(CAST(store_sk AS VARCHAR), 16, '0')) AS id,
+       |      sales_i4 AS s4, profit_i4 AS p4, 0 AS r5, 0 AS l3
+       |    FROM b, win WHERE sold_d BETWEEN lo AND hi
+       |    UNION ALL
+       |    SELECT concat('STORE', lpad(CAST(store_sk AS VARCHAR), 16, '0')),
+       |      0, 0, ramt_i5, loss_i3
+       |    FROM b, win WHERE ret AND sr_d BETWEEN lo AND hi) u
+       |  GROUP BY id),
+       |csr AS (
+       |  SELECT id, sum(s4) AS sales, sum(p4) AS profit, sum(r5) AS returns,
+       |    sum(l3) AS profit_loss
+       |  FROM (
+       |    SELECT concat('PAGE', lpad(CAST(cp_sk AS VARCHAR), 16, '0')) AS id,
+       |      sales_i4 AS s4, profit_i4 AS p4, 0 AS r5, 0 AS l3
+       |    FROM b, win WHERE sold_d BETWEEN lo AND hi
+       |    UNION ALL
+       |    SELECT concat('PAGE', lpad(CAST(cp_sk AS VARCHAR), 16, '0')),
+       |      0, 0, ramt_i5, loss_i3
+       |    FROM b, win WHERE ret AND cr_d BETWEEN lo AND hi) u
+       |  GROUP BY id),
+       |wsr AS (
+       |  SELECT id, sum(s4) AS sales, sum(p4) AS profit, sum(r5) AS returns,
+       |    sum(l3) AS profit_loss
+       |  FROM (
+       |    SELECT concat('SITE', lpad(CAST(web_sk AS VARCHAR), 16, '0')) AS id,
+       |      sales_i4 AS s4, profit_i4 AS p4, 0 AS r5, 0 AS l3
+       |    FROM b, win WHERE sold_d BETWEEN lo AND hi
+       |    UNION ALL
+       |    SELECT concat('SITE', lpad(CAST(s.web_sk AS VARCHAR), 16, '0')),
+       |      0, 0, r.ramt_i5, r.loss_i3
+       |    FROM (SELECT * FROM b, win WHERE ret AND wr_d BETWEEN lo AND hi) r
+       |    JOIN b s ON r.pk = s.pk AND r.ok = s.ok) u
+       |  GROUP BY id),
+       |x AS (
+       |  SELECT 'spark_catalog.tpcds.store channel' AS channel,
+       |    concat('store', id) AS id, sales, returns,
+       |    profit - profit_loss * 10 AS profit FROM ssr
+       |  UNION ALL
+       |  SELECT 'catalog channel', concat('catalog_page', id), sales, returns,
+       |    profit - profit_loss * 10 FROM csr
+       |  UNION ALL
+       |  SELECT 'web channel', concat('web_site', id), sales, returns,
+       |    profit - profit_loss * 10 FROM wsr)
+       |SELECT channel, id, CAST(sum(sales) AS DOUBLE) / 10000.0 AS sales,
+       |  CAST(sum(returns) AS DOUBLE) / 100000.0 AS returns,
+       |  CAST(sum(profit) AS DOUBLE) / 10000.0 AS profit
+       |FROM x
+       |GROUP BY ROLLUP (channel, id)
+       |ORDER BY channel ASC NULLS FIRST, id ASC NULLS FIRST
+       |LIMIT 100""".stripMargin
+
+  /** q08's slice: store profit near zip clusters of >10 preferred
+    * customers. The synthesized zip domain is a subset of the file's
+    * 400-literal IN list, so the verbatim INTERSECT reduces to the
+    * preferred-count HAVING; the 2-char-prefix join fan-out (several
+    * qualifying zips sharing a prefix) is mirrored as a real join.
+    */
+  private val q08Oracle: String =
+    s"""WITH t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(specZips)}])[CAST((c_custkey * 7) % 40 AS INTEGER) + 1] AS ca_zip
+       |  FROM customer),
+       |v1 AS (
+       |  SELECT ca_zip
+       |  FROM (
+       |    SELECT ca_zip, count(*) AS cnt
+       |    FROM t_ca, customer
+       |    WHERE ca_address_sk = c_custkey AND c_custkey % 2 = 0
+       |    GROUP BY ca_zip
+       |    HAVING count(*) > 10) a1),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name,
+       |    lpad(CAST((s_suppkey * 2471 + 13) % 100000 AS VARCHAR), 5, '0') AS s_zip
+       |  FROM supplier),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS sold_d, l_suppkey AS ss_store_sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit_i4
+       |  FROM lineitem)
+       |SELECT s_store_name, CAST(sum(profit_i4) AS DOUBLE) / 10000.0 AS sum_profit
+       |FROM t_ss, t_store, v1
+       |WHERE ss_store_sk = s_store_sk
+       |  AND year(sold_d) = 1998 AND (month(sold_d) - 1) // 3 + 1 = 2
+       |  AND substr(s_zip, 1, 2) = substr(v1.ca_zip, 1, 2)
+       |GROUP BY s_store_name
+       |ORDER BY s_store_name ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q08", gate("q08", Seq("s_store_name", "sum_profit")),
+      Some(q08Oracle),
+      "verbatim reference file queries/tpcds/q08.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q05", gate("q05", Seq("channel", "id", "sales",
+      "returns", "profit")), Some(q05Oracle),
+      "verbatim reference file queries/tpcds/q05.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q58", gate("q58", Seq("item_id", "ss_item_rev",
       "ss_dev", "cs_item_rev", "cs_dev", "ws_item_rev", "ws_dev", "average")),
       Some(q58Oracle),
