@@ -305,9 +305,9 @@ object TpcdsCorpus {
            |  pmod(l_orderkey * 37 + 23, $custCount) AS ss_addr_sk, l_suppkey AS ss_store_sk,
            |  $promoSk AS ss_promo_sk, l_orderkey AS ss_ticket_number,
            |  CAST(l_quantity AS INT) AS ss_quantity,
-           |  l_extendedprice / l_quantity * 0.08 AS ss_wholesale_cost,
-           |  l_extendedprice / l_quantity * 0.12 AS ss_list_price,
-           |  l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS ss_sales_price,
+           |  CAST(l_extendedprice / l_quantity * 0.08 AS DECIMAL(12,2)) AS ss_wholesale_cost,
+           |  CAST(l_extendedprice / l_quantity * 0.12 AS DECIMAL(12,2)) AS ss_list_price,
+           |  CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) AS ss_sales_price,
            |  $dPrice * $dDisc AS ss_ext_discount_amt,
            |  $dPrice * (1 - $dDisc) AS ss_ext_sales_price,
            |  $dPrice * 0.8 AS ss_ext_wholesale_cost,
@@ -342,9 +342,9 @@ object TpcdsCorpus {
            |  l_partkey AS cs_item_sk, $promoSk AS cs_promo_sk,
            |  l_orderkey AS cs_order_number,
            |  CAST(l_quantity AS INT) AS cs_quantity,
-           |  l_extendedprice / l_quantity * 0.08 AS cs_wholesale_cost,
-           |  l_extendedprice / l_quantity * 0.12 AS cs_list_price,
-           |  l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS cs_sales_price,
+           |  CAST(l_extendedprice / l_quantity * 0.08 AS DECIMAL(12,2)) AS cs_wholesale_cost,
+           |  CAST(l_extendedprice / l_quantity * 0.12 AS DECIMAL(12,2)) AS cs_list_price,
+           |  CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) AS cs_sales_price,
            |  $dPrice * $dDisc AS cs_ext_discount_amt,
            |  $dPrice * (1 - $dDisc) AS cs_ext_sales_price,
            |  $dPrice * 0.8 AS cs_ext_wholesale_cost,
@@ -385,9 +385,9 @@ object TpcdsCorpus {
            |  l_partkey AS ws_item_sk, $promoSk AS ws_promo_sk,
            |  l_orderkey AS ws_order_number,
            |  CAST(l_quantity AS INT) AS ws_quantity,
-           |  l_extendedprice / l_quantity * 0.08 AS ws_wholesale_cost,
-           |  l_extendedprice / l_quantity * 0.12 AS ws_list_price,
-           |  l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS ws_sales_price,
+           |  CAST(l_extendedprice / l_quantity * 0.08 AS DECIMAL(12,2)) AS ws_wholesale_cost,
+           |  CAST(l_extendedprice / l_quantity * 0.12 AS DECIMAL(12,2)) AS ws_list_price,
+           |  CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) AS ws_sales_price,
            |  $dPrice * $dDisc AS ws_ext_discount_amt,
            |  $dPrice * (1 - $dDisc) AS ws_ext_sales_price,
            |  $dPrice * 0.8 AS ws_ext_wholesale_cost,
@@ -1411,7 +1411,7 @@ object TpcdsCorpus {
        |    l_suppkey AS ss_store_sk, CAST(l_quantity AS INTEGER) AS ss_quantity,
        |    (l_orderkey * 31 + l_partkey) % 7200 AS ss_cdemo_sk,
        |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
-       |    l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS ss_sales_price,
+       |    CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) AS ss_sales_price,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS ss_net_profit
        |  FROM lineitem),
@@ -2407,7 +2407,141 @@ object TpcdsCorpus {
        |ORDER BY s_store_name ASC
        |LIMIT 100""".stripMargin
 
+  // Quantized per-unit price (scale-2 decimal), the HUGEINT mirror of
+  // the view's CAST(... AS DECIMAL(12,2)) columns.
+  private val salesPrice2 =
+    "CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) * 100 AS HUGEINT)"
+
+  /** q43's slice: day-of-week sales pivot for east-coast stores. */
+  private val q43Oracle: String =
+    s"""WITH t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS sold_d, l_suppkey AS store_sk,
+       |    $salesPrice2 AS price2
+       |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 2000),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name,
+       |    concat('STORE', lpad(CAST(s_suppkey AS VARCHAR), 16, '0')) AS s_store_id
+       |  FROM supplier WHERE s_suppkey % 2 = 0)
+       |SELECT s_store_name, s_store_id,
+       |  CAST(sum(CASE WHEN dow = 0 THEN price2 END) AS DOUBLE) / 100.0 AS sun_sales,
+       |  CAST(sum(CASE WHEN dow = 1 THEN price2 END) AS DOUBLE) / 100.0 AS mon_sales,
+       |  CAST(sum(CASE WHEN dow = 2 THEN price2 END) AS DOUBLE) / 100.0 AS tue_sales,
+       |  CAST(sum(CASE WHEN dow = 3 THEN price2 END) AS DOUBLE) / 100.0 AS wed_sales,
+       |  CAST(sum(CASE WHEN dow = 4 THEN price2 END) AS DOUBLE) / 100.0 AS thu_sales,
+       |  CAST(sum(CASE WHEN dow = 5 THEN price2 END) AS DOUBLE) / 100.0 AS fri_sales,
+       |  CAST(sum(CASE WHEN dow = 6 THEN price2 END) AS DOUBLE) / 100.0 AS sat_sales
+       |FROM (SELECT store_sk, price2,
+       |        (sold_d - DATE '1989-12-31') % 7 AS dow FROM t_ss) f, t_store
+       |WHERE store_sk = s_store_sk
+       |GROUP BY s_store_name, s_store_id
+       |ORDER BY s_store_name ASC, s_store_id ASC
+       |LIMIT 100""".stripMargin
+
+  /** q93's slice: actual (net-of-returns) sales for one return
+    * reason; the (item, ticket) LEFT JOIN is made inner by the
+    * reason predicate, and act_sales is int × DECIMAL(12,2) exact.
+    */
+  private val q93Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_ss AS (
+       |  SELECT l_partkey AS pk, l_orderkey AS ok,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    CAST(l_quantity AS HUGEINT) AS qty, $salesPrice2 AS price2
+       |  FROM lineitem),
+       |t_sr AS (
+       |  SELECT l_partkey AS pk, l_orderkey AS ok,
+       |    CAST(floor(l_quantity / 2) AS HUGEINT) + 1 AS rqty,
+       |    (l_orderkey + l_partkey) % 35 + 1 AS reason_sk
+       |  FROM lineitem WHERE l_returnflag = 'R')
+       |SELECT cust AS ss_customer_sk,
+       |  CAST(sum((qty - rqty) * price2) AS DOUBLE) / 100.0 AS sumsales
+       |FROM t_ss JOIN t_sr ON t_sr.pk = t_ss.pk AND t_sr.ok = t_ss.ok
+       |WHERE reason_sk = 28
+       |GROUP BY cust
+       |ORDER BY sumsales ASC, ss_customer_sk ASC
+       |LIMIT 100""".stripMargin
+
+  /** q15's slice: catalog revenue by buyer zip for target zips,
+    * states, or high-priced lines, 2001 Q2.
+    */
+  private val q15Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_cs AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS sold_d,
+       |    (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS bill_cust,
+       |    $salesPrice2 AS price2
+       |  FROM lineitem),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(specZips)}])[CAST((c_custkey * 7) % 40 AS INTEGER) + 1] AS ca_zip,
+       |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
+       |  FROM customer)
+       |SELECT ca_zip, CAST(sum(price2) AS DOUBLE) / 100.0 AS sum_price
+       |FROM t_cs, t_ca
+       |WHERE bill_cust = ca_address_sk
+       |  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+       |       '86475', '85392', '85460', '80348', '81792')
+       |    OR ca_state IN ('CA', 'WA', 'GA')
+       |    OR price2 > 50000)
+       |  AND year(sold_d) = 2001 AND (month(sold_d) - 1) // 3 + 1 = 2
+       |GROUP BY ca_zip
+       |ORDER BY ca_zip ASC
+       |LIMIT 100""".stripMargin
+
+  /** q07/q26's shape: per-item averages for M/S/College demographics
+    * under a promo-channel OR. The store and catalog variants share
+    * every derivation in the synthesis, so one mirror serves both.
+    * avg scales: quantity plain, list/sales 2+4, coupon 5+4.
+    */
+  private val q07Oracle: String =
+    s"""WITH t_f AS (
+       |  SELECT l_partkey AS item_sk,
+       |    CAST(l_quantity AS INTEGER) AS qty,
+       |    CAST(CAST(l_extendedprice / l_quantity * 0.12 AS DECIMAL(12,2)) * 100 AS HUGEINT) AS list2,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(l_discount AS DECIMAL(12,2)) * 0.5 * 100000 AS HUGEINT) AS coupon5,
+       |    $salesPrice2 AS sales2,
+       |    (l_orderkey * 31 + l_partkey) % 7200 AS cdemo,
+       |    (l_orderkey + l_partkey) % 11 AS promo_null,
+       |    (l_orderkey + l_partkey) % 300 AS promo_idx
+       |  FROM lineitem
+       |  WHERE year(CAST(l_shipdate AS DATE)) = 2000),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id
+       |  FROM part)
+       |SELECT i_item_id,
+       |  CAST(avg(qty) AS DOUBLE) AS agg1,
+       |  CAST((2 * sum(list2) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS agg2,
+       |  CAST((2 * sum(coupon5) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000.0 AS agg3,
+       |  CAST((2 * sum(sales2) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS agg4
+       |FROM t_f, t_item
+       |WHERE item_sk = i_item_sk
+       |  AND cdemo % 2 = 0 AND (cdemo // 2) % 5 = 1 AND (cdemo // 10) % 7 = 1
+       |  AND promo_null <> 0
+       |  AND (promo_idx % 3 <> 0 OR promo_idx % 7 <> 0)
+       |GROUP BY i_item_id
+       |ORDER BY i_item_id ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q07", gate("q07",
+      Seq("i_item_id", "agg1", "agg2", "agg3", "agg4")), Some(q07Oracle),
+      "verbatim reference file queries/tpcds/q07.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q26", gate("q26",
+      Seq("i_item_id", "agg1", "agg2", "agg3", "agg4")), Some(q07Oracle),
+      "verbatim reference file queries/tpcds/q26.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q43", gate("q43", Seq("s_store_name", "s_store_id",
+      "sun_sales", "mon_sales", "tue_sales", "wed_sales", "thu_sales",
+      "fri_sales", "sat_sales")), Some(q43Oracle),
+      "verbatim reference file queries/tpcds/q43.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q93", gate("q93", Seq("ss_customer_sk", "sumsales")),
+      Some(q93Oracle),
+      "verbatim reference file queries/tpcds/q93.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q15", gate("q15", Seq("ca_zip", "sum_price")),
+      Some(q15Oracle),
+      "verbatim reference file queries/tpcds/q15.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q08", gate("q08", Seq("s_store_name", "sum_profit")),
       Some(q08Oracle),
       "verbatim reference file queries/tpcds/q08.sql via synthesized tables"),
