@@ -120,7 +120,11 @@ object TpcdsCorpus {
   private val dDisc = "CAST(l_discount AS DECIMAL(12,2))"
   private val dTax = "CAST(l_tax AS DECIMAL(12,2))"
 
-  private val soldDateSk = "datediff(CAST(l_shipdate AS DATE), DATE '1989-12-31')"
+  // Sold dates are the TPC-H ship dates shifted +365 days, mapping the
+  // fixture's 1995-2001 range onto 1996-2002 so the corpus's year-2002
+  // predicates (q02/q10/q30/q49/q59/q74/q75...) select non-empty
+  // slices while every 1998-2001 filter stays covered.
+  private val soldDateSk = "datediff((CAST(l_shipdate AS DATE) + 365), DATE '1989-12-31')"
   private def custSk(c: Long) = s"pmod(l_orderkey * 13 + 7, $c)"
   private def shipCustSk(c: Long) = s"pmod(l_orderkey * 19 + 3, $c)"
   private val cdemoSk = "pmod(l_orderkey * 31 + l_partkey, 7200)"
@@ -666,15 +670,15 @@ object TpcdsCorpus {
        |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name
        |  FROM customer),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
        |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS cust_sk
        |  FROM lineitem),
        |t_cs AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
        |    (l_orderkey * 29 + 17) % (SELECT count(*) FROM customer) AS cust_sk
        |  FROM lineitem),
        |t_ws AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
        |    (l_orderkey * 23 + 11) % (SELECT count(*) FROM customer) AS cust_sk
        |  FROM lineitem)""".stripMargin
 
@@ -732,7 +736,7 @@ object TpcdsCorpus {
        |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag
        |  FROM customer),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_orderkey AS ss_ticket_number,
        |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
        |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
@@ -783,15 +787,15 @@ object TpcdsCorpus {
        |    ([${lit(creditRatings)}])[CAST((i // 70) % 4 AS INTEGER) + 1] AS cd_credit_rating
        |  FROM range(0, 7200) t(i)),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
        |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS cust_sk
        |  FROM lineitem),
        |t_ws AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
        |    (l_orderkey * 23 + 11) % (SELECT count(*) FROM customer) AS cust_sk
        |  FROM lineitem),
        |t_cs AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
        |    (l_orderkey * 19 + 3) % (SELECT count(*) FROM customer) AS cust_sk
        |  FROM lineitem)
        |SELECT cd_gender, cd_marital_status, cd_education_status,
@@ -841,8 +845,8 @@ object TpcdsCorpus {
        |    concat('site_', CAST(i % 15 AS VARCHAR)) AS web_name
        |  FROM range(0, 30) t(i)),
        |t_ws AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ws_sold_date_sk,
-       |    CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ws_sold_date_sk,
+       |    (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31'
        |      + (l_orderkey * 5 + l_linenumber) % 60 + 2 AS ws_ship_date_sk,
        |    (l_orderkey + l_linenumber) % 10 + 1 AS ws_warehouse_sk,
        |    (l_orderkey + l_linenumber * 7) % 20 + 1 AS ws_ship_mode_sk,
@@ -889,8 +893,8 @@ object TpcdsCorpus {
        |      'Pacific Northwest', 'Hawaii/Alaska'])[CAST(i % 6 AS INTEGER) + 1] AS cc_name
        |  FROM range(0, 6) t(i)),
        |t_cs AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS cs_sold_date_sk,
-       |    CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS cs_sold_date_sk,
+       |    (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31'
        |      + (l_orderkey * 3 + l_linenumber) % 60 + 2 AS cs_ship_date_sk,
        |    (l_orderkey + l_linenumber * 3) % 10 + 1 AS cs_warehouse_sk,
        |    (l_orderkey + l_linenumber) % 20 + 1 AS cs_ship_mode_sk,
@@ -938,13 +942,13 @@ object TpcdsCorpus {
        |    lpad(CAST((s_suppkey * 2471 + 13) % 100000 AS VARCHAR), 5, '0') AS s_zip
        |  FROM supplier),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_partkey AS ss_item_sk, l_orderkey AS ss_ticket_number,
        |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
        |    l_suppkey AS ss_store_sk
        |  FROM lineitem),
        |t_sr AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31'
        |      + l_orderkey % 60 + 7 AS sr_returned_date_sk,
        |    l_partkey AS sr_item_sk, l_orderkey AS sr_ticket_number,
        |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS sr_customer_sk
@@ -1027,8 +1031,8 @@ object TpcdsCorpus {
   private val q72Oracle: String =
     s"""WITH custs AS (SELECT count(*) AS n FROM customer),
        |t_cs AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS cs_sold_date_sk,
-       |    CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS cs_sold_date_sk,
+       |    (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31'
        |      + (l_orderkey * 3 + l_linenumber) % 60 + 2 AS cs_ship_date_sk,
        |    l_partkey AS cs_item_sk, l_orderkey AS cs_order_number,
        |    (l_orderkey * 31 + l_partkey) % 7200 AS cs_bill_cdemo_sk,
@@ -1091,7 +1095,7 @@ object TpcdsCorpus {
        |    CAST(p_partkey % 100 + 1 AS INTEGER) AS i_manager_id
        |  FROM part),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_partkey AS ss_item_sk,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ss_ext_sales_price
@@ -1147,7 +1151,7 @@ object TpcdsCorpus {
   private val q19Oracle: String =
     s"""$brandFamilyPrefix,
        |t_ss2 AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_partkey AS ss_item_sk, l_suppkey AS ss_store_sk,
        |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
@@ -1188,7 +1192,7 @@ object TpcdsCorpus {
        |    year(CAST(g AS DATE)) AS d_year
        |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_orderkey AS ss_ticket_number, l_suppkey AS ss_store_sk,
        |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
        |    (l_orderkey * 37 + 23) % (SELECT count(*) FROM customer) AS ss_addr_sk,
@@ -1239,7 +1243,7 @@ object TpcdsCorpus {
        |    day(CAST(g AS DATE)) AS d_dom, year(CAST(g AS DATE)) AS d_year
        |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_orderkey AS ss_ticket_number, l_suppkey AS ss_store_sk,
        |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS ss_customer_sk,
        |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
@@ -1302,7 +1306,7 @@ object TpcdsCorpus {
        |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
        |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_suppkey AS ss_store_sk,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS ss_net_profit
@@ -1348,7 +1352,7 @@ object TpcdsCorpus {
        |    year(CAST(g AS DATE)) AS d_year
        |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_orderkey AS ss_ticket_number, l_suppkey AS ss_store_sk,
        |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS ss_customer_sk,
        |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
@@ -1407,7 +1411,7 @@ object TpcdsCorpus {
        |    year(CAST(g AS DATE)) AS d_year
        |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_suppkey AS ss_store_sk, CAST(l_quantity AS INTEGER) AS ss_quantity,
        |    (l_orderkey * 31 + l_partkey) % 7200 AS ss_cdemo_sk,
        |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
@@ -1455,7 +1459,7 @@ object TpcdsCorpus {
        |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
        |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
        |t_ws AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ws_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ws_sold_date_sk,
        |    l_partkey AS ws_item_sk,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ws_net_paid
@@ -1493,14 +1497,14 @@ object TpcdsCorpus {
        |  SELECT (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS customer_sk,
        |    l_partkey AS item_sk
        |  FROM lineitem, t_dd
-       |  WHERE CAST(l_shipdate AS DATE) - DATE '1989-12-31' = d_date_sk
+       |  WHERE (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' = d_date_sk
        |    AND d_month_seq BETWEEN 1200 AND 1211
        |  GROUP BY 1, 2),
        |csci AS (
        |  SELECT (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS customer_sk,
        |    l_partkey AS item_sk
        |  FROM lineitem, t_dd
-       |  WHERE CAST(l_shipdate AS DATE) - DATE '1989-12-31' = d_date_sk
+       |  WHERE (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' = d_date_sk
        |    AND d_month_seq BETWEEN 1200 AND 1211
        |  GROUP BY 1, 2)
        |SELECT
@@ -1549,7 +1553,7 @@ object TpcdsCorpus {
        |         WHEN i // 3600 BETWEEN 17 AND 19 THEN 'dinner' END AS t_meal_time
        |  FROM range(0, 86400) t(i)),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_date_sk,
        |    l_partkey AS item_sk,
        |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS addr_sk,
        |    (l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS time_sk,
@@ -1557,7 +1561,7 @@ object TpcdsCorpus {
        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ext_sales_price
        |  FROM lineitem),
        |t_cs AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_date_sk,
        |    l_partkey AS item_sk,
        |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS addr_sk,
        |    (l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS time_sk,
@@ -1565,7 +1569,7 @@ object TpcdsCorpus {
        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ext_sales_price
        |  FROM lineitem),
        |t_ws AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_date_sk,
        |    l_partkey AS item_sk,
        |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS addr_sk,
        |    (l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS time_sk,
@@ -1690,7 +1694,7 @@ object TpcdsCorpus {
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |         * CAST(l_discount AS DECIMAL(12,2)) * 10000 AS HUGEINT) AS ext_i
        |  FROM lineitem
-       |  WHERE CAST(l_shipdate AS DATE)
+       |  WHERE (CAST(l_shipdate AS DATE) + 365)
        |        BETWEEN DATE '2000-01-27' AND DATE '2000-01-27' + INTERVAL 90 DAY)
        |SELECT CAST(sum(ext_i) AS DOUBLE) / 10000.0 AS excess_discount_amount
        |FROM t_f f, t_item i
@@ -1721,7 +1725,7 @@ object TpcdsCorpus {
        |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.5 * 100000 AS HUGEINT)) AS t5
        |  FROM lineitem
        |  WHERE l_returnflag = 'R'
-       |    AND year(CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 7) DAY) = 2000
+       |    AND year((CAST(l_shipdate AS DATE) + 365) + INTERVAL (l_orderkey % 60 + 7) DAY) = 2000
        |  GROUP BY 1, 2),
        |t_store AS (
        |  SELECT s_suppkey AS s_store_sk,
@@ -1760,7 +1764,7 @@ object TpcdsCorpus {
        |         + 10) // 20) AS t6
        |  FROM lineitem
        |  WHERE l_returnflag = 'R'
-       |    AND year(CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 9) DAY) = 2000
+       |    AND year((CAST(l_shipdate AS DATE) + 365) + INTERVAL (l_orderkey % 60 + 9) DAY) = 2000
        |  GROUP BY 1, 2),
        |t_ca AS (
        |  SELECT c_custkey AS ca_address_sk,
@@ -1844,7 +1848,7 @@ object TpcdsCorpus {
        |    year(CAST(g AS DATE)) AS d_year
        |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_partkey AS ss_item_sk, l_suppkey AS ss_store_sk,
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit_i,
@@ -1904,7 +1908,7 @@ object TpcdsCorpus {
        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS sales_i
        |  FROM lineitem, t_dd, t_ca
-       |  WHERE CAST(l_shipdate AS DATE) - DATE '1989-12-31' = d_date_sk
+       |  WHERE (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' = d_date_sk
        |    AND (l_orderkey * 37 + 23) % (SELECT n FROM custs) = ca_address_sk
        |  GROUP BY ca_county, d_qoy, d_year),
        |f_ws AS (
@@ -1912,7 +1916,7 @@ object TpcdsCorpus {
        |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS sales_i
        |  FROM lineitem, t_dd, t_ca
-       |  WHERE CAST(l_shipdate AS DATE) - DATE '1989-12-31' = d_date_sk
+       |  WHERE (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' = d_date_sk
        |    AND (l_orderkey * 13 + 7) % (SELECT n FROM custs) = ca_address_sk
        |  GROUP BY ca_county, d_qoy, d_year)
        |SELECT ss1.ca_county, ss1.d_year,
@@ -1953,8 +1957,8 @@ object TpcdsCorpus {
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS ext_i
        |  FROM lineitem
-       |  WHERE year(CAST(l_shipdate AS DATE)) = 1998
-       |    AND month(CAST(l_shipdate AS DATE)) = 11
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 1998
+       |    AND month((CAST(l_shipdate AS DATE) + 365)) = 11
        |    AND l_partkey % 10 = 4
        |    AND l_suppkey % 2 = 0
        |    AND ((l_orderkey * 13 + 7) % (SELECT n FROM custs)) % 4 = 0
@@ -1983,10 +1987,10 @@ object TpcdsCorpus {
     s"""WITH win AS (
        |  SELECT DATE '2000-08-23' AS lo, DATE '2000-08-23' + INTERVAL 30 DAY AS hi),
        |b AS (
-       |  SELECT CAST(l_shipdate AS DATE) AS sold_d,
-       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 7) DAY AS sr_d,
-       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 9) DAY AS cr_d,
-       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 11) DAY AS wr_d,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d,
+       |    (CAST(l_shipdate AS DATE) + 365) + INTERVAL (l_orderkey % 60 + 7) DAY AS sr_d,
+       |    (CAST(l_shipdate AS DATE) + 365) + INTERVAL (l_orderkey % 60 + 9) DAY AS cr_d,
+       |    (CAST(l_shipdate AS DATE) + 365) + INTERVAL (l_orderkey % 60 + 11) DAY AS wr_d,
        |    l_returnflag = 'R' AS ret,
        |    l_suppkey AS store_sk,
        |    l_orderkey % 6 + 1 AS cc_sk,
@@ -2046,7 +2050,7 @@ object TpcdsCorpus {
        |  SELECT DATE '2000-08-23' AS lo, DATE '2000-08-23' + INTERVAL 30 DAY AS hi),
        |b AS (
        |  SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS store_sk,
-       |    CAST(l_shipdate AS DATE) AS sold_d, l_returnflag = 'R' AS ret,
+       |    (CAST(l_shipdate AS DATE) + 365) AS sold_d, l_returnflag = 'R' AS ret,
        |    (l_orderkey + l_partkey) % 200 + 1 AS cp_sk,
        |    (l_orderkey + l_linenumber) % 30 + 1 AS web_sk,
        |    (l_orderkey + l_partkey) % 11 AS promo_null,
@@ -2115,21 +2119,21 @@ object TpcdsCorpus {
        |  SELECT i_item_id AS item_id, sum(CAST(floor(l_quantity / 2) AS INTEGER) + 1) AS q
        |  FROM lineitem, t_item
        |  WHERE l_returnflag = 'R' AND l_partkey = i_item_sk
-       |    AND (CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |    AND ((CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31'
        |         + l_orderkey % 60 + 7) // 7 IN (SELECT w FROM wks)
        |  GROUP BY 1),
        |cr_items AS (
        |  SELECT i_item_id AS item_id, sum(CAST(floor(l_quantity / 2) AS INTEGER) + 1) AS q
        |  FROM lineitem, t_item
        |  WHERE l_returnflag = 'R' AND l_partkey = i_item_sk
-       |    AND (CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |    AND ((CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31'
        |         + l_orderkey % 60 + 9) // 7 IN (SELECT w FROM wks)
        |  GROUP BY 1),
        |wr_items AS (
        |  SELECT i_item_id AS item_id, sum(CAST(floor(l_quantity / 2) AS INTEGER) + 1) AS q
        |  FROM lineitem, t_item
        |  WHERE l_returnflag = 'R' AND l_partkey = i_item_sk
-       |    AND (CAST(l_shipdate AS DATE) - DATE '1989-12-31'
+       |    AND ((CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31'
        |         + l_orderkey % 60 + 11) // 7 IN (SELECT w FROM wks)
        |  GROUP BY 1),
        |j AS (
@@ -2208,7 +2212,7 @@ object TpcdsCorpus {
        |    (2 * CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |        * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) + 100) // 200 AS profit2
        |  FROM lineitem
-       |  WHERE year(CAST(l_shipdate AS DATE)) = 1998),
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 1998),
        |t_cd AS (
        |  SELECT i AS cd_demo_sk, CAST(i % 7 AS HUGEINT) * 100 AS dep2
        |  FROM range(0, 7200) t(i)
@@ -2261,7 +2265,7 @@ object TpcdsCorpus {
        |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS r4
        |  FROM lineitem, t_item
        |  WHERE l_partkey = i_item_sk
-       |    AND (CAST(l_shipdate AS DATE) - DATE '1989-12-31') // 7 = (SELECT w FROM wk)
+       |    AND ((CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31') // 7 = (SELECT w FROM wk)
        |  GROUP BY 1),
        |j AS (
        |  SELECT s.item_id, s.r4 AS ss4, c.r4 AS cs4, w.r4 AS ws4
@@ -2300,10 +2304,10 @@ object TpcdsCorpus {
        |  SELECT DATE '2000-08-23' AS lo, DATE '2000-08-23' + INTERVAL 14 DAY AS hi),
        |b AS (
        |  SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS store_sk,
-       |    CAST(l_shipdate AS DATE) AS sold_d, l_returnflag = 'R' AS ret,
-       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 7) DAY AS sr_d,
-       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 9) DAY AS cr_d,
-       |    CAST(l_shipdate AS DATE) + INTERVAL (l_orderkey % 60 + 11) DAY AS wr_d,
+       |    (CAST(l_shipdate AS DATE) + 365) AS sold_d, l_returnflag = 'R' AS ret,
+       |    (CAST(l_shipdate AS DATE) + 365) + INTERVAL (l_orderkey % 60 + 7) DAY AS sr_d,
+       |    (CAST(l_shipdate AS DATE) + 365) + INTERVAL (l_orderkey % 60 + 9) DAY AS cr_d,
+       |    (CAST(l_shipdate AS DATE) + 365) + INTERVAL (l_orderkey % 60 + 11) DAY AS wr_d,
        |    (l_orderkey + l_partkey) % 200 + 1 AS cp_sk,
        |    (l_orderkey + l_linenumber) % 30 + 1 AS web_sk,
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -2394,7 +2398,7 @@ object TpcdsCorpus {
        |    lpad(CAST((s_suppkey * 2471 + 13) % 100000 AS VARCHAR), 5, '0') AS s_zip
        |  FROM supplier),
        |t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) AS sold_d, l_suppkey AS ss_store_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d, l_suppkey AS ss_store_sk,
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit_i4
        |  FROM lineitem)
@@ -2415,9 +2419,9 @@ object TpcdsCorpus {
   /** q43's slice: day-of-week sales pivot for east-coast stores. */
   private val q43Oracle: String =
     s"""WITH t_ss AS (
-       |  SELECT CAST(l_shipdate AS DATE) AS sold_d, l_suppkey AS store_sk,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d, l_suppkey AS store_sk,
        |    $salesPrice2 AS price2
-       |  FROM lineitem WHERE year(CAST(l_shipdate AS DATE)) = 2000),
+       |  FROM lineitem WHERE year((CAST(l_shipdate AS DATE) + 365)) = 2000),
        |t_store AS (
        |  SELECT s_suppkey AS s_store_sk,
        |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name,
@@ -2468,7 +2472,7 @@ object TpcdsCorpus {
   private val q15Oracle: String =
     s"""WITH custs AS (SELECT count(*) AS n FROM customer),
        |t_cs AS (
-       |  SELECT CAST(l_shipdate AS DATE) AS sold_d,
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d,
        |    (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS bill_cust,
        |    $salesPrice2 AS price2
        |  FROM lineitem),
@@ -2506,7 +2510,7 @@ object TpcdsCorpus {
        |    (l_orderkey + l_partkey) % 11 AS promo_null,
        |    (l_orderkey + l_partkey) % 300 AS promo_idx
        |  FROM lineitem
-       |  WHERE year(CAST(l_shipdate AS DATE)) = 2000),
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 2000),
        |t_item AS (
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id
@@ -2525,7 +2529,187 @@ object TpcdsCorpus {
        |ORDER BY i_item_id ASC
        |LIMIT 100""".stripMargin
 
+  /** q66's slice: the 44-column warehouse/month shipping pivot. The
+    * web leg's measures are scale-4 (ext·qty, net_paid·qty), the
+    * catalog leg's are scale-2 (sales_price·qty) and scale-6
+    * (net_paid_inc_tax·qty); Spark's per-leg /sq_ft divisions land
+    * at scales 6/6 (web) and 7/6 (catalog) — all mirrored in HUGEINT.
+    * The UNION's 38-precision cap REDUCES scale (net → 4,
+    * per-sq-foot → 6); empirically the coercion RE-TYPES the
+    * catalog leg's division and multiplication to produce the
+    * reduced scales directly (single half-up rounding each).
+    */
+  private val q66Oracle: String = {
+    val mon = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+      "sep", "oct", "nov", "dec")
+    def caseSum(m: Int, expr: String) =
+      s"sum(CASE WHEN month(sold_d) = ${m + 1} THEN $expr ELSE 0 END)"
+    val wsSums = mon.zipWithIndex.map { case (n, i) =>
+      s"${caseSum(i, "s4")} AS ${n}_s4, ${caseSum(i, "n4")} AS ${n}_n4"
+    }.mkString(",\n       |    ")
+    val csSums = mon.zipWithIndex.map { case (n, i) =>
+      s"${caseSum(i, "s2")} AS ${n}_s2, ${caseSum(i, "n6")} AS ${n}_n6"
+    }.mkString(",\n       |    ")
+    val wsOut = mon.map { n =>
+      s"${n}_s4 AS ${n}_sales4, (2 * ${n}_s4 * 100 + sqft) // (2 * sqft) AS ${n}_ft7x," +
+        s" ${n}_n4 AS ${n}_net4"
+    }.mkString(",\n       |    ")
+    val csOut = mon.map { n =>
+      s"${n}_s2 * 100 AS ${n}_sales4, (2 * ${n}_s2 * 10000 + sqft) // (2 * sqft) AS ${n}_ft7y," +
+        s" ${n}_n6 AS ${n}_net6"
+    }.mkString(",\n       |    ")
+    val unionCols = mon.map { n =>
+      s"${n}_sales4, ${n}_ft7, ${n}_net6"
+    }.mkString(", ")
+    val wsAlign = mon.map { n =>
+      s"${n}_sales4, ${n}_ft7x AS ${n}_ft6, ${n}_net4"
+    }.mkString(",\n       |    ")
+    val csAlign = mon.map { n =>
+      s"${n}_sales4, ${n}_ft7y AS ${n}_ft6," +
+        s" (2 * ${n}_net6 + 100) // 200 AS ${n}_net4"
+    }.mkString(",\n       |    ")
+    val outer = mon.map { n =>
+      s"CAST(sum(${n}_sales4) AS DOUBLE) / 10000.0 AS ${n}_sales," +
+        s" CAST(sum(${n}_ft6) AS DOUBLE) / 1000000.0 AS ${n}_sales_per_sq_foot," +
+        s" CAST(sum(${n}_net4) AS DOUBLE) / 10000.0 AS ${n}_net"
+    }.mkString(",\n       |  ")
+    s"""WITH t_wh AS (
+       |  SELECT i + 1 AS wh_sk,
+       |    concat('Warehouse#', CAST(i + 1 AS VARCHAR)) AS w_warehouse_name,
+       |    CAST(50000 + i * 17231 AS INTEGER) AS sqft,
+       |    ([${lit(cities)}])[CAST(i % 10 AS INTEGER) + 1] AS w_city,
+       |    ([${lit(counties)}])[CAST((i + 3) % 10 AS INTEGER) + 1] AS w_county,
+       |    ([${lit(states)}])[CAST(i % 10 AS INTEGER) + 1] AS w_state,
+       |    'United States' AS w_country
+       |  FROM range(0, 10) t(i)),
+       |base AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d,
+       |    l_orderkey AS ok, l_linenumber AS ln,
+       |    CAST(l_quantity AS HUGEINT) AS qty,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS ext4,
+       |    CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1
+       |         AS DECIMAL(12,2)) * 100 AS HUGEINT) AS price2,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+       |      * (1 + CAST(l_tax AS DECIMAL(12,2))) * 1000000 AS HUGEINT) AS paidtax6
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 2001
+       |    AND (l_orderkey * 7919 + l_linenumber * 104729) % 86400
+       |        BETWEEN 30838 AND 59638),
+       |ws_leg AS (
+       |  SELECT w_warehouse_name, sqft, w_city, w_county, w_state, w_country,
+       |    $wsSums
+       |  FROM (SELECT sold_d, (ok + ln) % 10 + 1 AS wh_sk,
+       |          ext4 * qty AS s4, ext4 * qty AS n4
+       |        FROM base WHERE (ok + ln * 7) % 20 IN (0, 1)) f, t_wh
+       |  WHERE f.wh_sk = t_wh.wh_sk
+       |  GROUP BY 1, 2, 3, 4, 5, 6),
+       |cs_leg AS (
+       |  SELECT w_warehouse_name, sqft, w_city, w_county, w_state, w_country,
+       |    $csSums
+       |  FROM (SELECT sold_d, (ok + ln * 3) % 10 + 1 AS wh_sk,
+       |          price2 * qty AS s2, paidtax6 * qty AS n6
+       |        FROM base WHERE (ok + ln) % 20 IN (0, 1)) f, t_wh
+       |  WHERE f.wh_sk = t_wh.wh_sk
+       |  GROUP BY 1, 2, 3, 4, 5, 6),
+       |u AS (
+       |  SELECT w_warehouse_name, sqft, w_city, w_county, w_state, w_country,
+       |    $wsAlign
+       |  FROM (SELECT w_warehouse_name, sqft, w_city, w_county, w_state, w_country,
+       |          $wsOut
+       |        FROM ws_leg) t
+       |  UNION ALL
+       |  SELECT w_warehouse_name, sqft, w_city, w_county, w_state, w_country,
+       |    $csAlign
+       |  FROM (SELECT w_warehouse_name, sqft, w_city, w_county, w_state, w_country,
+       |          $csOut
+       |        FROM cs_leg) t)
+       |SELECT w_warehouse_name, sqft AS w_warehouse_sq_ft, w_city, w_county,
+       |  w_state, w_country, 'DHL,BARIAN' AS ship_carriers, 2001 AS year_,
+       |  $outer
+       |FROM u
+       |GROUP BY w_warehouse_name, sqft, w_city, w_county, w_state, w_country
+       |ORDER BY w_warehouse_name ASC
+       |LIMIT 100""".stripMargin
+  }
+
+  private val q66Cols: Seq[String] = {
+    val mon = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+      "sep", "oct", "nov", "dec")
+    Seq("w_warehouse_name", "w_warehouse_sq_ft", "w_city", "w_county",
+      "w_state", "w_country", "ship_carriers", "year_") ++
+      mon.map(_ + "_sales") ++ mon.map(_ + "_sales_per_sq_foot") ++
+      mon.map(_ + "_net")
+  }
+
+  /** q59's slice: week-over-week day-of-week sales ratios, 2001 vs
+    * 2002 weeks. Ratios are DECIMAL(38,16) — past double precision —
+    * so each is built as a decimal string and parsed once. The
+    * week-join fan-out (one row per day of the week inside the
+    * month-seq window) is mirrored with a real date_dim join.
+    */
+  private val q59Oracle: String = {
+    val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val wssSums = days.zipWithIndex.map { case (n, i) =>
+      s"sum(CASE WHEN dow = $i THEN price2 ELSE NULL END) AS ${n}_s"
+    }.mkString(",\n       |    ")
+    def ratio(n: String) =
+      s"""substr(${n}_r, 1, length(${n}_r) - 16) || '.' ||
+         |    substr(${n}_r, length(${n}_r) - 15, 16)""".stripMargin
+    val ratioStrs = days.map { n =>
+      s"lpad(CAST((2 * y.${n}_s * ${"1" + "0" * 16} + x.${n}_s) // (2 * x.${n}_s) AS VARCHAR), 40, '0') AS ${n}_r"
+    }.mkString(",\n       |    ")
+    val outs = days.map { n =>
+      s"CAST(${ratio(n)} AS DOUBLE) AS ${n}_ratio"
+    }.mkString(",\n       |  ")
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (CAST(g AS DATE) - DATE '1989-12-31') // 7 AS d_week_seq,
+       |    (year(CAST(g AS DATE)) - 1900) * 12 + month(CAST(g AS DATE)) - 1 AS d_month_seq
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name,
+       |    concat('STORE', lpad(CAST(s_suppkey AS VARCHAR), 16, '0')) AS s_store_id
+       |  FROM supplier),
+       |wss AS (
+       |  SELECT wk, store_sk, $wssSums
+       |  FROM (SELECT ((CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31') // 7 AS wk,
+       |          ((CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31') % 7 AS dow,
+       |          l_suppkey AS store_sk, $salesPrice2 AS price2
+       |        FROM lineitem) f
+       |  GROUP BY wk, store_sk),
+       |y AS (
+       |  SELECT s_store_name AS s_store_name1, wss.wk AS d_week_seq1,
+       |    s_store_id AS s_store_id1, sun_s, mon_s, tue_s, wed_s, thu_s, fri_s, sat_s
+       |  FROM wss, t_store, t_dd d
+       |  WHERE d.d_week_seq = wss.wk AND store_sk = s_store_sk
+       |    AND d_month_seq BETWEEN 1212 AND 1223),
+       |x AS (
+       |  SELECT s_store_id AS s_store_id2, wss.wk AS d_week_seq2,
+       |    sun_s, mon_s, tue_s, wed_s, thu_s, fri_s, sat_s
+       |  FROM wss, t_store, t_dd d
+       |  WHERE d.d_week_seq = wss.wk AND store_sk = s_store_sk
+       |    AND d_month_seq BETWEEN 1224 AND 1235),
+       |j AS (
+       |  SELECT s_store_name1, s_store_id1, d_week_seq1,
+       |    $ratioStrs
+       |  FROM y, x
+       |  WHERE s_store_id1 = s_store_id2 AND d_week_seq1 = d_week_seq2 - 52)
+       |SELECT s_store_name1, s_store_id1, d_week_seq1,
+       |  $outs
+       |FROM j
+       |ORDER BY s_store_name1 ASC, s_store_id1 ASC, d_week_seq1 ASC
+       |LIMIT 100""".stripMargin
+  }
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q59", gate("q59", Seq("s_store_name1",
+      "s_store_id1", "d_week_seq1", "sun_ratio", "mon_ratio", "tue_ratio",
+      "wed_ratio", "thu_ratio", "fri_ratio", "sat_ratio")), Some(q59Oracle),
+      "verbatim reference file queries/tpcds/q59.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q66", gate("q66", q66Cols), Some(q66Oracle),
+      "verbatim reference file queries/tpcds/q66.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q07", gate("q07",
       Seq("i_item_id", "agg1", "agg2", "agg3", "agg4")), Some(q07Oracle),
       "verbatim reference file queries/tpcds/q07.sql via synthesized tables"),
