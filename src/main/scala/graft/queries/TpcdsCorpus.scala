@@ -58,9 +58,11 @@ object TpcdsCorpus {
     "Gram", "Oz", "Pallet", "Bunch")
   private val states = Seq("TN", "SD", "FL", "MI", "OH", "TX", "GA", "NM",
     "VA", "CA")
-  private val counties = Seq("Williamson County", "Ziebach County",
-    "Walker County", "Daviess County", "Barrow County", "Franklin Parish",
-    "Luce County", "Richland County", "Bronx County", "Orange County")
+  // Keeps q73's four filter counties; the rest are q10's literals so
+  // its county predicate selects a real subset.
+  private val counties = Seq("Williamson County", "Rush County",
+    "Toole County", "Jefferson County", "Dona Ana County", "Franklin Parish",
+    "La Porte County", "Richland County", "Bronx County", "Orange County")
   // Midway/Fairview/Edgewood are the cities the corpus filters on.
   private val cities = Seq("Midway", "Fairview", "Oak Grove", "Five Points",
     "Pleasant Hill", "Centerville", "Liberty", "Edgewood", "Union", "Spring Hill")
@@ -2703,7 +2705,318 @@ object TpcdsCorpus {
        |LIMIT 100""".stripMargin
   }
 
+  /** Shared mirror CTEs for the q10/q35 shopper-demographics family:
+    * per-channel (customer, date) activity sets for EXISTS probes.
+    */
+  private def activityCtes(dateCond: String): String =
+    s"""custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year, month(CAST(g AS DATE)) AS d_moy,
+       |    (month(CAST(g AS DATE)) - 1) // 3 + 1 AS d_qoy
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |act_ss AS (
+       |  SELECT DISTINCT (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust
+       |  FROM lineitem, t_dd
+       |  WHERE (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' = d_date_sk
+       |    AND $dateCond),
+       |act_ws AS (
+       |  SELECT DISTINCT (l_orderkey * 23 + 11) % (SELECT n FROM custs) AS cust
+       |  FROM lineitem, t_dd
+       |  WHERE (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' = d_date_sk
+       |    AND $dateCond),
+       |act_cs AS (
+       |  SELECT DISTINCT (l_orderkey * 19 + 3) % (SELECT n FROM custs) AS cust
+       |  FROM lineitem, t_dd
+       |  WHERE (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' = d_date_sk
+       |    AND $dateCond)""".stripMargin
+
+  /** q10's slice: demographic count buckets for active 2002 H1
+    * shoppers in the five target counties.
+    */
+  private val q10Oracle: String =
+    s"""WITH ${activityCtes("d_year = 2002 AND d_moy BETWEEN 1 AND 4")},
+       |t_customer AS (
+       |  SELECT c_custkey AS c_customer_sk, c_custkey AS c_current_addr_sk,
+       |    (c_custkey * 7 + 1) % 7200 AS c_current_cdemo_sk
+       |  FROM customer),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(counties)}])[CAST(c_custkey % 10 AS INTEGER) + 1] AS ca_county
+       |  FROM customer),
+       |t_cd AS (
+       |  SELECT i AS cd_demo_sk,
+       |    CASE WHEN i % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+       |    ([${lit(maritalStatuses)}])[CAST((i // 2) % 5 AS INTEGER) + 1] AS cd_marital_status,
+       |    ([${lit(educations)}])[CAST((i // 10) % 7 AS INTEGER) + 1] AS cd_education_status,
+       |    CAST((i % 20) * 500 + 500 AS INTEGER) AS cd_purchase_estimate,
+       |    ([${lit(creditRatings)}])[CAST((i // 70) % 4 AS INTEGER) + 1] AS cd_credit_rating,
+       |    CAST(i % 7 AS INTEGER) AS cd_dep_count,
+       |    CAST((i // 7) % 7 AS INTEGER) AS cd_dep_employed_count,
+       |    CAST((i // 49) % 7 AS INTEGER) AS cd_dep_college_count
+       |  FROM range(0, 7200) t(i))
+       |SELECT cd_gender, cd_marital_status, cd_education_status, count(*) AS cnt1,
+       |  cd_purchase_estimate, count(*) AS cnt2, cd_credit_rating, count(*) AS cnt3,
+       |  cd_dep_count, count(*) AS cnt4, cd_dep_employed_count, count(*) AS cnt5,
+       |  cd_dep_college_count, count(*) AS cnt6
+       |FROM t_customer c, t_ca ca, t_cd
+       |WHERE c.c_current_addr_sk = ca.ca_address_sk
+       |  AND ca_county IN ('Rush County', 'Toole County', 'Jefferson County',
+       |    'Dona Ana County', 'La Porte County')
+       |  AND cd_demo_sk = c.c_current_cdemo_sk
+       |  AND EXISTS (SELECT 1 FROM act_ss WHERE cust = c.c_customer_sk)
+       |  AND (EXISTS (SELECT 1 FROM act_ws WHERE cust = c.c_customer_sk)
+       |    OR EXISTS (SELECT 1 FROM act_cs WHERE cust = c.c_customer_sk))
+       |GROUP BY cd_gender, cd_marital_status, cd_education_status,
+       |  cd_purchase_estimate, cd_credit_rating, cd_dep_count,
+       |  cd_dep_employed_count, cd_dep_college_count
+       |ORDER BY cd_gender ASC, cd_marital_status ASC, cd_education_status ASC,
+       |  cd_purchase_estimate ASC, cd_credit_rating ASC, cd_dep_count ASC,
+       |  cd_dep_employed_count ASC, cd_dep_college_count ASC
+       |LIMIT 100""".stripMargin
+
+  /** q35's slice: dependent-count stats per state for active 2002
+    * Q1-Q3 shoppers (int min/max/avg only — all exact).
+    */
+  private val q35Oracle: String =
+    s"""WITH ${activityCtes("d_year = 2002 AND d_qoy < 4")},
+       |t_customer AS (
+       |  SELECT c_custkey AS c_customer_sk, c_custkey AS c_current_addr_sk,
+       |    (c_custkey * 7 + 1) % 7200 AS c_current_cdemo_sk
+       |  FROM customer),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
+       |  FROM customer),
+       |t_cd AS (
+       |  SELECT i AS cd_demo_sk,
+       |    CASE WHEN i % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+       |    ([${lit(maritalStatuses)}])[CAST((i // 2) % 5 AS INTEGER) + 1] AS cd_marital_status,
+       |    CAST(i % 7 AS INTEGER) AS cd_dep_count,
+       |    CAST((i // 7) % 7 AS INTEGER) AS cd_dep_employed_count,
+       |    CAST((i // 49) % 7 AS INTEGER) AS cd_dep_college_count
+       |  FROM range(0, 7200) t(i))
+       |SELECT ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       |  count(*) AS cnt1, min(cd_dep_count) AS min1, max(cd_dep_count) AS max1,
+       |  CAST(avg(cd_dep_count) AS DOUBLE) AS avg1,
+       |  cd_dep_employed_count, count(*) AS cnt2,
+       |  min(cd_dep_employed_count) AS min2, max(cd_dep_employed_count) AS max2,
+       |  CAST(avg(cd_dep_employed_count) AS DOUBLE) AS avg2,
+       |  cd_dep_college_count, count(*) AS cnt3,
+       |  min(cd_dep_college_count) AS min3, max(cd_dep_college_count) AS max3,
+       |  CAST(avg(cd_dep_college_count) AS DOUBLE) AS avg3
+       |FROM t_customer c, t_ca ca, t_cd
+       |WHERE c.c_current_addr_sk = ca.ca_address_sk
+       |  AND cd_demo_sk = c.c_current_cdemo_sk
+       |  AND EXISTS (SELECT 1 FROM act_ss WHERE cust = c.c_customer_sk)
+       |  AND (EXISTS (SELECT 1 FROM act_ws WHERE cust = c.c_customer_sk)
+       |    OR EXISTS (SELECT 1 FROM act_cs WHERE cust = c.c_customer_sk))
+       |GROUP BY ca_state, cd_gender, cd_marital_status, cd_dep_count,
+       |  cd_dep_employed_count, cd_dep_college_count
+       |ORDER BY ca_state ASC, cd_gender ASC, cd_marital_status ASC,
+       |  cd_dep_count ASC, cd_dep_employed_count ASC, cd_dep_college_count ASC
+       |LIMIT 100""".stripMargin
+
+  /** q02's slice: 2001-vs-2002 week-over-week (53-week offset)
+    * day-name revenue ratios over web+catalog. The division lands at
+    * DECIMAL(38,6), then `round(,2)` half-up — both in HUGEINT; the
+    * year filter joins date_dim per DAY of the week (fan-out kept).
+    */
+  private val q02Oracle: String = {
+    val days = Seq("sun", "mon", "tue", "wed", "thu", "fri", "sat")
+    val sums = days.zipWithIndex.map { case (n, i) =>
+      s"sum(CASE WHEN dow = $i THEN ext4 ELSE NULL END) AS ${n}_s"
+    }.mkString(",\n       |    ")
+    val outs = days.map { n =>
+      s"CAST((2 * ((2 * y.${n}_s * 1000000 + x.${n}_s) // (2 * x.${n}_s)) + 10000)" +
+        s" // 20000 AS DOUBLE) / 100.0 AS ${n}_r"
+    }.mkString(",\n       |  ")
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    (CAST(g AS DATE) - DATE '1989-12-31') // 7 AS d_week_seq,
+       |    year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |wscs AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS ext4
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31',
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)
+       |  FROM lineitem),
+       |wswscs AS (
+       |  SELECT sold_sk // 7 AS wk, $sums
+       |  FROM (SELECT sold_sk, sold_sk % 7 AS dow, ext4 FROM wscs) f
+       |  GROUP BY 1),
+       |y AS (
+       |  SELECT wswscs.wk AS d_week_seq1, sun_s, mon_s, tue_s, wed_s, thu_s,
+       |    fri_s, sat_s
+       |  FROM wswscs, t_dd d
+       |  WHERE d.d_week_seq = wswscs.wk AND d_year = 2001),
+       |x AS (
+       |  SELECT wswscs.wk AS d_week_seq2, sun_s, mon_s, tue_s, wed_s, thu_s,
+       |    fri_s, sat_s
+       |  FROM wswscs, t_dd d
+       |  WHERE d.d_week_seq = wswscs.wk AND d_year = 2002)
+       |SELECT y.d_week_seq1,
+       |  $outs
+       |FROM y, x
+       |WHERE y.d_week_seq1 = x.d_week_seq2 - 53
+       |ORDER BY y.d_week_seq1 ASC""".stripMargin
+  }
+
+  /** q74's slice: customers whose web net-paid grew faster than
+    * store net-paid from 2001 to 2002; the growth quotients are
+    * DECIMAL(38,6) half-up, compared as HUGEINTs.
+    */
+  private val q74Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |yt_s AS (
+       |  SELECT (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    year((CAST(l_shipdate AS DATE) + 365)) AS yr,
+       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS p4
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) IN (2001, 2002)
+       |  GROUP BY 1, 2),
+       |yt_w AS (
+       |  SELECT (l_orderkey * 23 + 11) % (SELECT n FROM custs) AS cust,
+       |    year((CAST(l_shipdate AS DATE) + 365)) AS yr,
+       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS p4
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) IN (2001, 2002)
+       |  GROUP BY 1, 2),
+       |t_cust AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    concat('CUST', lpad(CAST(c_custkey AS VARCHAR), 16, '0')) AS customer_id,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS customer_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS customer_last_name
+       |  FROM customer)
+       |SELECT c.customer_id, c.customer_first_name, c.customer_last_name
+       |FROM yt_s s1, yt_s s2, yt_w w1, yt_w w2, t_cust c
+       |WHERE s1.cust = c.c_customer_sk AND s2.cust = c.c_customer_sk
+       |  AND w1.cust = c.c_customer_sk AND w2.cust = c.c_customer_sk
+       |  AND s1.yr = 2001 AND s2.yr = 2002 AND w1.yr = 2001 AND w2.yr = 2002
+       |  AND s1.p4 > 0 AND w1.p4 > 0
+       |  AND (2 * w2.p4 * 1000000 + w1.p4) // (2 * w1.p4)
+       |    > (2 * s2.p4 * 1000000 + s1.p4) // (2 * s1.p4)
+       |ORDER BY c.customer_id ASC
+       |LIMIT 100""".stripMargin
+
+  // (list - discount) at scale 4, as a HUGEINT — q11's year-total.
+  private val listMinusDisc4 =
+    """CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 1.2 * 10000 AS HUGEINT)
+      |        - CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |               * CAST(l_discount AS DECIMAL(12,2)) * 10000 AS HUGEINT)""".stripMargin
+  // ((list - wholesale - discount + sales) / 2) rounded half-up at
+  // Spark's per-row scale 6 — q04's year-total.
+  private val dealHalf6 =
+    """((CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 1.2 * 10000 AS HUGEINT)
+      |         - CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 0.8 * 10000 AS HUGEINT)
+      |         - CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * CAST(l_discount AS DECIMAL(12,2)) * 10000 AS HUGEINT)
+      |         + CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT))
+      |        * 100 + 1) // 2""".stripMargin
+
+  private def yearTotalCte(name: String, custFormula: String,
+      measure: String): String =
+    s"""$name AS (
+       |  SELECT ($custFormula) % (SELECT n FROM custs) AS cust,
+       |    year((CAST(l_shipdate AS DATE) + 365)) AS yr,
+       |    sum($measure) AS t
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) IN (2001, 2002)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** q11's slice: web-vs-store (list - discount) growth, six
+    * customer output columns; quotients DECIMAL(38,6) half-up.
+    */
+  private val q11Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |${yearTotalCte("yt_s", "l_orderkey * 13 + 7", listMinusDisc4)},
+       |${yearTotalCte("yt_w", "l_orderkey * 23 + 11", listMinusDisc4)},
+       |t_cust AS (
+       |  SELECT c_custkey AS sk,
+       |    concat('CUST', lpad(CAST(c_custkey AS VARCHAR), 16, '0')) AS customer_id,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS customer_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS customer_last_name,
+       |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS customer_preferred_cust_flag,
+       |    ([${lit(nationNames)}])[CAST(c_nationkey AS INTEGER) + 1] AS customer_birth_country,
+       |    concat('login_', CAST(c_custkey AS VARCHAR)) AS customer_login
+       |  FROM customer)
+       |SELECT c.customer_id, c.customer_first_name, c.customer_last_name,
+       |  c.customer_preferred_cust_flag, c.customer_birth_country, c.customer_login
+       |FROM yt_s s1, yt_s s2, yt_w w1, yt_w w2, t_cust c
+       |WHERE s1.cust = c.sk AND s2.cust = c.sk AND w1.cust = c.sk AND w2.cust = c.sk
+       |  AND s1.yr = 2001 AND s2.yr = 2002 AND w1.yr = 2001 AND w2.yr = 2002
+       |  AND s1.t > 0 AND w1.t > 0
+       |  AND (2 * w2.t * 1000000 + w1.t) // (2 * w1.t)
+       |    > (2 * s2.t * 1000000 + s1.t) // (2 * s1.t)
+       |ORDER BY c.customer_id ASC
+       |LIMIT 100""".stripMargin
+
+  /** q04's slice: catalog growth beating both store and web on the
+    * half-deal measure (per-row /2 rounds at scale 6).
+    */
+  private val q04Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |${yearTotalCte("yt_s", "l_orderkey * 13 + 7", dealHalf6)},
+       |${yearTotalCte("yt_c", "l_orderkey * 29 + 17", dealHalf6)},
+       |${yearTotalCte("yt_w", "l_orderkey * 23 + 11", dealHalf6)},
+       |t_cust AS (
+       |  SELECT c_custkey AS sk,
+       |    concat('CUST', lpad(CAST(c_custkey AS VARCHAR), 16, '0')) AS customer_id,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS customer_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS customer_last_name,
+       |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS customer_preferred_cust_flag
+       |  FROM customer)
+       |SELECT c.customer_id, c.customer_first_name, c.customer_last_name,
+       |  c.customer_preferred_cust_flag
+       |FROM yt_s s1, yt_s s2, yt_c c1, yt_c c2, yt_w w1, yt_w w2, t_cust c
+       |WHERE s1.cust = c.sk AND s2.cust = c.sk AND c1.cust = c.sk
+       |  AND c2.cust = c.sk AND w1.cust = c.sk AND w2.cust = c.sk
+       |  AND s1.yr = 2001 AND s2.yr = 2002 AND c1.yr = 2001 AND c2.yr = 2002
+       |  AND w1.yr = 2001 AND w2.yr = 2002
+       |  AND s1.t > 0 AND c1.t > 0 AND w1.t > 0
+       |  AND (2 * c2.t * 1000000 + c1.t) // (2 * c1.t)
+       |    > (2 * s2.t * 1000000 + s1.t) // (2 * s1.t)
+       |  AND (2 * c2.t * 1000000 + c1.t) // (2 * c1.t)
+       |    > (2 * w2.t * 1000000 + w1.t) // (2 * w1.t)
+       |ORDER BY c.customer_id ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q11", gate("q11", Seq("customer_id",
+      "customer_first_name", "customer_last_name",
+      "customer_preferred_cust_flag", "customer_birth_country",
+      "customer_login")), Some(q11Oracle),
+      "verbatim reference file queries/tpcds/q11.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q04", gate("q04", Seq("customer_id",
+      "customer_first_name", "customer_last_name",
+      "customer_preferred_cust_flag")), Some(q04Oracle),
+      "verbatim reference file queries/tpcds/q04.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q74", gate("q74", Seq("customer_id",
+      "customer_first_name", "customer_last_name")), Some(q74Oracle),
+      "verbatim reference file queries/tpcds/q74.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q02", gate("q02", Seq("d_week_seq1", "sun_r",
+      "mon_r", "tue_r", "wed_r", "thu_r", "fri_r", "sat_r")), Some(q02Oracle),
+      "verbatim reference file queries/tpcds/q02.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q10", gate("q10", Seq("cd_gender",
+      "cd_marital_status", "cd_education_status", "cnt1",
+      "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3",
+      "cd_dep_count", "cnt4", "cd_dep_employed_count", "cnt5",
+      "cd_dep_college_count", "cnt6")), Some(q10Oracle),
+      "verbatim reference file queries/tpcds/q10.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q35", gate("q35", Seq("ca_state", "cd_gender",
+      "cd_marital_status", "cd_dep_count", "cnt1", "min1", "max1", "avg1",
+      "cd_dep_employed_count", "cnt2", "min2", "max2", "avg2",
+      "cd_dep_college_count", "cnt3", "min3", "max3", "avg3")),
+      Some(q35Oracle),
+      "verbatim reference file queries/tpcds/q35.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q59", gate("q59", Seq("s_store_name1",
       "s_store_id1", "d_week_seq1", "sun_ratio", "mon_ratio", "tue_ratio",
       "wed_ratio", "thu_ratio", "fri_ratio", "sat_ratio")), Some(q59Oracle),
