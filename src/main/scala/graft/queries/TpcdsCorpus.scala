@@ -2989,7 +2989,203 @@ object TpcdsCorpus {
        |ORDER BY c.customer_id ASC
        |LIMIT 100""".stripMargin
 
+  /** q16's slice: multi-warehouse unreturned catalog orders shipped
+    * to GA in spring 2002 from Williamson County call centers.
+    */
+  private val q16Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_cs AS (
+       |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+       |    (CAST(l_shipdate AS DATE) + 365)
+       |      + CAST((l_orderkey * 3 + l_linenumber) % 60 + 2 AS INTEGER) AS ship_d,
+       |    (l_orderkey * 19 + 3) % (SELECT n FROM custs) AS ship_addr,
+       |    l_orderkey % 6 + 1 AS cc_sk,
+       |    (l_orderkey + l_linenumber * 3) % 10 + 1 AS wh_sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 0.05 * 10000 AS HUGEINT) AS ship4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit4
+       |  FROM lineitem),
+       |returned AS (SELECT DISTINCT l_orderkey AS ok FROM lineitem WHERE l_returnflag = 'R')
+       |SELECT count(DISTINCT cs1.ok) AS order_count,
+       |  CAST(sum(ship4) AS DOUBLE) / 10000.0 AS total_shipping_cost,
+       |  CAST(sum(profit4) AS DOUBLE) / 10000.0 AS total_net_profit
+       |FROM t_cs cs1
+       |WHERE cs1.ship_d BETWEEN DATE '2002-02-01' AND DATE '2002-02-01' + 60
+       |  AND cs1.ship_addr >= 1 AND ((cs1.ship_addr // 5) % 10) = 6
+       |  AND cs1.cc_sk = 1
+       |  AND EXISTS (SELECT 1 FROM t_cs cs2
+       |              WHERE cs1.ok = cs2.ok AND cs1.wh_sk <> cs2.wh_sk)
+       |  AND NOT EXISTS (SELECT 1 FROM returned WHERE returned.ok = cs1.ok)""".stripMargin
+
+  /** q49's slice: worst return ratios per channel, December 2001.
+    * All three channels share one derivation in the synthesis; the
+    * DECIMAL(15,4) casts make the quantity ratio exact at scale 20
+    * and round the amount numerator (scale 5 → 4) half-up first.
+    */
+  private val q49Oracle: String =
+    s"""WITH j AS (
+       |  SELECT s.pk AS item,
+       |    sum(r.rqty) AS rq, sum(s.qty) AS q,
+       |    (2 * sum(r.ramt5) + 10) // 20 AS ramt4, sum(s.paid4) AS paid4
+       |  FROM (
+       |    SELECT l_orderkey AS ok, l_partkey AS pk,
+       |      CAST(l_quantity AS HUGEINT) AS qty,
+       |      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS paid4,
+       |      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit4
+       |    FROM lineitem
+       |    WHERE year((CAST(l_shipdate AS DATE) + 365)) = 2001
+       |      AND month((CAST(l_shipdate AS DATE) + 365)) = 12) s
+       |  JOIN (
+       |    SELECT l_orderkey AS ok, l_partkey AS pk,
+       |      CAST(floor(l_quantity / 2) AS HUGEINT) + 1 AS rqty,
+       |      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.5 * 100000 AS HUGEINT) AS ramt5
+       |    FROM lineitem WHERE l_returnflag = 'R') r
+       |  ON s.ok = r.ok AND s.pk = r.pk
+       |  WHERE r.ramt5 > ${"1" + "0" * 9} AND s.profit4 > 10000
+       |    AND s.paid4 > 0 AND s.qty > 0
+       |  GROUP BY s.pk),
+       |ranked AS (
+       |  SELECT item,
+       |    (2 * rq * ${"1" + "0" * 20} + q) // (2 * q) AS r20,
+       |    (2 * ramt4 * ${"1" + "0" * 20} + paid4) // (2 * paid4) AS c20,
+       |    rank() OVER (ORDER BY (2 * rq * ${"1" + "0" * 20} + q) // (2 * q) ASC) AS return_rank,
+       |    rank() OVER (ORDER BY (2 * ramt4 * ${"1" + "0" * 20} + paid4) // (2 * paid4) ASC) AS currency_rank
+       |  FROM j),
+       |keep AS (
+       |  SELECT *, lpad(CAST(r20 AS VARCHAR), 40, '0') AS rs
+       |  FROM ranked WHERE return_rank <= 10 OR currency_rank <= 10),
+       |one AS (
+       |  SELECT item,
+       |    CAST(substr(rs, 1, length(rs) - 20) || '.' ||
+       |         substr(rs, length(rs) - 19, 20) AS DOUBLE) AS return_ratio,
+       |    return_rank, currency_rank
+       |  FROM keep)
+       |SELECT 'web' AS channel, item, return_ratio, return_rank, currency_rank FROM one
+       |UNION ALL
+       |SELECT 'catalog', item, return_ratio, return_rank, currency_rank FROM one
+       |UNION ALL
+       |SELECT 'store', item, return_ratio, return_rank, currency_rank FROM one
+       |ORDER BY 1 ASC, 4 ASC, 5 ASC, 2 ASC
+       |LIMIT 100""".stripMargin
+
+  /** q30's slice: GA customers with 2002 web returns > 1.2× their
+    * state's average (scale-5 totals, avg rounds at 5+4).
+    */
+  private val q30Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |ctr AS (
+       |  SELECT (l_orderkey * 19 + 3) % (SELECT n FROM custs) AS ctr_customer_sk,
+       |    ((((l_orderkey * 19 + 3) % (SELECT n FROM custs)) // 5) % 10) AS state_idx,
+       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.5 * 100000 AS HUGEINT)) AS t5
+       |  FROM lineitem
+       |  WHERE l_returnflag = 'R'
+       |    AND year((CAST(l_shipdate AS DATE) + 365)
+       |             + CAST(l_orderkey % 60 + 11 AS INTEGER)) = 2002
+       |    AND (l_orderkey * 19 + 3) % (SELECT n FROM custs) >= 1
+       |  GROUP BY 1, 2),
+       |t_cust AS (
+       |  SELECT c_custkey AS c_customer_sk, c_custkey AS c_current_addr_sk,
+       |    concat('CUST', lpad(CAST(c_custkey AS VARCHAR), 16, '0')) AS c_customer_id,
+       |    (['Mr.', 'Mrs.', 'Ms.', 'Dr.', 'Miss', 'Sir'])[CAST(c_custkey % 6 AS INTEGER) + 1] AS c_salutation,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name,
+       |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag,
+       |    CAST(c_custkey % 28 + 1 AS INTEGER) AS c_birth_day,
+       |    CAST(c_custkey % 12 + 1 AS INTEGER) AS c_birth_month,
+       |    CAST(1924 + c_custkey % 69 AS INTEGER) AS c_birth_year,
+       |    ([${lit(nationNames)}])[CAST(c_nationkey AS INTEGER) + 1] AS c_birth_country,
+       |    concat('login_', CAST(c_custkey AS VARCHAR)) AS c_login,
+       |    concat('cust', CAST(c_custkey AS VARCHAR), '@example.com') AS c_email_address,
+       |    CAST(3650 + c_custkey % 1000 AS BIGINT) AS c_last_review_date_sk
+       |  FROM customer),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
+       |  FROM customer)
+       |SELECT c_customer_id, c_salutation, c_first_name, c_last_name,
+       |  c_preferred_cust_flag, c_birth_day, c_birth_month, c_birth_year,
+       |  c_birth_country, c_login, c_email_address, c_last_review_date_sk,
+       |  CAST(t5 AS DOUBLE) / 100000.0 AS ctr_total_return
+       |FROM ctr ctr1, t_ca, t_cust
+       |WHERE 100000 * ctr1.t5 > 12 * (
+       |    SELECT (2 * sum(t5) * 10000 + count(*)) // (2 * count(*))
+       |    FROM ctr ctr2 WHERE ctr1.state_idx = ctr2.state_idx)
+       |  AND ca_address_sk = c_current_addr_sk
+       |  AND ca_state = 'GA'
+       |  AND ctr1.ctr_customer_sk = c_customer_sk
+       |ORDER BY c_customer_id ASC, c_salutation ASC, c_first_name ASC,
+       |  c_last_name ASC, c_preferred_cust_flag ASC, c_birth_day ASC,
+       |  c_birth_month ASC, c_birth_year ASC, c_birth_country ASC, c_login ASC,
+       |  c_email_address ASC, c_last_review_date_sk ASC, ctr_total_return ASC
+       |LIMIT 100""".stripMargin
+
+  /** q75's slice: Books manufacturers whose 2002 net sales count
+    * fell below 0.9× 2001. The three channel blocks are identical
+    * derivations, so the verbatim UNION (distinct) collapses to one
+    * DISTINCT row set; the 0.9 ratio filter reduces to exact
+    * `10·curr < 9·prev` (no reachable rounding boundary at scale 23).
+    */
+  private val q75Oracle: String =
+    s"""WITH detail AS (
+       |  SELECT DISTINCT year((CAST(l_shipdate AS DATE) + 365)) AS d_year,
+       |    CAST(l_partkey % 1000 + 1 AS INTEGER) AS i_brand_id,
+       |    CAST(l_partkey % 16 + 1 AS INTEGER) AS i_class_id,
+       |    CAST(l_partkey % 10 + 1 AS INTEGER) AS i_category_id,
+       |    CAST(l_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id,
+       |    CAST(l_quantity AS HUGEINT) - COALESCE(r.rqty, 0) AS sales_cnt,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) * 10
+       |      - COALESCE(r.ramt5, 0) AS amt5
+       |  FROM lineitem
+       |  LEFT JOIN (
+       |    SELECT l_orderkey AS ok, l_partkey AS pk,
+       |      CAST(floor(l_quantity / 2) AS HUGEINT) + 1 AS rqty,
+       |      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.5 * 100000 AS HUGEINT) AS ramt5
+       |    FROM lineitem WHERE l_returnflag = 'R') r
+       |  ON l_orderkey = r.ok AND l_partkey = r.pk
+       |  WHERE l_partkey % 10 = 0),
+       |all_sales AS (
+       |  SELECT d_year, i_brand_id, i_class_id, i_category_id, i_manufact_id,
+       |    sum(sales_cnt) AS sales_cnt, sum(amt5) AS amt5
+       |  FROM detail
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT p.d_year AS prev_year, c.d_year AS year_, c.i_brand_id,
+       |  c.i_class_id, c.i_category_id, c.i_manufact_id,
+       |  p.sales_cnt AS prev_yr_cnt, c.sales_cnt AS curr_yr_cnt,
+       |  c.sales_cnt - p.sales_cnt AS sales_cnt_diff,
+       |  CAST(c.amt5 - p.amt5 AS DOUBLE) / 100000.0 AS sales_amt_diff
+       |FROM all_sales c, all_sales p
+       |WHERE c.i_brand_id = p.i_brand_id AND c.i_class_id = p.i_class_id
+       |  AND c.i_category_id = p.i_category_id
+       |  AND c.i_manufact_id = p.i_manufact_id
+       |  AND c.d_year = 2002 AND p.d_year = 2001
+       |  AND 10 * c.sales_cnt < 9 * p.sales_cnt
+       |ORDER BY sales_cnt_diff ASC, sales_amt_diff ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q75", gate("q75", Seq("prev_year", "year_",
+      "i_brand_id", "i_class_id", "i_category_id", "i_manufact_id",
+      "prev_yr_cnt", "curr_yr_cnt", "sales_cnt_diff", "sales_amt_diff")),
+      Some(q75Oracle),
+      "verbatim reference file queries/tpcds/q75.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q30", gate("q30", Seq("c_customer_id",
+      "c_salutation", "c_first_name", "c_last_name", "c_preferred_cust_flag",
+      "c_birth_day", "c_birth_month", "c_birth_year", "c_birth_country",
+      "c_login", "c_email_address", "c_last_review_date_sk",
+      "ctr_total_return")), Some(q30Oracle),
+      "verbatim reference file queries/tpcds/q30.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q49", gate("q49", Seq("channel", "item",
+      "return_ratio", "return_rank", "currency_rank")), Some(q49Oracle),
+      "verbatim reference file queries/tpcds/q49.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q16", gate("q16", Seq("order_count",
+      "total_shipping_cost", "total_net_profit")), Some(q16Oracle),
+      "verbatim reference file queries/tpcds/q16.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q11", gate("q11", Seq("customer_id",
       "customer_first_name", "customer_last_name",
       "customer_preferred_cust_flag", "customer_birth_country",
