@@ -1417,7 +1417,7 @@ object TpcdsCorpus {
        |    l_suppkey AS ss_store_sk, CAST(l_quantity AS INTEGER) AS ss_quantity,
        |    (l_orderkey * 31 + l_partkey) % 7200 AS ss_cdemo_sk,
        |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
-       |    CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) AS ss_sales_price,
+       |    CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS VARCHAR) AS DECIMAL(12,2)) AS ss_sales_price,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS ss_net_profit
        |  FROM lineitem),
@@ -2207,10 +2207,10 @@ object TpcdsCorpus {
        |    (l_orderkey * 31 + l_partkey) % 7200 AS cdemo,
        |    (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS bill_cust,
        |    CAST(l_quantity AS HUGEINT) * 100 AS qty2,
-       |    CAST(CAST(l_extendedprice / l_quantity * 0.12 AS DECIMAL(12,2)) * 100 AS HUGEINT) AS list2,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.12 AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS list2,
        |    (2 * CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |        * CAST(l_discount AS DECIMAL(12,2)) * 0.5 * 100000 AS HUGEINT) + 1000) // 2000 AS coupon2,
-       |    CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) * 100 AS HUGEINT) AS sales2,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS sales2,
        |    (2 * CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |        * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) + 100) // 200 AS profit2
        |  FROM lineitem
@@ -2416,7 +2416,7 @@ object TpcdsCorpus {
   // Quantized per-unit price (scale-2 decimal), the HUGEINT mirror of
   // the view's CAST(... AS DECIMAL(12,2)) columns.
   private val salesPrice2 =
-    "CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) * 100 AS HUGEINT)"
+    "CAST(CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT)"
 
   /** q43's slice: day-of-week sales pivot for east-coast stores. */
   private val q43Oracle: String =
@@ -2504,7 +2504,7 @@ object TpcdsCorpus {
     s"""WITH t_f AS (
        |  SELECT l_partkey AS item_sk,
        |    CAST(l_quantity AS INTEGER) AS qty,
-       |    CAST(CAST(l_extendedprice / l_quantity * 0.12 AS DECIMAL(12,2)) * 100 AS HUGEINT) AS list2,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.12 AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS list2,
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |      * CAST(l_discount AS DECIMAL(12,2)) * 0.5 * 100000 AS HUGEINT) AS coupon5,
        |    $salesPrice2 AS sales2,
@@ -2590,8 +2590,8 @@ object TpcdsCorpus {
        |    CAST(l_quantity AS HUGEINT) AS qty,
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS ext4,
-       |    CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1
-       |         AS DECIMAL(12,2)) * 100 AS HUGEINT) AS price2,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1
+       |              AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS price2,
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
        |      * (1 + CAST(l_tax AS DECIMAL(12,2))) * 1000000 AS HUGEINT) AS paidtax6
        |  FROM lineitem
@@ -3168,7 +3168,80 @@ object TpcdsCorpus {
        |ORDER BY sales_cnt_diff ASC, sales_amt_diff ASC
        |LIMIT 100""".stripMargin
 
+  /** q27's slice: q07's averages with a (item, state) rollup and
+    * GROUPING flag over TN stores, 2002.
+    */
+  private val q27Oracle: String =
+    s"""WITH t_f AS (
+       |  SELECT l_partkey AS item_sk, l_suppkey AS store_sk,
+       |    CAST(l_quantity AS INTEGER) AS qty,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.12 AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS list2,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(l_discount AS DECIMAL(12,2)) * 0.5 * 100000 AS HUGEINT) AS coupon5,
+       |    $salesPrice2 AS sales2,
+       |    (l_orderkey * 31 + l_partkey) % 7200 AS cdemo
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 2002),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id
+       |  FROM part),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(states)}])[CAST((s_suppkey // 3) % 10 AS INTEGER) + 1] AS s_state
+       |  FROM supplier)
+       |SELECT i_item_id, s_state,
+       |  GROUPING(s_state) AS g_state,
+       |  CAST(avg(qty) AS DOUBLE) AS agg1,
+       |  CAST((2 * sum(list2) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS agg2,
+       |  CAST((2 * sum(coupon5) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000.0 AS agg3,
+       |  CAST((2 * sum(sales2) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000.0 AS agg4
+       |FROM t_f, t_item, t_store
+       |WHERE item_sk = i_item_sk AND store_sk = s_store_sk
+       |  AND cdemo % 2 = 0 AND (cdemo // 2) % 5 = 1 AND (cdemo // 10) % 7 = 1
+       |  AND s_state IN ('TN')
+       |GROUP BY ROLLUP (i_item_id, s_state)
+       |ORDER BY i_item_id ASC NULLS FIRST, s_state ASC NULLS FIRST
+       |LIMIT 100""".stripMargin
+
+  /** q28's shape: six quantity-bucket profiles of list price under
+    * OR-of-band predicates (avg scale 6, exact DISTINCT counts).
+    */
+  private val q28Oracle: String = {
+    val buckets = Seq((1, 0, 5, 8, 459, 57), (2, 6, 10, 90, 2323, 31),
+      (3, 11, 15, 142, 12214, 79), (4, 16, 20, 135, 6071, 38),
+      (5, 21, 25, 122, 836, 17), (6, 26, 30, 154, 7326, 7))
+    val subs = buckets.map { case (i, qlo, qhi, l, c, w) =>
+      s"""(SELECT
+         |  CAST((2 * sum(list2) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE)
+         |    / 1000000.0 AS b${i}_lp,
+         |  count(list2) AS b${i}_cnt, count(DISTINCT list2) AS b${i}_cntd
+         |FROM t_f WHERE qty BETWEEN $qlo AND $qhi
+         |  AND (list2 BETWEEN ${l * 100} AND ${(l + 10) * 100}
+         |    OR coupon5 BETWEEN ${c * 100000L} AND ${(c + 1000) * 100000L}
+         |    OR whole2 BETWEEN ${w * 100} AND ${(w + 20) * 100})) b$i""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t_f AS (
+       |  SELECT CAST(l_quantity AS INTEGER) AS qty,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.12 AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS list2,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.08 AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS whole2,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * CAST(l_discount AS DECIMAL(12,2)) * 0.5 * 100000 AS HUGEINT) AS coupon5
+       |  FROM lineitem)
+       |SELECT * FROM
+       |$subs
+       |LIMIT 100""".stripMargin
+  }
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q27", gate("q27", Seq("i_item_id", "s_state",
+      "g_state", "agg1", "agg2", "agg3", "agg4")), Some(q27Oracle),
+      "verbatim reference file queries/tpcds/q27.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q28", gate("q28", Seq("b1_lp", "b1_cnt", "b1_cntd",
+      "b2_lp", "b2_cnt", "b2_cntd", "b3_lp", "b3_cnt", "b3_cntd",
+      "b4_lp", "b4_cnt", "b4_cntd", "b5_lp", "b5_cnt", "b5_cntd",
+      "b6_lp", "b6_cnt", "b6_cntd")), Some(q28Oracle),
+      "verbatim reference file queries/tpcds/q28.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q75", gate("q75", Seq("prev_year", "year_",
       "i_brand_id", "i_class_id", "i_category_id", "i_manufact_id",
       "prev_yr_cnt", "curr_yr_cnt", "sales_cnt_diff", "sales_amt_diff")),
