@@ -56,7 +56,9 @@ object TpcdsCorpus {
     "economy", "N/A", "petite")
   private val units = Seq("Each", "Dozen", "Case", "Pound", "Box", "Ton",
     "Gram", "Oz", "Pallet", "Bunch")
-  private val states = Seq("TN", "SD", "FL", "MI", "OH", "TX", "GA", "NM",
+  // 'IL' replaces dbgen's 'SD' (unused by any corpus literal) so
+  // q94/q95's ship-state predicate selects a real subset.
+  private val states = Seq("TN", "IL", "FL", "MI", "OH", "TX", "GA", "NM",
     "VA", "CA")
   // Keeps q73's four filter counties; the rest are q10's literals so
   // its county predicate selects a real subset.
@@ -171,8 +173,8 @@ object TpcdsCorpus {
            |  ${pick(colors, "(p_partkey div 3) % 16")} AS i_color,
            |  ${pick(sizes, "p_partkey % 7")} AS i_size,
            |  ${pick(units, "(p_partkey div 7) % 10")} AS i_units,
-           |  CAST(p_partkey % 100 AS DOUBLE) + 0.99 AS i_current_price,
-           |  CAST(p_partkey % 80 AS DOUBLE) + 1.5 AS i_wholesale_cost
+           |  CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS i_current_price,
+           |  CAST(p_partkey % 80 + 1.5 AS DECIMAL(7,2)) AS i_wholesale_cost
            |FROM ${pq("part")}""".stripMargin,
       "store" ->
         s"""SELECT s_suppkey AS s_store_sk,
@@ -563,7 +565,7 @@ object TpcdsCorpus {
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
        |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
-       |    CAST(p_partkey % 100 AS DOUBLE) + 0.99 AS i_current_price,
+       |    CAST(CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS DOUBLE) AS i_current_price,
        |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id
        |  FROM part),
        |t_inv AS (
@@ -593,7 +595,7 @@ object TpcdsCorpus {
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
        |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
-       |    CAST(p_partkey % 100 AS DOUBLE) + 0.99 AS i_current_price,
+       |    CAST(CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS DOUBLE) AS i_current_price,
        |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id
        |  FROM part),
        |t_inv AS (
@@ -1000,7 +1002,7 @@ object TpcdsCorpus {
        |t_item AS (
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
-       |    CAST(p_partkey % 100 AS DOUBLE) + 0.99 AS i_current_price
+       |    CAST(CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS DOUBLE) AS i_current_price
        |  FROM part),
        |t_dd AS (
        |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
@@ -1655,7 +1657,7 @@ object TpcdsCorpus {
        |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
        |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
        |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class,
-       |    CAST(p_partkey % 100 AS DOUBLE) + 0.99 AS i_current_price
+       |    CAST(CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS DOUBLE) AS i_current_price
        |  FROM part),
        |grouped AS (
        |  SELECT i_item_id, i_item_desc, i_category, i_class, i_current_price,
@@ -3233,7 +3235,91 @@ object TpcdsCorpus {
        |LIMIT 100""".stripMargin
   }
 
+  // Web orders shipped to IL from 'pri'-company sites in spring 1999,
+  // split across warehouses — the q94/q95 base slice.
+  private val q94Base: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_ws AS (
+       |  SELECT l_orderkey AS ok, l_linenumber AS ln,
+       |    (CAST(l_shipdate AS DATE) + 365)
+       |      + CAST((l_orderkey * 5 + l_linenumber) % 60 + 2 AS INTEGER) AS ship_d,
+       |    (l_orderkey * 19 + 3) % (SELECT n FROM custs) AS ship_addr,
+       |    (l_orderkey + l_linenumber) % 30 + 1 AS site_sk,
+       |    (l_orderkey + l_linenumber) % 10 + 1 AS wh_sk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 0.05 * 10000 AS HUGEINT) AS ship4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit4
+       |  FROM lineitem),
+       |returned AS (SELECT DISTINCT l_orderkey AS ok FROM lineitem WHERE l_returnflag = 'R'),
+       |base AS (
+       |  SELECT * FROM t_ws ws1
+       |  WHERE ws1.ship_d BETWEEN DATE '1999-02-01' AND DATE '1999-02-01' + 60
+       |    AND ws1.ship_addr >= 1 AND ((ws1.ship_addr // 5) % 10) = 1
+       |    AND (ws1.site_sk - 1) % 6 = 0
+       |    AND EXISTS (SELECT 1 FROM t_ws ws2
+       |                WHERE ws1.ok = ws2.ok AND ws1.wh_sk <> ws2.wh_sk))""".stripMargin
+
+  /** q94's slice: unreturned split-warehouse IL web orders. */
+  private val q94Oracle: String =
+    s"""$q94Base
+       |SELECT count(DISTINCT ok) AS order_count,
+       |  CAST(sum(ship4) AS DOUBLE) / 10000.0 AS total_shipping_cost,
+       |  CAST(sum(profit4) AS DOUBLE) / 10000.0 AS total_net_profit
+       |FROM base
+       |WHERE NOT EXISTS (SELECT 1 FROM returned WHERE returned.ok = base.ok)""".stripMargin
+
+  /** q95's slice: RETURNED split-warehouse IL web orders (the
+    * verbatim ws_wh IN-subqueries reduce to the same split-order
+    * set, intersected with returned orders).
+    */
+  private val q95Oracle: String =
+    s"""$q94Base
+       |SELECT count(DISTINCT ok) AS order_count,
+       |  CAST(sum(ship4) AS DOUBLE) / 10000.0 AS total_shipping_cost,
+       |  CAST(sum(profit4) AS DOUBLE) / 10000.0 AS total_net_profit
+       |FROM base
+       |WHERE EXISTS (SELECT 1 FROM returned WHERE returned.ok = base.ok)""".stripMargin
+
+  /** q06's slice: states whose January-2001 buyers favored items
+    * priced > 1.2× their category average (decimal prices, avg at
+    * scale 2+4).
+    */
+  private val q06Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    CAST(p_partkey % 100 AS HUGEINT) * 100 + 99 AS price2,
+       |    CAST(p_partkey % 10 AS INTEGER) AS cat_idx
+       |  FROM part),
+       |cat_avg AS (
+       |  SELECT cat_idx, (2 * sum(price2) * 10000 + count(*)) // (2 * count(*)) AS avg6
+       |  FROM t_item GROUP BY cat_idx),
+       |t_ss AS (
+       |  SELECT (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    l_partkey AS item_sk
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 2001
+       |    AND month((CAST(l_shipdate AS DATE) + 365)) = 1)
+       |SELECT ([${lit(states)}])[CAST((cust // 5) % 10 AS INTEGER) + 1] AS state,
+       |  count(*) AS cnt
+       |FROM t_ss, t_item i, cat_avg a
+       |WHERE cust >= 1 AND item_sk = i.i_item_sk AND i.cat_idx = a.cat_idx
+       |  AND i.price2 * 100000 > 12 * a.avg6
+       |GROUP BY 1
+       |HAVING count(*) >= 10
+       |ORDER BY cnt ASC, state ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q06", gate("q06", Seq("state", "cnt")),
+      Some(q06Oracle),
+      "verbatim reference file queries/tpcds/q06.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q94", gate("q94", Seq("order_count",
+      "total_shipping_cost", "total_net_profit")), Some(q94Oracle),
+      "verbatim reference file queries/tpcds/q94.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q95", gate("q95", Seq("order_count",
+      "total_shipping_cost", "total_net_profit")), Some(q95Oracle),
+      "verbatim reference file queries/tpcds/q95.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q27", gate("q27", Seq("i_item_id", "s_state",
       "g_state", "agg1", "agg2", "agg3", "agg4")), Some(q27Oracle),
       "verbatim reference file queries/tpcds/q27.sql via synthesized tables"),
