@@ -80,6 +80,11 @@ object TpcdsCorpus {
     "Jones", "Garcia", "Miller", "Davis", "Rodriguez", "Martinez",
     "Hernandez", "Lopez", "Gonzalez", "Wilson", "Anderson", "Thomas",
     "Taylor", "Moore", "Jackson", "Martin")
+  // dbgen brand names — exactly the corpus's i_brand literals, so
+  // q53/q63's brand predicates select real subsets.
+  private val brands = Seq("amalgimporto #1", "edu packscholar #1",
+    "exportiimporto #1", "importoamalg #1", "scholaramalgamalg #14",
+    "scholaramalgamalg #7", "scholaramalgamalg #9", "exportiunivamalg #9")
   private val maritalStatuses = Seq("M", "S", "D", "W", "U")
   private val educations = Seq("Advanced Degree", "College", "4 yr Degree",
     "2 yr Degree", "Secondary", "Primary", "Unknown")
@@ -162,7 +167,7 @@ object TpcdsCorpus {
            |  concat('ITEM', lpad(CAST(p_partkey AS STRING), 16, '0')) AS i_item_id,
            |  concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
            |  p_name AS i_product_name,
-           |  p_brand AS i_brand, CAST(p_partkey % 1000 + 1 AS INT) AS i_brand_id,
+           |  ${pick(brands, "(p_partkey div 5) % 8")} AS i_brand, CAST(p_partkey % 1000 + 1 AS INT) AS i_brand_id,
            |  ${pick(classes, "p_partkey % 16")} AS i_class,
            |  CAST(p_partkey % 16 + 1 AS INT) AS i_class_id,
            |  ${pick(categories, "p_partkey % 10")} AS i_category,
@@ -1091,7 +1096,7 @@ object TpcdsCorpus {
        |    year(CAST(g AS DATE)) AS d_year, month(CAST(g AS DATE)) AS d_moy
        |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
        |t_item AS (
-       |  SELECT p_partkey AS i_item_sk, p_brand AS i_brand,
+       |  SELECT p_partkey AS i_item_sk, ([${lit(brands)}])[CAST((p_partkey // 5) % 8 AS INTEGER) + 1] AS i_brand,
        |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_brand_id,
        |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
        |    CAST(p_partkey % 10 + 1 AS INTEGER) AS i_category_id,
@@ -1537,7 +1542,7 @@ object TpcdsCorpus {
        |t_item AS (
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
-       |    p_brand AS i_brand,
+       |    ([${lit(brands)}])[CAST((p_partkey // 5) % 8 AS INTEGER) + 1] AS i_brand,
        |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_brand_id,
        |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id,
        |    CAST(p_partkey % 100 + 1 AS INTEGER) AS i_manager_id,
@@ -1827,7 +1832,7 @@ object TpcdsCorpus {
        |  FROM part, range(0, 5) t_w(wh), range(0, 40) t_k(wk)),
        |t_item AS (
        |  SELECT p_partkey AS i_item_sk, p_name AS i_product_name,
-       |    p_brand AS i_brand,
+       |    ([${lit(brands)}])[CAST((p_partkey // 5) % 8 AS INTEGER) + 1] AS i_brand,
        |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class,
        |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category
        |  FROM part)
@@ -3310,7 +3315,202 @@ object TpcdsCorpus {
        |ORDER BY cnt ASC, state ASC
        |LIMIT 100""".stripMargin
 
+  /** q40's slice: cheap-item catalog sales net of refunds before and
+    * after the 2000-03-11 pivot, per warehouse state.
+    */
+  private val q40Oracle: String =
+    s"""WITH t_cs AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d,
+       |    l_orderkey AS ok, l_partkey AS pk,
+       |    (l_orderkey + l_linenumber * 3) % 10 + 1 AS wh_sk,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1
+       |         AS VARCHAR) AS DECIMAL(12,2)) * 100000 AS HUGEINT) AS price5
+       |  FROM lineitem),
+       |t_cr AS (
+       |  SELECT l_orderkey AS ok, l_partkey AS pk,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.3 * 100000 AS HUGEINT) AS cash5
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |t_wh AS (
+       |  SELECT i + 1 AS wh_sk,
+       |    ([${lit(states)}])[CAST(i % 10 AS INTEGER) + 1] AS w_state
+       |  FROM range(0, 10) t(i)),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id
+       |  FROM part WHERE p_partkey % 100 = 0)
+       |SELECT w_state, i_item_id,
+       |  CAST(sum(CASE WHEN sold_d < DATE '2000-03-11'
+       |       THEN price5 - COALESCE(cash5, 0) ELSE 0 END) AS DOUBLE) / 100000.0 AS sales_before,
+       |  CAST(sum(CASE WHEN sold_d >= DATE '2000-03-11'
+       |       THEN price5 - COALESCE(cash5, 0) ELSE 0 END) AS DOUBLE) / 100000.0 AS sales_after
+       |FROM t_cs
+       |LEFT JOIN t_cr ON t_cs.ok = t_cr.ok AND t_cs.pk = t_cr.pk
+       |JOIN t_wh ON t_cs.wh_sk = t_wh.wh_sk
+       |JOIN t_item ON i_item_sk = t_cs.pk
+       |WHERE sold_d BETWEEN DATE '2000-03-11' - 30 AND DATE '2000-03-11' + 30
+       |GROUP BY w_state, i_item_id
+       |ORDER BY w_state ASC, i_item_id ASC
+       |LIMIT 100""".stripMargin
+
+  /** q45's slice: web revenue by buyer zip/city for target zips or
+    * the ten prime item ids, 2001 Q2.
+    */
+  private val q45Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_ws AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d,
+       |    (l_orderkey * 23 + 11) % (SELECT n FROM custs) AS bill_cust,
+       |    l_partkey AS pk, $salesPrice2 AS price2
+       |  FROM lineitem),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    ([${lit(specZips)}])[CAST((c_custkey * 7) % 40 AS INTEGER) + 1] AS ca_zip,
+       |    ([${lit(cities)}])[CAST((c_custkey // 7) % 10 AS INTEGER) + 1] AS ca_city
+       |  FROM customer)
+       |SELECT ca_zip, ca_city, CAST(sum(price2) AS DOUBLE) / 100.0 AS sum_price
+       |FROM t_ws, t_ca
+       |WHERE bill_cust = ca_address_sk
+       |  AND (substr(ca_zip, 1, 5) IN ('85669', '86197', '88274', '83405',
+       |       '86475', '85392', '85460', '80348', '81792')
+       |    OR pk IN (2, 3, 5, 7, 11, 13, 17, 19, 23, 29))
+       |  AND year(sold_d) = 2001 AND (month(sold_d) - 1) // 3 + 1 = 2
+       |GROUP BY ca_zip, ca_city
+       |ORDER BY ca_zip ASC, ca_city ASC
+       |LIMIT 100""".stripMargin
+
+  /** q89's slice: monthly brand sales deviating >10% from the yearly
+    * store average (window avg at scale 6, deviation ratio at
+    * DECIMAL(38,11)).
+    */
+  private val q89Oracle: String =
+    s"""WITH t_ss AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS store_sk,
+       |    month((CAST(l_shipdate AS DATE) + 365)) AS d_moy,
+       |    $salesPrice2 AS price2
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 1999),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class,
+       |    ([${lit(brands)}])[CAST((p_partkey // 5) % 8 AS INTEGER) + 1] AS i_brand
+       |  FROM part),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name,
+       |    concat('Company#', CAST(s_suppkey % 5 + 1 AS VARCHAR)) AS s_company_name
+       |  FROM supplier),
+       |grouped AS (
+       |  SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+       |    d_moy, sum(price2) AS sum2
+       |  FROM t_ss, t_item, t_store
+       |  WHERE pk = i_item_sk AND store_sk = s_store_sk
+       |    AND ((i_category IN ('Books', 'Electronics', 'Sports')
+       |          AND i_class IN ('computers', 'stereo', 'football'))
+       |      OR (i_category IN ('Men', 'Jewelry', 'Women')
+       |          AND i_class IN ('shirts', 'birdal', 'dresses')))
+       |  GROUP BY 1, 2, 3, 4, 5, 6),
+       |win AS (
+       |  SELECT *,
+       |    (2 * sum(sum2) OVER (PARTITION BY i_category, i_brand, s_store_name,
+       |       s_company_name) * 10000
+       |     + count(*) OVER (PARTITION BY i_category, i_brand, s_store_name,
+       |       s_company_name))
+       |    // (2 * count(*) OVER (PARTITION BY i_category, i_brand, s_store_name,
+       |       s_company_name)) AS avg6
+       |  FROM grouped)
+       |SELECT i_category, i_class, i_brand, s_store_name, s_company_name,
+       |  d_moy, CAST(sum2 AS DOUBLE) / 100.0 AS sum_sales,
+       |  CAST(avg6 AS DOUBLE) / 1000000.0 AS avg_monthly_sales
+       |FROM win
+       |WHERE avg6 <> 0
+       |  AND (2 * abs(sum2 * 10000 - avg6) * ${"1" + "0" * 11} + avg6) // (2 * avg6)
+       |      > ${"1" + "0" * 10}
+       |ORDER BY sum2 * 10000 - avg6 ASC, s_store_name ASC
+       |LIMIT 100""".stripMargin
+
+  // The q53/q63 item predicate: two (category × class × brand) bands
+  // over the synthesized domains.
+  private val q53ItemCond: String =
+    s"""((i_category IN ('Books', 'Children', 'Electronics')
+       |          AND i_class IN ('personal', 'portable', 'reference', 'self-help')
+       |          AND i_brand IN ('scholaramalgamalg #14', 'scholaramalgamalg #7',
+       |            'exportiunivamalg #9', 'scholaramalgamalg #9'))
+       |      OR (i_category IN ('Women', 'Music', 'Men')
+       |          AND i_class IN ('accessories', 'classical', 'fragrances', 'pants')
+       |          AND i_brand IN ('amalgimporto #1', 'edu packscholar #1',
+       |            'exportiimporto #1', 'importoamalg #1')))""".stripMargin
+
+  private def q53Shape(key: String, keyExpr: String, period: String,
+      ratioScale: Int, order: String): String = {
+    val z = "0" * ratioScale
+    s"""WITH t_ss AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS store_sk,
+       |    month((CAST(l_shipdate AS DATE) + 365)) AS d_moy,
+       |    (month((CAST(l_shipdate AS DATE) + 365)) - 1) // 3 + 1 AS d_qoy,
+       |    $salesPrice2 AS price2
+       |  FROM lineitem
+       |  WHERE (year((CAST(l_shipdate AS DATE) + 365)) - 1900) * 12
+       |        + month((CAST(l_shipdate AS DATE) + 365)) - 1 BETWEEN 1200 AND 1211),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk, $keyExpr AS grp_key,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class,
+       |    ([${lit(brands)}])[CAST((p_partkey // 5) % 8 AS INTEGER) + 1] AS i_brand
+       |  FROM part),
+       |grouped AS (
+       |  SELECT grp_key, $period AS per, sum(price2) AS sum2
+       |  FROM t_ss, t_item
+       |  WHERE pk = i_item_sk AND $q53ItemCond
+       |  GROUP BY 1, 2),
+       |win AS (
+       |  SELECT *,
+       |    (2 * sum(sum2) OVER (PARTITION BY grp_key) * 10000
+       |     + count(*) OVER (PARTITION BY grp_key))
+       |    // (2 * count(*) OVER (PARTITION BY grp_key)) AS avg6
+       |  FROM grouped)
+       |SELECT grp_key AS $key, CAST(sum2 AS DOUBLE) / 100.0 AS sum_sales,
+       |  CAST(avg6 AS DOUBLE) / 1000000.0 AS avg_sales
+       |FROM win
+       |WHERE avg6 > 0
+       |  AND (2 * abs(sum2 * 10000 - avg6) * 1$z + avg6) // (2 * avg6)
+       |      > 1${"0" * (ratioScale - 1)}
+       |ORDER BY $order
+       |LIMIT 100""".stripMargin
+  }
+
+  /** q53's slice: quarterly manufacturer sales deviating >10% from
+    * the year average (ratio at Spark scale 6 — the DECIMAL(38,4)
+    * cast widens the diff precision enough to floor the scale).
+    */
+  private val q53Oracle: String = q53Shape("i_manufact_id",
+    "CAST(p_partkey % 1000 + 1 AS INTEGER)", "d_qoy", 6,
+    "avg_sales ASC, sum_sales ASC, i_manufact_id ASC")
+
+  /** q63's slice: monthly manager sales deviating >10% (ratio at
+    * scale 11, like q89). */
+  private val q63Oracle: String = q53Shape("i_manager_id",
+    "CAST(p_partkey % 100 + 1 AS INTEGER)", "d_moy", 11,
+    "i_manager_id ASC, avg_sales ASC, sum_sales ASC")
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q53", gate("q53",
+      Seq("i_manufact_id", "sum_sales", "avg_sales")), Some(q53Oracle),
+      "verbatim reference file queries/tpcds/q53.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q63", gate("q63",
+      Seq("i_manager_id", "sum_sales", "avg_sales")), Some(q63Oracle),
+      "verbatim reference file queries/tpcds/q63.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q89", gate("q89", Seq("i_category", "i_class",
+      "i_brand", "s_store_name", "s_company_name", "d_moy", "sum_sales",
+      "avg_monthly_sales")), Some(q89Oracle),
+      "verbatim reference file queries/tpcds/q89.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q40", gate("q40", Seq("w_state", "i_item_id",
+      "sales_before", "sales_after")), Some(q40Oracle),
+      "verbatim reference file queries/tpcds/q40.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q45", gate("q45", Seq("ca_zip", "ca_city",
+      "sum_price")), Some(q45Oracle),
+      "verbatim reference file queries/tpcds/q45.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q06", gate("q06", Seq("state", "cnt")),
       Some(q06Oracle),
       "verbatim reference file queries/tpcds/q06.sql via synthesized tables"),
