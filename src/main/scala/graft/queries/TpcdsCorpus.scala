@@ -400,7 +400,7 @@ object TpcdsCorpus {
            |  CAST(l_quantity AS INT) AS ws_quantity,
            |  CAST(l_extendedprice / l_quantity * 0.08 AS DECIMAL(12,2)) AS ws_wholesale_cost,
            |  CAST(l_extendedprice / l_quantity * 0.12 AS DECIMAL(12,2)) AS ws_list_price,
-           |  CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS DECIMAL(12,2)) AS ws_sales_price,
+           |  CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.11 AS DECIMAL(12,2)) AS ws_sales_price,
            |  $dPrice * $dDisc AS ws_ext_discount_amt,
            |  $dPrice * (1 - $dDisc) AS ws_ext_sales_price,
            |  $dPrice * 0.8 AS ws_ext_wholesale_cost,
@@ -3361,7 +3361,9 @@ object TpcdsCorpus {
        |t_ws AS (
        |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d,
        |    (l_orderkey * 23 + 11) % (SELECT n FROM custs) AS bill_cust,
-       |    l_partkey AS pk, $salesPrice2 AS price2
+       |    l_partkey AS pk,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.11
+       |         AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS price2
        |  FROM lineitem),
        |t_ca AS (
        |  SELECT c_custkey AS ca_address_sk,
@@ -3494,7 +3496,218 @@ object TpcdsCorpus {
     "CAST(p_partkey % 100 + 1 AS INTEGER)", "d_moy", 11,
     "i_manager_id ASC, avg_sales ASC, sum_sales ASC")
 
+  /** q47's slice: 1999 monthly brand/store outliers with their
+    * neighbor months via the rank self-join. The rank is unique per
+    * (year, moy) so it mirrors exactly; the deviation ratio is
+    * DECIMAL(38,11) like q89.
+    */
+  private val q47Oracle: String =
+    s"""WITH grouped AS (
+       |  SELECT ([${lit(categories)}])[CAST(l_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    ([${lit(brands)}])[CAST((l_partkey // 5) % 8 AS INTEGER) + 1] AS i_brand,
+       |    ([${lit(syllables)}])[CAST(l_suppkey % 10 AS INTEGER) + 1] AS s_store_name,
+       |    concat('Company#', CAST(l_suppkey % 5 + 1 AS VARCHAR)) AS s_company_name,
+       |    year((CAST(l_shipdate AS DATE) + 365)) AS d_year,
+       |    month((CAST(l_shipdate AS DATE) + 365)) AS d_moy,
+       |    sum($salesPrice2) AS sum2
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 1999
+       |     OR (year((CAST(l_shipdate AS DATE) + 365)) = 1998
+       |         AND month((CAST(l_shipdate AS DATE) + 365)) = 12)
+       |     OR (year((CAST(l_shipdate AS DATE) + 365)) = 2000
+       |         AND month((CAST(l_shipdate AS DATE) + 365)) = 1)
+       |  GROUP BY 1, 2, 3, 4, 5, 6),
+       |v1 AS (
+       |  SELECT *,
+       |    (2 * sum(sum2) OVER (PARTITION BY i_category, i_brand, s_store_name,
+       |       s_company_name, d_year) * 10000
+       |     + count(*) OVER (PARTITION BY i_category, i_brand, s_store_name,
+       |       s_company_name, d_year))
+       |    // (2 * count(*) OVER (PARTITION BY i_category, i_brand, s_store_name,
+       |       s_company_name, d_year)) AS avg6,
+       |    rank() OVER (PARTITION BY i_category, i_brand, s_store_name,
+       |       s_company_name ORDER BY d_year ASC, d_moy ASC) AS rn
+       |  FROM grouped)
+       |SELECT v1.i_category, v1.i_brand, v1.s_store_name, v1.s_company_name,
+       |  v1.d_year, v1.d_moy,
+       |  CAST(v1.avg6 AS DOUBLE) / 1000000.0 AS avg_monthly_sales,
+       |  CAST(v1.sum2 AS DOUBLE) / 100.0 AS sum_sales,
+       |  CAST(v1_lag.sum2 AS DOUBLE) / 100.0 AS psum,
+       |  CAST(v1_lead.sum2 AS DOUBLE) / 100.0 AS nsum
+       |FROM v1, v1 v1_lag, v1 v1_lead
+       |WHERE v1.i_category = v1_lag.i_category AND v1.i_category = v1_lead.i_category
+       |  AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+       |  AND v1.s_store_name = v1_lag.s_store_name
+       |  AND v1.s_store_name = v1_lead.s_store_name
+       |  AND v1.s_company_name = v1_lag.s_company_name
+       |  AND v1.s_company_name = v1_lead.s_company_name
+       |  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+       |  AND v1.d_year = 1999 AND v1.avg6 > 0
+       |  AND (2 * abs(v1.sum2 * 10000 - v1.avg6) * ${"1" + "0" * 11} + v1.avg6)
+       |      // (2 * v1.avg6) > ${"1" + "0" * 10}
+       |ORDER BY v1.sum2 * 10000 - v1.avg6 ASC, v1.s_store_name ASC
+       |LIMIT 100""".stripMargin
+
+  /** q57's slice: q47's catalog/call-center sibling. */
+  private val q57Oracle: String =
+    s"""WITH grouped AS (
+       |  SELECT ([${lit(categories)}])[CAST(l_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    ([${lit(brands)}])[CAST((l_partkey // 5) % 8 AS INTEGER) + 1] AS i_brand,
+       |    (['NY Metro', 'Mid Atlantic', 'North Midwest', 'California',
+       |      'Pacific Northwest', 'Hawaii/Alaska'])[CAST(l_orderkey % 6 AS INTEGER) + 1] AS cc_name,
+       |    year((CAST(l_shipdate AS DATE) + 365)) AS d_year,
+       |    month((CAST(l_shipdate AS DATE) + 365)) AS d_moy,
+       |    sum($salesPrice2) AS sum2
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 1999
+       |     OR (year((CAST(l_shipdate AS DATE) + 365)) = 1998
+       |         AND month((CAST(l_shipdate AS DATE) + 365)) = 12)
+       |     OR (year((CAST(l_shipdate AS DATE) + 365)) = 2000
+       |         AND month((CAST(l_shipdate AS DATE) + 365)) = 1)
+       |  GROUP BY 1, 2, 3, 4, 5),
+       |v1 AS (
+       |  SELECT *,
+       |    (2 * sum(sum2) OVER (PARTITION BY i_category, i_brand, cc_name, d_year) * 10000
+       |     + count(*) OVER (PARTITION BY i_category, i_brand, cc_name, d_year))
+       |    // (2 * count(*) OVER (PARTITION BY i_category, i_brand, cc_name, d_year)) AS avg6,
+       |    rank() OVER (PARTITION BY i_category, i_brand, cc_name
+       |       ORDER BY d_year ASC, d_moy ASC) AS rn
+       |  FROM grouped)
+       |SELECT v1.i_category, v1.i_brand, v1.cc_name, v1.d_year, v1.d_moy,
+       |  CAST(v1.avg6 AS DOUBLE) / 1000000.0 AS avg_monthly_sales,
+       |  CAST(v1.sum2 AS DOUBLE) / 100.0 AS sum_sales,
+       |  CAST(v1_lag.sum2 AS DOUBLE) / 100.0 AS psum,
+       |  CAST(v1_lead.sum2 AS DOUBLE) / 100.0 AS nsum
+       |FROM v1, v1 v1_lag, v1 v1_lead
+       |WHERE v1.i_category = v1_lag.i_category AND v1.i_category = v1_lead.i_category
+       |  AND v1.i_brand = v1_lag.i_brand AND v1.i_brand = v1_lead.i_brand
+       |  AND v1.cc_name = v1_lag.cc_name AND v1.cc_name = v1_lead.cc_name
+       |  AND v1.rn = v1_lag.rn + 1 AND v1.rn = v1_lead.rn - 1
+       |  AND v1.d_year = 1999 AND v1.avg6 > 0
+       |  AND (2 * abs(v1.sum2 * 10000 - v1.avg6) * ${"1" + "0" * 11} + v1.avg6)
+       |      // (2 * v1.avg6) > ${"1" + "0" * 10}
+       |ORDER BY v1.sum2 * 10000 - v1.avg6 ASC, v1.cc_name ASC
+       |LIMIT 100""".stripMargin
+
+  /** q51's slice: items whose web cumulative revenue overtakes the
+    * store's during 2000 (running decimal sums + running max over
+    * the FULL JOIN of the two daily series; web prices carry their
+    * own 0.11 multiplier so the race is non-degenerate).
+    */
+  private val q51Oracle: String =
+    s"""WITH dd AS (
+       |  SELECT CAST(l_shipdate AS DATE) + 365 AS d, l_partkey AS pk,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.11
+       |         AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS wprice2,
+       |    $salesPrice2 AS sprice2
+       |  FROM lineitem
+       |  WHERE (year((CAST(l_shipdate AS DATE) + 365)) - 1900) * 12
+       |        + month((CAST(l_shipdate AS DATE) + 365)) - 1 BETWEEN 1200 AND 1211),
+       |web_v1 AS (
+       |  SELECT pk AS item_sk, d AS d_date,
+       |    sum(sum(wprice2)) OVER (PARTITION BY pk ORDER BY d ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+       |  FROM dd GROUP BY pk, d),
+       |store_v1 AS (
+       |  SELECT pk AS item_sk, d AS d_date,
+       |    sum(sum(sprice2)) OVER (PARTITION BY pk ORDER BY d ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume_sales
+       |  FROM dd GROUP BY pk, d),
+       |x AS (
+       |  SELECT CASE WHEN web.item_sk IS NOT NULL THEN web.item_sk
+       |              ELSE store.item_sk END AS item_sk,
+       |         CASE WHEN web.d_date IS NOT NULL THEN web.d_date
+       |              ELSE store.d_date END AS d_date,
+       |         web.cume_sales AS web_sales, store.cume_sales AS store_sales
+       |  FROM web_v1 web
+       |  FULL JOIN store_v1 store ON web.item_sk = store.item_sk
+       |    AND web.d_date = store.d_date),
+       |y AS (
+       |  SELECT item_sk, d_date, web_sales, store_sales,
+       |    max(web_sales) OVER (PARTITION BY item_sk ORDER BY d_date ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS web_cumulative,
+       |    max(store_sales) OVER (PARTITION BY item_sk ORDER BY d_date ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS store_cumulative
+       |  FROM x)
+       |SELECT item_sk, d_date,
+       |  CAST(web_sales AS DOUBLE) / 100.0 AS web_sales,
+       |  CAST(store_sales AS DOUBLE) / 100.0 AS store_sales,
+       |  CAST(web_cumulative AS DOUBLE) / 100.0 AS web_cumulative,
+       |  CAST(store_cumulative AS DOUBLE) / 100.0 AS store_cumulative
+       |FROM y
+       |WHERE web_cumulative > store_cumulative
+       |ORDER BY item_sk ASC, d_date ASC
+       |LIMIT 100""".stripMargin
+
+  /** q78's slice: 2000 unreturned store lines vs the other channels
+    * per (item, customer). The verbatim file joins cs on
+    * `cs_item_sk = cs_item_sk` (always true) — the resulting
+    * customer-level fan-out is mirrored as-is; ratio rounds half-up
+    * at scale 2.
+    */
+  private val q78Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |base AS (
+       |  SELECT l_orderkey AS ok, l_partkey AS pk,
+       |    CAST(l_quantity AS HUGEINT) AS qty,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.08 AS VARCHAR)
+       |         AS DECIMAL(12,2)) * 100 AS HUGEINT) AS wc2,
+       |    $salesPrice2 AS sp2,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.11
+       |         AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS wsp2
+       |  FROM lineitem
+       |  WHERE year((CAST(l_shipdate AS DATE) + 365)) = 2000
+       |    AND NOT EXISTS (SELECT 1 FROM lineitem r
+       |                    WHERE r.l_returnflag = 'R' AND r.l_orderkey = lineitem.l_orderkey
+       |                      AND r.l_partkey = lineitem.l_partkey)),
+       |ss AS (
+       |  SELECT pk AS item, (ok * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    sum(qty) AS q, sum(wc2) AS wc, sum(sp2) AS sp
+       |  FROM base GROUP BY 1, 2),
+       |ws AS (
+       |  SELECT pk AS item, (ok * 23 + 11) % (SELECT n FROM custs) AS cust,
+       |    sum(qty) AS q, sum(wc2) AS wc, sum(wsp2) AS sp
+       |  FROM base GROUP BY 1, 2),
+       |cs AS (
+       |  SELECT pk AS item, (ok * 29 + 17) % (SELECT n FROM custs) AS cust,
+       |    sum(qty) AS q, sum(wc2) AS wc, sum(sp2) AS sp
+       |  FROM base GROUP BY 1, 2)
+       |SELECT 2000 AS ss_sold_year, ss.item AS ss_item_sk, ss.cust AS ss_customer_sk,
+       |  CAST((2 * ss.q * 100 + (ws.q + cs.q)) // (2 * (ws.q + cs.q)) AS DOUBLE)
+       |    / 100.0 AS ratio,
+       |  ss.q AS store_qty, CAST(ss.wc AS DOUBLE) / 100.0 AS store_wholesale_cost,
+       |  CAST(ss.sp AS DOUBLE) / 100.0 AS store_sales_price,
+       |  ws.q + cs.q AS other_chan_qty,
+       |  CAST(ws.wc + cs.wc AS DOUBLE) / 100.0 AS other_chan_wholesale_cost,
+       |  CAST(ws.sp + cs.sp AS DOUBLE) / 100.0 AS other_chan_sales_price
+       |FROM ss
+       |LEFT JOIN ws ON ws.item = ss.item AND ws.cust = ss.cust
+       |LEFT JOIN cs ON cs.cust = ss.cust
+       |WHERE COALESCE(ws.q, 0) > 0 AND COALESCE(cs.q, 0) > 0
+       |ORDER BY ss_sold_year ASC, ss_item_sk ASC, ss_customer_sk ASC,
+       |  store_qty DESC, store_wholesale_cost DESC, store_sales_price DESC,
+       |  other_chan_qty ASC, other_chan_wholesale_cost ASC,
+       |  other_chan_sales_price ASC, ratio ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q78", gate("q78", Seq("ss_sold_year", "ss_item_sk",
+      "ss_customer_sk", "ratio", "store_qty", "store_wholesale_cost",
+      "store_sales_price", "other_chan_qty", "other_chan_wholesale_cost",
+      "other_chan_sales_price")), Some(q78Oracle),
+      "verbatim reference file queries/tpcds/q78.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q51", gate("q51", Seq("item_sk", "d_date",
+      "web_sales", "store_sales", "web_cumulative", "store_cumulative")),
+      Some(q51Oracle),
+      "verbatim reference file queries/tpcds/q51.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q57", gate("q57", Seq("i_category", "i_brand",
+      "cc_name", "d_year", "d_moy", "avg_monthly_sales", "sum_sales",
+      "psum", "nsum")), Some(q57Oracle),
+      "verbatim reference file queries/tpcds/q57.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q47", gate("q47", Seq("i_category", "i_brand",
+      "s_store_name", "s_company_name", "d_year", "d_moy",
+      "avg_monthly_sales", "sum_sales", "psum", "nsum")), Some(q47Oracle),
+      "verbatim reference file queries/tpcds/q47.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q53", gate("q53",
       Seq("i_manufact_id", "sum_sales", "avg_sales")), Some(q53Oracle),
       "verbatim reference file queries/tpcds/q53.sql via synthesized tables"),
