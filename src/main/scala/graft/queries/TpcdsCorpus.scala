@@ -46,9 +46,13 @@ object TpcdsCorpus {
   // Public TPC-DS spec value domains (the corpus filters on these).
   private val categories = Seq("Books", "Children", "Electronics", "Home",
     "Jewelry", "Men", "Music", "Shoes", "Sports", "Women")
+  // Slots 11-15 carry the remaining corpus class literals (maternity
+  // for q54, computers/stereo for q89's first band, football inert)
+  // at parity-compatible indices (class idx mod 2 must match the
+  // category idx mod 2 for a (category, class) pair to exist).
   private val classes = Seq("personal", "portable", "reference", "self-help",
     "accessories", "classical", "fragrances", "pants", "birdal", "shirts",
-    "dresses", "country", "rock", "mens watch", "fiction", "romance")
+    "dresses", "maternity", "computers", "mens watch", "stereo", "football")
   private val colors = Seq("pale", "ghost", "chiffon", "rose", "metallic",
     "burnished", "peach", "saddle", "powder", "almond", "indian", "spring",
     "sky", "navajo", "goldenrod", "sienna")
@@ -3690,7 +3694,105 @@ object TpcdsCorpus {
        |  other_chan_sales_price ASC, ratio ASC
        |LIMIT 100""".stripMargin
 
+  /** q67's slice: top-100 revenue cells of the 8-level rollup per
+    * category (exact decimal·int sums keep ranks deterministic).
+    */
+  private val q67Oracle: String =
+    s"""WITH t_ss AS (
+       |  SELECT l_partkey AS pk, l_suppkey AS store_sk,
+       |    year((CAST(l_shipdate AS DATE) + 365)) AS d_year,
+       |    (month((CAST(l_shipdate AS DATE) + 365)) - 1) // 3 + 1 AS d_qoy,
+       |    month((CAST(l_shipdate AS DATE) + 365)) AS d_moy,
+       |    $salesPrice2 * CAST(l_quantity AS HUGEINT) AS amt2
+       |  FROM lineitem
+       |  WHERE (year((CAST(l_shipdate AS DATE) + 365)) - 1900) * 12
+       |        + month((CAST(l_shipdate AS DATE) + 365)) - 1 BETWEEN 1200 AND 1211),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class,
+       |    ([${lit(brands)}])[CAST((p_partkey // 5) % 8 AS INTEGER) + 1] AS i_brand,
+       |    p_name AS i_product_name
+       |  FROM part),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    concat('STORE', lpad(CAST(s_suppkey AS VARCHAR), 16, '0')) AS s_store_id
+       |  FROM supplier),
+       |dw1 AS (
+       |  SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+       |    d_moy, s_store_id, sum(amt2) AS sum2
+       |  FROM t_ss, t_item, t_store
+       |  WHERE pk = i_item_sk AND store_sk = s_store_sk
+       |  GROUP BY ROLLUP (i_category, i_class, i_brand, i_product_name,
+       |    d_year, d_qoy, d_moy, s_store_id)),
+       |dw2 AS (
+       |  SELECT *, rank() OVER (PARTITION BY i_category ORDER BY sum2 DESC) AS rk
+       |  FROM dw1)
+       |SELECT i_category, i_class, i_brand, i_product_name, d_year, d_qoy,
+       |  d_moy, s_store_id, CAST(sum2 AS DOUBLE) / 100.0 AS sumsales, rk
+       |FROM dw2
+       |WHERE rk <= 100
+       |ORDER BY i_category ASC NULLS FIRST, i_class ASC NULLS FIRST,
+       |  i_brand ASC NULLS FIRST, i_product_name ASC NULLS FIRST,
+       |  d_year ASC NULLS FIRST, d_qoy ASC NULLS FIRST, d_moy ASC NULLS FIRST,
+       |  s_store_id ASC NULLS FIRST, sumsales ASC, rk ASC
+       |LIMIT 100""".stripMargin
+
+  /** q54's slice: revenue segments of December-1998 maternity buyers
+    * shopping at same-county stores over the next quarter. The
+    * segment division `revenue/50` is exact at scale 6 (rev·2), so
+    * the INT cast is a pure floor.
+    */
+  private val q54Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |buyers AS (
+       |  SELECT DISTINCT cust FROM (
+       |    SELECT (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS cust
+       |    FROM lineitem
+       |    WHERE l_partkey % 10 = 9 AND l_partkey % 16 = 11
+       |      AND year((CAST(l_shipdate AS DATE) + 365)) = 1998
+       |      AND month((CAST(l_shipdate AS DATE) + 365)) = 12
+       |    UNION ALL
+       |    SELECT (l_orderkey * 23 + 11) % (SELECT n FROM custs)
+       |    FROM lineitem
+       |    WHERE l_partkey % 10 = 9 AND l_partkey % 16 = 11
+       |      AND year((CAST(l_shipdate AS DATE) + 365)) = 1998
+       |      AND month((CAST(l_shipdate AS DATE) + 365)) = 12) u
+       |  WHERE cust >= 1),
+       |nstores AS (
+       |  -- the verbatim query cross-joins `store` on county/state
+       |  -- matching the CUSTOMER's address (not the sale's store),
+       |  -- fanning every sale out by this per-customer store count
+       |  SELECT b.cust, count(*) AS ns
+       |  FROM buyers b, supplier
+       |  WHERE b.cust % 10 = (s_suppkey // 2) % 10
+       |    AND (b.cust // 5) % 10 = (s_suppkey // 3) % 10
+       |  GROUP BY b.cust),
+       |rev AS (
+       |  SELECT b.cust,
+       |    sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) * ns AS rev4
+       |  FROM lineitem, buyers b, nstores
+       |  WHERE (l_orderkey * 13 + 7) % (SELECT n FROM custs) = b.cust
+       |    AND nstores.cust = b.cust
+       |    AND (year((CAST(l_shipdate AS DATE) + 365)) - 1900) * 12
+       |        + month((CAST(l_shipdate AS DATE) + 365)) - 1 BETWEEN 1188 AND 1190
+       |  GROUP BY b.cust, ns),
+       |segments AS (SELECT rev4 * 2 // 1000000 AS segment FROM rev)
+       |SELECT segment, count(*) AS num_customers, segment * 50 AS segment_base
+       |FROM segments
+       |GROUP BY segment
+       |ORDER BY segment ASC, num_customers ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q54", gate("q54", Seq("segment", "num_customers",
+      "segment_base")), Some(q54Oracle),
+      "verbatim reference file queries/tpcds/q54.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q67", gate("q67", Seq("i_category", "i_class",
+      "i_brand", "i_product_name", "d_year", "d_qoy", "d_moy", "s_store_id",
+      "sumsales", "rk")), Some(q67Oracle),
+      "verbatim reference file queries/tpcds/q67.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q78", gate("q78", Seq("ss_sold_year", "ss_item_sk",
       "ss_customer_sk", "ratio", "store_qty", "store_wholesale_cost",
       "store_sales_price", "other_chan_qty", "other_chan_wholesale_cost",
