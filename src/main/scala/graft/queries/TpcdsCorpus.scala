@@ -200,7 +200,7 @@ object TpcdsCorpus {
            |  ${pick(streetNames, "s_suppkey % 10")} AS s_street_name,
            |  ${pick(streetTypes, "(s_suppkey div 5) % 10")} AS s_street_type,
            |  concat('Suite ', CAST(s_suppkey % 100 AS STRING)) AS s_suite_number,
-           |  lpad(CAST((s_suppkey * 2471 + 13) % 100000 AS STRING), 5, '0') AS s_zip,
+           |  ${pick(specZips, "(s_suppkey * 11) % 40")} AS s_zip,
            |  CASE WHEN s_suppkey % 2 = 0 THEN -5.0 ELSE -6.0 END AS s_gmt_offset
            |FROM ${pq("supplier")}""".stripMargin,
       "customer" ->
@@ -952,7 +952,7 @@ object TpcdsCorpus {
        |    ([${lit(cities)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_city,
        |    ([${lit(counties)}])[CAST((s_suppkey // 2) % 10 AS INTEGER) + 1] AS s_county,
        |    ([${lit(states)}])[CAST((s_suppkey // 3) % 10 AS INTEGER) + 1] AS s_state,
-       |    lpad(CAST((s_suppkey * 2471 + 13) % 100000 AS VARCHAR), 5, '0') AS s_zip
+       |    ([${lit(specZips)}])[CAST((s_suppkey * 11) % 40 AS INTEGER) + 1] AS s_zip
        |  FROM supplier),
        |t_ss AS (
        |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
@@ -1179,7 +1179,7 @@ object TpcdsCorpus {
        |  FROM customer),
        |t_store AS (
        |  SELECT s_suppkey AS s_store_sk,
-       |    lpad(CAST((s_suppkey * 2471 + 13) % 100000 AS VARCHAR), 5, '0') AS s_zip
+       |    ([${lit(specZips)}])[CAST((s_suppkey * 11) % 40 AS INTEGER) + 1] AS s_zip
        |  FROM supplier)
        |SELECT i_brand_id AS brand_id, i_brand AS brand, i_manufact_id,
        |  concat('Manufact#', CAST(i_manufact_id AS VARCHAR)) AS i_manufact,
@@ -2408,7 +2408,7 @@ object TpcdsCorpus {
        |t_store AS (
        |  SELECT s_suppkey AS s_store_sk,
        |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name,
-       |    lpad(CAST((s_suppkey * 2471 + 13) % 100000 AS VARCHAR), 5, '0') AS s_zip
+       |    ([${lit(specZips)}])[CAST((s_suppkey * 11) % 40 AS INTEGER) + 1] AS s_zip
        |  FROM supplier),
        |t_ss AS (
        |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d, l_suppkey AS ss_store_sk,
@@ -3785,7 +3785,64 @@ object TpcdsCorpus {
        |ORDER BY segment ASC, num_customers ASC
        |LIMIT 100""".stripMargin
 
+  /** q24's shape: returned store lines where the store's zip equals
+    * the US-born customer's home zip, netpaid per (customer, store,
+    * item-attribute) cell; buyers of one color beating 5% of the
+    * overall average (avg at scale 4+4).
+    */
+  private def q24Oracle(color: String): String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_sr AS (SELECT l_orderkey AS ok, l_partkey AS pk
+       |         FROM lineitem WHERE l_returnflag = 'R'),
+       |ssales AS (
+       |  SELECT c_last_name, c_first_name, s_store_name, i_color,
+       |    sum(paid4) AS paid4
+       |  FROM (
+       |    SELECT l_orderkey AS ok, l_partkey AS pk, l_suppkey AS sk,
+       |      (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS paid4
+       |    FROM lineitem) f
+       |  JOIN t_sr ON t_sr.ok = f.ok AND t_sr.pk = f.pk
+       |  JOIN (SELECT s_suppkey,
+       |          ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name,
+       |          ([${lit(states)}])[CAST((s_suppkey // 3) % 10 AS INTEGER) + 1] AS s_state,
+       |          ([${lit(specZips)}])[CAST((s_suppkey * 11) % 40 AS INTEGER) + 1] AS s_zip
+       |        FROM supplier WHERE s_suppkey % 10 = 7) st ON st.s_suppkey = f.sk
+       |  JOIN (SELECT c_custkey,
+       |          ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |          ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name
+       |        FROM customer WHERE c_nationkey = 24) cu ON cu.c_custkey = f.cust
+       |  -- the verbatim query joins customer_address only on
+       |  -- (birth country, store zip): every same-zip address row
+       |  -- fans the sale out and contributes its own ca_state
+       |  JOIN (SELECT ([${lit(specZips)}])[CAST((c_custkey * 7) % 40 AS INTEGER) + 1] AS ca_zip,
+       |          ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
+       |        FROM customer) ad ON ad.ca_zip = st.s_zip
+       |  JOIN (SELECT p_partkey,
+       |          ([${lit(colors)}])[CAST((p_partkey // 3) % 16 AS INTEGER) + 1] AS i_color,
+       |          CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS i_current_price,
+       |          CAST(p_partkey % 100 + 1 AS INTEGER) AS i_manager_id,
+       |          ([${lit(units)}])[CAST((p_partkey // 7) % 10 AS INTEGER) + 1] AS i_units,
+       |          ([${lit(sizes)}])[CAST(p_partkey % 7 AS INTEGER) + 1] AS i_size
+       |        FROM part) it ON it.p_partkey = f.pk
+       |  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
+       |    i_color, i_current_price, i_manager_id, i_units, i_size)
+       |SELECT c_last_name, c_first_name, s_store_name,
+       |  CAST(sum(paid4) AS DOUBLE) / 10000.0 AS paid
+       |FROM ssales
+       |WHERE i_color = '$color'
+       |GROUP BY c_last_name, c_first_name, s_store_name
+       |HAVING sum(paid4) * 1000000 > 5 * (
+       |  SELECT (2 * sum(paid4) * 10000 + count(*)) // (2 * count(*)) FROM ssales)""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q24_1", gate("q24_1", Seq("c_last_name",
+      "c_first_name", "s_store_name", "paid")), Some(q24Oracle("pale")),
+      "verbatim reference file queries/tpcds/q24_1.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q24_2", gate("q24_2", Seq("c_last_name",
+      "c_first_name", "s_store_name", "paid")), Some(q24Oracle("chiffon")),
+      "verbatim reference file queries/tpcds/q24_2.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q54", gate("q54", Seq("segment", "num_customers",
       "segment_base")), Some(q54Oracle),
       "verbatim reference file queries/tpcds/q54.sql via synthesized tables"),
