@@ -3836,7 +3836,207 @@ object TpcdsCorpus {
        |HAVING sum(paid4) * 1000000 > 5 * (
        |  SELECT (2 * sum(paid4) * 10000 + count(*)) // (2 * count(*)) FROM ssales)""".stripMargin
 
+  // Shared by q14_1/q14_2: cross-channel item INTERSECT and the
+  // all-channel average sale value.
+  //
+  // All three fact views derive row-for-row from the same lineitem
+  // rows with identical item (l_partkey), sold date, quantity, and
+  // list price (0.12 formula), so (a) the three-channel INTERSECT of
+  // (brand_id, class_id, category_id) collapses to the single-channel
+  // triple set, and the triple (pk%1000, pk%16, pk%10) is bijective
+  // with pk mod lcm(1000,16,10)=2000 = the whole part domain — hence
+  // cross_items = the partkeys sold in 1999-2001; (b) avg over the
+  // 3x-replicated UNION ALL equals the single-channel avg (the s+4
+  // HALF_UP rounding is invariant under numerator/denominator
+  // tripling).
+  private val q14Li: String =
+    """t_li AS (
+      |  SELECT l_partkey AS pk, CAST(l_shipdate AS DATE) + 365 AS sold,
+      |    CAST(l_quantity AS HUGEINT) AS qty,
+      |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.12 AS VARCHAR)
+      |      AS DECIMAL(12,2)) * 100 AS HUGEINT) AS lp2
+      |  FROM lineitem),
+      |cross_items AS (
+      |  SELECT DISTINCT pk FROM t_li WHERE year(sold) BETWEEN 1999 AND 2001),
+      |avg_sales AS (
+      |  -- Spark: avg(DECIMAL(23,2)) rounds HALF_UP at scale 6
+      |  SELECT (2 * sum(qty * lp2) * 10000 + count(*)) // (2 * count(*)) AS avg6
+      |  FROM t_li WHERE year(sold) BETWEEN 1999 AND 2001),
+      |t_item AS (
+      |  SELECT p_partkey AS pk, CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_brand_id,
+      |    CAST(p_partkey % 16 + 1 AS INTEGER) AS i_class_id,
+      |    CAST(p_partkey % 10 + 1 AS INTEGER) AS i_category_id
+      |  FROM part)""".stripMargin
+
+  /** q14_1: channel sales of items sold in every channel during
+    * 1999-2001, November-2001 slice, per-triple groups beating the
+    * all-channel average sale, rolled up over (channel, triple). The
+    * three channel legs carry identical sums (same lineitem rows and
+    * list-price formula), so the mirror computes the store leg once
+    * and fans it across the three channel labels.
+    */
+  private val q14_1Oracle: String =
+    s"""WITH $q14Li,
+       |leg AS (
+       |  SELECT i_brand_id, i_class_id, i_category_id,
+       |    sum(qty * lp2) AS sales2, count(*) AS number_sales
+       |  FROM t_li JOIN t_item ON t_item.pk = t_li.pk
+       |  WHERE year(sold) = 2001 AND month(sold) = 11
+       |    AND t_li.pk IN (SELECT pk FROM cross_items)
+       |  GROUP BY i_brand_id, i_class_id, i_category_id
+       |  HAVING sum(qty * lp2) * 10000 > (SELECT avg6 FROM avg_sales)),
+       |legs AS (
+       |  SELECT ch.channel, l.* FROM leg l,
+       |    (VALUES ('spark_catalog.tpcds.store'), ('catalog'), ('web')) ch(channel))
+       |SELECT channel, i_brand_id, i_class_id, i_category_id,
+       |  CAST(sum(sales2) AS DOUBLE) / 100.0 AS sales,
+       |  sum(number_sales) AS number_sales
+       |FROM legs
+       |GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
+       |ORDER BY channel ASC NULLS FIRST, i_brand_id ASC NULLS FIRST,
+       |  i_class_id ASC NULLS FIRST, i_category_id ASC NULLS FIRST
+       |LIMIT 100""".stripMargin
+
+  /** q14_2: same cross-channel item set and average, but comparing
+    * the store-channel week containing Dec 11 of 2000 vs 1999,
+    * joined per item triple.
+    */
+  private val q14_2Oracle: String =
+    s"""WITH $q14Li,
+       |wk AS (SELECT (DATE '2000-12-11' - DATE '1989-12-31') // 7 AS w1,
+       |              (DATE '1999-12-11' - DATE '1989-12-31') // 7 AS w0),
+       |this_year AS (
+       |  SELECT i_brand_id, i_class_id, i_category_id,
+       |    sum(qty * lp2) AS sales2, count(*) AS number_sales
+       |  FROM t_li JOIN t_item ON t_item.pk = t_li.pk
+       |  WHERE (sold - DATE '1989-12-31') // 7 = (SELECT w1 FROM wk)
+       |    AND t_li.pk IN (SELECT pk FROM cross_items)
+       |  GROUP BY i_brand_id, i_class_id, i_category_id
+       |  HAVING sum(qty * lp2) * 10000 > (SELECT avg6 FROM avg_sales)),
+       |last_year AS (
+       |  SELECT i_brand_id, i_class_id, i_category_id,
+       |    sum(qty * lp2) AS sales2, count(*) AS number_sales
+       |  FROM t_li JOIN t_item ON t_item.pk = t_li.pk
+       |  WHERE (sold - DATE '1989-12-31') // 7 = (SELECT w0 FROM wk)
+       |    AND t_li.pk IN (SELECT pk FROM cross_items)
+       |  GROUP BY i_brand_id, i_class_id, i_category_id
+       |  HAVING sum(qty * lp2) * 10000 > (SELECT avg6 FROM avg_sales))
+       |SELECT 'spark_catalog.tpcds.store' AS channel, t.i_brand_id,
+       |  t.i_class_id, t.i_category_id,
+       |  CAST(t.sales2 AS DOUBLE) / 100.0 AS sales, t.number_sales,
+       |  'spark_catalog.tpcds.store' AS channel2, l.i_brand_id AS i_brand_id2,
+       |  l.i_class_id AS i_class_id2, l.i_category_id AS i_category_id2,
+       |  CAST(l.sales2 AS DOUBLE) / 100.0 AS sales2, l.number_sales AS number_sales2
+       |FROM this_year t JOIN last_year l
+       |  ON t.i_brand_id = l.i_brand_id AND t.i_class_id = l.i_class_id
+       |  AND t.i_category_id = l.i_category_id
+       |ORDER BY t.i_brand_id ASC, t.i_class_id ASC, t.i_category_id ASC
+       |LIMIT 100""".stripMargin
+
+  /** q64: store-line items also catalog-sold-and-returned
+    * profitably (cs_ui), returned in store (sr share of (item,
+    * ticket)), with full buyer demographics, compared across sale
+    * years 1999 vs 2000 per (item, store name, store zip).
+    *
+    * Money mirrors: wholesale/list are per-unit DECIMAL(12,2)
+    * shortest-repr casts (VARCHAR path); coupon_amt is the exact
+    * scale-5 integer P2*D2*5; cs_ui's HAVING compares the scale-3
+    * ext-list sum against twice the scale-5 refund sum, both exact
+    * (refund per row = P2*(100-D2)*5 from the 0.3+0.1+0.1 split).
+    */
+  private val q64Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_cs AS (
+       |  SELECT l_partkey AS pk, l_orderkey AS ok,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) * 12 AS extlist3
+       |  FROM lineitem),
+       |t_cr AS (
+       |  SELECT l_partkey AS pk, l_orderkey AS ok,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)
+       |      * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS HUGEINT)) * 5 AS refund5
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |cs_ui AS (
+       |  SELECT t_cs.pk
+       |  FROM t_cs JOIN t_cr ON t_cs.pk = t_cr.pk AND t_cs.ok = t_cr.ok
+       |  GROUP BY t_cs.pk
+       |  HAVING sum(extlist3) * 100 > 2 * sum(refund5)),
+       |t_sr AS (SELECT l_partkey AS pk, l_orderkey AS ok
+       |         FROM lineitem WHERE l_returnflag = 'R'),
+       |base AS (
+       |  SELECT l_partkey AS pk, l_orderkey AS ok, l_suppkey AS sk,
+       |    year(CAST(l_shipdate AS DATE) + 365) AS syear,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS addr,
+       |    ((l_orderkey * 31 + l_partkey) % 7200 // 2) % 5 AS marital1,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.08 AS VARCHAR)
+       |      AS DECIMAL(12,2)) * 100 AS HUGEINT) AS wc2,
+       |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.12 AS VARCHAR)
+       |      AS DECIMAL(12,2)) * 100 AS HUGEINT) AS lp2,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)
+       |      * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS HUGEINT) * 5 AS cp5
+       |  FROM lineitem
+       |  WHERE (l_partkey // 3) % 16 IN (10, 11)
+       |    AND l_partkey % 100 BETWEEN 65 AND 73
+       |    AND (l_orderkey + l_partkey) % 11 <> 0
+       |    AND l_partkey IN (SELECT pk FROM cs_ui)),
+       |cross_sales AS (
+       |  SELECT p.p_name AS product_name, b.pk AS item_sk,
+       |    ([${lit(syllables)}])[CAST(b.sk % 10 AS INTEGER) + 1] AS store_name,
+       |    ([${lit(specZips)}])[CAST((b.sk * 11) % 40 AS INTEGER) + 1] AS store_zip,
+       |    CAST((b.addr * 3 + 1) % 1000 AS VARCHAR) AS b_street_number,
+       |    ([${lit(streetNames)}])[CAST((b.addr // 2) % 10 AS INTEGER) + 1] AS b_street_name,
+       |    ([${lit(cities)}])[CAST((b.addr // 7) % 10 AS INTEGER) + 1] AS b_city,
+       |    ([${lit(specZips)}])[CAST((b.addr * 7) % 40 AS INTEGER) + 1] AS b_zip,
+       |    CAST((b.cust * 3 + 1) % 1000 AS VARCHAR) AS c_street_number,
+       |    ([${lit(streetNames)}])[CAST((b.cust // 2) % 10 AS INTEGER) + 1] AS c_street_name,
+       |    ([${lit(cities)}])[CAST((b.cust // 7) % 10 AS INTEGER) + 1] AS c_city,
+       |    ([${lit(specZips)}])[CAST((b.cust * 7) % 40 AS INTEGER) + 1] AS c_zip,
+       |    b.syear,
+       |    year(DATE '1989-12-31' + CAST(2921 + b.cust % 1000 AS INTEGER)) AS fsyear,
+       |    year(DATE '1989-12-31' + CAST(2921 + (b.cust + 37) % 1000 AS INTEGER)) AS s2year,
+       |    count(*) AS cnt,
+       |    sum(b.wc2) AS s1_2, sum(b.lp2) AS s2_2, sum(b.cp5) AS s3_5
+       |  FROM base b
+       |  JOIN t_sr ON t_sr.pk = b.pk AND t_sr.ok = b.ok
+       |  JOIN part p ON p.p_partkey = b.pk
+       |  WHERE b.cust >= 1 AND b.addr >= 1
+       |    AND b.marital1 <> (((b.cust * 7 + 1) % 7200 // 2) % 5)
+       |  GROUP BY p.p_name, b.pk, store_name, store_zip, b_street_number,
+       |    b_street_name, b_city, b_zip, c_street_number, c_street_name,
+       |    c_city, c_zip, b.syear, fsyear, s2year)
+       |SELECT cs1.product_name, cs1.store_name, cs1.store_zip,
+       |  cs1.b_street_number, cs1.b_street_name, cs1.b_city, cs1.b_zip,
+       |  cs1.c_street_number, cs1.c_street_name, cs1.c_city, cs1.c_zip,
+       |  cs1.syear, cs1.cnt,
+       |  CAST(cs1.s1_2 AS DOUBLE) / 100.0 AS s11,
+       |  CAST(cs1.s2_2 AS DOUBLE) / 100.0 AS s21,
+       |  CAST(cs1.s3_5 AS DOUBLE) / 100000.0 AS s31,
+       |  CAST(cs2.s1_2 AS DOUBLE) / 100.0 AS s12,
+       |  CAST(cs2.s2_2 AS DOUBLE) / 100.0 AS s22,
+       |  CAST(cs2.s3_5 AS DOUBLE) / 100000.0 AS s32,
+       |  cs2.syear AS syear2, cs2.cnt AS cnt2
+       |FROM cross_sales cs1, cross_sales cs2
+       |WHERE cs1.item_sk = cs2.item_sk AND cs1.syear = 1999
+       |  AND cs2.syear = 2000 AND cs2.cnt <= cs1.cnt
+       |  AND cs1.store_name = cs2.store_name
+       |  AND cs1.store_zip = cs2.store_zip""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q14_1", gate("q14_1", Seq("channel", "i_brand_id",
+      "i_class_id", "i_category_id", "sales", "number_sales")),
+      Some(q14_1Oracle),
+      "verbatim reference file queries/tpcds/q14_1.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q14_2", gate("q14_2", Seq("channel", "i_brand_id",
+      "i_class_id", "i_category_id", "sales", "number_sales", "channel2",
+      "i_brand_id2", "i_class_id2", "i_category_id2", "sales2",
+      "number_sales2")), Some(q14_2Oracle),
+      "verbatim reference file queries/tpcds/q14_2.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q64", gate("q64", Seq("product_name", "store_name",
+      "store_zip", "b_street_number", "b_street_name", "b_city", "b_zip",
+      "c_street_number", "c_street_name", "c_city", "c_zip", "syear", "cnt",
+      "s11", "s21", "s31", "s12", "s22", "s32", "syear2", "cnt2")),
+      Some(q64Oracle),
+      "verbatim reference file queries/tpcds/q64.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q24_1", gate("q24_1", Seq("c_last_name",
       "c_first_name", "s_store_name", "paid")), Some(q24Oracle("pale")),
       "verbatim reference file queries/tpcds/q24_1.sql via synthesized tables"),
