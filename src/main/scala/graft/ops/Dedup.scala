@@ -178,7 +178,12 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  val minhashLshOracle: String = {
+  val minhashLshOracle: String = minhashLinksSql + "\nORDER BY a_id, b_id"
+
+  /** The MinHash-LSH link query without its final ORDER BY, shared by
+    * [[minhashLshOracle]] and (as a CTE body) [[clustersOracle]].
+    */
+  private lazy val minhashLinksSql: String = {
     val P = "1000000007"
     val wordHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
@@ -218,8 +223,7 @@ object Dedup {
        |  len(list_intersect(da.hs, db.hs)) /
        |    len(list_distinct(list_concat(da.hs, db.hs))) AS jacc
        |FROM cand, sigs da, sigs db
-       |WHERE da.doc_id = a_id AND db.doc_id = b_id
-       |ORDER BY a_id, b_id""".stripMargin
+       |WHERE da.doc_id = a_id AND db.doc_id = b_id""".stripMargin
   }
 
   // ---------------------------------------------------------------
@@ -428,6 +432,78 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------
+  /** Connected components over the MinHash-LSH near-dup links
+    * (J ≥ 0.8) — the downstream half of near-dup dedup: candidate
+    * LINKS become duplicate CLUSTERS, from which a pipeline keeps one
+    * representative per cluster.
+    *
+    * Algorithm: distributed min-label propagation. Labels start as
+    * each doc's own id; each round every node takes the min of its
+    * label and its neighbors' labels; converged when no label
+    * changes. Each round is one keyed shuffle (edges ⋈ labels →
+    * groupBy(dst).min), rounds are bounded by the component diameter
+    * — on representative-link graphs that is small (stars chained
+    * through shared docs across bands), and at 100 TB this is the
+    * standard alternating large/small-star CC pattern. The per-round
+    * `localCheckpoint` truncates lineage so the plan doesn't grow
+    * with iterations (on a cluster: `checkpoint` to durable storage).
+    * The driver loop iterates over DISTRIBUTED rounds; only the
+    * 1-row changed-count is ever collected.
+    */
+  def clusters(s: SparkSession, dir: String): DataFrame = {
+    val links = minhashLsh(s, dir).filter(col("jacc") >= 0.8)
+      .select(col("a_id"), col("b_id"))
+    val edges = links
+      .union(links.select(col("b_id"), col("a_id")))
+      .toDF("src", "dst").distinct().cache()
+    var labels = Tables.documents(s, dir)
+      .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("nlbl"))
+      val step = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      changed = step.filter(col("lbl") < col("old")).count()
+      labels = step.select(col("node"), col("lbl"))
+      rounds += 1
+    }
+    edges.unpersist()
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, Seq("lbl"))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB mirror: the link CTE is [[minhashLinksSql]] verbatim; the
+    * component min-label is a recursive label walk over the symmetric
+    * edge set (UNION dedups, so it terminates at the closure).
+    */
+  val clustersOracle: String =
+    s"""WITH RECURSIVE links AS ($minhashLinksSql),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM links WHERE jacc >= 0.8
+       |  UNION
+       |  SELECT b_id, a_id FROM links WHERE jacc >= 0.8),
+       |walk(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+       |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+       |         FROM walk GROUP BY node)
+       |SELECT c.doc_id, c.cluster_id, s.cluster_size
+       |FROM comp c
+       |JOIN (SELECT cluster_id, count(*) AS cluster_size
+       |      FROM comp GROUP BY cluster_id) s USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactOracle),
       "exact hash-groupBy dedup stats per source"),
@@ -438,5 +514,7 @@ object Dedup {
     Q("dedup_simhash", simhash, Some(simhashOracle),
       "64-bit SimHash, 16-bit band blocking, representative-link histogram"),
     Q("dedup_embedding_cosine", embeddingCosine, Some(embeddingCosineOracle),
-      "cosine near-dup: hyperplane-LSH sub-buckets + representative links"))
+      "cosine near-dup: hyperplane-LSH sub-buckets + representative links"),
+    Q("dedup_clusters", clusters, Some(clustersOracle),
+      "connected components over J>=0.8 LSH links via min-label rounds"))
 }

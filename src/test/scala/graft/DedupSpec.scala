@@ -67,6 +67,34 @@ class DedupSpec extends SparkSpec {
     assert(h1 === h2)
   }
 
+  test("clusters are the exact connected components of the J>=0.8 links") {
+    val links = ops.Dedup.minhashLsh(spark, sf)
+      .filter(col("jacc") >= 0.8)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    links.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val got = ops.Dedup.clusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val n = Tables.documents(spark, sf).count()
+    assert(got.length === n, "every document gets exactly one cluster row")
+    // Reference components from the driver-side union-find: same
+    // partition of docs, with cluster_id = the component's min doc.
+    val refComp = got.map(_._1)
+      .map(d => d -> find(d)).groupBy(_._2).values
+      .map(_.map(_._1).toSet).toSet
+    val gotComp = got.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(gotComp === refComp)
+    got.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._1).min === cid, "cluster_id is the min doc_id")
+      assert(rows.forall(_._3 == rows.length), "cluster_size is exact")
+    }
+  }
+
   test("verified links respect their thresholds and similarity domains") {
     val jaccs = ops.Dedup.ngramJaccard(spark, sf)
       .select(col("jacc")).collect().map(_.getDouble(0))
