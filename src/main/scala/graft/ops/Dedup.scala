@@ -504,6 +504,54 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** The dedup pipeline's last step: keep ONE document per near-dup
+    * cluster — the highest [[TextAnalysis.quality]] score, doc_id as
+    * the tiebreak (near-identical texts often tie exactly).
+    *
+    * Selection is a single hash aggregate of `max(struct(quality,
+    * -doc_id))` — struct comparison is lexicographic, so the max is
+    * "best quality, then lowest doc_id" in one map-side-combining
+    * pass. At 100 TB that beats a rank window (no per-cluster sort,
+    * no skew exposure to a giant cluster).
+    */
+  def keepBest(s: SparkSession, dir: String): DataFrame = {
+    val cl = clusters(s, dir)
+    val q = TextAnalysis.quality(s, dir).select(col("doc_id"), col("quality"))
+    cl.join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("quality"), (-col("doc_id")).as("neg"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("best.neg")).as("doc_id"),
+        col("best.quality").as("quality"), col("cluster_size"),
+        (col("cluster_size") - 1).as("dropped_docs"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val keepBestOracle: String =
+    s"""WITH RECURSIVE links AS ($minhashLinksSql),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM links WHERE jacc >= 0.8
+       |  UNION
+       |  SELECT b_id, a_id FROM links WHERE jacc >= 0.8),
+       |walk(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+       |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+       |         FROM walk GROUP BY node),
+       |qual AS (${TextAnalysis.qualityOracle})
+       |SELECT cluster_id, doc_id, quality, cluster_size,
+       |  cluster_size - 1 AS dropped_docs
+       |FROM (
+       |  SELECT c.cluster_id, c.doc_id, q.quality,
+       |    row_number() OVER (PARTITION BY c.cluster_id
+       |      ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+       |  FROM comp c JOIN qual q USING (doc_id)) ranked
+       |WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactOracle),
       "exact hash-groupBy dedup stats per source"),
@@ -516,5 +564,7 @@ object Dedup {
     Q("dedup_embedding_cosine", embeddingCosine, Some(embeddingCosineOracle),
       "cosine near-dup: hyperplane-LSH sub-buckets + representative links"),
     Q("dedup_clusters", clusters, Some(clustersOracle),
-      "connected components over J>=0.8 LSH links via min-label rounds"))
+      "connected components over J>=0.8 LSH links via min-label rounds"),
+    Q("dedup_keep_best", keepBest, Some(keepBestOracle),
+      "one best-quality doc per near-dup cluster via struct-max agg"))
 }
