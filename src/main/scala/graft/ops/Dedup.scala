@@ -552,6 +552,40 @@ object Dedup {
        |ORDER BY cluster_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Cluster-aware train/holdout split: the split key is the CLUSTER,
+    * not the document, so near-duplicates can never straddle the
+    * boundary (train/eval leakage). The assignment is a deterministic
+    * integer hash of cluster_id (multiplier kept small so the product
+    * stays in 63 bits at any plausible id — Java wraps silently,
+    * other engines don't), ~90/10.
+    */
+  def clusterSplit(s: SparkSession, dir: String): DataFrame =
+    clusters(s, dir)
+      .withColumn("split",
+        when(pmod(col("cluster_id") * 7919 + 13, lit(100)) < 90, "train")
+          .otherwise("holdout"))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val clusterSplitOracle: String =
+    s"""WITH RECURSIVE links AS ($minhashLinksSql),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM links WHERE jacc >= 0.8
+       |  UNION
+       |  SELECT b_id, a_id FROM links WHERE jacc >= 0.8),
+       |walk(node, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+       |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+       |         FROM walk GROUP BY node)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN (cluster_id * 7919 + 13) % 100 < 90
+       |       THEN 'train' ELSE 'holdout' END AS split
+       |FROM comp
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactOracle),
       "exact hash-groupBy dedup stats per source"),
@@ -566,5 +600,7 @@ object Dedup {
     Q("dedup_clusters", clusters, Some(clustersOracle),
       "connected components over J>=0.8 LSH links via min-label rounds"),
     Q("dedup_keep_best", keepBest, Some(keepBestOracle),
-      "one best-quality doc per near-dup cluster via struct-max agg"))
+      "one best-quality doc per near-dup cluster via struct-max agg"),
+    Q("dedup_cluster_split", clusterSplit, Some(clusterSplitOracle),
+      "leak-free train/holdout split assigned per cluster, not per doc"))
 }
