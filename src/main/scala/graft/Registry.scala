@@ -21,6 +21,7 @@ object Registry {
       queries.Corpus.all ++
       queries.TpcdsCorpus.all ++
       ops.TextAnalysis.all ++
+      ops.PipelineOps.all ++
       ops.Dedup.all ++
       ops.SkewJoin.all ++
       ops.Similarity.all ++

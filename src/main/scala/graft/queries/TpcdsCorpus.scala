@@ -140,6 +140,24 @@ object TpcdsCorpus {
   private val soldDateSk = "datediff((CAST(l_shipdate AS DATE) + 365), DATE '1989-12-31')"
   private def custSk(c: Long) = s"pmod(l_orderkey * 13 + 7, $c)"
   private def shipCustSk(c: Long) = s"pmod(l_orderkey * 19 + 3, $c)"
+  // Catalog bill customer: for orders ≡ 2 (mod 5) the catalog buyer IS
+  // the store buyer (custSk's 13k+7), so q17/q25/q29's cross-fact
+  // re-purchase join (sr_customer_sk = cs_bill_customer_sk AND
+  // sr_item_sk = cs_item_sk) matches on same-order rows; all other
+  // orders keep the distinct 29k+17 formula so cross-channel
+  // INTERSECT/EXCEPT (q38/q87/q97) stay non-degenerate. Pre-mod form
+  // so callers (and [[yearTotalCte]]) apply the modulus outside; both
+  // branches are non-negative, so `%` == pmod in Spark and DuckDB.
+  private def csCustPre(ok: String) =
+    s"CASE WHEN $ok % 5 = 2 THEN $ok * 13 + 7 ELSE $ok * 29 + 17 END"
+  // ~1% of store tickets carry a NULL shipping address — q44's
+  // baseline aggregate anchors on `ss_addr_sk IS NULL` (the spec's
+  // "unknown address" rows, which dbgen emits but a plain modulus
+  // never produces). NULL never equals ca_address_sk, so inner
+  // address joins (q46/q68/q79...) drop the slice identically in
+  // both engines. `n` is the customer-count SQL fragment.
+  private def ssAddrCase(n: String) =
+    s"CASE WHEN l_orderkey % 101 = 44 THEN NULL ELSE (l_orderkey * 37 + 23) % $n END"
   private val cdemoSk = "pmod(l_orderkey * 31 + l_partkey, 7200)"
   private val hdemoSk = "pmod(l_orderkey * 17 + l_linenumber, 720)"
   private val promoSk = "CASE WHEN (l_orderkey + l_partkey) % 11 = 0 THEN NULL " +
@@ -319,7 +337,9 @@ object TpcdsCorpus {
         s"""SELECT $soldDateSk AS ss_sold_date_sk, $timeSk AS ss_sold_time_sk,
            |  l_partkey AS ss_item_sk, ${custSk(custCount)} AS ss_customer_sk,
            |  $cdemoSk AS ss_cdemo_sk, $hdemoSk AS ss_hdemo_sk,
-           |  pmod(l_orderkey * 37 + 23, $custCount) AS ss_addr_sk, l_suppkey AS ss_store_sk,
+           |  CASE WHEN l_orderkey % 101 = 44 THEN NULL
+           |    ELSE pmod(l_orderkey * 37 + 23, $custCount) END AS ss_addr_sk,
+           |  l_suppkey AS ss_store_sk,
            |  $promoSk AS ss_promo_sk, l_orderkey AS ss_ticket_number,
            |  CAST(l_quantity AS INT) AS ss_quantity,
            |  CAST(l_extendedprice / l_quantity * 0.08 AS DECIMAL(12,2)) AS ss_wholesale_cost,
@@ -347,7 +367,7 @@ object TpcdsCorpus {
       "catalog_sales" ->
         s"""SELECT $soldDateSk AS cs_sold_date_sk, $timeSk AS cs_sold_time_sk,
            |  $soldDateSk + CAST(pmod(l_orderkey * 3 + l_linenumber, 60) + 2 AS INT) AS cs_ship_date_sk,
-           |  pmod(l_orderkey * 29 + 17, $custCount) AS cs_bill_customer_sk,
+           |  pmod(${csCustPre("l_orderkey")}, $custCount) AS cs_bill_customer_sk,
            |  $cdemoSk AS cs_bill_cdemo_sk, $hdemoSk AS cs_bill_hdemo_sk,
            |  ${custSk(custCount)} AS cs_bill_addr_sk,
            |  ${shipCustSk(custCount)} AS cs_ship_customer_sk,
@@ -688,7 +708,7 @@ object TpcdsCorpus {
        |  FROM lineitem),
        |t_cs AS (
        |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
-       |    (l_orderkey * 29 + 17) % (SELECT count(*) FROM customer) AS cust_sk
+       |    (${csCustPre("l_orderkey")}) % (SELECT count(*) FROM customer) AS cust_sk
        |  FROM lineitem),
        |t_ws AS (
        |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
@@ -1208,7 +1228,7 @@ object TpcdsCorpus {
        |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_orderkey AS ss_ticket_number, l_suppkey AS ss_store_sk,
        |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
-       |    (l_orderkey * 37 + 23) % (SELECT count(*) FROM customer) AS ss_addr_sk,
+       |    ${ssAddrCase("(SELECT count(*) FROM customer)")} AS ss_addr_sk,
        |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * CAST(l_discount AS DECIMAL(12,2)) * 0.5 AS ss_coupon_amt,
@@ -1259,7 +1279,7 @@ object TpcdsCorpus {
        |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_orderkey AS ss_ticket_number, l_suppkey AS ss_store_sk,
        |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS ss_customer_sk,
-       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
+       |    ${ssAddrCase("(SELECT n FROM custs)")} AS ss_addr_sk,
        |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ss_ext_sales_price,
@@ -1368,7 +1388,7 @@ object TpcdsCorpus {
        |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_orderkey AS ss_ticket_number, l_suppkey AS ss_store_sk,
        |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS ss_customer_sk,
-       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
+       |    ${ssAddrCase("(SELECT n FROM custs)")} AS ss_addr_sk,
        |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * CAST(l_discount AS DECIMAL(12,2)) * 0.5 AS ss_coupon_amt,
@@ -1427,7 +1447,7 @@ object TpcdsCorpus {
        |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
        |    l_suppkey AS ss_store_sk, CAST(l_quantity AS INTEGER) AS ss_quantity,
        |    (l_orderkey * 31 + l_partkey) % 7200 AS ss_cdemo_sk,
-       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS ss_addr_sk,
+       |    ${ssAddrCase("(SELECT n FROM custs)")} AS ss_addr_sk,
        |    CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS VARCHAR) AS DECIMAL(12,2)) AS ss_sales_price,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS ss_net_profit
@@ -1514,7 +1534,7 @@ object TpcdsCorpus {
        |    AND d_month_seq BETWEEN 1200 AND 1211
        |  GROUP BY 1, 2),
        |csci AS (
-       |  SELECT (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS customer_sk,
+       |  SELECT (${csCustPre("l_orderkey")}) % (SELECT n FROM custs) AS customer_sk,
        |    l_partkey AS item_sk
        |  FROM lineitem, t_dd
        |  WHERE (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' = d_date_sk
@@ -1568,7 +1588,7 @@ object TpcdsCorpus {
        |t_ss AS (
        |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_date_sk,
        |    l_partkey AS item_sk,
-       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS addr_sk,
+       |    ${ssAddrCase("(SELECT n FROM custs)")} AS addr_sk,
        |    (l_orderkey * 7919 + l_linenumber * 104729) % 86400 AS time_sk,
        |    CAST(l_extendedprice AS DECIMAL(12,2))
        |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS ext_sales_price
@@ -1922,7 +1942,7 @@ object TpcdsCorpus {
        |        * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT)) AS sales_i
        |  FROM lineitem, t_dd, t_ca
        |  WHERE (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' = d_date_sk
-       |    AND (l_orderkey * 37 + 23) % (SELECT n FROM custs) = ca_address_sk
+       |    AND ${ssAddrCase("(SELECT n FROM custs)")} = ca_address_sk
        |  GROUP BY ca_county, d_qoy, d_year),
        |f_ws AS (
        |  SELECT ca_county, d_qoy, d_year,
@@ -2216,7 +2236,7 @@ object TpcdsCorpus {
        |t_cs AS (
        |  SELECT l_partkey AS item_sk,
        |    (l_orderkey * 31 + l_partkey) % 7200 AS cdemo,
-       |    (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS bill_cust,
+       |    (${csCustPre("l_orderkey")}) % (SELECT n FROM custs) AS bill_cust,
        |    CAST(l_quantity AS HUGEINT) * 100 AS qty2,
        |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.12 AS VARCHAR) AS DECIMAL(12,2)) * 100 AS HUGEINT) AS list2,
        |    (2 * CAST(CAST(l_extendedprice AS DECIMAL(12,2))
@@ -2486,7 +2506,7 @@ object TpcdsCorpus {
     s"""WITH custs AS (SELECT count(*) AS n FROM customer),
        |t_cs AS (
        |  SELECT (CAST(l_shipdate AS DATE) + 365) AS sold_d,
-       |    (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS bill_cust,
+       |    (${csCustPre("l_orderkey")}) % (SELECT n FROM custs) AS bill_cust,
        |    $salesPrice2 AS price2
        |  FROM lineitem),
        |t_ca AS (
@@ -2976,7 +2996,7 @@ object TpcdsCorpus {
   private val q04Oracle: String =
     s"""WITH custs AS (SELECT count(*) AS n FROM customer),
        |${yearTotalCte("yt_s", "l_orderkey * 13 + 7", dealHalf6)},
-       |${yearTotalCte("yt_c", "l_orderkey * 29 + 17", dealHalf6)},
+       |${yearTotalCte("yt_c", csCustPre("l_orderkey"), dealHalf6)},
        |${yearTotalCte("yt_w", "l_orderkey * 23 + 11", dealHalf6)},
        |t_cust AS (
        |  SELECT c_custkey AS sk,
@@ -3080,6 +3100,120 @@ object TpcdsCorpus {
        |UNION ALL
        |SELECT 'store', item, return_ratio, return_rank, currency_rank FROM one
        |ORDER BY 1 ASC, 4 ASC, 5 ASC, 2 ASC
+       |LIMIT 100""".stripMargin
+
+  /** Shared mirror CTEs for q25/q29 (store buy → store return →
+    * catalog re-purchase by the same customer). Non-empty because
+    * [[csCustPre]]'s ≡2 (mod 5) orders share the store buyer formula,
+    * so the same (order, part) row satisfies the cross-fact
+    * (customer, item) join. Item/store attrs and date arithmetic
+    * mirror the synthesized views; money stays in exact HUGEINT.
+    */
+  private def q25Facts(measures: String): String =
+    s"""custs AS (SELECT count(*) AS n FROM customer),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
+       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc
+       |  FROM part),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    concat('STORE', lpad(CAST(s_suppkey AS VARCHAR), 16, '0')) AS s_store_id,
+       |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name
+       |  FROM supplier),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) + 365 AS sold_d,
+       |    l_partkey AS item, l_orderkey AS ticket,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    l_suppkey AS store,
+       |    CAST(l_quantity AS HUGEINT) AS qty,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit4
+       |  FROM lineitem),
+       |t_sr AS (
+       |  SELECT CAST(l_shipdate AS DATE) + 365 + CAST(l_orderkey % 60 + 7 AS INTEGER) AS ret_d,
+       |    l_partkey AS item, l_orderkey AS ticket,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    CAST(floor(l_quantity / 2) AS HUGEINT) + 1 AS rqty,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) + 5000 AS loss3
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |t_cs AS (
+       |  SELECT CAST(l_shipdate AS DATE) + 365 AS sold_d,
+       |    l_partkey AS item,
+       |    (${csCustPre("l_orderkey")}) % (SELECT n FROM custs) AS cust,
+       |    CAST(l_quantity AS HUGEINT) AS qty,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit4
+       |  FROM lineitem)
+       |SELECT i_item_id, i_item_desc, s_store_id, s_store_name,
+       |$measures
+       |FROM t_ss ss, t_sr sr, t_cs cs, t_item, t_store""".stripMargin
+
+  /** q25: April-2001 store buys, returned Apr–Oct, catalog re-buys
+    * Apr–Oct; exact scale-4/scale-3 profit/loss sums.
+    */
+  private val q25Oracle: String =
+    s"""WITH ${q25Facts(
+      """  CAST(sum(ss.profit4) AS DOUBLE) / 10000.0 AS store_sales_profit,
+        |  CAST(sum(sr.loss3) AS DOUBLE) / 1000.0 AS store_returns_loss,
+        |  CAST(sum(cs.profit4) AS DOUBLE) / 10000.0 AS catalog_sales_profit""".stripMargin)}
+       |WHERE year(ss.sold_d) = 2001 AND month(ss.sold_d) = 4
+       |  AND i_item_sk = ss.item AND s_store_sk = ss.store
+       |  AND ss.cust = sr.cust AND ss.item = sr.item AND ss.ticket = sr.ticket
+       |  AND year(sr.ret_d) = 2001 AND month(sr.ret_d) BETWEEN 4 AND 10
+       |  AND sr.cust = cs.cust AND sr.item = cs.item
+       |  AND year(cs.sold_d) = 2001 AND month(cs.sold_d) BETWEEN 4 AND 10
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY 1 ASC, 2 ASC, 3 ASC, 4 ASC
+       |LIMIT 100""".stripMargin
+
+  /** q29: September-1999 store buys, returned Sep–Dec, catalog
+    * re-buys any of 1999-2001; integer quantity sums.
+    */
+  private val q29Oracle: String =
+    s"""WITH ${q25Facts(
+      """  CAST(sum(ss.qty) AS BIGINT) AS store_sales_quantity,
+        |  CAST(sum(sr.rqty) AS BIGINT) AS store_returns_quantity,
+        |  CAST(sum(cs.qty) AS BIGINT) AS catalog_sales_quantity""".stripMargin)}
+       |WHERE year(ss.sold_d) = 1999 AND month(ss.sold_d) = 9
+       |  AND i_item_sk = ss.item AND s_store_sk = ss.store
+       |  AND ss.cust = sr.cust AND ss.item = sr.item AND ss.ticket = sr.ticket
+       |  AND year(sr.ret_d) = 1999 AND month(sr.ret_d) BETWEEN 9 AND 12
+       |  AND sr.cust = cs.cust AND sr.item = cs.item
+       |  AND year(cs.sold_d) IN (1999, 2000, 2001)
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY 1 ASC, 2 ASC, 3 ASC, 4 ASC
+       |LIMIT 100""".stripMargin
+
+  /** q44: best/worst items at store 4 by avg net profit, baselined
+    * against the NULL-address rows ([[ssAddrCase]]'s slice). The
+    * avg(DECIMAL(26,4)) rounds half-up at scale 8; the HAVING
+    * `avg > 0.9 * scalar-avg` compares exactly as 10·M8 > 9·N8.
+    */
+  private val q44Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |base AS (
+       |  SELECT l_partkey AS item,
+       |    ${ssAddrCase("(SELECT n FROM custs)")} AS addr,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS profit4
+       |  FROM lineitem WHERE l_suppkey = 4),
+       |nullavg AS (
+       |  SELECT (2 * sum(profit4) * 10000 + count(*)) // (2 * count(*)) AS a8
+       |  FROM base WHERE addr IS NULL),
+       |peritem AS (
+       |  SELECT item,
+       |    (2 * sum(profit4) * 10000 + count(*)) // (2 * count(*)) AS a8
+       |  FROM base GROUP BY item
+       |  HAVING 10 * ((2 * sum(profit4) * 10000 + count(*)) // (2 * count(*)))
+       |    > 9 * (SELECT a8 FROM nullavg)),
+       |asc_r AS (SELECT item, rank() OVER (ORDER BY a8 ASC) AS rnk FROM peritem),
+       |desc_r AS (SELECT item, rank() OVER (ORDER BY a8 DESC) AS rnk FROM peritem)
+       |SELECT a.rnk, p1.p_name AS best_performing, p2.p_name AS worst_performing
+       |FROM asc_r a, desc_r d, part p1, part p2
+       |WHERE a.rnk = d.rnk AND a.rnk < 11
+       |  AND p1.p_partkey = a.item AND p2.p_partkey = d.item
+       |ORDER BY a.rnk ASC
        |LIMIT 100""".stripMargin
 
   /** q30's slice: GA customers with 2002 web returns > 1.2× their
@@ -3673,7 +3807,7 @@ object TpcdsCorpus {
        |    sum(qty) AS q, sum(wc2) AS wc, sum(wsp2) AS sp
        |  FROM base GROUP BY 1, 2),
        |cs AS (
-       |  SELECT pk AS item, (ok * 29 + 17) % (SELECT n FROM custs) AS cust,
+       |  SELECT pk AS item, (${csCustPre("ok")}) % (SELECT n FROM custs) AS cust,
        |    sum(qty) AS q, sum(wc2) AS wc, sum(sp2) AS sp
        |  FROM base GROUP BY 1, 2)
        |SELECT 2000 AS ss_sold_year, ss.item AS ss_item_sk, ss.cust AS ss_customer_sk,
@@ -3747,7 +3881,7 @@ object TpcdsCorpus {
     s"""WITH custs AS (SELECT count(*) AS n FROM customer),
        |buyers AS (
        |  SELECT DISTINCT cust FROM (
-       |    SELECT (l_orderkey * 29 + 17) % (SELECT n FROM custs) AS cust
+       |    SELECT (${csCustPre("l_orderkey")}) % (SELECT n FROM custs) AS cust
        |    FROM lineitem
        |    WHERE l_partkey % 10 = 9 AND l_partkey % 16 = 11
        |      AND year((CAST(l_shipdate AS DATE) + 365)) = 1998
@@ -3966,7 +4100,7 @@ object TpcdsCorpus {
        |  SELECT l_partkey AS pk, l_orderkey AS ok, l_suppkey AS sk,
        |    year(CAST(l_shipdate AS DATE) + 365) AS syear,
        |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
-       |    (l_orderkey * 37 + 23) % (SELECT n FROM custs) AS addr,
+       |    ${ssAddrCase("(SELECT n FROM custs)")} AS addr,
        |    ((l_orderkey * 31 + l_partkey) % 7200 // 2) % 5 AS marital1,
        |    CAST(CAST(CAST(l_extendedprice / l_quantity * 0.08 AS VARCHAR)
        |      AS DECIMAL(12,2)) * 100 AS HUGEINT) AS wc2,
@@ -4294,6 +4428,17 @@ object TpcdsCorpus {
       "s_city", "s_county", "s_state", "s_zip",
       "d30", "d31_60", "d61_90", "d91_120", "d120p")), Some(q50Oracle),
       "verbatim reference file queries/tpcds/q50.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q44", gate("q44",
+      Seq("rnk", "best_performing", "worst_performing")), Some(q44Oracle),
+      "verbatim reference file queries/tpcds/q44.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q25", gate("q25", Seq("i_item_id", "i_item_desc",
+      "s_store_id", "s_store_name", "store_sales_profit",
+      "store_returns_loss", "catalog_sales_profit")), Some(q25Oracle),
+      "verbatim reference file queries/tpcds/q25.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q29", gate("q29", Seq("i_item_id", "i_item_desc",
+      "s_store_id", "s_store_name", "store_sales_quantity",
+      "store_returns_quantity", "catalog_sales_quantity")), Some(q29Oracle),
+      "verbatim reference file queries/tpcds/q29.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q69", gate("q69", Seq("cd_gender",
       "cd_marital_status", "cd_education_status", "cnt1",
       "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3")),
