@@ -184,11 +184,189 @@ object PipelineOps {
        |ORDER BY source, lang""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Greedy sequential sequence packing: documents are packed in
+    * doc_id order into fixed 512-token context windows, sharded so no
+    * partition holds more than 1/16th of a language (PARTITION BY
+    * (lang, shard) bounds the window state — a single per-lang window
+    * would serialize the whole corpus through one task at 100 TB).
+    * A document belongs to the bin where its first token lands
+    * (`cum_before div 512`), so the assignment is one running sum —
+    * no iterative bin state. Emits per-language bin statistics.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("shard", pmod(col("doc_id"), lit(16L)))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", expr("(cum - tok) div 512"))
+      .groupBy(col("lang"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("fill"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("bins"),
+        sum(col("docs")).as("docs"),
+        sum(col("fill")).as("tok_sum"),
+        max(col("fill")).as("max_fill"),
+        sum(when(col("fill") >= 512L, 1L).otherwise(0L)).as("full_bins"))
+      .orderBy(col("lang"))
+  }
+
+  val packSequencesOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, doc_id % 16 AS shard,
+      |    len(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |cum AS (
+      |  SELECT lang, shard, tok,
+      |    SUM(tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM toks),
+      |bins AS (
+      |  SELECT lang, shard, (cum - tok) // 512 AS bin,
+      |    COUNT(*) AS docs, SUM(tok) AS fill
+      |  FROM cum GROUP BY 1, 2, 3)
+      |SELECT lang, COUNT(*) AS bins, CAST(SUM(docs) AS BIGINT) AS docs,
+      |  CAST(SUM(fill) AS BIGINT) AS tok_sum,
+      |  CAST(MAX(fill) AS BIGINT) AS max_fill,
+      |  CAST(SUM(CASE WHEN fill >= 512 THEN 1 ELSE 0 END) AS BIGINT) AS full_bins
+      |FROM bins GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Tokenizer-vocabulary head: global word frequencies, top 50 by
+    * (count desc, word asc) — a fully deterministic cut. The classic
+    * wordcount: explode → keyed agg (map-side partial combine), then
+    * a top-k that Spark executes as TakeOrderedAndProject (per
+    * partition top-k + driver merge of 50-row heaps, never a global
+    * sort at 100 TB).
+    */
+  def vocabTopK(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)
+
+  val vocabTopKOracle: String =
+    """SELECT word, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word
+      |      FROM documents) words
+      |GROUP BY word
+      |ORDER BY cnt DESC, word
+      |LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Gopher-style repetition quality signals per document: duplicate
+    * word fraction and top-bigram dominance, as parts-per-million
+    * integer ratios (`div` of scaled longs — no float comparison at
+    * the gate). Bigram counting is explode → two keyed aggs, not a
+    * per-doc O(n²) HOF, so per-document work stays linear and the
+    * shuffle key (doc_id, bigram) has no hot key at corpus scale.
+    */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n", expr("CAST(size(ws) AS BIGINT)"))
+      .filter(col("n") >= 2)
+    val words = base.select(col("doc_id"), col("n"),
+      expr("CAST(size(array_distinct(ws)) AS BIGINT)").as("dw"))
+    val bigrams = base
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, CAST(n AS INT) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bg"),
+        count(lit(1)).as("d_bg"),
+        max(col("c")).as("top_c"))
+    words.join(bigrams, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("dw"), col("d_bg"), col("top_c"),
+        expr("(1000000 * (n - dw)) div n").as("dup_word_ppm"),
+        expr("(1000000 * top_c) div n_bg").as("top_bigram_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |words AS (
+      |  SELECT doc_id, n, len(list_distinct(ws)) AS dw FROM base),
+      |bg AS (
+      |  SELECT doc_id, bg, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(list_transform(range(1, CAST(n AS INTEGER)),
+      |          i -> ws[i] || ' ' || ws[i + 1])) AS bg
+      |        FROM base) x
+      |  GROUP BY doc_id, bg),
+      |agg AS (
+      |  SELECT doc_id, SUM(c) AS n_bg, COUNT(*) AS d_bg, MAX(c) AS top_c
+      |  FROM bg GROUP BY doc_id)
+      |SELECT w.doc_id, CAST(w.n AS BIGINT) AS n, CAST(w.dw AS BIGINT) AS dw,
+      |  CAST(a.d_bg AS BIGINT) AS d_bg, CAST(a.top_c AS BIGINT) AS top_c,
+      |  CAST((1000000 * (w.n - w.dw)) // w.n AS BIGINT) AS dup_word_ppm,
+      |  CAST((1000000 * a.top_c) // a.n_bg AS BIGINT) AS top_bigram_ppm
+      |FROM words w JOIN agg a ON w.doc_id = a.doc_id
+      |ORDER BY w.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Source-mixture rebalancing: compute per-language token mass,
+    * derive a sampling rate (ppm, exact integer division) that
+    * equalizes every language to the smallest one, then take a
+    * deterministic hash sample at that rate. Two linear scans and a
+    * broadcast of the 3-row rate table — the standard shape for
+    * "hit a target data mixture" at corpus scale (no rand(), so the
+    * sample is reproducible across retries and engines).
+    */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+    val perLang = docs.groupBy(col("lang"))
+      .agg(sum(col("tok")).as("lang_tok"))
+    val rates = perLang
+      .crossJoin(broadcast(perLang.agg(min(col("lang_tok")).as("min_tok"))))
+      .select(col("lang"), expr("(min_tok * 1000000) div lang_tok").as("rate_ppm"))
+    docs.join(broadcast(rates), Seq("lang"))
+      .filter(pmod(col("doc_id") * 2654435761L + 99991L, lit(1000000L)) < col("rate_ppm"))
+      .groupBy(col("lang"), col("rate_ppm"))
+      .agg(count(lit(1)).as("sampled_docs"), sum(col("tok")).as("sampled_tok"))
+      .orderBy(col("lang"))
+  }
+
+  val mixtureSampleOracle: String =
+    """WITH toks AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |pl AS (SELECT lang, SUM(tok) AS lang_tok FROM toks GROUP BY lang),
+      |r AS (SELECT lang,
+      |        ((SELECT MIN(lang_tok) FROM pl) * 1000000) // lang_tok AS rate_ppm
+      |      FROM pl)
+      |SELECT t.lang, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+      |  COUNT(*) AS sampled_docs, CAST(SUM(t.tok) AS BIGINT) AS sampled_tok
+      |FROM toks t JOIN r ON t.lang = r.lang
+      |WHERE (t.doc_id * 2654435761 + 99991) % 1000000 < r.rate_ppm
+      |GROUP BY t.lang, r.rate_ppm
+      |ORDER BY t.lang""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
     Q("pipe_quantize_int8", quantize, Some(quantizeOracle),
       "per-vector symmetric int8 quantization with integer metrics"),
     Q("pipe_corpus_stats", corpusStats, Some(corpusStatsOracle),
-      "per-(source, lang) ROLLUP of docs/tokens/chars/fingerprints"))
+      "per-(source, lang) ROLLUP of docs/tokens/chars/fingerprints"),
+    Q("pipe_pack_sequences", packSequences, Some(packSequencesOracle),
+      "sharded greedy packing into 512-token context windows"),
+    Q("pipe_vocab_topk", vocabTopK, Some(vocabTopKOracle),
+      "global word-frequency top-50 (tokenizer vocabulary head)"),
+    Q("pipe_repetition", repetition, Some(repetitionOracle),
+      "Gopher-style duplicate-word / top-bigram repetition signals"),
+    Q("pipe_mixture_sample", mixtureSample, Some(mixtureSampleOracle),
+      "language-mixture rebalancing via deterministic hash sampling"))
 }

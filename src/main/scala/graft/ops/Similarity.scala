@@ -305,9 +305,75 @@ object Similarity {
       |ORDER BY cent.label""".stripMargin
 
   // ---------------------------------------------------------------
+  /** k-nearest-neighbor graph edges over int8-quantized vectors: a 2%
+    * deterministic query sample (vec_id % 50 == 0) is broadcast
+    * against its own label cluster, scored by the INTEGER dot product
+    * of the quantized codes, top-3 per query. This is the
+    * quantized-index complement to [[bruteForceTopK]]: at 100 TB the
+    * int8 codes are 4× smaller than float32 (scan-bandwidth bound),
+    * the query side stays broadcast, and — because the scores are
+    * exact integers — ranking is bit-deterministic across engines,
+    * partitionings, and retries (no float tie ambiguity at all).
+    */
+  def knnInt8(s: SparkSession, dir: String): DataFrame = {
+    val q8 = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("amax",
+        expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))"))
+      .filter(col("amax") > 0)
+      .withColumn("q",
+        expr("transform(v, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT))"))
+      .select(col("vec_id"), col("label"), col("q"))
+    val queries = q8.filter(pmod(col("vec_id"), lit(50L)) === 0)
+      .select(col("vec_id").as("q_id"), col("label"), col("q").as("qv"))
+    val cands = q8.select(col("vec_id").as("cand_id"), col("label"),
+      col("q").as("cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot").desc, col("cand_id"))
+    cands.join(broadcast(queries), Seq("label"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, cv, (a, b) -> a * b), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("cand_id"), col("label"), col("dot"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val knnInt8Oracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, v,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |      list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) AS amax
+      |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |        FROM embeddings) raw),
+      |q8 AS (
+      |  SELECT vec_id, label,
+      |    list_transform(v, x -> CAST(floor(x / (amax / 127.0) + 0.5) AS BIGINT)) AS q
+      |  FROM e WHERE amax > 0),
+      |scored AS (
+      |  SELECT qs.vec_id AS q_id, c.vec_id AS cand_id, c.label,
+      |    list_sum(list_transform(range(1, 65), i -> qs.q[i] * c.q[i])) AS dot
+      |  FROM q8 qs JOIN q8 c
+      |    ON qs.label = c.label AND qs.vec_id <> c.vec_id
+      |  WHERE qs.vec_id % 50 = 0),
+      |ranked AS (
+      |  SELECT q_id, cand_id, label, CAST(dot AS BIGINT) AS dot,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY dot DESC, cand_id) AS BIGINT) AS rnk
+      |  FROM scored)
+      |SELECT q_id, cand_id, label, dot, rnk
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY q_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("sim_centroids", centroids, Some(centroidsOracle),
       "typed Aggregator: exact element-wise vector sums per label"),
+    Q("sim_knn_int8", knnInt8, Some(knnInt8Oracle),
+      "kNN-graph edges on int8 codes: exact integer dot ranking"),
     Q("sim_topk_brute", bruteForceTopK, Some(bruteForceTopKOracle),
       "broadcast queries, brute-force cosine top-10"),
     Q("sim_topk_ivf", ivfTopK, Some(ivfTopKOracle),

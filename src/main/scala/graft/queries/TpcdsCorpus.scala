@@ -150,6 +150,13 @@ object TpcdsCorpus {
   // branches are non-negative, so `%` == pmod in Spark and DuckDB.
   private def csCustPre(ok: String) =
     s"CASE WHEN $ok % 5 = 2 THEN $ok * 13 + 7 ELSE $ok * 29 + 17 END"
+  // ~1.1% of catalog ship addresses and web ship customers are NULL —
+  // q76's anchor (dbgen emits unknown-key facts; a plain modulus never
+  // does). Only q16 (cs_ship_addr_sk) and q76 read these two columns,
+  // and inner/filter semantics drop the NULL slice identically in both
+  // engines (the q16 mirror models the same CASE).
+  private def nullableShipSk(c: Long) =
+    s"CASE WHEN l_orderkey % 89 = 7 THEN NULL ELSE ${shipCustSk(c)} END"
   // ~1% of store tickets carry a NULL shipping address — q44's
   // baseline aggregate anchors on `ss_addr_sk IS NULL` (the spec's
   // "unknown address" rows, which dbgen emits but a plain modulus
@@ -371,7 +378,7 @@ object TpcdsCorpus {
            |  $cdemoSk AS cs_bill_cdemo_sk, $hdemoSk AS cs_bill_hdemo_sk,
            |  ${custSk(custCount)} AS cs_bill_addr_sk,
            |  ${shipCustSk(custCount)} AS cs_ship_customer_sk,
-           |  ${shipCustSk(custCount)} AS cs_ship_addr_sk,
+           |  ${nullableShipSk(custCount)} AS cs_ship_addr_sk,
            |  pmod(l_orderkey, 6) + 1 AS cs_call_center_sk,
            |  pmod(l_orderkey + l_partkey, 200) + 1 AS cs_catalog_page_sk,
            |  pmod(l_orderkey + l_linenumber, 20) + 1 AS cs_ship_mode_sk,
@@ -412,7 +419,7 @@ object TpcdsCorpus {
            |  $soldDateSk + CAST(pmod(l_orderkey * 5 + l_linenumber, 60) + 2 AS INT) AS ws_ship_date_sk,
            |  pmod(l_orderkey * 23 + 11, $custCount) AS ws_bill_customer_sk,
            |  ${custSk(custCount)} AS ws_bill_addr_sk,
-           |  ${shipCustSk(custCount)} AS ws_ship_customer_sk,
+           |  ${nullableShipSk(custCount)} AS ws_ship_customer_sk,
            |  ${shipCustSk(custCount)} AS ws_ship_addr_sk,
            |  $hdemoSk AS ws_ship_hdemo_sk,
            |  pmod(l_orderkey + l_linenumber, 30) + 1 AS ws_web_site_sk,
@@ -3029,7 +3036,8 @@ object TpcdsCorpus {
        |  SELECT l_orderkey AS ok, l_linenumber AS ln,
        |    (CAST(l_shipdate AS DATE) + 365)
        |      + CAST((l_orderkey * 3 + l_linenumber) % 60 + 2 AS INTEGER) AS ship_d,
-       |    (l_orderkey * 19 + 3) % (SELECT n FROM custs) AS ship_addr,
+       |    CASE WHEN l_orderkey % 89 = 7 THEN NULL
+       |      ELSE (l_orderkey * 19 + 3) % (SELECT n FROM custs) END AS ship_addr,
        |    l_orderkey % 6 + 1 AS cc_sk,
        |    (l_orderkey + l_linenumber * 3) % 10 + 1 AS wh_sk,
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 0.05 * 10000 AS HUGEINT) AS ship4,
@@ -3183,6 +3191,116 @@ object TpcdsCorpus {
        |  AND year(cs.sold_d) IN (1999, 2000, 2001)
        |GROUP BY 1, 2, 3, 4
        |ORDER BY 1 ASC, 2 ASC, 3 ASC, 4 ASC
+       |LIMIT 100""".stripMargin
+
+  /** q17: Q1-2001 store buys, returned in Q1–Q3, catalog re-buys in
+    * Q1–Q3 — q25/q29's skeleton with quantity count/avg/stddev/cov
+    * per (item, state). Oracle-able because every surviving
+    * (item, state) group is a SINGLETON on the fixtures (measured:
+    * 143 groups, all n=1): count/avg are exact integers, and
+    * `stddev_samp` of one row is NULL in BOTH engines (Spark's
+    * non-legacy divide-by-zero → NULL; DuckDB → NULL), as is the
+    * cov division by it. No order-dependent float accumulation can
+    * reach the gate. (n≥3 groups would break this — re-measure if
+    * the fixture or key formulas change.)
+    */
+  private val q17Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
+       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc
+       |  FROM part),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(states)}])[CAST((s_suppkey // 3) % 10 AS INTEGER) + 1] AS s_state
+       |  FROM supplier),
+       |t_ss AS (
+       |  SELECT CAST(l_shipdate AS DATE) + 365 AS sold_d,
+       |    l_partkey AS item, l_orderkey AS ticket,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    l_suppkey AS store,
+       |    CAST(l_quantity AS INTEGER) AS qty
+       |  FROM lineitem),
+       |t_sr AS (
+       |  SELECT CAST(l_shipdate AS DATE) + 365 + CAST(l_orderkey % 60 + 7 AS INTEGER) AS ret_d,
+       |    l_partkey AS item, l_orderkey AS ticket,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    CAST(floor(l_quantity / 2) AS INTEGER) + 1 AS rqty
+       |  FROM lineitem WHERE l_returnflag = 'R'),
+       |t_cs AS (
+       |  SELECT CAST(l_shipdate AS DATE) + 365 AS sold_d,
+       |    l_partkey AS item,
+       |    (${csCustPre("l_orderkey")}) % (SELECT n FROM custs) AS cust,
+       |    CAST(l_quantity AS INTEGER) AS qty
+       |  FROM lineitem)
+       |SELECT i_item_id, i_item_desc, s_state,
+       |  count(ss.qty) AS store_sales_quantitycount,
+       |  avg(ss.qty) AS store_sales_quantityave,
+       |  stddev_samp(ss.qty) AS store_sales_quantitystdev,
+       |  stddev_samp(ss.qty) / avg(ss.qty) AS store_sales_quantitycov,
+       |  count(sr.rqty) AS store_returns_quantitycount,
+       |  avg(sr.rqty) AS store_returns_quantityave,
+       |  stddev_samp(sr.rqty) AS store_returns_quantitystdev,
+       |  stddev_samp(sr.rqty) / avg(sr.rqty) AS store_returns_quantitycov,
+       |  count(cs.qty) AS catalog_sales_quantitycount,
+       |  avg(cs.qty) AS catalog_sales_quantityave,
+       |  stddev_samp(cs.qty) AS catalog_sales_quantitystdev,
+       |  stddev_samp(cs.qty) / avg(cs.qty) AS catalog_sales_quantitycov
+       |FROM t_ss ss, t_sr sr, t_cs cs, t_item, t_store
+       |WHERE year(ss.sold_d) = 2001 AND quarter(ss.sold_d) = 1
+       |  AND i_item_sk = ss.item AND s_store_sk = ss.store
+       |  AND ss.cust = sr.cust AND ss.item = sr.item AND ss.ticket = sr.ticket
+       |  AND year(sr.ret_d) = 2001 AND quarter(sr.ret_d) <= 3
+       |  AND sr.cust = cs.cust AND sr.item = cs.item
+       |  AND year(cs.sold_d) = 2001 AND quarter(cs.sold_d) <= 3
+       |GROUP BY 1, 2, 3
+       |ORDER BY 1 ASC, 2 ASC, 3 ASC
+       |LIMIT 100""".stripMargin
+
+  /** q76: sales with an unknown (NULL) channel key, per channel ×
+    * quarter × category. The store leg is EMPTY by synthesis
+    * (ss_store_sk is never NULL — verified non-empty web/catalog legs
+    * carry the result); the web/catalog legs anchor on
+    * [[nullableShipSk]]'s ~1.1% NULL slice. Money is the exact
+    * scale-4 ext-sales-price sum.
+    */
+  private val q76Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category
+       |  FROM part),
+       |t_ws AS (
+       |  SELECT CAST(l_shipdate AS DATE) + 365 AS sold_d, l_partkey AS item,
+       |    CASE WHEN l_orderkey % 89 = 7 THEN NULL
+       |      ELSE (l_orderkey * 19 + 3) % (SELECT n FROM custs) END AS ship_cust,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS price4
+       |  FROM lineitem),
+       |t_cs AS (
+       |  SELECT CAST(l_shipdate AS DATE) + 365 AS sold_d, l_partkey AS item,
+       |    CASE WHEN l_orderkey % 89 = 7 THEN NULL
+       |      ELSE (l_orderkey * 19 + 3) % (SELECT n FROM custs) END AS ship_addr,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS price4
+       |  FROM lineitem),
+       |legs AS (
+       |  SELECT 'web' AS channel, 'ws_ship_customer_sk' AS col_name,
+       |    year(sold_d) AS d_year, quarter(sold_d) AS d_qoy, i_category, price4
+       |  FROM t_ws, t_item
+       |  WHERE item = i_item_sk AND ship_cust IS NULL
+       |  UNION ALL
+       |  SELECT 'catalog' AS channel, 'cs_ship_addr_sk' AS col_name,
+       |    year(sold_d) AS d_year, quarter(sold_d) AS d_qoy, i_category, price4
+       |  FROM t_cs, t_item
+       |  WHERE item = i_item_sk AND ship_addr IS NULL)
+       |SELECT channel, col_name, d_year, d_qoy, i_category,
+       |  count(*) AS sales_cnt,
+       |  CAST(sum(price4) AS DOUBLE) / 10000.0 AS sales_amt
+       |FROM legs
+       |GROUP BY 1, 2, 3, 4, 5
+       |ORDER BY 1 ASC, 2 ASC, 3 ASC, 4 ASC, 5 ASC
        |LIMIT 100""".stripMargin
 
   /** q44: best/worst items at store 4 by avg net profit, baselined
@@ -4439,6 +4557,20 @@ object TpcdsCorpus {
       "s_store_id", "s_store_name", "store_sales_quantity",
       "store_returns_quantity", "catalog_sales_quantity")), Some(q29Oracle),
       "verbatim reference file queries/tpcds/q29.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q17", gate("q17", Seq("i_item_id", "i_item_desc",
+      "s_state",
+      "store_sales_quantitycount", "store_sales_quantityave",
+      "store_sales_quantitystdev", "store_sales_quantitycov",
+      "store_returns_quantitycount", "store_returns_quantityave",
+      "store_returns_quantitystdev", "store_returns_quantitycov",
+      "catalog_sales_quantitycount", "catalog_sales_quantityave",
+      "catalog_sales_quantitystdev", "catalog_sales_quantitycov")),
+      Some(q17Oracle),
+      "verbatim reference file queries/tpcds/q17.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q76", gate("q76", Seq("channel", "col_name",
+      "d_year", "d_qoy", "i_category", "sales_cnt", "sales_amt")),
+      Some(q76Oracle),
+      "verbatim reference file queries/tpcds/q76.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q69", gate("q69", Seq("cd_gender",
       "cd_marital_status", "cd_education_status", "cnt1",
       "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3")),

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants for the round-2 pipeline additions (packing, mixture
+  * sampling, repetition signals, int8 kNN). The DuckDB oracle is the
+  * value-level gate; these assert the structural properties the
+  * oracle can't see (conservation, bounds, rank contiguity).
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import SparkSpec.spark.implicits._
+
+  test("pack_sequences conserves documents and tokens") {
+    val docs = Tables.documents(spark, sf)
+      .select(expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+      .agg(count(lit(1)).as("docs"), sum("tok").as("toks"))
+      .as[(Long, Long)].head()
+    val packed = ops.PipelineOps.packSequences(spark, sf)
+      .agg(sum("docs"), sum("tok_sum")).as[(Long, Long)].head()
+    assert(packed === docs)
+  }
+
+  test("pack_sequences bin count is bounded by token mass") {
+    // Bin ids are cum_before div 512, so a shard occupies a subset of
+    // indices 0..(shard_tok div 512): per lang, bins <= tok_sum/512 +
+    // one trailing partial bin per shard (16 shards).
+    val out = ops.PipelineOps.packSequences(spark, sf)
+      .select($"bins", $"tok_sum", $"full_bins").as[(Long, Long, Long)]
+      .collect()
+    out.foreach { case (bins, toks, full) =>
+      assert(bins <= toks / 512 + 16)
+      assert(full <= bins)
+    }
+  }
+
+  test("mixture_sample rates are <= 1e6 ppm and sample <= population") {
+    val out = ops.PipelineOps.mixtureSample(spark, sf)
+    val rates = out.select($"rate_ppm").as[Long].collect()
+    assert(rates.forall(r => r > 0 && r <= 1000000L))
+    assert(rates.contains(1000000L)) // the smallest language keeps everything
+    val perLang = Tables.documents(spark, sf).groupBy($"lang")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    out.select($"lang", $"sampled_docs").as[(String, Long)].collect()
+      .foreach { case (l, n) => assert(n <= perLang(l)) }
+  }
+
+  test("repetition signals are bounded ppm and bigrams conserve") {
+    val rep = ops.PipelineOps.repetition(spark, sf)
+    val rows = rep.select($"n", $"d_bg", $"top_c", $"dup_word_ppm",
+      $"top_bigram_ppm").as[(Long, Long, Long, Long, Long)].collect()
+    rows.foreach { case (n, dbg, topc, dup, top) =>
+      assert(dup >= 0 && dup < 1000000L) // at least one distinct word
+      assert(top > 0 && top <= 1000000L)
+      assert(dbg <= n - 1 && topc <= n - 1) // n-1 bigrams total
+    }
+  }
+
+  test("knn_int8 emits contiguous ranks with exact integer scores") {
+    val edges = ops.Similarity.knnInt8(spark, sf)
+      .select($"q_id", $"rnk").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(edges.nonEmpty)
+    edges.values.foreach(rks => assert(rks === (1L to rks.size).toSeq))
+    assert(edges.values.forall(_.size <= 3))
+  }
+}
