@@ -194,7 +194,7 @@ object TpcdsCorpus {
       "item" ->
         s"""SELECT p_partkey AS i_item_sk,
            |  concat('ITEM', lpad(CAST(p_partkey AS STRING), 16, '0')) AS i_item_id,
-           |  concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
+           |  concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS STRING), 16, '0')) AS i_item_desc,
            |  p_name AS i_product_name,
            |  ${pick(brands, "(p_partkey div 5) % 8")} AS i_brand, CAST(p_partkey % 1000 + 1 AS INT) AS i_brand_id,
            |  ${pick(classes, "p_partkey % 16")} AS i_class,
@@ -600,7 +600,7 @@ object TpcdsCorpus {
     s"""WITH t_item AS (
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
-       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
+       |    concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_desc,
        |    CAST(CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS DOUBLE) AS i_current_price,
        |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id
        |  FROM part),
@@ -630,7 +630,7 @@ object TpcdsCorpus {
     s"""WITH t_item AS (
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
-       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
+       |    concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_desc,
        |    CAST(CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS DOUBLE) AS i_current_price,
        |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id
        |  FROM part),
@@ -1095,7 +1095,7 @@ object TpcdsCorpus {
        |  FROM range(0, 10) t(i)),
        |t_item AS (
        |  SELECT p_partkey AS i_item_sk,
-       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc
+       |    concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_desc
        |  FROM part)
        |SELECT i_item_desc, w_warehouse_name, cs_sold_date_sk // 7 AS d_week_seq,
        |  sum(CASE WHEN cs_promo_sk IS NULL THEN 1 ELSE 0 END) AS no_promo,
@@ -1690,7 +1690,7 @@ object TpcdsCorpus {
        |t_item2 AS (
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
-       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc,
+       |    concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_desc,
        |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
        |    ([${lit(classes)}])[CAST(p_partkey % 16 AS INTEGER) + 1] AS i_class,
        |    CAST(CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS DOUBLE) AS i_current_price
@@ -3122,7 +3122,7 @@ object TpcdsCorpus {
        |t_item AS (
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
-       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc
+       |    concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_desc
        |  FROM part),
        |t_store AS (
        |  SELECT s_suppkey AS s_store_sk,
@@ -3209,7 +3209,7 @@ object TpcdsCorpus {
        |t_item AS (
        |  SELECT p_partkey AS i_item_sk,
        |    concat('ITEM', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_id,
-       |    concat(p_name, ' excellent durable premium quality for daily use') AS i_item_desc
+       |    concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_desc
        |  FROM part),
        |t_store AS (
        |  SELECT s_suppkey AS s_store_sk,
@@ -3301,6 +3301,55 @@ object TpcdsCorpus {
        |FROM legs
        |GROUP BY 1, 2, 3, 4, 5
        |ORDER BY 1 ASC, 2 ASC, 3 ASC, 4 ASC, 5 ASC
+       |LIMIT 100""".stripMargin
+
+  /** q65: per-store items whose 1998 revenue is ≤ 10% of the store's
+    * average item revenue. Revenue is the exact cents sum of the
+    * quantized per-unit price; Spark's `avg(DECIMAL(22,2))` rounds
+    * HALF_UP at scale 6 (ave6 = (2·S·10⁴ + n) // (2·n) in HUGEINT) and
+    * `0.1 * ave` is the exact scale-7 product, so the filter is the
+    * integer compare r2·10⁵ ≤ ave6. The LIMIT-100 cut needs a
+    * tie-free boundary: p_name collides across parts ('blue rod' ×2
+    * straddled the cut, measured), so i_item_desc carries a unique
+    * zero-padded item-key suffix. (s_store_name, i_item_desc) can
+    * still tie when two same-syllable stores sell the same item —
+    * measured NOT to straddle the sf0.01 boundary; re-measure if
+    * fixtures change.)
+    */
+  private val q65Oracle: String =
+    s"""WITH t_ss AS (
+       |  SELECT l_suppkey AS store_sk, l_partkey AS item_sk,
+       |    $salesPrice2 AS price2
+       |  FROM lineitem
+       |  WHERE year(CAST(l_shipdate AS DATE) + 365) = 1998),
+       |sa AS (
+       |  SELECT store_sk, item_sk, SUM(price2) AS r2
+       |  FROM t_ss GROUP BY 1, 2),
+       |sb AS (
+       |  SELECT store_sk, SUM(r2) AS s2, COUNT(*) AS n
+       |  FROM sa GROUP BY store_sk),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(syllables)}])[CAST(s_suppkey % 10 AS INTEGER) + 1] AS s_store_name
+       |  FROM supplier),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_desc,
+       |    (p_partkey % 100) * 100 + 99 AS cur2,
+       |    (p_partkey % 80) * 100 + 150 AS wc2,
+       |    ([${lit(brands)}])[CAST((p_partkey // 5) % 8 AS INTEGER) + 1] AS i_brand
+       |  FROM part)
+       |SELECT s_store_name, i_item_desc,
+       |  CAST(sc.r2 AS DOUBLE) / 100.0 AS revenue,
+       |  CAST(cur2 AS DOUBLE) / 100.0 AS i_current_price,
+       |  CAST(wc2 AS DOUBLE) / 100.0 AS i_wholesale_cost,
+       |  i_brand
+       |FROM sa sc, sb, t_store, t_item
+       |WHERE sb.store_sk = sc.store_sk
+       |  AND sc.r2 * 100000 <= (2 * sb.s2 * 10000 + sb.n) // (2 * sb.n)
+       |  AND s_store_sk = sc.store_sk
+       |  AND i_item_sk = sc.item_sk
+       |ORDER BY s_store_name ASC, i_item_desc ASC
        |LIMIT 100""".stripMargin
 
   /** q44: best/worst items at store 4 by avg net profit, baselined
@@ -4571,6 +4620,10 @@ object TpcdsCorpus {
       "d_year", "d_qoy", "i_category", "sales_cnt", "sales_amt")),
       Some(q76Oracle),
       "verbatim reference file queries/tpcds/q76.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q65", gate("q65", Seq("s_store_name",
+      "i_item_desc", "revenue", "i_current_price", "i_wholesale_cost",
+      "i_brand")), Some(q65Oracle),
+      "verbatim reference file queries/tpcds/q65.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q69", gate("q69", Seq("cd_gender",
       "cd_marital_status", "cd_education_status", "cnt1",
       "cd_purchase_estimate", "cnt2", "cd_credit_rating", "cnt3")),
