@@ -1,0 +1,207 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators (builder brief, round 2 extension):
+  * a distributed k-means Lloyd step over the embedding column, a
+  * bigram-LM fluency score, and exact length-decile curriculum
+  * assignment — the clustering / fluency-filter / curriculum steps a
+  * pretraining-data pipeline runs after dedup and quality scoring.
+  *
+  * Scale design (100 TB):
+  * - The Lloyd step broadcasts k centroid codes (k rows) against one
+  *   linear scan, then re-centers with a single (cid, dim) keyed agg —
+  *   the canonical distributed k-means iteration; no all-pairs work.
+  * - The fluency score is two keyed shuffles (global bigram counts,
+  *   then an equi-join back on the bigram). The count table is skewed
+  *   toward stop-bigrams; at scale the hot keys are exactly the most
+  *   frequent bigrams, which AQE skew-join splits (or salt as in
+  *   [[SkewJoin]]).
+  * - Decile boundaries come from an aggregated token-count HISTOGRAM
+  *   (bounded domain: distinct document lengths), so the only window
+  *   runs over that tiny frame — never a global sort of the corpus.
+  *
+  * Cross-engine determinism: distances, dot products, and boundaries
+  * are exact BIGINT arithmetic on micro-quantized values (`floor(x *
+  * 1e6)` of identical IEEE doubles); ties break on explicit id
+  * columns; integer `div` only on non-negative operands (so Spark's
+  * truncation and DuckDB's `//` agree).
+  */
+object Curation {
+
+  private val P = 1000000007L
+
+  // ---------------------------------------------------------------
+  /** One Lloyd iteration of k-means (k = 8, seeds = vec_id < 8) over
+    * micro-quantized embeddings. Assignment minimizes the EXACT
+    * integer squared L2 distance in micro² units (tie → lower cid);
+    * re-centering emits per-cluster exact sum vectors folded to a
+    * scalar fingerprint (the gate cannot hash array cells), member
+    * count, and integer inertia. No division anywhere, so every
+    * value is an exact BIGINT on both engines.
+    */
+  def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(CAST(embedding AS array<double>), " +
+          "x -> CAST(floor(x * 1000000) AS BIGINT))").as("xm"))
+    val cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("xm").as("cm"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(xm, cm, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cid"), col("xm"), col("dist"))
+    val sums = assigned
+      .select(col("cid"), col("dist"), posexplode(col("xm")))
+      .select(col("cid"), col("dist"), (col("pos") + 1).as("i"), col("col").as("xv"))
+      .groupBy(col("cid"), col("i"))
+      // each (cid, i) group holds one row per member, so sum(dist)
+      // within the group is exactly the cluster inertia.
+      .agg(sum(col("xv")).as("sm"), sum(col("dist")).as("dsum"),
+        count(lit(1)).as("cnt"))
+    sums.groupBy(col("cid"))
+      .agg(max(col("cnt")).as("n"),
+        max(col("dsum")).as("inertia"),
+        expr(s"aggregate(array_sort(collect_list(struct(i, sm))), " +
+          s"CAST(0 AS BIGINT), (a, x) -> (a * 31 + x.sm) % $P)").as("centroid_fp"))
+      .select(col("cid"), col("n"), col("inertia"), col("centroid_fp"))
+      .orderBy(col("cid"))
+  }
+
+  val kmeansStepOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS cid, xm AS cm FROM e WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT e.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> (e.xm[i] - c.cm[i]) * (e.xm[i] - c.cm[i]))) AS BIGINT) AS dist
+       |  FROM e, c),
+       |assigned AS (
+       |  SELECT vec_id, cid, dist FROM (
+       |    SELECT vec_id, cid, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+       |    FROM scored) r
+       |  WHERE rnk = 1),
+       |dims AS (
+       |  SELECT a.cid, a.dist, i, e.xm[i] AS xv
+       |  FROM assigned a JOIN e ON a.vec_id = e.vec_id, range(1, 65) t(i)),
+       |sums AS (
+       |  SELECT cid, i, CAST(SUM(xv) AS BIGINT) AS sm,
+       |    CAST(SUM(dist) AS BIGINT) AS dsum, COUNT(*) AS cnt
+       |  FROM dims GROUP BY cid, i)
+       |SELECT cid, MAX(cnt) AS n, MAX(dsum) AS inertia,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT), list(sm ORDER BY i)),
+       |    (a, x) -> (a * 31 + x) % $P) AS centroid_fp
+       |FROM sums GROUP BY cid
+       |ORDER BY cid""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Bigram-LM fluency proxy: global bigram frequencies over the
+    * corpus, then each document scored by the mean corpus frequency
+    * of its own bigrams (micro-scaled integer ratio). Low scores mark
+    * incoherent word salad; high scores mark boilerplate — both ends
+    * are what a fluency filter cuts.
+    */
+  def bigramFluency(s: SparkSession, dir: String): DataFrame = {
+    val bg = Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bg"))
+    val docBg = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val global = bg.groupBy(col("bg")).agg(count(lit(1)).as("gc"))
+    docBg.join(global, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bg"), sum(col("c") * col("gc")).as("mass"))
+      .select(col("doc_id"), col("n_bg"),
+        expr("(1000000 * mass) div n_bg").as("fluency_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val bigramFluencyOracle: String =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    range(1, len(string_split(text, ' '))),
+      |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])) AS bg
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |doc_bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+      |global AS (SELECT bg, COUNT(*) AS gc FROM bg GROUP BY bg)
+      |SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_bg,
+      |  CAST((1000000 * SUM(d.c * g.gc)) // SUM(d.c) AS BIGINT) AS fluency_micro
+      |FROM doc_bg d JOIN global g ON d.bg = g.bg
+      |GROUP BY d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Exact length-decile curriculum: decile boundaries are derived
+    * from the aggregated token-count histogram (cumulative counts over
+    * the tiny distinct-length frame), every document joins its
+    * length's decile, and per-decile statistics come out of one keyed
+    * agg. Documents of equal length always share a decile —
+    * reproducible under any partitioning, unlike `ntile` over a
+    * global sort.
+    */
+  def lengthDeciles(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+    val hist = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // The histogram is bounded by the distinct document lengths (a few
+    // hundred values at any corpus size), so the unpartitioned window
+    // frame stays tiny — boundaries, not documents, get sorted.
+    val wc = Window.orderBy(col("tok"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val deciled = hist
+      .withColumn("cum_le", sum(col("c")).over(wc))
+      .crossJoin(broadcast(toks.agg(count(lit(1)).as("n_total"))))
+      .select(col("tok"),
+        expr("((cum_le - c) * 10) div n_total").as("decile"))
+    toks.join(broadcast(deciled), Seq("tok"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("docs"), min(col("tok")).as("min_tok"),
+        max(col("tok")).as("max_tok"), sum(col("tok")).as("tok_sum"))
+      .orderBy(col("decile"))
+  }
+
+  val lengthDecilesOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS tok FROM documents),
+      |hist AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+      |cum AS (
+      |  SELECT tok, c, SUM(c) OVER (ORDER BY tok
+      |    ROWS UNBOUNDED PRECEDING) AS cum_le
+      |  FROM hist),
+      |dec AS (
+      |  SELECT tok,
+      |    ((cum_le - c) * 10) // (SELECT COUNT(*) FROM toks) AS decile
+      |  FROM cum)
+      |SELECT CAST(d.decile AS BIGINT) AS decile, COUNT(*) AS docs,
+      |  CAST(MIN(t.tok) AS BIGINT) AS min_tok,
+      |  CAST(MAX(t.tok) AS BIGINT) AS max_tok,
+      |  CAST(SUM(t.tok) AS BIGINT) AS tok_sum
+      |FROM toks t JOIN dec d ON t.tok = d.tok
+      |GROUP BY d.decile
+      |ORDER BY decile""".stripMargin
+
+  // ---------------------------------------------------------------
+  def all: Seq[Q] = Seq(
+    Q("pipe_kmeans_step", kmeansStep, Some(kmeansStepOracle),
+      "distributed Lloyd iteration: broadcast centroids, exact integer re-center"),
+    Q("pipe_bigram_fluency", bigramFluency, Some(bigramFluencyOracle),
+      "bigram-LM fluency proxy: mean corpus bigram frequency per doc"),
+    Q("pipe_length_deciles", lengthDeciles, Some(lengthDecilesOracle),
+      "exact histogram-derived length deciles (curriculum assignment)"))
+}
