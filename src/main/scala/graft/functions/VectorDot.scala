@@ -76,7 +76,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => VectorDot(exprs(0), exprs(1))),
     (FunctionIdentifier("fold_hash"),
       new ExpressionInfo(classOf[FoldHash].getName, "fold_hash"),
-      (exprs: Seq[Expression]) => FoldHash.fromExprs(exprs)))
+      (exprs: Seq[Expression]) => FoldHash.fromExprs(exprs)),
+    (FunctionIdentifier("vec_l2sq"),
+      new ExpressionInfo(classOf[VecL2Micro].getName, "vec_l2sq"),
+      (exprs: Seq[Expression]) => VecL2Micro(exprs(0), exprs(1))))
 
   /** Imperative registration for an existing session (what the query
     * library uses — idempotent).

@@ -44,6 +44,7 @@ object Curation {
     * value is an exact BIGINT on both engines.
     */
   def kmeansStep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         expr("transform(CAST(embedding AS array<double>), " +
@@ -52,9 +53,9 @@ object Curation {
       .select(col("vec_id").as("cid"), col("xm").as("cm"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(xm, cm, (a, b) -> (a - b) * (a - b)), " +
-          "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+      // codegen'd native expression — the per-(vector, centroid) hot
+      // path; integer sums are associative, so it equals the HOF fold.
+      .withColumn("dist", expr("vec_l2sq(xm, cm)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("cid"), col("xm"), col("dist"))
