@@ -53,13 +53,30 @@ object TpcdsCorpus {
   private val classes = Seq("personal", "portable", "reference", "self-help",
     "accessories", "classical", "fragrances", "pants", "birdal", "shirts",
     "dresses", "maternity", "computers", "mens watch", "stereo", "football")
+  // 32 colors: the original 16 at indices 0-15, then q41/q56/q64
+  // literals. Index 22 ('khaki') and 27 ('floral') are placed so the
+  // golden items below hit q41's combos. Indices 26 ('purple') and 27
+  // ('floral') sit in q64's IN-list so the doubled modulus preserves
+  // the old mod-16 {10, 11} qualifying part set exactly ({10, 11, 26,
+  // 27} mod 32) — q64's surviving row pair is color-density-critical.
   private val colors = Seq("pale", "ghost", "chiffon", "rose", "metallic",
     "burnished", "peach", "saddle", "powder", "almond", "indian", "spring",
-    "sky", "navajo", "goldenrod", "sienna")
-  private val sizes = Seq("small", "medium", "large", "extra large",
-    "economy", "N/A", "petite")
-  private val units = Seq("Each", "Dozen", "Case", "Pound", "Box", "Ton",
-    "Gram", "Oz", "Pallet", "Bunch")
+    "sky", "navajo", "goldenrod", "sienna",
+    "brown", "honeydew", "deep", "light", "cornflower", "midnight", "khaki",
+    "snow", "cyan", "papaya", "purple", "floral", "frosted", "forest",
+    "slate", "blanched")
+  // q41's six size literals all present; 'medium' sits at index 4
+  // (= 739 % 7) and 'petite' at 6 (= 755 % 7) for the golden items.
+  private val sizes = Seq("small", "N/A", "large", "extra large",
+    "medium", "economy", "petite")
+  // Exactly q41's 16 unit literals; 'Ounce' at index 9 (= (739 div 7)
+  // % 16) and 'N/A' at 11 (= (755 div 7) % 16) for the golden items.
+  // Golden-item alignment (q41, manufact band 738-778):
+  //   pk  739: Women(9) + khaki(22)  + Ounce(9) + medium(4) -> combo 1
+  //   pk  755: Men(5)   + floral(27) + N/A(11)  + petite(6) -> combo 3
+  private val units = Seq("Each", "Dozen", "Gross", "Pound", "Box", "Ton",
+    "Cup", "Oz", "Pallet", "Ounce", "Bunch", "N/A", "Dram", "Tbl", "Lb",
+    "Bundle")
   // 'IL' replaces dbgen's 'SD' (unused by any corpus literal) so
   // q94/q95's ship-state predicate selects a real subset.
   private val states = Seq("TN", "IL", "FL", "MI", "OH", "TX", "GA", "NM",
@@ -204,9 +221,9 @@ object TpcdsCorpus {
            |  concat('Manufact#', CAST(p_partkey % 1000 + 1 AS STRING)) AS i_manufact,
            |  CAST(p_partkey % 1000 + 1 AS INT) AS i_manufact_id,
            |  CAST(p_partkey % 100 + 1 AS INT) AS i_manager_id,
-           |  ${pick(colors, "(p_partkey div 3) % 16")} AS i_color,
+           |  ${pick(colors, "(p_partkey div 3) % 32")} AS i_color,
            |  ${pick(sizes, "p_partkey % 7")} AS i_size,
-           |  ${pick(units, "(p_partkey div 7) % 10")} AS i_units,
+           |  ${pick(units, "(p_partkey div 7) % 16")} AS i_units,
            |  CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS i_current_price,
            |  CAST(p_partkey % 80 + 1.5 AS DECIMAL(7,2)) AS i_wholesale_cost
            |FROM ${pq("part")}""".stripMargin,
@@ -1578,7 +1595,7 @@ object TpcdsCorpus {
        |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id,
        |    CAST(p_partkey % 100 + 1 AS INTEGER) AS i_manager_id,
        |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
-       |    ([${lit(colors)}])[CAST((p_partkey // 3) % 16 AS INTEGER) + 1] AS i_color
+       |    ([${lit(colors)}])[CAST((p_partkey // 3) % 32 AS INTEGER) + 1] AS i_color
        |  FROM part),
        |t_ca AS (
        |  SELECT c_custkey AS ca_address_sk,
@@ -4121,10 +4138,10 @@ object TpcdsCorpus {
        |          ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
        |        FROM customer) ad ON ad.ca_zip = st.s_zip
        |  JOIN (SELECT p_partkey,
-       |          ([${lit(colors)}])[CAST((p_partkey // 3) % 16 AS INTEGER) + 1] AS i_color,
+       |          ([${lit(colors)}])[CAST((p_partkey // 3) % 32 AS INTEGER) + 1] AS i_color,
        |          CAST(p_partkey % 100 + 0.99 AS DECIMAL(7,2)) AS i_current_price,
        |          CAST(p_partkey % 100 + 1 AS INTEGER) AS i_manager_id,
-       |          ([${lit(units)}])[CAST((p_partkey // 7) % 10 AS INTEGER) + 1] AS i_units,
+       |          ([${lit(units)}])[CAST((p_partkey // 7) % 16 AS INTEGER) + 1] AS i_units,
        |          ([${lit(sizes)}])[CAST(p_partkey % 7 AS INTEGER) + 1] AS i_size
        |        FROM part) it ON it.p_partkey = f.pk
        |  GROUP BY c_last_name, c_first_name, s_store_name, ca_state, s_state,
@@ -4276,7 +4293,7 @@ object TpcdsCorpus {
        |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT)
        |      * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS HUGEINT) * 5 AS cp5
        |  FROM lineitem
-       |  WHERE (l_partkey // 3) % 16 IN (10, 11)
+       |  WHERE (l_partkey // 3) % 32 IN (10, 11, 26, 27)
        |    AND l_partkey % 100 BETWEEN 65 AND 73
        |    AND (l_orderkey + l_partkey) % 11 <> 0
        |    AND l_partkey IN (SELECT pk FROM cs_ui)),
@@ -4322,7 +4339,54 @@ object TpcdsCorpus {
        |  AND cs1.store_name = cs2.store_name
        |  AND cs1.store_zip = cs2.store_zip""".stripMargin
 
+  /** q41 mirror (`queries/tpcds/q41.sql`): the correlated
+    * `count(*) > 0` over same-manufacturer items is rewritten as a
+    * semi-join against the manufacturers owning at least one item
+    * matching the 8 (category, color, units, size) combos. The item
+    * attribute domains place two golden items inside the manufact
+    * band (pk 739 and 755 — see the domain comment), so the result is
+    * non-empty; DISTINCT product names are unique, making the
+    * LIMIT-100 cut engine-independent.
+    */
+  private val q41Oracle: String =
+    s"""WITH t_item AS (
+       |  SELECT p_name AS i_product_name,
+       |    CAST(p_partkey % 1000 + 1 AS INTEGER) AS i_manufact_id,
+       |    'Manufact#' || CAST(p_partkey % 1000 + 1 AS VARCHAR) AS i_manufact,
+       |    ([${lit(categories)}])[CAST(p_partkey % 10 AS INTEGER) + 1] AS i_category,
+       |    ([${lit(colors)}])[CAST((p_partkey // 3) % 32 AS INTEGER) + 1] AS i_color,
+       |    ([${lit(units)}])[CAST((p_partkey // 7) % 16 AS INTEGER) + 1] AS i_units,
+       |    ([${lit(sizes)}])[CAST(p_partkey % 7 AS INTEGER) + 1] AS i_size
+       |  FROM part),
+       |matches AS (
+       |  SELECT i_manufact FROM t_item
+       |  WHERE (i_category = 'Women' AND i_color IN ('powder', 'khaki')
+       |         AND i_units IN ('Ounce', 'Oz') AND i_size IN ('medium', 'extra large'))
+       |     OR (i_category = 'Women' AND i_color IN ('brown', 'honeydew')
+       |         AND i_units IN ('Bunch', 'Ton') AND i_size IN ('N/A', 'small'))
+       |     OR (i_category = 'Men' AND i_color IN ('floral', 'deep')
+       |         AND i_units IN ('N/A', 'Dozen') AND i_size IN ('petite', 'large'))
+       |     OR (i_category = 'Men' AND i_color IN ('light', 'cornflower')
+       |         AND i_units IN ('Box', 'Pound') AND i_size IN ('medium', 'extra large'))
+       |     OR (i_category = 'Women' AND i_color IN ('midnight', 'snow')
+       |         AND i_units IN ('Pallet', 'Gross') AND i_size IN ('medium', 'extra large'))
+       |     OR (i_category = 'Women' AND i_color IN ('cyan', 'papaya')
+       |         AND i_units IN ('Cup', 'Dram') AND i_size IN ('N/A', 'small'))
+       |     OR (i_category = 'Men' AND i_color IN ('orange', 'frosted')
+       |         AND i_units IN ('Each', 'Tbl') AND i_size IN ('petite', 'large'))
+       |     OR (i_category = 'Men' AND i_color IN ('forest', 'ghost')
+       |         AND i_units IN ('Lb', 'Bundle') AND i_size IN ('medium', 'extra large')))
+       |SELECT DISTINCT i_product_name
+       |FROM t_item
+       |WHERE i_manufact_id BETWEEN 738 AND 778
+       |  AND i_manufact IN (SELECT i_manufact FROM matches)
+       |ORDER BY i_product_name ASC
+       |LIMIT 100""".stripMargin
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q41", gate("q41", Seq("i_product_name")),
+      Some(q41Oracle),
+      "verbatim reference file queries/tpcds/q41.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q14_1", gate("q14_1", Seq("channel", "i_brand_id",
       "i_class_id", "i_category_id", "sales", "number_sales")),
       Some(q14_1Oracle),
