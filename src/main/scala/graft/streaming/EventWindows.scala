@@ -213,6 +213,48 @@ object EventWindows {
        |ORDER BY e_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Trending top-k: per tumbling hour, the 3 most frequent event
+    * types with their count delta vs the type's previous non-empty
+    * window — the standard "what's spiking" stream dashboard. Both
+    * windows here run over the AGGREGATED (window, type) frame —
+    * events shuffle once into the windowed count; ranks and lags
+    * touch only per-hour type counts (bounded by the type domain), so
+    * neither window ever sorts raw events.
+    */
+  def trending(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("cnt"))
+    val lagW = Window.partitionBy(col("event_type")).orderBy(col("wstart"))
+    val rankW = Window.partitionBy(col("wstart"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    counts
+      .withColumn("prev_cnt", lag(col("cnt"), 1, 0L).over(lagW))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("wstart"), col("event_type"), col("cnt"),
+        (col("cnt") - col("prev_cnt")).as("delta"), col("rnk"))
+      .orderBy(col("wstart"), col("rnk"))
+  }
+
+  val trendingOracle: String =
+    """WITH counts AS (
+      |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
+      |    event_type, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |x AS (
+      |  SELECT wstart, event_type, cnt,
+      |    lag(cnt, 1, 0) OVER (PARTITION BY event_type ORDER BY wstart) AS prev_cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY wstart
+      |      ORDER BY cnt DESC, event_type) AS rnk
+      |  FROM counts)
+      |SELECT wstart, event_type, cnt,
+      |  CAST(cnt - prev_cnt AS BIGINT) AS delta, CAST(rnk AS BIGINT) AS rnk
+      |FROM x WHERE rnk <= 3
+      |ORDER BY wstart, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
   // Structured Streaming faces (exercised by StreamingSpec).
 
   /** File-source streaming read of the events fixture, normalizing
@@ -283,5 +325,7 @@ object EventWindows {
     Q("stream_asof_join", asofJoin, Some(asofJoinOracle),
       "as-of join by composition: last prior 'view' per 'purchase'"),
     Q("stream_range_join", rangeJoin, Some(rangeJoinOracle),
-      "range join via time-bucket equi-join == plain non-equi join"))
+      "range join via time-bucket equi-join == plain non-equi join"),
+    Q("stream_trending", trending, Some(trendingOracle),
+      "per-window top-3 event types with delta vs previous window"))
 }

@@ -30,6 +30,32 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
   }
 
+  test("streaming windowed counts + downstream rank reproduce batch trending") {
+    // The trending pattern decomposes for streams: the windowed count
+    // runs incrementally in-stream (watermarked state), and the
+    // per-window rank/lag runs downstream over the tiny aggregated
+    // frame (foreachBatch / a batch job over the sink table). Here the
+    // streamed counts feed the same rank/lag the batch face uses.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val stream = EventWindows.tumblingStream(EventWindows.streamingEvents(spark, sf))
+    runToMemory("trending_mem", stream, "complete")
+    val lagW = Window.partitionBy(col("event_type")).orderBy(col("wstart"))
+    val rankW = Window.partitionBy(col("wstart"))
+      .orderBy(col("cnt").desc, col("event_type"))
+    val got = spark.table("trending_mem")
+      .select(col("wstart"), col("event_type"), col("cnt"))
+      .withColumn("prev_cnt", lag(col("cnt"), 1, 0L).over(lagW))
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("wstart"), col("event_type"), col("cnt"),
+        (col("cnt") - col("prev_cnt")).as("delta"), col("rnk"))
+      .orderBy(col("wstart"), col("rnk"))
+      .collect()
+    val want = EventWindows.trending(spark, sf).collect()
+    assert(got.map(_.toString).toSeq === want.map(_.toString).toSeq)
+  }
+
   test("streaming dedup emits one row per (user_id, event_type)") {
     val stream = EventWindows.dedupStream(EventWindows.streamingEvents(spark, sf))
     runToMemory("dedup_mem", stream, "append")
