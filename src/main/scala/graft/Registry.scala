@@ -27,5 +27,6 @@ object Registry {
       ops.SkewJoin.all ++
       ops.Similarity.all ++
       ops.Multimodal.all ++
+      plans.TopKQueries.all ++
       streaming.EventWindows.all
 }

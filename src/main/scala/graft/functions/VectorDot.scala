@@ -93,9 +93,14 @@ object GraftFunctions {
 
 /** `spark.sql.extensions`-style injection
   * (`SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`).
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`):
+  * the native expressions, the TopKPerKey planner strategy, and the
+  * conf-gated top-k rewrite rule (`spark.graft.topk.rewrite`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewrite)
+  }
 }
