@@ -33,7 +33,43 @@ object TopKQueries {
       |WHERE rnk <= 3
       |ORDER BY user_id, rnk""".stripMargin
 
+  /** The operator inside a corpus-scale pipeline: each document's 3
+    * most frequent words (count desc, word asc — a total order). The
+    * word counts are one exploded keyed agg; the per-doc cut then
+    * never sorts a document's full vocabulary, and the partial pass
+    * bounds the shuffle at 3 rows per (doc, input partition).
+    */
+  def topkTermsPerDoc(s: SparkSession, dir: String): DataFrame =
+    TopK.perKey(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt")),
+      partCols = Seq("doc_id"),
+      orderCols = Seq(("cnt", false), ("word", true)),
+      k = 3)
+      .select(col("doc_id"), col("word"), col("cnt"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("doc_id"), col("rnk"))
+
+  val topkTermsPerDocOracle: String =
+    """WITH counts AS (
+      |  SELECT doc_id, word, COUNT(*) AS cnt
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) w
+      |  GROUP BY doc_id, word)
+      |SELECT doc_id, word, cnt, rnk
+      |FROM (
+      |  SELECT doc_id, word, cnt,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY cnt DESC, word) AS BIGINT) AS rnk
+      |  FROM counts) ranked
+      |WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("plan_topk_per_key", topkPerUser, Some(topkPerUserOracle),
-      "custom TopKPerKey LogicalPlan/SparkPlan: heap-based per-key top-3"))
+      "custom TopKPerKey LogicalPlan/SparkPlan: heap-based per-key top-3"),
+    Q("plan_topk_terms", topkTermsPerDoc, Some(topkTermsPerDocOracle),
+      "TopKPerKey in a pipeline: per-doc top-3 terms, sort-free"))
 }
