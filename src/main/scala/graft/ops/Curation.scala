@@ -198,11 +198,54 @@ object Curation {
       |ORDER BY decile""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Word-rarity signals (the IDF family without floats): per word,
+    * its document frequency; per document, the rarest word's DF, the
+    * count of corpus-hapax words (DF = 1 — OCR junk / codes), and the
+    * mean DF of its distinct words in micro units. Two keyed
+    * shuffles: distinct (doc, word) pairs → DF, then a join back on
+    * the word. The DF table's hot keys are exactly the stopwords;
+    * at scale AQE's skew-join split (or the [[SkewJoin]] salting
+    * pattern) bounds them.
+    */
+  def wordRarity(s: SparkSession, dir: String): DataFrame = {
+    val docWords = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(expr("array_distinct(split(text, ' '))")).as("word"))
+    val df = docWords.groupBy(col("word"))
+      .agg(count(lit(1)).as("wdf"))
+    docWords.join(df, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"),
+        min(col("wdf")).as("min_df"),
+        sum(when(col("wdf") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(col("wdf")).as("df_mass"))
+      .select(col("doc_id"), col("n_distinct"), col("min_df"), col("hapax"),
+        expr("(1000000 * df_mass) div n_distinct").as("mean_df_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val wordRarityOracle: String =
+    """WITH dw AS (
+      |  SELECT DISTINCT doc_id, word
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) x),
+      |df AS (SELECT word, COUNT(*) AS wdf FROM dw GROUP BY word)
+      |SELECT dw.doc_id, COUNT(*) AS n_distinct,
+      |  CAST(MIN(df.wdf) AS BIGINT) AS min_df,
+      |  CAST(SUM(CASE WHEN df.wdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST((1000000 * SUM(df.wdf)) // COUNT(*) AS BIGINT) AS mean_df_micro
+      |FROM dw JOIN df ON dw.word = df.word
+      |GROUP BY dw.doc_id
+      |ORDER BY dw.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_kmeans_step", kmeansStep, Some(kmeansStepOracle),
       "distributed Lloyd iteration: broadcast centroids, exact integer re-center"),
     Q("pipe_bigram_fluency", bigramFluency, Some(bigramFluencyOracle),
       "bigram-LM fluency proxy: mean corpus bigram frequency per doc"),
     Q("pipe_length_deciles", lengthDeciles, Some(lengthDecilesOracle),
-      "exact histogram-derived length deciles (curriculum assignment)"))
+      "exact histogram-derived length deciles (curriculum assignment)"),
+    Q("pipe_word_rarity", wordRarity, Some(wordRarityOracle),
+      "per-doc rarity: min document frequency, hapax count, mean DF"))
 }

@@ -57,6 +57,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("word_rarity bounds: min_df <= mean <= max df, hapax <= distinct") {
+    val total = Tables.documents(spark, sf).count()
+    val out = ops.Curation.wordRarity(spark, sf)
+      .select($"doc_id", $"n_distinct", $"min_df", $"hapax", $"mean_df_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length.toLong === total)
+    out.foreach { case (_, nd, minDf, hapax, meanMicro) =>
+      assert(nd > 0 && minDf >= 1 && hapax >= 0 && hapax <= nd)
+      // mean DF is at least the minimum DF (exact under floor division)
+      assert(meanMicro >= 1000000L * minDf)
+      // a doc containing a hapax has min_df = 1
+      if (hapax > 0) assert(minDf === 1)
+    }
+  }
+
   test("length_deciles cover all docs with monotone token ranges") {
     val total = Tables.documents(spark, sf).count()
     val out = ops.Curation.lengthDeciles(spark, sf)
