@@ -14,6 +14,16 @@ final case class UserRunningState(count: Long, total: Double)
 /** Per-user snapshot emitted each micro-batch. */
 final case class UserSnapshot(user_id: Long, events: Long, total: Double)
 
+/** Open-session state for the flatMapGroupsWithState face (epoch
+  * millis — state should be small and codec-friendly). */
+final case class OpenSession(start: Long, last: Long, count: Long, total: Double)
+
+/** A closed session emitted either when a new event exceeds the gap
+  * or when the event-time timeout fires after the watermark passes. */
+final case class ClosedSession(
+    user_id: Long, sess_start: java.sql.Timestamp,
+    sess_end: java.sql.Timestamp, cnt: Long, total: Double)
+
 /** Event-time windowing over the `events` fixture (builder brief;
   * SURVEY.md §7 step 8 — the reference itself is batch-only, §2.10).
   *
@@ -309,6 +319,56 @@ object EventWindows {
           rows.foreach { r => c += 1; t += r._2 }
           state.update(UserRunningState(c, t))
           UserSnapshot(user, c, t)
+      }
+  }
+
+  /** Sessionization with custom state via
+    * `flatMapGroupsWithState` + `EventTimeTimeout`: sessions CLOSE
+    * (emit) either when a same-batch event exceeds the 30-minute gap
+    * or when the watermark passes the open session's gap deadline and
+    * the timeout fires — the semantics `session_window` provides
+    * built-in ([[session]]), re-expressed as explicit state for the
+    * cases built-ins can't cover (e.g. emitting enriched session
+    * records, capping session length). State is keyed by user in the
+    * state store; emission is append-mode (each session exactly
+    * once).
+    */
+  def sessionStream(events: DataFrame): Dataset[ClosedSession] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val gapMs = 30L * 60 * 1000
+    def close(user: Long, st: OpenSession): ClosedSession =
+      ClosedSession(user, new java.sql.Timestamp(st.start),
+        new java.sql.Timestamp(st.last + gapMs), st.count, st.total)
+    events
+      .withWatermark("ts", "1 minute")
+      .selectExpr("user_id", "ts", "value")
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) { (user, rows, state) =>
+        if (state.hasTimedOut) {
+          val out = state.getOption.map(close(user, _)).iterator
+          state.remove()
+          out
+        } else {
+          val closed = Seq.newBuilder[ClosedSession]
+          var st = state.getOption.orNull
+          rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach { case (_, ts, v) =>
+            val t = ts.getTime
+            st = st match {
+              case null => OpenSession(t, t, 1L, v)
+              case o if t >= o.last + gapMs =>
+                closed += close(user, o); OpenSession(t, t, 1L, v)
+              case o =>
+                OpenSession(o.start, math.max(o.last, t), o.count + 1, o.total + v)
+            }
+          }
+          state.update(st)
+          state.setTimeoutTimestamp(st.last + gapMs)
+          closed.result().iterator
+        }
       }
   }
 

@@ -92,6 +92,47 @@ class StreamingSpec extends SparkSpec {
       s"late event was not dropped (emitted rows: $rows)")
   }
 
+  test("flatMapGroupsWithState sessions close on gap and on event-time timeout") {
+    import SparkSpec.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val stream = EventWindows.sessionStream(
+      ms.toDF().toDF("user_id", "ts", "value"))
+    val q = stream.toDF().writeStream.format("memory").queryName("sess_mem")
+      .outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      // Event times start well past the initial watermark (0): rows AT
+      // the watermark are dropped as late. user 1: two events 5 min
+      // apart (one session, gap deadline 95+30=125 min — past the
+      // batch-1 watermark of 100-1=99 min, so it survives the no-data
+      // timeout batch processAllAvailable appends). user 2: two events
+      // 40 min apart — the second exceeds the 30-min gap, so the first
+      // closes IN-BATCH.
+      ms.addData((1L, t(90), 1.0), (1L, t(95), 2.0),
+        (2L, t(60), 5.0), (2L, t(100), 7.0))
+      q.processAllAvailable()
+      val inBatch = spark.table("sess_mem")
+        .select($"user_id", $"cnt", $"total").as[(Long, Long, Double)].collect()
+      assert(inBatch.toSet === Set((2L, 1L, 5.0)), inBatch.mkString(", "))
+      // Advance the watermark far past every open session's deadline:
+      // the event-time timeouts must fire and close user 1's session
+      // and user 2's second session.
+      ms.addData((3L, t(500), 0.0))
+      q.processAllAvailable()
+      val all = spark.table("sess_mem")
+        .select($"user_id", $"cnt", $"total").as[(Long, Long, Double)].collect()
+      assert(all.toSet === Set((2L, 1L, 5.0), (1L, 2L, 3.0), (2L, 1L, 7.0)),
+        all.mkString(", "))
+      // session bounds: user 1's closed session spans [90, 95 + gap]
+      val u1 = spark.table("sess_mem").filter($"user_id" === 1L)
+        .select($"sess_start", $"sess_end")
+        .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+      assert(u1._1 === t(90) && u1._2 === t(125))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running per-user counts match batch counts") {
     val stream = EventWindows.runningPerUserStream(
       EventWindows.streamingEvents(spark, sf))
