@@ -90,10 +90,12 @@ object PipelineOps {
 
   // ---------------------------------------------------------------
   /** Symmetric int8 quantization of the embedding column: per-vector
-    * scale = max|x|/127, q_i = floor(x_i/scale + 0.5). Emits integer
-    * metrics only (nano-scaled scale, L1 mass, max code, pico-scaled
-    * reconstruction MSE) — `floor` of the same IEEE double on both
-    * engines, so no float-comparison ambiguity reaches the gate.
+    * scale = max|x|/127, q_i = floor(x_i/scale + 0.5). The gate output
+    * is exact INTEGER metrics of the codes only (L1 mass, max code,
+    * sum of squares, a position-weighted fingerprint) — the op's value
+    * is the codes, and integer metrics cannot drift by a float ulp or
+    * a DuckDB dtype (r2: `floor(1e12·Σdouble)` + an uncasted HUGEINT
+    * `list_sum` made this the one driver-red pipeline entry).
     */
   def quantize(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
@@ -105,17 +107,16 @@ object PipelineOps {
       .withColumn("qscale", col("amax") / 127.0)
       .withColumn("q",
         expr("transform(v, x -> CAST(floor(x / qscale + 0.5) AS BIGINT))"))
-      .withColumn("scale_nano",
-        expr("CAST(floor(qscale * 1000000000.0) AS BIGINT)"))
       .withColumn("q_l1",
         expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + abs(x))"))
       .withColumn("q_max", expr("array_max(q)"))
-      .withColumn("mse_pico",
-        expr("CAST(floor(1000000000000.0 * aggregate(" +
-          "zip_with(v, q, (x, qi) -> (x - qi * qscale) * (x - qi * qscale)), " +
-          "CAST(0 AS DOUBLE), (a, x) -> a + x)) AS BIGINT)"))
-      .select(col("vec_id"), col("label"), col("scale_nano"),
-        col("q_l1"), col("q_max"), col("mse_pico"))
+      .withColumn("q_sumsq",
+        expr("aggregate(q, CAST(0 AS BIGINT), (a, x) -> a + x * x)"))
+      .withColumn("q_fp",
+        expr("aggregate(zip_with(q, sequence(CAST(1 AS BIGINT), size(q)), " +
+          "(x, i) -> x * i), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      .select(col("vec_id"), col("label"),
+        col("q_l1"), col("q_max"), col("q_sumsq"), col("q_fp"))
       .orderBy(col("vec_id"))
 
   val quantizeOracle: String =
@@ -128,18 +129,16 @@ object PipelineOps {
       |      list_transform(v, x -> abs(x))), (a, x) -> greatest(a, x)) / 127.0 AS qscale
       |  FROM e),
       |quant AS (
-      |  SELECT vec_id, label, v, qscale,
+      |  SELECT vec_id, label,
       |    list_transform(v, x -> CAST(floor(x / qscale + 0.5) AS BIGINT)) AS q
       |  FROM scaled
       |  WHERE qscale > 0)
       |SELECT vec_id, label,
-      |  CAST(floor(qscale * 1000000000.0) AS BIGINT) AS scale_nano,
-      |  list_sum(list_transform(q, x -> abs(x))) AS q_l1,
+      |  CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
       |  list_max(q) AS q_max,
-      |  CAST(floor(1000000000000.0 * list_reduce(list_prepend(CAST(0 AS DOUBLE),
-      |    list_transform(range(1, len(v) + 1),
-      |      i -> (v[i] - q[i] * qscale) * (v[i] - q[i] * qscale))),
-      |    (a, x) -> a + x)) AS BIGINT) AS mse_pico
+      |  CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS q_sumsq,
+      |  CAST(list_sum(list_transform(range(1, len(q) + 1),
+      |    i -> q[i] * i)) AS BIGINT) AS q_fp
       |FROM quant
       |ORDER BY vec_id""".stripMargin
 

@@ -910,14 +910,14 @@ object TpcdsCorpus {
        |    (l_orderkey + l_linenumber) % 30 + 1 AS ws_web_site_sk
        |  FROM lineitem)
        |SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, web_name,
-       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS d30,
-       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
-       |       AND ws_ship_date_sk - ws_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS d31_60,
-       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
-       |       AND ws_ship_date_sk - ws_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS d61_90,
-       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
-       |       AND ws_ship_date_sk - ws_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS d91_120,
-       |  sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120 THEN 1 ELSE 0 END) AS d120p
+       |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 30
+       |       AND ws_ship_date_sk - ws_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 60
+       |       AND ws_ship_date_sk - ws_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 90
+       |       AND ws_ship_date_sk - ws_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       |  CAST(sum(CASE WHEN ws_ship_date_sk - ws_sold_date_sk > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120p
        |FROM t_ws, t_wh, t_sm, t_web, t_dd
        |WHERE d_month_seq BETWEEN 1200 AND 1211
        |  AND ws_ship_date_sk = d_date_sk
@@ -958,14 +958,14 @@ object TpcdsCorpus {
        |    l_orderkey % 6 + 1 AS cs_call_center_sk
        |  FROM lineitem)
        |SELECT substr(w_warehouse_name, 1, 20) AS wh, sm_type, cc_name,
-       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS d30,
-       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
-       |       AND cs_ship_date_sk - cs_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS d31_60,
-       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
-       |       AND cs_ship_date_sk - cs_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS d61_90,
-       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
-       |       AND cs_ship_date_sk - cs_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS d91_120,
-       |  sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120 THEN 1 ELSE 0 END) AS d120p
+       |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 30
+       |       AND cs_ship_date_sk - cs_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 60
+       |       AND cs_ship_date_sk - cs_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 90
+       |       AND cs_ship_date_sk - cs_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       |  CAST(sum(CASE WHEN cs_ship_date_sk - cs_sold_date_sk > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120p
        |FROM t_cs, t_wh, t_sm, t_cc, t_dd
        |WHERE d_month_seq BETWEEN 1200 AND 1211
        |  AND cs_ship_date_sk = d_date_sk
@@ -1012,14 +1012,14 @@ object TpcdsCorpus {
        |  FROM lineitem WHERE l_returnflag = 'R')
        |SELECT s_store_name, s_company_id, s_street_number, s_street_name,
        |  s_street_type, s_suite_number, s_city, s_county, s_state, s_zip,
-       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS d30,
-       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 30
-       |       AND sr_returned_date_sk - ss_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS d31_60,
-       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 60
-       |       AND sr_returned_date_sk - ss_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS d61_90,
-       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 90
-       |       AND sr_returned_date_sk - ss_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS d91_120,
-       |  sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 120 THEN 1 ELSE 0 END) AS d120p
+       |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 30
+       |       AND sr_returned_date_sk - ss_sold_date_sk <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d31_60,
+       |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 60
+       |       AND sr_returned_date_sk - ss_sold_date_sk <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d61_90,
+       |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 90
+       |       AND sr_returned_date_sk - ss_sold_date_sk <= 120 THEN 1 ELSE 0 END) AS BIGINT) AS d91_120,
+       |  CAST(sum(CASE WHEN sr_returned_date_sk - ss_sold_date_sk > 120 THEN 1 ELSE 0 END) AS BIGINT) AS d120p
        |FROM t_ss, t_sr, t_store, t_dd d1, t_dd d2
        |WHERE d2.d_year = 2001 AND d2.d_moy = 8
        |  AND ss_ticket_number = sr_ticket_number AND ss_item_sk = sr_item_sk
@@ -1064,8 +1064,8 @@ object TpcdsCorpus {
        |SELECT w_warehouse_name, i_item_id, inv_before, inv_after
        |FROM (
        |  SELECT w_warehouse_name, i_item_id,
-       |    sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) AS inv_before,
-       |    sum(CASE WHEN d_date >= DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) AS inv_after
+       |    CAST(sum(CASE WHEN d_date < DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_before,
+       |    CAST(sum(CASE WHEN d_date >= DATE '2000-03-11' THEN inv_quantity_on_hand ELSE 0 END) AS BIGINT) AS inv_after
        |  FROM t_inv, t_wh, t_item, t_dd
        |  WHERE i_current_price BETWEEN 0.99 AND 1.49
        |    AND i_item_sk = inv_item_sk
@@ -1115,8 +1115,8 @@ object TpcdsCorpus {
        |    concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_desc
        |  FROM part)
        |SELECT i_item_desc, w_warehouse_name, cs_sold_date_sk // 7 AS d_week_seq,
-       |  sum(CASE WHEN cs_promo_sk IS NULL THEN 1 ELSE 0 END) AS no_promo,
-       |  sum(CASE WHEN cs_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS promo,
+       |  CAST(sum(CASE WHEN cs_promo_sk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS no_promo,
+       |  CAST(sum(CASE WHEN cs_promo_sk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS promo,
        |  count(*) AS total_cnt
        |FROM t_cs
        |JOIN t_inv ON cs_item_sk = inv_item_sk
@@ -1485,7 +1485,7 @@ object TpcdsCorpus {
        |  SELECT c_custkey AS ca_address_sk, 'United States' AS ca_country,
        |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
        |  FROM customer)
-       |SELECT sum(ss_quantity) AS sum_qty
+       |SELECT CAST(sum(ss_quantity) AS BIGINT) AS sum_qty
        |FROM t_ss, t_dd, t_cd, t_ca
        |WHERE ss_sold_date_sk = d_date_sk AND d_year = 2000
        |  AND ((cd_demo_sk = ss_cdemo_sk AND cd_marital_status = 'M'
@@ -1565,12 +1565,12 @@ object TpcdsCorpus {
        |    AND d_month_seq BETWEEN 1200 AND 1211
        |  GROUP BY 1, 2)
        |SELECT
-       |  sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
-       |      THEN 1 ELSE 0 END) AS store_only,
-       |  sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
-       |      THEN 1 ELSE 0 END) AS catalog_only,
-       |  sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
-       |      THEN 1 ELSE 0 END) AS store_and_catalog
+       |  CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       |  CAST(sum(CASE WHEN ssci.customer_sk IS NULL AND csci.customer_sk IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+       |  CAST(sum(CASE WHEN ssci.customer_sk IS NOT NULL AND csci.customer_sk IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
        |FROM ssci
        |FULL JOIN csci ON ssci.customer_sk = csci.customer_sk
        |  AND ssci.item_sk = csci.item_sk
@@ -2210,10 +2210,10 @@ object TpcdsCorpus {
        |       + 100) // 200) + 10000000) // 20000000 AS w_dev2,
        |    (2 * (s + c + w) * 1000000 + 3) // 6 AS avg6
        |  FROM j)
-       |SELECT item_id, s AS sr_item_qty,
+       |SELECT item_id, CAST(s AS BIGINT) AS sr_item_qty,
        |  CAST(s_dev2 AS DOUBLE) / 100.0 AS sr_dev,
-       |  c AS cr_item_qty, CAST(c_dev2 AS DOUBLE) / 100.0 AS cr_dev,
-       |  w AS wr_item_qty, CAST(w_dev2 AS DOUBLE) / 100.0 AS wr_dev,
+       |  CAST(c AS BIGINT) AS cr_item_qty, CAST(c_dev2 AS DOUBLE) / 100.0 AS cr_dev,
+       |  CAST(w AS BIGINT) AS wr_item_qty, CAST(w_dev2 AS DOUBLE) / 100.0 AS wr_dev,
        |  CAST(avg6 AS DOUBLE) / 1000000.0 AS average
        |FROM dev
        |ORDER BY item_id ASC, sr_item_qty ASC
@@ -3485,8 +3485,8 @@ object TpcdsCorpus {
        |  GROUP BY 1, 2, 3, 4, 5)
        |SELECT p.d_year AS prev_year, c.d_year AS year_, c.i_brand_id,
        |  c.i_class_id, c.i_category_id, c.i_manufact_id,
-       |  p.sales_cnt AS prev_yr_cnt, c.sales_cnt AS curr_yr_cnt,
-       |  c.sales_cnt - p.sales_cnt AS sales_cnt_diff,
+       |  CAST(p.sales_cnt AS BIGINT) AS prev_yr_cnt, CAST(c.sales_cnt AS BIGINT) AS curr_yr_cnt,
+       |  CAST(c.sales_cnt - p.sales_cnt AS BIGINT) AS sales_cnt_diff,
        |  CAST(c.amt5 - p.amt5 AS DOUBLE) / 100000.0 AS sales_amt_diff
        |FROM all_sales c, all_sales p
        |WHERE c.i_brand_id = p.i_brand_id AND c.i_class_id = p.i_class_id
@@ -3997,9 +3997,9 @@ object TpcdsCorpus {
        |SELECT 2000 AS ss_sold_year, ss.item AS ss_item_sk, ss.cust AS ss_customer_sk,
        |  CAST((2 * ss.q * 100 + (ws.q + cs.q)) // (2 * (ws.q + cs.q)) AS DOUBLE)
        |    / 100.0 AS ratio,
-       |  ss.q AS store_qty, CAST(ss.wc AS DOUBLE) / 100.0 AS store_wholesale_cost,
+       |  CAST(ss.q AS BIGINT) AS store_qty, CAST(ss.wc AS DOUBLE) / 100.0 AS store_wholesale_cost,
        |  CAST(ss.sp AS DOUBLE) / 100.0 AS store_sales_price,
-       |  ws.q + cs.q AS other_chan_qty,
+       |  CAST(ws.q + cs.q AS BIGINT) AS other_chan_qty,
        |  CAST(ws.wc + cs.wc AS DOUBLE) / 100.0 AS other_chan_wholesale_cost,
        |  CAST(ws.sp + cs.sp AS DOUBLE) / 100.0 AS other_chan_sales_price
        |FROM ss
@@ -4096,7 +4096,7 @@ object TpcdsCorpus {
        |    AND (year((CAST(l_shipdate AS DATE) + 365)) - 1900) * 12
        |        + month((CAST(l_shipdate AS DATE) + 365)) - 1 BETWEEN 1188 AND 1190
        |  GROUP BY b.cust, ns),
-       |segments AS (SELECT rev4 * 2 // 1000000 AS segment FROM rev)
+       |segments AS (SELECT CAST(rev4 * 2 // 1000000 AS BIGINT) AS segment FROM rev)
        |SELECT segment, count(*) AS num_customers, segment * 50 AS segment_base
        |FROM segments
        |GROUP BY segment
@@ -4208,7 +4208,7 @@ object TpcdsCorpus {
        |    (VALUES ('spark_catalog.tpcds.store'), ('catalog'), ('web')) ch(channel))
        |SELECT channel, i_brand_id, i_class_id, i_category_id,
        |  CAST(sum(sales2) AS DOUBLE) / 100.0 AS sales,
-       |  sum(number_sales) AS number_sales
+       |  CAST(sum(number_sales) AS BIGINT) AS number_sales
        |FROM legs
        |GROUP BY ROLLUP (channel, i_brand_id, i_class_id, i_category_id)
        |ORDER BY channel ASC NULLS FIRST, i_brand_id ASC NULLS FIRST,
