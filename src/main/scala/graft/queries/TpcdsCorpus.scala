@@ -350,13 +350,25 @@ object TpcdsCorpus {
         s"""SELECT i + 1 AS cp_catalog_page_sk,
            |  concat('PAGE', lpad(CAST(i + 1 AS STRING), 16, '0')) AS cp_catalog_page_id
            |FROM (SELECT explode(sequence(0, 199)) AS i)""".stripMargin,
+      // Snapshots: a 35-day base cadence (wk 0..39, sk 2924..4289) plus a
+      // 14-day burst over Jan-Feb 2001 only (wk 40..44, sk 4019..4075) so
+      // q39's (warehouse, item, month) stddev groups have n=4 (Jan) and
+      // n=2 (Feb) instead of singletons. The burst sits OUTSIDE every
+      // other inventory mirror's date window (q21 ~3693-3753, q22
+      // month_seq<=1211 = sk<=4018, q37/q82 year-2000 windows, q72 1999
+      // weeks), so only q39 sees it. Burst quantities are bimodal
+      // (~900+ vs <8) so cov = stdev/mean > 1 is satisfiable.
       "inventory" ->
-        s"""SELECT 2924 + wk * 35 AS inv_date_sk, p_partkey AS inv_item_sk,
+        s"""SELECT CASE WHEN wk < 40 THEN 2924 + wk * 35
+           |       ELSE 4019 + (wk - 40) * 14 END AS inv_date_sk,
+           |  p_partkey AS inv_item_sk,
            |  wh + 1 AS inv_warehouse_sk,
-           |  CAST(pmod(p_partkey * 31 + wh * 211 + wk * 13, 1000) AS INT) AS inv_quantity_on_hand
+           |  CAST(CASE WHEN wk < 40 THEN pmod(p_partkey * 31 + wh * 211 + wk * 13, 1000)
+           |       WHEN (p_partkey + wh + wk) % 3 = 0 THEN 900 + pmod(p_partkey * 7 + wh * 13 + wk, 100)
+           |       ELSE pmod(p_partkey * 11 + wh * 17 + wk, 8) END AS INT) AS inv_quantity_on_hand
            |FROM ${pq("part")}
            |LATERAL VIEW explode(sequence(0, 4)) genw AS wh
-           |LATERAL VIEW explode(sequence(0, 39)) genk AS wk""".stripMargin,
+           |LATERAL VIEW explode(sequence(0, 44)) genk AS wk""".stripMargin,
       "store_sales" ->
         s"""SELECT $soldDateSk AS ss_sold_date_sk, $timeSk AS ss_sold_time_sk,
            |  l_partkey AS ss_item_sk, ${custSk(custCount)} AS ss_customer_sk,
@@ -500,20 +512,21 @@ object TpcdsCorpus {
   // mirror the synthesis exactly and hash-compare — proving the
   // synthesized tables are cross-engine deterministic.
   // ----------------------------------------------------------------
-  private def gate(name: String, renames: Seq[String]): (SparkSession, String) => DataFrame =
+  private def gate(name: String, renames: Seq[String],
+      post: DataFrame => DataFrame = identity): (SparkSession, String) => DataFrame =
     (s, dir) => {
       register(s, dir)
       val raw = java.nio.file.Files.readString(
         java.nio.file.Paths.get(s"$corpusDir/$name.sql"))
       val sql = graft.Runner.template(raw, catalog, db).trim.stripSuffix(";")
       val df = s.sql(sql).toDF(renames: _*)
-      df.select(df.schema.fields.toSeq.map { f =>
+      post(df.select(df.schema.fields.toSeq.map { f =>
         f.dataType match {
           case _: org.apache.spark.sql.types.DecimalType =>
             org.apache.spark.sql.functions.col(f.name).cast("double").as(f.name)
           case _ => org.apache.spark.sql.functions.col(f.name)
         }
-      }: _*)
+      }: _*))
     }
 
   /** DuckDB mirror of the synthesized tables q88/q96 touch. */
@@ -1080,6 +1093,65 @@ object TpcdsCorpus {
        |  AND 2 * inv_after <= 3 * inv_before
        |ORDER BY w_warehouse_name ASC, i_item_id ASC
        |LIMIT 100""".stripMargin
+
+  /** Shared q39 mirror: per-(warehouse, item, month) inventory moments
+    * for d_year=2001 in exact HUGEINT (n, Σx, Σx²), with
+    * stdev² = (n·Σx² − (Σx)²)/(n·(n−1)) — the integer identity — and
+    * cov = stdev/mean. Only the Jan burst (n=4) and Feb burst (n=2)
+    * groups survive the reference's `cov > 1` filter (all other months
+    * are singletons → stddev_samp NULL → dropped in both engines).
+    * mean = Σx/n is a single exact-integer-to-double division (n ∈
+    * {2,4} → bit-stable); cov is ROUNDED to 6 decimals on both sides
+    * (gate post-transform ↔ mirror round) because Spark's stddev_samp
+    * accumulates M2 in partition order — the measured minimum gap of
+    * cov to the 6-decimal half-grid and to the 1.0/1.5 filter
+    * boundaries is far above double noise (see Q39Spec).
+    */
+  private val q39Prefix: String =
+    s"""WITH t_inv AS (
+       |  SELECT CASE WHEN wk < 40 THEN 2924 + wk * 35
+       |         ELSE 4019 + (wk - 40) * 14 END AS inv_date_sk,
+       |    p_partkey AS inv_item_sk, wh + 1 AS inv_warehouse_sk,
+       |    CASE WHEN wk < 40 THEN (p_partkey * 31 + wh * 211 + wk * 13) % 1000
+       |         WHEN (p_partkey + wh + wk) % 3 = 0 THEN 900 + (p_partkey * 7 + wh * 13 + wk) % 100
+       |         ELSE (p_partkey * 11 + wh * 17 + wk) % 8 END AS q
+       |  FROM part, range(0, 5) t_w(wh), range(0, 45) t_k(wk)),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year, month(CAST(g AS DATE)) AS d_moy
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |moments AS (
+       |  SELECT inv_warehouse_sk AS w_warehouse_sk, inv_item_sk AS i_item_sk,
+       |    d_moy, count(*) AS n, CAST(sum(q) AS HUGEINT) AS sx,
+       |    CAST(sum(q * q) AS HUGEINT) AS sx2
+       |  FROM t_inv, t_dd
+       |  WHERE inv_date_sk = d_date_sk AND d_year = 2001
+       |  GROUP BY 1, 2, 3),
+       |inv AS (
+       |  SELECT w_warehouse_sk, i_item_sk, d_moy,
+       |    CAST(sx AS DOUBLE) / n AS mean,
+       |    sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+       |      / (CAST(sx AS DOUBLE) / n) AS cov_raw
+       |  FROM moments
+       |  WHERE n > 1 AND sx > 0
+       |    AND sqrt(CAST(n * sx2 - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+       |      / (CAST(sx AS DOUBLE) / n) > 1)""".stripMargin
+
+  private def q39Select(extraFilter: String): String =
+    s"""SELECT inv1.w_warehouse_sk AS wsk1, inv1.i_item_sk AS isk1,
+       |  inv1.d_moy AS moy1, inv1.mean AS mean1, round(inv1.cov_raw, 6) AS cov1,
+       |  inv2.w_warehouse_sk AS wsk2, inv2.i_item_sk AS isk2,
+       |  inv2.d_moy AS moy2, inv2.mean AS mean2, round(inv2.cov_raw, 6) AS cov2
+       |FROM inv inv1, inv inv2
+       |WHERE inv1.i_item_sk = inv2.i_item_sk
+       |  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+       |  AND inv1.d_moy = 1 AND inv2.d_moy = 2$extraFilter
+       |ORDER BY wsk1 ASC, isk1 ASC, moy1 ASC, mean1 ASC, cov1 ASC,
+       |  moy2 ASC, mean2 ASC, cov2 ASC""".stripMargin
+
+  private val q39_1Oracle: String = s"$q39Prefix\n${q39Select("")}"
+  private val q39_2Oracle: String =
+    s"$q39Prefix\n${q39Select("\n  AND inv1.cov_raw > 1.5")}"
 
   /** q72's slice: catalog sales short on same-week inventory, promo
     * vs no-promo counts. The LEFT JOINs are count-preserving except
@@ -4383,7 +4455,23 @@ object TpcdsCorpus {
        |ORDER BY i_product_name ASC
        |LIMIT 100""".stripMargin
 
+  private val roundCovs: DataFrame => DataFrame = df =>
+    df.withColumn("cov1",
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("cov1"), 6))
+      .withColumn("cov2",
+        org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.col("cov2"), 6))
+
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q39_1", gate("q39_1", Seq("wsk1", "isk1", "moy1",
+      "mean1", "cov1", "wsk2", "isk2", "moy2", "mean2", "cov2"), roundCovs),
+      Some(q39_1Oracle),
+      "verbatim reference file queries/tpcds/q39_1.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q39_2", gate("q39_2", Seq("wsk1", "isk1", "moy1",
+      "mean1", "cov1", "wsk2", "isk2", "moy2", "mean2", "cov2"), roundCovs),
+      Some(q39_2Oracle),
+      "verbatim reference file queries/tpcds/q39_2.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q41", gate("q41", Seq("i_product_name")),
       Some(q41Oracle),
       "verbatim reference file queries/tpcds/q41.sql via synthesized tables"),
