@@ -369,6 +369,34 @@ object TpcdsCorpus {
            |FROM ${pq("part")}
            |LATERAL VIEW explode(sequence(0, 4)) genw AS wh
            |LATERAL VIEW explode(sequence(0, 44)) genk AS wk""".stripMargin,
+      // Two phantom-row generators extend the lineitem-derived rows:
+      //
+      // * q34 tickets (ticket = -(20000+b), b = 0..19): multi-line
+      //   tickets of 13..22 lines — sizes 13 + (b*3+1) % 10, exercising
+      //   both edges of q34's `cnt BETWEEN 15 AND 20` — with a REAL
+      //   customer ((b*13+7) % custs), hd_demo 24 (buy potential
+      //   '>10000', dep 4 / vehicle 1 > 1.2), store 20 (Williamson
+      //   County), sold on the 25th-28th (q34's dom band; dom 1-3 NOT
+      //   used so q73's dom 1-2 band never sees them) of months 1-10
+      //   of 1999/2001 (2000 skipped: q38/q87/q51's month_seq 1200-1211
+      //   window; months 11-12 skipped: q03/q42/q52/q55 moy=11).
+      // * q23 frequent cells: 5 (real item, 2002 date) cells × 6 rows
+      //   (ticket = -(30000+…)), making `HAVING count(*) > 4` per
+      //   (item_desc, item, date) reachable. Items {733,734,736,737,
+      //   739} dodge q75 (category 'Books' = pk%10=0), q03 (manufact
+      //   128), q55 (manager 28), q82 (price 62-92); 2002 dates dodge
+      //   q14 (1999-2001), q51/q38/q87 (2000), q58/q65/q98 (1998-99).
+      //
+      // Both kinds are invisible everywhere else: fake dimension keys
+      // (cdemo/addr/promo 9999, time 999999; q34 rows item 9999; q23
+      // rows ALSO store/customer/hd 9999) drop out of every inner
+      // dimension join; ss_quantity 101 is outside every quantity band
+      // (q09 caps at 100, q28 at 30); every money column is NULL, so
+      // any sum/avg that does reach them (q23's best-customer CTE via
+      // the real q34 customer, q43/q05/q59 store sums, q04/q11/q74
+      // year totals) is unchanged — SQL aggregates skip NULLs, and the
+      // guarded `year_total > 0` joins treat NULL-total groups as
+      // absent. Verified by the full 208-entry strict oracle sweep.
       "store_sales" ->
         s"""SELECT $soldDateSk AS ss_sold_date_sk, $timeSk AS ss_sold_time_sk,
            |  l_partkey AS ss_item_sk, ${custSk(custCount)} AS ss_customer_sk,
@@ -389,7 +417,32 @@ object TpcdsCorpus {
            |  $dPrice * $dDisc * 0.5 AS ss_coupon_amt,
            |  $dPrice * (1 - $dDisc) AS ss_net_paid,
            |  $dPrice * (0.2 - $dDisc) AS ss_net_profit
-           |FROM ${pq("lineitem")}""".stripMargin,
+           |FROM ${pq("lineitem")}
+           |UNION ALL
+           |SELECT CAST(datediff(make_date(1999 + 2 * (b % 2), (b div 2) % 12 + 1, 25),
+           |    DATE '1989-12-31') + j % 4 AS INT) AS ss_sold_date_sk,
+           |  CAST(999999 AS BIGINT), CAST(9999 AS BIGINT),
+           |  CAST(pmod(b * 13 + 7, $custCount) AS BIGINT),
+           |  CAST(9999 AS BIGINT), CAST(24 AS BIGINT), CAST(9999 AS BIGINT),
+           |  CAST(20 AS BIGINT), CAST(9999 AS BIGINT),
+           |  CAST(-(20000 + b) AS BIGINT), 101,
+           |  CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS DECIMAL(12,2)),
+           |  CAST(NULL AS DECIMAL(12,2)), NULL, NULL, NULL, NULL, NULL,
+           |  NULL, NULL, NULL
+           |FROM (SELECT explode(sequence(0, 19)) AS b)
+           |LATERAL VIEW explode(sequence(0, 12 + (b * 3 + 1) % 10)) genj AS j
+           |UNION ALL
+           |SELECT CAST(element_at(array(4457, 4517, 4577, 4637, 4697), c + 1) AS INT),
+           |  CAST(999999 AS BIGINT),
+           |  CAST(element_at(array(733, 734, 736, 737, 739), c + 1) AS BIGINT),
+           |  CAST(9999 AS BIGINT), CAST(9999 AS BIGINT), CAST(9999 AS BIGINT),
+           |  CAST(9999 AS BIGINT), CAST(9999 AS BIGINT), CAST(9999 AS BIGINT),
+           |  CAST(-(30000 + c * 10 + j) AS BIGINT), 101,
+           |  CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS DECIMAL(12,2)),
+           |  CAST(NULL AS DECIMAL(12,2)), NULL, NULL, NULL, NULL, NULL,
+           |  NULL, NULL, NULL
+           |FROM (SELECT explode(sequence(0, 4)) AS c)
+           |LATERAL VIEW explode(sequence(0, 5)) genj AS j""".stripMargin,
       "store_returns" ->
         s"""SELECT $soldDateSk + CAST(pmod(l_orderkey, 60) + 7 AS INT) AS sr_returned_date_sk,
            |  l_partkey AS sr_item_sk, ${custSk(custCount)} AS sr_customer_sk,
@@ -1646,6 +1699,177 @@ object TpcdsCorpus {
        |FROM ssci
        |FULL JOIN csci ON ssci.customer_sk = csci.customer_sk
        |  AND ssci.item_sk = csci.item_sk
+       |LIMIT 100""".stripMargin
+
+  /** q34: big-ticket buyers. The phantom q34 tickets (store_sales view
+    * doc) are the only groups that can reach `cnt BETWEEN 15 AND 20`
+    * (natural tickets are single orders, ≤ 7 lines); the mirror still
+    * computes the natural side through the full filter stack rather
+    * than asserting it empty.
+    */
+  private val q34Oracle: String =
+    s"""WITH t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    day(CAST(g AS DATE)) AS d_dom, year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_store AS (
+       |  SELECT s_suppkey AS s_store_sk,
+       |    ([${lit(counties)}])[CAST((s_suppkey // 2) % 10 AS INTEGER) + 1] AS s_county
+       |  FROM supplier),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk,
+       |    ([${lit(buyPotentials)}])[CAST(i % 6 AS INTEGER) + 1] AS hd_buy_potential,
+       |    CAST(i % 10 AS INTEGER) AS hd_dep_count,
+       |    CAST((i // 10) % 6 - 1 AS INTEGER) AS hd_vehicle_count
+       |  FROM range(0, 720) t(i)),
+       |t_customer AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name,
+       |    (['Mr.', 'Mrs.', 'Ms.', 'Dr.', 'Miss', 'Sir'])[CAST(c_custkey % 6 AS INTEGER) + 1] AS c_salutation,
+       |    CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N' END AS c_preferred_cust_flag
+       |  FROM customer),
+       |t_ss AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS ss_sold_date_sk,
+       |    l_orderkey AS ss_ticket_number,
+       |    (l_orderkey * 13 + 7) % (SELECT count(*) FROM customer) AS ss_customer_sk,
+       |    (l_orderkey * 17 + l_linenumber) % 720 AS ss_hdemo_sk,
+       |    l_suppkey AS ss_store_sk
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT (make_date(1999 + 2 * (b % 2), (b // 2) % 12 + 1, 25)
+       |      - DATE '1989-12-31') + j % 4,
+       |    -(20000 + b), (b * 13 + 7) % (SELECT count(*) FROM customer),
+       |    24, 20
+       |  FROM range(0, 20) t(b), range(0, 22) s(j)
+       |  WHERE j < 13 + (b * 3 + 1) % 10)
+       |SELECT c_last_name, c_first_name, c_salutation, c_preferred_cust_flag,
+       |  ss_ticket_number, cnt
+       |FROM (
+       |  SELECT ss_ticket_number, ss_customer_sk, count(*) AS cnt
+       |  FROM t_ss, t_dd, t_store, t_hd
+       |  WHERE ss_sold_date_sk = d_date_sk AND ss_store_sk = s_store_sk
+       |    AND ss_hdemo_sk = hd_demo_sk
+       |    AND (d_dom BETWEEN 1 AND 3 OR d_dom BETWEEN 25 AND 28)
+       |    AND (hd_buy_potential = '>10000' OR hd_buy_potential = 'Unknown')
+       |    AND hd_vehicle_count > 0
+       |    AND (CASE WHEN hd_vehicle_count > 0
+       |         THEN CAST(hd_dep_count AS DECIMAL(7,2)) / hd_vehicle_count
+       |         ELSE NULL END) > 1.2
+       |    AND d_year IN (1999, 2000, 2001)
+       |    AND s_county = 'Williamson County'
+       |  GROUP BY ss_ticket_number, ss_customer_sk
+       |) dj, t_customer
+       |WHERE ss_customer_sk = c_customer_sk AND cnt BETWEEN 15 AND 20
+       |ORDER BY c_last_name ASC, c_first_name ASC, c_salutation ASC,
+       |  c_preferred_cust_flag DESC, ss_ticket_number ASC""".stripMargin
+
+  /** Shared q23 mirror prefix: frequent (item, sold-date) cells — the
+    * phantom q23 cells (store_sales view doc) are the only ones that
+    * can pass `count(*) > 4` on the fixture, but the natural cells run
+    * through the same HAVING — plus the best-customer CTEs. The
+    * max/best legs use natural rows only: phantom q23 rows have
+    * customer 9999 (dropped by the customer join) and phantom q34
+    * rows carry NULL money (sum skips them; count is not used).
+    */
+  private val q23Prefix: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    CAST(g AS DATE) AS d_date,
+       |    year(CAST(g AS DATE)) AS d_year, month(CAST(g AS DATE)) AS d_moy
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_item AS (
+       |  SELECT p_partkey AS i_item_sk,
+       |    concat(p_name, ' excellent durable premium quality for daily use #', lpad(CAST(p_partkey AS VARCHAR), 16, '0')) AS i_item_desc
+       |  FROM part),
+       |ss_freq AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
+       |    l_partkey AS item
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT ([4457, 4517, 4577, 4637, 4697])[c + 1],
+       |    ([733, 734, 736, 737, 739])[c + 1]
+       |  FROM range(0, 5) t(c), range(0, 6) s(j)),
+       |frequent_ss_items AS (
+       |  SELECT substr(i_item_desc, 1, 30) AS itemdesc, i_item_sk AS item_sk,
+       |    d_date AS solddate, count(*) AS cnt
+       |  FROM ss_freq, t_dd, t_item
+       |  WHERE sold_sk = d_date_sk AND item = i_item_sk
+       |    AND d_year IN (2000, 2001, 2002, 2003)
+       |  GROUP BY 1, 2, 3
+       |  HAVING count(*) > 4),
+       |ss_cust AS (
+       |  SELECT (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS cust,
+       |    CAST(l_quantity AS INTEGER)
+       |      * CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS VARCHAR) AS DECIMAL(12,2)) AS csale,
+       |    year(CAST(l_shipdate AS DATE) + 365) AS d_year
+       |  FROM lineitem),
+       |max_store_sales AS (
+       |  SELECT max(csales) AS tpcds_cmax
+       |  FROM (SELECT cust, sum(csale) AS csales FROM ss_cust
+       |        WHERE d_year IN (2000, 2001, 2002, 2003) GROUP BY cust)),
+       |best_ss_customer AS (
+       |  SELECT cust AS c_customer_sk FROM ss_cust
+       |  GROUP BY cust
+       |  HAVING sum(csale) > (50 / 100.0) * (SELECT tpcds_cmax FROM max_store_sales)),
+       |t_cs AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
+       |    l_partkey AS item,
+       |    (${csCustPre("l_orderkey")}) % (SELECT n FROM custs) AS bill_cust,
+       |    CAST(l_quantity AS INTEGER)
+       |      * CAST(CAST(l_extendedprice / l_quantity * 0.12 AS VARCHAR) AS DECIMAL(12,2)) AS sales
+       |  FROM lineitem),
+       |t_ws AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
+       |    l_partkey AS item,
+       |    (l_orderkey * 23 + 11) % (SELECT n FROM custs) AS bill_cust,
+       |    CAST(l_quantity AS INTEGER)
+       |      * CAST(CAST(l_extendedprice / l_quantity * 0.12 AS VARCHAR) AS DECIMAL(12,2)) AS sales
+       |  FROM lineitem)""".stripMargin
+
+  private val q23_1Oracle: String =
+    s"""$q23Prefix
+       |SELECT CAST(sum(sales) AS DOUBLE) AS sales_sum
+       |FROM (
+       |  SELECT sales FROM t_cs, t_dd
+       |  WHERE d_year = 2000 AND d_moy = 2 AND sold_sk = d_date_sk
+       |    AND item IN (SELECT item_sk FROM frequent_ss_items)
+       |    AND bill_cust IN (SELECT c_customer_sk FROM best_ss_customer)
+       |  UNION ALL
+       |  SELECT sales FROM t_ws, t_dd
+       |  WHERE d_year = 2000 AND d_moy = 2 AND sold_sk = d_date_sk
+       |    AND item IN (SELECT item_sk FROM frequent_ss_items)
+       |    AND bill_cust IN (SELECT c_customer_sk FROM best_ss_customer)
+       |)
+       |LIMIT 100""".stripMargin
+
+  private val q23_2Oracle: String =
+    s"""$q23Prefix,
+       |t_customer AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    ([${lit(firstNames)}])[CAST(c_custkey % 20 AS INTEGER) + 1] AS c_first_name,
+       |    ([${lit(lastNames)}])[CAST((c_custkey // 3) % 20 AS INTEGER) + 1] AS c_last_name
+       |  FROM customer)
+       |SELECT c_last_name, c_first_name, CAST(sales AS DOUBLE) AS sales
+       |FROM (
+       |  SELECT c_last_name, c_first_name, sum(sales) AS sales
+       |  FROM t_cs, t_dd, t_customer
+       |  WHERE d_year = 2000 AND d_moy = 2 AND sold_sk = d_date_sk
+       |    AND item IN (SELECT item_sk FROM frequent_ss_items)
+       |    AND bill_cust IN (SELECT c_customer_sk FROM best_ss_customer)
+       |    AND bill_cust = c_customer_sk
+       |  GROUP BY c_last_name, c_first_name
+       |  UNION ALL
+       |  SELECT c_last_name, c_first_name, sum(sales) AS sales
+       |  FROM t_ws, t_dd, t_customer
+       |  WHERE d_year = 2000 AND d_moy = 2 AND sold_sk = d_date_sk
+       |    AND item IN (SELECT item_sk FROM frequent_ss_items)
+       |    AND bill_cust IN (SELECT c_customer_sk FROM best_ss_customer)
+       |    AND bill_cust = c_customer_sk
+       |  GROUP BY c_last_name, c_first_name
+       |)
+       |ORDER BY c_last_name ASC, c_first_name ASC, sales ASC
        |LIMIT 100""".stripMargin
 
   /** Shared DuckDB mirror CTEs for the three-channel ext-sales-price
@@ -4464,6 +4688,16 @@ object TpcdsCorpus {
           org.apache.spark.sql.functions.col("cov2"), 6))
 
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q34", gate("q34", Seq("c_last_name", "c_first_name",
+      "c_salutation", "c_preferred_cust_flag", "ss_ticket_number", "cnt")),
+      Some(q34Oracle),
+      "verbatim reference file queries/tpcds/q34.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q23_1", gate("q23_1", Seq("sales_sum")),
+      Some(q23_1Oracle),
+      "verbatim reference file queries/tpcds/q23_1.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q23_2", gate("q23_2", Seq("c_last_name",
+      "c_first_name", "sales")), Some(q23_2Oracle),
+      "verbatim reference file queries/tpcds/q23_2.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q39_1", gate("q39_1", Seq("wsk1", "isk1", "moy1",
       "mean1", "cov1", "wsk2", "isk2", "moy2", "mean2", "cov2"), roundCovs),
       Some(q39_1Oracle),
