@@ -245,6 +245,14 @@ object TpcdsCorpus {
            |  ${pick(specZips, "(s_suppkey * 11) % 40")} AS s_zip,
            |  CASE WHEN s_suppkey % 2 = 0 THEN -5.0 ELSE -6.0 END AS s_gmt_offset
            |FROM ${pq("supplier")}""".stripMargin,
+      // Four phantom customers (keys > 100000, chosen in-range of no
+      // natural key space) whose FORMULA-derived current demographics
+      // hit q91's (marital × education × buy-potential × gmt) filter
+      // intersection — no natural custkey lands on it (the linear key
+      // maps interfere). They are invisible elsewhere: no sales or
+      // returns reference them except q91's phantom catalog_returns,
+      // and their q08 zip clusters sit at count 37-38, far above the
+      // `> 10` threshold, so the selected zip set is unchanged.
       "customer" ->
         s"""SELECT c_custkey AS c_customer_sk,
            |  concat('CUST', lpad(CAST(c_custkey AS STRING), 16, '0')) AS c_customer_id,
@@ -264,7 +272,9 @@ object TpcdsCorpus {
            |  CAST(2921 + c_custkey % 1000 AS BIGINT) AS c_first_sales_date_sk,
            |  CAST(2921 + (c_custkey + 37) % 1000 AS BIGINT) AS c_first_shipto_date_sk,
            |  CAST(3650 + c_custkey % 1000 AS BIGINT) AS c_last_review_date_sk
-           |FROM ${pq("customer")}""".stripMargin,
+           |FROM (SELECT c_custkey, c_nationkey FROM ${pq("customer")}
+           |      UNION ALL
+           |      SELECT explode(array(100050, 100110, 102858, 102918)), CAST(0 AS BIGINT))""".stripMargin,
       "customer_address" ->
         s"""SELECT c_custkey AS ca_address_sk,
            |  CAST((c_custkey * 3 + 1) % 1000 AS STRING) AS ca_street_number,
@@ -279,7 +289,9 @@ object TpcdsCorpus {
            |  CASE WHEN c_custkey % 4 = 0 THEN -5.0 WHEN c_custkey % 4 = 1 THEN -6.0
            |       WHEN c_custkey % 4 = 2 THEN -7.0 ELSE -8.0 END AS ca_gmt_offset,
            |  ${pick(Seq("apartment", "condo", "single family"), "c_custkey % 3")} AS ca_location_type
-           |FROM ${pq("customer")}""".stripMargin,
+           |FROM (SELECT c_custkey FROM ${pq("customer")}
+           |      UNION ALL
+           |      SELECT explode(array(100050, 100110, 102858, 102918)))""".stripMargin,
       "customer_demographics" ->
         s"""SELECT i AS cd_demo_sk,
            |  CASE WHEN i % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
@@ -442,7 +454,22 @@ object TpcdsCorpus {
            |  CAST(NULL AS DECIMAL(12,2)), NULL, NULL, NULL, NULL, NULL,
            |  NULL, NULL, NULL
            |FROM (SELECT explode(sequence(0, 4)) AS c)
-           |LATERAL VIEW explode(sequence(0, 5)) genj AS j""".stripMargin,
+           |LATERAL VIEW explode(sequence(0, 5)) genj AS j
+           |UNION ALL
+           |SELECT CAST(datediff(make_date(2001, i % 10 + 1, 10 + i), DATE '1989-12-31') AS INT),
+           |  CAST(999999 AS BIGINT), CAST(9999 AS BIGINT), CAST(9999 AS BIGINT),
+           |  CAST(element_at(array(0, 12, 36), i % 3 + 1) AS BIGINT),
+           |  CAST(element_at(array(13, 11, 11), i % 3 + 1) AS BIGINT),
+           |  CAST(25 + i % 5 AS BIGINT), CAST(30 AS BIGINT), CAST(9999 AS BIGINT),
+           |  CAST(-(40000 + i) AS BIGINT), 101,
+           |  CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS DECIMAL(12,2)),
+           |  CAST(element_at(array(120.00, 75.00, 175.00), i % 3 + 1) AS DECIMAL(12,2)),
+           |  NULL,
+           |  CAST(500.00 + 10 * i AS DECIMAL(25,4)),
+           |  CAST(400.00 + 7 * i AS DECIMAL(25,4)),
+           |  NULL, NULL, NULL, NULL,
+           |  CAST(150.00 AS DECIMAL(25,4))
+           |FROM (SELECT explode(sequence(0, 11)) AS i)""".stripMargin,
       "store_returns" ->
         s"""SELECT $soldDateSk + CAST(pmod(l_orderkey, 60) + 7 AS INT) AS sr_returned_date_sk,
            |  l_partkey AS sr_item_sk, ${custSk(custCount)} AS sr_customer_sk,
@@ -495,7 +522,15 @@ object TpcdsCorpus {
            |  $dPrice * (1 - $dDisc) * 0.1 AS cr_reversed_charge,
            |  $dPrice * (1 - $dDisc) * 0.1 AS cr_store_credit,
            |  $dPrice * 0.1 + 5.0 AS cr_net_loss
-           |FROM ${pq("lineitem")} WHERE l_returnflag = 'R'""".stripMargin,
+           |FROM ${pq("lineitem")} WHERE l_returnflag = 'R'
+           |UNION ALL
+           |SELECT CAST(3227 + i % 28 AS INT), CAST(9998 AS BIGINT),
+           |  CAST(-(60000 + i) AS BIGINT),
+           |  CAST(element_at(array(100050, 100110, 102858, 102918), i % 4 + 1) AS BIGINT),
+           |  CAST(9999 AS BIGINT), CAST(i % 6 + 1 AS BIGINT), CAST(999 AS BIGINT),
+           |  1, NULL, NULL, NULL, NULL, NULL,
+           |  CAST(77.00 + i AS DECIMAL(12,2))
+           |FROM (SELECT explode(sequence(0, 11)) AS i)""".stripMargin,
       "web_sales" ->
         s"""SELECT $soldDateSk AS ws_sold_date_sk, $timeSk AS ws_sold_time_sk,
            |  $soldDateSk + CAST(pmod(l_orderkey * 5 + l_linenumber, 60) + 2 AS INT) AS ws_ship_date_sk,
@@ -521,7 +556,19 @@ object TpcdsCorpus {
            |  $dPrice * 0.05 AS ws_ext_ship_cost,
            |  $dPrice * (1 - $dDisc) AS ws_net_paid,
            |  $dPrice * (0.2 - $dDisc) AS ws_net_profit
-           |FROM ${pq("lineitem")}""".stripMargin,
+           |FROM ${pq("lineitem")}
+           |UNION ALL
+           |SELECT CAST(3713 + i AS INT), CAST(999999 AS BIGINT), CAST(3718 + i AS INT),
+           |  CAST(9999 AS BIGINT), CAST(9999 AS BIGINT), CAST(9999 AS BIGINT),
+           |  CAST(9999 AS BIGINT), CAST(9999 AS BIGINT), CAST(999 AS BIGINT),
+           |  CAST(i % 60 + 1 AS BIGINT), CAST(999 AS BIGINT), CAST(999 AS BIGINT),
+           |  CAST(9998 AS BIGINT), CAST(9999 AS BIGINT), CAST(-(50000 + i) AS BIGINT),
+           |  101,
+           |  CAST(NULL AS DECIMAL(12,2)), CAST(NULL AS DECIMAL(12,2)),
+           |  CAST(element_at(array(120.00, 75.00, 175.00), i % 3 + 1) AS DECIMAL(12,2)),
+           |  NULL, NULL, NULL, NULL, NULL, NULL,
+           |  CAST(150.00 AS DECIMAL(25,4))
+           |FROM (SELECT explode(sequence(0, 11)) AS i)""".stripMargin,
       "web_returns" ->
         s"""SELECT $soldDateSk + CAST(pmod(l_orderkey, 60) + 11 AS INT) AS wr_returned_date_sk,
            |  l_partkey AS wr_item_sk, l_orderkey AS wr_order_number,
@@ -537,7 +584,20 @@ object TpcdsCorpus {
            |  $dPrice * (1 - $dDisc) * 0.3 AS wr_refunded_cash,
            |  $dPrice * 0.02 AS wr_fee,
            |  $dPrice * 0.1 + 5.0 AS wr_net_loss
-           |FROM ${pq("lineitem")} WHERE l_returnflag = 'R'""".stripMargin)
+           |FROM ${pq("lineitem")} WHERE l_returnflag = 'R'
+           |UNION ALL
+           |SELECT CAST(3743 + i AS INT), CAST(9998 AS BIGINT), CAST(-(50000 + i) AS BIGINT),
+           |  CAST(20 + i % 5 AS BIGINT),
+           |  CAST(element_at(array(0, 12, 36), i % 3 + 1) AS BIGINT),
+           |  CAST(9999 AS BIGINT), CAST(9999 AS BIGINT),
+           |  CAST(element_at(array(0, 12, 36), i % 3 + 1) AS BIGINT),
+           |  CAST(i % 4 + 1 AS BIGINT), CAST(i % 60 + 1 AS BIGINT),
+           |  1,
+           |  CAST(NULL AS DECIMAL(12,2)),
+           |  CAST(30.00 + i AS DECIMAL(12,2)),
+           |  CAST(2.50 + i % 3 AS DECIMAL(12,2)),
+           |  NULL
+           |FROM (SELECT explode(sequence(0, 11)) AS i)""".stripMargin)
   }
 
   private val lastDir = TrieMap.empty[Int, String]
@@ -1631,6 +1691,240 @@ object TpcdsCorpus {
        |    OR (ss_addr_sk = ca_address_sk AND ca_country = 'United States'
        |        AND ca_state IN ('VA', 'CA', 'MS')
        |        AND ss_net_profit BETWEEN 50 AND 25000))""".stripMargin
+
+  /** q13: the cd×hd×price OR-stack crossed with the ca×profit
+    * OR-stack. Only the 12 phantom q13 rows (store_sales view doc)
+    * satisfy the band product on the fixture (measured P ≈ 1e-6 for
+    * natural rows), but the mirror runs the natural side through the
+    * full stack. Averages mirror Spark's HALF_UP decimal avg at
+    * input-scale + 4.
+    */
+  private val q13Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_cd AS (
+       |  SELECT i AS cd_demo_sk,
+       |    ([${lit(maritalStatuses)}])[CAST((i // 2) % 5 AS INTEGER) + 1] AS cd_marital_status,
+       |    ([${lit(educations)}])[CAST((i // 10) % 7 AS INTEGER) + 1] AS cd_education_status
+       |  FROM range(0, 7200) t(i)),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk, CAST(i % 10 AS INTEGER) AS hd_dep_count
+       |  FROM range(0, 720) t(i)),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk, 'United States' AS ca_country,
+       |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
+       |  FROM customer),
+       |t_ss AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
+       |    l_suppkey AS store_sk,
+       |    (l_orderkey * 31 + l_partkey) % 7200 AS cdemo,
+       |    (l_orderkey * 17 + l_linenumber) % 720 AS hdemo,
+       |    CASE WHEN l_orderkey % 101 = 44 THEN NULL
+       |      ELSE (l_orderkey * 37 + 23) % (SELECT n FROM custs) END AS addr,
+       |    CAST(l_quantity AS INTEGER) AS qty,
+       |    CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.1 AS VARCHAR) AS DECIMAL(12,2)) AS sales_price,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS net_profit,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 10000 AS HUGEINT) AS ext_sales4,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 0.8 * 10000 AS HUGEINT) AS ext_whole4
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT make_date(2001, i % 10 + 1, 10 + i) - DATE '1989-12-31',
+       |    30, ([0, 12, 36])[i % 3 + 1], ([13, 11, 11])[i % 3 + 1],
+       |    25 + i % 5, 101,
+       |    ([120.00, 75.00, 175.00])[i % 3 + 1],
+       |    CAST(150.00 AS DECIMAL(12,2)),
+       |    (50000 + 1000 * i) * 100, (40000 + 700 * i) * 100
+       |  FROM range(0, 12) t(i)),
+       |t_store AS (SELECT s_suppkey AS s_store_sk FROM supplier)
+       |SELECT
+       |  avg(qty) AS avg_qty,
+       |  CAST((2 * sum(ext_sales4) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 100000000.0 AS avg_ext_sales,
+       |  CAST((2 * sum(ext_whole4) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 100000000.0 AS avg_ext_wholesale,
+       |  CAST(sum(ext_whole4) AS DOUBLE) / 10000.0 AS sum_ext_wholesale
+       |FROM t_ss, t_dd, t_cd, t_hd, t_ca, t_store
+       |WHERE store_sk = s_store_sk AND sold_sk = d_date_sk AND d_year = 2001
+       |  AND ((hdemo = hd_demo_sk AND cd_demo_sk = cdemo
+       |        AND cd_marital_status = 'M' AND cd_education_status = 'Advanced Degree'
+       |        AND sales_price BETWEEN 100.00 AND 150.00 AND hd_dep_count = 3)
+       |    OR (hdemo = hd_demo_sk AND cd_demo_sk = cdemo
+       |        AND cd_marital_status = 'S' AND cd_education_status = 'College'
+       |        AND sales_price BETWEEN 50.00 AND 100.00 AND hd_dep_count = 1)
+       |    OR (hdemo = hd_demo_sk AND cd_demo_sk = cdemo
+       |        AND cd_marital_status = 'W' AND cd_education_status = '2 yr Degree'
+       |        AND sales_price BETWEEN 150.00 AND 200.00 AND hd_dep_count = 1))
+       |  AND ((addr = ca_address_sk AND ca_country = 'United States'
+       |        AND ca_state IN ('TX', 'OH', 'TX') AND net_profit BETWEEN 100 AND 200)
+       |    OR (addr = ca_address_sk AND ca_country = 'United States'
+       |        AND ca_state IN ('OR', 'NM', 'KY') AND net_profit BETWEEN 150 AND 300)
+       |    OR (addr = ca_address_sk AND ca_country = 'United States'
+       |        AND ca_state IN ('VA', 'TX', 'MS') AND net_profit BETWEEN 50 AND 250))""".stripMargin
+
+  /** q85: web returns refunded under matching refunded/returning
+    * demographics. Driven by the 12 phantom ws⋈wr pairs; the natural
+    * side (refunded and returning cdemo coincide by synthesis) runs
+    * through the same stack. Averages mirror the s+4 HALF_UP rule
+    * (refunded_cash scale 5 → 9, fee scale 4 → 8).
+    */
+  private val q85Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_cd AS (
+       |  SELECT i AS cd_demo_sk,
+       |    ([${lit(maritalStatuses)}])[CAST((i // 2) % 5 AS INTEGER) + 1] AS cd_marital_status,
+       |    ([${lit(educations)}])[CAST((i // 10) % 7 AS INTEGER) + 1] AS cd_education_status
+       |  FROM range(0, 7200) t(i)),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk, 'United States' AS ca_country,
+       |    ([${lit(states)}])[CAST((c_custkey // 5) % 10 AS INTEGER) + 1] AS ca_state
+       |  FROM customer),
+       |t_reason AS (
+       |  SELECT i + 1 AS r_reason_sk,
+       |    concat('reason ', CAST(i + 1 AS VARCHAR)) AS r_reason_desc
+       |  FROM range(0, 35) t(i)),
+       |t_wp AS (SELECT i + 1 AS wp_web_page_sk FROM range(0, 60) t(i)),
+       |t_ws AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31' AS sold_sk,
+       |    l_partkey AS item, l_orderkey AS ord,
+       |    (l_orderkey * 3 + l_linenumber) % 60 + 1 AS page,
+       |    CAST(l_quantity AS INTEGER) AS qty,
+       |    CAST(CAST(l_extendedprice / l_quantity * (1 - l_discount) * 0.11 AS VARCHAR) AS DECIMAL(12,2)) AS sales_price,
+       |    CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (0.2 - CAST(l_discount AS DECIMAL(12,2))) AS net_profit
+       |  FROM lineitem
+       |  UNION ALL
+       |  SELECT 3713 + i, 9998, -(50000 + i), i % 60 + 1, 101,
+       |    ([120.00, 75.00, 175.00])[i % 3 + 1], CAST(150.00 AS DECIMAL(12,2))
+       |  FROM range(0, 12) t(i)),
+       |t_wr AS (
+       |  SELECT l_partkey AS item, l_orderkey AS ord,
+       |    (l_orderkey * 31 + l_partkey) % 7200 AS ref_cdemo,
+       |    (l_orderkey * 31 + l_partkey) % 7200 AS ret_cdemo,
+       |    (l_orderkey * 13 + 7) % (SELECT n FROM custs) AS ref_addr,
+       |    (l_orderkey + l_partkey) % 35 + 1 AS reason,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+       |      * (1 - CAST(l_discount AS DECIMAL(12,2))) * 0.3 * 100000 AS HUGEINT) AS cash5,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 0.02 * 10000 AS HUGEINT) AS fee4
+       |  FROM lineitem WHERE l_returnflag = 'R'
+       |  UNION ALL
+       |  SELECT 9998, -(50000 + i), ([0, 12, 36])[i % 3 + 1],
+       |    ([0, 12, 36])[i % 3 + 1], 20 + i % 5, i % 4 + 1,
+       |    (3000 + 100 * i) * 1000, (250 + 100 * (i % 3)) * 100
+       |  FROM range(0, 12) t(i))
+       |SELECT substr(r_reason_desc, 1, 20) AS reason_prefix,
+       |  avg(qty) AS avg_qty,
+       |  CAST((2 * sum(cash5) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 1000000000.0 AS avg_refunded,
+       |  CAST((2 * sum(fee4) * 10000 + count(*)) // (2 * count(*)) AS DOUBLE) / 100000000.0 AS avg_fee
+       |FROM t_ws, t_wr, t_wp, t_cd cd1, t_cd cd2, t_ca, t_dd, t_reason
+       |WHERE page = wp_web_page_sk AND t_ws.item = t_wr.item
+       |  AND t_ws.ord = t_wr.ord AND sold_sk = d_date_sk AND d_year = 2000
+       |  AND cd1.cd_demo_sk = ref_cdemo AND cd2.cd_demo_sk = ret_cdemo
+       |  AND ca_address_sk = ref_addr AND r_reason_sk = reason
+       |  AND ((cd1.cd_marital_status = 'M'
+       |        AND cd1.cd_marital_status = cd2.cd_marital_status
+       |        AND cd1.cd_education_status = 'Advanced Degree'
+       |        AND cd1.cd_education_status = cd2.cd_education_status
+       |        AND sales_price BETWEEN 100.00 AND 150.00)
+       |    OR (cd1.cd_marital_status = 'S'
+       |        AND cd1.cd_marital_status = cd2.cd_marital_status
+       |        AND cd1.cd_education_status = 'College'
+       |        AND cd1.cd_education_status = cd2.cd_education_status
+       |        AND sales_price BETWEEN 50.00 AND 100.00)
+       |    OR (cd1.cd_marital_status = 'W'
+       |        AND cd1.cd_marital_status = cd2.cd_marital_status
+       |        AND cd1.cd_education_status = '2 yr Degree'
+       |        AND cd1.cd_education_status = cd2.cd_education_status
+       |        AND sales_price BETWEEN 150.00 AND 200.00))
+       |  AND ((ca_country = 'United States' AND ca_state IN ('IN', 'OH', 'NJ')
+       |        AND net_profit BETWEEN 100 AND 200)
+       |    OR (ca_country = 'United States' AND ca_state IN ('WI', 'CT', 'KY')
+       |        AND net_profit BETWEEN 150 AND 300)
+       |    OR (ca_country = 'United States' AND ca_state IN ('LA', 'IA', 'AR')
+       |        AND net_profit BETWEEN 50 AND 250))
+       |GROUP BY r_reason_desc
+       |ORDER BY substr(r_reason_desc, 1, 20) ASC, avg_qty ASC, avg_refunded ASC,
+       |  avg_fee ASC
+       |LIMIT 100""".stripMargin
+
+  /** q91: call-center losses from returning customers whose CURRENT
+    * demographics hit the (marital × education) pairs, 'Unknown' buy
+    * potential, and gmt -7. No natural custkey satisfies the
+    * intersection (the linear key maps interfere — verified by scan),
+    * so the four phantom customers + 12 phantom catalog_returns carry
+    * the result; the natural side still runs through the full stack.
+    */
+  private val q91Oracle: String =
+    s"""WITH custs AS (SELECT count(*) AS n FROM customer),
+       |t_dd AS (
+       |  SELECT CAST(g AS DATE) - DATE '1989-12-31' AS d_date_sk,
+       |    year(CAST(g AS DATE)) AS d_year, month(CAST(g AS DATE)) AS d_moy
+       |  FROM generate_series(DATE '1989-12-31', DATE '2003-12-31', INTERVAL 1 DAY) t(g)),
+       |t_cc AS (
+       |  SELECT i + 1 AS cc_call_center_sk,
+       |    concat('CC', lpad(CAST(i + 1 AS VARCHAR), 16, '0')) AS cc_call_center_id,
+       |    (['NY Metro', 'Mid Atlantic', 'North Midwest', 'California',
+       |      'Pacific Northwest', 'Hawaii/Alaska'])[CAST(i % 6 AS INTEGER) + 1] AS cc_name,
+       |    ([${lit(firstNames)}])[CAST(i % 20 AS INTEGER) + 1] AS cc_manager
+       |  FROM range(0, 6) t(i)),
+       |t_cd AS (
+       |  SELECT i AS cd_demo_sk,
+       |    ([${lit(maritalStatuses)}])[CAST((i // 2) % 5 AS INTEGER) + 1] AS cd_marital_status,
+       |    ([${lit(educations)}])[CAST((i // 10) % 7 AS INTEGER) + 1] AS cd_education_status
+       |  FROM range(0, 7200) t(i)),
+       |t_hd AS (
+       |  SELECT i AS hd_demo_sk,
+       |    ([${lit(buyPotentials)}])[CAST(i % 6 AS INTEGER) + 1] AS hd_buy_potential
+       |  FROM range(0, 720) t(i)),
+       |t_customer AS (
+       |  SELECT c_custkey AS c_customer_sk,
+       |    (c_custkey * 7 + 1) % 7200 AS c_current_cdemo_sk,
+       |    (c_custkey * 11 + 5) % 720 AS c_current_hdemo_sk,
+       |    c_custkey AS c_current_addr_sk
+       |  FROM (SELECT c_custkey FROM customer
+       |        UNION ALL
+       |        SELECT unnest([100050, 100110, 102858, 102918]))),
+       |t_ca AS (
+       |  SELECT c_custkey AS ca_address_sk,
+       |    CASE WHEN c_custkey % 4 = 0 THEN -5.0 WHEN c_custkey % 4 = 1 THEN -6.0
+       |         WHEN c_custkey % 4 = 2 THEN -7.0 ELSE -8.0 END AS ca_gmt_offset
+       |  FROM (SELECT c_custkey FROM customer
+       |        UNION ALL
+       |        SELECT unnest([100050, 100110, 102858, 102918]))),
+       |t_cr AS (
+       |  SELECT (CAST(l_shipdate AS DATE) + 365) - DATE '1989-12-31'
+       |      + l_orderkey % 60 + 9 AS ret_sk,
+       |    (l_orderkey * 19 + 3) % (SELECT n FROM custs) AS ret_cust,
+       |    l_orderkey % 6 + 1 AS cc_sk,
+       |    CAST((CAST(l_extendedprice AS DECIMAL(12,2)) * 0.1 + 5.0) * 1000 AS HUGEINT) AS loss3
+       |  FROM lineitem WHERE l_returnflag = 'R'
+       |  UNION ALL
+       |  SELECT 3227 + i % 28, ([100050, 100110, 102858, 102918])[i % 4 + 1],
+       |    i % 6 + 1, (7700 + 100 * i) * 10
+       |  FROM range(0, 12) t(i))
+       |SELECT cc_call_center_id AS call_center, cc_name AS call_center_name,
+       |  cc_manager AS manager,
+       |  CAST(sum(loss3) AS DOUBLE) / 1000.0 AS returns_loss
+       |FROM t_cc, t_cr, t_dd, t_customer, t_ca, t_cd, t_hd
+       |WHERE cc_sk = cc_call_center_sk AND ret_sk = d_date_sk
+       |  AND ret_cust = c_customer_sk
+       |  AND cd_demo_sk = c_current_cdemo_sk
+       |  AND hd_demo_sk = c_current_hdemo_sk
+       |  AND ca_address_sk = c_current_addr_sk
+       |  AND d_year = 1998 AND d_moy = 11
+       |  AND ((cd_marital_status = 'M' AND cd_education_status = 'Unknown')
+       |    OR (cd_marital_status = 'W' AND cd_education_status = 'Advanced Degree'))
+       |  AND hd_buy_potential LIKE 'Unknown'
+       |  AND ca_gmt_offset = -7
+       |GROUP BY cc_call_center_id, cc_name, cc_manager, cd_marital_status,
+       |  cd_education_status
+       |ORDER BY returns_loss DESC""".stripMargin
 
   /** q86's slice: category/class net-paid rollup with per-level
     * ranks (q70's item-dimension sibling).
@@ -4688,6 +4982,15 @@ object TpcdsCorpus {
           org.apache.spark.sql.functions.col("cov2"), 6))
 
   def all: Seq[graft.Q] = Seq(
+    graft.Q("corpus_tpcds_q13", gate("q13", Seq("avg_qty", "avg_ext_sales",
+      "avg_ext_wholesale", "sum_ext_wholesale")), Some(q13Oracle),
+      "verbatim reference file queries/tpcds/q13.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q85", gate("q85", Seq("reason_prefix", "avg_qty",
+      "avg_refunded", "avg_fee")), Some(q85Oracle),
+      "verbatim reference file queries/tpcds/q85.sql via synthesized tables"),
+    graft.Q("corpus_tpcds_q91", gate("q91", Seq("call_center",
+      "call_center_name", "manager", "returns_loss")), Some(q91Oracle),
+      "verbatim reference file queries/tpcds/q91.sql via synthesized tables"),
     graft.Q("corpus_tpcds_q34", gate("q34", Seq("c_last_name", "c_first_name",
       "c_salutation", "c_preferred_cust_flag", "ss_ticket_number", "cnt")),
       Some(q34Oracle),
