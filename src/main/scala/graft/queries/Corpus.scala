@@ -208,7 +208,17 @@ object Corpus {
     if (!lastDir.get(k).contains(dir)) {
       val supplierCount = s.read.parquet(s"$dir/supplier.parquet").count()
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      viewDefs(dir, supplierCount).foreach { case (name, sql) =>
+      // Physical-table materialization (see [[Materialize]]): corpus
+      // queries scan parquet with pushdown instead of re-deriving the
+      // synthesized columns per query.
+      val bodies = Materialize.tableSql(
+        s, db, dir, viewDefs(dir, supplierCount),
+        sortKey = Map(
+          "lineitem" -> "shipdate",
+          "orders" -> "orderdate",
+          "partsupp" -> "partkey"),
+        singleFile = Set("region", "nation", "customer", "supplier", "part"))
+      bodies.foreach { case (name, sql) =>
         s.sql(s"CREATE OR REPLACE VIEW $db.$name AS $sql")
       }
       lastDir(k) = dir

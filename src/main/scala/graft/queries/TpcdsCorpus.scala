@@ -612,7 +612,27 @@ object TpcdsCorpus {
       val custs = s.read.parquet(s"$dir/customer.parquet").count()
       val supps = s.read.parquet(s"$dir/supplier.parquet").count()
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      viewDefs(dir, parts, custs, supps).foreach { case (name, sql) =>
+      // Materialize the synthesized tables to parquet (idempotent per
+      // fixture + definition fingerprint) so every corpus query scans
+      // real files with pushdown/pruning instead of re-deriving all
+      // 24 tables from lineitem — see [[Materialize]].
+      val bodies = Materialize.tableSql(
+        s, db, dir, viewDefs(dir, parts, custs, supps),
+        sortKey = Map(
+          "store_sales" -> "ss_sold_date_sk",
+          "store_returns" -> "sr_returned_date_sk",
+          "catalog_sales" -> "cs_sold_date_sk",
+          "catalog_returns" -> "cr_returned_date_sk",
+          "web_sales" -> "ws_sold_date_sk",
+          "web_returns" -> "wr_returned_date_sk",
+          "inventory" -> "inv_date_sk"),
+        singleFile = Set(
+          "date_dim", "time_dim", "item", "store", "customer",
+          "customer_address", "customer_demographics",
+          "household_demographics", "income_band", "promotion",
+          "reason", "ship_mode", "warehouse", "web_site", "web_page",
+          "call_center", "catalog_page"))
+      bodies.foreach { case (name, sql) =>
         s.sql(s"CREATE OR REPLACE VIEW $db.$name AS $sql")
       }
       lastDir(k) = dir
