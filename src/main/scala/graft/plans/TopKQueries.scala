@@ -67,9 +67,41 @@ object TopKQueries {
       |WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin
 
+  /** Tie-keeping `rank()` mode: top-3 value-decades per user with
+    * every tied row kept — the result set is deterministic even
+    * though the decade order is not total. The bucket is pure
+    * integer arithmetic (`FLOOR` then integer division on positive
+    * values) so both engines compute identical keys.
+    */
+  def topkRankPerUser(s: SparkSession, dir: String): DataFrame =
+    TopK.perKey(
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("CAST(FLOOR(value) AS BIGINT) DIV 10").as("bucket")),
+      partCols = Seq("user_id"),
+      orderCols = Seq(("bucket", false)),
+      k = 3,
+      mode = RankMode.Rnk)
+      .select(col("user_id"), col("event_id"), col("bucket"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("user_id"), col("rnk"), col("event_id"))
+
+  val topkRankPerUserOracle: String =
+    """SELECT user_id, event_id, bucket, rnk
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    CAST(FLOOR(value) AS BIGINT) // 10 AS bucket,
+      |    CAST(RANK() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(FLOOR(value) AS BIGINT) // 10 DESC) AS BIGINT) AS rnk
+      |  FROM events) ranked
+      |WHERE rnk <= 3
+      |ORDER BY user_id, rnk, event_id""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("plan_topk_per_key", topkPerUser, Some(topkPerUserOracle),
       "custom TopKPerKey LogicalPlan/SparkPlan: heap-based per-key top-3"),
     Q("plan_topk_terms", topkTermsPerDoc, Some(topkTermsPerDocOracle),
-      "TopKPerKey in a pipeline: per-doc top-3 terms, sort-free"))
+      "TopKPerKey in a pipeline: per-doc top-3 terms, sort-free"),
+    Q("plan_topk_rank", topkRankPerUser, Some(topkRankPerUserOracle),
+      "TopKPerKey rank() mode: tie-keeping top-3 buckets per user"))
 }
