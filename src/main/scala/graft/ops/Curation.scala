@@ -4,6 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Corpus-curation operators (builder brief, round 2 extension):
   * a distributed k-means Lloyd step over the embedding column, a
@@ -123,11 +124,20 @@ object Curation {
           "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bg"))
     val docBg = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
     val global = bg.groupBy(col("bg")).agg(count(lit(1)).as("gc"))
+    // Overflow safety at corpus scale: each c*gc term and their sum
+    // accumulate in DECIMAL(38,0) (exact to 1e38, mirrored by the
+    // oracle's HUGEINT), not BIGINT — at ~1e13 corpus bigrams a stop
+    // bigram's gc alone nears 1e13 and the old BIGINT mass wrapped
+    // silently in Spark while DuckDB errored. The BIGINT result is
+    // in range while mean gc < 9.2e12 (i.e. corpus bigram count below
+    // ~9e12, ≈50 TB of text); past that Spark yields NULL and DuckDB
+    // errors — visible in both engines, never silently wrong.
     docBg.join(global, Seq("bg"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bg"), sum(col("c") * col("gc")).as("mass"))
+      .agg(sum(col("c")).as("n_bg"),
+        sum(col("c").cast(DecimalType(19, 0)) * col("gc")).as("mass"))
       .select(col("doc_id"), col("n_bg"),
-        expr("(1000000 * mass) div n_bg").as("fluency_micro"))
+        expr("(mass * 1000000) div n_bg").as("fluency_micro"))
       .orderBy(col("doc_id"))
   }
 
@@ -141,7 +151,7 @@ object Curation {
       |doc_bg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
       |global AS (SELECT bg, COUNT(*) AS gc FROM bg GROUP BY bg)
       |SELECT d.doc_id, CAST(SUM(d.c) AS BIGINT) AS n_bg,
-      |  CAST((1000000 * SUM(d.c * g.gc)) // SUM(d.c) AS BIGINT) AS fluency_micro
+      |  CAST((SUM(CAST(d.c AS HUGEINT) * g.gc) * 1000000) // SUM(d.c) AS BIGINT) AS fluency_micro
       |FROM doc_bg d JOIN global g ON d.bg = g.bg
       |GROUP BY d.doc_id
       |ORDER BY d.doc_id""".stripMargin
@@ -218,9 +228,12 @@ object Curation {
       .agg(count(lit(1)).as("n_distinct"),
         min(col("wdf")).as("min_df"),
         sum(when(col("wdf") === 1L, 1L).otherwise(0L)).as("hapax"),
-        sum(col("wdf")).as("df_mass"))
+        // DECIMAL(38,0) mass for the same overflow contract as
+        // bigramFluency: exact to 1e38 in both engines, BIGINT-range
+        // result while mean DF < 9.2e12 documents.
+        sum(col("wdf").cast(DecimalType(19, 0))).as("df_mass"))
       .select(col("doc_id"), col("n_distinct"), col("min_df"), col("hapax"),
-        expr("(1000000 * df_mass) div n_distinct").as("mean_df_micro"))
+        expr("(df_mass * 1000000) div n_distinct").as("mean_df_micro"))
       .orderBy(col("doc_id"))
   }
 
@@ -233,7 +246,7 @@ object Curation {
       |SELECT dw.doc_id, COUNT(*) AS n_distinct,
       |  CAST(MIN(df.wdf) AS BIGINT) AS min_df,
       |  CAST(SUM(CASE WHEN df.wdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
-      |  CAST((1000000 * SUM(df.wdf)) // COUNT(*) AS BIGINT) AS mean_df_micro
+      |  CAST((SUM(CAST(df.wdf AS HUGEINT)) * 1000000) // COUNT(*) AS BIGINT) AS mean_df_micro
       |FROM dw JOIN df ON dw.word = df.word
       |GROUP BY dw.doc_id
       |ORDER BY dw.doc_id""".stripMargin

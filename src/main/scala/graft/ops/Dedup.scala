@@ -445,30 +445,37 @@ object Dedup {
     * — on representative-link graphs that is small (stars chained
     * through shared docs across bands), and at 100 TB this is the
     * standard alternating large/small-star CC pattern. The per-round
-    * `localCheckpoint` truncates lineage so the plan doesn't grow
-    * with iterations (on a cluster: `checkpoint` to durable storage).
-    * The driver loop iterates over DISTRIBUTED rounds; only the
-    * 1-row changed-count is ever collected.
+    * checkpoint truncates lineage so the plan doesn't grow with
+    * iterations; by default it is `localCheckpoint` (executor
+    * memory/disk — fine in local mode), and setting
+    * `spark.graft.cc.checkpointDir` switches every round to a durable
+    * `checkpoint` into that directory, which is what a 1000-executor
+    * run wants: labels survive executor loss and the blocks don't pin
+    * executor storage memory across tens of rounds. The driver loop
+    * iterates over DISTRIBUTED rounds; only the 1-row changed-count
+    * is ever collected.
     */
   def clusters(s: SparkSession, dir: String): DataFrame = {
+    val ckptDir = s.conf.getOption("spark.graft.cc.checkpointDir")
+    ckptDir.foreach(d => s.sparkContext.setCheckpointDir(d))
+    def pin(df: DataFrame): DataFrame =
+      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val links = minhashLsh(s, dir).filter(col("jacc") >= 0.8)
       .select(col("a_id"), col("b_id"))
     val edges = links
       .union(links.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").distinct().cache()
-    var labels = Tables.documents(s, dir)
-      .select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-      .localCheckpoint()
+    var labels = pin(Tables.documents(s, dir)
+      .select(col("doc_id").as("node"), col("doc_id").as("lbl")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("nlbl"))
-      val step = labels.join(nbrMin, Seq("node"), "left")
+      val step = pin(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
       changed = step.filter(col("lbl") < col("old")).count()
       labels = step.select(col("node"), col("lbl"))
       rounds += 1

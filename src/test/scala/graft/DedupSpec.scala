@@ -95,6 +95,24 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("clusters converge identically under durable checkpointing") {
+    val baseline = ops.Dedup.clusters(spark, sf).collect()
+      .map(_.toString).toSeq
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-cc-ckpt").toString
+    spark.conf.set("spark.graft.cc.checkpointDir", ckpt)
+    try {
+      val durable = ops.Dedup.clusters(spark, sf).collect()
+        .map(_.toString).toSeq
+      assert(durable === baseline)
+      // The conf actually took the durable path: checkpoint files
+      // exist under the directory.
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $ckpt")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
+
   test("verified links respect their thresholds and similarity domains") {
     val jaccs = ops.Dedup.ngramJaccard(spark, sf)
       .select(col("jacc")).collect().map(_.getDouble(0))

@@ -39,6 +39,19 @@ class VecL2MicroSpec extends SparkSpec {
     assert(rows.isNullAt(1))
   }
 
+  test("vec_l2sq is NULL on length mismatch and null elements (HOF parity)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_l2sq(array(1L, 2L, 3L), array(1L, 2L)) AS mismatch,
+        |       vec_l2sq(array(1L, NULL), array(1L, 2L)) AS nullElem,
+        |       aggregate(zip_with(array(1L, NULL), array(1L, 2L),
+        |         (x, y) -> (x - y) * (x - y)),
+        |         CAST(0 AS BIGINT), (acc, x) -> acc + x) AS hofNullElem""".stripMargin)
+      .head()
+    assert(r.isNullAt(0), "length mismatch must be NULL, not a truncated sum")
+    assert(r.isNullAt(1) && r.isNullAt(2), "null element matches the HOF fold")
+  }
+
   test("vec_l2sq stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val plan = Tables.embeddings(spark, sf)

@@ -36,6 +36,16 @@ class VectorDotSpec extends SparkSpec {
     assert(rows.isNullAt(1))
   }
 
+  test("vec_dot is NULL on length mismatch and null elements (HOF parity)") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d)) AS mismatch,
+        |       vec_dot(array(1.0d, NULL), array(1.0d, 2.0d)) AS nullElem""".stripMargin)
+      .head()
+    assert(r.isNullAt(0), "length mismatch must be NULL, not a truncated sum")
+    assert(r.isNullAt(1), "null element matches the HOF fold")
+  }
+
   test("vec_dot stays inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val plan = Tables.embeddings(spark, sf)
