@@ -19,6 +19,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Same session setup as Verify: the TopKPerKey rewrite is on for
+    // graft sessions (value-verified; sort-free q67/q70 plans).
+    graft.plans.TopK.register(spark)
+    spark.conf.set("spark.graft.topk.rewrite", "true")
     // One-time corpus-table materialization (parquet write per
     // fixture, idempotent) happens here, not inside the first timed
     // query — the bench measures query execution, not setup.

@@ -17,6 +17,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Default-on for graft sessions: the TopKPerKey rewrite is
+    // value-verified equal on its corpus hits (q67/q70) and replaces
+    // their full window sort with answer-bounded heaps — so the
+    // correctness gate itself exercises the custom operator.
+    plans.TopK.register(spark)
+    spark.conf.set("spark.graft.topk.rewrite", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => nameFilter.forall(name.contains) }

@@ -353,6 +353,84 @@ object PipelineOps {
       |ORDER BY t.lang""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Per-source document caps (the CCNet/C4 "domain cap" step: no
+    * source may dominate the training mix): keep the top-k docs per
+    * source by an integer quality signal (distinct-word ratio in
+    * micro units; ties broken by doc_id — a total order). Runs on the
+    * custom [[graft.plans.TopK]] operator, so the shuffle carries at
+    * most sources×k rows — the answer-bounded plan a 100 TB
+    * per-domain cap needs (a window would sort every source's docs).
+    */
+  def sourceCap(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("source"), col("doc_id"),
+        expr("(CAST(size(array_distinct(ws)) AS BIGINT) * 1000000) div size(ws)")
+          .as("quality_micro"))
+    graft.plans.TopK.perKey(scored, Seq("source"),
+      Seq(("quality_micro", false), ("doc_id", true)), k = 10)
+      .select(col("source"), col("doc_id"), col("quality_micro"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  val sourceCapOracle: String =
+    """SELECT source, doc_id, quality_micro, rnk
+      |FROM (
+      |  SELECT source, doc_id,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+      |      // len(string_split(text, ' ')) AS quality_micro,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+      |        // len(string_split(text, ' ')) DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM documents) ranked
+      |WHERE rnk <= 10
+      |ORDER BY source, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** C4-style boilerplate removal, adapted to the fixture's
+    * single-line documents: the removal unit is a non-overlapping
+    * 4-word chunk (real deployments split on newlines), and a chunk
+    * is boilerplate when it occurs >= 3 times across the corpus
+    * (nav menus, cookie banners, footer text). Per doc: chunk count,
+    * boilerplate-chunk count, and the surviving word count — the
+    * cleaning signal a filter stage consumes.
+    *
+    * Scale: one keyed agg for global chunk frequencies + one
+    * equi-join back — linear, and the frequency table's hot keys
+    * (the actual boilerplate) are exactly what AQE skew-split or
+    * [[SkewJoin]] salting bounds.
+    */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, (size(ws) + 3) div 4 - 1), " +
+          "i -> concat_ws(' ', slice(ws, 4 * i + 1, 4)))")).as("chunk"))
+    val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("cfreq"))
+    chunks.join(freq, Seq("chunk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("cfreq") >= 3, 1L).otherwise(0L)).as("n_boiler"),
+        sum(when(col("cfreq") < 3, expr("size(split(chunk, ' '))"))
+          .otherwise(0L)).as("clean_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  val boilerplateOracle: String =
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, (len(ws) + 3) // 4),
+      |    i -> list_aggregate(ws[4*i+1 : 4*i+4], 'string_agg', ' '))) AS chunk
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t),
+      |freq AS (SELECT chunk, COUNT(*) AS cfreq FROM ch GROUP BY chunk)
+      |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN f.cfreq >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(SUM(CASE WHEN f.cfreq < 3 THEN len(string_split(ch.chunk, ' ')) ELSE 0 END) AS BIGINT) AS clean_words
+      |FROM ch JOIN freq f ON ch.chunk = f.chunk
+      |GROUP BY ch.doc_id
+      |ORDER BY ch.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -367,5 +445,9 @@ object PipelineOps {
     Q("pipe_repetition", repetition, Some(repetitionOracle),
       "Gopher-style duplicate-word / top-bigram repetition signals"),
     Q("pipe_mixture_sample", mixtureSample, Some(mixtureSampleOracle),
-      "language-mixture rebalancing via deterministic hash sampling"))
+      "language-mixture rebalancing via deterministic hash sampling"),
+    Q("pipe_source_cap", sourceCap, Some(sourceCapOracle),
+      "per-source top-10 quality cap on the custom TopKPerKey operator"),
+    Q("pipe_boilerplate", boilerplate, Some(boilerplateOracle),
+      "C4-style boilerplate-chunk detection and clean-word accounting"))
 }

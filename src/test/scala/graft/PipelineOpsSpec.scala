@@ -63,4 +63,39 @@ class PipelineOpsSpec extends SparkSpec {
     edges.values.foreach(rks => assert(rks === (1L to rks.size).toSeq))
     assert(edges.values.forall(_.size <= 3))
   }
+
+  test("source_cap keeps exactly k docs per source, quality-ordered") {
+    val rows = ops.PipelineOps.sourceCap(spark, sf)
+      .select($"source", $"quality_micro", $"rnk")
+      .as[(String, Long, Long)].collect()
+    val bySource = rows.groupBy(_._1)
+    val nSources = Tables.documents(spark, sf)
+      .select($"source").distinct().count()
+    assert(bySource.size === nSources, "every source survives the cap")
+    bySource.values.foreach { rs =>
+      assert(rs.map(_._3).sorted.toSeq === (1L to rs.size).toSeq)
+      assert(rs.size <= 10)
+      // rank order is quality-descending within the source
+      val byRnk = rs.sortBy(_._3).map(_._2)
+      assert(byRnk.zip(byRnk.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("boilerplate accounting conserves chunks and words") {
+    val rows = ops.PipelineOps.boilerplate(spark, sf)
+      .select($"doc_id", $"n_chunks", $"n_boiler", $"clean_words")
+      .as[(Long, Long, Long, Long)].collect()
+    val words = Tables.documents(spark, sf)
+      .select($"doc_id", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .as[(Long, Long)].collect().toMap
+    assert(rows.length === words.size, "every doc is accounted")
+    rows.foreach { case (id, chunks, boiler, clean) =>
+      val w = words(id)
+      assert(chunks === (w + 3) / 4, "non-overlapping 4-word chunking")
+      assert(boiler >= 0 && boiler <= chunks)
+      assert(clean <= w, "clean words never exceed the doc")
+      if (boiler == 0) assert(clean === w)
+    }
+    assert(rows.map(_._3).sum > 0, "the threshold actually bites")
+  }
 }
