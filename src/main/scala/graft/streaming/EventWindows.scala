@@ -299,6 +299,33 @@ object EventWindows {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  /** Stream-stream interval join, watermarked on both sides: each
+    * purchase pairs with the same user's views from the preceding 10
+    * minutes. The interval condition gives Spark an eviction bound
+    * for BOTH state stores (a view can only ever match purchases up
+    * to 10 minutes after it, so view state older than
+    * `watermark − 10 min` is dropped) — the canonical bounded-state
+    * stream-stream join. At scale each side shuffles once on
+    * user_id; state volume is interval × arrival rate per key, never
+    * the stream's history. Batch semantics of the same join are
+    * oracled via [[rangeJoin]]'s bucketed equivalent.
+    */
+  def intervalJoinStream(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 minute")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 minute")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+      .select(col("p_id"), col("p_user"), col("p_ts"), col("v_id"), col("v_ts"))
+  }
+
   /** Custom keyed state via
     * `KeyValueGroupedDataset.mapGroupsWithState`: a running
     * (count, value-total) per user, updated each micro-batch — the

@@ -143,4 +143,33 @@ class OperatorSpec extends SparkSpec {
       assert(totalRows === Tables.lineitem(spark, sf).count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("dynamic partition pruning fires on a date-partitioned fact") {
+    // The reference ships partitioned_runner.sh solely to exercise
+    // partition pruning. The 100 TB pattern: facts partitioned by
+    // their date key, dimension filters reach the fact scan at
+    // RUNTIME through DPP — the fact side never lists, opens, or
+    // reads partitions outside the dim's selected dates.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString
+    val ev = Tables.events(spark, sf)
+      .withColumn("event_date", to_date($"ts"))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(root)
+    val fact = spark.read.parquet(root)
+    // Tiny date dimension; the filter selects 7 of ~30 days.
+    val dim = ev.select($"event_date").distinct()
+      .withColumn("dow", dayofweek($"event_date"))
+    val q = fact.join(dim.filter($"dow" === 2), Seq("event_date"))
+      .groupBy($"event_date").agg(count(lit(1)).as("cnt"))
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains(root)).getOrElse("")
+    assert(scan.contains("dynamicpruning"),
+      s"no DPP filter on the partitioned fact scan: $scan")
+    // Value check vs the unpartitioned plan.
+    val want = ev.withColumn("dow", dayofweek($"event_date"))
+      .filter($"dow" === 2)
+      .groupBy($"event_date").agg(count(lit(1)).as("cnt"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(q.collect().map(_.toString).sorted.toSeq === want)
+  }
 }

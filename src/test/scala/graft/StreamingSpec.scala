@@ -133,6 +133,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with in-window views") {
+    import SparkSpec.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp, String)]
+    val stream = EventWindows.intervalJoinStream(
+      ms.toDF().toDF("event_id", "user_id", "ts", "event_type"))
+    val q = stream.writeStream.format("memory").queryName("ssj_mem")
+      .outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      // user 1: view@5 matches purchase@10 (within [0,10]); view@30
+      // matches purchase@32 but NOT purchase@45 (45-10=35 > 30).
+      // user 2: a lone view never emits (inner join).
+      ms.addData(
+        (100L, 1L, t(5), "view"), (101L, 1L, t(10), "purchase"),
+        (102L, 1L, t(30), "view"), (103L, 1L, t(32), "purchase"),
+        (104L, 1L, t(45), "purchase"), (105L, 2L, t(8), "view"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_mem")
+      .select($"p_id", $"v_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((101L, 100L), (103L, 102L)), got.mkString(", "))
+  }
+
   test("mapGroupsWithState running per-user counts match batch counts") {
     val stream = EventWindows.runningPerUserStream(
       EventWindows.streamingEvents(spark, sf))
