@@ -205,23 +205,26 @@ object Corpus {
     */
   def register(s: SparkSession, dir: String): Unit = {
     val k = System.identityHashCode(s)
-    if (!lastDir.get(k).contains(dir)) {
+    val cacheKey = s"$dir|${Materialize.enabled(s)}"
+    if (!lastDir.get(k).contains(cacheKey)) {
       val supplierCount = s.read.parquet(s"$dir/supplier.parquet").count()
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       // Physical-table materialization (see [[Materialize]]): corpus
-      // queries scan parquet with pushdown instead of re-deriving the
-      // synthesized columns per query.
-      val bodies = Materialize.tableSql(
-        s, db, dir, viewDefs(dir, supplierCount),
+      // queries scan stat-bearing parquet tables with pushdown
+      // instead of re-deriving the synthesized columns per query.
+      val defs = viewDefs(dir, supplierCount)
+      val asTables = Materialize.registerTables(
+        s, db, dir, defs,
         sortKey = Map(
           "lineitem" -> "shipdate",
           "orders" -> "orderdate",
           "partsupp" -> "partkey"),
         singleFile = Set("region", "nation", "customer", "supplier", "part"))
-      bodies.foreach { case (name, sql) =>
+      if (!asTables) defs.foreach { case (name, sql) =>
+        Materialize.resetRelation(s, db, name)
         s.sql(s"CREATE OR REPLACE VIEW $db.$name AS $sql")
       }
-      lastDir(k) = dir
+      lastDir(k) = cacheKey
     }
   }
 

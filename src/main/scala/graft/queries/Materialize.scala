@@ -50,26 +50,49 @@ object Materialize {
     md.digest().take(6).map(b => f"$b%02x").mkString
   }
 
-  private def enabled(s: SparkSession): Boolean =
+  def enabled(s: SparkSession): Boolean =
     s.conf.getOption(confKey).forall(_.toBoolean)
 
-  /** Materialize `defs` (if enabled and not already on disk) and
-    * return the view body each table's database view should use:
-    * `SELECT * FROM parquet.&#96;path&#96;` when materialized, the original
-    * synthesis SQL otherwise.
+  /** Drop whatever relation currently holds `db.name` (view or
+    * table) so either kind can be (re-)registered.
+    */
+  def resetRelation(s: SparkSession, db: String, name: String): Unit = {
+    try s.sql(s"DROP VIEW IF EXISTS $db.$name")
+    catch { case _: Exception => }
+    try s.sql(s"DROP TABLE IF EXISTS $db.$name")
+    catch { case _: Exception => }
+  }
+
+  /** Materialize `defs` (if enabled; idempotent on disk) and register
+    * each as a catalog TABLE over its parquet location with full
+    * `ANALYZE ... FOR ALL COLUMNS` statistics, enabling CBO for the
+    * session. Returns false when disabled — the caller then registers
+    * plain synthesis views.
+    *
+    * Catalog tables + stats + CBO, not `parquet.&#96;path&#96;` views,
+    * because size-only estimation multiplies child sizes through
+    * joins: an aggregate OVER a join is estimated at the join
+    * product's size, so the spec's own condition-less join of two
+    * tiny grouped aggregates (tpcds q77's cs×cr per-call-center
+    * frame) planned as CartesianProduct. With row counts + column
+    * stats the aggregate outputs are estimated at their true handful
+    * of rows and the join plans as broadcast nested-loop — the plan a
+    * stats-bearing warehouse produces. The ANALYZE pass is one scan
+    * per table, once per JVM at registration (never inside a timed
+    * query).
     *
     * `sortKey`: per-table column to sort within partitions before
     * writing (row-group stats). `singleFile`: tables small enough
     * that one output file beats parallel scan setup cost.
     */
-  def tableSql(
+  def registerTables(
       s: SparkSession,
       db: String,
       fixtureDir: String,
       defs: Seq[(String, String)],
       sortKey: Map[String, String],
-      singleFile: Set[String]): Seq[(String, String)] = {
-    if (!enabled(s)) return defs
+      singleFile: Set[String]): Boolean = {
+    if (!enabled(s)) return false
     val tag = Paths.get(fixtureDir).getFileName.toString
       .replaceAll("[^A-Za-z0-9._-]+", "_")
     val root = Paths.get(
@@ -83,10 +106,15 @@ object Materialize {
           if (singleFile(name)) df = df.coalesce(1)
           df.write.mode("overwrite").parquet(dir.toString)
         }
+        resetRelation(s, db, name)
+        s.sql(s"CREATE TABLE $db.$name USING parquet LOCATION '${dir}'")
+        s.sql(s"ANALYZE TABLE $db.$name COMPUTE STATISTICS FOR ALL COLUMNS")
       }
     }
-    defs.map { case (name, _) =>
-      name -> s"SELECT * FROM parquet.`${root.resolve(name)}`"
-    }
+    // Stats only inform the planner when CBO reads them. Join
+    // reordering stays at its default (off) — CBO here only sharpens
+    // size/row estimates.
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    true
   }
 }

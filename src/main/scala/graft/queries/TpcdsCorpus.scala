@@ -607,17 +607,20 @@ object TpcdsCorpus {
     */
   def register(s: SparkSession, dir: String): Unit = {
     val k = System.identityHashCode(s)
-    if (!lastDir.get(k).contains(dir)) {
+    val cacheKey = s"$dir|${Materialize.enabled(s)}"
+    if (!lastDir.get(k).contains(cacheKey)) {
       val parts = s.read.parquet(s"$dir/part.parquet").count()
       val custs = s.read.parquet(s"$dir/customer.parquet").count()
       val supps = s.read.parquet(s"$dir/supplier.parquet").count()
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       // Materialize the synthesized tables to parquet (idempotent per
-      // fixture + definition fingerprint) so every corpus query scans
-      // real files with pushdown/pruning instead of re-deriving all
-      // 24 tables from lineitem — see [[Materialize]].
-      val bodies = Materialize.tableSql(
-        s, db, dir, viewDefs(dir, parts, custs, supps),
+      // fixture + definition fingerprint) and register stat-bearing
+      // catalog tables, so every corpus query scans real files with
+      // pushdown/pruning instead of re-deriving all 24 tables from
+      // lineitem — see [[Materialize]].
+      val defs = viewDefs(dir, parts, custs, supps)
+      val asTables = Materialize.registerTables(
+        s, db, dir, defs,
         sortKey = Map(
           "store_sales" -> "ss_sold_date_sk",
           "store_returns" -> "sr_returned_date_sk",
@@ -632,10 +635,11 @@ object TpcdsCorpus {
           "household_demographics", "income_band", "promotion",
           "reason", "ship_mode", "warehouse", "web_site", "web_page",
           "call_center", "catalog_page"))
-      bodies.foreach { case (name, sql) =>
+      if (!asTables) defs.foreach { case (name, sql) =>
+        Materialize.resetRelation(s, db, name)
         s.sql(s"CREATE OR REPLACE VIEW $db.$name AS $sql")
       }
-      lastDir(k) = dir
+      lastDir(k) = cacheKey
     }
   }
 

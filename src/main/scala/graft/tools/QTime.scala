@@ -1,0 +1,23 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: isolated warm timing + join audit for one query. */
+object QTime {
+  def main(args: Array[String]): Unit = {
+    val s = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    val dir = args(0)
+    val name = args(1)
+    val fn = graft.SparkEntry.queries(name)
+    fn(s, dir).write.format("noop").mode("overwrite").save()
+    val t0 = System.nanoTime()
+    fn(s, dir).write.format("noop").mode("overwrite").save()
+    println(f"$name warm: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    fn(s, dir).queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Join")).map(_.trim.takeWhile(_ != '[').take(80))
+      .foreach(l => println("  " + l))
+    s.stop()
+  }
+}
