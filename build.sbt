@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 32g, not 16g: across 217 queries x 3 bench reps the accumulated
+  // AQE/listener state left a 16g heap GC-thrashing exactly on the
+  // first full-lineitem scan each pass (corpus_tpch_q01 18.6s -> 2.0s
+  // at 32g; the box has 128g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   // 60+ queries of generated whole-stage-codegen classes in one JVM
   // overflow the default ~240m JIT code cache; once full the JVM
   // stops compiling and later queries run interpreted (2-3x slower).

@@ -36,5 +36,8 @@ class MaterializeSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(viewRows === rows)
     s2.conf.unset(Materialize.confKey)
+    // The catalog is shared across sessions: restore the stat-bearing
+    // tables so later suites see the materialized registrations.
+    TpcdsCorpus.register(spark.newSession(), sf)
   }
 }
