@@ -593,6 +593,131 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** Incremental ingestion dedup — the production shape for a corpus
+    * that GROWS: a deterministic 10% hash-split "incoming batch"
+    * probes the other 90% "indexed corpus" and only that. The corpus
+    * side builds its band index once (at 100 TB this index persists
+    * between batches); each incoming doc probes the index (hash join
+    * on the band key), and every candidate is VERIFIED with the exact
+    * Jaccard over hashed word sets before it can mark the doc a
+    * duplicate. Incoming docs are never compared to each other and
+    * the corpus is never re-linked — work per batch is O(batch ×
+    * bands) probe + O(candidates) verify, independent of corpus size.
+    *
+    * Per incoming doc: candidates probed, verified duplicates
+    * (J >= 0.8), and the winning corpus doc (−1 = novel document).
+    */
+  def incremental(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val P = 1000000007L
+    val docs = Tables.documents(s, dir)
+      .withColumn("incoming", pmod(col("doc_id") * 2654435761L, lit(10)) === 0)
+    val words = docs
+      .select(col("doc_id"), col("incoming"),
+        explode(expr("array_distinct(split(text, ' '))")).as("w"))
+      .withColumn("h", expr(s"fold_hash(w, 31, 0, $P)"))
+    val mins = (1 to 12).map(k =>
+      min((lit(2L * k + 1) * col("h") + lit(7919L * k)) % P).as(s"m$k"))
+    val aggs = sort_array(collect_set(col("h"))).as("hs") +: mins
+    val sigs = words.groupBy(col("doc_id"), col("incoming"))
+      .agg(aggs.head, aggs.tail: _*)
+    val bands = sigs.select(col("doc_id"), col("incoming"),
+        explode(expr("array(" +
+          "named_struct('band', 1, 'sig', concat_ws('_', CAST(m1 AS STRING), " +
+          "CAST(m2 AS STRING), CAST(m3 AS STRING), CAST(m4 AS STRING), " +
+          "CAST(m5 AS STRING), CAST(m6 AS STRING))), " +
+          "named_struct('band', 2, 'sig', concat_ws('_', CAST(m7 AS STRING), " +
+          "CAST(m8 AS STRING), CAST(m9 AS STRING), CAST(m10 AS STRING), " +
+          "CAST(m11 AS STRING), CAST(m12 AS STRING))))"))
+          .as("bs"))
+      .select(col("doc_id"), col("incoming"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // The persistent side: min corpus doc per occupied bucket.
+    val index = bands.filter(!col("incoming"))
+      .groupBy(col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("idx_doc"))
+    val cand = bands.filter(col("incoming"))
+      .join(index, Seq("band", "sig"))
+      .select(col("doc_id"), col("idx_doc")).distinct()
+    val hs = sigs.select(col("doc_id"), col("hs"))
+    val jacc = size(array_intersect(col("hs"), col("c_hs"))) /
+      size(array_union(col("hs"), col("c_hs")))
+    val verified = cand
+      .join(hs, Seq("doc_id"))
+      .join(hs.select(col("doc_id").as("idx_doc"), col("hs").as("c_hs")),
+        Seq("idx_doc"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(jacc >= 0.8, 1L).otherwise(0L)).as("n_dup"),
+        min(when(jacc >= 0.8, col("idx_doc"))).as("dup_of"))
+    docs.filter(col("incoming")).select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalOracle: String = {
+    val P = "1000000007"
+    val wordHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+    val mins = (1 to 12)
+      .map(k => s"min((${2 * k + 1} * h + ${7919 * k}) % $P) AS m$k")
+      .mkString(",\n       |    ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, text, (doc_id * 2654435761) % 10 = 0 AS incoming
+       |  FROM documents),
+       |words AS (
+       |  SELECT doc_id, incoming,
+       |    unnest(list_distinct(string_split(text, ' '))) AS w FROM docs),
+       |hashed AS (SELECT doc_id, incoming, $wordHash AS h FROM words),
+       |sigs AS (
+       |  SELECT doc_id, incoming, list(DISTINCT h) AS hs,
+       |    $mins
+       |  FROM hashed GROUP BY doc_id, incoming),
+       |bands AS (
+       |  SELECT doc_id, incoming, 1 AS band,
+       |    CAST(m1 AS VARCHAR) || '_' || CAST(m2 AS VARCHAR) || '_' ||
+       |    CAST(m3 AS VARCHAR) || '_' || CAST(m4 AS VARCHAR) || '_' ||
+       |    CAST(m5 AS VARCHAR) || '_' || CAST(m6 AS VARCHAR) AS sig
+       |  FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, incoming, 2 AS band,
+       |    CAST(m7 AS VARCHAR) || '_' || CAST(m8 AS VARCHAR) || '_' ||
+       |    CAST(m9 AS VARCHAR) || '_' || CAST(m10 AS VARCHAR) || '_' ||
+       |    CAST(m11 AS VARCHAR) || '_' || CAST(m12 AS VARCHAR) AS sig
+       |  FROM sigs),
+       |idx AS (
+       |  SELECT band, sig, MIN(doc_id) AS idx_doc
+       |  FROM bands WHERE NOT incoming GROUP BY band, sig),
+       |cand AS (
+       |  SELECT DISTINCT b.doc_id, i.idx_doc FROM bands b
+       |  JOIN idx i ON b.band = i.band AND b.sig = i.sig WHERE b.incoming),
+       |verified AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_cand,
+       |    SUM(CASE WHEN len(list_intersect(si.hs, sc.hs)) * 1.0 /
+       |      len(list_distinct(list_concat(si.hs, sc.hs))) >= 0.8
+       |      THEN 1 ELSE 0 END) AS n_dup,
+       |    MIN(CASE WHEN len(list_intersect(si.hs, sc.hs)) * 1.0 /
+       |      len(list_distinct(list_concat(si.hs, sc.hs))) >= 0.8
+       |      THEN c.idx_doc END) AS dup_of
+       |  FROM cand c
+       |  JOIN sigs si ON si.doc_id = c.doc_id
+       |  JOIN sigs sc ON sc.doc_id = c.idx_doc
+       |  GROUP BY c.doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(v.n_cand, 0) AS BIGINT) AS n_cand,
+       |  CAST(coalesce(v.n_dup, 0) AS BIGINT) AS n_dup,
+       |  CAST(coalesce(v.dup_of, -1) AS BIGINT) AS dup_of
+       |FROM docs d LEFT JOIN verified v ON d.doc_id = v.doc_id
+       |WHERE d.incoming
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactOracle),
       "exact hash-groupBy dedup stats per source"),
@@ -609,5 +734,7 @@ object Dedup {
     Q("dedup_keep_best", keepBest, Some(keepBestOracle),
       "one best-quality doc per near-dup cluster via struct-max agg"),
     Q("dedup_cluster_split", clusterSplit, Some(clusterSplitOracle),
-      "leak-free train/holdout split assigned per cluster, not per doc"))
+      "leak-free train/holdout split assigned per cluster, not per doc"),
+    Q("dedup_incremental", incremental, Some(incrementalOracle),
+      "incoming batch probes the persistent corpus band index, Jaccard-verified"))
 }

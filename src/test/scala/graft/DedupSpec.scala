@@ -113,6 +113,21 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.cc.checkpointDir")
   }
 
+  test("incremental dedup links incoming docs only to the corpus side") {
+    val rows = ops.Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def isIncoming(id: Long) = Math.floorMod(id * 2654435761L, 10L) == 0
+    assert(rows.nonEmpty && rows.forall { case (id, _, _, _) => isIncoming(id) })
+    rows.foreach { case (_, nCand, nDup, dupOf) =>
+      assert(nDup <= nCand, "verified dups are a subset of candidates")
+      if (nDup == 0) assert(dupOf === -1L)
+      // The winning match must live in the corpus split, never the batch.
+      else assert(dupOf >= 0 && !isIncoming(dupOf))
+    }
+    assert(rows.exists(_._3 > 0), "the verification threshold actually bites")
+    assert(rows.exists(_._3 == 0), "not everything is a duplicate")
+  }
+
   test("verified links respect their thresholds and similarity domains") {
     val jaccs = ops.Dedup.ngramJaccard(spark, sf)
       .select(col("jacc")).collect().map(_.getDouble(0))
