@@ -718,6 +718,71 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** Streaming face of [[incremental]]: an unbounded stream of
+    * incoming documents probes the STATIC corpus band index — a
+    * stream-static equi-join, which in Structured Streaming is
+    * STATELESS (the static side broadcasts; no watermark, no state
+    * store), so ingestion dedup runs continuously at the cost of a
+    * per-row signature + two hash-join probes.
+    *
+    * The signature here is computed per row with higher-order
+    * functions (`array_min(transform(...))` over the word hashes) —
+    * a pure projection, exactly what a streaming operator wants. The
+    * batch face instead explodes words into 12 codegen'd `min()`
+    * hash aggregates, which is the faster shape for a full-corpus
+    * scan; same numbers either way (both fold the same `fold_hash`).
+    * Emits one row per (incoming doc, probed corpus candidate) with
+    * its verified exact Jaccard — an append-only enrichment.
+    */
+  def incrementalStream(s: SparkSession, dir: String,
+      incoming: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val P = 1000000007L
+    def sigCol(ks: Range): String = ks
+      .map(k => s"array_min(transform(hsArr, h -> (${2 * k + 1} * h + ${7919 * k}) % $P))")
+      .mkString("concat_ws('_', ", ", ", ")")
+    val withSig = incoming
+      .withColumn("hsArr", expr(
+        s"transform(array_distinct(split(text, ' ')), w -> fold_hash(w, 31, 0, $P))"))
+      .withColumn("hs", expr("array_sort(array_distinct(hsArr))"))
+      .select(col("doc_id"), col("hs"), explode(expr(
+        s"array(named_struct('band', 1, 'sig', ${sigCol(1 to 6)}), " +
+          s"named_struct('band', 2, 'sig', ${sigCol(7 to 12)}))")).as("bs"))
+      .select(col("doc_id"), col("hs"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    // Static sides, built once from the corpus split of the fixture.
+    val docs = Tables.documents(s, dir)
+      .filter(pmod(col("doc_id") * 2654435761L, lit(10)) =!= 0)
+    val words = docs
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("w"))
+      .withColumn("h", expr(s"fold_hash(w, 31, 0, $P)"))
+    val mins = (1 to 12).map(k =>
+      min((lit(2L * k + 1) * col("h") + lit(7919L * k)) % P).as(s"m$k"))
+    val aggs = sort_array(collect_set(col("h"))).as("c_hs") +: mins
+    val sigs = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val index = sigs.select(col("doc_id"),
+        explode(expr("array(" +
+          "named_struct('band', 1, 'sig', concat_ws('_', CAST(m1 AS STRING), " +
+          "CAST(m2 AS STRING), CAST(m3 AS STRING), CAST(m4 AS STRING), " +
+          "CAST(m5 AS STRING), CAST(m6 AS STRING))), " +
+          "named_struct('band', 2, 'sig', concat_ws('_', CAST(m7 AS STRING), " +
+          "CAST(m8 AS STRING), CAST(m9 AS STRING), CAST(m10 AS STRING), " +
+          "CAST(m11 AS STRING), CAST(m12 AS STRING))))"))
+          .as("bs"))
+      .groupBy(col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .agg(min(col("doc_id")).as("idx_doc"))
+    val corpusSets = sigs.select(col("doc_id").as("idx_doc"), col("c_hs"))
+    withSig
+      .join(broadcast(index), Seq("band", "sig"))
+      .join(broadcast(corpusSets), Seq("idx_doc"))
+      .withColumn("jacc",
+        size(array_intersect(col("hs"), col("c_hs"))) /
+          size(array_union(col("hs"), col("c_hs"))))
+      .select(col("doc_id"), col("idx_doc"), col("band"),
+        (col("jacc") >= 0.8).as("is_dup"))
+  }
+
   def all: Seq[Q] = Seq(
     Q("dedup_exact", exact, Some(exactOracle),
       "exact hash-groupBy dedup stats per source"),

@@ -431,6 +431,46 @@ object PipelineOps {
       |ORDER BY ch.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Quality-classifier feature assembly: one wide frame per document
+    * joining the rarity, fluency, and boilerplate signals — the
+    * training table for a fastText-style quality filter. Operators
+    * compose as DataFrames (each input is its op's public face), and
+    * the oracle composes the same ops' oracle SQL as CTEs — proving
+    * the composition, not just the parts. Fluency is NULL→−1 for
+    * single-word docs (no bigrams). Three keyed shuffles + three
+    * doc_id equi-joins; at 100 TB each input is doc_id-partitioned,
+    * so the joins co-locate.
+    */
+  def features(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+      .join(Curation.wordRarity(s, dir), Seq("doc_id"))
+      .join(Curation.bigramFluency(s, dir)
+        .select(col("doc_id"), col("n_bg"), col("fluency_micro")),
+        Seq("doc_id"), "left")
+      .join(boilerplate(s, dir), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_distinct"), col("min_df"), col("hapax"), col("mean_df_micro"),
+        coalesce(col("n_bg"), lit(-1L)).as("n_bg"),
+        coalesce(col("fluency_micro"), lit(-1L)).as("fluency_micro"),
+        col("n_chunks"), col("n_boiler"), col("clean_words"))
+      .orderBy(col("doc_id"))
+
+  lazy val featuresOracle: String =
+    s"""WITH rar AS (${Curation.wordRarityOracle}),
+       |flu AS (${Curation.bigramFluencyOracle}),
+       |boi AS (${boilerplateOracle})
+       |SELECT d.doc_id, d.lang, d.source,
+       |  rar.n_distinct, rar.min_df, rar.hapax, rar.mean_df_micro,
+       |  CAST(coalesce(flu.n_bg, -1) AS BIGINT) AS n_bg,
+       |  CAST(coalesce(flu.fluency_micro, -1) AS BIGINT) AS fluency_micro,
+       |  boi.n_chunks, boi.n_boiler, boi.clean_words
+       |FROM documents d
+       |JOIN rar ON d.doc_id = rar.doc_id
+       |LEFT JOIN flu ON d.doc_id = flu.doc_id
+       |JOIN boi ON d.doc_id = boi.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -449,5 +489,7 @@ object PipelineOps {
     Q("pipe_source_cap", sourceCap, Some(sourceCapOracle),
       "per-source top-10 quality cap on the custom TopKPerKey operator"),
     Q("pipe_boilerplate", boilerplate, Some(boilerplateOracle),
-      "C4-style boilerplate-chunk detection and clean-word accounting"))
+      "C4-style boilerplate-chunk detection and clean-word accounting"),
+    Q("pipe_features", features, Some(featuresOracle),
+      "classifier feature frame: rarity + fluency + boilerplate joined per doc"))
 }

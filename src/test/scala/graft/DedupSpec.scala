@@ -128,6 +128,37 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(_._3 == 0), "not everything is a duplicate")
   }
 
+  test("stream-static incremental dedup matches the batch verdicts") {
+    import SparkSpec.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val incomingDocs = Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id") * 2654435761L, lit(10)) === 0)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val stream = ops.Dedup.incrementalStream(spark, sf,
+      ms.toDF().toDF("doc_id", "text"))
+    val q = stream.writeStream.format("memory").queryName("inc_mem")
+      .outputMode("append").start()
+    try {
+      ms.addData(incomingDocs.toIndexedSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("inc_mem")
+      .select($"doc_id", $"idx_doc", $"is_dup").distinct()
+      .as[(Long, Long, Boolean)].collect()
+      .groupBy(_._1).view
+      .mapValues(rs => rs.filter(_._3).map(_._2).sorted.toSeq).toMap
+    val batch = ops.Dedup.incremental(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, nDup, dupOf) =>
+      val dups = got.getOrElse(id, Seq.empty)
+      assert(dups.size === nDup, s"doc $id: stream $dups vs batch n_dup $nDup")
+      if (nDup > 0) assert(dups.min === dupOf)
+    }
+  }
+
   test("verified links respect their thresholds and similarity domains") {
     val jaccs = ops.Dedup.ngramJaccard(spark, sf)
       .select(col("jacc")).collect().map(_.getDouble(0))
