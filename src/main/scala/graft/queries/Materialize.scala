@@ -53,6 +53,12 @@ object Materialize {
   def enabled(s: SparkSession): Boolean =
     s.conf.getOption(confKey).forall(_.toBoolean)
 
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
   /** Drop whatever relation currently holds `db.name` (view or
     * table) so either kind can be (re-)registered.
     */
@@ -101,10 +107,22 @@ object Materialize {
       defs.foreach { case (name, sql) =>
         val dir = root.resolve(name)
         if (!Files.exists(dir.resolve("_SUCCESS"))) {
+          // Concurrent-process safety: write to a side directory and
+          // atomically rename into place, so a table directory either
+          // doesn't exist or is complete — a racing JVM (or one
+          // killed mid-write) can never leave a half-written dir that
+          // passes the _SUCCESS check. Losers of the rename race
+          // discard their copy and use the winner's.
+          deleteTree(dir) // a crashed writer's partial dir, if any
+          val tmp = root.resolve(
+            s".$name.tmp-${ProcessHandle.current().pid()}")
+          deleteTree(tmp)
           var df = s.sql(sql)
           sortKey.get(name).foreach(k => df = df.sortWithinPartitions(k))
           if (singleFile(name)) df = df.coalesce(1)
-          df.write.mode("overwrite").parquet(dir.toString)
+          df.write.mode("overwrite").parquet(tmp.toString)
+          try Files.move(tmp, dir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileSystemException => deleteTree(tmp) }
         }
         resetRelation(s, db, name)
         s.sql(s"CREATE TABLE $db.$name USING parquet LOCATION '${dir}'")
