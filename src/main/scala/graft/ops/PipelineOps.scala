@@ -471,6 +471,39 @@ object PipelineOps {
        |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Stratified eval-set sampler: EXACTLY k documents per language
+    * stratum, chosen by a deterministic hash shuffle (no `rand()` —
+    * stable across engines, retries, and partitionings; doc_id
+    * tiebreak makes the order total). Rate-based sampling
+    * ([[mixtureSample]]) cannot promise exact per-stratum counts;
+    * this face runs on [[graft.plans.TopK]], so picking k of each
+    * stratum shuffles strata×k rows — never sorts a stratum.
+    */
+  def evalSample(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+      Tables.documents(s, dir)
+        .select(col("lang"), col("doc_id"),
+          pmod(col("doc_id") * 2654435761L + 12345L, lit(1000000L)).as("shuf")),
+      partCols = Seq("lang"),
+      orderCols = Seq(("shuf", true), ("doc_id", true)),
+      k = 20)
+      .select(col("lang"), col("doc_id"), col("shuf"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("lang"), col("rnk"))
+
+  val evalSampleOracle: String =
+    """SELECT lang, doc_id, shuf, rnk
+      |FROM (
+      |  SELECT lang, doc_id,
+      |    (doc_id * 2654435761 + 12345) % 1000000 AS shuf,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY (doc_id * 2654435761 + 12345) % 1000000, doc_id)
+      |      AS BIGINT) AS rnk
+      |  FROM documents) ranked
+      |WHERE rnk <= 20
+      |ORDER BY lang, rnk""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -491,5 +524,7 @@ object PipelineOps {
     Q("pipe_boilerplate", boilerplate, Some(boilerplateOracle),
       "C4-style boilerplate-chunk detection and clean-word accounting"),
     Q("pipe_features", features, Some(featuresOracle),
-      "classifier feature frame: rarity + fluency + boilerplate joined per doc"))
+      "classifier feature frame: rarity + fluency + boilerplate joined per doc"),
+    Q("pipe_eval_sample", evalSample, Some(evalSampleOracle),
+      "exact-k-per-language eval sampler: deterministic hash shuffle on TopKPerKey"))
 }
