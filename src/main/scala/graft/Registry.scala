@@ -22,6 +22,7 @@ object Registry {
       queries.TpcdsCorpus.all ++
       ops.TextAnalysis.all ++
       ops.PipelineOps.all ++
+      ops.Retrieval.all ++
       ops.Curation.all ++
       ops.Dedup.all ++
       ops.SkewJoin.all ++

@@ -101,10 +101,70 @@ object Multimodal {
        |WHERE f <= (length(text) + 31) // 32 AND (f - 1) % 4 = 0
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** The "resized thumbnail" row: fixed output grid + a checksum of
+    * the sampled payload bytes standing in for resampled pixels.
+    */
+  final case class Thumb(doc_id: Long, out_w: Int, out_h: Int,
+      sampled: Int, thumb_checksum: Long)
+
+  // ---------------------------------------------------------------
+  /** Resize-to-thumbnail stub: every blob is downsampled onto a fixed
+    * 8×8 grid by striding the payload (`stride = max(1, len div 64)`)
+    * — the decode-free stand-in for nearest-neighbor resampling. Same
+    * batched `mapPartitions` plumbing as [[decodeFeatures]] (one
+    * "codec" per partition); the fixed output shape is the point: a
+    * training pipeline's image tower wants identical tensor dims per
+    * row regardless of source size, so the op pins (out_w, out_h)
+    * constant and the per-row work linear in the sampled bytes only.
+    */
+  def resizeThumbs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"),
+        col("lang"), col("source"), col("n_chars"))
+      .as[MediaBlob]
+      .mapPartitions(_.map { b =>
+        val len = b.blob.length
+        val stride = math.max(1, len / 64)
+        var acc = 0L
+        var sampled = 0
+        var p = 0
+        while (p < 64 && p * stride < len) {
+          acc = (acc * 31 + (b.blob(p * stride) & 0xffL)) % 1000000007L
+          sampled += 1
+          p += 1
+        }
+        Thumb(b.doc_id, 8, 8, sampled, acc)
+      })
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  /** Arithmetic mirror of the stride sampling (ASCII text: byte at
+    * offset i = codepoint of character i+1).
+    */
+  val resizeThumbsOracle: String =
+    """SELECT doc_id, CAST(8 AS INTEGER) AS out_w, CAST(8 AS INTEGER) AS out_h,
+      |  CAST(len(picked) AS INTEGER) AS sampled,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT), picked),
+      |    (a, b) -> (a * 31 + b) % 1000000007) AS thumb_checksum
+      |FROM (
+      |  SELECT doc_id,
+      |    list_transform(
+      |      list_filter(range(0, 64),
+      |        p -> p * greatest(1, length(text) // 64) < length(text)),
+      |      p -> CAST(ascii(substr(text,
+      |        CAST(p * greatest(1, length(text) // 64) + 1 AS INTEGER), 1))
+      |        AS BIGINT)) AS picked
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("mm_decode_features", decodeFeatures, Some(decodeFeaturesOracle),
       "typed mapPartitions stub-decode over binary blobs"),
     Q("mm_frame_sample", frameSample, Some(frameSampleOracle),
-      "32-byte frame chunking + every-4th sampling, columnar"))
+      "32-byte frame chunking + every-4th sampling, columnar"),
+    Q("mm_resize_thumb", resizeThumbs, Some(resizeThumbsOracle),
+      "fixed 8x8 stride-resample thumbnail stub via mapPartitions"))
 }

@@ -504,6 +504,111 @@ object PipelineOps {
       |ORDER BY lang, rnk""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Deterministic output sharding — the last step before a training
+    * run: every document is assigned to one of 16 shards by an affine
+    * hash of its id (a pure function — stable across engines, retries,
+    * and partitionings, unlike `rand()` or `spark_partition_id`), and
+    * the op emits the per-shard manifest a dataloader consumes: doc
+    * and token counts, id range, and an order-independent content
+    * checksum. At 100 TB this is `df.write.partitionBy("shard")` with
+    * the same column; the manifest frame is how a pipeline verifies a
+    * shard set is complete and balanced before training starts.
+    */
+  def shardManifest(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("shard",
+        pmod(pmod(col("doc_id") * 2654435761L + 7L, lit(1000000007L)), lit(16L)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("tok")).as("tok_sum"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(pmod(col("doc_id") * 31L + 7L, lit(1000000007L))).as("checksum"))
+      .orderBy(col("shard"))
+
+  val shardManifestOracle: String =
+    """SELECT ((doc_id * 2654435761 + 7) % 1000000007) % 16 AS shard,
+      |  COUNT(*) AS docs,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_sum,
+      |  MIN(doc_id) AS min_id,
+      |  MAX(doc_id) AS max_id,
+      |  CAST(SUM((doc_id * 31 + 7) % 1000000007) AS BIGINT) AS checksum
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** KMV (k-minimum-values) distinct-count sketch of the per-source
+    * vocabulary: keep the k=64 smallest distinct word hashes per
+    * source; the k-th smallest estimates the distinct count as
+    * `(k-1) * M div kth` (hashes uniform on [0, M)). The point of KMV
+    * here over `approx_count_distinct`'s HLL: the sketch value is a
+    * pure function of the data — identical across engines, retries,
+    * and partitionings — so the estimate itself passes the exact
+    * oracle gate while still being a real sublinear sketch (k longs
+    * per group, mergeable by union+truncate, exactly what a 100 TB
+    * per-source cardinality pass ships between executors). Sources
+    * with fewer than k hashes report exactly.
+    *
+    * Emitted next to the exact distinct count so the frame doubles as
+    * the sketch's own error report.
+    */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val hashes = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("occ"))
+      .select(col("source"), col("word"),
+        expr(TextAnalysis.foldHashExpr("word")).as("h"))
+    // Distinct hashes per source (different words may collide — both
+    // engines collide identically, so collapse on the hash).
+    val perHash = hashes.groupBy(col("source"), col("h"))
+      .agg(countDistinct(col("word")).as("words_on_hash"))
+    val mins = graft.plans.TopK.perKey(perHash, Seq("source"),
+      Seq(("h", true)), k = 64)
+    mins.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("h")).as("kth"),
+        sum(col("words_on_hash")).as("exact_words_in_sketch"))
+      .join(hashes.groupBy(col("source"))
+        .agg(countDistinct(col("word")).as("exact_distinct")), Seq("source"))
+      .select(col("source"), col("n_kept"), col("kth"), col("exact_distinct"),
+        when(col("n_kept") < 64, col("n_kept"))
+          .otherwise(expr("(63 * 1000000007) div kth")).as("est_distinct"))
+      .orderBy(col("source"))
+  }
+
+  val kmvDistinctOracle: String =
+    s"""WITH hashes AS (
+       |  SELECT source, word, ${TextAnalysis.foldHashSql("word")} AS h
+       |  FROM (SELECT source, word
+       |        FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+       |              FROM documents) x
+       |        GROUP BY source, word) w),
+       |per_hash AS (
+       |  SELECT source, h, COUNT(DISTINCT word) AS words_on_hash
+       |  FROM hashes GROUP BY source, h),
+       |ranked AS (
+       |  SELECT source, h, words_on_hash,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM per_hash),
+       |mins AS (SELECT * FROM ranked WHERE rn <= 64),
+       |sk AS (
+       |  SELECT source, COUNT(*) AS n_kept, MAX(h) AS kth,
+       |    CAST(SUM(words_on_hash) AS BIGINT) AS exact_words_in_sketch
+       |  FROM mins GROUP BY source),
+       |ex AS (
+       |  SELECT source, COUNT(DISTINCT word) AS exact_distinct
+       |  FROM hashes GROUP BY source)
+       |SELECT sk.source, sk.n_kept, sk.kth, ex.exact_distinct,
+       |  CAST(CASE WHEN sk.n_kept < 64 THEN sk.n_kept
+       |       ELSE (63 * 1000000007) // sk.kth END AS BIGINT) AS est_distinct
+       |FROM sk JOIN ex ON sk.source = ex.source
+       |ORDER BY sk.source""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -526,5 +631,9 @@ object PipelineOps {
     Q("pipe_features", features, Some(featuresOracle),
       "classifier feature frame: rarity + fluency + boilerplate joined per doc"),
     Q("pipe_eval_sample", evalSample, Some(evalSampleOracle),
-      "exact-k-per-language eval sampler: deterministic hash shuffle on TopKPerKey"))
+      "exact-k-per-language eval sampler: deterministic hash shuffle on TopKPerKey"),
+    Q("pipe_shard_manifest", shardManifest, Some(shardManifestOracle),
+      "deterministic 16-way output sharding with per-shard manifest"),
+    Q("pipe_kmv_distinct", kmvDistinct, Some(kmvDistinctOracle),
+      "KMV distinct-count sketch per source, exactly reproducible"))
 }

@@ -369,6 +369,95 @@ object Similarity {
       |ORDER BY q_id, rnk""".stripMargin
 
   // ---------------------------------------------------------------
+  /** LSH-bucketed ANN: 4 deterministic pseudo-random hyperplanes
+    * (integer weights `((1000003*j + 7919*i) % 2001) - 1000`) hash
+    * every vector to a 4-bit sign signature; each query scans only its
+    * own bucket and reranks by exact cosine. The third ANN face beside
+    * brute force and IVF (the builder brief names both index families):
+    * where IVF routes through learned centroids, LSH needs no training
+    * pass — one linear signature scan and a keyed equi-join on the
+    * bucket id, the natural first index for an append-only corpus.
+    *
+    * Scale: signatures are a keyed agg over (vec, plane); the
+    * candidate join is equi on `sig` (bounded by bucket occupancy,
+    * never all-pairs); queries broadcast. 4 planes is the
+    * recall/selectivity dial (k planes → 2^k buckets).
+    *
+    * Determinism: hyperplane dots accumulate through DECIMAL(38,6)
+    * ([[graft.Cols.dsum]]) so the sign — and therefore the bucket —
+    * cannot flip on summation order; rerank cosines are the same
+    * index-ordered fold as [[bruteForceTopK]].
+    */
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val dims = e.select(col("vec_id"), posexplode(col("v")))
+      .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("val"))
+    val dots = dims
+      .withColumn("j", explode(sequence(lit(1), lit(4))))
+      .withColumn("w", expr("((1000003 * j + 7919 * i) % 2001) - 1000"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(dsum(col("val") * col("w")).as("dot"))
+    val sigs = dots.groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") >= 0,
+        expr("CAST(power(2, j - 1) AS BIGINT)")).otherwise(0L)).as("sig"))
+    val q = e.filter(col("vec_id") < 3).join(sigs, Seq("vec_id"))
+      .select(col("vec_id").as("q_id"), col("sig"),
+        col("v").as("q_v"), col("norm").as("q_norm"))
+    val cands = e.join(sigs, Seq("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("sig"),
+        col("v").as("c_v"), col("norm").as("c_norm"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    cands.join(broadcast(q), Seq("sig"))
+      .filter(col("q_id") =!= col("cand_id"))
+      .withColumn("cosine", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("sig"), col("cand_id"), col("cosine"), col("rnk"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val lshTopKOracle: String = {
+    val norm = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(v, x -> x * x)), (a, x) -> a + x))"
+    val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)"
+    s"""WITH e AS (
+       |  SELECT vec_id, v, $norm AS norm
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) raw),
+       |dims AS (
+       |  SELECT vec_id, i, v[i] AS val
+       |  FROM e, range(1, 65) t(i)),
+       |dots AS (
+       |  SELECT vec_id, j,
+       |    CAST(SUM(CAST(val * (((1000003 * j + 7919 * i) % 2001) - 1000)
+       |      AS DECIMAL(38,6))) AS DOUBLE) AS dot
+       |  FROM dims, range(1, 5) p(j)
+       |  GROUP BY vec_id, j),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot >= 0
+       |      THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, qs.sig, c.vec_id AS cand_id,
+       |    $dot / (q.norm * c.norm) AS cosine
+       |  FROM e q
+       |  JOIN sigs qs ON q.vec_id = qs.vec_id
+       |  JOIN sigs cs ON cs.sig = qs.sig
+       |  JOIN e c ON c.vec_id = cs.vec_id
+       |  WHERE q.vec_id < 3 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT q_id, sig, cand_id, cosine,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY cosine DESC, cand_id) AS BIGINT) AS rnk
+       |  FROM scored)
+       |SELECT q_id, sig, cand_id, cosine, rnk
+       |FROM ranked WHERE rnk <= 5
+       |ORDER BY q_id, rnk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("sim_centroids", centroids, Some(centroidsOracle),
       "typed Aggregator: exact element-wise vector sums per label"),
@@ -379,5 +468,7 @@ object Similarity {
     Q("sim_topk_ivf", ivfTopK, Some(ivfTopKOracle),
       "IVF: centroid routing then cluster-local top-5"),
     Q("sim_topk_ivf_nprobe", ivfTopKProbe2, Some(ivfTopKProbe2Oracle),
-      "IVF with nprobe=2: top-5 across the two nearest clusters"))
+      "IVF with nprobe=2: top-5 across the two nearest clusters"),
+    Q("sim_topk_lsh", lshTopK, Some(lshTopKOracle),
+      "LSH: 4-hyperplane sign buckets, exact-cosine rerank in-bucket"))
 }

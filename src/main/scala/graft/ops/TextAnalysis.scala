@@ -191,6 +191,80 @@ object TextAnalysis {
       |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  /** One BPE merge-mining iteration, distributed: collapse the corpus
+    * to its vocabulary (word → corpus count — the one aggregation that
+    * shrinks 100 TB of text to a few million rows), explode each
+    * distinct word into adjacent character pairs, and rank pairs by
+    * corpus-weighted frequency. The top pair IS the next BPE merge;
+    * the top-10 frame is the candidate list a tokenizer trainer
+    * iterates on. Pure integer counting — no float anywhere — and the
+    * heavy explode runs over distinct words, not documents, so the
+    * per-iteration cost is vocabulary-sized.
+    */
+  def bpePairs(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wcount"))
+      .filter(length(col("w")) >= 2)
+    words
+      .select(col("w"), col("wcount"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wcount")).as("weight"),
+        countDistinct(col("w")).as("n_words"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(10)
+  }
+
+  val bpePairsOracle: String =
+    """WITH words AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wcount
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) x
+      |  WHERE length(w) >= 2
+      |  GROUP BY w),
+      |pairs AS (
+      |  SELECT w, wcount,
+      |    unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair
+      |  FROM words)
+      |SELECT pair, CAST(SUM(wcount) AS BIGINT) AS weight,
+      |  COUNT(DISTINCT w) AS n_words
+      |FROM pairs
+      |GROUP BY pair
+      |ORDER BY weight DESC, pair
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Regex collocation mining — the extraction face of the PII-redaction
+    * / pattern-scrubbing pipeline stage (the fixture vocabulary has no
+    * PII-shaped tokens, so the demonstrated pattern targets content
+    * that exists: the word following the stopword 'the'). One
+    * `regexp_extract_all` per document (codegen'd, linear), explode,
+    * keyed count, top-20 — the same shape a scrubber uses to count and
+    * strip email/phone matches at corpus scale.
+    *
+    * Cross-engine: leftmost non-overlapping matching of this
+    * letters-and-word-boundary pattern is identical in Java regex and
+    * RE2; both engines receive the pattern text verbatim.
+    */
+  def collocations(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(regexp_extract_all(col("text"),
+        lit("\\bthe ([a-z]+)"), lit(1))).as("nextw"))
+      .groupBy(col("nextw"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("nextw"))
+      .limit(20)
+
+  val collocationsOracle: String =
+    """SELECT nextw, COUNT(*) AS cnt
+      |FROM (SELECT unnest(regexp_extract_all(text, '\bthe ([a-z]+)', 1)) AS nextw
+      |      FROM documents) x
+      |GROUP BY nextw
+      |ORDER BY cnt DESC, nextw
+      |LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("text_sample", sample, Some(sampleOracle),
       "deterministic hash sampling (~5%), stable across engines"),
@@ -201,5 +275,9 @@ object TextAnalysis {
     Q("text_tokens", tokens, Some(tokensOracle),
       "whitespace + BPE-ish subtoken counts per source"),
     Q("text_fingerprint", fingerprint, Some(fingerprintOracle),
-      "rolling polynomial hash fingerprint per doc"))
+      "rolling polynomial hash fingerprint per doc"),
+    Q("text_bpe_pairs", bpePairs, Some(bpePairsOracle),
+      "one distributed BPE merge-mining step over the vocabulary"),
+    Q("text_collocations", collocations, Some(collocationsOracle),
+      "regex extraction stage: stopword collocation top-20"))
 }

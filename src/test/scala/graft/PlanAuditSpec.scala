@@ -20,7 +20,10 @@ class PlanAuditSpec extends SparkSpec {
     "corpus_tpcds_q28", "corpus_tpcds_q61", "corpus_tpcds_q77",
     "corpus_tpcds_q88", "corpus_tpcds_q90",
     "pipe_mixture_sample", "pipe_kmeans_step", "pipe_length_deciles",
-    "sim_topk_brute")
+    "sim_topk_brute",
+    // r4: BM25's corpus-constants frame (N, avgdl) is a broadcast
+    // 1-row aggregate cross-joined into the matched postings.
+    "retr_bm25_topk")
 
   test("no cartesians anywhere; BNLJ only in the adjudicated set") {
     plans.TopK.register(spark)

@@ -92,6 +92,36 @@ class StreamingSpec extends SparkSpec {
       s"late event was not dropped (emitted rows: $rows)")
   }
 
+  test("dropDuplicatesWithinWatermark re-admits a key after state eviction") {
+    import SparkSpec.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, String)]
+    val deduped = ms.toDF().toDF("ts", "id")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+    val q = deduped.writeStream.format("memory").queryName("ddww_mem")
+      .outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      ms.addData((t(5), "x")) // first x: emitted, state keyed on x
+      q.processAllAvailable()
+      ms.addData((t(6), "x")) // duplicate inside the watermark: suppressed
+      q.processAllAvailable()
+      // Advance the watermark to 50 min — far past x's 5+10 min
+      // expiry, so x's dedup state is evicted.
+      ms.addData((t(60), "z"))
+      q.processAllAvailable()
+      ms.addData((t(55), "x")) // x again AFTER eviction: emitted anew
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("ddww_mem").select($"id").as[String]
+      .collect().toSeq.sorted
+    // Unlike plain dropDuplicates (x once, unbounded state), the
+    // within-watermark variant bounds state and re-admits x.
+    assert(ids === Seq("x", "x", "z"), s"got $ids")
+  }
+
   test("flatMapGroupsWithState sessions close on gap and on event-time timeout") {
     import SparkSpec.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
