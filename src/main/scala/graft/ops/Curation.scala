@@ -109,6 +109,107 @@ object Curation {
        |ORDER BY cid""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Three full Lloyd iterations (assign → re-center → repeat) — the
+    * iterative distributed-training loop [[kmeansStep]] is one step
+    * of, driven from the driver exactly like a real k-means/EM job:
+    * each round broadcasts the k re-centered centroids back against
+    * one linear scan, so the per-iteration cost is a scan plus a
+    * (cid, dim) keyed agg regardless of corpus size. Emits the
+    * 3rd-iteration cluster stats plus a fingerprint of the
+    * 3rd-re-centered centroids.
+    *
+    * Determinism: centroid means are integer element-wise floor
+    * divisions in micro units. Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, so the mean is computed on an
+    * offset-shifted non-negative numerator (`+cnt*1e7`, |micro| <
+    * 1e7 by the fixture's value range) where the two agree; the
+    * fingerprint normalizes each element mod P before folding so
+    * negative components hash identically.
+    */
+  def kmeansConverge(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        expr("transform(CAST(embedding AS array<double>), " +
+          "x -> CAST(floor(x * 1000000) AS BIGINT))").as("xm"))
+    var cents = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("xm").as("cm"))
+    var lastAssigned: DataFrame = null
+    for (_ <- 1 to 3) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .withColumn("dist", expr("vec_l2sq(xm, cm)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vec_id"), col("cid"), col("xm"), col("dist"))
+      lastAssigned = assigned
+      cents = assigned
+        .select(col("cid"), posexplode(col("xm")))
+        .select(col("cid"), (col("pos") + 1).as("i"), col("col").as("xv"))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("xv")).as("sm"), count(lit(1)).as("cnt"))
+        .withColumn("cmv", expr("((sm + cnt * 10000000) div cnt) - 10000000"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, cmv))), " +
+          "x -> x.cmv)").as("cm"))
+    }
+    val stats = lastAssigned.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))
+    val fps = cents.select(col("cid"), expr(
+      s"aggregate(cm, CAST(0 AS BIGINT), " +
+        s"(a, x) -> (a * 31 + ((x % $P) + $P) % $P) % $P)").as("centroid_fp"))
+    stats.join(fps, Seq("cid"))
+      .select(col("cid"), col("n"), col("inertia"), col("centroid_fp"))
+      .orderBy(col("cid"))
+  }
+
+  /** The mirror unrolls the three iterations as generated CTE rounds —
+    * one source of truth for the per-iteration text.
+    */
+  val kmeansConvergeOracle: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""scored_$k AS (
+         |  SELECT d.vec_id, c.cid,
+         |    CAST(SUM((d.xv - c.cmv) * (d.xv - c.cmv)) AS BIGINT) AS dist
+         |  FROM dims d JOIN cents_${k - 1} c ON d.i = c.i
+         |  GROUP BY d.vec_id, c.cid),
+         |assigned_$k AS (
+         |  SELECT vec_id, cid, dist FROM (
+         |    SELECT vec_id, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rnk
+         |    FROM scored_$k) r WHERE rnk = 1),
+         |cents_$k AS (
+         |  SELECT a.cid, d.i,
+         |    ((CAST(SUM(d.xv) AS BIGINT) + COUNT(*) * 10000000) // COUNT(*))
+         |      - 10000000 AS cmv
+         |  FROM assigned_$k a JOIN dims d ON a.vec_id = d.vec_id
+         |  GROUP BY a.cid, d.i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x * 1000000) AS BIGINT)) AS xm
+       |  FROM embeddings),
+       |dims AS (SELECT vec_id, i, xm[i] AS xv FROM e, range(1, 65) t(i)),
+       |cents_0 AS (
+       |  SELECT vec_id AS cid, i, xm[i] AS cmv
+       |  FROM e, range(1, 65) t(i) WHERE vec_id < 8),
+       |$rounds,
+       |stats AS (
+       |  SELECT cid, COUNT(*) AS n, CAST(SUM(dist) AS BIGINT) AS inertia
+       |  FROM assigned_3 GROUP BY cid),
+       |fp AS (
+       |  SELECT cid,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list(((cmv % $P) + $P) % $P ORDER BY i)),
+       |      (a, x) -> (a * 31 + x) % $P) AS centroid_fp
+       |  FROM cents_3 GROUP BY cid)
+       |SELECT s.cid, s.n, s.inertia, f.centroid_fp
+       |FROM stats s JOIN fp f ON s.cid = f.cid
+       |ORDER BY s.cid""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   /** Bigram-LM fluency proxy: global bigram frequencies over the
     * corpus, then each document scored by the mean corpus frequency
     * of its own bigrams (micro-scaled integer ratio). Low scores mark
@@ -255,6 +356,8 @@ object Curation {
   def all: Seq[Q] = Seq(
     Q("pipe_kmeans_step", kmeansStep, Some(kmeansStepOracle),
       "distributed Lloyd iteration: broadcast centroids, exact integer re-center"),
+    Q("pipe_kmeans_converge", kmeansConverge, Some(kmeansConvergeOracle),
+      "three Lloyd iterations driver-looped, broadcast re-centers"),
     Q("pipe_bigram_fluency", bigramFluency, Some(bigramFluencyOracle),
       "bigram-LM fluency proxy: mean corpus bigram frequency per doc"),
     Q("pipe_length_deciles", lengthDeciles, Some(lengthDecilesOracle),

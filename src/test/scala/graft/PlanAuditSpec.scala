@@ -22,8 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     "pipe_mixture_sample", "pipe_kmeans_step", "pipe_length_deciles",
     "sim_topk_brute",
     // r4: BM25's corpus-constants frame (N, avgdl) is a broadcast
-    // 1-row aggregate cross-joined into the matched postings.
-    "retr_bm25_topk")
+    // 1-row aggregate cross-joined into the matched postings; the
+    // k-means convergence loop broadcasts k=8 centroids per round.
+    "retr_bm25_topk", "pipe_kmeans_converge")
 
   test("no cartesians anywhere; BNLJ only in the adjudicated set") {
     plans.TopK.register(spark)
