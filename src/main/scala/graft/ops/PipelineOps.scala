@@ -540,16 +540,19 @@ object PipelineOps {
 
   // ---------------------------------------------------------------
   /** KMV (k-minimum-values) distinct-count sketch of the per-source
-    * vocabulary: keep the k=64 smallest distinct word hashes per
+    * vocabulary: keep the k=16 smallest distinct word hashes per
     * source; the k-th smallest estimates the distinct count as
-    * `(k-1) * M div kth` (hashes uniform on [0, M)). The point of KMV
-    * here over `approx_count_distinct`'s HLL: the sketch value is a
-    * pure function of the data — identical across engines, retries,
+    * `(k-1) * M div kth` (hashes uniform on [0, M)). k=16 sits below
+    * the fixture's per-source vocabulary so the ESTIMATOR branch is
+    * exercised, not just the exact small-set fallback. The point of
+    * KMV here over `approx_count_distinct`'s HLL: the sketch value is
+    * a pure function of the data — identical across engines, retries,
     * and partitionings — so the estimate itself passes the exact
     * oracle gate while still being a real sublinear sketch (k longs
     * per group, mergeable by union+truncate, exactly what a 100 TB
-    * per-source cardinality pass ships between executors). Sources
-    * with fewer than k hashes report exactly.
+    * per-source cardinality pass ships between executors; the merge
+    * identity is proven by [[incrementalAgg]]). Sources with fewer
+    * than k hashes report exactly.
     *
     * Emitted next to the exact distinct count so the frame doubles as
     * the sketch's own error report.
@@ -567,7 +570,7 @@ object PipelineOps {
     val perHash = hashes.groupBy(col("source"), col("h"))
       .agg(countDistinct(col("word")).as("words_on_hash"))
     val mins = graft.plans.TopK.perKey(perHash, Seq("source"),
-      Seq(("h", true)), k = 64)
+      Seq(("h", true)), k = 16)
     mins.groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"),
         max(col("h")).as("kth"),
@@ -575,8 +578,8 @@ object PipelineOps {
       .join(hashes.groupBy(col("source"))
         .agg(countDistinct(col("word")).as("exact_distinct")), Seq("source"))
       .select(col("source"), col("n_kept"), col("kth"), col("exact_distinct"),
-        when(col("n_kept") < 64, col("n_kept"))
-          .otherwise(expr("(63 * 1000000007) div kth")).as("est_distinct"))
+        when(col("n_kept") < 16, col("n_kept"))
+          .otherwise(expr("(CAST(15 AS BIGINT) * 1000000007) div kth")).as("est_distinct"))
       .orderBy(col("source"))
   }
 
@@ -594,7 +597,7 @@ object PipelineOps {
        |  SELECT source, h, words_on_hash,
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
        |  FROM per_hash),
-       |mins AS (SELECT * FROM ranked WHERE rn <= 64),
+       |mins AS (SELECT * FROM ranked WHERE rn <= 16),
        |sk AS (
        |  SELECT source, COUNT(*) AS n_kept, MAX(h) AS kth,
        |    CAST(SUM(words_on_hash) AS BIGINT) AS exact_words_in_sketch
@@ -603,10 +606,99 @@ object PipelineOps {
        |  SELECT source, COUNT(DISTINCT word) AS exact_distinct
        |  FROM hashes GROUP BY source)
        |SELECT sk.source, sk.n_kept, sk.kth, ex.exact_distinct,
-       |  CAST(CASE WHEN sk.n_kept < 64 THEN sk.n_kept
-       |       ELSE (63 * 1000000007) // sk.kth END AS BIGINT) AS est_distinct
+       |  CAST(CASE WHEN sk.n_kept < 16 THEN sk.n_kept
+       |       ELSE (CAST(15 AS BIGINT) * 1000000007) // sk.kth END AS BIGINT) AS est_distinct
        |FROM sk JOIN ex ON sk.source = ex.source
        |ORDER BY sk.source""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** Incremental aggregate maintenance: the per-source corpus stats
+    * are computed as BASE (90% of docs) partials merged with a DELTA
+    * batch's partials (the [[graft.ops.Dedup.incremental]] 10% hash
+    * split) — counts/sums add, min/max fold, and the KMV vocabulary
+    * sketch merges by union + re-truncate to the k smallest. The
+    * ORACLE computes the same stats in one DIRECT full scan: the gate
+    * hash-matching proves the incremental merge is EXACTLY the full
+    * recompute (for KMV that is the identity `k-min(k-min(A) ∪
+    * k-min(B)) = k-min(A ∪ B)`). At 100 TB this is the difference
+    * between touching yesterday's corpus and rescanning it: partials
+    * persist per partition/day, and each ingest merges one batch.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .withColumn("incoming", pmod(col("doc_id") * 2654435761L, lit(10)) === 0)
+      .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+    def algebraic(df: DataFrame) = df.groupBy(col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tok_sum"),
+        max(col("tok")).as("max_tok"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    val base = algebraic(docs.filter(!col("incoming")))
+    val delta = algebraic(docs.filter(col("incoming")))
+      .select(col("source"), col("docs").as("d_docs"),
+        col("tok_sum").as("d_tok_sum"), col("max_tok").as("d_max_tok"),
+        col("min_id").as("d_min_id"), col("max_id").as("d_max_id"))
+    val mergedAlg = base.join(delta, Seq("source"), "full")
+      .select(col("source"),
+        (coalesce(col("docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L))).as("docs"),
+        (coalesce(col("tok_sum"), lit(0L)) + coalesce(col("d_tok_sum"), lit(0L))).as("tok_sum"),
+        greatest(coalesce(col("max_tok"), lit(Long.MinValue)),
+          coalesce(col("d_max_tok"), lit(Long.MinValue))).as("max_tok"),
+        least(coalesce(col("min_id"), lit(Long.MaxValue)),
+          coalesce(col("d_min_id"), lit(Long.MaxValue))).as("min_id"),
+        greatest(coalesce(col("max_id"), lit(Long.MinValue)),
+          coalesce(col("d_max_id"), lit(Long.MinValue))).as("max_id"))
+    // KMV halves: k smallest distinct hashes per (source, half), then
+    // union + distinct + re-truncate — the sketch MERGE.
+    val halfHashes = docs
+      .select(col("source"), col("incoming"),
+        explode(expr("array_distinct(split(text, ' '))")).as("word"))
+      .select(col("source"), col("incoming"),
+        expr(TextAnalysis.foldHashExpr("word")).as("h"))
+      .distinct()
+    val halfMins = graft.plans.TopK.perKey(halfHashes,
+      Seq("source", "incoming"), Seq(("h", true)), k = 16)
+    val mergedMins = graft.plans.TopK.perKey(
+      halfMins.select(col("source"), col("h")).distinct(),
+      Seq("source"), Seq(("h", true)), k = 16)
+    val sketch = mergedMins.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth"))
+      .select(col("source"),
+        when(col("n_kept") < 16, col("n_kept"))
+          .otherwise(expr("(CAST(15 AS BIGINT) * 1000000007) div kth")).as("est_distinct"))
+    mergedAlg.join(sketch, Seq("source"))
+      .orderBy(col("source"))
+  }
+
+  /** Direct single-scan mirror — NOT the merge: equality IS the
+    * correctness claim.
+    */
+  val incrementalAggOracle: String =
+    s"""WITH toks AS (
+       |  SELECT source, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |alg AS (
+       |  SELECT source, COUNT(*) AS docs,
+       |    CAST(SUM(tok) AS BIGINT) AS tok_sum, MAX(tok) AS max_tok,
+       |    MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+       |  FROM toks GROUP BY source),
+       |hashes AS (
+       |  SELECT DISTINCT source, ${TextAnalysis.foldHashSql("word")} AS h
+       |  FROM (SELECT source, unnest(list_distinct(string_split(text, ' '))) AS word
+       |        FROM documents) x),
+       |ranked AS (
+       |  SELECT source, h,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+       |  FROM hashes),
+       |sk AS (
+       |  SELECT source, COUNT(*) AS n_kept, MAX(h) AS kth
+       |  FROM ranked WHERE rn <= 16 GROUP BY source)
+       |SELECT a.source, a.docs, a.tok_sum, a.max_tok, a.min_id, a.max_id,
+       |  CAST(CASE WHEN sk.n_kept < 16 THEN sk.n_kept
+       |       ELSE (CAST(15 AS BIGINT) * 1000000007) // sk.kth END AS BIGINT) AS est_distinct
+       |FROM alg a JOIN sk ON a.source = sk.source
+       |ORDER BY a.source""".stripMargin
 
   // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
@@ -635,5 +727,7 @@ object PipelineOps {
     Q("pipe_shard_manifest", shardManifest, Some(shardManifestOracle),
       "deterministic 16-way output sharding with per-shard manifest"),
     Q("pipe_kmv_distinct", kmvDistinct, Some(kmvDistinctOracle),
-      "KMV distinct-count sketch per source, exactly reproducible"))
+      "KMV distinct-count sketch per source, exactly reproducible"),
+    Q("pipe_incremental_agg", incrementalAgg, Some(incrementalAggOracle),
+      "base+delta partial-aggregate merge (incl. KMV sketch union) == full recompute"))
 }
