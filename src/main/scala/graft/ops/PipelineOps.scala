@@ -701,6 +701,104 @@ object PipelineOps {
        |ORDER BY a.source""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Tokenizer-coverage / OOV analysis: score every document against
+    * the top-50 vocabulary ([[vocabTopK]]'s cut) and report per-lang
+    * out-of-vocabulary rates in ppm. The vocab is a broadcast 50-row
+    * build side against one exploded scan — the standard shape for
+    * "how much of the corpus does tokenizer candidate X cover", run
+    * before committing to a vocab at scale. Integer ppm throughout.
+    */
+  def oovRate(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+    val vocab = words.groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(50)
+      .select(col("word"), lit(1L).as("in_vocab"))
+    words.join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .select(col("lang"), col("tokens"), col("oov_tokens"),
+        expr("(1000000 * oov_tokens) div tokens").as("oov_ppm"))
+      .orderBy(col("lang"))
+  }
+
+  val oovRateOracle: String =
+    """WITH words AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |vocab AS (
+      |  SELECT word FROM (
+      |    SELECT word, COUNT(*) AS cnt FROM words GROUP BY word
+      |    ORDER BY cnt DESC, word LIMIT 50) v),
+      |flagged AS (
+      |  SELECT w.lang,
+      |    CASE WHEN v.word IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM words w LEFT JOIN vocab v ON w.word = v.word)
+      |SELECT lang, COUNT(*) AS tokens,
+      |  CAST(SUM(oov) AS BIGINT) AS oov_tokens,
+      |  CAST((1000000 * SUM(oov)) // COUNT(*) AS BIGINT) AS oov_ppm
+      |FROM flagged
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
+  /** RAG-ingest chunking: overlapping 64-word windows with stride 32
+    * per document — the chunk table an embedding/index stage consumes.
+    * Each chunk row carries its offset, word count, and rolling-hash
+    * fingerprint; the gate output aggregates per document (chunks,
+    * boundary checksum) plus the corpus-level distinct-chunk count —
+    * overlap means shared text, and the fingerprint column is what a
+    * chunk-level dedup keys on. Pure per-row explode: no shuffle
+    * until the final stats.
+    */
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val chunks = Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 1)
+      .select(col("doc_id"), explode(expr(
+        // starts 0, 32, 64, … while start < n_words
+        "transform(sequence(0, (size(ws) - 1) div 32), " +
+          "i -> named_struct('off', i * 32, " +
+          "'chunk', concat_ws(' ', slice(ws, i * 32 + 1, 64))))")).as("c"))
+      .select(col("doc_id"), expr("CAST(c.off AS BIGINT)").as("off"),
+        expr("CAST(size(split(c.chunk, ' ')) AS BIGINT)").as("c_words"),
+        expr(TextAnalysis.foldHashExpr("c.chunk")).as("c_fp"))
+    chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("c_words")).as("window_words"),
+        max(col("off")).as("last_off"),
+        sum(pmod(col("c_fp") * 31L + col("off"), lit(P))).as("chunk_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  val chunkWindowsOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+       |chunks AS (
+       |  SELECT doc_id, i * 32 AS off,
+       |    list_aggregate(ws[i*32+1 : i*32+64], 'string_agg', ' ') AS chunk
+       |  FROM base, range(0, 64) t(i)
+       |  WHERE i <= (n - 1) // 32),
+       |scored AS (
+       |  SELECT doc_id, off,
+       |    CAST(len(string_split(chunk, ' ')) AS BIGINT) AS c_words,
+       |    ${TextAnalysis.foldHashSql("chunk")} AS c_fp
+       |  FROM chunks)
+       |SELECT doc_id, COUNT(*) AS n_chunks,
+       |  CAST(SUM(c_words) AS BIGINT) AS window_words,
+       |  MAX(off) AS last_off,
+       |  CAST(SUM((c_fp * 31 + off) % $P) AS BIGINT) AS chunk_checksum
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -729,5 +827,9 @@ object PipelineOps {
     Q("pipe_kmv_distinct", kmvDistinct, Some(kmvDistinctOracle),
       "KMV distinct-count sketch per source, exactly reproducible"),
     Q("pipe_incremental_agg", incrementalAgg, Some(incrementalAggOracle),
-      "base+delta partial-aggregate merge (incl. KMV sketch union) == full recompute"))
+      "base+delta partial-aggregate merge (incl. KMV sketch union) == full recompute"),
+    Q("pipe_oov_rate", oovRate, Some(oovRateOracle),
+      "tokenizer-coverage OOV ppm per language vs the top-50 vocabulary"),
+    Q("pipe_chunk_windows", chunkWindows, Some(chunkWindowsOracle),
+      "RAG chunking: overlapping 64-word windows, stride 32, fingerprinted"))
 }

@@ -388,18 +388,51 @@ object Similarity {
     * cannot flip on summation order; rerank cosines are the same
     * index-ordered fold as [[bruteForceTopK]].
     */
-  def lshTopK(s: SparkSession, dir: String): DataFrame = {
-    val e = vecs(s, dir)
+  /** 4-bit hyperplane sign signature per vector — the LSH bucket id
+    * shared by [[lshTopK]] and [[contrastivePairs]]. Decimal-summed
+    * plane dots: the sign (hence the bucket) is order-independent.
+    */
+  private def lshSigs(e: DataFrame): DataFrame = {
     val dims = e.select(col("vec_id"), posexplode(col("v")))
       .select(col("vec_id"), (col("pos") + 1).as("i"), col("col").as("val"))
-    val dots = dims
+    dims
       .withColumn("j", explode(sequence(lit(1), lit(4))))
       .withColumn("w", expr("((1000003 * j + 7919 * i) % 2001) - 1000"))
       .groupBy(col("vec_id"), col("j"))
       .agg(dsum(col("val") * col("w")).as("dot"))
-    val sigs = dots.groupBy(col("vec_id"))
+      .groupBy(col("vec_id"))
       .agg(sum(when(col("dot") >= 0,
         expr("CAST(power(2, j - 1) AS BIGINT)")).otherwise(0L)).as("sig"))
+  }
+
+  /** Oracle CTE block producing `e(vec_id, label, v, norm)` and
+    * `sigs(vec_id, sig)` — the mirror of [[vecs]] + [[lshSigs]].
+    */
+  private val lshSigSql: String = {
+    val norm = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(v, x -> x * x)), (a, x) -> a + x))"
+    s"""e AS (
+       |  SELECT vec_id, label, v, $norm AS norm
+       |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) raw),
+       |dims AS (
+       |  SELECT vec_id, i, v[i] AS val
+       |  FROM e, range(1, 65) t(i)),
+       |dots AS (
+       |  SELECT vec_id, j,
+       |    CAST(SUM(CAST(val * (((1000003 * j + 7919 * i) % 2001) - 1000)
+       |      AS DECIMAL(38,6))) AS DOUBLE) AS dot
+       |  FROM dims, range(1, 5) p(j)
+       |  GROUP BY vec_id, j),
+       |sigs AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN dot >= 0
+       |      THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots GROUP BY vec_id)""".stripMargin
+  }
+
+  def lshTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val sigs = lshSigs(e)
     val q = e.filter(col("vec_id") < 3).join(sigs, Seq("vec_id"))
       .select(col("vec_id").as("q_id"), col("sig"),
         col("v").as("q_v"), col("norm").as("q_norm"))
@@ -418,27 +451,9 @@ object Similarity {
   }
 
   val lshTopKOracle: String = {
-    val norm = "sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-      "list_transform(v, x -> x * x)), (a, x) -> a + x))"
     val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       "list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)"
-    s"""WITH e AS (
-       |  SELECT vec_id, v, $norm AS norm
-       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) raw),
-       |dims AS (
-       |  SELECT vec_id, i, v[i] AS val
-       |  FROM e, range(1, 65) t(i)),
-       |dots AS (
-       |  SELECT vec_id, j,
-       |    CAST(SUM(CAST(val * (((1000003 * j + 7919 * i) % 2001) - 1000)
-       |      AS DECIMAL(38,6))) AS DOUBLE) AS dot
-       |  FROM dims, range(1, 5) p(j)
-       |  GROUP BY vec_id, j),
-       |sigs AS (
-       |  SELECT vec_id,
-       |    CAST(SUM(CASE WHEN dot >= 0
-       |      THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
-       |  FROM dots GROUP BY vec_id),
+    s"""WITH $lshSigSql,
        |scored AS (
        |  SELECT q.vec_id AS q_id, qs.sig, c.vec_id AS cand_id,
        |    $dot / (q.norm * c.norm) AS cosine
@@ -458,6 +473,84 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  /** Contrastive training-pair mining: for each anchor (a 1% hash
+    * sample), emit its best POSITIVE (highest-cosine same-label
+    * vector in its LSH bucket) and its hardest NEGATIVE
+    * (highest-cosine different-label vector in the bucket) plus the
+    * margin — the (anchor, positive, hard-negative) triplet an
+    * embedding trainer consumes. Hard-negative mining is exactly the
+    * case where brute force dies at scale (it wants the MOST similar
+    * wrong-label item, not a random one); bucketing by the LSH
+    * signature bounds each anchor's candidate set while keeping the
+    * negatives genuinely hard (same bucket ⇒ high similarity).
+    * Anchors broadcast; one equi-join on sig; two bounded rank
+    * windows over the matched candidates only.
+    */
+  def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = vecs(s, dir)
+    val sigs = lshSigs(e)
+    val anchors = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
+      .join(sigs, Seq("vec_id"))
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("v").as("q_v"), col("norm").as("q_norm"), col("sig"))
+    val cands = e.join(sigs, Seq("vec_id"))
+      .select(col("vec_id").as("cand_id"), col("label").as("c_label"),
+        col("v").as("c_v"), col("norm").as("c_norm"), col("sig"))
+    val w = Window.partitionBy(col("a_id"), col("is_pos"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val best = cands.join(broadcast(anchors), Seq("sig"))
+      .filter(col("a_id") =!= col("cand_id"))
+      .withColumn("cosine", expr(dotExpr) / (col("q_norm") * col("c_norm")))
+      .withColumn("is_pos", col("c_label") === col("a_label"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+    val pos = best.filter(col("is_pos"))
+      .select(col("a_id"), col("a_label"),
+        col("cand_id").as("pos_id"), col("cosine").as("pos_cos"))
+    val neg = best.filter(!col("is_pos"))
+      .select(col("a_id"), col("cand_id").as("neg_id"),
+        col("c_label").as("neg_label"), col("cosine").as("neg_cos"))
+    pos.join(neg, Seq("a_id"))
+      .select(col("a_id"), col("a_label"), col("pos_id"), col("pos_cos"),
+        col("neg_id"), col("neg_label"), col("neg_cos"),
+        (col("pos_cos") - col("neg_cos")).as("margin"))
+      .orderBy(col("a_id"))
+  }
+
+  val contrastivePairsOracle: String = {
+    val dot = "list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      "list_transform(range(1, 65), i -> q.v[i] * c.v[i])), (x, y) -> x + y)"
+    s"""WITH $lshSigSql,
+       |scored AS (
+       |  SELECT q.vec_id AS a_id, q.label AS a_label,
+       |    c.vec_id AS cand_id, c.label AS c_label,
+       |    $dot / (q.norm * c.norm) AS cosine,
+       |    c.label = q.label AS is_pos
+       |  FROM e q
+       |  JOIN sigs qs ON q.vec_id = qs.vec_id
+       |  JOIN sigs cs ON cs.sig = qs.sig
+       |  JOIN e c ON c.vec_id = cs.vec_id
+       |  WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id),
+       |ranked AS (
+       |  SELECT a_id, a_label, cand_id, c_label, cosine, is_pos,
+       |    ROW_NUMBER() OVER (PARTITION BY a_id, is_pos
+       |      ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM scored),
+       |pos AS (
+       |  SELECT a_id, a_label, cand_id AS pos_id, cosine AS pos_cos
+       |  FROM ranked WHERE rnk = 1 AND is_pos),
+       |neg AS (
+       |  SELECT a_id, cand_id AS neg_id, c_label AS neg_label,
+       |    cosine AS neg_cos
+       |  FROM ranked WHERE rnk = 1 AND NOT is_pos)
+       |SELECT p.a_id, p.a_label, p.pos_id, p.pos_cos,
+       |  n.neg_id, n.neg_label, n.neg_cos,
+       |  p.pos_cos - n.neg_cos AS margin
+       |FROM pos p JOIN neg n ON p.a_id = n.a_id
+       |ORDER BY p.a_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("sim_centroids", centroids, Some(centroidsOracle),
       "typed Aggregator: exact element-wise vector sums per label"),
@@ -470,5 +563,7 @@ object Similarity {
     Q("sim_topk_ivf_nprobe", ivfTopKProbe2, Some(ivfTopKProbe2Oracle),
       "IVF with nprobe=2: top-5 across the two nearest clusters"),
     Q("sim_topk_lsh", lshTopK, Some(lshTopKOracle),
-      "LSH: 4-hyperplane sign buckets, exact-cosine rerank in-bucket"))
+      "LSH: 4-hyperplane sign buckets, exact-cosine rerank in-bucket"),
+    Q("sim_contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle),
+      "anchor/positive/hard-negative triplets mined in LSH buckets"))
 }
