@@ -25,6 +25,7 @@ object Registry {
       ops.Retrieval.all ++
       ops.Curation.all ++
       ops.Dedup.all ++
+      ops.Graph.all ++
       ops.SkewJoin.all ++
       ops.Similarity.all ++
       ops.Multimodal.all ++

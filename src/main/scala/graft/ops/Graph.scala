@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph link analysis over DERIVED content edges — the host/source
+  * authority signal web-scale curation pipelines compute (rank
+  * sources by who shares their content) next to the per-document
+  * quality scores. Complements [[Dedup.clusters]]' connected
+  * components: CC answers "which docs are the same", link analysis
+  * answers "which sources matter".
+  *
+  * Edge derivation: two sources are linked when they share a 4-word
+  * content chunk whose corpus frequency is in [2, 10] — shared
+  * *informative* content (syndication), with the boilerplate tail
+  * (cfreq > 10) excluded. The frequency cap also bounds the pair
+  * expansion per chunk at cap² rows, so the edge build is a keyed
+  * join with a hard per-key fan-out bound — no all-pairs blow-up at
+  * 100 TB (same blocking discipline as the dedup family).
+  *
+  * Rank step: one damped PageRank iteration from the uniform vector,
+  * in exact integer micro units (d = 0.85): contributions divide each
+  * source's outgoing weight mass BEFORE summing (non-negative integer
+  * `div` — truncation and floor agree), so both engines fold the same
+  * integers.
+  */
+object Graph {
+
+  def sourceRank(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, (size(ws) + 3) div 4 - 1), " +
+          "i -> concat_ws(' ', slice(ws, 4 * i + 1, 4)))")).as("chunk"))
+      .groupBy(col("chunk"), col("source"))
+      .agg(count(lit(1)).as("occ"))
+    val informative = chunks.groupBy(col("chunk"))
+      .agg(sum(col("occ")).as("cfreq"))
+      .filter(col("cfreq").between(2, 10))
+      .select(col("chunk"))
+    val members = chunks.join(informative, Seq("chunk"))
+      .select(col("chunk"), col("source"))
+    val m1 = members.select(col("chunk"), col("source").as("src"))
+    val m2 = members.select(col("chunk"), col("source").as("dst"))
+    val edges = m1.join(m2, Seq("chunk"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val outMass = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
+    val contrib = edges.join(outMass, Seq("src"))
+      .select(col("dst"), expr("(w * 1000000) div out_w").as("share_micro"))
+      .groupBy(col("dst"))
+      .agg(count(lit(1)).as("in_edges"), sum(col("share_micro")).as("in_share"))
+    Tables.documents(s, dir).select(col("source")).distinct()
+      .join(contrib.withColumnRenamed("dst", "source"), Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        expr("150000 + (850000 * coalesce(in_share, CAST(0 AS BIGINT))) div 1000000")
+          .as("pr_micro"))
+      .orderBy(col("source"))
+  }
+
+  val sourceRankOracle: String =
+    """WITH ch AS (
+      |  SELECT source, chunk, COUNT(*) AS occ
+      |  FROM (
+      |    SELECT source, unnest(list_transform(range(0, (len(ws) + 3) // 4),
+      |      i -> list_aggregate(ws[4*i+1 : 4*i+4], 'string_agg', ' '))) AS chunk
+      |    FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) t) x
+      |  GROUP BY source, chunk),
+      |informative AS (
+      |  SELECT chunk FROM ch GROUP BY chunk
+      |  HAVING SUM(occ) BETWEEN 2 AND 10),
+      |members AS (
+      |  SELECT ch.chunk, ch.source FROM ch JOIN informative i ON ch.chunk = i.chunk),
+      |edges AS (
+      |  SELECT a.source AS src, b.source AS dst, COUNT(*) AS w
+      |  FROM members a JOIN members b
+      |    ON a.chunk = b.chunk AND a.source <> b.source
+      |  GROUP BY a.source, b.source),
+      |out_mass AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+      |contrib AS (
+      |  SELECT e.dst, COUNT(*) AS in_edges,
+      |    CAST(SUM((e.w * 1000000) // o.out_w) AS BIGINT) AS in_share
+      |  FROM edges e JOIN out_mass o ON e.src = o.src
+      |  GROUP BY e.dst)
+      |SELECT d.source,
+      |  CAST(coalesce(c.in_edges, 0) AS BIGINT) AS in_edges,
+      |  CAST(150000 + (850000 * coalesce(c.in_share, 0)) // 1000000 AS BIGINT)
+      |    AS pr_micro
+      |FROM (SELECT DISTINCT source FROM documents) d
+      |LEFT JOIN contrib c ON d.source = c.dst
+      |ORDER BY d.source""".stripMargin
+
+  // ---------------------------------------------------------------
+  def all: Seq[Q] = Seq(
+    Q("graph_source_rank", sourceRank, Some(sourceRankOracle),
+      "damped PageRank step over shared-content source edges"))
+}
