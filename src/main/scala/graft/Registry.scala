@@ -30,5 +30,6 @@ object Registry {
       ops.Similarity.all ++
       ops.Multimodal.all ++
       plans.TopKQueries.all ++
+      sources.SyntheticQueries.all ++
       streaming.EventWindows.all
 }

@@ -1,0 +1,37 @@
+package graft.sources
+
+import graft.Q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate face of the [[SyntheticSource]] DSv2 connector: an aggregate
+  * over the generated table with a pushed id-range filter. The DuckDB
+  * oracle rebuilds the identical table from `range()` — hash equality
+  * covers the connector's partition planning, pushdown narrowing,
+  * column handling, and row generation end to end.
+  */
+object SyntheticQueries {
+
+  def synthAgg(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SyntheticSource")
+      .option("rows", "100000").option("slices", "8").option("buckets", "16")
+      .load()
+      .filter(col("id") >= 1000 && col("id") < 51000)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+
+  val synthAggOracle: String =
+    """SELECT CAST(id % 16 AS INTEGER) AS bucket, COUNT(*) AS n,
+      |  CAST(SUM((id * 2654435761 + 7) % 1000000007) AS BIGINT) AS value_sum,
+      |  MIN(id) AS min_id, MAX(id) AS max_id
+      |FROM range(0, 100000) t(id)
+      |WHERE id >= 1000 AND id < 51000
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("dsv2_synth_agg", synthAgg, Some(synthAggOracle),
+      "custom DSv2 connector scan: pushdown-narrowed range aggregate"))
+}
