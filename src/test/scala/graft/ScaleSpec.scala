@@ -53,6 +53,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("runtime Bloom filter prunes the probe side of a selective join") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import org.apache.spark.sql.functions.sum
+      // Selective build side: few orders survive the filter, so Spark
+      // injects might_contain(...) on the lineitem scan — rows are
+      // dropped BEFORE the shuffle, the 100 TB win of runtime filters.
+      val o = Tables.orders(spark, sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val l = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity"))
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity")))
+      val plan = j.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter was injected:\n$plan")
+      val got = j.collect().head.getDouble(0)
+      val want = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(sum(col("l_quantity"))).collect().head.getDouble(0)
+      assert(got === want)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("partitionBy layout prunes partitions on a lang filter") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
     val src = Tables.documents(spark, sf)
