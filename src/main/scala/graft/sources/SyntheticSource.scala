@@ -5,8 +5,9 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -43,7 +44,8 @@ class SyntheticSource extends TableProvider {
     new SyntheticTable(
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("slices", "4").toInt,
-      properties.getOrDefault("buckets", "16").toInt)
+      properties.getOrDefault("buckets", "16").toInt,
+      properties.getOrDefault("keyGrouped", "false").toBoolean)
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -57,17 +59,19 @@ object SyntheticSource {
   def valueOf(id: Long): Long = (id * 2654435761L + 7L) % 1000000007L
 }
 
-final class SyntheticTable(rows: Long, slices: Int, buckets: Int)
+final class SyntheticTable(rows: Long, slices: Int, buckets: Int,
+    keyGrouped: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SyntheticSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, slices, buckets)
+    new SyntheticScanBuilder(rows, slices, buckets, keyGrouped)
 }
 
-final class SyntheticScanBuilder(rows: Long, slices: Int, buckets: Int)
+final class SyntheticScanBuilder(rows: Long, slices: Int, buckets: Int,
+    keyGrouped: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
@@ -99,21 +103,47 @@ final class SyntheticScanBuilder(rows: Long, slices: Int, buckets: Int)
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SyntheticScan(lo, math.max(lo, hi), slices, buckets, required)
+    new SyntheticScan(lo, math.max(lo, hi), slices, buckets, required, keyGrouped)
 }
 
 final case class SyntheticRange(from: Long, until: Long) extends InputPartition
 
+/** One whole bucket (ids ≡ bucket mod buckets within [from, until)) —
+  * the key-grouped split shape: it can declare its partition key, so
+  * Spark's storage-partitioned join machinery can co-locate it with
+  * the matching bucket of another table.
+  */
+final case class SyntheticBucket(bucket: Int, from: Long, until: Long,
+    buckets: Int) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucket))
+}
+
 final class SyntheticScan(lo: Long, hi: Long, slices: Int, buckets: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType, keyGrouped: Boolean)
+    extends Scan with Batch with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-synth [$lo, $hi) slices=$slices cols=${required.fieldNames.mkString(",")}"
+    s"graft-synth [$lo, $hi) slices=$slices cols=${required.fieldNames.mkString(",")}" +
+      (if (keyGrouped) " keyGrouped" else "")
+
+  /** Storage-partitioned reporting: in key-grouped mode the scan
+    * declares `bucket`-identity KeyGroupedPartitioning, so joins and
+    * aggregations clustered on `bucket` need no exchange — the DSv2
+    * contract Iceberg's storage-partitioned joins ride on.
+    */
+  override def outputPartitioning(): Partitioning =
+    if (keyGrouped) new KeyGroupedPartitioning(
+      Array(Expressions.identity("bucket")), buckets)
+    else new UnknownPartitioning(planInputPartitions().length)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
     if (n == 0) return Array.empty
+    if (keyGrouped)
+      return (0 until buckets).map(b =>
+        SyntheticBucket(b, lo, hi, buckets)).toArray
     val per = math.max(1L, (n + slices - 1) / slices)
     (lo until hi by per).map(s =>
       SyntheticRange(s, math.min(hi, s + per))).toArray
@@ -125,21 +155,35 @@ final class SyntheticScan(lo: Long, hi: Long, slices: Int, buckets: Int,
 
 final class SyntheticReaderFactory(buckets: Int, cols: Array[String])
     extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val r = p.asInstanceOf[SyntheticRange]
-    new PartitionReader[InternalRow] {
-      private var id = r.from - 1
-      override def next(): Boolean = { id += 1; id < r.until }
-      override def get(): InternalRow = {
-        // Only the pruned columns are materialized.
-        val vals: Array[Any] = cols.map {
-          case "id"     => id
-          case "bucket" => (id % buckets).toInt
-          case "value"  => SyntheticSource.valueOf(id)
-        }
-        new GenericInternalRow(vals)
-      }
-      override def close(): Unit = ()
+
+  private def rowFor(id: Long): InternalRow = {
+    // Only the pruned columns are materialized.
+    val vals: Array[Any] = cols.map {
+      case "id"     => id
+      case "bucket" => (id % buckets).toInt
+      case "value"  => SyntheticSource.valueOf(id)
     }
+    new GenericInternalRow(vals)
   }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    p match {
+      case r: SyntheticRange =>
+        new PartitionReader[InternalRow] {
+          private var id = r.from - 1
+          override def next(): Boolean = { id += 1; id < r.until }
+          override def get(): InternalRow = rowFor(id)
+          override def close(): Unit = ()
+        }
+      case b: SyntheticBucket =>
+        new PartitionReader[InternalRow] {
+          // First id >= from with id ≡ bucket (mod buckets), then
+          // stride by buckets.
+          private var id = b.from +
+            (((b.bucket - b.from % b.buckets) + b.buckets) % b.buckets) - b.buckets
+          override def next(): Boolean = { id += b.buckets; id < b.until }
+          override def get(): InternalRow = rowFor(id)
+          override def close(): Unit = ()
+        }
+    }
 }

@@ -40,4 +40,54 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(q.count() === 50000)
     assert(q.rdd.getNumPartitions === 8)
   }
+
+  private def synthGrouped(rows: Long) = spark.read
+    .format("graft.sources.SyntheticSource")
+    .option("rows", rows.toString).option("buckets", "8")
+    .option("keyGrouped", "true")
+    .load()
+
+  test("storage-partitioned join: key-grouped scans join with no exchange") {
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val a = synthGrouped(4000).select(col("bucket"), col("value").as("va"))
+      val b = synthGrouped(8000).select(col("bucket"), col("value").as("vb"))
+      val j = a.join(b, Seq("bucket"))
+      // 500 × 1000 pairs per bucket × 8 buckets.
+      assert(j.count() === 4000000L)
+      val plan = j.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin") max plan.indexOf("ShuffledHashJoin")
+      assert(joinIdx >= 0, plan)
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"key-grouped join still shuffled:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("key-grouped aggregation needs no exchange either") {
+    val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val q = synthGrouped(4000).groupBy(col("bucket"))
+        .agg(sum(col("value")).as("s"))
+      val got = q.orderBy("bucket").collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val want = (0L until 4000L).groupBy(i => (i % 8).toInt)
+        .map { case (b, ids) =>
+          b -> ids.map(graft.sources.SyntheticSource.valueOf).sum }
+      assert(got === want)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"key-grouped aggregate still shuffled:\n$plan")
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.v2.bucketing.enabled", v)
+      case None    => spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+    }
+  }
 }
