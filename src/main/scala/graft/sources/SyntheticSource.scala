@@ -5,7 +5,10 @@ import java.util
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -73,12 +76,14 @@ final class SyntheticTable(rows: Long, slices: Int, buckets: Int,
 final class SyntheticScanBuilder(rows: Long, slices: Int, buckets: Int,
     keyGrouped: Boolean = false)
     extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = SyntheticSource.schema
+  private var aggPushed: Option[(Boolean, Seq[String])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -102,8 +107,105 @@ final class SyntheticScanBuilder(rows: Long, slices: Int, buckets: Int,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new SyntheticScan(lo, math.max(lo, hi), slices, buckets, required, keyGrouped)
+  // --- aggregate pushdown -----------------------------------------
+  private def fieldOf(e: Expression): Option[String] = e match {
+    case r: NamedReference => Some(r.fieldNames.mkString("."))
+    case _ => None
+  }
+
+  /** COUNT(*) / MIN(id) / MAX(id), optionally grouped by `bucket`,
+    * have closed forms over the generated interval — those (and only
+    * those) are accepted for COMPLETE pushdown: the scan itself emits
+    * the final aggregated rows and no id is ever generated.
+    */
+  private def accepts(agg: Aggregation): Boolean = {
+    val groupOk = agg.groupByExpressions().isEmpty ||
+      (agg.groupByExpressions().length == 1 &&
+        agg.groupByExpressions().flatMap(fieldOf).sameElements(Array("bucket")))
+    val fns = agg.aggregateExpressions()
+    fns.nonEmpty && fns.forall {
+      case _: CountStar => true
+      case m: Min => fieldOf(m.column()).contains("id")
+      case m: Max => fieldOf(m.column()).contains("id")
+      case _ => false
+    } && groupOk
+  }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = accepts(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!accepts(agg)) return false
+    aggPushed = Some((agg.groupByExpressions().nonEmpty,
+      agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => "count"
+        case _: Min       => "min_id"
+        case _: Max       => "max_id"
+        case f: AggregateFunc => f.describe() // unreachable by accepts
+      }))
+    true
+  }
+
+  override def build(): Scan = aggPushed match {
+    case Some((grouped, fns)) =>
+      new SyntheticAggScan(lo, math.max(lo, hi), buckets, grouped, fns)
+    case None =>
+      new SyntheticScan(lo, math.max(lo, hi), slices, buckets, required, keyGrouped)
+  }
+}
+
+/** Complete-pushdown aggregate scan: one partition, rows computed in
+  * closed form (per bucket: first id ≥ lo in the residue class, then
+  * an arithmetic progression) — the aggregate of N rows costs O(buckets).
+  */
+final class SyntheticAggScan(lo: Long, hi: Long, buckets: Int,
+    grouped: Boolean, fns: Seq[String]) extends Scan with Batch {
+
+  override def readSchema(): StructType = {
+    val aggFields = fns.map {
+      case "count" => StructField("count", LongType, nullable = false)
+      case "min_id" => StructField("min_id", LongType, nullable = true)
+      case "max_id" => StructField("max_id", LongType, nullable = true)
+    }
+    StructType(
+      (if (grouped) Seq(StructField("bucket", IntegerType, nullable = false))
+       else Seq.empty) ++ aggFields)
+  }
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth-agg [$lo, $hi) grouped=$grouped aggPushed=${fns.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SyntheticRange(lo, hi))
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (g, b, l, h, f) = (grouped, buckets, lo, hi, fns)
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private val rows: Iterator[InternalRow] = {
+            def row(pre: Seq[Any], n: Long, min: Long, max: Long) =
+              new GenericInternalRow((pre ++ f.map {
+                case "count"  => n
+                case "min_id" => if (n == 0) null else min
+                case "max_id" => if (n == 0) null else max
+              }).toArray[Any])
+            if (g) (0 until b).iterator.flatMap { bk =>
+              val first = l + (((bk - l % b) + b) % b)
+              if (first >= h) None
+              else {
+                val n = (h - 1 - first) / b + 1
+                Some(row(Seq(bk), n, first, first + (n - 1) * b))
+              }
+            }
+            else Iterator.single(row(Seq.empty, math.max(0, h - l), l, h - 1))
+          }
+          override def next(): Boolean = rows.hasNext
+          override def get(): InternalRow = rows.next()
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 final case class SyntheticRange(from: Long, until: Long) extends InputPartition
@@ -121,12 +223,42 @@ final case class SyntheticBucket(bucket: Int, from: Long, until: Long,
 
 final class SyntheticScan(lo: Long, hi: Long, slices: Int, buckets: Int,
     required: StructType, keyGrouped: Boolean)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-synth [$lo, $hi) slices=$slices cols=${required.fieldNames.mkString(",")}" +
       (if (keyGrouped) " keyGrouped" else "")
+
+  // --- runtime (dynamic) filtering on the partition key -----------
+  // The DSv2 DPP contract: Spark builds the dim side first, then
+  // hands the scan an IN predicate over `filterAttributes`; the scan
+  // drops whole buckets BEFORE planning input partitions.
+  @volatile private var allowedBuckets: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (keyGrouped) Array(Expressions.column("bucket")) else Array.empty
+
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      if (p.name() == "IN" && p.children().nonEmpty) {
+        val onBucket = p.children().head match {
+          case r: NamedReference => r.fieldNames.sameElements(Array("bucket"))
+          case _ => false
+        }
+        if (onBucket) {
+          val vals = p.children().tail.collect {
+            case l: V2Literal[_] => l.value() match {
+              case i: java.lang.Integer => i.intValue()
+              case l2: java.lang.Long   => l2.intValue()
+            }
+          }.toSet
+          allowedBuckets = Some(allowedBuckets.fold(vals)(_ intersect vals))
+          SyntheticScan.recordRuntimeFilter(vals.size)
+        }
+      }
+    }
 
   /** Storage-partitioned reporting: in key-grouped mode the scan
     * declares `bucket`-identity KeyGroupedPartitioning, so joins and
@@ -142,8 +274,9 @@ final class SyntheticScan(lo: Long, hi: Long, slices: Int, buckets: Int,
     val n = math.max(0L, hi - lo)
     if (n == 0) return Array.empty
     if (keyGrouped)
-      return (0 until buckets).map(b =>
-        SyntheticBucket(b, lo, hi, buckets)).toArray
+      return (0 until buckets)
+        .filter(b => allowedBuckets.forall(_.contains(b)))
+        .map(b => SyntheticBucket(b, lo, hi, buckets)).toArray
     val per = math.max(1L, (n + slices - 1) / slices)
     (lo until hi by per).map(s =>
       SyntheticRange(s, math.min(hi, s + per))).toArray
@@ -151,6 +284,18 @@ final class SyntheticScan(lo: Long, hi: Long, slices: Int, buckets: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(buckets, required.fieldNames)
+}
+
+object SyntheticScan {
+  /** Spec observability: how many runtime-filter values the last
+    * dynamic-pruning call delivered (the DPP path is otherwise
+    * invisible from the outside).
+    */
+  @volatile private var lastRuntimeFilterValues: Int = -1
+  private[sources] def recordRuntimeFilter(n: Int): Unit =
+    lastRuntimeFilterValues = n
+  def runtimeFilterValues: Int = lastRuntimeFilterValues
+  def resetRuntimeFilter(): Unit = lastRuntimeFilterValues = -1
 }
 
 final class SyntheticReaderFactory(buckets: Int, cols: Array[String])

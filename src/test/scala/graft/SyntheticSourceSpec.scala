@@ -70,6 +70,57 @@ class SyntheticSourceSpec extends SparkSpec {
     }
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX compute in closed form at the source") {
+    val df = synth(4).filter(col("id") >= 100 && col("id") < 90000)
+    val q = df.agg(count(lit(1)).as("n"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"))
+    val r = q.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((89900L, 100L, 89999L)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-synth-agg") && plan.contains("aggPushed="),
+      s"aggregate was not pushed:\n$plan")
+
+    val g = synth(4).groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("id")).as("mx"))
+    val rows = g.orderBy("bucket").collect()
+      .map(r2 => (r2.getInt(0), r2.getLong(1), r2.getLong(2)))
+    // 100000 rows over 16 buckets: 6250 each; max id ≡ bucket (mod 16).
+    assert(rows.length === 16)
+    assert(rows.forall { case (b, n, mx) =>
+      n === 6250L && mx === (99984 + b).toLong })
+    val gplan = g.queryExecution.executedPlan.toString
+    assert(gplan.contains("grouped=true"), s"grouped agg not pushed:\n$gplan")
+
+    // SUM(value) has no closed form here — the source must REFUSE the
+    // pushdown and Spark falls back to the row scan.
+    val s = synth(4).agg(sum(col("value")))
+    assert(!s.queryExecution.executedPlan.toString.contains("graft-synth-agg"))
+    val got = s.collect().head.getLong(0)
+    val want = (0L until 100000L).map(graft.sources.SyntheticSource.valueOf).sum
+    assert(got === want)
+  }
+
+  test("runtime V2 filtering: a selective dim join dynamically prunes buckets") {
+    import SparkSpec.spark.implicits._
+    graft.sources.SyntheticScan.resetRuntimeFilter()
+    val fact = synthGrouped(100000)
+    // DPP plans only when the dim side carries a selective predicate
+    // on a NON-join column (a join-key predicate would just be
+    // inferred across the join as a static filter, no runtime pruning
+    // needed — verified: InferFiltersFromConstraints kicks in first).
+    val dim = spark.range(0, 8)
+      .select(col("id").cast("int").as("b"), (col("id") % 2).as("flag"))
+      .filter(col("flag") === 1)
+    val j = fact.join(broadcast(dim), col("bucket") === col("b"))
+    // 100000 rows over 8 buckets; the 4 odd buckets survive.
+    assert(j.count() === 50000)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning was planned:\n$plan")
+    assert(graft.sources.SyntheticScan.runtimeFilterValues === 4,
+      "the scan never received the runtime IN filter")
+  }
+
   test("key-grouped aggregation needs no exchange either") {
     val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
     try {
