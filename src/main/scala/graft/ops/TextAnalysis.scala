@@ -235,6 +235,73 @@ object TextAnalysis {
       |LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------
+  /** The BPE merge APPLIED: take [[bpePairs]]' argmax pair and merge
+    * it across the vocabulary, reporting the corpus-level effect
+    * (tokens before/after, chars saved, words touched) — one full
+    * iteration of tokenizer training: mine (keyed agg) → pick the
+    * best merge (2-row broadcast) → apply (linear map). Non-overlapping
+    * left-to-right replacement is the exact contract of BOTH engines'
+    * literal `replace()` (no regex), so per-word merged lengths are
+    * bit-identical; '_' is outside the corpus alphabet.
+    */
+  def bpeApply(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wcount"))
+      .filter(length(col("w")) >= 2)
+    val best = words
+      .select(col("w"), col("wcount"), explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wcount")).as("weight"))
+      .orderBy(col("weight").desc, col("pair"))
+      .limit(1)
+      .select(col("pair"))
+    words.crossJoin(broadcast(best))
+      .withColumn("merged_len",
+        expr("CAST(length(replace(w, pair, '_')) AS BIGINT)"))
+      .withColumn("occ", length(col("w")).cast("long") - col("merged_len"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wcount") * length(col("w")).cast("long")).as("chars_before"),
+        sum(col("wcount") * col("merged_len")).as("chars_after"),
+        sum(when(col("occ") > 0, col("wcount")).otherwise(0L)).as("tokens_touched"),
+        sum(col("occ") * col("wcount")).as("merges_applied"),
+        countDistinct(when(col("occ") > 0, col("w"))).as("vocab_touched"))
+      .orderBy(col("pair"))
+  }
+
+  val bpeApplyOracle: String =
+    """WITH words AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wcount
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) x
+      |  WHERE length(w) >= 2
+      |  GROUP BY w),
+      |best AS (
+      |  SELECT pair FROM (
+      |    SELECT pair, SUM(wcount) AS weight
+      |    FROM (SELECT w, wcount,
+      |            unnest(list_transform(range(1, length(w)), i -> w[i:i+1])) AS pair
+      |          FROM words) p
+      |    GROUP BY pair
+      |    ORDER BY weight DESC, pair LIMIT 1) b),
+      |applied AS (
+      |  SELECT best.pair, w, wcount,
+      |    CAST(length(replace(w, best.pair, '_')) AS BIGINT) AS merged_len,
+      |    CAST(length(w) AS BIGINT) AS wlen
+      |  FROM words CROSS JOIN best)
+      |SELECT pair,
+      |  CAST(SUM(wcount * wlen) AS BIGINT) AS chars_before,
+      |  CAST(SUM(wcount * merged_len) AS BIGINT) AS chars_after,
+      |  CAST(SUM(CASE WHEN wlen > merged_len THEN wcount ELSE 0 END) AS BIGINT)
+      |    AS tokens_touched,
+      |  CAST(SUM((wlen - merged_len) * wcount) AS BIGINT) AS merges_applied,
+      |  COUNT(DISTINCT CASE WHEN wlen > merged_len THEN w END) AS vocab_touched
+      |FROM applied
+      |GROUP BY pair
+      |ORDER BY pair""".stripMargin
+
+  // ---------------------------------------------------------------
   /** Regex collocation mining — the extraction face of the PII-redaction
     * / pattern-scrubbing pipeline stage (the fixture vocabulary has no
     * PII-shaped tokens, so the demonstrated pattern targets content
@@ -278,6 +345,8 @@ object TextAnalysis {
       "rolling polynomial hash fingerprint per doc"),
     Q("text_bpe_pairs", bpePairs, Some(bpePairsOracle),
       "one distributed BPE merge-mining step over the vocabulary"),
+    Q("text_bpe_apply", bpeApply, Some(bpeApplyOracle),
+      "the mined BPE merge applied across the vocabulary (full iteration)"),
     Q("text_collocations", collocations, Some(collocationsOracle),
       "regex extraction stage: stopword collocation top-20"))
 }

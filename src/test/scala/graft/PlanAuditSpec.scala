@@ -24,7 +24,9 @@ class PlanAuditSpec extends SparkSpec {
     // r4: BM25's corpus-constants frame (N, avgdl) is a broadcast
     // 1-row aggregate cross-joined into the matched postings; the
     // k-means convergence loop broadcasts k=8 centroids per round.
-    "retr_bm25_topk", "pipe_kmeans_converge")
+    "retr_bm25_topk", "pipe_kmeans_converge",
+    // text_bpe_apply broadcasts the 1-row argmax merge pair.
+    "text_bpe_apply")
 
   test("no cartesians anywhere; BNLJ only in the adjudicated set") {
     plans.TopK.register(spark)

@@ -92,6 +92,46 @@ class StreamingSpec extends SparkSpec {
       s"late event was not dropped (emitted rows: $rows)")
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded rows after watermark") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val vms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = pms.toDF().toDF("p_id", "p_user", "p_ts")
+      .withWatermark("p_ts", "1 minute")
+    val views = vms.toDF().toDF("v_id", "v_user", "v_ts")
+      .withWatermark("v_ts", "1 minute")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+      .select(col("p_id"), col("v_id"))
+    val q = joined.writeStream.format("memory").queryName("loj_mem")
+      .outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    try {
+      // purchase 1 has an in-window view; purchase 2 has none.
+      pms.addData((1L, 10L, t(20)), (2L, 11L, t(21)))
+      vms.addData((100L, 10L, t(15)))
+      q.processAllAvailable()
+      // Matched row can emit immediately; the UNMATCHED left row must
+      // wait until the watermark proves no future view can match.
+      pms.addData((3L, 12L, t(60)))
+      vms.addData((101L, 99L, t(60)))
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("loj_mem").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(rows.contains((1L, 100L)), s"matched pair missing: $rows")
+    assert(rows.contains((2L, -1L)),
+      s"unmatched purchase was not null-padded after watermark: $rows")
+  }
+
   test("transformWithState keeps running per-key aggregates across batches") {
     import SparkSpec.spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
