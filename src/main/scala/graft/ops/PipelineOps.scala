@@ -849,6 +849,62 @@ object PipelineOps {
       |ORDER BY zb""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Inference-batching padding analysis: fixed batches of 32 docs
+    * pad every member to the batch max length, so batch composition
+    * IS a cost knob. Compares arrival order (doc_id) against
+    * length-sorted composition (token count, doc_id tiebreak): same
+    * docs, same batch count, and the sorted strategy's padding waste
+    * drops by the amount the summary reports — the length-bucketed
+    * batching every serving/eval pipeline runs. Waste is exact
+    * integer tokens. The row_number windows here are global over the
+    * 2-column (doc_id, tok) projection because batch composition is
+    * inherently a total order; at 100 TB the same computation runs
+    * per shard (PARTITION BY the [[shardManifest]] key), which is
+    * also operationally what a serving fleet does.
+    */
+  def padWaste(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+    def strategy(name: String, w: org.apache.spark.sql.expressions.WindowSpec) =
+      docs.withColumn("rn", row_number().over(w))
+        .withColumn("batch", expr("(rn - 1) div 32"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tok_sum"),
+          max(col("tok")).as("tok_max"))
+        .select(lit(name).as("strategy"), col("batch"),
+          (col("docs") * col("tok_max") - col("tok_sum")).as("waste"))
+    strategy("arrival", Window.orderBy(col("doc_id")))
+      .unionAll(strategy("length_sorted",
+        Window.orderBy(col("tok"), col("doc_id"))))
+      .groupBy(col("strategy"))
+      .agg(count(lit(1)).as("batches"), sum(col("waste")).as("padded_tokens"))
+      .orderBy(col("strategy"))
+  }
+
+  val padWasteOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |arrival AS (
+      |  SELECT 'arrival' AS strategy, (rn - 1) // 32 AS batch, tok
+      |  FROM (SELECT tok, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM docs) a),
+      |sorted_s AS (
+      |  SELECT 'length_sorted' AS strategy, (rn - 1) // 32 AS batch, tok
+      |  FROM (SELECT tok, ROW_NUMBER() OVER (ORDER BY tok, doc_id) AS rn FROM docs) b),
+      |batches AS (
+      |  SELECT strategy, batch,
+      |    COUNT(*) * MAX(tok) - SUM(tok) AS waste
+      |  FROM (SELECT * FROM arrival UNION ALL SELECT * FROM sorted_s) u
+      |  GROUP BY strategy, batch)
+      |SELECT strategy, COUNT(*) AS batches,
+      |  CAST(SUM(waste) AS BIGINT) AS padded_tokens
+      |FROM batches
+      |GROUP BY strategy
+      |ORDER BY strategy""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -883,5 +939,7 @@ object PipelineOps {
     Q("pipe_chunk_windows", chunkWindows, Some(chunkWindowsOracle),
       "RAG chunking: overlapping 64-word windows, stride 32, fingerprinted"),
     Q("pipe_zorder_layout", zorderLayout, Some(zorderLayoutOracle),
-      "Z-order bucketing keeps both dims' min/max spans tight (stats pruning)"))
+      "Z-order bucketing keeps both dims' min/max spans tight (stats pruning)"),
+    Q("pipe_pad_waste", padWaste, Some(padWasteOracle),
+      "padding waste: arrival-order vs length-sorted batch composition"))
 }
