@@ -41,6 +41,19 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(q.rdd.getNumPartitions === 8)
   }
 
+  test("filter boundary cases: empty ranges and point lookups") {
+    // Entirely above the table: zero partitions, zero rows.
+    assert(synth(4).filter(col("id") >= 200000L).count() === 0)
+    // Contradictory range: lo > hi collapses to empty.
+    assert(synth(4).filter(col("id") > 500L && col("id") < 100L).count() === 0)
+    // Point lookup: EqualTo narrows to a single generated row.
+    val row = synth(4).filter(col("id") === 4242L).collect()
+    assert(row.length === 1)
+    assert(row.head.getLong(2) === graft.sources.SyntheticSource.valueOf(4242L))
+    // Single-row boundary at the table edge.
+    assert(synth(4).filter(col("id") >= 99999L).count() === 1)
+  }
+
   private def synthGrouped(rows: Long) = spark.read
     .format("graft.sources.SyntheticSource")
     .option("rows", rows.toString).option("buckets", "8")
