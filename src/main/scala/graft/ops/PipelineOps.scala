@@ -905,6 +905,55 @@ object PipelineOps {
       |ORDER BY strategy""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Quality-first token-budget fill: rank documents by an integer
+    * quality signal (distinct-word micro ratio, doc_id tiebreak) and
+    * keep the prefix whose cumulative tokens stay within a 100k
+    * budget (the first crossing doc is included — budgets are filled,
+    * not undershot). This is the terminal curation step — "spend the
+    * training budget on the best data" — and the cut is a running sum
+    * over the quality order, not a threshold guess. Emits the kept
+    * set's per-language accounting plus the cut boundary.
+    */
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("quality_micro").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(size(ws) AS BIGINT)").as("tok"),
+        expr("(CAST(size(array_distinct(ws)) AS BIGINT) * 1000000) div size(ws)")
+          .as("quality_micro"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .filter(col("cum") - col("tok") < 100000L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tok_sum"),
+        min(col("quality_micro")).as("min_quality"),
+        max(col("cum")).as("max_cum"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenBudgetOracle: String =
+    """WITH scored AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000)
+      |      // len(string_split(text, ' ')) AS quality_micro
+      |  FROM documents),
+      |cum AS (
+      |  SELECT doc_id, lang, tok, quality_micro,
+      |    SUM(tok) OVER (ORDER BY quality_micro DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM scored)
+      |SELECT lang, COUNT(*) AS docs, CAST(SUM(tok) AS BIGINT) AS tok_sum,
+      |  CAST(MIN(quality_micro) AS BIGINT) AS min_quality,
+      |  CAST(MAX(cum) AS BIGINT) AS max_cum
+      |FROM cum
+      |WHERE cum - tok < 100000
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -941,5 +990,7 @@ object PipelineOps {
     Q("pipe_zorder_layout", zorderLayout, Some(zorderLayoutOracle),
       "Z-order bucketing keeps both dims' min/max spans tight (stats pruning)"),
     Q("pipe_pad_waste", padWaste, Some(padWasteOracle),
-      "padding waste: arrival-order vs length-sorted batch composition"))
+      "padding waste: arrival-order vs length-sorted batch composition"),
+    Q("pipe_token_budget", tokenBudget, Some(tokenBudgetOracle),
+      "quality-first fill of a 100k-token training budget"))
 }
