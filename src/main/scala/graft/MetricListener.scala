@@ -49,8 +49,11 @@ final class MetricListener extends SparkListener {
   /** Stage-metric rollup for one execution id, mirroring
     * `IcebergBenchmark.java:269-355`: executor run/cpu/GC time, rows
     * and bytes read, plus any accumulables named `custom_scan_time*`
-    * summed as total_batch_scan_time_ms (`:306-309` — locally zero,
-    * since no patched reader emits them).
+    * summed as total_batch_scan_time_ms (`:306-309`). The reference's
+    * producer is its patched Iceberg reader; locally
+    * [[graft.sources.SyntheticSource]] emits the same metric through
+    * the DSv2 CustomMetric API (spec-verified end to end), and any
+    * other scan leaves the sum at zero.
     */
   def metrics(executionId: String): (String, Long) = {
     val stages = completedStages.iterator.asScala

@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.expressions.{Expression, Expressions, Name
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -284,6 +285,28 @@ final class SyntheticScan(lo: Long, hi: Long, slices: Int, buckets: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new SyntheticReaderFactory(buckets, required.fieldNames)
+
+  /** The reference's `custom_scan_time*` surface
+    * (`IcebergBenchmark.java:306-309`): its patched Iceberg reader
+    * emits scan-time accumulables the harness sums as
+    * total_batch_scan_time_ms. This connector emits the same metric
+    * through the standard DSv2 CustomMetric API, so
+    * [[graft.MetricListener]]'s rollup has a live local producer.
+    */
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new ScanTimeMetric)
+}
+
+/** Sum-aggregated scan wall time; the name prefix is what the
+  * listener's accumulable filter matches on.
+  */
+final class ScanTimeMetric extends CustomSumMetric {
+  override def name(): String = "custom_scan_time_ms"
+  override def description(): String = "custom_scan_time_ms"
+}
+
+final case class ScanTimeTaskMetric(value: Long) extends CustomTaskMetric {
+  override def name(): String = "custom_scan_time_ms"
 }
 
 object SyntheticScan {
@@ -315,13 +338,17 @@ final class SyntheticReaderFactory(buckets: Int, cols: Array[String])
     p match {
       case r: SyntheticRange =>
         new PartitionReader[InternalRow] {
+          private val t0 = System.nanoTime()
           private var id = r.from - 1
           override def next(): Boolean = { id += 1; id < r.until }
           override def get(): InternalRow = rowFor(id)
           override def close(): Unit = ()
+          override def currentMetricsValues(): Array[CustomTaskMetric] =
+            Array(ScanTimeTaskMetric((System.nanoTime() - t0) / 1000000L))
         }
       case b: SyntheticBucket =>
         new PartitionReader[InternalRow] {
+          private val t0 = System.nanoTime()
           // First id >= from with id ≡ bucket (mod buckets), then
           // stride by buckets.
           private var id = b.from +
@@ -329,6 +356,8 @@ final class SyntheticReaderFactory(buckets: Int, cols: Array[String])
           override def next(): Boolean = { id += b.buckets; id < b.until }
           override def get(): InternalRow = rowFor(id)
           override def close(): Unit = ()
+          override def currentMetricsValues(): Array[CustomTaskMetric] =
+            Array(ScanTimeTaskMetric((System.nanoTime() - t0) / 1000000L))
         }
     }
 }

@@ -41,6 +41,26 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(q.rdd.getNumPartitions === 8)
   }
 
+  test("connector's custom_scan_time metric reaches the listener rollup") {
+    val listener = new MetricListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      listener.reset()
+      listener.clearStages()
+      // 2M generated rows so the scan wall time is measurably > 0 ms;
+      // SUM(value) is refused by agg pushdown, forcing the row scan.
+      spark.read.format("graft.sources.SyntheticSource")
+        .option("rows", "2000000").option("slices", "4").load()
+        .agg(sum(col("value"))).collect()
+      val execId = listener.awaitExecutionId(10000)
+      assert(execId.isDefined, "no SQL execution id observed")
+      Thread.sleep(2000) // drain the listener bus (Runner does the same)
+      val (_, scanMs) = listener.metrics(execId.get)
+      assert(scanMs > 0,
+        s"custom_scan_time accumulables did not reach the stage rollup ($scanMs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("filter boundary cases: empty ranges and point lookups") {
     // Entirely above the table: zero partitions, zero rows.
     assert(synth(4).filter(col("id") >= 200000L).count() === 0)
