@@ -24,17 +24,25 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is written as Parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects outright. Read it as raw nanos (legacy conf) and
-    * truncate to microsecond TimestampType — the same truncation
-    * DuckDB applies on `CAST(ts_ns AS TIMESTAMP)`, so both engines see
-    * identical values. Integer `div` (not `/`) — nanos ~1.7e18 exceed
-    * double's 2^53 exact range.
+  /** `events.ts` varies by fixture generation: older fixtures write
+    * Parquet TIMESTAMP(NANOS) (readable only as raw longs via the
+    * legacy conf), newer ones annotated microseconds without a
+    * timezone (read as TIMESTAMP_NTZ). Normalize either to
+    * session-zone TimestampType so downstream queries and the DuckDB
+    * oracle (`CAST(ts AS TIMESTAMP)` — no-op on micros, ns-truncation
+    * on nanos) see identical values. Integer `div` (not `/`) on the
+    * nanos path — nanos ~1.7e18 exceed double's 2^53 exact range.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
