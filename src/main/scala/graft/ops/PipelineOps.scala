@@ -856,28 +856,34 @@ object PipelineOps {
     * docs, same batch count, and the sorted strategy's padding waste
     * drops by the amount the summary reports — the length-bucketed
     * batching every serving/eval pipeline runs. Waste is exact
-    * integer tokens. The row_number windows here are global over the
-    * 2-column (doc_id, tok) projection because batch composition is
-    * inherently a total order; at 100 TB the same computation runs
-    * per shard (PARTITION BY the [[shardManifest]] key), which is
-    * also operationally what a serving fleet does.
+    * integer tokens.
+    *
+    * Batch composition runs PER SHARD — the [[shardManifest]] key
+    * partitions every `row_number` window, which is both the scale
+    * shape (each shard's total order is a separate window partition;
+    * no document-level single-partition sort anywhere in the plan)
+    * and operationally what a serving fleet does: each worker batches
+    * the shard it owns.
     */
   def padWaste(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"),
         expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+      .withColumn("shard",
+        pmod(pmod(col("doc_id") * 2654435761L + 7L, lit(1000000007L)), lit(16L)))
     def strategy(name: String, w: org.apache.spark.sql.expressions.WindowSpec) =
       docs.withColumn("rn", row_number().over(w))
         .withColumn("batch", expr("(rn - 1) div 32"))
-        .groupBy(col("batch"))
+        .groupBy(col("shard"), col("batch"))
         .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tok_sum"),
           max(col("tok")).as("tok_max"))
-        .select(lit(name).as("strategy"), col("batch"),
+        .select(lit(name).as("strategy"), col("shard"), col("batch"),
           (col("docs") * col("tok_max") - col("tok_sum")).as("waste"))
-    strategy("arrival", Window.orderBy(col("doc_id")))
+    strategy("arrival",
+      Window.partitionBy(col("shard")).orderBy(col("doc_id")))
       .unionAll(strategy("length_sorted",
-        Window.orderBy(col("tok"), col("doc_id"))))
+        Window.partitionBy(col("shard")).orderBy(col("tok"), col("doc_id"))))
       .groupBy(col("strategy"))
       .agg(count(lit(1)).as("batches"), sum(col("waste")).as("padded_tokens"))
       .orderBy(col("strategy"))
@@ -885,19 +891,22 @@ object PipelineOps {
 
   val padWasteOracle: String =
     """WITH docs AS (
-      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    ((doc_id * 2654435761 + 7) % 1000000007) % 16 AS shard
       |  FROM documents),
       |arrival AS (
-      |  SELECT 'arrival' AS strategy, (rn - 1) // 32 AS batch, tok
-      |  FROM (SELECT tok, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn FROM docs) a),
+      |  SELECT 'arrival' AS strategy, shard, (rn - 1) // 32 AS batch, tok
+      |  FROM (SELECT tok, shard, ROW_NUMBER() OVER (PARTITION BY shard
+      |    ORDER BY doc_id) AS rn FROM docs) a),
       |sorted_s AS (
-      |  SELECT 'length_sorted' AS strategy, (rn - 1) // 32 AS batch, tok
-      |  FROM (SELECT tok, ROW_NUMBER() OVER (ORDER BY tok, doc_id) AS rn FROM docs) b),
+      |  SELECT 'length_sorted' AS strategy, shard, (rn - 1) // 32 AS batch, tok
+      |  FROM (SELECT tok, shard, ROW_NUMBER() OVER (PARTITION BY shard
+      |    ORDER BY tok, doc_id) AS rn FROM docs) b),
       |batches AS (
-      |  SELECT strategy, batch,
+      |  SELECT strategy, shard, batch,
       |    COUNT(*) * MAX(tok) - SUM(tok) AS waste
       |  FROM (SELECT * FROM arrival UNION ALL SELECT * FROM sorted_s) u
-      |  GROUP BY strategy, batch)
+      |  GROUP BY strategy, shard, batch)
       |SELECT strategy, COUNT(*) AS batches,
       |  CAST(SUM(waste) AS BIGINT) AS padded_tokens
       |FROM batches
@@ -913,18 +922,43 @@ object PipelineOps {
     * training budget on the best data" — and the cut is a running sum
     * over the quality order, not a threshold guess. Emits the kept
     * set's per-language accounting plus the cut boundary.
+    *
+    * Scale shape (the [[Curation.lengthDeciles]] histogram pattern —
+    * no document-level global sort): the running sum decomposes into
+    * a per-quality-bucket starting offset plus a within-bucket running
+    * sum. The offsets come from one unpartitioned window over the
+    * AGGREGATED histogram (one row per distinct quality value —
+    * bounded by the micro scale, tiny vs the corpus); only buckets
+    * whose offset is still under budget survive the broadcast join
+    * back, so the exact doc_id-ordered window runs partitioned by
+    * quality bucket over ~budget-many documents. At 100 TB the
+    * documents never move through a single task.
     */
   def tokenBudget(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("quality_micro").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val scored = Tables.documents(s, dir)
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), col("lang"),
         expr("CAST(size(ws) AS BIGINT)").as("tok"),
         expr("(CAST(size(array_distinct(ws)) AS BIGINT) * 1000000) div size(ws)")
           .as("quality_micro"))
-      .withColumn("cum", sum(col("tok")).over(w))
+    // Token histogram per distinct quality value; `start` = tokens in
+    // all strictly-higher-quality buckets (the bucket's global running
+    // -sum offset). The window is over the aggregated histogram only.
+    val wq = Window.orderBy(col("quality_micro").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = scored.groupBy(col("quality_micro"))
+      .agg(sum(col("tok")).as("btok"))
+      .withColumn("start", coalesce(sum(col("btok")).over(wq), lit(0L)))
+      .filter(col("start") < 100000L) // only buckets that can still fill
+    // Exact doc_id-tiebreak cut, partitioned by bucket: global cum =
+    // bucket offset + within-bucket running sum.
+    val wb = Window.partitionBy(col("quality_micro")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .join(broadcast(buckets.select(col("quality_micro"), col("start"))),
+        Seq("quality_micro"))
+      .withColumn("cum", col("start") + sum(col("tok")).over(wb))
       .filter(col("cum") - col("tok") < 100000L)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tok_sum"),
