@@ -68,7 +68,18 @@ object Bench {
     // ~18% CPU steal, so min is the cleanest single-pass signal while
     // the median resists one lucky pass.
     val minTotal = f"${passes.map(_.map(_._2).sum).min}%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson}""")
+    // Totals FIRST, per-query map after: r3's driver capture tail-
+    // truncated the one-line stdout JSON and lost the per-query
+    // regression signal (VERDICT r3 "What's wrong" #4). The same
+    // object also lands in BENCH.json so the driver can always parse
+    // a complete copy from disk.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"queries":$qs}"""
+    println(json)
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH.json"), json + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

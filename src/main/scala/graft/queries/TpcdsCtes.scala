@@ -144,8 +144,70 @@ object TpcdsCtes {
     * a wide key including the year — then `cross_sales` referenced
     * TWICE and self-joined across consecutive years on the
     * (item, store, nation) key with `cs2.cnt <= cs1.cnt`, ordered
-    * with positional ordinals. SQL-form: one text for both engines.
+    * with positional ordinals.
+    *
+    * DataFrame-form (VERDICT r3 "What's wrong" #3): in SQL-form the
+    * two CTE references carry different pushed year filters, so the
+    * subplans differ, ReuseExchange can't dedup them, and the
+    * dominant 8-way join runs TWICE. Here the aggregated
+    * `cross_sales` frame — tiny (item × nation² × year groups) vs
+    * the joined input — is built once and cached, and the two year
+    * slices filter the cache, exactly the [[TpcdsShapes.yearOverYear]]
+    * multi-reference-CTE pattern. The SQL text below stays as the
+    * DuckDB oracle.
     */
+  def crossSales2Ref(s: SparkSession, dir: String): DataFrame = {
+    import graft.Tables
+    val refund = col("l_extendedprice") * col("l_discount") +
+      col("l_extendedprice") * col("l_tax")
+    val returnsUi = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice")).as("r_sale"), dsum(refund).as("r_refund"))
+      .filter(col("r_sale") > col("r_refund") * 2)
+      .select(col("l_partkey").as("r_item_sk"))
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("store_name"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    val crossSales = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      .join(returnsUi, col("l_partkey") === col("r_item_sk"))
+      .withColumn("syear", year(col("o_orderdate")))
+      .groupBy(col("p_name").as("product_name"), col("l_partkey").as("item_sk"),
+        col("store_name"), col("cust_nation"), col("syear"))
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("l_extendedprice")).as("s1"),
+        dsum(col("l_discount")).as("s2"),
+        dsum(col("l_tax")).as("s3"))
+      .cache()
+    val cs1 = crossSales.filter(col("syear") === 1996)
+      .select(col("product_name"), col("store_name"), col("cust_nation"),
+        col("item_sk").as("item1"), col("syear").as("syear1"),
+        col("cnt").as("cnt1"), col("s1").as("s11"), col("s2").as("s21"),
+        col("s3").as("s31"))
+    val cs2 = crossSales.filter(col("syear") === 1996 + 1)
+      .select(col("item_sk").as("item2"), col("store_name").as("store2"),
+        col("cust_nation").as("nation2"), col("syear").as("syear2"),
+        col("cnt").as("cnt2"), col("s1").as("s12"), col("s2").as("s22"),
+        col("s3").as("s32"))
+    cs1.join(cs2,
+      col("item1") === col("item2") &&
+        col("store_name") === col("store2") &&
+        col("cust_nation") === col("nation2") &&
+        col("cnt2") <= col("cnt1"))
+      .select(col("product_name"), col("store_name"), col("cust_nation"),
+        col("syear1"), col("cnt1"), col("s11"), col("s21"), col("s31"),
+        col("s12"), col("s22"), col("s32"), col("syear2"), col("cnt2"))
+      .orderBy(col("product_name"), col("store_name"), col("cnt2"),
+        col("s11"), col("s21"), col("s31"))
+  }
+
   val crossSales2RefSql: String = {
     val refund = "l_extendedprice * l_discount + l_extendedprice * l_tax"
     s"""WITH returns_ui AS (
@@ -188,6 +250,6 @@ object TpcdsCtes {
       "53-week-offset self-join over a 7-day pivot CTE (q02)"),
     shared("tpcds_cte_chain_max", cteChainMaxSql,
       "chained CTEs, agg-of-agg max into HAVING scalar subquery (q23)"),
-    shared("tpcds_cross_sales_2ref", crossSales2RefSql,
-      "2x-referenced multi-join cross_sales CTE, year self-join (q64)"))
+    Q("tpcds_cross_sales_2ref", crossSales2Ref, Some(crossSales2RefSql),
+      "2x-referenced multi-join cross_sales CTE built ONCE, year self-join (q64)"))
 }
