@@ -77,7 +77,9 @@ object Runner {
 
   /** Run one suite: `USE catalog.db`, then time each query,
     * SUCCESS/FAILED with truncated error, keep going on failure
-    * (`IcebergBenchmark.java:149-222`).
+    * (`IcebergBenchmark.java:149-222`). `schemaSize` overrides the
+    * recorded schema_size column (sweep mode tags it with the
+    * fixture, like the reference's `tpch_sf1…sf1000` db names).
     */
   def runSuite(
       spark: SparkSession,
@@ -87,7 +89,8 @@ object Runner {
       schema: String,
       runId: String,
       listener: Option[MetricListener] = None,
-      flags: (Boolean, String) = (false, "HTTP")): Seq[Row] = {
+      flags: (Boolean, String) = (false, "HTTP"),
+      schemaSize: Option[String] = None): Seq[Row] = {
     // Per-suite namespace, exactly `IcebergBenchmark.java:153` —
     // unqualified table names in the suite resolve against it.
     if (database.nonEmpty && schema.nonEmpty)
@@ -106,7 +109,7 @@ object Runner {
       val (metricsJson, scanMs) = listener
         .flatMap(l => l.awaitExecutionId(10000).map(l.metrics))
         .getOrElse(("{}", 0L))
-      Row(runId, schema, benchmarkType, name, elapsedSec, ok, err, metricsJson,
+      Row(runId, schemaSize.getOrElse(schema), benchmarkType, name, elapsedSec, ok, err, metricsJson,
         flags._1, flags._2, scanMs,
         new java.sql.Timestamp(System.currentTimeMillis()))
     }
@@ -127,6 +130,50 @@ object Runner {
       .mode("append")
       .csv(s"$outputPath/$runId")
 
+  /** Scale-factor fixture dirs under `root`, sorted by name — the
+    * local analogue of the reference's sweep grid (`runner.sh:26-41`
+    * loops `tpch_sf1…sf1000`; here the grid is `sf0.001…sf0.1`).
+    */
+  def listSfDirs(root: String): Seq[String] = {
+    val p = Paths.get(root)
+    if (!Files.isDirectory(p)) return Seq.empty
+    Files.list(p).iterator.asScala
+      .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("sf"))
+      .toSeq.sortBy(_.getFileName.toString)
+      .map(_.toString)
+  }
+
+  /** Multi-sf sweep (`runner.sh:26-41`): one suite pass per fixture
+    * dir, every row in ONE result set with `schema_size` tagged
+    * `<db>_<sfTag>` — the reference emits one results CSV across its
+    * whole `sf × variant` grid. Table/corpus registration re-points
+    * at each fixture (the per-session register cache keys on the
+    * dir); corpus databases register only when a suite addresses a
+    * named db, so bare-view sweeps stay light.
+    */
+  def runSweep(
+      spark: SparkSession,
+      sfRoot: String,
+      suites: Seq[(String, Option[String], String)],
+      catalog: String,
+      runId: String,
+      listener: Option[MetricListener] = None,
+      flags: (Boolean, String) = (false, "HTTP")): Seq[Row] =
+    listSfDirs(sfRoot).flatMap { dir =>
+      val tag = Paths.get(dir).getFileName.toString
+      Tables.registerAll(spark, dir)
+      if (suites.exists { case (_, d, db) => d.isDefined && db.nonEmpty }) {
+        queries.Corpus.register(spark, dir)
+        queries.TpcdsCorpus.register(spark, dir)
+      }
+      suites.flatMap {
+        case (kind, Some(qdir), db) =>
+          runSuite(spark, kind, qdir, catalog, db, runId, listener, flags,
+            schemaSize = Some(if (db.isEmpty) tag else s"${db}_$tag"))
+        case _ => Seq.empty
+      }
+    }
+
   /** Named-option parsing, mirroring the reference's picocli surface
     * (`IcebergBenchmark.java:38-78`): `--key value` pairs.
     */
@@ -142,7 +189,7 @@ object Runner {
     * Runner --tpch-dir <dir> [--tpcds-dir <dir>]
     *   --tpch-data-db <db> [--tpcds-data-db <db>]
     *   [--catalog-name <cat>] --output-path <dir> --run-id <id>
-    *   --sf-dir <fixtureDir>
+    *   --sf-dir <fixtureDir> | --sweep-root <fixturesRoot>
     * }}}
     *
     * Suites run TPC-DS first then TPC-H (`IcebergBenchmark.java:
@@ -168,18 +215,34 @@ object Runner {
     spark.sparkContext.setLogLevel("WARN")
     val listener = new MetricListener
     spark.sparkContext.addSparkListener(listener)
+    // A non-default --catalog-name mounts the GraftCatalog plugin
+    // (unless the user already configured an implementation), so the
+    // suites' `USE <catalog>.<db>` resolves through a real DSv2
+    // TableCatalog over the materialized warehouse — the reference's
+    // resolution path (spark_submit_with_analytics_core.sh:11-14).
+    if (catalog != "spark_catalog" &&
+      spark.conf.getOption(s"spark.sql.catalog.$catalog").isEmpty)
+      spark.conf.set(s"spark.sql.catalog.$catalog",
+        "graft.sources.GraftCatalog")
     try {
-      Tables.registerAll(spark, sfDir)
-      queries.Corpus.register(spark, sfDir)
-      queries.TpcdsCorpus.register(spark, sfDir)
       val flags = confFlags(spark, catalog)
       val suites = Seq(
         ("TPC-DS", opts.get("tpcds-dir"), opts.getOrElse("tpcds-data-db", "")),
         ("TPC-H", opts.get("tpch-dir"), opts.getOrElse("tpch-data-db", "")))
-      val rows = suites.flatMap {
-        case (kind, Some(dir), db) =>
-          runSuite(spark, kind, dir, catalog, db, runId, Some(listener), flags)
-        case _ => Seq.empty
+      // `--sweep-root <dir>`: run the whole suite grid once per sf*
+      // fixture under <dir>, all rows in one CSV (runner.sh:26-41).
+      val rows = opts.get("sweep-root") match {
+        case Some(root) =>
+          runSweep(spark, root, suites, catalog, runId, Some(listener), flags)
+        case None =>
+          Tables.registerAll(spark, sfDir)
+          queries.Corpus.register(spark, sfDir)
+          queries.TpcdsCorpus.register(spark, sfDir)
+          suites.flatMap {
+            case (kind, Some(dir), db) =>
+              runSuite(spark, kind, dir, catalog, db, runId, Some(listener), flags)
+            case _ => Seq.empty
+          }
       }
       Thread.sleep(2000) // drain listener bus (reference sleeps 10s, :217)
       writeResultsCsv(spark, rows, outDir, runId)

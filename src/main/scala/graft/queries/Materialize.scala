@@ -133,6 +133,12 @@ object Materialize {
     // reordering stays at its default (off) — CBO here only sharpens
     // size/row estimates.
     s.conf.set("spark.sql.cbo.enabled", "true")
+    // Mount the materialized warehouse for [[graft.sources.GraftCatalog]]:
+    // with `spark.sql.catalog.<name> = graft.sources.GraftCatalog` the
+    // same parquet tables also resolve as `<name>.<db>.<table>` through
+    // a real DSv2 TableCatalog (`USE <name>.<db>`), the reference's
+    // catalog-resolution path (IcebergBenchmark.java:153).
+    s.conf.set(s"spark.graft.catalog.dir.$db", root.toString)
     true
   }
 }

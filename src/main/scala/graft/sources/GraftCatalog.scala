@@ -2,9 +2,14 @@ package graft.sources
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -16,10 +21,26 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * .SparkCatalog`, `spark_submit_with_analytics_core.sh:11-14`) and
   * then drives via `USE catalog.db` (`IcebergBenchmark.java:153`).
   * No Iceberg jars exist in this container, so the catalog serves
-  * the [[SyntheticSource]] tables: namespace `synth`, table
-  * `rows_<N>` → an N-row deterministic table. `USE`, 3-part SELECTs,
-  * SHOW TABLES, and the scan-level pushdown all flow through the
-  * same DSv2 entry points an Iceberg catalog implements.
+  * two kinds of namespaces through the same DSv2 entry points an
+  * Iceberg catalog implements (`USE`, 3-part SELECTs, SHOW TABLES,
+  * scan-level pushdown):
+  *
+  *  - `synth`: the [[SyntheticTable]] demo tables (`rows_<N>` → an
+  *    N-row deterministic table with full pushdown).
+  *  - Conf-mounted parquet warehouses: any database whose
+  *    materialized root is recorded under
+  *    `spark.graft.catalog.dir.<db>` (set by
+  *    [[graft.queries.Materialize.registerTables]]) serves each
+  *    `<root>/<table>` parquet directory as a DSv2 `ParquetTable` —
+  *    filter/column pushdown and file pruning flow through the
+  *    normal parquet `ScanBuilder`. This is the local analogue of
+  *    `type=hadoop` Iceberg warehouses: path-addressed tables behind
+  *    a named catalog, so the corpus runs `USE graft.tpcds` instead
+  *    of `spark_catalog` views.
+  *
+  * Conf keys are read from the ACTIVE session at resolution time
+  * (not captured at `initialize`) so a fixture materialized after
+  * the catalog's first load is immediately visible.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
@@ -32,21 +53,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private val defaultTables = Seq("rows_1000", "rows_100000")
   private val TableName = "rows_([0-9]+)".r
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    requireNs(namespace)
-    defaultTables.map(t => Identifier.of(ns, t)).toArray
-  }
+  private def session: SparkSession = SparkSession.active
 
-  override def loadTable(ident: Identifier): Table = {
-    requireNs(ident.namespace())
-    ident.name() match {
-      case TableName(n) => new SyntheticTable(n.toLong, slices = 4, buckets = 16)
+  /** Materialized parquet root for a conf-mounted database, if any. */
+  private def mountedDir(db: String): Option[java.nio.file.Path] =
+    session.conf.getOption(s"spark.graft.catalog.dir.$db")
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.isDirectory(_))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(ns))
+      defaultTables.map(t => Identifier.of(ns, t)).toArray
+    else namespace match {
+      case Array(db) if mountedDir(db).isDefined =>
+        java.nio.file.Files.list(mountedDir(db).get).iterator()
+          .asScala
+          .filter(p => java.nio.file.Files.isDirectory(p))
+          .map(p => Identifier.of(namespace, p.getFileName.toString))
+          .toArray
+      case _ => throw new NoSuchNamespaceException(namespace)
+    }
+
+  override def loadTable(ident: Identifier): Table =
+    if (ident.namespace().sameElements(ns))
+      ident.name() match {
+        case TableName(n) => new SyntheticTable(n.toLong, slices = 4, buckets = 16)
+        case _ => throw new NoSuchTableException(ident)
+      }
+    else ident.namespace() match {
+      case Array(db) =>
+        val dir = mountedDir(db).map(_.resolve(ident.name()))
+          .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+          .getOrElse(throw new NoSuchTableException(ident))
+        ParquetTable(
+          s"$catalogName.$db.${ident.name()}",
+          session,
+          CaseInsensitiveStringMap.empty(),
+          Seq(dir.toString),
+          userSpecifiedSchema = None,
+          fallbackFileFormat = classOf[ParquetFileFormat])
       case _ => throw new NoSuchTableException(ident)
     }
-  }
 
   private def requireNs(namespace: Array[String]): Unit =
-    if (!namespace.sameElements(ns))
+    if (!namespace.sameElements(ns) &&
+      !(namespace.length == 1 && mountedDir(namespace(0)).isDefined))
       throw new NoSuchNamespaceException(namespace)
 
   // Read-only catalog: DDL is rejected like any immutable warehouse.
@@ -60,11 +111,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
 
-  override def listNamespaces(): Array[Array[String]] = Array(ns)
+  /** Conf-mounted database names in the active session. */
+  private def mountedDbs: Seq[String] = {
+    val prefix = "spark.graft.catalog.dir."
+    session.conf.getAll.keys.toSeq.sorted
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      .filter(db => mountedDir(db).isDefined)
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(ns) ++ mountedDbs.map(Array(_))
   override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
-    if (namespace.isEmpty) Array(ns) else Array.empty
+    if (namespace.isEmpty) listNamespaces() else Array.empty
   override def namespaceExists(namespace: Array[String]): Boolean =
-    namespace.sameElements(ns)
+    namespace.sameElements(ns) ||
+      (namespace.length == 1 && mountedDir(namespace(0)).isDefined)
   override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
     requireNs(namespace); new util.HashMap[String, String]()
   }

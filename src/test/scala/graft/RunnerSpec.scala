@@ -105,6 +105,56 @@ class RunnerSpec extends SparkSpec {
     assert(failed.isEmpty, s"corpus failures: ${failed.mkString("; ")}")
   }
 
+  test("catalog-routed corpus: USE graft.<db> runs all 125 files SUCCESS") {
+    // The reference resolves every table through a NAMED catalog
+    // (`USE catalog.db`, IcebergBenchmark.java:153) mounted via
+    // spark.sql.catalog.* (spark_submit_with_analytics_core.sh:11-14).
+    // Same path here: Materialize mounts the warehouse dirs, the
+    // GraftCatalog plugin serves them as DSv2 ParquetTables, and both
+    // corpora run verbatim with ${database} -> graft.
+    queries.Corpus.register(spark, sf)
+    queries.TpcdsCorpus.register(spark, sf)
+    assert(spark.conf.getOption("spark.graft.catalog.dir.tpch").isDefined)
+    assert(spark.conf.getOption("spark.graft.catalog.dir.tpcds").isDefined)
+    spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    try {
+      assert(spark.sql("SHOW TABLES IN graft.tpcds").count() === 24)
+      val rowsH = Runner.runSuite(spark, "TPC-H", queries.Corpus.corpusDir,
+        "graft", "tpch", "run_cat")
+      val rowsD = Runner.runSuite(spark, "TPC-DS", queries.TpcdsCorpus.corpusDir,
+        "graft", "tpcds", "run_cat")
+      assert(rowsH.length === 22 && rowsD.length === 103)
+      val failed = (rowsH ++ rowsD).filter(!_.getBoolean(5)).map(r =>
+        r.getString(3) + ": " + r.getString(6).take(120))
+      assert(failed.isEmpty, s"catalog-routed failures: ${failed.mkString("; ")}")
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
+  test("multi-sf sweep: one pass per fixture, schema_size per sf, one CSV") {
+    val qdir = Files.createTempDirectory("graft-sweepq")
+    Files.writeString(qdir.resolve("q1.sql"),
+      "SELECT COUNT(*) AS c FROM lineitem")
+    val suites = Seq(("TPC-H", Some(qdir.toString), ""))
+    val tags = Runner.listSfDirs("/root/testdata")
+      .map(d => java.nio.file.Paths.get(d).getFileName.toString)
+    assert(tags.size >= 2) // the driver ships sf0.001/sf0.01/sf0.1
+    val rows = Runner.runSweep(spark, "/root/testdata", suites,
+      "spark_catalog", "run_sweep")
+    assert(rows.length === tags.size)
+    assert(rows.map(_.getString(1)) === tags) // schema_size carries the sf
+    assert(rows.forall(_.getBoolean(5)))
+    // All grid rows land in ONE results CSV, like runner.sh's single
+    // output file across its sf loop.
+    val out = Files.createTempDirectory("graft-sweep-results").toString
+    Runner.writeResultsCsv(spark, rows, out, "run_sweep")
+    val files = new java.io.File(s"$out/run_sweep").listFiles()
+      .filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1)
+    val content = Files.readString(files.head.toPath)
+    tags.foreach(t => assert(content.contains("\"" + t + "\"")))
+    Tables.registerAll(spark, sf) // re-point shared-session views
+  }
+
   test("suite runs all queries, failures recorded and truncated, CSV written") {
     val dir = writeQueries()
     Tables.registerAll(spark, sf)
