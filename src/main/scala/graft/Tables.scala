@@ -32,17 +32,29 @@ object Tables {
     * oracle (`CAST(ts AS TIMESTAMP)` — no-op on micros, ns-truncation
     * on nanos) see identical values. Integer `div` (not `/`) on the
     * nanos path — nanos ~1.7e18 exceed double's 2^53 exact range.
+    *
+    * Shared by the batch ([[events]]) and streaming
+    * ([[graft.streaming.EventWindows.streamingEvents]]) readers so
+    * the two faces cannot drift.
     */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+    // The NTZ->TimestampType cast reads the wall-clock instant in the
+    // SESSION zone: only UTC matches the epoch-nanos path and the
+    // DuckDB oracle. Every entry point pins UTC already (Verify /
+    // Bench / Runner / SparkSpec); enforce the invariant here so a
+    // future entry point cannot silently shift instants.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")

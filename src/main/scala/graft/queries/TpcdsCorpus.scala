@@ -3,6 +3,7 @@ package graft.queries
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{avg, col, round, stddev_samp}
 
 /** Verbatim EXECUTION of the reference TPC-DS corpus (103 files,
   * `/root/reference/queries/tpcds`).
@@ -1289,6 +1290,51 @@ object TpcdsCorpus {
   private val q39_1Oracle: String = s"$q39Prefix\n${q39Select("")}"
   private val q39_2Oracle: String =
     s"$q39Prefix\n${q39Select("\n  AND inv1.cov_raw > 1.5")}"
+
+  /** q39's stddev band in DataFrame form (`queries/tpcds/q39_1.sql:18`:
+    * `stddev_samp(inv_quantity_on_hand) stdev, avg(...) mean`): the
+    * REAL `stddev_samp`/`avg` functions over the synthesized
+    * inventory, the `cov = stdev/mean > 1` band on the raw value,
+    * and the q39 month-pair self-join — a driver-visible shape
+    * entry so the band semantics are oracled outside the verbatim
+    * corpus files too (VERDICT r3 task #7). cov is rounded to 6
+    * decimals on both sides, the corpus q39 compare contract
+    * (Q39Spec measures the margins).
+    */
+  private def invStddevBand(s: SparkSession, dir: String): DataFrame = {
+    register(s, dir)
+    val dd = s.table(s"$db.date_dim").filter(col("d_year") === 2001)
+      .select(col("d_date_sk"), col("d_moy"))
+    val moments = s.table(s"$db.inventory")
+      .join(dd, col("inv_date_sk") === col("d_date_sk"))
+      .groupBy(col("inv_warehouse_sk").as("wsk"),
+        col("inv_item_sk").as("isk"), col("d_moy"))
+      .agg(stddev_samp(col("inv_quantity_on_hand")).as("stdev"),
+        avg(col("inv_quantity_on_hand")).as("mean"))
+      .filter(col("mean") > 0 && col("stdev") / col("mean") > 1)
+      .withColumn("cov", round(col("stdev") / col("mean"), 6))
+    val m1 = moments.filter(col("d_moy") === 1)
+      .select(col("wsk"), col("isk"),
+        col("mean").as("mean1"), col("cov").as("cov1"))
+    val m2 = moments.filter(col("d_moy") === 2)
+      .select(col("wsk").as("wsk2"), col("isk").as("isk2"),
+        col("mean").as("mean2"), col("cov").as("cov2"))
+    m1.join(m2, col("wsk") === col("wsk2") && col("isk") === col("isk2"))
+      .select(col("wsk"), col("isk"), col("mean1"), col("cov1"),
+        col("mean2"), col("cov2"))
+      .orderBy(col("wsk"), col("isk"))
+  }
+
+  private val invStddevBandOracle: String =
+    s"""$q39Prefix
+       |SELECT inv1.w_warehouse_sk AS wsk, inv1.i_item_sk AS isk,
+       |  inv1.mean AS mean1, round(inv1.cov_raw, 6) AS cov1,
+       |  inv2.mean AS mean2, round(inv2.cov_raw, 6) AS cov2
+       |FROM inv inv1, inv inv2
+       |WHERE inv1.i_item_sk = inv2.i_item_sk
+       |  AND inv1.w_warehouse_sk = inv2.w_warehouse_sk
+       |  AND inv1.d_moy = 1 AND inv2.d_moy = 2
+       |ORDER BY wsk, isk""".stripMargin
 
   /** q72's slice: catalog sales short on same-week inventory, promo
     * vs no-promo counts. The LEFT JOINs are count-preserving except
@@ -5033,6 +5079,8 @@ object TpcdsCorpus {
       "mean1", "cov1", "wsk2", "isk2", "moy2", "mean2", "cov2"), roundCovs),
       Some(q39_2Oracle),
       "verbatim reference file queries/tpcds/q39_2.sql via synthesized tables"),
+    graft.Q("tpcds_inv_stddev_band", invStddevBand, Some(invStddevBandOracle),
+      "q39 stddev_samp/avg cov>1 band over synthesized inventory, DataFrame form"),
     graft.Q("corpus_tpcds_q41", gate("q41", Seq("i_product_name")),
       Some(q41Oracle),
       "verbatim reference file queries/tpcds/q41.sql via synthesized tables"),

@@ -267,25 +267,20 @@ object EventWindows {
   // ---------------------------------------------------------------
   // Structured Streaming faces (exercised by StreamingSpec).
 
-  /** File-source streaming read of the events fixture, normalizing
-    * the ts column exactly like [[Tables.events]] (nanos-as-long on
-    * old fixtures, TIMESTAMP_NTZ on newer ones).
+  /** File-source streaming read of the events fixture, normalized by
+    * the SAME [[Tables.normalizeTs]] the batch reader applies (nanos
+    * -as-long on old fixtures, TIMESTAMP_NTZ on newer ones) — one
+    * helper, no drift between the two faces.
     */
   def streamingEvents(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The batch reader's footer-derived schema IS the physical schema;
     // reuse it for the stream so both faces normalize identically.
     val physical = s.read.parquet(s"$dir/events.parquet").schema
-    val st = s.readStream.schema(physical)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-    physical("ts").dataType match {
-      case LongType =>
-        st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        st.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => st
-    }
+    graft.Tables.normalizeTs(
+      s.readStream.schema(physical)
+        .option("pathGlobFilter", "events.parquet") // file source needs a dir
+        .parquet(dir))
   }
 
   /** Watermarked tumbling aggregation over a streaming frame —
