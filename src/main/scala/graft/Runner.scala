@@ -174,6 +174,50 @@ object Runner {
       }
     }
 
+  /** The reference's three submit variants (`runner.sh:28-41`):
+    * analytics-core enabled (`spark_submit_with_analytics_core.sh`),
+    * disabled (`spark_submit_without_analytics_core.sh`), and
+    * enabled-with-gRPC (`spark_submit_grpc_enabled.sh:17`), as
+    * (name, analytics-core enabled, client type).
+    */
+  val clientVariants: Seq[(String, Boolean, String)] = Seq(
+    ("with_analytics_core", true, "HTTP_CLIENT"),
+    ("without_analytics_core", false, "HTTP_CLIENT"),
+    ("grpc_enabled", true, "GRPC_CLIENT"))
+
+  /** The full reference grid: variant outer loop × sf sweep inner
+    * loop (`runner.sh:28-41` runs each submit variant across
+    * `sf1…sf1000`), one combined result set under ONE run id.
+    *
+    * The variants are not just recorded flags — they select a REAL
+    * second IO path, the local analogue of swapping the Iceberg
+    * FileIO client: analytics-core variants resolve every table
+    * through the named DSv2 catalog ([[graft.sources.GraftCatalog]]
+    * `ParquetTable` scans), the disabled variant resolves through
+    * the session catalog's tables/views. The per-variant catalog
+    * confs are re-pointed exactly where the submit scripts set them
+    * (`spark.sql.catalog.<cat>.gcs.*`), so the results rows carry
+    * the same `analytics_core_enabled`/`client_type` attribution the
+    * reference CSV has (`IcebergBenchmark.java:107-118,131-147`).
+    */
+  def runVariantGrid(
+      spark: SparkSession,
+      sfRoot: String,
+      suites: Seq[(String, Option[String], String)],
+      catalog: String,
+      runId: String,
+      listener: Option[MetricListener] = None): Seq[Row] =
+    clientVariants.flatMap { case (_, enabled, client) =>
+      spark.conf.set(
+        s"spark.sql.catalog.$catalog.gcs.analytics-core.enabled", enabled.toString)
+      spark.conf.set(s"spark.sql.catalog.$catalog.gcs.client.type", client)
+      if (enabled && spark.conf.getOption(s"spark.sql.catalog.$catalog").isEmpty)
+        spark.conf.set(s"spark.sql.catalog.$catalog", "graft.sources.GraftCatalog")
+      val database = if (enabled) catalog else "spark_catalog"
+      runSweep(spark, sfRoot, suites, database, runId, listener,
+        confFlags(spark, catalog))
+    }
+
   /** Named-option parsing, mirroring the reference's picocli surface
     * (`IcebergBenchmark.java:38-78`): `--key value` pairs.
     */
@@ -231,10 +275,14 @@ object Runner {
         ("TPC-H", opts.get("tpch-dir"), opts.getOrElse("tpch-data-db", "")))
       // `--sweep-root <dir>`: run the whole suite grid once per sf*
       // fixture under <dir>, all rows in one CSV (runner.sh:26-41).
-      val rows = opts.get("sweep-root") match {
-        case Some(root) =>
+      // Adding `--variant-grid true` wraps the sweep in the three
+      // client-variant passes (runner.sh's full submit grid).
+      val rows = (opts.get("sweep-root"), opts.get("variant-grid")) match {
+        case (Some(root), Some("true")) =>
+          runVariantGrid(spark, root, suites, catalog, runId, Some(listener))
+        case (Some(root), _) =>
           runSweep(spark, root, suites, catalog, runId, Some(listener), flags)
-        case None =>
+        case _ =>
           Tables.registerAll(spark, sfDir)
           queries.Corpus.register(spark, sfDir)
           queries.TpcdsCorpus.register(spark, sfDir)

@@ -155,6 +155,30 @@ class RunnerSpec extends SparkSpec {
     Tables.registerAll(spark, sf) // re-point shared-session views
   }
 
+  test("client-variant grid: three passes, flags attributed, two IO paths") {
+    // runner.sh's full grid = 3 submit variants × sf sweep. One
+    // symlinked fixture keeps the spec fast; the analytics-core
+    // variants route ${database} through the graft DSv2 catalog, the
+    // disabled variant through spark_catalog — a real second IO path.
+    val root = Files.createTempDirectory("graft-varroot")
+    Files.createSymbolicLink(root.resolve("sf0.001"),
+      java.nio.file.Paths.get(sf))
+    val qdir = Files.createTempDirectory("graft-varq")
+    Files.writeString(qdir.resolve("q1.sql"),
+      "SELECT COUNT(*) AS c FROM ${database}.${schema}.lineitem")
+    val suites = Seq(("TPC-H", Some(qdir.toString), "tpch"))
+    try {
+      val rows = Runner.runVariantGrid(spark, root.toString, suites,
+        "graft", "run_grid")
+      assert(rows.length === 3)
+      assert(rows.map(_.getBoolean(8)) === Seq(true, false, true))
+      assert(rows.map(_.getString(9)) === Seq("HTTP", "HTTP", "GRPC"))
+      val failed = rows.filter(!_.getBoolean(5)).map(r =>
+        r.getString(3) + ": " + r.getString(6).take(120))
+      assert(failed.isEmpty, s"variant failures: ${failed.mkString("; ")}")
+    } finally spark.sql("USE spark_catalog.default")
+  }
+
   test("suite runs all queries, failures recorded and truncated, CSV written") {
     val dir = writeQueries()
     Tables.registerAll(spark, sf)
