@@ -18,6 +18,7 @@ object Registry {
     queries.Tpch.all ++
       queries.TpcdsShapes.all ++
       queries.TpcdsCtes.all ++
+      queries.Bucketed.all ++
       queries.Corpus.all ++
       queries.TpcdsCorpus.all ++
       ops.TextAnalysis.all ++

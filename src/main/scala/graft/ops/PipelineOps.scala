@@ -988,6 +988,112 @@ object PipelineOps {
       |ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Leakage-free train/val/test split: assign splits per NEAR-DUP
+    * BLOCK (the [[Dedup.ngramJaccard]] single-permutation MinHash key
+    * `(lang, source, min word hash)`), not per document — two
+    * near-duplicate documents share the block, hence the split, so a
+    * training doc can never have its near-copy in the eval split.
+    * The op emits both strategies' per-split accounting PLUS the
+    * leakage audit: blocks spanning >1 split — 0 for the
+    * cluster-keyed assignment by construction (but COMPUTED, not
+    * assumed), >0 for the naive per-doc hash split whenever any
+    * block has ≥2 docs. This is the split protocol every
+    * contamination-sensitive pipeline needs (decontamination's
+    * sibling: leakage WITHIN the corpus rather than vs a benchmark).
+    *
+    * Scale shape: one word-explode keyed agg (shared with the dedup
+    * family), then keyed aggs on the block key — no windows, no
+    * all-pairs, nothing driver-side.
+    */
+  def leakageSplit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"),
+        explode(expr("array_distinct(split(text, ' '))")).as("w"))
+      .withColumn("h", expr(s"fold_hash(w, 31, 0, $P)"))
+      .groupBy(col("doc_id"), col("lang"), col("source"), col("tok"))
+      .agg(min(col("h")).as("minh"))
+    val keyed = base.withColumn("bkey",
+      pmod(expr(s"fold_hash(concat(lang, '|', source), 31, 0, $P)") * 31L +
+        col("minh"), lit(P)))
+    def splitOf(h: org.apache.spark.sql.Column) =
+      when(pmod(h, lit(10L)) < 8, "train")
+        .when(pmod(h, lit(10L)) === 8, "val")
+        .otherwise("test")
+    val assigned = keyed
+      .withColumn("cluster_split",
+        splitOf(pmod(col("bkey") * 2654435761L + 13L, lit(P))))
+      .withColumn("naive_split",
+        splitOf(pmod(col("doc_id") * 2654435761L + 13L, lit(P))))
+    val strategies = assigned
+      .select(lit("cluster").as("strategy"), col("bkey"), col("tok"),
+        col("cluster_split").as("split"))
+      .unionAll(assigned.select(lit("naive").as("strategy"), col("bkey"),
+        col("tok"), col("naive_split").as("split")))
+    val leaks = strategies
+      .groupBy(col("strategy").as("ls"), col("bkey"))
+      .agg(countDistinct(col("split")).as("nsplits"))
+      .groupBy(col("ls"))
+      .agg(sum(when(col("nsplits") > 1, 1L).otherwise(0L)).as("leaked_blocks"))
+    strategies.groupBy(col("strategy"), col("split"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tok_sum"),
+        countDistinct(col("bkey")).as("n_blocks"))
+      .join(leaks, col("strategy") === col("ls"))
+      .select(col("strategy"), col("split"), col("docs"), col("tok_sum"),
+        col("n_blocks"), col("leaked_blocks"))
+      .orderBy(col("strategy"), col("split"))
+  }
+
+  val leakageSplitOracle: String = {
+    def fold(e: String): String =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007)"
+    def splitCase(h: String): String =
+      s"""CASE WHEN (($h * 2654435761 + 13) % 1000000007) % 10 < 8 THEN 'train'
+         |      WHEN (($h * 2654435761 + 13) % 1000000007) % 10 = 8 THEN 'val'
+         |      ELSE 'test' END""".stripMargin
+    s"""WITH words AS (
+       |  SELECT doc_id, lang, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+       |    unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, lang, source, tok, ${fold("w")} AS h FROM words),
+       |base AS (
+       |  SELECT doc_id, lang, source, tok, MIN(h) AS minh
+       |  FROM hashed GROUP BY doc_id, lang, source, tok),
+       |keyed AS (
+       |  SELECT doc_id, tok,
+       |    (${fold("lang || '|' || source")} * 31 + minh) % 1000000007 AS bkey
+       |  FROM base),
+       |assigned AS (
+       |  SELECT doc_id, tok, bkey,
+       |    ${splitCase("bkey")} AS cluster_split,
+       |    ${splitCase("doc_id")} AS naive_split
+       |  FROM keyed),
+       |strategies AS (
+       |  SELECT 'cluster' AS strategy, bkey, tok, cluster_split AS split
+       |  FROM assigned
+       |  UNION ALL
+       |  SELECT 'naive', bkey, tok, naive_split FROM assigned),
+       |leaks AS (
+       |  SELECT strategy,
+       |    CAST(SUM(CASE WHEN nsplits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS leaked_blocks
+       |  FROM (SELECT strategy, bkey, COUNT(DISTINCT split) AS nsplits
+       |        FROM strategies GROUP BY 1, 2) g
+       |  GROUP BY strategy)
+       |SELECT s.strategy, s.split, COUNT(*) AS docs,
+       |  CAST(SUM(s.tok) AS BIGINT) AS tok_sum,
+       |  COUNT(DISTINCT s.bkey) AS n_blocks, l.leaked_blocks
+       |FROM strategies s JOIN leaks l ON s.strategy = l.strategy
+       |GROUP BY s.strategy, s.split, l.leaked_blocks
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -1026,5 +1132,7 @@ object PipelineOps {
     Q("pipe_pad_waste", padWaste, Some(padWasteOracle),
       "padding waste: arrival-order vs length-sorted batch composition"),
     Q("pipe_token_budget", tokenBudget, Some(tokenBudgetOracle),
-      "quality-first fill of a 100k-token training budget"))
+      "quality-first fill of a 100k-token training budget"),
+    Q("pipe_leakage_split", leakageSplit, Some(leakageSplitOracle),
+      "near-dup-block train/val/test split with computed leakage audit"))
 }

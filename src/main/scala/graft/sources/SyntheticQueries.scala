@@ -31,7 +31,35 @@ object SyntheticQueries {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** The same connector through its VECTORIZED read path
+    * (`vectorized=true` → `ColumnarBatch`es + codegen'd
+    * ColumnarToRow): residual modulo filter above the scan, keyed
+    * aggregate below the sort. Hash equality against the row-path
+    * oracle proves the columnar batches carry identical values.
+    */
+  def synthVectorized(s: SparkSession, dir: String): DataFrame =
+    s.read.format("graft.sources.SyntheticSource")
+      .option("rows", "200000").option("slices", "8").option("buckets", "16")
+      .option("vectorized", "true")
+      .load()
+      .filter(col("id") % 7 === 3)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("value_sum"),
+        max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+
+  val synthVectorizedOracle: String =
+    """SELECT CAST(id % 16 AS INTEGER) AS bucket, COUNT(*) AS n,
+      |  CAST(SUM((id * 2654435761 + 7) % 1000000007) AS BIGINT) AS value_sum,
+      |  MAX(id) AS max_id
+      |FROM range(0, 200000) t(id)
+      |WHERE id % 7 = 3
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("dsv2_synth_agg", synthAgg, Some(synthAggOracle),
-      "custom DSv2 connector scan: pushdown-narrowed range aggregate"))
+      "custom DSv2 connector scan: pushdown-narrowed range aggregate"),
+    Q("dsv2_synth_vectorized", synthVectorized, Some(synthVectorizedOracle),
+      "DSv2 vectorized read path: ColumnarBatch scan + ColumnarToRow"))
 }

@@ -13,8 +13,10 @@ import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, Cus
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 
 /** A complete DataSource V2 connector: the `graft-synth` table
   * generates a deterministic synthetic event stream
@@ -49,7 +51,8 @@ class SyntheticSource extends TableProvider {
       properties.getOrDefault("rows", "1000").toLong,
       properties.getOrDefault("slices", "4").toInt,
       properties.getOrDefault("buckets", "16").toInt,
-      properties.getOrDefault("keyGrouped", "false").toBoolean)
+      properties.getOrDefault("keyGrouped", "false").toBoolean,
+      properties.getOrDefault("vectorized", "false").toBoolean)
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -64,18 +67,18 @@ object SyntheticSource {
 }
 
 final class SyntheticTable(rows: Long, slices: Int, buckets: Int,
-    keyGrouped: Boolean = false)
+    keyGrouped: Boolean = false, vectorized: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SyntheticSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SyntheticScanBuilder(rows, slices, buckets, keyGrouped)
+    new SyntheticScanBuilder(rows, slices, buckets, keyGrouped, vectorized)
 }
 
 final class SyntheticScanBuilder(rows: Long, slices: Int, buckets: Int,
-    keyGrouped: Boolean = false)
+    keyGrouped: Boolean = false, vectorized: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with SupportsPushDownAggregates {
@@ -150,7 +153,8 @@ final class SyntheticScanBuilder(rows: Long, slices: Int, buckets: Int,
     case Some((grouped, fns)) =>
       new SyntheticAggScan(lo, math.max(lo, hi), buckets, grouped, fns)
     case None =>
-      new SyntheticScan(lo, math.max(lo, hi), slices, buckets, required, keyGrouped)
+      new SyntheticScan(lo, math.max(lo, hi), slices, buckets, required,
+        keyGrouped, vectorized)
   }
 }
 
@@ -223,14 +227,15 @@ final case class SyntheticBucket(bucket: Int, from: Long, until: Long,
 }
 
 final class SyntheticScan(lo: Long, hi: Long, slices: Int, buckets: Int,
-    required: StructType, keyGrouped: Boolean)
+    required: StructType, keyGrouped: Boolean, vectorized: Boolean = false)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-synth [$lo, $hi) slices=$slices cols=${required.fieldNames.mkString(",")}" +
-      (if (keyGrouped) " keyGrouped" else "")
+      (if (keyGrouped) " keyGrouped" else "") +
+      (if (vectorized) " vectorized" else "")
 
   // --- runtime (dynamic) filtering on the partition key -----------
   // The DSv2 DPP contract: Spark builds the dim side first, then
@@ -284,7 +289,7 @@ final class SyntheticScan(lo: Long, hi: Long, slices: Int, buckets: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new SyntheticReaderFactory(buckets, required.fieldNames)
+    new SyntheticReaderFactory(buckets, required.fieldNames, vectorized)
 
   /** The reference's `custom_scan_time*` surface
     * (`IcebergBenchmark.java:306-309`): its patched Iceberg reader
@@ -321,8 +326,67 @@ object SyntheticScan {
   def resetRuntimeFilter(): Unit = lastRuntimeFilterValues = -1
 }
 
-final class SyntheticReaderFactory(buckets: Int, cols: Array[String])
+final class SyntheticReaderFactory(buckets: Int, cols: Array[String],
+    vectorized: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** Vectorized read path (`vectorized=true`): the scan emits
+    * `ColumnarBatch`es of on-heap vectors instead of one
+    * `InternalRow` per `next()` — the same columnar DSv2 contract
+    * Iceberg's vectorized parquet reader uses (the reference enables
+    * it via its Iceberg runtime; `spark_submit_with_analytics_core
+    * .sh:11-17`). Spark inserts a codegen'd `ColumnarToRow` above the
+    * scan, and per-value virtual calls disappear from the inner loop.
+    */
+  override def supportColumnarReads(p: InputPartition): Boolean = vectorized
+
+  override def createColumnarReader(
+      p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val (start, until, step) = p match {
+      case r: SyntheticRange => (r.from, r.until, 1L)
+      case b: SyntheticBucket =>
+        (b.from + (((b.bucket - b.from % b.buckets) + b.buckets) % b.buckets),
+          b.until, b.buckets.toLong)
+    }
+    new PartitionReader[ColumnarBatch] {
+      private val t0 = System.nanoTime()
+      private val capacity = 4096
+      private val schema = StructType(cols.map {
+        case "id"     => StructField("id", LongType, nullable = false)
+        case "bucket" => StructField("bucket", IntegerType, nullable = false)
+        case "value"  => StructField("value", LongType, nullable = false)
+      })
+      private val vectors = OnHeapColumnVector.allocateColumns(capacity, schema)
+      private val batch =
+        new ColumnarBatch(vectors.asInstanceOf[Array[ColumnVector]])
+      private var id = start
+
+      override def next(): Boolean = {
+        if (id >= until) return false
+        vectors.foreach(_.reset())
+        var n = 0
+        while (n < capacity && id < until) {
+          var i = 0
+          while (i < cols.length) {
+            cols(i) match {
+              case "id"     => vectors(i).putLong(n, id)
+              case "bucket" => vectors(i).putInt(n, (id % buckets).toInt)
+              case "value"  => vectors(i).putLong(n, SyntheticSource.valueOf(id))
+            }
+            i += 1
+          }
+          id += step
+          n += 1
+        }
+        batch.setNumRows(n)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+      override def currentMetricsValues(): Array[CustomTaskMetric] =
+        Array(ScanTimeTaskMetric((System.nanoTime() - t0) / 1000000L))
+    }
+  }
 
   private def rowFor(id: Long): InternalRow = {
     // Only the pruned columns are materialized.

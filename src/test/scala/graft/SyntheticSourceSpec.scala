@@ -41,6 +41,36 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(q.rdd.getNumPartitions === 8)
   }
 
+  test("vectorized read path: ColumnarBatch scan, identical values") {
+    val rowPath = synth(4).filter(col("id") % 7 === 3)
+      .groupBy(col("bucket")).agg(sum(col("value")).as("s"))
+      .orderBy(col("bucket")).collect()
+    val q = spark.read.format("graft.sources.SyntheticSource")
+      .option("rows", "100000").option("slices", "4")
+      .option("vectorized", "true").load()
+      .filter(col("id") % 7 === 3)
+      .groupBy(col("bucket")).agg(sum(col("value")).as("s"))
+      .orderBy(col("bucket"))
+    assert(q.collect().toSeq === rowPath.toSeq)
+    // Inspect AFTER execution: AQE only materializes the columnar
+    // transition (ColumnarToRow above the batch scan) in the final
+    // per-stage plans.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"vectorized scan did not produce a columnar plan:\n$plan")
+  }
+
+  test("vectorized + key-grouped bucket partitions agree with row path") {
+    def read(vec: Boolean) = spark.read
+      .format("graft.sources.SyntheticSource")
+      .option("rows", "50000").option("buckets", "16")
+      .option("keyGrouped", "true").option("vectorized", vec.toString)
+      .load()
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .orderBy(col("bucket"))
+    assert(read(vec = true).collect().toSeq === read(vec = false).collect().toSeq)
+  }
+
   test("connector's custom_scan_time metric reaches the listener rollup") {
     val listener = new MetricListener
     spark.sparkContext.addSparkListener(listener)
