@@ -23,11 +23,14 @@ object Bench {
     // graft sessions (value-verified; sort-free q67/q70 plans).
     graft.plans.TopK.register(spark)
     spark.conf.set("spark.graft.topk.rewrite", "true")
-    // One-time corpus-table materialization (parquet write per
-    // fixture, idempotent) happens here, not inside the first timed
-    // query — the bench measures query execution, not setup.
+    // One-time table materialization (parquet writes per fixture,
+    // idempotent) happens here, not inside the first timed query —
+    // the bench measures query execution, not setup. This covers the
+    // corpus warehouses plus the bucketed and partitioned layouts.
     graft.queries.Corpus.register(spark, sfDir)
     graft.queries.TpcdsCorpus.register(spark, sfDir)
+    graft.queries.Bucketed.register(spark, sfDir)
+    graft.queries.PartitionedWarehouse.register(spark, sfDir)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     var failed = Set.empty[String]
     // Sorted order: stable run-to-run attribution (first query bears

@@ -19,6 +19,7 @@ object Registry {
       queries.TpcdsShapes.all ++
       queries.TpcdsCtes.all ++
       queries.Bucketed.all ++
+      queries.PartitionedWarehouse.all ++
       queries.Corpus.all ++
       queries.TpcdsCorpus.all ++
       ops.TextAnalysis.all ++
