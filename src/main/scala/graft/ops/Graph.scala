@@ -94,7 +94,103 @@ object Graph {
       |ORDER BY d.source""".stripMargin
 
   // ---------------------------------------------------------------
+  /** Iterated PageRank: THREE damped rounds from the uniform vector
+    * over the same shared-content edge set, fully in exact integer
+    * micro units so both engines fold identical values — per edge
+    * `c = (pr(src) * share) div 1e6`, per node
+    * `pr' = 150000 + (850000 * Σc) div 1e6`. The edge-share frame is
+    * computed ONCE and cached (sources × sources bounded, tiny);
+    * each round is one keyed join + keyed agg — the classic
+    * iterate-on-Spark shape ([[graft.ops.Curation]]'s k-means loop,
+    * [[Dedup]]'s label propagation) without any driver-side state
+    * beyond the loop counter. The DuckDB oracle unrolls the three
+    * rounds as chained CTEs.
+    */
+  def pageRankIter(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, (size(ws) + 3) div 4 - 1), " +
+          "i -> concat_ws(' ', slice(ws, 4 * i + 1, 4)))")).as("chunk"))
+      .groupBy(col("chunk"), col("source"))
+      .agg(count(lit(1)).as("occ"))
+    val informative = chunks.groupBy(col("chunk"))
+      .agg(sum(col("occ")).as("cfreq"))
+      .filter(col("cfreq").between(2, 10))
+      .select(col("chunk"))
+    val members = chunks.join(informative, Seq("chunk"))
+      .select(col("chunk"), col("source"))
+    val edges = members.select(col("chunk"), col("source").as("src"))
+      .join(members.select(col("chunk"), col("source").as("dst")), Seq("chunk"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("w"))
+    val shares = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("out_w")), Seq("src"))
+      .select(col("src"), col("dst"),
+        expr("(w * 1000000) div out_w").as("share"))
+      .cache()
+    val sources = Tables.documents(s, dir).select(col("source")).distinct()
+    var rank = sources.withColumn("pr", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val in = shares
+        .join(rank.select(col("source").as("src"), col("pr").as("src_pr")),
+          Seq("src"))
+        .select(col("dst"), expr("(src_pr * share) div 1000000").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("in_c"))
+      rank = sources
+        .join(in.withColumnRenamed("dst", "source"), Seq("source"), "left")
+        .select(col("source"),
+          expr("150000 + (850000 * coalesce(in_c, CAST(0 AS BIGINT))) div 1000000")
+            .as("pr"))
+    }
+    rank.select(col("source"), col("pr").as("pr_micro"))
+      .orderBy(col("source"))
+  }
+
+  val pageRankIterOracle: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT s.source,
+         |    CAST(150000 + (850000 * coalesce(x.in_c, 0)) // 1000000 AS BIGINT)
+         |      AS pr
+         |  FROM srcs s LEFT JOIN (
+         |    SELECT sh.dst, SUM((r.pr * sh.share) // 1000000) AS in_c
+         |    FROM shares sh JOIN $prev r ON sh.src = r.source
+         |    GROUP BY sh.dst) x ON s.source = x.dst)""".stripMargin
+    s"""WITH ch AS (
+       |  SELECT source, chunk, COUNT(*) AS occ
+       |  FROM (
+       |    SELECT source, unnest(list_transform(range(0, (len(ws) + 3) // 4),
+       |      i -> list_aggregate(ws[4*i+1 : 4*i+4], 'string_agg', ' '))) AS chunk
+       |    FROM (SELECT source, string_split(text, ' ') AS ws FROM documents) t) x
+       |  GROUP BY source, chunk),
+       |informative AS (
+       |  SELECT chunk FROM ch GROUP BY chunk
+       |  HAVING SUM(occ) BETWEEN 2 AND 10),
+       |members AS (
+       |  SELECT ch.chunk, ch.source FROM ch JOIN informative i ON ch.chunk = i.chunk),
+       |edges AS (
+       |  SELECT a.source AS src, b.source AS dst, COUNT(*) AS w
+       |  FROM members a JOIN members b
+       |    ON a.chunk = b.chunk AND a.source <> b.source
+       |  GROUP BY a.source, b.source),
+       |out_mass AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+       |shares AS (
+       |  SELECT e.src, e.dst, (e.w * 1000000) // o.out_w AS share
+       |  FROM edges e JOIN out_mass o ON e.src = o.src),
+       |srcs AS (SELECT DISTINCT source FROM documents),
+       |r0 AS (SELECT source, CAST(1000000 AS BIGINT) AS pr FROM srcs),
+       |${round("r0", "r1")},
+       |${round("r1", "r2")},
+       |${round("r2", "r3")}
+       |SELECT source, pr AS pr_micro FROM r3 ORDER BY source""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("graph_source_rank", sourceRank, Some(sourceRankOracle),
-      "damped PageRank step over shared-content source edges"))
+      "damped PageRank step over shared-content source edges"),
+    Q("graph_pagerank_iter", pageRankIter, Some(pageRankIterOracle),
+      "3 damped PageRank rounds, cached edge shares, exact integer micro"))
 }

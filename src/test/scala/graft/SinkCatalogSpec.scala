@@ -47,4 +47,37 @@ class SinkCatalogSpec extends SparkSpec {
       assert(plan.contains("graft-synth [0, 500)"), plan)
     } finally spark.conf.unset("spark.sql.catalog.graft_cat")
   }
+
+  test("catalog negative paths: unknown table/namespace, mounted listing") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    try {
+      // Unknown table inside a valid namespace.
+      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.table("graft_cat.synth.no_such").collect()
+      }
+      assert(e1.getMessage.contains("no_such"))
+      // Unknown namespace.
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.table("graft_cat.nonsense.rows_10").collect()
+      }
+      assert(e2.getMessage.toLowerCase.contains("nonsense"))
+      // A mounted warehouse namespace appears in SHOW NAMESPACES and
+      // its tables list; unmounting (conf removal) hides it again.
+      queries.Corpus.register(spark, sf)
+      val ns = spark.sql("SHOW NAMESPACES IN graft_cat").collect()
+        .map(_.getString(0)).toSet
+      assert(ns.contains("synth") && ns.contains("tpch"), ns.mkString(","))
+      val tabs = spark.sql("SHOW TABLES IN graft_cat.tpch").collect()
+        .map(_.getString(1)).toSet
+      assert(tabs.contains("lineitem") && tabs.contains("partsupp"),
+        tabs.mkString(","))
+      val saved = spark.conf.get("spark.graft.catalog.dir.tpch")
+      spark.conf.unset("spark.graft.catalog.dir.tpch")
+      try {
+        val gone = spark.sql("SHOW NAMESPACES IN graft_cat").collect()
+          .map(_.getString(0)).toSet
+        assert(!gone.contains("tpch"))
+      } finally spark.conf.set("spark.graft.catalog.dir.tpch", saved)
+    } finally spark.conf.unset("spark.sql.catalog.graft_cat")
+  }
 }
