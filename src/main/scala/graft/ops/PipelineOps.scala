@@ -1094,6 +1094,82 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------
+  /** Snapshot diff — the incremental-consumption primitive an
+    * Iceberg-style table gives a pipeline (what changed between
+    * snapshot A and snapshot B), computed engine-side: two
+    * deterministic corpus snapshots (A drops `doc_id % 17 = 0`
+    * — "added later"; B drops `doc_id % 19 = 0` — "removed since";
+    * docs `% 13 = 0` carry a content revision in B, detected by
+    * FINGERPRINT inequality, not id bookkeeping), full-outer-joined
+    * on doc_id and classified added/removed/changed/unchanged, then
+    * rolled up per source with net token delta. One keyed
+    * full-outer join + one keyed agg — the shape that at 100 TB
+    * replaces a full-corpus recompute with change-set processing
+    * (the same contract `pipe_incremental_agg` consumes downstream).
+    */
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"),
+        col("text"))
+    val snapA = base.filter(pmod(col("doc_id"), lit(17L)) =!= 0)
+      .select(col("doc_id"), col("source"), col("tok").as("tok_a"),
+        expr(s"fold_hash(text, 31, 0, $P)").as("fp_a"))
+    val snapB = base.filter(pmod(col("doc_id"), lit(19L)) =!= 0)
+      .withColumn("text_b",
+        when(pmod(col("doc_id"), lit(13L)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")))
+      .select(col("doc_id"), col("source").as("source_b"),
+        expr("CAST(size(split(text_b, ' ')) AS BIGINT)").as("tok_b"),
+        expr(s"fold_hash(text_b, 31, 0, $P)").as("fp_b"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source"), col("source_b")).as("src"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") === col("fp_b"), "unchanged")
+          .otherwise("changed").as("change"),
+        (coalesce(col("tok_b"), lit(0L)) - coalesce(col("tok_a"), lit(0L)))
+          .as("tok_delta"))
+      .groupBy(col("src"), col("change"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok_delta")).as("tok_delta"))
+      .orderBy(col("src"), col("change"))
+  }
+
+  val snapshotDiffOracle: String = {
+    def fold(e: String): String =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(a, b) -> (a * 31 + b) % 1000000007)"
+    s"""WITH snap_a AS (
+       |  SELECT doc_id, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok_a,
+       |    ${fold("text")} AS fp_a
+       |  FROM documents WHERE doc_id % 17 <> 0),
+       |snap_b AS (
+       |  SELECT doc_id, source AS source_b,
+       |    CAST(len(string_split(text_b, ' ')) AS BIGINT) AS tok_b,
+       |    ${fold("text_b")} AS fp_b
+       |  FROM (
+       |    SELECT doc_id, source,
+       |      CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END AS text_b
+       |    FROM documents WHERE doc_id % 19 <> 0) t),
+       |classified AS (
+       |  SELECT coalesce(a.source, b.source_b) AS src,
+       |    CASE WHEN a.fp_a IS NULL THEN 'added'
+       |         WHEN b.fp_b IS NULL THEN 'removed'
+       |         WHEN a.fp_a = b.fp_b THEN 'unchanged'
+       |         ELSE 'changed' END AS change,
+       |    coalesce(b.tok_b, 0) - coalesce(a.tok_a, 0) AS tok_delta
+       |  FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id)
+       |SELECT src, change, COUNT(*) AS docs,
+       |  CAST(SUM(tok_delta) AS BIGINT) AS tok_delta
+       |FROM classified
+       |GROUP BY src, change
+       |ORDER BY src, change""".stripMargin
+  }
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -1134,5 +1210,7 @@ object PipelineOps {
     Q("pipe_token_budget", tokenBudget, Some(tokenBudgetOracle),
       "quality-first fill of a 100k-token training budget"),
     Q("pipe_leakage_split", leakageSplit, Some(leakageSplitOracle),
-      "near-dup-block train/val/test split with computed leakage audit"))
+      "near-dup-block train/val/test split with computed leakage audit"),
+    Q("pipe_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle),
+      "snapshot diff: fingerprint-classified added/removed/changed/unchanged"))
 }
