@@ -95,6 +95,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       case _ => throw new NoSuchTableException(ident)
     }
 
+  /** Time travel (`SELECT … FROM t VERSION AS OF 'v'`) — the DSv2
+    * snapshot-read surface Iceberg catalogs implement. The synthetic
+    * tables model four quarterly snapshots: snapshot v ∈ 1..4 holds
+    * the first `rows·v/4` ids (append-only growth), the current
+    * table is snapshot 4. Filter/column/aggregate pushdown flow
+    * through a time-travel scan unchanged, exactly like a snapshot
+    * read of a real table.
+    */
+  override def loadTable(ident: Identifier, version: String): Table =
+    if (ident.namespace().sameElements(ns))
+      ident.name() match {
+        case TableName(n) if version.matches("[1-4]") =>
+          new SyntheticTable(n.toLong * version.toInt / 4,
+            slices = 4, buckets = 16)
+        case _ => throw new NoSuchTableException(ident)
+      }
+    else throw new NoSuchTableException(ident)
+
   private def requireNs(namespace: Array[String]): Unit =
     if (!namespace.sameElements(ns) &&
       !(namespace.length == 1 && mountedDir(namespace(0)).isDefined))

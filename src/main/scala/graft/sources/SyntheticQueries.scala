@@ -57,9 +57,34 @@ object SyntheticQueries {
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
 
+  /** Time travel through the catalog: one aggregate per quarterly
+    * snapshot (`VERSION AS OF 'v'` → the first rows·v/4 ids), the
+    * Iceberg snapshot-read surface on [[GraftCatalog]]. The oracle
+    * reproduces each snapshot's prefix with `range()`.
+    */
+  def synthTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_tt", "graft.sources.GraftCatalog")
+    (1 to 4).map(v =>
+      s.sql(s"""SELECT $v AS snapshot, count(*) AS n,
+                |  sum(value) AS value_sum, max(id) AS max_id
+                |FROM graft_tt.synth.rows_100000 VERSION AS OF '$v'""".stripMargin))
+      .reduce(_ unionAll _)
+      .orderBy(col("snapshot"))
+  }
+
+  val synthTimeTravelOracle: String =
+    (1 to 4).map(v =>
+      s"""SELECT $v AS snapshot, COUNT(*) AS n,
+         |  CAST(SUM((id * 2654435761 + 7) % 1000000007) AS BIGINT) AS value_sum,
+         |  MAX(id) AS max_id
+         |FROM range(0, ${100000L * v / 4}) t(id)""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY snapshot")
+
   def all: Seq[Q] = Seq(
     Q("dsv2_synth_agg", synthAgg, Some(synthAggOracle),
       "custom DSv2 connector scan: pushdown-narrowed range aggregate"),
     Q("dsv2_synth_vectorized", synthVectorized, Some(synthVectorizedOracle),
-      "DSv2 vectorized read path: ColumnarBatch scan + ColumnarToRow"))
+      "DSv2 vectorized read path: ColumnarBatch scan + ColumnarToRow"),
+    Q("dsv2_synth_time_travel", synthTimeTravel, Some(synthTimeTravelOracle),
+      "VERSION AS OF snapshot reads through the DSv2 catalog"))
 }

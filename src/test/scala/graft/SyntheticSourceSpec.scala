@@ -71,6 +71,28 @@ class SyntheticSourceSpec extends SparkSpec {
     assert(read(vec = true).collect().toSeq === read(vec = false).collect().toSeq)
   }
 
+  test("time travel: VERSION AS OF serves quarterly snapshots with pushdown") {
+    spark.conf.set("spark.sql.catalog.tt_cat", "graft.sources.GraftCatalog")
+    try {
+      (1 to 4).foreach { v =>
+        val n = spark.sql(
+          s"SELECT count(*) AS n FROM tt_cat.synth.rows_100000 VERSION AS OF '$v'")
+          .collect().head.getLong(0)
+        assert(n === 100000L * v / 4, s"snapshot $v")
+      }
+      // Pushdown still narrows the snapshot scan.
+      val q = spark.sql(
+        "SELECT * FROM tt_cat.synth.rows_100000 VERSION AS OF '2' WHERE id < 100")
+      assert(q.count() === 100)
+      assert(q.queryExecution.executedPlan.toString.contains("graft-synth [0, 100)"))
+      // Unknown snapshot → analysis error, like a missing Iceberg version.
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT count(*) FROM tt_cat.synth.rows_100000 VERSION AS OF '9'")
+          .collect()
+      }
+    } finally spark.conf.unset("spark.sql.catalog.tt_cat")
+  }
+
   test("connector's custom_scan_time metric reaches the listener rollup") {
     val listener = new MetricListener
     spark.sparkContext.addSparkListener(listener)
