@@ -8,9 +8,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A DSv2 `TableCatalog` plugin: registers as a named catalog
@@ -92,6 +93,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           Seq(dir.toString),
           userSpecifiedSchema = None,
           fallbackFileFormat = classOf[ParquetFileFormat])
+      // Metadata table, the Iceberg surface `db.table.files`: a
+      // 2-level namespace whose head is a mounted db and whose tail
+      // is one of its tables resolves `files` to a listing of the
+      // table's data files (path, size) — what an engine inspects to
+      // reason about layout without touching data.
+      case Array(db, table) if ident.name() == "files" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+          .getOrElse(throw new NoSuchTableException(ident))
+        new FilesMetadataTable(s"$catalogName.$db.$table.files", dir)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -118,6 +129,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       !(namespace.length == 1 && mountedDir(namespace(0)).isDefined))
       throw new NoSuchNamespaceException(namespace)
 
+  // -----------------------------------------------------------------
   // Read-only catalog: DDL is rejected like any immutable warehouse.
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
@@ -156,3 +168,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException("graft catalog is read-only")
 }
+
+/** `db.table.files` metadata table: one row per data file under the
+  * mounted table directory — `(file_path STRING, size_bytes BIGINT)`,
+  * partition directories included recursively. The listing happens at
+  * scan time on the driver (metadata is small by definition); rows
+  * are served through the normal DSv2 batch-read path so the result
+  * composes with any SQL on top.
+  */
+final class FilesMetadataTable(tableName: String, dir: java.nio.file.Path)
+    extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = FilesMetadataTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.Batch {
+      override def build(): org.apache.spark.sql.connector.read.Scan = this
+      override def readSchema(): StructType = FilesMetadataTable.schema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def description(): String = s"graft-files $dir"
+
+      override def planInputPartitions():
+          Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val files = java.nio.file.Files.walk(dir).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => (p.toString, java.nio.file.Files.size(p)))
+          .toArray.sortBy(_._1)
+        Array(FilesPartition(files))
+      }
+
+      override def createReaderFactory():
+          org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new org.apache.spark.sql.connector.read.PartitionReaderFactory {
+          override def createReader(
+              p: org.apache.spark.sql.connector.read.InputPartition):
+              org.apache.spark.sql.connector.read.PartitionReader[
+                org.apache.spark.sql.catalyst.InternalRow] =
+            new org.apache.spark.sql.connector.read.PartitionReader[
+              org.apache.spark.sql.catalyst.InternalRow] {
+              private val it = p.asInstanceOf[FilesPartition].files.iterator
+              private var cur: (String, Long) = _
+              override def next(): Boolean = {
+                if (!it.hasNext) return false
+                cur = it.next(); true
+              }
+              override def get(): org.apache.spark.sql.catalyst.InternalRow =
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._1),
+                    cur._2))
+              override def close(): Unit = ()
+            }
+        }
+    }
+}
+
+object FilesMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+final case class FilesPartition(files: Array[(String, Long)])
+    extends org.apache.spark.sql.connector.read.InputPartition

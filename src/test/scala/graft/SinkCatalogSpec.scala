@@ -80,4 +80,30 @@ class SinkCatalogSpec extends SparkSpec {
       } finally spark.conf.set("spark.graft.catalog.dir.tpch", saved)
     } finally spark.conf.unset("spark.sql.catalog.graft_cat")
   }
+
+  test("files metadata table lists a mounted table's data files") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+    try {
+      queries.Corpus.register(spark, sf)
+      val rows = spark.sql(
+        "SELECT file_path, size_bytes FROM graft_cat.tpch.lineitem.files")
+        .collect()
+      assert(rows.nonEmpty)
+      val root = spark.conf.get("spark.graft.catalog.dir.tpch")
+      rows.foreach { r =>
+        assert(r.getString(0).startsWith(root), r.getString(0))
+        assert(r.getString(0).endsWith(".parquet"))
+        assert(r.getLong(1) > 0)
+      }
+      // Composes with SQL on top, like any table.
+      val total = spark.sql(
+        "SELECT sum(size_bytes) AS s FROM graft_cat.tpch.lineitem.files")
+        .collect().head.getLong(0)
+      assert(total === rows.map(_.getLong(1)).sum)
+      // Unknown base table → missing metadata table.
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("SELECT * FROM graft_cat.tpch.no_such.files").collect()
+      }
+    } finally spark.conf.unset("spark.sql.catalog.graft_cat")
+  }
 }
