@@ -180,6 +180,104 @@ object Dedup {
 
   val minhashLshOracle: String = minhashLinksSql + "\nORDER BY a_id, b_id"
 
+  // ---------------------------------------------------------------
+  /** LSH band-tuning sweep: the SAME 12 minhash values banded four
+    * ways — (2×6), (3×4), (4×3), (6×2) — emitting per configuration
+    * the candidate-link volume and how many candidates confirm at
+    * J ≥ 0.8. This is THE tuning table for a dedup rollout: more
+    * bands with fewer rows per band → higher recall, more candidate
+    * volume to verify (cost); the sweep makes the tradeoff a query
+    * instead of a rerun-per-setting. The signature frame is computed
+    * once and cached; each configuration is one keyed agg + one
+    * representative-link join, O(n·bands) like the production path.
+    * (On the synthetic fixture the curve is nearly flat — its small
+    * shared vocabulary saturates the buckets at every setting; on a
+    * real crawl the candidate column is what moves.)
+    */
+  def bandSweep(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val P = 1000000007L
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("w"))
+      .withColumn("h", expr(s"fold_hash(w, 31, 0, $P)"))
+    val mins = (1 to 12).map(k =>
+      min((lit(2L * k + 1) * col("h") + lit(7919L * k)) % P).as(s"m$k"))
+    val aggs = sort_array(collect_set(col("h"))).as("hs") +: mins
+    val sigs = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).cache()
+    val hs = sigs.select(col("doc_id"), col("hs"))
+    val results = Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (nb, r) =>
+      val bandStructs = (1 to nb).map { i =>
+        val cs = ((i - 1) * r + 1 to i * r)
+          .map(k => s"CAST(m$k AS STRING)").mkString(", ")
+        s"named_struct('band', $i, 'sig', concat_ws('_', $cs))"
+      }.mkString(", ")
+      val bands = sigs
+        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      val reps = bands.groupBy(col("band"), col("sig"))
+        .agg(min(col("doc_id")).as("a_id"), count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > 1)
+      bands.join(reps, Seq("band", "sig"))
+        .filter(col("doc_id") =!= col("a_id"))
+        .select(col("a_id"), col("doc_id").as("b_id")).distinct()
+        .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
+        .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
+        .withColumn("jacc",
+          size(array_intersect(col("a_hs"), col("b_hs"))) /
+            size(array_union(col("a_hs"), col("b_hs"))))
+        .agg(count(lit(1)).as("candidates"),
+          coalesce(sum(when(col("jacc") >= 0.8, 1L).otherwise(0L)), lit(0L))
+            .as("confirmed"))
+        .select(lit(nb).as("bands"), lit(r).as("rows_per_band"),
+          col("candidates"), col("confirmed"))
+    }
+    results.reduce(_ unionAll _).orderBy(col("bands"))
+  }
+
+  val bandSweepOracle: String = {
+    val P = "1000000007"
+    val wordHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+    val mins = (1 to 12)
+      .map(k => s"min((${2 * k + 1} * h + ${7919 * k}) % $P) AS m$k")
+      .mkString(", ")
+    def config(nb: Int, r: Int): String = {
+      val bandSelects = (1 to nb).map { i =>
+        val sig = ((i - 1) * r + 1 to i * r)
+          .map(k => s"CAST(m$k AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc_id, $i AS band, $sig AS sig FROM sigs"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""SELECT $nb AS bands, $r AS rows_per_band,
+         |  COUNT(*) AS candidates,
+         |  CAST(coalesce(SUM(CASE WHEN
+         |    len(list_intersect(da.hs, db.hs)) /
+         |      len(list_distinct(list_concat(da.hs, db.hs))) >= 0.8
+         |    THEN 1 ELSE 0 END), 0) AS BIGINT) AS confirmed
+         |FROM (
+         |  SELECT DISTINCT r.a_id, b.doc_id AS b_id
+         |  FROM ($bandSelects) b
+         |  JOIN (
+         |    SELECT band, sig, MIN(doc_id) AS a_id
+         |    FROM ($bandSelects) g
+         |    GROUP BY band, sig HAVING COUNT(*) > 1) r
+         |    ON b.band = r.band AND b.sig = r.sig AND b.doc_id <> r.a_id
+         |) cand, sigs da, sigs db
+         |WHERE da.doc_id = cand.a_id AND db.doc_id = cand.b_id""".stripMargin
+    }
+    s"""WITH words AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |hashed AS (
+       |  SELECT doc_id, $wordHash AS h FROM words),
+       |sigs AS (
+       |  SELECT doc_id, list(DISTINCT h) AS hs, $mins
+       |  FROM hashed GROUP BY doc_id)
+       |${Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (nb, r) => config(nb, r) }
+        .mkString("", "\nUNION ALL\n", "")}
+       |ORDER BY bands""".stripMargin
+  }
+
   /** The MinHash-LSH link query without its final ORDER BY, shared by
     * [[minhashLshOracle]] and (as a CTE body) [[clustersOracle]].
     */
@@ -801,5 +899,7 @@ object Dedup {
     Q("dedup_cluster_split", clusterSplit, Some(clusterSplitOracle),
       "leak-free train/holdout split assigned per cluster, not per doc"),
     Q("dedup_incremental", incremental, Some(incrementalOracle),
-      "incoming batch probes the persistent corpus band index, Jaccard-verified"))
+      "incoming batch probes the persistent corpus band index, Jaccard-verified"),
+    Q("dedup_band_sweep", bandSweep, Some(bandSweepOracle),
+      "LSH tuning curve: candidates vs J>=0.8 confirms across 4 band configs"))
 }
