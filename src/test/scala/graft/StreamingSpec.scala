@@ -132,6 +132,41 @@ class StreamingSpec extends SparkSpec {
       s"unmatched purchase was not null-padded after watermark: $rows")
   }
 
+  test("transformWithState ListState keeps a bounded per-key top-k") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.TopKPerUserProcessor(3),
+        TimeMode.None(), OutputMode.Update())
+    val q = out.toDF().toDF("user_id", "rank", "score")
+      .writeStream.format("memory").queryName("twsl_mem")
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, 10L), (1L, 5L), (1L, 20L), (2L, 7L))
+      q.processAllAvailable()
+      ms.addData((1L, 15L), (1L, 1L), (2L, 9L))
+      q.processAllAvailable()
+    } finally q.stop()
+    // Last batch's emission per key is the merged running top-3.
+    val rows = spark.table("twsl_mem").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // user 1 saw 10,5,20 then 15,1 → top3 = 20,15,10
+    val u1 = rows.filter(_._1 == 1L).groupBy(_._2).map {
+      case (rank, rs) => rank -> rs.map(_._3).max
+    }
+    assert(u1(1) === 20L && u1(2) === 15L && u1(3) === 10L, rows.mkString(","))
+    // user 2 saw 7 then 9 → top = 9,7
+    val u2rows = rows.filter(_._1 == 2L)
+    assert(u2rows.exists(r => r._2 == 1 && r._3 == 9L), rows.mkString(","))
+    assert(u2rows.exists(r => r._2 == 2 && r._3 == 7L), rows.mkString(","))
+  }
+
   test("transformWithState keeps running per-key aggregates across batches") {
     import SparkSpec.spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
