@@ -167,6 +167,36 @@ class StreamingSpec extends SparkSpec {
     assert(u2rows.exists(r => r._2 == 2 && r._3 == 7L), rows.mkString(","))
   }
 
+  test("transformWithState MapState keeps per-key per-type running counts") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = ms.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.PerTypeCountsProcessor(),
+        TimeMode.None(), OutputMode.Update())
+    val q = out.toDF().toDF("user_id", "event_type", "cnt")
+      .writeStream.format("memory").queryName("twsm_mem")
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, "click"), (1L, "view"), (1L, "click"), (2L, "view"))
+      q.processAllAvailable()
+      ms.addData((1L, "click"), (2L, "view"), (2L, "buy"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("twsm_mem").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last((1L, "click")) === 3L, last)
+    assert(last((1L, "view")) === 1L, last)
+    assert(last((2L, "view")) === 2L, last)
+    assert(last((2L, "buy")) === 1L, last)
+  }
+
   test("transformWithState keeps running per-key aggregates across batches") {
     import SparkSpec.spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
