@@ -43,9 +43,9 @@ object Bucketed {
     * fresh JVM rewrites them — seconds at local fixtures; a real
     * deployment does this once at load time.
     */
-  def register(s: SparkSession, dir: String): Unit = {
+  def register(s: SparkSession, dir: String): Unit = synchronized {
     val k = System.identityHashCode(s)
-    if (!lastDir.get(k).contains(dir)) synchronized {
+    if (!lastDir.get(k).contains(dir)) {
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       val tag = Paths.get(dir).getFileName.toString
         .replaceAll("[^A-Za-z0-9._-]+", "_")

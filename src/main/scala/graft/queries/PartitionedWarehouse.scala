@@ -34,9 +34,9 @@ object PartitionedWarehouse {
     * [[Materialize]] by a `_SUCCESS` marker) and mount the
     * year-partitioned pair for the GraftCatalog.
     */
-  def register(s: SparkSession, dir: String): Unit = {
+  def register(s: SparkSession, dir: String): Unit = synchronized {
     val k = System.identityHashCode(s)
-    if (!lastDir.get(k).contains(dir)) synchronized {
+    if (!lastDir.get(k).contains(dir)) {
       val tag = Paths.get(dir).getFileName.toString
         .replaceAll("[^A-Za-z0-9._-]+", "_")
       val root = Paths.get(sys.props("java.io.tmpdir"), "graft-part", tag)

@@ -194,11 +194,14 @@ final class FilesMetadataTable(tableName: String, dir: java.nio.file.Path)
 
       override def planInputPartitions():
           Array[org.apache.spark.sql.connector.read.InputPartition] = {
-        val files = java.nio.file.Files.walk(dir).iterator().asScala
-          .filter(p => java.nio.file.Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .map(p => (p.toString, java.nio.file.Files.size(p)))
-          .toArray.sortBy(_._1)
+        val walk = java.nio.file.Files.walk(dir)
+        val files =
+          try walk.iterator().asScala
+            .filter(p => java.nio.file.Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .map(p => (p.toString, java.nio.file.Files.size(p)))
+            .toArray.sortBy(_._1)
+          finally walk.close()
         Array(FilesPartition(files))
       }
 
