@@ -1170,6 +1170,65 @@ object PipelineOps {
   }
 
   // ---------------------------------------------------------------
+  /** Deterministic curriculum interleave — the training-ORDER step: a
+    * dataloader wants sources mixed evenly (no long single-source
+    * runs) in a reproducible global order, without any engine ever
+    * sorting the whole corpus. Per-source rank (a PARTITIONED
+    * window) and a stable source index define the interleave
+    * position `rank * n_sources + src_idx` — a pure per-row formula
+    * that IS the global order, so at 100 TB the order materializes
+    * as a write key, not a sort. The op audits the property the
+    * order exists for: within each position block of 1000, every
+    * source's share stays proportional — emitted as per-(block,
+    * source) composition the oracle checks exactly.
+    */
+  def curriculumInterleave(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val srcIdx = Tables.documents(s, dir)
+      .select(col("source")).distinct()
+      .withColumn("src_idx",
+        row_number().over(Window.orderBy(col("source"))) - 1)
+    val nSrc = srcIdx.agg(count(lit(1)).as("n_src"))
+    val ranked = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))) - 1)
+      .join(broadcast(srcIdx), Seq("source"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("pos", col("rank") * col("n_src") + col("src_idx"))
+    ranked
+      .groupBy(expr("pos div 1000").as("block"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("tok")).as("tok_sum"),
+        min(col("pos")).as("min_pos"), max(col("pos")).as("max_pos"))
+      .orderBy(col("block"), col("source"))
+  }
+
+  val curriculumInterleaveOracle: String =
+    """WITH src AS (
+      |  SELECT source,
+      |    ROW_NUMBER() OVER (ORDER BY source) - 1 AS src_idx
+      |  FROM (SELECT DISTINCT source FROM documents) d),
+      |n AS (SELECT COUNT(*) AS n_src FROM src),
+      |ranked AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tok,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY d.doc_id) - 1 AS rank
+      |  FROM documents d),
+      |pos AS (
+      |  SELECT r.doc_id, r.source, r.tok,
+      |    r.rank * n.n_src + s.src_idx AS pos
+      |  FROM ranked r, src s, n
+      |  WHERE r.source = s.source)
+      |SELECT pos // 1000 AS block, source, COUNT(*) AS docs,
+      |  CAST(SUM(tok) AS BIGINT) AS tok_sum,
+      |  MIN(pos) AS min_pos, MAX(pos) AS max_pos
+      |FROM pos
+      |GROUP BY 1, 2
+      |ORDER BY block, source""".stripMargin
+
+  // ---------------------------------------------------------------
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -1212,5 +1271,8 @@ object PipelineOps {
     Q("pipe_leakage_split", leakageSplit, Some(leakageSplitOracle),
       "near-dup-block train/val/test split with computed leakage audit"),
     Q("pipe_snapshot_diff", snapshotDiff, Some(snapshotDiffOracle),
-      "snapshot diff: fingerprint-classified added/removed/changed/unchanged"))
+      "snapshot diff: fingerprint-classified added/removed/changed/unchanged"),
+    Q("pipe_curriculum_interleave", curriculumInterleave,
+      Some(curriculumInterleaveOracle),
+      "sort-free deterministic source interleave with per-block composition"))
 }

@@ -34,7 +34,10 @@ class PlanAuditSpec extends SparkSpec {
     // k-means convergence loop broadcasts k=8 centroids per round.
     "retr_bm25_topk", "pipe_kmeans_converge",
     // text_bpe_apply broadcasts the 1-row argmax merge pair.
-    "text_bpe_apply")
+    "text_bpe_apply",
+    // curriculum interleave cross-joins the broadcast 1-row source
+    // count into the per-row position formula.
+    "pipe_curriculum_interleave")
 
   // Queries allowed an unpartitioned WindowExec whose input subtree
   // carries NO aggregate. Empty = every global window in the registry
