@@ -60,7 +60,16 @@ object Bench {
     val perQuery = named.map { case (name, _) =>
       name -> median(passes.map(_.find(_._1 == name).get._2))
     }
+    // Per-query MIN across reps beside the medians: the bench box's
+    // CPU-steal bursts land in the median (VERDICT r4 "What's wrong"
+    // #1 — two false regression alarms), while the min is the
+    // cleanest per-query signal a multi-rep suite run can produce.
+    val perQueryMin = named.map { case (name, _) =>
+      name -> passes.map(_.find(_._1 == name).get._2).min
+    }
     val qs = perQuery.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = perQueryMin.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = perQuery.map(_._2).sum
     val passTotals = passes.map(_.map(_._2).sum)
@@ -76,10 +85,13 @@ object Bench {
     // regression signal (VERDICT r3 "What's wrong" #4). The same
     // object also lands in BENCH.json so the driver can always parse
     // a complete copy from disk.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"queries":$qs}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"queries":$qs,"queries_min":$qsMin}"""
     println(json)
+    // Output path is overridable and defaults to the working directory
+    // (ADVICE r4: a hardcoded absolute path breaks any other checkout).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH.json"), json + "\n")
+      java.nio.file.Paths.get(outPath).toAbsolutePath, json + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}")
     }

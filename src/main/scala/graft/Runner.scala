@@ -41,9 +41,11 @@ object Runner {
   def discoverQueries(dir: String): Seq[(String, String)] = {
     val p = Paths.get(dir)
     if (!Files.isDirectory(p)) return Seq.empty
-    Files.list(p).iterator.asScala
-      .filter(_.toString.endsWith(".sql"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val stream = Files.list(p)
+    val files =
+      try stream.iterator.asScala.filter(_.toString.endsWith(".sql")).toSeq
+      finally stream.close()
+    files.sortBy(_.getFileName.toString)
       .map(f => f.getFileName.toString.stripSuffix(".sql") -> Files.readString(f))
   }
 
@@ -137,10 +139,13 @@ object Runner {
   def listSfDirs(root: String): Seq[String] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) return Seq.empty
-    Files.list(p).iterator.asScala
-      .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("sf"))
-      .toSeq.sortBy(_.getFileName.toString)
-      .map(_.toString)
+    val stream = Files.list(p)
+    val dirs =
+      try stream.iterator.asScala
+        .filter(d => Files.isDirectory(d) && d.getFileName.toString.startsWith("sf"))
+        .toSeq
+      finally stream.close()
+    dirs.sortBy(_.getFileName.toString).map(_.toString)
   }
 
   /** Multi-sf sweep (`runner.sh:26-41`): one suite pass per fixture
@@ -206,8 +211,16 @@ object Runner {
       suites: Seq[(String, Option[String], String)],
       catalog: String,
       runId: String,
-      listener: Option[MetricListener] = None): Seq[Row] =
-    clientVariants.flatMap { case (_, enabled, client) =>
+      listener: Option[MetricListener] = None): Seq[Row] = {
+    // Restore the pre-grid variant confs afterwards (ADVICE r4): the
+    // grid must not leave the session pinned on its LAST variant
+    // (GRPC + catalog-routed), silently changing the IO path of any
+    // suite run that follows in the same session.
+    val variantKeys = Seq(
+      s"spark.sql.catalog.$catalog.gcs.analytics-core.enabled",
+      s"spark.sql.catalog.$catalog.gcs.client.type")
+    val saved = variantKeys.map(k => k -> spark.conf.getOption(k))
+    try clientVariants.flatMap { case (_, enabled, client) =>
       spark.conf.set(
         s"spark.sql.catalog.$catalog.gcs.analytics-core.enabled", enabled.toString)
       spark.conf.set(s"spark.sql.catalog.$catalog.gcs.client.type", client)
@@ -216,7 +229,11 @@ object Runner {
       val database = if (enabled) catalog else "spark_catalog"
       runSweep(spark, sfRoot, suites, database, runId, listener,
         confFlags(spark, catalog))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
+  }
 
   /** Named-option parsing, mirroring the reference's picocli surface
     * (`IcebergBenchmark.java:38-78`): `--key value` pairs.

@@ -2,8 +2,6 @@ package graft.queries
 
 import java.nio.file.Paths
 
-import scala.collection.concurrent.TrieMap
-
 import graft.{Q, Tables}
 import graft.Cols._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -36,7 +34,10 @@ object Bucketed {
 
   private val buckets = 8
 
-  private val lastDir = TrieMap.empty[Int, String]
+  // Weakly keyed by the session ITSELF (not an identity hash, which
+  // can collide or be reused after a session is GC'd — ADVICE r4);
+  // all access is under this object's lock.
+  private val lastDir = new java.util.WeakHashMap[SparkSession, String]()
 
   /** Write (once per session+fixture) and register the bucketed
     * pair. The in-memory catalog forgets tables across JVMs, so a
@@ -44,8 +45,7 @@ object Bucketed {
     * deployment does this once at load time.
     */
   def register(s: SparkSession, dir: String): Unit = synchronized {
-    val k = System.identityHashCode(s)
-    if (!lastDir.get(k).contains(dir)) {
+    if (lastDir.get(s) != dir) {
       s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
       val tag = Paths.get(dir).getFileName.toString
         .replaceAll("[^A-Za-z0-9._-]+", "_")
@@ -59,7 +59,7 @@ object Bucketed {
             .mode("overwrite")
             .saveAsTable(s"$db.$t")
       }
-      lastDir(k) = dir
+      lastDir.put(s, dir)
     }
   }
 

@@ -2,7 +2,6 @@ package graft.queries
 
 import java.nio.file.{Files, Paths}
 
-import scala.collection.concurrent.TrieMap
 
 import graft.{Q, Tables}
 import graft.Cols._
@@ -28,17 +27,25 @@ object PartitionedWarehouse {
 
   val db = "tpch_part"
 
-  private val lastDir = TrieMap.empty[Int, String]
+  // Weakly keyed by the session itself (ADVICE r4 — identity hashes
+  // collide / get reused); all access is under this object's lock.
+  private val lastDir = new java.util.WeakHashMap[SparkSession, String]()
 
   /** Write (idempotent per fixture on disk, keyed like
     * [[Materialize]] by a `_SUCCESS` marker) and mount the
-    * year-partitioned pair for the GraftCatalog.
+    * year-partitioned pair for the GraftCatalog. The on-disk tag
+    * hashes the FULL fixture path (ADVICE r4), so two fixtures
+    * sharing a basename under different roots can never serve each
+    * other's data.
     */
   def register(s: SparkSession, dir: String): Unit = synchronized {
-    val k = System.identityHashCode(s)
-    if (!lastDir.get(k).contains(dir)) {
+    if (lastDir.get(s) != dir) {
+      val full = Paths.get(dir).toAbsolutePath.normalize.toString
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val fp = md.digest(full.getBytes("UTF-8")).take(6)
+        .map(b => f"$b%02x").mkString
       val tag = Paths.get(dir).getFileName.toString
-        .replaceAll("[^A-Za-z0-9._-]+", "_")
+        .replaceAll("[^A-Za-z0-9._-]+", "_") + "-" + fp
       val root = Paths.get(sys.props("java.io.tmpdir"), "graft-part", tag)
       Seq(
         ("lineitem", "l_shipdate", "l_shipyear"),
@@ -55,7 +62,7 @@ object PartitionedWarehouse {
       s.conf.set(s"spark.graft.catalog.dir.$db", root.toString)
       if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
         s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-      lastDir(k) = dir
+      lastDir.put(s, dir)
     }
   }
 
