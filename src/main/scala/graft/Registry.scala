@@ -28,6 +28,7 @@ object Registry {
       ops.Curation.all ++
       ops.Dedup.all ++
       ops.Graph.all ++
+      ops.Maintenance.all ++
       ops.SkewJoin.all ++
       ops.Similarity.all ++
       ops.Multimodal.all ++

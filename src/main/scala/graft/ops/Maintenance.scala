@@ -1,0 +1,290 @@
+package graft.ops
+
+import java.nio.file.{Files, Path, Paths}
+
+import graft.{Q, Tables}
+import graft.sources.SnapStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Table-maintenance operators over the [[graft.sources.SnapStore]]
+  * snapshot format — the write-side faces of the reference's storage
+  * layer ("Iceberg table read/write APIs … table maintenance",
+  * BASELINE.json) that no read-only corpus query exercises: row-level
+  * MERGE upsert, small-file compaction, snapshot expiry, and schema
+  * evolution. Each registered entry drives a DETERMINISTIC lifecycle
+  * derived purely from the `documents` fixture (idempotent: re-runs
+  * observe the same final snapshot), then reads the post-maintenance
+  * table back and aggregates it for the DuckDB oracle, which computes
+  * the same final contents LOGICALLY from the raw fixture — proving
+  * the physical file surgery preserved exactly the right rows.
+  *
+  * The per-part checksum is an order-independent `SUM(fold_hash
+  * (text))`: file boundaries, bin-packing, and rewrite order cannot
+  * affect it, but one lost, duplicated, or corrupted row changes it.
+  *
+  * MaintenanceSpec pins the physical claims the oracles cannot see:
+  * untouched files carried byte-identical across a merge, file
+  * counts collapsing under compaction, expired `VERSION AS OF`
+  * raising, old files reading nulls for evolved columns.
+  */
+object Maintenance {
+
+  private val P = 1000000007L
+  private val partCol = "part"
+  private val nParts = 8
+
+  /** Bump to invalidate previously materialized lifecycles when the
+    * scenario logic changes (the root directory is keyed by it).
+    */
+  private val logicVersion = "m2"
+
+  /** Per-fixture root for the maintained tables, mounted as database
+    * `maint` on the graft DSv2 catalog. Keyed by a hash of the FULL
+    * fixture path (two fixtures sharing a basename can never serve
+    * each other's data) plus [[logicVersion]].
+    */
+  def root(dir: String): Path = {
+    val full = Paths.get(dir).toAbsolutePath.normalize.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fp = md.digest(s"$full-$logicVersion".getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    val tag = Paths.get(dir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]+", "_") + "-" + fp
+    Paths.get(sys.props("java.io.tmpdir"), "graft-snap", tag)
+  }
+
+  /** Mount the maintenance database on the named DSv2 catalog so
+    * `graft.maint.<table>` (and `VERSION AS OF`, `ALTER TABLE`,
+    * `.files`) resolve through the catalog path.
+    */
+  def mount(s: SparkSession, dir: String): Unit = {
+    s.conf.set("spark.graft.catalog.dir.maint", root(dir).toString)
+    if (s.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      s.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  }
+
+  /** The base frame every lifecycle starts from: documents with a
+    * coarse partition column (`doc_id % 8`) and a token count.
+    */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(nParts.toLong)).as(partCol),
+      col("source"), col("text"),
+      expr("CAST(size(split(text, ' ')) AS BIGINT)").as("tok"))
+
+  /** The merge change batch — confined to partitions {1, 5} so six
+    * of eight partitions are provably untouched by the copy-on-write
+    * rewrite: updates rewrite every third doc of partition 1 (text
+    * gains a ` v2` suffix), inserts add a shifted-id copy of every
+    * eleventh doc of partition 5 (`+100000` preserves `doc_id % 8`).
+    */
+  private def changes(s: SparkSession, dir: String): DataFrame = {
+    val b = base(s, dir)
+    val upd = b.filter(col(partCol) === 1 && pmod(col("doc_id"), lit(3L)) === 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    val ins = b.filter(col(partCol) === 5 && pmod(col("doc_id"), lit(11L)) === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("source", lit("srcM"))
+      .withColumn("text", concat(col("text"), lit(" new")))
+    upd.unionByName(ins)
+      .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+  }
+
+  // ----------------------------------------------------------------
+  // Deterministic lifecycles (idempotent: each step keys off the
+  // table's current version, so any entry order / re-run converges
+  // on the same final state).
+
+  /** `docs`: v1 create → v2 MERGE (parts {1,5} copy-on-write) →
+    * expire all but the merged snapshot. Expiry deletes exactly the
+    * v1 files the merge rewrote away (untouched-part files stay —
+    * they are referenced by the live v2 manifest).
+    */
+  def ensureDocs(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol)
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.merge(s, t, changes(s, dir), "doc_id", partCol)
+    if (SnapStore.liveVersions(t) != Seq(2))
+      SnapStore.expire(t, keepLast = 1)
+    mount(s, dir)
+    t
+  }
+
+  /** `docs_frag`: v1 deliberately fragmented create (clustered by
+    * `(part, doc_id % 4)` → ~4 small files per partition) → v2
+    * bin-pack compaction to ≈¼ of the total table size per file.
+    */
+  def ensureDocsFrag(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_frag")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, numFiles = 32,
+        clusterExprs = Seq(col(partCol), pmod(col("doc_id"), lit(4L))))
+    if (SnapStore.currentVersion(t).contains(1)) {
+      val total = SnapStore.currentManifest(t).files.map(_.bytes).sum
+      SnapStore.compact(s, t, partCol, targetBytes = total / 4 + 1)
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** `docs_evo`: v1 create WITHOUT the `tok` column over 80% of docs
+    * → v2 `ADD COLUMN tok` (pure metadata — old files read it as
+    * null) → v3 append the remaining 20% WITH `tok` populated.
+    */
+  def ensureDocsEvo(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_evo")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t,
+        base(s, dir).filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+          .drop("tok"),
+        partCol)
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.addColumn(t, StructField("tok", LongType))
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.append(s, t,
+        base(s, dir).filter(pmod(col("doc_id"), lit(5L)) === 0), partCol)
+    mount(s, dir)
+    t
+  }
+
+  // ----------------------------------------------------------------
+  // Registered entries + oracles.
+
+  private def checksum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(expr(s"fold_hash(${c.toString}, 31, 0, $P)"))
+
+  /** Post-MERGE contents, per partition: the oracle recomputes the
+    * matched-update/unmatched-insert semantics logically from the
+    * fixture, so a hash match proves the file-level COW rewrite kept
+    * every untouched row and applied every change exactly once.
+    */
+  def mergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocs(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  private def foldSql(e: String): String =
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+
+  private val mergedCte: String =
+    s"""base AS (
+       |  SELECT doc_id, doc_id % $nParts AS part, source, text
+       |  FROM documents),
+       |upd AS (
+       |  SELECT doc_id, part, source, text || ' v2' AS text
+       |  FROM base WHERE part = 1 AND doc_id % 3 = 0),
+       |ins AS (
+       |  SELECT doc_id + 100000 AS doc_id, part, 'srcM' AS source,
+       |    text || ' new' AS text
+       |  FROM base WHERE part = 5 AND doc_id % 11 = 0),
+       |changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+       |merged AS (
+       |  SELECT * FROM changes
+       |  UNION ALL
+       |  SELECT * FROM base
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM changes))""".stripMargin
+
+  val mergeUpsertOracle: String =
+    s"""WITH $mergedCte
+       |SELECT part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM merged
+       |GROUP BY part
+       |ORDER BY part""".stripMargin
+
+  /** Post-compaction contents per source: bin-packing must be a pure
+    * layout change, so the oracle is simply the BASE table's own
+    * aggregate — any row lost/duplicated by the rewrite breaks the
+    * checksum.
+    */
+  def compaction(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsFrag(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val compactionOracle: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Live read AFTER snapshot expiry, through the catalog's
+    * time-travel path (`VERSION AS OF 2` — the only surviving
+    * snapshot): expiry must leave live-version reads bit-identical
+    * to the merged contents. The expired-version error path is
+    * spec-pinned (it cannot be oracled — it throws).
+    */
+  def snapshotExpiry(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ensureDocs(s, dir)
+    s.sql("SELECT * FROM graft.maint.docs VERSION AS OF 2")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val snapshotExpiryOracle: String =
+    s"""WITH $mergedCte
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM merged
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Post-evolution contents per source: rows from pre-evolution
+    * files carry `tok IS NULL` (the column landed after they were
+    * written), appended rows carry real counts — the exact
+    * merged-schema read Iceberg evolution promises.
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDocsEvo(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("tok")).as("n_with_tok"),
+        sum(coalesce(col("tok"), lit(0L))).as("sum_tok"))
+      .orderBy(col("source"))
+  }
+
+  val schemaEvolutionOracle: String =
+    """WITH evo AS (
+      |  SELECT source, CASE WHEN doc_id % 5 = 0
+      |    THEN CAST(len(string_split(text, ' ')) AS BIGINT) END AS tok
+      |  FROM documents)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(tok) AS n_with_tok,
+      |  CAST(SUM(coalesce(tok, 0)) AS BIGINT) AS sum_tok
+      |FROM evo
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  def all: Seq[Q] = Seq(
+    Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
+      "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
+    Q("maint_compaction", compaction, Some(compactionOracle),
+      "bin-pack small-file compaction: layout-only rewrite, contents identical"),
+    Q("maint_snapshot_expiry", snapshotExpiry, Some(snapshotExpiryOracle),
+      "snapshot expiry: live VERSION AS OF read after old snapshots dropped"),
+    Q("maint_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle),
+      "ADD COLUMN evolution: old files read nulls, appended files carry values"))
+}

@@ -67,13 +67,35 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       defaultTables.map(t => Identifier.of(ns, t)).toArray
     else namespace match {
       case Array(db) if mountedDir(db).isDefined =>
-        java.nio.file.Files.list(mountedDir(db).get).iterator()
+        val stream = java.nio.file.Files.list(mountedDir(db).get)
+        try stream.iterator()
           .asScala
           .filter(p => java.nio.file.Files.isDirectory(p))
           .map(p => Identifier.of(namespace, p.getFileName.toString))
           .toArray
+        finally stream.close()
       case _ => throw new NoSuchNamespaceException(namespace)
     }
+
+  /** A mounted table directory resolves as a [[SnapStore]] snapshot
+    * table when it carries a `_snapshots` log, else as a plain
+    * `_SUCCESS`-marked parquet directory.
+    */
+  private def snapTable(db: String, name: String,
+      version: Option[Int]): Option[Table] =
+    mountedDir(db).map(_.resolve(name))
+      .filter(SnapStore.isSnapTable)
+      .map { dir =>
+        val m = version.map(SnapStore.manifest(dir, _))
+          .getOrElse(SnapStore.currentManifest(dir))
+        ParquetTable(
+          s"$catalogName.$db.$name",
+          session,
+          CaseInsensitiveStringMap.empty(),
+          m.files.map(f => dir.resolve(f.path).toString),
+          userSpecifiedSchema = Some(m.schema),
+          fallbackFileFormat = classOf[ParquetFileFormat])
+      }
 
   override def loadTable(ident: Identifier): Table =
     if (ident.namespace().sameElements(ns))
@@ -83,26 +105,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     else ident.namespace() match {
       case Array(db) =>
-        val dir = mountedDir(db).map(_.resolve(ident.name()))
-          .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
-          .getOrElse(throw new NoSuchTableException(ident))
-        ParquetTable(
-          s"$catalogName.$db.${ident.name()}",
-          session,
-          CaseInsensitiveStringMap.empty(),
-          Seq(dir.toString),
-          userSpecifiedSchema = None,
-          fallbackFileFormat = classOf[ParquetFileFormat])
+        snapTable(db, ident.name(), None).getOrElse {
+          val dir = mountedDir(db).map(_.resolve(ident.name()))
+            .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
+            .getOrElse(throw new NoSuchTableException(ident))
+          ParquetTable(
+            s"$catalogName.$db.${ident.name()}",
+            session,
+            CaseInsensitiveStringMap.empty(),
+            Seq(dir.toString),
+            userSpecifiedSchema = None,
+            fallbackFileFormat = classOf[ParquetFileFormat])
+        }
       // Metadata table, the Iceberg surface `db.table.files`: a
       // 2-level namespace whose head is a mounted db and whose tail
       // is one of its tables resolves `files` to a listing of the
       // table's data files (path, size) — what an engine inspects to
-      // reason about layout without touching data.
+      // reason about layout without touching data. For a snapshot
+      // table the listing is the LIVE manifest's file set (expired /
+      // rewritten-away files must not appear), for a plain parquet
+      // directory it is the recursive walk.
       case Array(db, table) if ident.name() == "files" =>
         val dir = mountedDir(db).map(_.resolve(table))
-          .filter(d => java.nio.file.Files.exists(d.resolve("_SUCCESS")))
           .getOrElse(throw new NoSuchTableException(ident))
-        new FilesMetadataTable(s"$catalogName.$db.$table.files", dir)
+        if (SnapStore.isSnapTable(dir))
+          new FilesMetadataTable(s"$catalogName.$db.$table.files", dir,
+            Some(SnapStore.currentManifest(dir).files
+              .map(f => (dir.resolve(f.path).toString, f.bytes))))
+        else if (java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+          new FilesMetadataTable(s"$catalogName.$db.$table.files", dir)
+        else throw new NoSuchTableException(ident)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -122,7 +154,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             slices = 4, buckets = 16)
         case _ => throw new NoSuchTableException(ident)
       }
-    else throw new NoSuchTableException(ident)
+    else ident.namespace() match {
+      // Snapshot-table time travel: the version string is a
+      // [[SnapStore]] snapshot id; an expired or never-committed id
+      // raises the missing-snapshot error from SnapStore.manifest —
+      // the contract Iceberg's VERSION AS OF has.
+      case Array(db) if version.matches("\\d+") =>
+        snapTable(db, ident.name(), Some(version.toInt))
+          .getOrElse(throw new NoSuchTableException(ident))
+      case _ => throw new NoSuchTableException(ident)
+    }
 
   private def requireNs(namespace: Array[String]): Unit =
     if (!namespace.sameElements(ns) &&
@@ -134,8 +175,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException("graft catalog is read-only")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+
+  /** `ALTER TABLE … ADD COLUMN` on a snapshot table is a pure
+    * metadata commit through [[SnapStore.addColumn]] (historical
+    * files read the column as null — the Iceberg evolution
+    * contract). Everything else stays rejected.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val snapDir = ident.namespace() match {
+      case Array(db) => mountedDir(db).map(_.resolve(ident.name()))
+        .filter(SnapStore.isSnapTable)
+      case _ => None
+    }
+    snapDir match {
+      case Some(dir) =>
+        changes.foreach {
+          case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
+            SnapStore.addColumn(dir, StructField(
+              add.fieldNames()(0), add.dataType(), nullable = true))
+          case other => throw new UnsupportedOperationException(
+            s"graft snapshot tables support ADD COLUMN only, got $other")
+        }
+        loadTable(ident)
+      case None =>
+        throw new UnsupportedOperationException("graft catalog is read-only")
+    }
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("graft catalog is read-only")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
@@ -169,14 +234,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException("graft catalog is read-only")
 }
 
-/** `db.table.files` metadata table: one row per data file under the
-  * mounted table directory — `(file_path STRING, size_bytes BIGINT)`,
-  * partition directories included recursively. The listing happens at
-  * scan time on the driver (metadata is small by definition); rows
-  * are served through the normal DSv2 batch-read path so the result
+/** `db.table.files` metadata table: one row per data file —
+  * `(file_path STRING, size_bytes BIGINT)`. For plain parquet
+  * directories the listing is the recursive walk; for snapshot
+  * tables the caller passes the LIVE manifest's file set via
+  * `explicit` (rewritten-away / expired files are on disk only until
+  * expiry, and never part of the table). The listing happens at scan
+  * time on the driver (metadata is small by definition); rows are
+  * served through the normal DSv2 batch-read path so the result
   * composes with any SQL on top.
   */
-final class FilesMetadataTable(tableName: String, dir: java.nio.file.Path)
+final class FilesMetadataTable(tableName: String, dir: java.nio.file.Path,
+    explicit: Option[Seq[(String, Long)]] = None)
     extends Table with SupportsRead {
 
   override def name(): String = tableName
@@ -194,14 +263,17 @@ final class FilesMetadataTable(tableName: String, dir: java.nio.file.Path)
 
       override def planInputPartitions():
           Array[org.apache.spark.sql.connector.read.InputPartition] = {
-        val walk = java.nio.file.Files.walk(dir)
-        val files =
-          try walk.iterator().asScala
-            .filter(p => java.nio.file.Files.isRegularFile(p) &&
-              p.getFileName.toString.endsWith(".parquet"))
-            .map(p => (p.toString, java.nio.file.Files.size(p)))
-            .toArray.sortBy(_._1)
-          finally walk.close()
+        val files = explicit match {
+          case Some(fs) => fs.toArray.sortBy(_._1)
+          case None =>
+            val walk = java.nio.file.Files.walk(dir)
+            try walk.iterator().asScala
+              .filter(p => java.nio.file.Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+              .map(p => (p.toString, java.nio.file.Files.size(p)))
+              .toArray.sortBy(_._1)
+            finally walk.close()
+        }
         Array(FilesPartition(files))
       }
 

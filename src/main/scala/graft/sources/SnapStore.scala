@@ -1,0 +1,364 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+
+/** A snapshot-manifest table format over parquet — the WRITE /
+  * MAINTENANCE faces of the reference's storage layer, re-expressed
+  * with the same mechanism Iceberg uses (immutable data files + a
+  * versioned manifest listing which files each snapshot contains)
+  * but none of its code. The reference mounts Iceberg precisely for
+  * these semantics ("Iceberg table read/write APIs … table
+  * maintenance", BASELINE.json; `partitionOverwriteMode=dynamic` at
+  * `IcebergBenchmark.java:97` exists for the copy-on-write pattern),
+  * and no Iceberg jars exist in this container — so the format is
+  * built from first principles:
+  *
+  *  - **Data files are immutable.** Every commit writes NEW parquet
+  *    files into `data/` and publishes a NEW manifest under
+  *    `_snapshots/v%05d.manifest`; nothing is edited in place, so
+  *    readers of older snapshots are never disturbed (time travel =
+  *    read an older manifest's file list).
+  *  - **Manifests carry per-file partition bounds** (`min`/`max` of
+  *    the table's partition column), collected by one stats pass
+  *    over the just-written files — the metrics Iceberg gathers at
+  *    write time. [[merge]] prunes the files it must rewrite from
+  *    these bounds on the driver, at planning time, without opening
+  *    a single data file.
+  *  - **Commits are atomic**: a manifest is written to a temp name
+  *    and ATOMIC_MOVE'd into place, so a snapshot either exists
+  *    completely or not at all; a racing/crashed writer can never
+  *    publish a half-manifest.
+  *
+  * At 100 TB each operation stays one-or-two Spark jobs over only
+  * the affected bytes: merge reads+rewrites touched files only,
+  * compaction reads+rewrites small files only, expiry is pure
+  * driver-side metadata plus unreferenced-file deletes.
+  *
+  * Manifest format (line-based, dependency-free):
+  * {{{
+  * version=3
+  * parent=2
+  * operation=merge
+  * schema=<StructType.json on one line>
+  * file=data/merge-v3-0-<uuid>.parquet\t<partMin>\t<partMax>\t<rows>\t<bytes>
+  * }}}
+  */
+object SnapStore {
+
+  /** One data file as a manifest records it: path relative to the
+    * table root plus the write-time stats pruning needs.
+    */
+  final case class FileEntry(path: String, partMin: Long, partMax: Long,
+      rows: Long, bytes: Long)
+
+  final case class Manifest(version: Int, parent: Int, operation: String,
+      schema: StructType, files: Seq[FileEntry])
+
+  private def snapDir(table: Path): Path = table.resolve("_snapshots")
+  private def manifestPath(table: Path, v: Int): Path =
+    snapDir(table).resolve(f"v$v%05d.manifest")
+
+  /** Is `dir` a snapshot table root? */
+  def isSnapTable(dir: Path): Boolean = Files.isDirectory(snapDir(dir))
+
+  /** Live (non-expired) snapshot versions, ascending. */
+  def liveVersions(table: Path): Seq[Int] = {
+    if (!Files.isDirectory(snapDir(table))) return Seq.empty
+    val stream = Files.list(snapDir(table))
+    val vs =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("v\\d{5}\\.manifest") =>
+          s.stripPrefix("v").stripSuffix(".manifest").toInt
+        }
+        .toSeq
+      finally stream.close()
+    vs.sorted
+  }
+
+  def currentVersion(table: Path): Option[Int] = liveVersions(table).lastOption
+
+  /** Load one manifest; raises the Iceberg-shaped missing-snapshot
+    * error when the version was expired (or never committed) — the
+    * contract `VERSION AS OF` surfaces to SQL users.
+    */
+  def manifest(table: Path, version: Int): Manifest = {
+    val p = manifestPath(table, version)
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(
+        s"Cannot find snapshot $version for table $table " +
+          "(expired or never committed)")
+    val lines = Files.readAllLines(p).asScala.toSeq
+    def field(k: String): String = lines
+      .find(_.startsWith(s"$k="))
+      .getOrElse(throw new IllegalStateException(s"manifest $p missing $k"))
+      .drop(k.length + 1)
+    val files = lines.filter(_.startsWith("file=")).map { l =>
+      val parts = l.drop(5).split('\t')
+      FileEntry(parts(0), parts(1).toLong, parts(2).toLong,
+        parts(3).toLong, parts(4).toLong)
+    }
+    Manifest(field("version").toInt, field("parent").toInt,
+      field("operation"),
+      DataType.fromJson(field("schema")).asInstanceOf[StructType], files)
+  }
+
+  def currentManifest(table: Path): Manifest =
+    manifest(table, currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"No snapshots under $table")))
+
+  /** Publish a new manifest atomically. */
+  private def commitManifest(table: Path, m: Manifest): Unit = {
+    Files.createDirectories(snapDir(table))
+    val body = new StringBuilder()
+      .append(s"version=${m.version}\n")
+      .append(s"parent=${m.parent}\n")
+      .append(s"operation=${m.operation}\n")
+      .append(s"schema=${m.schema.json}\n")
+    m.files.foreach(f => body.append(
+      s"file=${f.path}\t${f.partMin}\t${f.partMax}\t${f.rows}\t${f.bytes}\n"))
+    val tmp = snapDir(table).resolve(
+      s".v${m.version}.tmp-${ProcessHandle.current().pid()}")
+    Files.writeString(tmp, body.toString)
+    Files.move(tmp, manifestPath(table, m.version),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Write `df`'s rows as new immutable data files under `data/` and
+    * return their manifest entries. One write job (hash-clustered on
+    * the partition column so a file's partition bounds stay tight)
+    * plus one stats job over the new files only — the write-time
+    * metrics collection that makes manifest-level pruning possible.
+    */
+  private def writeDataFiles(spark: SparkSession, table: Path, df: DataFrame,
+      partCol: String, label: String, numFiles: Int,
+      clusterExprs: Seq[org.apache.spark.sql.Column] = Seq.empty): Seq[FileEntry] = {
+    val dataDir = table.resolve("data")
+    Files.createDirectories(dataDir)
+    val tmp = table.resolve(s".write-tmp-${ProcessHandle.current().pid()}")
+    deleteTree(tmp)
+    // RANGE clustering on the partition column with an EXPLICIT file
+    // count: ranges keep each file's [partMin, partMax] span tight
+    // and non-overlapping (hash clustering would scatter partition
+    // values across files and destroy manifest-level pruning), and
+    // an explicit count is exempt from AQE partition coalescing —
+    // at tiny fixtures AQE would otherwise fold everything into one
+    // file and there'd be no layout to prune, compact, or carry.
+    val cluster = if (clusterExprs.nonEmpty) clusterExprs else Seq(col(partCol))
+    df.repartitionByRange(numFiles, cluster: _*)
+      .sortWithinPartitions(col(partCol))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val stream = Files.list(tmp)
+    val written =
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
+    val moved = written.zipWithIndex.map { case (src, i) =>
+      val name = s"$label-$i-${UUID.randomUUID().toString.take(8)}.parquet"
+      Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    deleteTree(tmp)
+    if (moved.isEmpty) return Seq.empty
+    // Stats pass over the new files only: per-file row count and
+    // partition bounds keyed by the physical file each row came from.
+    val paths = moved.map(n => dataDir.resolve(n).toString)
+    val stats = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col(partCol)).as("mn"), max(col(partCol)).as("mx"),
+        count(lit(1)).as("rows"))
+      .collect()
+      .map(r => fileName(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    moved.flatMap { n =>
+      stats.get(n) match {
+        case Some((mn, mx, rows)) =>
+          Some(FileEntry(s"data/$n", mn, mx, rows,
+            Files.size(dataDir.resolve(n))))
+        case None => // zero-row part file: drop, never reference
+          Files.deleteIfExists(dataDir.resolve(n)); None
+      }
+    }
+  }
+
+  private def fileName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
+  /** Create the table: snapshot v1 from `df`. `clusterExprs`
+    * overrides the write clustering (default: the partition column)
+    * — passing a finer key deliberately fragments the layout, the
+    * precondition [[compact]] exists to repair.
+    */
+  def create(spark: SparkSession, table: Path, df: DataFrame,
+      partCol: String, numFiles: Int = 8,
+      clusterExprs: Seq[org.apache.spark.sql.Column] = Seq.empty): Manifest = {
+    require(currentVersion(table).isEmpty, s"table $table already exists")
+    val files = writeDataFiles(spark, table, df, partCol, "base-v1", numFiles,
+      clusterExprs)
+    val m = Manifest(1, 0, "create", df.schema, files)
+    commitManifest(table, m)
+    m
+  }
+
+  /** Read a snapshot (latest when `version` is None) as one parquet
+    * scan over exactly the manifest's files, with the MANIFEST's
+    * schema — files written before a column was added simply lack it
+    * and read as nulls (the Iceberg schema-evolution contract).
+    * Filter/column pushdown flow through the plain parquet path.
+    */
+  def read(spark: SparkSession, table: Path,
+      version: Option[Int] = None): DataFrame = {
+    val m = version.map(manifest(table, _)).getOrElse(currentManifest(table))
+    if (m.files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      spark.read.schema(m.schema)
+        .parquet(m.files.map(f => table.resolve(f.path).toString): _*)
+  }
+
+  /** Copy-on-write MERGE (matched → update, unmatched → insert): the
+    * row-level-write face of the north star. File-level pruning from
+    * manifest partition bounds decides the rewrite set ON THE DRIVER
+    * — data files whose `[partMin, partMax]` misses every changed
+    * partition are carried into the new snapshot UNTOUCHED (same
+    * path, no IO). Only touched files are read, merged with the
+    * change set, and rewritten. This is exactly the
+    * `partitionOverwriteMode=dynamic` write pattern the reference
+    * configures (`IcebergBenchmark.java:97`), done at file
+    * granularity.
+    */
+  def merge(spark: SparkSession, table: Path, changes: DataFrame,
+      keyCol: String, partCol: String, numFiles: Int = 8): Manifest = {
+    val cur = currentManifest(table)
+    // The changed-partition set: small by definition (it is the
+    // merge's write footprint — a batch touching every partition is
+    // a full rewrite, not a merge).
+    val parts = changes.select(col(partCol)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (touched, untouched) = cur.files.partition(f =>
+      parts.exists(p => p >= f.partMin && p <= f.partMax))
+    val touchedDf =
+      if (touched.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cur.schema)
+      else spark.read.schema(cur.schema)
+        .parquet(touched.map(f => table.resolve(f.path).toString): _*)
+    // Matched base rows are replaced by their change row; unmatched
+    // change rows insert. Null-safe key join is unnecessary (keys are
+    // non-null by contract).
+    val merged = touchedDf
+      .join(changes.select(col(keyCol).as("__k")), col(keyCol) === col("__k"),
+        "left_anti")
+      .unionByName(changes.select(cur.schema.fieldNames.map(col): _*))
+    val v = cur.version + 1
+    val newFiles = writeDataFiles(spark, table, merged, partCol, s"merge-v$v",
+      numFiles)
+    val m = Manifest(v, cur.version, "merge", cur.schema,
+      untouched ++ newFiles)
+    commitManifest(table, m)
+    m
+  }
+
+  /** Append-only commit: new files for `df`, everything live carried
+    * over. The schema used is the CURRENT manifest's (an appended
+    * batch after `addColumn` carries the new column).
+    */
+  def append(spark: SparkSession, table: Path, df: DataFrame,
+      partCol: String, numFiles: Int = 8): Manifest = {
+    val cur = currentManifest(table)
+    val v = cur.version + 1
+    val newFiles = writeDataFiles(spark, table,
+      df.select(cur.schema.fieldNames.map(col): _*), partCol, s"append-v$v",
+      numFiles)
+    val m = Manifest(v, cur.version, "append", cur.schema,
+      cur.files ++ newFiles)
+    commitManifest(table, m)
+    m
+  }
+
+  /** Bin-pack small-file compaction — the core Iceberg maintenance
+    * action (`rewrite_data_files`). Files are walked in partition
+    * order and packed into bins of ≈`targetBytes`; every bin holding
+    * more than one file is read once and rewritten as one file,
+    * single-file bins carry over with zero IO. Contents are
+    * byte-for-byte the same rows; only the layout changes.
+    */
+  def compact(spark: SparkSession, table: Path, partCol: String,
+      targetBytes: Long): Manifest = {
+    val cur = currentManifest(table)
+    val sorted = cur.files.sortBy(f => (f.partMin, f.path))
+    val bins = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer.empty[FileEntry])
+    sorted.foreach { f =>
+      if (bins.last.nonEmpty && bins.last.map(_.bytes).sum + f.bytes > targetBytes)
+        bins += scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+      bins.last += f
+    }
+    val v = cur.version + 1
+    val newFiles = bins.filter(_.nonEmpty).zipWithIndex.flatMap {
+      case (bin, _) if bin.size == 1 => bin // already compact: zero IO
+      case (bin, i) =>
+        val df = spark.read.schema(cur.schema)
+          .parquet(bin.map(f => table.resolve(f.path).toString).toSeq: _*)
+        // One output file per bin — that is the bin's definition.
+        writeDataFiles(spark, table, df, partCol, s"compact-v$v-b$i",
+          numFiles = 1)
+    }.toSeq
+    val m = Manifest(v, cur.version, "compact", cur.schema, newFiles)
+    commitManifest(table, m)
+    m
+  }
+
+  /** Snapshot expiry: keep the newest `keepLast` snapshots, delete
+    * older manifests, then delete any data file referenced ONLY by
+    * the expired snapshots (orphan cleanup). Live reads are
+    * untouched — their files were carried forward by the commits
+    * that superseded the expired ones. Expired `VERSION AS OF` reads
+    * fail with the missing-snapshot error from [[manifest]].
+    * Returns (expired versions, deleted data files).
+    */
+  def expire(table: Path, keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val vs = liveVersions(table)
+    val (dead, live) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val keepFiles = live.flatMap(v => manifest(table, v).files.map(_.path)).toSet
+    val deadFiles = dead.flatMap(v => manifest(table, v).files.map(_.path))
+      .distinct.filterNot(keepFiles)
+    dead.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
+    deadFiles.foreach(p => Files.deleteIfExists(table.resolve(p)))
+    (dead, deadFiles)
+  }
+
+  /** Schema evolution: `ADD COLUMN` is a pure metadata commit — the
+    * new manifest lists the SAME data files under the widened
+    * schema; historical files lack the column and read as nulls,
+    * new appends carry it. No data is rewritten, exactly Iceberg's
+    * evolution contract.
+    */
+  def addColumn(table: Path, field: StructField): Manifest = {
+    val cur = currentManifest(table)
+    require(!cur.schema.fieldNames.contains(field.name),
+      s"column ${field.name} already exists")
+    val m = Manifest(cur.version + 1, cur.version, "add-column",
+      StructType(cur.schema.fields :+ field.copy(nullable = true)), cur.files)
+    commitManifest(table, m)
+    m
+  }
+
+  private def deleteTree(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
+}
