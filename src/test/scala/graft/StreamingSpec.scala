@@ -197,6 +197,58 @@ class StreamingSpec extends SparkSpec {
     assert(last((2L, "buy")) === 1L, last)
   }
 
+  test("transformWithState event-time timers close inactive sessions " +
+    "exactly once and later input reopens a fresh session") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    // 700 ms inactivity gap, zero-delay watermark on the event time:
+    // a session closes when the watermark passes lastEvent + 700 ms.
+    val out = ms.toDS()
+      .withWatermark("_2", "0 seconds")
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.SessionTimeoutProcessor(700L),
+        TimeMode.EventTime(), OutputMode.Update())
+    val q = out.toDF().toDF("user_id", "events", "total")
+      .writeStream.format("memory").queryName("twst_mem")
+      .outputMode("update").start()
+    try {
+      ms.addData((1L, ts(10000), 10L), (1L, ts(11000), 5L), (2L, ts(10500), 7L))
+      q.processAllAvailable()
+      // Nothing emits while sessions are open (watermark still 0).
+      assert(spark.table("twst_mem").count() == 0)
+      // Advance the watermark far past both deadlines (11.7 s / 11.2
+      // s): the batch AFTER this one runs with watermark 30 s and
+      // fires the expired timers with no input rows for keys 1/2.
+      ms.addData((99L, ts(30000), 1L))
+      q.processAllAvailable()
+      ms.addData((99L, ts(30100), 1L))
+      q.processAllAvailable()
+      val closed = spark.table("twst_mem").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(closed.get(1L).contains((2L, 15L)), s"got $closed")
+      assert(closed.get(2L).contains((1L, 7L)), s"got $closed")
+      assert(!closed.contains(99L), s"open session must not emit: $closed")
+      // Re-opening: post-close input starts a FRESH session (the
+      // closed one's counts must not leak in).
+      ms.addData((1L, ts(40000), 3L))
+      q.processAllAvailable()
+      ms.addData((99L, ts(90000), 1L))
+      q.processAllAvailable()
+      ms.addData((99L, ts(90100), 1L))
+      q.processAllAvailable()
+      val all = spark.table("twst_mem").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(all.toSet == Set((2L, 15L), (1L, 3L)), all.mkString(","))
+    } finally q.stop()
+  }
+
   test("transformWithState keeps running per-key aggregates across batches") {
     import SparkSpec.spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
