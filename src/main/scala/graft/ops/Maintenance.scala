@@ -38,7 +38,7 @@ object Maintenance {
   /** Bump to invalidate previously materialized lifecycles when the
     * scenario logic changes (the root directory is keyed by it).
     */
-  private val logicVersion = "m2"
+  private val logicVersion = "m3"
 
   /** Per-fixture root for the maintained tables, mounted as database
     * `maint` on the graft DSv2 catalog. Keyed by a hash of the FULL
@@ -128,6 +128,43 @@ object Maintenance {
       val total = SnapStore.currentManifest(t).files.map(_.bytes).sum
       SnapStore.compact(s, t, partCol, targetBytes = total / 4 + 1)
     }
+    mount(s, dir)
+    t
+  }
+
+  /** `docs_del`: v1 create → v2 copy-on-write DELETE of every
+    * seventh doc of partition 3 — the delete set is confined to one
+    * partition, so seven of eight partitions' files are provably
+    * untouched by the rewrite.
+    */
+  def ensureDocsDel(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_del")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol)
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.delete(s, t,
+        base(s, dir).filter(col(partCol) === 3 &&
+          pmod(col("doc_id"), lit(7L)) === 0)
+          .select(col("doc_id"), col(partCol)),
+        "doc_id", partCol)
+    mount(s, dir)
+    t
+  }
+
+  /** `docs_sort`: v1 create clustered by partition only (sources
+    * scattered across every file) → v2 sort-order rewrite clustered
+    * by `source` under the partition — Iceberg's
+    * `rewrite_data_files` with a sort order. 16 files so the range
+    * boundaries split inside partitions and the per-file source
+    * spans provably tighten (MaintenanceSpec).
+    */
+  def ensureDocsSort(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_sort")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, numFiles = 16)
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.rewriteClustered(s, t, partCol, Seq(col("source")),
+        numFiles = 16)
     mount(s, dir)
     t
   }
@@ -278,6 +315,99 @@ object Maintenance {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Post-DELETE contents per partition: the oracle recomputes the
+    * surviving set logically, so a hash match proves the COW rewrite
+    * dropped exactly the matched rows and kept every other row —
+    * including every row of the seven untouched partitions.
+    */
+  def deleteRows(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsDel(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val deleteRowsOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE NOT (doc_id % $nParts = 3 AND doc_id % 7 = 0)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** Incremental (changelog) read v2→v3 of the evolution lifecycle:
+    * exactly the appended 20% batch, served by scanning ONLY the
+    * files the append added (no base data touched — the file-level
+    * contrast to `pipe_snapshot_diff`'s logical full-outer diff).
+    * The oracle recomputes the appended set from the fixture, so a
+    * hash match proves the manifest diff surfaced precisely the
+    * added rows.
+    */
+  def incrementalRead(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsEvo(s, dir)
+    SnapStore.incrementalRead(s, t, fromVersion = 2, toVersion = 3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val incrementalReadOracle: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE doc_id % 5 = 0
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Post-sort-rewrite contents per source: a sort-order rewrite is
+    * a pure placement change, so the oracle is the base table's own
+    * aggregate — one lost/duplicated row breaks the checksum. The
+    * pruning claims (tight per-file source spans, in-file sortedness)
+    * are spec-pinned; they have no SQL surface.
+    */
+  def clusterRewrite(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsSort(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val clusterRewriteOracle: String = compactionOracle
+
+  /** The snapshot log (`db.table.snapshots` metadata table) of the
+    * evolution lifecycle: three live snapshots whose operations and
+    * row totals the oracle recomputes from the fixture — create
+    * carries 80% of docs, add-column is metadata-only (same rows),
+    * append lands the remaining 20%.
+    */
+  def snapshotLog(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsEvo(s, dir)
+    s.sql("""SELECT version, operation, total_rows
+             FROM graft.maint.docs_evo.snapshots
+             ORDER BY version""")
+  }
+
+  val snapshotLogOracle: String =
+    """WITH c AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE doc_id % 5 <> 0) AS n80
+      |  FROM documents)
+      |SELECT CAST(1 AS INTEGER) AS version, 'create' AS operation,
+      |  CAST(n80 AS BIGINT) AS total_rows FROM c
+      |UNION ALL SELECT 2, 'add-column', CAST(n80 AS BIGINT) FROM c
+      |UNION ALL SELECT 3, 'append', CAST(n AS BIGINT) FROM c
+      |ORDER BY version""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -286,5 +416,13 @@ object Maintenance {
     Q("maint_snapshot_expiry", snapshotExpiry, Some(snapshotExpiryOracle),
       "snapshot expiry: live VERSION AS OF read after old snapshots dropped"),
     Q("maint_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle),
-      "ADD COLUMN evolution: old files read nulls, appended files carry values"))
+      "ADD COLUMN evolution: old files read nulls, appended files carry values"),
+    Q("maint_delete", deleteRows, Some(deleteRowsOracle),
+      "copy-on-write row-level DELETE: touched-partition files rewritten minus matches"),
+    Q("maint_incremental_read", incrementalRead, Some(incrementalReadOracle),
+      "incremental append scan between snapshots: added files only, no base IO"),
+    Q("maint_snapshot_log", snapshotLog, Some(snapshotLogOracle),
+      "snapshots metadata table: live history with per-snapshot row totals"),
+    Q("maint_cluster_rewrite", clusterRewrite, Some(clusterRewriteOracle),
+      "sort-order rewrite: files re-clustered for pruning, contents identical"))
 }

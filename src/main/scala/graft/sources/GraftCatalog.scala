@@ -135,6 +135,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         else if (java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
           new FilesMetadataTable(s"$catalogName.$db.$table.files", dir)
         else throw new NoSuchTableException(ident)
+      // `db.table.snapshots` — the Iceberg `table.snapshots` /
+      // `table.history` surface: one row per LIVE snapshot (version,
+      // parent, operation, file/row/byte totals). Snapshot tables
+      // only; manifests are driver-side metadata by definition.
+      case Array(db, table) if ident.name() == "snapshots" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new SnapshotsMetadataTable(
+          s"$catalogName.$db.$table.snapshots", dir)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -310,4 +320,73 @@ object FilesMetadataTable {
 }
 
 final case class FilesPartition(files: Array[(String, Long)])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** `db.table.snapshots` metadata table: one row per live snapshot —
+  * `(version INT, parent INT, operation STRING, n_files BIGINT,
+  * total_rows BIGINT, total_bytes BIGINT)`, ascending by version.
+  * Rows come from [[SnapStore.history]] at scan-planning time (the
+  * manifest log is driver-side metadata, like Iceberg's
+  * `table.snapshots`); they are served through the normal DSv2 batch
+  * path so SQL composes on top.
+  */
+final class SnapshotsMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = SnapshotsMetadataTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.Batch {
+      override def build(): org.apache.spark.sql.connector.read.Scan = this
+      override def readSchema(): StructType = SnapshotsMetadataTable.schema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def description(): String = s"graft-snapshots $dir"
+
+      override def planInputPartitions():
+          Array[org.apache.spark.sql.connector.read.InputPartition] =
+        Array(SnapshotsPartition(SnapStore.history(dir).toArray))
+
+      override def createReaderFactory():
+          org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new org.apache.spark.sql.connector.read.PartitionReaderFactory {
+          override def createReader(
+              p: org.apache.spark.sql.connector.read.InputPartition):
+              org.apache.spark.sql.connector.read.PartitionReader[
+                org.apache.spark.sql.catalyst.InternalRow] =
+            new org.apache.spark.sql.connector.read.PartitionReader[
+              org.apache.spark.sql.catalyst.InternalRow] {
+              private val it =
+                p.asInstanceOf[SnapshotsPartition].snaps.iterator
+              private var cur: (Int, Int, String, Long, Long, Long) = _
+              override def next(): Boolean = {
+                if (!it.hasNext) return false
+                cur = it.next(); true
+              }
+              override def get(): org.apache.spark.sql.catalyst.InternalRow =
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](cur._1, cur._2,
+                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._3),
+                    cur._4, cur._5, cur._6))
+              override def close(): Unit = ()
+            }
+        }
+    }
+}
+
+object SnapshotsMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("parent", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("operation", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("n_files", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("total_rows", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+final case class SnapshotsPartition(
+    snaps: Array[(Int, Int, String, Long, Long, Long)])
     extends org.apache.spark.sql.connector.read.InputPartition

@@ -152,8 +152,12 @@ object SnapStore {
     // at tiny fixtures AQE would otherwise fold everything into one
     // file and there'd be no layout to prune, compact, or carry.
     val cluster = if (clusterExprs.nonEmpty) clusterExprs else Seq(col(partCol))
+    // Rows inside each file sort by the full cluster key, so file-level
+    // min/max (manifest) AND row-group min/max (parquet footer) both
+    // stay tight on the clustered columns — the double pruning a
+    // sort-order rewrite exists to buy.
     df.repartitionByRange(numFiles, cluster: _*)
-      .sortWithinPartitions(col(partCol))
+      .sortWithinPartitions(cluster: _*)
       .write.mode("overwrite").parquet(tmp.toString)
     val stream = Files.list(tmp)
     val written =
@@ -238,7 +242,8 @@ object SnapStore {
     * granularity.
     */
   def merge(spark: SparkSession, table: Path, changes: DataFrame,
-      keyCol: String, partCol: String, numFiles: Int = 8): Manifest = {
+      keyCol: String, partCol: String, numFiles: Int = 8,
+      operation: String = "merge"): Manifest = {
     val cur = currentManifest(table)
     // The changed-partition set: small by definition (it is the
     // merge's write footprint — a batch touching every partition is
@@ -263,11 +268,87 @@ object SnapStore {
     val v = cur.version + 1
     val newFiles = writeDataFiles(spark, table, merged, partCol, s"merge-v$v",
       numFiles)
-    val m = Manifest(v, cur.version, "merge", cur.schema,
+    val m = Manifest(v, cur.version, operation, cur.schema,
       untouched ++ newFiles)
     commitManifest(table, m)
     m
   }
+
+  /** Copy-on-write row-level DELETE — the third row-level write face
+    * (Iceberg `DELETE FROM`). Same file-level pruning as [[merge]]:
+    * data files whose partition bounds miss every partition in the
+    * delete set carry untouched; touched files are read once,
+    * anti-joined against the delete keys, and rewritten. At 100 TB a
+    * delete confined to k partitions costs one job over those
+    * partitions' bytes only.
+    */
+  def delete(spark: SparkSession, table: Path, deleteKeys: DataFrame,
+      keyCol: String, partCol: String, numFiles: Int = 8): Manifest = {
+    val cur = currentManifest(table)
+    val parts = deleteKeys.select(col(partCol)).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val (touched, untouched) = cur.files.partition(f =>
+      parts.exists(p => p >= f.partMin && p <= f.partMax))
+    val v = cur.version + 1
+    val newFiles =
+      if (touched.isEmpty) Seq.empty
+      else {
+        val touchedDf = spark.read.schema(cur.schema)
+          .parquet(touched.map(f => table.resolve(f.path).toString): _*)
+        val kept = touchedDf.join(
+          deleteKeys.select(col(keyCol).as("__k")),
+          col(keyCol) === col("__k"), "left_anti")
+        writeDataFiles(spark, table, kept, partCol, s"delete-v$v", numFiles)
+      }
+    val m = Manifest(v, cur.version, "delete", cur.schema,
+      untouched ++ newFiles)
+    commitManifest(table, m)
+    m
+  }
+
+  /** Incremental (changelog) read: the rows ADDED between two
+    * snapshots, served by scanning exactly the data files present in
+    * `toVersion`'s manifest but not in `fromVersion`'s — Iceberg's
+    * incremental append scan. No base data is touched at all (the
+    * scale contrast with a logical diff join: consuming a day of
+    * appends from a 100 TB table reads only that day's files).
+    * Restricted, like Iceberg's, to append-only history: a
+    * replace-style commit (merge/delete/compact) between the two
+    * versions would surface rewritten old rows as "new", so it
+    * raises instead.
+    */
+  def incrementalRead(spark: SparkSession, table: Path,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"fromVersion $fromVersion must precede toVersion $toVersion")
+    val to = manifest(table, toVersion)
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val op = manifest(table, v).operation
+      require(op == "append" || op == "add-column",
+        s"incremental read requires append-only history; " +
+          s"snapshot $v is '$op'")
+    }
+    val fromFiles = manifest(table, fromVersion).files.map(_.path).toSet
+    val added = to.files.filterNot(f => fromFiles(f.path))
+    if (added.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], to.schema)
+    else
+      spark.read.schema(to.schema)
+        .parquet(added.map(f => table.resolve(f.path).toString): _*)
+  }
+
+  /** Snapshot history of the live (non-expired) manifests, ascending
+    * — the data behind the `.snapshots` metadata table (Iceberg's
+    * `table.snapshots` / `table.history` surface). Driver-side by
+    * definition: manifests are metadata.
+    */
+  def history(table: Path): Seq[(Int, Int, String, Long, Long, Long)] =
+    liveVersions(table).map { v =>
+      val m = manifest(table, v)
+      (m.version, m.parent, m.operation, m.files.size.toLong,
+        m.files.map(_.rows).sum, m.files.map(_.bytes).sum)
+    }
 
   /** Append-only commit: new files for `df`, everything live carried
     * over. The schema used is the CURRENT manifest's (an appended
@@ -315,6 +396,34 @@ object SnapStore {
           numFiles = 1)
     }.toSeq
     val m = Manifest(v, cur.version, "compact", cur.schema, newFiles)
+    commitManifest(table, m)
+    m
+  }
+
+  /** Sort-order rewrite — Iceberg's `rewrite_data_files` with a sort
+    * order (the read-locality maintenance action behind Z-ordering):
+    * every live file is rewritten range-clustered on `clusterExprs`,
+    * so rows that are filtered together land together and per-file /
+    * per-row-group min-max pruning bites on the clustered columns.
+    * Contents are exactly the same rows; only placement changes. At
+    * scale this is one shuffle-write job over the table (or a
+    * partition subset — callers can compose with manifest pruning),
+    * traded for every subsequent scan's pruning win.
+    */
+  def rewriteClustered(spark: SparkSession, table: Path,
+      partCol: String, clusterExprs: Seq[org.apache.spark.sql.Column],
+      numFiles: Int = 8): Manifest = {
+    val cur = currentManifest(table)
+    val df = spark.read.schema(cur.schema)
+      .parquet(cur.files.map(f => table.resolve(f.path).toString): _*)
+    val v = cur.version + 1
+    // Sort WITHIN the partition layout (Iceberg sort orders apply
+    // under the partition spec): the partition column leads the
+    // clustering so per-file partition bounds stay tight for manifest
+    // pruning, and the sort columns cluster inside it.
+    val newFiles = writeDataFiles(spark, table, df, partCol,
+      s"cluster-v$v", numFiles, col(partCol) +: clusterExprs)
+    val m = Manifest(v, cur.version, "rewrite-sorted", cur.schema, newFiles)
     commitManifest(table, m)
     m
   }

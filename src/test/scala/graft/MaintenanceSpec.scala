@@ -186,6 +186,133 @@ class MaintenanceSpec extends SparkSpec {
     assert(listed.map(_.getLong(1)).sum == live.map(_.bytes).sum)
   }
 
+  test("delete rewrites only files intersecting its partitions and " +
+    "drops exactly the matched rows") {
+    val t = freshTable("delete")
+    SnapStore.create(spark, t, docs, "part")
+    val v1 = SnapStore.currentManifest(t)
+    val mtimes = v1.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+    val delKeys = docs.filter(col("part") === 5 &&
+      pmod(col("doc_id"), lit(3L)) === 0).select("doc_id", "part")
+    val nDel = delKeys.count()
+    assert(nDel > 0, "fixture must populate the delete set")
+    SnapStore.delete(spark, t, delKeys, "doc_id", "part")
+    val v2 = SnapStore.currentManifest(t)
+    assert(v2.operation == "delete")
+    val (touched1, untouched1) = v1.files.partition(f =>
+      f.partMin <= 5 && 5 <= f.partMax)
+    untouched1.foreach { f =>
+      assert(v2.files.exists(_.path == f.path), s"${f.path} must carry")
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path),
+        s"${f.path} must not be rewritten")
+    }
+    touched1.foreach(f => assert(!v2.files.exists(_.path == f.path),
+      s"${f.path} intersects the delete partition and must be replaced"))
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == docs.count() - nDel)
+    assert(after.filter(col("part") === 5 &&
+      pmod(col("doc_id"), lit(3L)) === 0).count() == 0)
+    assert(after.filter(col("part") =!= 5).count() ==
+      docs.filter(col("part") =!= 5).count())
+  }
+
+  test("incremental read serves exactly the appended batch from " +
+    "added files only, and rejects replace-style history") {
+    val t = freshTable("incr")
+    SnapStore.create(spark, t, docs.filter(col("part") < 6), "part")
+    val baseFiles = SnapStore.currentManifest(t).files.map(_.path).toSet
+    SnapStore.append(spark, t, docs.filter(col("part") >= 6), "part")
+    val inc = SnapStore.incrementalRead(spark, t, 1, 2)
+    // Exactly the appended rows...
+    val want = docs.filter(col("part") >= 6).orderBy("doc_id").collect()
+    assert(inc.orderBy("doc_id").collect().toSeq == want.toSeq)
+    // ...and the scan plans over ONLY the added files (no base IO).
+    val scanned = inc.select(input_file_name()).distinct()
+      .collect().map(r => r.getString(0)).toSet
+    assert(scanned.forall(p => !baseFiles.exists(p.endsWith)),
+      s"incremental scan must not read base files: $scanned")
+    // A merge between the versions poisons the increment: raise.
+    SnapStore.merge(spark, t,
+      docs.filter(col("part") === 1).limit(2)
+        .withColumn("text", concat(col("text"), lit(" u"))),
+      "doc_id", "part")
+    val e = intercept[IllegalArgumentException] {
+      SnapStore.incrementalRead(spark, t, 1, 3)
+    }
+    assert(e.getMessage.contains("append-only"))
+    // The appends-only sub-range still reads fine.
+    assert(SnapStore.incrementalRead(spark, t, 1, 2).count() == want.length)
+  }
+
+  test("sort-order rewrite tightens per-file source spans and sorts " +
+    "rows inside files; contents identical") {
+    val t = freshTable("sortrw")
+    SnapStore.create(spark, t, docs, "part", numFiles = 16)
+    def spans(m: graft.sources.SnapStore.Manifest): Seq[Long] =
+      m.files.map { f =>
+        spark.read.parquet(t.resolve(f.path).toString)
+          .select(countDistinct(col("source"))).head().getLong(0)
+      }
+    val v1 = SnapStore.currentManifest(t)
+    val before = spans(v1)
+    SnapStore.rewriteClustered(spark, t, "part", Seq(col("source")),
+      numFiles = 16)
+    val v2 = SnapStore.currentManifest(t)
+    assert(v2.operation == "rewrite-sorted")
+    val after = spans(v2)
+    // Clustering evidence: the average per-file distinct-source span
+    // shrinks (range boundaries now split on source inside partitions,
+    // so a source-filtered scan skips whole files/row groups).
+    assert(after.sum.toDouble / after.size < before.sum.toDouble / before.size,
+      s"expected tighter source spans, got $before -> $after")
+    // In-file sortedness on the cluster key (row-group min/max bite).
+    v2.files.foreach { f =>
+      val rows = spark.read.parquet(t.resolve(f.path).toString)
+        .select("part", "source").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.sameElements(rows.sortBy(identity)),
+        s"${f.path} must be sorted by (part, source)")
+    }
+    // Placement-only: same rows before and after.
+    val a = SnapStore.read(spark, t, Some(1)).orderBy("doc_id").collect()
+    val b = SnapStore.read(spark, t).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("snapshots metadata table lists the live history through the " +
+    "catalog, and drops expired versions") {
+    val dir = Files.createTempDirectory("graft-snapspec-log")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part")
+    SnapStore.append(spark, t, docs.limit(4)
+      .withColumn("doc_id", col("doc_id") + 700000L), "part")
+    spark.conf.set("spark.graft.catalog.dir.snaplog", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val n = docs.count()
+    val rows = spark.sql(
+      """SELECT version, parent, operation, n_files, total_rows
+        |FROM graft.snaplog.docs.snapshots ORDER BY version""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq ==
+      Seq((1, 0, "create"), (2, 1, "append")))
+    assert(rows(0).getLong(4) == n)
+    assert(rows(1).getLong(4) == n + 4)
+    // Totals agree with the files metadata listing.
+    val manifestBytes = SnapStore.currentManifest(t).files.map(_.bytes).sum
+    val logged = spark.sql(
+      "SELECT total_bytes FROM graft.snaplog.docs.snapshots WHERE version = 2")
+      .head().getLong(0)
+    assert(logged == manifestBytes)
+    // Expiry removes v1 from the log.
+    SnapStore.expire(t, keepLast = 1)
+    val after = spark.sql(
+      "SELECT version FROM graft.snaplog.docs.snapshots").collect()
+    assert(after.map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("registered lifecycle is idempotent: re-running entries " +
     "re-reads the same final snapshots") {
     val a = ops.Maintenance.mergeUpsert(spark, sf).collect()
@@ -194,5 +321,11 @@ class MaintenanceSpec extends SparkSpec {
     val c = ops.Maintenance.schemaEvolution(spark, sf).collect()
     val d = ops.Maintenance.schemaEvolution(spark, sf).collect()
     assert(c.toSeq == d.toSeq)
+    val e = ops.Maintenance.deleteRows(spark, sf).collect()
+    val f = ops.Maintenance.deleteRows(spark, sf).collect()
+    assert(e.toSeq == f.toSeq)
+    val g = ops.Maintenance.snapshotLog(spark, sf).collect()
+    val h = ops.Maintenance.snapshotLog(spark, sf).collect()
+    assert(g.toSeq == h.toSeq)
   }
 }

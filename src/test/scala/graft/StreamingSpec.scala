@@ -328,6 +328,58 @@ class StreamingSpec extends SparkSpec {
     assert(total === 3)
   }
 
+  test("streaming CDC upsert commits one snapshot per epoch, " +
+    "exactly-once under replay") {
+    import SparkSpec.spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    import graft.sources.SnapStore
+    import graft.streaming.SnapshotUpsert
+    val root = java.nio.file.Files.createTempDirectory("graft-cdc")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    // Base table: ids 0..9 across two partitions (id % 2).
+    val base = spark.range(10).select(col("id"),
+      org.apache.spark.sql.functions.pmod(col("id"), org.apache.spark.sql
+        .functions.lit(2L)).as("part"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("v0-"), col("id")).as("v"))
+    SnapStore.create(spark, t, base, "part")
+
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val sink = SnapshotUpsert.upsertBatch(t, "id", "part") _
+    val q = ms.toDF().toDF("id", "part", "v").writeStream
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) => {
+        sink(df, id); ()
+      })
+      .start()
+    try {
+      ms.addData((2L, 0L, "upd-2"), (11L, 1L, "new-11")) // update + insert
+      q.processAllAvailable()
+      ms.addData((3L, 1L, "upd-3"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // One snapshot per epoch, tagged by batch id.
+    val ops = SnapStore.history(t).map(_._3)
+    assert(ops == Seq("create", "merge-b0", "merge-b1"), s"got $ops")
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == 11)
+    val vals = after.filter(col("id").isin(2L, 3L, 11L))
+      .orderBy("id").select("v").as[String].collect().toSeq
+    assert(vals == Seq("upd-2", "upd-3", "new-11"))
+
+    // Failure replay: re-running batch 1 with the same epoch id must
+    // be a no-op — no new snapshot, contents unchanged.
+    val replayed = sink(Seq((3L, 1L, "upd-3")).toDF("id", "part", "v"), 1L)
+    assert(!replayed, "replayed epoch must be skipped")
+    assert(SnapStore.history(t).map(_._3) ==
+      Seq("create", "merge-b0", "merge-b1"))
+    assert(SnapStore.read(spark, t).count() == 11)
+  }
+
   test("dropDuplicatesWithinWatermark re-admits a key after state eviction") {
     import SparkSpec.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
