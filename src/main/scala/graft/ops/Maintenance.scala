@@ -169,6 +169,35 @@ object Maintenance {
     t
   }
 
+  /** `docs_pevo`: partition-spec evolution lifecycle. v1 create
+    * partitioned by `part` → v2 `evolveSpec("tok")` (pure metadata —
+    * zero files rewritten) → v3 merge under the NEW spec (every
+    * thirteenth doc re-sourced `srcE1`): the old-spec files are
+    * conservatively touched and thereby migrated to tok-bounded
+    * files (rewrite-on-touch) → v4 merge confined to the `tok >= 80`
+    * band (re-sourced `srcE2`): bound-based pruning bites again —
+    * files whose tok range lies below the band carry untouched.
+    */
+  def ensureDocsPevo(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_pevo")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol)
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.evolveSpec(t, "tok")
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.merge(s, t,
+        b.filter(pmod(col("doc_id"), lit(13L)) === 0)
+          .withColumn("source", lit("srcE1")),
+        "doc_id", "tok")
+    if (SnapStore.currentVersion(t).contains(3))
+      SnapStore.merge(s, t,
+        b.filter(col("tok") >= 80L).withColumn("source", lit("srcE2")),
+        "doc_id", "tok")
+    mount(s, dir)
+    t
+  }
+
   /** `docs_evo`: v1 create WITHOUT the `tok` column over 80% of docs
     * → v2 `ADD COLUMN tok` (pure metadata — old files read it as
     * null) → v3 append the remaining 20% WITH `tok` populated.
@@ -384,6 +413,37 @@ object Maintenance {
 
   val clusterRewriteOracle: String = compactionOracle
 
+  /** Post-partition-evolution contents per source: the oracle
+    * recomputes both merges' semantics logically (band re-source
+    * wins over the thirteenth-doc re-source where they overlap,
+    * since it committed later), so a hash match proves evolution +
+    * rewrite-on-touch migration + post-migration pruned merge
+    * together lost and duplicated nothing.
+    */
+  def partitionEvolution(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsPevo(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val partitionEvolutionOracle: String =
+    s"""WITH f AS (
+       |  SELECT text, len(string_split(text, ' ')) AS tok,
+       |    CASE WHEN len(string_split(text, ' ')) >= 80 THEN 'srcE2'
+       |         WHEN doc_id % 13 = 0 THEN 'srcE1'
+       |         ELSE source END AS source
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM f
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** The snapshot log (`db.table.snapshots` metadata table) of the
     * evolution lifecycle: three live snapshots whose operations and
     * row totals the oracle recomputes from the fixture — create
@@ -424,5 +484,8 @@ object Maintenance {
     Q("maint_snapshot_log", snapshotLog, Some(snapshotLogOracle),
       "snapshots metadata table: live history with per-snapshot row totals"),
     Q("maint_cluster_rewrite", clusterRewrite, Some(clusterRewriteOracle),
-      "sort-order rewrite: files re-clustered for pruning, contents identical"))
+      "sort-order rewrite: files re-clustered for pruning, contents identical"),
+    Q("maint_partition_evolution", partitionEvolution,
+      Some(partitionEvolutionOracle),
+      "partition-spec evolution: metadata-only re-spec, rewrite-on-touch migration, pruned post-migration merge"))
 }

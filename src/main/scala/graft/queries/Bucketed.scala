@@ -46,7 +46,7 @@ object Bucketed {
     */
   def register(s: SparkSession, dir: String): Unit = synchronized {
     if (lastDir.get(s) != dir) {
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS spark_catalog.$db")
       val tag = Paths.get(dir).getFileName.toString
         .replaceAll("[^A-Za-z0-9._-]+", "_")
       val root = Paths.get(sys.props("java.io.tmpdir"), "graft-bucketed", tag)
@@ -57,7 +57,7 @@ object Bucketed {
             .bucketBy(buckets, key).sortBy(key)
             .option("path", root.resolve(t).toString)
             .mode("overwrite")
-            .saveAsTable(s"$db.$t")
+            .saveAsTable(s"spark_catalog.$db.$t")
       }
       lastDir.put(s, dir)
     }
@@ -69,8 +69,8 @@ object Bucketed {
     */
   def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
     register(s, dir)
-    s.table(s"$db.lineitem")
-      .join(s.table(s"$db.orders"), col("l_orderkey") === col("o_orderkey"))
+    s.table(s"spark_catalog.$db.lineitem")
+      .join(s.table(s"spark_catalog.$db.orders"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         dsum(revenue(col("l_extendedprice"), col("l_discount"))).as("rev"))
@@ -91,7 +91,7 @@ object Bucketed {
     */
   def bucketedAgg(s: SparkSession, dir: String): DataFrame = {
     register(s, dir)
-    s.table(s"$db.lineitem")
+    s.table(s"spark_catalog.$db.lineitem")
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
       .filter(col("n_lines") >= 7 && col("sum_qty") > 250)

@@ -208,7 +208,7 @@ object Corpus {
     val cacheKey = s"$dir|${Materialize.enabled(s)}"
     if (!lastDir.get(k).contains(cacheKey)) {
       val supplierCount = s.read.parquet(s"$dir/supplier.parquet").count()
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS spark_catalog.$db")
       // Physical-table materialization (see [[Materialize]]): corpus
       // queries scan stat-bearing parquet tables with pushdown
       // instead of re-deriving the synthesized columns per query.
@@ -222,7 +222,7 @@ object Corpus {
         singleFile = Set("region", "nation", "customer", "supplier", "part"))
       if (!asTables) defs.foreach { case (name, sql) =>
         Materialize.resetRelation(s, db, name)
-        s.sql(s"CREATE OR REPLACE VIEW $db.$name AS $sql")
+        s.sql(s"CREATE OR REPLACE VIEW spark_catalog.$db.$name AS $sql")
       }
       lastDir(k) = cacheKey
     }

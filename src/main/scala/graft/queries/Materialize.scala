@@ -63,9 +63,9 @@ object Materialize {
     * table) so either kind can be (re-)registered.
     */
   def resetRelation(s: SparkSession, db: String, name: String): Unit = {
-    try s.sql(s"DROP VIEW IF EXISTS $db.$name")
+    try s.sql(s"DROP VIEW IF EXISTS spark_catalog.$db.$name")
     catch { case _: Exception => }
-    try s.sql(s"DROP TABLE IF EXISTS $db.$name")
+    try s.sql(s"DROP TABLE IF EXISTS spark_catalog.$db.$name")
     catch { case _: Exception => }
   }
 
@@ -125,8 +125,8 @@ object Materialize {
           catch { case _: java.nio.file.FileSystemException => deleteTree(tmp) }
         }
         resetRelation(s, db, name)
-        s.sql(s"CREATE TABLE $db.$name USING parquet LOCATION '${dir}'")
-        s.sql(s"ANALYZE TABLE $db.$name COMPUTE STATISTICS FOR ALL COLUMNS")
+        s.sql(s"CREATE TABLE spark_catalog.$db.$name USING parquet LOCATION '${dir}'")
+        s.sql(s"ANALYZE TABLE spark_catalog.$db.$name COMPUTE STATISTICS FOR ALL COLUMNS")
       }
     }
     // Stats only inform the planner when CBO reads them. Join

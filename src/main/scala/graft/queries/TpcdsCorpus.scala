@@ -613,7 +613,7 @@ object TpcdsCorpus {
       val parts = s.read.parquet(s"$dir/part.parquet").count()
       val custs = s.read.parquet(s"$dir/customer.parquet").count()
       val supps = s.read.parquet(s"$dir/supplier.parquet").count()
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS spark_catalog.$db")
       // Materialize the synthesized tables to parquet (idempotent per
       // fixture + definition fingerprint) and register stat-bearing
       // catalog tables, so every corpus query scans real files with
@@ -638,7 +638,7 @@ object TpcdsCorpus {
           "call_center", "catalog_page"))
       if (!asTables) defs.foreach { case (name, sql) =>
         Materialize.resetRelation(s, db, name)
-        s.sql(s"CREATE OR REPLACE VIEW $db.$name AS $sql")
+        s.sql(s"CREATE OR REPLACE VIEW spark_catalog.$db.$name AS $sql")
       }
       lastDir(k) = cacheKey
     }

@@ -47,19 +47,29 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   * parent=2
   * operation=merge
   * schema=<StructType.json on one line>
-  * file=data/merge-v3-0-<uuid>.parquet\t<partMin>\t<partMax>\t<rows>\t<bytes>
+  * partcol=<current partition column>
+  * file=data/merge-v3-0-<uuid>.parquet\t<partMin>\t<partMax>\t<rows>\t<bytes>\t<specCol>
   * }}}
   */
 object SnapStore {
 
   /** One data file as a manifest records it: path relative to the
-    * table root plus the write-time stats pruning needs.
+    * table root plus the write-time stats pruning needs. `specCol`
+    * is the partition column the file's `[partMin, partMax]` bounds
+    * DESCRIBE — files written before a partition-spec evolution keep
+    * their old spec's bounds (Iceberg's per-file spec-id), and a
+    * change-set prune may only trust bounds whose spec matches the
+    * change set's column. `""` = legacy entry, treated as the
+    * caller's current column.
     */
   final case class FileEntry(path: String, partMin: Long, partMax: Long,
-      rows: Long, bytes: Long)
+      rows: Long, bytes: Long, specCol: String = "")
 
+  /** `partCol` is the table's CURRENT partition spec at this
+    * snapshot (`""` on legacy manifests = whatever the caller says).
+    */
   final case class Manifest(version: Int, parent: Int, operation: String,
-      schema: StructType, files: Seq[FileEntry])
+      schema: StructType, files: Seq[FileEntry], partCol: String = "")
 
   private def snapDir(table: Path): Path = table.resolve("_snapshots")
   private def manifestPath(table: Path, v: Int): Path =
@@ -103,11 +113,14 @@ object SnapStore {
     val files = lines.filter(_.startsWith("file=")).map { l =>
       val parts = l.drop(5).split('\t')
       FileEntry(parts(0), parts(1).toLong, parts(2).toLong,
-        parts(3).toLong, parts(4).toLong)
+        parts(3).toLong, parts(4).toLong,
+        if (parts.length > 5) parts(5) else "")
     }
     Manifest(field("version").toInt, field("parent").toInt,
       field("operation"),
-      DataType.fromJson(field("schema")).asInstanceOf[StructType], files)
+      DataType.fromJson(field("schema")).asInstanceOf[StructType], files,
+      lines.find(_.startsWith("partcol="))
+        .map(_.drop("partcol=".length)).getOrElse(""))
   }
 
   def currentManifest(table: Path): Manifest =
@@ -122,8 +135,10 @@ object SnapStore {
       .append(s"parent=${m.parent}\n")
       .append(s"operation=${m.operation}\n")
       .append(s"schema=${m.schema.json}\n")
+    if (m.partCol.nonEmpty) body.append(s"partcol=${m.partCol}\n")
     m.files.foreach(f => body.append(
-      s"file=${f.path}\t${f.partMin}\t${f.partMax}\t${f.rows}\t${f.bytes}\n"))
+      s"file=${f.path}\t${f.partMin}\t${f.partMax}\t${f.rows}\t${f.bytes}" +
+        s"\t${f.specCol}\n"))
     val tmp = snapDir(table).resolve(
       s".v${m.version}.tmp-${ProcessHandle.current().pid()}")
     Files.writeString(tmp, body.toString)
@@ -187,7 +202,7 @@ object SnapStore {
       stats.get(n) match {
         case Some((mn, mx, rows)) =>
           Some(FileEntry(s"data/$n", mn, mx, rows,
-            Files.size(dataDir.resolve(n))))
+            Files.size(dataDir.resolve(n)), specCol = partCol))
         case None => // zero-row part file: drop, never reference
           Files.deleteIfExists(dataDir.resolve(n)); None
       }
@@ -208,7 +223,7 @@ object SnapStore {
     require(currentVersion(table).isEmpty, s"table $table already exists")
     val files = writeDataFiles(spark, table, df, partCol, "base-v1", numFiles,
       clusterExprs)
-    val m = Manifest(1, 0, "create", df.schema, files)
+    val m = Manifest(1, 0, "create", df.schema, files, partCol)
     commitManifest(table, m)
     m
   }
@@ -245,13 +260,23 @@ object SnapStore {
       keyCol: String, partCol: String, numFiles: Int = 8,
       operation: String = "merge"): Manifest = {
     val cur = currentManifest(table)
+    require(cur.partCol.isEmpty || cur.partCol == partCol,
+      s"table is partitioned by '${cur.partCol}', not '$partCol' — " +
+        "evolve the spec first (evolveSpec)")
     // The changed-partition set: small by definition (it is the
     // merge's write footprint — a batch touching every partition is
     // a full rewrite, not a merge).
     val parts = changes.select(col(partCol)).distinct()
       .collect().map(_.getLong(0)).toSet
+    // A file's bounds are only trustworthy under the change set's
+    // spec: files written before a partition-spec evolution carry
+    // their OLD spec's bounds (specCol), so they are conservatively
+    // touched — the first post-evolution merge migrates them to the
+    // new spec, after which pruning bites again (Iceberg's per-file
+    // spec-id semantics, resolved by rewrite-on-touch).
     val (touched, untouched) = cur.files.partition(f =>
-      parts.exists(p => p >= f.partMin && p <= f.partMax))
+      (f.specCol.nonEmpty && f.specCol != partCol) ||
+        parts.exists(p => p >= f.partMin && p <= f.partMax))
     val touchedDf =
       if (touched.isEmpty)
         spark.createDataFrame(
@@ -269,7 +294,7 @@ object SnapStore {
     val newFiles = writeDataFiles(spark, table, merged, partCol, s"merge-v$v",
       numFiles)
     val m = Manifest(v, cur.version, operation, cur.schema,
-      untouched ++ newFiles)
+      untouched ++ newFiles, partCol)
     commitManifest(table, m)
     m
   }
@@ -285,10 +310,14 @@ object SnapStore {
   def delete(spark: SparkSession, table: Path, deleteKeys: DataFrame,
       keyCol: String, partCol: String, numFiles: Int = 8): Manifest = {
     val cur = currentManifest(table)
+    require(cur.partCol.isEmpty || cur.partCol == partCol,
+      s"table is partitioned by '${cur.partCol}', not '$partCol' — " +
+        "evolve the spec first (evolveSpec)")
     val parts = deleteKeys.select(col(partCol)).distinct()
       .collect().map(_.getLong(0)).toSet
     val (touched, untouched) = cur.files.partition(f =>
-      parts.exists(p => p >= f.partMin && p <= f.partMax))
+      (f.specCol.nonEmpty && f.specCol != partCol) ||
+        parts.exists(p => p >= f.partMin && p <= f.partMax))
     val v = cur.version + 1
     val newFiles =
       if (touched.isEmpty) Seq.empty
@@ -301,7 +330,7 @@ object SnapStore {
         writeDataFiles(spark, table, kept, partCol, s"delete-v$v", numFiles)
       }
     val m = Manifest(v, cur.version, "delete", cur.schema,
-      untouched ++ newFiles)
+      untouched ++ newFiles, partCol)
     commitManifest(table, m)
     m
   }
@@ -324,7 +353,7 @@ object SnapStore {
     val to = manifest(table, toVersion)
     ((fromVersion + 1) to toVersion).foreach { v =>
       val op = manifest(table, v).operation
-      require(op == "append" || op == "add-column",
+      require(op == "append" || op == "add-column" || op == "evolve-spec",
         s"incremental read requires append-only history; " +
           s"snapshot $v is '$op'")
     }
@@ -362,7 +391,7 @@ object SnapStore {
       df.select(cur.schema.fieldNames.map(col): _*), partCol, s"append-v$v",
       numFiles)
     val m = Manifest(v, cur.version, "append", cur.schema,
-      cur.files ++ newFiles)
+      cur.files ++ newFiles, if (cur.partCol.nonEmpty) cur.partCol else partCol)
     commitManifest(table, m)
     m
   }
@@ -395,7 +424,29 @@ object SnapStore {
         writeDataFiles(spark, table, df, partCol, s"compact-v$v-b$i",
           numFiles = 1)
     }.toSeq
-    val m = Manifest(v, cur.version, "compact", cur.schema, newFiles)
+    val m = Manifest(v, cur.version, "compact", cur.schema, newFiles,
+      if (cur.partCol.nonEmpty) cur.partCol else partCol)
+    commitManifest(table, m)
+    m
+  }
+
+  /** Partition-spec evolution — Iceberg's headline storage feature:
+    * change the table's partition column WITHOUT rewriting a single
+    * data file. A pure metadata commit: the new manifest lists the
+    * same files (each still carrying the bounds of the spec it was
+    * written under, `FileEntry.specCol`) and records the new current
+    * spec. Old-spec files lose bound-based pruning against new-spec
+    * change sets, so the first merge/delete that touches them
+    * migrates them by rewrite (rewrite-on-touch); new writes cluster
+    * and bound on the new column immediately.
+    */
+  def evolveSpec(table: Path, newPartCol: String): Manifest = {
+    val cur = currentManifest(table)
+    require(cur.schema.fieldNames.contains(newPartCol),
+      s"partition column '$newPartCol' is not in the table schema")
+    require(cur.partCol != newPartCol, s"spec is already '$newPartCol'")
+    val m = Manifest(cur.version + 1, cur.version, "evolve-spec",
+      cur.schema, cur.files, newPartCol)
     commitManifest(table, m)
     m
   }
@@ -423,7 +474,8 @@ object SnapStore {
     // pruning, and the sort columns cluster inside it.
     val newFiles = writeDataFiles(spark, table, df, partCol,
       s"cluster-v$v", numFiles, col(partCol) +: clusterExprs)
-    val m = Manifest(v, cur.version, "rewrite-sorted", cur.schema, newFiles)
+    val m = Manifest(v, cur.version, "rewrite-sorted", cur.schema, newFiles,
+      if (cur.partCol.nonEmpty) cur.partCol else partCol)
     commitManifest(table, m)
     m
   }
@@ -459,7 +511,8 @@ object SnapStore {
     require(!cur.schema.fieldNames.contains(field.name),
       s"column ${field.name} already exists")
     val m = Manifest(cur.version + 1, cur.version, "add-column",
-      StructType(cur.schema.fields :+ field.copy(nullable = true)), cur.files)
+      StructType(cur.schema.fields :+ field.copy(nullable = true)), cur.files,
+      cur.partCol)
     commitManifest(table, m)
     m
   }

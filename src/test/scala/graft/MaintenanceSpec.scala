@@ -280,6 +280,61 @@ class MaintenanceSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("partition-spec evolution: metadata-only re-spec, stale-spec " +
+    "writes rejected, rewrite-on-touch migration, pruning restored") {
+    val t = freshTable("pevo")
+    val d = docs.withColumn("tok",
+      expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+    SnapStore.create(spark, t, d, "part")
+    val v1 = SnapStore.currentManifest(t)
+    assert(v1.partCol == "part")
+    assert(v1.files.forall(_.specCol == "part"))
+
+    // Evolution is a pure metadata commit: same files, new spec.
+    SnapStore.evolveSpec(t, "tok")
+    val v2 = SnapStore.currentManifest(t)
+    assert(v2.operation == "evolve-spec" && v2.partCol == "tok")
+    assert(v2.files.map(_.path) == v1.files.map(_.path), "no data rewrite")
+
+    // A merge under the STALE spec is rejected.
+    val stale = intercept[IllegalArgumentException] {
+      SnapStore.merge(spark, t, d.limit(1), "doc_id", "part")
+    }
+    assert(stale.getMessage.contains("evolve the spec"))
+
+    // First merge under the new spec: old-spec files are
+    // conservatively touched (their bounds describe `part`, not
+    // `tok`) and thereby migrated to tok-bounded files.
+    SnapStore.merge(spark, t,
+      d.filter(col("doc_id") === 1L).withColumn("source", lit("m1")),
+      "doc_id", "tok")
+    val v3 = SnapStore.currentManifest(t)
+    assert(v3.files.forall(_.specCol == "tok"), "migration must re-spec all files")
+    assert(v1.files.forall(f => !v3.files.exists(_.path == f.path)))
+
+    // Post-migration, bound pruning bites again: a merge confined to
+    // the top tok band carries the low-tok files untouched.
+    val mtimes = v3.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+    val band = d.filter(col("tok") >= 80L).withColumn("source", lit("m2"))
+    assert(band.count() > 0, "fixture must populate the band")
+    SnapStore.merge(spark, t, band, "doc_id", "tok")
+    val v4 = SnapStore.currentManifest(t)
+    val untouched3 = v3.files.filter(_.partMax < 80L)
+    assert(untouched3.nonEmpty, "fixture must give low-tok files")
+    untouched3.foreach { f =>
+      assert(v4.files.exists(_.path == f.path), s"${f.path} must carry")
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path))
+    }
+    // Contents: band rows re-sourced, others intact.
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == d.count())
+    assert(after.filter(col("tok") >= 80L && col("source") =!= "m2")
+      .count() == 0)
+    assert(after.filter(col("tok") < 80L && col("source") === "m2")
+      .count() == 0)
+  }
+
   test("snapshots metadata table lists the live history through the " +
     "catalog, and drops expired versions") {
     val dir = Files.createTempDirectory("graft-snapspec-log")

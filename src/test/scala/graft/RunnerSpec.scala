@@ -160,9 +160,16 @@ class RunnerSpec extends SparkSpec {
     // symlinked fixture keeps the spec fast; the analytics-core
     // variants route ${database} through the graft DSv2 catalog, the
     // disabled variant through spark_catalog — a real second IO path.
+    // TWO fixtures, not one: the second pass re-registers the corpus
+    // warehouse while the session still sits on `USE graft.tpch` from
+    // the first — the registration DDL must pin spark_catalog
+    // explicitly or it resolves against the read-only DSv2 catalog
+    // (the exact failure the first full CLI grid run hit).
     val root = Files.createTempDirectory("graft-varroot")
     Files.createSymbolicLink(root.resolve("sf0.001"),
       java.nio.file.Paths.get(sf))
+    Files.createSymbolicLink(root.resolve("sf0.01"),
+      java.nio.file.Paths.get("/root/testdata/sf0.01"))
     val qdir = Files.createTempDirectory("graft-varq")
     Files.writeString(qdir.resolve("q1.sql"),
       "SELECT COUNT(*) AS c FROM ${database}.${schema}.lineitem")
@@ -170,9 +177,11 @@ class RunnerSpec extends SparkSpec {
     try {
       val rows = Runner.runVariantGrid(spark, root.toString, suites,
         "graft", "run_grid")
-      assert(rows.length === 3)
-      assert(rows.map(_.getBoolean(8)) === Seq(true, false, true))
-      assert(rows.map(_.getString(9)) === Seq("HTTP", "HTTP", "GRPC"))
+      assert(rows.length === 6)
+      assert(rows.map(_.getBoolean(8)) ===
+        Seq(true, true, false, false, true, true))
+      assert(rows.map(_.getString(9)) ===
+        Seq("HTTP", "HTTP", "HTTP", "HTTP", "GRPC", "GRPC"))
       val failed = rows.filter(!_.getBoolean(5)).map(r =>
         r.getString(3) + ": " + r.getString(6).take(120))
       assert(failed.isEmpty, s"variant failures: ${failed.mkString("; ")}")
