@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.nio.file.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.SnapStore
+
+/** Streaming READ from a [[graft.sources.SnapStore]] snapshot table —
+  * the consumption face of Iceberg's streaming read: each trigger
+  * serves the data files ADDED since the last processed offset,
+  * exactly once, bounded by a rate limit. Composed on Spark's file
+  * streaming source, whose per-file metadata log provides precisely
+  * the semantics the append scan needs:
+  *
+  *  - **New-files-per-trigger**: SnapStore commits publish immutable
+  *    files under `data/`; the source's file log records each file
+  *    once, so a microbatch is exactly the manifest diff of the
+  *    appends since the last batch — the streaming analogue of
+  *    [[SnapStore.incrementalRead]].
+  *  - **Exactly-once across restarts**: the file log lives in the
+  *    stream's checkpoint; a replayed batch re-serves the same files.
+  *  - **Rate limiting**: `maxFilesPerTrigger` bounds a batch the way
+  *    Iceberg's streaming read bounds files per microbatch.
+  *
+  * Contract: the table must be APPEND-ONLY while streamed (create +
+  * append / add-column commits). Replace-style commits (merge,
+  * delete, compact, rewrite) add files holding pre-existing rows,
+  * which an append feed would surface as duplicates — [[appendFeed]]
+  * verifies the current history and raises otherwise, the same
+  * restriction [[SnapStore.incrementalRead]] enforces (and Iceberg's
+  * streaming read documents). Expiry is safe: it deletes only files
+  * unreferenced by live snapshots, which an append-only history
+  * never produces.
+  */
+object SnapshotStream {
+
+  private val appendOnly = Set("create", "append", "add-column")
+
+  /** Streaming DataFrame of the table's appended rows, schema'd from
+    * the CURRENT manifest (historical files missing an evolved
+    * column read it as null, like the batch path).
+    */
+  def appendFeed(spark: SparkSession, table: Path,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val m = SnapStore.currentManifest(table)
+    val ops = SnapStore.history(table).map(_._3)
+    require(ops.forall(appendOnly),
+      s"streaming read requires append-only history; found ${
+        ops.filterNot(appendOnly).mkString(", ")}")
+    val r = spark.readStream.schema(m.schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(table.resolve("data").toString)
+  }
+}

@@ -380,6 +380,47 @@ class StreamingSpec extends SparkSpec {
     assert(SnapStore.read(spark, t).count() == 11)
   }
 
+  test("streaming read from a snapshot table serves appends " +
+    "incrementally and rejects replace-style history") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    import graft.sources.SnapStore
+    import graft.streaming.SnapshotStream
+    val root = java.nio.file.Files.createTempDirectory("graft-snapstream")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    def batch(from: Long, until: Long) =
+      spark.range(from, until).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"),
+        concat(lit("v-"), col("id")).as("v"))
+    SnapStore.create(spark, t, batch(0, 20), "part")
+
+    val q = SnapshotStream.appendFeed(spark, t, maxFilesPerTrigger = Some(4))
+      .writeStream.format("memory").queryName("snapfeed_mem")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snapfeed_mem").count() == 20)
+      // An append lands as exactly its new rows, once.
+      SnapStore.append(spark, t, batch(100, 110), "part")
+      q.processAllAvailable()
+      assert(spark.table("snapfeed_mem").count() == 30)
+      val newIds = spark.table("snapfeed_mem")
+        .filter(col("id") >= 100L).select("id").collect().map(_.getLong(0))
+      assert(newIds.sorted.toSeq == (100L until 110L))
+      // No duplicates across triggers.
+      assert(spark.table("snapfeed_mem").select("id").distinct().count() == 30)
+    } finally q.stop()
+
+    // A replace-style commit poisons the append feed: raise.
+    SnapStore.merge(spark, t,
+      batch(0, 2).withColumn("v", lit("upd")), "id", "part")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStream.appendFeed(spark, t)
+    }
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("dropDuplicatesWithinWatermark re-admits a key after state eviction") {
     import SparkSpec.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
