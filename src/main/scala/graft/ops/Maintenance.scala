@@ -198,6 +198,30 @@ object Maintenance {
     t
   }
 
+  /** `docs_rb`: tag + rollback lifecycle. v1 create, tagged
+    * `baseline` → v2 copy-on-write DELETE (the "bad commit") → v3
+    * rollback to the tagged version: a NEW metadata-only commit
+    * listing v1's files — current reads see the pre-delete contents
+    * again while the bad commit stays in history for inspection.
+    */
+  def ensureDocsRb(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_rb")
+    if (SnapStore.currentVersion(t).isEmpty) {
+      SnapStore.create(s, t, base(s, dir), partCol)
+      SnapStore.tag(t, "baseline", 1)
+    }
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.delete(s, t,
+        base(s, dir).filter(col(partCol) === 2 &&
+          pmod(col("doc_id"), lit(9L)) === 0)
+          .select(col("doc_id"), col(partCol)),
+        "doc_id", partCol)
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.rollback(t, SnapStore.resolveVersion(t, "baseline"))
+    mount(s, dir)
+    t
+  }
+
   /** `docs_evo`: v1 create WITHOUT the `tok` column over 80% of docs
     * → v2 `ADD COLUMN tok` (pure metadata — old files read it as
     * null) → v3 append the remaining 20% WITH `tok` populated.
@@ -444,6 +468,38 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Two faces of the rollback lifecycle stacked under a label: the
+    * CURRENT table (post-rollback — the delete undone) and the
+    * `VERSION AS OF 'baseline'` tagged read through the catalog.
+    * Both must equal the untouched base, so the oracle is the base
+    * aggregate duplicated per label — one divergent row on either
+    * face breaks the hash.
+    */
+  def rollbackTag(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ensureDocsRb(s, dir)
+    def agg(df: DataFrame, face: String) = df
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), checksum(col("text")).as("chk"))
+      .withColumn("face", lit(face))
+    agg(s.table("graft.maint.docs_rb"), "current")
+      .unionByName(agg(
+        s.sql("SELECT * FROM graft.maint.docs_rb VERSION AS OF 'baseline'"),
+        "tag"))
+      .select(col("face"), col("source"), col("n_docs"), col("chk"))
+      .orderBy(col("face"), col("source"))
+  }
+
+  val rollbackTagOracle: String =
+    s"""WITH a AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |  FROM documents GROUP BY source)
+       |SELECT 'current' AS face, source, n_docs, chk FROM a
+       |UNION ALL
+       |SELECT 'tag', source, n_docs, chk FROM a
+       |ORDER BY face, source""".stripMargin
+
   /** The snapshot log (`db.table.snapshots` metadata table) of the
     * evolution lifecycle: three live snapshots whose operations and
     * row totals the oracle recomputes from the fixture — create
@@ -487,5 +543,7 @@ object Maintenance {
       "sort-order rewrite: files re-clustered for pruning, contents identical"),
     Q("maint_partition_evolution", partitionEvolution,
       Some(partitionEvolutionOracle),
-      "partition-spec evolution: metadata-only re-spec, rewrite-on-touch migration, pruned post-migration merge"))
+      "partition-spec evolution: metadata-only re-spec, rewrite-on-touch migration, pruned post-migration merge"),
+    Q("maint_rollback_tag", rollbackTag, Some(rollbackTagOracle),
+      "tagged reference + rollback: VERSION AS OF 'tag' and post-rollback current both equal the pre-delete base"))
 }

@@ -166,11 +166,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     else ident.namespace() match {
       // Snapshot-table time travel: the version string is a
-      // [[SnapStore]] snapshot id; an expired or never-committed id
-      // raises the missing-snapshot error from SnapStore.manifest —
-      // the contract Iceberg's VERSION AS OF has.
-      case Array(db) if version.matches("\\d+") =>
-        snapTable(db, ident.name(), Some(version.toInt))
+      // [[SnapStore]] snapshot id OR a tag name (Iceberg's
+      // `VERSION AS OF 'tag'`); an expired / never-committed id or
+      // unknown tag raises the missing-snapshot error — the contract
+      // Iceberg's VERSION AS OF has.
+      case Array(db) =>
+        val dir = mountedDir(db).map(_.resolve(ident.name()))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        snapTable(db, ident.name(),
+          Some(SnapStore.resolveVersion(dir, version)))
           .getOrElse(throw new NoSuchTableException(ident))
       case _ => throw new NoSuchTableException(ident)
     }

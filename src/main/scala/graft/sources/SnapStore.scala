@@ -31,10 +31,14 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    write time. [[merge]] prunes the files it must rewrite from
   *    these bounds on the driver, at planning time, without opening
   *    a single data file.
-  *  - **Commits are atomic**: a manifest is written to a temp name
-  *    and ATOMIC_MOVE'd into place, so a snapshot either exists
-  *    completely or not at all; a racing/crashed writer can never
-  *    publish a half-manifest.
+  *  - **Commits are atomic and exclusive**: a manifest is written to
+  *    a temp name and hard-link-installed at its version path —
+  *    atomic (a snapshot exists completely or not at all) AND
+  *    exclusive (link creation fails if the version exists, so
+  *    exactly one of any number of racing writers wins it; a POSIX
+  *    rename would silently replace the winner). Losing writers
+  *    retry optimistically against the new current snapshot
+  *    ([[withCommitRetry]]), Iceberg's commit model.
   *
   * At 100 TB each operation stays one-or-two Spark jobs over only
   * the affected bytes: merge reads+rewrites touched files only,
@@ -127,8 +131,12 @@ object SnapStore {
     manifest(table, currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"No snapshots under $table")))
 
-  /** Publish a new manifest atomically. */
-  private def commitManifest(table: Path, m: Manifest): Unit = {
+  /** Publish a new manifest atomically. Returns false when another
+    * writer already published this version — the loser of an
+    * optimistic-concurrency race (the ATOMIC_MOVE either fully
+    * installs the manifest or observes the winner's).
+    */
+  private def tryCommitManifest(table: Path, m: Manifest): Boolean = {
     Files.createDirectories(snapDir(table))
     val body = new StringBuilder()
       .append(s"version=${m.version}\n")
@@ -140,10 +148,60 @@ object SnapStore {
       s"file=${f.path}\t${f.partMin}\t${f.partMax}\t${f.rows}\t${f.bytes}" +
         s"\t${f.specCol}\n"))
     val tmp = snapDir(table).resolve(
-      s".v${m.version}.tmp-${ProcessHandle.current().pid()}")
+      s".v${m.version}.tmp-${ProcessHandle.current().pid()}-" +
+        Thread.currentThread().getId)
     Files.writeString(tmp, body.toString)
-    Files.move(tmp, manifestPath(table, m.version),
-      StandardCopyOption.ATOMIC_MOVE)
+    // EXCLUSIVE install, not a rename: POSIX rename(2) — what
+    // ATOMIC_MOVE compiles to — silently REPLACES an existing target,
+    // so two racing writers would both believe they won the version
+    // (observed: duplicate version ids under a 12-writer race).
+    // Hard-link creation is atomic AND fails with
+    // FileAlreadyExistsException when the target exists — exactly
+    // one writer installs a given manifest version.
+    try {
+      Files.createLink(manifestPath(table, m.version), tmp)
+      Files.deleteIfExists(tmp)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp)
+      false
+    }
+  }
+
+  private def commitManifest(table: Path, m: Manifest): Unit =
+    if (!tryCommitManifest(table, m))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot ${m.version} was committed concurrently for $table")
+
+  /** Run `body` (read current state → write data files → commit)
+    * with Iceberg-style optimistic-concurrency retries: `body` must
+    * re-read the CURRENT manifest each attempt, return its freshly
+    * written file entries with the manifest it tried to commit, and
+    * the commit result. On losing the version race the attempt's
+    * data files are deleted (they are referenced by nothing) and the
+    * whole attempt recomputes against the new current snapshot —
+    * correctness never depends on winning, only progress does.
+    */
+  private def withCommitRetry(table: Path, maxAttempts: Int = 50)(
+      body: () => (Manifest, Seq[FileEntry], Boolean)): Manifest = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val (m, written, committed) = body()
+      if (committed) return m
+      written.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
+      if (attempt >= maxAttempts)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up after $maxAttempts conflicting commits on $table")
+      // Jittered backoff so a herd of losers doesn't re-collide in
+      // lockstep (the losing attempt's recompute is the expensive
+      // part; the sleep just de-synchronizes the next read-commit
+      // window). ThreadLocalRandom: this is operational jitter, not
+      // data — results are identical whatever it draws.
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(5L * attempt, 25L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Write `df`'s rows as new immutable data files under `data/` and
@@ -157,7 +215,12 @@ object SnapStore {
       clusterExprs: Seq[org.apache.spark.sql.Column] = Seq.empty): Seq[FileEntry] = {
     val dataDir = table.resolve("data")
     Files.createDirectories(dataDir)
-    val tmp = table.resolve(s".write-tmp-${ProcessHandle.current().pid()}")
+    // Unique per invocation (pid + random), not just per process:
+    // optimistic-concurrency retries run concurrent writers in one
+    // JVM, and two attempts sharing a tmp dir would corrupt each
+    // other's staging files.
+    val tmp = table.resolve(s".write-tmp-${ProcessHandle.current().pid()}" +
+      s"-${UUID.randomUUID().toString.take(8)}")
     deleteTree(tmp)
     // RANGE clustering on the partition column with an EXPLICIT file
     // count: ranges keep each file's [partMin, partMax] span tight
@@ -258,7 +321,7 @@ object SnapStore {
     */
   def merge(spark: SparkSession, table: Path, changes: DataFrame,
       keyCol: String, partCol: String, numFiles: Int = 8,
-      operation: String = "merge"): Manifest = {
+      operation: String = "merge"): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
     require(cur.partCol.isEmpty || cur.partCol == partCol,
       s"table is partitioned by '${cur.partCol}', not '$partCol' — " +
@@ -295,8 +358,7 @@ object SnapStore {
       numFiles)
     val m = Manifest(v, cur.version, operation, cur.schema,
       untouched ++ newFiles, partCol)
-    commitManifest(table, m)
-    m
+    (m, newFiles, tryCommitManifest(table, m))
   }
 
   /** Copy-on-write row-level DELETE — the third row-level write face
@@ -308,7 +370,7 @@ object SnapStore {
     * partitions' bytes only.
     */
   def delete(spark: SparkSession, table: Path, deleteKeys: DataFrame,
-      keyCol: String, partCol: String, numFiles: Int = 8): Manifest = {
+      keyCol: String, partCol: String, numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
     require(cur.partCol.isEmpty || cur.partCol == partCol,
       s"table is partitioned by '${cur.partCol}', not '$partCol' — " +
@@ -331,8 +393,7 @@ object SnapStore {
       }
     val m = Manifest(v, cur.version, "delete", cur.schema,
       untouched ++ newFiles, partCol)
-    commitManifest(table, m)
-    m
+    (m, newFiles, tryCommitManifest(table, m))
   }
 
   /** Incremental (changelog) read: the rows ADDED between two
@@ -384,17 +445,18 @@ object SnapStore {
     * batch after `addColumn` carries the new column).
     */
   def append(spark: SparkSession, table: Path, df: DataFrame,
-      partCol: String, numFiles: Int = 8): Manifest = {
-    val cur = currentManifest(table)
-    val v = cur.version + 1
-    val newFiles = writeDataFiles(spark, table,
-      df.select(cur.schema.fieldNames.map(col): _*), partCol, s"append-v$v",
-      numFiles)
-    val m = Manifest(v, cur.version, "append", cur.schema,
-      cur.files ++ newFiles, if (cur.partCol.nonEmpty) cur.partCol else partCol)
-    commitManifest(table, m)
-    m
-  }
+      partCol: String, numFiles: Int = 8): Manifest =
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      val v = cur.version + 1
+      val newFiles = writeDataFiles(spark, table,
+        df.select(cur.schema.fieldNames.map(col): _*), partCol, s"append-v$v",
+        numFiles)
+      val m = Manifest(v, cur.version, "append", cur.schema,
+        cur.files ++ newFiles,
+        if (cur.partCol.nonEmpty) cur.partCol else partCol)
+      (m, newFiles, tryCommitManifest(table, m))
+    }
 
   /** Bin-pack small-file compaction — the core Iceberg maintenance
     * action (`rewrite_data_files`). Files are walked in partition
@@ -404,7 +466,7 @@ object SnapStore {
     * byte-for-byte the same rows; only the layout changes.
     */
   def compact(spark: SparkSession, table: Path, partCol: String,
-      targetBytes: Long): Manifest = {
+      targetBytes: Long): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
     val sorted = cur.files.sortBy(f => (f.partMin, f.path))
     val bins = scala.collection.mutable.ArrayBuffer(
@@ -426,8 +488,10 @@ object SnapStore {
     }.toSeq
     val m = Manifest(v, cur.version, "compact", cur.schema, newFiles,
       if (cur.partCol.nonEmpty) cur.partCol else partCol)
-    commitManifest(table, m)
-    m
+    // Carried single-file bins are NOT attempt-written files — only
+    // the bins this attempt rewrote may be deleted on a lost race.
+    val attemptWritten = newFiles.filterNot(cur.files.contains)
+    (m, attemptWritten, tryCommitManifest(table, m))
   }
 
   /** Partition-spec evolution — Iceberg's headline storage feature:
@@ -440,16 +504,16 @@ object SnapStore {
     * migrates them by rewrite (rewrite-on-touch); new writes cluster
     * and bound on the new column immediately.
     */
-  def evolveSpec(table: Path, newPartCol: String): Manifest = {
-    val cur = currentManifest(table)
-    require(cur.schema.fieldNames.contains(newPartCol),
-      s"partition column '$newPartCol' is not in the table schema")
-    require(cur.partCol != newPartCol, s"spec is already '$newPartCol'")
-    val m = Manifest(cur.version + 1, cur.version, "evolve-spec",
-      cur.schema, cur.files, newPartCol)
-    commitManifest(table, m)
-    m
-  }
+  def evolveSpec(table: Path, newPartCol: String): Manifest =
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      require(cur.schema.fieldNames.contains(newPartCol),
+        s"partition column '$newPartCol' is not in the table schema")
+      require(cur.partCol != newPartCol, s"spec is already '$newPartCol'")
+      val m = Manifest(cur.version + 1, cur.version, "evolve-spec",
+        cur.schema, cur.files, newPartCol)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    }
 
   /** Sort-order rewrite — Iceberg's `rewrite_data_files` with a sort
     * order (the read-locality maintenance action behind Z-ordering):
@@ -463,7 +527,7 @@ object SnapStore {
     */
   def rewriteClustered(spark: SparkSession, table: Path,
       partCol: String, clusterExprs: Seq[org.apache.spark.sql.Column],
-      numFiles: Int = 8): Manifest = {
+      numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
     val df = spark.read.schema(cur.schema)
       .parquet(cur.files.map(f => table.resolve(f.path).toString): _*)
@@ -476,8 +540,7 @@ object SnapStore {
       s"cluster-v$v", numFiles, col(partCol) +: clusterExprs)
     val m = Manifest(v, cur.version, "rewrite-sorted", cur.schema, newFiles,
       if (cur.partCol.nonEmpty) cur.partCol else partCol)
-    commitManifest(table, m)
-    m
+    (m, newFiles, tryCommitManifest(table, m))
   }
 
   /** Snapshot expiry: keep the newest `keepLast` snapshots, delete
@@ -491,7 +554,14 @@ object SnapStore {
   def expire(table: Path, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val vs = liveVersions(table)
-    val (dead, live) = vs.splitAt(math.max(0, vs.size - keepLast))
+    val protect = tags(table).values.toSet
+    // Tagged snapshots are retention-protected, like Iceberg's tagged
+    // references: expiry skips them (and keeps their files live).
+    val (dead, live) = {
+      val (d, l) = vs.splitAt(math.max(0, vs.size - keepLast))
+      val (protected_, reallyDead) = d.partition(protect)
+      (reallyDead, protected_ ++ l)
+    }
     val keepFiles = live.flatMap(v => manifest(table, v).files.map(_.path)).toSet
     val deadFiles = dead.flatMap(v => manifest(table, v).files.map(_.path))
       .distinct.filterNot(keepFiles)
@@ -500,22 +570,79 @@ object SnapStore {
     (dead, deadFiles)
   }
 
+  // ----------------------------------------------------------------
+  // Tagged references + rollback — the snapshot-lifecycle faces
+  // Iceberg exposes as `CREATE TAG` / `VERSION AS OF 'tag'` /
+  // `rollback_to_snapshot`.
+
+  private def refsPath(table: Path): Path = snapDir(table).resolve("refs")
+
+  /** Named snapshot tags: `name=version` lines under
+    * `_snapshots/refs`. Tags pin a version for readers (audit sets,
+    * eval checkpoints) and protect it from [[expire]].
+    */
+  def tags(table: Path): Map[String, Int] = {
+    val p = refsPath(table)
+    if (!Files.exists(p)) Map.empty
+    else Files.readAllLines(p).asScala.filter(_.contains("="))
+      .map { l => val Array(n, v) = l.split("=", 2); n -> v.toInt }
+      .toMap
+  }
+
+  /** Create (or move) a tag pointing at `version`. */
+  def tag(table: Path, name: String, version: Int): Unit = synchronized {
+    require(name.nonEmpty && !name.forall(_.isDigit),
+      s"tag name '$name' must be non-numeric (numeric = version id)")
+    manifest(table, version) // raises if missing/expired
+    val all = tags(table) + (name -> version)
+    val tmp = refsPath(table).resolveSibling(
+      s".refs.tmp-${ProcessHandle.current().pid()}")
+    Files.writeString(tmp,
+      all.toSeq.sortBy(_._1).map { case (n, v) => s"$n=$v" }.mkString("", "\n", "\n"))
+    Files.move(tmp, refsPath(table),
+      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Resolve a version string as a tag name or numeric version. */
+  def resolveVersion(table: Path, ref: String): Int =
+    if (ref.forall(_.isDigit)) ref.toInt
+    else tags(table).getOrElse(ref,
+      throw new IllegalArgumentException(
+        s"Cannot find snapshot reference '$ref' for table $table"))
+
+  /** Rollback — Iceberg's `rollback_to_snapshot`: make the table's
+    * CURRENT state an older snapshot's contents again, as a NEW
+    * commit that lists the old snapshot's files (history is never
+    * rewritten; the bad commits stay inspectable until expiry).
+    * Pure metadata — zero data IO.
+    */
+  def rollback(table: Path, toVersion: Int): Manifest =
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      val target = manifest(table, toVersion)
+      require(toVersion < cur.version,
+        s"rollback target $toVersion must precede current ${cur.version}")
+      val m = Manifest(cur.version + 1, cur.version, "rollback",
+        target.schema, target.files, target.partCol)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    }
+
   /** Schema evolution: `ADD COLUMN` is a pure metadata commit — the
     * new manifest lists the SAME data files under the widened
     * schema; historical files lack the column and read as nulls,
     * new appends carry it. No data is rewritten, exactly Iceberg's
     * evolution contract.
     */
-  def addColumn(table: Path, field: StructField): Manifest = {
-    val cur = currentManifest(table)
-    require(!cur.schema.fieldNames.contains(field.name),
-      s"column ${field.name} already exists")
-    val m = Manifest(cur.version + 1, cur.version, "add-column",
-      StructType(cur.schema.fields :+ field.copy(nullable = true)), cur.files,
-      cur.partCol)
-    commitManifest(table, m)
-    m
-  }
+  def addColumn(table: Path, field: StructField): Manifest =
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      require(!cur.schema.fieldNames.contains(field.name),
+        s"column ${field.name} already exists")
+      val m = Manifest(cur.version + 1, cur.version, "add-column",
+        StructType(cur.schema.fields :+ field.copy(nullable = true)),
+        cur.files, cur.partCol)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    }
 
   private def deleteTree(p: Path): Unit =
     if (Files.exists(p)) {

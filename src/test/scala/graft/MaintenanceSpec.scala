@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Path}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField}
 
@@ -366,6 +368,101 @@ class MaintenanceSpec extends SparkSpec {
     val after = spark.sql(
       "SELECT version FROM graft.snaplog.docs.snapshots").collect()
     assert(after.map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("tags resolve in VERSION AS OF, protect their snapshot from " +
+    "expiry, and rollback restores old contents as a new commit") {
+    val dir = Files.createTempDirectory("graft-snapspec-tag")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part")
+    SnapStore.tag(t, "audit", 1)
+    val n = docs.count()
+    SnapStore.delete(spark, t,
+      docs.filter(col("part") === 2).select("doc_id", "part"),
+      "doc_id", "part")
+    val nAfterDelete = SnapStore.read(spark, t).count()
+    assert(nAfterDelete < n)
+
+    spark.conf.set("spark.graft.catalog.dir.tagspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    // Tagged read through SQL time travel; numeric ids still work;
+    // unknown tags raise the missing-reference error.
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.tagspec.docs VERSION AS OF 'audit'")
+      .head().getLong(0) == n)
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.tagspec.docs VERSION AS OF 2")
+      .head().getLong(0) == nAfterDelete)
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.tagspec.docs VERSION AS OF 'nope'")
+        .collect()
+    }
+    assert(err.getMessage.contains("nope"))
+
+    // Rollback: a NEW commit with v1's files; the delete commit stays
+    // in history; current contents are the pre-delete base again.
+    SnapStore.rollback(t, SnapStore.resolveVersion(t, "audit"))
+    assert(SnapStore.history(t).map(_._3) ==
+      Seq("create", "delete", "rollback"))
+    assert(SnapStore.read(spark, t).count() == n)
+    assert(SnapStore.currentManifest(t).files.map(_.path) ==
+      SnapStore.manifest(t, 1).files.map(_.path))
+
+    // Expiry with keepLast=1 preserves the TAGGED v1 (and its files)
+    // while dropping the untagged delete commit.
+    val (expired, _) = SnapStore.expire(t, keepLast = 1)
+    assert(expired == Seq(2), s"expired $expired")
+    assert(SnapStore.liveVersions(t) == Seq(1, 3))
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.tagspec.docs VERSION AS OF 'audit'")
+      .head().getLong(0) == n)
+  }
+
+  test("optimistic concurrency: racing appends all commit, each as " +
+    "its own snapshot, no rows lost, no orphan files") {
+    val t = freshTable("race")
+    SnapStore.create(spark, t, docs.limit(40), "part")
+    val base = SnapStore.read(spark, t).count()
+    val writers = 12
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val futures = (1 to writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = SnapStore.append(spark, t,
+            docs.limit(5).withColumn("doc_id", col("doc_id") + lit(i * 1000L)),
+            "part").version
+        })
+      }
+      val versions = futures.map(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      // Every writer won a DISTINCT version (the losers retried onto
+      // the next one); the log is gapless.
+      assert(versions.distinct.size == writers, s"versions: $versions")
+      assert(versions.sorted == (2 to writers + 1))
+      assert(SnapStore.liveVersions(t) == (1 to writers + 1))
+    } finally pool.shutdown()
+    // No row lost or duplicated across the races.
+    assert(SnapStore.read(spark, t).count() == base + writers * 5)
+    // Lost attempts cleaned up after themselves: every parquet under
+    // data/ is referenced by the final manifest (append-only history
+    // carries everything), and no staging dir remains.
+    val referenced = SnapStore.currentManifest(t).files.map(_.path).toSet
+    val walk = Files.walk(t)
+    val leftovers =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet") &&
+          !referenced(t.relativize(p).toString.replace('\\', '/')))
+        .toSeq
+      finally walk.close()
+    assert(leftovers.isEmpty, s"orphan files: $leftovers")
+    val walk2 = Files.walk(t)
+    val staging =
+      try walk2.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(".write-tmp-")).toSeq
+      finally walk2.close()
+    assert(staging.isEmpty, s"staging dirs left: $staging")
   }
 
   test("registered lifecycle is idempotent: re-running entries " +
