@@ -551,6 +551,153 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------
+  // ---------------------------------------------------------------
+  /** Product-quantization ANN with asymmetric-distance (ADC) scoring
+    * — the codebook face of IVF-PQ, the index family 100-TB-scale
+    * vector search actually ships (codes are M bytes per vector
+    * instead of 4·D; scoring is M table lookups instead of a D-dim
+    * dot). The 64-dim micro-quantized vectors split into M=8
+    * subspaces of 8 dims; the codebook is a deterministic sample (16
+    * codes per subspace: the subvectors of every 31st vector) —
+    * codebook TRAINING is k-means, already covered by
+    * `pipe_kmeans_converge`; this entry exercises the
+    * encode/lookup/score machinery that makes PQ an index:
+    *
+    *  - **Encode** (offline, per corpus vector): nearest code per
+    *    subspace by exact integer micro² L2 — one broadcast join
+    *    (n·M×16 rows) + one min-struct agg. O(n·M·k), embarrassingly
+    *    parallel, codes are 8 small ints per vector.
+    *  - **ADC** (per query): a 8×16 lookup table of query-to-code
+    *    distances (tiny, broadcast), then each candidate's distance
+    *    is the SUM of 8 table hits on its codes — no float vector
+    *    math at scan time at all.
+    *  - **Audit**: each returned candidate carries its rank under
+    *    the EXACT full-dim distance, so the approximation error is
+    *    part of the result (the recall-vs-cost evidence), not a
+    *    hidden property.
+    *
+    * Determinism: everything is exact BIGINT micro arithmetic —
+    * encoding argmins, LUT entries, ADC sums, and the exact-rank
+    * audit are bit-stable across engines and partitionings (ties
+    * break on code/candidate id).
+    */
+  def pqAdcTopK(s: SparkSession, dir: String): DataFrame = {
+    val M = 8    // subspaces
+    val SD = 8   // dims per subspace
+    val K = 16   // codes per subspace
+    val mv = vecs(s, dir)
+      .withColumn("vm",
+        expr("transform(v, x -> CAST(floor(x * 1000000) AS BIGINT))"))
+      .select(col("vec_id"), col("vm"))
+    val subs = mv
+      .withColumn("m", explode(sequence(lit(0), lit(M - 1))))
+      .withColumn("sub", expr(s"slice(vm, m * $SD + 1, $SD)"))
+      .select(col("vec_id"), col("m"), col("sub"))
+    val codebook = subs
+      .filter(pmod(col("vec_id"), lit(31L)) === 0 &&
+        col("vec_id") < 31L * K)
+      .select((col("vec_id") / 31L).cast("long").as("j"), col("m"),
+        col("sub").as("csub"))
+    // Encode: nearest code per (vector, subspace), exact integer L2,
+    // tie -> lower code id (the struct min orders by (d, j)).
+    val codes = subs.join(broadcast(codebook), Seq("m"))
+      .withColumn("d", expr("vec_l2sq(sub, csub)"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d"), col("j"))).as("best"))
+      .select(col("vec_id").as("cand_id"), col("m"),
+        col("best.j").as("code"))
+    // Per-query LUT: distance from the query's subvector to every
+    // code of every subspace — M×K rows per query, broadcast.
+    val lut = subs.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("m"), col("sub").as("qsub"))
+      .join(broadcast(codebook), Seq("m"))
+      .withColumn("qd", expr("vec_l2sq(qsub, csub)"))
+      .select(col("q_id"), col("m"), col("j"), col("qd"))
+    // ADC: each candidate's approximate distance to each query is the
+    // sum of its M code lookups.
+    val adc = codes.join(broadcast(lut),
+        codes("m") === lut("m") && codes("code") === lut("j"))
+      .filter(col("cand_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("cand_id"))
+      .agg(sum(col("qd")).as("adc"))
+    // Exact full-dim rank per (query, candidate) — the audit column.
+    val q = mv.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("vm").as("qm"))
+    val exactW = Window.partitionBy(col("q_id"))
+      .orderBy(col("exact"), col("cand_id"))
+    val exact = mv.select(col("vec_id").as("cand_id"), col("vm"))
+      .join(broadcast(q), col("cand_id") =!= col("q_id"))
+      .withColumn("exact", expr("vec_l2sq(vm, qm)"))
+      .withColumn("exact_rank", row_number().over(exactW).cast("long"))
+      .select(col("q_id"), col("cand_id"), col("exact_rank"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    adc
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .join(exact, Seq("q_id", "cand_id"))
+      .select(col("q_id"), col("rnk"), col("cand_id"), col("adc"),
+        col("exact_rank"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  val pqAdcTopKOracle: String =
+    """WITH raw AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |mv AS (
+      |  SELECT vec_id,
+      |    list_transform(v, x -> CAST(floor(x * 1000000) AS BIGINT)) AS vm
+      |  FROM raw),
+      |subs AS (
+      |  SELECT vec_id, m, list_slice(vm, m * 8 + 1, m * 8 + 8) AS sub
+      |  FROM mv, range(0, 8) t(m)),
+      |cb AS (
+      |  SELECT CAST(vec_id // 31 AS BIGINT) AS j, m, sub AS csub
+      |  FROM subs WHERE vec_id % 31 = 0 AND vec_id < 496),
+      |encd AS (
+      |  SELECT s.vec_id, s.m, cb.j,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (s.sub[i] - cb.csub[i]) * (s.sub[i] - cb.csub[i])))
+      |      AS BIGINT) AS d
+      |  FROM subs s JOIN cb ON s.m = cb.m),
+      |codes AS (
+      |  SELECT vec_id AS cand_id, m, j AS code
+      |  FROM (SELECT vec_id, m, j,
+      |          ROW_NUMBER() OVER (PARTITION BY vec_id, m
+      |            ORDER BY d, j) AS rn
+      |        FROM encd) r
+      |  WHERE rn = 1),
+      |lut AS (
+      |  SELECT s.vec_id AS q_id, s.m, cb.j,
+      |    CAST(list_sum(list_transform(range(1, 9),
+      |      i -> (s.sub[i] - cb.csub[i]) * (s.sub[i] - cb.csub[i])))
+      |      AS BIGINT) AS qd
+      |  FROM subs s JOIN cb ON s.m = cb.m
+      |  WHERE s.vec_id < 3),
+      |adc AS (
+      |  SELECT l.q_id, c.cand_id, CAST(SUM(l.qd) AS BIGINT) AS adc
+      |  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.j
+      |  WHERE c.cand_id <> l.q_id
+      |  GROUP BY l.q_id, c.cand_id),
+      |exact AS (
+      |  SELECT q.vec_id AS q_id, c.vec_id AS cand_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY list_sum(list_transform(range(1, 65),
+      |        i -> (q.vm[i] - c.vm[i]) * (q.vm[i] - c.vm[i]))),
+      |        c.vec_id) AS BIGINT) AS exact_rank
+      |  FROM mv q JOIN mv c ON q.vec_id <> c.vec_id
+      |  WHERE q.vec_id < 3),
+      |ranked AS (
+      |  SELECT q_id, cand_id, adc,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY adc, cand_id) AS BIGINT) AS rnk
+      |  FROM adc)
+      |SELECT r.q_id, r.rnk, r.cand_id, r.adc, e.exact_rank
+      |FROM ranked r JOIN exact e
+      |  ON r.q_id = e.q_id AND r.cand_id = e.cand_id
+      |WHERE r.rnk <= 5
+      |ORDER BY r.q_id, r.rnk""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("sim_centroids", centroids, Some(centroidsOracle),
       "typed Aggregator: exact element-wise vector sums per label"),
@@ -565,5 +712,7 @@ object Similarity {
     Q("sim_topk_lsh", lshTopK, Some(lshTopKOracle),
       "LSH: 4-hyperplane sign buckets, exact-cosine rerank in-bucket"),
     Q("sim_contrastive_pairs", contrastivePairs, Some(contrastivePairsOracle),
-      "anchor/positive/hard-negative triplets mined in LSH buckets"))
+      "anchor/positive/hard-negative triplets mined in LSH buckets"),
+    Q("sim_topk_pq_adc", pqAdcTopK, Some(pqAdcTopKOracle),
+      "product quantization + ADC: coded candidates scored by LUT sums, with exact-rank audit"))
 }

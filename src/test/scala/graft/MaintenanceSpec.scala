@@ -465,6 +465,34 @@ class MaintenanceSpec extends SparkSpec {
     assert(staging.isEmpty, s"staging dirs left: $staging")
   }
 
+  test("racing merges both apply: the loser rebases its rewrite onto " +
+    "the winner's snapshot") {
+    val t = freshTable("race-merge")
+    SnapStore.create(spark, t, docs, "part")
+    val n = docs.count()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      def mergeTask(part: Long, tag: String) =
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = SnapStore.merge(spark, t,
+            docs.filter(col("part") === part)
+              .withColumn("source", lit(tag)),
+            "doc_id", "part").version
+        })
+      val (fa, fb) = (mergeTask(1L, "mA"), mergeTask(3L, "mB"))
+      val va = fa.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      val vb = fb.get(300, java.util.concurrent.TimeUnit.SECONDS)
+      assert(Set(va, vb) == Set(2, 3), s"got versions $va, $vb")
+    } finally pool.shutdown()
+    // Both rewrites landed regardless of commit order, nothing lost.
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == n)
+    assert(after.filter(col("part") === 1 && col("source") =!= "mA").count() == 0)
+    assert(after.filter(col("part") === 3 && col("source") =!= "mB").count() == 0)
+    assert(after.filter(col("source").isin("mA", "mB"))
+      .count() == docs.filter(col("part").isin(1L, 3L)).count())
+  }
+
   test("registered lifecycle is idempotent: re-running entries " +
     "re-reads the same final snapshots") {
     val a = ops.Maintenance.mergeUpsert(spark, sf).collect()

@@ -37,7 +37,11 @@ class PlanAuditSpec extends SparkSpec {
     "text_bpe_apply",
     // curriculum interleave cross-joins the broadcast 1-row source
     // count into the per-row position formula.
-    "pipe_curriculum_interleave")
+    "pipe_curriculum_interleave",
+    // r5: PQ/ADC's exact-rank audit joins the 3-row broadcast query
+    // set against candidates on a non-equi (!=) condition — the same
+    // broadcast-query-set class as sim_topk_brute.
+    "sim_topk_pq_adc")
 
   // Queries allowed an unpartitioned WindowExec whose input subtree
   // carries NO aggregate. Empty = every global window in the registry
