@@ -220,6 +220,8 @@ object Runner {
       s"spark.sql.catalog.$catalog.gcs.analytics-core.enabled",
       s"spark.sql.catalog.$catalog.gcs.client.type")
     val saved = variantKeys.map(k => k -> spark.conf.getOption(k))
+    val savedNs = spark.sql("SELECT current_catalog(), current_schema()")
+      .head()
     try clientVariants.flatMap { case (_, enabled, client) =>
       spark.conf.set(
         s"spark.sql.catalog.$catalog.gcs.analytics-core.enabled", enabled.toString)
@@ -229,9 +231,18 @@ object Runner {
       val database = if (enabled) catalog else "spark_catalog"
       runSweep(spark, sfRoot, suites, database, runId, listener,
         confFlags(spark, catalog))
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      // The grid's suites issue `USE <catalog>.<db>` per pass;
+      // restoring the confs without the CURRENT CATALOG/NAMESPACE
+      // would leave the session pinned on the last variant's (DSv2)
+      // catalog, so any later unqualified name resolves against the
+      // read-only plugin — the same state the conf restore exists to
+      // clean up.
+      spark.sql(s"USE ${savedNs.getString(0)}.${savedNs.getString(1)}")
     }
   }
 

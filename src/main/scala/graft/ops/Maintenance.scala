@@ -45,15 +45,10 @@ object Maintenance {
     * fixture path (two fixtures sharing a basename can never serve
     * each other's data) plus [[logicVersion]].
     */
-  def root(dir: String): Path = {
-    val full = Paths.get(dir).toAbsolutePath.normalize.toString
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val fp = md.digest(s"$full-$logicVersion".getBytes("UTF-8")).take(6)
-      .map(b => f"$b%02x").mkString
-    val tag = Paths.get(dir).getFileName.toString
-      .replaceAll("[^A-Za-z0-9._-]+", "_") + "-" + fp
-    Paths.get(sys.props("java.io.tmpdir"), "graft-snap", tag)
-  }
+  def root(dir: String): Path =
+    Paths.get(sys.props("java.io.tmpdir"), "graft-snap",
+      graft.queries.Materialize.pathTag(dir, logicVersion))
+
 
   /** Mount the maintenance database on the named DSv2 catalog so
     * `graft.maint.<table>` (and `VERSION AS OF`, `ALTER TABLE`,

@@ -50,6 +50,23 @@ object Materialize {
     md.digest().take(6).map(b => f"$b%02x").mkString
   }
 
+  /** Fixture-keyed on-disk tag: sanitized basename + a fingerprint
+    * of the FULL absolute path (optionally salted) — two fixtures
+    * sharing a basename under different roots can never collide, and
+    * a salt bump invalidates previously materialized dirs when the
+    * producing logic changes. Shared by every module that caches
+    * per-fixture layouts under java.io.tmpdir (ADVICE r4 keying).
+    */
+  def pathTag(dir: String, salt: String = ""): String = {
+    val full = java.nio.file.Paths.get(dir)
+      .toAbsolutePath.normalize.toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val fp = md.digest(s"$full-$salt".getBytes("UTF-8")).take(6)
+      .map(b => f"$b%02x").mkString
+    java.nio.file.Paths.get(dir).getFileName.toString
+      .replaceAll("[^A-Za-z0-9._-]+", "_") + "-" + fp
+  }
+
   def enabled(s: SparkSession): Boolean =
     s.conf.getOption(confKey).forall(_.toBoolean)
 

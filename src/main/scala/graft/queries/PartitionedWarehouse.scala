@@ -40,13 +40,8 @@ object PartitionedWarehouse {
     */
   def register(s: SparkSession, dir: String): Unit = synchronized {
     if (lastDir.get(s) != dir) {
-      val full = Paths.get(dir).toAbsolutePath.normalize.toString
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val fp = md.digest(full.getBytes("UTF-8")).take(6)
-        .map(b => f"$b%02x").mkString
-      val tag = Paths.get(dir).getFileName.toString
-        .replaceAll("[^A-Za-z0-9._-]+", "_") + "-" + fp
-      val root = Paths.get(sys.props("java.io.tmpdir"), "graft-part", tag)
+      val root = Paths.get(sys.props("java.io.tmpdir"), "graft-part",
+        Materialize.pathTag(dir))
       Seq(
         ("lineitem", "l_shipdate", "l_shipyear"),
         ("orders", "o_orderdate", "o_orderyear")).foreach {

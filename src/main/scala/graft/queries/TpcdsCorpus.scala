@@ -1303,9 +1303,9 @@ object TpcdsCorpus {
     */
   private def invStddevBand(s: SparkSession, dir: String): DataFrame = {
     register(s, dir)
-    val dd = s.table(s"$db.date_dim").filter(col("d_year") === 2001)
+    val dd = s.table(s"spark_catalog.$db.date_dim").filter(col("d_year") === 2001)
       .select(col("d_date_sk"), col("d_moy"))
-    val moments = s.table(s"$db.inventory")
+    val moments = s.table(s"spark_catalog.$db.inventory")
       .join(dd, col("inv_date_sk") === col("d_date_sk"))
       .groupBy(col("inv_warehouse_sk").as("wsk"),
         col("inv_item_sk").as("isk"), col("d_moy"))

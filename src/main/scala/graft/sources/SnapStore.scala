@@ -89,7 +89,7 @@ object SnapStore {
     val vs =
       try stream.iterator().asScala
         .map(_.getFileName.toString)
-        .collect { case s if s.matches("v\\d{5}\\.manifest") =>
+        .collect { case s if s.matches("v\\d{5,}\\.manifest") =>
           s.stripPrefix("v").stripSuffix(".manifest").toInt
         }
         .toSeq
@@ -308,6 +308,27 @@ object SnapStore {
         .parquet(m.files.map(f => table.resolve(f.path).toString): _*)
   }
 
+  /** Among `candidates` (files the partition-bound prune would carry
+    * untouched), find those that actually HOLD one of the change
+    * set's keys — the rows a partition-moving update leaves behind.
+    * Pruning by the change rows' partition values is only sound when
+    * keys never change partition; this key-only, column-pruned scan
+    * (one small column of the unpruned files) restores row-level
+    * correctness for the general case, exactly like Iceberg's COW
+    * MERGE joining the source onto the target to find its matches.
+    */
+  private def filesHoldingKeys(spark: SparkSession, table: Path,
+      schema: StructType, candidates: Seq[FileEntry], keys: DataFrame,
+      keyCol: String): Set[String] =
+    if (candidates.isEmpty) Set.empty
+    else spark.read.schema(schema)
+      .parquet(candidates.map(f => table.resolve(f.path).toString): _*)
+      .select(col(keyCol), input_file_name().as("__f"))
+      .join(keys.select(col(keyCol).as("__k")), col(keyCol) === col("__k"),
+        "left_semi")
+      .select(col("__f")).distinct()
+      .collect().map(r => fileName(r.getString(0))).toSet
+
   /** Copy-on-write MERGE (matched → update, unmatched → insert): the
     * row-level-write face of the north star. File-level pruning from
     * manifest partition bounds decides the rewrite set ON THE DRIVER
@@ -337,9 +358,19 @@ object SnapStore {
     // touched — the first post-evolution merge migrates them to the
     // new spec, after which pruning bites again (Iceberg's per-file
     // spec-id semantics, resolved by rewrite-on-touch).
-    val (touched, untouched) = cur.files.partition(f =>
+    val (touched0, untouched0) = cur.files.partition(f =>
       (f.specCol.nonEmpty && f.specCol != partCol) ||
         parts.exists(p => p >= f.partMin && p <= f.partMax))
+    // Partition-moving updates: a matched row whose CURRENT partition
+    // differs from its change row's would otherwise survive in a
+    // carried file while the change inserts — a duplicate key. Find
+    // the bound-pruned files that hold matched keys and rewrite them
+    // too ([[filesHoldingKeys]]).
+    val holding = filesHoldingKeys(spark, table, cur.schema, untouched0,
+      changes, keyCol)
+    val (extraTouched, untouched) =
+      untouched0.partition(f => holding(fileName(f.path)))
+    val touched = touched0 ++ extraTouched
     val touchedDf =
       if (touched.isEmpty)
         spark.createDataFrame(
@@ -377,9 +408,17 @@ object SnapStore {
         "evolve the spec first (evolveSpec)")
     val parts = deleteKeys.select(col(partCol)).distinct()
       .collect().map(_.getLong(0)).toSet
-    val (touched, untouched) = cur.files.partition(f =>
+    val (touched0, untouched0) = cur.files.partition(f =>
       (f.specCol.nonEmpty && f.specCol != partCol) ||
         parts.exists(p => p >= f.partMin && p <= f.partMax))
+    // Same partition-moving guard as [[merge]]: a delete key whose
+    // row sits outside the stated partitions must still rewrite the
+    // file holding it.
+    val holding = filesHoldingKeys(spark, table, cur.schema, untouched0,
+      deleteKeys, keyCol)
+    val (extraTouched, untouched) =
+      untouched0.partition(f => holding(fileName(f.path)))
+    val touched = touched0 ++ extraTouched
     val v = cur.version + 1
     val newFiles =
       if (touched.isEmpty) Seq.empty
@@ -445,18 +484,32 @@ object SnapStore {
     * batch after `addColumn` carries the new column).
     */
   def append(spark: SparkSession, table: Path, df: DataFrame,
-      partCol: String, numFiles: Int = 8): Manifest =
-    withCommitRetry(table) { () =>
+      partCol: String, numFiles: Int = 8): Manifest = {
+    // Data files are written ONCE, outside the retry loop: an
+    // append's files don't depend on the snapshot it lands on, so a
+    // lost commit race re-publishes the SAME files against the new
+    // current instead of deleting and rewriting them. Beyond saving
+    // the rewrite, this keeps the data/ directory append-only under
+    // racing appenders — the invariant the streaming read
+    // ([[graft.streaming.SnapshotStream]]) relies on (a deleted
+    // attempt file would already sit in the stream's file log).
+    val entrySchema = currentManifest(table).schema
+    val newFiles = writeDataFiles(spark, table,
+      df.select(entrySchema.fieldNames.map(col): _*), partCol,
+      s"append-${UUID.randomUUID().toString.take(8)}", numFiles)
+    try withCommitRetry(table) { () =>
       val cur = currentManifest(table)
-      val v = cur.version + 1
-      val newFiles = writeDataFiles(spark, table,
-        df.select(cur.schema.fieldNames.map(col): _*), partCol, s"append-v$v",
-        numFiles)
-      val m = Manifest(v, cur.version, "append", cur.schema,
+      val m = Manifest(cur.version + 1, cur.version, "append", cur.schema,
         cur.files ++ newFiles,
         if (cur.partCol.nonEmpty) cur.partCol else partCol)
-      (m, newFiles, tryCommitManifest(table, m))
+      (m, Seq.empty, tryCommitManifest(table, m))
+    } catch { case e: java.util.ConcurrentModificationException =>
+      // Retry budget exhausted: the never-published files must not
+      // linger as orphans.
+      newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
+      throw e
     }
+  }
 
   /** Bin-pack small-file compaction — the core Iceberg maintenance
     * action (`rewrite_data_files`). Files are walked in partition

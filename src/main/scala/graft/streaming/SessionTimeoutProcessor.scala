@@ -9,13 +9,15 @@ import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulPro
   * ([[RunningTotalsProcessor]] ValueState, [[TopKPerUserProcessor]]
   * ListState, [[PerTypeCountsProcessor]] MapState): per-user session
   * aggregation closed by INACTIVITY, the pattern `registerTimer` /
-  * `handleExpiredTimer` exists for. Each input batch extends the
-  * key's open session (count/total in a [[ValueState]]) and re-arms
-  * a single EVENT-TIME timer at `lastEventTs + gapMs`; when the
-  * watermark passes the deadline the timer fires — in a batch with
-  * NO input for the key — emitting the session summary exactly once
-  * and clearing the state, so the key's next event opens a fresh
-  * session.
+  * `handleExpiredTimer` exists for. Input events fold into the key's
+  * open session (count/total in a [[ValueState]]) in event-time
+  * order, CLOSING it inline whenever an event lands beyond the gap
+  * (so sessions split identically however the batches slice), and
+  * re-arm a single EVENT-TIME timer at `lastEventTs + gapMs`; when
+  * the watermark passes the deadline the timer fires — in a batch
+  * with NO input for the key — emitting the session summary exactly
+  * once and clearing the state, so the key's next event opens a
+  * fresh session.
   *
   * Event-time (watermark-driven) timers rather than processing-time:
   * deterministic under replay and backfill — a recovered or
@@ -42,19 +44,33 @@ class SessionTimeoutProcessor(gapMs: Long)
 
   override def handleInputRows(key: Long, rows: Iterator[(Long, Timestamp, Long)],
       timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
-    var (events, total, armed) =
+    val (events0, total0, armed0) =
       if (session.exists()) session.get() else (0L, 0L, 0L)
-    var lastTs = 0L
-    rows.foreach { case (_, ts, v) =>
+    // Events are folded in EVENT-TIME order, and an event arriving
+    // after the open session's deadline CLOSES that session first
+    // (emitting it here) before opening the next — without this, a
+    // key whose next session's events reach the processor before the
+    // watermark fires the inactivity timer would fuse two sessions
+    // into one, and replay with different batch slicing would emit a
+    // different answer. The timer only handles the no-further-events
+    // case; gap closure between observed events belongs to input
+    // handling.
+    var events = events0; var total = total0; var armed = armed0
+    var closed = List.empty[(Long, Long, Long)]
+    rows.toSeq.sortBy(_._2.getTime).foreach { case (_, ts, v) =>
+      val t = ts.getTime
+      if (events > 0 && t > armed) {
+        closed ::= ((key, events, total))
+        events = 0; total = 0
+      }
       events += 1; total += v
-      lastTs = math.max(lastTs, ts.getTime)
+      armed = math.max(armed, t + gapMs)
     }
     // Re-arm: one live timer per key — activity pushes the deadline.
-    if (armed > 0) getHandle.deleteTimer(armed)
-    val deadline = math.max(lastTs, armed - gapMs) + gapMs
-    getHandle.registerTimer(deadline)
-    session.update((events, total, deadline))
-    Iterator.empty // sessions emit only when they close
+    if (armed0 > 0) getHandle.deleteTimer(armed0)
+    getHandle.registerTimer(armed)
+    session.update((events, total, armed))
+    closed.reverse.iterator
   }
 
   override def handleExpiredTimer(key: Long, timerValues: TimerValues,

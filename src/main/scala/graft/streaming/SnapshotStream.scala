@@ -29,9 +29,16 @@ import graft.sources.SnapStore
   * which an append feed would surface as duplicates — [[appendFeed]]
   * verifies the current history and raises otherwise, the same
   * restriction [[SnapStore.incrementalRead]] enforces (and Iceberg's
-  * streaming read documents). Expiry is safe: it deletes only files
-  * unreferenced by live snapshots, which an append-only history
-  * never produces.
+  * streaming read documents). Under that contract `data/` is
+  * strictly append-only even with RACING appenders: a lost commit
+  * race re-publishes the same already-written files
+  * ([[SnapStore.append]] writes data outside its retry loop), and
+  * expiry deletes only files unreferenced by live snapshots, which
+  * an append-only history never produces. Remaining caveat (shared
+  * with any file-listing consumer): a writer that crashes BETWEEN
+  * moving its data files and publishing its manifest leaves orphan
+  * files the feed will serve though no snapshot references them —
+  * at-least-once for the crashed tail, exactly-once otherwise.
   */
 object SnapshotStream {
 

@@ -30,12 +30,20 @@ object SnapshotUpsert {
 
   private def epochTag(batchId: Long) = s"merge-b$batchId"
 
-  /** Has `batchId` already committed to `table`? (Replay check:
-    * scans the live manifest history's operation tags — driver-side
-    * metadata only.)
+  /** Has `batchId` already committed to `table`? Structured
+    * Streaming only ever replays the most recent unacknowledged
+    * batch, so the check compares against the NEWEST epoch-tagged
+    * commit — found by walking versions newest-first and stopping at
+    * the first `merge-b*` tag. O(1) manifest reads per epoch in the
+    * steady state (the head commit IS the last epoch; a few more
+    * reads only when maintenance commits interleave), instead of
+    * parsing the entire O(total-epochs) history every trigger.
     */
   def committed(table: Path, batchId: Long): Boolean =
-    SnapStore.history(table).exists(_._3 == epochTag(batchId))
+    SnapStore.liveVersions(table).reverseIterator
+      .map(v => SnapStore.manifest(table, v).operation)
+      .collectFirst { case op if op.startsWith("merge-b") => op }
+      .contains(epochTag(batchId))
 
   /** The `foreachBatch` body: merge one microbatch of changes
     * (keyed upserts) into the snapshot table, exactly once. Returns

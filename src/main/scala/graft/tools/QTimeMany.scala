@@ -22,11 +22,21 @@ object QTimeMany {
       val fn = graft.SparkEntry.queries(name)
       fn(s, dir).write.format("noop").mode("overwrite").save() // cold
       s.catalog.clearCache()
+      // Two warm numbers, because cached-CTE queries have two honest
+      // costs: `warm` includes rebuilding any frame the query caches
+      // (what the Bench suite pays — it clears caches between
+      // queries), `hot` re-runs with those caches populated (what
+      // QTime reports). Printing both keeps the tools comparable.
       val warm = fn(s, dir)
       val t0 = System.nanoTime()
       warm.write.format("noop").mode("overwrite").save()
-      println(f"QTIME $name ${(System.nanoTime() - t0) / 1e9}%.2f")
-      warm.queryExecution.executedPlan.toString.linesIterator
+      val tWarm = (System.nanoTime() - t0) / 1e9
+      val hot = fn(s, dir)
+      val t1 = System.nanoTime()
+      hot.write.format("noop").mode("overwrite").save()
+      val tHot = (System.nanoTime() - t1) / 1e9
+      println(f"QTIME $name warm=$tWarm%.2f hot=$tHot%.2f")
+      hot.queryExecution.executedPlan.toString.linesIterator
         .filter(l => l.contains("Join") || l.contains("InMemoryTableScan"))
         .map(_.trim.takeWhile(_ != '[').take(80))
         .foreach(l => println("  " + l))

@@ -64,6 +64,35 @@ class MaintenanceSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("partition-moving update leaves no duplicate key: the old " +
+    "row's file rewrites even though bounds would have pruned it") {
+    val t = freshTable("move")
+    SnapStore.create(spark, t, docs, "part")
+    // Move one doc of partition 0 to partition 5: the change row's
+    // partition set is {5}, so bound pruning alone would carry the
+    // part-0 file holding the OLD row — and the key would exist
+    // twice. The key-holding scan must catch it.
+    val victim = docs.filter(col("part") === 0).orderBy("doc_id")
+      .limit(1).collect()(0).getLong(0)
+    val change = docs.filter(col("doc_id") === victim)
+      .withColumn("part", lit(5L))
+      .withColumn("text", concat(col("text"), lit(" moved")))
+    SnapStore.merge(spark, t, change, "doc_id", "part")
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == docs.count(), "no row gained or lost")
+    val rows = after.filter(col("doc_id") === victim).collect()
+    assert(rows.length == 1, s"key $victim must exist exactly once")
+    assert(rows(0).getLong(1) == 5L && rows(0).getString(3).endsWith(" moved"))
+    // Files in partitions the change set neither targets nor holds
+    // matched keys in still carry untouched.
+    val v1 = SnapStore.manifest(t, 1)
+    val v2 = SnapStore.currentManifest(t)
+    val unrelated = v1.files.filter(f => f.partMin > 0 && f.partMax < 5)
+    assert(unrelated.nonEmpty, "fixture must give mid-partition files")
+    unrelated.foreach(f => assert(v2.files.exists(_.path == f.path),
+      s"${f.path} holds no matched key and must carry"))
+  }
+
   test("merge inserts unmatched change rows") {
     val t = freshTable("merge-ins")
     SnapStore.create(spark, t, docs, "part")

@@ -218,13 +218,16 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("twst_mem")
       .outputMode("update").start()
     try {
-      ms.addData((1L, ts(10000), 10L), (1L, ts(11000), 5L), (2L, ts(10500), 7L))
+      // Key 1's two events sit INSIDE the 700 ms gap (500 ms apart):
+      // one session. (Events farther apart than the gap are two
+      // sessions even within one batch — covered by the split test.)
+      ms.addData((1L, ts(10000), 10L), (1L, ts(10500), 5L), (2L, ts(10500), 7L))
       q.processAllAvailable()
       // Nothing emits while sessions are open (watermark still 0).
       assert(spark.table("twst_mem").count() == 0)
-      // Advance the watermark far past both deadlines (11.7 s / 11.2
-      // s): the batch AFTER this one runs with watermark 30 s and
-      // fires the expired timers with no input rows for keys 1/2.
+      // Advance the watermark far past both deadlines (11.2 s): the
+      // batch AFTER this one runs with watermark 30 s and fires the
+      // expired timers with no input rows for keys 1/2.
       ms.addData((99L, ts(30000), 1L))
       q.processAllAvailable()
       ms.addData((99L, ts(30100), 1L))
@@ -326,6 +329,53 @@ class StreamingSpec extends SparkSpec {
     assert(after === before)
     val total = spark.read.parquet(s"$out/batch=0", s"$out/batch=1").count()
     assert(total === 3)
+  }
+
+  test("transformWithState sessions split on gap even when the next " +
+    "session's events outrun the watermark timer") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val ms = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val out = ms.toDS()
+      .withWatermark("_2", "0 seconds")
+      .groupByKey(_._1)
+      .transformWithState(new graft.streaming.SessionTimeoutProcessor(700L),
+        TimeMode.EventTime(), OutputMode.Update())
+    val q = out.toDF().toDF("user_id", "events", "total")
+      .writeStream.format("memory").queryName("twst_split_mem")
+      .outputMode("update").start()
+    try {
+      // Session 1: one event at t=10 s (deadline 10.7 s).
+      ms.addData((1L, ts(10000), 10L))
+      q.processAllAvailable()
+      // The NEXT batch carries an event far past the deadline — but
+      // the watermark during that batch is still 10 s (computed from
+      // the prior batch), so the inactivity timer has NOT fired.
+      // Input handling itself must close session 1; folding the
+      // event into it would fuse two sessions and make the emitted
+      // answer depend on batch slicing.
+      ms.addData((1L, ts(50000), 3L))
+      q.processAllAvailable()
+      val afterSplit = spark.table("twst_split_mem").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(afterSplit.toSeq == Seq((1L, 1L, 10L)),
+        s"session 1 must close on gap, got ${afterSplit.mkString(",")}")
+      // Close session 2 via the timer (advance the watermark).
+      ms.addData((99L, ts(90000), 1L))
+      q.processAllAvailable()
+      ms.addData((99L, ts(90100), 1L))
+      q.processAllAvailable()
+      val key1 = spark.table("twst_split_mem").collect()
+        .filter(_.getLong(0) == 1L)
+        .map(r => (r.getLong(1), r.getLong(2)))
+      assert(key1.toSet == Set((1L, 10L), (1L, 3L)),
+        s"two distinct sessions expected, got ${key1.mkString(",")}")
+    } finally q.stop()
   }
 
   test("streaming CDC upsert commits one snapshot per epoch, " +
