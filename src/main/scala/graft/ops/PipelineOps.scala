@@ -1229,6 +1229,88 @@ object PipelineOps {
       |ORDER BY block, source""".stripMargin
 
   // ---------------------------------------------------------------
+  // ----------------------------------------------------------------
+  /** PII scrubbing with a redaction audit — the compliance pass every
+    * training-data pipeline runs before text leaves curation: regex
+    * redaction of emails and phone numbers, with per-source counts of
+    * affected documents and total redactions, and a checksum of the
+    * SCRUBBED text proving the rewrite itself (not just the counts)
+    * is deterministic. The fixture's synthetic text carries no PII,
+    * so the entry first plants it deterministically (every seventh
+    * doc gains an email, every eleventh a phone number) — the audit
+    * then has known ground truth, and the oracle mirrors plant +
+    * scrub end to end.
+    *
+    * Scale shape: one projection pass (regex + counts are per-row,
+    * codegen'd) + one keyed agg. The patterns stay in the
+    * RE2-compatible subset so Spark (Java regex) and DuckDB (RE2)
+    * agree byte for byte.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\b555-[0-9]{4}\\b"
+    val planted = Tables.documents(s, dir)
+      .withColumn("text2", concat(col("text"),
+        when(pmod(col("doc_id"), lit(7L)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11L)) === 0,
+          concat(lit(" tel 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+    // Patterns go through the Scala function API, not SQL literals:
+    // the SQL parser's string-escape pass would eat `\b` (backspace)
+    // and `\.` before the regex engine ever saw them.
+    planted
+      .withColumn("n_email", size(regexp_extract_all(col("text2"),
+        lit(emailPat), lit(0))).cast("long"))
+      .withColumn("n_phone", size(regexp_extract_all(col("text2"),
+        lit(phonePat), lit(0))).cast("long"))
+      .withColumn("scrubbed", regexp_replace(
+        regexp_replace(col("text2"), emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") > 0, 1L).otherwise(0L))
+          .as("n_with_pii"),
+        sum(col("n_email") + col("n_phone")).as("n_redactions"),
+        sum(expr(s"fold_hash(scrubbed, 31, 0, $P)")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val piiScrubOracle: String = {
+    val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phonePat = "\\b555-[0-9]{4}\\b"
+    val fold = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(scrubbed, ''), " +
+      s"c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % $P)"
+    s"""WITH planted AS (
+       |  SELECT source, text ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 11 = 0
+       |      THEN ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |      ELSE '' END AS text2
+       |  FROM documents),
+       |scrub AS (
+       |  SELECT source,
+       |    len(regexp_extract_all(text2, '$emailPat')) AS n_email,
+       |    len(regexp_extract_all(text2, '$phonePat')) AS n_phone,
+       |    regexp_replace(regexp_replace(text2, '$emailPat', '<EMAIL>', 'g'),
+       |      '$phonePat', '<PHONE>', 'g') AS scrubbed
+       |  FROM planted)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_with_pii,
+       |  CAST(SUM(n_email + n_phone) AS BIGINT) AS n_redactions,
+       |  CAST(SUM($fold) AS BIGINT) AS chk
+       |FROM scrub
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
@@ -1274,5 +1356,7 @@ object PipelineOps {
       "snapshot diff: fingerprint-classified added/removed/changed/unchanged"),
     Q("pipe_curriculum_interleave", curriculumInterleave,
       Some(curriculumInterleaveOracle),
-      "sort-free deterministic source interleave with per-block composition"))
+      "sort-free deterministic source interleave with per-block composition"),
+    Q("pipe_pii_scrub", piiScrub, Some(piiScrubOracle),
+      "regex PII redaction (emails/phones) with per-source audit and scrubbed-text checksum"))
 }
