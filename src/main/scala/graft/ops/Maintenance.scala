@@ -193,6 +193,28 @@ object Maintenance {
     t
   }
 
+  /** `docs_mor`: merge-on-read lifecycle. v1 create → v2 equality
+    * DELETE of every seventeenth doc as a delete FILE (zero data
+    * rewritten — the v2 manifest carries every v1 data file
+    * untouched plus one tiny key parquet; reads anti-join it) → v3
+    * `applyDeletes` folds the deletes into rewritten data files and
+    * clears the pending set, restoring plain-scan reads.
+    */
+  def ensureDocsMor(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_mor")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol)
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.deleteEquality(s, t,
+        base(s, dir).filter(pmod(col("doc_id"), lit(17L)) === 0)
+          .select("doc_id"),
+        "doc_id")
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.applyDeletes(s, t, partCol)
+    mount(s, dir)
+    t
+  }
+
   /** `docs_rb`: tag + rollback lifecycle. v1 create, tagged
     * `baseline` → v2 copy-on-write DELETE (the "bad commit") → v3
     * rollback to the tagged version: a NEW metadata-only commit
@@ -463,6 +485,45 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Two faces of the merge-on-read lifecycle stacked under a label:
+    * the MOR snapshot read (v2 — deletes applied at read time by the
+    * anti-join, data files untouched) and the post-apply current
+    * table (v3 — deletes folded into rewritten files). Both must
+    * equal documents-minus-deleted, so one oracle aggregate checks
+    * read-merge and write-fold agree row for row; the physical
+    * claims (zero data IO at v2, pending-delete catalog refusal,
+    * empty delete set at v3) are spec-pinned.
+    */
+  def morDelete(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsMor(s, dir)
+    def agg(df: DataFrame, face: String) = df
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .withColumn("face", lit(face))
+    agg(SnapStore.read(s, t, Some(2)), "mor_read")
+      .unionByName(agg(SnapStore.read(s, t), "applied"))
+      .select(col("face"), col(partCol), col("n_docs"), col("sum_tok"),
+        col("chk"))
+      .orderBy(col("face"), col(partCol))
+  }
+
+  val morDeleteOracle: String =
+    s"""WITH surv AS (
+       |  SELECT doc_id % $nParts AS part, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents WHERE doc_id % 17 <> 0),
+       |a AS (
+       |  SELECT part, COUNT(*) AS n_docs,
+       |    CAST(SUM(tok) AS BIGINT) AS sum_tok,
+       |    CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |  FROM surv GROUP BY part)
+       |SELECT 'applied' AS face, part, n_docs, sum_tok, chk FROM a
+       |UNION ALL
+       |SELECT 'mor_read', part, n_docs, sum_tok, chk FROM a
+       |ORDER BY face, part""".stripMargin
+
   /** Two faces of the rollback lifecycle stacked under a label: the
     * CURRENT table (post-rollback — the delete undone) and the
     * `VERSION AS OF 'baseline'` tagged read through the catalog.
@@ -540,5 +601,7 @@ object Maintenance {
       Some(partitionEvolutionOracle),
       "partition-spec evolution: metadata-only re-spec, rewrite-on-touch migration, pruned post-migration merge"),
     Q("maint_rollback_tag", rollbackTag, Some(rollbackTagOracle),
-      "tagged reference + rollback: VERSION AS OF 'tag' and post-rollback current both equal the pre-delete base"))
+      "tagged reference + rollback: VERSION AS OF 'tag' and post-rollback current both equal the pre-delete base"),
+    Q("maint_mor_delete", morDelete, Some(morDeleteOracle),
+      "merge-on-read equality delete: read-time anti-join and post-applyDeletes fold agree"))
 }

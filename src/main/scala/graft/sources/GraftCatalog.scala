@@ -88,6 +88,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map { dir =>
         val m = version.map(SnapStore.manifest(dir, _))
           .getOrElse(SnapStore.currentManifest(dir))
+        // A merge-on-read snapshot (pending equality deletes) cannot
+        // be served as a plain parquet file list — the catalog would
+        // silently return deleted rows. Refuse with the remedy, like
+        // an engine lacking delete-file support must.
+        if (m.deleteFiles.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"$db.$name@v${m.version} has pending equality deletes; " +
+              "read via SnapStore.read or run SnapStore.applyDeletes")
         ParquetTable(
           s"$catalogName.$db.$name",
           session,

@@ -72,8 +72,17 @@ object SnapStore {
   /** `partCol` is the table's CURRENT partition spec at this
     * snapshot (`""` on legacy manifests = whatever the caller says).
     */
+  /** An equality-delete file: a small parquet of deleted key values
+    * (Iceberg v2 merge-on-read). Reads anti-join the union of a
+    * snapshot's delete files on `keyCol`; [[applyDeletes]] folds them
+    * back into the data files.
+    */
+  final case class DeleteFile(path: String, keyCol: String, rows: Long,
+      bytes: Long)
+
   final case class Manifest(version: Int, parent: Int, operation: String,
-      schema: StructType, files: Seq[FileEntry], partCol: String = "")
+      schema: StructType, files: Seq[FileEntry], partCol: String = "",
+      deleteFiles: Seq[DeleteFile] = Seq.empty)
 
   private def snapDir(table: Path): Path = table.resolve("_snapshots")
   private def manifestPath(table: Path, v: Int): Path =
@@ -120,11 +129,15 @@ object SnapStore {
         parts(3).toLong, parts(4).toLong,
         if (parts.length > 5) parts(5) else "")
     }
+    val dfiles = lines.filter(_.startsWith("dfile=")).map { l =>
+      val parts = l.drop(6).split('\t')
+      DeleteFile(parts(0), parts(1), parts(2).toLong, parts(3).toLong)
+    }
     Manifest(field("version").toInt, field("parent").toInt,
       field("operation"),
       DataType.fromJson(field("schema")).asInstanceOf[StructType], files,
       lines.find(_.startsWith("partcol="))
-        .map(_.drop("partcol=".length)).getOrElse(""))
+        .map(_.drop("partcol=".length)).getOrElse(""), dfiles)
   }
 
   def currentManifest(table: Path): Manifest =
@@ -147,6 +160,8 @@ object SnapStore {
     m.files.foreach(f => body.append(
       s"file=${f.path}\t${f.partMin}\t${f.partMax}\t${f.rows}\t${f.bytes}" +
         s"\t${f.specCol}\n"))
+    m.deleteFiles.foreach(d => body.append(
+      s"dfile=${d.path}\t${d.keyCol}\t${d.rows}\t${d.bytes}\n"))
     val tmp = snapDir(table).resolve(
       s".v${m.version}.tmp-${ProcessHandle.current().pid()}-" +
         Thread.currentThread().getId)
@@ -300,12 +315,25 @@ object SnapStore {
   def read(spark: SparkSession, table: Path,
       version: Option[Int] = None): DataFrame = {
     val m = version.map(manifest(table, _)).getOrElse(currentManifest(table))
-    if (m.files.isEmpty)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else
-      spark.read.schema(m.schema)
-        .parquet(m.files.map(f => table.resolve(f.path).toString): _*)
+    val base =
+      if (m.files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      else
+        spark.read.schema(m.schema)
+          .parquet(m.files.map(f => table.resolve(f.path).toString): _*)
+    // Merge-on-read: pending equality deletes anti-join at read time
+    // (Iceberg v2 delete files). The delete set is tiny by definition
+    // (it is what was cheap enough to not rewrite), so the anti-join
+    // broadcasts.
+    if (m.deleteFiles.isEmpty) base
+    else {
+      val kc = m.deleteFiles.head.keyCol
+      val dk = spark.read
+        .parquet(m.deleteFiles.map(d => table.resolve(d.path).toString): _*)
+        .select(col(kc).as("__delk")).distinct()
+      base.join(broadcast(dk), base(kc) === col("__delk"), "left_anti")
+    }
   }
 
   /** Among `candidates` (files the partition-bound prune would carry
@@ -344,6 +372,8 @@ object SnapStore {
       keyCol: String, partCol: String, numFiles: Int = 8,
       operation: String = "merge"): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
+    require(cur.deleteFiles.isEmpty,
+      "pending equality deletes: run applyDeletes first")
     require(cur.partCol.isEmpty || cur.partCol == partCol,
       s"table is partitioned by '${cur.partCol}', not '$partCol' — " +
         "evolve the spec first (evolveSpec)")
@@ -403,6 +433,8 @@ object SnapStore {
   def delete(spark: SparkSession, table: Path, deleteKeys: DataFrame,
       keyCol: String, partCol: String, numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
+    require(cur.deleteFiles.isEmpty,
+      "pending equality deletes: run applyDeletes first")
     require(cur.partCol.isEmpty || cur.partCol == partCol,
       s"table is partitioned by '${cur.partCol}', not '$partCol' — " +
         "evolve the spec first (evolveSpec)")
@@ -432,6 +464,76 @@ object SnapStore {
       }
     val m = Manifest(v, cur.version, "delete", cur.schema,
       untouched ++ newFiles, partCol)
+    (m, newFiles, tryCommitManifest(table, m))
+  }
+
+  /** Merge-on-read equality DELETE — Iceberg v2's delete files: the
+    * delete commits as one TINY parquet of deleted key values beside
+    * the untouched data files (zero data rewritten — contrast with
+    * the copy-on-write [[delete]]), and every read of the snapshot
+    * anti-joins the pending delete keys. The trade every MOR table
+    * makes: O(batch) write cost now, a broadcast anti-join on each
+    * read until [[applyDeletes]] folds the deletes into the data.
+    */
+  def deleteEquality(spark: SparkSession, table: Path, keys: DataFrame,
+      keyCol: String): Manifest = {
+    val cur0 = currentManifest(table)
+    require(cur0.schema.fieldNames.contains(keyCol),
+      s"delete key column '$keyCol' is not in the table schema")
+    require(cur0.deleteFiles.forall(_.keyCol == keyCol),
+      "all pending delete files must share one key column")
+    // The delete file is written ONCE outside the commit retry, like
+    // an append's data files — it doesn't depend on the snapshot the
+    // commit lands on.
+    val dataDir = table.resolve("data")
+    Files.createDirectories(dataDir)
+    val tmp = table.resolve(s".edel-tmp-${ProcessHandle.current().pid()}" +
+      s"-${UUID.randomUUID().toString.take(8)}")
+    keys.select(col(keyCol)).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = {
+      val stream = Files.list(tmp)
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      finally stream.close()
+    }
+    val name = s"edelete-${UUID.randomUUID().toString.take(8)}.parquet"
+    Files.move(part, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    deleteTree(tmp)
+    val rows = spark.read.parquet(dataDir.resolve(name).toString).count()
+    val d = DeleteFile(s"data/$name", keyCol, rows,
+      Files.size(dataDir.resolve(name)))
+    try withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      require(cur.deleteFiles.forall(_.keyCol == keyCol),
+        "all pending delete files must share one key column")
+      val m = Manifest(cur.version + 1, cur.version, "delete-mor",
+        cur.schema, cur.files, cur.partCol, cur.deleteFiles :+ d)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    } catch { case e: java.util.ConcurrentModificationException =>
+      Files.deleteIfExists(dataDir.resolve(name))
+      throw e
+    }
+  }
+
+  /** Fold pending equality deletes into the data — Iceberg's
+    * `rewrite_position_delete_files` / compaction-with-deletes: every
+    * data file is read through the delete anti-join and rewritten;
+    * the new snapshot carries no delete files, restoring plain-scan
+    * reads (and re-enabling the COW ops, which refuse to run over
+    * pending deletes). The displaced data and delete files expire
+    * with their snapshots.
+    */
+  def applyDeletes(spark: SparkSession, table: Path, partCol: String,
+      numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
+    val cur = currentManifest(table)
+    require(cur.deleteFiles.nonEmpty, "no pending equality deletes")
+    val df = read(spark, table) // data minus pending delete keys
+    val v = cur.version + 1
+    val newFiles = writeDataFiles(spark, table, df, partCol,
+      s"applydel-v$v", numFiles)
+    val m = Manifest(v, cur.version, "apply-deletes", cur.schema, newFiles,
+      if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty)
     (m, newFiles, tryCommitManifest(table, m))
   }
 
@@ -499,6 +601,11 @@ object SnapStore {
       s"append-${UUID.randomUUID().toString.take(8)}", numFiles)
     try withCommitRetry(table) { () =>
       val cur = currentManifest(table)
+      // Delete keys apply to EVERY data file of their snapshot in
+      // this model (no per-file sequence numbers), so appending under
+      // pending deletes would wrongly suppress re-inserted keys.
+      require(cur.deleteFiles.isEmpty,
+        "pending equality deletes: run applyDeletes first")
       val m = Manifest(cur.version + 1, cur.version, "append", cur.schema,
         cur.files ++ newFiles,
         if (cur.partCol.nonEmpty) cur.partCol else partCol)
@@ -521,6 +628,8 @@ object SnapStore {
   def compact(spark: SparkSession, table: Path, partCol: String,
       targetBytes: Long): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
+    require(cur.deleteFiles.isEmpty,
+      "pending equality deletes: run applyDeletes first")
     val sorted = cur.files.sortBy(f => (f.partMin, f.path))
     val bins = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[FileEntry])
@@ -582,6 +691,8 @@ object SnapStore {
       partCol: String, clusterExprs: Seq[org.apache.spark.sql.Column],
       numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
+    require(cur.deleteFiles.isEmpty,
+      "pending equality deletes: run applyDeletes first")
     val df = spark.read.schema(cur.schema)
       .parquet(cur.files.map(f => table.resolve(f.path).toString): _*)
     val v = cur.version + 1
@@ -615,9 +726,14 @@ object SnapStore {
       val (protected_, reallyDead) = d.partition(protect)
       (reallyDead, protected_ ++ l)
     }
-    val keepFiles = live.flatMap(v => manifest(table, v).files.map(_.path)).toSet
-    val deadFiles = dead.flatMap(v => manifest(table, v).files.map(_.path))
-      .distinct.filterNot(keepFiles)
+    val keepFiles = live.flatMap { v =>
+      val m = manifest(table, v)
+      m.files.map(_.path) ++ m.deleteFiles.map(_.path)
+    }.toSet
+    val deadFiles = dead.flatMap { v =>
+      val m = manifest(table, v)
+      m.files.map(_.path) ++ m.deleteFiles.map(_.path)
+    }.distinct.filterNot(keepFiles)
     dead.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
     deadFiles.foreach(p => Files.deleteIfExists(table.resolve(p)))
     (dead, deadFiles)
@@ -676,7 +792,7 @@ object SnapStore {
       require(toVersion < cur.version,
         s"rollback target $toVersion must precede current ${cur.version}")
       val m = Manifest(cur.version + 1, cur.version, "rollback",
-        target.schema, target.files, target.partCol)
+        target.schema, target.files, target.partCol, target.deleteFiles)
       (m, Seq.empty, tryCommitManifest(table, m))
     }
 
@@ -693,7 +809,7 @@ object SnapStore {
         s"column ${field.name} already exists")
       val m = Manifest(cur.version + 1, cur.version, "add-column",
         StructType(cur.schema.fields :+ field.copy(nullable = true)),
-        cur.files, cur.partCol)
+        cur.files, cur.partCol, cur.deleteFiles)
       (m, Seq.empty, tryCommitManifest(table, m))
     }
 

@@ -399,6 +399,70 @@ class MaintenanceSpec extends SparkSpec {
     assert(after.map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("merge-on-read: equality delete is a zero-data-IO commit, " +
+    "reads anti-join it, the catalog refuses pending deletes, and " +
+    "applyDeletes folds them back to plain scans") {
+    val dir = Files.createTempDirectory("graft-snapspec-mor")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part")
+    val v1 = SnapStore.currentManifest(t)
+    val mtimes = v1.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+    val n = docs.count()
+    val delKeys = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .select("doc_id")
+    val nDel = delKeys.count()
+
+    SnapStore.deleteEquality(spark, t, delKeys, "doc_id")
+    val v2 = SnapStore.currentManifest(t)
+    assert(v2.operation == "delete-mor")
+    // Zero data IO: every v1 data file carries under the same path,
+    // mtime untouched; the commit added exactly one delete file.
+    assert(v2.files.map(_.path) == v1.files.map(_.path))
+    v2.files.foreach(f =>
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path)))
+    assert(v2.deleteFiles.size == 1 &&
+      v2.deleteFiles.head.keyCol == "doc_id" &&
+      v2.deleteFiles.head.rows == nDel)
+    // Reads apply the delete at read time.
+    val morRead = SnapStore.read(spark, t)
+    assert(morRead.count() == n - nDel)
+    assert(morRead.filter(pmod(col("doc_id"), lit(5L)) === 0).count() == 0)
+    // COW ops and appends refuse to run over pending deletes.
+    assert(intercept[IllegalArgumentException] {
+      SnapStore.append(spark, t, docs.limit(1), "part")
+    }.getMessage.contains("applyDeletes"))
+    assert(intercept[IllegalArgumentException] {
+      SnapStore.merge(spark, t, docs.limit(1), "doc_id", "part")
+    }.getMessage.contains("applyDeletes"))
+    // The catalog refuses to serve a MOR snapshot as plain parquet.
+    spark.conf.set("spark.graft.catalog.dir.morspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val err = intercept[Exception] {
+      spark.table("graft.morspec.docs").count()
+    }
+    assert(err.getMessage.contains("pending equality deletes"),
+      err.getMessage)
+
+    // applyDeletes: deletes folded into rewritten files, pending set
+    // cleared, plain-scan reads (and the catalog) work again.
+    SnapStore.applyDeletes(spark, t, "part")
+    val v3 = SnapStore.currentManifest(t)
+    assert(v3.operation == "apply-deletes" && v3.deleteFiles.isEmpty)
+    assert(SnapStore.read(spark, t).count() == n - nDel)
+    assert(spark.table("graft.morspec.docs").count() == n - nDel)
+    // Time travel to the MOR snapshot through the catalog still
+    // refuses (it would serve deleted rows); SnapStore.read of the
+    // same version applies the deletes correctly.
+    val tt = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.morspec.docs VERSION AS OF 2").count()
+    }
+    assert(tt.getMessage.contains("pending equality deletes"), tt.getMessage)
+    assert(SnapStore.read(spark, t, Some(2)).count() == n - nDel)
+  }
+
   test("tags resolve in VERSION AS OF, protect their snapshot from " +
     "expiry, and rollback restores old contents as a new commit") {
     val dir = Files.createTempDirectory("graft-snapspec-tag")
