@@ -87,6 +87,13 @@ object Bench {
     // a complete copy from disk.
     val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"queries":$qs,"queries_min":$qsMin}"""
     println(json)
+    // The FINAL stdout line is a COMPACT copy without the per-query
+    // maps: the driver captures only a 2000-char stdout tail, and the
+    // full 262-query JSON blows past it, landing `parsed: null` in
+    // the round artifact (VERDICT r5 "What's wrong" #4). Totals parse
+    // from this line; the per-query regression signal stays complete
+    // in BENCH.json above.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"queries_in":"BENCH.json"}""")
     // Output path is overridable and defaults to the working directory
     // (ADVICE r4: a hardcoded absolute path breaks any other checkout).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

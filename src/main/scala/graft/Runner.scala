@@ -27,7 +27,7 @@ object Runner {
     StructField("benchmark_type", StringType),
     StructField("query_name", StringType),
     StructField("execution_time_sec", DoubleType),
-    StructField("status", BooleanType),
+    StructField("status", StringType),
     StructField("error_message", StringType),
     StructField("metrics_json", StringType),
     StructField("analytics_core_enabled", BooleanType),
@@ -111,7 +111,10 @@ object Runner {
       val (metricsJson, scanMs) = listener
         .flatMap(l => l.awaitExecutionId(10000).map(l.metrics))
         .getOrElse(("{}", 0L))
-      Row(runId, schemaSize.getOrElse(schema), benchmarkType, name, elapsedSec, ok, err, metricsJson,
+      // `status` is the reference's literal string enum, not a boolean
+      // (`IcebergBenchmark.java:139,177,185` record "SUCCESS"/"FAILED").
+      Row(runId, schemaSize.getOrElse(schema), benchmarkType, name, elapsedSec,
+        if (ok) "SUCCESS" else "FAILED", err, metricsJson,
         flags._1, flags._2, scanMs,
         new java.sql.Timestamp(System.currentTimeMillis()))
     }
@@ -323,7 +326,7 @@ object Runner {
       Thread.sleep(2000) // drain listener bus (reference sleeps 10s, :217)
       writeResultsCsv(spark, rows, outDir, runId)
       rows.foreach(r => println(f"[runner] ${r.getString(3)} " +
-        f"${if (r.getBoolean(5)) "SUCCESS" else "FAILED"} ${r.getDouble(4)}%.3f"))
+        f"${r.getString(5)} ${r.getDouble(4)}%.3f"))
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       spark.stop()

@@ -38,7 +38,7 @@ object Maintenance {
   /** Bump to invalidate previously materialized lifecycles when the
     * scenario logic changes (the root directory is keyed by it).
     */
-  private val logicVersion = "m3"
+  private val logicVersion = "m4"
 
   /** Per-fixture root for the maintained tables, mounted as database
     * `maint` on the graft DSv2 catalog. Keyed by a hash of the FULL
@@ -101,7 +101,7 @@ object Maintenance {
   def ensureDocs(s: SparkSession, dir: String): Path = synchronized {
     val t = root(dir).resolve("docs")
     if (SnapStore.currentVersion(t).isEmpty)
-      SnapStore.create(s, t, base(s, dir), partCol)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
     if (SnapStore.currentVersion(t).contains(1))
       SnapStore.merge(s, t, changes(s, dir), "doc_id", partCol)
     if (SnapStore.liveVersions(t) != Seq(2))
@@ -135,7 +135,7 @@ object Maintenance {
   def ensureDocsDel(s: SparkSession, dir: String): Path = synchronized {
     val t = root(dir).resolve("docs_del")
     if (SnapStore.currentVersion(t).isEmpty)
-      SnapStore.create(s, t, base(s, dir), partCol)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
     if (SnapStore.currentVersion(t).contains(1))
       SnapStore.delete(s, t,
         base(s, dir).filter(col(partCol) === 3 &&
@@ -255,6 +255,105 @@ object Maintenance {
     if (SnapStore.currentVersion(t).contains(2))
       SnapStore.append(s, t,
         base(s, dir).filter(pmod(col("doc_id"), lit(5L)) === 0), partCol)
+    mount(s, dir)
+    t
+  }
+
+  /** `docs_morm`: merge-on-read MERGE lifecycle (Iceberg v2
+    * `write.merge.mode = merge-on-read`). v1 create (key bounds
+    * declared) → v2 `mergeEquality`: ONE commit carrying an
+    * equality-delete file for the change keys plus new data files
+    * for the change rows — zero base data rewritten; reads resolve
+    * matched-update/unmatched-insert by sequence number. The table
+    * deliberately STAYS in its pending-delete state so the oracled
+    * read exercises the sequence-scoped MOR read path itself.
+    */
+  def ensureDocsMorm(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_morm")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1)) {
+      val b = base(s, dir)
+      val upd = b.filter(col(partCol) === 2 && pmod(col("doc_id"), lit(3L)) === 0)
+        .withColumn("text", concat(col("text"), lit(" m2")))
+      val ins = b.filter(col(partCol) === 6 && pmod(col("doc_id"), lit(13L)) === 6)
+        .withColumn("doc_id", col("doc_id") + 200000L)
+        .withColumn("source", lit("srcR"))
+      SnapStore.mergeEquality(s, t,
+        upd.unionByName(ins)
+          .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)")),
+        "doc_id")
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** `docs_pos`: position-delete lifecycle (Iceberg v2's second
+    * delete flavor). v1 create → v2 `deletePositions` of every third
+    * doc of partition 4 — one tiny `(file, pos)` parquet naming the
+    * exact ordinals, zero data rewritten; reads suppress by ordinal
+    * on ONLY the named files, clean files stay on the plain path
+    * (spec-pinned). Stays pending so the oracled read exercises the
+    * position-scoped read path.
+    */
+  def ensureDocsPos(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_pos")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.deletePositions(s, t,
+        col(partCol) === 4 && pmod(col("doc_id"), lit(3L)) === 0)
+    mount(s, dir)
+    t
+  }
+
+  /** `docs_br`: branch + fast-forward lifecycle (Iceberg branch
+    * refs). v1 create → branch `ingest` forks → the branch takes an
+    * append (every nineteenth doc re-keyed `+300000`, source `srcB`)
+    * while MAIN never moves → fast-forward adopts the branch head as
+    * main's v2 — the audit-then-publish pattern the pipeline
+    * entries' eval/train snapshot workflows model.
+    */
+  def ensureDocsBr(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_br")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.branchHead(t, "ingest").isEmpty &&
+      SnapStore.currentVersion(t).contains(1))
+      SnapStore.createBranch(t, "ingest")
+    if (SnapStore.branchHead(t, "ingest").contains(1))
+      SnapStore.appendToBranch(s, t, "ingest",
+        base(s, dir).filter(pmod(col("doc_id"), lit(19L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 300000L)
+          .withColumn("source", lit("srcB")),
+        partCol)
+    if (SnapStore.currentVersion(t).contains(1) &&
+      SnapStore.branchHead(t, "ingest").contains(2))
+      SnapStore.fastForward(t, "ingest")
+    mount(s, dir)
+    t
+  }
+
+  /** `docs_date`: DATE-partitioned lifecycle — the reference's
+    * partitioned warehouse is exactly a date-partitioned layout
+    * (`partitioned_runner.sh:8,12`), and typed manifest bounds make
+    * it prune natively. v1 create partitioned by a derived `day`
+    * column (12 distinct weeks) → v2 MERGE confined to ONE day:
+    * files whose ISO-string date bounds exclude it carry untouched
+    * (spec-pinned), the day's rows re-source `srcD`.
+    */
+  def ensureDocsDate(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_date")
+    def withDay(df: DataFrame): DataFrame = df.withColumn("day",
+      expr("date_add(DATE'2024-01-01', CAST((doc_id % 12) * 7 AS INT))"))
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, withDay(base(s, dir)), "day", numFiles = 6,
+        keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.merge(s, t,
+        withDay(base(s, dir)).filter(col("day") === to_date(lit("2024-01-22")))
+          .withColumn("source", lit("srcD")),
+        "doc_id", "day")
     mount(s, dir)
     t
   }
@@ -580,6 +679,132 @@ object Maintenance {
       |UNION ALL SELECT 3, 'append', CAST(n AS BIGINT) FROM c
       |ORDER BY version""".stripMargin
 
+  /** Post-MOR-MERGE contents per partition, read through the
+    * sequence-scoped merge-on-read path (the pending delete file
+    * suppresses matched rows in older files; the merge's own data
+    * files outrank it): the oracle recomputes the
+    * matched-update/unmatched-insert semantics logically, so a hash
+    * match proves the zero-rewrite commit upserts exactly like the
+    * COW merge would. The physical claims (no base file rewritten,
+    * one delete file, sequence stamps) are spec-pinned.
+    */
+  def morMerge(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsMorm(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val morMergeOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, doc_id % $nParts AS part, source, text
+       |  FROM documents),
+       |upd AS (
+       |  SELECT doc_id, part, source, text || ' m2' AS text
+       |  FROM base WHERE part = 2 AND doc_id % 3 = 0),
+       |ins AS (
+       |  SELECT doc_id + 200000 AS doc_id, part, 'srcR' AS source, text
+       |  FROM base WHERE part = 6 AND doc_id % 13 = 6),
+       |changes AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+       |merged AS (
+       |  SELECT * FROM changes
+       |  UNION ALL
+       |  SELECT * FROM base
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM changes))
+       |SELECT part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM merged
+       |GROUP BY part
+       |ORDER BY part""".stripMargin
+
+  /** Post-position-delete contents per partition, read through the
+    * ordinal-scoped path (only the files the delete names pay the
+    * `(file, pos)` anti-join; clean files scan plain — spec-pinned):
+    * the oracle recomputes the surviving set logically, so a hash
+    * match proves the ordinals named exactly the matched rows.
+    */
+  def positionDelete(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsPos(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val positionDeleteOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE NOT (doc_id % $nParts = 4 AND doc_id % 3 = 0)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** Post-fast-forward MAIN contents per source: the branch took the
+    * append while main never moved, then fast-forward adopted the
+    * branch head as a metadata-only main commit — so main must equal
+    * base plus the branch's appended batch, which the oracle
+    * recomputes from the fixture. Divergence/stale-FF/expiry claims
+    * are spec-pinned.
+    */
+  def branchFastForward(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsBr(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val branchFastForwardOracle: String =
+    s"""WITH b AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL
+       |  SELECT 'srcB' AS source, text FROM documents WHERE doc_id % 19 = 0)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM b
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Post-merge contents of the DATE-partitioned table, per day: the
+    * oracle recomputes the day derivation and the one-day re-source
+    * in DuckDB date arithmetic, so a hash match proves typed (ISO
+    * date) manifest bounds drove a correct native-date merge. The
+    * carry/prune physical claims are spec-pinned.
+    */
+  def datePartition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsDate(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source") === "srcD", 1L).otherwise(0L)).as("n_srcd"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("day"))
+  }
+
+  val datePartitionOracle: String =
+    s"""WITH f AS (
+       |  SELECT DATE '2024-01-01' + CAST((doc_id % 12) * 7 AS INTEGER) AS day,
+       |    CASE WHEN doc_id % 12 = 3 THEN 'srcD' ELSE source END AS source,
+       |    text
+       |  FROM documents)
+       |SELECT day, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN source = 'srcD' THEN 1 ELSE 0 END) AS BIGINT) AS n_srcd,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM f
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -603,5 +828,13 @@ object Maintenance {
     Q("maint_rollback_tag", rollbackTag, Some(rollbackTagOracle),
       "tagged reference + rollback: VERSION AS OF 'tag' and post-rollback current both equal the pre-delete base"),
     Q("maint_mor_delete", morDelete, Some(morDeleteOracle),
-      "merge-on-read equality delete: read-time anti-join and post-applyDeletes fold agree"))
+      "merge-on-read equality delete: read-time anti-join and post-applyDeletes fold agree"),
+    Q("maint_mor_merge", morMerge, Some(morMergeOracle),
+      "merge-on-read MERGE: delete file + data files in one commit, zero base rewrite, sequence-scoped read"),
+    Q("maint_position_delete", positionDelete, Some(positionDeleteOracle),
+      "position delete: (file, ordinal) suppression, clean files on the plain scan path"),
+    Q("maint_branch_ff", branchFastForward, Some(branchFastForwardOracle),
+      "branch + fast-forward: branch takes the append, main adopts its head metadata-only"),
+    Q("maint_date_partition", datePartition, Some(datePartitionOracle),
+      "DATE-partitioned table: typed ISO bounds prune a one-day merge natively"))
 }

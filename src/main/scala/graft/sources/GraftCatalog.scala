@@ -82,19 +82,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * `_SUCCESS`-marked parquet directory.
     */
   private def snapTable(db: String, name: String,
-      version: Option[Int]): Option[Table] =
+      resolved: Option[SnapStore.Manifest]): Option[Table] =
     mountedDir(db).map(_.resolve(name))
       .filter(SnapStore.isSnapTable)
       .map { dir =>
-        val m = version.map(SnapStore.manifest(dir, _))
+        val m = resolved
           .getOrElse(SnapStore.currentManifest(dir))
-        // A merge-on-read snapshot (pending equality deletes) cannot
-        // be served as a plain parquet file list — the catalog would
-        // silently return deleted rows. Refuse with the remedy, like
-        // an engine lacking delete-file support must.
+        // A merge-on-read snapshot (pending equality/position delete
+        // files) cannot be served as a plain parquet file list — the
+        // catalog would silently return deleted rows. Refuse with
+        // the remedy, like an engine lacking delete-file support
+        // must.
         if (m.deleteFiles.nonEmpty)
           throw new UnsupportedOperationException(
-            s"$db.$name@v${m.version} has pending equality deletes; " +
+            s"$db.$name@v${m.version} has pending delete files; " +
               "read via SnapStore.read or run SnapStore.applyDeletes")
         ParquetTable(
           s"$catalogName.$db.$name",
@@ -174,16 +175,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       }
     else ident.namespace() match {
       // Snapshot-table time travel: the version string is a
-      // [[SnapStore]] snapshot id OR a tag name (Iceberg's
-      // `VERSION AS OF 'tag'`); an expired / never-committed id or
-      // unknown tag raises the missing-snapshot error — the contract
-      // Iceberg's VERSION AS OF has.
+      // [[SnapStore]] snapshot id, a tag name, or a BRANCH name
+      // (Iceberg's `VERSION AS OF 'tag'` / branch reads); an
+      // expired / never-committed id or unknown reference raises the
+      // missing-snapshot error — the contract Iceberg's VERSION AS
+      // OF has.
       case Array(db) =>
         val dir = mountedDir(db).map(_.resolve(ident.name()))
           .filter(SnapStore.isSnapTable)
           .getOrElse(throw new NoSuchTableException(ident))
         snapTable(db, ident.name(),
-          Some(SnapStore.resolveVersion(dir, version)))
+          Some(SnapStore.resolveManifest(dir, version)))
           .getOrElse(throw new NoSuchTableException(ident))
       case _ => throw new NoSuchTableException(ident)
     }

@@ -1,13 +1,15 @@
 package graft.sources
 
+import java.net.{URLDecoder, URLEncoder}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.util.UUID
 
 import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.types._
 
 /** A snapshot-manifest table format over parquet — the WRITE /
   * MAINTENANCE faces of the reference's storage layer, re-expressed
@@ -25,12 +27,25 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    `_snapshots/v%05d.manifest`; nothing is edited in place, so
   *    readers of older snapshots are never disturbed (time travel =
   *    read an older manifest's file list).
-  *  - **Manifests carry per-file partition bounds** (`min`/`max` of
-  *    the table's partition column), collected by one stats pass
-  *    over the just-written files — the metrics Iceberg gathers at
-  *    write time. [[merge]] prunes the files it must rewrite from
-  *    these bounds on the driver, at planning time, without opening
-  *    a single data file.
+  *  - **Manifests carry TYPED per-file bounds** — min/max of the
+  *    partition column AND of the table key column, collected by one
+  *    stats pass over the just-written files (the metrics Iceberg
+  *    gathers at write time). Bounds are stored as rendered strings
+  *    and compared under an ordering derived from the column's Spark
+  *    type ([[boundOrd]]), so integral, DATE, and STRING partition /
+  *    key columns all prune natively (the reference's partitioned
+  *    warehouse is date-partitioned, `partitioned_runner.sh:8,12`);
+  *    types without a safe string ordering degrade to
+  *    conservative-touch, never to wrong answers. [[merge]] prunes
+  *    its rewrite set from partition bounds and its partition-moving
+  *    key guard from KEY bounds, both on the driver, at planning
+  *    time, without opening a single unaffected data file.
+  *  - **Sequence numbers** (Iceberg v2): every data file records the
+  *    snapshot that ADDED it, every delete file the snapshot that
+  *    committed it, and an equality-delete file applies only to data
+  *    files with a LOWER sequence — so appends and merge-on-read
+  *    MERGEs can land on top of pending deletes without suppressing
+  *    their own rows.
   *  - **Commits are atomic and exclusive**: a manifest is written to
   *    a temp name and hard-link-installed at its version path —
   *    atomic (a snapshot exists completely or not at all) AND
@@ -38,21 +53,29 @@ import org.apache.spark.sql.types.{DataType, StructField, StructType}
   *    exactly one of any number of racing writers wins it; a POSIX
   *    rename would silently replace the winner). Losing writers
   *    retry optimistically against the new current snapshot
-  *    ([[withCommitRetry]]), Iceberg's commit model.
+  *    ([[withCommitRetry]]), Iceberg's commit model. Named refs
+  *    (tags and branch heads) use the same exclusive-install
+  *    protocol on a versioned refs log, so two PROCESSES moving refs
+  *    concurrently can never lose an update.
   *
   * At 100 TB each operation stays one-or-two Spark jobs over only
   * the affected bytes: merge reads+rewrites touched files only,
-  * compaction reads+rewrites small files only, expiry is pure
-  * driver-side metadata plus unreferenced-file deletes.
+  * compaction reads every undersized bin in ONE job and writes one
+  * file per bin, expiry is pure driver-side metadata plus
+  * unreferenced-file deletes.
   *
-  * Manifest format (line-based, dependency-free):
+  * Manifest format (line-based, dependency-free; bound values are
+  * URL-encoded so tabs/newlines in string bounds cannot corrupt the
+  * line structure, and `""` reads as absent → conservative):
   * {{{
   * version=3
   * parent=2
   * operation=merge
   * schema=<StructType.json on one line>
   * partcol=<current partition column>
-  * file=data/merge-v3-0-<uuid>.parquet\t<partMin>\t<partMax>\t<rows>\t<bytes>\t<specCol>
+  * keycol=<table key column, when declared>
+  * file=data/x.parquet\t<partMin>\t<partMax>\t<rows>\t<bytes>\t<specCol>\t<seq>\t<keyMin>\t<keyMax>
+  * dfile=data/d.parquet\t<keyCol>\t<rows>\t<bytes>\t<kind>\t<seq>
   * }}}
   */
 object SnapStore {
@@ -63,26 +86,33 @@ object SnapStore {
     * DESCRIBE — files written before a partition-spec evolution keep
     * their old spec's bounds (Iceberg's per-file spec-id), and a
     * change-set prune may only trust bounds whose spec matches the
-    * change set's column. `""` = legacy entry, treated as the
-    * caller's current column.
+    * change set's column. `seq` is the snapshot version that ADDED
+    * the file (Iceberg's data sequence number); equality deletes
+    * apply only to files with a lower one. `keyMin`/`keyMax` bound
+    * the table KEY column when one is declared (`""` = unknown →
+    * the key guard scans the file conservatively).
     */
-  final case class FileEntry(path: String, partMin: Long, partMax: Long,
-      rows: Long, bytes: Long, specCol: String = "")
+  final case class FileEntry(path: String, partMin: String, partMax: String,
+      rows: Long, bytes: Long, specCol: String = "", seq: Int = 1,
+      keyMin: String = "", keyMax: String = "")
 
-  /** `partCol` is the table's CURRENT partition spec at this
-    * snapshot (`""` on legacy manifests = whatever the caller says).
-    */
-  /** An equality-delete file: a small parquet of deleted key values
-    * (Iceberg v2 merge-on-read). Reads anti-join the union of a
-    * snapshot's delete files on `keyCol`; [[applyDeletes]] folds them
-    * back into the data files.
+  /** A delete file (Iceberg v2 merge-on-read). `kind` is `"eq"` — a
+    * small parquet of deleted key values, applied to every data file
+    * with `seq` below the delete's — or `"pos"` — a parquet of
+    * `(file, pos)` ordinals suppressing specific rows of specific
+    * named files. Reads apply pending deletes; [[applyDeletes]]
+    * folds them back into the data files.
     */
   final case class DeleteFile(path: String, keyCol: String, rows: Long,
-      bytes: Long)
+      bytes: Long, kind: String = "eq", seq: Int = Int.MaxValue)
 
+  /** `partCol` is the table's CURRENT partition spec at this
+    * snapshot; `keyCol` the declared table key (bounds collected per
+    * file when set). `""` on either = undeclared.
+    */
   final case class Manifest(version: Int, parent: Int, operation: String,
       schema: StructType, files: Seq[FileEntry], partCol: String = "",
-      deleteFiles: Seq[DeleteFile] = Seq.empty)
+      deleteFiles: Seq[DeleteFile] = Seq.empty, keyCol: String = "")
 
   private def snapDir(table: Path): Path = table.resolve("_snapshots")
   private def manifestPath(table: Path, v: Int): Path =
@@ -90,6 +120,48 @@ object SnapStore {
 
   /** Is `dir` a snapshot table root? */
   def isSnapTable(dir: Path): Boolean = Files.isDirectory(snapDir(dir))
+
+  // ----------------------------------------------------------------
+  // Typed bounds.
+
+  /** String ordering matching the column type's value order, for
+    * bounds rendered with [[render]]. Integral/floating parse back;
+    * DATE renders ISO (`java.sql.Date.toString`) whose lexicographic
+    * order IS chronological; STRING compares itself. `None` = no
+    * safe string ordering (e.g. TIMESTAMP's fractional-second
+    * rendering) → callers must treat every file as intersecting.
+    */
+  private[graft] def boundOrd(dt: DataType): Option[Ordering[String]] = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      Some(Ordering.by((s: String) => s.toLong))
+    case FloatType | DoubleType => Some(Ordering.by((s: String) => s.toDouble))
+    case _: DecimalType => Some(Ordering.by((s: String) => BigDecimal(s)))
+    case DateType | StringType => Some(Ordering.String)
+    case _ => None
+  }
+
+  private def colType(schema: StructType, name: String): Option[DataType] =
+    schema.fields.find(_.name == name).map(_.dataType)
+
+  private def render(v: Any): String = String.valueOf(v)
+
+  /** Does any of the change set's partition values fall inside the
+    * file's bounds? `None` ordering (or a spec mismatch handled by
+    * the caller) means "assume yes" — pruning may only ever skip
+    * work it can PROVE unaffected.
+    */
+  private def intersectsParts(ord: Option[Ordering[String]],
+      parts: Set[String], f: FileEntry): Boolean = ord match {
+    case None => true
+    case Some(o) =>
+      parts.exists(p => o.gteq(p, f.partMin) && o.lteq(p, f.partMax))
+  }
+
+  private def enc(v: String): String = URLEncoder.encode(v, "UTF-8")
+  private def dec(v: String): String = URLDecoder.decode(v, "UTF-8")
+
+  // ----------------------------------------------------------------
+  // Manifest log.
 
   /** Live (non-expired) snapshot versions, ascending. */
   def liveVersions(table: Path): Seq[Int] = {
@@ -108,6 +180,35 @@ object SnapStore {
 
   def currentVersion(table: Path): Option[Int] = liveVersions(table).lastOption
 
+  private def parseManifest(p: Path): Manifest = {
+    val lines = Files.readAllLines(p).asScala.toSeq
+    def field(k: String): String = lines
+      .find(_.startsWith(s"$k="))
+      .getOrElse(throw new IllegalStateException(s"manifest $p missing $k"))
+      .drop(k.length + 1)
+    def opt(k: String): String = lines.find(_.startsWith(s"$k="))
+      .map(_.drop(k.length + 1)).getOrElse("")
+    val files = lines.filter(_.startsWith("file=")).map { l =>
+      val parts = l.drop(5).split("\t", -1)
+      FileEntry(parts(0), dec(parts(1)), dec(parts(2)), parts(3).toLong,
+        parts(4).toLong,
+        if (parts.length > 5) parts(5) else "",
+        if (parts.length > 6) parts(6).toInt else 1,
+        if (parts.length > 7) dec(parts(7)) else "",
+        if (parts.length > 8) dec(parts(8)) else "")
+    }
+    val dfiles = lines.filter(_.startsWith("dfile=")).map { l =>
+      val parts = l.drop(6).split("\t", -1)
+      DeleteFile(parts(0), parts(1), parts(2).toLong, parts(3).toLong,
+        if (parts.length > 4) parts(4) else "eq",
+        if (parts.length > 5) parts(5).toInt else Int.MaxValue)
+    }
+    Manifest(field("version").toInt, field("parent").toInt,
+      field("operation"),
+      DataType.fromJson(field("schema")).asInstanceOf[StructType], files,
+      opt("partcol"), dfiles, opt("keycol"))
+  }
+
   /** Load one manifest; raises the Iceberg-shaped missing-snapshot
     * error when the version was expired (or never committed) — the
     * contract `VERSION AS OF` surfaces to SQL users.
@@ -118,69 +219,61 @@ object SnapStore {
       throw new IllegalArgumentException(
         s"Cannot find snapshot $version for table $table " +
           "(expired or never committed)")
-    val lines = Files.readAllLines(p).asScala.toSeq
-    def field(k: String): String = lines
-      .find(_.startsWith(s"$k="))
-      .getOrElse(throw new IllegalStateException(s"manifest $p missing $k"))
-      .drop(k.length + 1)
-    val files = lines.filter(_.startsWith("file=")).map { l =>
-      val parts = l.drop(5).split('\t')
-      FileEntry(parts(0), parts(1).toLong, parts(2).toLong,
-        parts(3).toLong, parts(4).toLong,
-        if (parts.length > 5) parts(5) else "")
-    }
-    val dfiles = lines.filter(_.startsWith("dfile=")).map { l =>
-      val parts = l.drop(6).split('\t')
-      DeleteFile(parts(0), parts(1), parts(2).toLong, parts(3).toLong)
-    }
-    Manifest(field("version").toInt, field("parent").toInt,
-      field("operation"),
-      DataType.fromJson(field("schema")).asInstanceOf[StructType], files,
-      lines.find(_.startsWith("partcol="))
-        .map(_.drop("partcol=".length)).getOrElse(""), dfiles)
+    parseManifest(p)
   }
 
   def currentManifest(table: Path): Manifest =
     manifest(table, currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"No snapshots under $table")))
 
-  /** Publish a new manifest atomically. Returns false when another
-    * writer already published this version — the loser of an
-    * optimistic-concurrency race (the ATOMIC_MOVE either fully
-    * installs the manifest or observes the winner's).
-    */
-  private def tryCommitManifest(table: Path, m: Manifest): Boolean = {
-    Files.createDirectories(snapDir(table))
+  private def manifestBody(m: Manifest): String = {
     val body = new StringBuilder()
       .append(s"version=${m.version}\n")
       .append(s"parent=${m.parent}\n")
       .append(s"operation=${m.operation}\n")
       .append(s"schema=${m.schema.json}\n")
     if (m.partCol.nonEmpty) body.append(s"partcol=${m.partCol}\n")
+    if (m.keyCol.nonEmpty) body.append(s"keycol=${m.keyCol}\n")
     m.files.foreach(f => body.append(
-      s"file=${f.path}\t${f.partMin}\t${f.partMax}\t${f.rows}\t${f.bytes}" +
-        s"\t${f.specCol}\n"))
+      s"file=${f.path}\t${enc(f.partMin)}\t${enc(f.partMax)}\t${f.rows}" +
+        s"\t${f.bytes}\t${f.specCol}\t${f.seq}\t${enc(f.keyMin)}" +
+        s"\t${enc(f.keyMax)}\n"))
     m.deleteFiles.foreach(d => body.append(
-      s"dfile=${d.path}\t${d.keyCol}\t${d.rows}\t${d.bytes}\n"))
-    val tmp = snapDir(table).resolve(
-      s".v${m.version}.tmp-${ProcessHandle.current().pid()}-" +
+      s"dfile=${d.path}\t${d.keyCol}\t${d.rows}\t${d.bytes}\t${d.kind}" +
+        s"\t${d.seq}\n"))
+    body.toString
+  }
+
+  /** Exclusive-install a file with `body` at `target`: write a temp
+    * sibling, hard-link it into place. Atomic AND exclusive — link
+    * creation fails when the target exists, so exactly one of any
+    * number of racing writers (threads OR processes) wins a given
+    * path; a POSIX rename — what ATOMIC_MOVE compiles to — would
+    * silently REPLACE the winner (observed: duplicate version ids
+    * under a 12-writer race before this protocol).
+    */
+  private def installExclusive(target: Path, body: String): Boolean = {
+    val tmp = target.resolveSibling(
+      s".${target.getFileName}.tmp-${ProcessHandle.current().pid()}-" +
         Thread.currentThread().getId)
-    Files.writeString(tmp, body.toString)
-    // EXCLUSIVE install, not a rename: POSIX rename(2) — what
-    // ATOMIC_MOVE compiles to — silently REPLACES an existing target,
-    // so two racing writers would both believe they won the version
-    // (observed: duplicate version ids under a 12-writer race).
-    // Hard-link creation is atomic AND fails with
-    // FileAlreadyExistsException when the target exists — exactly
-    // one writer installs a given manifest version.
+    Files.writeString(tmp, body)
     try {
-      Files.createLink(manifestPath(table, m.version), tmp)
+      Files.createLink(target, tmp)
       Files.deleteIfExists(tmp)
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException =>
       Files.deleteIfExists(tmp)
       false
     }
+  }
+
+  /** Publish a new manifest atomically. Returns false when another
+    * writer already published this version — the loser of an
+    * optimistic-concurrency race.
+    */
+  private def tryCommitManifest(table: Path, m: Manifest): Boolean = {
+    Files.createDirectories(snapDir(table))
+    installExclusive(manifestPath(table, m.version), manifestBody(m))
   }
 
   private def commitManifest(table: Path, m: Manifest): Unit =
@@ -219,15 +312,67 @@ object SnapStore {
     throw new IllegalStateException("unreachable")
   }
 
+  // ----------------------------------------------------------------
+  // Data-file writes + stats.
+
+  /** Per-file row count and typed partition/key bounds for freshly
+    * moved data files — ONE column-pruned stats job keyed by the
+    * physical file each row came from, the write-time metrics
+    * collection that makes manifest-level pruning possible. Entries
+    * for zero-row part files are dropped (and the files deleted).
+    */
+  private def statsEntries(spark: SparkSession, dataDir: Path,
+      moved: Seq[String], partCol: String, keyCol: String): Seq[FileEntry] = {
+    if (moved.isEmpty) return Seq.empty
+    val paths = moved.map(n => dataDir.resolve(n).toString)
+    val withKey = keyCol.nonEmpty && keyCol != partCol
+    val aggs = Seq(min(col(partCol)).as("mn"), max(col(partCol)).as("mx"),
+      count(lit(1)).as("rows")) ++
+      (if (withKey) Seq(min(col(keyCol)).as("kmn"), max(col(keyCol)).as("kmx"))
+       else Seq.empty)
+    val stats = spark.read.parquet(paths: _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        // Columns: 0=f, 1=mn, 2=mx, 3=rows, then (when collected)
+        // 4=kmn, 5=kmx.
+        require(!r.isNullAt(1) && !r.isNullAt(2),
+          s"partition column '$partCol' must be non-null")
+        val (kmn, kmx) =
+          if (withKey && !r.isNullAt(4) && !r.isNullAt(5))
+            (render(r.get(4)), render(r.get(5)))
+          else if (keyCol.nonEmpty && keyCol == partCol)
+            (render(r.get(1)), render(r.get(2)))
+          else ("", "")
+        fileName(r.getString(0)) ->
+          (render(r.get(1)), render(r.get(2)), r.getLong(3), kmn, kmx)
+      }.toMap
+    moved.flatMap { n =>
+      stats.get(n) match {
+        case Some((mn, mx, rows, kmn, kmx)) =>
+          Some(FileEntry(s"data/$n", mn, mx, rows,
+            Files.size(dataDir.resolve(n)), specCol = partCol,
+            keyMin = kmn, keyMax = kmx))
+        case None => // zero-row part file: drop, never reference
+          Files.deleteIfExists(dataDir.resolve(n)); None
+      }
+    }
+  }
+
+  private def fileName(uri: String): String =
+    uri.substring(uri.lastIndexOf('/') + 1)
+
   /** Write `df`'s rows as new immutable data files under `data/` and
-    * return their manifest entries. One write job (hash-clustered on
-    * the partition column so a file's partition bounds stay tight)
-    * plus one stats job over the new files only — the write-time
-    * metrics collection that makes manifest-level pruning possible.
+    * return their manifest entries (seq is stamped by the committing
+    * operation). One write job (range-clustered on the partition
+    * column so a file's partition bounds stay tight) plus one stats
+    * job over the new files only.
     */
   private def writeDataFiles(spark: SparkSession, table: Path, df: DataFrame,
       partCol: String, label: String, numFiles: Int,
-      clusterExprs: Seq[org.apache.spark.sql.Column] = Seq.empty): Seq[FileEntry] = {
+      clusterExprs: Seq[Column] = Seq.empty,
+      keyCol: String = ""): Seq[FileEntry] = {
     val dataDir = table.resolve("data")
     Files.createDirectories(dataDir)
     // Unique per invocation (pid + random), not just per process:
@@ -264,98 +409,195 @@ object SnapStore {
       name
     }
     deleteTree(tmp)
-    if (moved.isEmpty) return Seq.empty
-    // Stats pass over the new files only: per-file row count and
-    // partition bounds keyed by the physical file each row came from.
-    val paths = moved.map(n => dataDir.resolve(n).toString)
-    val stats = spark.read.parquet(paths: _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col(partCol)).as("mn"), max(col(partCol)).as("mx"),
-        count(lit(1)).as("rows"))
-      .collect()
-      .map(r => fileName(r.getString(0)) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3)))
-      .toMap
-    moved.flatMap { n =>
-      stats.get(n) match {
-        case Some((mn, mx, rows)) =>
-          Some(FileEntry(s"data/$n", mn, mx, rows,
-            Files.size(dataDir.resolve(n)), specCol = partCol))
-        case None => // zero-row part file: drop, never reference
-          Files.deleteIfExists(dataDir.resolve(n)); None
-      }
-    }
+    statsEntries(spark, dataDir, moved, partCol, keyCol)
   }
-
-  private def fileName(uri: String): String =
-    uri.substring(uri.lastIndexOf('/') + 1)
 
   /** Create the table: snapshot v1 from `df`. `clusterExprs`
     * overrides the write clustering (default: the partition column)
     * — passing a finer key deliberately fragments the layout, the
-    * precondition [[compact]] exists to repair.
+    * precondition [[compact]] exists to repair. Declaring `keyCol`
+    * makes every write collect per-file key bounds, which the
+    * MERGE/DELETE partition-moving key guard prunes by.
     */
   def create(spark: SparkSession, table: Path, df: DataFrame,
       partCol: String, numFiles: Int = 8,
-      clusterExprs: Seq[org.apache.spark.sql.Column] = Seq.empty): Manifest = {
+      clusterExprs: Seq[Column] = Seq.empty,
+      keyCol: String = ""): Manifest = {
     require(currentVersion(table).isEmpty, s"table $table already exists")
     val files = writeDataFiles(spark, table, df, partCol, "base-v1", numFiles,
-      clusterExprs)
-    val m = Manifest(1, 0, "create", df.schema, files, partCol)
+      clusterExprs, keyCol)
+    val m = Manifest(1, 0, "create", df.schema, files.map(_.copy(seq = 1)),
+      partCol, Seq.empty, keyCol)
     commitManifest(table, m)
     m
   }
 
-  /** Read a snapshot (latest when `version` is None) as one parquet
-    * scan over exactly the manifest's files, with the MANIFEST's
+  // ----------------------------------------------------------------
+  // Reads.
+
+  /** Read a snapshot (latest when `version` is None) as parquet
+    * scans over exactly the manifest's files, with the MANIFEST's
     * schema — files written before a column was added simply lack it
     * and read as nulls (the Iceberg schema-evolution contract).
     * Filter/column pushdown flow through the plain parquet path.
+    *
+    * Merge-on-read: pending deletes apply at read time. Equality
+    * deletes anti-join on the key, scoped by SEQUENCE — a delete
+    * suppresses only rows of data files added BEFORE it, so rows a
+    * MOR MERGE or post-delete append (re-)inserted survive their own
+    * delete file. Position deletes anti-join `(file, pos)` via the
+    * parquet metadata columns, and ONLY the referenced files pay the
+    * ordinal scan — every clean file stays on the plain path. Delete
+    * sets are tiny by definition (they are what was cheap enough to
+    * not rewrite), so the anti-joins broadcast.
     */
   def read(spark: SparkSession, table: Path,
       version: Option[Int] = None): DataFrame = {
     val m = version.map(manifest(table, _)).getOrElse(currentManifest(table))
-    val base =
-      if (m.files.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-      else
-        spark.read.schema(m.schema)
-          .parquet(m.files.map(f => table.resolve(f.path).toString): _*)
-    // Merge-on-read: pending equality deletes anti-join at read time
-    // (Iceberg v2 delete files). The delete set is tiny by definition
-    // (it is what was cheap enough to not rewrite), so the anti-join
-    // broadcasts.
-    if (m.deleteFiles.isEmpty) base
-    else {
-      val kc = m.deleteFiles.head.keyCol
-      val dk = spark.read
-        .parquet(m.deleteFiles.map(d => table.resolve(d.path).toString): _*)
-        .select(col(kc).as("__delk")).distinct()
-      base.join(broadcast(dk), base(kc) === col("__delk"), "left_anti")
-    }
+    readManifest(spark, table, m)
+  }
+
+  private[graft] def readManifest(spark: SparkSession, table: Path,
+      m: Manifest): DataFrame = {
+    def scan(fs: Seq[FileEntry]): DataFrame =
+      spark.read.schema(m.schema)
+        .parquet(fs.map(f => table.resolve(f.path).toString): _*)
+    if (m.files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    if (m.deleteFiles.isEmpty) return scan(m.files)
+
+    val eqDeletes = m.deleteFiles.filter(_.kind == "eq")
+    val posDeletes = m.deleteFiles.filter(_.kind == "pos")
+    // Which data files have position deletes pending: the distinct
+    // file names inside the pos-delete parquets — driver-side,
+    // bounded by the manifest's file count.
+    val posAffected: Set[String] =
+      if (posDeletes.isEmpty) Set.empty
+      else spark.read
+        .parquet(posDeletes.map(d => table.resolve(d.path).toString): _*)
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    // Group files by (equality deletes that apply to them, whether a
+    // position delete names them): one sub-plan per distinct
+    // treatment, unioned. Group count is bounded by the number of
+    // MOR commits since the last fold — small by construction.
+    val groups = m.files.groupBy(f =>
+      (eqDeletes.filter(_.seq > f.seq).map(_.path),
+        posAffected(fileName(f.path))))
+    groups.map { case ((eqs, posHit), fs) =>
+      var df = scan(fs)
+      if (posHit) {
+        val pd = spark.read
+          .parquet(posDeletes.map(d => table.resolve(d.path).toString): _*)
+          .select(col("file").as("__dfile"), col("pos").as("__dpos"))
+        df = df
+          .withColumn("__fn", col("_metadata.file_name"))
+          .withColumn("__ri", col("_metadata.row_index"))
+          .join(broadcast(pd),
+            col("__fn") === col("__dfile") && col("__ri") === col("__dpos"),
+            "left_anti")
+      }
+      if (eqs.nonEmpty) {
+        val kc = eqDeletes.head.keyCol
+        val dk = spark.read
+          .parquet(eqs.map(p => table.resolve(p).toString): _*)
+          .select(col(kc).as("__delk")).distinct()
+        df = df.join(broadcast(dk), df(kc) === col("__delk"), "left_anti")
+      }
+      df.select(m.schema.fieldNames.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  // ----------------------------------------------------------------
+  // Copy-on-write row-level operations.
+
+  /** One small aggregate over the change set: its distinct partition
+    * values (rendered) plus its key range — everything the driver
+    * needs to prune both the partition-bound rewrite set and the
+    * key-guard scan. The changed-partition set is small by
+    * definition (it is the write footprint).
+    */
+  private def changeStats(changes: DataFrame, partCol: String,
+      keyCol: String): (Set[String], Option[(String, String)]) = {
+    val r = changes.agg(collect_set(col(partCol)).as("ps"),
+      min(col(keyCol)).as("kmn"), max(col(keyCol)).as("kmx")).head()
+    val parts = r.getSeq[Any](0).map(render).toSet
+    val keyRange =
+      if (r.isNullAt(1) || r.isNullAt(2)) None
+      else Some((render(r.get(1)), render(r.get(2))))
+    (parts, keyRange)
   }
 
   /** Among `candidates` (files the partition-bound prune would carry
     * untouched), find those that actually HOLD one of the change
     * set's keys — the rows a partition-moving update leaves behind.
     * Pruning by the change rows' partition values is only sound when
-    * keys never change partition; this key-only, column-pruned scan
-    * (one small column of the unpruned files) restores row-level
+    * keys never change partition; this scan restores row-level
     * correctness for the general case, exactly like Iceberg's COW
     * MERGE joining the source onto the target to find its matches.
+    *
+    * The scan itself is pruned FIRST by per-file KEY bounds: a file
+    * whose `[keyMin, keyMax]` cannot contain any batch key provably
+    * holds no match and is never opened — a steady CDC trickle on a
+    * 100 TB table pays a key-column scan over only the files whose
+    * key range intersects the batch, not the whole table's key
+    * column (Iceberg's per-file column bounds in COW candidate
+    * selection). Files without bounds (undeclared key, or a key
+    * other than the table's) scan conservatively.
     */
   private def filesHoldingKeys(spark: SparkSession, table: Path,
-      schema: StructType, candidates: Seq[FileEntry], keys: DataFrame,
-      keyCol: String): Set[String] =
-    if (candidates.isEmpty) Set.empty
-    else spark.read.schema(schema)
-      .parquet(candidates.map(f => table.resolve(f.path).toString): _*)
+      cur: Manifest, candidates: Seq[FileEntry], keys: DataFrame,
+      keyCol: String, keyRange: Option[(String, String)]): Set[String] = {
+    val keyOrd =
+      if (cur.keyCol == keyCol) colType(cur.schema, keyCol).flatMap(boundOrd)
+      else None
+    val scanSet = (keyOrd, keyRange) match {
+      case (Some(o), Some((bMin, bMax))) => candidates.filter { f =>
+        f.keyMin.isEmpty || f.keyMax.isEmpty ||
+          !(o.lt(bMax, f.keyMin) || o.gt(bMin, f.keyMax))
+      }
+      case _ => candidates
+    }
+    if (scanSet.isEmpty) Set.empty
+    else spark.read.schema(cur.schema)
+      .parquet(scanSet.map(f => table.resolve(f.path).toString): _*)
       .select(col(keyCol), input_file_name().as("__f"))
       .join(keys.select(col(keyCol).as("__k")), col(keyCol) === col("__k"),
         "left_semi")
       .select(col("__f")).distinct()
       .collect().map(r => fileName(r.getString(0))).toSet
+  }
+
+  /** Partition the current files into (touched, untouched) for a
+    * change set: bound pruning under the current spec, then the
+    * key-bounds-pruned partition-moving guard.
+    */
+  private def pruneForChanges(spark: SparkSession, table: Path, cur: Manifest,
+      changes: DataFrame, keyCol: String,
+      partCol: String): (Seq[FileEntry], Seq[FileEntry]) = {
+    val (parts, keyRange) = changeStats(changes, partCol, keyCol)
+    val ord = colType(cur.schema, partCol).flatMap(boundOrd)
+    // A file's bounds are only trustworthy under the change set's
+    // spec: files written before a partition-spec evolution carry
+    // their OLD spec's bounds (specCol), so they are conservatively
+    // touched — the first post-evolution merge migrates them to the
+    // new spec, after which pruning bites again (Iceberg's per-file
+    // spec-id semantics, resolved by rewrite-on-touch).
+    val (touched0, untouched0) = cur.files.partition(f =>
+      (f.specCol.nonEmpty && f.specCol != partCol) ||
+        intersectsParts(ord, parts, f))
+    // Partition-moving updates: a matched row whose CURRENT partition
+    // differs from its change row's would otherwise survive in a
+    // carried file while the change inserts — a duplicate key. Find
+    // the bound-pruned files that hold matched keys and rewrite them
+    // too ([[filesHoldingKeys]]).
+    val holding = filesHoldingKeys(spark, table, cur, untouched0, changes,
+      keyCol, keyRange)
+    val (extraTouched, untouched) =
+      untouched0.partition(f => holding(fileName(f.path)))
+    (touched0 ++ extraTouched, untouched)
+  }
 
   /** Copy-on-write MERGE (matched → update, unmatched → insert): the
     * row-level-write face of the north star. File-level pruning from
@@ -373,34 +615,12 @@ object SnapStore {
       operation: String = "merge"): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
     require(cur.deleteFiles.isEmpty,
-      "pending equality deletes: run applyDeletes first")
+      "pending delete files: run applyDeletes first")
     require(cur.partCol.isEmpty || cur.partCol == partCol,
       s"table is partitioned by '${cur.partCol}', not '$partCol' — " +
         "evolve the spec first (evolveSpec)")
-    // The changed-partition set: small by definition (it is the
-    // merge's write footprint — a batch touching every partition is
-    // a full rewrite, not a merge).
-    val parts = changes.select(col(partCol)).distinct()
-      .collect().map(_.getLong(0)).toSet
-    // A file's bounds are only trustworthy under the change set's
-    // spec: files written before a partition-spec evolution carry
-    // their OLD spec's bounds (specCol), so they are conservatively
-    // touched — the first post-evolution merge migrates them to the
-    // new spec, after which pruning bites again (Iceberg's per-file
-    // spec-id semantics, resolved by rewrite-on-touch).
-    val (touched0, untouched0) = cur.files.partition(f =>
-      (f.specCol.nonEmpty && f.specCol != partCol) ||
-        parts.exists(p => p >= f.partMin && p <= f.partMax))
-    // Partition-moving updates: a matched row whose CURRENT partition
-    // differs from its change row's would otherwise survive in a
-    // carried file while the change inserts — a duplicate key. Find
-    // the bound-pruned files that hold matched keys and rewrite them
-    // too ([[filesHoldingKeys]]).
-    val holding = filesHoldingKeys(spark, table, cur.schema, untouched0,
-      changes, keyCol)
-    val (extraTouched, untouched) =
-      untouched0.partition(f => holding(fileName(f.path)))
-    val touched = touched0 ++ extraTouched
+    val (touched, untouched) =
+      pruneForChanges(spark, table, cur, changes, keyCol, partCol)
     val touchedDf =
       if (touched.isEmpty)
         spark.createDataFrame(
@@ -416,9 +636,10 @@ object SnapStore {
       .unionByName(changes.select(cur.schema.fieldNames.map(col): _*))
     val v = cur.version + 1
     val newFiles = writeDataFiles(spark, table, merged, partCol, s"merge-v$v",
-      numFiles)
+      numFiles, keyCol = cur.keyCol)
     val m = Manifest(v, cur.version, operation, cur.schema,
-      untouched ++ newFiles, partCol)
+      untouched ++ newFiles.map(_.copy(seq = v)), partCol, Seq.empty,
+      cur.keyCol)
     (m, newFiles, tryCommitManifest(table, m))
   }
 
@@ -434,108 +655,188 @@ object SnapStore {
       keyCol: String, partCol: String, numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
     require(cur.deleteFiles.isEmpty,
-      "pending equality deletes: run applyDeletes first")
+      "pending delete files: run applyDeletes first")
     require(cur.partCol.isEmpty || cur.partCol == partCol,
       s"table is partitioned by '${cur.partCol}', not '$partCol' — " +
         "evolve the spec first (evolveSpec)")
-    val parts = deleteKeys.select(col(partCol)).distinct()
-      .collect().map(_.getLong(0)).toSet
-    val (touched0, untouched0) = cur.files.partition(f =>
-      (f.specCol.nonEmpty && f.specCol != partCol) ||
-        parts.exists(p => p >= f.partMin && p <= f.partMax))
-    // Same partition-moving guard as [[merge]]: a delete key whose
-    // row sits outside the stated partitions must still rewrite the
-    // file holding it.
-    val holding = filesHoldingKeys(spark, table, cur.schema, untouched0,
-      deleteKeys, keyCol)
-    val (extraTouched, untouched) =
-      untouched0.partition(f => holding(fileName(f.path)))
-    val touched = touched0 ++ extraTouched
+    val (touched, untouched) =
+      pruneForChanges(spark, table, cur, deleteKeys, keyCol, partCol)
     val v = cur.version + 1
     val newFiles =
-      if (touched.isEmpty) Seq.empty
+      if (touched.isEmpty) Seq.empty[FileEntry]
       else {
         val touchedDf = spark.read.schema(cur.schema)
           .parquet(touched.map(f => table.resolve(f.path).toString): _*)
         val kept = touchedDf.join(
           deleteKeys.select(col(keyCol).as("__k")),
           col(keyCol) === col("__k"), "left_anti")
-        writeDataFiles(spark, table, kept, partCol, s"delete-v$v", numFiles)
+        writeDataFiles(spark, table, kept, partCol, s"delete-v$v", numFiles,
+          keyCol = cur.keyCol)
       }
     val m = Manifest(v, cur.version, "delete", cur.schema,
-      untouched ++ newFiles, partCol)
+      untouched ++ newFiles.map(_.copy(seq = v)), partCol, Seq.empty,
+      cur.keyCol)
     (m, newFiles, tryCommitManifest(table, m))
   }
 
-  /** Merge-on-read equality DELETE — Iceberg v2's delete files: the
-    * delete commits as one TINY parquet of deleted key values beside
-    * the untouched data files (zero data rewritten — contrast with
-    * the copy-on-write [[delete]]), and every read of the snapshot
-    * anti-joins the pending delete keys. The trade every MOR table
-    * makes: O(batch) write cost now, a broadcast anti-join on each
-    * read until [[applyDeletes]] folds the deletes into the data.
+  // ----------------------------------------------------------------
+  // Merge-on-read delete files (Iceberg v2).
+
+  /** Write a small single-file parquet of `df` under `data/` (the
+    * physical body of a delete file) and return (name, rows, bytes).
     */
-  def deleteEquality(spark: SparkSession, table: Path, keys: DataFrame,
-      keyCol: String): Manifest = {
-    val cur0 = currentManifest(table)
-    require(cur0.schema.fieldNames.contains(keyCol),
-      s"delete key column '$keyCol' is not in the table schema")
-    require(cur0.deleteFiles.forall(_.keyCol == keyCol),
-      "all pending delete files must share one key column")
-    // The delete file is written ONCE outside the commit retry, like
-    // an append's data files — it doesn't depend on the snapshot the
-    // commit lands on.
+  private def writeSmallFile(spark: SparkSession, table: Path, df: DataFrame,
+      prefix: String): (String, Long, Long) = {
     val dataDir = table.resolve("data")
     Files.createDirectories(dataDir)
-    val tmp = table.resolve(s".edel-tmp-${ProcessHandle.current().pid()}" +
+    val tmp = table.resolve(s".$prefix-tmp-${ProcessHandle.current().pid()}" +
       s"-${UUID.randomUUID().toString.take(8)}")
-    keys.select(col(keyCol)).distinct().coalesce(1)
-      .write.mode("overwrite").parquet(tmp.toString)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = {
       val stream = Files.list(tmp)
       try stream.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet")).next()
       finally stream.close()
     }
-    val name = s"edelete-${UUID.randomUUID().toString.take(8)}.parquet"
+    val name = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
     Files.move(part, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
     deleteTree(tmp)
     val rows = spark.read.parquet(dataDir.resolve(name).toString).count()
-    val d = DeleteFile(s"data/$name", keyCol, rows,
-      Files.size(dataDir.resolve(name)))
+    (name, rows, Files.size(dataDir.resolve(name)))
+  }
+
+  /** Merge-on-read equality DELETE — Iceberg v2's delete files: the
+    * delete commits as one TINY parquet of deleted key values beside
+    * the untouched data files (zero data rewritten — contrast with
+    * the copy-on-write [[delete]]), and every read of the snapshot
+    * anti-joins the pending delete keys against data files with a
+    * LOWER sequence. The trade every MOR table makes: O(batch) write
+    * cost now, a broadcast anti-join on each read until
+    * [[applyDeletes]] folds the deletes into the data.
+    */
+  def deleteEquality(spark: SparkSession, table: Path, keys: DataFrame,
+      keyCol: String): Manifest = {
+    val cur0 = currentManifest(table)
+    require(cur0.schema.fieldNames.contains(keyCol),
+      s"delete key column '$keyCol' is not in the table schema")
+    require(cur0.deleteFiles.filter(_.kind == "eq").forall(_.keyCol == keyCol),
+      "all pending equality-delete files must share one key column")
+    // The delete file is written ONCE outside the commit retry, like
+    // an append's data files — it doesn't depend on the snapshot the
+    // commit lands on.
+    val (name, rows, bytes) = writeSmallFile(spark, table,
+      keys.select(col(keyCol)).distinct(), "edelete")
     try withCommitRetry(table) { () =>
       val cur = currentManifest(table)
-      require(cur.deleteFiles.forall(_.keyCol == keyCol),
-        "all pending delete files must share one key column")
-      val m = Manifest(cur.version + 1, cur.version, "delete-mor",
-        cur.schema, cur.files, cur.partCol, cur.deleteFiles :+ d)
+      require(cur.deleteFiles.filter(_.kind == "eq").forall(_.keyCol == keyCol),
+        "all pending equality-delete files must share one key column")
+      val v = cur.version + 1
+      val d = DeleteFile(s"data/$name", keyCol, rows, bytes, "eq", v)
+      val m = Manifest(v, cur.version, "delete-mor",
+        cur.schema, cur.files, cur.partCol, cur.deleteFiles :+ d, cur.keyCol)
       (m, Seq.empty, tryCommitManifest(table, m))
-    } catch { case e: java.util.ConcurrentModificationException =>
-      Files.deleteIfExists(dataDir.resolve(name))
+    } catch { case NonFatal(e) =>
+      // ANY abort after the delete file was written (exhausted commit
+      // retries, a failed in-loop require, …) must not leak it as an
+      // unreferenced orphan under data/.
+      Files.deleteIfExists(table.resolve("data").resolve(name))
       throw e
     }
   }
 
-  /** Fold pending equality deletes into the data — Iceberg's
-    * `rewrite_position_delete_files` / compaction-with-deletes: every
-    * data file is read through the delete anti-join and rewritten;
-    * the new snapshot carries no delete files, restoring plain-scan
-    * reads (and re-enabling the COW ops, which refuse to run over
-    * pending deletes). The displaced data and delete files expire
-    * with their snapshots.
+  /** Merge-on-read MERGE (Iceberg v2 `write.merge.mode =
+    * merge-on-read`): one commit carrying BOTH an equality-delete
+    * file for the change keys AND new data files for the change
+    * rows — zero base data rewritten at commit time. Reads resolve
+    * it by sequence: the delete (seq = v) suppresses matched rows in
+    * older files, while the new files (also seq = v) serve the
+    * upserts untouched. A steady CDC epoch costs O(batch) IO instead
+    * of O(touched files); [[applyDeletes]] folds the debt later.
+    */
+  def mergeEquality(spark: SparkSession, table: Path, changes: DataFrame,
+      keyCol: String, numFiles: Int = 2): Manifest = {
+    val cur0 = currentManifest(table)
+    require(cur0.schema.fieldNames.contains(keyCol),
+      s"merge key column '$keyCol' is not in the table schema")
+    require(cur0.deleteFiles.filter(_.kind == "eq").forall(_.keyCol == keyCol),
+      "all pending equality-delete files must share one key column")
+    val partCol = if (cur0.partCol.nonEmpty) cur0.partCol else keyCol
+    // Both halves are written ONCE outside the retry: neither depends
+    // on the snapshot the commit lands on.
+    val newFiles = writeDataFiles(spark, table,
+      changes.select(cur0.schema.fieldNames.map(col): _*), partCol,
+      s"mor-merge-${UUID.randomUUID().toString.take(8)}", numFiles,
+      keyCol = cur0.keyCol)
+    val (name, rows, bytes) = writeSmallFile(spark, table,
+      changes.select(col(keyCol)).distinct(), "edelete")
+    try withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      require(cur.deleteFiles.filter(_.kind == "eq").forall(_.keyCol == keyCol),
+        "all pending equality-delete files must share one key column")
+      val v = cur.version + 1
+      val d = DeleteFile(s"data/$name", keyCol, rows, bytes, "eq", v)
+      val m = Manifest(v, cur.version, "merge-mor", cur.schema,
+        cur.files ++ newFiles.map(_.copy(seq = v)), cur.partCol,
+        cur.deleteFiles :+ d, cur.keyCol)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    } catch { case NonFatal(e) =>
+      newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
+      Files.deleteIfExists(table.resolve("data").resolve(name))
+      throw e
+    }
+  }
+
+  /** Position DELETE (Iceberg v2's second delete flavor): rows
+    * matching `cond` are suppressed by `(file, ordinal)` — one tiny
+    * parquet naming exact row positions, zero data rewritten. Reads
+    * pay the ordinal anti-join ONLY on the files the delete names;
+    * every other file stays on the plain scan path. The positions
+    * are computed inside the commit retry (they are snapshot-
+    * dependent, unlike equality keys).
+    */
+  def deletePositions(spark: SparkSession, table: Path,
+      cond: Column): Manifest = withCommitRetry(table) { () =>
+    val cur = currentManifest(table)
+    val v = cur.version + 1
+    val hits = spark.read.schema(cur.schema)
+      .parquet(cur.files.map(f => table.resolve(f.path).toString): _*)
+      .filter(cond)
+      .select(col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("pos"))
+    val (name, rows, bytes) = writeSmallFile(spark, table, hits, "pdelete")
+    val d = DeleteFile(s"data/$name", "", rows, bytes, "pos", v)
+    val m = Manifest(v, cur.version, "delete-pos", cur.schema, cur.files,
+      cur.partCol, cur.deleteFiles :+ d, cur.keyCol)
+    // The delete file rides the retry's cleanup list (only `path` is
+    // used) so a lost race never leaks it.
+    (m, Seq(FileEntry(d.path, "", "", 0, 0)), tryCommitManifest(table, m))
+  }
+
+  /** Fold pending delete files (equality AND position) into the data
+    * — Iceberg's rewrite-with-deletes compaction: every data file is
+    * read through the delete-aware path and rewritten; the new
+    * snapshot carries no delete files, restoring plain-scan reads
+    * (and re-enabling the COW ops, which refuse to run over pending
+    * deletes). The displaced data and delete files expire with their
+    * snapshots.
     */
   def applyDeletes(spark: SparkSession, table: Path, partCol: String,
       numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
-    require(cur.deleteFiles.nonEmpty, "no pending equality deletes")
-    val df = read(spark, table) // data minus pending delete keys
+    require(cur.deleteFiles.nonEmpty, "no pending delete files")
+    val df = read(spark, table) // data minus pending deletes
     val v = cur.version + 1
     val newFiles = writeDataFiles(spark, table, df, partCol,
-      s"applydel-v$v", numFiles)
-    val m = Manifest(v, cur.version, "apply-deletes", cur.schema, newFiles,
-      if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty)
+      s"applydel-v$v", numFiles, keyCol = cur.keyCol)
+    val m = Manifest(v, cur.version, "apply-deletes", cur.schema,
+      newFiles.map(_.copy(seq = v)),
+      if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
+      cur.keyCol)
     (m, newFiles, tryCommitManifest(table, m))
   }
+
+  // ----------------------------------------------------------------
+  // Incremental reads + history.
 
   /** Incremental (changelog) read: the rows ADDED between two
     * snapshots, served by scanning exactly the data files present in
@@ -583,7 +884,10 @@ object SnapStore {
 
   /** Append-only commit: new files for `df`, everything live carried
     * over. The schema used is the CURRENT manifest's (an appended
-    * batch after `addColumn` carries the new column).
+    * batch after `addColumn` carries the new column). Safe under
+    * pending delete files: the new files' sequence exceeds every
+    * pending delete's, so re-inserted keys are NOT suppressed
+    * (Iceberg's sequence-number contract).
     */
   def append(spark: SparkSession, table: Path, df: DataFrame,
       partCol: String, numFiles: Int = 8): Manifest = {
@@ -595,24 +899,22 @@ object SnapStore {
     // racing appenders — the invariant the streaming read
     // ([[graft.streaming.SnapshotStream]]) relies on (a deleted
     // attempt file would already sit in the stream's file log).
-    val entrySchema = currentManifest(table).schema
+    val cur0 = currentManifest(table)
     val newFiles = writeDataFiles(spark, table,
-      df.select(entrySchema.fieldNames.map(col): _*), partCol,
-      s"append-${UUID.randomUUID().toString.take(8)}", numFiles)
+      df.select(cur0.schema.fieldNames.map(col): _*), partCol,
+      s"append-${UUID.randomUUID().toString.take(8)}", numFiles,
+      keyCol = cur0.keyCol)
     try withCommitRetry(table) { () =>
       val cur = currentManifest(table)
-      // Delete keys apply to EVERY data file of their snapshot in
-      // this model (no per-file sequence numbers), so appending under
-      // pending deletes would wrongly suppress re-inserted keys.
-      require(cur.deleteFiles.isEmpty,
-        "pending equality deletes: run applyDeletes first")
-      val m = Manifest(cur.version + 1, cur.version, "append", cur.schema,
-        cur.files ++ newFiles,
-        if (cur.partCol.nonEmpty) cur.partCol else partCol)
+      val v = cur.version + 1
+      val m = Manifest(v, cur.version, "append", cur.schema,
+        cur.files ++ newFiles.map(_.copy(seq = v)),
+        if (cur.partCol.nonEmpty) cur.partCol else partCol,
+        cur.deleteFiles, cur.keyCol)
       (m, Seq.empty, tryCommitManifest(table, m))
-    } catch { case e: java.util.ConcurrentModificationException =>
-      // Retry budget exhausted: the never-published files must not
-      // linger as orphans.
+    } catch { case NonFatal(e) =>
+      // ANY abort after the data files were written (exhausted retry
+      // budget, a failed require, …) must not leak them as orphans.
       newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
       throw e
     }
@@ -620,17 +922,28 @@ object SnapStore {
 
   /** Bin-pack small-file compaction — the core Iceberg maintenance
     * action (`rewrite_data_files`). Files are walked in partition
-    * order and packed into bins of ≈`targetBytes`; every bin holding
-    * more than one file is read once and rewritten as one file,
-    * single-file bins carry over with zero IO. Contents are
-    * byte-for-byte the same rows; only the layout changes.
+    * order and packed into bins of ≈`targetBytes`; single-file bins
+    * carry over with zero IO, and ALL multi-file bins are rewritten
+    * by ONE Spark job: a single scan routes each row to its bin
+    * (file→bin broadcast map), one shuffle clusters each bin into
+    * one task, and a partitioned write emits exactly one file per
+    * bin. Job count is O(1) in the bin count — at 100 TB with a
+    * 512 MB target that is the difference between one job and ~200k
+    * serial driver round-trips (Iceberg runs rewrite file groups
+    * concurrently; this folds them into one stage entirely).
+    * Contents are byte-for-byte the same rows; only layout changes.
     */
   def compact(spark: SparkSession, table: Path, partCol: String,
       targetBytes: Long): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
     require(cur.deleteFiles.isEmpty,
-      "pending equality deletes: run applyDeletes first")
-    val sorted = cur.files.sortBy(f => (f.partMin, f.path))
+      "pending delete files: run applyDeletes first")
+    val ord = colType(cur.schema, partCol).flatMap(boundOrd)
+    val sorted = ord match {
+      case Some(o) =>
+        cur.files.sortBy(f => (f.partMin, f.path))(Ordering.Tuple2(o, Ordering.String))
+      case None => cur.files.sortBy(_.path)
+    }
     val bins = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[FileEntry])
     sorted.foreach { f =>
@@ -639,21 +952,54 @@ object SnapStore {
       bins.last += f
     }
     val v = cur.version + 1
-    val newFiles = bins.filter(_.nonEmpty).zipWithIndex.flatMap {
-      case (bin, _) if bin.size == 1 => bin // already compact: zero IO
-      case (bin, i) =>
-        val df = spark.read.schema(cur.schema)
-          .parquet(bin.map(f => table.resolve(f.path).toString).toSeq: _*)
-        // One output file per bin — that is the bin's definition.
-        writeDataFiles(spark, table, df, partCol, s"compact-v$v-b$i",
-          numFiles = 1)
-    }.toSeq
-    val m = Manifest(v, cur.version, "compact", cur.schema, newFiles,
-      if (cur.partCol.nonEmpty) cur.partCol else partCol)
-    // Carried single-file bins are NOT attempt-written files — only
-    // the bins this attempt rewrote may be deleted on a lost race.
-    val attemptWritten = newFiles.filterNot(cur.files.contains)
-    (m, attemptWritten, tryCommitManifest(table, m))
+    val carried = bins.filter(_.size == 1).flatten.toSeq
+    val multis = bins.filter(_.size > 1).map(_.toSeq).toSeq
+    val rewritten: Seq[FileEntry] =
+      if (multis.isEmpty) Seq.empty
+      else {
+        import spark.implicits._
+        val binMap = multis.zipWithIndex
+          .flatMap { case (bin, i) => bin.map(f => (fileName(f.path), i)) }
+          .toDF("__fname", "__bin")
+        val tmp = table.resolve(
+          s".compact-tmp-${ProcessHandle.current().pid()}" +
+            s"-${UUID.randomUUID().toString.take(8)}")
+        deleteTree(tmp)
+        // One scan over every multi-file bin; the broadcast file→bin
+        // map routes rows, the repartition lands each bin wholly in
+        // one task, and partitionBy splits any hash-collided bins
+        // into separate per-bin files — one output file per bin,
+        // rows sorted by the partition column inside it.
+        spark.read.schema(cur.schema)
+          .parquet(multis.flatten.map(f => table.resolve(f.path).toString): _*)
+          .withColumn("__fname", col("_metadata.file_name"))
+          .join(broadcast(binMap), Seq("__fname"))
+          .drop("__fname")
+          .repartition(multis.size, col("__bin"))
+          .sortWithinPartitions(col("__bin"), col(partCol))
+          .write.partitionBy("__bin").mode("overwrite").parquet(tmp.toString)
+        val dataDir = table.resolve("data")
+        val moved = multis.indices.flatMap { i =>
+          val binDir = tmp.resolve(s"__bin=$i")
+          val stream = Files.list(binDir)
+          val parts =
+            try stream.iterator().asScala
+              .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+            finally stream.close()
+          parts.zipWithIndex.map { case (src, j) =>
+            val name = s"compact-v$v-b$i-$j-${UUID.randomUUID().toString.take(8)}.parquet"
+            Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+            name
+          }
+        }
+        deleteTree(tmp)
+        statsEntries(spark, dataDir, moved, partCol, cur.keyCol)
+      }
+    val m = Manifest(v, cur.version, "compact", cur.schema,
+      carried ++ rewritten.map(_.copy(seq = v)),
+      if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
+      cur.keyCol)
+    (m, rewritten, tryCommitManifest(table, m))
   }
 
   /** Partition-spec evolution — Iceberg's headline storage feature:
@@ -673,7 +1019,7 @@ object SnapStore {
         s"partition column '$newPartCol' is not in the table schema")
       require(cur.partCol != newPartCol, s"spec is already '$newPartCol'")
       val m = Manifest(cur.version + 1, cur.version, "evolve-spec",
-        cur.schema, cur.files, newPartCol)
+        cur.schema, cur.files, newPartCol, cur.deleteFiles, cur.keyCol)
       (m, Seq.empty, tryCommitManifest(table, m))
     }
 
@@ -688,11 +1034,11 @@ object SnapStore {
     * traded for every subsequent scan's pruning win.
     */
   def rewriteClustered(spark: SparkSession, table: Path,
-      partCol: String, clusterExprs: Seq[org.apache.spark.sql.Column],
+      partCol: String, clusterExprs: Seq[Column],
       numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
     require(cur.deleteFiles.isEmpty,
-      "pending equality deletes: run applyDeletes first")
+      "pending delete files: run applyDeletes first")
     val df = spark.read.schema(cur.schema)
       .parquet(cur.files.map(f => table.resolve(f.path).toString): _*)
     val v = cur.version + 1
@@ -701,19 +1047,21 @@ object SnapStore {
     // clustering so per-file partition bounds stay tight for manifest
     // pruning, and the sort columns cluster inside it.
     val newFiles = writeDataFiles(spark, table, df, partCol,
-      s"cluster-v$v", numFiles, col(partCol) +: clusterExprs)
-    val m = Manifest(v, cur.version, "rewrite-sorted", cur.schema, newFiles,
-      if (cur.partCol.nonEmpty) cur.partCol else partCol)
+      s"cluster-v$v", numFiles, col(partCol) +: clusterExprs, cur.keyCol)
+    val m = Manifest(v, cur.version, "rewrite-sorted", cur.schema,
+      newFiles.map(_.copy(seq = v)),
+      if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
+      cur.keyCol)
     (m, newFiles, tryCommitManifest(table, m))
   }
 
   /** Snapshot expiry: keep the newest `keepLast` snapshots, delete
     * older manifests, then delete any data file referenced ONLY by
-    * the expired snapshots (orphan cleanup). Live reads are
-    * untouched — their files were carried forward by the commits
-    * that superseded the expired ones. Expired `VERSION AS OF` reads
-    * fail with the missing-snapshot error from [[manifest]].
-    * Returns (expired versions, deleted data files).
+    * the expired snapshots (orphan cleanup). Live reads — including
+    * every BRANCH head and tagged snapshot — are untouched: their
+    * files stay in the keep set. Expired `VERSION AS OF` reads fail
+    * with the missing-snapshot error from [[manifest]]. Returns
+    * (expired versions, deleted data files).
     */
   def expire(table: Path, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
@@ -726,8 +1074,10 @@ object SnapStore {
       val (protected_, reallyDead) = d.partition(protect)
       (reallyDead, protected_ ++ l)
     }
-    val keepFiles = live.flatMap { v =>
-      val m = manifest(table, v)
+    val branchKeep = listBranches(table).flatMap { b =>
+      branchVersions(table, b).map(branchManifest(table, b, _))
+    }
+    val keepFiles = (live.map(manifest(table, _)) ++ branchKeep).flatMap { m =>
       m.files.map(_.path) ++ m.deleteFiles.map(_.path)
     }.toSet
     val deadFiles = dead.flatMap { v =>
@@ -739,37 +1089,120 @@ object SnapStore {
     (dead, deadFiles)
   }
 
-  // ----------------------------------------------------------------
-  // Tagged references + rollback — the snapshot-lifecycle faces
-  // Iceberg exposes as `CREATE TAG` / `VERSION AS OF 'tag'` /
-  // `rollback_to_snapshot`.
-
-  private def refsPath(table: Path): Path = snapDir(table).resolve("refs")
-
-  /** Named snapshot tags: `name=version` lines under
-    * `_snapshots/refs`. Tags pin a version for readers (audit sets,
-    * eval checkpoints) and protect it from [[expire]].
+  /** Orphan-file cleanup — Iceberg's `remove_orphan_files`, the
+    * complement of [[expire]]: walk `data/` and delete every file no
+    * LIVE manifest (main or branch) references — crashed writers'
+    * staged files, dropped branches' exclusive files. `minAgeMs`
+    * guards in-flight writers the way Iceberg's `older_than` does:
+    * a file younger than it is presumed mid-commit and kept.
     */
-  def tags(table: Path): Map[String, Int] = {
-    val p = refsPath(table)
-    if (!Files.exists(p)) Map.empty
-    else Files.readAllLines(p).asScala.filter(_.contains("="))
-      .map { l => val Array(n, v) = l.split("=", 2); n -> v.toInt }
-      .toMap
+  def removeOrphans(table: Path, minAgeMs: Long = 0L): Seq[String] = {
+    val dataDir = table.resolve("data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val referenced = (liveVersions(table).map(manifest(table, _)) ++
+      listBranches(table).flatMap(b =>
+        branchVersions(table, b).map(branchManifest(table, b, _))))
+      .flatMap(m => m.files.map(_.path) ++ m.deleteFiles.map(_.path))
+      .toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    val stream = Files.list(dataDir)
+    val orphans =
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          !referenced(s"data/${p.getFileName}") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff)
+        .map(p => s"data/${p.getFileName}").toSeq
+      finally stream.close()
+    orphans.foreach(p => Files.deleteIfExists(table.resolve(p)))
+    orphans
   }
 
-  /** Create (or move) a tag pointing at `version`. */
-  def tag(table: Path, name: String, version: Int): Unit = synchronized {
+  // ----------------------------------------------------------------
+  // Named references: tags (read-only pins) on a CAS'd refs log.
+
+  /** The refs log: full `name=version` snapshots under
+    * `_snapshots/refs.v%05d`, highest sequence wins. Updates install
+    * the next sequence EXCLUSIVELY (same hard-link protocol as
+    * manifest commits), so two writers — threads OR processes —
+    * racing a tag move can never silently drop each other's update
+    * (a rename-replace of one shared file could). A legacy
+    * single-file `refs` reads as sequence 0.
+    */
+  private def refsSeq(table: Path): Seq[(Int, Path)] = {
+    if (!Files.isDirectory(snapDir(table))) return Seq.empty
+    val stream = Files.list(snapDir(table))
+    try stream.iterator().asScala
+      .filter(_.getFileName.toString.matches("refs\\.v\\d{5,}"))
+      .map(p => p.getFileName.toString.stripPrefix("refs.v").toInt -> p)
+      .toSeq.sortBy(_._1)
+    finally stream.close()
+  }
+
+  private def readRefs(table: Path): (Int, Map[String, Int]) = {
+    var attempts = 0
+    while (true) {
+      val candidates = refsSeq(table)
+      val target = candidates.lastOption
+        .orElse {
+          val legacy = snapDir(table).resolve("refs")
+          if (Files.exists(legacy)) Some(0 -> legacy) else None
+        }
+      target match {
+        case None => return (0, Map.empty)
+        case Some((seq, p)) =>
+          try {
+            val m = Files.readAllLines(p).asScala.filter(_.contains("="))
+              .map { l => val Array(n, v) = l.split("=", 2); n -> v.toInt }
+              .toMap
+            return (seq, m)
+          } catch { case _: java.nio.file.NoSuchFileException =>
+            // A concurrent prune removed the file between listing and
+            // read; re-list (bounded — pruning keeps the newest).
+            attempts += 1
+            if (attempts > 50) throw new IllegalStateException(
+              s"refs log unreadable under concurrent pruning: $p")
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def casRefs(table: Path)(f: Map[String, Int] => Map[String, Int]): Unit = {
+    Files.createDirectories(snapDir(table))
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val (seq, cur) = readRefs(table)
+      val next = f(cur)
+      val body = next.toSeq.sortBy(_._1)
+        .map { case (n, v) => s"$n=$v" }.mkString("", "\n", "\n")
+      if (installExclusive(snapDir(table).resolve(f"refs.v${seq + 1}%05d"), body)) {
+        // Opportunistic prune: keep a few trailing sequences so a
+        // racing reader's just-listed file survives its read.
+        refsSeq(table).dropRight(5)
+          .foreach { case (_, p) =>
+            try Files.deleteIfExists(p) catch { case NonFatal(_) => () }
+          }
+        return
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"gave up moving refs after $attempts attempts on $table")
+  }
+
+  /** Named snapshot tags. Tags pin a MAIN version for readers (audit
+    * sets, eval checkpoints) and protect it from [[expire]].
+    */
+  def tags(table: Path): Map[String, Int] = readRefs(table)._2
+
+  /** Create (or move) a tag pointing at `version` — lost-update-safe
+    * across processes via the refs-log CAS.
+    */
+  def tag(table: Path, name: String, version: Int): Unit = {
     require(name.nonEmpty && !name.forall(_.isDigit),
       s"tag name '$name' must be non-numeric (numeric = version id)")
     manifest(table, version) // raises if missing/expired
-    val all = tags(table) + (name -> version)
-    val tmp = refsPath(table).resolveSibling(
-      s".refs.tmp-${ProcessHandle.current().pid()}")
-    Files.writeString(tmp,
-      all.toSeq.sortBy(_._1).map { case (n, v) => s"$n=$v" }.mkString("", "\n", "\n"))
-    Files.move(tmp, refsPath(table),
-      StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    casRefs(table)(_ + (name -> version))
   }
 
   /** Resolve a version string as a tag name or numeric version. */
@@ -777,6 +1210,17 @@ object SnapStore {
     if (ref.forall(_.isDigit)) ref.toInt
     else tags(table).getOrElse(ref,
       throw new IllegalArgumentException(
+        s"Cannot find snapshot reference '$ref' for table $table"))
+
+  /** Resolve any reference — numeric id, tag, or BRANCH name — to
+    * the manifest it denotes (a branch resolves to its head). The
+    * catalog's `VERSION AS OF` surface.
+    */
+  def resolveManifest(table: Path, ref: String): Manifest =
+    if (ref.forall(_.isDigit)) manifest(table, ref.toInt)
+    else tags(table).get(ref).map(manifest(table, _))
+      .orElse(branchHead(table, ref).map(branchManifest(table, ref, _)))
+      .getOrElse(throw new IllegalArgumentException(
         s"Cannot find snapshot reference '$ref' for table $table"))
 
   /** Rollback — Iceberg's `rollback_to_snapshot`: make the table's
@@ -792,9 +1236,149 @@ object SnapStore {
       require(toVersion < cur.version,
         s"rollback target $toVersion must precede current ${cur.version}")
       val m = Manifest(cur.version + 1, cur.version, "rollback",
-        target.schema, target.files, target.partCol, target.deleteFiles)
+        target.schema, target.files, target.partCol, target.deleteFiles,
+        target.keyCol)
       (m, Seq.empty, tryCommitManifest(table, m))
     }
+
+  // ----------------------------------------------------------------
+  // Branches — writable named commit lines (Iceberg branch refs).
+  // A branch is its own manifest chain under
+  // `_snapshots/branch-<name>-v%05d.manifest`, invisible to the main
+  // version log; its v1 is a metadata copy of the fork-point
+  // manifest (parent = that main version), and every branch commit
+  // uses the same exclusive-install protocol within the branch's
+  // namespace. Data files are SHARED with main (same `data/` dir,
+  // same relative paths); [[expire]] keeps every branch-referenced
+  // file live.
+
+  private val BranchName = "[A-Za-z0-9_]+"
+
+  private def branchManifestPath(table: Path, name: String, v: Int): Path =
+    snapDir(table).resolve(f"branch-$name-v$v%05d.manifest")
+
+  /** Live versions of one branch's chain, ascending. */
+  def branchVersions(table: Path, name: String): Seq[Int] = {
+    if (!Files.isDirectory(snapDir(table))) return Seq.empty
+    val re = s"branch-$name-v(\\d{5,})\\.manifest".r
+    val stream = Files.list(snapDir(table))
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case re(v) => v.toInt }
+      .toSeq.sorted
+    finally stream.close()
+  }
+
+  def branchHead(table: Path, name: String): Option[Int] =
+    branchVersions(table, name).lastOption
+
+  def listBranches(table: Path): Seq[String] = {
+    if (!Files.isDirectory(snapDir(table))) return Seq.empty
+    val re = "branch-([A-Za-z0-9_]+)-v\\d{5,}\\.manifest".r
+    val stream = Files.list(snapDir(table))
+    try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case re(n) => n }
+      .toSeq.distinct.sorted
+    finally stream.close()
+  }
+
+  def branchManifest(table: Path, name: String, v: Int): Manifest = {
+    val p = branchManifestPath(table, name, v)
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(
+        s"Cannot find snapshot $v on branch '$name' for table $table")
+    parseManifest(p)
+  }
+
+  /** Fork a branch from the current MAIN snapshot: a pure metadata
+    * commit — branch v1 lists the fork point's files and records it
+    * as parent. Exactly one creator wins a given name (exclusive
+    * install of v1).
+    */
+  def createBranch(table: Path, name: String): Manifest = {
+    require(name.matches(BranchName), s"branch name '$name' must match $BranchName")
+    require(branchHead(table, name).isEmpty, s"branch '$name' already exists")
+    val cur = currentManifest(table)
+    val m = Manifest(1, cur.version, "branch-create", cur.schema, cur.files,
+      cur.partCol, cur.deleteFiles, cur.keyCol)
+    if (!installExclusive(branchManifestPath(table, name, 1), manifestBody(m)))
+      throw new java.util.ConcurrentModificationException(
+        s"branch '$name' was created concurrently for $table")
+    m
+  }
+
+  /** Append to a BRANCH head — main's history is untouched; the new
+    * files land in the shared `data/` dir under a branch-scoped
+    * label (so main's streaming append feed never serves them).
+    */
+  def appendToBranch(spark: SparkSession, table: Path, name: String,
+      df: DataFrame, partCol: String, numFiles: Int = 8): Manifest = {
+    val head = branchHead(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' under $table"))
+    val cur0 = branchManifest(table, name, head)
+    val newFiles = writeDataFiles(spark, table,
+      df.select(cur0.schema.fieldNames.map(col): _*), partCol,
+      s"brappend-$name-${UUID.randomUUID().toString.take(8)}", numFiles,
+      keyCol = cur0.keyCol)
+    try {
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val h = branchHead(table, name).get
+        val cur = branchManifest(table, name, h)
+        val v = h + 1
+        val m = Manifest(v, h, "append", cur.schema,
+          cur.files ++ newFiles.map(_.copy(seq = v)),
+          if (cur.partCol.nonEmpty) cur.partCol else partCol,
+          cur.deleteFiles, cur.keyCol)
+        if (installExclusive(branchManifestPath(table, name, v), manifestBody(m)))
+          return m
+        if (attempt >= 50)
+          throw new java.util.ConcurrentModificationException(
+            s"gave up after $attempt conflicting commits on branch '$name'")
+        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+          .nextLong(5L * attempt, 25L * attempt))
+      }
+      throw new IllegalStateException("unreachable")
+    } catch { case NonFatal(e) =>
+      newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
+      throw e
+    }
+  }
+
+  /** Read a branch head. */
+  def readBranch(spark: SparkSession, table: Path, name: String): DataFrame = {
+    val head = branchHead(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' under $table"))
+    readManifest(spark, table, branchManifest(table, name, head))
+  }
+
+  /** Fast-forward MAIN to a branch head — Iceberg's
+    * `fast_forward(table, 'main', branch)`: allowed only when main
+    * still sits at the branch's fork point (the branch is strictly
+    * ahead), and then a pure metadata commit listing the branch
+    * head's files. The branch stays; drop it separately.
+    */
+  def fastForward(table: Path, name: String): Manifest =
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      val fork = branchManifest(table, name, 1)
+      require(fork.parent == cur.version,
+        s"main is at ${cur.version} but branch '$name' forked from " +
+          s"${fork.parent} — not fast-forwardable (rebase the branch)")
+      val head = branchManifest(table, name, branchHead(table, name).get)
+      val m = Manifest(cur.version + 1, cur.version, s"fast-forward-$name",
+        head.schema, head.files, head.partCol, head.deleteFiles, head.keyCol)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    }
+
+  /** Drop a branch: delete its manifest chain. Files only it
+    * referenced become orphans the next [[expire]] collects.
+    */
+  def dropBranch(table: Path, name: String): Unit =
+    branchVersions(table, name).foreach(v =>
+      Files.deleteIfExists(branchManifestPath(table, name, v)))
 
   /** Schema evolution: `ADD COLUMN` is a pure metadata commit — the
     * new manifest lists the SAME data files under the widened
@@ -809,7 +1393,7 @@ object SnapStore {
         s"column ${field.name} already exists")
       val m = Manifest(cur.version + 1, cur.version, "add-column",
         StructType(cur.schema.fields :+ field.copy(nullable = true)),
-        cur.files, cur.partCol, cur.deleteFiles)
+        cur.files, cur.partCol, cur.deleteFiles, cur.keyCol)
       (m, Seq.empty, tryCommitManifest(table, m))
     }
 

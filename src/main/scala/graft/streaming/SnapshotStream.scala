@@ -47,6 +47,18 @@ object SnapshotStream {
   /** Streaming DataFrame of the table's appended rows, schema'd from
     * the CURRENT manifest (historical files missing an evolved
     * column read it as null, like the batch path).
+    *
+    * The source path is a GLOB over the create/append file labels
+    * (`data/{base,append}-*.parquet`) — a RUNTIME guard on top of
+    * the creation-time history check: a replace-style commit (merge,
+    * delete, compact, rewrite) or a delete-file commit made WHILE
+    * the stream runs lands files under other labels (`merge-*`,
+    * `compact-*`, `edelete-*`, `pdelete-*`, `brappend-*`), which the
+    * feed therefore never serves — no duplicated rewritten rows, no
+    * schema-mismatched delete-key rows, no branch data. This is
+    * Iceberg's `streaming-skip-overwrite-snapshots` semantics:
+    * appends keep flowing, rewrites are skipped (their rows were
+    * already served at append time).
     */
   def appendFeed(spark: SparkSession, table: Path,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
@@ -57,6 +69,6 @@ object SnapshotStream {
         ops.filterNot(appendOnly).mkString(", ")}")
     val r = spark.readStream.schema(m.schema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(table.resolve("data").toString)
+    r.parquet(table.resolve("data").toString + "/{base,append}-*.parquet")
   }
 }

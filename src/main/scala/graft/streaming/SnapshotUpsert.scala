@@ -30,20 +30,22 @@ object SnapshotUpsert {
 
   private def epochTag(batchId: Long) = s"merge-b$batchId"
 
-  /** Has `batchId` already committed to `table`? Structured
-    * Streaming only ever replays the most recent unacknowledged
-    * batch, so the check compares against the NEWEST epoch-tagged
-    * commit — found by walking versions newest-first and stopping at
-    * the first `merge-b*` tag. O(1) manifest reads per epoch in the
-    * steady state (the head commit IS the last epoch; a few more
-    * reads only when maintenance commits interleave), instead of
-    * parsing the entire O(total-epochs) history every trigger.
+  /** Has `batchId` already committed to `table`? The check scans the
+    * LIVE history for the exact epoch tag: stopping at the newest
+    * `merge-b*` commit would mis-read a RECREATED checkpoint (batch
+    * ids restart at 0, and a stale newer tag would pass the check
+    * and silently skip a real batch — double-apply's dual). The scan
+    * is bounded by snapshot expiry (`keepLast`), the same retention
+    * that already bounds every history walk; run [[SnapStore.expire]]
+    * on the upsert cadence. Invariant (document to operators): one
+    * upsert stream per table — two streams sharing a table would
+    * collide on the epoch-tag namespace.
     */
-  def committed(table: Path, batchId: Long): Boolean =
+  def committed(table: Path, batchId: Long): Boolean = {
+    val tag = epochTag(batchId)
     SnapStore.liveVersions(table).reverseIterator
-      .map(v => SnapStore.manifest(table, v).operation)
-      .collectFirst { case op if op.startsWith("merge-b") => op }
-      .contains(epochTag(batchId))
+      .exists(v => SnapStore.manifest(table, v).operation == tag)
+  }
 
   /** The `foreachBatch` body: merge one microbatch of changes
     * (keyed upserts) into the snapshot table, exactly once. Returns

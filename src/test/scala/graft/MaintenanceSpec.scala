@@ -41,7 +41,7 @@ class MaintenanceSpec extends SparkSpec {
     val v2 = SnapStore.currentManifest(t)
 
     val (touched1, untouched1) = v1.files.partition(f =>
-      f.partMin <= 2 && 2 <= f.partMax)
+      f.partMin.toLong <= 2 && 2 <= f.partMax.toLong)
     assert(touched1.nonEmpty, "fixture must populate partition 2")
     assert(untouched1.nonEmpty, "fixture must populate other partitions")
     // Every untouched v1 file is in v2 UNDER THE SAME PATH, mtime
@@ -87,7 +87,7 @@ class MaintenanceSpec extends SparkSpec {
     // matched keys in still carry untouched.
     val v1 = SnapStore.manifest(t, 1)
     val v2 = SnapStore.currentManifest(t)
-    val unrelated = v1.files.filter(f => f.partMin > 0 && f.partMax < 5)
+    val unrelated = v1.files.filter(f => f.partMin.toLong > 0 && f.partMax.toLong < 5)
     assert(unrelated.nonEmpty, "fixture must give mid-partition files")
     unrelated.foreach(f => assert(v2.files.exists(_.path == f.path),
       s"${f.path} holds no matched key and must carry"))
@@ -232,7 +232,7 @@ class MaintenanceSpec extends SparkSpec {
     val v2 = SnapStore.currentManifest(t)
     assert(v2.operation == "delete")
     val (touched1, untouched1) = v1.files.partition(f =>
-      f.partMin <= 5 && 5 <= f.partMax)
+      f.partMin.toLong <= 5 && 5 <= f.partMax.toLong)
     untouched1.foreach { f =>
       assert(v2.files.exists(_.path == f.path), s"${f.path} must carry")
       assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path),
@@ -351,7 +351,7 @@ class MaintenanceSpec extends SparkSpec {
     assert(band.count() > 0, "fixture must populate the band")
     SnapStore.merge(spark, t, band, "doc_id", "tok")
     val v4 = SnapStore.currentManifest(t)
-    val untouched3 = v3.files.filter(_.partMax < 80L)
+    val untouched3 = v3.files.filter(_.partMax.toLong < 80L)
     assert(untouched3.nonEmpty, "fixture must give low-tok files")
     untouched3.foreach { f =>
       assert(v4.files.exists(_.path == f.path), s"${f.path} must carry")
@@ -429,13 +429,22 @@ class MaintenanceSpec extends SparkSpec {
     val morRead = SnapStore.read(spark, t)
     assert(morRead.count() == n - nDel)
     assert(morRead.filter(pmod(col("doc_id"), lit(5L)) === 0).count() == 0)
-    // COW ops and appends refuse to run over pending deletes.
-    assert(intercept[IllegalArgumentException] {
-      SnapStore.append(spark, t, docs.limit(1), "part")
-    }.getMessage.contains("applyDeletes"))
+    // COW ops refuse to run over pending deletes (a partial rewrite
+    // can't preserve delete scoping)…
     assert(intercept[IllegalArgumentException] {
       SnapStore.merge(spark, t, docs.limit(1), "doc_id", "part")
     }.getMessage.contains("applyDeletes"))
+    // …but an APPEND is sequence-safe: its files outrank every
+    // pending delete, so a re-inserted deleted key is served again
+    // (Iceberg's sequence-number contract).
+    val reKey = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .orderBy("doc_id").limit(1).collect()(0).getLong(0)
+    assert(morRead.filter(col("doc_id") === reKey).count() == 0)
+    SnapStore.append(spark, t, docs.filter(col("doc_id") === reKey), "part")
+    assert(SnapStore.read(spark, t).count() == n - nDel + 1)
+    assert(SnapStore.read(spark, t)
+      .filter(col("doc_id") === reKey).count() == 1,
+      s"re-inserted key $reKey must survive the older equality delete")
     // The catalog refuses to serve a MOR snapshot as plain parquet.
     spark.conf.set("spark.graft.catalog.dir.morspec", dir.toString)
     if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
@@ -443,23 +452,23 @@ class MaintenanceSpec extends SparkSpec {
     val err = intercept[Exception] {
       spark.table("graft.morspec.docs").count()
     }
-    assert(err.getMessage.contains("pending equality deletes"),
+    assert(err.getMessage.contains("pending delete files"),
       err.getMessage)
 
     // applyDeletes: deletes folded into rewritten files, pending set
     // cleared, plain-scan reads (and the catalog) work again.
     SnapStore.applyDeletes(spark, t, "part")
-    val v3 = SnapStore.currentManifest(t)
-    assert(v3.operation == "apply-deletes" && v3.deleteFiles.isEmpty)
-    assert(SnapStore.read(spark, t).count() == n - nDel)
-    assert(spark.table("graft.morspec.docs").count() == n - nDel)
+    val v4 = SnapStore.currentManifest(t)
+    assert(v4.operation == "apply-deletes" && v4.deleteFiles.isEmpty)
+    assert(SnapStore.read(spark, t).count() == n - nDel + 1)
+    assert(spark.table("graft.morspec.docs").count() == n - nDel + 1)
     // Time travel to the MOR snapshot through the catalog still
     // refuses (it would serve deleted rows); SnapStore.read of the
     // same version applies the deletes correctly.
     val tt = intercept[Exception] {
       spark.sql("SELECT * FROM graft.morspec.docs VERSION AS OF 2").count()
     }
-    assert(tt.getMessage.contains("pending equality deletes"), tt.getMessage)
+    assert(tt.getMessage.contains("pending delete files"), tt.getMessage)
     assert(SnapStore.read(spark, t, Some(2)).count() == n - nDel)
   }
 
@@ -584,6 +593,315 @@ class MaintenanceSpec extends SparkSpec {
     assert(after.filter(col("part") === 3 && col("source") =!= "mB").count() == 0)
     assert(after.filter(col("source").isin("mA", "mB"))
       .count() == docs.filter(col("part").isin(1L, 3L)).count())
+  }
+
+  /** Spark jobs started while `body` runs — the physical currency of
+    * the key-guard and compaction scale claims. Both uses COMPARE two
+    * counts gathered the same way, so listener-drain timing bias
+    * cancels.
+    */
+  private def jobsDuring(body: => Unit): Int = {
+    val n = new java.util.concurrent.atomic.AtomicInteger()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(l)
+    try { body; Thread.sleep(800); n.get() }
+    finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("key-bounds pruning: a merge whose keys miss every carried " +
+    "file's key range runs NO key-guard scan job") {
+    val t = freshTable("keybounds")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    val v1 = SnapStore.currentManifest(t)
+    assert(v1.keyCol == "doc_id")
+    assert(v1.files.forall(f => f.keyMin.nonEmpty && f.keyMax.nonEmpty),
+      "create must collect per-file key bounds when keyCol is declared")
+    val maxKey = v1.files.map(_.keyMax.toLong).max
+
+    // Batch A: keys far ABOVE every file's key range (pure inserts
+    // into partition 5) — the guard must prove zero candidates from
+    // bounds alone and skip its scan entirely.
+    val insOnly = docs.filter(col("part") === 5).limit(4)
+      .withColumn("doc_id", col("doc_id") + lit(maxKey + 1000000L))
+    val jobsA = jobsDuring {
+      SnapStore.merge(spark, t, insOnly, "doc_id", "part")
+    }
+    // Batch B (same shape): EXISTING keys of partition 5 — the key
+    // ranges intersect, so the guard scans (≥1 extra job).
+    val upd = docs.filter(col("part") === 5).limit(4)
+      .withColumn("text", concat(col("text"), lit(" u")))
+    val jobsB = jobsDuring {
+      SnapStore.merge(spark, t, upd, "doc_id", "part")
+    }
+    assert(jobsA < jobsB,
+      s"out-of-range merge must skip the key-guard scan: $jobsA vs $jobsB jobs")
+    // And correctness held both times.
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == docs.count() + 4)
+    assert(after.filter(col("doc_id") > maxKey).count() == 4)
+  }
+
+  test("compaction is one job over all multi-file bins: job count " +
+    "stays O(1) as bins grow, one output file per bin") {
+    val t = freshTable("compact1job")
+    SnapStore.create(spark, t, docs, "part", numFiles = 32,
+      clusterExprs = Seq(col("part"), pmod(col("doc_id"), lit(4L))))
+    val before = SnapStore.currentManifest(t)
+    val total = before.files.map(_.bytes).sum
+    // Several multi-file bins (the tiny fixture's range sampling
+    // folds the 32-way create to ~8 files; /3 packs them in pairs).
+    val jobs = jobsDuring {
+      SnapStore.compact(spark, t, "part", targetBytes = total / 3 + 1)
+    }
+    val after = SnapStore.currentManifest(t)
+    val rewritten = after.files.filter(_.path.contains("compact-v2-"))
+    val binIds = rewritten.map(f =>
+      "-b(\\d+)-".r.findFirstMatchIn(f.path).get.group(1).toInt)
+    assert(binIds.distinct.size >= 3, s"fixture must give many bins: $binIds")
+    // One file per bin: the in-bin file index is always 0.
+    assert(rewritten.forall(_.path.matches(".*-b\\d+-0-.*")),
+      s"each bin must emit exactly one file: ${rewritten.map(_.path)}")
+    assert(binIds.distinct.size == binIds.size)
+    // O(1) jobs (scan+route+write, stats, broadcast) — NOT 2 jobs per
+    // bin as a serial per-bin rewrite would cost.
+    assert(jobs <= 6,
+      s"compaction must not scale jobs with bins: $jobs jobs for ${binIds.size} bins")
+    // Layout-only: contents identical.
+    val a = SnapStore.read(spark, t, Some(1)).orderBy("doc_id").collect()
+    val b = SnapStore.read(spark, t).orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("merge-on-read MERGE: one commit = delete file + new data " +
+    "files, zero base rewrite, sequence-scoped reads upsert correctly") {
+    val t = freshTable("mormerge")
+    SnapStore.create(spark, t, docs, "part")
+    val v1 = SnapStore.currentManifest(t)
+    val mtimes = v1.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+    val n = docs.count()
+    val changes = docs.filter(col("part") === 2 &&
+      pmod(col("doc_id"), lit(3L)) === 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .unionByName(docs.filter(col("part") === 6).limit(3)
+        .withColumn("doc_id", col("doc_id") + 500000L))
+    val nUpd = docs.filter(col("part") === 2 &&
+      pmod(col("doc_id"), lit(3L)) === 0).count()
+
+    SnapStore.mergeEquality(spark, t, changes, "doc_id")
+    val v2 = SnapStore.currentManifest(t)
+    assert(v2.operation == "merge-mor")
+    // ZERO base data rewritten: every v1 file carries, mtime intact.
+    v1.files.foreach { f =>
+      assert(v2.files.exists(_.path == f.path), s"${f.path} must carry")
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path),
+        s"${f.path} must not be rewritten by a MOR merge")
+    }
+    // The commit added data files (seq = v2) and ONE delete file.
+    val added = v2.files.filterNot(f => v1.files.exists(_.path == f.path))
+    assert(added.nonEmpty && added.forall(_.seq == v2.version))
+    assert(v2.deleteFiles.size == 1 &&
+      v2.deleteFiles.head.seq == v2.version &&
+      v2.deleteFiles.head.kind == "eq")
+    // Read semantics: matched rows updated exactly once, inserts
+    // visible, count = n + inserts.
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == n + 3)
+    assert(after.filter(col("part") === 2 && pmod(col("doc_id"), lit(3L)) === 0
+      && !col("text").endsWith(" v2")).count() == 0)
+    assert(after.filter(col("text").endsWith(" v2")).count() == nUpd)
+    assert(after.filter(col("doc_id") >= 500000L).count() == 3)
+    // A SECOND MOR merge on top re-updates its keys (the newer delete
+    // outranks the first merge's data files).
+    SnapStore.mergeEquality(spark, t,
+      docs.filter(col("part") === 2 && pmod(col("doc_id"), lit(3L)) === 0)
+        .withColumn("text", concat(col("text"), lit(" v3"))),
+      "doc_id")
+    val after2 = SnapStore.read(spark, t)
+    assert(after2.count() == n + 3)
+    assert(after2.filter(col("text").endsWith(" v2")).count() == 0)
+    assert(after2.filter(col("text").endsWith(" v3")).count() == nUpd)
+    // applyDeletes folds both pending deletes away.
+    SnapStore.applyDeletes(spark, t, "part")
+    assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
+    assert(SnapStore.read(spark, t).count() == n + 3)
+  }
+
+  test("position deletes: zero rewrite, ordinal-scoped suppression, " +
+    "clean files stay on the plain scan path") {
+    val t = freshTable("posdel")
+    SnapStore.create(spark, t, docs, "part")
+    val v1 = SnapStore.currentManifest(t)
+    val mtimes = v1.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+    val n = docs.count()
+    // Delete set confined to partition 3 → only part-3 files are
+    // named by the position delete.
+    val cond = col("part") === 3 && pmod(col("doc_id"), lit(16L)) === 3
+    val nDel = docs.filter(cond).count()
+    assert(nDel > 0)
+
+    SnapStore.deletePositions(spark, t, cond)
+    val v2 = SnapStore.currentManifest(t)
+    assert(v2.operation == "delete-pos")
+    assert(v2.files.map(_.path) == v1.files.map(_.path), "zero data rewrite")
+    v2.files.foreach(f =>
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path)))
+    assert(v2.deleteFiles.size == 1 && v2.deleteFiles.head.kind == "pos" &&
+      v2.deleteFiles.head.rows == nDel)
+    // The delete file names ONLY files that can hold partition 3.
+    val named = spark.read
+      .parquet(t.resolve(v2.deleteFiles.head.path).toString)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val part3Files = v1.files.filter(f =>
+      f.partMin.toLong <= 3 && 3 <= f.partMax.toLong)
+      .map(f => f.path.stripPrefix("data/")).toSet
+    assert(named.nonEmpty && named.subsetOf(part3Files),
+      s"pos delete must reference only part-3 files: $named vs $part3Files")
+    assert(named.size < v1.files.size)
+    // Reads: exactly the matched rows suppressed; clean files on the
+    // plain path (only the affected branch projects row_index).
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == n - nDel)
+    assert(after.filter(cond).count() == 0)
+    assert(after.filter(col("part") =!= 3).count() ==
+      docs.filter(col("part") =!= 3).count())
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("row_index"), "affected branch pays the ordinal join")
+    assert(plan.contains("Union"), "clean files read in their own branch")
+    // applyDeletes folds the position deletes too.
+    SnapStore.applyDeletes(spark, t, "part")
+    assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
+    assert(SnapStore.read(spark, t).count() == n - nDel)
+  }
+
+  test("branches: independent commit lines diverge, main is " +
+    "untouched, fast-forward adopts the branch head, stale " +
+    "fast-forward rejected, expiry keeps branch files") {
+    val dir = Files.createTempDirectory("graft-snapspec-br")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part")
+    val n = docs.count()
+    SnapStore.createBranch(t, "ingest")
+    SnapStore.createBranch(t, "exp")
+    assert(SnapStore.listBranches(t) == Seq("exp", "ingest"))
+    intercept[IllegalArgumentException] { SnapStore.createBranch(t, "ingest") }
+
+    // Two branches diverge with their own appends; main never moves.
+    SnapStore.appendToBranch(spark, t, "ingest",
+      docs.limit(5).withColumn("doc_id", col("doc_id") + 600000L), "part")
+    SnapStore.appendToBranch(spark, t, "ingest",
+      docs.limit(2).withColumn("doc_id", col("doc_id") + 650000L), "part")
+    SnapStore.appendToBranch(spark, t, "exp",
+      docs.limit(3).withColumn("doc_id", col("doc_id") + 700000L), "part")
+    assert(SnapStore.currentVersion(t).contains(1), "main must not move")
+    assert(SnapStore.read(spark, t).count() == n)
+    assert(SnapStore.readBranch(spark, t, "ingest").count() == n + 7)
+    assert(SnapStore.readBranch(spark, t, "exp").count() == n + 3)
+    assert(SnapStore.branchHead(t, "ingest").contains(3))
+
+    // VERSION AS OF '<branch>' reads the branch head via the catalog.
+    spark.conf.set("spark.graft.catalog.dir.brspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.brspec.docs VERSION AS OF 'ingest'")
+      .head().getLong(0) == n + 7)
+    assert(spark.table("graft.brspec.docs").count() == n)
+
+    // Fast-forward main to ingest: metadata commit with the branch
+    // head's files; branch data now serves on main.
+    SnapStore.fastForward(t, "ingest")
+    assert(SnapStore.read(spark, t).count() == n + 7)
+    assert(SnapStore.currentManifest(t).operation == "fast-forward-ingest")
+    // exp forked from version 1; main is now at 2 → not FF-able.
+    val stale = intercept[IllegalArgumentException] {
+      SnapStore.fastForward(t, "exp")
+    }
+    assert(stale.getMessage.contains("not fast-forwardable"))
+
+    // Expiry keeps files referenced ONLY by branches: exp's appended
+    // files survive keepLast=1 expiry of main.
+    val expFiles = SnapStore.branchManifest(t, "exp",
+      SnapStore.branchHead(t, "exp").get).files.map(_.path)
+    SnapStore.expire(t, keepLast = 1)
+    expFiles.foreach(p => assert(Files.exists(t.resolve(p)),
+      s"branch-referenced $p must survive expiry"))
+    assert(SnapStore.readBranch(spark, t, "exp").count() == n + 3)
+    // Dropping the branch orphans its exclusive files; orphan
+    // cleanup (Iceberg's remove_orphan_files) collects exactly them
+    // and nothing referenced by live main/branch manifests.
+    val exclusives = expFiles.filterNot(p =>
+      SnapStore.currentManifest(t).files.exists(_.path == p))
+    assert(exclusives.nonEmpty)
+    SnapStore.dropBranch(t, "exp")
+    assert(SnapStore.listBranches(t) == Seq("ingest"))
+    val removed = SnapStore.removeOrphans(t)
+    assert(removed.toSet == exclusives.toSet,
+      s"orphan cleanup must collect exactly the dropped branch's " +
+        s"exclusive files: $removed vs $exclusives")
+    exclusives.foreach(p => assert(!Files.exists(t.resolve(p))))
+    assert(SnapStore.read(spark, t).count() == n + 7)
+    assert(SnapStore.readBranch(spark, t, "ingest").count() == n + 7)
+  }
+
+  test("typed partition bounds: a DATE-partitioned table prunes " +
+    "merges natively, bounds stored as ISO strings") {
+    val t = freshTable("datepart")
+    val d = docs.withColumn("day",
+      expr("date_add(DATE'2024-01-01', CAST((doc_id % 12) * 7 AS INT))"))
+    SnapStore.create(spark, t, d, "day", numFiles = 6)
+    val v1 = SnapStore.currentManifest(t)
+    assert(v1.files.forall(f =>
+      f.partMin.matches("2024-\\d{2}-\\d{2}") &&
+        f.partMax.matches("2024-\\d{2}-\\d{2}")),
+      s"date bounds must render ISO: ${v1.files.map(f => (f.partMin, f.partMax))}")
+    val mtimes = v1.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+
+    // Merge confined to one day (doc_id % 12 == 3 → 2024-01-22).
+    val day = "2024-01-22"
+    val ch = d.filter(col("day") === to_date(lit(day)))
+      .withColumn("source", lit("dayfix"))
+    assert(ch.count() > 0)
+    SnapStore.merge(spark, t, ch, "doc_id", "day")
+    val v2 = SnapStore.currentManifest(t)
+    // ISO-string comparison IS chronological: files whose [min,max]
+    // excludes the day carry untouched.
+    val untouched = v1.files.filter(f => f.partMax < day || f.partMin > day)
+    assert(untouched.nonEmpty, "fixture must give files outside the day")
+    untouched.foreach { f =>
+      assert(v2.files.exists(_.path == f.path), s"${f.path} must carry")
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path))
+    }
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == d.count())
+    assert(after.filter(col("day") === to_date(lit(day)) &&
+      col("source") =!= "dayfix").count() == 0)
+    assert(after.filter(col("day") =!= to_date(lit(day)) &&
+      col("source") === "dayfix").count() == 0)
+  }
+
+  test("refs log CAS: concurrent taggers never lose an update") {
+    val t = freshTable("refscas")
+    SnapStore.create(spark, t, docs.limit(10), "part")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (1 to 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = SnapStore.tag(t, s"tag$i", 1)
+        })
+      }
+      futures.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val tags = SnapStore.tags(t)
+    assert((1 to 16).forall(i => tags.get(s"tag$i").contains(1)),
+      s"every concurrent tag must survive: $tags")
   }
 
   test("registered lifecycle is idempotent: re-running entries " +

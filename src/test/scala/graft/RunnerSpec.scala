@@ -69,9 +69,9 @@ class RunnerSpec extends SparkSpec {
     // `probe` exists only inside the namespaces, so suite success
     // itself proves the USE resolved the unqualified name; the
     // current database must track each suite's USE.
-    assert(run("ns_a").forall(_.getBoolean(5)))
+    assert(run("ns_a").forall(_.getString(5) == "SUCCESS"))
     assert(spark.catalog.currentDatabase === "ns_a")
-    assert(run("ns_b").forall(_.getBoolean(5)))
+    assert(run("ns_b").forall(_.getString(5) == "SUCCESS"))
     assert(spark.catalog.currentDatabase === "ns_b")
     spark.sql("USE default")
   }
@@ -87,7 +87,7 @@ class RunnerSpec extends SparkSpec {
     val rows = Runner.runSuite(spark, "TPC-H", dir,
       queries.Corpus.catalog, queries.Corpus.db, "run_corpus")
     assert(rows.length === 22)
-    val failed = rows.filter(!_.getBoolean(5)).map(r =>
+    val failed = rows.filter(_.getString(5) != "SUCCESS").map(r =>
       r.getString(3) + ": " + r.getString(6))
     assert(failed.isEmpty, s"corpus failures: ${failed.mkString("; ")}")
   }
@@ -100,7 +100,7 @@ class RunnerSpec extends SparkSpec {
     val rows = Runner.runSuite(spark, "TPC-DS", dir,
       queries.TpcdsCorpus.catalog, queries.TpcdsCorpus.db, "run_ds")
     assert(rows.length === 103)
-    val failed = rows.filter(!_.getBoolean(5)).map(r =>
+    val failed = rows.filter(_.getString(5) != "SUCCESS").map(r =>
       r.getString(3) + ": " + r.getString(6).take(120))
     assert(failed.isEmpty, s"corpus failures: ${failed.mkString("; ")}")
   }
@@ -124,7 +124,7 @@ class RunnerSpec extends SparkSpec {
       val rowsD = Runner.runSuite(spark, "TPC-DS", queries.TpcdsCorpus.corpusDir,
         "graft", "tpcds", "run_cat")
       assert(rowsH.length === 22 && rowsD.length === 103)
-      val failed = (rowsH ++ rowsD).filter(!_.getBoolean(5)).map(r =>
+      val failed = (rowsH ++ rowsD).filter(_.getString(5) != "SUCCESS").map(r =>
         r.getString(3) + ": " + r.getString(6).take(120))
       assert(failed.isEmpty, s"catalog-routed failures: ${failed.mkString("; ")}")
     } finally spark.sql("USE spark_catalog.default")
@@ -142,7 +142,7 @@ class RunnerSpec extends SparkSpec {
       "spark_catalog", "run_sweep")
     assert(rows.length === tags.size)
     assert(rows.map(_.getString(1)) === tags) // schema_size carries the sf
-    assert(rows.forall(_.getBoolean(5)))
+    assert(rows.forall(_.getString(5) == "SUCCESS"))
     // All grid rows land in ONE results CSV, like runner.sh's single
     // output file across its sf loop.
     val out = Files.createTempDirectory("graft-sweep-results").toString
@@ -182,7 +182,7 @@ class RunnerSpec extends SparkSpec {
         Seq(true, true, false, false, true, true))
       assert(rows.map(_.getString(9)) ===
         Seq("HTTP", "HTTP", "HTTP", "HTTP", "GRPC", "GRPC"))
-      val failed = rows.filter(!_.getBoolean(5)).map(r =>
+      val failed = rows.filter(_.getString(5) != "SUCCESS").map(r =>
         r.getString(3) + ": " + r.getString(6).take(120))
       assert(failed.isEmpty, s"variant failures: ${failed.mkString("; ")}")
     } finally spark.sql("USE spark_catalog.default")
@@ -197,9 +197,9 @@ class RunnerSpec extends SparkSpec {
       val rows = Runner.runSuite(spark, "TEST", dir, "", "", "run_test", Some(listener))
       assert(rows.length === 3)
       val byName = rows.map(r => r.getString(3) -> r).toMap
-      assert(byName("q01_agg").getBoolean(5))
-      assert(byName("q02_count").getBoolean(5))
-      assert(!byName("q03_bad").getBoolean(5))
+      assert(byName("q01_agg").getString(5) == "SUCCESS")
+      assert(byName("q02_count").getString(5) == "SUCCESS")
+      assert(byName("q03_bad").getString(5) == "FAILED")
       assert(byName("q03_bad").getString(6).nonEmpty)
       assert(byName("q03_bad").getString(6).length <= 2000)
       assert(byName("q01_agg").getString(7).contains("executor_run_time_ms"))
@@ -212,6 +212,9 @@ class RunnerSpec extends SparkSpec {
       val content = Files.readString(files.head.toPath)
       assert(content.startsWith("\"run_id\""))
       assert(content.contains("\"q03_bad\""))
+      // Reference parity: the CSV status column carries the literal
+      // string enum, not a stringified boolean.
+      assert(content.contains("\"SUCCESS\"") && content.contains("\"FAILED\""))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
