@@ -358,6 +358,40 @@ object Maintenance {
     t
   }
 
+  /** `docs_cdc`: changelog lifecycle. v1 create → v2 append (every
+    * twenty-third doc re-keyed `+400000`, source `srcC`) → v3 COW
+    * merge updating part-1 every-fifth docs (text + ` u2`) → v4 COW
+    * delete of part-6 every-ninth docs. The changelog over 1→4 must
+    * surface exactly the appended INSERTs, the merge's DELETE+INSERT
+    * pairs, and the delete's DELETEs — with every carried-over row in
+    * the rewritten files cancelling out of the file diff.
+    */
+  def ensureDocsCdc(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_cdc")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.append(s, t,
+        b.filter(pmod(col("doc_id"), lit(23L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 400000L)
+          .withColumn("source", lit("srcC")),
+        partCol)
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.merge(s, t,
+        b.filter(col(partCol) === 1 && pmod(col("doc_id"), lit(5L)) === 1)
+          .withColumn("text", concat(col("text"), lit(" u2")))
+          .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)")),
+        "doc_id", partCol)
+    if (SnapStore.currentVersion(t).contains(3))
+      SnapStore.delete(s, t,
+        b.filter(col(partCol) === 6 && pmod(col("doc_id"), lit(9L)) === 6)
+          .select(col("doc_id"), col(partCol)),
+        "doc_id", partCol)
+    mount(s, dir)
+    t
+  }
+
   // ----------------------------------------------------------------
   // Registered entries + oracles.
 
@@ -805,6 +839,61 @@ object Maintenance {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  /** The changelog 1→4 of the CDC lifecycle, aggregated per
+    * (commit, change type): the oracle recomputes each commit's net
+    * row changes logically — the appended batch as INSERTs, the
+    * merge as DELETE+INSERT pairs (old and new text checksums), the
+    * delete as DELETEs — so a hash match proves the manifest
+    * file-diff EXCEPT cancelled every carried-over row and surfaced
+    * exactly the real changes.
+    */
+  def changelog(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsCdc(s, dir)
+    SnapStore.changelogRead(s, t, fromVersion = 1, toVersion = 4)
+      .groupBy(col("_commit_version").as("version"),
+        col("_change_type").as("change_type"))
+      .agg(count(lit(1)).as("n_rows"), checksum(col("text")).as("chk"))
+      .orderBy(col("version"), col("change_type"))
+  }
+
+  val changelogOracle: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, doc_id % $nParts AS part, text FROM documents),
+       |upd AS (SELECT text FROM base WHERE part = 1 AND doc_id % 5 = 1)
+       |SELECT 2 AS version, 'INSERT' AS change_type,
+       |  COUNT(*) AS n_rows,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM base WHERE doc_id % 23 = 0
+       |UNION ALL
+       |SELECT 3, 'DELETE', COUNT(*),
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) FROM upd
+       |UNION ALL
+       |SELECT 3, 'INSERT', COUNT(*),
+       |  CAST(SUM(${foldSql("text || ' u2'")}) AS BIGINT) FROM upd
+       |UNION ALL
+       |SELECT 4, 'DELETE', COUNT(*),
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT)
+       |FROM base WHERE part = 6 AND doc_id % 9 = 6
+       |ORDER BY version, change_type""".stripMargin
+
+  /** The `refs` metadata table of the branch lifecycle through the
+    * catalog: after fast-forward both `main` and the `ingest` branch
+    * head point at snapshot 2 — a pure-metadata surface, so the
+    * oracle is the literal expected reference set.
+    */
+  def refs(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsBr(s, dir)
+    s.sql("""SELECT name, type, version FROM graft.maint.docs_br.refs
+             ORDER BY name""")
+  }
+
+  val refsOracle: String =
+    """SELECT 'ingest' AS name, 'BRANCH' AS type, CAST(2 AS INTEGER) AS version
+      |UNION ALL
+      |SELECT 'main', 'BRANCH', CAST(2 AS INTEGER)
+      |ORDER BY name""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -836,5 +925,9 @@ object Maintenance {
     Q("maint_branch_ff", branchFastForward, Some(branchFastForwardOracle),
       "branch + fast-forward: branch takes the append, main adopts its head metadata-only"),
     Q("maint_date_partition", datePartition, Some(datePartitionOracle),
-      "DATE-partitioned table: typed ISO bounds prune a one-day merge natively"))
+      "DATE-partitioned table: typed ISO bounds prune a one-day merge natively"),
+    Q("maint_changelog", changelog, Some(changelogOracle),
+      "changelog (CDC) read: per-commit file-diff EXCEPT surfaces exactly the net row changes"),
+    Q("maint_refs", refs, Some(refsOracle),
+      "refs metadata table: main/tags/branches with their snapshot pointers"))
 }

@@ -154,6 +154,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .getOrElse(throw new NoSuchTableException(ident))
         new SnapshotsMetadataTable(
           s"$catalogName.$db.$table.snapshots", dir)
+      // `db.table.refs` — Iceberg's `table.refs` metadata surface:
+      // one row per named reference (the implicit `main` branch, tags,
+      // branches) with the snapshot it points at.
+      case Array(db, table) if ident.name() == "refs" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new RefsMetadataTable(s"$catalogName.$db.$table.refs", dir)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -404,4 +412,74 @@ object SnapshotsMetadataTable {
 
 final case class SnapshotsPartition(
     snaps: Array[(Int, Int, String, Long, Long, Long)])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** `db.table.refs` — Iceberg's `table.refs` metadata table: every
+  * named reference of the snapshot table as
+  * `(name, type ∈ TAG|BRANCH, version)`. The implicit `main` branch
+  * reports the current snapshot; branch rows report their head.
+  * Driver-side by definition (refs are metadata).
+  */
+final class RefsMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends Table with SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = RefsMetadataTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.Batch {
+      override def build(): org.apache.spark.sql.connector.read.Scan = this
+      override def readSchema(): StructType = RefsMetadataTable.schema
+      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+      override def description(): String = s"graft-refs $dir"
+
+      override def planInputPartitions():
+          Array[org.apache.spark.sql.connector.read.InputPartition] = {
+        val main = SnapStore.currentVersion(dir)
+          .map(v => ("main", "BRANCH", v)).toSeq
+        val tags = SnapStore.tags(dir).toSeq
+          .map { case (n, v) => (n, "TAG", v) }
+        val branches = SnapStore.listBranches(dir)
+          .map(b => (b, "BRANCH", SnapStore.branchHead(dir, b).get))
+        Array(RefsPartition((main ++ tags ++ branches).sortBy(_._1).toArray))
+      }
+
+      override def createReaderFactory():
+          org.apache.spark.sql.connector.read.PartitionReaderFactory =
+        new org.apache.spark.sql.connector.read.PartitionReaderFactory {
+          override def createReader(
+              p: org.apache.spark.sql.connector.read.InputPartition):
+              org.apache.spark.sql.connector.read.PartitionReader[
+                org.apache.spark.sql.catalyst.InternalRow] =
+            new org.apache.spark.sql.connector.read.PartitionReader[
+              org.apache.spark.sql.catalyst.InternalRow] {
+              private val it = p.asInstanceOf[RefsPartition].refs.iterator
+              private var cur: (String, String, Int) = _
+              override def next(): Boolean = {
+                if (!it.hasNext) return false
+                cur = it.next(); true
+              }
+              override def get(): org.apache.spark.sql.catalyst.InternalRow =
+                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+                  Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._1),
+                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._2),
+                    cur._3))
+              override def close(): Unit = ()
+            }
+        }
+    }
+}
+
+object RefsMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("name", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("type", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false)))
+}
+
+final case class RefsPartition(refs: Array[(String, String, Int)])
     extends org.apache.spark.sql.connector.read.InputPartition

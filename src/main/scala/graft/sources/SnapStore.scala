@@ -870,6 +870,62 @@ object SnapStore {
         .parquet(added.map(f => table.resolve(f.path).toString): _*)
   }
 
+  /** Changelog (CDC) read — Iceberg's `create_changelog_view`: the
+    * row-level changes between two snapshots as
+    * `(_commit_version, _change_type ∈ INSERT|DELETE, row…)`; an
+    * update surfaces as its DELETE+INSERT pair. Computed per commit
+    * from the MANIFEST file diff: an append's added files are pure
+    * INSERTs (no diff work at all); a replace-style commit
+    * (merge/delete/compact/rollback) diffs ONLY its removed vs added
+    * files with multiset EXCEPT — carried-over rows cancel, so
+    * compaction nets zero and a merge nets exactly its
+    * deletes+inserts. At 100 TB a day of changelog costs the day's
+    * write footprint, never a table scan. Pending delete files are
+    * unsupported (their deletes are not in the file diff): fold with
+    * [[applyDeletes]] first — the restriction Iceberg's changelog
+    * procedure documents for delete-file tables.
+    */
+  def changelogRead(spark: SparkSession, table: Path,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion < toVersion,
+      s"fromVersion $fromVersion must precede toVersion $toVersion")
+    def empty(schema: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val steps = (fromVersion until toVersion).flatMap { v =>
+      val from = manifest(table, v)
+      val to = manifest(table, v + 1)
+      require(from.deleteFiles.isEmpty && to.deleteFiles.isEmpty,
+        s"changelog over pending delete files is unsupported " +
+          s"(snapshot ${if (to.deleteFiles.nonEmpty) v + 1 else v}); " +
+          "run applyDeletes first")
+      // Each step reads BOTH sides under the newer schema, so an
+      // add-column commit mid-range surfaces old rows with nulls —
+      // the same merged-schema contract batch reads have.
+      val schema = to.schema
+      val fromSet = from.files.map(_.path).toSet
+      val toSet = to.files.map(_.path).toSet
+      val removed = from.files.filterNot(f => toSet(f.path))
+      val added = to.files.filterNot(f => fromSet(f.path))
+      def scan(fs: Seq[FileEntry]): DataFrame =
+        if (fs.isEmpty) empty(schema)
+        else spark.read.schema(schema)
+          .parquet(fs.map(f => table.resolve(f.path).toString): _*)
+      def tag(df: DataFrame, kind: String): DataFrame = df
+        .withColumn("_change_type", lit(kind))
+        .withColumn("_commit_version", lit(v + 1))
+      if (removed.isEmpty && added.isEmpty) None // metadata-only commit
+      else if (removed.isEmpty) Some(tag(scan(added), "INSERT")) // append
+      else Some(
+        tag(scan(added).exceptAll(scan(removed)), "INSERT")
+          .unionByName(tag(scan(removed).exceptAll(scan(added)), "DELETE")))
+    }
+    if (steps.isEmpty)
+      empty(StructType(manifest(table, toVersion).schema.fields ++ Seq(
+        StructField("_change_type", StringType, nullable = false),
+        StructField("_commit_version", IntegerType, nullable = false))))
+    else steps.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Snapshot history of the live (non-expired) manifests, ascending
     * — the data behind the `.snapshots` metadata table (Iceberg's
     * `table.snapshots` / `table.history` surface). Driver-side by

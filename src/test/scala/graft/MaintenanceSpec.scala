@@ -904,6 +904,76 @@ class MaintenanceSpec extends SparkSpec {
       s"every concurrent tag must survive: $tags")
   }
 
+  test("changelog read: appends are pure INSERTs, merges emit " +
+    "DELETE+INSERT pairs, compaction nets zero, pending delete files " +
+    "refuse") {
+    val t = freshTable("cdc")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    val n = docs.count()
+    // v2 append.
+    val batch = docs.limit(6).withColumn("doc_id", col("doc_id") + 880000L)
+    SnapStore.append(spark, t, batch, "part")
+    // v3 merge: updates only (part 2, every third doc).
+    val upd = docs.filter(col("part") === 2 && pmod(col("doc_id"), lit(3L)) === 2)
+      .withColumn("text", concat(col("text"), lit(" cdc")))
+    val nUpd = upd.count()
+    assert(nUpd > 0)
+    SnapStore.merge(spark, t, upd, "doc_id", "part")
+    // v4 compaction: layout-only — the changelog must net ZERO.
+    val total = SnapStore.currentManifest(t).files.map(_.bytes).sum
+    SnapStore.compact(spark, t, "part", targetBytes = total / 2 + 1)
+
+    val step2 = SnapStore.changelogRead(spark, t, 1, 2)
+    assert(step2.filter(col("_change_type") === "INSERT").count() == 6)
+    assert(step2.filter(col("_change_type") === "DELETE").count() == 0)
+
+    val step3 = SnapStore.changelogRead(spark, t, 2, 3)
+    assert(step3.filter(col("_change_type") === "INSERT").count() == nUpd)
+    assert(step3.filter(col("_change_type") === "DELETE").count() == nUpd)
+    assert(step3.filter(col("_change_type") === "INSERT" &&
+      !col("text").endsWith(" cdc")).count() == 0)
+    assert(step3.filter(col("_change_type") === "DELETE" &&
+      col("text").endsWith(" cdc")).count() == 0)
+
+    assert(SnapStore.changelogRead(spark, t, 3, 4).count() == 0,
+      "compaction must net zero changes")
+    // Whole range at once: same multiset.
+    val full = SnapStore.changelogRead(spark, t, 1, 4)
+    assert(full.count() == 6 + 2 * nUpd)
+    assert(full.filter(col("_commit_version") === 2).count() == 6)
+    // MOR pending deletes refuse (their deletes are invisible to the
+    // file diff).
+    SnapStore.deleteEquality(spark, t,
+      docs.limit(2).select("doc_id"), "doc_id")
+    val e = intercept[IllegalArgumentException] {
+      SnapStore.changelogRead(spark, t, 4, 5)
+    }
+    assert(e.getMessage.contains("applyDeletes"))
+    assert(SnapStore.read(spark, t).count() == n + 6 - 2)
+  }
+
+  test("refs metadata table lists main, tags, and branch heads " +
+    "through the catalog") {
+    val dir = Files.createTempDirectory("graft-snapspec-refs")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part")
+    SnapStore.append(spark, t, docs.limit(2)
+      .withColumn("doc_id", col("doc_id") + 990000L), "part")
+    SnapStore.tag(t, "audit", 1)
+    SnapStore.createBranch(t, "wip")
+    SnapStore.appendToBranch(spark, t, "wip", docs.limit(1)
+      .withColumn("doc_id", col("doc_id") + 995000L), "part")
+    spark.conf.set("spark.graft.catalog.dir.refsspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val rows = spark.sql(
+      "SELECT name, type, version FROM graft.refsspec.docs.refs ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq == Seq(
+      ("audit", "TAG", 1), ("main", "BRANCH", 2), ("wip", "BRANCH", 2)))
+  }
+
   test("registered lifecycle is idempotent: re-running entries " +
     "re-reads the same final snapshots") {
     val a = ops.Maintenance.mergeUpsert(spark, sf).collect()
