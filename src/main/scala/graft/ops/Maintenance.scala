@@ -392,6 +392,25 @@ object Maintenance {
     t
   }
 
+  /** `docs_dml`: SQL-DML lifecycle. v1 create → v2 `DELETE FROM
+    * graft.maint.docs_dml WHERE part = 5 AND tok >= 60` issued as
+    * plain SQL through the catalog — Spark's DSv2 delete path pushes
+    * the predicate into [[graft.sources.SnapTable.deleteWhere]],
+    * which commits a copy-on-write delete rewriting only the files
+    * that held matches.
+    */
+  def ensureDocsDml(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_dml")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1)) {
+      mount(s, dir)
+      s.sql("DELETE FROM graft.maint.docs_dml WHERE part = 5 AND tok >= 60")
+    }
+    mount(s, dir)
+    t
+  }
+
   // ----------------------------------------------------------------
   // Registered entries + oracles.
 
@@ -894,6 +913,35 @@ object Maintenance {
       |SELECT 'main', 'BRANCH', CAST(2 AS INTEGER)
       |ORDER BY name""".stripMargin
 
+  /** Post-SQL-DELETE contents per partition: the oracle recomputes
+    * the surviving set from the predicate, so a hash match proves the
+    * catalog's pushed-filter → COW-delete translation dropped exactly
+    * the matched rows. The file-scoping physical claims are
+    * spec-pinned.
+    */
+  def sqlDelete(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsDml(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val sqlDeleteOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id % $nParts AS part, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents)
+       |SELECT part, COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM f
+       |WHERE NOT (part = 5 AND tok >= 60)
+       |GROUP BY part
+       |ORDER BY part""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -929,5 +977,7 @@ object Maintenance {
     Q("maint_changelog", changelog, Some(changelogOracle),
       "changelog (CDC) read: per-commit file-diff EXCEPT surfaces exactly the net row changes"),
     Q("maint_refs", refs, Some(refsOracle),
-      "refs metadata table: main/tags/branches with their snapshot pointers"))
+      "refs metadata table: main/tags/branches with their snapshot pointers"),
+    Q("maint_sql_delete", sqlDelete, Some(sqlDeleteOracle),
+      "SQL DELETE FROM via the catalog: pushed predicate commits a file-scoped COW delete"))
 }

@@ -97,13 +97,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           throw new UnsupportedOperationException(
             s"$db.$name@v${m.version} has pending delete files; " +
               "read via SnapStore.read or run SnapStore.applyDeletes")
-        ParquetTable(
-          s"$catalogName.$db.$name",
-          session,
-          CaseInsensitiveStringMap.empty(),
-          m.files.map(f => dir.resolve(f.path).toString),
-          userSpecifiedSchema = Some(m.schema),
-          fallbackFileFormat = classOf[ParquetFileFormat])
+        new SnapTable(
+          ParquetTable(
+            s"$catalogName.$db.$name",
+            session,
+            CaseInsensitiveStringMap.empty(),
+            m.files.map(f => dir.resolve(f.path).toString),
+            userSpecifiedSchema = Some(m.schema),
+            fallbackFileFormat = classOf[ParquetFileFormat]),
+          dir)
       }
 
   override def loadTable(ident: Identifier): Table =
@@ -226,8 +228,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
             SnapStore.addColumn(dir, StructField(
               add.fieldNames()(0), add.dataType(), nullable = true))
+          // `DROP COLUMN`: metadata-only narrowing — reads are
+          // schema-driven, so the column simply never projects again.
+          case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
+            SnapStore.dropColumn(dir, del.fieldNames()(0))
           case other => throw new UnsupportedOperationException(
-            s"graft snapshot tables support ADD COLUMN only, got $other")
+            s"graft snapshot tables support ADD/DROP COLUMN only, got $other")
         }
         loadTable(ident)
       case None =>
@@ -483,3 +489,67 @@ object RefsMetadataTable {
 
 final case class RefsPartition(refs: Array[(String, String, Int)])
     extends org.apache.spark.sql.connector.read.InputPartition
+
+/** A SnapStore-backed snapshot table behind the catalog: reads
+  * delegate to Spark's own DSv2 `ParquetTable` over the manifest's
+  * file list (full pushdown, vectorized reads), and the table
+  * additionally implements `SupportsDelete` so SQL
+  * `DELETE FROM catalog.db.t WHERE …` commits a copy-on-write
+  * predicate delete through [[SnapStore.deleteWhere]] — the surface
+  * Iceberg's `SparkTable` exposes. Pushed V1 filters translate to a
+  * `Column` condition; an untranslatable filter makes
+  * `canDeleteWhere` refuse, and Spark reports the table cannot
+  * delete (never a silent wrong answer).
+  */
+final class SnapTable(underlying: Table, dir: java.nio.file.Path)
+    extends Table with SupportsRead with SupportsDelete {
+
+  override def name(): String = underlying.name()
+  override def schema(): StructType = underlying.schema()
+  override def partitioning(): Array[Transform] = underlying.partitioning()
+  override def properties(): util.Map[String, String] = underlying.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    underlying.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    underlying.asInstanceOf[SupportsRead].newScanBuilder(options)
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => SnapTable.toColumn(f).isDefined)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val cond = filters.toSeq.flatMap(SnapTable.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    SnapStore.deleteWhere(SparkSession.active, dir, cond)
+  }
+}
+
+object SnapTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  /** V1 pushed filter → Column condition; None = untranslatable. */
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc && rc
+    case Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}

@@ -679,6 +679,45 @@ object SnapStore {
     (m, newFiles, tryCommitManifest(table, m))
   }
 
+  /** Copy-on-write DELETE by arbitrary predicate — the engine face
+    * behind SQL `DELETE FROM t WHERE cond` (Iceberg's COW delete).
+    * One condition-filtered scan (parquet pushdown applies) finds
+    * the files that HOLD matching rows via `_metadata.file_name`;
+    * only those rewrite with the matches dropped, every other file
+    * carries untouched — at 100 TB a predicate confined to a slice
+    * costs that slice's bytes, and the probe scan reads only what
+    * the pushed-down condition admits. SQL semantics: rows where
+    * `cond` is NULL are kept.
+    */
+  def deleteWhere(spark: SparkSession, table: Path, cond: Column,
+      numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
+    val cur = currentManifest(table)
+    require(cur.deleteFiles.isEmpty,
+      "pending delete files: run applyDeletes first")
+    val hit = spark.read.schema(cur.schema)
+      .parquet(cur.files.map(f => table.resolve(f.path).toString): _*)
+      .filter(cond)
+      .select(col("_metadata.file_name")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val (touched, untouched) = cur.files.partition(f => hit(fileName(f.path)))
+    val v = cur.version + 1
+    val newFiles =
+      if (touched.isEmpty) Seq.empty[FileEntry]
+      else {
+        val partCol = if (cur.partCol.nonEmpty) cur.partCol
+          else cur.schema.fieldNames.head
+        val kept = spark.read.schema(cur.schema)
+          .parquet(touched.map(f => table.resolve(f.path).toString): _*)
+          .filter(!coalesce(cond, lit(false)))
+        writeDataFiles(spark, table, kept, partCol, s"delete-v$v", numFiles,
+          keyCol = cur.keyCol)
+      }
+    val m = Manifest(v, cur.version, "delete", cur.schema,
+      untouched ++ newFiles.map(_.copy(seq = v)), cur.partCol, Seq.empty,
+      cur.keyCol)
+    (m, newFiles, tryCommitManifest(table, m))
+  }
+
   // ----------------------------------------------------------------
   // Merge-on-read delete files (Iceberg v2).
 
@@ -1449,6 +1488,27 @@ object SnapStore {
         s"column ${field.name} already exists")
       val m = Manifest(cur.version + 1, cur.version, "add-column",
         StructType(cur.schema.fields :+ field.copy(nullable = true)),
+        cur.files, cur.partCol, cur.deleteFiles, cur.keyCol)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    }
+
+  /** Schema evolution: `DROP COLUMN` is a pure metadata commit — the
+    * new manifest lists the SAME data files under the narrowed
+    * schema; reads simply never project the column (parquet reads
+    * are schema-driven). The partition and key columns cannot drop
+    * (bounds/pruning would dangle), exactly Iceberg's restriction.
+    */
+  def dropColumn(table: Path, name: String): Manifest =
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      require(cur.schema.fieldNames.contains(name),
+        s"column $name does not exist")
+      require(name != cur.partCol,
+        s"cannot drop the partition column '$name' (evolve the spec first)")
+      require(name != cur.keyCol,
+        s"cannot drop the table key column '$name'")
+      val m = Manifest(cur.version + 1, cur.version, "drop-column",
+        StructType(cur.schema.fields.filterNot(_.name == name)),
         cur.files, cur.partCol, cur.deleteFiles, cur.keyCol)
       (m, Seq.empty, tryCommitManifest(table, m))
     }

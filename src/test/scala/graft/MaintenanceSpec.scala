@@ -974,6 +974,56 @@ class MaintenanceSpec extends SparkSpec {
       ("audit", "TAG", 1), ("main", "BRANCH", 2), ("wip", "BRANCH", 2)))
   }
 
+  test("SQL DELETE FROM through the catalog commits a copy-on-write " +
+    "predicate delete scoped to match-holding files; DROP COLUMN " +
+    "narrows the schema metadata-only") {
+    val dir = Files.createTempDirectory("graft-snapspec-dml")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part")
+    val v1 = SnapStore.currentManifest(t)
+    val mtimes = v1.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+    spark.conf.set("spark.graft.catalog.dir.dmlspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val n = docs.count()
+    val nDel = docs.filter(col("part") === 5 && col("doc_id") >= 200L).count()
+    assert(nDel > 0)
+
+    spark.sql(
+      "DELETE FROM graft.dmlspec.docs WHERE part = 5 AND doc_id >= 200")
+    val v2 = SnapStore.currentManifest(t)
+    assert(v2.operation == "delete" && v2.version == 2)
+    // Only files that HELD matching rows rewrote; the rest carried.
+    val clean = v1.files.filter(f =>
+      !(f.partMin.toLong <= 5 && 5 <= f.partMax.toLong))
+    assert(clean.nonEmpty)
+    clean.foreach { f =>
+      assert(v2.files.exists(_.path == f.path), s"${f.path} must carry")
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path))
+    }
+    val after = spark.table("graft.dmlspec.docs")
+    assert(after.count() == n - nDel)
+    assert(after.filter(col("part") === 5 && col("doc_id") >= 200L)
+      .count() == 0)
+
+    // DROP COLUMN: metadata-only — same files, narrower schema.
+    spark.sql("ALTER TABLE graft.dmlspec.docs DROP COLUMN source")
+    val v3 = SnapStore.currentManifest(t)
+    assert(v3.operation == "drop-column")
+    assert(v3.files.map(_.path) == v2.files.map(_.path), "no data rewrite")
+    assert(!v3.schema.fieldNames.contains("source"))
+    val narrowed = spark.table("graft.dmlspec.docs")
+    assert(!narrowed.columns.contains("source"))
+    assert(narrowed.count() == n - nDel)
+    // The partition column is protected.
+    val e = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.dmlspec.docs DROP COLUMN part")
+    }
+    assert(e.getMessage.contains("partition column"))
+  }
+
   test("registered lifecycle is idempotent: re-running entries " +
     "re-reads the same final snapshots") {
     val a = ops.Maintenance.mergeUpsert(spark, sf).collect()
