@@ -224,6 +224,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     snapDir match {
       case Some(dir) =>
+        // Refuse BEFORE committing anything: the catalog cannot serve
+        // a pending-delete snapshot back from the trailing loadTable,
+        // and a statement that errors must not have half-applied.
+        if (SnapStore.currentManifest(dir).deleteFiles.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"${ident.namespace().mkString(".")}.${ident.name()} has " +
+              "pending delete files; run SnapStore.applyDeletes first")
         changes.foreach {
           case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
             SnapStore.addColumn(dir, StructField(
@@ -351,19 +358,19 @@ object FilesMetadataTable {
 final case class FilesPartition(files: Array[(String, Long)])
     extends org.apache.spark.sql.connector.read.InputPartition
 
-/** `db.table.snapshots` metadata table: one row per live snapshot —
-  * `(version INT, parent INT, operation STRING, n_files BIGINT,
-  * total_rows BIGINT, total_bytes BIGINT)`, ascending by version.
-  * Rows come from [[SnapStore.history]] at scan-planning time (the
-  * manifest log is driver-side metadata, like Iceberg's
-  * `table.snapshots`); they are served through the normal DSv2 batch
-  * path so SQL composes on top.
+/** A driver-side metadata table: the rows are computed on the driver
+  * at scan-planning time (manifests/refs ARE driver metadata) and
+  * served as one partition — the shared read stack behind the
+  * `.snapshots` and `.refs` Iceberg metadata surfaces (the next
+  * surface is a schema + a row thunk, not another DSv2 boilerplate
+  * copy).
   */
-final class SnapshotsMetadataTable(tableName: String,
-    dir: java.nio.file.Path) extends Table with SupportsRead {
+abstract class LocalRowsTable(tableName: String) extends Table with SupportsRead {
+
+  /** Recomputed per scan so a new commit is visible immediately. */
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow]
 
   override def name(): String = tableName
-  override def schema(): StructType = SnapshotsMetadataTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
@@ -371,13 +378,13 @@ final class SnapshotsMetadataTable(tableName: String,
     new ScanBuilder with org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.Batch {
       override def build(): org.apache.spark.sql.connector.read.Scan = this
-      override def readSchema(): StructType = SnapshotsMetadataTable.schema
+      override def readSchema(): StructType = schema()
       override def toBatch: org.apache.spark.sql.connector.read.Batch = this
-      override def description(): String = s"graft-snapshots $dir"
+      override def description(): String = tableName
 
       override def planInputPartitions():
           Array[org.apache.spark.sql.connector.read.InputPartition] =
-        Array(SnapshotsPartition(SnapStore.history(dir).toArray))
+        Array(LocalRowsPartition(rows()))
 
       override def createReaderFactory():
           org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -388,22 +395,37 @@ final class SnapshotsMetadataTable(tableName: String,
                 org.apache.spark.sql.catalyst.InternalRow] =
             new org.apache.spark.sql.connector.read.PartitionReader[
               org.apache.spark.sql.catalyst.InternalRow] {
-              private val it =
-                p.asInstanceOf[SnapshotsPartition].snaps.iterator
-              private var cur: (Int, Int, String, Long, Long, Long) = _
+              private val it = p.asInstanceOf[LocalRowsPartition].rows.iterator
+              private var cur: org.apache.spark.sql.catalyst.InternalRow = _
               override def next(): Boolean = {
                 if (!it.hasNext) return false
                 cur = it.next(); true
               }
-              override def get(): org.apache.spark.sql.catalyst.InternalRow =
-                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                  Array[Any](cur._1, cur._2,
-                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._3),
-                    cur._4, cur._5, cur._6))
+              override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
               override def close(): Unit = ()
             }
         }
     }
+}
+
+final case class LocalRowsPartition(
+    rows: Array[org.apache.spark.sql.catalyst.InternalRow])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** `db.table.snapshots` — the Iceberg `table.snapshots` /
+  * `table.history` surface: one row per LIVE snapshot (version,
+  * parent, operation, file/row/byte totals), dropping expired ones.
+  */
+final class SnapshotsMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = SnapshotsMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    SnapStore.history(dir).map { case (v, parent, op, nf, nr, nb) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](v, parent,
+          org.apache.spark.unsafe.types.UTF8String.fromString(op),
+          nf, nr, nb)): org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
 }
 
 object SnapshotsMetadataTable {
@@ -416,68 +438,28 @@ object SnapshotsMetadataTable {
     StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false)))
 }
 
-final case class SnapshotsPartition(
-    snaps: Array[(Int, Int, String, Long, Long, Long)])
-    extends org.apache.spark.sql.connector.read.InputPartition
-
 /** `db.table.refs` — Iceberg's `table.refs` metadata table: every
-  * named reference of the snapshot table as
-  * `(name, type ∈ TAG|BRANCH, version)`. The implicit `main` branch
-  * reports the current snapshot; branch rows report their head.
-  * Driver-side by definition (refs are metadata).
+  * named reference as `(name, type ∈ TAG|BRANCH, version)`. The
+  * implicit `main` branch reports the current snapshot; branch rows
+  * report their head.
   */
 final class RefsMetadataTable(tableName: String,
-    dir: java.nio.file.Path) extends Table with SupportsRead {
-
-  override def name(): String = tableName
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
   override def schema(): StructType = RefsMetadataTable.schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with org.apache.spark.sql.connector.read.Scan
-      with org.apache.spark.sql.connector.read.Batch {
-      override def build(): org.apache.spark.sql.connector.read.Scan = this
-      override def readSchema(): StructType = RefsMetadataTable.schema
-      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
-      override def description(): String = s"graft-refs $dir"
-
-      override def planInputPartitions():
-          Array[org.apache.spark.sql.connector.read.InputPartition] = {
-        val main = SnapStore.currentVersion(dir)
-          .map(v => ("main", "BRANCH", v)).toSeq
-        val tags = SnapStore.tags(dir).toSeq
-          .map { case (n, v) => (n, "TAG", v) }
-        val branches = SnapStore.listBranches(dir)
-          .map(b => (b, "BRANCH", SnapStore.branchHead(dir, b).get))
-        Array(RefsPartition((main ++ tags ++ branches).sortBy(_._1).toArray))
-      }
-
-      override def createReaderFactory():
-          org.apache.spark.sql.connector.read.PartitionReaderFactory =
-        new org.apache.spark.sql.connector.read.PartitionReaderFactory {
-          override def createReader(
-              p: org.apache.spark.sql.connector.read.InputPartition):
-              org.apache.spark.sql.connector.read.PartitionReader[
-                org.apache.spark.sql.catalyst.InternalRow] =
-            new org.apache.spark.sql.connector.read.PartitionReader[
-              org.apache.spark.sql.catalyst.InternalRow] {
-              private val it = p.asInstanceOf[RefsPartition].refs.iterator
-              private var cur: (String, String, Int) = _
-              override def next(): Boolean = {
-                if (!it.hasNext) return false
-                cur = it.next(); true
-              }
-              override def get(): org.apache.spark.sql.catalyst.InternalRow =
-                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                  Array[Any](
-                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._1),
-                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._2),
-                    cur._3))
-              override def close(): Unit = ()
-            }
-        }
-    }
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val main = SnapStore.currentVersion(dir)
+      .map(v => ("main", "BRANCH", v)).toSeq
+    val tags = SnapStore.tags(dir).toSeq.map { case (n, v) => (n, "TAG", v) }
+    val branches = SnapStore.listBranches(dir)
+      .map(b => (b, "BRANCH", SnapStore.branchHead(dir, b).get))
+    (main ++ tags ++ branches).sortBy(_._1).map { case (n, t, v) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          v)): org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
+  }
 }
 
 object RefsMetadataTable {
@@ -487,8 +469,6 @@ object RefsMetadataTable {
     StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
-final case class RefsPartition(refs: Array[(String, String, Int)])
-    extends org.apache.spark.sql.connector.read.InputPartition
 
 /** A SnapStore-backed snapshot table behind the catalog: reads
   * delegate to Spark's own DSv2 `ParquetTable` over the manifest's
@@ -508,8 +488,12 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
   override def schema(): StructType = underlying.schema()
   override def partitioning(): Array[Transform] = underlying.partitioning()
   override def properties(): util.Map[String, String] = underlying.properties()
+  // Advertise ONLY the read capability: passing through the parquet
+  // table's write capabilities would let INSERT pass the analyzer's
+  // capability check and then die on an internal cast — the surface
+  // is read + SQL DELETE, nothing else.
   override def capabilities(): util.Set[TableCapability] =
-    underlying.capabilities()
+    util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     underlying.asInstanceOf[SupportsRead].newScanBuilder(options)
 

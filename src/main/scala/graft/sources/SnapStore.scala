@@ -226,6 +226,22 @@ object SnapStore {
     manifest(table, currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"No snapshots under $table")))
 
+  /** One manifest's operation tag WITHOUT parsing the full body (no
+    * schema JSON decode) — the cheap read hot per-trigger paths like
+    * the streaming upsert's replay check need.
+    */
+  def operationOf(table: Path, version: Int): String = {
+    val p = manifestPath(table, version)
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(
+        s"Cannot find snapshot $version for table $table " +
+          "(expired or never committed)")
+    Files.readAllLines(p).asScala
+      .collectFirst { case l if l.startsWith("operation=") =>
+        l.drop("operation=".length) }
+      .getOrElse(throw new IllegalStateException(s"manifest $p missing operation"))
+  }
+
   private def manifestBody(m: Manifest): String = {
     val body = new StringBuilder()
       .append(s"version=${m.version}\n")
@@ -469,15 +485,17 @@ object SnapStore {
 
     val eqDeletes = m.deleteFiles.filter(_.kind == "eq")
     val posDeletes = m.deleteFiles.filter(_.kind == "pos")
-    // Which data files have position deletes pending: the distinct
-    // file names inside the pos-delete parquets — driver-side,
-    // bounded by the manifest's file count.
-    val posAffected: Set[String] =
-      if (posDeletes.isEmpty) Set.empty
+    // Position-delete pairs are read ONCE into a driver-local frame
+    // (delete files are tiny by definition — they are what was cheap
+    // enough to not rewrite), reused by every affected group instead
+    // of re-scanning the pos parquets per union branch.
+    val posPairs: Seq[(String, Long)] =
+      if (posDeletes.isEmpty) Seq.empty
       else spark.read
         .parquet(posDeletes.map(d => table.resolve(d.path).toString): _*)
-        .select(col("file")).distinct()
-        .collect().map(_.getString(0)).toSet
+        .select(col("file"), col("pos"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val posAffected: Set[String] = posPairs.map(_._1).toSet
     // Group files by (equality deletes that apply to them, whether a
     // position delete names them): one sub-plan per distinct
     // treatment, unioned. Group count is bounded by the number of
@@ -488,9 +506,8 @@ object SnapStore {
     groups.map { case ((eqs, posHit), fs) =>
       var df = scan(fs)
       if (posHit) {
-        val pd = spark.read
-          .parquet(posDeletes.map(d => table.resolve(d.path).toString): _*)
-          .select(col("file").as("__dfile"), col("pos").as("__dpos"))
+        import spark.implicits._
+        val pd = posPairs.toDF("__dfile", "__dpos")
         df = df
           .withColumn("__fn", col("_metadata.file_name"))
           .withColumn("__ri", col("_metadata.row_index"))
@@ -1300,10 +1317,18 @@ object SnapStore {
     casRefs(table)(_ + (name -> version))
   }
 
+  /** A ref that denotes a numeric snapshot id (non-empty, all
+    * digits, and small enough to parse — an overflowing id must fall
+    * through to the missing-reference error, not NumberFormat).
+    */
+  private def numericRef(ref: String): Option[Int] =
+    if (ref.nonEmpty && ref.length <= 9 && ref.forall(_.isDigit))
+      Some(ref.toInt)
+    else None
+
   /** Resolve a version string as a tag name or numeric version. */
   def resolveVersion(table: Path, ref: String): Int =
-    if (ref.forall(_.isDigit)) ref.toInt
-    else tags(table).getOrElse(ref,
+    numericRef(ref).orElse(tags(table).get(ref)).getOrElse(
       throw new IllegalArgumentException(
         s"Cannot find snapshot reference '$ref' for table $table"))
 
@@ -1312,8 +1337,8 @@ object SnapStore {
     * catalog's `VERSION AS OF` surface.
     */
   def resolveManifest(table: Path, ref: String): Manifest =
-    if (ref.forall(_.isDigit)) manifest(table, ref.toInt)
-    else tags(table).get(ref).map(manifest(table, _))
+    numericRef(ref).map(manifest(table, _))
+      .orElse(tags(table).get(ref).map(manifest(table, _)))
       .orElse(branchHead(table, ref).map(branchManifest(table, ref, _)))
       .getOrElse(throw new IllegalArgumentException(
         s"Cannot find snapshot reference '$ref' for table $table"))
@@ -1395,8 +1420,14 @@ object SnapStore {
     require(name.matches(BranchName), s"branch name '$name' must match $BranchName")
     require(branchHead(table, name).isEmpty, s"branch '$name' already exists")
     val cur = currentManifest(table)
+    // Branch chains carry no delete files: a branch numbers its own
+    // sequence space, so a main-stamped pending delete would compare
+    // against branch-local sequences and suppress the wrong rows.
+    // Fold first — the same precondition the COW ops have.
+    require(cur.deleteFiles.isEmpty,
+      "pending delete files: run applyDeletes before branching")
     val m = Manifest(1, cur.version, "branch-create", cur.schema, cur.files,
-      cur.partCol, cur.deleteFiles, cur.keyCol)
+      cur.partCol, Seq.empty, cur.keyCol)
     if (!installExclusive(branchManifestPath(table, name, 1), manifestBody(m)))
       throw new java.util.ConcurrentModificationException(
         s"branch '$name' was created concurrently for $table")
@@ -1463,8 +1494,17 @@ object SnapStore {
         s"main is at ${cur.version} but branch '$name' forked from " +
           s"${fork.parent} — not fast-forwardable (rebase the branch)")
       val head = branchManifest(table, name, branchHead(table, name).get)
-      val m = Manifest(cur.version + 1, cur.version, s"fast-forward-$name",
-        head.schema, head.files, head.partCol, head.deleteFiles, head.keyCol)
+      val v = cur.version + 1
+      // Files the branch ADDED enter main's sequence space at the
+      // fast-forward version (they become visible to main readers
+      // now) — a later equality delete (seq > v) applies to them, an
+      // earlier one never existed here (branching over pending
+      // deletes is refused). Files main already knew keep their seq.
+      val mainPaths = cur.files.map(_.path).toSet
+      val adopted = head.files.map(f =>
+        if (mainPaths(f.path)) f else f.copy(seq = v))
+      val m = Manifest(v, cur.version, s"fast-forward-$name",
+        head.schema, adopted, head.partCol, Seq.empty, head.keyCol)
       (m, Seq.empty, tryCommitManifest(table, m))
     }
 
@@ -1507,6 +1547,9 @@ object SnapStore {
         s"cannot drop the partition column '$name' (evolve the spec first)")
       require(name != cur.keyCol,
         s"cannot drop the table key column '$name'")
+      require(cur.deleteFiles.forall(d => d.keyCol != name),
+        s"cannot drop '$name': a pending equality-delete file is " +
+          "keyed on it — run applyDeletes first")
       val m = Manifest(cur.version + 1, cur.version, "drop-column",
         StructType(cur.schema.fields.filterNot(_.name == name)),
         cur.files, cur.partCol, cur.deleteFiles, cur.keyCol)

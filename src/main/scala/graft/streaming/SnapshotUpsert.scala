@@ -43,8 +43,10 @@ object SnapshotUpsert {
     */
   def committed(table: Path, batchId: Long): Boolean = {
     val tag = epochTag(batchId)
+    // operationOf reads just the tag line — no schema JSON parse per
+    // manifest on this per-trigger path.
     SnapStore.liveVersions(table).reverseIterator
-      .exists(v => SnapStore.manifest(table, v).operation == tag)
+      .exists(v => SnapStore.operationOf(table, v) == tag)
   }
 
   /** The `foreachBatch` body: merge one microbatch of changes

@@ -791,6 +791,12 @@ class MaintenanceSpec extends SparkSpec {
     SnapStore.createBranch(t, "exp")
     assert(SnapStore.listBranches(t) == Seq("exp", "ingest"))
     intercept[IllegalArgumentException] { SnapStore.createBranch(t, "ingest") }
+    // An overflowing all-digit ref gets the missing-reference error,
+    // not NumberFormatException.
+    val big = intercept[IllegalArgumentException] {
+      SnapStore.resolveManifest(t, "99999999999")
+    }
+    assert(big.getMessage.contains("Cannot find snapshot reference"))
 
     // Two branches diverge with their own appends; main never moves.
     SnapStore.appendToBranch(spark, t, "ingest",
@@ -815,10 +821,18 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.table("graft.brspec.docs").count() == n)
 
     // Fast-forward main to ingest: metadata commit with the branch
-    // head's files; branch data now serves on main.
+    // head's files; branch data now serves on main. Files the branch
+    // ADDED enter main's sequence space at the FF version, so a
+    // LATER equality delete suppresses them and an earlier one never
+    // applies (branching over pending deletes is refused).
     SnapStore.fastForward(t, "ingest")
     assert(SnapStore.read(spark, t).count() == n + 7)
-    assert(SnapStore.currentManifest(t).operation == "fast-forward-ingest")
+    val ff = SnapStore.currentManifest(t)
+    assert(ff.operation == "fast-forward-ingest")
+    val baseP = SnapStore.manifest(t, 1).files.map(_.path).toSet
+    ff.files.filterNot(f => baseP(f.path)).foreach(f =>
+      assert(f.seq == ff.version,
+        s"branch-added ${f.path} must re-stamp to the FF version"))
     // exp forked from version 1; main is now at 2 → not FF-able.
     val stale = intercept[IllegalArgumentException] {
       SnapStore.fastForward(t, "exp")
@@ -848,6 +862,13 @@ class MaintenanceSpec extends SparkSpec {
     exclusives.foreach(p => assert(!Files.exists(t.resolve(p))))
     assert(SnapStore.read(spark, t).count() == n + 7)
     assert(SnapStore.readBranch(spark, t, "ingest").count() == n + 7)
+    // With pending deletes, branching refuses (a main-stamped delete
+    // cannot scope against branch-local sequences).
+    SnapStore.deleteEquality(spark, t,
+      docs.limit(1).select("doc_id"), "doc_id")
+    assert(intercept[IllegalArgumentException] {
+      SnapStore.createBranch(t, "late")
+    }.getMessage.contains("applyDeletes"))
   }
 
   test("typed partition bounds: a DATE-partitioned table prunes " +
