@@ -411,6 +411,26 @@ object Maintenance {
     t
   }
 
+  /** `docs_ins`: SQL-INSERT lifecycle. v1 create → v2 `INSERT INTO
+    * graft.maint.docs_ins SELECT …` re-keying every twenty-ninth doc
+    * (`+500000`, source `srcI`) from the table itself — the append
+    * commits through the catalog's DSv2 V1Write bridge.
+    */
+  def ensureDocsIns(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_ins")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1)) {
+      mount(s, dir)
+      s.sql(
+        """INSERT INTO graft.maint.docs_ins
+          |SELECT doc_id + 500000, part, 'srcI', text, tok
+          |FROM graft.maint.docs_ins WHERE doc_id % 29 = 0""".stripMargin)
+    }
+    mount(s, dir)
+    t
+  }
+
   // ----------------------------------------------------------------
   // Registered entries + oracles.
 
@@ -942,6 +962,32 @@ object Maintenance {
        |GROUP BY part
        |ORDER BY part""".stripMargin
 
+  /** Post-SQL-INSERT contents per source: the oracle recomputes the
+    * base-plus-reinserted-batch union, so a hash match proves the
+    * catalog's V1Write append committed exactly the selected rows.
+    */
+  def sqlInsert(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsIns(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val sqlInsertOracle: String =
+    s"""WITH b AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL
+       |  SELECT 'srcI' AS source, text FROM documents WHERE doc_id % 29 = 0)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM b
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -979,5 +1025,7 @@ object Maintenance {
     Q("maint_refs", refs, Some(refsOracle),
       "refs metadata table: main/tags/branches with their snapshot pointers"),
     Q("maint_sql_delete", sqlDelete, Some(sqlDeleteOracle),
-      "SQL DELETE FROM via the catalog: pushed predicate commits a file-scoped COW delete"))
+      "SQL DELETE FROM via the catalog: pushed predicate commits a file-scoped COW delete"),
+    Q("maint_sql_insert", sqlInsert, Some(sqlInsertOracle),
+      "SQL INSERT INTO via the catalog: V1Write append commits a snapshot"))
 }

@@ -482,18 +482,21 @@ object RefsMetadataTable {
   * delete (never a silent wrong answer).
   */
 final class SnapTable(underlying: Table, dir: java.nio.file.Path)
-    extends Table with SupportsRead with SupportsDelete {
+    extends Table with SupportsRead with SupportsDelete
+    with SupportsWrite {
 
   override def name(): String = underlying.name()
   override def schema(): StructType = underlying.schema()
   override def partitioning(): Array[Transform] = underlying.partitioning()
   override def properties(): util.Map[String, String] = underlying.properties()
-  // Advertise ONLY the read capability: passing through the parquet
-  // table's write capabilities would let INSERT pass the analyzer's
-  // capability check and then die on an internal cast — the surface
-  // is read + SQL DELETE, nothing else.
+  // Advertise exactly the implemented surface (read + V1 batch
+  // write): passing through the parquet table's capability set would
+  // let unimplemented paths pass the analyzer's capability check and
+  // then die on an internal cast.
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     underlying.asInstanceOf[SupportsRead].newScanBuilder(options)
 
@@ -508,6 +511,41 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     SnapStore.deleteWhere(SparkSession.active, dir, cond)
   }
+
+  /** SQL `INSERT INTO` → [[SnapStore.append]] and `INSERT OVERWRITE`
+    * → [[SnapStore.overwrite]], through the DSv2 V1Write bridge (the
+    * same surface Spark's JDBC connector writes with): Spark aligns
+    * the query's columns to the table schema, hands the aligned
+    * DataFrame to the relation, and the append/overwrite commits a
+    * snapshot atomically with the usual write-time stats.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder
+      with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replace = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        replace = true; this
+      }
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation:
+              org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwrite: Boolean): Unit = {
+                val cur = SnapStore.currentManifest(dir)
+                val partCol =
+                  if (cur.partCol.nonEmpty) cur.partCol
+                  else cur.schema.fieldNames.head
+                if (replace || overwrite)
+                  SnapStore.overwrite(data.sparkSession, dir, data, partCol)
+                else SnapStore.append(data.sparkSession, dir, data, partCol)
+              }
+            }
+        }
+    }
 }
 
 object SnapTable {

@@ -1032,6 +1032,33 @@ object SnapStore {
     }
   }
 
+  /** Full-table OVERWRITE — the commit behind SQL `INSERT OVERWRITE`:
+    * a new snapshot listing ONLY the new files (old files and any
+    * pending delete files become moot together — the delete debt
+    * dies with the rows it applied to). The displaced files expire
+    * with their snapshots.
+    */
+  def overwrite(spark: SparkSession, table: Path, df: DataFrame,
+      partCol: String, numFiles: Int = 8): Manifest = {
+    val cur0 = currentManifest(table)
+    val newFiles = writeDataFiles(spark, table,
+      df.select(cur0.schema.fieldNames.map(col): _*), partCol,
+      s"overwrite-${UUID.randomUUID().toString.take(8)}", numFiles,
+      keyCol = cur0.keyCol)
+    try withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      val v = cur.version + 1
+      val m = Manifest(v, cur.version, "overwrite", cur.schema,
+        newFiles.map(_.copy(seq = v)),
+        if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
+        cur.keyCol)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    } catch { case NonFatal(e) =>
+      newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
+      throw e
+    }
+  }
+
   /** Bin-pack small-file compaction — the core Iceberg maintenance
     * action (`rewrite_data_files`). Files are walked in partition
     * order and packed into bins of ≈`targetBytes`; single-file bins

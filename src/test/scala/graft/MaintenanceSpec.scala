@@ -1043,6 +1043,34 @@ class MaintenanceSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.dmlspec.docs DROP COLUMN part")
     }
     assert(e.getMessage.contains("partition column"))
+
+    // INSERT INTO appends a snapshot through the catalog (V1Write).
+    val nNow = n - nDel
+    spark.sql(
+      """INSERT INTO graft.dmlspec.docs
+        |SELECT doc_id + 700000, part, text
+        |FROM graft.dmlspec.docs WHERE doc_id < 50""".stripMargin)
+    val v4 = SnapStore.currentManifest(t)
+    assert(v4.operation == "append")
+    val nIns = spark.table("graft.dmlspec.docs")
+      .filter(col("doc_id") >= 700000L).count()
+    assert(nIns > 0)
+    assert(spark.table("graft.dmlspec.docs").count() == nNow + nIns)
+
+    // INSERT OVERWRITE replaces the table contents in one snapshot.
+    spark.sql(
+      """INSERT OVERWRITE graft.dmlspec.docs
+        |SELECT doc_id, part, text
+        |FROM graft.dmlspec.docs WHERE part = 2""".stripMargin)
+    val v5 = SnapStore.currentManifest(t)
+    assert(v5.operation == "overwrite")
+    val after5 = spark.table("graft.dmlspec.docs")
+    assert(after5.filter(col("part") =!= 2).count() == 0)
+    assert(after5.count() > 0)
+    // Old contents still time-travel.
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft.dmlspec.docs VERSION AS OF 4")
+      .head().getLong(0) == nNow + nIns)
   }
 
   test("registered lifecycle is idempotent: re-running entries " +
