@@ -431,6 +431,30 @@ object Maintenance {
     t
   }
 
+  /** `docs_proc`: stored-procedure lifecycle. v1 create → v2 append
+    * (every thirty-first doc re-keyed `+600000`, source `srcP`) →
+    * v3 `CALL graft.system.rollback_to_snapshot(...)` undoing it —
+    * the maintenance action driven entirely through the SQL CALL
+    * surface.
+    */
+  def ensureDocsProc(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_proc")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.append(s, t,
+        base(s, dir).filter(pmod(col("doc_id"), lit(31L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 600000L)
+          .withColumn("source", lit("srcP")),
+        partCol)
+    if (SnapStore.currentVersion(t).contains(2)) {
+      mount(s, dir)
+      s.sql("CALL graft.system.rollback_to_snapshot('maint.docs_proc', 1)")
+    }
+    mount(s, dir)
+    t
+  }
+
   // ----------------------------------------------------------------
   // Registered entries + oracles.
 
@@ -988,6 +1012,30 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** The snapshot log after the CALL-driven rollback, plus the
+    * current contents' row total riding in the rollback row: the
+    * oracle recomputes each snapshot's totals from the fixture, so a
+    * match proves the SQL procedure surface performed the same
+    * metadata commit the API does.
+    */
+  def callProcedure(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsProc(s, dir)
+    s.sql("""SELECT version, operation, total_rows
+             FROM graft.maint.docs_proc.snapshots
+             ORDER BY version""")
+  }
+
+  val callProcedureOracle: String =
+    """WITH c AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE doc_id % 31 = 0) AS n31
+      |  FROM documents)
+      |SELECT CAST(1 AS INTEGER) AS version, 'create' AS operation,
+      |  CAST(n AS BIGINT) AS total_rows FROM c
+      |UNION ALL SELECT 2, 'append', CAST(n + n31 AS BIGINT) FROM c
+      |UNION ALL SELECT 3, 'rollback', CAST(n AS BIGINT) FROM c
+      |ORDER BY version""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -1027,5 +1075,7 @@ object Maintenance {
     Q("maint_sql_delete", sqlDelete, Some(sqlDeleteOracle),
       "SQL DELETE FROM via the catalog: pushed predicate commits a file-scoped COW delete"),
     Q("maint_sql_insert", sqlInsert, Some(sqlInsertOracle),
-      "SQL INSERT INTO via the catalog: V1Write append commits a snapshot"))
+      "SQL INSERT INTO via the catalog: V1Write append commits a snapshot"),
+    Q("maint_call_procedure", callProcedure, Some(callProcedureOracle),
+      "CALL graft.system.* stored procedures: maintenance through the SQL CALL surface"))
 }

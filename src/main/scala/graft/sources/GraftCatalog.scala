@@ -43,7 +43,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (not captured at `initialize`) so a fixture materialized after
   * the catalog's first load is immediately visible.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog {
+
+  // `CALL <catalog>.system.<proc>(…)` — the Iceberg maintenance
+  // procedure surface, served through Spark 4's DSv2
+  // ProcedureCatalog API ([[GraftProcedures]]).
+  override def loadProcedure(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(ident)
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    GraftProcedures.list(namespace)
+
   private var catalogName: String = _
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -375,35 +386,45 @@ abstract class LocalRowsTable(tableName: String) extends Table with SupportsRead
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with org.apache.spark.sql.connector.read.Scan
-      with org.apache.spark.sql.connector.read.Batch {
-      override def build(): org.apache.spark.sql.connector.read.Scan = this
-      override def readSchema(): StructType = schema()
-      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
-      override def description(): String = tableName
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new LocalScan(schema(), rows(), tableName)
+    }
+}
 
-      override def planInputPartitions():
-          Array[org.apache.spark.sql.connector.read.InputPartition] =
-        Array(LocalRowsPartition(rows()))
+/** A one-partition scan over driver-computed rows — shared by the
+  * metadata tables and the `CALL` procedure results.
+  */
+final class LocalScan(schemaV: StructType,
+    rowsV: Array[org.apache.spark.sql.catalyst.InternalRow], desc: String)
+    extends org.apache.spark.sql.connector.read.LocalScan
+    with org.apache.spark.sql.connector.read.Batch {
+  override def readSchema(): StructType = schemaV
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = rowsV
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String = desc
 
-      override def createReaderFactory():
-          org.apache.spark.sql.connector.read.PartitionReaderFactory =
-        new org.apache.spark.sql.connector.read.PartitionReaderFactory {
-          override def createReader(
-              p: org.apache.spark.sql.connector.read.InputPartition):
-              org.apache.spark.sql.connector.read.PartitionReader[
-                org.apache.spark.sql.catalyst.InternalRow] =
-            new org.apache.spark.sql.connector.read.PartitionReader[
-              org.apache.spark.sql.catalyst.InternalRow] {
-              private val it = p.asInstanceOf[LocalRowsPartition].rows.iterator
-              private var cur: org.apache.spark.sql.catalyst.InternalRow = _
-              override def next(): Boolean = {
-                if (!it.hasNext) return false
-                cur = it.next(); true
-              }
-              override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
-              override def close(): Unit = ()
-            }
+  override def planInputPartitions():
+      Array[org.apache.spark.sql.connector.read.InputPartition] =
+    Array(LocalRowsPartition(rowsV))
+
+  override def createReaderFactory():
+      org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new org.apache.spark.sql.connector.read.PartitionReaderFactory {
+      override def createReader(
+          p: org.apache.spark.sql.connector.read.InputPartition):
+          org.apache.spark.sql.connector.read.PartitionReader[
+            org.apache.spark.sql.catalyst.InternalRow] =
+        new org.apache.spark.sql.connector.read.PartitionReader[
+          org.apache.spark.sql.catalyst.InternalRow] {
+          private val it = p.asInstanceOf[LocalRowsPartition].rows.iterator
+          private var cur: org.apache.spark.sql.catalyst.InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            cur = it.next(); true
+          }
+          override def get(): org.apache.spark.sql.catalyst.InternalRow = cur
+          override def close(): Unit = ()
         }
     }
 }

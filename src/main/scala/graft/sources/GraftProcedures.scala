@@ -1,0 +1,182 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.Scan
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The `CALL <catalog>.system.<proc>(…)` maintenance surface —
+  * Iceberg's stored-procedure family (`expire_snapshots`,
+  * `rewrite_data_files`, `rollback_to_snapshot`,
+  * `remove_orphan_files`, `fast_forward`, `create_tag`,
+  * `create_branch`, `apply_deletes`), served through Spark 4's DSv2
+  * `ProcedureCatalog` API so plain SQL drives the [[SnapStore]]
+  * maintenance actions:
+  *
+  * {{{
+  * CALL graft.system.expire_snapshots(table => 'maint.docs', retain_last => 1)
+  * CALL graft.system.rewrite_data_files('maint.docs_frag', 134217728)
+  * }}}
+  *
+  * Each procedure resolves its `table` argument (`db.tbl`) against
+  * the session's mounted warehouses, performs ONE SnapStore action,
+  * and returns its outcome as a single-row result scan — the same
+  * shape Iceberg procedures report.
+  */
+object GraftProcedures {
+
+  private def str(n: String) = ProcedureParameter.in(n, StringType).build()
+  private def int(n: String) = ProcedureParameter.in(n, IntegerType).build()
+  private def lng(n: String) = ProcedureParameter.in(n, LongType).build()
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Resolve `db.tbl` to a mounted snapshot-table root. */
+  private def tableDir(ref: String): Path = {
+    val parts = ref.split('.')
+    require(parts.length == 2,
+      s"table must be 'db.table', got '$ref'")
+    val dir = spark.conf.getOption(s"spark.graft.catalog.dir.${parts(0)}")
+      .map(Paths.get(_).resolve(parts(1)))
+      .filter(d => Files.isDirectory(d) && SnapStore.isSnapTable(d))
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$ref' is not a mounted snapshot table"))
+    dir
+  }
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  /** One procedure: fixed IN parameters, a result schema, and the
+    * action producing the single result row.
+    */
+  private final class Proc(
+      procName: String,
+      params: Array[ProcedureParameter],
+      resultSchema: StructType,
+      action: InternalRow => Array[Any])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft system procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false // side-effecting
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](new LocalScan(resultSchema,
+        Array[InternalRow](new GenericInternalRow(action(input))),
+        s"graft-procedure $procName")).iterator()
+  }
+
+  private val procs: Map[String, UnboundProcedure] = Map(
+    // Iceberg expire_snapshots: drop old manifests + orphaned files.
+    "expire_snapshots" -> new Proc("expire_snapshots",
+      Array(str("table"), int("retain_last")),
+      StructType(Seq(
+        StructField("expired_snapshots", IntegerType, nullable = false),
+        StructField("deleted_data_files", IntegerType, nullable = false))),
+      { in =>
+        val (expired, deleted) =
+          SnapStore.expire(tableDir(in.getUTF8String(0).toString), in.getInt(1))
+        Array[Any](expired.size, deleted.size)
+      }),
+    // Iceberg rewrite_data_files: bin-pack compaction to target size.
+    "rewrite_data_files" -> new Proc("rewrite_data_files",
+      Array(str("table"), lng("target_bytes")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("data_files", IntegerType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val cur = SnapStore.currentManifest(dir)
+        require(cur.partCol.nonEmpty, "table has no partition spec")
+        val m = SnapStore.compact(spark, dir, cur.partCol, in.getLong(1))
+        Array[Any](m.version, m.files.size)
+      }),
+    // Iceberg rollback_to_snapshot.
+    "rollback_to_snapshot" -> new Proc("rollback_to_snapshot",
+      Array(str("table"), int("version")),
+      StructType(Seq(
+        StructField("previous_version", IntegerType, nullable = false),
+        StructField("current_version", IntegerType, nullable = false))),
+      { in =>
+        val m = SnapStore.rollback(
+          tableDir(in.getUTF8String(0).toString), in.getInt(1))
+        Array[Any](m.parent, m.version)
+      }),
+    // Iceberg remove_orphan_files (older_than guard in millis).
+    "remove_orphan_files" -> new Proc("remove_orphan_files",
+      Array(str("table"), lng("min_age_ms")),
+      StructType(Seq(
+        StructField("orphan_files_deleted", IntegerType, nullable = false))),
+      { in =>
+        Array[Any](SnapStore.removeOrphans(
+          tableDir(in.getUTF8String(0).toString), in.getLong(1)).size)
+      }),
+    // Iceberg fast_forward (main adopts a branch head).
+    "fast_forward" -> new Proc("fast_forward",
+      Array(str("table"), str("branch")),
+      StructType(Seq(
+        StructField("branch", StringType, nullable = false),
+        StructField("current_version", IntegerType, nullable = false))),
+      { in =>
+        val b = in.getUTF8String(1).toString
+        val m = SnapStore.fastForward(tableDir(in.getUTF8String(0).toString), b)
+        Array[Any](u(b), m.version)
+      }),
+    // Iceberg create_tag (expiry-protected named pin).
+    "create_tag" -> new Proc("create_tag",
+      Array(str("table"), str("tag"), int("version")),
+      StructType(Seq(
+        StructField("tag", StringType, nullable = false),
+        StructField("version", IntegerType, nullable = false))),
+      { in =>
+        val t = in.getUTF8String(1).toString
+        SnapStore.tag(tableDir(in.getUTF8String(0).toString), t, in.getInt(2))
+        Array[Any](u(t), in.getInt(2))
+      }),
+    // Iceberg create_branch (fork from the current snapshot).
+    "create_branch" -> new Proc("create_branch",
+      Array(str("table"), str("branch")),
+      StructType(Seq(
+        StructField("branch", StringType, nullable = false),
+        StructField("fork_version", IntegerType, nullable = false))),
+      { in =>
+        val b = in.getUTF8String(1).toString
+        val m = SnapStore.createBranch(tableDir(in.getUTF8String(0).toString), b)
+        Array[Any](u(b), m.parent)
+      }),
+    // Fold pending delete files back into the data (the rewrite face
+    // of Iceberg's rewrite_position_delete_files / delete compaction).
+    "apply_deletes" -> new Proc("apply_deletes",
+      Array(str("table")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("data_files", IntegerType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val cur = SnapStore.currentManifest(dir)
+        require(cur.partCol.nonEmpty, "table has no partition spec")
+        val m = SnapStore.applyDeletes(spark, dir, cur.partCol)
+        Array[Any](m.version, m.files.size)
+      }))
+
+  val namespace: Array[String] = Array("system")
+
+  def list(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(namespace))
+      procs.keys.toArray.sorted.map(Identifier.of(namespace, _))
+    else Array.empty
+
+  def load(ident: Identifier): UnboundProcedure = {
+    require(ident.namespace().sameElements(namespace),
+      s"no procedure namespace ${ident.namespace().mkString(".")}")
+    procs.getOrElse(ident.name(),
+      throw new IllegalArgumentException(
+        s"no procedure system.${ident.name()}"))
+  }
+}

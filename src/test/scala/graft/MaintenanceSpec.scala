@@ -1073,6 +1073,72 @@ class MaintenanceSpec extends SparkSpec {
       .head().getLong(0) == nNow + nIns)
   }
 
+  test("CALL graft.system procedures drive the maintenance family " +
+    "through plain SQL") {
+    val dir = Files.createTempDirectory("graft-snapspec-proc")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part")
+    SnapStore.append(spark, t, docs.limit(4)
+      .withColumn("doc_id", col("doc_id") + 770000L), "part")
+    spark.conf.set("spark.graft.catalog.dir.procspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val n = docs.count()
+
+    // create_tag pins v1; rollback_to_snapshot undoes the append.
+    val tag = spark.sql(
+      "CALL graft.system.create_tag('procspec.docs', 'keep', 1)").head()
+    assert((tag.getString(0), tag.getInt(1)) == ("keep", 1))
+    val rb = spark.sql(
+      "CALL graft.system.rollback_to_snapshot('procspec.docs', 1)").head()
+    assert((rb.getInt(0), rb.getInt(1)) == (2, 3))
+    assert(spark.table("graft.procspec.docs").count() == n)
+
+    // rewrite_data_files compacts to one file (huge target).
+    val rw = spark.sql(
+      "CALL graft.system.rewrite_data_files('procspec.docs', 1000000000)")
+      .head()
+    assert(rw.getInt(0) == 4 && rw.getInt(1) == 1)
+    assert(SnapStore.currentManifest(t).files.size == 1)
+    assert(spark.table("graft.procspec.docs").count() == n)
+
+    // expire_snapshots: tag-protected v1 survives, v2/v3 expire.
+    val ex = spark.sql(
+      "CALL graft.system.expire_snapshots('procspec.docs', 1)").head()
+    assert(ex.getInt(0) == 2, s"expected v2+v3 expired, got $ex")
+    assert(SnapStore.liveVersions(t) == Seq(1, 4))
+
+    // create_branch + fast_forward through CALL.
+    val cb = spark.sql(
+      "CALL graft.system.create_branch('procspec.docs', 'wip')").head()
+    assert((cb.getString(0), cb.getInt(1)) == ("wip", 4))
+    SnapStore.appendToBranch(spark, t, "wip", docs.limit(2)
+      .withColumn("doc_id", col("doc_id") + 775000L), "part")
+    val ff = spark.sql(
+      "CALL graft.system.fast_forward('procspec.docs', 'wip')").head()
+    assert((ff.getString(0), ff.getInt(1)) == ("wip", 5))
+    assert(spark.table("graft.procspec.docs").count() == n + 2)
+
+    // apply_deletes folds a pending equality delete; orphan cleanup
+    // finds nothing afterwards (everything is referenced or expired).
+    SnapStore.deleteEquality(spark, t, docs.limit(3).select("doc_id"),
+      "doc_id")
+    val ad = spark.sql(
+      "CALL graft.system.apply_deletes('procspec.docs')").head()
+    assert(ad.getInt(0) == 7)
+    assert(spark.table("graft.procspec.docs").count() == n + 2 - 3)
+    val ro = spark.sql(
+      "CALL graft.system.remove_orphan_files('procspec.docs', 0)").head()
+    assert(ro.getInt(0) == 0, s"no orphans expected, got $ro")
+
+    // Unknown procedure raises.
+    val bad = intercept[Exception] {
+      spark.sql("CALL graft.system.nope('x', 1)").collect()
+    }
+    assert(bad.getMessage.contains("nope"))
+  }
+
   test("registered lifecycle is idempotent: re-running entries " +
     "re-reads the same final snapshots") {
     val a = ops.Maintenance.mergeUpsert(spark, sf).collect()
