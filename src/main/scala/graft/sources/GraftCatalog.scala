@@ -152,8 +152,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new NoSuchTableException(ident))
         if (SnapStore.isSnapTable(dir))
           new FilesMetadataTable(s"$catalogName.$db.$table.files", dir,
-            Some(SnapStore.currentManifest(dir).files
-              .map(f => (dir.resolve(f.path).toString, f.bytes))))
+            Some(SnapStore.currentManifest(dir).files))
         else if (java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
           new FilesMetadataTable(s"$catalogName.$db.$table.files", dir)
         else throw new NoSuchTableException(ident)
@@ -301,73 +300,51 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * served through the normal DSv2 batch-read path so the result
   * composes with any SQL on top.
   */
+/** `db.table.files` — the Iceberg `table.files` metadata surface.
+  * For a snapshot table the listing is the LIVE manifest's file set
+  * WITH its write-time stats (record count, typed partition bounds,
+  * the spec those bounds describe, the sequence number) — what an
+  * engine inspects to reason about layout and pruning without
+  * touching data. For a plain parquet directory it is the recursive
+  * walk with the stats columns null.
+  */
 final class FilesMetadataTable(tableName: String, dir: java.nio.file.Path,
-    explicit: Option[Seq[(String, Long)]] = None)
-    extends Table with SupportsRead {
-
-  override def name(): String = tableName
+    manifestFiles: Option[Seq[SnapStore.FileEntry]] = None)
+    extends LocalRowsTable(tableName) {
   override def schema(): StructType = FilesMetadataTable.schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with org.apache.spark.sql.connector.read.Scan
-      with org.apache.spark.sql.connector.read.Batch {
-      override def build(): org.apache.spark.sql.connector.read.Scan = this
-      override def readSchema(): StructType = FilesMetadataTable.schema
-      override def toBatch: org.apache.spark.sql.connector.read.Batch = this
-      override def description(): String = s"graft-files $dir"
-
-      override def planInputPartitions():
-          Array[org.apache.spark.sql.connector.read.InputPartition] = {
-        val files = explicit match {
-          case Some(fs) => fs.toArray.sortBy(_._1)
-          case None =>
-            val walk = java.nio.file.Files.walk(dir)
-            try walk.iterator().asScala
-              .filter(p => java.nio.file.Files.isRegularFile(p) &&
-                p.getFileName.toString.endsWith(".parquet"))
-              .map(p => (p.toString, java.nio.file.Files.size(p)))
-              .toArray.sortBy(_._1)
-            finally walk.close()
-        }
-        Array(FilesPartition(files))
-      }
-
-      override def createReaderFactory():
-          org.apache.spark.sql.connector.read.PartitionReaderFactory =
-        new org.apache.spark.sql.connector.read.PartitionReaderFactory {
-          override def createReader(
-              p: org.apache.spark.sql.connector.read.InputPartition):
-              org.apache.spark.sql.connector.read.PartitionReader[
-                org.apache.spark.sql.catalyst.InternalRow] =
-            new org.apache.spark.sql.connector.read.PartitionReader[
-              org.apache.spark.sql.catalyst.InternalRow] {
-              private val it = p.asInstanceOf[FilesPartition].files.iterator
-              private var cur: (String, Long) = _
-              override def next(): Boolean = {
-                if (!it.hasNext) return false
-                cur = it.next(); true
-              }
-              override def get(): org.apache.spark.sql.catalyst.InternalRow =
-                new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-                  Array[Any](
-                    org.apache.spark.unsafe.types.UTF8String.fromString(cur._1),
-                    cur._2))
-              override def close(): Unit = ()
-            }
-        }
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val tuples: Seq[Array[Any]] = manifestFiles match {
+      case Some(fs) => fs.map(f => Array[Any](
+        u(dir.resolve(f.path).toString), f.bytes, f.rows,
+        u(f.partMin), u(f.partMax), u(f.specCol), f.seq))
+        .sortBy(_(0).toString)
+      case None =>
+        val walk = java.nio.file.Files.walk(dir)
+        try walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => Array[Any](u(p.toString),
+            java.nio.file.Files.size(p), null, null, null, null, null))
+          .toSeq.sortBy(_(0).toString)
+        finally walk.close()
     }
+    tuples.map(t =>
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(t):
+        org.apache.spark.sql.catalyst.InternalRow).toArray
+  }
 }
 
 object FilesMetadataTable {
   val schema: StructType = StructType(Seq(
     StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
-    StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false)))
+    StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("record_count", org.apache.spark.sql.types.LongType, nullable = true),
+    StructField("partition_min", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("partition_max", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("spec_col", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("seq", org.apache.spark.sql.types.IntegerType, nullable = true)))
 }
-
-final case class FilesPartition(files: Array[(String, Long)])
-    extends org.apache.spark.sql.connector.read.InputPartition
 
 /** A driver-side metadata table: the rows are computed on the driver
   * at scan-planning time (manifests/refs ARE driver metadata) and

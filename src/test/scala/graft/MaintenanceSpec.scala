@@ -215,6 +215,12 @@ class MaintenanceSpec extends SparkSpec {
     assert(listed.map(_.getString(0)).toSet ==
       live.map(f => t.resolve(f.path).toString).toSet)
     assert(listed.map(_.getLong(1)).sum == live.map(_.bytes).sum)
+    // Iceberg-style per-file stats columns ride along: record counts
+    // sum to the table's rows, bounds and seq mirror the manifest.
+    assert(listed.map(_.getLong(2)).sum == live.map(_.rows).sum)
+    assert(listed.map(r => (r.getString(3), r.getString(4))).toSet ==
+      live.map(f => (f.partMin, f.partMax)).toSet)
+    assert(listed.map(_.getInt(6)).toSet == live.map(_.seq).toSet)
   }
 
   test("delete rewrites only files intersecting its partitions and " +
