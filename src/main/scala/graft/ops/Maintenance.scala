@@ -455,6 +455,37 @@ object Maintenance {
     t
   }
 
+  /** `docs_mrg`: SQL MERGE INTO lifecycle. v1 create → v2 `MERGE
+    * INTO graft.maint.docs_mrg` from a derived source view — every
+    * thirty-seventh doc re-sources to `srcQ` (matched update) and
+    * every forty-first doc inserts re-keyed `+700000` as `srcN`
+    * (unmatched insert) — Spark's group-based row-level-operation
+    * path committing one atomic replace snapshot.
+    */
+  def ensureDocsMrg(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_mrg")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1)) {
+      mount(s, dir)
+      val b = base(s, dir)
+      b.filter(pmod(col("doc_id"), lit(37L)) === 2)
+        .withColumn("source", lit("srcQ"))
+        .unionByName(b.filter(pmod(col("doc_id"), lit(41L)) === 3)
+          .withColumn("doc_id", col("doc_id") + 700000L)
+          .withColumn("source", lit("srcN")))
+        .createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        """MERGE INTO graft.maint.docs_mrg t
+          |USING graft_merge_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET t.source = s.source
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    mount(s, dir)
+    t
+  }
+
   // ----------------------------------------------------------------
   // Registered entries + oracles.
 
@@ -1036,6 +1067,36 @@ object Maintenance {
       |UNION ALL SELECT 3, 'rollback', CAST(n AS BIGINT) FROM c
       |ORDER BY version""".stripMargin
 
+  /** Post-MERGE-INTO contents per source: the oracle recomputes the
+    * matched-update/unmatched-insert semantics logically, so a hash
+    * match proves the SQL row-level-operation path (scan → rewrite →
+    * staged parquet write → replace-snapshot commit) upserts exactly
+    * like the engine API does.
+    */
+  def sqlMerge(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsMrg(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val sqlMergeOracle: String =
+    s"""WITH m AS (
+       |  SELECT CASE WHEN doc_id % 37 = 2 THEN 'srcQ' ELSE source END AS source,
+       |    text
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'srcN' AS source, text FROM documents WHERE doc_id % 41 = 3)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM m
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -1077,5 +1138,7 @@ object Maintenance {
     Q("maint_sql_insert", sqlInsert, Some(sqlInsertOracle),
       "SQL INSERT INTO via the catalog: V1Write append commits a snapshot"),
     Q("maint_call_procedure", callProcedure, Some(callProcedureOracle),
-      "CALL graft.system.* stored procedures: maintenance through the SQL CALL surface"))
+      "CALL graft.system.* stored procedures: maintenance through the SQL CALL surface"),
+    Q("maint_sql_merge", sqlMerge, Some(sqlMergeOracle),
+      "SQL MERGE INTO via the row-level-operation path: atomic replace snapshot"))
 }

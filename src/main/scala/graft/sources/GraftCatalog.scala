@@ -481,7 +481,23 @@ object RefsMetadataTable {
   */
 final class SnapTable(underlying: Table, dir: java.nio.file.Path)
     extends Table with SupportsRead with SupportsDelete
-    with SupportsWrite {
+    with SupportsWrite with SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` — Spark's group-based copy-on-write
+    * row-level path: the operation's scan is the table's normal
+    * parquet scan, the rewrite runs as Spark's own distributed
+    * parquet write into a staging dir (clustered + sorted on the
+    * partition column by the write's required distribution, so the
+    * new layout keeps tight bounds), and the job-level commit adopts
+    * the staged files as one atomic replace snapshot.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
+      org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+        new SnapRowLevelOperation(info.command(), underlying, dir)
+    }
 
   override def name(): String = underlying.name()
   override def schema(): StructType = underlying.schema()
@@ -571,5 +587,131 @@ object SnapTable {
     case _: AlwaysTrue => Some(lit(true))
     case _: AlwaysFalse => Some(lit(false))
     case _ => None
+  }
+}
+
+/** The group-based copy-on-write row-level operation behind SQL
+  * `UPDATE` and `MERGE INTO` on snapshot tables ([[SnapTable]]).
+  * Spark's rewrite feeds the replacement contents of the affected
+  * groups through [[newWriteBuilder]]'s write; the commit installs
+  * them as one replace snapshot via
+  * [[SnapStore.commitReplaceFromStaging]].
+  */
+final class SnapRowLevelOperation(
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command,
+    underlying: Table, dir: java.nio.file.Path)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+
+  /** The operation's scan and its commit must agree on the replaced
+    * GROUP: the commit installs the write as the table's complete
+    * contents, so the scan must read the complete table — the
+    * wrapper hides the pushdown interfaces so Spark cannot narrow it
+    * to the matching rows (which would silently drop the rest at
+    * commit). The cheaper scoped paths exist beside this one:
+    * `DELETE FROM` prunes to match-holding files via SupportsDelete,
+    * and the SnapStore API merge prunes by partition + key bounds.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val inner = underlying.asInstanceOf[SupportsRead].newScanBuilder(options)
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        inner.build()
+    }
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
+      org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write
+          with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          private val staging = dir.resolve(
+            s".rlo-tmp-${ProcessHandle.current().pid()}-" +
+              java.util.UUID.randomUUID().toString.take(8))
+          private lazy val inner =
+            ParquetTable("graft-rlo-staging", SparkSession.active,
+              CaseInsensitiveStringMap.empty(), Seq(staging.toString),
+              Some(info.schema()), classOf[ParquetFileFormat])
+              .newWriteBuilder(info).build()
+
+          override def description(): String = s"graft-rlo-$cmd $dir"
+
+          // Range-cluster + sort the rewrite on the partition column
+          // so the replacement files keep the tight non-overlapping
+          // bounds every later prune relies on.
+          private def partSort = {
+            import org.apache.spark.sql.connector.expressions._
+            val cur = SnapStore.currentManifest(dir)
+            Expressions.sort(Expressions.column(cur.partCol),
+              SortDirection.ASCENDING)
+          }
+          override def requiredDistribution():
+              org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions
+              .ordered(Array(partSort))
+          override def requiredOrdering():
+              Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+            Array(partSort)
+
+          override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+            new org.apache.spark.sql.connector.write.BatchWrite {
+              private lazy val delegate = inner.toBatch
+              // The file commit protocol coordinates its own task
+              // commits; double coordination (V2 layer + Hadoop
+              // committer) denies the inner task commit.
+              override def useCommitCoordinator(): Boolean =
+                delegate.useCommitCoordinator()
+              override def createBatchWriterFactory(
+                  p: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
+                  org.apache.spark.sql.connector.write.DataWriterFactory =
+                new StripOperationColumnFactory(
+                  delegate.createBatchWriterFactory(p), info.schema())
+              override def commit(
+                  messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+                delegate.commit(messages)
+                SnapStore.commitReplaceFromStaging(SparkSession.active, dir,
+                  staging, cmd.toString.toLowerCase(java.util.Locale.ROOT))
+              }
+              override def abort(
+                  messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+                try delegate.abort(messages)
+                finally SnapStore.dropStaging(dir, staging)
+              }
+            }
+        }
+    }
+}
+
+/** Spark's group-based row-level rewrite prepends the
+  * `__row_operation` marker column (`RowDeltaUtils.OPERATION_COLUMN`)
+  * to the replacement rows, and with no metadata projection in play
+  * the physical write receives them unstripped — this factory
+  * projects each row back down to the declared write schema before
+  * the delegated parquet writer sees it (rows already matching the
+  * schema pass through untouched).
+  */
+private final class StripOperationColumnFactory(
+    inner: org.apache.spark.sql.connector.write.DataWriterFactory,
+    dataSchema: StructType)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long):
+      org.apache.spark.sql.connector.write.DataWriter[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val d = inner.createWriter(partitionId, taskId)
+    new org.apache.spark.sql.connector.write.DataWriter[
+      org.apache.spark.sql.catalyst.InternalRow] {
+      private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        dataSchema, (1 to dataSchema.length).toIndexedSeq)
+      override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (row.numFields == dataSchema.length) d.write(row)
+        else { proj.project(row); d.write(proj) }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+        d.commit()
+      override def abort(): Unit = d.abort()
+      override def close(): Unit = d.close()
+    }
   }
 }

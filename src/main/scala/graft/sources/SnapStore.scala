@@ -1059,6 +1059,54 @@ object SnapStore {
     }
   }
 
+  /** Commit a row-level-operation rewrite staged by Spark's own
+    * parquet write (the SQL UPDATE / MERGE INTO path,
+    * [[GraftCatalog]]'s `SupportsRowLevelOperations`): adopt the
+    * staged part files as the table's new complete contents — move
+    * them under `data/`, run the usual stats pass, and publish a
+    * replace manifest. The distributed write already happened (and
+    * was clustered+sorted on the partition column by the write's
+    * required distribution); this is the driver-side metadata half.
+    */
+  private[sources] def commitReplaceFromStaging(spark: SparkSession,
+      table: Path, staging: Path, operation: String): Manifest = {
+    val cur0 = currentManifest(table)
+    require(cur0.partCol.nonEmpty, "table has no partition spec")
+    val dataDir = table.resolve("data")
+    Files.createDirectories(dataDir)
+    val stream = Files.list(staging)
+    val staged =
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
+    require(staged.nonEmpty || {
+      // an UPDATE/MERGE can legally produce an empty table
+      true
+    })
+    val moved = staged.zipWithIndex.map { case (src, i) =>
+      val name = s"$operation-$i-${UUID.randomUUID().toString.take(8)}.parquet"
+      Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    deleteTree(staging)
+    val newFiles = statsEntries(spark, dataDir, moved, cur0.partCol,
+      cur0.keyCol)
+    try withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      val v = cur.version + 1
+      val m = Manifest(v, cur.version, operation, cur.schema,
+        newFiles.map(_.copy(seq = v)), cur.partCol, Seq.empty, cur.keyCol)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    } catch { case NonFatal(e) =>
+      newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
+      throw e
+    }
+  }
+
+  private[sources] def dropStaging(table: Path, staging: Path): Unit =
+    deleteTree(staging)
+
   /** Bin-pack small-file compaction — the core Iceberg maintenance
     * action (`rewrite_data_files`). Files are walked in partition
     * order and packed into bins of ≈`targetBytes`; single-file bins

@@ -1145,6 +1145,60 @@ class MaintenanceSpec extends SparkSpec {
     assert(bad.getMessage.contains("nope"))
   }
 
+  test("SQL UPDATE and MERGE INTO commit atomic replace snapshots " +
+    "through the row-level-operation path") {
+    val dir = Files.createTempDirectory("graft-snapspec-rlo")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    spark.conf.set("spark.graft.catalog.dir.rlospec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val n = docs.count()
+    val nUpd = docs.filter(col("part") === 3).count()
+    assert(nUpd > 0)
+
+    // UPDATE: matched rows rewritten, count preserved, one snapshot.
+    spark.sql(
+      "UPDATE graft.rlospec.docs SET text = concat(text, ' upd') WHERE part = 3")
+    val v2 = SnapStore.currentManifest(t)
+    assert(v2.operation == "update" && v2.version == 2)
+    val after = spark.table("graft.rlospec.docs")
+    assert(after.count() == n)
+    assert(after.filter(col("part") === 3 &&
+      !col("text").endsWith(" upd")).count() == 0)
+    assert(after.filter(col("part") =!= 3 &&
+      col("text").endsWith(" upd")).count() == 0)
+    // The rewrite's required distribution kept per-file partition
+    // bounds tight and the old contents still time-travel.
+    assert(v2.files.forall(f => f.partMin.toLong <= f.partMax.toLong))
+    assert(SnapStore.read(spark, t, Some(1))
+      .filter(col("text").endsWith(" upd")).count() == 0)
+
+    // MERGE INTO: matched update + unmatched insert in ONE snapshot.
+    docs.limit(5).withColumn("doc_id", col("doc_id") + 660000L)
+      .withColumn("text", lit("merged new"))
+      .unionByName(docs.filter(col("part") === 1).limit(3)
+        .withColumn("text", lit("merged upd")))
+      .createOrReplaceTempView("rlo_source")
+    spark.sql(
+      """MERGE INTO graft.rlospec.docs t
+        |USING rlo_source s
+        |ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET t.text = s.text
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val v3 = SnapStore.currentManifest(t)
+    assert(v3.operation == "merge" && v3.version == 3)
+    val merged = spark.table("graft.rlospec.docs")
+    assert(merged.count() == n + 5)
+    assert(merged.filter(col("text") === "merged new").count() == 5)
+    assert(merged.filter(col("text") === "merged upd").count() == 3)
+    // No staging debris; every live file is manifest-referenced.
+    val stray = Files.list(dir.resolve("docs")).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".rlo-tmp-")).toSeq
+    assert(stray.isEmpty, s"staging left behind: $stray")
+  }
+
   test("registered lifecycle is idempotent: re-running entries " +
     "re-reads the same final snapshots") {
     val a = ops.Maintenance.mergeUpsert(spark, sf).collect()
