@@ -588,6 +588,51 @@ object SnapTable {
     case _: AlwaysFalse => Some(lit(false))
     case _ => None
   }
+
+  /** Partition values named by a runtime group-filter predicate
+    * (`IN` / `=` on the partition column), rendered to the manifest
+    * bound encoding; `Some(Nil)` = fired-but-empty, None =
+    * untranslatable (caller must keep everything).
+    */
+  def inValues(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate,
+      schema: StructType, partCol: String): Option[Seq[String]] = {
+    type LV = org.apache.spark.sql.connector.expressions.Literal[_]
+    def isPartRef(
+        e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case n: org.apache.spark.sql.connector.expressions.NamedReference =>
+          n.fieldNames().mkString(".") == partCol
+        case _ => false
+      }
+    def render(l: LV): Option[String] = l.dataType() match {
+      case org.apache.spark.sql.types.DateType => l.value() match {
+        case d: java.lang.Integer =>
+          Some(java.time.LocalDate.ofEpochDay(d.longValue()).toString)
+        case _ => None
+      }
+      case org.apache.spark.sql.types.StringType =>
+        Option(l.value()).map(_.toString)
+      case _: org.apache.spark.sql.types.NumericType =>
+        Option(l.value()).map(_.toString)
+      case _ => None
+    }
+    val kids = p.children()
+    p.name() match {
+      case "IN" if kids.nonEmpty && isPartRef(kids(0)) =>
+        val vs = kids.drop(1).toSeq.map {
+          case l: LV => render(l)
+          case _ => None
+        }
+        if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+      case "=" if kids.length == 2 && isPartRef(kids(0)) =>
+        kids(1) match {
+          case l: LV => render(l).map(Seq(_))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }
 
 /** The group-based copy-on-write row-level operation behind SQL
@@ -604,21 +649,75 @@ final class SnapRowLevelOperation(
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
-  /** The operation's scan and its commit must agree on the replaced
-    * GROUP: the commit installs the write as the table's complete
-    * contents, so the scan must read the complete table — the
-    * wrapper hides the pushdown interfaces so Spark cannot narrow it
-    * to the matching rows (which would silently drop the rest at
-    * commit). The cheaper scoped paths exist beside this one:
-    * `DELETE FROM` prunes to match-holding files via SupportsDelete,
-    * and the SnapStore API merge prunes by partition + key bounds.
+  /** The files this operation's scan actually served, recorded at
+    * planning time: the commit replaces EXACTLY this set (None =
+    * no group filter fired → the whole table). Scan and commit must
+    * agree on the replaced group or rows are silently dropped.
     */
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val inner = underlying.asInstanceOf[SupportsRead].newScanBuilder(options)
+  @volatile private[sources] var scannedFiles: Option[Seq[String]] = None
+
+  /** The operation's scan: file-granular over the current manifest,
+    * with Iceberg-style RUNTIME GROUP FILTERING — Spark's
+    * row-level-operation group filter computes the partition values
+    * holding matches and hands them to [[SnapCowScan.filter]], which
+    * prunes the file list by manifest bounds at FILE granularity
+    * (whole files kept or dropped, never row-filtered — the kept
+    * files' complete rows ARE the replaced group). Static pushdown
+    * is hidden (a row-narrowed scan would drop unmatched rows of
+    * replaced files at commit). An UPDATE confined to one partition
+    * thus rewrites only that partition's files; everything else
+    * carries untouched.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        inner.build()
+        new SnapCowScan()
     }
+
+  private final class SnapCowScan
+      extends org.apache.spark.sql.connector.read.Scan
+      with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    private val cur = SnapStore.currentManifest(dir)
+    @volatile private var files: Seq[SnapStore.FileEntry] = cur.files
+
+    override def readSchema(): StructType = cur.schema
+    override def description(): String = s"graft-cow-scan $dir"
+
+    override def filterAttributes():
+        Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+      if (cur.partCol.nonEmpty &&
+        SnapStore.partOrdering(cur.schema, cur.partCol).isDefined)
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .column(cur.partCol))
+      else Array.empty
+
+    override def filter(
+        predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+      val values = predicates.toSeq.flatMap(SnapTable.inValues(_, cur.schema, cur.partCol))
+      if (predicates.nonEmpty && values.nonEmpty) {
+        val kept = SnapStore.filesIntersecting(cur, values.flatten.toSet)
+        files = kept
+        scannedFiles = Some(kept.map(_.path))
+      } else if (predicates.nonEmpty && values.exists(_.isEmpty)) {
+        // A group filter fired but matched NO partitions: nothing to
+        // replace, nothing to scan.
+        files = Seq.empty
+        scannedFiles = Some(Seq.empty)
+      }
+      // untranslatable predicate shapes: keep everything (full replace)
+    }
+
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      if (files.isEmpty)
+        new LocalScan(cur.schema,
+          Array.empty[org.apache.spark.sql.catalyst.InternalRow],
+          s"graft-cow-empty $dir").toBatch
+      else ParquetTable("graft-cow-scan", SparkSession.active,
+        CaseInsensitiveStringMap.empty(),
+        files.map(f => dir.resolve(f.path).toString),
+        userSpecifiedSchema = Some(cur.schema),
+        fallbackFileFormat = classOf[ParquetFileFormat])
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
   }
 
   override def newWriteBuilder(
@@ -673,7 +772,8 @@ final class SnapRowLevelOperation(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                 delegate.commit(messages)
                 SnapStore.commitReplaceFromStaging(SparkSession.active, dir,
-                  staging, cmd.toString.toLowerCase(java.util.Locale.ROOT))
+                  staging, cmd.toString.toLowerCase(java.util.Locale.ROOT),
+                  scannedFiles)
               }
               override def abort(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {

@@ -1069,7 +1069,8 @@ object SnapStore {
     * required distribution); this is the driver-side metadata half.
     */
   private[sources] def commitReplaceFromStaging(spark: SparkSession,
-      table: Path, staging: Path, operation: String): Manifest = {
+      table: Path, staging: Path, operation: String,
+      replaced: Option[Seq[String]] = None): Manifest = {
     val cur0 = currentManifest(table)
     require(cur0.partCol.nonEmpty, "table has no partition spec")
     val dataDir = table.resolve("data")
@@ -1095,8 +1096,23 @@ object SnapStore {
     try withCommitRetry(table) { () =>
       val cur = currentManifest(table)
       val v = cur.version + 1
+      // `replaced` = the files the operation's scan served (the
+      // replaced GROUP, Some via runtime group filtering); everything
+      // else carries. A concurrent commit that rewrote any replaced
+      // file aborts the operation — serializable isolation, the same
+      // conflict Iceberg validation raises.
+      val carried = replaced match {
+        case Some(rs) =>
+          val rset = rs.toSet
+          require(rs.forall(pth => cur.files.exists(_.path == pth)),
+            s"concurrent commit rewrote files this $operation read — " +
+              "aborting")
+          cur.files.filterNot(f => rset(f.path))
+        case None => Seq.empty
+      }
       val m = Manifest(v, cur.version, operation, cur.schema,
-        newFiles.map(_.copy(seq = v)), cur.partCol, Seq.empty, cur.keyCol)
+        carried ++ newFiles.map(_.copy(seq = v)), cur.partCol, Seq.empty,
+        cur.keyCol)
       (m, Seq.empty, tryCommitManifest(table, m))
     } catch { case NonFatal(e) =>
       newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
@@ -1106,6 +1122,24 @@ object SnapStore {
 
   private[sources] def dropStaging(table: Path, staging: Path): Unit =
     deleteTree(staging)
+
+  /** The partition-bound ordering for a column, if prunable. */
+  private[sources] def partOrdering(schema: StructType,
+      partCol: String): Option[Ordering[String]] =
+    colType(schema, partCol).flatMap(boundOrd)
+
+  /** Files whose partition bounds may hold any of `values` (rendered
+    * partition values) — the file-granular group selection behind
+    * runtime group filtering. Conservative on spec mismatch or
+    * unprunable types.
+    */
+  private[sources] def filesIntersecting(m: Manifest,
+      values: Set[String]): Seq[FileEntry] = {
+    val ord = partOrdering(m.schema, m.partCol)
+    m.files.filter(f =>
+      (f.specCol.nonEmpty && f.specCol != m.partCol) ||
+        intersectsParts(ord, values, f))
+  }
 
   /** Bin-pack small-file compaction — the core Iceberg maintenance
     * action (`rewrite_data_files`). Files are walked in partition

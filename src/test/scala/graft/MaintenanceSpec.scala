@@ -1157,6 +1157,9 @@ class MaintenanceSpec extends SparkSpec {
     val n = docs.count()
     val nUpd = docs.filter(col("part") === 3).count()
     assert(nUpd > 0)
+    val v1 = SnapStore.currentManifest(t)
+    val mtimes = v1.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
 
     // UPDATE: matched rows rewritten, count preserved, one snapshot.
     spark.sql(
@@ -1169,6 +1172,18 @@ class MaintenanceSpec extends SparkSpec {
       !col("text").endsWith(" upd")).count() == 0)
     assert(after.filter(col("part") =!= 3 &&
       col("text").endsWith(" upd")).count() == 0)
+    // Runtime group filtering scoped the rewrite: files whose bounds
+    // exclude partition 3 carried UNTOUCHED (same path, same mtime) —
+    // a one-partition UPDATE costs that partition's files, not a
+    // table rewrite.
+    val clean1 = v1.files.filter(f =>
+      !(f.partMin.toLong <= 3 && 3 <= f.partMax.toLong))
+    assert(clean1.nonEmpty)
+    clean1.foreach { f =>
+      assert(v2.files.exists(_.path == f.path), s"${f.path} must carry")
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path),
+        s"${f.path} must not be rewritten by a part-3 UPDATE")
+    }
     // The rewrite's required distribution kept per-file partition
     // bounds tight and the old contents still time-travel.
     assert(v2.files.forall(f => f.partMin.toLong <= f.partMax.toLong))
