@@ -1143,6 +1143,23 @@ class MaintenanceSpec extends SparkSpec {
       spark.sql("CALL graft.system.nope('x', 1)").collect()
     }
     assert(bad.getMessage.contains("nope"))
+
+    // The discovery surfaces work too: SHOW PROCEDURES lists all
+    // eight, DESCRIBE resolves, and NAMED-argument CALL binds.
+    val listed = spark.sql("SHOW PROCEDURES IN graft.system")
+      .collect().map(_.getString(3)).toSet
+    assert(Set("expire_snapshots", "rewrite_data_files",
+      "rollback_to_snapshot", "remove_orphan_files", "fast_forward",
+      "create_tag", "create_branch", "apply_deletes").subsetOf(listed),
+      s"missing procedures: $listed")
+    assert(spark.sql("DESCRIBE PROCEDURE graft.system.create_tag")
+      .collect().mkString.contains("create_tag"))
+    val named = spark.sql(
+      """CALL graft.system.create_tag(
+        |  table => 'procspec.docs', tag => 'named', version => 1)""".stripMargin)
+      .head()
+    assert((named.getString(0), named.getInt(1)) == ("named", 1))
+    assert(SnapStore.tags(t).get("named").contains(1))
   }
 
   test("SQL UPDATE and MERGE INTO commit atomic replace snapshots " +
