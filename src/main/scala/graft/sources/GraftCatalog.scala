@@ -69,9 +69,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** Materialized parquet root for a conf-mounted database, if any. */
   private def mountedDir(db: String): Option[java.nio.file.Path] =
-    session.conf.getOption(s"spark.graft.catalog.dir.$db")
-      .map(java.nio.file.Paths.get(_))
-      .filter(java.nio.file.Files.isDirectory(_))
+    GraftCatalog.mountedDir(session, db)
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     if (namespace.sameElements(ns))
@@ -263,12 +261,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     throw new UnsupportedOperationException("graft catalog is read-only")
 
   /** Conf-mounted database names in the active session. */
-  private def mountedDbs: Seq[String] = {
-    val prefix = "spark.graft.catalog.dir."
+  private def mountedDbs: Seq[String] =
     session.conf.getAll.keys.toSeq.sorted
-      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
+      .filter(_.startsWith(GraftCatalog.ConfPrefix))
+      .map(_.stripPrefix(GraftCatalog.ConfPrefix))
       .filter(db => mountedDir(db).isDefined)
-  }
 
   override def listNamespaces(): Array[Array[String]] =
     Array(ns) ++ mountedDbs.map(Array(_))
@@ -467,6 +464,22 @@ object RefsMetadataTable {
     StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
+
+object GraftCatalog {
+  /** The conf namespace mounting materialized warehouse roots —
+    * shared by the catalog's resolution, namespace listing, and the
+    * stored procedures' table-argument resolution, so the mount
+    * scheme has exactly one definition.
+    */
+  private[sources] val ConfPrefix = "spark.graft.catalog.dir."
+
+  /** Materialized root for a conf-mounted database in `session`. */
+  private[sources] def mountedDir(session: SparkSession,
+      db: String): Option[java.nio.file.Path] =
+    session.conf.getOption(ConfPrefix + db)
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.isDirectory(_))
+}
 
 /** A SnapStore-backed snapshot table behind the catalog: reads
   * delegate to Spark's own DSv2 `ParquetTable` over the manifest's
@@ -679,6 +692,11 @@ final class SnapRowLevelOperation(
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
     private val cur = SnapStore.currentManifest(dir)
     @volatile private var files: Seq[SnapStore.FileEntry] = cur.files
+    // Record the FULL planned set up front: even a whole-table
+    // rewrite (no group filter translated) then validates at commit
+    // that no concurrent commit rewrote what it read, and concurrent
+    // appends carry instead of being erased.
+    scannedFiles = Some(cur.files.map(_.path))
 
     override def readSchema(): StructType = cur.schema
     override def description(): String = s"graft-cow-scan $dir"
@@ -694,15 +712,12 @@ final class SnapRowLevelOperation(
     override def filter(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
       val values = predicates.toSeq.flatMap(SnapTable.inValues(_, cur.schema, cur.partCol))
-      if (predicates.nonEmpty && values.nonEmpty) {
+      if (values.nonEmpty) {
+        // A translated group filter (possibly matching NO partitions:
+        // an empty IN keeps only spec-mismatch files, conservatively).
         val kept = SnapStore.filesIntersecting(cur, values.flatten.toSet)
         files = kept
         scannedFiles = Some(kept.map(_.path))
-      } else if (predicates.nonEmpty && values.exists(_.isEmpty)) {
-        // A group filter fired but matched NO partitions: nothing to
-        // replace, nothing to scan.
-        files = Seq.empty
-        scannedFiles = Some(Seq.empty)
       }
       // untranslatable predicate shapes: keep everything (full replace)
     }
@@ -740,11 +755,13 @@ final class SnapRowLevelOperation(
 
           // Range-cluster + sort the rewrite on the partition column
           // so the replacement files keep the tight non-overlapping
-          // bounds every later prune relies on.
-          private def partSort = {
+          // bounds every later prune relies on. Captured once: the
+          // spec cannot change mid-operation, and Spark may ask for
+          // the distribution/ordering several times during planning.
+          private lazy val partSort = {
             import org.apache.spark.sql.connector.expressions._
-            val cur = SnapStore.currentManifest(dir)
-            Expressions.sort(Expressions.column(cur.partCol),
+            Expressions.sort(
+              Expressions.column(SnapStore.currentManifest(dir).partCol),
               SortDirection.ASCENDING)
           }
           override def requiredDistribution():

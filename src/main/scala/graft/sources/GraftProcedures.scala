@@ -42,12 +42,11 @@ object GraftProcedures {
     val parts = ref.split('.')
     require(parts.length == 2,
       s"table must be 'db.table', got '$ref'")
-    val dir = spark.conf.getOption(s"spark.graft.catalog.dir.${parts(0)}")
-      .map(Paths.get(_).resolve(parts(1)))
+    GraftCatalog.mountedDir(spark, parts(0))
+      .map(_.resolve(parts(1)))
       .filter(d => Files.isDirectory(d) && SnapStore.isSnapTable(d))
       .getOrElse(throw new IllegalArgumentException(
         s"'$ref' is not a mounted snapshot table"))
-    dir
   }
 
   private def u(s: String) = UTF8String.fromString(s)

@@ -1076,46 +1076,52 @@ object SnapStore {
     val dataDir = table.resolve("data")
     Files.createDirectories(dataDir)
     val stream = Files.list(staging)
+    // An UPDATE/MERGE can legally produce an empty replacement.
     val staged =
       try stream.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
         .toSeq.sortBy(_.getFileName.toString)
       finally stream.close()
-    require(staged.nonEmpty || {
-      // an UPDATE/MERGE can legally produce an empty table
-      true
-    })
     val moved = staged.zipWithIndex.map { case (src, i) =>
       val name = s"$operation-$i-${UUID.randomUUID().toString.take(8)}.parquet"
       Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       name
     }
     deleteTree(staging)
-    val newFiles = statsEntries(spark, dataDir, moved, cur0.partCol,
-      cur0.keyCol)
-    try withCommitRetry(table) { () =>
-      val cur = currentManifest(table)
-      val v = cur.version + 1
-      // `replaced` = the files the operation's scan served (the
-      // replaced GROUP, Some via runtime group filtering); everything
-      // else carries. A concurrent commit that rewrote any replaced
-      // file aborts the operation — serializable isolation, the same
-      // conflict Iceberg validation raises.
-      val carried = replaced match {
-        case Some(rs) =>
-          val rset = rs.toSet
-          require(rs.forall(pth => cur.files.exists(_.path == pth)),
-            s"concurrent commit rewrote files this $operation read — " +
-              "aborting")
-          cur.files.filterNot(f => rset(f.path))
-        case None => Seq.empty
+    // From here EVERY abort must clean up the already-moved files —
+    // including a stats-pass failure — or they leak as unreferenced
+    // orphans under data/ (the same invariant the append path keeps).
+    try {
+      val newFiles = statsEntries(spark, dataDir, moved, cur0.partCol,
+        cur0.keyCol)
+      withCommitRetry(table) { () =>
+        val cur = currentManifest(table)
+        val v = cur.version + 1
+        // `replaced` = the files the operation's scan served (the
+        // replaced GROUP — the scan records its full planned set, so
+        // even a whole-table rewrite validates). A concurrent commit
+        // that rewrote any replaced file, or landed a delete file,
+        // aborts — serializable isolation, the same conflicts Iceberg
+        // validation raises; concurrent APPENDS carry safely.
+        require(cur.deleteFiles.isEmpty,
+          s"concurrent delete-file commit conflicts with this $operation — " +
+            "aborting")
+        val carried = replaced match {
+          case Some(rs) =>
+            val rset = rs.toSet
+            require(rs.forall(pth => cur.files.exists(_.path == pth)),
+              s"concurrent commit rewrote files this $operation read — " +
+                "aborting")
+            cur.files.filterNot(f => rset(f.path))
+          case None => Seq.empty
+        }
+        val m = Manifest(v, cur.version, operation, cur.schema,
+          carried ++ newFiles.map(_.copy(seq = v)), cur.partCol, Seq.empty,
+          cur.keyCol)
+        (m, Seq.empty, tryCommitManifest(table, m))
       }
-      val m = Manifest(v, cur.version, operation, cur.schema,
-        carried ++ newFiles.map(_.copy(seq = v)), cur.partCol, Seq.empty,
-        cur.keyCol)
-      (m, Seq.empty, tryCommitManifest(table, m))
     } catch { case NonFatal(e) =>
-      newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
+      moved.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
       throw e
     }
   }
