@@ -704,7 +704,13 @@ final class SnapRowLevelOperation(
     override def filterAttributes():
         Array[org.apache.spark.sql.connector.expressions.NamedReference] =
       if (cur.partCol.nonEmpty &&
+        PartTransforms.parse(cur.partCol).isInstanceOf[PartTransforms.Identity] &&
         SnapStore.partOrdering(cur.schema, cur.partCol).isDefined)
+        // Identity specs only: a transform spec's string is not a
+        // column Spark could resolve a runtime filter against, so
+        // hidden-partition tables take the conservative full-group
+        // path here (SnapStore.readPrunedValues is their pruned
+        // face).
         Array(org.apache.spark.sql.connector.expressions.Expressions
           .column(cur.partCol))
       else Array.empty
@@ -761,7 +767,13 @@ final class SnapRowLevelOperation(
           private lazy val partSort = {
             import org.apache.spark.sql.connector.expressions._
             Expressions.sort(
-              Expressions.column(SnapStore.currentManifest(dir).partCol),
+              // The spec's SOURCE column: always a real column Spark
+              // can sort by. For identity specs this IS the partition
+              // column; for hidden transforms, source order clusters
+              // every monotonic transform equally well, and bounds
+              // are recomputed from the written data either way.
+              Expressions.column(PartTransforms.parse(
+                SnapStore.currentManifest(dir).partCol).source),
               SortDirection.ASCENDING)
           }
           override def requiredDistribution():

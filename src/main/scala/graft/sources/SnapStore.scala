@@ -342,11 +342,18 @@ object SnapStore {
     if (moved.isEmpty) return Seq.empty
     val paths = moved.map(n => dataDir.resolve(n).toString)
     val withKey = keyCol.nonEmpty && keyCol != partCol
-    val aggs = Seq(min(col(partCol)).as("mn"), max(col(partCol)).as("mx"),
+    // Bounds are of the TRANSFORMED partition value (identity specs
+    // transform to the column itself) — hidden partitioning stores
+    // what the layout is clustered by, and pruning compares
+    // transformed predicate values against it.
+    val src = spark.read.parquet(paths: _*)
+    val spec = PartTransforms.parse(partCol)
+    val pexpr = PartTransforms.exprFor(spec, src.schema)
+    val aggs = Seq(min(pexpr).as("mn"), max(pexpr).as("mx"),
       count(lit(1)).as("rows")) ++
       (if (withKey) Seq(min(col(keyCol)).as("kmn"), max(col(keyCol)).as("kmx"))
        else Seq.empty)
-    val stats = spark.read.parquet(paths: _*)
+    val stats = src
       .groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -405,7 +412,9 @@ object SnapStore {
     // an explicit count is exempt from AQE partition coalescing —
     // at tiny fixtures AQE would otherwise fold everything into one
     // file and there'd be no layout to prune, compact, or carry.
-    val cluster = if (clusterExprs.nonEmpty) clusterExprs else Seq(col(partCol))
+    val cluster =
+      if (clusterExprs.nonEmpty) clusterExprs
+      else Seq(PartTransforms.exprFor(PartTransforms.parse(partCol), df.schema))
     // Rows inside each file sort by the full cluster key, so file-level
     // min/max (manifest) AND row-group min/max (parquet footer) both
     // stay tight on the clustered columns — the double pruning a
@@ -527,6 +536,70 @@ object SnapStore {
   }
 
   // ----------------------------------------------------------------
+  // Hidden-partition pruned reads.
+
+  /** Equality-pruned read: scan only the files whose TRANSFORMED
+    * partition bounds may hold one of the given SOURCE-column values
+    * — the caller names raw source values (dates, keys); the spec's
+    * transform maps them onto the physical layout, which stays
+    * hidden (Iceberg hidden partitioning: `WHERE ts = X` prunes a
+    * `days(ts)` layout without the query mentioning days). Sound for
+    * every transform INCLUDING bucket, because equality semantics
+    * survive any function. Returns all rows of intersecting files —
+    * the caller's row filter is the residual, pushed to parquet as
+    * usual. Pending MOR deletes still apply on the pruned scan.
+    */
+  def readPrunedValues(spark: SparkSession, table: Path,
+      sourceValues: Seq[Any], version: Option[Int] = None): DataFrame = {
+    val m = version.map(manifest(table, _)).getOrElse(currentManifest(table))
+    readManifest(spark, table, m.copy(files = prunedFiles(m, sourceValues)))
+  }
+
+  /** The manifest files an equality predicate on the spec's source
+    * column may touch (exposed so specs and procedures can PIN the
+    * pruning, not just observe correct answers). Unresolvable source
+    * (post-drop schema) falls back to every file — conservative.
+    */
+  private[graft] def prunedFiles(m: Manifest,
+      sourceValues: Seq[Any]): Seq[FileEntry] = {
+    val spec = PartTransforms.parse(m.partCol)
+    PartTransforms.sourceTypeOpt(spec, m.schema) match {
+      case None => m.files
+      case Some(st) =>
+        filesIntersecting(m, sourceValues.map(v => render(spec.eval(v, st))).toSet)
+    }
+  }
+
+  /** Range-pruned read for MONOTONIC specs (identity/days/months/
+    * years/truncate): scan only files whose transformed bounds
+    * intersect `[t(lo), t(hi)]`. Bucket specs refuse loudly — hash
+    * order is not value order, so a "range prune" under bucket is
+    * either a silent full scan or wrong.
+    */
+  def readPrunedRange(spark: SparkSession, table: Path, lo: Any, hi: Any,
+      version: Option[Int] = None): DataFrame = {
+    val m = version.map(manifest(table, _)).getOrElse(currentManifest(table))
+    readManifest(spark, table, m.copy(files = prunedFilesRange(m, lo, hi)))
+  }
+
+  private[graft] def prunedFilesRange(m: Manifest, lo: Any,
+      hi: Any): Seq[FileEntry] = {
+    val spec = PartTransforms.parse(m.partCol)
+    require(spec.monotonic,
+      s"range pruning needs a monotonic partition spec, not '${m.partCol}'")
+    (PartTransforms.sourceTypeOpt(spec, m.schema),
+      partOrdering(m.schema, m.partCol)) match {
+      case (Some(st), Some(o)) =>
+        val tl = render(spec.eval(lo, st))
+        val th = render(spec.eval(hi, st))
+        m.files.filter(f =>
+          (f.specCol.nonEmpty && f.specCol != m.partCol) ||
+            !(o.lt(th, f.partMin) || o.gt(tl, f.partMax)))
+      case _ => m.files
+    }
+  }
+
+  // ----------------------------------------------------------------
   // Copy-on-write row-level operations.
 
   /** One small aggregate over the change set: its distinct partition
@@ -537,7 +610,8 @@ object SnapStore {
     */
   private def changeStats(changes: DataFrame, partCol: String,
       keyCol: String): (Set[String], Option[(String, String)]) = {
-    val r = changes.agg(collect_set(col(partCol)).as("ps"),
+    val r = changes.agg(collect_set(PartTransforms.exprFor(
+        PartTransforms.parse(partCol), changes.schema)).as("ps"),
       min(col(keyCol)).as("kmn"), max(col(keyCol)).as("kmx")).head()
     val parts = r.getSeq[Any](0).map(render).toSet
     val keyRange =
@@ -594,7 +668,7 @@ object SnapStore {
       changes: DataFrame, keyCol: String,
       partCol: String): (Seq[FileEntry], Seq[FileEntry]) = {
     val (parts, keyRange) = changeStats(changes, partCol, keyCol)
-    val ord = colType(cur.schema, partCol).flatMap(boundOrd)
+    val ord = partOrdering(cur.schema, partCol)
     // A file's bounds are only trustworthy under the change set's
     // spec: files written before a partition-spec evolution carry
     // their OLD spec's bounds (specCol), so they are conservatively
@@ -1130,9 +1204,12 @@ object SnapStore {
     deleteTree(staging)
 
   /** The partition-bound ordering for a column, if prunable. */
-  private[sources] def partOrdering(schema: StructType,
-      partCol: String): Option[Ordering[String]] =
-    colType(schema, partCol).flatMap(boundOrd)
+  private[graft] def partOrdering(schema: StructType,
+      partCol: String): Option[Ordering[String]] = {
+    val spec = PartTransforms.parse(partCol)
+    PartTransforms.sourceTypeOpt(spec, schema)
+      .map(spec.resultType).flatMap(boundOrd)
+  }
 
   /** Files whose partition bounds may hold any of `values` (rendered
     * partition values) — the file-granular group selection behind
@@ -1165,7 +1242,7 @@ object SnapStore {
     val cur = currentManifest(table)
     require(cur.deleteFiles.isEmpty,
       "pending delete files: run applyDeletes first")
-    val ord = colType(cur.schema, partCol).flatMap(boundOrd)
+    val ord = partOrdering(cur.schema, partCol)
     val sorted = ord match {
       case Some(o) =>
         cur.files.sortBy(f => (f.partMin, f.path))(Ordering.Tuple2(o, Ordering.String))
@@ -1203,7 +1280,8 @@ object SnapStore {
           .join(broadcast(binMap), Seq("__fname"))
           .drop("__fname")
           .repartition(multis.size, col("__bin"))
-          .sortWithinPartitions(col("__bin"), col(partCol))
+          .sortWithinPartitions(col("__bin"),
+            PartTransforms.exprFor(PartTransforms.parse(partCol), cur.schema))
           .write.partitionBy("__bin").mode("overwrite").parquet(tmp.toString)
         val dataDir = table.resolve("data")
         val moved = multis.indices.flatMap { i =>
@@ -1274,7 +1352,9 @@ object SnapStore {
     // clustering so per-file partition bounds stay tight for manifest
     // pruning, and the sort columns cluster inside it.
     val newFiles = writeDataFiles(spark, table, df, partCol,
-      s"cluster-v$v", numFiles, col(partCol) +: clusterExprs, cur.keyCol)
+      s"cluster-v$v", numFiles,
+      PartTransforms.exprFor(PartTransforms.parse(partCol), cur.schema) +:
+        clusterExprs, cur.keyCol)
     val m = Manifest(v, cur.version, "rewrite-sorted", cur.schema,
       newFiles.map(_.copy(seq = v)),
       if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
