@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to stdout instead of through
+// sbt's logger: the bench contract is "print ONE JSON line", and the
+// logger's `[info] ` prefix breaks any line-oriented JSON parse of
+// the captured stdout tail (BENCH_r06.json `parsed: null` — the
+// compact totals line was present but prefixed).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

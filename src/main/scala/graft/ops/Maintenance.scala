@@ -38,7 +38,7 @@ object Maintenance {
   /** Bump to invalidate previously materialized lifecycles when the
     * scenario logic changes (the root directory is keyed by it).
     */
-  private val logicVersion = "m4"
+  private val logicVersion = "m5"
 
   /** Per-fixture root for the maintained tables, mounted as database
     * `maint` on the graft DSv2 catalog. Keyed by a hash of the FULL
@@ -971,6 +971,131 @@ object Maintenance {
        |FROM base WHERE part = 6 AND doc_id % 9 = 6
        |ORDER BY version, change_type""".stripMargin
 
+  /** `docs_morsql`: pending-MOR SQL-read lifecycle (VERDICT r6 task
+    * #1). v1 create → v2 merge-on-read EQUALITY delete (every 13th
+    * doc) → v3 POSITION delete (every 5th doc of partition 2) — and
+    * the deletes stay UNFOLDED: the query reads the pending snapshot
+    * through the catalog's SQL path, which routes the delete-aware
+    * scan (sequence-scoped anti-joins) through the V1 bridge —
+    * Iceberg `SparkTable`'s transparent MOR-read contract.
+    */
+  def ensureDocsMorSql(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_morsql")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.deleteEquality(s, t,
+        base(s, dir).filter(pmod(col("doc_id"), lit(13L)) === 0)
+          .select("doc_id"),
+        "doc_id")
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.deletePositions(s, t,
+        col(partCol) === 2 && pmod(col("doc_id"), lit(5L)) === 0)
+    mount(s, dir)
+    t
+  }
+
+  /** Per-partition contents of the PENDING merge-on-read snapshot
+    * read via plain SQL through the catalog: the oracle recomputes
+    * the surviving set logically (neither delete folded), so a hash
+    * match proves the bridged scan applied both pending delete
+    * flavors exactly — no deleted row served, no surviving row lost.
+    */
+  def morSqlRead(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsMorSql(s, dir)
+    // The point of the entry: the snapshot still HAS pending deletes.
+    require(SnapStore.currentManifest(t).deleteFiles.nonEmpty,
+      "docs_morsql must be read while its MOR deletes are pending")
+    s.sql(
+      s"""SELECT part, COUNT(*) AS n_docs,
+         |  SUM(tok) AS sum_tok,
+         |  SUM(fold_hash(text, 31, 0, $P)) AS chk
+         |FROM graft.maint.docs_morsql
+         |GROUP BY part ORDER BY part""".stripMargin)
+  }
+
+  val morSqlReadOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, doc_id % $nParts AS part, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents)
+       |SELECT part, COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM f
+       |WHERE doc_id % 13 <> 0 AND NOT (part = 2 AND doc_id % 5 = 0)
+       |GROUP BY part
+       |ORDER BY part""".stripMargin
+
+  /** `docs_ren`: RENAME COLUMN + type-widening lifecycle (VERDICT r6
+    * task #4). v1 create with `tok` as INT → v2 `ALTER TABLE …
+    * RENAME COLUMN tok TO n_tok` → v3 `ALTER COLUMN n_tok TYPE
+    * BIGINT` — both pure metadata commits through the catalog; the
+    * v1 data files are untouched and read through the manifest's
+    * evolution log — → v4 `INSERT INTO … SELECT` re-keying every
+    * 43rd doc (`+700000`, source `srcR`), whose files carry the new
+    * name and type natively.
+    */
+  def ensureDocsRen(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_ren")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t,
+        base(s, dir).withColumn("tok", col("tok").cast("int")),
+        partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1)) {
+      mount(s, dir)
+      s.sql("ALTER TABLE graft.maint.docs_ren RENAME COLUMN tok TO n_tok")
+    }
+    if (SnapStore.currentVersion(t).contains(2)) {
+      mount(s, dir)
+      s.sql("ALTER TABLE graft.maint.docs_ren ALTER COLUMN n_tok TYPE BIGINT")
+    }
+    if (SnapStore.currentVersion(t).contains(3)) {
+      mount(s, dir)
+      s.sql(
+        """INSERT INTO graft.maint.docs_ren
+          |SELECT doc_id + 700000, part, 'srcR', text, n_tok
+          |FROM graft.maint.docs_ren WHERE doc_id % 43 = 1""".stripMargin)
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** Per-source contents after the rename/widen/append chain, read
+    * through the catalog under the NEW column name: the oracle
+    * recomputes base-plus-inserted logically, so a hash match proves
+    * pre-evolution files read their as-written `tok INT` column back
+    * as `n_tok BIGINT` with every value intact, alongside the
+    * natively-typed appended files.
+    */
+  def renameWiden(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ensureDocsRen(s, dir)
+    s.sql(
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  SUM(n_tok) AS sum_tok,
+         |  SUM(fold_hash(text, 31, 0, $P)) AS chk
+         |FROM graft.maint.docs_ren
+         |GROUP BY source ORDER BY source""".stripMargin)
+  }
+
+  val renameWidenOracle: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, source, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |m AS (
+       |  SELECT source, text, tok FROM b
+       |  UNION ALL
+       |  SELECT 'srcR' AS source, text, tok FROM b WHERE doc_id % 43 = 1)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM m
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** The `refs` metadata table of the branch lifecycle through the
     * catalog: after fast-forward both `main` and the `ingest` branch
     * head point at snapshot 2 — a pure-metadata surface, so the
@@ -1140,5 +1265,11 @@ object Maintenance {
     Q("maint_call_procedure", callProcedure, Some(callProcedureOracle),
       "CALL graft.system.* stored procedures: maintenance through the SQL CALL surface"),
     Q("maint_sql_merge", sqlMerge, Some(sqlMergeOracle),
-      "SQL MERGE INTO via the row-level-operation path: atomic replace snapshot"))
+      "SQL MERGE INTO via the row-level-operation path: atomic replace snapshot"),
+    Q("maint_mor_sql_read", morSqlRead, Some(morSqlReadOracle),
+      "SQL read of a PENDING merge-on-read snapshot through the catalog: " +
+        "equality + position deletes apply transparently"),
+    Q("maint_rename_widen", renameWiden, Some(renameWidenOracle),
+      "RENAME COLUMN + type widening: metadata-only evolution, old files " +
+        "read through the manifest evolution log"))
 }

@@ -97,24 +97,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       .map { dir =>
         val m = resolved
           .getOrElse(SnapStore.currentManifest(dir))
-        // A merge-on-read snapshot (pending equality/position delete
-        // files) cannot be served as a plain parquet file list — the
-        // catalog would silently return deleted rows. Refuse with
-        // the remedy, like an engine lacking delete-file support
-        // must.
-        if (m.deleteFiles.nonEmpty)
-          throw new UnsupportedOperationException(
-            s"$db.$name@v${m.version} has pending delete files; " +
-              "read via SnapStore.read or run SnapStore.applyDeletes")
-        new SnapTable(
-          ParquetTable(
-            s"$catalogName.$db.$name",
-            session,
-            CaseInsensitiveStringMap.empty(),
-            m.files.map(f => dir.resolve(f.path).toString),
-            userSpecifiedSchema = Some(m.schema),
-            fallbackFileFormat = classOf[ParquetFileFormat]),
-          dir)
+        // A clean snapshot (no pending delete files, no evolution
+        // that still applies to a live file) serves as a plain DSv2
+        // ParquetTable file list — full pushdown, vectorized reads.
+        // A merge-on-read snapshot (pending equality/position
+        // deletes) or one with pre-evolution files routes through
+        // [[BridgedReadTable]], whose V1 scan plans the SAME
+        // delete-aware / evolution-aware DataFrame SnapStore.read
+        // serves — Iceberg's SparkTable likewise serves MOR reads
+        // transparently (VERDICT r6 task #1). Either way the table
+        // keeps the full DML surface (SnapTable wraps both).
+        val evoApplies = m.evos.nonEmpty &&
+          m.files.exists(f => m.evos.exists(_.seq > f.seq))
+        val underlying: Table =
+          if (m.deleteFiles.isEmpty && !evoApplies)
+            ParquetTable(
+              s"$catalogName.$db.$name",
+              session,
+              CaseInsensitiveStringMap.empty(),
+              m.files.map(f => dir.resolve(f.path).toString),
+              userSpecifiedSchema = Some(m.schema),
+              fallbackFileFormat = classOf[ParquetFileFormat])
+          else new BridgedReadTable(s"$catalogName.$db.$name", dir, m)
+        new SnapTable(underlying, dir)
       }
 
   override def loadTable(ident: Identifier): Table =
@@ -232,13 +237,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     snapDir match {
       case Some(dir) =>
-        // Refuse BEFORE committing anything: the catalog cannot serve
-        // a pending-delete snapshot back from the trailing loadTable,
-        // and a statement that errors must not have half-applied.
-        if (SnapStore.currentManifest(dir).deleteFiles.nonEmpty)
-          throw new UnsupportedOperationException(
-            s"${ident.namespace().mkString(".")}.${ident.name()} has " +
-              "pending delete files; run SnapStore.applyDeletes first")
         changes.foreach {
           case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
             SnapStore.addColumn(dir, StructField(
@@ -247,8 +245,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // schema-driven, so the column simply never projects again.
           case del: TableChange.DeleteColumn if del.fieldNames().length == 1 =>
             SnapStore.dropColumn(dir, del.fieldNames()(0))
+          // `RENAME COLUMN`: metadata-only via the manifest evolution
+          // log — pre-rename files read under their as-written name.
+          case rn: TableChange.RenameColumn if rn.fieldNames().length == 1 =>
+            SnapStore.renameColumn(dir, rn.fieldNames()(0), rn.newName())
+          // `ALTER COLUMN … TYPE`: value-preserving widening only
+          // (int→long, float→double, decimal precision growth).
+          case up: TableChange.UpdateColumnType if up.fieldNames().length == 1 =>
+            SnapStore.widenColumn(dir, up.fieldNames()(0), up.newDataType())
           case other => throw new UnsupportedOperationException(
-            s"graft snapshot tables support ADD/DROP COLUMN only, got $other")
+            "graft snapshot tables support ADD/DROP/RENAME COLUMN and " +
+              s"type widening only, got $other")
         }
         loadTable(ident)
       case None =>
@@ -445,8 +452,11 @@ final class RefsMetadataTable(tableName: String,
     val main = SnapStore.currentVersion(dir)
       .map(v => ("main", "BRANCH", v)).toSeq
     val tags = SnapStore.tags(dir).toSeq.map { case (n, v) => (n, "TAG", v) }
+    // flatMap, not .get: a branch dropped between the listing and
+    // the head read simply vanishes from the result instead of
+    // failing the whole metadata query with NoSuchElementException.
     val branches = SnapStore.listBranches(dir)
-      .map(b => (b, "BRANCH", SnapStore.branchHead(dir, b).get))
+      .flatMap(b => SnapStore.branchHead(dir, b).map(v => (b, "BRANCH", v)))
     (main ++ tags ++ branches).sortBy(_._1).map { case (n, t, v) =>
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](
@@ -602,50 +612,112 @@ object SnapTable {
     case _ => None
   }
 
-  /** Partition values named by a runtime group-filter predicate
-    * (`IN` / `=` on the partition column), rendered to the manifest
-    * bound encoding; `Some(Nil)` = fired-but-empty, None =
-    * untranslatable (caller must keep everything).
+  /** SOURCE-column values named by a runtime group-filter predicate
+    * (`IN` / `=` on the partition spec's source column), as EXTERNAL
+    * `(value, declared type)` pairs — the caller maps them through
+    * the spec transform onto file bounds
+    * ([[SnapStore.filesForSourceValues]]), which is what makes
+    * runtime group filtering work for HIDDEN partition specs
+    * (`days(ts)`, `bucket(n,k)`), not just identity columns.
+    * `None` = untranslatable shape (caller must keep everything).
     */
   def inValues(
       p: org.apache.spark.sql.connector.expressions.filter.Predicate,
-      schema: StructType, partCol: String): Option[Seq[String]] = {
+      sourceCol: String):
+      Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
     type LV = org.apache.spark.sql.connector.expressions.Literal[_]
-    def isPartRef(
+    def isSrcRef(
         e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
       e match {
         case n: org.apache.spark.sql.connector.expressions.NamedReference =>
-          n.fieldNames().mkString(".") == partCol
+          n.fieldNames().mkString(".") == sourceCol
         case _ => false
       }
-    def render(l: LV): Option[String] = l.dataType() match {
-      case org.apache.spark.sql.types.DateType => l.value() match {
-        case d: java.lang.Integer =>
-          Some(java.time.LocalDate.ofEpochDay(d.longValue()).toString)
-        case _ => None
-      }
-      case org.apache.spark.sql.types.StringType =>
-        Option(l.value()).map(_.toString)
-      case _: org.apache.spark.sql.types.NumericType =>
-        Option(l.value()).map(_.toString)
-      case _ => None
-    }
+    // Connector literals carry INTERNAL values (UTF8String, epoch-day
+    // Int); convert to the external form the spec transforms eat.
+    def ext(l: LV): Option[(Any, org.apache.spark.sql.types.DataType)] =
+      Option(org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToScala(l.value(), l.dataType())).map(v => (v, l.dataType()))
     val kids = p.children()
     p.name() match {
-      case "IN" if kids.nonEmpty && isPartRef(kids(0)) =>
+      case "IN" if kids.nonEmpty && isSrcRef(kids(0)) =>
         val vs = kids.drop(1).toSeq.map {
-          case l: LV => render(l)
+          case l: LV => ext(l)
           case _ => None
         }
         if (vs.forall(_.isDefined)) Some(vs.flatten) else None
-      case "=" if kids.length == 2 && isPartRef(kids(0)) =>
+      case "=" if kids.length == 2 && isSrcRef(kids(0)) =>
         kids(1) match {
-          case l: LV => render(l).map(Seq(_))
+          case l: LV => ext(l).map(Seq(_))
           case _ => None
         }
       case _ => None
     }
   }
+}
+
+/** The DSv2 read face for snapshots a plain parquet file list CANNOT
+  * serve — pending merge-on-read delete files, or data files written
+  * before a rename/widen evolution: a `V1Scan` bridge whose relation
+  * plans the SAME delete-aware, evolution-aware DataFrame
+  * [[SnapStore.read]] serves (sequence-scoped equality anti-joins,
+  * `(file, pos)` ordinal suppression, per-file read schemas). This is
+  * how `SELECT * FROM graft.db.t` between a MOR commit and its fold
+  * returns correct rows instead of refusing — Iceberg's `SparkTable`
+  * contract.
+  *
+  * Pushdown: required columns prune through `SupportsPushDown
+  * RequiredColumns`, and every translatable pushed filter is applied
+  * to the bridged DataFrame (Catalyst then pushes it through the
+  * anti-joins down to the parquet scans of the clean-file branches);
+  * filters are reported as fully RESIDUAL so Spark re-applies them —
+  * double-filtering is free, a silently unapplied filter is wrong.
+  */
+final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
+    m: SnapStore.Manifest) extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.{Scan, V1Scan}
+  import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+
+  override def name(): String = tableName
+  override def schema(): StructType = m.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      private var required: StructType = m.schema
+      private var conds: Seq[org.apache.spark.sql.Column] = Seq.empty
+
+      override def pruneColumns(s: StructType): Unit =
+        // An empty projection (COUNT(*)) keeps one narrow column so
+        // the bridged select stays a valid row-preserving plan.
+        required = if (s.fields.isEmpty)
+          StructType(m.schema.fields.take(1)) else s
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        conds = filters.toSeq.flatMap(SnapTable.toColumn)
+        filters // all residual: Spark re-applies, we only pre-filter
+      }
+      override def pushedFilters(): Array[Filter] = Array.empty
+
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: org.apache.spark.sql.SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: org.apache.spark.sql.SQLContext = context
+            override def schema: StructType = required
+            override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+              var df = SnapStore.readManifest(context.sparkSession, dir, m)
+              conds.foreach(c => df = df.filter(c))
+              df.select(required.fieldNames.toSeq.map(
+                org.apache.spark.sql.functions.col): _*).rdd
+            }
+          }.asInstanceOf[T]
+      }
+    }
 }
 
 /** The group-based copy-on-write row-level operation behind SQL
@@ -683,15 +755,34 @@ final class SnapRowLevelOperation(
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): org.apache.spark.sql.connector.read.Scan =
-        new SnapCowScan()
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val cur = SnapStore.currentManifest(dir)
+        // Group-replace semantics cannot compose with pending delete
+        // files (replacing a group while other groups' deletes stay
+        // pending would need delete-set-aware conflict accounting) —
+        // refuse with the remedy, never a silent wrong rewrite.
+        if (cur.deleteFiles.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"$dir has pending delete files; run SnapStore.applyDeletes " +
+              "before SQL UPDATE/MERGE INTO")
+        // Pre-evolution files must read through the evolution log
+        // (plain parquet under the current schema would read a
+        // renamed column as NULL and rewrite data away) — such
+        // tables take the V1-bridged, scanFiles-backed variant.
+        if (cur.evos.exists(e => cur.files.exists(_.seq < e.seq)))
+          new SnapCowV1Scan(cur)
+        else new SnapCowScan(cur)
+      }
     }
 
-  private final class SnapCowScan
+  /** Shared shape of the COW row-level scan: file-granular over the
+    * manifest, with runtime group filtering by manifest bounds.
+    */
+  private sealed abstract class BaseCowScan(
+      protected val cur: SnapStore.Manifest)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-    private val cur = SnapStore.currentManifest(dir)
-    @volatile private var files: Seq[SnapStore.FileEntry] = cur.files
+    @volatile protected var files: Seq[SnapStore.FileEntry] = cur.files
     // Record the FULL planned set up front: even a whole-table
     // rewrite (no group filter translated) then validates at commit
     // that no concurrent commit rewrote what it read, and concurrent
@@ -704,30 +795,39 @@ final class SnapRowLevelOperation(
     override def filterAttributes():
         Array[org.apache.spark.sql.connector.expressions.NamedReference] =
       if (cur.partCol.nonEmpty &&
-        PartTransforms.parse(cur.partCol).isInstanceOf[PartTransforms.Identity] &&
-        SnapStore.partOrdering(cur.schema, cur.partCol).isDefined)
-        // Identity specs only: a transform spec's string is not a
-        // column Spark could resolve a runtime filter against, so
-        // hidden-partition tables take the conservative full-group
-        // path here (SnapStore.readPrunedValues is their pruned
-        // face).
+        PartTransforms.sourceTypeOpt(
+          PartTransforms.parse(cur.partCol), cur.schema).isDefined)
+        // The spec's SOURCE column — a real data column for identity
+        // AND hidden transforms alike, so Spark's row-level group
+        // filter can compute matching source values for a
+        // `days(ts)`-partitioned table too; the transform maps them
+        // onto file bounds in filter(). Equality semantics survive
+        // every transform including bucket.
         Array(org.apache.spark.sql.connector.expressions.Expressions
-          .column(cur.partCol))
+          .column(PartTransforms.parse(cur.partCol).source))
       else Array.empty
 
     override def filter(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-      val values = predicates.toSeq.flatMap(SnapTable.inValues(_, cur.schema, cur.partCol))
+      val src = PartTransforms.parse(cur.partCol).source
+      val values = predicates.toSeq.flatMap(SnapTable.inValues(_, src))
       if (values.nonEmpty) {
         // A translated group filter (possibly matching NO partitions:
         // an empty IN keeps only spec-mismatch files, conservatively).
-        val kept = SnapStore.filesIntersecting(cur, values.flatten.toSet)
+        val kept = SnapStore.filesForSourceValues(cur, values.flatten)
         files = kept
         scannedFiles = Some(kept.map(_.path))
       }
       // untranslatable predicate shapes: keep everything (full replace)
     }
+  }
 
+  /** The fast path: every live file carries the current schema
+    * natively, so the kept groups read as one plain DSv2 parquet
+    * batch (vectorized, codegen'd).
+    */
+  private final class SnapCowScan(cur0: SnapStore.Manifest)
+      extends BaseCowScan(cur0) {
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
       if (files.isEmpty)
         new LocalScan(cur.schema,
@@ -739,6 +839,29 @@ final class SnapRowLevelOperation(
         userSpecifiedSchema = Some(cur.schema),
         fallbackFileFormat = classOf[ParquetFileFormat])
         .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
+  }
+
+  /** The evolution-aware variant: kept groups read through
+    * [[SnapStore.scanFiles]] (per-file read schemas + rename/cast
+    * conversion) behind a V1 scan — a plain parquet read under the
+    * current schema would serve a renamed column as NULL and the
+    * rewrite would destroy data.
+    */
+  private final class SnapCowV1Scan(cur0: SnapStore.Manifest)
+      extends BaseCowScan(cur0)
+      with org.apache.spark.sql.connector.read.V1Scan {
+    override def toV1TableScan[
+        T <: org.apache.spark.sql.sources.BaseRelation
+          with org.apache.spark.sql.sources.TableScan](
+        context: org.apache.spark.sql.SQLContext): T =
+      new org.apache.spark.sql.sources.BaseRelation
+        with org.apache.spark.sql.sources.TableScan {
+        override def sqlContext: org.apache.spark.sql.SQLContext = context
+        override def schema: StructType = cur.schema
+        override def buildScan():
+            org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          SnapStore.scanFiles(context.sparkSession, dir, cur, files).rdd
+      }.asInstanceOf[T]
   }
 
   override def newWriteBuilder(

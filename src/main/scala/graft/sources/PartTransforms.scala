@@ -203,4 +203,21 @@ object PartTransforms {
   private def sourceType(spec: Spec, schema: StructType): DataType =
     sourceTypeOpt(spec, schema).getOrElse(throw new IllegalArgumentException(
       s"partition source column '${spec.source}' not in schema"))
+
+  /** The spec string with its source column renamed (RENAME COLUMN
+    * evolution follow-through) — rebuilt structurally, never by
+    * substring replace (a source named `s` inside `days(s)` would
+    * corrupt the transform name). Specs on other columns return
+    * unchanged.
+    */
+  def renameSource(raw: String, from: String, to: String): String =
+    parse(raw) match {
+      case Identity(`from`) => to
+      case Days(`from`) => Days(to).raw
+      case Months(`from`) => Months(to).raw
+      case Years(`from`) => Years(to).raw
+      case Bucket(n, `from`) => Bucket(n, to).raw
+      case Truncate(w, `from`) => Truncate(w, to).raw
+      case _ => raw
+    }
 }

@@ -59,6 +59,21 @@ object SnapshotStream {
     * Iceberg's `streaming-skip-overwrite-snapshots` semantics:
     * appends keep flowing, rewrites are skipped (their rows were
     * already served at append time).
+    *
+    * Two consequences of the glob worth stating explicitly:
+    *  - **Checkpoint compatibility**: the glob IS the source's
+    *    identity. A stream checkpointed against the pre-glob path
+    *    (bare `data/`) sees a different source configuration on
+    *    resume — discard such checkpoints and restart; do not resume
+    *    them over this source.
+    *  - **MOR-merge inserts are excluded by design**: rows a
+    *    [[SnapStore.mergeEquality]] commit inserts land under
+    *    `mor-merge-*` labels and are never served by the append feed,
+    *    because a MOR merge is a replace-style commit (its equality-
+    *    delete half cannot be applied by a file feed, so serving only
+    *    its insert half would be a half-applied upsert). The history
+    *    check above refuses such tables up front; this note covers a
+    *    merge committed mid-stream, which the glob silently skips.
     */
   def appendFeed(spark: SparkSession, table: Path,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {

@@ -406,8 +406,8 @@ class MaintenanceSpec extends SparkSpec {
   }
 
   test("merge-on-read: equality delete is a zero-data-IO commit, " +
-    "reads anti-join it, the catalog refuses pending deletes, and " +
-    "applyDeletes folds them back to plain scans") {
+    "reads anti-join it, the catalog serves pending deletes via the " +
+    "bridge, and applyDeletes folds them back to plain scans") {
     val dir = Files.createTempDirectory("graft-snapspec-mor")
     dir.toFile.deleteOnExit()
     val t = dir.resolve("docs")
@@ -451,15 +451,13 @@ class MaintenanceSpec extends SparkSpec {
     assert(SnapStore.read(spark, t)
       .filter(col("doc_id") === reKey).count() == 1,
       s"re-inserted key $reKey must survive the older equality delete")
-    // The catalog refuses to serve a MOR snapshot as plain parquet.
+    // The catalog serves the PENDING-MOR snapshot through the
+    // delete-aware bridge (r7) — not the plain parquet file list,
+    // which would resurrect deleted rows.
     spark.conf.set("spark.graft.catalog.dir.morspec", dir.toString)
     if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
       spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
-    val err = intercept[Exception] {
-      spark.table("graft.morspec.docs").count()
-    }
-    assert(err.getMessage.contains("pending delete files"),
-      err.getMessage)
+    assert(spark.table("graft.morspec.docs").count() == n - nDel + 1)
 
     // applyDeletes: deletes folded into rewritten files, pending set
     // cleared, plain-scan reads (and the catalog) work again.
@@ -468,13 +466,11 @@ class MaintenanceSpec extends SparkSpec {
     assert(v4.operation == "apply-deletes" && v4.deleteFiles.isEmpty)
     assert(SnapStore.read(spark, t).count() == n - nDel + 1)
     assert(spark.table("graft.morspec.docs").count() == n - nDel + 1)
-    // Time travel to the MOR snapshot through the catalog still
-    // refuses (it would serve deleted rows); SnapStore.read of the
-    // same version applies the deletes correctly.
-    val tt = intercept[Exception] {
-      spark.sql("SELECT * FROM graft.morspec.docs VERSION AS OF 2").count()
-    }
-    assert(tt.getMessage.contains("pending delete files"), tt.getMessage)
+    // Time travel to the MOR snapshot through the catalog serves the
+    // delete-aware contents of THAT version (r7), agreeing with
+    // SnapStore.read of the same version.
+    assert(spark.sql(
+      "SELECT * FROM graft.morspec.docs VERSION AS OF 2").count() == n - nDel)
     assert(SnapStore.read(spark, t, Some(2)).count() == n - nDel)
   }
 
@@ -757,12 +753,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(v2.files.map(_.path) == v1.files.map(_.path), "zero data rewrite")
     v2.files.foreach(f =>
       assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path)))
-    assert(v2.deleteFiles.size == 1 && v2.deleteFiles.head.kind == "pos" &&
-      v2.deleteFiles.head.rows == nDel)
-    // The delete file names ONLY files that can hold partition 3.
-    val named = spark.read
-      .parquet(t.resolve(v2.deleteFiles.head.path).toString)
+    // One or more delete parquets (the hit set writes DISTRIBUTED —
+    // one file per surviving probe partition, no coalesce(1) funnel),
+    // whose manifest row counts sum to exactly the matched rows.
+    assert(v2.deleteFiles.nonEmpty && v2.deleteFiles.forall(_.kind == "pos") &&
+      v2.deleteFiles.map(_.rows).sum == nDel)
+    // Referenced data files ride the MANIFEST (DeleteFile.refs,
+    // Iceberg's referenced-data-file field): the read path routes
+    // files to the ordinal anti-join without opening delete parquets.
+    assert(v2.deleteFiles.forall(_.refs.nonEmpty))
+    // The delete files name ONLY files that can hold partition 3.
+    val named = v2.deleteFiles.flatMap(_.refs).toSet
+    val namedOnDisk = spark.read
+      .parquet(v2.deleteFiles.map(d => t.resolve(d.path).toString): _*)
       .select("file").distinct().collect().map(_.getString(0)).toSet
+    assert(named == namedOnDisk,
+      s"manifest refs must equal the delete parquets' contents: " +
+        s"$named vs $namedOnDisk")
     val part3Files = v1.files.filter(f =>
       f.partMin.toLong <= 3 && 3 <= f.partMax.toLong)
       .map(f => f.path.stripPrefix("data/")).toSet
@@ -779,6 +786,11 @@ class MaintenanceSpec extends SparkSpec {
     val plan = after.queryExecution.executedPlan.toString
     assert(plan.contains("row_index"), "affected branch pays the ordinal join")
     assert(plan.contains("Union"), "clean files read in their own branch")
+    // De-collected read (VERDICT r6 #1): the (file, pos) pairs flow
+    // as a parquet SCAN joined against the affected branch — never a
+    // driver-collected local relation.
+    assert(!plan.contains("LocalTableScan"),
+      "pos pairs must not be collected to a local relation:\n" + plan)
     // applyDeletes folds the position deletes too.
     SnapStore.applyDeletes(spark, t, "part")
     assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
@@ -861,7 +873,10 @@ class MaintenanceSpec extends SparkSpec {
     assert(exclusives.nonEmpty)
     SnapStore.dropBranch(t, "exp")
     assert(SnapStore.listBranches(t) == Seq("ingest"))
-    val removed = SnapStore.removeOrphans(t)
+    // Explicit minAgeMs = 0: no writer is in flight here; the
+    // DEFAULT is a conservative 3h so a production cleanup can never
+    // race an in-flight append's just-staged files.
+    val removed = SnapStore.removeOrphans(t, minAgeMs = 0L)
     assert(removed.toSet == exclusives.toSet,
       s"orphan cleanup must collect exactly the dropped branch's " +
         s"exclusive files: $removed vs $exclusives")
@@ -1229,6 +1244,224 @@ class MaintenanceSpec extends SparkSpec {
     val stray = Files.list(dir.resolve("docs")).iterator().asScala
       .filter(_.getFileName.toString.startsWith(".rlo-tmp-")).toSeq
     assert(stray.isEmpty, s"staging left behind: $stray")
+  }
+
+  test("compaction survives partition-spec evolution: old-spec " +
+    "string bounds never parse under the new numeric ordering") {
+    val t = freshTable("compactevo")
+    // v1 partitioned by a STRING column → string-rendered bounds.
+    SnapStore.create(spark, t, docs, "source", numFiles = 4)
+    // Evolve to a NUMERIC spec; old files keep their string bounds
+    // tagged with the old spec (specCol) — the compaction sort must
+    // not feed them to the numeric ordering (ADVICE r6 #2: s.toLong
+    // over "srcX" threw, permanently breaking compaction).
+    SnapStore.evolveSpec(t, "part")
+    SnapStore.append(spark, t, docs.limit(50), "part")
+    val before = SnapStore.currentManifest(t)
+    assert(before.files.exists(f => f.specCol == "source") &&
+      before.files.exists(f => f.specCol == "part"),
+      "fixture must mix spec generations")
+    val total = before.files.map(_.bytes).sum
+    SnapStore.compact(spark, t, "part", targetBytes = total / 2 + 1)
+    assert(SnapStore.read(spark, t).count() == docs.count() + 50)
+  }
+
+  test("SQL reads serve pending-MOR snapshots through the catalog: " +
+    "equality + position deletes apply, fold restores the fast path") {
+    val dir = Files.createTempDirectory("graft-snapspec-morsql")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    spark.conf.set("spark.graft.catalog.dir.morsqlspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("doc_id"),
+      "doc_id")
+    SnapStore.deletePositions(spark, t,
+      col("part") === 2 && pmod(col("doc_id"), lit(5L)) === 0)
+    assert(SnapStore.currentManifest(t).deleteFiles.nonEmpty)
+    val expected = docs.filter(
+      pmod(col("doc_id"), lit(13L)) =!= 0 &&
+        !(col("part") === 2 && pmod(col("doc_id"), lit(5L)) === 0)).count()
+    // SQL through the catalog — deletes PENDING — equals the API read
+    // row for row, and equals the logical expectation.
+    val viaSql = spark.sql(
+      "SELECT doc_id, text FROM graft.morsqlspec.docs ORDER BY doc_id")
+      .collect()
+    val viaApi = SnapStore.read(spark, t)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+    assert(viaSql.length == expected)
+    // Aggregates and filters compose on top of the bridged scan.
+    assert(spark.sql("SELECT COUNT(*) FROM graft.morsqlspec.docs")
+      .head.getLong(0) == expected)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.morsqlspec.docs WHERE part = 2")
+      .head.getLong(0) ==
+      docs.filter(col("part") === 2 &&
+        pmod(col("doc_id"), lit(13L)) =!= 0 &&
+        pmod(col("doc_id"), lit(5L)) =!= 0).count())
+    // VERSION AS OF the pre-delete snapshot still serves everything.
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.morsqlspec.docs VERSION AS OF '1'")
+      .head.getLong(0) == docs.count())
+    // UPDATE while deletes are pending refuses with the remedy —
+    // never a silent group-replace that would resurrect deleted rows.
+    val e = intercept[Exception](spark.sql(
+      "UPDATE graft.morsqlspec.docs SET text = 'x' WHERE part = 1"))
+    assert(e.getMessage.contains("applyDeletes") ||
+      Option(e.getCause).exists(_.getMessage.contains("applyDeletes")))
+    // Fold: the catalog returns to the plain parquet path and agrees.
+    SnapStore.applyDeletes(spark, t, "part")
+    assert(spark.sql("SELECT COUNT(*) FROM graft.morsqlspec.docs")
+      .head.getLong(0) == expected)
+  }
+
+  test("RENAME COLUMN + widening are metadata-only: old files read " +
+    "through the evolution log, pruning and DML follow the new name") {
+    val dir = Files.createTempDirectory("graft-snapspec-renw")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    val base0 = docs.withColumn("tok",
+      expr("CAST(size(split(text, ' ')) AS INT)"))
+    SnapStore.create(spark, t, base0, "part", keyCol = "doc_id")
+    spark.conf.set("spark.graft.catalog.dir.renwspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val v1 = SnapStore.currentManifest(t)
+    val mtimes = v1.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+    val sumTok = base0.agg(sum(col("tok").cast("long"))).head.getLong(0)
+
+    spark.sql("ALTER TABLE graft.renwspec.docs RENAME COLUMN tok TO n_tok")
+    spark.sql("ALTER TABLE graft.renwspec.docs ALTER COLUMN n_tok TYPE BIGINT")
+    val v3 = SnapStore.currentManifest(t)
+    assert(v3.version == 3 && v3.operation == "widen-column")
+    assert(v3.evos.map(e => (e.kind, e.col)) ==
+      Seq(("rename", "tok"), ("widen", "n_tok")))
+    // Pure metadata: same files, untouched bytes.
+    assert(v3.files.map(_.path) == v1.files.map(_.path))
+    v3.files.foreach(f => assert(
+      Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path),
+      s"${f.path} must not be rewritten by metadata evolution"))
+    assert(v3.schema("n_tok").dataType == LongType)
+    // Old files serve their as-written int column under the new
+    // name and type, values intact — API and catalog SQL agree.
+    val after = SnapStore.read(spark, t)
+    assert(after.schema("n_tok").dataType == LongType)
+    assert(after.agg(sum("n_tok")).head.getLong(0) == sumTok)
+    assert(spark.sql("SELECT SUM(n_tok) FROM graft.renwspec.docs")
+      .head.getLong(0) == sumTok)
+    // Time travel still serves the OLD shape.
+    val old = SnapStore.read(spark, t, Some(1))
+    assert(old.schema.fieldNames.contains("tok") &&
+      !old.schema.fieldNames.contains("n_tok"))
+    // Appends land natively typed; mixed old/new files read together.
+    spark.sql(
+      """INSERT INTO graft.renwspec.docs
+        |SELECT doc_id + 900000, part, 'srcE', text, n_tok
+        |FROM graft.renwspec.docs WHERE doc_id % 50 = 1""".stripMargin)
+    val nIns = docs.filter(pmod(col("doc_id"), lit(50L)) === 1).count()
+    assert(spark.sql("SELECT COUNT(*) FROM graft.renwspec.docs")
+      .head.getLong(0) == docs.count() + nIns)
+    // COW merge under the new name: bound pruning still bites (the
+    // rename migrated the manifest's key/spec tags, not the values).
+    val v4 = SnapStore.currentManifest(t)
+    val mt4 = v4.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+    val changes = SnapStore.read(spark, t).filter(col("part") === 6)
+      .limit(3).withColumn("text", lit("renamed upd"))
+    SnapStore.merge(spark, t, changes, "doc_id", "part")
+    val v5 = SnapStore.currentManifest(t)
+    val clean = v4.files.filter(f =>
+      !(f.partMin.toLong <= 6 && 6 <= f.partMax.toLong))
+    assert(clean.nonEmpty)
+    clean.foreach { f =>
+      assert(v5.files.exists(_.path == f.path), s"${f.path} must carry")
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mt4(f.path))
+    }
+    assert(SnapStore.read(spark, t)
+      .filter(col("text") === "renamed upd").count() == 3)
+    // Guards: non-widening change and colliding rename refuse.
+    intercept[IllegalArgumentException](
+      SnapStore.widenColumn(t, "n_tok",
+        org.apache.spark.sql.types.IntegerType))
+    intercept[IllegalArgumentException](
+      SnapStore.renameColumn(t, "n_tok", "part"))
+  }
+
+  test("predicate probes pre-prune by manifest bounds: a one-" +
+    "partition DELETE opens only that partition's files") {
+    val t = freshTable("preprune")
+    SnapStore.create(spark, t, docs, "part")
+    val v1 = SnapStore.currentManifest(t)
+    val cond = col("part") === 2 && pmod(col("doc_id"), lit(7L)) === 1
+    // The probe candidate set IS the bounds-intersecting subset.
+    val cands = SnapStore.probeCandidates(spark, v1, cond)
+    val p2 = v1.files.filter(f =>
+      f.partMin.toLong <= 2 && 2 <= f.partMax.toLong)
+    assert(cands.map(_.path).toSet == p2.map(_.path).toSet)
+    assert(cands.size < v1.files.size,
+      s"fixture must have prunable files: ${cands.size} of ${v1.files.size}")
+    // IN-lists prune; literal-on-the-left prunes; non-partition
+    // predicates keep everything (conservative, never wrong).
+    assert(SnapStore.probeCandidates(spark, v1,
+      col("part").isin(1L, 2L)).map(_.path).toSet ==
+      v1.files.filter(f => Seq(1L, 2L).exists(p =>
+        f.partMin.toLong <= p && p <= f.partMax.toLong)).map(_.path).toSet)
+    assert(SnapStore.probeCandidates(spark, v1, lit(2L) === col("part"))
+      .map(_.path).toSet == p2.map(_.path).toSet)
+    assert(SnapStore.probeCandidates(spark, v1,
+      pmod(col("doc_id"), lit(7L)) === 1).size == v1.files.size)
+    // End-to-end: the pruned probe deletes exactly the matches.
+    val nDel = docs.filter(cond).count()
+    assert(nDel > 0)
+    SnapStore.deleteWhere(spark, t, cond)
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == docs.count() - nDel)
+    assert(after.filter(cond).count() == 0)
+  }
+
+  test("runtime group filtering prunes hidden-partition specs: a " +
+    "one-day SQL UPDATE on a days(d) table carries other days' files") {
+    val dir = Files.createTempDirectory("graft-snapspec-rlodays")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("events")
+    val df = docs.withColumn("d",
+      expr("date_add(DATE'2024-01-01', CAST(pmod(doc_id, 5) AS INT))"))
+    SnapStore.create(spark, t, df, "days(d)", keyCol = "doc_id")
+    spark.conf.set("spark.graft.catalog.dir.rlodays", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val v1 = SnapStore.currentManifest(t)
+    val mtimes = v1.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+
+    spark.sql("UPDATE graft.rlodays.events SET text = concat(text, ' upd') " +
+      "WHERE d = DATE'2024-01-03'")
+    val v2 = SnapStore.currentManifest(t)
+    assert(v2.operation == "update")
+    // Files whose TRANSFORMED (epoch-day) bounds exclude the updated
+    // day carried untouched — the group filter evaluated the days()
+    // transform on the runtime literals (VERDICT r6 task #6).
+    val day = java.time.LocalDate.parse("2024-01-03").toEpochDay
+    val clean = v1.files.filter(f =>
+      !(f.partMin.toLong <= day && day <= f.partMax.toLong))
+    assert(clean.nonEmpty, s"fixture must give prunable day files: " +
+      v1.files.map(f => (f.partMin, f.partMax)))
+    clean.foreach { f =>
+      assert(v2.files.exists(_.path == f.path), s"${f.path} must carry")
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path),
+        s"${f.path} must not be rewritten by a one-day UPDATE")
+    }
+    // Correctness: exactly the day's rows updated.
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == df.count())
+    assert(after.filter(col("d") === to_date(lit("2024-01-03")) &&
+      !col("text").endsWith(" upd")).count() == 0)
+    assert(after.filter(col("d") =!= to_date(lit("2024-01-03")) &&
+      col("text").endsWith(" upd")).count() == 0)
   }
 
   test("registered lifecycle is idempotent: re-running entries " +

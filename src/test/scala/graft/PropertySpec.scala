@@ -64,4 +64,30 @@ class PropertySpec extends SparkSpec {
         exc.subsetOf(a.toSet) && exc.intersect(b.toSet).isEmpty
     })
   }
+
+  test("string bound ordering agrees with UTF8String binary order on " +
+    "supplementary characters") {
+    // Manifest string bounds come from Spark min/max, which compares
+    // UTF8String BYTES; Java's Ordering.String compares UTF-16 code
+    // units. The two disagree exactly for supplementary (non-BMP)
+    // chars vs U+E000–U+FFFF — a pruning-soundness bug if the store
+    // compared bounds under the wrong one (ADVICE r6). Generate
+    // strings mixing ASCII, a private-use BMP char (U+E000), and a
+    // supplementary char (U+10000 as surrogate pair) and require the
+    // store's ordering to match UTF8String.compareTo on every pair.
+    val unit = Gen.oneOf(
+      Gen.choose(32.toChar, 126.toChar).map(_.toString),
+      Gen.const(""),
+      Gen.const(new String(Character.toChars(0x10000))),
+      Gen.const(new String(Character.toChars(0x1f600))))
+    val str = Gen.listOfN(4, unit).map(_.mkString)
+    check(Prop.forAll(str, str) { (a, b) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val expect = Integer.signum(
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      val got = Integer.signum(
+        graft.sources.SnapStore.utf8BytesOrd.compare(a, b))
+      got == expect
+    })
+  }
 }
