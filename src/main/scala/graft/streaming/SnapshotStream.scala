@@ -42,6 +42,13 @@ import graft.sources.SnapStore
   */
 object SnapshotStream {
 
+  // `rename-column` / `widen-column` are deliberately NOT here even
+  // though they are metadata-only: the file feed reads every file
+  // under the CURRENT schema, so a pre-rename append file would serve
+  // the renamed column as null — only the per-file-schema batch path
+  // (SnapStore.scanFiles) can serve evolved history. Streams of
+  // renamed tables refuse at creation; restart them after a rewrite
+  // migrates the files.
   private val appendOnly = Set("create", "append", "add-column")
 
   /** Streaming DataFrame of the table's appended rows, schema'd from

@@ -1464,6 +1464,41 @@ class MaintenanceSpec extends SparkSpec {
       col("text").endsWith(" upd")).count() == 0)
   }
 
+  test("metadata stays bounded under long commit chains: expiry " +
+    "prunes the manifest log, the refs log keeps a constant window") {
+    val t = freshTable("metabound")
+    SnapStore.create(spark, t, docs.limit(40), "part", numFiles = 2)
+    // A long chain of small commits — the shape of a steady CDC
+    // trickle — grows one manifest per commit (plus a refs sequence
+    // per tag move).
+    (1 to 12).foreach { i =>
+      SnapStore.append(spark, t, docs.limit(2), "part", numFiles = 1)
+      SnapStore.tag(t, "latest", SnapStore.currentVersion(t).get)
+    }
+    assert(SnapStore.liveVersions(t).size == 13)
+    def snapMeta(prefix: String): Int = {
+      val stream = Files.list(t.resolve("_snapshots"))
+      try stream.iterator().asScala
+        .count(_.getFileName.toString.startsWith(prefix))
+      finally stream.close()
+    }
+    // The refs log self-prunes on every CAS to a constant trailing
+    // window (5) — it never grows with the commit chain.
+    assert(snapMeta("refs.v") <= 6,
+      s"refs log must stay bounded: ${snapMeta("refs.v")} sequences")
+    // Move the tag off the protected tail, then expire: the manifest
+    // log folds to exactly keepLast + protected — metadata scale is
+    // bounded by retention, not by table age.
+    SnapStore.tag(t, "latest", 12)
+    SnapStore.expire(t, keepLast = 3)
+    assert(SnapStore.liveVersions(t) == Seq(11, 12, 13),
+      s"live: ${SnapStore.liveVersions(t)}")
+    assert(snapMeta("v") == 3,
+      s"manifest log must fold to keepLast: ${snapMeta("v")} files")
+    // Contents survive: the current snapshot reads everything.
+    assert(SnapStore.read(spark, t).count() == 40 + 12 * 2)
+  }
+
   test("registered lifecycle is idempotent: re-running entries " +
     "re-reads the same final snapshots") {
     val a = ops.Maintenance.mergeUpsert(spark, sf).collect()
