@@ -741,6 +741,19 @@ final class SnapRowLevelOperation(
     */
   @volatile private[sources] var scannedFiles: Option[Seq[String]] = None
 
+  /** The delete-file set the scan read under (possibly empty): the
+    * commit validates it is UNCHANGED and carries it forward — a
+    * delete file landing mid-operation aborts instead of silently
+    * losing its deletes against the replaced rows.
+    */
+  @volatile private[sources] var scannedDeletes: Seq[SnapStore.DeleteFile] =
+    Seq.empty
+
+  /** Staging dirs the materialized scan wrote (MOR/evolved tables);
+    * removed at job commit/abort. */
+  @volatile private[sources] var scanStagings: Seq[java.nio.file.Path] =
+    Seq.empty
+
   /** The operation's scan: file-granular over the current manifest,
     * with Iceberg-style RUNTIME GROUP FILTERING — Spark's
     * row-level-operation group filter computes the partition values
@@ -757,20 +770,19 @@ final class SnapRowLevelOperation(
     new ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan = {
         val cur = SnapStore.currentManifest(dir)
-        // Group-replace semantics cannot compose with pending delete
-        // files (replacing a group while other groups' deletes stay
-        // pending would need delete-set-aware conflict accounting) —
-        // refuse with the remedy, never a silent wrong rewrite.
-        if (cur.deleteFiles.nonEmpty)
-          throw new UnsupportedOperationException(
-            s"$dir has pending delete files; run SnapStore.applyDeletes " +
-              "before SQL UPDATE/MERGE INTO")
-        // Pre-evolution files must read through the evolution log
-        // (plain parquet under the current schema would read a
-        // renamed column as NULL and rewrite data away) — such
-        // tables take the V1-bridged, scanFiles-backed variant.
-        if (cur.evos.exists(e => cur.files.exists(_.seq < e.seq)))
-          new SnapCowV1Scan(cur)
+        // Two shapes force the V1-bridged, manifest-aware read:
+        //  - pending DELETE FILES: the replaced group must read
+        //    delete-aware (a plain scan would feed deleted rows to
+        //    the rewrite and resurrect them); the commit then carries
+        //    the delete set — validated unchanged — so carried files
+        //    stay suppressed and the new files outrank it by
+        //    sequence (Iceberg's COW-over-MOR semantics).
+        //  - pre-evolution files: plain parquet under the current
+        //    schema would read a renamed column as NULL and rewrite
+        //    data away.
+        if (cur.deleteFiles.nonEmpty ||
+          cur.evos.exists(e => cur.files.exists(_.seq < e.seq)))
+          new SnapCowMaterializedScan(cur)
         else new SnapCowScan(cur)
       }
     }
@@ -788,6 +800,7 @@ final class SnapRowLevelOperation(
     // that no concurrent commit rewrote what it read, and concurrent
     // appends carry instead of being erased.
     scannedFiles = Some(cur.files.map(_.path))
+    scannedDeletes = cur.deleteFiles
 
     override def readSchema(): StructType = cur.schema
     override def description(): String = s"graft-cow-scan $dir"
@@ -841,27 +854,52 @@ final class SnapRowLevelOperation(
         .newScanBuilder(CaseInsensitiveStringMap.empty()).build().toBatch
   }
 
-  /** The evolution-aware variant: kept groups read through
-    * [[SnapStore.scanFiles]] (per-file read schemas + rename/cast
-    * conversion) behind a V1 scan — a plain parquet read under the
-    * current schema would serve a renamed column as NULL and the
-    * rewrite would destroy data.
+  /** The manifest-aware variant: kept groups read through
+    * [[SnapStore.readManifest]] restricted to the (possibly
+    * runtime-filtered) file set — which applies pending delete files
+    * sequence-scoped AND per-file evolution schemas. A plain parquet
+    * read would serve deleted rows to the rewrite (resurrecting
+    * them) or a renamed column as NULL (destroying data).
+    *
+    * Spark's group-based row-level planning builds BATCH scans
+    * directly (`GroupBasedRowLevelOperationScanPlanning` does no
+    * V1Scan bridging), and the delete-aware plan carries joins whose
+    * shuffle/broadcast stages a DSv2 Batch cannot replay — so this
+    * scan MATERIALIZES the kept rows to a staging parquet with one
+    * distributed job and serves the batch from it. The extra
+    * write+read covers only the replaced group (which the COW
+    * rewrite was going to rewrite anyway); memoized per file set
+    * because Spark plans toBatch both before and after runtime group
+    * filtering. Stagings are removed at job commit/abort.
     */
-  private final class SnapCowV1Scan(cur0: SnapStore.Manifest)
-      extends BaseCowScan(cur0)
-      with org.apache.spark.sql.connector.read.V1Scan {
-    override def toV1TableScan[
-        T <: org.apache.spark.sql.sources.BaseRelation
-          with org.apache.spark.sql.sources.TableScan](
-        context: org.apache.spark.sql.SQLContext): T =
-      new org.apache.spark.sql.sources.BaseRelation
-        with org.apache.spark.sql.sources.TableScan {
-        override def sqlContext: org.apache.spark.sql.SQLContext = context
-        override def schema: StructType = cur.schema
-        override def buildScan():
-            org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-          SnapStore.scanFiles(context.sparkSession, dir, cur, files).rdd
-      }.asInstanceOf[T]
+  private final class SnapCowMaterializedScan(cur0: SnapStore.Manifest)
+      extends BaseCowScan(cur0) {
+    private val cache = scala.collection.mutable.Map[
+      Seq[String], org.apache.spark.sql.connector.read.Batch]()
+    override def toBatch: org.apache.spark.sql.connector.read.Batch =
+      cache.synchronized {
+        cache.getOrElseUpdate(files.map(_.path), {
+          if (files.isEmpty)
+            new LocalScan(cur.schema,
+              Array.empty[org.apache.spark.sql.catalyst.InternalRow],
+              s"graft-cow-empty $dir").toBatch
+          else {
+            val spark = SparkSession.active
+            val staging = dir.resolve(
+              s".cowread-tmp-${ProcessHandle.current().pid()}-" +
+                java.util.UUID.randomUUID().toString.take(8))
+            SnapStore.readManifest(spark, dir, cur.copy(files = files))
+              .write.mode("overwrite").parquet(staging.toString)
+            scanStagings = scanStagings :+ staging
+            ParquetTable("graft-cow-read", spark,
+              CaseInsensitiveStringMap.empty(), Seq(staging.toString),
+              userSpecifiedSchema = Some(cur.schema),
+              fallbackFileFormat = classOf[ParquetFileFormat])
+              .newScanBuilder(CaseInsensitiveStringMap.empty())
+              .build().toBatch
+          }
+        })
+      }
   }
 
   override def newWriteBuilder(
@@ -923,14 +961,19 @@ final class SnapRowLevelOperation(
               override def commit(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                 delegate.commit(messages)
-                SnapStore.commitReplaceFromStaging(SparkSession.active, dir,
-                  staging, cmd.toString.toLowerCase(java.util.Locale.ROOT),
-                  scannedFiles)
+                try SnapStore.commitReplaceFromStaging(SparkSession.active,
+                  dir, staging,
+                  cmd.toString.toLowerCase(java.util.Locale.ROOT),
+                  scannedFiles, scannedDeletes)
+                finally scanStagings.foreach(SnapStore.dropStaging(dir, _))
               }
               override def abort(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                 try delegate.abort(messages)
-                finally SnapStore.dropStaging(dir, staging)
+                finally {
+                  SnapStore.dropStaging(dir, staging)
+                  scanStagings.foreach(SnapStore.dropStaging(dir, _))
+                }
               }
             }
         }

@@ -1388,7 +1388,8 @@ object SnapStore {
     */
   private[sources] def commitReplaceFromStaging(spark: SparkSession,
       table: Path, staging: Path, operation: String,
-      replaced: Option[Seq[String]] = None): Manifest = {
+      replaced: Option[Seq[String]] = None,
+      scanDeletes: Seq[DeleteFile] = Seq.empty): Manifest = {
     val cur0 = currentManifest(table)
     require(cur0.partCol.nonEmpty, "table has no partition spec")
     val dataDir = table.resolve("data")
@@ -1418,10 +1419,14 @@ object SnapStore {
         // `replaced` = the files the operation's scan served (the
         // replaced GROUP — the scan records its full planned set, so
         // even a whole-table rewrite validates). A concurrent commit
-        // that rewrote any replaced file, or landed a delete file,
-        // aborts — serializable isolation, the same conflicts Iceberg
-        // validation raises; concurrent APPENDS carry safely.
-        require(cur.deleteFiles.isEmpty,
+        // that rewrote any replaced file, or changed the DELETE-FILE
+        // SET, aborts — serializable isolation, the same conflicts
+        // Iceberg validation raises; concurrent APPENDS carry safely.
+        // Scan-time pending deletes are legal: the replaced group was
+        // read DELETE-AWARE, so its replacement rows already fold
+        // them, while carried files keep the (unchanged) delete set
+        // applying and the new files outrank it by sequence.
+        require(cur.deleteFiles == scanDeletes,
           s"concurrent delete-file commit conflicts with this $operation — " +
             "aborting")
         val carried = replaced match {
@@ -1434,8 +1439,8 @@ object SnapStore {
           case None => Seq.empty
         }
         val m = Manifest(v, cur.version, operation, cur.schema,
-          carried ++ newFiles.map(_.copy(seq = v)), cur.partCol, Seq.empty,
-          cur.keyCol, cur.evos)
+          carried ++ newFiles.map(_.copy(seq = v)), cur.partCol,
+          cur.deleteFiles, cur.keyCol, cur.evos)
         (m, Seq.empty, tryCommitManifest(table, m))
       }
     } catch { case NonFatal(e) =>

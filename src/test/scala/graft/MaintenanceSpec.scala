@@ -1306,12 +1306,24 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT COUNT(*) FROM graft.morsqlspec.docs VERSION AS OF '1'")
       .head.getLong(0) == docs.count())
-    // UPDATE while deletes are pending refuses with the remedy —
-    // never a silent group-replace that would resurrect deleted rows.
-    val e = intercept[Exception](spark.sql(
-      "UPDATE graft.morsqlspec.docs SET text = 'x' WHERE part = 1"))
-    assert(e.getMessage.contains("applyDeletes") ||
-      Option(e.getCause).exists(_.getMessage.contains("applyDeletes")))
+    // UPDATE while deletes are pending WORKS (Iceberg's COW-over-MOR
+    // semantics): the replaced group reads delete-aware — a deleted
+    // row is NOT resurrected by the rewrite — and the untouched
+    // groups keep the pending delete set applying.
+    spark.sql(
+      "UPDATE graft.morsqlspec.docs SET text = 'morupd' WHERE part = 1")
+    val vUpd = SnapStore.currentManifest(t)
+    assert(vUpd.operation == "update" && vUpd.deleteFiles.nonEmpty,
+      "the update must carry the pending delete set forward")
+    val afterUpd = SnapStore.read(spark, t)
+    assert(afterUpd.count() == expected, "no deleted row may resurrect")
+    assert(afterUpd.filter(col("part") === 1 &&
+      col("text") =!= "morupd").count() == 0)
+    assert(afterUpd.filter(col("part") =!= 1 &&
+      col("text") === "morupd").count() == 0)
+    // Still suppressed for OTHER partitions too (delete set intact).
+    assert(afterUpd.filter(pmod(col("doc_id"), lit(13L)) === 0 &&
+      col("part") =!= 1).count() == 0)
     // Fold: the catalog returns to the plain parquet path and agrees.
     SnapStore.applyDeletes(spark, t, "part")
     assert(spark.sql("SELECT COUNT(*) FROM graft.morsqlspec.docs")
@@ -1383,6 +1395,22 @@ class MaintenanceSpec extends SparkSpec {
     }
     assert(SnapStore.read(spark, t)
       .filter(col("text") === "renamed upd").count() == 3)
+    // SQL UPDATE on the EVOLVED table routes through the
+    // materialized manifest-aware scan (plain parquet would read the
+    // renamed column as null and destroy data): every value
+    // survives, exactly the matched rows change.
+    val sumBefore = SnapStore.read(spark, t)
+      .agg(sum("n_tok")).head.getLong(0)
+    val nPart2 = SnapStore.read(spark, t)
+      .filter(col("part") === 2).count()
+    spark.sql(
+      "UPDATE graft.renwspec.docs SET n_tok = n_tok + 1 WHERE part = 2")
+    assert(SnapStore.read(spark, t).agg(sum("n_tok")).head.getLong(0) ==
+      sumBefore + nPart2,
+      "update must increment exactly the matched rows, losing none")
+    val cowDebris = Files.list(t).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".cowread-tmp-")).toSeq
+    assert(cowDebris.isEmpty, s"scan staging left behind: $cowDebris")
     // Guards: non-widening change and colliding rename refuse.
     intercept[IllegalArgumentException](
       SnapStore.widenColumn(t, "n_tok",
