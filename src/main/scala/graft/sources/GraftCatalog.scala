@@ -177,6 +177,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .filter(SnapStore.isSnapTable)
           .getOrElse(throw new NoSuchTableException(ident))
         new RefsMetadataTable(s"$catalogName.$db.$table.refs", dir)
+      // `db.table.manifests` — Iceberg's `table.manifests` surface:
+      // one row per LIVE manifest file with its version, path,
+      // length, and data/delete-file counts.
+      case Array(db, table) if ident.name() == "manifests" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new ManifestsMetadataTable(s"$catalogName.$db.$table.manifests", dir)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -465,6 +473,39 @@ final class RefsMetadataTable(tableName: String,
           v)): org.apache.spark.sql.catalyst.InternalRow
     }.toArray
   }
+}
+
+/** `db.table.manifests` — Iceberg's `table.manifests` metadata
+  * table: one row per LIVE manifest file (the expired ones are
+  * gone), with the on-disk length and the file counts an operator
+  * checks when judging metadata health.
+  */
+final class ManifestsMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = ManifestsMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    SnapStore.liveVersions(dir).toArray.map { v =>
+      val m = SnapStore.manifest(dir, v)
+      val p = dir.resolve("_snapshots").resolve(f"v$v%05d.manifest")
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](v,
+          org.apache.spark.unsafe.types.UTF8String.fromString(p.toString),
+          if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
+          else 0L,
+          m.files.size, m.deleteFiles.size,
+          org.apache.spark.unsafe.types.UTF8String.fromString(m.operation))):
+        org.apache.spark.sql.catalyst.InternalRow
+    }
+}
+
+object ManifestsMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("length", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("data_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("delete_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("operation", org.apache.spark.sql.types.StringType, nullable = false)))
 }
 
 object RefsMetadataTable {

@@ -1525,6 +1525,18 @@ class MaintenanceSpec extends SparkSpec {
       s"manifest log must fold to keepLast: ${snapMeta("v")} files")
     // Contents survive: the current snapshot reads everything.
     assert(SnapStore.read(spark, t).count() == 40 + 12 * 2)
+    // The `.manifests` metadata table (Iceberg's table.manifests)
+    // lists exactly the LIVE manifest files with their file counts.
+    spark.conf.set("spark.graft.catalog.dir.metab", t.getParent.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val mrows = spark.sql(
+      """SELECT version, length, data_files, delete_files, operation
+        |FROM graft.metab.t.manifests ORDER BY version""".stripMargin)
+      .collect()
+    assert(mrows.map(_.getInt(0)).toSeq == Seq(11, 12, 13))
+    assert(mrows.forall(r => r.getLong(1) > 0 && r.getInt(3) == 0))
+    assert(mrows.last.getString(4) == "append")
   }
 
   test("registered lifecycle is idempotent: re-running entries " +
