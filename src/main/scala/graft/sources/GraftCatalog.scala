@@ -751,7 +751,17 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
             override def sqlContext: org.apache.spark.sql.SQLContext = context
             override def schema: StructType = required
             override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-              var df = SnapStore.readManifest(context.sparkSession, dir, m)
+              // Manifest-level FILE pruning first: a pushed filter
+              // that equality-constrains the partition source skips
+              // unaffected files entirely (sound: dropping whole
+              // files a re-applied filter would reject anyway —
+              // delete files only ever suppress rows, never add).
+              val spark = context.sparkSession
+              val pruned = conds.reduceOption(_ && _)
+                .map(c => SnapStore.probeCandidates(spark, m, c))
+                .getOrElse(m.files)
+              var df = SnapStore.readManifest(spark, dir,
+                m.copy(files = pruned))
               conds.foreach(c => df = df.filter(c))
               df.select(required.fieldNames.toSeq.map(
                 org.apache.spark.sql.functions.col): _*).rdd
@@ -808,10 +818,34 @@ final class SnapRowLevelOperation(
     * carries untouched.
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      private val cur = SnapStore.currentManifest(dir)
+      private var statics: Seq[SnapStore.FileEntry] = cur.files
+
+      /** STATIC group pruning — Iceberg's SparkScanBuilder contract
+        * for row-level scans: the pushed operation condition prunes
+        * FILES by manifest bounds at plan-build time (before any
+        * runtime filter, before the materialized scan's staging
+        * write), while every filter stays residual so kept files'
+        * rows all reach the rewrite — groups are replaced WHOLE.
+        */
+      override def pushFilters(
+          filters: Array[org.apache.spark.sql.sources.Filter]):
+          Array[org.apache.spark.sql.sources.Filter] = {
+        filters.toSeq.flatMap(SnapTable.toColumn)
+          .reduceOption(_ && _)
+          .foreach { c =>
+            statics = SnapStore.probeCandidates(
+              SparkSession.active, cur, c)
+          }
+        filters
+      }
+      override def pushedFilters(): Array[org.apache.spark.sql.sources.Filter] =
+        Array.empty
+
       override def build(): org.apache.spark.sql.connector.read.Scan = {
-        val cur = SnapStore.currentManifest(dir)
-        // Two shapes force the V1-bridged, manifest-aware read:
+        // Two shapes force the materialized manifest-aware read:
         //  - pending DELETE FILES: the replaced group must read
         //    delete-aware (a plain scan would feed deleted rows to
         //    the rewrite and resurrect them); the commit then carries
@@ -823,8 +857,8 @@ final class SnapRowLevelOperation(
         //    data away.
         if (cur.deleteFiles.nonEmpty ||
           cur.evos.exists(e => cur.files.exists(_.seq < e.seq)))
-          new SnapCowMaterializedScan(cur)
-        else new SnapCowScan(cur)
+          new SnapCowMaterializedScan(cur, statics)
+        else new SnapCowScan(cur, statics)
       }
     }
 
@@ -832,15 +866,16 @@ final class SnapRowLevelOperation(
     * manifest, with runtime group filtering by manifest bounds.
     */
   private sealed abstract class BaseCowScan(
-      protected val cur: SnapStore.Manifest)
+      protected val cur: SnapStore.Manifest,
+      statics: Seq[SnapStore.FileEntry])
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-    @volatile protected var files: Seq[SnapStore.FileEntry] = cur.files
-    // Record the FULL planned set up front: even a whole-table
-    // rewrite (no group filter translated) then validates at commit
-    // that no concurrent commit rewrote what it read, and concurrent
-    // appends carry instead of being erased.
-    scannedFiles = Some(cur.files.map(_.path))
+    @volatile protected var files: Seq[SnapStore.FileEntry] = statics
+    // Record the FULL planned set up front (post static pruning):
+    // even a whole-table rewrite (no group filter translated) then
+    // validates at commit that no concurrent commit rewrote what it
+    // read, and concurrent appends carry instead of being erased.
+    scannedFiles = Some(statics.map(_.path))
     scannedDeletes = cur.deleteFiles
 
     override def readSchema(): StructType = cur.schema
@@ -868,7 +903,12 @@ final class SnapRowLevelOperation(
       if (values.nonEmpty) {
         // A translated group filter (possibly matching NO partitions:
         // an empty IN keeps only spec-mismatch files, conservatively).
+        // INTERSECTED with the static pushed-filter pruning — both
+        // are sound alone, so their intersection is too, and it is
+        // strictly tighter.
+        val staticPaths = files.map(_.path).toSet
         val kept = SnapStore.filesForSourceValues(cur, values.flatten)
+          .filter(f => staticPaths(f.path))
         files = kept
         scannedFiles = Some(kept.map(_.path))
       }
@@ -880,8 +920,9 @@ final class SnapRowLevelOperation(
     * natively, so the kept groups read as one plain DSv2 parquet
     * batch (vectorized, codegen'd).
     */
-  private final class SnapCowScan(cur0: SnapStore.Manifest)
-      extends BaseCowScan(cur0) {
+  private final class SnapCowScan(cur0: SnapStore.Manifest,
+      statics0: Seq[SnapStore.FileEntry])
+      extends BaseCowScan(cur0, statics0) {
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
       if (files.isEmpty)
         new LocalScan(cur.schema,
@@ -913,8 +954,9 @@ final class SnapRowLevelOperation(
     * because Spark plans toBatch both before and after runtime group
     * filtering. Stagings are removed at job commit/abort.
     */
-  private final class SnapCowMaterializedScan(cur0: SnapStore.Manifest)
-      extends BaseCowScan(cur0) {
+  private final class SnapCowMaterializedScan(cur0: SnapStore.Manifest,
+      statics0: Seq[SnapStore.FileEntry])
+      extends BaseCowScan(cur0, statics0) {
     private val cache = scala.collection.mutable.Map[
       Seq[String], org.apache.spark.sql.connector.read.Batch]()
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
