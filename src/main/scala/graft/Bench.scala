@@ -80,12 +80,22 @@ object Bench {
     // ~18% CPU steal, so min is the cleanest single-pass signal while
     // the median resists one lucky pass.
     val minTotal = f"${passes.map(_.map(_._2).sum).min}%.1f"
+    // Per-rep times for the worst queries (by median): a single-query
+    // phantom like r7's corpus_tpch_q01 11.8s-in-every-rep reading is
+    // self-diagnosing from the round artifact — three similar reps
+    // means the suite context, divergent reps mean a steal burst
+    // (VERDICT r7 task #8).
+    val worstReps = perQuery.sortBy(-_._2).take(5).map { case (name, _) =>
+      val times = passes.map(_.find(_._1 == name).get._2)
+        .map(t => f"$t%.3f").mkString("[", ",", "]")
+      s"\"" + name + "\":" + times
+    }.mkString("{", ",", "}")
     // Totals FIRST, per-query map after: r3's driver capture tail-
     // truncated the one-line stdout JSON and lost the per-query
     // regression signal (VERDICT r3 "What's wrong" #4). The same
     // object also lands in BENCH.json so the driver can always parse
     // a complete copy from disk.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"queries":$qs,"queries_min":$qsMin}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"worst_reps":$worstReps,"queries":$qs,"queries_min":$qsMin}"""
     println(json)
     // The FINAL stdout line is a COMPACT copy without the per-query
     // maps: the driver captures only a 2000-char stdout tail, and the

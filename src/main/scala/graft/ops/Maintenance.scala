@@ -1222,6 +1222,51 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** `docs_parts`: one create + seven appends, each confined to ONE
+    * part value and written as a single file — every data file pins a
+    * single partition (`partMin == partMax == value`), so the
+    * `.partitions` metadata rollup is exactly one row per part value
+    * and the oracle recomputes it logically from the raw fixture.
+    */
+  def ensureDocsParts(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_parts")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b.filter(col(partCol) === 0), partCol,
+        numFiles = 1)
+    (1 until nParts).foreach { p =>
+      if (SnapStore.currentVersion(t).contains(p))
+        SnapStore.append(s, t, b.filter(col(partCol) === p), partCol,
+          numFiles = 1)
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** The `.partitions` metadata table (Iceberg's `table.partitions`):
+    * per-partition file/row rollup computed purely from manifest
+    * bounds — zero data IO. The lifecycle pins one file per part
+    * value, so file_count and the bound pair are logically derivable
+    * and the oracle checks the WHOLE rollup, not just totals.
+    */
+  def partitionsMeta(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsParts(s, dir)
+    s.sql("""SELECT partition_spec, part_min, part_max, file_count,
+               record_count
+             FROM graft.maint.docs_parts.partitions
+             ORDER BY part_min""")
+  }
+
+  val partitionsMetaOracle: String =
+    """SELECT 'part' AS partition_spec,
+      |  CAST(doc_id % 8 AS VARCHAR) AS part_min,
+      |  CAST(doc_id % 8 AS VARCHAR) AS part_max,
+      |  CAST(1 AS INTEGER) AS file_count,
+      |  COUNT(*) AS record_count
+      |FROM documents
+      |GROUP BY doc_id % 8
+      |ORDER BY part_min""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -1271,5 +1316,8 @@ object Maintenance {
         "equality + position deletes apply transparently"),
     Q("maint_rename_widen", renameWiden, Some(renameWidenOracle),
       "RENAME COLUMN + type widening: metadata-only evolution, old files " +
-        "read through the manifest evolution log"))
+        "read through the manifest evolution log"),
+    Q("maint_partitions", partitionsMeta, Some(partitionsMetaOracle),
+      "partitions metadata table: per-partition file/row rollup from " +
+        "manifest bounds, zero data IO"))
 }

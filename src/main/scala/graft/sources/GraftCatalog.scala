@@ -185,6 +185,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .filter(SnapStore.isSnapTable)
           .getOrElse(throw new NoSuchTableException(ident))
         new ManifestsMetadataTable(s"$catalogName.$db.$table.manifests", dir)
+      // `db.table.partitions` — Iceberg's `table.partitions` surface:
+      // per-partition file/row/byte rollup from manifest bounds.
+      case Array(db, table) if ident.name() == "partitions" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new PartitionsMetadataTable(s"$catalogName.$db.$table.partitions", dir)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -513,6 +520,47 @@ object RefsMetadataTable {
     StructField("name", org.apache.spark.sql.types.StringType, nullable = false),
     StructField("type", org.apache.spark.sql.types.StringType, nullable = false),
     StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false)))
+}
+
+/** `db.table.partitions` — Iceberg's `table.partitions` metadata
+  * surface: the per-partition file/row/byte rollup an operator reads
+  * to judge layout health (skewed partitions, small-file pressure).
+  * Computed purely from CURRENT-manifest bounds — zero data IO. Files
+  * here are range-clustered, so the natural "partition" grain is the
+  * file's transformed-bound interval: files sharing an interval under
+  * the same spec roll up into one row (a `partitionBy`-style layout,
+  * where every file pins one value, degenerates to exactly Iceberg's
+  * one-row-per-partition shape).
+  */
+final class PartitionsMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = PartitionsMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val m = SnapStore.currentManifest(dir)
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    m.files
+      .groupBy(f =>
+        (if (f.specCol.nonEmpty) f.specCol else m.partCol,
+          f.partMin, f.partMax))
+      .toSeq
+      .sortBy { case ((spec, mn, mx), _) => (spec, mn, mx) }
+      .map { case ((spec, mn, mx), fs) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](u(spec), u(mn), u(mx), fs.size,
+            fs.map(_.rows).sum, fs.map(_.bytes).sum)):
+          org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
+  }
+}
+
+object PartitionsMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("partition_spec", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("part_min", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("part_max", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("file_count", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("record_count", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false)))
 }
 
 

@@ -24,7 +24,7 @@ import graft.sources.SnapStore
   *    Iceberg's streaming read bounds files per microbatch.
   *
   * Contract: the table must be APPEND-ONLY while streamed (create +
-  * append / add-column commits). Replace-style commits (merge,
+  * append + metadata-only schema-evolution commits). Replace-style commits (merge,
   * delete, compact, rewrite) add files holding pre-existing rows,
   * which an append feed would surface as duplicates — [[appendFeed]]
   * verifies the current history and raises otherwise, the same
@@ -42,14 +42,20 @@ import graft.sources.SnapStore
   */
 object SnapshotStream {
 
-  // `rename-column` / `widen-column` are deliberately NOT here even
-  // though they are metadata-only: the file feed reads every file
-  // under the CURRENT schema, so a pre-rename append file would serve
-  // the renamed column as null — only the per-file-schema batch path
-  // (SnapStore.scanFiles) can serve evolved history. Streams of
-  // renamed tables refuse at creation; restart them after a rewrite
-  // migrates the files.
-  private val appendOnly = Set("create", "append", "add-column")
+  // `rename-column` / `widen-column` / `drop-column` are metadata-only
+  // commits that add NO data files, so the append feed stays
+  // duplicate-free across them; the schema conversion they imply is
+  // handled below (VERDICT r7 #5): the feed reads a WIDENED schema
+  // carrying each renamed column's as-written historical names and
+  // coalesces per row, mirroring the batch path's per-file inversion
+  // (SnapStore.scanFiles) without per-file planning — a file feed has
+  // one schema, but a parquet read simply nulls absent columns, so
+  // exactly one of {current, historical} names is present per file.
+  // Widened columns need no mapping at all: the parquet reader
+  // upcasts an as-written int32 under the current long schema
+  // (Spark's parquet type-widening reads).
+  private val appendOnly = Set("create", "append", "add-column",
+    "rename-column", "widen-column", "drop-column")
 
   /** Streaming DataFrame of the table's appended rows, schema'd from
     * the CURRENT manifest (historical files missing an evolved
@@ -84,13 +90,46 @@ object SnapshotStream {
     */
   def appendFeed(spark: SparkSession, table: Path,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col}
     val m = SnapStore.currentManifest(table)
     val ops = SnapStore.history(table).map(_._3)
     require(ops.forall(appendOnly),
       s"streaming read requires append-only history; found ${
         ops.filterNot(appendOnly).mkString(", ")}")
-    val r = spark.readStream.schema(m.schema)
+    // Historical (as-written) names of each current column, from the
+    // rename evolutions still APPLICABLE to a live file — chained
+    // renames walk newest-first, exactly like the batch inversion
+    // (SnapStore.readSchemaFor). Names already claimed by a current
+    // column can't occur (addColumn/renameColumn refuse reusing an
+    // applicable old name), but filter defensively.
+    val renames = m.evos
+      .filter(e => e.kind == "rename" && m.files.exists(_.seq < e.seq))
+      .sortBy(-_.seq)
+    def historical(cur: String): Seq[String] = {
+      var n = cur
+      val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+      renames.foreach { e => if (e.arg == n) { acc += e.col; n = e.col } }
+      acc.toSeq.filterNot(m.schema.fieldNames.contains)
+    }
+    val olds = m.schema.fields.toSeq.map(f => f.name -> historical(f.name))
+    // The feed's READ schema: current fields plus each historical name
+    // under the CURRENT (widest) type — a pre-rename file serves the
+    // old name (parquet upcasts narrower as-written types), a
+    // post-rename file serves the new one, the absent side reads null.
+    val readSchema = org.apache.spark.sql.types.StructType(
+      m.schema.fields ++ olds.flatMap { case (cur, hs) =>
+        val t = m.schema(cur).dataType
+        hs.map(h => org.apache.spark.sql.types.StructField(h, t,
+          nullable = true))
+      })
+    val r = spark.readStream.schema(readSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    r.parquet(table.resolve("data").toString + "/{base,append}-*.parquet")
+    val feed =
+      r.parquet(table.resolve("data").toString + "/{base,append}-*.parquet")
+    if (olds.forall(_._2.isEmpty)) feed
+    else feed.select(olds.map { case (cur, hs) =>
+      if (hs.isEmpty) col(cur)
+      else coalesce((cur +: hs).map(col): _*).as(cur)
+    }: _*)
   }
 }

@@ -435,12 +435,14 @@ class MaintenanceSpec extends SparkSpec {
     val morRead = SnapStore.read(spark, t)
     assert(morRead.count() == n - nDel)
     assert(morRead.filter(pmod(col("doc_id"), lit(5L)) === 0).count() == 0)
-    // COW ops refuse to run over pending deletes (a partial rewrite
-    // can't preserve delete scoping)…
+    // COW compaction still refuses over pending deletes (a layout
+    // rewrite can't preserve delete scoping); programmatic MERGE /
+    // DELETE now run COW-over-MOR instead — covered by the dedicated
+    // "programmatic COW over pending MOR deletes" spec below.
     assert(intercept[IllegalArgumentException] {
-      SnapStore.merge(spark, t, docs.limit(1), "doc_id", "part")
+      SnapStore.compact(spark, t, "part", targetBytes = 1L << 30)
     }.getMessage.contains("applyDeletes"))
-    // …but an APPEND is sequence-safe: its files outrank every
+    // An APPEND is sequence-safe: its files outrank every
     // pending delete, so a re-inserted deleted key is served again
     // (Iceberg's sequence-number contract).
     val reKey = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
@@ -1537,6 +1539,144 @@ class MaintenanceSpec extends SparkSpec {
     assert(mrows.map(_.getInt(0)).toSeq == Seq(11, 12, 13))
     assert(mrows.forall(r => r.getLong(1) > 0 && r.getInt(3) == 0))
     assert(mrows.last.getString(4) == "append")
+  }
+
+  test("evolution guards: bucket-source widening, reused pre-rename " +
+    "names, and abandoned staging dirs are all refused or swept") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    // 1) Widening the source of a bucket(n,col) spec refuses: Murmur3
+    //    hashes int and long differently, so stored bucket bounds
+    //    would mis-prune after the widen (ADVICE r8 high).
+    val tb = freshTable("bucketwiden")
+    val typed = docs.withColumn("k32", col("doc_id").cast("int"))
+    SnapStore.create(spark, tb, typed, "bucket(4,k32)")
+    val e1 = intercept[IllegalArgumentException] {
+      SnapStore.widenColumn(tb, "k32", LongType)
+    }
+    assert(e1.getMessage.contains("bucket"))
+    // Widening a NON-spec column of the same table still works.
+    val tb2 = freshTable("identwiden")
+    SnapStore.create(spark, tb2, typed, "part")
+    SnapStore.widenColumn(tb2, "k32", LongType)
+    assert(SnapStore.currentManifest(tb2).schema("k32").dataType == LongType)
+    // 2) Reusing a renamed column's OLD name refuses while pre-rename
+    //    files are live (readSchemaFor would produce duplicate
+    //    fields), and unlocks after a full rewrite.
+    val tr = freshTable("renreuse")
+    SnapStore.create(spark, tr, docs, "part")
+    SnapStore.renameColumn(tr, "source", "src")
+    val e2 = intercept[IllegalArgumentException] {
+      SnapStore.addColumn(tr, StructField("source", IntegerType))
+    }
+    assert(e2.getMessage.contains("as-written name"))
+    val e3 = intercept[IllegalArgumentException] {
+      SnapStore.renameColumn(tr, "text", "source")
+    }
+    assert(e3.getMessage.contains("as-written name"))
+    SnapStore.rewriteClustered(spark, tr, "part", Seq(col("doc_id")))
+    SnapStore.addColumn(tr, StructField("source", IntegerType))
+    assert(SnapStore.currentManifest(tr).schema.fieldNames.contains("source"))
+    // 3) removeOrphans sweeps abandoned dot-prefixed staging dirs at
+    //    the table root (a cancelled query leaks them; nothing else
+    //    collects them — ADVICE r8 low).
+    val ts = freshTable("tmpsweep")
+    SnapStore.create(spark, ts, docs, "part")
+    val leaked = ts.resolve(".cowread-tmp-999-deadbeef")
+    Files.createDirectories(leaked)
+    Files.writeString(leaked.resolve("part-0.parquet"), "x")
+    val fresh = ts.resolve(".write-tmp-999-cafebabe")
+    Files.createDirectories(fresh)
+    // An old dir is swept; a fresh one (simulating in-flight) is kept.
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 3600 * 1000)
+    Files.setLastModifiedTime(leaked, old)
+    val removed = SnapStore.removeOrphans(ts, minAgeMs = 3600 * 1000L)
+    assert(removed.contains(".cowread-tmp-999-deadbeef"))
+    assert(!Files.exists(leaked) && Files.exists(fresh))
+    assert(SnapStore.read(spark, ts).count() == docs.count())
+  }
+
+  test("programmatic COW over pending MOR deletes: merge reads " +
+    "delete-aware, carries the unfolded delete set exactly, and " +
+    "never resurrects suppressed rows") {
+    val t = freshTable("cowovermor")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    // v2: MOR equality delete of every fifth doc — stays PENDING.
+    val delKeys = docs.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .select("doc_id")
+    SnapStore.deleteEquality(spark, t, delKeys, "doc_id")
+    val pending = SnapStore.currentManifest(t).deleteFiles
+    assert(pending.nonEmpty)
+    // v3: COW MERGE confined to partition 2, with the deletes pending
+    // (VERDICT r7 #6 — previously refused with "run applyDeletes").
+    val changes = docs
+      .filter(col("part") === 2 && pmod(col("doc_id"), lit(3L)) === 0)
+      .withColumn("text", concat(col("text"), lit(" upd")))
+    SnapStore.merge(spark, t, changes, "doc_id", "part")
+    val v3 = SnapStore.currentManifest(t)
+    // The unfolded delete set carries EXACTLY (same files, same
+    // sequence scoping) — a lost or re-stamped delete would change it.
+    assert(v3.deleteFiles == pending)
+    // Expected contents, computed logically: deletes suppress every
+    // doc_id % 5 == 0 row of the base; the merge then removes matched
+    // keys and inserts its change rows (an upsert re-inserts a
+    // previously deleted key).
+    val changeKeys = changes.select(col("doc_id").as("__k"))
+    val expected = docs
+      .filter(pmod(col("doc_id"), lit(5L)) =!= 0)
+      .join(changeKeys, col("doc_id") === col("__k"), "left_anti")
+      .select(docs.columns.map(col): _*)
+      .unionByName(changes)
+    val got = SnapStore.read(spark, t)
+    assert(got.count() == expected.count())
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // A deleted key OUTSIDE the change set stays gone; a deleted key
+    // the merge re-inserted is served again (its new file outranks
+    // the pending delete by sequence).
+    val resurrected = changes.filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .select("doc_id").limit(1).collect()
+    resurrected.foreach { r =>
+      assert(got.filter(col("doc_id") === r.getLong(0)).count() == 1)
+    }
+    assert(got.filter(
+      pmod(col("doc_id"), lit(5L)) === 0 && col("part") =!= 2).count() == 0)
+    // applyDeletes still folds cleanly afterwards; contents unchanged.
+    SnapStore.applyDeletes(spark, t, "part")
+    assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
+    val folded = SnapStore.read(spark, t)
+    assert(folded.exceptAll(expected).isEmpty &&
+      expected.exceptAll(folded).isEmpty)
+  }
+
+  test("equality-delete key writes are distributed: a large key set " +
+    "lands as multiple manifest-listed delete parts that reads fold " +
+    "together") {
+    val t = freshTable("edelparts")
+    SnapStore.create(spark, t, docs, "part")
+    val n = docs.count()
+    val delKeys = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select("doc_id")
+    val nDel = delKeys.count()
+    // The write keeps the upstream parallelism — AQE partition
+    // coalescing is the only thing folding a small key set into one
+    // part. Disable it for the write so the multi-part path is
+    // exercised deterministically (VERDICT r7 #4: above the size
+    // guard, keys land multi-part like position deletes).
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val before = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try SnapStore.deleteEquality(spark, t, delKeys, "doc_id")
+    finally spark.conf.set(coalesceKey, before)
+    val m = SnapStore.currentManifest(t)
+    assert(m.deleteFiles.size > 1,
+      s"expected multi-part delete files, got ${m.deleteFiles.size}")
+    assert(m.deleteFiles.forall(d => d.kind == "eq" &&
+      d.keyCol == "doc_id" && d.seq == m.version))
+    assert(m.deleteFiles.map(_.rows).sum == nDel)
+    // Reads fold ALL parts: every even doc suppressed, odd docs kept.
+    val read = SnapStore.read(spark, t)
+    assert(read.count() == n - nDel)
+    assert(read.filter(pmod(col("doc_id"), lit(2L)) === 0).count() == 0)
   }
 
   test("registered lifecycle is idempotent: re-running entries " +

@@ -77,7 +77,10 @@ class PropertySpec extends SparkSpec {
     // store's ordering to match UTF8String.compareTo on every pair.
     val unit = Gen.oneOf(
       Gen.choose(32.toChar, 126.toChar).map(_.toString),
-      Gen.const(""),
+      // U+E000 spelled via toChars, not an (invisible) literal: a
+      // raw private-use char in source reads as an empty string
+      // and the discriminating case looks missing (ADVICE r7).
+      Gen.const(new String(Character.toChars(0xe000))),
       Gen.const(new String(Character.toChars(0x10000))),
       Gen.const(new String(Character.toChars(0x1f600))))
     val str = Gen.listOfN(4, unit).map(_.mkString)
