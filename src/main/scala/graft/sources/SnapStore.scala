@@ -432,7 +432,7 @@ object SnapStore {
     }
   }
 
-  private def fileName(uri: String): String =
+  private[sources] def fileName(uri: String): String =
     uri.substring(uri.lastIndexOf('/') + 1)
 
   /** Write `df`'s rows as new immutable data files under `data/` and
@@ -538,7 +538,7 @@ object SnapStore {
     * broadcasting those to every task would OOM the driver the same
     * way the old collect did.
     */
-  private val BroadcastDeleteRows = 4L * 1000 * 1000
+  private[sources] val BroadcastDeleteRows = 4L * 1000 * 1000
 
   private[graft] def readManifest(spark: SparkSession, table: Path,
       m: Manifest): DataFrame = {
@@ -606,7 +606,7 @@ object SnapStore {
     * recorded old type) — chained evolutions on one column resolve
     * naturally because each record names the column as of ITS time.
     */
-  private def readSchemaFor(m: Manifest, applicable: Seq[Evo]): StructType =
+  private[sources] def readSchemaFor(m: Manifest, applicable: Seq[Evo]): StructType =
     applicable.sortBy(-_.seq).foldLeft(m.schema) { (sch, e) =>
       e.kind match {
         case "rename" => StructType(sch.fields.map(f =>

