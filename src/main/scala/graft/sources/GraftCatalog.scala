@@ -793,9 +793,12 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
         required = SnapBatch.requiredOf(m, s)
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-        val pairs = filters.toSeq.map(f => f -> SnapTable.toColumn(f))
-        conds = pairs.flatMap(_._2)
-        translatable = pairs.collect { case (f, Some(_)) => f }.toArray
+        conds = filters.toSeq.flatMap(SnapTable.toColumn)
+        // The claim matches what the scan layer actually applies: the
+        // subset the clean delegates' parquet readers receive
+        // (catalyst-translatable). All filters stay residual above.
+        translatable = filters.filter(f =>
+          SnapBatch.toCatalyst(f, m.schema).isDefined)
         pushedAll = filters
         filters // all residual: Spark re-applies above the scan
       }
@@ -815,10 +818,15 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
           new Scan with org.apache.spark.sql.connector.read.Batch
             with org.apache.spark.sql.connector.read.SupportsReportStatistics {
             private lazy val nat = new SnapNativeBatch(spark, dir, m,
-              pruned, required, pushedAll.toSeq)
+              pruned, () => pruned, required, pushedAll.toSeq)
             override def readSchema(): StructType = required
             override def toBatch: org.apache.spark.sql.connector.read.Batch =
               this
+            // No columnar partitions exist here; saying so up front
+            // keeps physical planning from forcing partition planning
+            // (and the delete-set loads it triggers) just to find out.
+            override def columnarSupportMode(): Scan.ColumnarSupportMode =
+              Scan.ColumnarSupportMode.UNSUPPORTED
             override def planInputPartitions(): Array[
                 org.apache.spark.sql.connector.read.InputPartition] =
               nat.planInputPartitions()
@@ -830,10 +838,23 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
               new org.apache.spark.sql.connector.read.Statistics {
                 override def sizeInBytes(): java.util.OptionalLong =
                   java.util.OptionalLong.of(pruned.map(_.bytes).sum)
-                override def numRows(): java.util.OptionalLong =
+                override def numRows(): java.util.OptionalLong = {
+                  // Subtract only the delete rows that can APPLY to
+                  // the pruned subset (sequence-scoped eq, ref-routed
+                  // pos) — table-wide subtraction would report a
+                  // selective scan as empty and mislead join
+                  // planning.
+                  val prunedNames =
+                    pruned.map(f => SnapStore.fileName(f.path)).toSet
+                  val rows = pruned.map(_.rows).sum
+                  val del = m.deleteFiles.filter { d =>
+                    if (d.kind == "pos")
+                      d.refs.isEmpty || d.refs.exists(prunedNames)
+                    else pruned.exists(_.seq < d.seq)
+                  }.map(_.rows).sum
                   java.util.OptionalLong.of(math.max(0L,
-                    pruned.map(_.rows).sum -
-                      m.deleteFiles.map(_.rows).sum))
+                    rows - math.min(rows, del)))
+                }
               }
             override def description(): String =
               s"graft-snap-native $dir, ${pruned.size}/${m.files.size} " +
@@ -1045,9 +1066,18 @@ final class SnapRowLevelOperation(
   private final class SnapCowNativeScan(cur0: SnapStore.Manifest,
       statics0: Seq[SnapStore.FileEntry])
       extends BaseCowScan(cur0, statics0) {
+    // Spark caches the reader factory from the PRE-runtime-filter
+    // toBatch and executes the POST-filter toBatch's partitions —
+    // the batch derives its group-id table from the FULL static set
+    // (identical in both instances) and reads the CURRENT file set
+    // only at partition planning, so the cached factory serves the
+    // re-planned partitions correctly.
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
-      new SnapNativeBatch(SparkSession.active, dir, cur, files,
-        cur.schema, Seq.empty)
+      new SnapNativeBatch(SparkSession.active, dir, cur, statics0,
+        () => files, cur.schema, Seq.empty)
+    override def columnarSupportMode():
+        org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+      org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
   }
 
   /** The staging fallback for delete sets ABOVE the broadcast guard:
@@ -1065,38 +1095,57 @@ final class SnapRowLevelOperation(
       extends BaseCowScan(cur0, statics0) {
     private val cache = scala.collection.mutable.Map[
       Seq[String], org.apache.spark.sql.connector.read.Batch]()
+    // Reader factory WITHOUT staging: a parquet partition-reader
+    // factory is file-set independent (partitions carry the paths),
+    // so the factory Spark caches from the PRE-runtime-filter batch
+    // reads the POST-filter batch's staged partitions — and creating
+    // it never writes a byte.
+    private def stagelessFactory():
+        org.apache.spark.sql.connector.read.PartitionReaderFactory =
+      ParquetTable("graft-cow-read", SparkSession.active,
+        CaseInsensitiveStringMap.empty(), Seq.empty,
+        userSpecifiedSchema = Some(cur.schema),
+        fallbackFileFormat = classOf[ParquetFileFormat])
+        .newScanBuilder(CaseInsensitiveStringMap.empty())
+        .build().toBatch.createReaderFactory()
+    override def columnarSupportMode():
+        org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+      org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
       cache.synchronized {
         val fs = files
-        cache.getOrElseUpdate(fs.map(_.path), {
-          if (fs.isEmpty)
-            new LocalScan(cur.schema,
-              Array.empty[org.apache.spark.sql.catalyst.InternalRow],
-              s"graft-cow-empty $dir").toBatch
-          else new org.apache.spark.sql.connector.read.Batch {
-            private lazy val inner: org.apache.spark.sql.connector.read.Batch = {
-              val spark = SparkSession.active
-              val staging = dir.resolve(
-                s".cowread-tmp-${ProcessHandle.current().pid()}-" +
-                  java.util.UUID.randomUUID().toString.take(8))
-              SnapStore.readManifest(spark, dir, cur.copy(files = fs))
-                .write.mode("overwrite").parquet(staging.toString)
-              scanStagings = scanStagings :+ staging
-              ParquetTable("graft-cow-read", spark,
-                CaseInsensitiveStringMap.empty(), Seq(staging.toString),
-                userSpecifiedSchema = Some(cur.schema),
-                fallbackFileFormat = classOf[ParquetFileFormat])
-                .newScanBuilder(CaseInsensitiveStringMap.empty())
-                .build().toBatch
-            }
+        cache.getOrElseUpdate(fs.map(_.path),
+          new org.apache.spark.sql.connector.read.Batch {
+            // The staging job runs at PARTITION PLANNING (execution
+            // time, after runtime group filtering) — never at the
+            // planning-phase toBatch/createReaderFactory calls — so
+            // only the post-group-filter file set ever materializes.
+            private lazy val staged:
+                Option[org.apache.spark.sql.connector.read.Batch] =
+              if (fs.isEmpty) None
+              else Some {
+                val spark = SparkSession.active
+                val staging = dir.resolve(
+                  s".cowread-tmp-${ProcessHandle.current().pid()}-" +
+                    java.util.UUID.randomUUID().toString.take(8))
+                SnapStore.readManifest(spark, dir, cur.copy(files = fs))
+                  .write.mode("overwrite").parquet(staging.toString)
+                scanStagings = scanStagings :+ staging
+                ParquetTable("graft-cow-read", spark,
+                  CaseInsensitiveStringMap.empty(), Seq(staging.toString),
+                  userSpecifiedSchema = Some(cur.schema),
+                  fallbackFileFormat = classOf[ParquetFileFormat])
+                  .newScanBuilder(CaseInsensitiveStringMap.empty())
+                  .build().toBatch
+              }
             override def planInputPartitions():
                 Array[org.apache.spark.sql.connector.read.InputPartition] =
-              inner.planInputPartitions()
+              staged.map(_.planInputPartitions())
+                .getOrElse(Array.empty)
             override def createReaderFactory():
                 org.apache.spark.sql.connector.read.PartitionReaderFactory =
-              inner.createReaderFactory()
-          }
-        })
+              stagelessFactory()
+          })
       }
   }
 

@@ -96,6 +96,18 @@ object GraftProcedures {
         val m = SnapStore.compact(spark, dir, cur.partCol, in.getLong(1))
         Array[Any](m.version, m.files.size)
       }),
+    // Iceberg rewrite_manifests: metadata-only rebalance of the
+    // manifest-list grouping (same files, even fresh groups).
+    "rewrite_manifests" -> new Proc("rewrite_manifests",
+      Array(str("table")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("manifest_groups", IntegerType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val m = SnapStore.rewriteManifests(dir)
+        Array[Any](m.version, SnapStore.currentManifest(dir).groups.size)
+      }),
     // Iceberg rollback_to_snapshot.
     "rollback_to_snapshot" -> new Proc("rollback_to_snapshot",
       Array(str("table"), int("version")),

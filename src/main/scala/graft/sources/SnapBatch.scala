@@ -8,12 +8,15 @@ import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, BoundReference, Cast, Expression, Literal, UnsafeProjection}
+import org.apache.spark.sql.catalyst.{expressions => cexpr}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -25,7 +28,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * — replaces both the COW row-level scan's eager staging write and
   * the V1Scan RDD bridge for pending-MOR SQL reads).
   *
-  * Files group by treatment, exactly like [[SnapStore.readManifest]]:
+  * Files group by TREATMENT, exactly like [[SnapStore.readManifest]]:
   *
   *  - **Clean files** (current schema, no applicable deletes) are
   *    served by a delegated [[ParquetTable]] scan — column pruning
@@ -37,6 +40,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    and drops deleted rows inline: equality deletes by a
   *    broadcast key set, position deletes by the file's sorted
   *    ordinal array against the parquet row index.
+  *
+  * RE-PLANNING CONTRACT: Spark's `BatchScanExec` caches the reader
+  * factory from the scan's FIRST `toBatch` but, under runtime group
+  * filtering, executes the input partitions of a SECOND post-filter
+  * `toBatch`. The group ids a partition carries must therefore be
+  * stable across instances: the spec table derives from the full
+  * `statics` domain (identical in both batches) while
+  * `planInputPartitions` reads the CURRENT (possibly runtime-
+  * filtered) file set, mapping each file onto the stable treatment
+  * ids. Reader factories are file-set independent by construction —
+  * a parquet factory reads any `FilePartition`, an affected spec any
+  * named file of its treatment.
   *
   * Scale shape: delete sets are loaded ONCE on the driver and
   * broadcast — the same data movement a broadcast anti-join performs,
@@ -72,62 +87,142 @@ object SnapBatch {
     val kept = m.schema.fields.filter(f => names.contains(f.name))
     StructType(if (kept.isEmpty) m.schema.fields.take(1).toSeq else kept.toSeq)
   }
+
+  /** V1 data-source filter → RESOLVED catalyst predicate over
+    * `schema`'s columns (fresh exprIds — the delegate's pushdown
+    * translation matches attributes by NAME). `None` for shapes the
+    * parquet layer can't use anyway; also the gate for what
+    * [[BridgedReadTable]] REPORTS as pushed.
+    */
+  def toCatalyst(f: Filter, schema: StructType): Option[Expression] = {
+    def attr(name: String): Option[Expression] =
+      schema.fields.find(_.name == name)
+        .map(sf => AttributeReference(sf.name, sf.dataType, nullable = true)())
+    def bin(a: String, v: Any,
+        mk: (Expression, Expression) => Expression): Option[Expression] =
+      attr(a).map(ar => mk(ar, Literal(v)))
+    f match {
+      case sources.EqualTo(a, v) => bin(a, v, cexpr.EqualTo)
+      case sources.EqualNullSafe(a, v) => bin(a, v, cexpr.EqualNullSafe)
+      case sources.GreaterThan(a, v) => bin(a, v, cexpr.GreaterThan)
+      case sources.GreaterThanOrEqual(a, v) =>
+        bin(a, v, cexpr.GreaterThanOrEqual)
+      case sources.LessThan(a, v) => bin(a, v, cexpr.LessThan)
+      case sources.LessThanOrEqual(a, v) => bin(a, v, cexpr.LessThanOrEqual)
+      case sources.In(a, vs) =>
+        attr(a).map(ar => cexpr.In(ar, vs.toSeq.map(Literal(_))))
+      case sources.IsNull(a) => attr(a).map(cexpr.IsNull)
+      case sources.IsNotNull(a) => attr(a).map(cexpr.IsNotNull)
+      case sources.And(l, r) => for {
+        lc <- toCatalyst(l, schema); rc <- toCatalyst(r, schema)
+      } yield cexpr.And(lc, rc)
+      case sources.Or(l, r) => for {
+        lc <- toCatalyst(l, schema); rc <- toCatalyst(r, schema)
+      } yield cexpr.Or(lc, rc)
+      case sources.Not(c) => toCatalyst(c, schema).map(cexpr.Not)
+      case sources.StringStartsWith(a, v) =>
+        attr(a).map(ar => cexpr.StartsWith(ar, Literal(v)))
+      case sources.StringEndsWith(a, v) =>
+        attr(a).map(ar => cexpr.EndsWith(ar, Literal(v)))
+      case sources.StringContains(a, v) =>
+        attr(a).map(ar => cexpr.Contains(ar, Literal(v)))
+      case _ => None
+    }
+  }
 }
 
 final class SnapNativeBatch(
     spark: SparkSession,
     dir: Path,
     m: SnapStore.Manifest,
-    files: Seq[SnapStore.FileEntry],
+    statics: Seq[SnapStore.FileEntry],
+    currentFiles: () => Seq[SnapStore.FileEntry],
     required: StructType,
     pushed: Seq[Filter]) extends Batch {
 
   import SnapBatch._
   import SnapStore.fileName
 
-  private lazy val built: (Array[InputPartition], PartitionReaderFactory) =
-    build()
+  require(supported(m),
+    s"native snap batch refused: pending delete rows exceed the " +
+      s"broadcast guard (${SnapStore.BroadcastDeleteRows})")
 
-  override def planInputPartitions(): Array[InputPartition] = built._1
-  override def createReaderFactory(): PartitionReaderFactory = built._2
+  private val eqDeletes = m.deleteFiles.filter(_.kind == "eq")
+  private val posDeletes = m.deleteFiles.filter(_.kind == "pos")
+  private val evos = m.evos.sortBy(_.seq)
 
-  private def build(): (Array[InputPartition], PartitionReaderFactory) = {
-    require(supported(m),
-      s"native snap batch refused: pending delete rows exceed the " +
-        s"broadcast guard (${SnapStore.BroadcastDeleteRows})")
-    val eqDeletes = m.deleteFiles.filter(_.kind == "eq")
-    val posDeletes = m.deleteFiles.filter(_.kind == "pos")
-    // Affected-file routing from manifest metadata (DeleteFile.refs);
-    // legacy refs-less entries pay one distinct scan of the delete
-    // parquet, bounded by the table's file count.
-    val posAffected: Set[String] =
-      if (posDeletes.isEmpty) Set.empty
-      else if (posDeletes.forall(_.refs.nonEmpty))
-        posDeletes.flatMap(_.refs).toSet
-      else spark.read
-        .parquet(posDeletes.map(d => dir.resolve(d.path).toString): _*)
-        .select(col("file")).distinct()
-        .collect().map(_.getString(0)).toSet
-    val evos = m.evos.sortBy(_.seq)
-    val grouped = files
-      .groupBy(f => (evos.count(_.seq > f.seq),
-        eqDeletes.filter(_.seq > f.seq).map(_.path),
-        posAffected(fileName(f.path))))
-      .toSeq.sortBy(_._1.toString())
+  // Affected-file routing from manifest metadata (DeleteFile.refs);
+  // legacy refs-less entries pay one distinct scan of the delete
+  // parquet, bounded by the table's file count.
+  private lazy val posAffected: Set[String] =
+    if (posDeletes.isEmpty) Set.empty
+    else if (posDeletes.forall(_.refs.nonEmpty))
+      posDeletes.flatMap(_.refs).toSet
+    else spark.read
+      .parquet(posDeletes.map(d => dir.resolve(d.path).toString): _*)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+
+  /** One file's treatment: (applicable evolution count, applicable
+    * equality-delete paths, position-delete hit). A pure function of
+    * the entry and the manifest, so every batch instance of one scan
+    * computes the identical treatment table.
+    */
+  private def treatmentOf(f: SnapStore.FileEntry): (Int, Seq[String], Boolean) =
+    (evos.count(_.seq > f.seq),
+      eqDeletes.filter(_.seq > f.seq).map(_.path),
+      posAffected(fileName(f.path)))
+
+  private def isClean(t: (Int, Seq[String], Boolean)): Boolean =
+    t._1 == 0 && t._2.isEmpty && !t._3
+
+  /** The stable treatment table, derived from the FULL statics
+    * domain — partition group ids index into it, in every instance.
+    */
+  private lazy val treatments: Seq[(Int, Seq[String], Boolean)] =
+    statics.map(treatmentOf).distinct.sortBy(_.toString())
+
+  private def cleanDelegateBuilder(
+      fs: Seq[SnapStore.FileEntry],
+      withPushdown: Boolean): org.apache.spark.sql.connector.read.ScanBuilder = {
+    val pt = ParquetTable("graft-snap-clean", spark,
+      CaseInsensitiveStringMap.empty(),
+      fs.map(f => dir.resolve(f.path).toString),
+      userSpecifiedSchema = Some(m.schema),
+      fallbackFileFormat = classOf[ParquetFileFormat])
+    val sb = pt.newScanBuilder(CaseInsensitiveStringMap.empty())
+    sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(required)
+    // Catalyst-filter pushdown (Spark's file scan builders dropped
+    // the V1 SupportsPushDownFilters face): resolved predicates over
+    // the current schema, matched by name. Sound for the batch as a
+    // whole — deletes only ever remove rows, and every pushed filter
+    // stays residual above the scan.
+    if (withPushdown && pushed.nonEmpty) {
+      val exprs = pushed.flatMap(SnapBatch.toCatalyst(_, m.schema))
+      if (exprs.nonEmpty)
+        sb.asInstanceOf[SupportsPushDownCatalystFilters].pushFilters(exprs)
+    }
+    sb
+  }
+
+  /** Stable per-treatment reader specs — file-set INDEPENDENT (a
+    * parquet factory reads any FilePartition; an affected spec any
+    * file of its treatment), so the factory of one instance serves
+    * the partitions of another.
+    */
+  private lazy val specs: Array[SnapGroupSpec] = {
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-
     // Pending-delete contents load ONCE (driver) and broadcast —
-    // bounded by the supported() guard, shared by every group.
-    val posBc: Option[Broadcast[Map[String, Array[Long]]]] =
-      if (!grouped.exists(_._1._3)) None
-      else {
-        val pairs = spark.read
-          .parquet(posDeletes.map(d => dir.resolve(d.path).toString): _*)
-          .select(col("file"), col("pos")).collect()
-        Some(spark.sparkContext.broadcast(
-          pairs.groupBy(_.getString(0))
-            .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }))
-      }
+    // bounded by the supported() guard, shared by every treatment.
+    lazy val posBc: Broadcast[Map[String, Array[Long]]] = {
+      val pairs = spark.read
+        .parquet(posDeletes.map(d => dir.resolve(d.path).toString): _*)
+        .select(col("file"), col("pos")).collect()
+      spark.sparkContext.broadcast(
+        pairs.groupBy(_.getString(0))
+          .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted })
+    }
     val eqBcCache = mutable.Map.empty[Seq[String], Broadcast[Set[Any]]]
     def eqKeysBc(paths: Seq[String]): Broadcast[Set[Any]] =
       eqBcCache.getOrElseUpdate(paths, {
@@ -141,29 +236,10 @@ final class SnapNativeBatch(
           rows.iterator.filterNot(_.isNullAt(0))
             .map(r => conv(r.get(0))).toSet)
       })
-
-    val specs = mutable.ArrayBuffer.empty[SnapGroupSpec]
-    val parts = mutable.ArrayBuffer.empty[InputPartition]
-    grouped.foreach { case ((k, eqs, posHit), fs) =>
-      val gid = specs.length
-      if (k == 0 && eqs.isEmpty && !posHit) {
-        // Clean group: a real ParquetTable batch — vectorized reads,
-        // pruned columns, pushed filters (sound here AND for the
-        // batch as a whole: deletes only ever remove rows, and every
-        // pushed filter stays residual above the scan).
-        val pt = ParquetTable("graft-snap-clean", spark,
-          CaseInsensitiveStringMap.empty(),
-          fs.map(f => dir.resolve(f.path).toString),
-          userSpecifiedSchema = Some(m.schema),
-          fallbackFileFormat = classOf[ParquetFileFormat])
-        val sb = pt.newScanBuilder(CaseInsensitiveStringMap.empty())
-        sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-          .pruneColumns(required)
-        if (pushed.nonEmpty)
-          sb.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
-            .pushFilters(pushed.toArray)
-        val scan = sb.build()
-        val batch = scan.toBatch
+    treatments.map { t =>
+      if (isClean(t)) {
+        val fs = statics.filter(f => treatmentOf(f) == t)
+        val scan = cleanDelegateBuilder(fs, withPushdown = true).build()
         val delegateSchema = scan.readSchema()
         // Delegate row layout normally equals `required` (both follow
         // manifest order); reorder defensively if it ever differs.
@@ -176,12 +252,10 @@ final class SnapNativeBatch(
             (if (dt == f.dataType) br else Cast(br, f.dataType, Some(tz)))
               : Expression
           })
-        specs += SnapCleanGroup(batch.createReaderFactory(), conv)
-        batch.planInputPartitions()
-          .foreach(p => parts += SnapCleanPartition(gid, p))
+        SnapCleanGroup(scan.toBatch.createReaderFactory(), conv)
+          : SnapGroupSpec
       } else {
-        // Affected group: FileFormat reader under the as-written
-        // schema; per-task conversion + delete filtering.
+        val (k, eqs, posHit) = t
         val applicable = evos.takeRight(k)
         val written = SnapStore.readSchemaFor(m, applicable)
         val idxOf = m.schema.fieldNames.zipWithIndex.toMap
@@ -194,8 +268,8 @@ final class SnapNativeBatch(
         // and synthesize the row's WITHIN-FILE index — exact across
         // splits and row-group skipping (the mechanism behind
         // _metadata.row_index). NULLABLE is load-bearing: the
-        // vectorized reader treats a required-but-absent column as an
-        // error before its row-index generator ever looks at the
+        // vectorized reader treats a required-but-absent column as
+        // an error before its row-index generator ever looks at the
         // name; nullable routes it to missingColumns, which the
         // generator then fills.
         val readSchema = StructType(readFields ++ (if (posHit)
@@ -219,10 +293,31 @@ final class SnapNativeBatch(
           val br = BoundReference(p, wt, nullable = true)
           (if (wt == ct) br else Cast(br, ct, Some(tz))): Expression
         }
-        specs += SnapAffectedGroup(readerFunc, outExprs, keyExpr,
+        SnapAffectedGroup(readerFunc, outExprs, keyExpr,
           if (eqs.nonEmpty) Some(eqKeysBc(eqs)) else None,
           if (posHit) Some(readFields.length) else None,
-          if (posHit) posBc else None)
+          if (posHit) Some(posBc) else None): SnapGroupSpec
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapDispatchFactory(specs)
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    currentFiles().groupBy(treatmentOf).foreach { case (t, fs) =>
+      val gid = treatments.indexOf(t)
+      require(gid >= 0,
+        s"file set escaped the planned treatment domain: $t")
+      if (isClean(t)) {
+        // Fresh delegate SCAN over just these files for the split
+        // planning; its factory is discarded — the stable spec's
+        // (identically configured) factory reads the partitions.
+        cleanDelegateBuilder(fs, withPushdown = false).build().toBatch
+          .planInputPartitions()
+          .foreach(p => parts += SnapCleanPartition(gid, p))
+      } else {
         // One partition per affected file (bytes from the manifest —
         // files are immutable, recorded at write). Affected groups
         // are the MOR debt between folds, small by construction; the
@@ -231,7 +326,7 @@ final class SnapNativeBatch(
           dir.resolve(f.path).toString, fileName(f.path), f.bytes))
       }
     }
-    (parts.toArray, new SnapDispatchFactory(specs.toArray))
+    parts.toArray
   }
 }
 

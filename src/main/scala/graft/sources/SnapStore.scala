@@ -414,12 +414,13 @@ object SnapStore {
     * land in one fresh group. Order is preserved end-to-end:
     * flatten(groups) == m.files.
     */
-  private def tryCommitManifest(table: Path, m: Manifest): Boolean = {
+  private def tryCommitManifest(table: Path, m: Manifest,
+      regroupEntries: Option[Int] = None): Boolean = {
     Files.createDirectories(snapDir(table))
     if (m.files.size <= InlineFileThreshold)
       return installExclusive(manifestPath(table, m.version), manifestBody(m))
     val prevGroups: Seq[(String, Seq[FileEntry])] =
-      if (m.parent <= 0) Seq.empty
+      if (regroupEntries.nonEmpty || m.parent <= 0) Seq.empty
       else scala.util.Try(manifest(table, m.parent)).toOption
         .map(_.groups).getOrElse(Seq.empty)
     val newByPath = m.files.map(f => f.path -> f).toMap
@@ -436,8 +437,14 @@ object SnapStore {
         else Some(None -> surviving)
       }
     val fresh = m.files.filterNot(f => covered(f.path))
-    var groupsOut = kept ++
-      (if (fresh.nonEmpty) Seq(None -> fresh) else Nil)
+    var groupsOut: Seq[(Option[String], Seq[FileEntry])] = regroupEntries match {
+      // Forced rebalance ([[rewriteManifests]]): ignore the inherited
+      // grouping and chunk the file list into even, fresh groups.
+      case Some(n) => m.files.grouped(math.max(1, n))
+        .map(es => (None: Option[String]) -> es).toSeq
+      case None => kept ++
+        (if (fresh.nonEmpty) Seq(None -> fresh) else Nil)
+    }
     while (groupsOut.size > MaxGroups) {
       val i = groupsOut.indices.dropRight(1).minBy(j =>
         groupsOut(j)._2.size + groupsOut(j + 1)._2.size)
@@ -1399,7 +1406,8 @@ object SnapStore {
     ((fromVersion + 1) to toVersion).foreach { v =>
       val op = manifest(table, v).operation
       require(op == "append" || op == "add-column" || op == "evolve-spec" ||
-        op == "rename-column" || op == "widen-column",
+        op == "rename-column" || op == "widen-column" ||
+        op == "rewrite-manifests",
         s"incremental read requires append-only history; " +
           s"snapshot $v is '$op'")
     }
@@ -1822,6 +1830,28 @@ object SnapStore {
     * with the missing-snapshot error from [[manifest]]. Returns
     * (expired versions, deleted data files).
     */
+  /** Rebalance the manifest-list grouping — Iceberg's
+    * `rewrite_manifests`: a METADATA-ONLY commit listing the same
+    * files, delete set, and evolutions, but regrouped into even
+    * chunks of ≈`targetEntries` entries (default: 16 groups). A long
+    * append history leaves one small group per commit; rebalancing
+    * restores O(few) group reads per snapshot load. Data files are
+    * untouched; displaced group files expire with their snapshots.
+    * Inline (≤ threshold) tables commit a plain no-op snapshot.
+    */
+  def rewriteManifests(table: Path, targetEntries: Int = 0): Manifest =
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      val v = cur.version + 1
+      val target =
+        if (targetEntries > 0) targetEntries
+        else math.max(1, cur.files.size / 16)
+      val m = Manifest(v, cur.version, "rewrite-manifests", cur.schema,
+        cur.files, cur.partCol, cur.deleteFiles, cur.keyCol, cur.evos)
+      (m, Seq.empty,
+        tryCommitManifest(table, m, regroupEntries = Some(target)))
+    }
+
   def expire(table: Path, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val vs = liveVersions(table)
@@ -1878,9 +1908,12 @@ object SnapStore {
   def removeOrphans(table: Path, minAgeMs: Long = 3L * 3600 * 1000): Seq[String] = {
     val dataDir = table.resolve("data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
-    val referenced = (liveVersions(table).map(manifest(table, _)) ++
+    // Parse every live manifest ONCE; both the referenced data-file
+    // set and the live group-file set derive from this pass.
+    val liveManifests = liveVersions(table).map(manifest(table, _)) ++
       listBranches(table).flatMap(b =>
-        branchVersions(table, b).map(branchManifest(table, b, _))))
+        branchVersions(table, b).map(branchManifest(table, b, _)))
+    val referenced = liveManifests
       .flatMap(m => m.files.map(_.path) ++ m.deleteFiles.map(_.path))
       .toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
@@ -1916,10 +1949,7 @@ object SnapStore {
     // no live snapshot (main or branch) references, under the same
     // min-age guard — an in-flight commit's just-written groups are
     // younger than it.
-    val liveGroups = (liveVersions(table).map(manifest(table, _)) ++
-      listBranches(table).flatMap(b =>
-        branchVersions(table, b).map(branchManifest(table, b, _))))
-      .flatMap(_.groups.map(_._1)).toSet
+    val liveGroups = liveManifests.flatMap(_.groups.map(_._1)).toSet
     val snap = snapDir(table)
     val orphanGroups =
       if (!Files.isDirectory(snap)) Seq.empty[String]

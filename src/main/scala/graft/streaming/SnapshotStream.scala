@@ -55,7 +55,7 @@ object SnapshotStream {
   // upcasts an as-written int32 under the current long schema
   // (Spark's parquet type-widening reads).
   private val appendOnly = Set("create", "append", "add-column",
-    "rename-column", "widen-column", "drop-column")
+    "rename-column", "widen-column", "drop-column", "rewrite-manifests")
 
   /** Streaming DataFrame of the table's appended rows, schema'd from
     * the CURRENT manifest (historical files missing an evolved

@@ -1337,10 +1337,37 @@ class MaintenanceSpec extends SparkSpec {
     // Still suppressed for OTHER partitions too (delete set intact).
     assert(afterUpd.filter(pmod(col("doc_id"), lit(13L)) === 0 &&
       col("part") =!= 1).count() == 0)
+    // A clean APPEND joins the pending-MOR table (its files outrank
+    // every delete): filtered SQL reads now span a MIXED clean +
+    // affected group set — the clean delegate receives the pushed
+    // filters through the catalyst face, and the re-planned
+    // partitions must resolve against the same stable group table
+    // the cached reader factory was built from (r8 review).
+    SnapStore.append(spark, t,
+      docs.filter(col("part") === 2).limit(3)
+        .withColumn("doc_id", col("doc_id") + 900000L), "part")
+    val afterApp = expected + 3
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.morsqlspec.docs WHERE doc_id >= 900000")
+      .head.getLong(0) == 3)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM graft.morsqlspec.docs").head.getLong(0)
+      == afterApp)
+    // …and a row-level UPDATE runtime-filters the mixed table to one
+    // partition's groups (pre-filter factory, post-filter partitions).
+    spark.sql(
+      "UPDATE graft.morsqlspec.docs SET text = 'morupd3' WHERE part = 3")
+    val after3 = SnapStore.read(spark, t)
+    assert(after3.count() == afterApp)
+    assert(after3.filter(col("part") === 3 &&
+      col("text") =!= "morupd3").count() == 0)
+    assert(after3.filter(pmod(col("doc_id"), lit(13L)) === 0 &&
+      col("part") === 3 && col("doc_id") < 900000L).count() == 0,
+      "a MOR-deleted part-3 row must not resurrect through the rewrite")
     // Fold: the catalog returns to the plain parquet path and agrees.
     SnapStore.applyDeletes(spark, t, "part")
     assert(spark.sql("SELECT COUNT(*) FROM graft.morsqlspec.docs")
-      .head.getLong(0) == expected)
+      .head.getLong(0) == afterApp)
   }
 
   test("row-level COW scan over pending MOR deletes is native: zero " +
@@ -1387,6 +1414,27 @@ class MaintenanceSpec extends SparkSpec {
     val kept = SnapStore.prunedFiles(cur, Seq(2L))
     assert(parts.length == kept.size && parts.nonEmpty,
       s"expected ${kept.size} single-file partitions, got ${parts.length}")
+    // Spark's BatchScanExec caches the reader factory from the PRE-
+    // runtime-filter batch and executes the POST-filter batch's
+    // partitions (two separate toBatch calls) — drain the post
+    // partitions through the pre factory to prove the group-id table
+    // is stable across instances (r8 review's dispatch hazard).
+    val rlo2 = new SnapRowLevelOperation(Command.MERGE,
+      new BridgedReadTable("t", t, cur), t)
+    val scan2 = rlo2.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val factoryPre = scan2.toBatch.createReaderFactory()
+    scan2.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(pred))
+    val partsPost = scan2.toBatch.planInputPartitions()
+    assert(partsPost.length == kept.size)
+    var drained = 0L
+    partsPost.foreach { p =>
+      val r = factoryPre.createReader(p)
+      try while (r.next()) { r.get(); drained += 1 } finally r.close()
+    }
+    val expectRows = SnapStore
+      .readManifest(spark, t, cur.copy(files = kept)).count()
+    assert(drained == expectRows,
+      s"cross-batch read drained $drained rows, expected $expectRows")
   }
 
   test("RENAME COLUMN + widening are metadata-only: old files read " +
@@ -1707,12 +1755,22 @@ class MaintenanceSpec extends SparkSpec {
     val carried = v3.groups.map(_._1).toSet.intersect(before)
     assert(carried.nonEmpty, "a partition-scoped merge must carry " +
       "untouched groups by reference")
+    // rewrite_manifests rebalances into even fresh groups —
+    // metadata-only (files identical), incremental/stream-legal.
+    val rw = SnapStore.rewriteManifests(t, targetEntries = 20)
+    assert(rw.operation == "rewrite-manifests")
+    val v4 = SnapStore.currentManifest(t)
+    assert(v4.files == v3.files, "rewrite_manifests must not touch files")
+    assert(v4.groups.size == (v4.files.size + 19) / 20,
+      s"expected even ~20-entry groups, got ${v4.groups.map(_._2.size)}")
+    assert(v4.groups.map(_._1).toSet.intersect(v3.groups.map(_._1).toSet)
+      .isEmpty, "rebalanced groups must be fresh files")
     // Expiry deletes the group files only dead snapshots referenced
     // and keeps every live-referenced one; the head still reads.
     SnapStore.expire(t, keepLast = 1)
     val mfLive = mfFiles().keySet
-    assert(mfLive == v3.groups.map(_._1).toSet,
-      s"expiry must fold dead groups: live $mfLive vs ${v3.groups.map(_._1)}")
+    assert(mfLive == v4.groups.map(_._1).toSet,
+      s"expiry must fold dead groups: live $mfLive vs ${v4.groups.map(_._1)}")
     assert(SnapStore.read(spark, t).count() ==
       SnapStore.currentManifest(t).files.map(_.rows).sum)
   }
