@@ -1100,7 +1100,7 @@ final class SnapRowLevelOperation(
     // so the factory Spark caches from the PRE-runtime-filter batch
     // reads the POST-filter batch's staged partitions — and creating
     // it never writes a byte.
-    private def stagelessFactory():
+    private lazy val stagelessFactory:
         org.apache.spark.sql.connector.read.PartitionReaderFactory =
       ParquetTable("graft-cow-read", SparkSession.active,
         CaseInsensitiveStringMap.empty(), Seq.empty,
@@ -1144,7 +1144,7 @@ final class SnapRowLevelOperation(
                 .getOrElse(Array.empty)
             override def createReaderFactory():
                 org.apache.spark.sql.connector.read.PartitionReaderFactory =
-              stagelessFactory()
+              stagelessFactory
           })
       }
   }

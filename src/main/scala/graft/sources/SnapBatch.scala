@@ -155,13 +155,7 @@ final class SnapNativeBatch(
   // legacy refs-less entries pay one distinct scan of the delete
   // parquet, bounded by the table's file count.
   private lazy val posAffected: Set[String] =
-    if (posDeletes.isEmpty) Set.empty
-    else if (posDeletes.forall(_.refs.nonEmpty))
-      posDeletes.flatMap(_.refs).toSet
-    else spark.read
-      .parquet(posDeletes.map(d => dir.resolve(d.path).toString): _*)
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    SnapStore.posAffectedFiles(spark, dir, posDeletes)
 
   /** One file's treatment: (applicable evolution count, applicable
     * equality-delete paths, position-delete hit). A pure function of
@@ -178,9 +172,15 @@ final class SnapNativeBatch(
 
   /** The stable treatment table, derived from the FULL statics
     * domain — partition group ids index into it, in every instance.
+    * One grouping pass serves both the table and the per-treatment
+    * static file lists the clean-delegate factories are built over.
     */
+  private lazy val staticsByTreatment:
+      Seq[((Int, Seq[String], Boolean), Seq[SnapStore.FileEntry])] =
+    statics.groupBy(treatmentOf).toSeq.sortBy(_._1.toString())
+
   private lazy val treatments: Seq[(Int, Seq[String], Boolean)] =
-    statics.map(treatmentOf).distinct.sortBy(_.toString())
+    staticsByTreatment.map(_._1)
 
   private def cleanDelegateBuilder(
       fs: Seq[SnapStore.FileEntry],
@@ -236,9 +236,8 @@ final class SnapNativeBatch(
           rows.iterator.filterNot(_.isNullAt(0))
             .map(r => conv(r.get(0))).toSet)
       })
-    treatments.map { t =>
+    staticsByTreatment.map { case (t, fs) =>
       if (isClean(t)) {
-        val fs = statics.filter(f => treatmentOf(f) == t)
         val scan = cleanDelegateBuilder(fs, withPushdown = true).build()
         val delegateSchema = scan.readSchema()
         // Delegate row layout normally equals `required` (both follow

@@ -667,6 +667,21 @@ object SnapStore {
     */
   private[sources] val BroadcastDeleteRows = 4L * 1000 * 1000
 
+  /** The data-file NAMES a set of position-delete files references:
+    * from manifest metadata ([[DeleteFile.refs]]) when present, else
+    * one distinct scan of the delete parquet (legacy entries) —
+    * shared by the DataFrame read path and the native batch.
+    */
+  private[sources] def posAffectedFiles(spark: SparkSession, table: Path,
+      posDeletes: Seq[DeleteFile]): Set[String] =
+    if (posDeletes.isEmpty) Set.empty
+    else if (posDeletes.forall(_.refs.nonEmpty))
+      posDeletes.flatMap(_.refs).toSet
+    else spark.read
+      .parquet(posDeletes.map(d => table.resolve(d.path).toString): _*)
+      .select(col("file")).distinct()
+      .collect().map(_.getString(0)).toSet
+
   private[graft] def readManifest(spark: SparkSession, table: Path,
       m: Manifest): DataFrame = {
     if (m.files.isEmpty)
@@ -689,12 +704,7 @@ object SnapStore {
     // zero IO. Legacy pos entries without refs pay one distinct scan
     // of the delete parquet, whose result is bounded by the table's
     // FILE count (the same driver-side metadata scale as manifests).
-    val posAffected: Set[String] =
-      if (posDeletes.isEmpty) Set.empty
-      else if (posDeletes.forall(_.refs.nonEmpty))
-        posDeletes.flatMap(_.refs).toSet
-      else posPairsDf.select(col("__dfile")).distinct()
-        .collect().map(_.getString(0)).toSet
+    val posAffected: Set[String] = posAffectedFiles(spark, table, posDeletes)
     // Group files by (equality deletes that apply to them, whether a
     // position delete names them): one sub-plan per distinct
     // treatment, unioned. Group count is bounded by the number of

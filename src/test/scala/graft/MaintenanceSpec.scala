@@ -1775,6 +1775,50 @@ class MaintenanceSpec extends SparkSpec {
       SnapStore.currentManifest(t).files.map(_.rows).sum)
   }
 
+  test("split manifests under racing appends: losers retry, their " +
+    "staged groups never leak, every on-disk group is referenced") {
+    val dir = Files.createTempDirectory("graft-snapspec-mfrace")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part", numFiles = 96,
+      clusterExprs = Seq(col("part"), col("doc_id")))
+    val base = SnapStore.currentManifest(t)
+    assert(base.files.size > 64)
+    // Four racing appenders on the SPLIT commit path: exactly one
+    // wins each version; losers re-commit against the new current.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            SnapStore.append(spark, t,
+              docs.limit(2).withColumn("doc_id",
+                col("doc_id") + lit(800000L + i * 1000L)), "part",
+              numFiles = 1)
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val cur = SnapStore.currentManifest(t)
+    assert(cur.version == base.version + 4)
+    assert(cur.files.size == base.files.size + 4)
+    assert(SnapStore.read(spark, t).count() == docs.count() + 8)
+    // Every mf-* group file on disk is referenced by a LIVE version —
+    // a losing attempt's staged groups were deleted on the spot.
+    val referenced = SnapStore.liveVersions(t)
+      .map(SnapStore.manifest(t, _))
+      .flatMap(_.groups.map(_._1)).toSet
+    val onDisk = {
+      val s = Files.list(t.resolve("_snapshots"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("mf-")).toSet
+      finally s.close()
+    }
+    assert(onDisk == referenced,
+      s"unreferenced group files leaked: ${onDisk -- referenced}")
+  }
+
   test("programmatic COW over pending MOR deletes: merge reads " +
     "delete-aware, carries the unfolded delete set exactly, and " +
     "never resurrects suppressed rows") {
