@@ -96,6 +96,19 @@ object GraftProcedures {
         val m = SnapStore.compact(spark, dir, cur.partCol, in.getLong(1))
         Array[Any](m.version, m.files.size)
       }),
+    // Iceberg expire_snapshots(older_than, retain_last): age-based
+    // expiry by commit instant (manifest mtime), newest retained.
+    "expire_snapshots_older_than" -> new Proc("expire_snapshots_older_than",
+      Array(str("table"), lng("older_than_ms"), int("retain_last")),
+      StructType(Seq(
+        StructField("expired_snapshots", IntegerType, nullable = false),
+        StructField("deleted_data_files", IntegerType, nullable = false))),
+      { in =>
+        val (expired, deleted) = SnapStore.expireOlderThan(
+          tableDir(in.getUTF8String(0).toString), in.getLong(1),
+          in.getInt(2))
+        Array[Any](expired.size, deleted.size)
+      }),
     // Iceberg rewrite_manifests: metadata-only rebalance of the
     // manifest-list grouping (same files, even fresh groups).
     "rewrite_manifests" -> new Proc("rewrite_manifests",

@@ -1865,14 +1865,34 @@ object SnapStore {
   def expire(table: Path, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val vs = liveVersions(table)
+    expireSet(table, vs.dropRight(keepLast))
+  }
+
+  /** Age-based expiry — Iceberg's `expire_snapshots(older_than,
+    * retain_last)`: expire snapshots COMMITTED before `olderThanMs`
+    * (the manifest file's mtime is the commit instant — manifests
+    * are written once, exclusively), always keeping the newest
+    * `retainLast` and, like [[expire]], every tag-protected one.
+    */
+  def expireOlderThan(table: Path, olderThanMs: Long,
+      retainLast: Int = 1): (Seq[Int], Seq[String]) = {
+    require(retainLast >= 1, "must keep at least the current snapshot")
+    val vs = liveVersions(table)
+    val keepNewest = vs.takeRight(retainLast).toSet
+    expireSet(table, vs.filter(v => !keepNewest(v) &&
+      Files.getLastModifiedTime(manifestPath(table, v))
+        .toMillis < olderThanMs))
+  }
+
+  private def expireSet(table: Path,
+      deadCandidates: Seq[Int]): (Seq[Int], Seq[String]) = {
+    val vs = liveVersions(table)
     val protect = tags(table).values.toSet
     // Tagged snapshots are retention-protected, like Iceberg's tagged
     // references: expiry skips them (and keeps their files live).
-    val (dead, live) = {
-      val (d, l) = vs.splitAt(math.max(0, vs.size - keepLast))
-      val (protected_, reallyDead) = d.partition(protect)
-      (reallyDead, protected_ ++ l)
-    }
+    val dead = deadCandidates.filterNot(protect)
+    val deadSet = dead.toSet
+    val live = vs.filterNot(deadSet)
     val branchKeep = listBranches(table).flatMap { b =>
       branchVersions(table, b).map(branchManifest(table, b, _))
     }

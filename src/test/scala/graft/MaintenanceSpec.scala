@@ -1155,17 +1155,34 @@ class MaintenanceSpec extends SparkSpec {
       "CALL graft.system.remove_orphan_files('procspec.docs', 0)").head()
     assert(ro.getInt(0) == 0, s"no orphans expected, got $ro")
 
+    // rewrite_manifests through CALL: metadata-only no-op at this
+    // size (inline table), version advances, contents identical.
+    val rm = spark.sql(
+      "CALL graft.system.rewrite_manifests('procspec.docs')").head()
+    assert(rm.getInt(0) == SnapStore.currentVersion(t).get)
+    assert(spark.table("graft.procspec.docs").count() == n + 2 - 3)
+
+    // expire_snapshots_older_than with a future cutoff: everything
+    // but the retained newest (and tag-protected v1) expires.
+    val exo = spark.sql(
+      "CALL graft.system.expire_snapshots_older_than('procspec.docs', " +
+        s"${System.currentTimeMillis() + 3600 * 1000L}, 1)").head()
+    assert(exo.getInt(0) > 0)
+    assert(SnapStore.liveVersions(t) ==
+      Seq(1, SnapStore.currentVersion(t).get))
+
     // Unknown procedure raises.
     val bad = intercept[Exception] {
       spark.sql("CALL graft.system.nope('x', 1)").collect()
     }
     assert(bad.getMessage.contains("nope"))
 
-    // The discovery surfaces work too: SHOW PROCEDURES lists all
-    // eight, DESCRIBE resolves, and NAMED-argument CALL binds.
+    // The discovery surfaces work too: SHOW PROCEDURES lists the
+    // family, DESCRIBE resolves, and NAMED-argument CALL binds.
     val listed = spark.sql("SHOW PROCEDURES IN graft.system")
       .collect().map(_.getString(3)).toSet
-    assert(Set("expire_snapshots", "rewrite_data_files",
+    assert(Set("expire_snapshots", "expire_snapshots_older_than",
+      "rewrite_data_files", "rewrite_manifests",
       "rollback_to_snapshot", "remove_orphan_files", "fast_forward",
       "create_tag", "create_branch", "apply_deletes").subsetOf(listed),
       s"missing procedures: $listed")
@@ -1773,6 +1790,36 @@ class MaintenanceSpec extends SparkSpec {
       s"expiry must fold dead groups: live $mfLive vs ${v4.groups.map(_._1)}")
     assert(SnapStore.read(spark, t).count() ==
       SnapStore.currentManifest(t).files.map(_.rows).sum)
+  }
+
+  test("age-based expiry: snapshots committed before the cutoff " +
+    "expire, tagged and newest ones survive") {
+    val t = freshTable("ageexp")
+    SnapStore.create(spark, t, docs.limit(20), "part", numFiles = 2)
+    (1 to 4).foreach { i =>
+      SnapStore.append(spark, t, docs.limit(2)
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000L)), "part",
+        numFiles = 1)
+    }
+    SnapStore.tag(t, "keepme", 2)
+    // Backdate v1-v3's commit instants (manifest mtimes) to 10 days
+    // ago; v4-v5 stay fresh.
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    (1 to 3).foreach { v =>
+      Files.setLastModifiedTime(
+        t.resolve("_snapshots").resolve(f"v$v%05d.manifest"), old)
+    }
+    val (expired, _) = SnapStore.expireOlderThan(t,
+      System.currentTimeMillis() - 7L * 24 * 3600 * 1000, retainLast = 1)
+    // v1 and v3 expire (older than the cutoff); v2 is tag-protected,
+    // v4/v5 are newer than the cutoff.
+    assert(expired == Seq(1, 3), s"expired $expired")
+    assert(SnapStore.liveVersions(t) == Seq(2, 4, 5))
+    assert(SnapStore.read(spark, t).count() == 28)
+    intercept[IllegalArgumentException] { SnapStore.manifest(t, 1) }
+    // The tag still time-travels.
+    assert(SnapStore.resolveVersion(t, "keepme") == 2)
   }
 
   test("split manifests under racing appends: losers retry, their " +
