@@ -441,7 +441,10 @@ final class SnapshotsMetadataTable(tableName: String,
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](v, parent,
           org.apache.spark.unsafe.types.UTF8String.fromString(op),
-          nf, nr, nb)): org.apache.spark.sql.catalyst.InternalRow
+          nf, nr, nb,
+          // committed_at: commit instant as TIMESTAMP micros.
+          SnapStore.commitInstantMs(dir, v) * 1000L)):
+        org.apache.spark.sql.catalyst.InternalRow
     }.toArray
 }
 
@@ -452,7 +455,8 @@ object SnapshotsMetadataTable {
     StructField("operation", org.apache.spark.sql.types.StringType, nullable = false),
     StructField("n_files", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("total_rows", org.apache.spark.sql.types.LongType, nullable = false),
-    StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false)))
+    StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("committed_at", org.apache.spark.sql.types.TimestampType, nullable = false)))
 }
 
 /** `db.table.refs` — Iceberg's `table.refs` metadata table: every

@@ -309,6 +309,14 @@ object SnapStore {
     parseManifest(p)
   }
 
+  /** A snapshot's commit instant (epoch millis): the manifest file's
+    * mtime — manifests are written once via exclusive install, so the
+    * mtime IS the commit time. Backs the `.snapshots` metadata
+    * table's `committed_at` and [[expireOlderThan]].
+    */
+  def commitInstantMs(table: Path, version: Int): Long =
+    Files.getLastModifiedTime(manifestPath(table, version)).toMillis
+
   def currentManifest(table: Path): Manifest =
     manifest(table, currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"No snapshots under $table")))

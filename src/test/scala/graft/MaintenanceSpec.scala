@@ -398,6 +398,14 @@ class MaintenanceSpec extends SparkSpec {
       "SELECT total_bytes FROM graft.snaplog.docs.snapshots WHERE version = 2")
       .head().getLong(0)
     assert(logged == manifestBytes)
+    // committed_at (Iceberg's snapshots column): real commit
+    // instants, nondecreasing along the version chain.
+    val ts = spark.sql(
+      """SELECT committed_at FROM graft.snaplog.docs.snapshots
+        |ORDER BY version""".stripMargin)
+      .collect().map(_.getTimestamp(0).getTime)
+    assert(ts.length == 2 && ts(0) <= ts(1) &&
+      math.abs(ts(1) - System.currentTimeMillis()) < 3600 * 1000L)
     // Expiry removes v1 from the log.
     SnapStore.expire(t, keepLast = 1)
     val after = spark.sql(
