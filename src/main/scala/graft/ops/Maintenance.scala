@@ -1257,15 +1257,71 @@ object Maintenance {
              ORDER BY part_min""")
   }
 
+  /** `docs_pdel`: the partitions-table delete-debt lifecycle. The
+    * same one-file-per-part layout as `docs_parts`, then two pending
+    * MOR deletes that stay UNFOLDED: a position delete confined to
+    * partition 3 (refs name only that partition's file) and an
+    * equality delete (applicable to every data file by sequence) —
+    * so `.partitions` shows per-partition delete debt while
+    * record_count stays the documented PRE-delete manifest count.
+    */
+  def ensureDocsPdel(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_pdel")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b.filter(col(partCol) === 0), partCol,
+        numFiles = 1)
+    (1 until nParts).foreach { p =>
+      if (SnapStore.currentVersion(t).contains(p))
+        SnapStore.append(s, t, b.filter(col(partCol) === p), partCol,
+          numFiles = 1)
+    }
+    if (SnapStore.currentVersion(t).contains(nParts))
+      SnapStore.deletePositions(s, t,
+        col(partCol) === 3 && pmod(col("doc_id"), lit(5L)) === 0)
+    if (SnapStore.currentVersion(t).contains(nParts + 1))
+      SnapStore.deleteEquality(s, t,
+        b.filter(pmod(col("doc_id"), lit(11L)) === 0).select("doc_id"),
+        "doc_id")
+    mount(s, dir)
+    t
+  }
+
+  /** Per-partition pending-delete debt from the `.partitions`
+    * metadata table (ADVICE r8: Iceberg's partitions table exposes
+    * delete counts alongside): record_count is PRE-delete, the
+    * position-delete file count is exact per partition from the
+    * manifest's referenced-data-file field, and the equality-delete
+    * count reflects sequence applicability.
+    */
+  def partitionsDeleteDebt(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsPdel(s, dir)
+    s.sql("""SELECT part_min, file_count, record_count,
+               position_delete_file_count, equality_delete_file_count
+             FROM graft.maint.docs_pdel.partitions
+             ORDER BY part_min""")
+  }
+
+  val partitionsDeleteDebtOracle: String =
+    s"""SELECT CAST(doc_id % $nParts AS VARCHAR) AS part_min,
+       |  CAST(1 AS INTEGER) AS file_count,
+       |  COUNT(*) AS record_count,
+       |  CAST(CASE WHEN doc_id % $nParts = 3 THEN 1 ELSE 0 END
+       |    AS INTEGER) AS position_delete_file_count,
+       |  CAST(1 AS INTEGER) AS equality_delete_file_count
+       |FROM documents
+       |GROUP BY doc_id % $nParts
+       |ORDER BY part_min""".stripMargin
+
   val partitionsMetaOracle: String =
-    """SELECT 'part' AS partition_spec,
-      |  CAST(doc_id % 8 AS VARCHAR) AS part_min,
-      |  CAST(doc_id % 8 AS VARCHAR) AS part_max,
-      |  CAST(1 AS INTEGER) AS file_count,
-      |  COUNT(*) AS record_count
-      |FROM documents
-      |GROUP BY doc_id % 8
-      |ORDER BY part_min""".stripMargin
+    s"""SELECT 'part' AS partition_spec,
+       |  CAST(doc_id % $nParts AS VARCHAR) AS part_min,
+       |  CAST(doc_id % $nParts AS VARCHAR) AS part_max,
+       |  CAST(1 AS INTEGER) AS file_count,
+       |  COUNT(*) AS record_count
+       |FROM documents
+       |GROUP BY doc_id % $nParts
+       |ORDER BY part_min""".stripMargin
 
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
@@ -1317,6 +1373,9 @@ object Maintenance {
     Q("maint_rename_widen", renameWiden, Some(renameWidenOracle),
       "RENAME COLUMN + type widening: metadata-only evolution, old files " +
         "read through the manifest evolution log"),
+    Q("maint_partitions_deletes", partitionsDeleteDebt,
+      Some(partitionsDeleteDebtOracle),
+      ".partitions delete-debt columns: per-partition pending position/equality delete files"),
     Q("maint_partitions", partitionsMeta, Some(partitionsMetaOracle),
       "partitions metadata table: per-partition file/row rollup from " +
         "manifest bounds, zero data IO"))

@@ -535,6 +535,18 @@ object RefsMetadataTable {
   * the same spec roll up into one row (a `partitionBy`-style layout,
   * where every file pins one value, degenerates to exactly Iceberg's
   * one-row-per-partition shape).
+  *
+  * `record_count`/`total_bytes` are PRE-DELETE (the manifest counts
+  * of the partition's data files — pending MOR deletes have not been
+  * subtracted). The delete-debt columns make that visible, like
+  * Iceberg's `position_delete_record_count`/
+  * `equality_delete_record_count`: `position_delete_file_count`
+  * counts pending position-delete files REFERENCING a file of this
+  * partition (exact, from the manifest's referenced-data-file field)
+  * and `equality_delete_file_count` counts pending equality-delete
+  * files whose sequence makes them APPLICABLE to at least one of the
+  * partition's files (keys are not partition-attributable from
+  * metadata, so this is the honest per-partition signal).
   */
 final class PartitionsMetadataTable(tableName: String,
     dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
@@ -542,6 +554,8 @@ final class PartitionsMetadataTable(tableName: String,
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     val m = SnapStore.currentManifest(dir)
     def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val posDeletes = m.deleteFiles.filter(_.kind == "pos")
+    val eqDeletes = m.deleteFiles.filter(_.kind == "eq")
     m.files
       .groupBy(f =>
         (if (f.specCol.nonEmpty) f.specCol else m.partCol,
@@ -549,9 +563,17 @@ final class PartitionsMetadataTable(tableName: String,
       .toSeq
       .sortBy { case ((spec, mn, mx), _) => (spec, mn, mx) }
       .map { case ((spec, mn, mx), fs) =>
+        val names = fs.map(f => SnapStore.fileName(f.path)).toSet
+        // A legacy refs-less pos-delete entry MAY affect any file —
+        // count it everywhere (conservative) rather than nowhere.
+        val posCount =
+          posDeletes.count(d => d.refs.isEmpty || d.refs.exists(names))
+        val minSeq = fs.map(_.seq).min
+        val eqCount = eqDeletes.count(_.seq > minSeq)
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](u(spec), u(mn), u(mx), fs.size,
-            fs.map(_.rows).sum, fs.map(_.bytes).sum)):
+            fs.map(_.rows).sum, fs.map(_.bytes).sum,
+            posCount, eqCount)):
           org.apache.spark.sql.catalyst.InternalRow
       }.toArray
   }
@@ -564,7 +586,9 @@ object PartitionsMetadataTable {
     StructField("part_max", org.apache.spark.sql.types.StringType, nullable = false),
     StructField("file_count", org.apache.spark.sql.types.IntegerType, nullable = false),
     StructField("record_count", org.apache.spark.sql.types.LongType, nullable = false),
-    StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false)))
+    StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("position_delete_file_count", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("equality_delete_file_count", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
 

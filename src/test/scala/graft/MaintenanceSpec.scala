@@ -1810,13 +1810,16 @@ class MaintenanceSpec extends SparkSpec {
         numFiles = 1)
     }
     SnapStore.tag(t, "keepme", 2)
-    // Backdate v1-v3's commit instants (manifest mtimes) to 10 days
-    // ago; v4-v5 stay fresh.
-    val old = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis() - 10L * 24 * 3600 * 1000)
+    // Backdate v1-v3's commit instants — the `instant=` field stamped
+    // into the manifest body (NOT the mtime: expiry reads the stamped
+    // instant so a copied/restored warehouse keeps true commit times).
+    val oldMs = System.currentTimeMillis() - 10L * 24 * 3600 * 1000
     (1 to 3).foreach { v =>
-      Files.setLastModifiedTime(
-        t.resolve("_snapshots").resolve(f"v$v%05d.manifest"), old)
+      val p = t.resolve("_snapshots").resolve(f"v$v%05d.manifest")
+      val rewritten = Files.readAllLines(p).asScala.map { l =>
+        if (l.startsWith("instant=")) s"instant=$oldMs" else l
+      }.mkString("", "\n", "\n")
+      Files.writeString(p, rewritten)
     }
     val (expired, _) = SnapStore.expireOlderThan(t,
       System.currentTimeMillis() - 7L * 24 * 3600 * 1000, retainLast = 1)
@@ -1828,6 +1831,69 @@ class MaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException] { SnapStore.manifest(t, 1) }
     // The tag still time-travels.
     assert(SnapStore.resolveVersion(t, "keepme") == 2)
+  }
+
+  test("commit instant is stamped in the manifest body: mtime " +
+    "perturbation (copy/restore) changes neither committed_at nor " +
+    "age-based expiry") {
+    val t = freshTable("instant")
+    SnapStore.create(spark, t, docs.limit(10), "part", numFiles = 1)
+    SnapStore.append(spark, t, docs.limit(2)
+      .withColumn("doc_id", col("doc_id") + lit(9000L)), "part",
+      numFiles = 1)
+    val before = (1 to 2).map(v => SnapStore.commitInstantMs(t, v))
+    assert(before.forall(i =>
+      math.abs(i - System.currentTimeMillis()) < 10L * 60 * 1000),
+      "stamped instants must be the real commit times")
+    // Simulate a restore/rsync: every manifest's mtime jumps 30 days
+    // back. The stamped instant must win over the perturbed mtime.
+    val fake = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 30L * 24 * 3600 * 1000)
+    (1 to 2).foreach { v =>
+      Files.setLastModifiedTime(
+        t.resolve("_snapshots").resolve(f"v$v%05d.manifest"), fake)
+    }
+    assert((1 to 2).map(v => SnapStore.commitInstantMs(t, v)) == before,
+      "committed_at must survive mtime perturbation")
+    // Age-based expiry honors the stamped instant: a cutoff of
+    // now-7d expires NOTHING even though every mtime reads 30d old.
+    val (expired, _) = SnapStore.expireOlderThan(t,
+      System.currentTimeMillis() - 7L * 24 * 3600 * 1000, retainLast = 1)
+    assert(expired.isEmpty,
+      s"restored warehouse must not expire fresh snapshots: $expired")
+    assert(SnapStore.liveVersions(t) == Seq(1, 2))
+    // Legacy fallback: a manifest WITHOUT the field (pre-r9) reports
+    // its mtime.
+    val p = t.resolve("_snapshots").resolve(f"v${1}%05d.manifest")
+    Files.writeString(p, Files.readAllLines(p).asScala
+      .filterNot(_.startsWith("instant=")).mkString("", "\n", "\n"))
+    Files.setLastModifiedTime(p, fake)
+    assert(SnapStore.commitInstantMs(t, 1) == fake.toMillis,
+      "legacy manifests fall back to mtime")
+  }
+
+  test("manifest-group cache is an access-ordered LRU: recently " +
+    "used groups stay cached past the size cap") {
+    val t = freshTable("grpcache")
+    val snapDir = t.resolve("_snapshots")
+    Files.createDirectories(snapDir)
+    val n = SnapStore.GroupCacheMax + 96
+    def gname(i: Int) = f"mf-lruspec$i%04d"
+    (0 until n).foreach { i =>
+      Files.writeString(snapDir.resolve(gname(i)),
+        s"file=data/f$i.parquet\tp\tp\t1\t100\t\t1\t\t\n")
+    }
+    // Cold pass fills the cache; the cap holds.
+    (0 until n).foreach(i => SnapStore.readGroup(t, gname(i)))
+    assert(SnapStore.groupCacheSize <= SnapStore.GroupCacheMax)
+    // The most recently read GroupCacheMax/2 groups must ALL be
+    // warm: every re-read is a cache hit (an LRU keeps the recent
+    // tail; the old wholesale clear would miss most of them).
+    val recent = (n - SnapStore.GroupCacheMax / 2) until n
+    val h0 = SnapStore.groupCacheHits.get()
+    recent.foreach(i => SnapStore.readGroup(t, gname(i)))
+    assert(SnapStore.groupCacheHits.get() - h0 == recent.size.toLong,
+      "recently-used groups must survive eviction")
   }
 
   test("split manifests under racing appends: losers retry, their " +
