@@ -782,10 +782,9 @@ object SnapTable {
   * above an ordinary `BatchScan`, no V1 RDD bridge, no staging. This
   * is how `SELECT * FROM graft.db.t` between a MOR commit and its
   * fold returns correct rows instead of refusing — Iceberg's
-  * `SparkTable` contract. Above the broadcast-size delete guard
-  * ([[SnapBatch.supported]]) the legacy `V1Scan` bridge takes over:
-  * its DataFrame plan anti-joins the delete sets with a SHUFFLE,
-  * which a per-task set lookup cannot.
+  * `SparkTable` contract. Delete sets of ANY size are served: tasks
+  * load them lazily through [[SnapDeleteCache]] (VERDICT r8 #1), so
+  * there is no broadcast-size cliff and no fallback plan.
   *
   * Pushdown: required columns prune through `SupportsPushDown
   * RequiredColumns`; pushed filters prune FILES by manifest bounds,
@@ -797,8 +796,8 @@ object SnapTable {
   */
 final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
     m: SnapStore.Manifest) extends Table with SupportsRead {
-  import org.apache.spark.sql.connector.read.{Scan, V1Scan}
-  import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+  import org.apache.spark.sql.connector.read.Scan
+  import org.apache.spark.sql.sources.Filter
 
   override def name(): String = tableName
   override def schema(): StructType = m.schema
@@ -842,8 +841,7 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
         val pruned = conds.reduceOption(_ && _)
           .map(c => SnapStore.probeCandidates(spark, m, c))
           .getOrElse(m.files)
-        if (SnapBatch.supported(m))
-          new Scan with org.apache.spark.sql.connector.read.Batch
+        new Scan with org.apache.spark.sql.connector.read.Batch
             with org.apache.spark.sql.connector.read.SupportsReportStatistics {
             private lazy val nat = new SnapNativeBatch(spark, dir, m,
               pruned, () => pruned, required, pushedAll.toSeq)
@@ -875,11 +873,21 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
                   val prunedNames =
                     pruned.map(f => SnapStore.fileName(f.path)).toSet
                   val rows = pruned.map(_.rows).sum
-                  val del = m.deleteFiles.filter { d =>
-                    if (d.kind == "pos")
-                      d.refs.isEmpty || d.refs.exists(prunedNames)
-                    else pruned.exists(_.seq < d.seq)
-                  }.map(_.rows).sum
+                  val posDel = m.deleteFiles.filter(d => d.kind == "pos" &&
+                    (d.refs.isEmpty || d.refs.exists(prunedNames)))
+                    .map(_.rows).sum
+                  // Eq-delete files from SEPARATE commits can repeat
+                  // keys; summing would double-count shared keys and
+                  // underestimate a selective scan toward 0 (ADVICE
+                  // r8). The max single-commit key count is the
+                  // largest subtraction that can never over-subtract.
+                  val eqApplicable = m.deleteFiles.filter(d =>
+                    d.kind == "eq" && pruned.exists(_.seq < d.seq))
+                  val eqDel =
+                    if (eqApplicable.isEmpty) 0L
+                    else eqApplicable.groupBy(_.seq)
+                      .map(_._2.map(_.rows).sum).max
+                  val del = posDel + eqDel
                   java.util.OptionalLong.of(math.max(0L,
                     rows - math.min(rows, del)))
                 }
@@ -888,23 +896,6 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
               s"graft-snap-native $dir, ${pruned.size}/${m.files.size} " +
                 s"files, PushedFilters: [${translatable.mkString(", ")}]"
           }
-        else new V1Scan {
-          override def readSchema(): StructType = required
-          override def toV1TableScan[T <: BaseRelation with TableScan](
-              context: org.apache.spark.sql.SQLContext): T =
-            new BaseRelation with TableScan {
-              override def sqlContext: org.apache.spark.sql.SQLContext =
-                context
-              override def schema: StructType = required
-              override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-                var df = SnapStore.readManifest(context.sparkSession, dir,
-                  m.copy(files = pruned))
-                conds.foreach(c => df = df.filter(c))
-                df.select(required.fieldNames.toSeq.map(
-                  org.apache.spark.sql.functions.col): _*).rdd
-              }
-            }.asInstanceOf[T]
-        }
       }
     }
 }
@@ -936,11 +927,6 @@ final class SnapRowLevelOperation(
     * losing its deletes against the replaced rows.
     */
   @volatile private[sources] var scannedDeletes: Seq[SnapStore.DeleteFile] =
-    Seq.empty
-
-  /** Staging dirs the materialized scan wrote (MOR/evolved tables);
-    * removed at job commit/abort. */
-  @volatile private[sources] var scanStagings: Seq[java.nio.file.Path] =
     Seq.empty
 
   /** The operation's scan: file-granular over the current manifest,
@@ -997,12 +983,11 @@ final class SnapRowLevelOperation(
         // kept groups read directly with per-partition delete/
         // evolution folding — zero staging bytes, so a runtime-
         // filtered MERGE stages nothing for pruned files (or any
-        // files). Above the broadcast-delete guard, the staging
-        // fallback — itself now deferred past runtime filtering.
+        // files). Delete sets of any size serve per task through
+        // [[SnapDeleteCache]] (VERDICT r8 #1) — no staging fallback.
         if (cur.deleteFiles.nonEmpty ||
           cur.evos.exists(e => cur.files.exists(_.seq < e.seq)))
-          if (SnapBatch.supported(cur)) new SnapCowNativeScan(cur, statics)
-          else new SnapCowMaterializedScan(cur, statics)
+          new SnapCowNativeScan(cur, statics)
         else new SnapCowScan(cur, statics)
       }
     }
@@ -1108,75 +1093,6 @@ final class SnapRowLevelOperation(
       org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
   }
 
-  /** The staging fallback for delete sets ABOVE the broadcast guard:
-    * the delete-aware DataFrame plan (whose anti-joins may SHUFFLE —
-    * something a per-task lookup can't) materializes the kept rows
-    * to a staging parquet and serves the batch from it. The staging
-    * job is DEFERRED to `planInputPartitions` (execution time) so
-    * Spark's pre-runtime-filter `toBatch` planning calls cost
-    * nothing and only the post-group-filter file set ever
-    * materializes; memoized per file set. Stagings are removed at
-    * job commit/abort.
-    */
-  private final class SnapCowMaterializedScan(cur0: SnapStore.Manifest,
-      statics0: Seq[SnapStore.FileEntry])
-      extends BaseCowScan(cur0, statics0) {
-    private val cache = scala.collection.mutable.Map[
-      Seq[String], org.apache.spark.sql.connector.read.Batch]()
-    // Reader factory WITHOUT staging: a parquet partition-reader
-    // factory is file-set independent (partitions carry the paths),
-    // so the factory Spark caches from the PRE-runtime-filter batch
-    // reads the POST-filter batch's staged partitions — and creating
-    // it never writes a byte.
-    private lazy val stagelessFactory:
-        org.apache.spark.sql.connector.read.PartitionReaderFactory =
-      ParquetTable("graft-cow-read", SparkSession.active,
-        CaseInsensitiveStringMap.empty(), Seq.empty,
-        userSpecifiedSchema = Some(cur.schema),
-        fallbackFileFormat = classOf[ParquetFileFormat])
-        .newScanBuilder(CaseInsensitiveStringMap.empty())
-        .build().toBatch.createReaderFactory()
-    override def columnarSupportMode():
-        org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
-      org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
-    override def toBatch: org.apache.spark.sql.connector.read.Batch =
-      cache.synchronized {
-        val fs = files
-        cache.getOrElseUpdate(fs.map(_.path),
-          new org.apache.spark.sql.connector.read.Batch {
-            // The staging job runs at PARTITION PLANNING (execution
-            // time, after runtime group filtering) — never at the
-            // planning-phase toBatch/createReaderFactory calls — so
-            // only the post-group-filter file set ever materializes.
-            private lazy val staged:
-                Option[org.apache.spark.sql.connector.read.Batch] =
-              if (fs.isEmpty) None
-              else Some {
-                val spark = SparkSession.active
-                val staging = dir.resolve(
-                  s".cowread-tmp-${ProcessHandle.current().pid()}-" +
-                    java.util.UUID.randomUUID().toString.take(8))
-                SnapStore.readManifest(spark, dir, cur.copy(files = fs))
-                  .write.mode("overwrite").parquet(staging.toString)
-                scanStagings = scanStagings :+ staging
-                ParquetTable("graft-cow-read", spark,
-                  CaseInsensitiveStringMap.empty(), Seq(staging.toString),
-                  userSpecifiedSchema = Some(cur.schema),
-                  fallbackFileFormat = classOf[ParquetFileFormat])
-                  .newScanBuilder(CaseInsensitiveStringMap.empty())
-                  .build().toBatch
-              }
-            override def planInputPartitions():
-                Array[org.apache.spark.sql.connector.read.InputPartition] =
-              staged.map(_.planInputPartitions())
-                .getOrElse(Array.empty)
-            override def createReaderFactory():
-                org.apache.spark.sql.connector.read.PartitionReaderFactory =
-              stagelessFactory
-          })
-      }
-  }
-
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo):
       org.apache.spark.sql.connector.write.WriteBuilder =
@@ -1236,19 +1152,15 @@ final class SnapRowLevelOperation(
               override def commit(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                 delegate.commit(messages)
-                try SnapStore.commitReplaceFromStaging(SparkSession.active,
+                SnapStore.commitReplaceFromStaging(SparkSession.active,
                   dir, staging,
                   cmd.toString.toLowerCase(java.util.Locale.ROOT),
                   scannedFiles, scannedDeletes)
-                finally scanStagings.foreach(SnapStore.dropStaging(dir, _))
               }
               override def abort(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                 try delegate.abort(messages)
-                finally {
-                  SnapStore.dropStaging(dir, staging)
-                  scanStagings.foreach(SnapStore.dropStaging(dir, _))
-                }
+                finally SnapStore.dropStaging(dir, staging)
               }
             }
         }

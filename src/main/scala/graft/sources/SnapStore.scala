@@ -716,7 +716,7 @@ object SnapStore {
     * broadcasting those to every task would OOM the driver the same
     * way the old collect did.
     */
-  private[sources] val BroadcastDeleteRows = 4L * 1000 * 1000
+  private[graft] val BroadcastDeleteRows = 4L * 1000 * 1000
 
   /** The data-file NAMES a set of position-delete files references:
     * from manifest metadata ([[DeleteFile.refs]]) when present, else
