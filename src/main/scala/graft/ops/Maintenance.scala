@@ -874,6 +874,59 @@ object Maintenance {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** `docs_rdel`: delete-file compaction lifecycle (Iceberg
+    * `rewrite_position_delete_files`). v1 create → v2 position delete
+    * (every 5th doc of partition 3) → v3 position delete (every 7th
+    * doc of partition 5) — two small pending delete parquets — → v4
+    * `CALL graft.system.rewrite_delete_files`: the pos parquets merge
+    * into one, data files untouched, deletes STILL pending (the read
+    * exercises the merged routing/refs). Physical claims (file count,
+    * identical data files, refs union) are spec-pinned.
+    */
+  def ensureDocsRdel(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_rdel")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.deletePositions(s, t,
+        col(partCol) === 3 && pmod(col("doc_id"), lit(5L)) === 0)
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.deletePositions(s, t,
+        col(partCol) === 5 && pmod(col("doc_id"), lit(7L)) === 0)
+    if (SnapStore.currentVersion(t).contains(3)) {
+      mount(s, dir)
+      s.sql("CALL graft.system.rewrite_delete_files('maint.docs_rdel')")
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** Post-compaction pending-MOR contents per partition: the merged
+    * delete parquet must suppress exactly the union of the two
+    * original deletes' rows — the oracle recomputes the surviving set
+    * logically, so a hash match proves the merge lost nothing and
+    * resurrected nothing.
+    */
+  def rewriteDeleteFilesQ(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsRdel(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val rewriteDeleteFilesOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE NOT (doc_id % $nParts = 3 AND doc_id % 5 = 0)
+       |  AND NOT (doc_id % $nParts = 5 AND doc_id % 7 = 0)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Post-fast-forward MAIN contents per source: the branch took the
     * append while main never moved, then fast-forward adopted the
     * branch head as a metadata-only main commit — so main must equal
@@ -1373,6 +1426,9 @@ object Maintenance {
     Q("maint_rename_widen", renameWiden, Some(renameWidenOracle),
       "RENAME COLUMN + type widening: metadata-only evolution, old files " +
         "read through the manifest evolution log"),
+    Q("maint_rewrite_deletes", rewriteDeleteFilesQ,
+      Some(rewriteDeleteFilesOracle),
+      "delete-file compaction: small pending delete parquets merge metadata-only, data untouched"),
     Q("maint_partitions_deletes", partitionsDeleteDebt,
       Some(partitionsDeleteDebtOracle),
       ".partitions delete-debt columns: per-partition pending position/equality delete files"),

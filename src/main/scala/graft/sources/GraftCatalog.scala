@@ -848,11 +848,15 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
             override def readSchema(): StructType = required
             override def toBatch: org.apache.spark.sql.connector.read.Batch =
               this
-            // No columnar partitions exist here; saying so up front
-            // keeps physical planning from forcing partition planning
-            // (and the delete-set loads it triggers) just to find out.
+            // COLUMNAR whenever the schema allows (VERDICT r8 #4):
+            // clean files keep vectorized parquet batches, affected
+            // files bridge rows task-side. Answered WITHOUT planning
+            // partitions (a pure schema predicate), so physical
+            // planning stays cheap.
             override def columnarSupportMode(): Scan.ColumnarSupportMode =
-              Scan.ColumnarSupportMode.UNSUPPORTED
+              if (SnapColumnar.supported(required))
+                Scan.ColumnarSupportMode.SUPPORTED
+              else Scan.ColumnarSupportMode.UNSUPPORTED
             override def planInputPartitions(): Array[
                 org.apache.spark.sql.connector.read.InputPartition] =
               nat.planInputPartitions()
@@ -1088,9 +1092,16 @@ final class SnapRowLevelOperation(
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
       new SnapNativeBatch(SparkSession.active, dir, cur, statics0,
         () => files, cur.schema, Seq.empty)
+    // Columnar when the schema allows — the rewrite consumes rows,
+    // but vectorized parquet + ColumnarToRow beats the row-based
+    // reader for the clean majority. A pure schema predicate, so the
+    // pre- and post-runtime-filter scan instances agree.
     override def columnarSupportMode():
         org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
-      org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
+      if (SnapColumnar.supported(cur.schema))
+        org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.SUPPORTED
+      else
+        org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
   }
 
   override def newWriteBuilder(

@@ -174,6 +174,19 @@ object GraftProcedures {
         val m = SnapStore.createBranch(tableDir(in.getUTF8String(0).toString), b)
         Array[Any](u(b), m.parent)
       }),
+    // Iceberg rewrite_position_delete_files: merge small pending
+    // delete parquets metadata-only — data files untouched, pos
+    // deletes merge freely, eq deletes merge within one sequence.
+    "rewrite_delete_files" -> new Proc("rewrite_delete_files",
+      Array(str("table")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("delete_files", IntegerType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val m = SnapStore.rewriteDeleteFiles(spark, dir)
+        Array[Any](m.version, m.deleteFiles.size)
+      }),
     // Fold pending delete files back into the data (the rewrite face
     // of Iceberg's rewrite_position_delete_files / delete compaction).
     "apply_deletes" -> new Proc("apply_deletes",

@@ -423,8 +423,19 @@ final class SnapNativeBatch(
     }.toArray
   }
 
+  /** Can this batch serve COLUMNAR output? True when every output
+    * type fills a column vector ([[SnapColumnar.supported]]) — then
+    * clean partitions pass the delegate's vectorized parquet batches
+    * through untouched and affected partitions convert their folded
+    * rows task-side ([[SnapRowToColumnarReader]]), so one pending
+    * delete no longer de-vectorizes the clean majority of the scan
+    * (VERDICT r8 #4). Pure function of the schema: every batch
+    * instance of one scan answers identically (re-planning contract).
+    */
+  def columnarizable: Boolean = SnapColumnar.supported(required)
+
   def createReaderFactory(): PartitionReaderFactory =
-    new SnapDispatchFactory(specs)
+    new SnapDispatchFactory(specs, columnarizable, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = mutable.ArrayBuffer.empty[InputPartition]
@@ -476,7 +487,8 @@ private final case class SnapCleanPartition(group: Int,
 private final case class SnapFilePartitionOfGroup(group: Int,
     path: String, fileName: String, bytes: Long) extends InputPartition
 
-private final class SnapDispatchFactory(groups: Array[SnapGroupSpec])
+private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
+    columnar: Boolean, schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     p match {
@@ -496,9 +508,30 @@ private final class SnapDispatchFactory(groups: Array[SnapGroupSpec])
       case other => throw new IllegalStateException(
         s"unexpected partition type: $other")
     }
-  // Mixed groups must agree on the exec node's output format, so the
-  // whole scan reads row-based; whole-stage codegen above is intact.
-  override def supportColumnarReads(p: InputPartition): Boolean = false
+
+  // Mixed groups must agree on the exec node's output format. When
+  // the schema allows (`columnar`), the whole scan reports COLUMNAR:
+  // clean partitions stay on the delegate's vectorized batches, and
+  // everything else converts rows task-side — one pending MOR delete
+  // no longer de-vectorizes the clean majority (VERDICT r8 #4).
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition):
+      PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    p match {
+      case SnapCleanPartition(g, inner) =>
+        val spec = groups(g).asInstanceOf[SnapCleanGroup]
+        if (spec.conv.isEmpty && spec.factory.supportColumnarReads(inner))
+          spec.factory.createColumnarReader(inner)
+        else
+          // Delegate can't vectorize this partition (conf/shape):
+          // bridge its rows instead — the scan-wide format holds.
+          new SnapRowToColumnarReader(createReader(p), schema)
+      case _: SnapFilePartitionOfGroup =>
+        new SnapRowToColumnarReader(createReader(p), schema)
+      case other => throw new IllegalStateException(
+        s"unexpected partition type: $other")
+    }
 }
 
 /** Reorders/casts delegate rows to the batch's output schema. */

@@ -1420,6 +1420,98 @@ object SnapStore {
       tryCommitManifest(table, m))
   }
 
+  /** Delete-file compaction — Iceberg's
+    * `rewrite_position_delete_files`: merge accumulated small pending
+    * delete parquets into fewer ones WITHOUT touching any data file
+    * (delete-file IO + one metadata commit only; contrast with
+    * [[applyDeletes]], which rewrites the data). A MOR-heavy table
+    * between folds accumulates one tiny delete parquet per
+    * commit — each read pays a task-side load per file; compaction
+    * collapses that debt.
+    *
+    * Merge groups preserve applicability EXACTLY:
+    *  - **Position deletes merge freely** (they apply by referenced
+    *    data-file name, not by sequence): all pending pos parquets
+    *    union — de-duplicated — into one distributed write, refs the
+    *    union of the originals'.
+    *  - **Equality deletes merge only within one sequence** (a single
+    *    commit's multi-part set): an eq delete applies to data files
+    *    with a LOWER seq, so merging seq 5 and seq 9 into one file
+    *    would either wrongly suppress re-inserted rows in files with
+    *    seq 5..8 (stamped 9) or wrongly spare post-5 files
+    *    (stamped 5). Cross-sequence eq debt folds via
+    *    [[applyDeletes]] instead.
+    *
+    * Nothing mergeable → returns the current manifest, no commit.
+    * Displaced delete parquets stay referenced by older snapshots and
+    * expire with them.
+    */
+  def rewriteDeleteFiles(spark: SparkSession, table: Path): Manifest = {
+    val cur0 = currentManifest(table)
+    val mergeable0 =
+      cur0.deleteFiles.filter(_.kind == "pos").length > 1 ||
+        cur0.deleteFiles.filter(_.kind == "eq").groupBy(_.seq)
+          .exists(_._2.length > 1)
+    if (!mergeable0) return cur0
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      val v = cur.version + 1
+      val dataDir = table.resolve("data")
+      val untouched = scala.collection.mutable.ArrayBuffer.empty[DeleteFile]
+      val merged = scala.collection.mutable.ArrayBuffer.empty[DeleteFile]
+      // Position deletes: one merged distributed write when >1 file.
+      val pos = cur.deleteFiles.filter(_.kind == "pos")
+      if (pos.length > 1) {
+        val df = spark.read
+          .parquet(pos.map(d => table.resolve(d.path).toString): _*)
+          .select(col("file"), col("pos")).distinct()
+        val parts = writeDeleteParts(spark, table, df, s"pdelete-rw-v$v")
+        // refs per merged part (the routing metadata reads need) via
+        // one stats job over only the new parts.
+        val refsByPart =
+          if (parts.isEmpty) Map.empty[String, Seq[String]]
+          else spark.read
+            .parquet(parts.map(p =>
+              dataDir.resolve(p._1).toString): _*)
+            .groupBy(input_file_name().as("__df"))
+            .agg(collect_set(col("file")).as("refs"))
+            .collect()
+            .map(r => fileName(r.getString(0)) ->
+              r.getSeq[String](1).sorted)
+            .toMap
+        // Merged pos entries keep the newest constituent seq (unused
+        // by pos application, recorded for lineage).
+        val seq = pos.map(_.seq).max
+        merged ++= parts.map { case (name, rows, bytes) =>
+          DeleteFile(s"data/$name", "", rows, bytes, "pos", seq,
+            refsByPart.getOrElse(name, Seq.empty))
+        }
+      } else untouched ++= pos
+      // Equality deletes: merge per sequence (one commit's parts).
+      cur.deleteFiles.filter(_.kind == "eq").groupBy(_.seq).toSeq
+        .sortBy(_._1).foreach { case (seq, ds) =>
+          if (ds.length > 1) {
+            val kc = ds.head.keyCol
+            val df = spark.read
+              .parquet(ds.map(d => table.resolve(d.path).toString): _*)
+              .select(col(kc)).distinct()
+            val parts = writeDeleteParts(spark, table, df,
+              s"edelete-rw-v$v-s$seq")
+            merged ++= parts.map { case (name, rows, bytes) =>
+              DeleteFile(s"data/$name", kc, rows, bytes, "eq", seq)
+            }
+          } else untouched ++= ds
+        }
+      val m = Manifest(v, cur.version, "rewrite-deletes", cur.schema,
+        cur.files, cur.partCol, (untouched ++ merged).toSeq, cur.keyCol,
+        cur.evos)
+      // The merged parquets ride the retry's cleanup list (only
+      // `path` is used) so a lost race never leaks them.
+      (m, merged.toSeq.map(d => FileEntry(d.path, "", "", 0, 0)),
+        tryCommitManifest(table, m))
+    }
+  }
+
   /** Fold pending delete files (equality AND position) into the data
     * — Iceberg's rewrite-with-deletes compaction: every data file is
     * read through the delete-aware path and rewritten; the new

@@ -79,6 +79,13 @@ object SnapshotStream {
     *    (bare `data/`) sees a different source configuration on
     *    resume — discard such checkpoints and restart; do not resume
     *    them over this source.
+    *  - **Mid-stream RENAMES require a stream restart**: the feed's
+    *    read schema is fixed at start, so appends written under a
+    *    name renamed AFTER start would arrive with that column null.
+    *    Capture [[evolutionFingerprint]] at start and call
+    *    [[requireUnevolved]] per microbatch to fail loudly instead
+    *    (ADVICE r8); the restarted feed re-derives its schema and
+    *    the file-log checkpoint re-serves nothing.
     *  - **MOR-merge inserts are excluded by design**: rows a
     *    [[SnapStore.mergeEquality]] commit inserts land under
     *    `mor-merge-*` labels and are never served by the append feed,
@@ -131,5 +138,38 @@ object SnapshotStream {
       if (hs.isEmpty) col(cur)
       else coalesce((cur +: hs).map(col): _*).as(cur)
     }: _*)
+  }
+
+  /** Fingerprint of the table state [[appendFeed]]'s read schema was
+    * derived from: the current schema plus the rename-evolution log.
+    * A MID-STREAM rename changes it — and silently breaks a running
+    * feed (ADVICE r8): the feed's schema was fixed at start, so
+    * appends written under the post-rename name arrive with the
+    * renamed column NULL. Renames therefore REQUIRE A STREAM RESTART
+    * (the restarted feed re-derives its schema; the file-log
+    * checkpoint re-serves nothing). Capture the fingerprint at
+    * stream start and call [[requireUnevolved]] per microbatch (e.g.
+    * first thing in `foreachBatch`) to turn that silent null into a
+    * loud failure.
+    */
+  def evolutionFingerprint(table: Path): String = {
+    val m = SnapStore.currentManifest(table)
+    val renames = m.evos.filter(_.kind == "rename")
+      .map(e => s"${e.seq}:${e.col}>${e.arg}").mkString(",")
+    s"${m.schema.json}|$renames"
+  }
+
+  /** Per-microbatch guard against mid-stream schema evolution: fails
+    * loudly when the table's [[evolutionFingerprint]] no longer
+    * matches the one the stream started under, instead of letting
+    * renamed appends flow through as nulls.
+    */
+  def requireUnevolved(table: Path, startFingerprint: String): Unit = {
+    val now = evolutionFingerprint(table)
+    if (now != startFingerprint)
+      throw new IllegalStateException(
+        s"table $table evolved while streamed (schema/rename change) — " +
+          "restart the stream so the feed re-derives its read schema; " +
+          s"started under [$startFingerprint], now [$now]")
   }
 }

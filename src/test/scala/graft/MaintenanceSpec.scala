@@ -1529,6 +1529,42 @@ class MaintenanceSpec extends SparkSpec {
       "no deleted row may resurrect through the above-guard rewrite")
   }
 
+  test("pending MOR debt keeps clean files vectorized: the native " +
+    "scan is columnar, affected rows bridge task-side") {
+    val dir = Files.createTempDirectory("graft-snapspec-morcol")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part", numFiles = 6,
+      keyCol = "doc_id")
+    // ONE deleted row: before r9 this de-vectorized the whole scan —
+    // every clean file paid row-based reads for one row of debt.
+    val victim = docs.orderBy("doc_id").limit(1)
+    SnapStore.deleteEquality(spark, t, victim.select("doc_id"), "doc_id")
+    assert(SnapStore.currentManifest(t).deleteFiles.nonEmpty)
+    spark.conf.set("spark.graft.catalog.dir.morcolspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val q = spark.sql(
+      "SELECT doc_id, text FROM graft.morcolspec.docs WHERE doc_id > 10")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-snap-native"), plan)
+    // The scan node outputs COLUMNAR batches (clean files = delegate
+    // vectorized parquet; the one affected file bridges its folded
+    // rows) — Spark plans its standard ColumnarToRow above, exactly
+    // like a plain vectorized parquet read.
+    assert(plan.contains("ColumnarToRow"), plan)
+    assert(q.count() ==
+      docs.filter(col("doc_id") > 10).count() -
+        victim.filter(col("doc_id") > 10).count())
+    // Row-for-row agreement with the programmatic read.
+    val viaSql = spark.sql(
+      "SELECT doc_id, text FROM graft.morcolspec.docs ORDER BY doc_id")
+      .collect()
+    val viaApi = SnapStore.read(spark, t)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+    assert(viaSql.toSeq == viaApi.toSeq)
+  }
+
   test("RENAME COLUMN + widening are metadata-only: old files read " +
     "through the evolution log, pruning and DML follow the new name") {
     val dir = Files.createTempDirectory("graft-snapspec-renw")
@@ -2088,6 +2124,72 @@ class MaintenanceSpec extends SparkSpec {
     val read = SnapStore.read(spark, t)
     assert(read.count() == n - nDel)
     assert(read.filter(pmod(col("doc_id"), lit(2L)) === 0).count() == 0)
+  }
+
+  test("rewrite_delete_files merges pending delete parquets " +
+    "metadata-only: data files untouched, pos deletes merge across " +
+    "commits, eq deletes merge only within one sequence") {
+    val t = freshTable("rdel")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    // Two pos-delete commits + one multi-part eq commit + one later
+    // single-part eq commit: the compaction must merge the two pos
+    // files (refs union), merge the same-seq eq parts, and leave the
+    // lone later eq file alone (cross-seq merging would corrupt
+    // sequence scoping).
+    SnapStore.deletePositions(spark, t,
+      col("part") === 1 && pmod(col("doc_id"), lit(5L)) === 0)
+    SnapStore.deletePositions(spark, t,
+      col("part") === 2 && pmod(col("doc_id"), lit(7L)) === 0)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val before0 = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try SnapStore.deleteEquality(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(11L)) === 0).select("doc_id"),
+      "doc_id")
+    finally spark.conf.set(coalesceKey, before0)
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(13L)) === 0).select("doc_id"),
+      "doc_id")
+    val pre = SnapStore.currentManifest(t)
+    val prePos = pre.deleteFiles.filter(_.kind == "pos")
+    val preEqBySeq = pre.deleteFiles.filter(_.kind == "eq").groupBy(_.seq)
+    assert(prePos.size == 2, s"fixture: ${prePos.size} pos files")
+    assert(preEqBySeq.exists(_._2.size > 1),
+      "fixture must hold a multi-part eq commit")
+    val loneEqSeq = preEqBySeq.filter(_._2.size == 1).keys.toSeq
+    val expected = SnapStore.read(spark, t).collect().toSeq.sortBy(_.toString)
+
+    val m = SnapStore.rewriteDeleteFiles(spark, t)
+    assert(m.operation == "rewrite-deletes")
+    // Metadata-only for the DATA: same files, same entries.
+    assert(m.files == pre.files, "compaction must not touch data files")
+    // Pos files merged to one, refs = union of the originals'.
+    val pos = m.deleteFiles.filter(_.kind == "pos")
+    assert(pos.size == 1, s"expected 1 merged pos file, got ${pos.size}")
+    assert(pos.head.refs.toSet == prePos.flatMap(_.refs).toSet)
+    assert(pos.head.rows == prePos.map(_.rows).sum)
+    // Eq: the multi-part commit merged under ITS OWN seq; the later
+    // single-file commit carried untouched.
+    val eqBySeq = m.deleteFiles.filter(_.kind == "eq").groupBy(_.seq)
+    assert(eqBySeq.forall(_._2.size == 1),
+      s"every eq seq must hold one file after merge: $eqBySeq")
+    loneEqSeq.foreach { s =>
+      assert(eqBySeq(s) == preEqBySeq(s),
+        "an already-single eq commit must carry byte-identical")
+    }
+    // Contents identical before/after (the merge lost nothing and
+    // resurrected nothing), still through the PENDING-delete path.
+    assert(m.deleteFiles.nonEmpty)
+    val after = SnapStore.read(spark, t).collect().toSeq.sortBy(_.toString)
+    assert(after == expected)
+    // Nothing mergeable anymore: a second call is a no-op (no commit).
+    val m2 = SnapStore.rewriteDeleteFiles(spark, t)
+    assert(m2.version == m.version, "no-op compaction must not commit")
+    // applyDeletes still folds the merged debt cleanly.
+    SnapStore.applyDeletes(spark, t, "part")
+    assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
+    val folded = SnapStore.read(spark, t).collect().toSeq.sortBy(_.toString)
+    assert(folded == expected)
   }
 
   test("registered lifecycle is idempotent: re-running entries " +

@@ -513,6 +513,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mid-stream rename fails loudly through the per-batch evolution " +
+    "guard instead of nulling renamed appends") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    import graft.sources.SnapStore
+    import graft.streaming.SnapshotStream
+    val root = java.nio.file.Files.createTempDirectory("graft-snapmidevo")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    def batch(from: Long, until: Long, vCol: String) =
+      spark.range(from, until).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"),
+        concat(lit("v-"), col("id")).as(vCol))
+    SnapStore.create(spark, t, batch(0, 10, "v"), "part")
+    // Capture the fingerprint at stream start (the contract: a rename
+    // while the stream runs requires a restart — the feed's read
+    // schema is fixed at start).
+    val fp = SnapshotStream.evolutionFingerprint(t)
+    SnapshotStream.requireUnevolved(t, fp) // unevolved: passes
+    // Mid-stream rename + an append under the NEW name: the feed
+    // (fixed schema) would serve these rows with the column null —
+    // the guard turns that into a loud failure.
+    SnapStore.renameColumn(t, "v", "w")
+    SnapStore.append(spark, t, batch(100, 103, "w"), "part")
+    assert(SnapshotStream.evolutionFingerprint(t) != fp,
+      "a rename must change the evolution fingerprint")
+    val e = intercept[IllegalStateException] {
+      SnapshotStream.requireUnevolved(t, fp)
+    }
+    assert(e.getMessage.contains("restart the stream"))
+    // A RESTARTED feed (fresh fingerprint) re-derives its schema and
+    // serves both eras correctly — the documented recovery.
+    val q = SnapshotStream.appendFeed(spark, t)
+      .writeStream.format("memory").queryName("snapmidevo_mem")
+      .option("checkpointLocation", root.resolve("ckpt2").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("snapmidevo_mem")
+      assert(got.count() == 13)
+      assert(got.filter(col("w").isNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark re-admits a key after state eviction") {
     import SparkSpec.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
