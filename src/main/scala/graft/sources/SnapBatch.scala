@@ -454,12 +454,26 @@ final class SnapNativeBatch(
           .planInputPartitions()
           .foreach(p => parts += SnapCleanPartition(gid, p))
       } else {
-        // One partition per affected file (bytes from the manifest —
-        // files are immutable, recorded at write). Affected groups
-        // are the MOR debt between folds, small by construction; the
-        // clean majority keeps the delegate's split planning.
-        fs.foreach(f => parts += SnapFilePartitionOfGroup(gid,
-          dir.resolve(f.path).toString, fileName(f.path), f.bytes))
+        // Affected files SPLIT like clean ones (sizes from the
+        // manifest — files are immutable, recorded at write): ranges
+        // of maxPartitionBytes each, so one large MOR-affected file
+        // doesn't serialize into a single task at scale. The parquet
+        // reader aligns ranges to row-group boundaries, and the
+        // row-index generator stays exact across splits (the
+        // _metadata.row_index mechanism), so position deletes apply
+        // per split without overlap.
+        val maxSplit = math.max(1L,
+          spark.sessionState.conf.filesMaxPartitionBytes)
+        fs.foreach { f =>
+          var off = 0L
+          while (off < f.bytes) {
+            val len = math.min(maxSplit, f.bytes - off)
+            parts += SnapFilePartitionOfGroup(gid,
+              dir.resolve(f.path).toString, fileName(f.path),
+              off, len, f.bytes)
+            off += len
+          }
+        }
       }
     }
     parts.toArray
@@ -488,7 +502,8 @@ private final case class SnapCleanPartition(group: Int,
 }
 
 private final case class SnapFilePartitionOfGroup(group: Int,
-    path: String, fileName: String, bytes: Long) extends InputPartition
+    path: String, fileName: String, start: Long, length: Long,
+    fileSize: Long) extends InputPartition
 
 private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
     columnar: Boolean, schema: StructType)
@@ -502,11 +517,11 @@ private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
           case None => r
           case Some(exprs) => new SnapProjectingReader(r, exprs)
         }
-      case SnapFilePartitionOfGroup(g, path, name, bytes) =>
+      case SnapFilePartitionOfGroup(g, path, name, start, length, size) =>
         val spec = groups(g).asInstanceOf[SnapAffectedGroup]
         val pf = PartitionedFile(InternalRow.empty,
-          SparkPath.fromPathString(path), 0L, bytes,
-          Array.empty[String], 0L, bytes, Map.empty)
+          SparkPath.fromPathString(path), start, length,
+          Array.empty[String], 0L, size, Map.empty)
         new SnapAffectedReader(spec.reader(pf), spec, name)
       case other => throw new IllegalStateException(
         s"unexpected partition type: $other")

@@ -465,15 +465,19 @@ object SnapStore {
     * land in one fresh group. Order is preserved end-to-end:
     * flatten(groups) == m.files.
     */
-  private def tryCommitManifest(table: Path, m: Manifest,
-      regroupEntries: Option[Int] = None): Boolean = {
-    Files.createDirectories(snapDir(table))
-    if (m.files.size <= InlineFileThreshold)
-      return installExclusive(manifestPath(table, m.version), manifestBody(m))
-    val prevGroups: Seq[(String, Seq[FileEntry])] =
-      if (regroupEntries.nonEmpty || m.parent <= 0) Seq.empty
-      else scala.util.Try(manifest(table, m.parent)).toOption
-        .map(_.groups).getOrElse(Seq.empty)
+  /** Compute `m`'s split grouping against `prevGroups` (untouched
+    * groups carry by reference, partial survivors and new entries
+    * land in fresh group files, adjacent smallest coalesce past
+    * [[MaxGroups]]), WRITE the fresh group files, and return the
+    * reference list plus the written paths (for cleanup on a lost
+    * install race). Shared by main commits ([[tryCommitManifest]])
+    * and branch-chain commits — branch manifests live in the same
+    * `_snapshots` dir, so group references resolve identically.
+    */
+  private def writeGroupedRefs(table: Path, m: Manifest,
+      prevGroups: Seq[(String, Seq[FileEntry])],
+      regroupEntries: Option[Int])
+      : (Seq[(String, Seq[FileEntry])], Seq[Path]) = {
     val newByPath = m.files.map(f => f.path -> f).toMap
     val covered = scala.collection.mutable.Set.empty[String]
     // (Some(name), entries) = carried by reference; (None, entries) =
@@ -513,6 +517,20 @@ object SnapStore {
         written += p
         n -> es
     }
+    (refs, written.toSeq)
+  }
+
+  private def tryCommitManifest(table: Path, m: Manifest,
+      regroupEntries: Option[Int] = None): Boolean = {
+    Files.createDirectories(snapDir(table))
+    if (m.files.size <= InlineFileThreshold)
+      return installExclusive(manifestPath(table, m.version), manifestBody(m))
+    val prevGroups: Seq[(String, Seq[FileEntry])] =
+      if (regroupEntries.nonEmpty || m.parent <= 0) Seq.empty
+      else scala.util.Try(manifest(table, m.parent)).toOption
+        .map(_.groups).getOrElse(Seq.empty)
+    val (refs, written) = writeGroupedRefs(table, m, prevGroups,
+      regroupEntries)
     val ok = installExclusive(manifestPath(table, m.version),
       manifestBody(m, refs = Some(refs)))
     if (!ok) written.foreach(Files.deleteIfExists(_))
@@ -2338,7 +2356,14 @@ object SnapStore {
       "pending delete files: run applyDeletes before branching")
     val m = Manifest(1, cur.version, "branch-create", cur.schema, cur.files,
       cur.partCol, Seq.empty, cur.keyCol, cur.evos)
-    if (!installExclusive(branchManifestPath(table, name, 1), manifestBody(m)))
+    // Branch manifests share the table's `_snapshots` dir, so a fork
+    // of a SPLIT main carries main's group files BY REFERENCE — zero
+    // group bytes written for a fork of any size (r9; previously the
+    // fork inlined the full file list).
+    val body =
+      if (cur.groups.nonEmpty) manifestBody(m, refs = Some(cur.groups))
+      else manifestBody(m)
+    if (!installExclusive(branchManifestPath(table, name, 1), body))
       throw new java.util.ConcurrentModificationException(
         s"branch '$name' was created concurrently for $table")
     m
@@ -2376,8 +2401,22 @@ object SnapStore {
           cur.files ++ newFiles.map(_.copy(seq = forkV + v)),
           if (cur.partCol.nonEmpty) cur.partCol else partCol,
           cur.deleteFiles, cur.keyCol, cur.evos)
-        if (installExclusive(branchManifestPath(table, name, v), manifestBody(m)))
-          return m
+        // Split branch commits diff against the branch HEAD's
+        // grouping (which itself carries main's groups by reference
+        // from the fork): untouched groups carry, the appended files
+        // land in one fresh group — branch metadata writes stay
+        // proportional to the delta, exactly like main commits (r9).
+        if (m.files.size <= InlineFileThreshold) {
+          if (installExclusive(branchManifestPath(table, name, v),
+            manifestBody(m)))
+            return m
+        } else {
+          val (refs, written) = writeGroupedRefs(table, m, cur.groups, None)
+          if (installExclusive(branchManifestPath(table, name, v),
+            manifestBody(m, refs = Some(refs))))
+            return m
+          written.foreach(Files.deleteIfExists(_))
+        }
         if (attempt >= 50)
           throw new java.util.ConcurrentModificationException(
             s"gave up after $attempt conflicting commits on branch '$name'")

@@ -1529,6 +1529,47 @@ class MaintenanceSpec extends SparkSpec {
       "no deleted row may resurrect through the above-guard rewrite")
   }
 
+  test("affected MOR files split like clean ones: one large file " +
+    "plans multiple range partitions and position deletes apply " +
+    "exactly once across splits") {
+    import graft.sources.BridgedReadTable
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft-snapspec-morsplit")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    // ONE data file so the whole table is a single affected file.
+    SnapStore.create(spark, t, docs, "part", numFiles = 1,
+      keyCol = "doc_id")
+    SnapStore.deletePositions(spark, t, pmod(col("doc_id"), lit(3L)) === 0)
+    val cur = SnapStore.currentManifest(t)
+    assert(cur.files.size == 1 && cur.deleteFiles.nonEmpty)
+    val fileBytes = cur.files.head.bytes
+    val expected = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0).count()
+    val key = "spark.sql.files.maxPartitionBytes"
+    val before = spark.conf.get(key)
+    spark.conf.set(key, (fileBytes / 4).max(1L).toString)
+    try {
+      val scan = new BridgedReadTable("t", t, cur)
+        .newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      val parts = scan.toBatch.planInputPartitions()
+      assert(parts.length >= 4,
+        s"a ${fileBytes}B affected file under a ${fileBytes / 4}B split " +
+          s"bound must plan >=4 range partitions, got ${parts.length}")
+      // Every row arrives exactly once and every deleted ordinal is
+      // suppressed exactly once — an off-by-one in per-split row
+      // indexing would surface as a count drift either way.
+      spark.conf.set("spark.graft.catalog.dir.morsplitspec", dir.toString)
+      if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+        spark.conf.set("spark.sql.catalog.graft",
+          "graft.sources.GraftCatalog")
+      assert(spark.sql("SELECT COUNT(*) FROM graft.morsplitspec.docs")
+        .head.getLong(0) == expected)
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM graft.morsplitspec.docs WHERE doc_id % 3 = 0")
+        .head.getLong(0) == 0L)
+    } finally spark.conf.set(key, before)
+  }
+
   test("pending MOR debt keeps clean files vectorized: the native " +
     "scan is columnar, affected rows bridge task-side") {
     val dir = Files.createTempDirectory("graft-snapspec-morcol")
@@ -2179,6 +2220,57 @@ class MaintenanceSpec extends SparkSpec {
     assert(SnapStore.read(spark, t)
       .filter(col("doc_id") >= 800000L).count() == 0,
       "a post-FF eq delete must apply to adopted branch files")
+  }
+
+  test("branch chains on a split table are metadata-proportional: " +
+    "the fork carries main's groups by reference, branch appends " +
+    "write only their delta, dropped branches' groups sweep") {
+    val dir = Files.createTempDirectory("graft-snapspec-brsplit")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("docs")
+    SnapStore.create(spark, t, docs, "part", numFiles = 96,
+      clusterExprs = Seq(col("part"), col("doc_id")))
+    SnapStore.rewriteManifests(t, targetEntries = 8)
+    val main = SnapStore.currentManifest(t)
+    assert(main.groups.size >= 10)
+    def mfFiles(): Set[String] = {
+      val s = Files.list(t.resolve("_snapshots"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("mf-")).toSet
+      finally s.close()
+    }
+    val preFork = mfFiles()
+    SnapStore.createBranch(t, "work")
+    // The fork writes ZERO group bytes: branch v1 references main's
+    // group files (r9; previously it inlined the full file list).
+    assert(mfFiles() == preFork, "a fork must write no group files")
+    val bv1 = SnapStore.branchManifest(t, "work", 1)
+    assert(bv1.groups.map(_._1) == main.groups.map(_._1))
+    assert(bv1.files == main.files)
+    // A branch append carries untouched groups by reference and puts
+    // exactly its delta in fresh groups.
+    SnapStore.appendToBranch(spark, t, "work",
+      docs.limit(2).withColumn("doc_id", col("doc_id") + 810000L),
+      "part", numFiles = 1)
+    val afterApp = mfFiles()
+    val bv2 = SnapStore.branchManifest(t, "work", 2)
+    assert(bv2.groups.map(_._1).toSet.intersect(main.groups.map(_._1).toSet)
+      == main.groups.map(_._1).toSet,
+      "branch append must carry main groups by reference")
+    val freshEntries = bv2.groups
+      .filterNot(g => preFork(g._1)).map(_._2.size).sum
+    assert(freshEntries == 1,
+      s"branch append delta must be 1 entry, got $freshEntries")
+    // Branch reads serve the full split chain.
+    assert(SnapStore.readBranch(spark, t, "work").count() ==
+      docs.count() + 2)
+    // Dropping the branch leaves its exclusive groups orphaned; the
+    // sweep collects them and ONLY them — main still reads.
+    SnapStore.dropBranch(t, "work")
+    SnapStore.removeOrphans(t, minAgeMs = 0)
+    assert(mfFiles() == preFork,
+      "branch-exclusive groups must sweep, main groups must survive")
+    assert(SnapStore.read(spark, t).count() == docs.count())
   }
 
   test("rewrite_delete_files merges pending delete parquets " +
