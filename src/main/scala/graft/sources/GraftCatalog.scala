@@ -1178,6 +1178,43 @@ final class SnapRowLevelOperation(
     }
 }
 
+/** DSv2 `TableProvider` face for the PROGRAMMATIC read path:
+  * `SnapStore.read` of a pending-MOR snapshot loads
+  * `spark.read.format("graft.sources.SnapReadSource")
+  * .option("dir", …).option("version", …)` — the SAME
+  * [[BridgedReadTable]]/[[SnapNativeBatch]] stack the catalog's SQL
+  * route plans, so programmatic MOR reads (and the [[SnapStore
+  * .applyDeletes]] fold built on them) are native scans with
+  * per-task delete application instead of anti-join plans: no
+  * shuffle, no broadcast, columnar clean files. The version is
+  * REQUIRED — a manifest re-read at plan time must see exactly the
+  * snapshot the caller resolved, not whatever committed since.
+  */
+class SnapReadSource extends TableProvider {
+  private def manifestOf(opts: CaseInsensitiveStringMap)
+      : (java.nio.file.Path, SnapStore.Manifest) = {
+    val dir = java.nio.file.Paths.get(
+      Option(opts.get("dir")).getOrElse(
+        throw new IllegalArgumentException(
+          "SnapReadSource requires a 'dir' option")))
+    val v = Option(opts.get("version")).getOrElse(
+      throw new IllegalArgumentException(
+        "SnapReadSource requires a 'version' option")).toInt
+    (dir, SnapStore.manifest(dir, v))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    manifestOf(options)._2.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val (dir, m) = manifestOf(new CaseInsensitiveStringMap(properties))
+    new BridgedReadTable(s"graft-snap-${dir.getFileName}", dir, m)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
 /** Spark's group-based row-level rewrite prepends the
   * `__row_operation` marker column (`RowDeltaUtils.OPERATION_COLUMN`)
   * to the replacement rows, and with no metadata projection in play

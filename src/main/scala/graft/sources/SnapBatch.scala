@@ -196,6 +196,11 @@ private[graft] object SnapDeleteCache {
           }
         }
       }
+      // Drop the per-key load lock once the value is cached — a
+      // latecomer re-creating it finds the entry in the double-check
+      // above; without this, a long-lived executor accumulates one
+      // dead lock object per delete set it ever served.
+      inflight.remove(key, lock)
       v
     }
   }

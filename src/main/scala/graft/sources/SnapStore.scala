@@ -724,7 +724,18 @@ object SnapStore {
   def read(spark: SparkSession, table: Path,
       version: Option[Int] = None): DataFrame = {
     val m = version.map(manifest(table, _)).getOrElse(currentManifest(table))
-    readManifest(spark, table, m)
+    // Pending-MOR snapshots load through the NATIVE DSv2 stack (r9) —
+    // the same BridgedReadTable/SnapNativeBatch plan the catalog's
+    // SQL route uses: per-task delete application, columnar clean
+    // files, no anti-join shuffle. applyDeletes folds ride this too.
+    // Clean/evolved-only snapshots keep the direct evolution-aware
+    // parquet scan (readManifest == scanFiles there).
+    if (m.deleteFiles.nonEmpty)
+      spark.read.format("graft.sources.SnapReadSource")
+        .option("dir", table.toAbsolutePath.toString)
+        .option("version", m.version.toString)
+        .load()
+    else readManifest(spark, table, m)
   }
 
   /** Above this many delete rows (by MANIFEST counts — no job runs

@@ -786,21 +786,23 @@ class MaintenanceSpec extends SparkSpec {
     assert(named.nonEmpty && named.subsetOf(part3Files),
       s"pos delete must reference only part-3 files: $named vs $part3Files")
     assert(named.size < v1.files.size)
-    // Reads: exactly the matched rows suppressed; clean files on the
-    // plain path (only the affected branch projects row_index).
+    // Reads: exactly the matched rows suppressed. Programmatic reads
+    // of pending-MOR snapshots plan the NATIVE batch (r9, same stack
+    // as the catalog SQL route): clean files keep delegated
+    // vectorized scans, only the referenced files pay the ordinal
+    // lookup, and nothing collects to a local relation or joins.
     val after = SnapStore.read(spark, t)
     assert(after.count() == n - nDel)
     assert(after.filter(cond).count() == 0)
     assert(after.filter(col("part") =!= 3).count() ==
       docs.filter(col("part") =!= 3).count())
     val plan = after.queryExecution.executedPlan.toString
-    assert(plan.contains("row_index"), "affected branch pays the ordinal join")
-    assert(plan.contains("Union"), "clean files read in their own branch")
-    // De-collected read (VERDICT r6 #1): the (file, pos) pairs flow
-    // as a parquet SCAN joined against the affected branch — never a
-    // driver-collected local relation.
+    assert(plan.contains("BatchScan") && plan.contains("graft-snap-native"),
+      s"programmatic MOR read must plan the native batch:\n$plan")
     assert(!plan.contains("LocalTableScan"),
       "pos pairs must not be collected to a local relation:\n" + plan)
+    assert(!plan.contains("Join"),
+      "per-task delete application replaces the anti-join:\n" + plan)
     // applyDeletes folds the position deletes too.
     SnapStore.applyDeletes(spark, t, "part")
     assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
