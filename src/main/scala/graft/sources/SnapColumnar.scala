@@ -20,18 +20,26 @@ import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
   */
 private[sources] object SnapColumnar {
 
+  private def atomicSupported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | StringType | BinaryType | DateType |
+        TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
   /** Can every field fill a writable column vector (and ride the
-    * delegate's vectorized parquet reader)? Mirrors the atomic-type
-    * set Spark's own vectorized reader accepts — nested types fall
-    * back to the row-based scan.
+    * delegate's vectorized parquet reader)? Atomic types plus
+    * single-level arrays of them — the embedding-column shape
+    * (`array<float>`) a training-data table carries. Deeper nesting
+    * falls back to the row-based scan. Partitions the delegate's
+    * vectorized reader declines (e.g. nested reads disabled by conf)
+    * bridge through [[SnapRowToColumnarReader]] instead.
     */
   def supported(schema: StructType): Boolean = schema.fields.forall { f =>
     f.dataType match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType |
-          FloatType | DoubleType | StringType | BinaryType | DateType |
-          TimestampType | TimestampNTZType => true
-      case _: DecimalType => true
-      case _ => false
+      case ArrayType(et, _) => atomicSupported(et)
+      case dt => atomicSupported(dt)
     }
   }
 }
@@ -50,6 +58,40 @@ private[sources] final class SnapRowToColumnarReader(
     OnHeapColumnVector.allocateColumns(batchSize, schema)
   private val batch =
     new ColumnarBatch(vectors.map(v => v: ColumnVector))
+
+  /** Appends one element of a catalyst array into an array column's
+    * child vector (append-based — the child tracks its own length).
+    */
+  private def elemAppender(et: DataType):
+      (WritableColumnVector, org.apache.spark.sql.catalyst.util.ArrayData,
+        Int) => Unit = et match {
+    case BooleanType => (c, a, j) => { c.appendBoolean(a.getBoolean(j)); () }
+    case ByteType => (c, a, j) => { c.appendByte(a.getByte(j)); () }
+    case ShortType => (c, a, j) => { c.appendShort(a.getShort(j)); () }
+    case IntegerType | DateType => (c, a, j) => { c.appendInt(a.getInt(j)); () }
+    case LongType | TimestampType | TimestampNTZType =>
+      (c, a, j) => { c.appendLong(a.getLong(j)); () }
+    case FloatType => (c, a, j) => { c.appendFloat(a.getFloat(j)); () }
+    case DoubleType => (c, a, j) => { c.appendDouble(a.getDouble(j)); () }
+    case StringType => (c, a, j) => {
+      val b = a.getUTF8String(j).getBytes
+      c.appendByteArray(b, 0, b.length); ()
+    }
+    case BinaryType => (c, a, j) => {
+      val b = a.getBinary(j)
+      c.appendByteArray(b, 0, b.length); ()
+    }
+    case dt: DecimalType => (c, a, j) => {
+      val ord = c.getElementsAppended
+      c.appendNull() // reserve the slot, then overwrite in place
+      c.putDecimal(ord, a.getDecimal(j, dt.precision, dt.scale),
+        dt.precision)
+      c.putNotNull(ord); ()
+    }
+    case other => throw new IllegalStateException(
+      s"unsupported array element type $other (guarded by " +
+        "SnapColumnar.supported)")
+  }
 
   private val fillers:
       Array[(WritableColumnVector, Int, InternalRow, Int) => Unit] =
@@ -84,6 +126,20 @@ private[sources] final class SnapRowToColumnarReader(
             r: InternalRow, i: Int) =>
           v.putDecimal(n, r.getDecimal(i, dt.precision, dt.scale),
             dt.precision)
+        case ArrayType(et, _) =>
+          val append = elemAppender(et)
+          (v: WritableColumnVector, n: Int, r: InternalRow, i: Int) => {
+            val arr = r.getArray(i)
+            val child = v.arrayData()
+            val offset = child.getElementsAppended
+            var j = 0
+            while (j < arr.numElements()) {
+              if (arr.isNullAt(j)) child.appendNull()
+              else append(child, arr, j)
+              j += 1
+            }
+            v.putArray(n, offset, arr.numElements()); ()
+          }
         case other => throw new IllegalStateException(
           s"unsupported columnar type $other (guarded by " +
             "SnapColumnar.supported)")

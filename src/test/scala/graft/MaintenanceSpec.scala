@@ -1531,6 +1531,41 @@ class MaintenanceSpec extends SparkSpec {
       "no deleted row may resurrect through the above-guard rewrite")
   }
 
+  test("embedding (array) columns stay columnar under MOR debt: " +
+    "affected rows bridge arrays task-side, values exact") {
+    val dir = Files.createTempDirectory("graft-snapspec-morarr")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("embs")
+    // An embeddings-shaped table: id, part, array<float> vector.
+    val embs = spark.range(0, 400).selectExpr(
+      "id AS doc_id", "id % 8 AS part",
+      "transform(sequence(0, 7), j -> CAST(id * 10 + j AS FLOAT)) AS emb")
+    SnapStore.create(spark, t, embs, "part", numFiles = 4,
+      keyCol = "doc_id")
+    SnapStore.deleteEquality(spark, t,
+      embs.filter(col("doc_id") % 9 === 0).select("doc_id"), "doc_id")
+    spark.conf.set("spark.graft.catalog.dir.morarrspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val q = spark.sql(
+      "SELECT doc_id, emb FROM graft.morarrspec.embs ORDER BY doc_id")
+    val rows = q.collect()
+    // Executed (AQE-final) plan: the scan outputs columnar batches
+    // and Spark plans its standard ColumnarToRow above.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-snap-native"), plan)
+    assert(plan.contains("ColumnarToRow"),
+      s"array columns must ride the columnar scan:\n$plan")
+    assert(rows.length == 400 - embs.filter(col("doc_id") % 9 === 0).count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(id % 9 != 0, s"deleted doc $id resurfaced")
+      val v = r.getSeq[Float](1)
+      assert(v == (0 until 8).map(j => (id * 10 + j).toFloat),
+        s"embedding of $id corrupted: $v")
+    }
+  }
+
   test("affected MOR files split like clean ones: one large file " +
     "plans multiple range partitions and position deletes apply " +
     "exactly once across splits") {
