@@ -1245,6 +1245,28 @@ object Maintenance {
       |UNION ALL SELECT 3, 'rollback', CAST(n AS BIGINT) FROM c
       |ORDER BY version""".stripMargin
 
+  /** The `.history` metadata table over the stored-procedure
+    * lifecycle (create → append → CALL rollback): ancestry and parent
+    * pointers are deterministic given the fixture, so the oracle pins
+    * the whole table minus the runtime instants (`made_current_at` is
+    * exercised implicitly — the projection casts would fail on a
+    * missing column; its VALUES are pinned by the commit-instant
+    * spec).
+    */
+  def historyMeta(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsProc(s, dir)
+    s.sql("""SELECT version, parent, is_current_ancestor
+             FROM graft.maint.docs_proc.history
+             ORDER BY version""")
+  }
+
+  val historyMetaOracle: String =
+    """SELECT CAST(1 AS INTEGER) AS version, CAST(0 AS INTEGER) AS parent,
+      |  TRUE AS is_current_ancestor
+      |UNION ALL SELECT 2, 1, TRUE
+      |UNION ALL SELECT 3, 2, TRUE
+      |ORDER BY version""".stripMargin
+
   /** Post-MERGE-INTO contents per source: the oracle recomputes the
     * matched-update/unmatched-insert semantics logically, so a hash
     * match proves the SQL row-level-operation path (scan → rewrite →
@@ -1426,6 +1448,8 @@ object Maintenance {
     Q("maint_rename_widen", renameWiden, Some(renameWidenOracle),
       "RENAME COLUMN + type widening: metadata-only evolution, old files " +
         "read through the manifest evolution log"),
+    Q("maint_history", historyMeta, Some(historyMetaOracle),
+      ".history metadata table: made_current_at + current-snapshot ancestry"),
     Q("maint_rewrite_deletes", rewriteDeleteFilesQ,
       Some(rewriteDeleteFilesOracle),
       "delete-file compaction: small pending delete parquets merge metadata-only, data untouched"),

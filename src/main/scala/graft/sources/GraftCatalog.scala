@@ -192,6 +192,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .filter(SnapStore.isSnapTable)
           .getOrElse(throw new NoSuchTableException(ident))
         new PartitionsMetadataTable(s"$catalogName.$db.$table.partitions", dir)
+      // `db.table.history` — Iceberg's `table.history` surface:
+      // made_current_at + ancestry of the current snapshot.
+      case Array(db, table) if ident.name() == "history" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new HistoryMetadataTable(s"$catalogName.$db.$table.history", dir)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -457,6 +464,48 @@ object SnapshotsMetadataTable {
     StructField("total_rows", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("committed_at", org.apache.spark.sql.types.TimestampType, nullable = false)))
+}
+
+/** `db.table.history` — Iceberg's `table.history` metadata table:
+  * one row per LIVE snapshot with the instant it became current
+  * (`made_current_at` — the stamped commit instant) and whether it is
+  * an ANCESTOR of the current snapshot (the parent-pointer walk from
+  * the head; snapshots off the ancestry line — none under this
+  * store's linear versioning, but the walk is honest — read false,
+  * exactly Iceberg's `is_current_ancestor` contract).
+  */
+final class HistoryMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = HistoryMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val live = SnapStore.liveVersions(dir)
+    val liveSet = live.toSet
+    // Ancestry: follow parent pointers from the current head across
+    // LIVE versions (an expired parent ends the walk — everything
+    // before it is unreachable history, reported non-ancestor).
+    val ancestors = scala.collection.mutable.Set.empty[Int]
+    var cur = SnapStore.currentVersion(dir).getOrElse(0)
+    while (cur > 0 && liveSet(cur) && !ancestors(cur)) {
+      ancestors += cur
+      cur = SnapStore.manifest(dir, cur).parent
+    }
+    live.map { v =>
+      val m = SnapStore.manifest(dir, v)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](
+          SnapStore.commitInstantMs(dir, v) * 1000L,
+          v, m.parent, ancestors.contains(v))):
+        org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
+  }
+}
+
+object HistoryMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("made_current_at", org.apache.spark.sql.types.TimestampType, nullable = false),
+    StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("parent", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("is_current_ancestor", org.apache.spark.sql.types.BooleanType, nullable = false)))
 }
 
 /** `db.table.refs` — Iceberg's `table.refs` metadata table: every
