@@ -152,8 +152,11 @@ private final case class SnapDeleteLoad(
   */
 private[graft] object SnapDeleteCache {
 
-  /** Heap budget for cached delete structures per executor JVM. */
-  private[graft] val MaxWeightBytes: Long = {
+  /** Heap budget for cached delete structures per executor JVM.
+    * `var` only so the eviction spec can shrink it — production code
+    * never writes it after init.
+    */
+  private[graft] var MaxWeightBytes: Long = {
     val env = org.apache.spark.SparkEnv.get
     if (env == null) 512L * 1024 * 1024
     else env.conf.getSizeAsBytes("spark.graft.delete.cache.maxBytes",

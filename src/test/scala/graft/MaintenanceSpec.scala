@@ -1531,6 +1531,51 @@ class MaintenanceSpec extends SparkSpec {
       "no deleted row may resurrect through the above-guard rewrite")
   }
 
+  test("delete-set cache evicts least-recently-used past the weight " +
+    "bound and tasks transparently reload") {
+    import graft.sources.SnapDeleteCache
+    val dir = Files.createTempDirectory("graft-snapspec-delcache")
+    dir.toFile.deleteOnExit()
+    // Two tables, each with its own pending eq-delete set → two
+    // distinct cache entries.
+    val ts = (0 to 1).map { i =>
+      val t = dir.resolve(s"t$i")
+      SnapStore.create(spark, t, docs, "part", numFiles = 2,
+        keyCol = "doc_id")
+      SnapStore.deleteEquality(spark, t,
+        docs.filter(pmod(col("doc_id"), lit(7L + i)) === 0)
+          .select("doc_id"), "doc_id")
+      t
+    }
+    def readCount(t: java.nio.file.Path): Long = SnapStore.read(spark, t).count()
+    val expected = ts.zipWithIndex.map { case (_, i) =>
+      docs.filter(pmod(col("doc_id"), lit(7L + i)) =!= 0).count()
+    }
+    val boundBefore = SnapDeleteCache.MaxWeightBytes
+    // Shrink the budget so ONE loaded set exceeds it: every table's
+    // read evicts the other's entry.
+    SnapDeleteCache.MaxWeightBytes = 1L
+    try {
+      val l0 = SnapDeleteCache.loads.get()
+      assert(readCount(ts(0)) == expected(0))
+      assert(readCount(ts(1)) == expected(1))
+      // Back to table 0: its entry was evicted by table 1's load —
+      // the task RELOADS (graceful degradation, never a wrong
+      // answer), so the counter moves again.
+      assert(readCount(ts(0)) == expected(0))
+      val reloads = SnapDeleteCache.loads.get() - l0
+      assert(reloads >= 3,
+        s"expected eviction-driven reloads under a 1-byte budget, " +
+          s"got $reloads loads")
+    } finally SnapDeleteCache.MaxWeightBytes = boundBefore
+    // With the budget restored, repeated reads hit the cache again.
+    val l1 = SnapDeleteCache.loads.get()
+    assert(readCount(ts(0)) == expected(0))
+    assert(readCount(ts(0)) == expected(0))
+    assert(SnapDeleteCache.loads.get() - l1 <= 1,
+      "restored budget must cache across reads")
+  }
+
   test("embedding (array) columns stay columnar under MOR debt: " +
     "affected rows bridge arrays task-side, values exact") {
     val dir = Files.createTempDirectory("graft-snapspec-morarr")
