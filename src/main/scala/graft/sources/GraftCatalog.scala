@@ -478,23 +478,26 @@ final class HistoryMetadataTable(tableName: String,
     dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
   override def schema(): StructType = HistoryMetadataTable.schema
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    // ONE parse per live manifest serves the instant, the parent
+    // pointer, and the ancestry walk alike.
     val live = SnapStore.liveVersions(dir)
-    val liveSet = live.toSet
+    val byV = live.map(v => v -> SnapStore.manifest(dir, v)).toMap
     // Ancestry: follow parent pointers from the current head across
     // LIVE versions (an expired parent ends the walk — everything
     // before it is unreachable history, reported non-ancestor).
     val ancestors = scala.collection.mutable.Set.empty[Int]
-    var cur = SnapStore.currentVersion(dir).getOrElse(0)
-    while (cur > 0 && liveSet(cur) && !ancestors(cur)) {
+    var cur = live.lastOption.getOrElse(0)
+    while (cur > 0 && byV.contains(cur) && !ancestors(cur)) {
       ancestors += cur
-      cur = SnapStore.manifest(dir, cur).parent
+      cur = byV(cur).parent
     }
     live.map { v =>
-      val m = SnapStore.manifest(dir, v)
+      val m = byV(v)
+      val instant =
+        if (m.instantMs > 0) m.instantMs
+        else SnapStore.commitInstantMs(dir, v) // legacy: mtime fallback
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](
-          SnapStore.commitInstantMs(dir, v) * 1000L,
-          v, m.parent, ancestors.contains(v))):
+        Array[Any](instant * 1000L, v, m.parent, ancestors.contains(v))):
         org.apache.spark.sql.catalyst.InternalRow
     }.toArray
   }

@@ -184,27 +184,29 @@ private[graft] object SnapDeleteCache {
         val e = entries.get(key)
         if (e != null) return e.value.asInstanceOf[T]
       }
-      val (v, w) = load
-      loads.incrementAndGet()
-      entries.synchronized {
-        entries.put(key, Entry(v, w))
-        totalWeight += w
-        val it = entries.entrySet().iterator()
-        while (totalWeight > MaxWeightBytes && entries.size() > 1 &&
-          it.hasNext) {
-          val eldest = it.next()
-          if (eldest.getKey != key) {
-            totalWeight -= eldest.getValue.weight
-            it.remove()
+      try {
+        val (v, w) = load
+        loads.incrementAndGet()
+        entries.synchronized {
+          entries.put(key, Entry(v, w))
+          totalWeight += w
+          val it = entries.entrySet().iterator()
+          while (totalWeight > MaxWeightBytes && entries.size() > 1 &&
+            it.hasNext) {
+            val eldest = it.next()
+            if (eldest.getKey != key) {
+              totalWeight -= eldest.getValue.weight
+              it.remove()
+            }
           }
         }
-      }
-      // Drop the per-key load lock once the value is cached — a
-      // latecomer re-creating it finds the entry in the double-check
-      // above; without this, a long-lived executor accumulates one
-      // dead lock object per delete set it ever served.
-      inflight.remove(key, lock)
-      v
+        v
+      } finally
+        // Drop the per-key load lock whether the load succeeded (a
+        // latecomer re-creating it finds the cached entry in the
+        // double-check above) or THREW (a failed load must not leak
+        // one dead lock object per delete set ever attempted).
+        inflight.remove(key, lock)
     }
   }
 
@@ -215,29 +217,45 @@ private[graft] object SnapDeleteCache {
         Array.empty[String], 0L, bytes, Map.empty))
     }
 
+  /** A probe-able form of an equality-delete key: binary keys wrap
+    * in a content-equality ByteBuffer (a raw `Array[Byte]` in a
+    * HashSet compares by IDENTITY and would never match). Applied to
+    * both the stored set and the per-row probe value.
+    */
+  def probeKey(v: Any): Any = v match {
+    case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+    case x => x
+  }
+
   /** The distinct equality-delete keys of `l` as CURRENT-key-type
     * catalyst values (the reader upcasts pre-widen delete parquets,
-    * like every other evolved read). Values that can alias reader
-    * buffers (strings, binary) are copied.
+    * like every other evolved read; `keyType` is baked into the
+    * cache key — two snapshots reading the same delete files under
+    * different widened types must not share a set). Values that can
+    * alias reader buffers (strings, binary) are copied; weight is
+    * charged per actual payload, not a flat per-entry guess.
     */
   def eqKeys(l: SnapDeleteLoad, keyType: DataType): java.util.HashSet[Any] =
-    getOrLoad(l.cacheKey) {
+    getOrLoad(s"${l.cacheKey}|kt=${keyType.catalogString}") {
       // Pre-size from the manifest row count, capped — a huge delete
       // set grows incrementally rather than pre-allocating a
       // hundreds-of-MB bucket array up front.
       val set = new java.util.HashSet[Any](
         math.min(l.rows * 2, 16L * 1024 * 1024).toInt)
+      var weight = 0L
       readAll(l).foreach { r =>
         if (!r.isNullAt(0)) {
-          set.add(r.get(0, keyType) match {
-            case u: UTF8String => u.copy()
-            case b: Array[Byte] => b.clone()
-            case x => x
-          })
+          val (added, sz) = r.get(0, keyType) match {
+            case u: UTF8String =>
+              val c = u.copy(); (c, 48L + c.numBytes())
+            case b: Array[Byte] =>
+              (java.nio.ByteBuffer.wrap(b.clone()), 64L + b.length)
+            case x => (x, 48L)
+          }
+          if (set.add(added)) weight += sz
         }
       }
-      // Weight heuristic: boxed key + HashSet node ≈ 64 bytes/entry.
-      (set, set.size.toLong * 64)
+      (set, weight)
     }
 
   /** The `(file → sorted ordinals)` map of position-delete set `l`. */
@@ -601,7 +619,7 @@ private final class SnapAffectedReader(
           java.util.Arrays.binarySearch(deletedPos, r.getLong(o)) >= 0)
       val eqDeleted = !posDeleted && eqKeys != null && {
         val k = spec.keyExpr.get.eval(r)
-        k != null && eqKeys.contains(k)
+        k != null && eqKeys.contains(SnapDeleteCache.probeKey(k))
       }
       if (!posDeleted && !eqDeleted) { cur = proj(r); return true }
     }

@@ -1476,15 +1476,20 @@ object SnapStore {
     * expire with them.
     */
   def rewriteDeleteFiles(spark: SparkSession, table: Path): Manifest = {
-    val cur0 = currentManifest(table)
-    val mergeable0 =
-      cur0.deleteFiles.filter(_.kind == "pos").length > 1 ||
-        cur0.deleteFiles.filter(_.kind == "eq").groupBy(_.seq)
+    def mergeable(m: Manifest): Boolean =
+      m.deleteFiles.count(_.kind == "pos") > 1 ||
+        m.deleteFiles.filter(_.kind == "eq").groupBy(_.seq)
           .exists(_._2.length > 1)
-    if (!mergeable0) return cur0
+    if (!mergeable(currentManifest(table))) return currentManifest(table)
     withCommitRetry(table) { () =>
       val cur = currentManifest(table)
-      val v = cur.version + 1
+      // Re-checked INSIDE the retry: losing the version race to a
+      // concurrent applyDeletes/compaction can leave nothing to merge
+      // — report success with the CURRENT snapshot instead of
+      // committing a spurious no-op 'rewrite-deletes' version.
+      if (!mergeable(cur)) (cur, Seq.empty, true)
+      else {
+        val v = cur.version + 1
       val dataDir = table.resolve("data")
       val untouched = scala.collection.mutable.ArrayBuffer.empty[DeleteFile]
       val merged = scala.collection.mutable.ArrayBuffer.empty[DeleteFile]
@@ -1538,6 +1543,7 @@ object SnapStore {
       // `path` is used) so a lost race never leaks them.
       (m, merged.toSeq.map(d => FileEntry(d.path, "", "", 0, 0)),
         tryCommitManifest(table, m))
+      }
     }
   }
 

@@ -1,11 +1,19 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 
-/** Dev tool: reproduce the suite-context cost of the first TPCH
-  * corpus query — register everything, run K tpcds corpus queries,
-  * then time corpus_tpch_q01 (Usage: ColdProbe2 <sfDir> <K> [cpus]).
+/** Dev tool: suite-context timing attribution — register everything
+  * (timed), run K tpcds corpus queries, then time corpus_tpch_q01
+  * cold and warm. K=0 isolates registration + first-query cost; a
+  * large K reproduces in-suite session decay (the r9 retained-
+  * executions finding). Usage: ColdProbe2 <sfDir> <K> [cpus].
   */
 object ColdProbe2 {
+  private def timed(label: String)(body: => Unit): Unit = {
+    val t0 = System.nanoTime()
+    body
+    println(f"PROBE2 $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = if (args.length > 2) args(2) else "32"
     val s = SparkSession.builder().master(s"local[$cpus]")
@@ -20,8 +28,8 @@ object ColdProbe2 {
     graft.plans.TopK.register(s)
     s.conf.set("spark.graft.topk.rewrite", "true")
     val dir = args(0)
-    graft.queries.Corpus.register(s, dir)
-    graft.queries.TpcdsCorpus.register(s, dir)
+    timed("register-corpus") { graft.queries.Corpus.register(s, dir) }
+    timed("register-tpcds") { graft.queries.TpcdsCorpus.register(s, dir) }
     val k = args(1).toInt
     val names = graft.SparkEntry.queries.keys.toSeq.sorted
       .filter(_.startsWith("corpus_tpcds")).take(k)
@@ -30,17 +38,12 @@ object ColdProbe2 {
         .write.format("noop").mode("overwrite").save()
       s.catalog.clearCache()
     }
-    def t(label: String)(body: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      body
-      println(f"PROBE2 $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
-    }
-    t(s"q01-after-$k") {
+    timed(s"q01-after-$k") {
       graft.SparkEntry.queries("corpus_tpch_q01")(s, dir)
         .write.format("noop").mode("overwrite").save()
     }
     s.catalog.clearCache()
-    t("q01-warm") {
+    timed("q01-warm") {
       graft.SparkEntry.queries("corpus_tpch_q01")(s, dir)
         .write.format("noop").mode("overwrite").save()
     }

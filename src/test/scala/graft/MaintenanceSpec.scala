@@ -1531,6 +1531,58 @@ class MaintenanceSpec extends SparkSpec {
       "no deleted row may resurrect through the above-guard rewrite")
   }
 
+  test("widening the eq-delete key type mid-debt: pre- and post-widen " +
+    "reads in one JVM keep separate key sets (cache keyed by type) " +
+    "and both suppress correctly") {
+    import org.apache.spark.sql.types.LongType
+    val dir = Files.createTempDirectory("graft-snapspec-widenkey")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("tw")
+    val base = spark.range(0, 300).selectExpr(
+      "CAST(id AS INT) AS k", "id % 4 AS part", "CAST(id AS STRING) AS s")
+    SnapStore.create(spark, t, base, "part", numFiles = 2)
+    SnapStore.deleteEquality(spark, t,
+      base.filter(col("k") % 11 === 0).select("k"), "k")
+    val preV = SnapStore.currentVersion(t).get
+    val expect = base.filter(col("k") % 11 =!= 0).count()
+    // Pre-widen read loads the INT-typed key set into the cache.
+    assert(SnapStore.read(spark, t).count() == expect)
+    // Metadata-only widen of the DELETE KEY column while the delete
+    // is pending (legal — no guard refuses it; the delete parquet
+    // keeps int32 keys, reads upcast).
+    SnapStore.widenColumn(t, "k", LongType)
+    // Post-widen read probes with LONG values: without the key-TYPE
+    // component in the delete-cache key, the cached Integer set would
+    // be reused and every deleted row would resurface (review r9).
+    val after = SnapStore.read(spark, t)
+    assert(after.schema("k").dataType == LongType)
+    assert(after.count() == expect,
+      "post-widen read must still suppress the pending eq deletes")
+    assert(after.filter(col("k") % 11 === 0).count() == 0)
+    // The pre-widen snapshot still reads correctly too.
+    assert(SnapStore.read(spark, t, Some(preV)).count() == expect)
+  }
+
+  test("binary-keyed equality deletes match by content, not array " +
+    "identity") {
+    val dir = Files.createTempDirectory("graft-snapspec-binkey")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("tb")
+    val base = spark.range(0, 200).selectExpr(
+      "CAST(CAST(id AS STRING) AS BINARY) AS bk", "id % 4 AS part",
+      "id AS x")
+    SnapStore.create(spark, t, base, "part", numFiles = 2)
+    SnapStore.deleteEquality(spark, t,
+      base.filter(col("x") % 7 === 0).select("bk"), "bk")
+    // A raw Array[Byte] in a HashSet compares by identity — without
+    // content-equality wrapping, no binary key would ever match and
+    // the delete would silently no-op (review r9).
+    val after = SnapStore.read(spark, t)
+    assert(after.count() == base.filter(col("x") % 7 =!= 0).count(),
+      "binary-keyed eq delete must suppress matching rows")
+    assert(after.filter(col("x") % 7 === 0).count() == 0)
+  }
+
   test("delete-set cache evicts least-recently-used past the weight " +
     "bound and tasks transparently reload") {
     import graft.sources.SnapDeleteCache
