@@ -349,10 +349,19 @@ object SnapStore {
       throw new IllegalArgumentException(
         s"Cannot find snapshot $version for table $table " +
           "(expired or never committed)")
-    Files.readAllLines(p).asScala
-      .collectFirst { case l if l.startsWith("instant=") =>
-        l.drop("instant=".length).toLong }
-      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+    // Stream and stop at the header field (it precedes the schema and
+    // file sections) — a metadata-heavy manifest never reads whole.
+    val reader = Files.newBufferedReader(p)
+    try {
+      var l = reader.readLine()
+      while (l != null) {
+        if (l.startsWith("instant="))
+          return l.drop("instant=".length).toLong
+        if (l.startsWith("schema=")) l = null // header over: legacy
+        else l = reader.readLine()
+      }
+    } finally reader.close()
+    Files.getLastModifiedTime(p).toMillis
   }
 
   def currentManifest(table: Path): Manifest =
