@@ -1388,6 +1388,32 @@ object Maintenance {
        |GROUP BY doc_id % $nParts
        |ORDER BY part_min""".stripMargin
 
+  /** The `.delete_files` metadata table over the `docs_pdel`
+    * lifecycle: the pending MOR-debt inventory (kind, key column,
+    * row counts, referenced-file counts) recomputed logically by the
+    * oracle. Paths/bytes/sequence are non-deterministic across runs
+    * (uuids, parquet encoding) and are exercised by the projection
+    * casts, not value-pinned.
+    */
+  def deleteFilesMeta(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsPdel(s, dir)
+    s.sql("""SELECT kind, key_col, record_count, referenced_files
+             FROM graft.maint.docs_pdel.delete_files
+             ORDER BY kind""")
+  }
+
+  val deleteFilesMetaOracle: String =
+    s"""SELECT 'eq' AS kind, 'doc_id' AS key_col,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |   WHERE doc_id % 11 = 0) AS record_count,
+       |  CAST(0 AS INTEGER) AS referenced_files
+       |UNION ALL
+       |SELECT 'pos', '',
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |   WHERE doc_id % $nParts = 3 AND doc_id % 5 = 0),
+       |  CAST(1 AS INTEGER)
+       |ORDER BY kind""".stripMargin
+
   val partitionsMetaOracle: String =
     s"""SELECT 'part' AS partition_spec,
        |  CAST(doc_id % $nParts AS VARCHAR) AS part_min,
@@ -1448,6 +1474,8 @@ object Maintenance {
     Q("maint_rename_widen", renameWiden, Some(renameWidenOracle),
       "RENAME COLUMN + type widening: metadata-only evolution, old files " +
         "read through the manifest evolution log"),
+    Q("maint_delete_files", deleteFilesMeta, Some(deleteFilesMetaOracle),
+      ".delete_files metadata table: the pending MOR-debt inventory"),
     Q("maint_history", historyMeta, Some(historyMetaOracle),
       ".history metadata table: made_current_at + current-snapshot ancestry"),
     Q("maint_rewrite_deletes", rewriteDeleteFilesQ,

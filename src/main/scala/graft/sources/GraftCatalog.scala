@@ -199,6 +199,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .filter(SnapStore.isSnapTable)
           .getOrElse(throw new NoSuchTableException(ident))
         new HistoryMetadataTable(s"$catalogName.$db.$table.history", dir)
+      // `db.table.delete_files` — Iceberg's `table.delete_files`
+      // surface: one row per PENDING delete file.
+      case Array(db, table) if ident.name() == "delete_files" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new DeleteFilesMetadataTable(
+          s"$catalogName.$db.$table.delete_files", dir)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -509,6 +517,41 @@ object HistoryMetadataTable {
     StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false),
     StructField("parent", org.apache.spark.sql.types.IntegerType, nullable = false),
     StructField("is_current_ancestor", org.apache.spark.sql.types.BooleanType, nullable = false)))
+}
+
+/** `db.table.delete_files` — Iceberg's `table.delete_files` metadata
+  * surface: one row per PENDING merge-on-read delete file of the
+  * current snapshot (path, kind ∈ eq|pos, key column, row/byte
+  * counts, applicability sequence, referenced-data-file count) — the
+  * MOR-debt inventory an operator reads to decide between
+  * `rewrite_delete_files` and a full `apply_deletes` fold. Pure
+  * manifest metadata, zero data IO.
+  */
+final class DeleteFilesMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = DeleteFilesMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    SnapStore.currentManifest(dir).deleteFiles
+      .sortBy(d => (d.seq, d.path))
+      .map { d =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](u(d.path), u(d.kind), u(d.keyCol), d.rows, d.bytes,
+            d.seq, d.refs.size)):
+          org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
+  }
+}
+
+object DeleteFilesMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("kind", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("key_col", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("record_count", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("sequence", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("referenced_files", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
 /** `db.table.refs` — Iceberg's `table.refs` metadata table: every
