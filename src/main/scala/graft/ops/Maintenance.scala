@@ -927,6 +927,224 @@ object Maintenance {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** `docs_cmor`: DELETE-AWARE compaction lifecycle (Iceberg
+    * `rewrite_data_files` over a v2 MOR table). v1 create (2 files)
+    * → v2 equality delete of every 3rd doc (applies to the v1
+    * files) → v3 append of ALL docs re-keyed +400000 as ONE big
+    * file (seq 3 — the eq delete never applies to it) → v4 position
+    * delete of every 7th appended row (refs = the big file) → v5
+    * position delete of part-2 base rows (refs = a v1 file) → v6
+    * compact sized so the big file is a single-file bin (carried
+    * byte-identical) while both v1 files rewrite delete-free. The
+    * eq delete and the v1-referencing pos delete RETIRE (no carried
+    * file they can apply to); the big-file pos delete stays pending
+    * and keeps suppressing at read time. Physical claims are
+    * spec-pinned; the oracle proves the surviving row set.
+    */
+  def ensureDocsCmor(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_cmor")
+    val b = base(s, dir)
+    val app = b
+      .withColumn("doc_id", col("doc_id") + 400000L)
+      .withColumn("source", lit("srcA"))
+      .withColumn("text", concat(col("text"), lit(" a")))
+      .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol, numFiles = 2, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.deleteEquality(s, t,
+        b.filter(pmod(col("doc_id"), lit(3L)) === 0).select("doc_id"),
+        "doc_id")
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.append(s, t, app, partCol, numFiles = 1)
+    if (SnapStore.currentVersion(t).contains(3))
+      SnapStore.deletePositions(s, t,
+        col("source") === "srcA" && pmod(col("doc_id"), lit(7L)) === 1)
+    if (SnapStore.currentVersion(t).contains(4))
+      SnapStore.deletePositions(s, t,
+        col("source") =!= "srcA" && col(partCol) === 2 &&
+          pmod(col("doc_id"), lit(5L)) === 0)
+    if (SnapStore.currentVersion(t).contains(5)) {
+      // Target = the combined v1 footprint: the appended big file
+      // (strictly larger than either v1 half, and FIRST in partition
+      // order) lands alone in its bin, while the v1 files pack
+      // together and rewrite.
+      val cur = SnapStore.currentManifest(t)
+      val v1Bytes = cur.files.filter(_.path.contains("base-v1"))
+        .map(_.bytes).sum
+      SnapStore.compact(s, t, partCol, targetBytes = v1Bytes)
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** `docs_zord`: Z-order rewrite lifecycle (Iceberg
+    * `rewrite_data_files` with a `zorder(x, y)` sort order). Two
+    * equal-domain derived dimensions (an affine-hash spread and a
+    * plain mod, both 0..255) ride the base frame; v1 creates
+    * clustered by partition only (x/y scattered across every file) →
+    * v2 `rewriteZOrdered` re-clusters on the interleaved curve, so
+    * per-file bounds tighten on BOTH dimensions (span-tightening is
+    * spec-pinned; the oracle proves the layout-only rewrite kept
+    * exactly the same rows).
+    */
+  def ensureDocsZord(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_zord")
+    val b = base(s, dir)
+      .withColumn("x", pmod(col("doc_id") * 2654435761L + 11L, lit(256L)))
+      .withColumn("y", pmod(col("doc_id"), lit(256L)))
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol, numFiles = 8)
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.rewriteZOrdered(s, t, partCol, Seq("x", "y"),
+        numFiles = 32, bits = 8)
+    mount(s, dir)
+    t
+  }
+
+  /** Post-Z-order-rewrite contents per partition: a sort-order
+    * rewrite is layout-only, so every row (including the derived
+    * dimensions) must survive verbatim — the oracle recomputes the
+    * full set from the fixture.
+    */
+  def zorderRewrite(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsZord(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val zorderRewriteOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM((doc_id * 2654435761 + 11) % 256) AS BIGINT) AS sum_x,
+       |  CAST(SUM(doc_id % 256) AS BIGINT) AS sum_y,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** `docs_bret`: ref-level retention lifecycle (Iceberg's per-ref
+    * `max-ref-age-ms` / `min-snapshots-to-keep` /
+    * `max-snapshot-age-ms`). v1 create → branch `stale` takes one
+    * append → branch `keep` takes three appends (srcK1..3) →
+    * `expireRefs` with a per-ref age override of 0 for `stale`
+    * (drops it entirely), an effectively-infinite default ref age
+    * (`keep` survives), and an aggressive snapshot age with
+    * min-snapshots-to-keep = 2 (trims `keep`'s mid-chain manifest,
+    * keeping the fork point + newest two) → `removeOrphans` collects
+    * the dropped branch's exclusive file. The oracle proves the kept
+    * branch still serves base + all three appended batches; drop /
+    * trim / orphan physicals are spec-pinned.
+    */
+  def ensureDocsBret(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_bret")
+    val b = base(s, dir)
+    def batch(k: Long, offset: Long, src: String): DataFrame = b
+      .filter(pmod(col("doc_id"), lit(29L)) === k)
+      .withColumn("doc_id", col("doc_id") + offset)
+      .withColumn("source", lit(src))
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol)
+    if (SnapStore.branchHead(t, "keep").isEmpty &&
+      SnapStore.branchHead(t, "stale").isEmpty) {
+      SnapStore.createBranch(t, "stale")
+      SnapStore.appendToBranch(s, t, "stale",
+        batch(3L, 500000L, "srcS"), partCol, numFiles = 1)
+    }
+    if (SnapStore.branchHead(t, "keep").isEmpty)
+      SnapStore.createBranch(t, "keep")
+    if (SnapStore.branchHead(t, "keep").contains(1))
+      SnapStore.appendToBranch(s, t, "keep",
+        batch(0L, 600000L, "srcK1"), partCol, numFiles = 1)
+    if (SnapStore.branchHead(t, "keep").contains(2))
+      SnapStore.appendToBranch(s, t, "keep",
+        batch(1L, 610000L, "srcK2"), partCol, numFiles = 1)
+    if (SnapStore.branchHead(t, "keep").contains(3))
+      SnapStore.appendToBranch(s, t, "keep",
+        batch(2L, 620000L, "srcK3"), partCol, numFiles = 1)
+    if (SnapStore.listBranches(t).contains("stale")) {
+      SnapStore.expireRefs(t,
+        nowMs = System.currentTimeMillis() + 60000L,
+        defaultMaxRefAgeMs = Long.MaxValue / 2,
+        maxSnapshotAgeMs = 0L,
+        minSnapshotsToKeep = 2,
+        maxRefAgeOverrides = Map("stale" -> 0L))
+      SnapStore.removeOrphans(t, minAgeMs = 0L)
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** The surviving branch's head contents per source after ref
+    * retention + orphan cleanup: base plus ALL THREE appended batches
+    * must read intact (trimming mid-chain manifests and collecting
+    * the dropped branch's file must lose nothing the kept branch
+    * references) — the oracle recomputes that set from the fixture.
+    */
+  def branchRetention(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsBret(s, dir)
+    SnapStore.readBranch(s, t, "keep")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val branchRetentionOracle: String =
+    s"""WITH b AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL
+       |  SELECT 'srcK1' AS source, text FROM documents WHERE doc_id % 29 = 0
+       |  UNION ALL
+       |  SELECT 'srcK2' AS source, text FROM documents WHERE doc_id % 29 = 1
+       |  UNION ALL
+       |  SELECT 'srcK3' AS source, text FROM documents WHERE doc_id % 29 = 2)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM b
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Post-delete-aware-compaction contents per partition: the
+    * rewritten v1 bins folded the equality delete and the part-2
+    * position delete, the carried big file still reads through its
+    * pending position delete — the oracle recomputes the surviving
+    * set logically, so a hash match proves folding lost nothing and
+    * resurrected nothing.
+    */
+  def compactMor(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsCmor(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val compactMorOracle: String =
+    s"""WITH allr AS (
+       |  SELECT doc_id % $nParts AS part, text FROM documents
+       |  WHERE doc_id % 3 <> 0
+       |    AND NOT (doc_id % $nParts = 2 AND doc_id % 5 = 0)
+       |  UNION ALL
+       |  SELECT doc_id % $nParts AS part, text || ' a' AS text
+       |  FROM documents
+       |  WHERE (doc_id + 400000) % 7 <> 1)
+       |SELECT part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM allr
+       |GROUP BY part
+       |ORDER BY part""".stripMargin
+
   /** Post-fast-forward MAIN contents per source: the branch took the
     * append while main never moved, then fast-forward adopted the
     * branch head as a metadata-only main commit — so main must equal
@@ -1414,6 +1632,27 @@ object Maintenance {
        |  CAST(1 AS INTEGER)
        |ORDER BY kind""".stripMargin
 
+  /** The `.position_deletes` metadata table over the `docs_pdel`
+    * lifecycle — the PAIR-level pending-delete inventory
+    * (`.delete_files` is the file-level one): the oracle recomputes
+    * the suppressed-pair count logically; file names and ordinals are
+    * run-dependent (uuids, layout) and are exercised by the DISTINCT
+    * counts, not value-pinned.
+    */
+  def positionDeletesMeta(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsPdel(s, dir)
+    s.sql("""SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT file) AS INTEGER) AS n_files,
+               CAST(COUNT(DISTINCT delete_file) AS INTEGER) AS n_delete_files
+             FROM graft.maint.docs_pdel.position_deletes""")
+  }
+
+  val positionDeletesMetaOracle: String =
+    s"""SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+       |   WHERE doc_id % $nParts = 3 AND doc_id % 5 = 0) AS n_pairs,
+       |  CAST(1 AS INTEGER) AS n_files,
+       |  CAST(1 AS INTEGER) AS n_delete_files""".stripMargin
+
   val partitionsMetaOracle: String =
     s"""SELECT 'part' AS partition_spec,
        |  CAST(doc_id % $nParts AS VARCHAR) AS part_min,
@@ -1481,6 +1720,19 @@ object Maintenance {
     Q("maint_rewrite_deletes", rewriteDeleteFilesQ,
       Some(rewriteDeleteFilesOracle),
       "delete-file compaction: small pending delete parquets merge metadata-only, data untouched"),
+    Q("maint_compact_mor", compactMor, Some(compactMorOracle),
+      "delete-aware compaction: rewritten bins fold pending MOR deletes, " +
+        "carried files stay byte-identical, dead delete files retire"),
+    Q("maint_branch_retention", branchRetention, Some(branchRetentionOracle),
+      "ref-level retention: per-ref max age drops a stale branch, " +
+        "min-snapshots-to-keep trims a kept branch's history"),
+    Q("maint_position_deletes_table", positionDeletesMeta,
+      Some(positionDeletesMetaOracle),
+      ".position_deletes metadata table: the pair-level pending " +
+        "position-delete inventory"),
+    Q("maint_zorder_rewrite", zorderRewrite, Some(zorderRewriteOracle),
+      "Z-order rewrite: bit-interleaved multi-column clustering, " +
+        "bounds tighten on both dimensions, contents identical"),
     Q("maint_partitions_deletes", partitionsDeleteDebt,
       Some(partitionsDeleteDebtOracle),
       ".partitions delete-debt columns: per-partition pending position/equality delete files"),

@@ -207,6 +207,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new NoSuchTableException(ident))
         new DeleteFilesMetadataTable(
           s"$catalogName.$db.$table.delete_files", dir)
+      // `db.table.position_deletes` — Iceberg's `table.position_deletes`
+      // surface: the pair-level inventory of pending position deletes.
+      case Array(db, table) if ident.name() == "position_deletes" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new PositionDeletesMetadataTable(
+          s"$catalogName.$db.$table.position_deletes", dir)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -619,6 +627,59 @@ object RefsMetadataTable {
     StructField("name", org.apache.spark.sql.types.StringType, nullable = false),
     StructField("type", org.apache.spark.sql.types.StringType, nullable = false),
     StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false)))
+}
+
+/** `db.table.position_deletes` — Iceberg's `table.position_deletes`
+  * metadata table: the PAIR-level inventory of pending position
+  * deletes (`.delete_files` is the file-level one) — one row per
+  * suppressed `(data file, ordinal)` with the delete parquet that
+  * holds it and its commit sequence. Contents come from the pending
+  * pos-delete parquets, streamed through the parquet reader at scan
+  * planning; the volume is the table's pending MOR DEBT (what
+  * accumulated since the last `rewrite_delete_files`/`apply_deletes`
+  * fold), which is manifest-scale by construction — the same bound
+  * Iceberg's metadata-table scans rely on between maintenance runs.
+  */
+final class PositionDeletesMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = PositionDeletesMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val spark = SparkSession.active
+    val pos = SnapStore.currentManifest(dir).deleteFiles
+      .filter(_.kind == "pos").sortBy(d => (d.seq, d.path))
+    if (pos.isEmpty)
+      return Array.empty[InternalRow]
+    val readSchema = StructType(Seq(
+      StructField("file", org.apache.spark.sql.types.StringType, nullable = true),
+      StructField("pos", org.apache.spark.sql.types.LongType, nullable = true)))
+    val reader = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, readSchema, new StructType(), readSchema, Seq.empty,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    pos.iterator.flatMap { d =>
+      val p = dir.resolve(d.path)
+      reader(PartitionedFile(InternalRow.empty,
+        org.apache.spark.paths.SparkPath.fromPathString(p.toString),
+        0L, d.bytes, Array.empty[String], 0L, d.bytes, Map.empty))
+        .map { r =>
+          // The reader reuses its row buffer — copy the values out.
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](u(r.getUTF8String(0).toString), r.getLong(1),
+              u(d.path), d.seq)): InternalRow
+        }
+    }.toArray
+  }
+}
+
+object PositionDeletesMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("pos", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("delete_file", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("seq", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
 /** `db.table.partitions` — Iceberg's `table.partitions` metadata

@@ -188,8 +188,16 @@ private[graft] object SnapDeleteCache {
         val (v, w) = load
         loads.incrementAndGet()
         entries.synchronized {
-          entries.put(key, Entry(v, w))
+          // Capture any mapping we displace and refund its weight: a
+          // thread parked on a STALE inflight lock (taken before the
+          // winner removed it) can reload a key that was evicted just
+          // after the winner's put — without the refund both loads
+          // would charge totalWeight while only one entry survives,
+          // permanently inflating it and forcing premature evictions
+          // (ADVICE r9).
+          val prev = entries.put(key, Entry(v, w))
           totalWeight += w
+          if (prev != null) totalWeight -= prev.weight
           val it = entries.entrySet().iterator()
           while (totalWeight > MaxWeightBytes && entries.size() > 1 &&
             it.hasNext) {
@@ -237,11 +245,13 @@ private[graft] object SnapDeleteCache {
     */
   def eqKeys(l: SnapDeleteLoad, keyType: DataType): java.util.HashSet[Any] =
     getOrLoad(s"${l.cacheKey}|kt=${keyType.catalogString}") {
-      // Pre-size from the manifest row count, capped — a huge delete
-      // set grows incrementally rather than pre-allocating a
-      // hundreds-of-MB bucket array up front.
-      val set = new java.util.HashSet[Any](
-        math.min(l.rows * 2, 16L * 1024 * 1024).toInt)
+      // Pre-size from the manifest row count, capped BOTH absolutely
+      // and relative to the cache budget (ADVICE r9: a huge manifest
+      // count would otherwise pre-allocate a tens-of-MB bucket array
+      // regardless of maxBytes) — a bigger set grows incrementally.
+      val preSize = math.min(math.min(l.rows * 2, 16L * 1024 * 1024),
+        math.max(1024L, MaxWeightBytes / 32)).toInt
+      val set = new java.util.HashSet[Any](preSize)
       var weight = 0L
       readAll(l).foreach { r =>
         if (!r.isNullAt(0)) {
@@ -255,7 +265,12 @@ private[graft] object SnapDeleteCache {
           if (set.add(added)) weight += sz
         }
       }
-      (set, weight)
+      // Charge the set's own structure beside the payloads: one
+      // HashMap node + bucket slot per key (≈44 B) plus the pre-sized
+      // bucket array — the heap the entry actually holds (ADVICE r9:
+      // previously excluded, so the cache could exceed its budget by
+      // a constant factor per entry).
+      (set, weight + 44L * set.size() + 8L * math.max(preSize, set.size()))
     }
 
   /** The `(file → sorted ordinals)` map of position-delete set `l`. */

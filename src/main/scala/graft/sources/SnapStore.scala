@@ -349,8 +349,16 @@ object SnapStore {
       throw new IllegalArgumentException(
         s"Cannot find snapshot $version for table $table " +
           "(expired or never committed)")
-    // Stream and stop at the header field (it precedes the schema and
-    // file sections) — a metadata-heavy manifest never reads whole.
+    instantOf(p)
+  }
+
+  /** The `instant=` header of one manifest file, streamed (it
+    * precedes the schema and file sections, so a metadata-heavy
+    * manifest never reads whole); file mtime for legacy manifests
+    * written before the field existed. Shared by main and branch
+    * commit instants.
+    */
+  private def instantOf(p: Path): Long = {
     val reader = Files.newBufferedReader(p)
     try {
       var l = reader.readLine()
@@ -823,6 +831,54 @@ object SnapStore {
         df = df.join(dk, df(kc) === col("__delk"), "left_anti")
       }
       df.select(m.schema.fieldNames.map(col): _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Delete-aware scan of a SUBSET of a manifest's data files that
+    * RETAINS the physical file-name column `__fn` — the rewrite-side
+    * primitive delete-aware compaction needs ([[readManifest]]'s MOR
+    * grouping, kept separate because readManifest's final projection
+    * drops the metadata column and its clean-file fast path is
+    * spec-pinned). Sequence scoping is identical: an equality delete
+    * applies only to files with a LOWER seq, a position delete only
+    * to the files it names.
+    */
+  private[sources] def scanWithDeletes(spark: SparkSession, table: Path,
+      m: Manifest, fs: Seq[FileEntry]): DataFrame = {
+    if (m.deleteFiles.isEmpty)
+      return scanFiles(spark, table, m, fs, withMeta = true).drop("__ri")
+    val eqDeletes = m.deleteFiles.filter(_.kind == "eq")
+    val posDeletes = m.deleteFiles.filter(_.kind == "pos")
+    lazy val posPairsDf: DataFrame = spark.read
+      .parquet(posDeletes.map(d => table.resolve(d.path).toString): _*)
+      .select(col("file").as("__dfile"), col("pos").as("__dpos"))
+    val posRows = posDeletes.map(_.rows).sum
+    val posAffected: Set[String] = posAffectedFiles(spark, table, posDeletes)
+    val groups = fs.groupBy(f =>
+      (eqDeletes.filter(_.seq > f.seq).map(_.path),
+        posAffected(fileName(f.path))))
+    groups.map { case ((eqs, posHit), gfs) =>
+      var df = scanFiles(spark, table, m, gfs, withMeta = true)
+      if (posHit) {
+        val pd =
+          if (posRows <= BroadcastDeleteRows) broadcast(posPairsDf)
+          else posPairsDf
+        df = df.join(pd,
+          col("__fn") === col("__dfile") && col("__ri") === col("__dpos"),
+          "left_anti")
+      }
+      if (eqs.nonEmpty) {
+        val applying = eqDeletes.filter(d => eqs.contains(d.path))
+        val kc = eqDeletes.head.keyCol
+        val dk0 = spark.read
+          .parquet(eqs.map(p => table.resolve(p).toString): _*)
+          .select(col(kc).as("__delk")).distinct()
+        val dk =
+          if (applying.map(_.rows).sum <= BroadcastDeleteRows) broadcast(dk0)
+          else dk0
+        df = df.join(dk, df(kc) === col("__delk"), "left_anti")
+      }
+      df.select((m.schema.fieldNames.toSeq :+ "__fn").map(col): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -1881,12 +1937,22 @@ object SnapStore {
     * serial driver round-trips (Iceberg runs rewrite file groups
     * concurrently; this folds them into one stage entirely).
     * Contents are byte-for-byte the same rows; only layout changes.
+    *
+    * DELETE-AWARE over pending MOR debt (Iceberg's
+    * `rewrite_data_files` over v2 tables): multi-file bins read
+    * through the delete-applying scan, so their rewritten files come
+    * out delete-free, while carried single-file bins stay
+    * byte-identical with the pending deletes still applying to them
+    * at read time. Delete files whose applicability DIED with the
+    * rewrite retire from the manifest: an equality delete with no
+    * remaining carried file of lower sequence, a position delete all
+    * of whose referenced data files were rewritten. (Displaced
+    * delete parquets stay referenced by older snapshots and expire
+    * with them.)
     */
   def compact(spark: SparkSession, table: Path, partCol: String,
       targetBytes: Long): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
-    require(cur.deleteFiles.isEmpty,
-      "pending delete files: run applyDeletes first")
     val ord = partOrdering(cur.schema, partCol)
     // Partition-order sort may only trust bounds written UNDER the
     // current spec: after a spec evolution, old-spec files' rendered
@@ -1931,9 +1997,12 @@ object SnapStore {
         // map routes rows, the repartition lands each bin wholly in
         // one task, and partitionBy splits any hash-collided bins
         // into separate per-bin files — one output file per bin,
-        // rows sorted by the partition column inside it.
-        scanFiles(spark, table, cur, multis.flatten.toSeq, withMeta = true)
-          .withColumnRenamed("__fn", "__fname").drop("__ri")
+        // rows sorted by the partition column inside it. The scan is
+        // DELETE-AWARE: pending deletes applicable to a rewritten
+        // file fold into its bin's output (a plain scan would
+        // resurrect the suppressed rows).
+        scanWithDeletes(spark, table, cur, multis.flatten.toSeq)
+          .withColumnRenamed("__fn", "__fname")
           .join(broadcast(binMap), Seq("__fname"))
           .drop("__fname")
           .repartition(multis.size, col("__bin"))
@@ -1957,9 +2026,28 @@ object SnapStore {
         deleteTree(tmp)
         statsEntries(spark, dataDir, moved, partCol, cur.keyCol)
       }
+    // Delete-file retirement: keep only entries still APPLICABLE to
+    // a carried file — an equality delete needs a carried file of
+    // lower sequence (rewritten files outrank it at seq v), a
+    // position delete a carried file among its referenced names
+    // (rewritten files have fresh names it can never match). Legacy
+    // refs-less pos entries pay one distinct scan of their parquet —
+    // bounded by the table's file count, manifest scale.
+    val carriedNames = carried.map(f => fileName(f.path)).toSet
+    val keptDeletes = cur.deleteFiles.filter { d =>
+      if (d.kind == "eq") carried.exists(_.seq < d.seq)
+      else {
+        val refs =
+          if (d.refs.nonEmpty) d.refs
+          else spark.read.parquet(table.resolve(d.path).toString)
+            .select(col("file")).distinct()
+            .collect().map(_.getString(0)).toSeq
+        refs.exists(carriedNames)
+      }
+    }
     val m = Manifest(v, cur.version, "compact", cur.schema,
       carried ++ rewritten.map(_.copy(seq = v)),
-      if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
+      if (cur.partCol.nonEmpty) cur.partCol else partCol, keptDeletes,
       cur.keyCol, cur.evos)
     (m, rewritten, tryCommitManifest(table, m))
   }
@@ -2018,6 +2106,41 @@ object SnapStore {
       cur.keyCol)
     (m, newFiles, tryCommitManifest(table, m))
   }
+
+  /** Z-ORDER bit interleave of two-or-more NON-NEGATIVE integral
+    * columns: bit `i` of column `j` lands at position `i·n + j`, so
+    * sorting by the result alternates significance across columns and
+    * rows close in EVERY dimension land close in the order — the
+    * curve behind Iceberg's `rewrite_data_files(strategy => 'sort',
+    * sort_order => 'zorder(a, b)')`. `bits` must cover each column's
+    * domain (truncated high bits would fold distant values together);
+    * columns of dissimilar magnitude should be normalized first
+    * (bit-aligned interleave splits the wider domain's bits first).
+    * Built as a folded codegen-friendly expression, not a HOF lambda.
+    */
+  def zorderExpr(cols: Seq[Column], bits: Int = 16): Column = {
+    require(cols.size >= 2, "z-order needs at least two columns")
+    require(cols.size * bits <= 62,
+      s"${cols.size} columns × $bits bits exceeds a long's capacity")
+    val n = cols.size
+    val longs = cols.map(_.cast(LongType))
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      longs.zipWithIndex.foldLeft(acc) { case (a, (c, j)) =>
+        a + shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+      }
+    }
+  }
+
+  /** Multi-column clustered rewrite — [[rewriteClustered]] with a
+    * Z-order curve over `zCols`, so per-file (and row-group) min-max
+    * bounds tighten on BOTH columns instead of only the leading one
+    * (a lexicographic sort tightens its first key and leaves the
+    * second's span at full domain within each leading run).
+    */
+  def rewriteZOrdered(spark: SparkSession, table: Path, partCol: String,
+      zCols: Seq[String], numFiles: Int = 8, bits: Int = 16): Manifest =
+    rewriteClustered(spark, table, partCol,
+      Seq(zorderExpr(zCols.map(col), bits)), numFiles)
 
   /** Snapshot expiry: keep the newest `keepLast` snapshots, delete
     * older manifests, then delete any data file referenced ONLY by
@@ -2498,6 +2621,76 @@ object SnapStore {
   def dropBranch(table: Path, name: String): Unit =
     branchVersions(table, name).foreach(v =>
       Files.deleteIfExists(branchManifestPath(table, name, v)))
+
+  /** A branch snapshot's commit instant — the stamped `instant=`
+    * header (branch commits publish through the same
+    * [[manifestBody]]); legacy manifests fall back to file mtime,
+    * exactly like [[commitInstantMs]].
+    */
+  def branchCommitInstantMs(table: Path, name: String, v: Int): Long = {
+    val p = branchManifestPath(table, name, v)
+    if (!Files.exists(p))
+      throw new IllegalArgumentException(
+        s"Cannot find snapshot $v on branch '$name' for table $table")
+    instantOf(p)
+  }
+
+  /** Ref-level retention — Iceberg's per-reference expiry knobs
+    * (`max-ref-age-ms`, `min-snapshots-to-keep`,
+    * `max-snapshot-age-ms`), which [[expire]]/[[expireOlderThan]]
+    * deliberately do NOT apply (they treat every branch head and tag
+    * as simply protected):
+    *
+    *  - A BRANCH whose head commit instant is older than its max ref
+    *    age drops entirely — its exclusive files become orphans the
+    *    next [[expire]]/[[removeOrphans]] collects.
+    *  - A surviving branch trims its own history: branch manifests
+    *    older than `maxSnapshotAgeMs` expire, always keeping the
+    *    newest `minSnapshotsToKeep` plus the fork-point manifest
+    *    (structural: it carries the fork pointer branch appends and
+    *    fast-forward resolve against).
+    *  - A TAG ages out under the same ref-age rule, measured at the
+    *    tagged snapshot's commit instant.
+    *
+    * Per-ref ages ride `maxRefAgeOverrides` (Iceberg stores these as
+    * per-reference properties); refs without an override use
+    * `defaultMaxRefAgeMs`. `nowMs` is the caller's clock — explicit
+    * so retention policies evaluate deterministically. Returns
+    * (dropped branches, dropped tags, trimmed versions per surviving
+    * branch).
+    */
+  def expireRefs(table: Path, nowMs: Long, defaultMaxRefAgeMs: Long,
+      maxSnapshotAgeMs: Long = Long.MaxValue,
+      minSnapshotsToKeep: Int = 1,
+      maxRefAgeOverrides: Map[String, Long] = Map.empty)
+      : (Seq[String], Seq[String], Map[String, Seq[Int]]) = {
+    require(minSnapshotsToKeep >= 1, "must keep at least the branch head")
+    def refAge(name: String): Long =
+      maxRefAgeOverrides.getOrElse(name, defaultMaxRefAgeMs)
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    val trimmed = scala.collection.mutable.Map.empty[String, Seq[Int]]
+    listBranches(table).foreach { b =>
+      val vs = branchVersions(table, b)
+      if (vs.nonEmpty) {
+        if (nowMs - branchCommitInstantMs(table, b, vs.last) > refAge(b)) {
+          dropBranch(table, b)
+          dropped += b
+        } else {
+          val keep = vs.takeRight(minSnapshotsToKeep).toSet + vs.head
+          val dead = vs.filter(v => !keep(v) &&
+            nowMs - branchCommitInstantMs(table, b, v) > maxSnapshotAgeMs)
+          dead.foreach(v =>
+            Files.deleteIfExists(branchManifestPath(table, b, v)))
+          if (dead.nonEmpty) trimmed(b) = dead
+        }
+      }
+    }
+    val deadTags = tags(table).filter { case (n, v) =>
+      nowMs - commitInstantMs(table, v) > refAge(n)
+    }.keys.toSeq.sorted
+    if (deadTags.nonEmpty) casRefs(table)(m => m -- deadTags)
+    (dropped.toSeq, deadTags, trimmed.toMap)
+  }
 
   /** Schema evolution: `ADD COLUMN` is a pure metadata commit — the
     * new manifest lists the SAME data files under the widened

@@ -443,13 +443,11 @@ class MaintenanceSpec extends SparkSpec {
     val morRead = SnapStore.read(spark, t)
     assert(morRead.count() == n - nDel)
     assert(morRead.filter(pmod(col("doc_id"), lit(5L)) === 0).count() == 0)
-    // COW compaction still refuses over pending deletes (a layout
-    // rewrite can't preserve delete scoping); programmatic MERGE /
-    // DELETE now run COW-over-MOR instead — covered by the dedicated
-    // "programmatic COW over pending MOR deletes" spec below.
-    assert(intercept[IllegalArgumentException] {
-      SnapStore.compact(spark, t, "part", targetBytes = 1L << 30)
-    }.getMessage.contains("applyDeletes"))
+    // COW compaction over pending deletes is now DELETE-AWARE
+    // (rewritten bins fold applicable deletes, dead delete files
+    // retire) — covered by the dedicated "delete-aware compaction"
+    // spec below; this lifecycle keeps its debt pending to exercise
+    // the read paths.
     // An APPEND is sequence-safe: its files outrank every
     // pending delete, so a re-inserted deleted key is served again
     // (Iceberg's sequence-number contract).
@@ -2471,6 +2469,191 @@ class MaintenanceSpec extends SparkSpec {
     assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
     val folded = SnapStore.read(spark, t).collect().toSeq.sortBy(_.toString)
     assert(folded == expected)
+  }
+
+  test("delete-aware compaction: rewritten bins fold applicable " +
+    "deletes, carried single-file bins stay byte-identical, dead " +
+    "delete files retire, still-applicable ones stay pending") {
+    val t = freshTable("cmor")
+    // v1: two base files. v2: eq delete of every 3rd doc (seq 2,
+    // applies to the v1 files). v3: ONE big appended file holding
+    // every doc re-keyed +400000 (seq 3 — the eq delete never
+    // applies). v4: pos delete of every 7th appended row (refs = the
+    // big file). v5: pos delete of part-2 base rows (refs = a v1
+    // file).
+    SnapStore.create(spark, t, docs, "part", numFiles = 2,
+      keyCol = "doc_id")
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(3L)) === 0).select("doc_id"),
+      "doc_id")
+    val app = docs.withColumn("doc_id", col("doc_id") + 400000L)
+      .withColumn("source", lit("srcA"))
+    SnapStore.append(spark, t, app, "part", numFiles = 1)
+    SnapStore.deletePositions(spark, t,
+      col("source") === "srcA" && pmod(col("doc_id"), lit(7L)) === 1)
+    SnapStore.deletePositions(spark, t,
+      col("source") =!= "srcA" && col("part") === 2 &&
+        pmod(col("doc_id"), lit(5L)) === 0)
+    val pre = SnapStore.currentManifest(t)
+    val v1Files = pre.files.filter(_.path.contains("base-v1"))
+    val bigFile = pre.files.find(_.path.contains("append")).get
+    assert(v1Files.size == 2 && bigFile.seq == 3)
+    assert(v1Files.forall(_.bytes < bigFile.bytes),
+      "fixture: the appended file must outweigh either base half")
+    val preEq = pre.deleteFiles.filter(_.kind == "eq")
+    val prePos = pre.deleteFiles.filter(_.kind == "pos")
+    assert(preEq.nonEmpty && prePos.size >= 2)
+    val bigMtime = Files.getLastModifiedTime(t.resolve(bigFile.path))
+    val expected = SnapStore.read(spark, t).collect().toSeq
+      .sortBy(_.toString)
+
+    // Target = the combined v1 footprint: the big file (first in
+    // partition order, heavier than either half) bins alone and
+    // carries; the v1 files pack together and rewrite delete-free.
+    val m = SnapStore.compact(spark, t, "part",
+      targetBytes = v1Files.map(_.bytes).sum)
+    assert(m.operation == "compact")
+    // Carried byte-identical: same path, same entry, untouched mtime.
+    assert(m.files.exists(_ == bigFile),
+      "the big single-file bin must carry its manifest entry verbatim")
+    assert(Files.getLastModifiedTime(t.resolve(bigFile.path)) == bigMtime,
+      "the carried file must not be rewritten")
+    // Both v1 files rewritten.
+    v1Files.foreach(f => assert(!m.files.exists(_.path == f.path),
+      s"${f.path} must be rewritten"))
+    // Retirement: the eq delete (no carried file below its seq) and
+    // the v1-referencing pos delete are gone; the big-file pos
+    // delete stays pending.
+    assert(m.deleteFiles.forall(_.kind == "pos"),
+      s"the equality delete must retire: ${m.deleteFiles}")
+    assert(m.deleteFiles.size == 1 &&
+      m.deleteFiles.head.refs == Seq(bigFile.path.split('/').last),
+      s"only the big-file pos delete may stay: ${m.deleteFiles}")
+    // Rewritten bins are delete-free: reading ONLY the rewritten
+    // files under a delete-less manifest equals reading them through
+    // the pending set (nothing left to suppress there).
+    val rewritten = m.files.filterNot(_ == bigFile)
+    val plain = SnapStore.readManifest(spark, t,
+      m.copy(files = rewritten, deleteFiles = Seq.empty))
+    assert(plain.filter(pmod(col("doc_id"), lit(3L)) === 0).count() == 0,
+      "eq-deleted rows must be folded out of the rewritten bins")
+    assert(plain.filter(col("part") === 2 &&
+      pmod(col("doc_id"), lit(5L)) === 0).count() == 0,
+      "pos-deleted base rows must be folded out of the rewritten bins")
+    // Contents identical before/after — folding lost nothing and
+    // resurrected nothing, and the carried file still reads through
+    // its pending position delete.
+    val after = SnapStore.read(spark, t).collect().toSeq
+      .sortBy(_.toString)
+    assert(after == expected)
+    assert(SnapStore.read(spark, t)
+      .filter(col("source") === "srcA" &&
+        pmod(col("doc_id"), lit(7L)) === 1).count() == 0,
+      "the pending pos delete must keep suppressing carried-file rows")
+  }
+
+  test("ref-level retention: an aged-out branch drops and its " +
+    "exclusive files orphan-collect, a kept branch trims to the " +
+    "fork point plus min-snapshots-to-keep, tags age out") {
+    val t = freshTable("bret")
+    SnapStore.create(spark, t, docs, "part")
+    SnapStore.tag(t, "oldtag", 1)
+    SnapStore.createBranch(t, "stale")
+    SnapStore.appendToBranch(spark, t, "stale",
+      docs.filter(pmod(col("doc_id"), lit(23L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("source", lit("srcS")), "part", numFiles = 1)
+    SnapStore.createBranch(t, "keep")
+    (1L to 3L).foreach { k =>
+      SnapStore.appendToBranch(spark, t, "keep",
+        docs.filter(pmod(col("doc_id"), lit(29L)) === k)
+          .withColumn("doc_id", col("doc_id") + 600000L + k * 10000L)
+          .withColumn("source", lit(s"srcK$k")), "part", numFiles = 1)
+    }
+    val staleFile = SnapStore
+      .branchManifest(t, "stale", SnapStore.branchHead(t, "stale").get)
+      .files.find(_.path.contains("brappend-stale")).get.path
+    val keepExpected = SnapStore.readBranch(spark, t, "keep")
+      .count()
+    val mainExpected = SnapStore.read(spark, t).count()
+
+    // Per-ref age 0 for `stale` and `oldtag`; default effectively
+    // infinite; aggressive snapshot age with min-keep 2.
+    val (droppedB, droppedT, trimmed) = SnapStore.expireRefs(t,
+      nowMs = System.currentTimeMillis() + 60000L,
+      defaultMaxRefAgeMs = Long.MaxValue / 2,
+      maxSnapshotAgeMs = 0L,
+      minSnapshotsToKeep = 2,
+      maxRefAgeOverrides = Map("stale" -> 0L, "oldtag" -> 0L))
+    assert(droppedB == Seq("stale"), s"stale must drop: $droppedB")
+    assert(droppedT == Seq("oldtag"), s"oldtag must age out: $droppedT")
+    assert(SnapStore.listBranches(t) == Seq("keep"))
+    assert(SnapStore.tags(t).isEmpty)
+    // keep trimmed to fork point + newest 2 of [1,2,3,4].
+    assert(SnapStore.branchVersions(t, "keep") == Seq(1, 3, 4),
+      s"trim must keep fork + newest 2: ${SnapStore.branchVersions(t, "keep")}")
+    assert(trimmed == Map("keep" -> Seq(2)))
+    intercept[IllegalArgumentException] {
+      SnapStore.branchManifest(t, "keep", 2)
+    }
+    // The dropped branch's exclusive file orphan-collects; the kept
+    // branch and main read intact afterwards.
+    val collected = SnapStore.removeOrphans(t, minAgeMs = 0L)
+    assert(collected.contains(staleFile),
+      s"stale's exclusive file must collect: $collected")
+    assert(!Files.exists(t.resolve(staleFile)))
+    assert(SnapStore.readBranch(spark, t, "keep").count() == keepExpected)
+    assert(SnapStore.read(spark, t).count() == mainExpected)
+    // Appends to the trimmed branch still work (the fork-point
+    // manifest the seq stamping resolves against is protected).
+    SnapStore.appendToBranch(spark, t, "keep",
+      docs.filter(pmod(col("doc_id"), lit(29L)) === 4)
+        .withColumn("doc_id", col("doc_id") + 700000L)
+        .withColumn("source", lit("srcK4")), "part", numFiles = 1)
+    assert(SnapStore.readBranch(spark, t, "keep")
+      .filter(col("source") === "srcK4").count() > 0)
+    // A second pass with nothing aged is a no-op.
+    val (d2, t2, m2) = SnapStore.expireRefs(t,
+      nowMs = System.currentTimeMillis(),
+      defaultMaxRefAgeMs = Long.MaxValue / 2)
+    assert(d2.isEmpty && t2.isEmpty && m2.isEmpty)
+  }
+
+  test("Z-order rewrite tightens per-file spans on BOTH interleaved " +
+    "columns; a lexicographic rewrite only tightens its leading key") {
+    val t = freshTable("zord")
+    val b = docs
+      .withColumn("x", pmod(col("doc_id") * 2654435761L + 11L, lit(256L)))
+      .withColumn("y", pmod(col("doc_id"), lit(256L)))
+    SnapStore.create(spark, t, b, "part", numFiles = 8)
+    def avgSpans(): (Double, Double) = {
+      val r = SnapStore.read(spark, t)
+        .select(col("x"), col("y"), col("_metadata.file_name").as("f"))
+        .groupBy(col("f"))
+        .agg((max(col("x")) - min(col("x"))).as("sx"),
+          (max(col("y")) - min(col("y"))).as("sy"))
+        .agg(avg(col("sx")), avg(col("sy"))).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val (preX, preY) = avgSpans()
+    val expected = SnapStore.read(spark, t).collect().toSeq
+      .sortBy(_.toString)
+
+    val m = SnapStore.rewriteZOrdered(spark, t, "part", Seq("x", "y"),
+      numFiles = 32, bits = 8)
+    assert(m.operation == "rewrite-sorted")
+    val (postX, postY) = avgSpans()
+    // 32 files over 8 partitions = two z-splits per partition: the
+    // curve alternates significance, so BOTH dimensions' per-file
+    // spans must shrink materially vs the partition-only layout.
+    assert(postX < preX * 0.75,
+      s"x span must tighten: $preX -> $postX")
+    assert(postY < preY * 0.75,
+      s"y span must tighten: $preY -> $postY")
+    // Layout-only: exactly the same rows.
+    val after = SnapStore.read(spark, t).collect().toSeq
+      .sortBy(_.toString)
+    assert(after == expected)
   }
 
   test("registered lifecycle is idempotent: re-running entries " +
