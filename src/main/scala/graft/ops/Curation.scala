@@ -152,6 +152,11 @@ object Curation {
         .groupBy(col("cid"))
         .agg(expr("transform(array_sort(collect_list(struct(i, cmv))), " +
           "x -> x.cmv)").as("cm"))
+        // Truncate lineage each round (VERDICT r9, like
+        // Graph.pageRankRanks): the centroid frame is k rows, so the
+        // eager checkpoint is one tiny materialization and the next
+        // round's plan stays O(1) at any round count.
+        .localCheckpoint()
     }
     val stats = lastAssigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))

@@ -106,7 +106,16 @@ object Graph {
     * beyond the loop counter. The DuckDB oracle unrolls the three
     * rounds as chained CTEs.
     */
-  def pageRankIter(s: SparkSession, dir: String): DataFrame = {
+  def pageRankIter(s: SparkSession, dir: String): DataFrame =
+    pageRankRanks(s, dir, rounds = 3)
+      .select(col("source"), col("pr").as("pr_micro"))
+      .orderBy(col("source"))
+
+  /** The rank frame after `rounds` iterations — exposed so the spec
+    * can pin lineage hygiene at round counts beyond the entry's 3.
+    */
+  private[graft] def pageRankRanks(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
     val chunks = Tables.documents(s, dir)
       .withColumn("ws", split(col("text"), " "))
       .select(col("source"), explode(expr(
@@ -132,7 +141,7 @@ object Graph {
       .cache()
     val sources = Tables.documents(s, dir).select(col("source")).distinct()
     var rank = sources.withColumn("pr", lit(1000000L))
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val in = shares
         .join(rank.select(col("source").as("src"), col("pr").as("src_pr")),
           Seq("src"))
@@ -144,9 +153,15 @@ object Graph {
         .select(col("source"),
           expr("150000 + (850000 * coalesce(in_c, CAST(0 AS BIGINT))) div 1000000")
             .as("pr"))
+        // Truncate lineage each round (VERDICT r9): the per-source
+        // rank frame is tiny (one row per source), so an eager local
+        // checkpoint costs one small materialization and keeps the
+        // NEXT round's plan O(1) instead of stacking every prior
+        // round's joins — a user raising the round count no longer
+        // hits plan-growth.
+        .localCheckpoint()
     }
-    rank.select(col("source"), col("pr").as("pr_micro"))
-      .orderBy(col("source"))
+    rank
   }
 
   val pageRankIterOracle: String = {

@@ -1055,6 +1055,13 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
             override def description(): String =
               s"graft-snap-native $dir, ${pruned.size}/${m.files.size} " +
                 s"files, PushedFilters: [${translatable.mkString(", ")}]"
+            // The reference's `custom_scan_time*` surface on the MAIN
+            // read path (`IcebergBenchmark.java:306-309`): every
+            // native snap reader stamps elapsed scan wall time, the
+            // listener sums it as total_batch_scan_time_ms.
+            override def supportedCustomMetrics():
+                Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+              Array(new ScanTimeMetric)
           }
       }
     }

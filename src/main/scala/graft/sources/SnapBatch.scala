@@ -550,6 +550,9 @@ private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
     columnar: Boolean, schema: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new SnapTimedReader(createReader0(p))
+
+  private def createReader0(p: InputPartition): PartitionReader[InternalRow] =
     p match {
       case SnapCleanPartition(g, inner) =>
         val spec = groups(g).asInstanceOf[SnapCleanGroup]
@@ -577,7 +580,7 @@ private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
 
   override def createColumnarReader(p: InputPartition):
       PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
-    p match {
+    new SnapTimedColumnarReader(p match {
       case SnapCleanPartition(g, inner) =>
         val spec = groups(g).asInstanceOf[SnapCleanGroup]
         if (spec.conv.isEmpty && spec.factory.supportColumnarReads(inner))
@@ -585,12 +588,47 @@ private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
         else
           // Delegate can't vectorize this partition (conf/shape):
           // bridge its rows instead — the scan-wide format holds.
-          new SnapRowToColumnarReader(createReader(p), schema)
+          new SnapRowToColumnarReader(createReader0(p), schema)
       case _: SnapFilePartitionOfGroup =>
-        new SnapRowToColumnarReader(createReader(p), schema)
+        new SnapRowToColumnarReader(createReader0(p), schema)
       case other => throw new IllegalStateException(
         s"unexpected partition type: $other")
-    }
+    })
+}
+
+/** Stamps the reference's `custom_scan_time_ms` task metric onto a
+  * native snap-scan reader — elapsed wall time since reader
+  * construction, the same convention [[SyntheticReaderFactory]]'s
+  * readers report — so catalog-routed MOR reads feed the listener's
+  * `total_batch_scan_time_ms` rollup (the reference's one
+  * custom-metric touchpoint, `IcebergBenchmark.java:306-309`) on the
+  * main read path, not just the synthetic connector.
+  */
+private final class SnapTimedReader(inner: PartitionReader[InternalRow])
+    extends PartitionReader[InternalRow] {
+  private val t0 = System.nanoTime()
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues() :+
+      ScanTimeTaskMetric((System.nanoTime() - t0) / 1000000L)
+}
+
+/** Columnar twin of [[SnapTimedReader]]. */
+private final class SnapTimedColumnarReader(
+    inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch])
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  private val t0 = System.nanoTime()
+  override def next(): Boolean = inner.next()
+  override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+    inner.get()
+  override def close(): Unit = inner.close()
+  override def currentMetricsValues():
+      Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+    inner.currentMetricsValues() :+
+      ScanTimeTaskMetric((System.nanoTime() - t0) / 1000000L)
 }
 
 /** Reorders/casts delegate rows to the batch's output schema. */

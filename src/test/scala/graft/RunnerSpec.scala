@@ -217,4 +217,29 @@ class RunnerSpec extends SparkSpec {
       assert(content.contains("\"SUCCESS\"") && content.contains("\"FAILED\""))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("catalog-routed MOR read emits custom_scan_time: the " +
+    "total_batch_scan_time_ms rollup is non-zero on the native path") {
+    // A pending-MOR snapshot (eq + pos delete files) mounted at
+    // graft.maint — the read routes through the native snap scan,
+    // whose readers stamp the reference's custom_scan_time_ms metric
+    // (IcebergBenchmark.java:306-309), not just the synthetic
+    // connector's.
+    ops.Maintenance.ensureDocsPdel(spark, sf)
+    val dir = Files.createTempDirectory("graft-morq")
+    Files.writeString(dir.resolve("q01_mor.sql"),
+      "SELECT part, COUNT(*) AS n, SUM(tok) AS t " +
+        "FROM graft.maint.docs_pdel GROUP BY part ORDER BY part;")
+    val listener = new MetricListener
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val rows = Runner.runSuite(spark, "MORQ", dir.toString, "", "",
+        "run_mor", Some(listener))
+      assert(rows.length === 1)
+      assert(rows.head.getString(5) == "SUCCESS", rows.head.getString(6))
+      assert(rows.head.getLong(10) > 0,
+        s"native MOR scan must roll up a non-zero " +
+          s"total_batch_scan_time_ms, got ${rows.head.getLong(10)}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

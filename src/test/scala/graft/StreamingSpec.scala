@@ -556,6 +556,140 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native manifest feed: appends serve incrementally with rate " +
+    "limiting, replace-style commits fail the trigger") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    import graft.sources.SnapStore
+    import graft.streaming.SnapshotStream
+    val root = java.nio.file.Files.createTempDirectory("graft-natstream")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    def batch(from: Long, until: Long) =
+      spark.range(from, until).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"),
+        concat(lit("v-"), col("id")).as("v"))
+    SnapStore.create(spark, t, batch(0, 20), "part")
+    // A FILE sink (checkpoint-recoverable, unlike memory) so the
+    // exactly-once-across-restart claim is testable on one checkpoint.
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def outCount() = spark.read.parquet(out).count()
+    val q = SnapshotStream.nativeFeed(spark, t, maxFilesPerTrigger = Some(3))
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(outCount() == 20)
+      SnapStore.append(spark, t, batch(100, 110), "part")
+      q.processAllAvailable()
+      assert(outCount() == 30)
+      assert(spark.read.parquet(out).select("id").distinct().count() == 30,
+        "no duplicates across triggers")
+      // Rate limiting actually split the backlog into >1 batch.
+      val progressed = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(progressed.length > 1,
+        s"maxFilesPerTrigger must bound batches: ${progressed.toSeq}")
+    } finally q.stop()
+    // Exactly-once across restart: the same checkpoint re-serves
+    // nothing, a fresh append arrives once.
+    SnapStore.append(spark, t, batch(200, 205), "part")
+    val q2 = SnapshotStream.nativeFeed(spark, t)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(outCount() == 35,
+        "restart must serve exactly the new append, nothing twice")
+      assert(spark.read.parquet(out).select("id").distinct().count() == 35)
+    } finally q2.stop()
+    // A replace-style commit fails the next trigger loudly.
+    SnapStore.merge(spark, t,
+      batch(0, 2).withColumn("v", lit("upd")), "id", "part")
+    val q3 = SnapshotStream.nativeFeed(spark, t)
+      .writeStream.format("memory").queryName("natfeed_mem3")
+      .option("checkpointLocation", root.resolve("ckpt3").toString)
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { q3.processAllAvailable(); q3.awaitTermination(10000) }
+      finally q3.stop()
+    }
+    assert(e.getCause.getMessage.contains("append-only"),
+      s"got: ${e.getCause.getMessage}")
+  }
+
+  test("native feed rides through a MID-STREAM rename: the next batch " +
+    "delivers the renamed appends' values, no restart (VERDICT r9 #3)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    import graft.sources.SnapStore
+    import graft.streaming.SnapshotStream
+    val root = java.nio.file.Files.createTempDirectory("graft-natevo")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    def batch(from: Long, until: Long, vCol: String) =
+      spark.range(from, until).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"),
+        concat(lit("v-"), col("id")).as(vCol))
+    SnapStore.create(spark, t, batch(0, 10, "v"), "part")
+    // A PRE-start rename too, so both inversion directions are in
+    // play: files written under 'v', current name 'w' at start.
+    SnapStore.renameColumn(t, "v", "w")
+    val q = SnapshotStream.nativeFeed(spark, t)
+      .writeStream.format("memory").queryName("natevo_mem")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("natevo_mem").count() == 10)
+      assert(spark.table("natevo_mem").schema.fieldNames.toSeq ==
+        Seq("id", "part", "w"))
+      // MID-STREAM rename w -> u, then an append written under 'u':
+      // the running stream's next batch must deliver the values in
+      // its started column — not nulls, not a failure.
+      SnapStore.renameColumn(t, "w", "u")
+      SnapStore.append(spark, t, batch(100, 105, "u"), "part")
+      q.processAllAvailable()
+      val got = spark.table("natevo_mem")
+      assert(got.count() == 15)
+      assert(got.filter(col("w").isNull).count() == 0,
+        "post-rename appends must not arrive as nulls")
+      val vals = got.select("id", "w").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(vals(3L) == "v-3" && vals(102L) == "v-102")
+      // A SECOND mid-stream rename chains: u -> x, append under 'x'.
+      SnapStore.renameColumn(t, "u", "x")
+      SnapStore.append(spark, t, batch(200, 203, "x"), "part")
+      q.processAllAvailable()
+      assert(spark.table("natevo_mem").count() == 18)
+      assert(spark.table("natevo_mem").filter(col("w").isNull).count() == 0)
+    } finally q.stop()
+    // A mid-stream WIDEN is genuinely unrepresentable in the started
+    // schema: the trigger fails loudly (fresh table with a narrow
+    // column to widen).
+    val t2 = root.resolve("t2")
+    SnapStore.create(spark, t2,
+      spark.range(0, 10).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"),
+        col("id").cast("int").as("n")), "part")
+    val q2 = SnapshotStream.nativeFeed(spark, t2)
+      .writeStream.format("memory").queryName("natevo_mem2")
+      .option("checkpointLocation", root.resolve("ckpt2").toString)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      SnapStore.widenColumn(t2, "n", org.apache.spark.sql.types.LongType)
+      SnapStore.append(spark, t2,
+        spark.range(100, 103).select(col("id"),
+          pmod(col("id"), lit(4L)).as("part"), col("id").as("n")), "part")
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable(); q2.awaitTermination(10000)
+      }
+      assert(e.getCause.getMessage.contains("widened mid-stream"),
+        s"got: ${e.getCause.getMessage}")
+    } finally q2.stop()
+  }
+
   test("dropDuplicatesWithinWatermark re-admits a key after state eviction") {
     import SparkSpec.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
