@@ -1,4 +1,6 @@
 package graft
+import scala.collection.mutable
+
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,10 +45,28 @@ object Bench {
     graft.queries.PartitionedWarehouse.register(spark, sfDir)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     var failed = Set.empty[String]
+    // Driver-JVM GC wall time, summed across collectors — the delta
+    // around a query separates "the plan is slow" from "a collection
+    // landed here" (corpus_tpch_q01 read 5-31 s in-suite vs 1 s
+    // isolated in r9; the per-query gc_ms in worst_reps makes that
+    // attribution self-diagnosing from the round artifact).
+    def gcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime.max(0L)).sum
+    }
+    // Optional pacing: System.gc() every N queries releases the
+    // ContextCleaner's weakly-referenced broadcast/shuffle state in
+    // bounded doses instead of letting a major collection land inside
+    // whichever query allocates hardest. 0 disables.
+    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "0").toInt
+    var qIndex = 0
+    val gcTimes = mutable.Map.empty[String, mutable.Buffer[Long]]
     // Sorted order: stable run-to-run attribution (first query bears
     // session warm-up; keep it the same one every round).
     val passes = (1 to reps).map { rep =>
       named.map { case (name, fn) =>
+        val g0 = gcMs()
         val t0 = System.nanoTime()
         // Materialize through the noop sink — same execution semantics
         // as the reference harness (IcebergBenchmark.java:183): every
@@ -58,11 +78,14 @@ object Bench {
           System.err.println(s"[bench] $name FAILED (rep $rep): ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
+        gcTimes.getOrElseUpdate(name, mutable.Buffer.empty) += gcMs() - g0
         // Hermetic between queries: drop cached frames (some queries
         // cache multi-referenced CTE frames) so storage memory and the
         // ContextCleaner backlog don't accumulate across 60+ queries
         // and distort later measurements.
         spark.catalog.clearCache()
+        qIndex += 1
+        if (gcEvery > 0 && qIndex % gcEvery == 0) System.gc()
         name -> dt
       }
     }
@@ -100,12 +123,19 @@ object Bench {
         .map(t => f"$t%.3f").mkString("[", ",", "]")
       s"\"" + name + "\":" + times
     }.mkString("{", ",", "}")
+    // Per-rep GC ms for the same worst queries: a query that is slow
+    // WITH a matching gc spike is paying collection debt the suite
+    // accumulated, not plan time.
+    val worstGc = perQuery.sortBy(-_._2).take(5).map { case (name, _) =>
+      s"\"" + name + "\":" +
+        gcTimes(name).map(_.toString).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // Totals FIRST, per-query map after: r3's driver capture tail-
     // truncated the one-line stdout JSON and lost the per-query
     // regression signal (VERDICT r3 "What's wrong" #4). The same
     // object also lands in BENCH.json so the driver can always parse
     // a complete copy from disk.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"worst_reps":$worstReps,"queries":$qs,"queries_min":$qsMin}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"worst_reps":$worstReps,"worst_gc_ms":$worstGc,"queries":$qs,"queries_min":$qsMin}"""
     println(json)
     // The FINAL stdout line is a COMPACT copy without the per-query
     // maps: the driver captures only a 2000-char stdout tail, and the
