@@ -101,7 +101,13 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => FoldHash.fromExprs(exprs)),
     (FunctionIdentifier("vec_l2sq"),
       new ExpressionInfo(classOf[VecL2Micro].getName, "vec_l2sq"),
-      (exprs: Seq[Expression]) => VecL2Micro(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => VecL2Micro(exprs(0), exprs(1))),
+    (FunctionIdentifier("stream_evolution_guard"),
+      new ExpressionInfo(
+        classOf[graft.streaming.StreamEvolutionGuard].getName,
+        "stream_evolution_guard"),
+      (exprs: Seq[Expression]) =>
+        graft.streaming.StreamEvolutionGuard(exprs(0), exprs(1))))
 
   /** Imperative registration for an existing session (what the query
     * library uses — idempotent).

@@ -1663,6 +1663,60 @@ object Maintenance {
        |GROUP BY doc_id % $nParts
        |ORDER BY part_min""".stripMargin
 
+  /** Unique memory-sink names across bench reps in one JVM. */
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** End-to-end NATIVE streaming read ([[graft.sources.SnapStreamSource]]):
+    * create from the `doc_id % 5 == 0` slice, append the `== 1` slice
+    * (a two-snapshot backlog), start the stream and drain it, then —
+    * with the stream RUNNING — rename `text` to `body` and append the
+    * `== 2` slice under the new name, and drain again. The entry
+    * aggregates the memory sink; the oracle recomputes the three
+    * slices' union logically from the fixture, so a hash match proves
+    * the manifest-feed offsets served every appended row exactly once
+    * AND the mid-stream rename rode through with values intact
+    * (post-rename rows arrive in the STARTED column name, like
+    * Iceberg's field-id-indirected streaming read). Unlike the other
+    * lifecycles this one rebuilds its table fresh per call: the
+    * mid-stream mutation must interleave with a live query, which an
+    * idempotent cached fixture cannot replay.
+    */
+  def streamNative(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = Files.createTempDirectory("graft-natstream-entry")
+    val b = base(s, dir)
+    def slice(k: Long) = b.filter(pmod(col("doc_id"), lit(5L)) === k)
+    SnapStore.create(s, t, slice(0), partCol)
+    SnapStore.append(s, t, slice(1), partCol)
+    val sink = s"maint_stream_native_${streamSeq.incrementAndGet()}"
+    val q = graft.streaming.SnapshotStream
+      .nativeFeed(s, t, maxFilesPerTrigger = Some(6))
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", t.resolve("_ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      SnapStore.renameColumn(t, "text", "body")
+      SnapStore.append(s, t, slice(2).withColumnRenamed("text", "body"),
+        partCol)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val streamNativeOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE doc_id % 5 IN (0, 1, 2)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -1736,6 +1790,9 @@ object Maintenance {
     Q("maint_partitions_deletes", partitionsDeleteDebt,
       Some(partitionsDeleteDebtOracle),
       ".partitions delete-debt columns: per-partition pending position/equality delete files"),
+    Q("maint_stream_native", streamNative, Some(streamNativeOracle),
+      "native streaming read: manifest-feed offsets serve appends " +
+        "exactly once, a mid-stream rename rides through"),
     Q("maint_partitions", partitionsMeta, Some(partitionsMetaOracle),
       "partitions metadata table: per-partition file/row rollup from " +
         "manifest bounds, zero data IO"))

@@ -66,14 +66,17 @@ class SnapStreamSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val dir = dirOf(opts)
     val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
-    new SnapStreamTable(dir, schema, maxFiles)
+    val skipDeletes = Option(opts.get("skipDeleteSnapshots"))
+      .exists(_.toBoolean)
+    new SnapStreamTable(dir, schema, maxFiles, skipDeletes)
   }
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
 final class SnapStreamTable(dir: java.nio.file.Path,
-    startSchema: StructType, maxFiles: Option[Int])
+    startSchema: StructType, maxFiles: Option[Int],
+    skipDeletes: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snap-stream-${dir.getFileName}"
   override def schema(): StructType = startSchema
@@ -92,7 +95,7 @@ final class SnapStreamTable(dir: java.nio.file.Path,
           require(m.schema == startSchema,
             s"table $dir evolved during stream construction — restart")
           new SnapMicroBatchStream(SparkSession.active, dir, startSchema,
-            m.version, maxFiles)
+            m.version, maxFiles, skipDeletes)
         }
         override def description(): String =
           s"graft-snap-stream $dir"
@@ -116,10 +119,22 @@ private final case class SnapStreamPartition(
 
 final class SnapMicroBatchStream(spark: SparkSession,
     dir: java.nio.file.Path, startSchema: StructType, startVersion: Int,
-    maxFiles: Option[Int])
+    maxFiles: Option[Int], skipDeletes: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   import graft.streaming.SnapshotStream.appendOnly
+
+  /** Ops tolerated under `skipDeleteSnapshots=true` — Iceberg's
+    * `streaming-skip-delete-snapshots` face, safe for THIS feed by
+    * construction: a MOR equality/position delete or a delete-file
+    * compaction commits DELETE files only, so the `(seq, path)` data-
+    * file order the offsets index never changes. The feed keeps
+    * serving raw appends (pending deletes are not applied — the same
+    * appends-only view Iceberg's option yields). Replace-style
+    * commits (merge, compact, overwrite) still fail: they rewrite the
+    * data-file list itself and no skip can make the offsets stable.
+    */
+  private val deleteOnly = Set("delete-mor", "delete-pos", "rewrite-deletes")
 
   /** History versions already validated append-only — each trigger
     * checks only the versions committed since (manifest reads stay
@@ -131,8 +146,11 @@ final class SnapMicroBatchStream(spark: SparkSession,
     val vs = SnapStore.liveVersions(dir)
     vs.filter(_ > checkedThrough).foreach { v =>
       val op = SnapStore.operationOf(dir, v)
-      require(appendOnly(op),
-        s"streaming read requires append-only history; snapshot $v is '$op'")
+      require(appendOnly(op) || (skipDeletes && deleteOnly(op)),
+        s"streaming read requires append-only history; snapshot $v is " +
+          s"'$op'" + (if (!skipDeletes && deleteOnly(op))
+            " (set skipDeleteSnapshots=true to stream past " +
+              "delete-file-only commits)" else ""))
     }
     checkedThrough = vs.lastOption.getOrElse(0)
     SnapStore.currentManifest(dir)

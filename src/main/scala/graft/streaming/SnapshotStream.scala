@@ -1,8 +1,12 @@
 package graft.streaming
 
-import java.nio.file.Path
+import java.nio.file.{Path, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BooleanType, DataType}
 
 import graft.sources.SnapStore
 
@@ -131,13 +135,31 @@ object SnapshotStream {
       })
     val r = spark.readStream.schema(readSchema)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
-    val feed =
+    val feed0 =
       r.parquet(table.resolve("data").toString + "/{base,append}-*.parquet")
-    if (olds.forall(_._2.isEmpty)) feed
-    else feed.select(olds.map { case (cur, hs) =>
-      if (hs.isEmpty) col(cur)
-      else coalesce((cur +: hs).map(col): _*).as(cur)
-    }: _*)
+    val feed =
+      if (olds.forall(_._2.isEmpty)) feed0
+      else feed0.select(olds.map { case (cur, hs) =>
+        if (hs.isEmpty) col(cur)
+        else coalesce((cur +: hs).map(col): _*).as(cur)
+      }: _*)
+    // BUILT-IN per-batch evolution enforcement (ADVICE r9): the
+    // fingerprint is captured HERE, at stream construction, and pinned
+    // into the plan as base64 literals — streaming re-optimizes the
+    // plan every microbatch, so anything recomputed at copy time would
+    // chase the current state and never fire. The guard evaluates once
+    // per task per batch; a rename committed mid-stream fails the
+    // next trigger that carries rows instead of nulling them. Callers
+    // no longer need the requireUnevolved opt-in (still exposed for
+    // foreachBatch users of OTHER feeds). [[nativeFeed]] supersedes
+    // this feed entirely where renames should ride through.
+    graft.functions.GraftFunctions.register(spark)
+    val b64 = java.util.Base64.getEncoder
+    def enc(s: String) = b64.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    feed.filter(org.apache.spark.sql.functions.expr(
+      s"stream_evolution_guard('${enc(table.toAbsolutePath.toString)}', " +
+        s"'${enc(evolutionFingerprint(table))}')"))
   }
 
   /** NATIVE streaming feed over the manifest log
@@ -148,13 +170,19 @@ object SnapshotStream {
     * rename committed MID-STREAM rides through with correct values
     * and no restart (VERDICT r9 #3) — only a post-start widen or
     * drop of a streamed column fails loudly. Same append-only
-    * contract, checked per trigger.
+    * contract, checked per trigger; `skipDeleteSnapshots` tolerates
+    * delete-file-only commits (MOR equality/position deletes,
+    * delete-file compaction) by serving raw appends past them —
+    * Iceberg's `streaming-skip-delete-snapshots`, safe here because
+    * such commits never touch the data-file order the offsets index.
     */
   def nativeFeed(spark: SparkSession, table: Path,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      skipDeleteSnapshots: Boolean = false): DataFrame = {
     val r = spark.readStream.format("graft.sources.SnapStreamSource")
       .option("dir", table.toAbsolutePath.toString)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    if (skipDeleteSnapshots) r.option("skipDeleteSnapshots", "true")
     r.load()
   }
 
@@ -180,7 +208,9 @@ object SnapshotStream {
   /** Per-microbatch guard against mid-stream schema evolution: fails
     * loudly when the table's [[evolutionFingerprint]] no longer
     * matches the one the stream started under, instead of letting
-    * renamed appends flow through as nulls.
+    * renamed appends flow through as nulls. [[appendFeed]] enforces
+    * this automatically via [[StreamEvolutionGuard]]; the standalone
+    * form remains for foreachBatch users of other feeds.
     */
   def requireUnevolved(table: Path, startFingerprint: String): Unit = {
     val now = evolutionFingerprint(table)
@@ -190,4 +220,48 @@ object SnapshotStream {
           "restart the stream so the feed re-derives its read schema; " +
           s"started under [$startFingerprint], now [$now]")
   }
+}
+
+/** Always-true filter predicate that re-validates the table's
+  * [[SnapshotStream.evolutionFingerprint]] once per task — the
+  * in-plan, enforced form of [[SnapshotStream.requireUnevolved]]
+  * (ADVICE r9: opt-in guards protect only callers who remember them).
+  * Both operands are base64 string LITERALS (table dir, start
+  * fingerprint) so the pinned state survives per-microbatch plan
+  * re-optimization and serializes trivially to executors, where the
+  * check reads one small manifest file per task per batch — noise
+  * against the parquet IO it rides. `foldable=false` keeps
+  * ConstantFolding from evaluating it once at plan time; it stays
+  * deterministic so streaming plan checks and filter placement treat
+  * it normally.
+  */
+private[graft] case class StreamEvolutionGuard(left: Expression,
+    right: Expression) extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = false
+  override def prettyName: String = "stream_evolution_guard"
+
+  @transient private lazy val (dir, startFp) = {
+    val d = java.util.Base64.getDecoder
+    def dec(e: Expression) = new String(
+      d.decode(e.eval(null).toString),
+      java.nio.charset.StandardCharsets.UTF_8)
+    (dec(left), dec(right))
+  }
+  @transient private var checkedTask: Long = Long.MinValue
+
+  override def eval(input: InternalRow): Any = {
+    val tc = org.apache.spark.TaskContext.get()
+    val tid = if (tc == null) -1L else tc.taskAttemptId()
+    if (tid != checkedTask) {
+      SnapshotStream.requireUnevolved(Paths.get(dir), startFp)
+      checkedTask = tid
+    }
+    true
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): StreamEvolutionGuard =
+    copy(left = newLeft, right = newRight)
 }

@@ -526,20 +526,31 @@ class StreamingSpec extends SparkSpec {
         pmod(col("id"), lit(4L)).as("part"),
         concat(lit("v-"), col("id")).as(vCol))
     SnapStore.create(spark, t, batch(0, 10, "v"), "part")
-    // Capture the fingerprint at stream start (the contract: a rename
-    // while the stream runs requires a restart — the feed's read
-    // schema is fixed at start).
+    // The guard is BUILT IN (ADVICE r9): a running feed — no
+    // foreachBatch, no requireUnevolved call — must fail its next
+    // row-carrying trigger after a mid-stream rename, not serve the
+    // renamed appends as nulls.
+    val q0 = SnapshotStream.appendFeed(spark, t)
+      .writeStream.format("memory").queryName("snapmidevo_live")
+      .option("checkpointLocation", root.resolve("ckpt0").toString)
+      .outputMode("append").start()
+    val eq = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try {
+        q0.processAllAvailable()
+        assert(spark.table("snapmidevo_live").count() == 10)
+        SnapStore.renameColumn(t, "v", "w")
+        SnapStore.append(spark, t, batch(100, 103, "w"), "part")
+        q0.processAllAvailable(); q0.awaitTermination(10000)
+      } finally q0.stop()
+    }
+    assert(eq.getCause.getMessage.contains("restart the stream"),
+      s"got: ${eq.getCause.getMessage}")
+    // The standalone opt-in API agrees (foreachBatch users of other
+    // feeds still call it directly).
     val fp = SnapshotStream.evolutionFingerprint(t)
-    SnapshotStream.requireUnevolved(t, fp) // unevolved: passes
-    // Mid-stream rename + an append under the NEW name: the feed
-    // (fixed schema) would serve these rows with the column null —
-    // the guard turns that into a loud failure.
-    SnapStore.renameColumn(t, "v", "w")
-    SnapStore.append(spark, t, batch(100, 103, "w"), "part")
-    assert(SnapshotStream.evolutionFingerprint(t) != fp,
-      "a rename must change the evolution fingerprint")
+    SnapshotStream.requireUnevolved(t, fp) // current fingerprint: passes
     val e = intercept[IllegalStateException] {
-      SnapshotStream.requireUnevolved(t, fp)
+      SnapshotStream.requireUnevolved(t, "stale|fingerprint")
     }
     assert(e.getMessage.contains("restart the stream"))
     // A RESTARTED feed (fresh fingerprint) re-derives its schema and
@@ -616,6 +627,56 @@ class StreamingSpec extends SparkSpec {
       finally q3.stop()
     }
     assert(e.getCause.getMessage.contains("append-only"),
+      s"got: ${e.getCause.getMessage}")
+  }
+
+  test("native feed skipDeleteSnapshots streams past MOR delete-file " +
+    "commits (Iceberg streaming-skip-delete-snapshots); without it the " +
+    "trigger fails and names the option") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    import graft.sources.SnapStore
+    import graft.streaming.SnapshotStream
+    val root = java.nio.file.Files.createTempDirectory("graft-natskipdel")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    def batch(from: Long, until: Long) =
+      spark.range(from, until).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"),
+        concat(lit("v-"), col("id")).as("v"))
+    SnapStore.create(spark, t, batch(0, 20), "part")
+    val q = SnapshotStream.nativeFeed(spark, t, skipDeleteSnapshots = true)
+      .writeStream.format("memory").queryName("natskipdel_mem")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("natskipdel_mem").count() == 20)
+      // A pure MOR equality delete (delete file only, no data files):
+      // the skipping feed rides past it — the appends-only view keeps
+      // flowing, the deleted rows are NOT retro-suppressed (exactly
+      // Iceberg's documented option semantics), and a later append
+      // arrives once.
+      SnapStore.deleteEquality(spark, t,
+        spark.range(0, 5).select(col("id")), "id")
+      SnapStore.append(spark, t, batch(100, 110), "part")
+      q.processAllAvailable()
+      assert(spark.table("natskipdel_mem").count() == 30)
+      assert(spark.table("natskipdel_mem").select("id").distinct()
+        .count() == 30, "no duplicates past the skipped delete commit")
+      // Batch reads of the same table DO apply the pending delete.
+      assert(SnapStore.read(spark, t).count() == 25)
+    } finally q.stop()
+    // Without the option the delete commit fails the trigger loudly,
+    // and the error tells the user which knob exists.
+    val q2 = SnapshotStream.nativeFeed(spark, t)
+      .writeStream.format("memory").queryName("natskipdel_mem2")
+      .option("checkpointLocation", root.resolve("ckpt2").toString)
+      .outputMode("append").start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try { q2.processAllAvailable(); q2.awaitTermination(10000) }
+      finally q2.stop()
+    }
+    assert(e.getCause.getMessage.contains("skipDeleteSnapshots"),
       s"got: ${e.getCause.getMessage}")
   }
 
