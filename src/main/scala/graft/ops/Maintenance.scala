@@ -1666,6 +1666,84 @@ object Maintenance {
   /** Unique memory-sink names across bench reps in one JVM. */
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Two co-partitioned tables for the storage-partitioned-join
+    * lifecycle: disjoint document slices, written one partition value
+    * per commit so every data file is PROVABLY single-valued — the
+    * layout [[graft.sources.SnapSpj]] requires before reporting
+    * KeyGroupedPartitioning.
+    */
+  def ensureDocsSpj(s: SparkSession, dir: String): (Path, Path) =
+    synchronized {
+      def build(name: String, mod3: Long): Path = {
+        val t = root(dir).resolve(name)
+        if (SnapStore.currentVersion(t).isEmpty) {
+          val rows = base(s, dir)
+            .filter(pmod(col("doc_id"), lit(3L)) === mod3)
+          SnapStore.create(s, t, rows.filter(col(partCol) === 0L), partCol)
+          (1L until nParts.toLong).foreach(p =>
+            SnapStore.append(s, t, rows.filter(col(partCol) === p), partCol))
+        }
+        t
+      }
+      val ta = build("docs_spj_a", 0L)
+      val tb = build("docs_spj_b", 1L)
+      mount(s, dir)
+      (ta, tb)
+    }
+
+  /** Storage-partitioned join (SPARK-37377; Iceberg's SPJ): two snap
+    * tables co-partitioned on `part` join on it with the session's
+    * v2-bucketing opt-in — the entry REQUIRES the executed plan to
+    * contain at most the final ORDER BY exchange (the join consumed
+    * the scans' KeyGroupedPartitioning; neither side shuffled), then
+    * returns the aggregate for the oracle, which recomputes the join
+    * logically. The result is collected inside the entry so the conf
+    * flip is scoped to it and restored for the rest of the suite.
+    */
+  def spjJoin(s: SparkSession, dir: String): DataFrame = {
+    val (_, _) = ensureDocsSpj(s, dir)
+    val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = s.sql(
+        """SELECT a.part, COUNT(*) AS n_pairs,
+          |  SUM(a.tok + b.tok) AS sum_tok
+          |FROM graft.maint.docs_spj_a a
+          |JOIN graft.maint.docs_spj_b b ON a.part = b.part
+          |GROUP BY a.part ORDER BY a.part""".stripMargin)
+      val rows = j.collect()
+      val exch = j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e
+      }.size
+      require(exch <= 1,
+        s"storage-partitioned join must not shuffle the fact sides " +
+          s"(found $exch exchanges):\n${j.queryExecution.executedPlan}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val spjJoinOracle: String =
+    s"""WITH a AS (
+       |  SELECT doc_id % $nParts AS part,
+       |    len(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |b AS (
+       |  SELECT doc_id % $nParts AS part,
+       |    len(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id % 3 = 1)
+       |SELECT a.part, COUNT(*) AS n_pairs,
+       |  CAST(SUM(a.tok + b.tok) AS BIGINT) AS sum_tok
+       |FROM a JOIN b ON a.part = b.part
+       |GROUP BY a.part
+       |ORDER BY a.part""".stripMargin
+
   /** End-to-end NATIVE streaming read ([[graft.sources.SnapStreamSource]]):
     * create from the `doc_id % 5 == 0` slice, append the `== 1` slice
     * (a two-snapshot backlog), start the stream and drain it, then —
@@ -1790,6 +1868,9 @@ object Maintenance {
     Q("maint_partitions_deletes", partitionsDeleteDebt,
       Some(partitionsDeleteDebtOracle),
       ".partitions delete-debt columns: per-partition pending position/equality delete files"),
+    Q("maint_spj_join", spjJoin, Some(spjJoinOracle),
+      "storage-partitioned join: co-partitioned snap tables join " +
+        "shuffle-free via reported KeyGroupedPartitioning"),
     Q("maint_stream_native", streamNative, Some(streamNativeOracle),
       "native streaming read: manifest-feed offsets serve appends " +
         "exactly once, a mid-stream rename rides through"),

@@ -109,8 +109,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // keeps the full DML surface (SnapTable wraps both).
         val evoApplies = m.evos.nonEmpty &&
           m.files.exists(f => m.evos.exists(_.seq > f.seq))
+        // A storage-partitioned-join-eligible layout routes through
+        // the native scan even when clean: only that scan can report
+        // KeyGroupedPartitioning (its clean path is the same
+        // vectorized ParquetTable delegate, so nothing is lost).
+        val spj = SnapSpj.eligibleKey(session, m).isDefined
         val underlying: Table =
-          if (m.deleteFiles.isEmpty && !evoApplies)
+          if (m.deleteFiles.isEmpty && !evoApplies && !spj)
             ParquetTable(
               s"$catalogName.$db.$name",
               session,
@@ -997,10 +1002,35 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
         val pruned = conds.reduceOption(_ && _)
           .map(c => SnapStore.probeCandidates(spark, m, c))
           .getOrElse(m.files)
+        // Storage-partitioned joins (SPARK-37377, the Iceberg SPJ
+        // face): when the session opts in and every file provably
+        // holds one partition value, report KeyGroupedPartitioning
+        // over the identity partition column and plan key-tagged
+        // partitions — co-partitioned joins and partition-column
+        // aggregates then run with NO shuffle on the scan side.
+        // Keyed planning only helps when the projection RETAINS the
+        // partition column (a join/agg on it needs it in the output);
+        // otherwise plan normally and report unknown partitioning.
+        val spjKey = SnapSpj.eligibleKey(spark, m)
+          .filter { case (c, _) => required.fieldNames.contains(c) }
         new Scan with org.apache.spark.sql.connector.read.Batch
-            with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+            with org.apache.spark.sql.connector.read.SupportsReportStatistics
+            with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
             private lazy val nat = new SnapNativeBatch(spark, dir, m,
-              pruned, () => pruned, required, pushedAll.toSeq)
+              pruned, () => pruned, required, pushedAll.toSeq, spjKey)
+            override def outputPartitioning():
+                org.apache.spark.sql.connector.read.partitioning.Partitioning =
+              spjKey match {
+                case Some((c, _)) =>
+                  new org.apache.spark.sql.connector.read.partitioning
+                    .KeyGroupedPartitioning(
+                      Array(org.apache.spark.sql.connector.expressions
+                        .Expressions.identity(c)),
+                      pruned.map(_.partMin).distinct.size)
+                case None =>
+                  new org.apache.spark.sql.connector.read.partitioning
+                    .UnknownPartitioning(0)
+              }
             override def readSchema(): StructType = required
             override def toBatch: org.apache.spark.sql.connector.read.Batch =
               this

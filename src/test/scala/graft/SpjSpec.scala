@@ -1,0 +1,160 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapStore
+
+/** Storage-partitioned joins (SPARK-37377 — the Iceberg SPJ face):
+  * when `spark.sql.sources.v2.bucketing.enabled` is on and a snap
+  * table's layout proves every file single-valued on an identity
+  * partition column, the native scan reports KeyGroupedPartitioning
+  * and key-tagged partitions, and Spark aligns the key groups — a
+  * join of two co-partitioned tables and a GROUP BY on the partition
+  * column then run with ZERO shuffle exchanges. At 100 TB that is
+  * the fact-fact join without shuffling either fact table.
+  */
+class SpjSpec extends SparkSpec {
+
+  private def shuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.size
+
+  /** Per-value appends guarantee every data file holds exactly one
+    * partition value — the layout the eligibility proof requires.
+    */
+  private def build(t: java.nio.file.Path, rows: DataFrame): Unit = {
+    SnapStore.create(spark, t, rows.filter(col("part") === 0L), "part")
+    (1L to 3L).foreach(p =>
+      SnapStore.append(spark, t, rows.filter(col("part") === p), "part"))
+  }
+
+  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("co-partitioned snap tables join and aggregate with ZERO " +
+    "shuffles under v2 bucketing; results match the shuffled plan") {
+    val dir = Files.createTempDirectory("graft-spj")
+    dir.toFile.deleteOnExit()
+    val left = spark.range(0, 400).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"), (col("id") * 3).as("x"))
+    val right = spark.range(0, 120).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"), (col("id") + 7).as("y"))
+    build(dir.resolve("ta"), left)
+    build(dir.resolve("tb"), right)
+    spark.conf.set("spark.graft.catalog.dir.spjspec", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+
+    val joinSql =
+      """SELECT a.part, COUNT(*) AS n, SUM(a.x + b.y) AS s
+        |FROM graft.spjspec.ta a JOIN graft.spjspec.tb b ON a.part = b.part
+        |GROUP BY a.part ORDER BY a.part""".stripMargin
+    // Baseline: conf off → normal shuffled plan; its result is the
+    // correctness oracle for the shuffle-free one.
+    val expected = spark.sql(joinSql).collect().toSeq
+    assert(expected.map(_.getLong(1)).sum == 400L * 30L)
+
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      // Force a non-broadcast join so "no shuffle" is a real claim.
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.catalog.clearCache()
+      val j = spark.sql(joinSql)
+      val got = j.collect().toSeq
+      assert(got == expected, "SPJ result must equal the shuffled plan's")
+      // The join itself runs shuffle-free: the ONLY exchange allowed
+      // is the final single-partition ORDER BY collect.
+      val plan = j.queryExecution.executedPlan.toString()
+      val exch = shuffles(j)
+      assert(exch <= 1, s"expected at most the ORDER BY exchange:\n$plan")
+      assert(plan.contains("KeyGroupedPartitioning") ||
+        !plan.contains("hashpartitioning"),
+        s"join must consume the reported key grouping:\n$plan")
+
+      // GROUP BY on the partition column: zero shuffles before the
+      // final ordering.
+      val g = spark.sql("SELECT part, COUNT(*) AS n FROM " +
+        "graft.spjspec.ta GROUP BY part")
+      assert(shuffles(g) == 0,
+        s"partition-column agg must be shuffle-free:\n" +
+          g.queryExecution.executedPlan)
+      assert(g.collect().map(_.getLong(1)).sum == 400L)
+    }
+  }
+
+  test("ineligible layouts degrade safely: multi-valued files report " +
+    "unknown partitioning, plans shuffle, results stay correct") {
+    val dir = Files.createTempDirectory("graft-spj-ineligible")
+    dir.toFile.deleteOnExit()
+    val rows = spark.range(0, 400).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"), (col("id") * 3).as("x"))
+    // One range-clustered create over few files: files SPAN partition
+    // values (partMin != partMax), so the eligibility proof fails.
+    SnapStore.create(spark, dir.resolve("tm"), rows, "part", numFiles = 2)
+    spark.conf.set("spark.graft.catalog.dir.spjbad", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      // The eligibility proof must refuse: at least one file spans
+      // two partition values, so keyed planning would mis-group.
+      val m = SnapStore.currentManifest(dir.resolve("tm"))
+      assert(m.files.exists(f => f.partMin != f.partMax),
+        "fixture must actually produce a multi-valued file")
+      assert(graft.sources.SnapSpj.eligibleKey(spark, m).isEmpty,
+        "a multi-valued layout must NOT claim key grouping")
+      val g = spark.sql("SELECT part, COUNT(*) AS n FROM " +
+        "graft.spjbad.tm GROUP BY part ORDER BY part")
+      assert(g.collect().map(_.getLong(1)).toSeq ==
+        Seq(100L, 100L, 100L, 100L))
+      assert(!g.queryExecution.executedPlan.toString()
+        .contains("KeyGroupedPartitioning"),
+        "no key grouping may surface in the plan")
+    }
+  }
+
+  test("SPJ survives merge-on-read debt: a pending equality delete " +
+    "keeps the key grouping and the shuffle-free join stays correct") {
+    val dir = Files.createTempDirectory("graft-spj-mor")
+    dir.toFile.deleteOnExit()
+    val left = spark.range(0, 400).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"), (col("id") * 3).as("x"))
+    val right = spark.range(0, 120).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"), (col("id") + 7).as("y"))
+    build(dir.resolve("ta"), left)
+    build(dir.resolve("tb"), right)
+    // MOR equality delete on the left: deletes only remove rows, so
+    // each file (and each keyed partition) still holds one value.
+    SnapStore.deleteEquality(spark,
+      dir.resolve("ta"), spark.range(0, 40).select(col("id")), "id")
+    spark.conf.set("spark.graft.catalog.dir.spjmor", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val joinSql =
+      """SELECT a.part, COUNT(*) AS n
+        |FROM graft.spjmor.ta a JOIN graft.spjmor.tb b ON a.part = b.part
+        |GROUP BY a.part ORDER BY a.part""".stripMargin
+    val expected = spark.sql(joinSql).collect().toSeq
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.catalog.clearCache()
+      val j = spark.sql(joinSql)
+      assert(j.collect().toSeq == expected)
+      assert(shuffles(j) <= 1,
+        s"MOR debt must not reintroduce the join shuffle:\n" +
+          j.queryExecution.executedPlan)
+    }
+  }
+}
