@@ -999,7 +999,7 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
         // filter would reject anyway — delete files only ever
         // suppress rows, never add).
         val spark = SparkSession.active
-        val pruned = conds.reduceOption(_ && _)
+        val statics = conds.reduceOption(_ && _)
           .map(c => SnapStore.probeCandidates(spark, m, c))
           .getOrElse(m.files)
         // Storage-partitioned joins (SPARK-37377, the Iceberg SPJ
@@ -1015,9 +1015,46 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
           .filter { case (c, _) => required.fieldNames.contains(c) }
         new Scan with org.apache.spark.sql.connector.read.Batch
             with org.apache.spark.sql.connector.read.SupportsReportStatistics
-            with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+            with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+            with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+            // Static manifest pruning up front; DYNAMIC partition
+            // pruning narrows it further at runtime (below). The
+            // batch's treatment table derives from the STATIC set
+            // (the re-planning contract), so the factory Spark cached
+            // before the runtime filter serves the re-planned,
+            // narrower partition list correctly.
+            @volatile private var pruned: Seq[SnapStore.FileEntry] = statics
             private lazy val nat = new SnapNativeBatch(spark, dir, m,
-              pruned, () => pruned, required, pushedAll.toSeq, spjKey)
+              statics, () => pruned, required, pushedAll.toSeq, spjKey)
+
+            /** Dynamic partition pruning on the read path (Iceberg's
+              * `SparkScan` runtime filtering): a selective dimension
+              * join on the partition SOURCE column hands the matching
+              * values here at runtime, and whole files drop from the
+              * scan by manifest bounds — zero data IO for pruned
+              * partitions, before any parquet footer is opened.
+              */
+            override def filterAttributes():
+                Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+              if (m.partCol.nonEmpty && PartTransforms.sourceTypeOpt(
+                PartTransforms.parse(m.partCol), m.schema).isDefined)
+                Array(org.apache.spark.sql.connector.expressions.Expressions
+                  .column(PartTransforms.parse(m.partCol).source))
+              else Array.empty
+
+            override def filter(predicates: Array[
+                org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+              val src = PartTransforms.parse(m.partCol).source
+              val values = predicates.toSeq.flatMap(SnapTable.inValues(_, src))
+              if (values.nonEmpty) {
+                // Intersect with the static pruning — both sound
+                // alone, so the intersection is, and strictly tighter.
+                val staticPaths = pruned.map(_.path).toSet
+                pruned = SnapStore.filesForSourceValues(m, values.flatten)
+                  .filter(f => staticPaths(f.path))
+              }
+              // Untranslatable shapes: keep everything (sound).
+            }
             override def outputPartitioning():
                 org.apache.spark.sql.connector.read.partitioning.Partitioning =
               spjKey match {

@@ -747,6 +747,14 @@ object SnapStore {
     // files, no anti-join shuffle. applyDeletes folds ride this too.
     // Clean/evolved-only snapshots keep the direct evolution-aware
     // parquet scan (readManifest == scanFiles there).
+    // Clean snapshots deliberately KEEP the direct parquet scan even
+    // when the layout is SPJ-eligible: the file-source relation
+    // serves `_metadata` columns (file_name/row_index) that DSv2
+    // relations cannot, and programmatic callers rely on them. For a
+    // shuffle-free storage-partitioned join on the programmatic path,
+    // read through the native source explicitly
+    // (`spark.read.format("graft.sources.SnapReadSource")`) or the
+    // catalog route — both report KeyGroupedPartitioning.
     if (m.deleteFiles.nonEmpty)
       spark.read.format("graft.sources.SnapReadSource")
         .option("dir", table.toAbsolutePath.toString)

@@ -91,6 +91,20 @@ class SpjSpec extends SparkSpec {
         s"partition-column agg must be shuffle-free:\n" +
           g.queryExecution.executedPlan)
       assert(g.collect().map(_.getLong(1)).sum == 400L)
+
+      // The PROGRAMMATIC native route (SnapReadSource — the explicit
+      // opt-in; SnapStore.read keeps the file-source relation for its
+      // `_metadata` columns) reports the same key grouping.
+      val v = SnapStore.currentManifest(dir.resolve("ta")).version
+      val pg = spark.read.format("graft.sources.SnapReadSource")
+        .option("dir", dir.resolve("ta").toString)
+        .option("version", v.toString)
+        .load()
+        .groupBy(col("part")).count()
+      assert(shuffles(pg) == 0,
+        s"programmatic partition-column agg must be shuffle-free:\n" +
+          pg.queryExecution.executedPlan)
+      assert(pg.collect().map(_.getLong(1)).sum == 400L)
     }
   }
 
@@ -122,6 +136,46 @@ class SpjSpec extends SparkSpec {
         .contains("KeyGroupedPartitioning"),
         "no key grouping may surface in the plan")
     }
+  }
+
+  test("runtime V2 filtering prunes whole files by manifest bounds on " +
+    "the native read scan (dynamic partition pruning, Iceberg-style)") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val dir = Files.createTempDirectory("graft-dpp")
+    dir.toFile.deleteOnExit()
+    val rows = spark.range(0, 400).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"), (col("id") * 3).as("x"))
+    val t = dir.resolve("td")
+    build(t, rows)
+    val m = graft.sources.SnapStore.currentManifest(t)
+    val brt = new graft.sources.BridgedReadTable("dpp-test", t, m)
+    val scan = brt.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before >= 4, s"per-value layout must plan >=4 partitions, " +
+      s"got $before")
+    // The runtime filter a dimension join would push: part IN (1).
+    scan.asInstanceOf[SupportsRuntimeV2Filtering].filter(Array(
+      new Predicate("IN", Array(Expressions.column("part"),
+        Expressions.literal(1L)))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after < before,
+      s"runtime IN-filter must drop whole files: $before -> $after")
+    // The surviving partitions still read correctly through the
+    // factory Spark cached BEFORE the filter (re-planning contract).
+    val factory = scan.toBatch.createReaderFactory()
+    var n = 0L
+    scan.toBatch.planInputPartitions().foreach { p =>
+      val r = factory.createReader(p)
+      while (r.next()) {
+        assert(r.get().getLong(1) == 1L, "only part=1 rows may survive")
+        n += 1
+      }
+      r.close()
+    }
+    assert(n == 100L, s"part=1 holds 100 rows, read $n")
   }
 
   test("SPJ survives merge-on-read debt: a pending equality delete " +
