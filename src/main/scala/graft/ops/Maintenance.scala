@@ -1729,6 +1729,44 @@ object Maintenance {
     }
   }
 
+  /** Dynamic partition pruning through the native scan's runtime
+    * filter face: a selective one-row dimension predicate reaches the
+    * pending-MOR fact scan as a runtime IN-filter, pruning whole
+    * files by manifest bounds BEFORE any parquet IO. The entry
+    * REQUIRES the injected `dynamicpruningexpression` in the executed
+    * plan, and the oracle recomputes the surviving partition's
+    * delete-adjusted contents — proving DPP and merge-on-read compose.
+    */
+  def dppPrune(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ensureDocsPos(s, dir)
+    s.range(0, nParts.toLong).select(col("id").as("part"),
+        concat(lit("p-"), col("id")).as("name"))
+      .createOrReplaceTempView("maint_dpp_dim")
+    val q = s.sql(
+      s"""SELECT f.part, COUNT(*) AS n_docs, SUM(f.tok) AS sum_tok,
+         |  SUM(fold_hash(f.text, 31, 0, $P)) AS chk
+         |FROM graft.maint.docs_pos f
+         |JOIN maint_dpp_dim d ON f.part = d.part
+         |WHERE d.name = 'p-4'
+         |GROUP BY f.part ORDER BY f.part""".stripMargin)
+    val rows = q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    require(plan.contains("dynamicpruningexpression"),
+      s"the dim predicate must reach the fact scan as a runtime " +
+        s"filter:\n$plan")
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), q.schema)
+  }
+
+  val dppPruneOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE doc_id % $nParts = 4 AND NOT doc_id % 3 = 0
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val spjJoinOracle: String =
     s"""WITH a AS (
        |  SELECT doc_id % $nParts AS part,
@@ -1868,6 +1906,9 @@ object Maintenance {
     Q("maint_partitions_deletes", partitionsDeleteDebt,
       Some(partitionsDeleteDebtOracle),
       ".partitions delete-debt columns: per-partition pending position/equality delete files"),
+    Q("maint_dpp_prune", dppPrune, Some(dppPruneOracle),
+      "dynamic partition pruning: a selective dim join's runtime " +
+        "filter prunes fact files by manifest bounds, MOR-composed"),
     Q("maint_spj_join", spjJoin, Some(spjJoinOracle),
       "storage-partitioned join: co-partitioned snap tables join " +
         "shuffle-free via reported KeyGroupedPartitioning"),
