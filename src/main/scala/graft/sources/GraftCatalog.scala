@@ -44,7 +44,28 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the catalog's first load is immediately visible.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with ProcedureCatalog {
+    with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+
+  /** The catalog's V2 functions — the `FunctionCatalog` face Spark's
+    * `V2ExpressionUtils` resolves a scan's reported `bucket(n, src)`
+    * transform through (storage-partitioned joins over BUCKETED
+    * layouts: both sides bind the same canonical function, so joins
+    * on the bucket SOURCE column co-locate without a shuffle — the
+    * high-cardinality fact-fact join Iceberg's bucketed SPJ serves).
+    * The binding is the exact write-side transform
+    * ([[PartTransforms.Bucket]]): murmur3(seed 42) pmod n.
+    */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(namespace, "bucket"))
+
+  override def loadFunction(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name() match {
+      case "bucket" => GraftBucketUnbound
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident)
+    }
 
   // `CALL <catalog>.system.<proc>(…)` — the Iceberg maintenance
   // procedure surface, served through Spark 4's DSv2
@@ -955,6 +976,46 @@ object SnapTable {
   * reports the translatable subset (the ones actually applied at the
   * scan layer) instead of hiding them (r7's bridge reported none).
   */
+/** The catalog's `bucket` V2 function: `bucket(n, col)` = murmur3
+  * hash (seed 42, Spark's `functions.hash`) pmod n — EXACTLY the
+  * write-side layout transform ([[PartTransforms.Bucket]]), so the
+  * values Spark computes when aligning or padding storage-partitioned
+  * joins agree with the bucket numbers the manifests recorded.
+  */
+private[graft] object GraftBucketUnbound
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): murmur3(seed 42) mod n — the snap write layout transform"
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets INT, value), got $inputType")
+    GraftBucketBound(inputType.fields(1).dataType)
+  }
+}
+
+private[graft] final case class GraftBucketBound(
+    srcType: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(org.apache.spark.sql.types.IntegerType, srcType)
+  override def resultType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String =
+    s"graft.bucket(${srcType.catalogString})"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: org.apache.spark.sql.catalyst
+      .InternalRow): Integer = {
+    val n = input.getInt(0)
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+      .hash(input.get(1, srcType), srcType, 42L).toInt
+    ((h % n) + n) % n
+  }
+}
+
 final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
     m: SnapStore.Manifest) extends Table with SupportsRead {
   import org.apache.spark.sql.connector.read.Scan
@@ -1009,10 +1070,11 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
         // partitions — co-partitioned joins and partition-column
         // aggregates then run with NO shuffle on the scan side.
         // Keyed planning only helps when the projection RETAINS the
-        // partition column (a join/agg on it needs it in the output);
-        // otherwise plan normally and report unknown partitioning.
+        // grouping's data column (the identity partition column, or
+        // a bucket transform's source — the join key); otherwise
+        // plan normally and report unknown partitioning.
         val spjKey = SnapSpj.eligibleKey(spark, m)
-          .filter { case (c, _) => required.fieldNames.contains(c) }
+          .filter(k => required.fieldNames.contains(k.requiredCol))
         new Scan with org.apache.spark.sql.connector.read.Batch
             with org.apache.spark.sql.connector.read.SupportsReportStatistics
             with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -1025,7 +1087,8 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
             // narrower partition list correctly.
             @volatile private var pruned: Seq[SnapStore.FileEntry] = statics
             private lazy val nat = new SnapNativeBatch(spark, dir, m,
-              statics, () => pruned, required, pushedAll.toSeq, spjKey)
+              statics, () => pruned, required, pushedAll.toSeq,
+              spjKey.map(_.keyType))
 
             /** Dynamic partition pruning on the read path (Iceberg's
               * `SparkScan` runtime filtering): a selective dimension
@@ -1058,11 +1121,10 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
             override def outputPartitioning():
                 org.apache.spark.sql.connector.read.partitioning.Partitioning =
               spjKey match {
-                case Some((c, _)) =>
+                case Some(k) =>
                   new org.apache.spark.sql.connector.read.partitioning
                     .KeyGroupedPartitioning(
-                      Array(org.apache.spark.sql.connector.expressions
-                        .Expressions.identity(c)),
+                      Array(k.transform),
                       pruned.map(_.partMin).distinct.size)
                 case None =>
                   new org.apache.spark.sql.connector.read.partitioning

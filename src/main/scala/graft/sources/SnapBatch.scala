@@ -145,6 +145,18 @@ object SnapBatch {
   */
 private[graft] object SnapSpj {
 
+  /** The reportable grouping of an eligible layout: the connector
+    * transform to report, the data column that must survive the
+    * projection for the grouping to be consumable (the identity
+    * column itself, or a bucket transform's SOURCE — the join key),
+    * and the type of the partition VALUE a `HasPartitionKey` row
+    * carries (the bucket NUMBER is an int whatever the source type).
+    */
+  final case class SpjKey(
+      transform: org.apache.spark.sql.connector.expressions.Transform,
+      requiredCol: String,
+      keyType: DataType)
+
   def sessionEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
       .exists(_.toBoolean)
@@ -174,29 +186,40 @@ private[graft] object SnapSpj {
       s"unsupported SPJ key type: $other")
   }
 
-  /** The key this snapshot can report grouped partitioning on, or
-    * None. Requires: the session opt-in; an IDENTITY partition column
-    * of a parseable type; and every live file PROVABLY single-valued
-    * (`partMin == partMax` under the CURRENT spec) — a range-written
-    * file spanning two values cannot be keyed, so the whole scan
-    * degrades to normal planning rather than ever mis-grouping.
+  /** The grouping this snapshot can report, or None. Requires: the
+    * session opt-in; an IDENTITY or BUCKET partition spec (identity
+    * reports a bare column reference; bucket reports
+    * `bucket(n, src)`, which Spark resolves through the catalog's
+    * `FunctionCatalog` face — joins on the bucket SOURCE column then
+    * co-locate, the high-cardinality fact-fact join Iceberg's
+    * bucketed SPJ exists for); and every live file PROVABLY
+    * single-valued (`partMin == partMax` under the CURRENT spec —
+    * bounds store the TRANSFORMED value, so the same proof covers
+    * both specs). A range-written file spanning two values cannot be
+    * keyed, so the whole scan degrades to normal planning rather
+    * than ever mis-grouping.
     */
   def eligibleKey(spark: SparkSession,
-      m: SnapStore.Manifest): Option[(String, DataType)] = {
+      m: SnapStore.Manifest): Option[SpjKey] = {
     if (!sessionEnabled(spark) || m.partCol.isEmpty || m.files.isEmpty)
       return None
-    // Identity transform only: the reported connector expression is
-    // a bare column reference (bucket/days transforms would need a
-    // V2 function catalog for Spark to evaluate the transform).
-    if (PartTransforms.parse(m.partCol) !=
-      PartTransforms.Identity(m.partCol)) return None
-    val dt = m.schema.fields.find(_.name == m.partCol).map(_.dataType)
-      .getOrElse(return None)
-    if (!supportedType(dt)) return None
+    import org.apache.spark.sql.connector.expressions.{Expressions => E}
+    val key = PartTransforms.parse(m.partCol) match {
+      case PartTransforms.Identity(c) =>
+        val dt = m.schema.fields.find(_.name == c).map(_.dataType)
+          .getOrElse(return None)
+        if (!supportedType(dt)) return None
+        SpjKey(E.identity(c), c, dt)
+      case PartTransforms.Bucket(n, src) =>
+        if (!m.schema.fieldNames.contains(src)) return None
+        SpjKey(E.bucket(n, src), src,
+          org.apache.spark.sql.types.IntegerType)
+      case _ => return None // days/months/years/truncate: not reported
+    }
     val ok = m.files.forall(f => f.partMin.nonEmpty &&
       f.partMin == f.partMax &&
       (f.specCol.isEmpty || f.specCol == m.partCol))
-    if (ok) Some((m.partCol, dt)) else None
+    if (ok) Some(key) else None
   }
 }
 
@@ -390,7 +413,7 @@ final class SnapNativeBatch(
     currentFiles: () => Seq[SnapStore.FileEntry],
     required: StructType,
     pushed: Seq[Filter],
-    spjKey: Option[(String, DataType)] = None) extends Batch {
+    spjKeyType: Option[DataType] = None) extends Batch {
 
   import SnapBatch._
   import SnapStore.fileName
@@ -572,9 +595,9 @@ final class SnapNativeBatch(
     new SnapDispatchFactory(specs, columnarizable, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    spjKey match {
+    spjKeyType match {
       case None => planTreatment(currentFiles(), None)
-      case Some((_, dt)) =>
+      case Some(dt) =>
         // SPJ planning: per-VALUE sub-plans (eligibility proved every
         // file single-valued, so `partMin` IS the file's value), each
         // partition tagged with its key for Spark's group alignment.

@@ -138,6 +138,46 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("BUCKETED storage-partitioned join: tables partitioned by " +
+    "bucket(4,id) join on id with no scan-side shuffle (the catalog's " +
+    "FunctionCatalog resolves the transform)") {
+    val dir = Files.createTempDirectory("graft-spj-bucket")
+    dir.toFile.deleteOnExit()
+    def bucketed(rows: org.apache.spark.sql.DataFrame, t: java.nio.file.Path)
+        : Unit = {
+      // Per-bucket writes guarantee single-valued files on the
+      // TRANSFORMED value (bounds store the bucket number).
+      val b = pmod(hash(col("id")), lit(4))
+      SnapStore.create(spark, t, rows.filter(b === 0), "bucket(4,id)")
+      (1 to 3).foreach(k =>
+        SnapStore.append(spark, t, rows.filter(b === k), "bucket(4,id)"))
+    }
+    bucketed(spark.range(0, 400).select(col("id"), (col("id") * 3).as("x")),
+      dir.resolve("ba"))
+    bucketed(spark.range(0, 120).select(col("id"), (col("id") + 7).as("y")),
+      dir.resolve("bb"))
+    spark.conf.set("spark.graft.catalog.dir.spjbkt", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val joinSql =
+      """SELECT COUNT(*) AS n, SUM(a.x + b.y) AS s
+        |FROM graft.spjbkt.ba a JOIN graft.spjbkt.bb b ON a.id = b.id""".stripMargin
+    val expected = spark.sql(joinSql).collect().toSeq
+    assert(expected.head.getLong(0) == 120L)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.catalog.clearCache()
+      val j = spark.sql(joinSql)
+      assert(j.collect().toSeq == expected)
+      // The join consumes both sides' bucket(4,id) key grouping: the
+      // only exchange left is the global COUNT's single-partition one.
+      assert(shuffles(j) <= 1,
+        s"bucketed SPJ must not shuffle either fact side:\n" +
+          j.queryExecution.executedPlan)
+    }
+  }
+
   test("runtime V2 filtering prunes whole files by manifest bounds on " +
     "the native read scan (dynamic partition pruning, Iceberg-style)") {
     import org.apache.spark.sql.connector.expressions.Expressions
