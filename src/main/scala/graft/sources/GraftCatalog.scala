@@ -57,12 +57,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ([[PartTransforms.Bucket]]): murmur3(seed 42) pmod n.
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(namespace, "bucket"))
+    Array("bucket", "days", "months", "years")
+      .map(Identifier.of(namespace, _))
 
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => GraftBucketUnbound
+      case "days" => GraftDateUnbound.days
+      case "months" => GraftDateUnbound.months
+      case "years" => GraftDateUnbound.years
       case _ => throw new org.apache.spark.sql.catalyst.analysis
         .NoSuchFunctionException(ident)
     }
@@ -1014,6 +1018,53 @@ private[graft] final case class GraftBucketBound(
       .hash(input.get(1, srcType), srcType, 42L).toInt
     ((h % n) + n) % n
   }
+}
+
+/** The catalog's date-transform V2 functions (`days`/`months`/
+  * `years`), byte-exact with the write-side [[PartTransforms]]
+  * evals: a DATE's internal form IS epoch days, so `days` is the
+  * identity on it; months/years derive from the same LocalDate walk
+  * the write transform uses. One-argument bind (DATE → INT).
+  */
+private[graft] final case class GraftDateUnbound(fname: String,
+    f: Int => Int)
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = fname
+  override def description(): String =
+    s"$fname(date): the snap write layout transform"
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType ==
+        org.apache.spark.sql.types.DateType,
+      s"$fname expects (value DATE), got $inputType")
+    GraftDateBound(fname, f)
+  }
+}
+
+private[graft] object GraftDateUnbound {
+  private def local(epochDay: Int): java.time.LocalDate =
+    java.time.LocalDate.ofEpochDay(epochDay.toLong)
+  val days: GraftDateUnbound = GraftDateUnbound("days", identity)
+  val months: GraftDateUnbound = GraftDateUnbound("months", d => {
+    val ld = local(d); (ld.getYear - 1970) * 12 + ld.getMonthValue - 1
+  })
+  val years: GraftDateUnbound =
+    GraftDateUnbound("years", d => local(d).getYear - 1970)
+}
+
+private[graft] final case class GraftDateBound(fname: String, f: Int => Int)
+    extends org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(org.apache.spark.sql.types.DateType)
+  override def resultType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def name(): String = fname
+  override def canonicalName(): String = s"graft.$fname(date)"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: org.apache.spark.sql.catalyst
+      .InternalRow): Integer = f(input.getInt(0))
 }
 
 final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,

@@ -199,6 +199,10 @@ private[graft] object SnapSpj {
     * keyed, so the whole scan degrades to normal planning rather
     * than ever mis-grouping.
     */
+  private def dateCol(m: SnapStore.Manifest, src: String): Boolean =
+    m.schema.fields.exists(f => f.name == src &&
+      f.dataType == org.apache.spark.sql.types.DateType)
+
   def eligibleKey(spark: SparkSession,
       m: SnapStore.Manifest): Option[SpjKey] = {
     if (!sessionEnabled(spark) || m.partCol.isEmpty || m.files.isEmpty)
@@ -214,7 +218,20 @@ private[graft] object SnapSpj {
         if (!m.schema.fieldNames.contains(src)) return None
         SpjKey(E.bucket(n, src), src,
           org.apache.spark.sql.types.IntegerType)
-      case _ => return None // days/months/years/truncate: not reported
+      // Date transforms resolve through the same FunctionCatalog face
+      // (graft.days/months/years — byte-exact with the write-side
+      // evals), so date-partitioned tables co-locate joins on the
+      // DATE column. Key values are the transform outputs (ints).
+      case PartTransforms.Days(src)
+          if dateCol(m, src) => SpjKey(E.days(src), src,
+        org.apache.spark.sql.types.IntegerType)
+      case PartTransforms.Months(src)
+          if dateCol(m, src) => SpjKey(E.months(src), src,
+        org.apache.spark.sql.types.IntegerType)
+      case PartTransforms.Years(src)
+          if dateCol(m, src) => SpjKey(E.years(src), src,
+        org.apache.spark.sql.types.IntegerType)
+      case _ => return None // truncate / non-date sources: not reported
     }
     val ok = m.files.forall(f => f.partMin.nonEmpty &&
       f.partMin == f.partMax &&

@@ -178,6 +178,48 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("DATE-transform storage-partitioned join: days(d)-partitioned " +
+    "tables join on the DATE column with no scan-side shuffle") {
+    val dir = Files.createTempDirectory("graft-spj-days")
+    dir.toFile.deleteOnExit()
+    def daily(rows: org.apache.spark.sql.DataFrame, t: java.nio.file.Path)
+        : Unit = {
+      // One commit per day: files single-valued on the transform
+      // output (epoch-day ints in the bounds).
+      SnapStore.create(spark, t,
+        rows.filter(col("d") === lit("2024-03-01").cast("date")), "days(d)")
+      Seq("2024-03-02", "2024-03-03", "2024-03-04").foreach(day =>
+        SnapStore.append(spark, t,
+          rows.filter(col("d") === lit(day).cast("date")), "days(d)"))
+    }
+    val left = spark.range(0, 400).select(col("id"),
+      expr("date_add(DATE'2024-03-01', CAST(id % 4 AS INT))").as("d"),
+      (col("id") * 3).as("x"))
+    val right = spark.range(0, 120).select(col("id"),
+      expr("date_add(DATE'2024-03-01', CAST(id % 4 AS INT))").as("d"),
+      (col("id") + 7).as("y"))
+    daily(left, dir.resolve("da"))
+    daily(right, dir.resolve("db"))
+    spark.conf.set("spark.graft.catalog.dir.spjdays", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val joinSql =
+      """SELECT a.d, COUNT(*) AS n
+        |FROM graft.spjdays.da a JOIN graft.spjdays.db b ON a.d = b.d
+        |GROUP BY a.d ORDER BY a.d""".stripMargin
+    val expected = spark.sql(joinSql).collect().toSeq
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.catalog.clearCache()
+      val j = spark.sql(joinSql)
+      assert(j.collect().toSeq == expected)
+      assert(shuffles(j) <= 1,
+        s"days-partitioned SPJ must not shuffle the fact sides:\n" +
+          j.queryExecution.executedPlan)
+    }
+  }
+
   test("runtime V2 filtering prunes whole files by manifest bounds on " +
     "the native read scan (dynamic partition pruning, Iceberg-style)") {
     import org.apache.spark.sql.connector.expressions.Expressions
