@@ -1666,6 +1666,95 @@ object Maintenance {
   /** Unique memory-sink names across bench reps in one JVM. */
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  /** `docs_wap`: the write-audit-publish lifecycle (Iceberg's WAP
+    * pattern over branch refs). v1 create → batch ONE stages on
+    * branch `wap`, its audit (quality gate on the STAGED read, never
+    * on main) passes → fast-forward publishes it metadata-only →
+    * batch TWO stages on branch `rej`, its audit FAILS (empty texts)
+    * → the branch is dropped whole, the batch never reaches main and
+    * its files collect as orphans. Main therefore holds exactly
+    * base + the audited-good batch.
+    */
+  def ensureDocsWap(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_wap")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol, keyCol = "doc_id")
+    if (SnapStore.branchHead(t, "wap").isEmpty &&
+      SnapStore.currentVersion(t).contains(1))
+      SnapStore.createBranch(t, "wap")
+    if (SnapStore.branchHead(t, "wap").contains(1))
+      SnapStore.appendToBranch(s, t, "wap",
+        // +400000 preserves doc_id % 8, so the staged rows keep their
+        // partition routing.
+        b.filter(pmod(col("doc_id"), lit(17L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 400000L)
+          .withColumn("source", lit("srcW"))
+          .withColumn("text", concat(col("text"), lit(" audited")))
+          .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)")),
+        partCol)
+    if (SnapStore.currentVersion(t).contains(1) &&
+      SnapStore.branchHead(t, "wap").contains(2)) {
+      val bad = SnapStore.readBranch(s, t, "wap")
+        .filter(col("tok") <= 0 || col("text").isNull ||
+          length(col("text")) === 0).count()
+      require(bad == 0, s"WAP audit failed on staged batch: $bad bad rows")
+      SnapStore.fastForward(t, "wap")
+    }
+    // The REJECTED cycle runs once (marker-gated: dropBranch leaves
+    // no version evidence to key idempotency off).
+    val rejected = t.resolve("_wap_rejected_done")
+    if (SnapStore.currentVersion(t).contains(2) &&
+      !Files.exists(rejected)) {
+      if (SnapStore.branchHead(t, "rej").isEmpty)
+        SnapStore.createBranch(t, "rej")
+      // Branch versions are BRANCH-LOCAL: a fresh fork is head 1
+      // whatever main's version.
+      if (SnapStore.branchHead(t, "rej").contains(1))
+        SnapStore.appendToBranch(s, t, "rej",
+          b.filter(pmod(col("doc_id"), lit(23L)) === 0)
+            .withColumn("doc_id", col("doc_id") + 500000L)
+            .withColumn("text", lit(""))
+            .withColumn("tok", lit(0L)),
+          partCol)
+      val bad = SnapStore.readBranch(s, t, "rej")
+        .filter(col("tok") <= 0 || length(col("text")) === 0).count()
+      require(bad > 0, "the rejected batch must actually fail its audit")
+      SnapStore.dropBranch(t, "rej")
+      Files.createFile(rejected)
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** Write-audit-publish: main's contents after one audited publish
+    * and one audited REJECTION. The oracle recomputes base + the
+    * good batch; a hash match proves the gate published exactly the
+    * audited rows and the rejected batch never leaked into main.
+    */
+  def wapPublish(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsWap(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val wapPublishOracle: String =
+    s"""WITH live AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 400000, text || ' audited'
+       |  FROM documents WHERE doc_id % 17 = 0)
+       |SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM live
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Two co-partitioned tables for the storage-partitioned-join
     * lifecycle: disjoint document slices, written one partition value
     * per commit so every data file is PROVABLY single-valued — the
@@ -1906,6 +1995,10 @@ object Maintenance {
     Q("maint_partitions_deletes", partitionsDeleteDebt,
       Some(partitionsDeleteDebtOracle),
       ".partitions delete-debt columns: per-partition pending position/equality delete files"),
+    Q("maint_wap", wapPublish, Some(wapPublishOracle),
+      "write-audit-publish: staged branch batches publish via " +
+        "fast-forward only when the audit passes; rejected batches " +
+        "drop whole"),
     Q("maint_dpp_prune", dppPrune, Some(dppPruneOracle),
       "dynamic partition pruning: a selective dim join's runtime " +
         "filter prunes fact files by manifest bounds, MOR-composed"),
