@@ -59,7 +59,11 @@ object Bench {
     // ContextCleaner's weakly-referenced broadcast/shuffle state in
     // bounded doses instead of letting a major collection land inside
     // whichever query allocates hardest. 0 disables.
-    val gcEvery = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC", "0").toInt
+    val gcEvery = sys.env.get("SPARK_GRAFT_BENCH_GC")
+      .map(v => v.toIntOption.getOrElse(sys.error(
+        s"SPARK_GRAFT_BENCH_GC must be an integer (queries between " +
+          s"System.gc calls; 0 disables), got '$v'")))
+      .getOrElse(0)
     var qIndex = 0
     val gcTimes = mutable.Map.empty[String, mutable.Buffer[Long]]
     // Sorted order: stable run-to-run attribution (first query bears

@@ -1804,10 +1804,26 @@ object Maintenance {
           |JOIN graft.maint.docs_spj_b b ON a.part = b.part
           |GROUP BY a.part ORDER BY a.part""".stripMargin)
       val rows = j.collect()
-      val exch = j.queryExecution.executedPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
-          e
-      }.size
+      // Count exchanges in the FINAL plan, descending into the AQE
+      // wrapper and query stages — a plain collect on executedPlan
+      // sees only the AdaptiveSparkPlanExec leaf and reads 0 for any
+      // plan, making the claim vacuous (code-review r10 finding).
+      def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+        val here = p match {
+          case _: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => 1
+          case _ => 0
+        }
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+            .QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        here + kids.map(exchanges).sum
+      }
+      val exch = exchanges(j.queryExecution.executedPlan)
       require(exch <= 1,
         s"storage-partitioned join must not shuffle the fact sides " +
           s"(found $exch exchanges):\n${j.queryExecution.executedPlan}")
@@ -1891,21 +1907,32 @@ object Maintenance {
     val t = Files.createTempDirectory("graft-natstream-entry")
     val b = base(s, dir)
     def slice(k: Long) = b.filter(pmod(col("doc_id"), lit(5L)) === k)
-    SnapStore.create(s, t, slice(0), partCol)
-    SnapStore.append(s, t, slice(1), partCol)
     val sink = s"maint_stream_native_${streamSeq.incrementAndGet()}"
-    val q = graft.streaming.SnapshotStream
-      .nativeFeed(s, t, maxFilesPerTrigger = Some(6))
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", t.resolve("_ckpt").toString)
-      .outputMode("append").start()
     try {
-      q.processAllAvailable()
-      SnapStore.renameColumn(t, "text", "body")
-      SnapStore.append(s, t, slice(2).withColumnRenamed("text", "body"),
-        partCol)
-      q.processAllAvailable()
-    } finally q.stop()
+      SnapStore.create(s, t, slice(0), partCol)
+      SnapStore.append(s, t, slice(1), partCol)
+      val q = graft.streaming.SnapshotStream
+        .nativeFeed(s, t, maxFilesPerTrigger = Some(6))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", t.resolve("_ckpt").toString)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        SnapStore.renameColumn(t, "text", "body")
+        SnapStore.append(s, t, slice(2).withColumnRenamed("text", "body"),
+          partCol)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally {
+      // The MEMORY sink holds the streamed rows; the table + its
+      // checkpoint are scratch. Per-call rebuilds without cleanup
+      // accumulate full fixture copies in /tmp across bench reps and
+      // rounds (code-review r10 finding).
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(t))
+        Files.walk(t).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+    }
     s.table(sink)
       .groupBy(col(partCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),

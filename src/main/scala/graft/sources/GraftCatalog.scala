@@ -685,10 +685,7 @@ final class PositionDeletesMetadataTable(tableName: String,
     val readSchema = StructType(Seq(
       StructField("file", org.apache.spark.sql.types.StringType, nullable = true),
       StructField("pos", org.apache.spark.sql.types.LongType, nullable = true)))
-    val reader = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, readSchema, new StructType(), readSchema, Seq.empty,
-      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-      spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    val reader = SnapBatch.rowReader(spark, readSchema, readSchema)
     pos.iterator.flatMap { d =>
       val p = dir.resolve(d.path)
       reader(PartitionedFile(InternalRow.empty,
@@ -1010,9 +1007,15 @@ private[graft] final case class GraftBucketBound(
   override def name(): String = "bucket"
   override def canonicalName(): String =
     s"graft.bucket(${srcType.catalogString})"
-  override def isResultNullable: Boolean = false
+  override def isResultNullable: Boolean = true
   override def produceResult(input: org.apache.spark.sql.catalyst
       .InternalRow): Integer = {
+    // NULL in → NULL out (Iceberg's bucket convention). Without the
+    // guard, hashing a null slot would hash the seed and silently
+    // route nulls to a real bucket (code-review r10 finding). SPJ
+    // alignment never sees nulls (manifest values are non-null), but
+    // the function is directly SQL-invocable.
+    if (input.isNullAt(0) || input.isNullAt(1)) return null
     val n = input.getInt(0)
     val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
       .hash(input.get(1, srcType), srcType, 42L).toInt
@@ -1062,9 +1065,12 @@ private[graft] final case class GraftDateBound(fname: String, f: Int => Int)
     org.apache.spark.sql.types.IntegerType
   override def name(): String = fname
   override def canonicalName(): String = s"graft.$fname(date)"
-  override def isResultNullable: Boolean = false
+  override def isResultNullable: Boolean = true
   override def produceResult(input: org.apache.spark.sql.catalyst
-      .InternalRow): Integer = f(input.getInt(0))
+      .InternalRow): Integer =
+    // NULL in → NULL out: getInt on a null slot would unbox to 0 and
+    // silently yield the 1970-01-01 transform (code-review r10).
+    if (input.isNullAt(0)) null else f(input.getInt(0))
 }
 
 final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,

@@ -83,6 +83,24 @@ object SnapBatch {
     StructType(if (kept.isEmpty) m.schema.fields.take(1).toSeq else kept.toSeq)
   }
 
+  /** Driver-built serializable parquet ROW reader over files of
+    * `dataSchema`, producing `requiredSchema`'s columns — the one
+    * shared recipe for every task-side reader in the snap stack
+    * (delete loads, affected-file scans, the native stream, the
+    * position-deletes metadata table). The empty partition schema and
+    * `RETURNING_BATCH=false` are load-bearing: the reader must yield
+    * rows (not columnar batches) for the per-row folds, and a
+    * non-empty partition schema would make it expect directory-style
+    * partition values these flat files don't have.
+    */
+  def rowReader(spark: SparkSession, dataSchema: StructType,
+      requiredSchema: StructType):
+      PartitionedFile => Iterator[InternalRow] =
+    new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, dataSchema, new StructType(), requiredSchema, Seq.empty,
+      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConfWithOptions(Map.empty))
+
   /** V1 data-source filter → RESOLVED catalyst predicate over
     * `schema`'s columns (fresh exprIds — the delegate's pushdown
     * translation matches attributes by NAME). `None` for shapes the
@@ -500,10 +518,7 @@ final class SnapNativeBatch(
     */
   private def deleteLoad(ds: Seq[SnapStore.DeleteFile],
       readSchema: StructType): SnapDeleteLoad = {
-    val readerFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, readSchema, new StructType(), readSchema, Seq.empty,
-      Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-      spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    val readerFunc = SnapBatch.rowReader(spark, readSchema, readSchema)
     SnapDeleteLoad(
       cacheKey = ds.map(_.path).sorted
         .mkString(s"${dir.toAbsolutePath}#", ",", ""),
@@ -570,10 +585,7 @@ final class SnapNativeBatch(
         val readSchema = StructType(readFields ++ (if (posHit)
           Seq(StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
             LongType, nullable = true)) else Nil))
-        val readerFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-          spark, written, new StructType(), readSchema, Seq.empty,
-          Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-          spark.sessionState.newHadoopConfWithOptions(Map.empty))
+        val readerFunc = SnapBatch.rowReader(spark, written, readSchema)
         val outExprs = required.fields.toSeq.zipWithIndex.map {
           case (f, i) =>
             val wt = readFields(i).dataType

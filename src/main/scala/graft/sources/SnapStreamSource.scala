@@ -13,8 +13,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
-import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -245,10 +244,7 @@ final class SnapMicroBatchStream(spark: SparkSession,
           StructField(wf.name, wf.dataType, nullable = true)
       }
       val readSchema = StructType(readFields)
-      val reader = new ParquetFileFormat().buildReaderWithPartitionValues(
-        spark, written, new StructType(), readSchema, Seq.empty,
-        Map(FileFormat.OPTION_RETURNING_BATCH -> "false"),
-        spark.sessionState.newHadoopConfWithOptions(Map.empty))
+      val reader = SnapBatch.rowReader(spark, written, readSchema)
       val outExprs = startSchema.fields.toSeq.zipWithIndex.map {
         case (f0, i) =>
           val wt = readFields(i).dataType

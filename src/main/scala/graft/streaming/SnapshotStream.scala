@@ -144,22 +144,27 @@ object SnapshotStream {
         else coalesce((cur +: hs).map(col): _*).as(cur)
       }: _*)
     // BUILT-IN per-batch evolution enforcement (ADVICE r9): the
-    // fingerprint is captured HERE, at stream construction, and pinned
-    // into the plan as base64 literals — streaming re-optimizes the
-    // plan every microbatch, so anything recomputed at copy time would
-    // chase the current state and never fire. The guard evaluates once
-    // per task per batch; a rename committed mid-stream fails the
-    // next trigger that carries rows instead of nulling them. Callers
-    // no longer need the requireUnevolved opt-in (still exposed for
-    // foreachBatch users of OTHER feeds). [[nativeFeed]] supersedes
-    // this feed entirely where renames should ride through.
+    // started schema + rename log are captured HERE, at stream
+    // construction, and pinned into the plan as base64 literals —
+    // streaming re-optimizes the plan every microbatch, so anything
+    // recomputed at copy time would chase the current state and never
+    // fire. The guard evaluates once per task per batch, checking
+    // COMPATIBILITY ([[requireCompatibleEvolution]]): a rename, or a
+    // widen/drop of a streamed column, fails the next trigger that
+    // carries rows instead of nulling them; a mid-stream ADD COLUMN
+    // (which the pinned feed represents fine) streams through.
+    // Callers no longer need the requireUnevolved opt-in (still
+    // exposed for foreachBatch users of OTHER feeds). [[nativeFeed]]
+    // supersedes this feed entirely where renames should ride through.
     graft.functions.GraftFunctions.register(spark)
     val b64 = java.util.Base64.getEncoder
     def enc(s: String) = b64.encodeToString(
       s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val renames0 = m.evos.filter(_.kind == "rename")
+      .map(e => s"${e.seq}:${e.col}>${e.arg}").mkString(",")
     feed.filter(org.apache.spark.sql.functions.expr(
       s"stream_evolution_guard('${enc(table.toAbsolutePath.toString)}', " +
-        s"'${enc(evolutionFingerprint(table))}')"))
+        s"'${enc(m.schema.json + "\u0000" + renames0)}')"))
   }
 
   /** NATIVE streaming feed over the manifest log
@@ -209,8 +214,9 @@ object SnapshotStream {
     * loudly when the table's [[evolutionFingerprint]] no longer
     * matches the one the stream started under, instead of letting
     * renamed appends flow through as nulls. [[appendFeed]] enforces
-    * this automatically via [[StreamEvolutionGuard]]; the standalone
-    * form remains for foreachBatch users of other feeds.
+    * the COMPATIBLE form ([[requireCompatibleEvolution]]) via
+    * [[StreamEvolutionGuard]]; this strict form remains for
+    * foreachBatch users of other feeds.
     */
   def requireUnevolved(table: Path, startFingerprint: String): Unit = {
     val now = evolutionFingerprint(table)
@@ -219,6 +225,38 @@ object SnapshotStream {
         s"table $table evolved while streamed (schema/rename change) — " +
           "restart the stream so the feed re-derives its read schema; " +
           s"started under [$startFingerprint], now [$now]")
+  }
+
+  /** The compatibility form of the guard: fails only on evolutions
+    * the started feed CANNOT represent — a new rename (started
+    * columns would null out), or a widen/drop of a STARTED column —
+    * while a mid-stream ADD COLUMN passes (the pinned read schema
+    * simply never sees the new column; before the in-plan guard
+    * existed, appendFeed streamed through adds fine, and it must keep
+    * doing so — code-review r10 finding).
+    */
+  def requireCompatibleEvolution(table: Path, startSchemaJson: String,
+      startRenames: String): Unit = {
+    val m = SnapStore.currentManifest(table)
+    val renamesNow = m.evos.filter(_.kind == "rename")
+      .map(e => s"${e.seq}:${e.col}>${e.arg}").mkString(",")
+    def fail(what: String): Nothing =
+      throw new IllegalStateException(
+        s"table $table evolved while streamed ($what) — restart the " +
+          "stream so the feed re-derives its read schema")
+    if (renamesNow != startRenames) fail("column rename")
+    val started = org.apache.spark.sql.types.DataType
+      .fromJson(startSchemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    started.fields.foreach { f0 =>
+      m.schema.fields.find(_.name == f0.name) match {
+        case None => fail(s"streamed column '${f0.name}' dropped")
+        case Some(f) if f.dataType != f0.dataType =>
+          fail(s"streamed column '${f0.name}' widened " +
+            s"(${f0.dataType.simpleString} -> ${f.dataType.simpleString})")
+        case _ => ()
+      }
+    }
   }
 }
 
@@ -242,12 +280,15 @@ private[graft] case class StreamEvolutionGuard(left: Expression,
   override def foldable: Boolean = false
   override def prettyName: String = "stream_evolution_guard"
 
-  @transient private lazy val (dir, startFp) = {
+  // The right literal packs the STARTED schema json and rename log,
+  // NUL-separated (compact StructType json can never contain NUL).
+  @transient private lazy val (dir, startSchemaJson, startRenames) = {
     val d = java.util.Base64.getDecoder
     def dec(e: Expression) = new String(
       d.decode(e.eval(null).toString),
       java.nio.charset.StandardCharsets.UTF_8)
-    (dec(left), dec(right))
+    val Array(sj, rn) = dec(right).split("\u0000", 2)
+    (dec(left), sj, rn)
   }
   @transient private var checkedTask: Long = Long.MinValue
 
@@ -255,7 +296,8 @@ private[graft] case class StreamEvolutionGuard(left: Expression,
     val tc = org.apache.spark.TaskContext.get()
     val tid = if (tc == null) -1L else tc.taskAttemptId()
     if (tid != checkedTask) {
-      SnapshotStream.requireUnevolved(Paths.get(dir), startFp)
+      SnapshotStream.requireCompatibleEvolution(Paths.get(dir),
+        startSchemaJson, startRenames)
       checkedTask = tid
     }
     true

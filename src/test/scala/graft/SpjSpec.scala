@@ -19,10 +19,31 @@ import graft.sources.SnapStore
   */
 class SpjSpec extends SparkSpec {
 
-  private def shuffles(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeExec => e
-    }.size
+  /** Exchange count in the FINAL physical plan. Must materialize and
+    * unwrap AQE first: `executedPlan` is an `AdaptiveSparkPlanExec`
+    * leaf whose subtree a plain `collect` never enters — and query
+    * stages hide their children too — so the naive count reads 0 for
+    * any plan and a "no shuffle" assertion would be vacuous
+    * (code-review r10 finding).
+    */
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val here = p match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here + kids.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   /** Per-value appends guarantee every data file holds exactly one
     * partition value — the layout the eligibility proof requires.

@@ -513,6 +513,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("the appendFeed evolution guard is COMPATIBILITY-scoped: a " +
+    "mid-stream ADD COLUMN streams through (the pinned feed represents " +
+    "it fine), only rename/widen/drop of a streamed column fail") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    import graft.sources.SnapStore
+    import graft.streaming.SnapshotStream
+    val root = java.nio.file.Files.createTempDirectory("graft-snapaddevo")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    def batch(from: Long, until: Long) =
+      spark.range(from, until).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"),
+        concat(lit("v-"), col("id")).as("v"))
+    SnapStore.create(spark, t, batch(0, 10), "part")
+    val q = SnapshotStream.appendFeed(spark, t)
+      .writeStream.format("memory").queryName("snapaddevo_mem")
+      .option("checkpointLocation", root.resolve("ckpt").toString)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snapaddevo_mem").count() == 10)
+      // Mid-stream ADD COLUMN + an append carrying it: the running
+      // feed keeps streaming (started columns arrive intact; the new
+      // column is invisible to the pinned read schema — exactly the
+      // pre-guard behavior the compatibility check preserves).
+      SnapStore.addColumn(t,
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.LongType, nullable = true))
+      SnapStore.append(spark, t,
+        batch(100, 105).withColumn("score", col("id") * 2), "part")
+      q.processAllAvailable()
+      val got = spark.table("snapaddevo_mem")
+      assert(got.count() == 15,
+        "appends after a mid-stream ADD COLUMN must keep flowing")
+      assert(got.filter(col("v").isNull).count() == 0)
+    } finally q.stop()
+  }
+
   test("mid-stream rename fails loudly through the per-batch evolution " +
     "guard instead of nulling renamed appends") {
     import org.apache.spark.sql.functions.{col, concat, lit, pmod}
