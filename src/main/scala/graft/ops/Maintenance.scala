@@ -1804,26 +1804,7 @@ object Maintenance {
           |JOIN graft.maint.docs_spj_b b ON a.part = b.part
           |GROUP BY a.part ORDER BY a.part""".stripMargin)
       val rows = j.collect()
-      // Count exchanges in the FINAL plan, descending into the AQE
-      // wrapper and query stages — a plain collect on executedPlan
-      // sees only the AdaptiveSparkPlanExec leaf and reads 0 for any
-      // plan, making the claim vacuous (code-review r10 finding).
-      def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-        val here = p match {
-          case _: org.apache.spark.sql.execution.exchange
-            .ShuffleExchangeExec => 1
-          case _ => 0
-        }
-        val kids = p match {
-          case a: org.apache.spark.sql.execution.adaptive
-            .AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case q: org.apache.spark.sql.execution.adaptive
-            .QueryStageExec => Seq(q.plan)
-          case other => other.children
-        }
-        here + kids.map(exchanges).sum
-      }
-      val exch = exchanges(j.queryExecution.executedPlan)
+      val exch = exchangeCount(j.queryExecution.executedPlan)
       require(exch <= 1,
         s"storage-partitioned join must not shuffle the fact sides " +
           s"(found $exch exchanges):\n${j.queryExecution.executedPlan}")
@@ -1871,6 +1852,100 @@ object Maintenance {
        |WHERE doc_id % $nParts = 4 AND NOT doc_id % 3 = 0
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
+
+  /** Shuffle-exchange count in the FINAL physical plan, descending
+    * into the AQE wrapper and query stages — a plain collect on
+    * `executedPlan` sees only the `AdaptiveSparkPlanExec` leaf and
+    * reads 0 for ANY plan, making a "no shuffle" claim vacuous
+    * (code-review r10 finding).
+    */
+  private def exchangeCount(
+      p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    val here = p match {
+      case _: org.apache.spark.sql.execution.exchange
+        .ShuffleExchangeExec => 1
+      case _ => 0
+    }
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+        .AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive
+        .QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    here + kids.map(exchangeCount).sum
+  }
+
+  /** Bucketed SPJ lifecycle: two tables partitioned `bucket(4,
+    * doc_id)` (per-bucket commits → single-valued files on the
+    * bucket number), joined on the SOURCE column `doc_id` — the
+    * high-cardinality fact-fact join. The entry REQUIRES the
+    * shuffle-free plan like [[spjJoin]]; the oracle recomputes the
+    * join logically (bucket routing must not lose or duplicate any
+    * key pair).
+    */
+  def spjBucketJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsSpjBucket(s, dir)
+    val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = s.sql(
+        """SELECT COUNT(*) AS n_pairs, SUM(a.tok + b.tok) AS sum_tok,
+          |  MIN(a.doc_id) AS min_id, MAX(a.doc_id) AS max_id
+          |FROM graft.maint.docs_spjb_a a
+          |JOIN graft.maint.docs_spjb_b b ON a.doc_id = b.doc_id""".stripMargin)
+      val rows = j.collect()
+      val exch = exchangeCount(j.queryExecution.executedPlan)
+      require(exch <= 1,
+        s"bucketed SPJ must not shuffle the fact sides " +
+          s"(found $exch exchanges):\n${j.queryExecution.executedPlan}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  /** Co-bucketed fixture pair for [[spjBucketJoin]]: disjoint
+    * column-shapes over overlapping doc_id sets, written one BUCKET
+    * per commit so every file is single-valued on the bucket number.
+    */
+  def ensureDocsSpjBucket(s: SparkSession, dir: String): (Path, Path) =
+    synchronized {
+      val bexpr = pmod(hash(col("doc_id")), lit(4))
+      def build(name: String, rows: DataFrame): Path = {
+        val t = root(dir).resolve(name)
+        if (SnapStore.currentVersion(t).isEmpty) {
+          SnapStore.create(s, t, rows.filter(bexpr === 0),
+            "bucket(4,doc_id)")
+          (1 to 3).foreach(k =>
+            SnapStore.append(s, t, rows.filter(bexpr === k),
+              "bucket(4,doc_id)"))
+        }
+        t
+      }
+      val b = base(s, dir).select(col("doc_id"), col("tok"))
+      val ta = build("docs_spjb_a", b)
+      val tb = build("docs_spjb_b",
+        b.filter(pmod(col("doc_id"), lit(2L)) === 0))
+      mount(s, dir)
+      (ta, tb)
+    }
+
+  val spjBucketJoinOracle: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS tok
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id % 2 = 0)
+       |SELECT COUNT(*) AS n_pairs,
+       |  CAST(SUM(a.tok + b.tok) AS BIGINT) AS sum_tok,
+       |  MIN(a.doc_id) AS min_id, MAX(a.doc_id) AS max_id
+       |FROM a JOIN b ON a.doc_id = b.doc_id""".stripMargin
 
   val spjJoinOracle: String =
     s"""WITH a AS (
@@ -2022,6 +2097,10 @@ object Maintenance {
     Q("maint_partitions_deletes", partitionsDeleteDebt,
       Some(partitionsDeleteDebtOracle),
       ".partitions delete-debt columns: per-partition pending position/equality delete files"),
+    Q("maint_spj_bucket", spjBucketJoin, Some(spjBucketJoinOracle),
+      "bucketed storage-partitioned join: bucket(4,doc_id) tables " +
+        "join on doc_id shuffle-free through the FunctionCatalog " +
+        "bucket transform"),
     Q("maint_wap", wapPublish, Some(wapPublishOracle),
       "write-audit-publish: staged branch batches publish via " +
         "fast-forward only when the audit passes; rejected batches " +
