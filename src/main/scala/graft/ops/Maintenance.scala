@@ -1755,6 +1755,157 @@ object Maintenance {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** `docs_wapc`: the CONF-driven write-audit-publish lifecycle —
+    * Iceberg's `spark.wap.branch` face. With the session conf set, an
+    * UNMODIFIED catalog `INSERT INTO` stages on the conf's branch
+    * (which materializes at first write); the lifecycle PROVES main
+    * never moved, that a conf-routed read and `VERSION AS OF
+    * '<branch>'` both see the staged rows while a plain (conf-unset)
+    * read does not, audits the staged read, and publishes by
+    * fast-forward. Contrast [[ensureDocsWap]], which composes the
+    * same lifecycle from explicit branch verbs.
+    */
+  def ensureDocsWapConf(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_wapc")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol, keyCol = "doc_id")
+    mount(s, dir)
+    val confKey = "spark.graft.wap.branch"
+    if (SnapStore.branchHead(t, "audit").isEmpty &&
+      SnapStore.currentVersion(t).contains(1)) {
+      val old = s.conf.getOption(confKey)
+      s.conf.set(confKey, "audit")
+      try {
+        // +600000 preserves doc_id % 8, so staged rows keep their
+        // partition routing.
+        b.filter(pmod(col("doc_id"), lit(19L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 600000L)
+          .withColumn("source", lit("srcC"))
+          .withColumn("text", concat(col("text"), lit(" staged")))
+          .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .createOrReplaceTempView("wapc_batch")
+        s.sql("INSERT INTO graft.maint.docs_wapc SELECT * FROM wapc_batch")
+        // The staged write must NOT move main, and the conf-routed
+        // read must see the staged batch.
+        require(SnapStore.currentVersion(t).contains(1),
+          "WAP-conf INSERT moved main — staging is broken")
+        val staged = s.sql("SELECT COUNT(*) AS n FROM graft.maint.docs_wapc " +
+          "WHERE doc_id >= 600000").collect()(0).getLong(0)
+        require(staged > 0, "conf-routed read must serve the staged branch")
+      } finally old match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+      // With the conf unset: plain reads serve main (no staged rows),
+      // explicit branch time travel serves the staged state.
+      val plain = s.sql("SELECT COUNT(*) AS n FROM graft.maint.docs_wapc " +
+        "WHERE doc_id >= 600000").collect()(0).getLong(0)
+      require(plain == 0L,
+        s"staged rows leaked into a plain read ($plain rows)")
+      val tt = s.sql("SELECT COUNT(*) AS n FROM graft.maint.docs_wapc " +
+        "VERSION AS OF 'audit' WHERE doc_id >= 600000").collect()(0).getLong(0)
+      require(tt > 0, "VERSION AS OF '<branch>' must see the staged write")
+    }
+    if (SnapStore.currentVersion(t).contains(1) &&
+      SnapStore.branchHead(t, "audit").contains(2)) {
+      val bad = SnapStore.readBranch(s, t, "audit")
+        .filter(col("tok") <= 0 || col("text").isNull ||
+          length(col("text")) === 0).count()
+      require(bad == 0, s"WAP audit failed on staged batch: $bad bad rows")
+      SnapStore.fastForward(t, "audit")
+    }
+    t
+  }
+
+  /** Conf-driven write-audit-publish: main's contents after one
+    * staged-by-conf `INSERT INTO` published. The oracle recomputes
+    * base + the staged batch; the hash match plus the lifecycle's
+    * internal requires prove the conf staged without moving main and
+    * the publish landed exactly the audited rows.
+    */
+  def wapConfPublish(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsWapConf(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val wapConfPublishOracle: String =
+    s"""WITH live AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 600000, text || ' staged'
+       |  FROM documents WHERE doc_id % 19 = 0)
+       |SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM live
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** `docs_cfil`: FILTERED compaction (Iceberg
+    * `rewrite_data_files(where => …)`) — v1 deliberately fragmented
+    * create, then a `CALL graft.system.rewrite_data_files_where`
+    * scoped to `part <= 2`: in-scope files bin-pack, every file whose
+    * bounds sit entirely outside the predicate carries byte-identical
+    * under its original path. The lifecycle REQUIRES both structural
+    * facts; on a 100 TB table this is the only runnable form of
+    * compaction (rewrite the hot partitions, never touch the cold).
+    */
+  def ensureDocsCompactFiltered(s: SparkSession, dir: String): Path =
+    synchronized {
+      val t = root(dir).resolve("docs_cfil")
+      if (SnapStore.currentVersion(t).isEmpty)
+        SnapStore.create(s, t, base(s, dir), partCol, numFiles = 32,
+          clusterExprs = Seq(col(partCol), pmod(col("doc_id"), lit(4L))))
+      mount(s, dir)
+      if (SnapStore.currentVersion(t).contains(1)) {
+        val before = SnapStore.currentManifest(t)
+        val total = before.files.map(_.bytes).sum
+        s.sql("CALL graft.system.rewrite_data_files_where(" +
+          s"'maint.docs_cfil', ${total}L, 'part <= 2')")
+        val after = SnapStore.currentManifest(t)
+        val outside = before.files.filter(_.partMin.toLong > 2)
+        require(outside.nonEmpty, "fixture must have out-of-scope files")
+        val afterPaths = after.files.map(_.path).toSet
+        require(outside.forall(f => afterPaths(f.path)),
+          "out-of-scope files must carry under their original paths")
+        val inBefore = before.files.count(_.partMin.toLong <= 2)
+        val inAfter = after.files.count(_.partMin.toLong <= 2)
+        require(inAfter < inBefore,
+          s"in-scope files must bin-pack ($inBefore -> $inAfter)")
+      }
+      t
+    }
+
+  /** Filtered compaction: full-table contents after a predicate-
+    * scoped rewrite — the hash match proves the partial bin-pack
+    * changed LAYOUT only (no row lost, duplicated, or reordered into
+    * a different partition), while the lifecycle's requires pin the
+    * structural claim (out-of-scope files carried, in-scope packed).
+    */
+  def compactFiltered(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsCompactFiltered(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val compactFilteredOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Two co-partitioned tables for the storage-partitioned-join
     * lifecycle: disjoint document slices, written one partition value
     * per commit so every data file is PROVABLY single-valued — the
@@ -1815,6 +1966,143 @@ object Maintenance {
     }
   }
 
+  /** `docs_af`: the `.all_files` retention-set lifecycle — v1 create,
+    * v2 main append, then a branch fork taking its own append. The
+    * branch's exclusive files are referenced by NO main snapshot, so
+    * `.all_files` (live ∪ branch-referenced) strictly exceeds the
+    * current snapshot's `.files` — the set expiry and orphan sweeps
+    * must never delete.
+    */
+  def ensureDocsAllFiles(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_af")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol)
+    if (SnapStore.currentVersion(t).contains(1))
+      // +800000 preserves doc_id % 8.
+      SnapStore.append(s, t,
+        b.filter(pmod(col("doc_id"), lit(13L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 800000L), partCol)
+    if (SnapStore.branchHead(t, "side").isEmpty &&
+      SnapStore.currentVersion(t).contains(2))
+      SnapStore.createBranch(t, "side")
+    if (SnapStore.branchHead(t, "side").contains(1))
+      SnapStore.appendToBranch(s, t, "side",
+        b.filter(pmod(col("doc_id"), lit(23L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 900000L), partCol)
+    mount(s, dir)
+    t
+  }
+
+  /** `.all_files` metadata table: row totals of the FULL retention
+    * set vs the current snapshot — the branch's exclusive rows are
+    * exactly the difference. Pure manifest metadata, zero data IO;
+    * the oracle recomputes all three totals from the fixture logic.
+    */
+  def allFilesMeta(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsAllFiles(s, dir)
+    s.table("graft.maint.docs_af.all_files").agg(
+      sum(col("record_count")).as("all_rows"),
+      sum(when(col("in_current"), col("record_count")).otherwise(0L))
+        .as("live_rows"),
+      sum(when(!col("in_current"), col("record_count")).otherwise(0L))
+        .as("branch_only_rows"))
+  }
+
+  val allFilesMetaOracle: String =
+    s"""WITH c AS (SELECT COUNT(*) AS n FROM documents),
+       |a AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 13 = 0),
+       |b AS (SELECT COUNT(*) AS n FROM documents WHERE doc_id % 23 = 0)
+       |SELECT CAST(c.n + a.n + b.n AS BIGINT) AS all_rows,
+       |  CAST(c.n + a.n AS BIGINT) AS live_rows,
+       |  CAST(b.n AS BIGINT) AS branch_only_rows
+       |FROM c, a, b""".stripMargin
+
+  /** Co-partitioned fixture pair with MISMATCHED partition-value
+    * sets for the partially-clustered SPJ lifecycle: A covers parts
+    * 0..5, B covers 2..7 — each side holds values the other lacks,
+    * the layout a skewed or lagging fact-fact join actually has.
+    * Per-value commits keep every file provably single-valued.
+    */
+  def ensureDocsSpjPartial(s: SparkSession, dir: String): (Path, Path) =
+    synchronized {
+      def build(name: String, mod3: Long, lo: Long, hi: Long): Path = {
+        val t = root(dir).resolve(name)
+        if (SnapStore.currentVersion(t).isEmpty) {
+          val rows = base(s, dir)
+            .filter(pmod(col("doc_id"), lit(3L)) === mod3 &&
+              col(partCol) >= lo && col(partCol) <= hi)
+          SnapStore.create(s, t, rows.filter(col(partCol) === lo), partCol)
+          ((lo + 1) to hi).foreach(p =>
+            SnapStore.append(s, t, rows.filter(col(partCol) === p), partCol))
+        }
+        t
+      }
+      val ta = build("docs_spjp_a", 0L, 0L, 5L)
+      val tb = build("docs_spjp_b", 1L, 2L, 7L)
+      mount(s, dir)
+      (ta, tb)
+    }
+
+  /** Partially-clustered storage-partitioned join (SPARK-37377 +
+    * pushed partition values): the two sides' partition-value sets
+    * DIFFER, and under `pushPartValues.enabled` Spark aligns the
+    * union value set — missing groups plan as empty partitions — so
+    * the FULL OUTER join still runs with ZERO shuffles below the
+    * join. The entry REQUIRES that plan shape; the oracle recomputes
+    * the outer-complete join logically (every A-only and B-only
+    * partition must surface with the other side null).
+    */
+  def spjPartialJoin(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsSpjPartial(s, dir)
+    val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = s.sql(
+        """SELECT COALESCE(a.part, b.part) AS part,
+          |  COUNT(a.doc_id) AS n_a, COUNT(b.doc_id) AS n_b,
+          |  SUM(a.tok + b.tok) AS sum_tok
+          |FROM graft.maint.docs_spjp_a a
+          |FULL OUTER JOIN graft.maint.docs_spjp_b b ON a.part = b.part
+          |GROUP BY COALESCE(a.part, b.part)
+          |ORDER BY part""".stripMargin)
+      val rows = j.collect()
+      val below = graft.plans.PlanShape
+        .exchangesBelowJoin(j.queryExecution.executedPlan)
+      require(below.contains(0),
+        s"partially-clustered SPJ must not shuffle below the join " +
+          s"(found $below):\n${j.queryExecution.executedPlan}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val spjPartialJoinOracle: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, doc_id % $nParts AS part,
+       |    len(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0 AND doc_id % $nParts BETWEEN 0 AND 5),
+       |b AS (
+       |  SELECT doc_id, doc_id % $nParts AS part,
+       |    len(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |  WHERE doc_id % 3 = 1 AND doc_id % $nParts BETWEEN 2 AND 7)
+       |SELECT COALESCE(a.part, b.part) AS part,
+       |  COUNT(a.doc_id) AS n_a, COUNT(b.doc_id) AS n_b,
+       |  CAST(SUM(a.tok + b.tok) AS BIGINT) AS sum_tok
+       |FROM a FULL OUTER JOIN b ON a.part = b.part
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   /** Dynamic partition pruning through the native scan's runtime
     * filter face: a selective one-row dimension predicate reaches the
     * pending-MOR fact scan as a runtime IN-filter, pruning whole
@@ -1853,28 +2141,13 @@ object Maintenance {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
-  /** Shuffle-exchange count in the FINAL physical plan, descending
-    * into the AQE wrapper and query stages — a plain collect on
-    * `executedPlan` sees only the `AdaptiveSparkPlanExec` leaf and
-    * reads 0 for ANY plan, making a "no shuffle" claim vacuous
-    * (code-review r10 finding).
+  /** Shuffle-exchange count in the FINAL physical plan — the shared
+    * AQE-unwrapping walker ([[graft.plans.PlanShape.exchangeCount]]),
+    * the SAME definition SpjSpec asserts with (ADVICE r10).
     */
   private def exchangeCount(
-      p: org.apache.spark.sql.execution.SparkPlan): Int = {
-    val here = p match {
-      case _: org.apache.spark.sql.execution.exchange
-        .ShuffleExchangeExec => 1
-      case _ => 0
-    }
-    val kids = p match {
-      case a: org.apache.spark.sql.execution.adaptive
-        .AdaptiveSparkPlanExec => Seq(a.executedPlan)
-      case q: org.apache.spark.sql.execution.adaptive
-        .QueryStageExec => Seq(q.plan)
-      case other => other.children
-    }
-    here + kids.map(exchangeCount).sum
-  }
+      p: org.apache.spark.sql.execution.SparkPlan): Int =
+    graft.plans.PlanShape.exchangeCount(p)
 
   /** Bucketed SPJ lifecycle: two tables partitioned `bucket(4,
     * doc_id)` (per-bucket commits → single-valued files on the
@@ -2024,6 +2297,61 @@ object Maintenance {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** `Trigger.AvailableNow` + byte-capped admission over the native
+    * manifest feed (Iceberg's `max-bytes-per-micro-batch` and
+    * AvailableNow faces): the run drains exactly the snapshots
+    * present at start in MULTIPLE byte-limited micro-batches — the
+    * per-batch byte budget comes straight from manifest stats, zero
+    * IO — then terminates on its own. The entry REQUIRES
+    * self-termination and a genuinely split drain; the oracle
+    * recomputes the drained contents.
+    */
+  def streamAvailableNow(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = Files.createTempDirectory("graft-availnow-entry")
+    val b = base(s, dir)
+    def slice(k: Long) = b.filter(pmod(col("doc_id"), lit(5L)) === k)
+    val sink = s"maint_stream_availnow_${streamSeq.incrementAndGet()}"
+    try {
+      SnapStore.create(s, t, slice(0), partCol)
+      SnapStore.append(s, t, slice(1), partCol)
+      // Budget of ~2 files per batch: the 16-file feed must split.
+      val cap = SnapStore.currentManifest(t).files.map(_.bytes).max * 2
+      val q = graft.streaming.SnapshotStream
+        .nativeFeed(s, t, maxBytesPerTrigger = Some(cap))
+        .writeStream.format("memory").queryName(sink)
+        .option("checkpointLocation", t.resolve("_ckpt").toString)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        require(q.awaitTermination(120000L),
+          "AvailableNow run must drain and terminate on its own")
+        require(Option(q.lastProgress).exists(_.batchId >= 2),
+          "the byte cap must split the drain into multiple micro-batches")
+      } finally q.stop()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(t))
+        Files.walk(t).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+    }
+    s.table(sink)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val streamAvailableNowOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE doc_id % 5 IN (0, 1)
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -2105,16 +2433,37 @@ object Maintenance {
       "write-audit-publish: staged branch batches publish via " +
         "fast-forward only when the audit passes; rejected batches " +
         "drop whole"),
+    Q("maint_wap_conf", wapConfPublish, Some(wapConfPublishOracle),
+      "conf-driven WAP (spark.graft.wap.branch): an unmodified " +
+        "INSERT INTO stages on the conf's branch — main provably " +
+        "never moves until fast-forward publishes the audited batch"),
+    Q("maint_compact_filtered", compactFiltered, Some(compactFilteredOracle),
+      "filtered compaction (rewrite_data_files where => …): the " +
+        "predicate scopes the bin-pack to matching files, " +
+        "out-of-scope files carry byte-identical"),
     Q("maint_dpp_prune", dppPrune, Some(dppPruneOracle),
       "dynamic partition pruning: a selective dim join's runtime " +
         "filter prunes fact files by manifest bounds, MOR-composed"),
     Q("maint_spj_join", spjJoin, Some(spjJoinOracle),
       "storage-partitioned join: co-partitioned snap tables join " +
         "shuffle-free via reported KeyGroupedPartitioning"),
+    Q("maint_spj_partial", spjPartialJoin, Some(spjPartialJoinOracle),
+      "partially-clustered SPJ: mismatched partition-value sets " +
+        "align on the pushed union value set — full outer join with " +
+        "zero shuffles below the join, outer-complete rows"),
     Q("maint_stream_native", streamNative, Some(streamNativeOracle),
       "native streaming read: manifest-feed offsets serve appends " +
         "exactly once, a mid-stream rename rides through"),
+    Q("maint_stream_available_now", streamAvailableNow,
+      Some(streamAvailableNowOracle),
+      "Trigger.AvailableNow + maxBytesPerTrigger: byte-capped " +
+        "micro-batches drain exactly the present snapshots, then " +
+        "the run terminates on its own"),
     Q("maint_partitions", partitionsMeta, Some(partitionsMetaOracle),
       "partitions metadata table: per-partition file/row rollup from " +
-        "manifest bounds, zero data IO"))
+        "manifest bounds, zero data IO"),
+    Q("maint_all_files", allFilesMeta, Some(allFilesMetaOracle),
+      ".all_files metadata table: the live ∪ branch-referenced " +
+        "retention set, branch-exclusive rows exactly the difference " +
+        "from the current snapshot"))
 }

@@ -120,8 +120,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     mountedDir(db).map(_.resolve(name))
       .filter(SnapStore.isSnapTable)
       .map { dir =>
-        val m = resolved
-          .getOrElse(SnapStore.currentManifest(dir))
+        // Write-audit-publish conf routing (Iceberg's
+        // `spark.wap.branch`): with the session conf set, an
+        // UNMODIFIED read of the table serves the staging branch's
+        // head — the audit query reads the staged state without any
+        // `VERSION AS OF` rewrite — while explicit time travel
+        // (`resolved` is Some) and sessions without the conf keep
+        // reading main. A conf naming a branch this table doesn't
+        // have falls through to main (the Iceberg contract: the
+        // branch materializes at first write).
+        val m = resolved.getOrElse {
+          SnapStore.wapBranch(session)
+            .flatMap(b => SnapStore.branchHead(dir, b)
+              .map(v => SnapStore.branchManifest(dir, b, v)))
+            .getOrElse(SnapStore.currentManifest(dir))
+        }
         // A clean snapshot (no pending delete files, no evolution
         // that still applies to a live file) serves as a plain DSv2
         // ParquetTable file list — full pushdown, vectorized reads.
@@ -134,11 +147,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // keeps the full DML surface (SnapTable wraps both).
         val evoApplies = m.evos.nonEmpty &&
           m.files.exists(f => m.evos.exists(_.seq > f.seq))
-        // A storage-partitioned-join-eligible layout routes through
+        // A storage-partitioned-join-eligible LAYOUT routes through
         // the native scan even when clean: only that scan can report
         // KeyGroupedPartitioning (its clean path is the same
-        // vectorized ParquetTable delegate, so nothing is lost).
-        val spj = SnapSpj.eligibleKey(session, m).isDefined
+        // vectorized ParquetTable delegate, so nothing is lost). The
+        // session conf is deliberately NOT consulted here — the route
+        // is decided by layout alone, and the scan builder re-checks
+        // the conf at every scan build, so a mid-session conf flip
+        // takes effect without invalidating cached relations
+        // (ADVICE r10).
+        val spj = SnapSpj.layoutKey(m).isDefined
         val underlying: Table =
           if (m.deleteFiles.isEmpty && !evoApplies && !spj)
             ParquetTable(
@@ -245,6 +263,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new NoSuchTableException(ident))
         new PositionDeletesMetadataTable(
           s"$catalogName.$db.$table.position_deletes", dir)
+      // `db.table.all_files` — Iceberg's `table.all_files` surface:
+      // every file any live snapshot or branch references (the full
+      // retention set), flagged vs the current snapshot.
+      case Array(db, table) if ident.name() == "all_files" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new AllFilesMetadataTable(s"$catalogName.$db.$table.all_files", dir)
+      // `db.table.entries` — Iceberg's `table.entries` surface:
+      // per-manifest-entry status/content/sequence for the current
+      // snapshot, including entries the commit deleted.
+      case Array(db, table) if ident.name() == "entries" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new EntriesMetadataTable(s"$catalogName.$db.$table.entries", dir)
+      // `db.table.metadata_log_entries` — Iceberg's surface for the
+      // version log itself: stamped instants, manifest paths, head.
+      case Array(db, table) if ident.name() == "metadata_log_entries" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new MetadataLogMetadataTable(
+          s"$catalogName.$db.$table.metadata_log_entries", dir)
       case _ => throw new NoSuchTableException(ident)
     }
 
@@ -709,6 +751,131 @@ object PositionDeletesMetadataTable {
     StructField("seq", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
+/** `db.table.all_files` — Iceberg's `table.all_files` metadata
+  * surface: every data file referenced by ANY live snapshot or any
+  * branch version — the full retention set (what expiry and orphan
+  * sweeps must NOT delete), against the `.files` view of just the
+  * current snapshot. One row per DISTINCT path, flagged with whether
+  * the CURRENT main snapshot references it and how many live
+  * manifests (main versions + branch versions) do. Pure manifest
+  * metadata, zero data IO.
+  */
+final class AllFilesMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = AllFilesMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val mains = SnapStore.liveVersions(dir)
+      .map(v => SnapStore.manifest(dir, v))
+    val branches = SnapStore.listBranches(dir).flatMap(b =>
+      SnapStore.branchVersions(dir, b)
+        .flatMap(v => scala.util.Try(
+          SnapStore.branchManifest(dir, b, v)).toOption))
+    val curPaths = mains.lastOption.map(_.files.map(_.path).toSet)
+      .getOrElse(Set.empty[String])
+    (mains ++ branches).flatMap(m => m.files)
+      .groupBy(_.path).toSeq.sortBy(_._1)
+      .map { case (path, entries) =>
+        val f = entries.head
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](u(path), f.bytes, f.rows,
+            if (f.partMin.nonEmpty) u(f.partMin) else null,
+            if (f.partMax.nonEmpty) u(f.partMax) else null,
+            curPaths.contains(path), entries.size)):
+          org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
+  }
+}
+
+object AllFilesMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("record_count", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("partition_min", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("partition_max", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("in_current", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("ref_count", org.apache.spark.sql.types.IntegerType, nullable = false)))
+}
+
+/** `db.table.entries` — Iceberg's `table.entries` metadata surface:
+  * one row per manifest entry of the CURRENT snapshot, with the
+  * entry's status relative to the live parent (1 = added by this
+  * snapshot, 0 = existing/carried, 2 = deleted — present in the live
+  * parent but gone here), its content kind (0 = data, 1 = position
+  * deletes, 2 = equality deletes), and its commit sequence. Pure
+  * manifest metadata, zero data IO.
+  */
+final class EntriesMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = EntriesMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val cur = SnapStore.currentManifest(dir)
+    val parent = SnapStore.liveVersions(dir).filter(_ == cur.parent)
+      .headOption.map(v => SnapStore.manifest(dir, v))
+    def row(status: Int, content: Int, path: String, seq: Int,
+        records: Long): org.apache.spark.sql.catalyst.InternalRow =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](status, content, u(path), seq, records))
+    val curPaths = cur.files.map(_.path).toSet
+    val data = cur.files.map(f =>
+      row(if (f.seq == cur.version) 1 else 0, 0, f.path, f.seq, f.rows))
+    val dels = cur.deleteFiles.map(d =>
+      row(if (d.seq == cur.version) 1 else 0,
+        if (d.kind == "pos") 1 else 2, d.path, d.seq, d.rows))
+    val gone = parent.toSeq.flatMap(_.files)
+      .filterNot(f => curPaths(f.path))
+      .map(f => row(2, 0, f.path, f.seq, f.rows))
+    (data ++ dels ++ gone).toArray
+  }
+}
+
+object EntriesMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("status", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("content", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("seq", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("record_count", org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+/** `db.table.metadata_log_entries` — Iceberg's
+  * `table.metadata_log_entries` surface: the version log itself, one
+  * row per LIVE manifest file with its stamped commit instant, path,
+  * version, operation, and whether it is the current head. Pure
+  * manifest metadata, zero data IO.
+  */
+final class MetadataLogMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = MetadataLogMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val live = SnapStore.liveVersions(dir)
+    val head = live.lastOption.getOrElse(0)
+    live.map { v =>
+      val m = SnapStore.manifest(dir, v)
+      val instant =
+        if (m.instantMs > 0) m.instantMs
+        else SnapStore.commitInstantMs(dir, v) // legacy: mtime fallback
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](instant * 1000L,
+          u(SnapStore.manifestFileOf(dir, v).toString), v,
+          u(m.operation), v == head)):
+        org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
+  }
+}
+
+object MetadataLogMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("timestamp", org.apache.spark.sql.types.TimestampType, nullable = false),
+    StructField("file", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("operation", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("is_current", org.apache.spark.sql.types.BooleanType, nullable = false)))
+}
+
 /** `db.table.partitions` — Iceberg's `table.partitions` metadata
   * surface: the per-partition file/row/byte rollup an operator reads
   * to judge layout health (skewed partitions, small-file pressure).
@@ -818,8 +985,18 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
-      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
+        // Under a WAP staging conf the operation's SCAN is already
+        // branch-routed but the replace commit would land on MAIN —
+        // refuse loudly rather than tear the staged state (the
+        // conf-driven WAP surface stages `INSERT INTO`; run DML on
+        // main with the conf unset, or compose with the branch verbs).
+        SnapStore.wapBranch(SparkSession.active).foreach(b =>
+          throw new UnsupportedOperationException(
+            s"UPDATE/MERGE are not supported while spark.graft.wap.branch " +
+              s"is set (branch '$b') — unset the conf first"))
         new SnapRowLevelOperation(info.command(), underlying, dir)
+      }
     }
 
   override def name(): String = underlying.name()
@@ -843,6 +1020,12 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    // Same WAP guard as the row-level path: the COW delete commits
+    // to main, which a staging session must never move.
+    SnapStore.wapBranch(SparkSession.active).foreach(b =>
+      throw new UnsupportedOperationException(
+        s"DELETE is not supported while spark.graft.wap.branch is set " +
+          s"(branch '$b') — unset the conf first"))
     val cond = filters.toSeq.flatMap(SnapTable.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
@@ -876,9 +1059,28 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
                 val partCol =
                   if (cur.partCol.nonEmpty) cur.partCol
                   else cur.schema.fieldNames.head
-                if (replace || overwrite)
-                  SnapStore.overwrite(data.sparkSession, dir, data, partCol)
-                else SnapStore.append(data.sparkSession, dir, data, partCol)
+                SnapStore.wapBranch(data.sparkSession) match {
+                  // Write-audit-publish conf routing (Iceberg's
+                  // `spark.wap.branch`): an UNMODIFIED `INSERT INTO`
+                  // stages on the conf's branch — main never moves —
+                  // and the branch materializes at first write (fork
+                  // from the current main snapshot). Publish is the
+                  // existing audit + fast_forward surface.
+                  case Some(b) =>
+                    if (replace || overwrite)
+                      throw new UnsupportedOperationException(
+                        "INSERT OVERWRITE is not supported while " +
+                          s"spark.graft.wap.branch is set (branch '$b') — " +
+                          "unset the conf or overwrite the branch explicitly")
+                    if (SnapStore.branchHead(dir, b).isEmpty)
+                      SnapStore.createBranch(dir, b)
+                    SnapStore.appendToBranch(data.sparkSession, dir, b,
+                      data, partCol)
+                  case None =>
+                    if (replace || overwrite)
+                      SnapStore.overwrite(data.sparkSession, dir, data, partCol)
+                    else SnapStore.append(data.sparkSession, dir, data, partCol)
+                }
               }
             }
         }

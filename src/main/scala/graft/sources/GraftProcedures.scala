@@ -96,6 +96,26 @@ object GraftProcedures {
         val m = SnapStore.compact(spark, dir, cur.partCol, in.getLong(1))
         Array[Any](m.version, m.files.size)
       }),
+    // Iceberg rewrite_data_files(where => …): FILTERED bin-pack —
+    // the predicate scopes the rewrite to files whose manifest
+    // bounds may match; everything else carries byte-identical. On
+    // a 100 TB table this is the only runnable form of compaction
+    // (bin-pack the hot partitions, never touch the cold ones).
+    "rewrite_data_files_where" -> new Proc("rewrite_data_files_where",
+      Array(str("table"), lng("target_bytes"), str("where")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("data_files", IntegerType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val cur = SnapStore.currentManifest(dir)
+        require(cur.partCol.nonEmpty, "table has no partition spec")
+        val cond = org.apache.spark.sql.functions
+          .expr(in.getUTF8String(2).toString)
+        val m = SnapStore.compact(spark, dir, cur.partCol, in.getLong(1),
+          where = Some(cond))
+        Array[Any](m.version, m.files.size)
+      }),
     // Iceberg expire_snapshots(older_than, retain_last): age-based
     // expiry by commit instant (manifest mtime), newest retained.
     "expire_snapshots_older_than" -> new Proc("expire_snapshots_older_than",

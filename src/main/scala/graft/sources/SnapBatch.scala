@@ -222,8 +222,19 @@ private[graft] object SnapSpj {
       f.dataType == org.apache.spark.sql.types.DateType)
 
   def eligibleKey(spark: SparkSession,
-      m: SnapStore.Manifest): Option[SpjKey] = {
-    if (!sessionEnabled(spark) || m.partCol.isEmpty || m.files.isEmpty)
+      m: SnapStore.Manifest): Option[SpjKey] =
+    if (sessionEnabled(spark)) layoutKey(m) else None
+
+  /** The grouping this snapshot's LAYOUT could report, independent of
+    * the session conf — the routing predicate [[GraftCatalog]] uses
+    * at loadTable time. The conf is consulted at SCAN-BUILD time
+    * ([[eligibleKey]] inside `BridgedReadTable.newScanBuilder`), so a
+    * relation resolved under one conf value picks up a mid-session
+    * flip at its next scan instead of keeping a stale route
+    * (ADVICE r10).
+    */
+  def layoutKey(m: SnapStore.Manifest): Option[SpjKey] = {
+    if (m.partCol.isEmpty || m.files.isEmpty)
       return None
     import org.apache.spark.sql.connector.expressions.{Expressions => E}
     val key = PartTransforms.parse(m.partCol) match {

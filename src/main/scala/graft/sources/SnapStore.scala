@@ -153,6 +153,10 @@ object SnapStore {
   private def manifestPath(table: Path, v: Int): Path =
     snapDir(table).resolve(f"v$v%05d.manifest")
 
+  /** The on-disk manifest file of a live version — the
+    * `.metadata_log_entries` surface's `file` column. */
+  def manifestFileOf(table: Path, v: Int): Path = manifestPath(table, v)
+
   /** Is `dir` a snapshot table root? */
   def isSnapTable(dir: Path): Boolean = Files.isDirectory(snapDir(dir))
 
@@ -1037,7 +1041,7 @@ object SnapStore {
     */
   private[graft] def probeCandidates(spark: SparkSession, m: Manifest,
       cond: Column): Seq[FileEntry] = {
-    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression => CExpr, In => CIn}
+    import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression => CExpr, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     if (m.partCol.isEmpty) return m.files
     val spec = PartTransforms.parse(m.partCol)
@@ -1084,10 +1088,53 @@ object SnapStore {
       case CIn(a, vs) if attrIs(a) && vs.nonEmpty &&
           vs.forall(litVal(_).isDefined) => vs.map(litVal(_).get)
     }
-    values match {
+    // RANGE conjuncts on an IDENTITY source column prune by rendered
+    // bound comparison (the filtered-compaction `where part <= 2`
+    // face; also tightens range-predicate DML). Identity only: a
+    // transform need not be monotonic, so a source range does not
+    // bound the transformed partition value.
+    val rangePreds = scala.collection.mutable.Buffer.empty[FileEntry => Boolean]
+    if (spec.isInstanceOf[PartTransforms.Identity])
+      partOrdering(m.schema, m.partCol).foreach { o =>
+        def hi(v: Any, inc: Boolean): FileEntry => Boolean = {
+          val r = render(v)
+          f => if (inc) !o.gt(f.partMin, r) else o.lt(f.partMin, r)
+        }
+        def lo(v: Any, inc: Boolean): FileEntry => Boolean = {
+          val r = render(v)
+          f => if (inc) !o.lt(f.partMax, r) else o.gt(f.partMax, r)
+        }
+        conjuncts(condExpr).foreach {
+          case CLe(a, l) if attrIs(a) && litVal(l).isDefined =>
+            rangePreds += hi(litVal(l).get, inc = true)
+          case CLt(a, l) if attrIs(a) && litVal(l).isDefined =>
+            rangePreds += hi(litVal(l).get, inc = false)
+          case CGe(a, l) if attrIs(a) && litVal(l).isDefined =>
+            rangePreds += lo(litVal(l).get, inc = true)
+          case CGt(a, l) if attrIs(a) && litVal(l).isDefined =>
+            rangePreds += lo(litVal(l).get, inc = false)
+          case CLe(l, a) if attrIs(a) && litVal(l).isDefined =>
+            rangePreds += lo(litVal(l).get, inc = true)
+          case CLt(l, a) if attrIs(a) && litVal(l).isDefined =>
+            rangePreds += lo(litVal(l).get, inc = false)
+          case CGe(l, a) if attrIs(a) && litVal(l).isDefined =>
+            rangePreds += hi(litVal(l).get, inc = true)
+          case CGt(l, a) if attrIs(a) && litVal(l).isDefined =>
+            rangePreds += hi(litVal(l).get, inc = false)
+          case _ => ()
+        }
+      }
+    val eqPruned = values match {
       case Some(vs) => prunedFiles(m, vs)
       case None => m.files
     }
+    if (rangePreds.isEmpty) eqPruned
+    else eqPruned.filter(f =>
+      // Conservative keeps: stale-spec bounds, missing bounds, or an
+      // unparsable rendered bound under the current ordering.
+      (f.specCol.nonEmpty && f.specCol != m.partCol) ||
+        f.partMin.isEmpty || f.partMax.isEmpty ||
+        rangePreds.forall(p => try p(f) catch { case NonFatal(_) => true }))
   }
 
   // ----------------------------------------------------------------
@@ -1959,8 +2006,33 @@ object SnapStore {
     * with them.)
     */
   def compact(spark: SparkSession, table: Path, partCol: String,
-      targetBytes: Long): Manifest = withCommitRetry(table) { () =>
+      targetBytes: Long, where: Option[Column] = None): Manifest = {
+    // Legacy refs-less position-delete probes are commit-INDEPENDENT
+    // (a delete parquet is immutable once committed): memoize across
+    // retry attempts so a contended commit doesn't re-read every
+    // delete parquet per retry (VERDICT r10 #6).
+    val refsMemo = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def refsOf(d: DeleteFile): Seq[String] =
+      if (d.refs.nonEmpty) d.refs
+      else refsMemo.getOrElseUpdate(d.path,
+        spark.read.parquet(table.resolve(d.path).toString)
+          .select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSeq)
+    withCommitRetry(table) { () =>
     val cur = currentManifest(table)
+    // FILTERED compaction (Iceberg `rewrite_data_files(where => …)`):
+    // the predicate scopes the rewrite to the FILES whose manifest
+    // bounds may match — those rewrite whole (Iceberg's file-granular
+    // selection; conservative on unprunable shapes), every other file
+    // carries byte-identical. On a 100 TB table this is what makes
+    // compaction runnable at all: bin-pack the hot partitions the
+    // predicate names, never touch the cold ones.
+    val (scoped, outside) = where match {
+      case Some(c) =>
+        val cand = probeCandidates(spark, cur, c).map(_.path).toSet
+        cur.files.partition(f => cand(f.path))
+      case None => (cur.files, Seq.empty[FileEntry])
+    }
     val ord = partOrdering(cur.schema, partCol)
     // Partition-order sort may only trust bounds written UNDER the
     // current spec: after a spec evolution, old-spec files' rendered
@@ -1971,14 +2043,14 @@ object SnapStore {
     // correctness never (bins are layout, not contents).
     val sorted = ord match {
       case Some(o) =>
-        val (trusted, untrusted) = cur.files.partition(f =>
+        val (trusted, untrusted) = scoped.partition(f =>
           f.specCol.isEmpty || f.specCol == partCol)
         val trustedSorted =
           try trusted.sortBy(f => (f.partMin, f.path))(
             Ordering.Tuple2(o, Ordering.String))
           catch { case NonFatal(_) => trusted.sortBy(_.path) }
         untrusted.sortBy(_.path) ++ trustedSorted
-      case None => cur.files.sortBy(_.path)
+      case None => scoped.sortBy(_.path)
     }
     val bins = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[FileEntry])
@@ -1988,7 +2060,9 @@ object SnapStore {
       bins.last += f
     }
     val v = cur.version + 1
-    val carried = bins.filter(_.size == 1).flatten.toSeq
+    // Out-of-scope files carry exactly like single-file bins: same
+    // path, same stats, same sequence — byte-identical on disk.
+    val carried = outside ++ bins.filter(_.size == 1).flatten.toSeq
     val multis = bins.filter(_.size > 1).map(_.toSeq).toSeq
     val rewritten: Seq[FileEntry] =
       if (multis.isEmpty) Seq.empty
@@ -2044,20 +2118,14 @@ object SnapStore {
     val carriedNames = carried.map(f => fileName(f.path)).toSet
     val keptDeletes = cur.deleteFiles.filter { d =>
       if (d.kind == "eq") carried.exists(_.seq < d.seq)
-      else {
-        val refs =
-          if (d.refs.nonEmpty) d.refs
-          else spark.read.parquet(table.resolve(d.path).toString)
-            .select(col("file")).distinct()
-            .collect().map(_.getString(0)).toSeq
-        refs.exists(carriedNames)
-      }
+      else refsOf(d).exists(carriedNames)
     }
     val m = Manifest(v, cur.version, "compact", cur.schema,
       carried ++ rewritten.map(_.copy(seq = v)),
       if (cur.partCol.nonEmpty) cur.partCol else partCol, keptDeletes,
       cur.keyCol, cur.evos)
     (m, rewritten, tryCommitManifest(table, m))
+    }
   }
 
   /** Partition-spec evolution — Iceberg's headline storage feature:
@@ -2458,6 +2526,19 @@ object SnapStore {
   // file live.
 
   private val BranchName = "[A-Za-z0-9_]+"
+
+  /** The session's write-audit-publish staging branch, if any —
+    * Iceberg's `spark.wap.branch` conf face (the graft-prefixed key
+    * wins; the bare Iceberg key is honored so an unmodified WAP
+    * workload routes too). When set, UNMODIFIED catalog reads and
+    * `INSERT INTO` writes route to this branch: writes stage without
+    * touching main, the audit reads the staged state, and
+    * `fast_forward` publishes — the conf-driven form of the composed
+    * lifecycle in [[graft.ops.Maintenance.ensureDocsWap]].
+    */
+  def wapBranch(spark: SparkSession): Option[String] =
+    Seq("spark.graft.wap.branch", "spark.wap.branch")
+      .flatMap(k => spark.conf.getOption(k)).find(_.nonEmpty)
 
   private def branchManifestPath(table: Path, name: String, v: Int): Path =
     snapDir(table).resolve(f"branch-$name-v$v%05d.manifest")

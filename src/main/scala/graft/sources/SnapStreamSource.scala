@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expressi
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,8 +44,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    post-start DROP fails the trigger with the evolve error, and a
   *    replace-style commit (merge/delete/compact/MOR) fails the
   *    append-only contract check — never silent wrong rows.
-  *  - **Rate limiting**: `maxFilesPerTrigger` bounds each batch, the
-  *    admission-control face of Iceberg's streaming read.
+  *  - **Rate limiting**: `maxFilesPerTrigger` and
+  *    `maxBytesPerTrigger` bound each batch (composable — the most
+  *    restrictive wins; byte budgets come straight from manifest
+  *    stats, zero IO), and `Trigger.AvailableNow` drains exactly the
+  *    snapshots present at start then stops — the admission-control
+  *    faces of Iceberg's streaming read (`max-files-per-micro-batch`,
+  *    `max-bytes-per-micro-batch`).
   *
   * Reference face: Iceberg's `SparkMicroBatchStream` (the streaming
   * read inside the runtime `spark_submit_with_analytics_core.sh`
@@ -65,9 +70,10 @@ class SnapStreamSource extends TableProvider {
     val opts = new CaseInsensitiveStringMap(properties)
     val dir = dirOf(opts)
     val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
+    val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.toLong)
     val skipDeletes = Option(opts.get("skipDeleteSnapshots"))
       .exists(_.toBoolean)
-    new SnapStreamTable(dir, schema, maxFiles, skipDeletes)
+    new SnapStreamTable(dir, schema, maxFiles, maxBytes, skipDeletes)
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -75,6 +81,7 @@ class SnapStreamSource extends TableProvider {
 
 final class SnapStreamTable(dir: java.nio.file.Path,
     startSchema: StructType, maxFiles: Option[Int],
+    maxBytes: Option[Long] = None,
     skipDeletes: Boolean = false)
     extends Table with SupportsRead {
   override def name(): String = s"graft-snap-stream-${dir.getFileName}"
@@ -94,7 +101,7 @@ final class SnapStreamTable(dir: java.nio.file.Path,
           require(m.schema == startSchema,
             s"table $dir evolved during stream construction — restart")
           new SnapMicroBatchStream(SparkSession.active, dir, startSchema,
-            m.version, maxFiles, skipDeletes)
+            m.version, maxFiles, maxBytes, skipDeletes)
         }
         override def description(): String =
           s"graft-snap-stream $dir"
@@ -118,8 +125,9 @@ private final case class SnapStreamPartition(
 
 final class SnapMicroBatchStream(spark: SparkSession,
     dir: java.nio.file.Path, startSchema: StructType, startVersion: Int,
-    maxFiles: Option[Int], skipDeletes: Boolean = false)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    maxFiles: Option[Int], maxBytes: Option[Long] = None,
+    skipDeletes: Boolean = false)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   import graft.streaming.SnapshotStream.appendOnly
 
@@ -142,17 +150,29 @@ final class SnapMicroBatchStream(spark: SparkSession,
   private var checkedThrough = 0
 
   private def requireStreamable(): SnapStore.Manifest = {
-    val vs = SnapStore.liveVersions(dir)
-    vs.filter(_ > checkedThrough).foreach { v =>
-      val op = SnapStore.operationOf(dir, v)
-      require(appendOnly(op) || (skipDeletes && deleteOnly(op)),
-        s"streaming read requires append-only history; snapshot $v is " +
-          s"'$op'" + (if (!skipDeletes && deleteOnly(op))
-            " (set skipDeleteSnapshots=true to stream past " +
-              "delete-file-only commits)" else ""))
-    }
-    checkedThrough = vs.lastOption.getOrElse(0)
-    SnapStore.currentManifest(dir)
+    // Read the manifest FIRST, then validate the history up to AND
+    // INCLUDING its version from a listing taken after it — the other
+    // order (validate a version listing, then separately read the
+    // current manifest) lets a replace-style commit land between the
+    // two reads and return a manifest whose rewritten file list was
+    // never checked, silently reordering the (seq, path) feed for one
+    // trigger (ADVICE r10). Commits are sequential, so every version
+    // <= m.version is already installed when the post-read listing
+    // runs; versions ABOVE m.version validate on the trigger that
+    // serves them.
+    val m = SnapStore.currentManifest(dir)
+    SnapStore.liveVersions(dir)
+      .filter(v => v > checkedThrough && v <= m.version)
+      .foreach { v =>
+        val op = SnapStore.operationOf(dir, v)
+        require(appendOnly(op) || (skipDeletes && deleteOnly(op)),
+          s"streaming read requires append-only history; snapshot $v is " +
+            s"'$op'" + (if (!skipDeletes && deleteOnly(op))
+              " (set skipDeleteSnapshots=true to stream past " +
+                "delete-file-only commits)" else ""))
+      }
+    checkedThrough = math.max(checkedThrough, m.version)
+    m
   }
 
   /** The feed order: current files by `(seq, path)` — append-only
@@ -167,21 +187,59 @@ final class SnapMicroBatchStream(spark: SparkSession,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
-  override def getDefaultReadLimit: ReadLimit =
-    maxFiles.map(n => ReadLimit.maxFiles(n)).getOrElse(ReadLimit.allAvailable())
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFiles.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytes.map(b => ReadLimit.maxBytes(b)).toSeq
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  /** `Trigger.AvailableNow` (Iceberg streams support it too): the end
+    * offset is pinned at prepare time, Spark then drains up to it in
+    * rate-limited batches and stops — snapshots committed after the
+    * prepare are NOT served this run.
+    */
+  private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(feed(requireStreamable()).size.toLong)
 
   override def latestOffset(): Offset =
     throw new IllegalStateException(
       "latestOffset(Offset, ReadLimit) should be called instead")
 
+  /** One ReadLimit's cap on the next end index, from the feed's file
+    * sizes (manifest stats — no IO). Bytes admit whole files while
+    * the budget holds, ALWAYS at least one (progress guarantee, the
+    * file-source/Iceberg `max-bytes-per-trigger` contract: a file
+    * larger than the budget still streams, alone). Composite = the
+    * most restrictive of its members.
+    */
+  private def capFor(files: Seq[SnapStore.FileEntry], s: Long,
+      limit: ReadLimit): Long = limit match {
+    case f: ReadMaxFiles => math.min(files.size.toLong, s + f.maxFiles())
+    case b: ReadMaxBytes =>
+      var i = s.toInt
+      var acc = 0L
+      while (i < files.size &&
+        (i == s.toInt || acc + files(i).bytes <= b.maxBytes())) {
+        acc += files(i).bytes
+        i += 1
+      }
+      i.toLong
+    case c: CompositeReadLimit =>
+      c.getReadLimits.map(l => capFor(files, s, l)).min
+    case _ => files.size.toLong
+  }
+
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val total = feed(requireStreamable()).size.toLong
+    val files = feed(requireStreamable())
     val s = start.asInstanceOf[SnapStreamOffset].index
-    val capped = limit match {
-      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
-        math.min(total, s + f.maxFiles())
-      case _ => total
-    }
+    val capped = math.min(capFor(files, s, limit),
+      availableNowEnd.getOrElse(Long.MaxValue))
     SnapStreamOffset(math.max(s, capped))
   }
 

@@ -183,10 +183,12 @@ object SnapshotStream {
     */
   def nativeFeed(spark: SparkSession, table: Path,
       maxFilesPerTrigger: Option[Int] = None,
-      skipDeleteSnapshots: Boolean = false): DataFrame = {
+      skipDeleteSnapshots: Boolean = false,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream.format("graft.sources.SnapStreamSource")
       .option("dir", table.toAbsolutePath.toString)
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    maxBytesPerTrigger.foreach(b => r.option("maxBytesPerTrigger", b))
     if (skipDeleteSnapshots) r.option("skipDeleteSnapshots", "true")
     r.load()
   }

@@ -2656,6 +2656,147 @@ class MaintenanceSpec extends SparkSpec {
     assert(after == expected)
   }
 
+  test("filtered compaction rewrites only predicate-matching files " +
+    "(out-of-scope mtimes unchanged) and delete retirement stays " +
+    "correct under the partial rewrite") {
+    val t = freshTable("cfil")
+    SnapStore.create(spark, t, docs, "part", numFiles = 32,
+      clusterExprs = Seq(col("part"), pmod(col("doc_id"), lit(4L))),
+      keyCol = "doc_id")
+    // MOR debt on BOTH sides of the predicate: an equality delete
+    // whose keys live in part 5 (OUT of scope — its files carry, so
+    // it must survive and keep applying) and a position delete on
+    // part 1 (IN scope — its referenced files all rewrite
+    // delete-aware, so it retires while its rows stay suppressed).
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(col("part") === 5 && pmod(col("doc_id"), lit(9L)) === 0)
+        .select(col("doc_id")), "doc_id")
+    SnapStore.deletePositions(spark, t,
+      col("part") === 1 && pmod(col("doc_id"), lit(7L)) === 0)
+    val before = SnapStore.currentManifest(t)
+    assert(before.deleteFiles.exists(_.kind == "eq") &&
+      before.deleteFiles.exists(_.kind == "pos"), "fixture needs both kinds")
+    val expected = SnapStore.read(spark, t)
+      .groupBy(col("part")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mtimes = before.files.map(f =>
+      f.path -> Files.getLastModifiedTime(t.resolve(f.path))).toMap
+
+    val total = before.files.map(_.bytes).sum
+    SnapStore.compact(spark, t, "part", targetBytes = total,
+      where = Some(col("part") <= 2))
+    val after = SnapStore.currentManifest(t)
+
+    // Every file whose bounds sit entirely outside the predicate
+    // carries under its original path, byte-identical (same mtime).
+    val outside = before.files.filter(_.partMin.toLong > 2)
+    assert(outside.nonEmpty, "fixture must have out-of-scope files")
+    outside.foreach { f =>
+      assert(after.files.exists(_.path == f.path),
+        s"out-of-scope ${f.path} must carry")
+      assert(Files.getLastModifiedTime(t.resolve(f.path)) == mtimes(f.path),
+        s"out-of-scope ${f.path} must not be rewritten")
+    }
+    // In-scope files bin-packed.
+    assert(after.files.count(_.partMin.toLong <= 2) <
+      before.files.count(_.partMin.toLong <= 2),
+      "in-scope files must bin-pack")
+    // Delete retirement under the PARTIAL rewrite: the out-of-scope
+    // equality delete survives (carried lower-seq files remain), the
+    // in-scope position delete retires (every referenced file was
+    // rewritten delete-aware).
+    assert(after.deleteFiles.exists(_.kind == "eq"),
+      "eq delete scoped to carried files must survive")
+    assert(!after.deleteFiles.exists(_.kind == "pos"),
+      "pos delete over fully-rewritten files must retire")
+    // Contents identical, suppression preserved on both sides.
+    val got = SnapStore.read(spark, t)
+      .groupBy(col("part")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"contents changed: $got vs $expected")
+  }
+
+  test(".all_files, .entries, and .metadata_log_entries metadata " +
+    "tables: retention set spans branches, entry statuses track " +
+    "added/existing/deleted, the version log reports the live chain") {
+    val dir = Files.createTempDirectory("graft-metatables")
+    dir.toFile.deleteOnExit()
+    val t = dir.resolve("t")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")      // v1
+    SnapStore.append(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 800000L), "part")      // v2
+    SnapStore.createBranch(t, "side")
+    SnapStore.appendToBranch(spark, t, "side",
+      docs.filter(pmod(col("doc_id"), lit(23L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 900000L), "part")
+    // v3: COW delete replaces part-1 files — .entries must report the
+    // replacements ADDED, the carried files EXISTING, and the
+    // replaced part-1 files DELETED.
+    SnapStore.deleteWhere(spark, t,
+      col("part") === 1 && pmod(col("doc_id"), lit(5L)) === 0)
+    val v2 = SnapStore.manifest(t, 2)
+    val v3 = SnapStore.currentManifest(t)
+
+    spark.conf.set("spark.graft.catalog.dir.metat", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+
+    // .entries against the manifests directly.
+    val entries = spark.table("graft.metat.t.entries").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val curPaths = v3.files.map(_.path).toSet
+    val added = entries.filter(e => e._1 == 1 && e._2 == 0).map(_._3).toSet
+    val existing = entries.filter(e => e._1 == 0 && e._2 == 0).map(_._3).toSet
+    val deleted = entries.filter(_._1 == 2).map(_._3).toSet
+    assert(added == v3.files.filter(_.seq == 3).map(_.path).toSet,
+      "ADDED = files this commit wrote")
+    assert(existing == v3.files.filter(_.seq < 3).map(_.path).toSet,
+      "EXISTING = carried files")
+    assert(deleted == v2.files.map(_.path).toSet.diff(curPaths),
+      "DELETED = parent files the commit replaced")
+    assert(deleted.nonEmpty, "the COW delete must have replaced files")
+
+    // A MOR equality delete commit (v4) surfaces as an ADDED
+    // content=2 entry while every data file reads EXISTING.
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(col("part") === 2 && pmod(col("doc_id"), lit(11L)) === 0)
+        .select(col("doc_id")), "doc_id")
+    val e4 = spark.table("graft.metat.t.entries").collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(e4.exists(e => e._1 == 1 && e._2 == 2),
+      "the eq-delete file must report ADDED with content=2")
+    assert(e4.filter(_._2 == 0).forall(_._1 != 1),
+      "a delete-file commit adds no data files")
+
+    // .all_files: the branch's exclusive files are in the retention
+    // set but not the current snapshot; replaced part-1 files stay
+    // (older snapshots still reference them).
+    val af = spark.table("graft.metat.t.all_files").collect()
+      .map(r => (r.getString(0), r.getBoolean(5), r.getInt(6))).toSeq
+    val afPaths = af.map(_._1).toSet
+    assert(curPaths.subsetOf(afPaths), "all_files must cover the current set")
+    assert(deleted.subsetOf(afPaths),
+      "files older snapshots reference must stay in the retention set")
+    val branchOnly = af.filter(!_._2).map(_._1).toSet
+    assert(deleted.subsetOf(branchOnly))
+    assert(branchOnly.exists(p => !deleted(p)),
+      "the branch's exclusive files must be in the set, not current")
+    assert(af.filter(f => curPaths(f._1) && v3.files
+        .exists(x => x.path == f._1 && x.seq == 1)).forall(_._3 >= 3),
+      "v1 files are referenced by v1, v2, v3 (and the branch fork)")
+
+    // .metadata_log_entries: the live chain, stamped instants, head.
+    val log = spark.table("graft.metat.t.metadata_log_entries").collect()
+      .map(r => (r.getInt(2), r.getString(3), r.getBoolean(4)))
+    assert(log.map(_._1).toSeq.sorted == SnapStore.liveVersions(t),
+      "one row per live version")
+    assert(log.filter(_._3).map(_._1).toSeq ==
+      Seq(SnapStore.currentManifest(t).version), "head flagged once")
+    assert(log.find(_._1 == 4).exists(_._2 == "delete-mor"),
+      "operations ride the log")
+  }
+
   test("registered lifecycle is idempotent: re-running entries " +
     "re-reads the same final snapshots") {
     val a = ops.Maintenance.mergeUpsert(spark, sf).collect()

@@ -19,30 +19,15 @@ import graft.sources.SnapStore
   */
 class SpjSpec extends SparkSpec {
 
-  /** Exchange count in the FINAL physical plan. Must materialize and
-    * unwrap AQE first: `executedPlan` is an `AdaptiveSparkPlanExec`
-    * leaf whose subtree a plain `collect` never enters — and query
-    * stages hide their children too — so the naive count reads 0 for
-    * any plan and a "no shuffle" assertion would be vacuous
-    * (code-review r10 finding).
+  /** Exchange count in the FINAL physical plan — materialize, then
+    * the SHARED AQE-unwrapping walker the registry entries also gate
+    * on ([[graft.plans.PlanShape.exchangeCount]]; ADVICE r10: one
+    * definition of "no shuffle" for both the bench entries and this
+    * spec).
     */
   private def shuffles(df: DataFrame): Int = {
     df.collect()
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
-      val here = p match {
-        case _: ShuffleExchangeExec => 1
-        case _ => 0
-      }
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive
-          .AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case q: org.apache.spark.sql.execution.adaptive
-          .QueryStageExec => Seq(q.plan)
-        case other => other.children
-      }
-      here + kids.map(walk).sum
-    }
-    walk(df.queryExecution.executedPlan)
+    graft.plans.PlanShape.exchangeCount(df.queryExecution.executedPlan)
   }
 
   /** Per-value appends guarantee every data file holds exactly one
@@ -312,6 +297,73 @@ class SpjSpec extends SparkSpec {
       assert(shuffles(j) <= 1,
         s"MOR debt must not reintroduce the join shuffle:\n" +
           j.queryExecution.executedPlan)
+    }
+  }
+
+  test("partially-clustered SPJ: MISMATCHED partition-value sets join " +
+    "shuffle-free under pushPartValues with outer-complete rows; " +
+    "without the conf the plan degrades to shuffles, never to wrong " +
+    "rows") {
+    val dir = Files.createTempDirectory("graft-spjpart")
+    dir.toFile.deleteOnExit()
+    // A covers parts 0..5, B covers 2..7: overlap {2..5}, and EACH
+    // side holds values the other lacks — the layout a skewed or
+    // lagging 100-TB fact-fact join actually has.
+    def mk(name: String, lo: Long, hi: Long, valCol: String): Unit = {
+      val t = dir.resolve(name)
+      val rows = spark.range(0, 400).select(col("id"),
+        pmod(col("id"), lit(8L)).as("part"),
+        (col("id") * 3).as(valCol))
+        .filter(col("part") >= lo && col("part") <= hi)
+      SnapStore.create(spark, t, rows.filter(col("part") === lo), "part")
+      ((lo + 1) to hi).foreach(p =>
+        SnapStore.append(spark, t, rows.filter(col("part") === p), "part"))
+    }
+    mk("ta", 0, 5, "x")
+    mk("tb", 2, 7, "y")
+    spark.conf.set("spark.graft.catalog.dir.spjpart", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val joinSql =
+      """SELECT COALESCE(a.part, b.part) AS part,
+        |  COUNT(a.id) AS n_a, COUNT(b.id) AS n_b, SUM(a.x + b.y) AS s
+        |FROM graft.spjpart.ta a FULL OUTER JOIN graft.spjpart.tb b
+        |  ON a.part = b.part
+        |GROUP BY COALESCE(a.part, b.part) ORDER BY part""".stripMargin
+    // Baseline (conf off): normal shuffled plan is the oracle.
+    val expected = spark.sql(joinSql).collect().toSeq
+    assert(expected.size == 8, "outer-complete: all 8 parts present")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.catalog.clearCache()
+      val j = spark.sql(joinSql)
+      val got = j.collect().toSeq
+      assert(got == expected, "pushed-part-values join must match the " +
+        s"shuffled plan:\n$got\nvs\n$expected")
+      j.collect()
+      val below = graft.plans.PlanShape
+        .exchangesBelowJoin(j.queryExecution.executedPlan)
+      assert(below.contains(0),
+        s"mismatched value sets must still join with ZERO scan-side " +
+          s"shuffles (got $below):\n${j.queryExecution.executedPlan}")
+    }
+    // Degrade path: grouping reported but pushPartValues OFF — Spark
+    // cannot align mismatched value sets, falls back to shuffles,
+    // rows stay correct.
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.catalog.clearCache()
+      val j = spark.sql(joinSql)
+      assert(j.collect().toSeq == expected)
+      val below = graft.plans.PlanShape
+        .exchangesBelowJoin(j.queryExecution.executedPlan)
+      assert(below.exists(_ > 0),
+        "without pushPartValues the mismatched layouts must fall back " +
+          s"to shuffles:\n${j.queryExecution.executedPlan}")
     }
   }
 }

@@ -789,6 +789,74 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("native feed Trigger.AvailableNow drains exactly the snapshots " +
+    "present at start in byte-capped batches then terminates; a " +
+    "mid-run append waits for the next run") {
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod}
+    import graft.sources.SnapStore
+    import graft.streaming.SnapshotStream
+    val root = java.nio.file.Files.createTempDirectory("graft-availnow")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    def batch(from: Long, until: Long) =
+      spark.range(from, until).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"),
+        concat(lit("v-"), col("id")).as("v"))
+    SnapStore.create(spark, t, batch(0, 20), "part")
+    SnapStore.append(spark, t, batch(20, 40), "part")
+    // ~2 files of budget per batch: the 16-file feed must split into
+    // several micro-batches (byte sizes straight from the manifest).
+    val cap = SnapStore.currentManifest(t).files.map(_.bytes).max * 2
+    val out = root.resolve("out").toString
+    val ckpt = root.resolve("ckpt").toString
+    def outCount() = spark.read.parquet(out).count()
+    // foreachBatch so batch 0 can commit an append WHILE the run is
+    // draining: AvailableNow pinned its end offset at prepare time,
+    // so the mid-run append must NOT be served by this run.
+    val appended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q = SnapshotStream.nativeFeed(spark, t,
+      maxBytesPerTrigger = Some(cap))
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        df.write.mode("append").parquet(out)
+        if (appended.compareAndSet(false, true))
+          SnapStore.append(spark, t, batch(100, 110), "part")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q.awaitTermination(120000L),
+        "AvailableNow must drain and terminate on its own")
+      val progressed = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+      assert(progressed.length > 1,
+        s"maxBytesPerTrigger must split the drain: ${progressed.toSeq}")
+      assert(outCount() == 40,
+        "the run must serve exactly the snapshots present at start — " +
+          s"mid-run append excluded, got ${outCount()}")
+    } finally q.stop()
+    // The next AvailableNow run on the same checkpoint serves exactly
+    // the mid-run append, once.
+    val q2 = SnapshotStream.nativeFeed(spark, t)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        df.write.mode("append").parquet(out): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      assert(q2.awaitTermination(120000L), "second run must terminate")
+      assert(outCount() == 50,
+        s"restart must serve exactly the new append: ${outCount()}")
+      assert(spark.read.parquet(out).select("id").distinct().count() == 50,
+        "no duplicates across runs")
+    } finally q2.stop()
+  }
+
   test("dropDuplicatesWithinWatermark re-admits a key after state eviction") {
     import SparkSpec.spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
