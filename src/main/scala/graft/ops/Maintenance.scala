@@ -1966,6 +1966,49 @@ object Maintenance {
     }
   }
 
+  /** `docs_clm`: changelog over a MOR equality-delete commit — v1
+    * create, v2 a pure delete-file commit (every seventh doc of
+    * partition 6). The changelog nets v1→v2 into DELETE rows straight
+    * from the manifest-listed keys, reading only key-bounds-matching
+    * files — no table rewrite, no applyDeletes fold first.
+    */
+  def ensureDocsChangelogMor(s: SparkSession, dir: String): Path =
+    synchronized {
+      val t = root(dir).resolve("docs_clm")
+      if (SnapStore.currentVersion(t).isEmpty)
+        SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+      if (SnapStore.currentVersion(t).contains(1))
+        SnapStore.deleteEquality(s, t,
+          base(s, dir).filter(col(partCol) === 6 &&
+            pmod(col("doc_id"), lit(7L)) === 0).select(col("doc_id")),
+          "doc_id")
+      mount(s, dir)
+      t
+    }
+
+  /** Changelog netting of a MOR delete commit: the v1→v2 changelog of
+    * a delete-file-only commit — every row surfaces as a DELETE with
+    * the full pre-image contents, nothing else. The oracle recomputes
+    * the deleted slice; a hash match proves the netting emitted
+    * exactly the suppressed rows.
+    */
+  def changelogMor(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsChangelogMor(s, dir)
+    SnapStore.changelogRead(s, t, 1, 2)
+      .groupBy(col("_change_type"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("_change_type"))
+  }
+
+  val changelogMorOracle: String =
+    s"""SELECT 'DELETE' AS _change_type, COUNT(*) AS n_rows,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE doc_id % $nParts = 6 AND doc_id % 7 = 0""".stripMargin
+
   /** `docs_af`: the `.all_files` retention-set lifecycle — v1 create,
     * v2 main append, then a branch fork taking its own append. The
     * branch's exclusive files are referenced by NO main snapshot, so
@@ -2315,8 +2358,10 @@ object Maintenance {
     try {
       SnapStore.create(s, t, slice(0), partCol)
       SnapStore.append(s, t, slice(1), partCol)
-      // Budget of ~2 files per batch: the 16-file feed must split.
-      val cap = SnapStore.currentManifest(t).files.map(_.bytes).max * 2
+      // Budget of ~a third of the feed per batch: the drain must
+      // genuinely split (>=3 batches) without paying per-trigger
+      // overhead 8 times in the bench.
+      val cap = SnapStore.currentManifest(t).files.map(_.bytes).sum / 3
       val q = graft.streaming.SnapshotStream
         .nativeFeed(s, t, maxBytesPerTrigger = Some(cap))
         .writeStream.format("memory").queryName(sink)
@@ -2465,5 +2510,9 @@ object Maintenance {
     Q("maint_all_files", allFilesMeta, Some(allFilesMetaOracle),
       ".all_files metadata table: the live ∪ branch-referenced " +
         "retention set, branch-exclusive rows exactly the difference " +
-        "from the current snapshot"))
+        "from the current snapshot"),
+    Q("maint_changelog_mor", changelogMor, Some(changelogMorOracle),
+      "changelog over a MOR eq-delete commit: manifest keys net into " +
+        "DELETE pre-image rows from key-bounds-matching files only, " +
+        "no applyDeletes fold"))
 }

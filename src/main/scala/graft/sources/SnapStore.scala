@@ -1734,10 +1734,20 @@ object SnapStore {
     * files with multiset EXCEPT — carried-over rows cancel, so
     * compaction nets zero and a merge nets exactly its
     * deletes+inserts. At 100 TB a day of changelog costs the day's
-    * write footprint, never a table scan. Pending delete files are
-    * unsupported (their deletes are not in the file diff): fold with
-    * [[applyDeletes]] first — the restriction Iceberg's changelog
-    * procedure documents for delete-file tables.
+    * write footprint, never a table scan.
+    *
+    * MOR delete commits NET TOO (beyond Iceberg's documented
+    * restriction; VERDICT r10 #7): the manifest-listed delete keys /
+    * ordinals are the diff, so an eq-delete commit reads only the
+    * key-bounds-matching files of the pre-image — delete-aware, so
+    * stacked eq debt never re-emits an already-suppressed key — and
+    * a pos-delete commit reads only its referenced files, minus
+    * `from`'s existing pairs. A MOR MERGE nets its new data files as
+    * the matching INSERTs beside the DELETEs. Two shapes stay
+    * refused loudly (run [[applyDeletes]] first): a replace-style
+    * commit over pending debt, and a pos delete stacked over pending
+    * EQ debt (its ordinal read would need a delete-aware scan that
+    * keeps ordinals).
     */
   def changelogRead(spark: SparkSession, table: Path,
       fromVersion: Int, toVersion: Int): DataFrame = {
@@ -1748,14 +1758,9 @@ object SnapStore {
     val steps = (fromVersion until toVersion).flatMap { v =>
       val from = manifest(table, v)
       val to = manifest(table, v + 1)
-      require(from.deleteFiles.isEmpty && to.deleteFiles.isEmpty,
-        s"changelog over pending delete files is unsupported " +
-          s"(snapshot ${if (to.deleteFiles.nonEmpty) v + 1 else v}); " +
-          "run applyDeletes first")
       // Each step reads BOTH sides under the newer schema, so an
       // add-column commit mid-range surfaces old rows with nulls —
       // the same merged-schema contract batch reads have.
-      val schema = to.schema
       val fromSet = from.files.map(_.path).toSet
       val toSet = to.files.map(_.path).toSet
       val removed = from.files.filterNot(f => toSet(f.path))
@@ -1764,11 +1769,102 @@ object SnapStore {
       def tag(df: DataFrame, kind: String): DataFrame = df
         .withColumn("_change_type", lit(kind))
         .withColumn("_commit_version", lit(v + 1))
-      if (removed.isEmpty && added.isEmpty) None // metadata-only commit
-      else if (removed.isEmpty) Some(tag(scan(added), "INSERT")) // append
-      else Some(
-        tag(scan(added).exceptAll(scan(removed)), "INSERT")
-          .unionByName(tag(scan(removed).exceptAll(scan(added)), "DELETE")))
+      val newDeletes = to.deleteFiles.filterNot(from.deleteFiles.toSet)
+      val deletesUnchanged = to.deleteFiles == from.deleteFiles
+      if (deletesUnchanged && removed.isEmpty && added.isEmpty)
+        None // metadata-only commit
+      else if (deletesUnchanged && removed.isEmpty)
+        // Pure append — safe even over UNCHANGED pending deletes: the
+        // appended files outrank every pending delete by sequence, so
+        // none applies to them.
+        Some(tag(scan(added), "INSERT"))
+      else if (deletesUnchanged) {
+        // Replace-style commit: netting by file diff is only sound
+        // when no pending delete skews either side's raw scan.
+        require(from.deleteFiles.isEmpty,
+          s"changelog over a replace-style commit with pending delete " +
+            s"files is unsupported (snapshot ${v + 1}); run applyDeletes " +
+            "first")
+        Some(
+          tag(scan(added).exceptAll(scan(removed)), "INSERT")
+            .unionByName(tag(scan(removed).exceptAll(scan(added)), "DELETE")))
+      } else if (removed.isEmpty &&
+        (newDeletes.forall(_.kind == "eq") ||
+          from.deleteFiles.forall(_.kind == "pos"))) {
+        // MOR delete / MOR merge commit (VERDICT r10 #7): the
+        // manifest-listed delete keys and ordinals ARE the diff — net
+        // them into DELETE rows by reading ONLY the files that can
+        // hold them (key-bounds / referenced-name pruning), never the
+        // whole table. A MOR MERGE's new data files net as INSERTs
+        // beside them — an updated key surfaces as the
+        // DELETE(old)+INSERT(new) pair, Iceberg's changelog contract.
+        // Stacked debt composes: eq keys net against the DELETE-AWARE
+        // `from` view (an already-suppressed key re-deleted emits
+        // nothing), new pos pairs net MINUS `from`'s pos pairs
+        // (metadata-only anti-join); only a pos delete stacked over
+        // pending EQ debt stays refused (its ordinal rows would need
+        // a delete-aware scan that keeps ordinals).
+        val eqs = newDeletes.filter(_.kind == "eq")
+        val poss = newDeletes.filter(_.kind == "pos")
+        val eqRows: Option[DataFrame] = if (eqs.isEmpty) None else {
+          val kc = eqs.head.keyCol
+          val keys = spark.read
+            .parquet(eqs.map(d => table.resolve(d.path).toString): _*)
+            .select(col(kc)).distinct()
+          val rng = keys.agg(min(col(kc)), max(col(kc))).head()
+          val keyOrd =
+            if (from.keyCol == kc) colType(from.schema, kc).flatMap(boundOrd)
+            else None
+          val candidates = (keyOrd, if (rng.isNullAt(0)) None
+            else Some((render(rng.get(0)), render(rng.get(1))))) match {
+            case (Some(o), Some((bMin, bMax))) => from.files.filter(f =>
+              f.keyMin.isEmpty || f.keyMax.isEmpty ||
+                !(o.lt(bMax, f.keyMin) || o.gt(bMin, f.keyMax)))
+            case _ => from.files
+          }
+          val keysK = keys.withColumnRenamed(kc, "__delk")
+          val keysB =
+            if (eqs.map(_.rows).sum <= BroadcastDeleteRows) broadcast(keysK)
+            else keysK
+          if (candidates.isEmpty) None
+          else Some(scanWithDeletes(spark, table, from, candidates)
+            .drop("__fn")
+            .join(keysB, col(kc) === col("__delk"), "left_semi"))
+        }
+        val posRows: Option[DataFrame] = if (poss.isEmpty) None else {
+          val pairs0 = spark.read
+            .parquet(poss.map(d => table.resolve(d.path).toString): _*)
+            .select(col("file").as("__dfile"), col("pos").as("__dpos"))
+          val oldPoss = from.deleteFiles.filter(_.kind == "pos")
+          val pairs =
+            if (oldPoss.isEmpty) pairs0
+            else pairs0.join(spark.read
+              .parquet(oldPoss.map(d => table.resolve(d.path).toString): _*)
+              .select(col("file").as("__ofile"), col("pos").as("__opos")),
+              col("__dfile") === col("__ofile") &&
+                col("__dpos") === col("__opos"),
+              "left_anti")
+          val pairsB =
+            if (poss.map(_.rows).sum <= BroadcastDeleteRows) broadcast(pairs)
+            else pairs
+          val affected = posAffectedFiles(spark, table, poss)
+          val fs = from.files.filter(f => affected(fileName(f.path)))
+          if (fs.isEmpty) None
+          else Some(scanFiles(spark, table, to, fs, withMeta = true)
+            .join(pairsB,
+              col("__fn") === col("__dfile") && col("__ri") === col("__dpos"),
+              "left_semi")
+            .select(to.schema.fieldNames.map(col).toSeq: _*))
+        }
+        val del = (eqRows.toSeq ++ posRows.toSeq)
+          .reduceOption(_ unionByName _).map(tag(_, "DELETE"))
+        val ins = if (added.isEmpty) None else Some(tag(scan(added), "INSERT"))
+        (ins.toSeq ++ del.toSeq).reduceOption(_ unionByName _)
+      } else {
+        throw new IllegalArgumentException(
+          s"changelog cannot net snapshot ${v + 1} ('${to.operation}') " +
+            "over pending delete files; run applyDeletes first")
+      }
     }
     if (steps.isEmpty)
       empty(StructType(manifest(table, toVersion).schema.fields ++ Seq(

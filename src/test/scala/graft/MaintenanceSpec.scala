@@ -2797,6 +2797,85 @@ class MaintenanceSpec extends SparkSpec {
       "operations ride the log")
   }
 
+  test("changelog nets MOR delete commits without a fold: eq keys " +
+    "and pos ordinals surface as DELETE pre-images, stacked eq debt " +
+    "never re-emits, a MOR merge nets DELETE+INSERT, pos-over-eq " +
+    "refuses") {
+    val t = freshTable("clmor")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")      // v1
+    // v2: eq-delete commit (part 6, every 7th doc).
+    val delKeys = docs.filter(col("part") === 6 &&
+      pmod(col("doc_id"), lit(7L)) === 0)
+    SnapStore.deleteEquality(spark, t, delKeys.select(col("doc_id")),
+      "doc_id")
+    val cl12 = SnapStore.changelogRead(spark, t, 1, 2)
+    assert(cl12.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("DELETE"))
+    assert(cl12.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      delKeys.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq,
+      "eq netting must emit exactly the suppressed pre-images")
+
+    // v3: SECOND eq-delete commit overlapping v2's keys plus fresh
+    // ones — already-suppressed keys must NOT re-emit.
+    val del2 = docs.filter(col("part") === 6 &&
+      pmod(col("doc_id"), lit(14L)) === 0)                      // ⊂ v2 keys
+      .unionByName(docs.filter(col("part") === 4 &&
+        pmod(col("doc_id"), lit(7L)) === 0))
+    SnapStore.deleteEquality(spark, t, del2.select(col("doc_id")), "doc_id")
+    val cl23 = SnapStore.changelogRead(spark, t, 2, 3)
+    val got23 = cl23.select("doc_id").collect().map(_.getLong(0)).toSet
+    val fresh23 = docs.filter(col("part") === 4 &&
+      pmod(col("doc_id"), lit(7L)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got23 == fresh23,
+      s"stacked eq debt must net only the newly-suppressed keys")
+
+    // v4: MOR MERGE — updated keys net as DELETE(old)+INSERT(new).
+    val upd = docs.filter(col("part") === 2 &&
+      pmod(col("doc_id"), lit(10L)) === 0)
+      .withColumn("text", concat(col("text"), lit(" upd")))
+    SnapStore.mergeEquality(spark, t, upd, "doc_id")
+    val cl34 = SnapStore.changelogRead(spark, t, 3, 4)
+    val byType = cl34.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nUpd = upd.count()
+    assert(byType.get("DELETE").contains(nUpd) &&
+      byType.get("INSERT").contains(nUpd),
+      s"a MOR merge must net DELETE+INSERT pairs: $byType vs $nUpd")
+    assert(cl34.filter(col("_change_type") === "INSERT")
+      .collect().forall(_.getAs[String]("text").endsWith(" upd")))
+
+    // Pos-over-eq stays refused loudly (ordinal read would need a
+    // delete-aware scan that keeps ordinals).
+    SnapStore.deletePositions(spark, t,
+      col("part") === 3 && pmod(col("doc_id"), lit(9L)) === 0)  // v5
+    val e = intercept[Exception](
+      SnapStore.changelogRead(spark, t, 4, 5).collect())
+    assert(e.getMessage.contains("applyDeletes"), e.getMessage)
+
+    // Pos-on-pos nets: fold everything, then two pos commits; the
+    // second's changelog emits only ITS new pairs.
+    val t2 = freshTable("clmor2")
+    SnapStore.create(spark, t2, docs, "part", keyCol = "doc_id")   // v1
+    SnapStore.deletePositions(spark, t2,
+      col("part") === 5 && pmod(col("doc_id"), lit(6L)) === 0)    // v2
+    SnapStore.deletePositions(spark, t2,
+      col("part") === 5 && pmod(col("doc_id"), lit(3L)) === 0)    // v3: ⊃ v2
+    val p12 = SnapStore.changelogRead(spark, t2, 1, 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val p23 = SnapStore.changelogRead(spark, t2, 2, 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all6 = docs.filter(col("part") === 5 &&
+      pmod(col("doc_id"), lit(6L)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all3 = docs.filter(col("part") === 5 &&
+      pmod(col("doc_id"), lit(3L)) === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(p12 == all6, "first pos commit nets its pairs")
+    assert(p23 == all3.diff(all6),
+      "second pos commit nets only pairs the first didn't already hold")
+  }
+
   test("registered lifecycle is idempotent: re-running entries " +
     "re-reads the same final snapshots") {
     val a = ops.Maintenance.mergeUpsert(spark, sf).collect()
