@@ -38,7 +38,7 @@ object Maintenance {
   /** Bump to invalidate previously materialized lifecycles when the
     * scenario logic changes (the root directory is keyed by it).
     */
-  private val logicVersion = "m5"
+  private val logicVersion = "m6"
 
   /** Per-fixture root for the maintained tables, mounted as database
     * `maint` on the graft DSv2 catalog. Keyed by a hash of the FULL
@@ -1756,12 +1756,14 @@ object Maintenance {
        |ORDER BY 1""".stripMargin
 
   /** `docs_wapc`: the CONF-driven write-audit-publish lifecycle —
-    * Iceberg's `spark.wap.branch` face. With the session conf set, an
-    * UNMODIFIED catalog `INSERT INTO` stages on the conf's branch
-    * (which materializes at first write); the lifecycle PROVES main
-    * never moved, that a conf-routed read and `VERSION AS OF
-    * '<branch>'` both see the staged rows while a plain (conf-unset)
-    * read does not, audits the staged read, and publishes by
+    * Iceberg's `spark.wap.branch` face. With the session conf set,
+    * UNMODIFIED catalog writes stage on the conf's branch (which
+    * materializes at first write): an `INSERT INTO`, then an UPDATE
+    * and a DELETE scoped to the staged rows, each committing on the
+    * branch chain. The lifecycle PROVES main never moved through all
+    * three, that a conf-routed read and `VERSION AS OF '<branch>'`
+    * both see the staged state while a plain (conf-unset) read does
+    * not, audits the staged read, and publishes atomically by
     * fast-forward. Contrast [[ensureDocsWap]], which composes the
     * same lifecycle from explicit branch verbs.
     */
@@ -1793,6 +1795,17 @@ object Maintenance {
         val staged = s.sql("SELECT COUNT(*) AS n FROM graft.maint.docs_wapc " +
           "WHERE doc_id >= 600000").collect()(0).getLong(0)
         require(staged > 0, "conf-routed read must serve the staged branch")
+        // Unmodified DML stages too: an UPDATE and a DELETE scoped to
+        // the staged rows land on the branch chain — main never moves
+        // (the oracle recomputes both effects).
+        s.sql("UPDATE graft.maint.docs_wapc SET text = concat(text, ' v2') " +
+          "WHERE doc_id >= 600000 AND doc_id % 2 = 0")
+        s.sql("DELETE FROM graft.maint.docs_wapc " +
+          "WHERE doc_id >= 600000 AND doc_id % 3 = 0")
+        require(SnapStore.currentVersion(t).contains(1),
+          "WAP-conf DML moved main — staging is broken")
+        require(SnapStore.branchHead(t, "audit").contains(4),
+          "each staged DML must commit on the branch chain")
       } finally old match {
         case Some(v) => s.conf.set(confKey, v)
         case None => s.conf.unset(confKey)
@@ -1808,7 +1821,7 @@ object Maintenance {
       require(tt > 0, "VERSION AS OF '<branch>' must see the staged write")
     }
     if (SnapStore.currentVersion(t).contains(1) &&
-      SnapStore.branchHead(t, "audit").contains(2)) {
+      SnapStore.branchHead(t, "audit").contains(4)) {
       val bad = SnapStore.readBranch(s, t, "audit")
         .filter(col("tok") <= 0 || col("text").isNull ||
           length(col("text")) === 0).count()
@@ -1835,13 +1848,21 @@ object Maintenance {
   }
 
   val wapConfPublishOracle: String =
-    s"""WITH live AS (
-       |  SELECT doc_id, text FROM documents
+    s"""WITH staged AS (
+       |  SELECT doc_id + 600000 AS doc_id,
+       |    text || ' staged' ||
+       |      (CASE WHEN doc_id % 2 = 0 THEN ' v2' ELSE '' END) AS text,
+       |    CAST(len(string_split(text || ' staged', ' ')) AS BIGINT) AS tok
+       |  FROM documents
+       |  WHERE doc_id % 19 = 0 AND NOT doc_id % 3 = 0),
+       |live AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 600000, text || ' staged'
-       |  FROM documents WHERE doc_id % 19 = 0)
+       |  SELECT doc_id, text, tok FROM staged)
        |SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
-       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
        |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
        |FROM live
        |GROUP BY 1
@@ -2479,9 +2500,10 @@ object Maintenance {
         "fast-forward only when the audit passes; rejected batches " +
         "drop whole"),
     Q("maint_wap_conf", wapConfPublish, Some(wapConfPublishOracle),
-      "conf-driven WAP (spark.graft.wap.branch): an unmodified " +
-        "INSERT INTO stages on the conf's branch — main provably " +
-        "never moves until fast-forward publishes the audited batch"),
+      "conf-driven WAP (spark.graft.wap.branch): unmodified INSERT " +
+        "INTO + UPDATE + DELETE all stage on the conf's branch — " +
+        "main provably never moves until fast-forward publishes the " +
+        "audited state atomically"),
     Q("maint_compact_filtered", compactFiltered, Some(compactFilteredOracle),
       "filtered compaction (rewrite_data_files where => …): the " +
         "predicate scopes the bin-pack to matching files, " +

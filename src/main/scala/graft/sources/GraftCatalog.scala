@@ -985,18 +985,8 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
-      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation = {
-        // Under a WAP staging conf the operation's SCAN is already
-        // branch-routed but the replace commit would land on MAIN —
-        // refuse loudly rather than tear the staged state (the
-        // conf-driven WAP surface stages `INSERT INTO`; run DML on
-        // main with the conf unset, or compose with the branch verbs).
-        SnapStore.wapBranch(SparkSession.active).foreach(b =>
-          throw new UnsupportedOperationException(
-            s"UPDATE/MERGE are not supported while spark.graft.wap.branch " +
-              s"is set (branch '$b') — unset the conf first"))
+      override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
         new SnapRowLevelOperation(info.command(), underlying, dir)
-      }
     }
 
   override def name(): String = underlying.name()
@@ -1020,16 +1010,16 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
-    // Same WAP guard as the row-level path: the COW delete commits
-    // to main, which a staging session must never move.
-    SnapStore.wapBranch(SparkSession.active).foreach(b =>
-      throw new UnsupportedOperationException(
-        s"DELETE is not supported while spark.graft.wap.branch is set " +
-          s"(branch '$b') — unset the conf first"))
     val cond = filters.toSeq.flatMap(SnapTable.toColumn)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
-    SnapStore.deleteWhere(SparkSession.active, dir, cond)
+    // WAP-staged DELETE (Iceberg `spark.wap.branch`): the COW rewrite
+    // commits on the staging branch (created at first write), main
+    // untouched until the explicit publish.
+    val wap = SnapStore.wapBranch(SparkSession.active)
+    wap.filter(b => SnapStore.branchHead(dir, b).isEmpty)
+      .foreach(b => SnapStore.createBranch(dir, b))
+    SnapStore.deleteWhere(SparkSession.active, dir, cond, branch = wap)
   }
 
   /** SQL `INSERT INTO` → [[SnapStore.append]] and `INSERT OVERWRITE`
@@ -1467,6 +1457,22 @@ final class SnapRowLevelOperation(
     underlying: Table, dir: java.nio.file.Path)
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
+  /** WAP staging (Iceberg `spark.wap.branch`): captured ONCE at
+    * operation build so the scan and the commit agree even if the
+    * conf flips mid-operation. The branch materializes here (fork
+    * from current main) so the scan below reads the STAGED state and
+    * the replace commit lands on the branch chain — an unmodified
+    * `UPDATE`/`MERGE INTO`/`DELETE` stages, main never moves.
+    */
+  private val wapBranch: Option[String] =
+    SnapStore.wapBranch(SparkSession.active)
+  wapBranch.filter(b => SnapStore.branchHead(dir, b).isEmpty)
+    .foreach(b => SnapStore.createBranch(dir, b))
+
+  private def headManifest(): SnapStore.Manifest =
+    wapBranch.map(SnapStore.branchHeadManifest(dir, _))
+      .getOrElse(SnapStore.currentManifest(dir))
+
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   /** The files this operation's scan actually served, recorded at
@@ -1499,7 +1505,7 @@ final class SnapRowLevelOperation(
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-      private val cur = SnapStore.currentManifest(dir)
+      private val cur = headManifest()
       private var statics: Seq[SnapStore.FileEntry] = cur.files
 
       /** STATIC group pruning — Iceberg's SparkScanBuilder contract
@@ -1687,7 +1693,7 @@ final class SnapRowLevelOperation(
               // every monotonic transform equally well, and bounds
               // are recomputed from the written data either way.
               Expressions.column(PartTransforms.parse(
-                SnapStore.currentManifest(dir).partCol).source),
+                headManifest().partCol).source),
               SortDirection.ASCENDING)
           }
           override def requiredDistribution():
@@ -1717,7 +1723,7 @@ final class SnapRowLevelOperation(
                 SnapStore.commitReplaceFromStaging(SparkSession.active,
                   dir, staging,
                   cmd.toString.toLowerCase(java.util.Locale.ROOT),
-                  scannedFiles, scannedDeletes)
+                  scannedFiles, scannedDeletes, branch = wapBranch)
               }
               override def abort(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {

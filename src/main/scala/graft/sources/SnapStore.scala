@@ -1319,37 +1319,54 @@ object SnapStore {
     * `cond` is NULL are kept.
     */
   def deleteWhere(spark: SparkSession, table: Path, cond: Column,
-      numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
-    val cur = currentManifest(table)
+      numFiles: Int = 8, branch: Option[String] = None): Manifest = {
     // Manifest-bounds pre-prune BEFORE the probe scan: a partition-
     // scoped predicate opens only the intersecting files' footers
     // (probeCandidates), not every live file's (VERDICT r6 #2). The
     // probe itself may scan PLAIN (not delete-aware): a MOR-deleted
     // row matching `cond` only marks its file touched — the rewrite
     // below reads that file delete-aware, so the row stays gone.
-    val candidates = probeCandidates(spark, cur, cond)
-    val hit = scanFiles(spark, table, cur, candidates, withMeta = true)
-      .filter(cond)
-      .select(col("__fn")).distinct()
-      .collect().map(_.getString(0)).toSet
-    val (touched, untouched) = cur.files.partition(f => hit(fileName(f.path)))
-    val v = cur.version + 1
-    val newFiles =
-      if (touched.isEmpty) Seq.empty[FileEntry]
-      else {
-        val partCol = if (cur.partCol.nonEmpty) cur.partCol
-          else cur.schema.fieldNames.head
-        // Delete-aware touched scan + carried delete set: see [[merge]]
-        // (COW over MOR, VERDICT r7 #6).
-        val kept = readManifest(spark, table, cur.copy(files = touched))
-          .filter(!coalesce(cond, lit(false)))
-        writeDataFiles(spark, table, kept, partCol, s"delete-v$v", numFiles,
-          keyCol = cur.keyCol)
+    def step(cur: Manifest, v: Int, seqV: Int): (Manifest, Seq[FileEntry]) = {
+      val candidates = probeCandidates(spark, cur, cond)
+      val hit = scanFiles(spark, table, cur, candidates, withMeta = true)
+        .filter(cond)
+        .select(col("__fn")).distinct()
+        .collect().map(_.getString(0)).toSet
+      val (touched, untouched) =
+        cur.files.partition(f => hit(fileName(f.path)))
+      val newFiles =
+        if (touched.isEmpty) Seq.empty[FileEntry]
+        else {
+          val partCol = if (cur.partCol.nonEmpty) cur.partCol
+            else cur.schema.fieldNames.head
+          // Delete-aware touched scan + carried delete set: see
+          // [[merge]] (COW over MOR, VERDICT r7 #6).
+          val kept = readManifest(spark, table, cur.copy(files = touched))
+            .filter(!coalesce(cond, lit(false)))
+          writeDataFiles(spark, table, kept, partCol, s"delete-v$v",
+            numFiles, keyCol = cur.keyCol)
+        }
+      (Manifest(v, cur.version, "delete", cur.schema,
+        untouched ++ newFiles.map(_.copy(seq = seqV)), cur.partCol,
+        cur.deleteFiles, cur.keyCol, cur.evos), newFiles)
+    }
+    branch match {
+      // WAP-staged DELETE: the copy-on-write rewrite commits on the
+      // branch chain (fork-relative sequence stamps), main untouched.
+      case Some(b) => withBranchCommitRetry(table, b) { cur =>
+        require(cur.deleteFiles.isEmpty,
+          s"branch '$b' unexpectedly carries delete files")
+        val v = cur.version + 1
+        val forkV = branchManifest(table, b, 1).parent
+        step(cur, v, forkV + v)
       }
-    val m = Manifest(v, cur.version, "delete", cur.schema,
-      untouched ++ newFiles.map(_.copy(seq = v)), cur.partCol, cur.deleteFiles,
-      cur.keyCol, cur.evos)
-    (m, newFiles, tryCommitManifest(table, m))
+      case None => withCommitRetry(table) { () =>
+        val cur = currentManifest(table)
+        val v = cur.version + 1
+        val (m, newFiles) = step(cur, v, v)
+        (m, newFiles, tryCommitManifest(table, m))
+      }
+    }
   }
 
   // ----------------------------------------------------------------
@@ -1962,8 +1979,10 @@ object SnapStore {
   private[sources] def commitReplaceFromStaging(spark: SparkSession,
       table: Path, staging: Path, operation: String,
       replaced: Option[Seq[String]] = None,
-      scanDeletes: Seq[DeleteFile] = Seq.empty): Manifest = {
-    val cur0 = currentManifest(table)
+      scanDeletes: Seq[DeleteFile] = Seq.empty,
+      branch: Option[String] = None): Manifest = {
+    val cur0 = branch.map(branchHeadManifest(table, _))
+      .getOrElse(currentManifest(table))
     require(cur0.partCol.nonEmpty, "table has no partition spec")
     val dataDir = table.resolve("data")
     Files.createDirectories(dataDir)
@@ -1986,6 +2005,39 @@ object SnapStore {
     try {
       val newFiles = statsEntries(spark, dataDir, moved, cur0.partCol,
         cur0.keyCol)
+      branch match {
+        case Some(b) =>
+          // WAP-staged row-level operation: the replace commits on
+          // the BRANCH chain — main untouched. Branch chains carry no
+          // delete files (createBranch folds first), and the scan
+          // read the branch head, so its delete view must be empty.
+          require(scanDeletes.isEmpty,
+            "a branch-staged operation cannot scan under delete files")
+          withBranchCommitRetry(table, b) { cur =>
+            require(cur.deleteFiles.isEmpty,
+              s"branch '$b' unexpectedly carries delete files")
+            val v = cur.version + 1
+            val carried = replaced match {
+              case Some(rs) =>
+                val rset = rs.toSet
+                require(rs.forall(pth => cur.files.exists(_.path == pth)),
+                  s"concurrent branch commit rewrote files this $operation " +
+                    "read — aborting")
+                cur.files.filterNot(f => rset(f.path))
+              case None => Seq.empty
+            }
+            // Branch files stamp seq ABOVE the fork point, the
+            // appendToBranch convention (branch manifests carry
+            // main's evolution log, whose seqs are MAIN versions).
+            // `written` = empty: the moved staged files are shared
+            // across attempts (only the carried set recomputes), and
+            // the outer catch cleans them on terminal abort.
+            val forkV = branchManifest(table, b, 1).parent
+            (Manifest(v, cur.version, operation, cur.schema,
+              carried ++ newFiles.map(_.copy(seq = forkV + v)), cur.partCol,
+              Seq.empty, cur.keyCol, cur.evos), Seq.empty[FileEntry])
+          }
+        case None =>
       withCommitRetry(table) { () =>
         val cur = currentManifest(table)
         val v = cur.version + 1
@@ -2015,6 +2067,7 @@ object SnapStore {
           carried ++ newFiles.map(_.copy(seq = v)), cur.partCol,
           cur.deleteFiles, cur.keyCol, cur.evos)
         (m, Seq.empty, tryCommitManifest(table, m))
+      }
       }
     } catch { case NonFatal(e) =>
       moved.foreach(n => Files.deleteIfExists(dataDir.resolve(n)))
@@ -2762,6 +2815,50 @@ object SnapStore {
       newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
       throw e
     }
+  }
+
+  /** The branch head's manifest — the branch analogue of
+    * [[currentManifest]]. */
+  def branchHeadManifest(table: Path, name: String): Manifest =
+    branchManifest(table, name, branchHead(table, name).getOrElse(
+      throw new IllegalArgumentException(s"no branch '$name' under $table")))
+
+  /** Branch analogue of [[withCommitRetry]]: `build` computes the
+    * next branch manifest from the CURRENT head (re-read per
+    * attempt, so losers rebase) plus the data files that attempt
+    * wrote (deleted when the install loses — the same cleanup the
+    * main retry does), and the install is the same exclusive-create
+    * appendToBranch uses — split tables diff their groups against
+    * the head.
+    */
+  private def withBranchCommitRetry(table: Path, name: String)(
+      build: Manifest => (Manifest, Seq[FileEntry])): Manifest = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val h = branchHead(table, name).getOrElse(
+        throw new IllegalArgumentException(s"no branch '$name' under $table"))
+      val cur = branchManifest(table, name, h)
+      val (m, written) = build(cur)
+      if (m.files.size <= InlineFileThreshold) {
+        if (installExclusive(branchManifestPath(table, name, m.version),
+          manifestBody(m)))
+          return m
+      } else {
+        val (refs, groupFiles) = writeGroupedRefs(table, m, cur.groups, None)
+        if (installExclusive(branchManifestPath(table, name, m.version),
+          manifestBody(m, refs = Some(refs))))
+          return m
+        groupFiles.foreach(Files.deleteIfExists(_))
+      }
+      written.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
+      if (attempt >= 50)
+        throw new java.util.ConcurrentModificationException(
+          s"gave up after $attempt conflicting commits on branch '$name'")
+      Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
+        .nextLong(5L * attempt, 25L * attempt))
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Read a branch head. */

@@ -993,14 +993,17 @@ class MaintenanceSpec extends SparkSpec {
     val full = SnapStore.changelogRead(spark, t, 1, 4)
     assert(full.count() == 6 + 2 * nUpd)
     assert(full.filter(col("_commit_version") === 2).count() == 6)
-    // MOR pending deletes refuse (their deletes are invisible to the
-    // file diff).
+    // A MOR eq-delete commit NETS (r11): the manifest keys surface as
+    // DELETE pre-images — no applyDeletes fold needed.
+    val morKeys = docs.limit(2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
     SnapStore.deleteEquality(spark, t,
       docs.limit(2).select("doc_id"), "doc_id")
-    val e = intercept[IllegalArgumentException] {
-      SnapStore.changelogRead(spark, t, 4, 5)
-    }
-    assert(e.getMessage.contains("applyDeletes"))
+    val mor = SnapStore.changelogRead(spark, t, 4, 5)
+    assert(mor.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("DELETE"))
+    assert(mor.select("doc_id").collect().map(_.getLong(0)).toSet == morKeys,
+      "the eq-delete commit must net exactly its suppressed keys")
     assert(SnapStore.read(spark, t).count() == n + 6 - 2)
   }
 

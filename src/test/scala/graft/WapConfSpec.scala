@@ -8,11 +8,11 @@ import graft.sources.SnapStore
 
 /** Conf-driven write-audit-publish (Iceberg's `spark.wap.branch`
   * face, `spark.graft.wap.branch` here, bare `spark.wap.branch`
-  * honored): with the conf set, UNMODIFIED catalog writes stage on
-  * the conf's branch and unmodified reads serve it; main provably
-  * never moves until an explicit fast-forward publishes; DML that
-  * cannot stage (UPDATE/MERGE/DELETE — their replace commit targets
-  * main) refuses loudly instead of tearing the staged state.
+  * honored): with the conf set, UNMODIFIED catalog writes — INSERT
+  * INTO, UPDATE, DELETE, MERGE INTO — stage on the conf's branch and
+  * unmodified reads serve it; main provably never moves until an
+  * explicit fast-forward publishes the full staged state atomically.
+  * Only INSERT OVERWRITE refuses under the conf.
   */
 class WapConfSpec extends SparkSpec {
 
@@ -28,9 +28,9 @@ class WapConfSpec extends SparkSpec {
     }
   }
 
-  test("spark.graft.wap.branch stages INSERT INTO on the branch; " +
-    "plain reads serve main; VERSION AS OF sees the staged rows; " +
-    "fast-forward publishes exactly the staged batch") {
+  test("spark.graft.wap.branch stages INSERT/UPDATE/DELETE/MERGE on " +
+    "the branch; plain reads serve main; VERSION AS OF sees the " +
+    "staged state; fast-forward publishes it atomically") {
     val root = Files.createTempDirectory("graft-wapconf")
     root.toFile.deleteOnExit()
     val t = root.resolve("t")
@@ -58,20 +58,48 @@ class WapConfSpec extends SparkSpec {
         "SELECT COUNT(*) AS n FROM graft.wapc.t WHERE id >= 1000")
         .collect()(0).getLong(0)
       assert(n == 8L, s"conf-routed read must see the staged batch, got $n")
-      // DML whose commit targets main refuses loudly under the conf.
-      val eUp = intercept[Exception](spark.sql(
-        "UPDATE graft.wapc.t SET txt = 'x' WHERE id = 0"))
-      assert(eUp.getMessage.contains("wap"), eUp.getMessage)
-      val eDel = intercept[Exception](spark.sql(
-        "DELETE FROM graft.wapc.t WHERE id = 0"))
-      assert(eDel.getMessage.contains("wap"), eDel.getMessage)
+
+      // Unmodified DML stages too — each commit lands on the branch
+      // chain, main provably never moves.
+      spark.sql("UPDATE graft.wapc.t SET txt = concat(txt, '-u') " +
+        "WHERE id >= 1000")
+      assert(SnapStore.currentVersion(t).contains(1) &&
+        SnapStore.branchHead(t, "audit").contains(3),
+        "staged UPDATE must commit on the branch")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.wapc.t " +
+        "WHERE id >= 1000 AND txt LIKE '%-u'").collect()(0).getLong(0) == 8L)
+
+      spark.sql("DELETE FROM graft.wapc.t WHERE id = 1056")
+      assert(SnapStore.currentVersion(t).contains(1) &&
+        SnapStore.branchHead(t, "audit").contains(4),
+        "staged DELETE must commit on the branch")
+
+      spark.sql(
+        """MERGE INTO graft.wapc.t t
+          |USING (SELECT * FROM VALUES (1000L, 0L, 'merged'),
+          |  (2000L, 0L, 'brand') AS s(id, part, txt)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET txt = s.txt
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(SnapStore.currentVersion(t).contains(1) &&
+        SnapStore.branchHead(t, "audit").contains(5),
+        "staged MERGE must commit on the branch")
+      val afterMerge = spark.sql("SELECT COUNT(*) AS n FROM graft.wapc.t " +
+        "WHERE id >= 1000").collect()(0).getLong(0)
+      assert(afterMerge == 8L, // 8 staged − 1 deleted + 1 merge-insert
+        s"staged view must fold the staged DML, got $afterMerge")
+      assert(spark.sql("SELECT txt FROM graft.wapc.t WHERE id = 1000")
+        .collect()(0).getString(0) == "merged")
+
+      // INSERT OVERWRITE stays refused under the conf (its replace
+      // targets main wholesale).
       val eOvw = intercept[Exception](spark.sql(
         "INSERT OVERWRITE graft.wapc.t SELECT * FROM graft.wapc.t"))
       assert(eOvw.getMessage.contains("wap"), eOvw.getMessage)
     }
 
     // Conf unset: plain reads serve main — no staged rows — while
-    // explicit branch time travel sees them.
+    // explicit branch time travel sees the full staged state.
     val plain = spark.sql(
       "SELECT COUNT(*) AS n FROM graft.wapc.t WHERE id >= 1000")
       .collect()(0).getLong(0)
@@ -80,11 +108,47 @@ class WapConfSpec extends SparkSpec {
       "VERSION AS OF 'audit' WHERE id >= 1000").collect()(0).getLong(0)
     assert(tt == 8L, s"VERSION AS OF 'audit' must see the staged rows: $tt")
 
-    // Publish: audit passed → fast-forward lands exactly the batch.
+    // Publish: audit passed → fast-forward lands exactly the staged
+    // state (insert + update + delete + merge, atomically).
     SnapStore.fastForward(t, "audit")
     val after = spark.sql("SELECT COUNT(*) AS n FROM graft.wapc.t")
       .collect()(0).getLong(0)
-    assert(after == 72L, s"publish must land base + staged batch: $after")
+    assert(after == 72L, s"publish must land base + staged state: $after")
+    assert(spark.sql("SELECT txt FROM graft.wapc.t WHERE id = 1000")
+      .collect()(0).getString(0) == "merged", "staged DML must publish")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.wapc.t " +
+      "WHERE id = 1056").collect()(0).getLong(0) == 0L,
+      "the staged DELETE must publish")
+
+    // Racing partition-disjoint staged UPDATEs both land on the
+    // branch chain: the loser's replace rebases via the branch retry
+    // loop (its replaced files are untouched by the winner), so the
+    // branch head advances twice and both effects survive.
+    withWap("race") {
+      import java.util.concurrent.{CountDownLatch, Executors}
+      val pool = Executors.newFixedThreadPool(2)
+      val gate = new CountDownLatch(1)
+      val futs = Seq(0L, 1L).map { p =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            gate.await()
+            spark.sql("UPDATE graft.wapc.t SET txt = concat(txt, '-r') " +
+              s"WHERE part = $p AND id < 1000")
+          }
+        })
+      }
+      gate.countDown()
+      futs.foreach(_.get())
+      pool.shutdown()
+      assert(SnapStore.branchHead(t, "race").contains(3),
+        "both racing staged UPDATEs must commit on the branch")
+      val raced = spark.sql("SELECT COUNT(*) AS n FROM graft.wapc.t " +
+        "WHERE txt LIKE '%-r' AND id < 1000").collect()(0).getLong(0)
+      val want = spark.sql("SELECT COUNT(*) AS n FROM graft.wapc.t " +
+        "WHERE part IN (0, 1) AND id < 1000").collect()(0).getLong(0)
+      assert(raced == want, s"both updates' rows must survive: $raced/$want")
+    }
+    SnapStore.dropBranch(t, "race")
 
     // The bare Iceberg key routes too (unmodified WAP workloads).
     val old = spark.conf.getOption("spark.wap.branch")
