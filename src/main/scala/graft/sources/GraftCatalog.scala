@@ -1017,8 +1017,7 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
     // commits on the staging branch (created at first write), main
     // untouched until the explicit publish.
     val wap = SnapStore.wapBranch(SparkSession.active)
-    wap.filter(b => SnapStore.branchHead(dir, b).isEmpty)
-      .foreach(b => SnapStore.createBranch(dir, b))
+    wap.foreach(b => SnapStore.ensureBranch(dir, b))
     SnapStore.deleteWhere(SparkSession.active, dir, cond, branch = wap)
   }
 
@@ -1052,19 +1051,17 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
                 SnapStore.wapBranch(data.sparkSession) match {
                   // Write-audit-publish conf routing (Iceberg's
                   // `spark.wap.branch`): an UNMODIFIED `INSERT INTO`
-                  // stages on the conf's branch — main never moves —
-                  // and the branch materializes at first write (fork
-                  // from the current main snapshot). Publish is the
-                  // existing audit + fast_forward surface.
+                  // or `INSERT OVERWRITE` stages on the conf's
+                  // branch — main never moves — and the branch
+                  // materializes at first write (fork from the
+                  // current main snapshot). Publish is the existing
+                  // audit + fast_forward surface.
                   case Some(b) =>
+                    SnapStore.ensureBranch(dir, b)
                     if (replace || overwrite)
-                      throw new UnsupportedOperationException(
-                        "INSERT OVERWRITE is not supported while " +
-                          s"spark.graft.wap.branch is set (branch '$b') — " +
-                          "unset the conf or overwrite the branch explicitly")
-                    if (SnapStore.branchHead(dir, b).isEmpty)
-                      SnapStore.createBranch(dir, b)
-                    SnapStore.appendToBranch(data.sparkSession, dir, b,
+                      SnapStore.overwrite(data.sparkSession, dir, data,
+                        partCol, branch = Some(b))
+                    else SnapStore.appendToBranch(data.sparkSession, dir, b,
                       data, partCol)
                   case None =>
                     if (replace || overwrite)
@@ -1466,8 +1463,7 @@ final class SnapRowLevelOperation(
     */
   private val wapBranch: Option[String] =
     SnapStore.wapBranch(SparkSession.active)
-  wapBranch.filter(b => SnapStore.branchHead(dir, b).isEmpty)
-    .foreach(b => SnapStore.createBranch(dir, b))
+  wapBranch.foreach(b => SnapStore.ensureBranch(dir, b))
 
   private def headManifest(): SnapStore.Manifest =
     wapBranch.map(SnapStore.branchHeadManifest(dir, _))

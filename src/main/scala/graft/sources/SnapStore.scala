@@ -1947,20 +1947,37 @@ object SnapStore {
     * with their snapshots.
     */
   def overwrite(spark: SparkSession, table: Path, df: DataFrame,
-      partCol: String, numFiles: Int = 8): Manifest = {
-    val cur0 = currentManifest(table)
+      partCol: String, numFiles: Int = 8,
+      branch: Option[String] = None): Manifest = {
+    val cur0 = branch.map(branchHeadManifest(table, _))
+      .getOrElse(currentManifest(table))
     val newFiles = writeDataFiles(spark, table,
       df.select(cur0.schema.fieldNames.map(col): _*), partCol,
       s"overwrite-${UUID.randomUUID().toString.take(8)}", numFiles,
       keyCol = cur0.keyCol)
-    try withCommitRetry(table) { () =>
-      val cur = currentManifest(table)
-      val v = cur.version + 1
-      val m = Manifest(v, cur.version, "overwrite", cur.schema,
-        newFiles.map(_.copy(seq = v)),
-        if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
-        cur.keyCol)
-      (m, Seq.empty, tryCommitManifest(table, m))
+    try branch match {
+      // WAP-staged overwrite: the branch head's contents replace
+      // wholesale, main untouched until publish. Like the main path,
+      // the evolution log drops — every surviving file is new-schema.
+      case Some(b) => withBranchCommitRetry(table, b) { cur =>
+        require(cur.deleteFiles.isEmpty,
+          s"branch '$b' unexpectedly carries delete files")
+        val v = cur.version + 1
+        val forkV = branchManifest(table, b, 1).parent
+        (Manifest(v, cur.version, "overwrite", cur.schema,
+          newFiles.map(_.copy(seq = forkV + v)),
+          if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
+          cur.keyCol), Seq.empty[FileEntry])
+      }
+      case None => withCommitRetry(table) { () =>
+        val cur = currentManifest(table)
+        val v = cur.version + 1
+        val m = Manifest(v, cur.version, "overwrite", cur.schema,
+          newFiles.map(_.copy(seq = v)),
+          if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
+          cur.keyCol)
+        (m, Seq.empty, tryCommitManifest(table, m))
+      }
     } catch { case NonFatal(e) =>
       newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
       throw e
@@ -2680,9 +2697,10 @@ object SnapStore {
     * Iceberg's `spark.wap.branch` conf face (the graft-prefixed key
     * wins; the bare Iceberg key is honored so an unmodified WAP
     * workload routes too). When set, UNMODIFIED catalog reads and
-    * `INSERT INTO` writes route to this branch: writes stage without
-    * touching main, the audit reads the staged state, and
-    * `fast_forward` publishes — the conf-driven form of the composed
+    * writes route to this branch — `INSERT INTO`, `INSERT OVERWRITE`,
+    * `UPDATE`, `DELETE`, and `MERGE INTO` all stage without touching
+    * main, the audit reads the staged state, and `fast_forward`
+    * publishes atomically — the conf-driven form of the composed
     * lifecycle in [[graft.ops.Maintenance.ensureDocsWap]].
     */
   def wapBranch(spark: SparkSession): Option[String] =
@@ -2816,6 +2834,18 @@ object SnapStore {
       throw e
     }
   }
+
+  /** Create the branch if absent, tolerating a concurrent creator —
+    * the WAP write paths' idempotent branch materialization (two
+    * racing staged writes must both proceed onto the one branch).
+    */
+  def ensureBranch(table: Path, name: String): Unit =
+    if (branchHead(table, name).isEmpty)
+      try { createBranch(table, name); () }
+      catch {
+        case _: java.util.ConcurrentModificationException
+          if branchHead(table, name).nonEmpty => ()
+      }
 
   /** The branch head's manifest — the branch analogue of
     * [[currentManifest]]. */

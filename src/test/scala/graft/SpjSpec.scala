@@ -300,6 +300,49 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("a mid-session v2-bucketing conf flip takes effect WITHOUT " +
+    "clearCache: the route is layout-decided, the conf is consulted " +
+    "at scan build") {
+    val dir = Files.createTempDirectory("graft-spjflip")
+    dir.toFile.deleteOnExit()
+    val rows = spark.range(0, 200).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"), (col("id") * 3).as("x"))
+    build(dir.resolve("tf"), rows)
+    spark.conf.set("spark.graft.catalog.dir.spjflip", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    val aggSql = "SELECT part, COUNT(*) AS n FROM graft.spjflip.tf GROUP BY part"
+    // Small maxPartitionBytes so the tiny files don't pack into ONE
+    // scan partition (a single-partition scan needs no agg shuffle
+    // conf-off either, which would make the flip assertions vacuous).
+    // The bucketing conf is set EXPLICITLY both ways: Spark 4 defaults
+    // it to true, so "unset" is not "off".
+    withConfs("spark.sql.files.maxPartitionBytes" -> "65536",
+      "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      // Conf OFF: resolve and run once (normal shuffled agg) —
+      // deliberately NO clearCache before the flipped re-run.
+      val off = spark.sql(aggSql)
+      assert(off.collect().map(_.getLong(1)).sum == 200L)
+      assert(shuffles(off) == 1, "conf off: the agg shuffles:\n" +
+        off.queryExecution.executedPlan)
+    }
+    withConfs("spark.sql.files.maxPartitionBytes" -> "65536",
+      "spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val on = spark.sql(aggSql)
+      assert(on.collect().map(_.getLong(1)).sum == 200L)
+      assert(shuffles(on) == 0,
+        "the flip must reach the NEXT scan build without clearCache:\n" +
+          on.queryExecution.executedPlan)
+    }
+    // And back off again, same relation, still no clearCache.
+    withConfs("spark.sql.files.maxPartitionBytes" -> "65536",
+      "spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      val off2 = spark.sql(aggSql)
+      assert(off2.collect().map(_.getLong(1)).sum == 200L)
+      assert(shuffles(off2) == 1, "flip back off must also take effect")
+    }
+  }
+
   test("partially-clustered SPJ: MISMATCHED partition-value sets join " +
     "shuffle-free under pushPartValues with outer-complete rows; " +
     "without the conf the plan degrades to shuffles, never to wrong " +
@@ -364,6 +407,35 @@ class SpjSpec extends SparkSpec {
       assert(below.exists(_ > 0),
         "without pushPartValues the mismatched layouts must fall back " +
           s"to shuffles:\n${j.queryExecution.executedPlan}")
+    }
+
+    // Partially-clustered DISTRIBUTION (the skew-replication mode):
+    // an INNER join under the conf may replicate one side's groups —
+    // rows must stay exactly the shuffled plan's, still with no
+    // shuffle below the join.
+    val innerSql =
+      """SELECT a.part, COUNT(*) AS n, SUM(a.x + b.y) AS s
+        |FROM graft.spjpart.ta a JOIN graft.spjpart.tb b ON a.part = b.part
+        |GROUP BY a.part ORDER BY a.part""".stripMargin
+    var expInner: Seq[org.apache.spark.sql.Row] = Seq.empty
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      expInner = spark.sql(innerSql).collect().toSeq
+    }
+    assert(expInner.size == 4, "inner overlap is parts {2..5}")
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      spark.catalog.clearCache()
+      val j = spark.sql(innerSql)
+      assert(j.collect().toSeq == expInner,
+        "partially-clustered distribution must not change results")
+      val below = graft.plans.PlanShape
+        .exchangesBelowJoin(j.queryExecution.executedPlan)
+      assert(below.contains(0),
+        s"skew-replicated SPJ must stay shuffle-free below the join:\n" +
+          j.queryExecution.executedPlan)
     }
   }
 }

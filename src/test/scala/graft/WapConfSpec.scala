@@ -9,10 +9,10 @@ import graft.sources.SnapStore
 /** Conf-driven write-audit-publish (Iceberg's `spark.wap.branch`
   * face, `spark.graft.wap.branch` here, bare `spark.wap.branch`
   * honored): with the conf set, UNMODIFIED catalog writes — INSERT
-  * INTO, UPDATE, DELETE, MERGE INTO — stage on the conf's branch and
-  * unmodified reads serve it; main provably never moves until an
-  * explicit fast-forward publishes the full staged state atomically.
-  * Only INSERT OVERWRITE refuses under the conf.
+  * INTO, INSERT OVERWRITE, UPDATE, DELETE, MERGE INTO — stage on the
+  * conf's branch and unmodified reads serve it; main provably never
+  * moves until an explicit fast-forward publishes the full staged
+  * state atomically.
   */
 class WapConfSpec extends SparkSpec {
 
@@ -91,11 +91,6 @@ class WapConfSpec extends SparkSpec {
       assert(spark.sql("SELECT txt FROM graft.wapc.t WHERE id = 1000")
         .collect()(0).getString(0) == "merged")
 
-      // INSERT OVERWRITE stays refused under the conf (its replace
-      // targets main wholesale).
-      val eOvw = intercept[Exception](spark.sql(
-        "INSERT OVERWRITE graft.wapc.t SELECT * FROM graft.wapc.t"))
-      assert(eOvw.getMessage.contains("wap"), eOvw.getMessage)
     }
 
     // Conf unset: plain reads serve main — no staged rows — while
@@ -119,6 +114,20 @@ class WapConfSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) AS n FROM graft.wapc.t " +
       "WHERE id = 1056").collect()(0).getLong(0) == 0L,
       "the staged DELETE must publish")
+
+    // INSERT OVERWRITE stages too: the branch head's contents replace
+    // wholesale while main keeps every row until publish.
+    withWap("ow") {
+      spark.sql("INSERT OVERWRITE graft.wapc.t " +
+        "SELECT id, part, txt FROM graft.wapc.t WHERE id < 10")
+      val staged = spark.sql("SELECT COUNT(*) AS n FROM graft.wapc.t")
+        .collect()(0).getLong(0)
+      assert(staged == 10L, s"staged overwrite must replace the branch: $staged")
+    }
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.wapc.t")
+      .collect()(0).getLong(0) == 72L,
+      "main must keep its contents under a staged overwrite")
+    SnapStore.dropBranch(t, "ow")
 
     // Racing partition-disjoint staged UPDATEs both land on the
     // branch chain: the loser's replace rebases via the branch retry
