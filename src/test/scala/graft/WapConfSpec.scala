@@ -160,6 +160,10 @@ class WapConfSpec extends SparkSpec {
     SnapStore.dropBranch(t, "race")
 
     // The bare Iceberg key routes too (unmodified WAP workloads).
+    runBareKeyCase(t)
+  }
+
+  private def runBareKeyCase(t: java.nio.file.Path): Unit = {
     val old = spark.conf.getOption("spark.wap.branch")
     spark.conf.set("spark.wap.branch", "audit2")
     try {
@@ -172,5 +176,94 @@ class WapConfSpec extends SparkSpec {
       case Some(v) => spark.conf.set("spark.wap.branch", v)
       case None => spark.conf.unset("spark.wap.branch")
     }
+  }
+
+  test("random staged-DML sequence (seed-stable): every op commits " +
+    "on the branch, main is byte-frozen throughout, the branch " +
+    "tracks a model, and publish lands exactly the model") {
+    val rnd = new scala.util.Random(0x51f15eedL)
+    val root = Files.createTempDirectory("graft-wapprop")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    val model = scala.collection.mutable.Map.empty[Long, String]
+    def frame(ids: Seq[Long], txt: Long => String) = {
+      val pairs = ids.map(i => (i, txt(i)))
+      spark.createDataFrame(pairs).toDF("id", "txt")
+        .select(col("id"), pmod(col("id"), lit(4L)).as("part"), col("txt"))
+    }
+    var nextId = 0L
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n).toSeq; nextId += n; ids
+    }
+    val ids0 = freshIds(40)
+    SnapStore.create(spark, t, frame(ids0, i => s"b-$i"), "part")
+    ids0.foreach(i => model(i) = s"b-$i")
+    val baseModel = model.toMap
+
+    spark.conf.set("spark.graft.catalog.dir.wapprop", root.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+
+    def stagedContents(): Map[Long, String] =
+      spark.sql("SELECT id, txt FROM graft.wapprop.t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    withWap("stage") {
+      (1 to 10).foreach { step =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => // INSERT INTO
+            val ids = freshIds(1 + rnd.nextInt(3))
+            frame(ids, i => s"b-$i").createOrReplaceTempView("wapprop_ins")
+            spark.sql("INSERT INTO graft.wapprop.t SELECT * FROM wapprop_ins")
+            ids.foreach(i => model(i) = s"b-$i")
+          case 2 => // UPDATE a random sample
+            val keys = rnd.shuffle(model.keys.toSeq.sorted)
+              .take(1 + rnd.nextInt(4))
+            if (keys.nonEmpty) {
+              spark.sql("UPDATE graft.wapprop.t SET txt = " +
+                s"concat('u$step-', id) WHERE id IN (${keys.mkString(",")})")
+              keys.foreach(i => model(i) = s"u$step-$i")
+            }
+          case 3 => // DELETE one partition's sampled keys
+            val p = rnd.nextInt(4).toLong
+            spark.sql("DELETE FROM graft.wapprop.t " +
+              s"WHERE part = $p AND id % 5 = $p")
+            model.keys.filter(i => i % 4 == p && i % 5 == p).toSeq
+              .foreach(model.remove)
+          case 4 => // MERGE: update a sample + insert fresh
+            val keys = rnd.shuffle(model.keys.toSeq.sorted)
+              .take(1 + rnd.nextInt(3))
+            val fresh = freshIds(1)
+            val src = (keys ++ fresh).map(i => s"($i" + s"L, 'm$step-$i')")
+              .mkString(", ")
+            spark.sql(
+              s"""MERGE INTO graft.wapprop.t t
+                 |USING (SELECT id, pmod(id, 4L) AS part, txt
+                 |  FROM VALUES $src AS s(id, txt)) s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET txt = s.txt
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+            (keys ++ fresh).foreach(i => model(i) = s"m$step-$i")
+          case 5 => // INSERT OVERWRITE to a filtered subset of itself
+            spark.sql("INSERT OVERWRITE graft.wapprop.t " +
+              "SELECT id, part, txt FROM graft.wapprop.t WHERE id % 7 != 3")
+            model.keys.filter(_ % 7 == 3).toSeq.foreach(model.remove)
+        }
+        // Main byte-frozen; the staged view tracks the model exactly.
+        assert(SnapStore.currentVersion(t).contains(1),
+          s"step $step: main moved")
+        val got = stagedContents()
+        assert(got == model.toMap,
+          s"step $step: staged view diverged " +
+            s"(extra=${(got.keySet -- model.keySet).take(3)} " +
+            s"missing=${(model.keySet -- got.keySet).take(3)})")
+      }
+    }
+    // Conf unset: plain reads still serve the UNTOUCHED base.
+    assert(stagedContents() == baseModel,
+      "main must serve the original base until publish")
+    SnapStore.fastForward(t, "stage")
+    assert(stagedContents() == model.toMap,
+      "publish must land exactly the staged model")
   }
 }
