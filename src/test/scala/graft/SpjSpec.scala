@@ -343,6 +343,55 @@ class SpjSpec extends SparkSpec {
     }
   }
 
+  test("SPJ composes with runtime file pruning: a selective dim " +
+    "filter prunes ONE side's key groups at runtime, the " +
+    "co-partitioned fact-fact join stays shuffle-free and correct") {
+    val dir = Files.createTempDirectory("graft-spjdpp")
+    dir.toFile.deleteOnExit()
+    build(dir.resolve("fa"), spark.range(0, 400).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"), (col("id") * 3).as("x")))
+    build(dir.resolve("fb"), spark.range(0, 200).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"), (col("id") * 5).as("y")))
+    spark.conf.set("spark.graft.catalog.dir.spjdpp", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    spark.range(0, 4).select(col("id").as("part"),
+      concat(lit("p-"), col("id")).as("name"))
+      .createOrReplaceTempView("spjdpp_dim")
+    val sql =
+      """SELECT a.part, COUNT(*) AS n, SUM(a.x + b.y) AS s
+        |FROM graft.spjdpp.fa a
+        |JOIN graft.spjdpp.fb b ON a.part = b.part
+        |JOIN spjdpp_dim d ON a.part = d.part
+        |WHERE d.name = 'p-2'
+        |GROUP BY a.part ORDER BY a.part""".stripMargin
+    var expected: Seq[org.apache.spark.sql.Row] = Seq.empty
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "false") {
+      expected = spark.sql(sql).collect().toSeq
+    }
+    assert(expected.size == 1)
+    withConfs(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      // Between the dim's size and the facts': the dim broadcasts
+      // (so DPP fires) while the fact-fact join stays non-broadcast.
+      "spark.sql.autoBroadcastJoinThreshold" -> "2048") {
+      spark.catalog.clearCache()
+      val j = spark.sql(sql)
+      val got = j.collect().toSeq
+      assert(got == expected,
+        s"runtime-pruned SPJ must match the shuffled plan:\n$got\n$expected")
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(plan.contains("dynamicpruningexpression"),
+        s"the dim filter must reach the fact scans at runtime:\n$plan")
+      val below = graft.plans.PlanShape
+        .exchangesBelowJoin(j.queryExecution.executedPlan)
+      assert(below.contains(0),
+        s"the fact-fact join must stay shuffle-free under runtime " +
+          s"pruning:\n$plan")
+    }
+  }
+
   test("partially-clustered SPJ: MISMATCHED partition-value sets join " +
     "shuffle-free under pushPartValues with outer-complete rows; " +
     "without the conf the plan degrades to shuffles, never to wrong " +
