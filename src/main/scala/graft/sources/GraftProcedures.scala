@@ -172,6 +172,25 @@ object GraftProcedures {
         val m = SnapStore.fastForward(tableDir(in.getUTF8String(0).toString), b)
         Array[Any](u(b), m.version)
       }),
+    // Ref-level retention (Iceberg's per-reference expiry knobs,
+    // max-ref-age-ms / min-snapshots-to-keep / max-snapshot-age-ms):
+    // aged-out branches and tags drop whole, surviving branches trim
+    // their history. `now_ms` is explicit so retention policies
+    // evaluate deterministically.
+    "expire_refs" -> new Proc("expire_refs",
+      Array(str("table"), lng("now_ms"), lng("max_ref_age_ms"),
+        lng("max_snapshot_age_ms"), int("min_snapshots_to_keep")),
+      StructType(Seq(
+        StructField("dropped_branches", IntegerType, nullable = false),
+        StructField("dropped_tags", IntegerType, nullable = false),
+        StructField("trimmed_snapshots", IntegerType, nullable = false))),
+      { in =>
+        val (droppedB, droppedT, trimmed) = SnapStore.expireRefs(
+          tableDir(in.getUTF8String(0).toString), in.getLong(1),
+          in.getLong(2), in.getLong(3), in.getInt(4))
+        Array[Any](droppedB.size, droppedT.size,
+          trimmed.values.map(_.size).sum)
+      }),
     // Iceberg create_tag (expiry-protected named pin).
     "create_tag" -> new Proc("create_tag",
       Array(str("table"), str("tag"), int("version")),

@@ -1205,6 +1205,17 @@ class MaintenanceSpec extends SparkSpec {
       .head()
     assert((named.getString(0), named.getInt(1)) == ("named", 1))
     assert(SnapStore.tags(t).get("named").contains(1))
+
+    // Ref-level retention through CALL: with a far-future clock and a
+    // 1 ms max ref age, every branch and tag ages out — the stale
+    // branch drops and its exclusive files become orphans.
+    spark.sql("CALL graft.system.create_branch('procspec.docs', 'stale')")
+    val er = spark.sql("CALL graft.system.expire_refs('procspec.docs', " +
+      s"${System.currentTimeMillis() + 86400000L}L, 1L, " +
+      s"${Long.MaxValue}L, 1)").head()
+    assert(er.getInt(0) >= 1, s"the stale branch must drop: $er")
+    assert(er.getInt(1) >= 1, s"aged tags must drop: $er")
+    assert(!SnapStore.listBranches(t).contains("stale"))
   }
 
   test("SQL UPDATE and MERGE INTO commit atomic replace snapshots " +
