@@ -2065,7 +2065,10 @@ object Maintenance {
     */
   def allFilesMeta(s: SparkSession, dir: String): DataFrame = {
     ensureDocsAllFiles(s, dir)
-    s.table("graft.maint.docs_af.all_files").agg(
+    // content=0: data-file row totals (the table also lists pending
+    // MOR delete files; this fixture carries none).
+    s.table("graft.maint.docs_af.all_files")
+      .filter(col("content") === 0).agg(
       sum(col("record_count")).as("all_rows"),
       sum(when(col("in_current"), col("record_count")).otherwise(0L))
         .as("live_rows"),

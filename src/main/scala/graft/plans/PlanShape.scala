@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeExec}
 
 /** Physical-plan shape probes shared by the oracled registry entries
   * and the test suite — one definition so "no shuffle" means the same
@@ -22,6 +22,15 @@ object PlanShape {
   def exchangeCount(p: SparkPlan): Int = {
     val here = p match {
       case _: ShuffleExchangeExec => 1
+      // A reused exchange is a LEAF wrapping a shuffle planned
+      // elsewhere — data still crosses a shuffle boundary at this
+      // point, so a "no shuffle here" claim must count it (a reused
+      // shuffle below a join would otherwise pass the SPJ gates
+      // vacuously; code-review r11 finding).
+      case r: ReusedExchangeExec => r.child match {
+        case _: ShuffleExchangeExec => 1
+        case _ => 0
+      }
       case _ => 0
     }
     val kids = p match {

@@ -752,11 +752,13 @@ object PositionDeletesMetadataTable {
 }
 
 /** `db.table.all_files` — Iceberg's `table.all_files` metadata
-  * surface: every data file referenced by ANY live snapshot or any
-  * branch version — the full retention set (what expiry and orphan
-  * sweeps must NOT delete), against the `.files` view of just the
-  * current snapshot. One row per DISTINCT path, flagged with whether
-  * the CURRENT main snapshot references it and how many live
+  * surface: every file referenced by ANY live snapshot or any branch
+  * version — DATA files AND pending merge-on-read DELETE files
+  * (`content` 0/1/2 = data/position-deletes/equality-deletes, the
+  * Iceberg content encoding) — the full retention set (what expiry
+  * and orphan sweeps must NOT delete), against the `.files` view of
+  * just the current snapshot. One row per DISTINCT path, flagged with
+  * whether the CURRENT main snapshot references it and how many live
   * manifests (main versions + branch versions) do. Pure manifest
   * metadata, zero data IO.
   */
@@ -771,17 +773,22 @@ final class AllFilesMetadataTable(tableName: String,
       SnapStore.branchVersions(dir, b)
         .flatMap(v => scala.util.Try(
           SnapStore.branchManifest(dir, b, v)).toOption))
-    val curPaths = mains.lastOption.map(_.files.map(_.path).toSet)
-      .getOrElse(Set.empty[String])
-    (mains ++ branches).flatMap(m => m.files)
-      .groupBy(_.path).toSeq.sortBy(_._1)
+    val cur = mains.lastOption
+    val curPaths = cur.map(m => m.files.map(_.path).toSet ++
+      m.deleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
+    // (path, bytes, rows, partMin, partMax, content) per reference.
+    val refs = (mains ++ branches).flatMap(m =>
+      m.files.map(f => (f.path, f.bytes, f.rows, f.partMin, f.partMax, 0)) ++
+        m.deleteFiles.map(d => (d.path, d.bytes, d.rows, "", "",
+          if (d.kind == "pos") 1 else 2)))
+    refs.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (path, entries) =>
         val f = entries.head
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](u(path), f.bytes, f.rows,
-            if (f.partMin.nonEmpty) u(f.partMin) else null,
-            if (f.partMax.nonEmpty) u(f.partMax) else null,
-            curPaths.contains(path), entries.size)):
+          Array[Any](u(path), f._2, f._3,
+            if (f._4.nonEmpty) u(f._4) else null,
+            if (f._5.nonEmpty) u(f._5) else null,
+            curPaths.contains(path), entries.size, f._6)):
           org.apache.spark.sql.catalyst.InternalRow
       }.toArray
   }
@@ -795,7 +802,8 @@ object AllFilesMetadataTable {
     StructField("partition_min", org.apache.spark.sql.types.StringType, nullable = true),
     StructField("partition_max", org.apache.spark.sql.types.StringType, nullable = true),
     StructField("in_current", org.apache.spark.sql.types.BooleanType, nullable = false),
-    StructField("ref_count", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    StructField("ref_count", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("content", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
 /** `db.table.entries` — Iceberg's `table.entries` metadata surface:
@@ -1456,17 +1464,17 @@ final class SnapRowLevelOperation(
 
   /** WAP staging (Iceberg `spark.wap.branch`): captured ONCE at
     * operation build so the scan and the commit agree even if the
-    * conf flips mid-operation. The branch materializes here (fork
-    * from current main) so the scan below reads the STAGED state and
-    * the replace commit lands on the branch chain — an unmodified
-    * `UPDATE`/`MERGE INTO`/`DELETE` stages, main never moves.
+    * conf flips mid-operation. The branch materializes only at COMMIT
+    * time (the "branch materializes at first write" contract — an
+    * EXPLAIN or a failed query must not fork anything on disk); until
+    * then the scan reads main, which IS the would-be fork state.
     */
   private val wapBranch: Option[String] =
     SnapStore.wapBranch(SparkSession.active)
-  wapBranch.foreach(b => SnapStore.ensureBranch(dir, b))
 
   private def headManifest(): SnapStore.Manifest =
-    wapBranch.map(SnapStore.branchHeadManifest(dir, _))
+    wapBranch.flatMap(b => SnapStore.branchHead(dir, b)
+      .map(_ => SnapStore.branchHeadManifest(dir, b)))
       .getOrElse(SnapStore.currentManifest(dir))
 
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
@@ -1716,6 +1724,9 @@ final class SnapRowLevelOperation(
               override def commit(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                 delegate.commit(messages)
+                // The WAP branch materializes HERE, at first write —
+                // a planning-only operation never forks anything.
+                wapBranch.foreach(b => SnapStore.ensureBranch(dir, b))
                 SnapStore.commitReplaceFromStaging(SparkSession.active,
                   dir, staging,
                   cmd.toString.toLowerCase(java.util.Locale.ROOT),

@@ -2787,48 +2787,25 @@ object SnapStore {
       df.select(cur0.schema.fieldNames.map(col): _*), partCol,
       s"brappend-$name-${UUID.randomUUID().toString.take(8)}", numFiles,
       keyCol = cur0.keyCol)
-    try {
-      var attempt = 0
-      while (true) {
-        attempt += 1
-        val h = branchHead(table, name).get
-        val cur = branchManifest(table, name, h)
-        val v = h + 1
-        // Branch-appended files stamp seq ABOVE the fork point (fork
-        // version + branch version), not the small branch-local
-        // version: the branch manifest carries main's evolution log,
-        // whose seqs are MAIN versions — a branch file stamped `2`
-        // against a rename committed at main v5 would wrongly read
-        // through the inverse pre-rename schema. Fast-forward
-        // re-stamps adopted files to the FF version anyway.
-        val forkV = branchManifest(table, name, 1).parent
-        val m = Manifest(v, h, "append", cur.schema,
-          cur.files ++ newFiles.map(_.copy(seq = forkV + v)),
-          if (cur.partCol.nonEmpty) cur.partCol else partCol,
-          cur.deleteFiles, cur.keyCol, cur.evos)
-        // Split branch commits diff against the branch HEAD's
-        // grouping (which itself carries main's groups by reference
-        // from the fork): untouched groups carry, the appended files
-        // land in one fresh group — branch metadata writes stay
-        // proportional to the delta, exactly like main commits (r9).
-        if (m.files.size <= InlineFileThreshold) {
-          if (installExclusive(branchManifestPath(table, name, v),
-            manifestBody(m)))
-            return m
-        } else {
-          val (refs, written) = writeGroupedRefs(table, m, cur.groups, None)
-          if (installExclusive(branchManifestPath(table, name, v),
-            manifestBody(m, refs = Some(refs))))
-            return m
-          written.foreach(Files.deleteIfExists(_))
-        }
-        if (attempt >= 50)
-          throw new java.util.ConcurrentModificationException(
-            s"gave up after $attempt conflicting commits on branch '$name'")
-        Thread.sleep(java.util.concurrent.ThreadLocalRandom.current()
-          .nextLong(5L * attempt, 25L * attempt))
-      }
-      throw new IllegalStateException("unreachable")
+    // Commit through the SHARED branch retry (split commits diff
+    // their groups against the branch head exactly like main commits,
+    // r9); the appended files are shared across attempts — only the
+    // carried set recomputes — so the retry's per-attempt cleanup
+    // gets none, and the outer catch cleans them on terminal abort.
+    try withBranchCommitRetry(table, name) { cur =>
+      val v = cur.version + 1
+      // Branch-appended files stamp seq ABOVE the fork point (fork
+      // version + branch version), not the small branch-local
+      // version: the branch manifest carries main's evolution log,
+      // whose seqs are MAIN versions — a branch file stamped `2`
+      // against a rename committed at main v5 would wrongly read
+      // through the inverse pre-rename schema. Fast-forward
+      // re-stamps adopted files to the FF version anyway.
+      val forkV = branchManifest(table, name, 1).parent
+      (Manifest(v, cur.version, "append", cur.schema,
+        cur.files ++ newFiles.map(_.copy(seq = forkV + v)),
+        if (cur.partCol.nonEmpty) cur.partCol else partCol,
+        cur.deleteFiles, cur.keyCol, cur.evos), Seq.empty[FileEntry])
     } catch { case NonFatal(e) =>
       newFiles.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
       throw e
@@ -2843,8 +2820,12 @@ object SnapStore {
     if (branchHead(table, name).isEmpty)
       try { createBranch(table, name); () }
       catch {
-        case _: java.util.ConcurrentModificationException
-          if branchHead(table, name).nonEmpty => ()
+        // A lost creation race surfaces as EITHER the install-time
+        // ConcurrentModificationException or createBranch's own
+        // already-exists require (IllegalArgumentException) when the
+        // winner lands between our head probe and the require — both
+        // mean the branch exists now, which is all this asks for.
+        case NonFatal(_) if branchHead(table, name).nonEmpty => ()
       }
 
   /** The branch head's manifest — the branch analogue of

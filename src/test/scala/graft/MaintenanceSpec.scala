@@ -2786,7 +2786,14 @@ class MaintenanceSpec extends SparkSpec {
     // .all_files: the branch's exclusive files are in the retention
     // set but not the current snapshot; replaced part-1 files stay
     // (older snapshots still reference them).
-    val af = spark.table("graft.metat.t.all_files").collect()
+    val afRows = spark.table("graft.metat.t.all_files").collect()
+    // The retention set includes the PENDING MOR delete parquet
+    // (content=2) — an orphan sweep keyed off this surface must
+    // never delete it.
+    val afDel = afRows.filter(_.getInt(7) == 2)
+    assert(afDel.nonEmpty && afDel.forall(_.getBoolean(5)),
+      "pending eq-delete parquets must be in the retention set, current")
+    val af = afRows.filter(_.getInt(7) == 0)
       .map(r => (r.getString(0), r.getBoolean(5), r.getInt(6))).toSeq
     val afPaths = af.map(_._1).toSet
     assert(curPaths.subsetOf(afPaths), "all_files must cover the current set")
