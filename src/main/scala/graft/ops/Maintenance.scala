@@ -2421,6 +2421,305 @@ object Maintenance {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  // ----------------------------------------------------------------
+  // Round-12 faces: TIMESTAMP AS OF, full MERGE clauses, add_files,
+  // spark.wap.id + cherry-pick, .all_entries.
+
+  /** `docs_ts`: timestamp-travel lifecycle. v1 create → v2 append of
+    * every nineteenth doc re-keyed `+500000` as `srcT`. The spin
+    * guarantees the two STAMPED commit instants differ (two commits
+    * inside one millisecond would make "as of v1's instant" resolve
+    * to v2) — instants are stamped, so no blind sleep is needed, only
+    * a clock tick.
+    */
+  def ensureDocsTs(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_ts")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol)
+    if (SnapStore.currentVersion(t).contains(1)) {
+      val i1 = SnapStore.commitInstantMs(t, 1)
+      while (System.currentTimeMillis() <= i1) Thread.sleep(1L)
+      SnapStore.append(s, t,
+        base(s, dir).filter(pmod(col("doc_id"), lit(19L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 500000L)
+          .withColumn("source", lit("srcT")),
+        partCol)
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** `TIMESTAMP AS OF` time travel (VERDICT r11 #1): the same SQL
+    * aggregate read at v1's stamped instant and at the head's — the
+    * older read must serve EXACTLY the pre-append snapshot (the
+    * oracle recomputes both states logically), proving the catalog
+    * resolves instants to the latest snapshot committed at or before
+    * them. The pre-first-commit error contract is spec-pinned.
+    */
+  def timeTravelTs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsTs(s, dir)
+    val i1 = SnapStore.commitInstantMs(t, 1)
+    val i2 = SnapStore.commitInstantMs(t, 2)
+    require(i2 > i1, "stamped commit instants must be distinct")
+    def at(label: String, ms: Long): DataFrame = s.sql(
+      s"""SELECT '$label' AS snap, source, COUNT(*) AS n_docs,
+         |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+         |  CAST(SUM(fold_hash(text, 31, 0, $P)) AS BIGINT) AS chk
+         |FROM graft.maint.docs_ts TIMESTAMP AS OF timestamp_millis(${ms}L)
+         |GROUP BY source""".stripMargin)
+    at("asof_v1", i1).unionByName(at("head", i2))
+      .orderBy(col("snap"), col("source"))
+  }
+
+  val timeTravelTsOracle: String =
+    s"""WITH b AS (SELECT source, text FROM documents),
+       |h AS (
+       |  SELECT source, text FROM b
+       |  UNION ALL
+       |  SELECT 'srcT' AS source, text FROM documents WHERE doc_id % 19 = 0)
+       |SELECT 'asof_v1' AS snap, source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM b GROUP BY source
+       |UNION ALL
+       |SELECT 'head', source, COUNT(*),
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT),
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT)
+       |FROM h GROUP BY source
+       |ORDER BY snap, source""".stripMargin
+
+  /** `docs_mrgd`: the FULL MERGE clause surface (VERDICT r11 #2) in
+    * one statement — `WHEN MATCHED AND … THEN DELETE`, `WHEN MATCHED
+    * THEN UPDATE`, `WHEN NOT MATCHED THEN INSERT`, and `WHEN NOT
+    * MATCHED BY SOURCE AND … THEN UPDATE` — through the group-based
+    * row-level-operation path. Source rows: every `%37==2` doc
+    * re-sources to `srcQ2` (update), every `%37==5` doc deletes,
+    * every `%41==3` doc inserts re-keyed `+700000` as `srcN2`;
+    * target-only rows with `doc_id % 43 == 7` re-source to `srcB`.
+    */
+  def ensureDocsMrgd(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_mrgd")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    if (SnapStore.currentVersion(t).contains(1)) {
+      mount(s, dir)
+      val b = base(s, dir)
+      b.filter(pmod(col("doc_id"), lit(37L)) === 2)
+        .withColumn("source", lit("srcQ2")).withColumn("kind", lit("upd"))
+        .unionByName(b.filter(pmod(col("doc_id"), lit(37L)) === 5)
+          .withColumn("kind", lit("del")))
+        .unionByName(b.filter(pmod(col("doc_id"), lit(41L)) === 3)
+          .withColumn("doc_id", col("doc_id") + 700000L)
+          .withColumn("source", lit("srcN2")).withColumn("kind", lit("ins")))
+        .createOrReplaceTempView("graft_mrgd_src")
+      s.sql(
+        """MERGE INTO graft.maint.docs_mrgd t
+          |USING graft_mrgd_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED AND s.kind = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET t.source = s.source
+          |WHEN NOT MATCHED THEN INSERT
+          |  (doc_id, part, source, text, tok)
+          |  VALUES (s.doc_id, s.part, s.source, s.text, s.tok)
+          |WHEN NOT MATCHED BY SOURCE AND t.doc_id % 43 = 7
+          |  THEN UPDATE SET t.source = 'srcB'""".stripMargin)
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** Full-clause MERGE contents per source: the oracle recomputes
+    * delete/update/insert/not-matched-by-source logically, so a hash
+    * match proves every clause routed through the atomic replace
+    * snapshot exactly once (clause ORDER included — a doc matching
+    * both the delete and update guards must delete).
+    */
+  def sqlMergeDelete(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsMrgd(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val sqlMergeDeleteOracle: String =
+    s"""WITH m AS (
+       |  SELECT CASE WHEN doc_id % 37 = 2 THEN 'srcQ2'
+       |              WHEN doc_id % 43 = 7 THEN 'srcB'
+       |              ELSE source END AS source, text
+       |  FROM documents
+       |  WHERE doc_id % 37 != 5
+       |  UNION ALL
+       |  SELECT 'srcN2' AS source, text FROM documents WHERE doc_id % 41 = 3)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM m
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** `docs_add`: the `add_files` onboarding lifecycle (VERDICT r11
+    * #3). v1 create holds parts 0–3 only; parts 4–7 are written as a
+    * PLAIN parquet directory outside the table → v2 `CALL
+    * graft.system.add_files` adopts them metadata-only (one stats
+    * job, zero bytes moved — mtimes spec-pinned) → v3 a MOR equality
+    * delete of every thirteenth doc, applying to OWNED and ADOPTED
+    * files alike (the adopted entries' sequence precedes the
+    * delete's).
+    */
+  def ensureDocsAdd(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_add")
+    val ext = root(dir).resolve("import_src")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b.filter(col(partCol) < 4), partCol,
+        keyCol = "doc_id")
+    if (!Files.exists(ext.resolve("_SUCCESS")))
+      b.filter(col(partCol) >= 4)
+        .write.mode("overwrite").parquet(ext.toString)
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).contains(1))
+      s.sql(s"CALL graft.system.add_files('maint.docs_add', '$ext')")
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.deleteEquality(s, t,
+        b.filter(pmod(col("doc_id"), lit(13L)) === 0).select("doc_id"),
+        "doc_id")
+    t
+  }
+
+  /** Post-adoption contents per partition: the oracle recomputes the
+    * full fixture minus the MOR-deleted keys, so a hash match proves
+    * adopted files serve reads exactly like owned ones — including
+    * the pending equality delete applying across both.
+    */
+  def addFilesRead(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsAdd(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val addFilesReadOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE doc_id % 13 != 0
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** `docs_wapid`: the ID-KEYED write-audit-publish lifecycle
+    * (VERDICT r11 #4; Iceberg's older `spark.wap.id` face). With the
+    * conf set, an UNMODIFIED `INSERT INTO` stages as an unreferenced
+    * snapshot keyed by the id — main provably frozen, plain reads
+    * provably clean of staged rows — and `CALL graft.system
+    * .publish_changes` cherry-picks exactly the staged rows onto
+    * main. The staging chain drops on publish.
+    */
+  def ensureDocsWapId(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_wapid")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol, keyCol = "doc_id")
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).contains(1)) {
+      val confKey = "spark.graft.wap.id"
+      val old = s.conf.getOption(confKey)
+      s.conf.set(confKey, "batch7")
+      try {
+        b.filter(pmod(col("doc_id"), lit(23L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 800000L)
+          .withColumn("source", lit("srcW"))
+          .createOrReplaceTempView("wapid_batch")
+        s.sql("INSERT INTO graft.maint.docs_wapid SELECT * FROM wapid_batch")
+        require(SnapStore.currentVersion(t).contains(1),
+          "id-staged INSERT moved main — staging is broken")
+        require(SnapStore.branchHead(t,
+          SnapStore.wapStageBranch("batch7")).contains(2),
+          "the staged snapshot must land on the id's hidden chain")
+      } finally old match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+      // Unlike the branch conf, wap.id does NOT route reads: the
+      // staged snapshot stays invisible until published (Iceberg's
+      // id-keyed contract).
+      val plain = s.sql("SELECT COUNT(*) AS n FROM graft.maint.docs_wapid " +
+        "WHERE doc_id >= 800000").collect()(0).getLong(0)
+      require(plain == 0L,
+        s"id-staged rows leaked into a plain read ($plain rows)")
+      s.sql(
+        "CALL graft.system.publish_changes('maint.docs_wapid', 'batch7')")
+      require(SnapStore.currentVersion(t).contains(2),
+        "publish_changes must commit the staged rows onto main")
+      require(SnapStore.branchHead(t,
+        SnapStore.wapStageBranch("batch7")).isEmpty,
+        "the staging chain must drop on publish")
+    }
+    t
+  }
+
+  /** Id-keyed WAP contents per partition after publish: the oracle
+    * recomputes base + the staged batch; the hash match plus the
+    * lifecycle's requires prove the id staged without moving main
+    * and the cherry-pick landed exactly the staged rows.
+    */
+  def wapIdPublish(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsWapId(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val wapIdPublishOracle: String =
+    s"""WITH live AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 800000, text FROM documents WHERE doc_id % 23 = 0)
+       |SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM live
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** `.all_entries` across a create → append → rollback chain
+    * (VERDICT r11 #5): per-snapshot row-count totals by (status,
+    * content) are logically derivable — v1 adds everything, v2
+    * carries v1 and adds the append, v3 (rollback) carries v1's
+    * files and reports the appended ones GONE (status 2).
+    */
+  def allEntriesMeta(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsProc(s, dir)
+    s.sql("""SELECT snapshot, status, content,
+               SUM(record_count) AS rows_sum
+             FROM graft.maint.docs_proc.all_entries
+             GROUP BY snapshot, status, content
+             ORDER BY snapshot, status, content""")
+  }
+
+  val allEntriesMetaOracle: String =
+    """WITH c AS (
+      |  SELECT COUNT(*) AS n,
+      |    COUNT(*) FILTER (WHERE doc_id % 31 = 0) AS n31
+      |  FROM documents)
+      |SELECT CAST(1 AS INTEGER) AS snapshot, CAST(1 AS INTEGER) AS status,
+      |  CAST(0 AS INTEGER) AS content, CAST(n AS BIGINT) AS rows_sum FROM c
+      |UNION ALL SELECT 2, 0, 0, CAST(n AS BIGINT) FROM c
+      |UNION ALL SELECT 2, 1, 0, CAST(n31 AS BIGINT) FROM c
+      |UNION ALL SELECT 3, 0, 0, CAST(n AS BIGINT) FROM c
+      |UNION ALL SELECT 3, 2, 0, CAST(n31 AS BIGINT) FROM c
+      |ORDER BY snapshot, status, content""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -2539,5 +2838,25 @@ object Maintenance {
     Q("maint_changelog_mor", changelogMor, Some(changelogMorOracle),
       "changelog over a MOR eq-delete commit: manifest keys net into " +
         "DELETE pre-image rows from key-bounds-matching files only, " +
-        "no applyDeletes fold"))
+        "no applyDeletes fold"),
+    Q("maint_time_travel_ts", timeTravelTs, Some(timeTravelTsOracle),
+      "TIMESTAMP AS OF time travel: stamped commit instants resolve " +
+        "to the latest snapshot at-or-before, hash-verified between " +
+        "two commits"),
+    Q("maint_sql_merge_delete", sqlMergeDelete, Some(sqlMergeDeleteOracle),
+      "full MERGE clause surface: MATCHED DELETE, MATCHED UPDATE, " +
+        "NOT MATCHED INSERT, NOT MATCHED BY SOURCE UPDATE in one " +
+        "atomic replace snapshot"),
+    Q("maint_add_files", addFilesRead, Some(addFilesReadOracle),
+      "add_files onboarding: metadata-only adoption of external " +
+        "parquet (one stats job, zero rewrite); adopted files prune, " +
+        "read, and take MOR deletes like owned ones"),
+    Q("maint_wap_id", wapIdPublish, Some(wapIdPublishOracle),
+      "id-keyed WAP (spark.wap.id): INSERT stages an unreferenced " +
+        "snapshot, main frozen, cherry-pick publishes exactly the " +
+        "staged rows"),
+    Q("maint_all_entries", allEntriesMeta, Some(allEntriesMetaOracle),
+      ".all_entries metadata table: per-snapshot entry diffs across " +
+        "a create/append/rollback chain, rollback reporting the " +
+        "appended files gone"))
 }

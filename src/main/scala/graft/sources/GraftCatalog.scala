@@ -279,6 +279,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .filter(SnapStore.isSnapTable)
           .getOrElse(throw new NoSuchTableException(ident))
         new EntriesMetadataTable(s"$catalogName.$db.$table.entries", dir)
+      // `db.table.all_manifests` — Iceberg's `table.all_manifests`:
+      // every live manifest file across MAIN and every branch chain.
+      case Array(db, table) if ident.name() == "all_manifests" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new AllManifestsMetadataTable(
+          s"$catalogName.$db.$table.all_manifests", dir)
+      // `db.table.all_entries` — Iceberg's `table.all_entries`: the
+      // per-snapshot entry diff for EVERY live snapshot, not just the
+      // head.
+      case Array(db, table) if ident.name() == "all_entries" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new AllEntriesMetadataTable(
+          s"$catalogName.$db.$table.all_entries", dir)
+      // `db.table.all_data_files` — Iceberg's `table.all_data_files`:
+      // every DATA file any live snapshot or branch references, with
+      // its write-time stats.
+      case Array(db, table) if ident.name() == "all_data_files" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new AllDataFilesMetadataTable(
+          s"$catalogName.$db.$table.all_data_files", dir)
       // `db.table.metadata_log_entries` — Iceberg's surface for the
       // version log itself: stamped instants, manifest paths, head.
       case Array(db, table) if ident.name() == "metadata_log_entries" =>
@@ -319,6 +345,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new NoSuchTableException(ident))
         snapTable(db, ident.name(),
           Some(SnapStore.resolveManifest(dir, version)))
+          .getOrElse(throw new NoSuchTableException(ident))
+      case _ => throw new NoSuchTableException(ident)
+    }
+
+  /** Time travel by instant (`SELECT … FROM t TIMESTAMP AS OF ts`) —
+    * the second DSv2 snapshot-read overload Iceberg catalogs
+    * implement. Spark hands the instant in MICROSECONDS; resolution
+    * walks the stamped per-manifest commit instants
+    * ([[SnapStore.versionAsOfTimestamp]]) to the latest snapshot
+    * committed at or before it. A pre-first-commit instant raises
+    * the Iceberg-shaped `Cannot find a snapshot older than …` error.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    ident.namespace() match {
+      case Array(db) =>
+        val dir = mountedDir(db).map(_.resolve(ident.name()))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        val v = SnapStore.versionAsOfTimestamp(dir, timestamp / 1000L)
+        snapTable(db, ident.name(), Some(SnapStore.manifest(dir, v)))
           .getOrElse(throw new NoSuchTableException(ident))
       case _ => throw new NoSuchTableException(ident)
     }
@@ -811,8 +857,12 @@ object AllFilesMetadataTable {
   * entry's status relative to the live parent (1 = added by this
   * snapshot, 0 = existing/carried, 2 = deleted — present in the live
   * parent but gone here), its content kind (0 = data, 1 = position
-  * deletes, 2 = equality deletes), and its commit sequence. Pure
-  * manifest metadata, zero data IO.
+  * deletes, 2 = equality deletes), and its commit sequence. Status-2
+  * rows cover gone DATA files and gone DELETE files alike (ADVICE
+  * r11). When the parent snapshot has been EXPIRED there is nothing
+  * to diff against: status-2 rows are simply absent (documented
+  * contract — Iceberg's entries table likewise reads only manifests
+  * the snapshot still references). Pure manifest metadata, zero IO.
   */
 final class EntriesMetadataTable(tableName: String,
     dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
@@ -827,6 +877,7 @@ final class EntriesMetadataTable(tableName: String,
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](status, content, u(path), seq, records))
     val curPaths = cur.files.map(_.path).toSet
+    val curDelPaths = cur.deleteFiles.map(_.path).toSet
     val data = cur.files.map(f =>
       row(if (f.seq == cur.version) 1 else 0, 0, f.path, f.seq, f.rows))
     val dels = cur.deleteFiles.map(d =>
@@ -835,7 +886,14 @@ final class EntriesMetadataTable(tableName: String,
     val gone = parent.toSeq.flatMap(_.files)
       .filterNot(f => curPaths(f.path))
       .map(f => row(2, 0, f.path, f.seq, f.rows))
-    (data ++ dels ++ gone).toArray
+    // Delete files this commit REMOVED (applyDeletes folds, compact
+    // retirement, rewrite_delete_files merges) surface as status=2
+    // rows with their content kind — previously only gone DATA files
+    // did (ADVICE r11).
+    val goneDels = parent.toSeq.flatMap(_.deleteFiles)
+      .filterNot(d => curDelPaths(d.path))
+      .map(d => row(2, if (d.kind == "pos") 1 else 2, d.path, d.seq, d.rows))
+    (data ++ dels ++ gone ++ goneDels).toArray
   }
 }
 
@@ -846,6 +904,153 @@ object EntriesMetadataTable {
     StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
     StructField("seq", org.apache.spark.sql.types.IntegerType, nullable = false),
     StructField("record_count", org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+/** `db.table.all_manifests` — Iceberg's `table.all_manifests`
+  * surface: one row per LIVE manifest file across MAIN (`ref` =
+  * 'main') and every branch chain (`ref` = branch name) — the
+  * all-snapshots analogue of `.manifests`. Pure metadata, zero IO.
+  */
+final class AllManifestsMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = AllManifestsMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val mains = SnapStore.liveVersions(dir).map { v =>
+      ("main", v, SnapStore.manifestFileOf(dir, v),
+        scala.util.Try(SnapStore.manifest(dir, v)).toOption)
+    }
+    val branches = SnapStore.listBranches(dir).flatMap { b =>
+      SnapStore.branchVersions(dir, b).map { v =>
+        (b, v,
+          dir.resolve("_snapshots").resolve(f"branch-$b-v$v%05d.manifest"),
+          scala.util.Try(SnapStore.branchManifest(dir, b, v)).toOption)
+      }
+    }
+    // flatMap over the Try: a manifest dropped between the listing
+    // and the parse (racing expiry) vanishes instead of failing the
+    // whole metadata query — the RefsMetadataTable convention.
+    (mains ++ branches).flatMap { case (ref, v, p, mOpt) =>
+      mOpt.map { m =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](u(ref), v, u(p.toString),
+            if (java.nio.file.Files.exists(p)) java.nio.file.Files.size(p)
+            else 0L,
+            m.files.size, m.deleteFiles.size, u(m.operation))):
+          org.apache.spark.sql.catalyst.InternalRow
+      }
+    }.toArray
+  }
+}
+
+object AllManifestsMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("ref", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("version", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("length", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("data_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("delete_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("operation", org.apache.spark.sql.types.StringType, nullable = false)))
+}
+
+/** `db.table.all_entries` — Iceberg's `table.all_entries` surface:
+  * the `.entries` diff for EVERY live snapshot (ascending), with the
+  * snapshot version leading each row. Status is relative to the
+  * snapshot's LIVE parent: 1 = added by that snapshot, 0 = carried,
+  * 2 = gone there (data AND delete files, ADVICE r11); an expired
+  * parent contributes no status-2 rows — the same documented
+  * contract as `.entries`. Pure manifest metadata, zero data IO.
+  */
+final class AllEntriesMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = AllEntriesMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val live = SnapStore.liveVersions(dir)
+    // ONE parse per live manifest serves every snapshot's diff.
+    val byV = live.map(v => v -> SnapStore.manifest(dir, v)).toMap
+    live.flatMap { v =>
+      val m = byV(v)
+      val parent = byV.get(m.parent)
+      def row(status: Int, content: Int, path: String, seq: Int,
+          records: Long): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](v, status, content, u(path), seq, records))
+      val curPaths = m.files.map(_.path).toSet
+      val curDelPaths = m.deleteFiles.map(_.path).toSet
+      m.files.map(f =>
+        row(if (f.seq == v) 1 else 0, 0, f.path, f.seq, f.rows)) ++
+        m.deleteFiles.map(d =>
+          row(if (d.seq == v) 1 else 0,
+            if (d.kind == "pos") 1 else 2, d.path, d.seq, d.rows)) ++
+        parent.toSeq.flatMap(_.files)
+          .filterNot(f => curPaths(f.path))
+          .map(f => row(2, 0, f.path, f.seq, f.rows)) ++
+        parent.toSeq.flatMap(_.deleteFiles)
+          .filterNot(d => curDelPaths(d.path))
+          .map(d => row(2, if (d.kind == "pos") 1 else 2, d.path,
+            d.seq, d.rows))
+    }.toArray
+  }
+}
+
+object AllEntriesMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("snapshot", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("status", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("content", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("seq", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("record_count", org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+/** `db.table.all_data_files` — Iceberg's `table.all_data_files`
+  * surface: every DATA file any live snapshot (main or branch)
+  * references — the data-only, stats-carrying analogue of
+  * `.all_files` (which also lists delete files) — one row per
+  * distinct path with its write-time stats, whether the CURRENT main
+  * snapshot references it, and how many live manifests do. Pure
+  * manifest metadata, zero data IO.
+  */
+final class AllDataFilesMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = AllDataFilesMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val mains = SnapStore.liveVersions(dir)
+      .map(v => SnapStore.manifest(dir, v))
+    val branches = SnapStore.listBranches(dir).flatMap(b =>
+      SnapStore.branchVersions(dir, b)
+        .flatMap(v => scala.util.Try(
+          SnapStore.branchManifest(dir, b, v)).toOption))
+    val curPaths = mains.lastOption
+      .map(_.files.map(_.path).toSet).getOrElse(Set.empty[String])
+    (mains ++ branches).flatMap(_.files)
+      .groupBy(_.path).toSeq.sortBy(_._1)
+      .map { case (path, entries) =>
+        val f = entries.head
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](u(path), f.bytes, f.rows,
+            if (f.partMin.nonEmpty) u(f.partMin) else null,
+            if (f.partMax.nonEmpty) u(f.partMax) else null,
+            if (f.specCol.nonEmpty) u(f.specCol) else null,
+            curPaths.contains(path), entries.size)):
+          org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
+  }
+}
+
+object AllDataFilesMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("file_path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("size_bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("record_count", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("partition_min", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("partition_max", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("spec_col", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("in_current", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("ref_count", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
 /** `db.table.metadata_log_entries` — Iceberg's
@@ -1022,10 +1227,17 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
       .reduceOption(_ && _)
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     // WAP-staged DELETE (Iceberg `spark.wap.branch`): the COW rewrite
-    // commits on the staging branch (created at first write), main
-    // untouched until the explicit publish.
+    // commits on the staging branch, main untouched until the
+    // explicit publish. The branch materializes INSIDE deleteWhere,
+    // after its probe finds matches — a no-match staged DELETE is a
+    // full no-op (no fork, no branch commit; ADVICE r11).
     val wap = SnapStore.wapBranch(SparkSession.active)
-    wap.foreach(b => SnapStore.ensureBranch(dir, b))
+    // Id-keyed staging covers the INSERT faces only (cherry-pick can
+    // only re-apply appends/overwrites onto a moved main) — a DELETE
+    // under spark.wap.id must refuse, never silently commit to main.
+    require(wap.nonEmpty || SnapStore.wapId(SparkSession.active).isEmpty,
+      "spark.wap.id staging covers INSERT INTO/OVERWRITE only; use " +
+        "spark.graft.wap.branch for staged DML")
     SnapStore.deleteWhere(SparkSession.active, dir, cond, branch = wap)
   }
 
@@ -1056,14 +1268,17 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
                 val partCol =
                   if (cur.partCol.nonEmpty) cur.partCol
                   else cur.schema.fieldNames.head
-                SnapStore.wapBranch(data.sparkSession) match {
-                  // Write-audit-publish conf routing (Iceberg's
-                  // `spark.wap.branch`): an UNMODIFIED `INSERT INTO`
-                  // or `INSERT OVERWRITE` stages on the conf's
-                  // branch — main never moves — and the branch
-                  // materializes at first write (fork from the
-                  // current main snapshot). Publish is the existing
-                  // audit + fast_forward surface.
+                // Write-audit-publish routing: the branch conf
+                // (Iceberg `spark.wap.branch`) stages on its named
+                // branch; the ID conf (Iceberg's older
+                // `spark.wap.id`) stages on the id's hidden branch —
+                // an unreferenced snapshot main never points at,
+                // published later by `cherrypick_snapshot` /
+                // `publish_changes`. Either way main never moves and
+                // the branch materializes at first write.
+                SnapStore.wapBranch(data.sparkSession)
+                  .orElse(SnapStore.wapId(data.sparkSession)
+                    .map(SnapStore.wapStageBranch)) match {
                   case Some(b) =>
                     SnapStore.ensureBranch(dir, b)
                     if (replace || overwrite)
@@ -1472,6 +1687,14 @@ final class SnapRowLevelOperation(
   private val wapBranch: Option[String] =
     SnapStore.wapBranch(SparkSession.active)
 
+  // Id-keyed staging covers the INSERT faces only — an UPDATE/MERGE
+  // under spark.wap.id refuses at operation build, never silently
+  // commits to main (mirrors deleteWhere's guard).
+  require(wapBranch.nonEmpty ||
+    SnapStore.wapId(SparkSession.active).isEmpty,
+    "spark.wap.id staging covers INSERT INTO/OVERWRITE only; use " +
+      "spark.graft.wap.branch for staged DML")
+
   private def headManifest(): SnapStore.Manifest =
     wapBranch.flatMap(b => SnapStore.branchHead(dir, b)
       .map(_ => SnapStore.branchHeadManifest(dir, b)))
@@ -1510,6 +1733,17 @@ final class SnapRowLevelOperation(
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private val cur = headManifest()
+      // A WAP-staged operation over pending MOR delete files refuses
+      // AT SCAN BUILD (ADVICE r11): branch chains carry no delete
+      // files, so the commit would fail anyway — but only after
+      // ensureBranch forked the branch and the whole rewrite ran.
+      // Failing here is early and side-effect-free (fold the deletes
+      // with applyDeletes first, exactly like createBranch demands).
+      wapBranch.foreach { b =>
+        require(cur.deleteFiles.isEmpty,
+          s"cannot stage a $cmd on branch '$b': the table carries " +
+            "pending delete files — run applyDeletes before staging")
+      }
       private var statics: Seq[SnapStore.FileEntry] = cur.files
 
       /** STATIC group pruning — Iceberg's SparkScanBuilder contract

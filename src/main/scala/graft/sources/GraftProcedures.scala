@@ -71,7 +71,41 @@ object GraftProcedures {
         s"graft-procedure $procName")).iterator()
   }
 
+  /** A procedure whose result is a MULTI-row scan (`ancestors_of`). */
+  private final class RowsProc(
+      procName: String,
+      params: Array[ProcedureParameter],
+      resultSchema: StructType,
+      action: InternalRow => Array[Array[Any]])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = s"graft system procedure $procName"
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](new LocalScan(resultSchema,
+        action(input).map(vs =>
+          new GenericInternalRow(vs): InternalRow),
+        s"graft-procedure $procName")).iterator()
+  }
+
   private val procs: Map[String, UnboundProcedure] = Map(
+    // Iceberg ancestors_of: the ancestry line of a snapshot (0 = the
+    // current head), one row per ancestor with its commit instant.
+    "ancestors_of" -> new RowsProc("ancestors_of",
+      Array(str("table"), int("version")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("committed_at_ms", LongType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val v0 = in.getInt(1)
+        val v = if (v0 > 0) v0 else SnapStore.currentVersion(dir).getOrElse(
+          throw new IllegalArgumentException(s"No snapshots under $dir"))
+        SnapStore.ancestorsOf(dir, v)
+          .map { case (ver, ts) => Array[Any](ver, ts) }.toArray
+      }),
     // Iceberg expire_snapshots: drop old manifests + orphaned files.
     "expire_snapshots" -> new Proc("expire_snapshots",
       Array(str("table"), int("retain_last")),
@@ -152,6 +186,32 @@ object GraftProcedures {
           tableDir(in.getUTF8String(0).toString), in.getInt(1))
         Array[Any](m.parent, m.version)
       }),
+    // Iceberg rollback_to_timestamp: resolve the stamped commit
+    // instants to the snapshot current as of `ts_ms`, then the same
+    // metadata-only rollback commit.
+    "rollback_to_timestamp" -> new Proc("rollback_to_timestamp",
+      Array(str("table"), lng("ts_ms")),
+      StructType(Seq(
+        StructField("previous_version", IntegerType, nullable = false),
+        StructField("current_version", IntegerType, nullable = false))),
+      { in =>
+        val m = SnapStore.rollbackToTimestamp(
+          tableDir(in.getUTF8String(0).toString), in.getLong(1))
+        Array[Any](m.parent, m.version)
+      }),
+    // Iceberg expire_snapshots(snapshot_ids => …): expire ONE named
+    // snapshot (tag-protected and head snapshots refuse the same way
+    // the retention paths protect them — the head via retain-last).
+    "expire_snapshot_id" -> new Proc("expire_snapshot_id",
+      Array(str("table"), int("version")),
+      StructType(Seq(
+        StructField("expired_snapshots", IntegerType, nullable = false),
+        StructField("deleted_data_files", IntegerType, nullable = false))),
+      { in =>
+        val (expired, deleted) = SnapStore.expireSnapshotId(
+          tableDir(in.getUTF8String(0).toString), in.getInt(1))
+        Array[Any](expired.size, deleted.size)
+      }),
     // Iceberg remove_orphan_files (older_than guard in millis).
     "remove_orphan_files" -> new Proc("remove_orphan_files",
       Array(str("table"), lng("min_age_ms")),
@@ -225,6 +285,46 @@ object GraftProcedures {
         val dir = tableDir(in.getUTF8String(0).toString)
         val m = SnapStore.rewriteDeleteFiles(spark, dir)
         Array[Any](m.version, m.deleteFiles.size)
+      }),
+    // Iceberg add_files: metadata-only adoption of an existing
+    // parquet directory — one stats job, zero data rewritten, the
+    // 100 TB migration path.
+    "add_files" -> new Proc("add_files",
+      Array(str("table"), str("source_dir")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("added_files", IntegerType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val before = SnapStore.currentManifest(dir).files.size
+        val m = SnapStore.addFiles(spark, dir,
+          Paths.get(in.getUTF8String(1).toString))
+        Array[Any](m.version, m.files.size - before)
+      }),
+    // Iceberg cherrypick_snapshot: publish an id-staged (spark.wap.id)
+    // snapshot onto the CURRENT main head.
+    "cherrypick_snapshot" -> new Proc("cherrypick_snapshot",
+      Array(str("table"), str("wap_id")),
+      StructType(Seq(
+        StructField("wap_id", StringType, nullable = false),
+        StructField("current_version", IntegerType, nullable = false))),
+      { in =>
+        val id = in.getUTF8String(1).toString
+        val m = SnapStore.cherrypickSnapshot(spark,
+          tableDir(in.getUTF8String(0).toString), id)
+        Array[Any](u(id), m.version)
+      }),
+    // Iceberg publish_changes: the same publish under its newer name.
+    "publish_changes" -> new Proc("publish_changes",
+      Array(str("table"), str("wap_id")),
+      StructType(Seq(
+        StructField("wap_id", StringType, nullable = false),
+        StructField("current_version", IntegerType, nullable = false))),
+      { in =>
+        val id = in.getUTF8String(1).toString
+        val m = SnapStore.cherrypickSnapshot(spark,
+          tableDir(in.getUTF8String(0).toString), id)
+        Array[Any](u(id), m.version)
       }),
     // Fold pending delete files back into the data (the rewrite face
     // of Iceberg's rewrite_position_delete_files / delete compaction).

@@ -1317,6 +1317,14 @@ object SnapStore {
     * costs that slice's bytes, and the probe scan reads only what
     * the pushed-down condition admits. SQL semantics: rows where
     * `cond` is NULL are kept.
+    *
+    * A NO-MATCH delete is a NO-OP (ADVICE r11): Iceberg commits no
+    * new snapshot for a copy-on-write delete that touched nothing,
+    * and under a staging `branch` a no-op must not even materialize
+    * the branch — this returns the (unchanged) head manifest without
+    * committing or forking anything. The branch therefore
+    * materializes HERE, after the probe finds matches, not at the
+    * caller.
     */
   def deleteWhere(spark: SparkSession, table: Path, cond: Column,
       numFiles: Int = 8, branch: Option[String] = None): Manifest = {
@@ -1326,12 +1334,16 @@ object SnapStore {
     // probe itself may scan PLAIN (not delete-aware): a MOR-deleted
     // row matching `cond` only marks its file touched — the rewrite
     // below reads that file delete-aware, so the row stays gone.
-    def step(cur: Manifest, v: Int, seqV: Int): (Manifest, Seq[FileEntry]) = {
+    def probe(cur: Manifest): Set[String] = {
       val candidates = probeCandidates(spark, cur, cond)
-      val hit = scanFiles(spark, table, cur, candidates, withMeta = true)
+      if (candidates.isEmpty) return Set.empty
+      scanFiles(spark, table, cur, candidates, withMeta = true)
         .filter(cond)
         .select(col("__fn")).distinct()
         .collect().map(_.getString(0)).toSet
+    }
+    def step(cur: Manifest, v: Int, seqV: Int,
+        hit: Set[String]): (Manifest, Seq[FileEntry]) = {
       val (touched, untouched) =
         cur.files.partition(f => hit(fileName(f.path)))
       val newFiles =
@@ -1353,18 +1365,34 @@ object SnapStore {
     branch match {
       // WAP-staged DELETE: the copy-on-write rewrite commits on the
       // branch chain (fork-relative sequence stamps), main untouched.
-      case Some(b) => withBranchCommitRetry(table, b) { cur =>
-        require(cur.deleteFiles.isEmpty,
-          s"branch '$b' unexpectedly carries delete files")
-        val v = cur.version + 1
-        val forkV = branchManifest(table, b, 1).parent
-        step(cur, v, forkV + v)
-      }
+      // The no-op probe runs against the WOULD-BE state (branch head
+      // when materialized, main otherwise) BEFORE ensureBranch, so a
+      // no-match staged delete leaves zero side effects on disk.
+      case Some(b) =>
+        val head = branchHead(table, b)
+          .map(_ => branchHeadManifest(table, b))
+          .getOrElse(currentManifest(table))
+        if (probe(head).isEmpty) return head
+        ensureBranch(table, b)
+        withBranchCommitRetry(table, b) { cur =>
+          require(cur.deleteFiles.isEmpty,
+            s"branch '$b' unexpectedly carries delete files")
+          val v = cur.version + 1
+          val forkV = branchManifest(table, b, 1).parent
+          step(cur, v, forkV + v, probe(cur))
+        }
       case None => withCommitRetry(table) { () =>
         val cur = currentManifest(table)
-        val v = cur.version + 1
-        val (m, newFiles) = step(cur, v, v)
-        (m, newFiles, tryCommitManifest(table, m))
+        val hit = probe(cur)
+        // No file holds a match: report success with the CURRENT
+        // snapshot — no rewrite, no commit (Iceberg's no-match COW
+        // delete commits nothing).
+        if (hit.isEmpty) (cur, Seq.empty, true)
+        else {
+          val v = cur.version + 1
+          val (m, newFiles) = step(cur, v, v, hit)
+          (m, newFiles, tryCommitManifest(table, m))
+        }
       }
     }
   }
@@ -1940,6 +1968,101 @@ object SnapStore {
     }
   }
 
+  /** Metadata-only onboarding of EXISTING parquet files — Iceberg's
+    * `add_files` procedure: adopt every parquet file under
+    * `sourceDir` into the table WITHOUT rewriting, moving, or even
+    * re-reading a byte beyond ONE column-pruned stats job (rows +
+    * typed partition/key bounds — the same write-time metrics owned
+    * writes collect, so every manifest-level prune bites on adopted
+    * files too). The commit is an append: adopted entries stamp the
+    * new snapshot's sequence, so later equality deletes apply to
+    * them and a later compaction folds them into owned `data/`
+    * files. At 100 TB this is the only affordable migration — the
+    * alternative is rewriting the corpus.
+    *
+    * Adopted entries store ABSOLUTE paths (a manifest path resolves
+    * against the table root, and resolving an absolute path is the
+    * identity), so the source files stay exactly where they are —
+    * spec-pinned: their mtimes are untouched. Like Iceberg, adoption
+    * transfers OWNERSHIP for retention: snapshot expiry deletes an
+    * adopted file once no live snapshot references it ([[removeOrphans]]
+    * never touches them — it sweeps only the table's own `data/`).
+    *
+    * File NAMES must be unique across the table (adopted or owned):
+    * position-delete routing and MOR read grouping key on the name
+    * (`_metadata.file_name` has no directory), so a collision would
+    * mis-route deletes — refused loudly here.
+    */
+  def addFiles(spark: SparkSession, table: Path,
+      sourceDir: Path): Manifest = {
+    val cur0 = currentManifest(table)
+    require(cur0.partCol.nonEmpty, "table has no partition spec")
+    require(Files.isDirectory(sourceDir),
+      s"add_files source '$sourceDir' is not a directory")
+    val stream = Files.list(sourceDir)
+    val adopted =
+      try stream.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath)
+        .toSeq.sortBy(_.toString)
+      finally stream.close()
+    require(adopted.nonEmpty, s"no parquet files under $sourceDir")
+    // One stats job over ONLY the adopted files (column-pruned to the
+    // partition + key columns), keyed by physical file.
+    val spec = PartTransforms.parse(cur0.partCol)
+    val keyCol = cur0.keyCol
+    val withKey = keyCol.nonEmpty && keyCol != cur0.partCol
+    val src = spark.read.parquet(adopted.map(_.toString): _*)
+    val pexpr = PartTransforms.exprFor(spec, src.schema)
+    val aggs = Seq(min(pexpr).as("mn"), max(pexpr).as("mx"),
+      count(lit(1)).as("rows")) ++
+      (if (withKey) Seq(min(col(keyCol)).as("kmn"), max(col(keyCol)).as("kmx"))
+       else Seq.empty)
+    val stats = src.groupBy(input_file_name().as("f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        require(!r.isNullAt(1) && !r.isNullAt(2),
+          s"partition column '${cur0.partCol}' must be non-null in " +
+            "adopted files")
+        val (kmn, kmx) =
+          if (withKey && !r.isNullAt(4) && !r.isNullAt(5))
+            (render(r.get(4)), render(r.get(5)))
+          else if (keyCol.nonEmpty && keyCol == cur0.partCol)
+            (render(r.get(1)), render(r.get(2)))
+          else ("", "")
+        fileName(r.getString(0)) ->
+          (render(r.get(1)), render(r.get(2)), r.getLong(3), kmn, kmx)
+      }.toMap
+    // Zero-row adopted files are skipped (never referenced) but NOT
+    // deleted — they are not ours to remove before the adopt commits.
+    val entries = adopted.flatMap { p =>
+      stats.get(p.getFileName.toString).map { case (mn, mx, rows, kmn, kmx) =>
+        FileEntry(p.toString, mn, mx, rows, Files.size(p),
+          specCol = cur0.partCol, keyMin = kmn, keyMax = kmx)
+      }
+    }
+    require(entries.nonEmpty, s"every parquet under $sourceDir is empty")
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      require(cur.partCol == cur0.partCol,
+        "partition spec evolved mid-adopt — retry add_files")
+      val names = (cur.files.map(f => fileName(f.path)) ++
+        entries.map(e => fileName(e.path)))
+      require(names.distinct.size == names.size,
+        "adopted file names collide with existing table files — " +
+          "rename the source files (delete routing keys on file NAME)")
+      val v = cur.version + 1
+      val m = Manifest(v, cur.version, "add-files", cur.schema,
+        cur.files ++ entries.map(_.copy(seq = v)), cur.partCol,
+        cur.deleteFiles, cur.keyCol, cur.evos)
+      // Nothing to clean on a lost race: the adopted files pre-exist
+      // and are shared across attempts.
+      (m, Seq.empty, tryCommitManifest(table, m))
+    }
+  }
+
   /** Full-table OVERWRITE — the commit behind SQL `INSERT OVERWRITE`:
     * a new snapshot listing ONLY the new files (old files and any
     * pending delete files become moot together — the delete debt
@@ -2420,6 +2543,40 @@ object SnapStore {
     expireSet(table, vs.dropRight(keepLast))
   }
 
+  /** Expire ONE snapshot by id — Iceberg's
+    * `expire_snapshots(snapshot_ids => …)` face. The current head
+    * refuses (the table must stay readable); tag-protected snapshots
+    * are skipped by the shared retention path like every other
+    * expiry.
+    */
+  def expireSnapshotId(table: Path, version: Int): (Seq[Int], Seq[String]) = {
+    val vs = liveVersions(table)
+    require(vs.contains(version),
+      s"snapshot $version is not live for table $table")
+    require(version != vs.last,
+      s"cannot expire the current snapshot $version")
+    expireSet(table, Seq(version))
+  }
+
+  /** The ancestry line of one snapshot (itself first, then parents),
+    * with commit instants — Iceberg's `ancestors_of` procedure. The
+    * walk follows parent pointers across LIVE manifests; an expired
+    * parent ends it (everything before is unreachable history),
+    * exactly like the `.history` table's ancestor flag.
+    */
+  def ancestorsOf(table: Path, version: Int): Seq[(Int, Long)] = {
+    val live = liveVersions(table).toSet
+    val seen = scala.collection.mutable.Set.empty[Int]
+    val out = Seq.newBuilder[(Int, Long)]
+    var cur = version
+    while (cur > 0 && live(cur) && !seen(cur)) {
+      seen += cur
+      out += ((cur, commitInstantMs(table, cur)))
+      cur = manifest(table, cur).parent
+    }
+    out.result()
+  }
+
   /** Age-based expiry — Iceberg's `expire_snapshots(older_than,
     * retain_last)`: expire snapshots COMMITTED before `olderThanMs`
     * (per [[commitInstantMs]] — the stamped `instant=` field, so a
@@ -2662,6 +2819,33 @@ object SnapStore {
       .getOrElse(throw new IllegalArgumentException(
         s"Cannot find snapshot reference '$ref' for table $table"))
 
+  /** The latest live snapshot committed AT OR BEFORE `tsMs` (epoch
+    * millis) — the resolution behind `TIMESTAMP AS OF` time travel
+    * and `rollback_to_timestamp`, reading the stamped `instant=`
+    * commit instants (r9; legacy manifests fall back to mtime).
+    * Instants are monotonic in version order by construction (every
+    * commit — including rollback — publishes a NEW manifest stamped
+    * at publish time). A timestamp BEFORE the first live commit
+    * raises the Iceberg-shaped error (`Cannot find a snapshot older
+    * than …`).
+    */
+  def versionAsOfTimestamp(table: Path, tsMs: Long): Int = {
+    val vs = liveVersions(table)
+    if (vs.isEmpty)
+      throw new IllegalArgumentException(s"No snapshots under $table")
+    vs.filter(v => commitInstantMs(table, v) <= tsMs).lastOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"Cannot find a snapshot older than ${tsMs} ms " +
+          s"(epoch) for table $table"))
+  }
+
+  /** Rollback to the snapshot current AS OF a timestamp — Iceberg's
+    * `rollback_to_timestamp`: resolve through the stamped commit
+    * instants, then the usual metadata-only [[rollback]] commit.
+    */
+  def rollbackToTimestamp(table: Path, tsMs: Long): Manifest =
+    rollback(table, versionAsOfTimestamp(table, tsMs))
+
   /** Rollback — Iceberg's `rollback_to_snapshot`: make the table's
     * CURRENT state an older snapshot's contents again, as a NEW
     * commit that lists the old snapshot's files (history is never
@@ -2706,6 +2890,91 @@ object SnapStore {
   def wapBranch(spark: SparkSession): Option[String] =
     Seq("spark.graft.wap.branch", "spark.wap.branch")
       .flatMap(k => spark.conf.getOption(k)).find(_.nonEmpty)
+
+  /** The session's ID-KEYED write-audit-publish id — Iceberg's older
+    * `spark.wap.id` face (the graft-prefixed key wins; the bare
+    * Iceberg key is honored). With the id set and no staging BRANCH
+    * conf, catalog `INSERT INTO` / `INSERT OVERWRITE` stage as an
+    * UNREFERENCED snapshot keyed by the id (main frozen) and
+    * [[cherrypickSnapshot]] publishes it onto the CURRENT main head
+    * — unlike fast-forward, a cherry-picked append lands even when
+    * main moved since staging. Both confs together refuse (Iceberg
+    * rejects the combination too — the staging targets conflict).
+    */
+  def wapId(spark: SparkSession): Option[String] = {
+    val id = Seq("spark.graft.wap.id", "spark.wap.id")
+      .flatMap(k => spark.conf.getOption(k)).find(_.nonEmpty)
+    id.foreach { i =>
+      require(i.matches(BranchName),
+        s"spark.wap.id '$i' must match $BranchName")
+      require(wapBranch(spark).isEmpty,
+        "spark.wap.id and spark.wap.branch are both set — " +
+          "pick one staging mechanism")
+    }
+    id
+  }
+
+  /** The hidden staging branch an id-keyed WAP write lands on: the
+    * storage mechanism behind the "unreferenced snapshot tagged with
+    * the wap id" (our refs are branch chains; main never points at
+    * it, which IS unreferenced). [[cherrypickSnapshot]] resolves ids
+    * through this name; un-published stages are dropped by
+    * `expire_refs`/[[dropBranch]] and their exclusive files then
+    * collect as orphans.
+    */
+  def wapStageBranch(id: String): String = s"wapid_$id"
+
+  /** Publish an id-staged snapshot onto the CURRENT main head —
+    * Iceberg's `cherrypick_snapshot` / `publish_changes`: the staged
+    * chain's ADDED files append to main's head as one new commit
+    * (re-stamped to the new version's sequence). Unlike
+    * [[fastForward]] this tolerates a main that MOVED since staging —
+    * the cherry-pick contract — but only append-shaped stages can be
+    * re-applied safely onto a diverged head; a staged OVERWRITE
+    * publishes only while main still sits at the fork point, and any
+    * other staged operation refuses (Iceberg's cherrypick supports
+    * appends and dynamic overwrites, same fence). The staging branch
+    * drops after a successful publish.
+    */
+  def cherrypickSnapshot(spark: SparkSession, table: Path,
+      id: String): Manifest = {
+    val b = wapStageBranch(id)
+    val head = branchHead(table, b).getOrElse(
+      throw new IllegalArgumentException(
+        s"no staged snapshot for wap id '$id' under $table"))
+    val ops = (2 to head).map(v => branchManifest(table, b, v).operation)
+    require(ops.nonEmpty, s"wap id '$id' staged no commits")
+    require(ops.forall(op => op == "append" || op == "overwrite"),
+      s"cherrypick supports staged appends/overwrites only, got " +
+        ops.filterNot(op => op == "append" || op == "overwrite").head)
+    val fork = branchManifest(table, b, 1)
+    val hm = branchManifest(table, b, head)
+    val m = withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      val v = cur.version + 1
+      val next =
+        if (ops.contains("overwrite")) {
+          // A staged overwrite REPLACES contents — re-applying that
+          // onto a moved main would silently drop the interleaved
+          // commits; publishable only from the fork point.
+          require(cur.version == fork.parent,
+            s"cannot cherry-pick staged overwrite '$id': main moved " +
+              s"(${fork.parent} -> ${cur.version}) since staging")
+          Manifest(v, cur.version, "cherrypick", hm.schema,
+            hm.files.map(f => f.copy(seq = v)), hm.partCol,
+            Seq.empty, hm.keyCol, hm.evos)
+        } else {
+          val forkPaths = fork.files.map(_.path).toSet
+          val added = hm.files.filterNot(f => forkPaths(f.path))
+          Manifest(v, cur.version, "cherrypick", cur.schema,
+            cur.files ++ added.map(_.copy(seq = v)), cur.partCol,
+            cur.deleteFiles, cur.keyCol, cur.evos)
+        }
+      (next, Seq.empty, tryCommitManifest(table, next))
+    }
+    dropBranch(table, b)
+    m
+  }
 
   private def branchManifestPath(table: Path, name: String, v: Int): Path =
     snapDir(table).resolve(f"branch-$name-v$v%05d.manifest")

@@ -69,8 +69,16 @@ class SnapStreamSource extends TableProvider {
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val dir = dirOf(opts)
+    // Zero/negative caps refuse at option parse (ADVICE r11):
+    // maxFilesPerTrigger=0 would yield ReadLimit.maxFiles(0) — an
+    // offset that never advances, a silently stalled stream (and a
+    // composite min() would inherit the stall).
     val maxFiles = Option(opts.get("maxFilesPerTrigger")).map(_.toInt)
+    maxFiles.foreach(n => require(n > 0,
+      s"maxFilesPerTrigger must be positive, got $n"))
     val maxBytes = Option(opts.get("maxBytesPerTrigger")).map(_.toLong)
+    maxBytes.foreach(b => require(b > 0,
+      s"maxBytesPerTrigger must be positive, got $b"))
     val skipDeletes = Option(opts.get("skipDeleteSnapshots"))
       .exists(_.toBoolean)
     new SnapStreamTable(dir, schema, maxFiles, maxBytes, skipDeletes)

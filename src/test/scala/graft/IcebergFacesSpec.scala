@@ -1,0 +1,421 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapStore
+
+/** Round-12 Iceberg faces: `TIMESTAMP AS OF` + rollback_to_timestamp,
+  * `add_files` onboarding, id-keyed WAP (`spark.wap.id` +
+  * cherry-pick), the full MERGE clause surface, the `.all_*`
+  * metadata-table family, and the four ADVICE r11 regressions
+  * (no-op staged delete, early WAP-over-MOR refusal, streaming
+  * option validation, entries-table gone delete files).
+  */
+class IcebergFacesSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf).select(
+    col("doc_id"),
+    pmod(col("doc_id"), lit(4L)).as("part"),
+    col("source"), col("text"))
+
+  private def mountAs(db: String, root: java.nio.file.Path): Unit = {
+    spark.conf.set(s"spark.graft.catalog.dir.$db", root.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  }
+
+  // ----------------------------------------------------------------
+  test("TIMESTAMP AS OF resolves stamped instants to the latest " +
+    "at-or-before snapshot; a pre-first-commit instant errors like " +
+    "Iceberg; rollback_to_timestamp restores the resolved snapshot") {
+    val root = Files.createTempDirectory("graft-tsspec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs, "part")
+    val i1 = SnapStore.commitInstantMs(t, 1)
+    while (System.currentTimeMillis() <= i1) Thread.sleep(1L)
+    SnapStore.append(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(9L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 100000L), "part")
+    val i2 = SnapStore.commitInstantMs(t, 2)
+    assert(i2 > i1, "distinct stamped instants required")
+    mountAs("tsspec", root)
+
+    val n1 = docs.count()
+    val n9 = docs.filter(pmod(col("doc_id"), lit(9L)) === 0).count()
+    // At v1's instant: the pre-append snapshot.
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.tsspec.t " +
+      s"TIMESTAMP AS OF timestamp_millis(${i1}L)")
+      .collect()(0).getLong(0) == n1)
+    // At (and after) v2's instant: the head.
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.tsspec.t " +
+      s"TIMESTAMP AS OF timestamp_millis(${i2 + 60000}L)")
+      .collect()(0).getLong(0) == n1 + n9)
+    // Before the first commit: the Iceberg-shaped error.
+    val e = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) AS n FROM graft.tsspec.t " +
+        s"TIMESTAMP AS OF timestamp_millis(${i1 - 60000}L)").collect()
+    }
+    assert(e.getMessage.contains("Cannot find a snapshot older than"),
+      s"wrong error: ${e.getMessage}")
+
+    // rollback_to_timestamp: resolve i1 → v1, commit a rollback.
+    val res = spark.sql("CALL graft.system.rollback_to_timestamp(" +
+      s"'tsspec.t', ${i1}L)").collect()(0)
+    assert(res.getInt(1) == 3, "rollback commits a NEW version")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.tsspec.t")
+      .collect()(0).getLong(0) == n1,
+      "post-rollback contents must equal the v1 snapshot")
+    // ancestors_of over the chain: 3 → 2 → 1.
+    val anc = spark.sql("CALL graft.system.ancestors_of('tsspec.t', 0)")
+      .collect().map(_.getInt(0)).toSeq
+    assert(anc == Seq(3, 2, 1), s"ancestry walk wrong: $anc")
+    // expire_snapshot_id drops exactly the named snapshot; the head
+    // refuses.
+    intercept[Exception] {
+      spark.sql("CALL graft.system.expire_snapshot_id('tsspec.t', 3)")
+        .collect()
+    }
+    val exp = spark.sql("CALL graft.system.expire_snapshot_id('tsspec.t', 2)")
+      .collect()(0)
+    assert(exp.getInt(0) == 1)
+    assert(SnapStore.liveVersions(t) == Seq(1, 3))
+  }
+
+  // ----------------------------------------------------------------
+  test("add_files adopts external parquet metadata-only: mtimes " +
+    "untouched, bounds prune, MOR deletes apply, name collisions " +
+    "and empty sources refuse") {
+    val root = Files.createTempDirectory("graft-addspec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("part") < 2), "part",
+      keyCol = "doc_id")
+    val ext = root.resolve("ext")
+    docs.filter(col("part") >= 2)
+      .write.mode("overwrite").parquet(ext.toString)
+    val extFiles = {
+      val s = Files.list(ext)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      } finally s.close()
+    }
+    val mtimes = extFiles.map(p => p -> Files.getLastModifiedTime(p)).toMap
+
+    val m = SnapStore.addFiles(spark, t, ext)
+    assert(m.version == 2)
+    // Metadata-only: the adopted bytes were never touched.
+    extFiles.foreach(p =>
+      assert(Files.getLastModifiedTime(p) == mtimes(p),
+        s"adopted file rewritten: $p"))
+    // Adopted entries carry absolute paths + real stats, and the
+    // manifest bounds PRUNE them: a part<2 probe keeps no adopted
+    // file (they hold parts 2–3 only).
+    val adopted = m.files.filter(_.path.startsWith(ext.toString))
+    assert(adopted.nonEmpty && adopted.forall(_.rows > 0))
+    val cand = SnapStore.probeCandidates(spark, m, col("part") === 0L)
+    assert(!cand.exists(_.path.startsWith(ext.toString)),
+      "part=0 probe must prune every adopted (part>=2) file")
+    // Reads serve owned + adopted alike.
+    assert(SnapStore.read(spark, t).count() == docs.count())
+    // A MOR equality delete applies to adopted files too (their seq
+    // precedes the delete's).
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 0).select("doc_id"),
+      "doc_id")
+    val n7 = docs.filter(pmod(col("doc_id"), lit(7L)) === 0).count()
+    assert(SnapStore.read(spark, t).count() == docs.count() - n7)
+    assert(SnapStore.read(spark, t)
+      .filter(pmod(col("doc_id"), lit(7L)) === 0 &&
+        col("part") >= 2).count() == 0,
+      "the delete must suppress rows in ADOPTED files")
+    // Re-adopting the same directory collides on names → refuses.
+    intercept[IllegalArgumentException] {
+      SnapStore.addFiles(spark, t, ext)
+    }
+    // An empty source refuses.
+    val empty = root.resolve("empty")
+    Files.createDirectories(empty)
+    intercept[IllegalArgumentException] {
+      SnapStore.addFiles(spark, t, empty)
+    }
+  }
+
+  // ----------------------------------------------------------------
+  test("spark.wap.id stages INSERT as an unreferenced snapshot; " +
+    "cherry-pick publishes onto a MOVED main; staged overwrite onto " +
+    "a moved main refuses; DML under wap.id refuses") {
+    val root = Files.createTempDirectory("graft-wapidspec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    val baseRows = spark.range(0, 40).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"),
+      concat(lit("d"), col("id")).as("txt"))
+    SnapStore.create(spark, t, baseRows, "part")
+    mountAs("wapid", root)
+
+    val confKey = "spark.graft.wap.id"
+    spark.conf.set(confKey, "b1")
+    try {
+      spark.sql("INSERT INTO graft.wapid.t " +
+        "SELECT id + 1000, part, concat(txt, '-s') FROM graft.wapid.t " +
+        "WHERE id % 4 = 0")
+      assert(SnapStore.currentVersion(t).contains(1),
+        "id-staged INSERT must not move main")
+      assert(SnapStore.branchHead(t, SnapStore.wapStageBranch("b1"))
+        .contains(2), "stage must land on the id's hidden chain")
+      // wap.id does NOT route reads (unlike wap.branch).
+      assert(spark.sql(
+        "SELECT COUNT(*) AS n FROM graft.wapid.t WHERE id >= 1000")
+        .collect()(0).getLong(0) == 0L,
+        "id-staged rows must stay invisible until published")
+      // DML under wap.id refuses loudly — never a silent main commit.
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft.wapid.t WHERE id = 0")
+      }
+      assert(e.getMessage.contains("spark.wap.id"), e.getMessage)
+      val e2 = intercept[Exception] {
+        spark.sql("UPDATE graft.wapid.t SET txt = 'x' WHERE id = 0")
+      }
+      assert(e2.getMessage.contains("spark.wap.id"), e2.getMessage)
+    } finally spark.conf.unset(confKey)
+
+    // Main MOVES after staging — cherry-pick must still land the
+    // staged append (the contract fast-forward cannot serve).
+    SnapStore.append(spark, t,
+      spark.range(100, 110).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"),
+        concat(lit("post"), col("id")).as("txt")), "part")
+    assert(SnapStore.currentVersion(t).contains(2))
+    val res = spark.sql(
+      "CALL graft.system.cherrypick_snapshot('wapid.t', 'b1')")
+      .collect()(0)
+    assert(res.getString(0) == "b1" && res.getInt(1) == 3)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft.wapid.t WHERE id >= 1000")
+      .collect()(0).getLong(0) == 10L,
+      "cherry-pick must land exactly the staged rows")
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft.wapid.t WHERE id >= 100 AND id < 110")
+      .collect()(0).getLong(0) == 10L,
+      "the interleaved main append must survive the cherry-pick")
+    assert(SnapStore.branchHead(t, SnapStore.wapStageBranch("b1")).isEmpty,
+      "the staging chain must drop on publish")
+    // Publishing a missing id errors.
+    intercept[Exception] {
+      spark.sql("CALL graft.system.publish_changes('wapid.t', 'nope')")
+        .collect()
+    }
+
+    // A staged OVERWRITE cherry-picks only from the fork point: once
+    // main moves, it refuses (re-applying a replace would drop the
+    // interleaved commits).
+    spark.conf.set(confKey, "ow1")
+    try spark.sql("INSERT OVERWRITE graft.wapid.t " +
+      "SELECT id, part, txt FROM graft.wapid.t WHERE id < 5")
+    finally spark.conf.unset(confKey)
+    SnapStore.append(spark, t,
+      spark.range(200, 204).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"), lit("x").as("txt")), "part")
+    val e3 = intercept[Exception] {
+      spark.sql("CALL graft.system.cherrypick_snapshot('wapid.t', 'ow1')")
+        .collect()
+    }
+    assert(e3.getMessage.contains("main moved"), e3.getMessage)
+    // Un-published stage: drop it and its exclusive files become
+    // orphan-collectable.
+    SnapStore.dropBranch(t, SnapStore.wapStageBranch("ow1"))
+    assert(SnapStore.removeOrphans(t, minAgeMs = 0L).isEmpty ||
+      SnapStore.read(spark, t).count() > 0) // table stays readable
+  }
+
+  // ----------------------------------------------------------------
+  test("MERGE drives WHEN MATCHED THEN DELETE and WHEN NOT MATCHED " +
+    "BY SOURCE THEN UPDATE/DELETE through the row-level path") {
+    val root = Files.createTempDirectory("graft-mrgclauses")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    val baseRows = spark.range(0, 20).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"),
+      concat(lit("d"), col("id")).as("txt"))
+    SnapStore.create(spark, t, baseRows, "part", keyCol = "id")
+    mountAs("mrgc", root)
+
+    // Source: ids 0..9; kind 'del' for even, 'upd' for odd; id 100
+    // inserts.
+    spark.range(0, 10).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"),
+      concat(lit("s"), col("id")).as("txt"),
+      when(col("id") % 2 === 0, lit("del")).otherwise(lit("upd"))
+        .as("kind"))
+      .union(spark.sql(
+        "SELECT 100L AS id, 0L AS part, 'fresh' AS txt, 'ins' AS kind"))
+      .createOrReplaceTempView("mrgc_src")
+    spark.sql(
+      """MERGE INTO graft.mrgc.t t
+        |USING mrgc_src s
+        |ON t.id = s.id
+        |WHEN MATCHED AND s.kind = 'del' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.txt = s.txt
+        |WHEN NOT MATCHED THEN INSERT (id, part, txt)
+        |  VALUES (s.id, s.part, s.txt)
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 18
+        |  THEN UPDATE SET t.txt = 'tail'""".stripMargin)
+    val got = spark.table("graft.mrgc.t").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // Even ids 0..8 deleted; odd ids 1..9 updated to s<i>; 10..17
+    // untouched; 18..19 'tail'; 100 inserted.
+    assert(!(0 until 10 by 2).exists(i => got.contains(i.toLong)),
+      "matched-del rows must be gone")
+    (1 until 10 by 2).foreach(i => assert(got(i.toLong) == s"s$i"))
+    (10 until 18).foreach(i => assert(got(i.toLong) == s"d$i"))
+    Seq(18L, 19L).foreach(i => assert(got(i) == "tail",
+      "NOT MATCHED BY SOURCE UPDATE must apply"))
+    assert(got(100L) == "fresh")
+    assert(got.size == 5 + 8 + 2 + 1)
+
+    // NOT MATCHED BY SOURCE THEN DELETE, against an empty-ish source.
+    spark.sql(
+      """MERGE INTO graft.mrgc.t t
+        |USING (SELECT 1L AS id) s
+        |ON t.id = s.id
+        |WHEN NOT MATCHED BY SOURCE AND t.id >= 100 THEN DELETE
+        |""".stripMargin)
+    assert(spark.table("graft.mrgc.t")
+      .filter(col("id") >= 100).count() == 0,
+      "NOT MATCHED BY SOURCE DELETE must apply")
+  }
+
+  // ----------------------------------------------------------------
+  test("ADVICE r11 regressions: no-match DELETE commits nothing and " +
+    "never materializes the WAP branch; staged DML over pending MOR " +
+    "deletes refuses at scan build, side-effect-free") {
+    val root = Files.createTempDirectory("graft-advspec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs, "part")
+    mountAs("advs", root)
+
+    // Main path: a no-match COW delete is a no-op — no new snapshot.
+    spark.sql("DELETE FROM graft.advs.t WHERE doc_id < 0")
+    assert(SnapStore.currentVersion(t).contains(1),
+      "a no-match DELETE must not commit a snapshot")
+    val m = SnapStore.deleteWhere(spark, t, col("doc_id") < 0)
+    assert(m.version == 1, "programmatic no-match delete: no commit")
+
+    // Branch conf: a no-match staged DELETE must not even fork.
+    val confKey = "spark.graft.wap.branch"
+    spark.conf.set(confKey, "adv")
+    try {
+      spark.sql("DELETE FROM graft.advs.t WHERE doc_id < 0")
+      assert(SnapStore.branchHead(t, "adv").isEmpty,
+        "a no-match staged DELETE must not materialize the branch")
+      // A MATCHING staged delete still stages normally.
+      spark.sql("DELETE FROM graft.advs.t WHERE doc_id = 0")
+      assert(SnapStore.branchHead(t, "adv").contains(2) &&
+        SnapStore.currentVersion(t).contains(1))
+    } finally spark.conf.unset(confKey)
+    SnapStore.dropBranch(t, "adv")
+
+    // Pending MOR deletes + WAP conf: staged UPDATE refuses EARLY —
+    // before the rewrite, before any branch fork.
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(col("doc_id") === 3).select("doc_id"), "doc_id")
+    spark.conf.set(confKey, "adv2")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("UPDATE graft.advs.t SET source = 'x' WHERE part = 0")
+      }
+      assert(e.getMessage.contains("pending delete files"), e.getMessage)
+      assert(SnapStore.branchHead(t, "adv2").isEmpty,
+        "the early refusal must leave no branch behind")
+    } finally spark.conf.unset(confKey)
+  }
+
+  // ----------------------------------------------------------------
+  test("streaming trigger caps validate at option parse: zero " +
+    "maxFilesPerTrigger/maxBytesPerTrigger refuse instead of stalling") {
+    val root = Files.createTempDirectory("graft-streamopt")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs, "part")
+    Seq("maxFilesPerTrigger" -> "0", "maxBytesPerTrigger" -> "0",
+      "maxFilesPerTrigger" -> "-1").foreach { case (k, v) =>
+      val e = intercept[Exception] {
+        spark.readStream.format("graft.sources.SnapStreamSource")
+          .option("dir", t.toString).option(k, v).load()
+          .writeStream.format("noop")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start().awaitTermination(30000L)
+      }
+      def msgs(x: Throwable): Seq[String] =
+        if (x == null) Seq.empty
+        else Option(x.getMessage).toSeq ++ msgs(x.getCause)
+      assert(msgs(e).exists(_.contains("must be positive")),
+        s"$k=$v must refuse loudly: ${msgs(e).mkString(" | ")}")
+    }
+  }
+
+  // ----------------------------------------------------------------
+  test(".entries reports gone DELETE files after a fold; .all_* " +
+    "family lists manifests/entries/data files across snapshots " +
+    "and branches") {
+    val root = Files.createTempDirectory("graft-allmeta")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs, "part")                        // v1
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(11L)) === 0).select("doc_id"),
+      "doc_id")                                                     // v2
+    SnapStore.applyDeletes(spark, t, "part")                        // v3
+    SnapStore.createBranch(t, "side")
+    SnapStore.appendToBranch(spark, t, "side",
+      docs.filter(col("doc_id") < 8)
+        .withColumn("doc_id", col("doc_id") + 50000L), "part")
+    mountAs("allm", root)
+
+    // ADVICE r11: the fold's commit must surface the folded delete
+    // file as a status=2, content=2 entry.
+    val entries = spark.table("graft.allm.t.entries").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)))
+    val goneDel = entries.filter(e => e._1 == 2 && e._2 == 2)
+    assert(goneDel.nonEmpty,
+      "applyDeletes must report the folded delete file gone (status=2)")
+    val v2 = SnapStore.manifest(t, 2)
+    assert(goneDel.map(_._3).toSet == v2.deleteFiles.map(_.path).toSet)
+
+    // .all_manifests: 3 main versions + 2 branch versions.
+    val am = spark.table("graft.allm.t.all_manifests").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(am.count(_._1 == "main") == 3)
+    assert(am.count(_._1 == "side") == 2)
+
+    // .all_entries: v2's rows include the added delete file
+    // (status 1, content 2); v3's include it gone (status 2).
+    val ae = spark.table("graft.allm.t.all_entries").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(ae.contains((2, 1, 2)), "v2 must show the delete file added")
+    assert(ae.contains((3, 2, 2)), "v3 must show the delete file gone")
+    assert(ae.contains((3, 2, 0)), "v3 must show replaced data files gone")
+
+    // .all_data_files: every path any snapshot/branch references;
+    // branch-exclusive files flagged not-in-current.
+    val adf = spark.table("graft.allm.t.all_data_files").collect()
+      .map(r => (r.getString(0), r.getBoolean(6), r.getInt(7)))
+    val v1 = SnapStore.manifest(t, 1)
+    val v3 = SnapStore.currentManifest(t)
+    val branchHead = SnapStore.branchHeadManifest(t, "side")
+    val want = (v1.files ++ v2.files ++ v3.files ++ branchHead.files)
+      .map(_.path).toSet
+    assert(adf.map(_._1).toSet == want)
+    val curSet = v3.files.map(_.path).toSet
+    adf.foreach { case (p, inCur, refs) =>
+      assert(inCur == curSet(p), s"$p in_current flag wrong")
+      assert(refs >= 1)
+    }
+  }
+}

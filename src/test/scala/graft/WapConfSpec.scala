@@ -178,6 +178,55 @@ class WapConfSpec extends SparkSpec {
     }
   }
 
+  test("staged MERGE under the WAP conf drives the FULL clause " +
+    "surface — MATCHED DELETE, MATCHED UPDATE, NOT MATCHED INSERT, " +
+    "NOT MATCHED BY SOURCE UPDATE — on the branch, main frozen") {
+    val root = Files.createTempDirectory("graft-wapmrg")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    val baseRows = spark.range(0, 32).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"),
+      concat(lit("d"), col("id")).as("txt"))
+    SnapStore.create(spark, t, baseRows, "part")
+    spark.conf.set("spark.graft.catalog.dir.wapm", root.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+
+    withWap("mrg") {
+      spark.sql(
+        """MERGE INTO graft.wapm.t t
+          |USING (SELECT * FROM VALUES
+          |  (0L, 0L, 'z', 'del'), (1L, 1L, 'u1', 'upd'),
+          |  (100L, 0L, 'new', 'ins') AS s(id, part, txt, kind)) s
+          |ON t.id = s.id
+          |WHEN MATCHED AND s.kind = 'del' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET txt = s.txt
+          |WHEN NOT MATCHED THEN INSERT (id, part, txt)
+          |  VALUES (s.id, s.part, s.txt)
+          |WHEN NOT MATCHED BY SOURCE AND t.id >= 30
+          |  THEN UPDATE SET txt = 'tail'""".stripMargin)
+      assert(SnapStore.currentVersion(t).contains(1),
+        "staged full-clause MERGE must not move main")
+      assert(SnapStore.branchHead(t, "mrg").contains(2),
+        "staged full-clause MERGE must commit on the branch")
+      val got = spark.sql("SELECT id, txt FROM graft.wapm.t").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(!got.contains(0L), "staged MATCHED DELETE must apply")
+      assert(got(1L) == "u1" && got(100L) == "new")
+      assert(got(30L) == "tail" && got(31L) == "tail",
+        "staged NOT MATCHED BY SOURCE UPDATE must apply")
+      assert(got(2L) == "d2")
+    }
+    // Main untouched until publish; publish lands the full effect.
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.wapm.t")
+      .collect()(0).getLong(0) == 32L)
+    SnapStore.fastForward(t, "mrg")
+    val after = spark.sql("SELECT id, txt FROM graft.wapm.t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(after.size == 32 && !after.contains(0L) &&
+      after(100L) == "new" && after(30L) == "tail")
+  }
+
   test("random staged-DML sequence (seed-stable): every op commits " +
     "on the branch, main is byte-frozen throughout, the branch " +
     "tracks a model, and publish lands exactly the model") {
