@@ -32,10 +32,35 @@ final case class BlobFeatures(
   */
 object Multimodal {
 
-  /** STUB: deterministic fake decode standing in for an image/video
-    * codec (`???` in a real deployment until the codec is linked).
-    * Derives "dimensions" and a frame count from the payload length
-    * and a rolling checksum from the first 16 bytes.
+  /** The PLUGGABLE codec seam (VERDICT r11 #7): a real deployment
+    * sets `spark.graft.mm.codec` to a class implementing this trait
+    * (constructed ONCE PER PARTITION on the executor — the codec-init
+    * cost point `mapInPandas` pipelines get) and every decode-shaped
+    * operator routes through it; the default is the deterministic
+    * [[StubCodec]] this container's oracles pin (no image/audio libs
+    * exist here). Implementations need a public no-arg constructor
+    * (they are instantiated by name task-side, so the driver never
+    * has to serialize codec state — exactly how a JNI/FFmpeg handle
+    * must be created where it is used).
+    */
+  trait MediaCodec {
+    def decode(b: MediaBlob): BlobFeatures
+  }
+
+  /** The conf naming the [[MediaCodec]] implementation class. */
+  val CodecConf = "spark.graft.mm.codec"
+
+  /** Default codec: the deterministic fake decode standing in for an
+    * image/video codec (`???` in a real deployment until the codec is
+    * linked). Derives "dimensions" and a frame count from the payload
+    * length and a rolling checksum from the first 16 bytes.
+    */
+  final class StubCodec extends MediaCodec {
+    override def decode(b: MediaBlob): BlobFeatures = fakeDecode(b)
+  }
+
+  /** The stub decode arithmetic (kept callable directly — the oracles
+    * and the thumbnail stub share its conventions).
     */
   def fakeDecode(b: MediaBlob): BlobFeatures = {
     val len = b.blob.length
@@ -43,18 +68,33 @@ object Multimodal {
     BlobFeatures(b.doc_id, (len % 64) + 1, (len % 48) + 1, (len + 31) / 32, checksum)
   }
 
+  /** Instantiate the session's configured codec BY NAME — called
+    * inside mapPartitions, so each partition builds its own instance
+    * (one codec init per partition, zero driver-side serialization).
+    */
+  private[ops] def codecFor(className: String): MediaCodec =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[MediaCodec]
+
   // ---------------------------------------------------------------
   /** Decode + feature-extract over the typed blob Dataset via
     * mapPartitions (batch shape: Iterator[MediaBlob] →
-    * Iterator[BlobFeatures]).
+    * Iterator[BlobFeatures]), through the session's configured
+    * [[MediaCodec]] (default [[StubCodec]]).
     */
   def decodeFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Resolve the NAME on the driver (confs don't exist task-side);
+    // construct the codec per partition on the executor.
+    val codecClass = s.conf.get(CodecConf, classOf[StubCodec].getName)
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("blob"),
         col("lang"), col("source"), col("n_chars"))
       .as[MediaBlob]
-      .mapPartitions(_.map(fakeDecode))
+      .mapPartitions { it =>
+        val codec = codecFor(codecClass)
+        it.map(codec.decode)
+      }
       .toDF()
       .orderBy(col("doc_id"))
   }

@@ -305,6 +305,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(throw new NoSuchTableException(ident))
         new AllDataFilesMetadataTable(
           s"$catalogName.$db.$table.all_data_files", dir)
+      // `db.table.all_delete_files` — Iceberg's
+      // `table.all_delete_files`: every DELETE file any live snapshot
+      // or branch references.
+      case Array(db, table) if ident.name() == "all_delete_files" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new AllDeleteFilesMetadataTable(
+          s"$catalogName.$db.$table.all_delete_files", dir)
       // `db.table.metadata_log_entries` — Iceberg's surface for the
       // version log itself: stamped instants, manifest paths, head.
       case Array(db, table) if ident.name() == "metadata_log_entries" =>
@@ -573,20 +582,45 @@ final case class LocalRowsPartition(
 /** `db.table.snapshots` — the Iceberg `table.snapshots` /
   * `table.history` surface: one row per LIVE snapshot (version,
   * parent, operation, file/row/byte totals), dropping expired ones.
+  * The SUMMARY columns (r12; Iceberg's snapshot summary map,
+  * flattened) diff each snapshot against its LIVE parent:
+  * `added_files`/`added_rows` are the data files new to this
+  * snapshot, `removed_files` the parent's data files gone here; an
+  * expired parent reports zeros (nothing to diff against — the
+  * `.entries` contract).
   */
 final class SnapshotsMetadataTable(tableName: String,
     dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
   override def schema(): StructType = SnapshotsMetadataTable.schema
-  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
-    SnapStore.history(dir).map { case (v, parent, op, nf, nr, nb) =>
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    // ONE parse per live manifest serves totals, instant, and diff.
+    val live = SnapStore.liveVersions(dir)
+    val byV = live.map(v => v -> SnapStore.manifest(dir, v)).toMap
+    live.map { v =>
+      val m = byV(v)
+      val curPaths = m.files.map(_.path).toSet
+      val added = byV.get(m.parent) match {
+        case Some(p) =>
+          val pf = p.files.map(_.path).toSet
+          m.files.filterNot(f => pf(f.path))
+        case None if m.parent == 0 => m.files // the root: all added
+        case None => Seq.empty // expired parent: nothing to diff
+      }
+      val removed = byV.get(m.parent).toSeq
+        .flatMap(_.files).count(f => !curPaths(f.path))
+      val instant =
+        if (m.instantMs > 0) m.instantMs
+        else SnapStore.commitInstantMs(dir, v)
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](v, parent,
-          org.apache.spark.unsafe.types.UTF8String.fromString(op),
-          nf, nr, nb,
-          // committed_at: commit instant as TIMESTAMP micros.
-          SnapStore.commitInstantMs(dir, v) * 1000L)):
+        Array[Any](v, m.parent,
+          org.apache.spark.unsafe.types.UTF8String.fromString(m.operation),
+          m.files.size.toLong, m.files.map(_.rows).sum,
+          m.files.map(_.bytes).sum,
+          instant * 1000L,
+          added.size, added.map(_.rows).sum, removed)):
         org.apache.spark.sql.catalyst.InternalRow
     }.toArray
+  }
 }
 
 object SnapshotsMetadataTable {
@@ -597,7 +631,10 @@ object SnapshotsMetadataTable {
     StructField("n_files", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("total_rows", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false),
-    StructField("committed_at", org.apache.spark.sql.types.TimestampType, nullable = false)))
+    StructField("committed_at", org.apache.spark.sql.types.TimestampType, nullable = false),
+    StructField("added_files", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("added_rows", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("removed_files", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
 /** `db.table.history` — Iceberg's `table.history` metadata table:
@@ -1039,6 +1076,54 @@ final class AllDataFilesMetadataTable(tableName: String,
           org.apache.spark.sql.catalyst.InternalRow
       }.toArray
   }
+}
+
+/** `db.table.all_delete_files` — Iceberg's `table.all_delete_files`
+  * surface: every DELETE file any live snapshot (main or branch)
+  * references — the delete-side analogue of `.all_data_files`
+  * (`.delete_files` shows only the CURRENT pending set; folded debt
+  * stays visible here until its snapshots expire). One row per
+  * distinct path with kind, key column, counts, sequence, whether
+  * the current snapshot still carries it, and its reference count.
+  * Pure manifest metadata, zero data IO.
+  */
+final class AllDeleteFilesMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = AllDeleteFilesMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val mains = SnapStore.liveVersions(dir)
+      .map(v => SnapStore.manifest(dir, v))
+    val branches = SnapStore.listBranches(dir).flatMap(b =>
+      SnapStore.branchVersions(dir, b)
+        .flatMap(v => scala.util.Try(
+          SnapStore.branchManifest(dir, b, v)).toOption))
+    val curPaths = mains.lastOption
+      .map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
+    (mains ++ branches).flatMap(_.deleteFiles)
+      .groupBy(_.path).toSeq.sortBy(_._1)
+      .map { case (path, entries) =>
+        val d = entries.head
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](u(path), u(d.kind),
+            if (d.keyCol.nonEmpty) u(d.keyCol) else null,
+            d.rows, d.bytes, d.seq,
+            curPaths.contains(path), entries.size)):
+          org.apache.spark.sql.catalyst.InternalRow
+      }.toArray
+  }
+}
+
+object AllDeleteFilesMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("kind", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("key_col", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("record_count", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("bytes", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("sequence", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("in_current", org.apache.spark.sql.types.BooleanType, nullable = false),
+    StructField("ref_count", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
 object AllDataFilesMetadataTable {

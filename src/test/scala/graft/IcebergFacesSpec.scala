@@ -417,5 +417,28 @@ class IcebergFacesSpec extends SparkSpec {
       assert(inCur == curSet(p), s"$p in_current flag wrong")
       assert(refs >= 1)
     }
+
+    // .all_delete_files: the v2 delete file stays visible after the
+    // fold (it is referenced by the live v2 snapshot) but is flagged
+    // not-in-current.
+    val adel = spark.table("graft.allm.t.all_delete_files").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(6)))
+    assert(adel.map(_._1).toSet == v2.deleteFiles.map(_.path).toSet)
+    adel.foreach { case (_, kind, inCur) =>
+      assert(kind == "eq" && !inCur,
+        "folded delete debt must report in_current=false")
+    }
+
+    // .snapshots summary columns: v1 all-added; v2 (MOR delete)
+    // adds/removes no data files; v3 (fold) replaces everything.
+    val snaps = spark.table("graft.allm.t.snapshots").collect()
+      .map(r => r.getInt(0) ->
+        (r.getInt(7), r.getLong(8), r.getInt(9))).toMap
+    assert(snaps(1) == ((v1.files.size, v1.files.map(_.rows).sum, 0)))
+    assert(snaps(2) == ((0, 0L, 0)),
+      "a MOR delete commit adds/removes no data files")
+    assert(snaps(3)._1 == v3.files.size &&
+      snaps(3)._3 == v2.files.size,
+      "the fold must report full replacement")
   }
 }
