@@ -146,6 +146,73 @@ class IcebergFacesSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("compaction folds ADOPTED files into owned data/ files — the " +
+    "second half of the 100 TB migration (adopt now, localize on " +
+    "the table's own maintenance schedule)") {
+    val root = Files.createTempDirectory("graft-addfold")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("part") < 2), "part")
+    val ext = root.resolve("ext")
+    docs.filter(col("part") >= 2)
+      .write.mode("overwrite").parquet(ext.toString)
+    SnapStore.addFiles(spark, t, ext)
+    val total = SnapStore.currentManifest(t).files.map(_.bytes).sum
+    val m = SnapStore.compact(spark, t, "part", targetBytes = total + 1)
+    assert(!m.files.exists(_.path.startsWith(ext.toString)),
+      "the full bin-pack must rewrite adopted files into owned ones")
+    assert(m.files.forall(_.path.startsWith("data/")))
+    assert(SnapStore.read(spark, t).count() == docs.count(),
+      "the fold must preserve every adopted row")
+    // The external source files are NOT ours to delete even after
+    // the fold (older snapshots still reference them until expiry).
+    assert(Files.list(ext).count() > 0)
+  }
+
+  // ----------------------------------------------------------------
+  test("cherry-pick races a concurrent append: both effects land, " +
+    "the version log stays gapless") {
+    val root = Files.createTempDirectory("graft-cherryrace")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    val baseRows = spark.range(0, 24).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"),
+      concat(lit("d"), col("id")).as("txt"))
+    SnapStore.create(spark, t, baseRows, "part")
+    // Stage an append under an id.
+    SnapStore.ensureBranch(t, SnapStore.wapStageBranch("race"))
+    SnapStore.appendToBranch(spark, t, SnapStore.wapStageBranch("race"),
+      spark.range(1000, 1008).select(col("id"),
+        pmod(col("id"), lit(4L)).as("part"), lit("staged").as("txt")),
+      "part")
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val fs = Seq(
+      () => { SnapStore.cherrypickSnapshot(spark, t, "race"); () },
+      () => { SnapStore.append(spark, t,
+        spark.range(2000, 2008).select(col("id"),
+          pmod(col("id"), lit(4L)).as("part"), lit("app").as("txt")),
+        "part"); () }
+    ).map { f =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = { gate.await(); f() }
+      })
+    }
+    gate.countDown()
+    fs.foreach(_.get())
+    pool.shutdown()
+    assert(SnapStore.liveVersions(t) == Seq(1, 2, 3),
+      "both racing commits must land, gapless")
+    val after = SnapStore.read(spark, t)
+    assert(after.filter(col("id") >= 1000 && col("id") < 1008).count() == 8,
+      "the cherry-picked rows must land")
+    assert(after.filter(col("id") >= 2000).count() == 8,
+      "the racing append must land")
+    assert(after.count() == 24 + 16)
+  }
+
+  // ----------------------------------------------------------------
   test("spark.wap.id stages INSERT as an unreferenced snapshot; " +
     "cherry-pick publishes onto a MOVED main; staged overwrite onto " +
     "a moved main refuses; DML under wap.id refuses") {
