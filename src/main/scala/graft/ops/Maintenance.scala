@@ -2692,6 +2692,68 @@ object Maintenance {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** `docs_ctas`: the CREATE TABLE / CTAS lifecycle (r12). CTAS
+    * creates the table EMPTY (metadata-only v1, partitioned by
+    * `part`, key column declared via TBLPROPERTIES) and lands the
+    * SELECT as its first write (v2) — parts 0–5 only; an `INSERT
+    * INTO` completes parts 6–7 re-sourced `srcG` (v3); a SQL DELETE
+    * drops the `part = 1 AND tok >= 60` band (v4). Every face runs
+    * through plain SQL against the created table.
+    */
+  def ensureDocsCtas(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_ctas")
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty) {
+      base(s, dir).createOrReplaceTempView("graft_ctas_base")
+      s.sql("""CREATE TABLE graft.maint.docs_ctas PARTITIONED BY (part)
+        TBLPROPERTIES ('key.column' = 'doc_id') AS
+        SELECT doc_id, part, source, text, tok FROM graft_ctas_base
+        WHERE part < 6""")
+    }
+    if (SnapStore.currentVersion(t).contains(2)) {
+      base(s, dir).createOrReplaceTempView("graft_ctas_base")
+      s.sql("""INSERT INTO graft.maint.docs_ctas
+        SELECT doc_id, part, 'srcG' AS source, text, tok
+        FROM graft_ctas_base WHERE part >= 6""")
+    }
+    if (SnapStore.currentVersion(t).contains(3))
+      s.sql("DELETE FROM graft.maint.docs_ctas " +
+        "WHERE part = 1 AND tok >= 60")
+    t
+  }
+
+  /** CTAS-created table contents per source: the oracle recomputes
+    * create-as-select + insert + delete logically, proving a table
+    * BORN through the catalog's DDL faces serves the same storage
+    * semantics as one created through the API.
+    */
+  def createCtas(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsCtas(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val createCtasOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, doc_id % $nParts AS part, source, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |live AS (
+       |  SELECT part, source, text, tok FROM f WHERE part < 6
+       |  UNION ALL
+       |  SELECT part, 'srcG' AS source, text, tok FROM f WHERE part >= 6)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM live
+       |WHERE NOT (part = 1 AND tok >= 60)
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** `.all_entries` across a create → append → rollback chain
     * (VERDICT r11 #5): per-snapshot row-count totals by (status,
     * content) are logically derivable — v1 adds everything, v2
@@ -2858,5 +2920,9 @@ object Maintenance {
     Q("maint_all_entries", allEntriesMeta, Some(allEntriesMetaOracle),
       ".all_entries metadata table: per-snapshot entry diffs across " +
         "a create/append/rollback chain, rollback reporting the " +
-        "appended files gone"))
+        "appended files gone"),
+    Q("maint_create_ctas", createCtas, Some(createCtasOracle),
+      "CREATE TABLE + CTAS through the catalog: table born empty " +
+        "metadata-only, the SELECT lands as its first write, INSERT " +
+        "and DELETE faces work on the created table"))
 }

@@ -158,7 +158,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // (ADVICE r10).
         val spj = SnapSpj.layoutKey(m).isDefined
         val underlying: Table =
-          if (m.deleteFiles.isEmpty && !evoApplies && !spj)
+          // A FILELESS snapshot (freshly CREATEd, or fully deleted)
+          // serves an empty local scan under the manifest schema — a
+          // zero-path ParquetTable cannot plan.
+          if (m.files.isEmpty)
+            new EmptyReadTable(s"$catalogName.$db.$name", m.schema)
+          else if (m.deleteFiles.isEmpty && !evoApplies && !spj)
             ParquetTable(
               s"$catalogName.$db.$name",
               session,
@@ -384,10 +389,63 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new NoSuchNamespaceException(namespace)
 
   // -----------------------------------------------------------------
-  // Read-only catalog: DDL is rejected like any immutable warehouse.
+  // DDL: SNAPSHOT tables are creatable/droppable under conf-mounted
+  // warehouses (the Iceberg CREATE TABLE / CTAS / DROP TABLE faces);
+  // the corpus parquet warehouses stay read-only.
+
+  /** Map a DSv2 partition transform onto a [[PartTransforms]] spec
+    * string — the catalog's `PARTITIONED BY` surface. One transform
+    * max (SnapStore layouts cluster on one spec).
+    */
+  private def transformSpec(t: Transform): String = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal, NamedReference}
+    val args = t.arguments().toSeq
+    def refs: Seq[String] = args.collect {
+      case n: NamedReference => n.fieldNames.mkString(".")
+    }
+    def lits: Seq[Any] = args.collect { case l: Literal[_] => l.value() }
+    (t.name(), refs, lits) match {
+      case ("identity", Seq(r), _) => r
+      case ("days", Seq(r), _) => s"days($r)"
+      case ("months", Seq(r), _) => s"months($r)"
+      case ("years", Seq(r), _) => s"years($r)"
+      case ("bucket", Seq(r), Seq(n)) => s"bucket($n,$r)"
+      case ("truncate", Seq(r), Seq(w)) => s"truncate($w,$r)"
+      case _ => throw new UnsupportedOperationException(
+        s"unsupported partition transform $t")
+    }
+  }
+
+  /** `CREATE TABLE graft.db.t (…) PARTITIONED BY (…)` (and the
+    * create half of CTAS): a new EMPTY snapshot table under the
+    * mounted warehouse — metadata-only v1; writes arrive through the
+    * normal INSERT faces. `TBLPROPERTIES ('key.column' = 'c')`
+    * declares the table key (per-file key bounds on every write).
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    ident.namespace() match {
+      case Array(db) if mountedDir(db).isDefined =>
+        val dir = mountedDir(db).get.resolve(ident.name())
+        if (SnapStore.isSnapTable(dir) ||
+          java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(
+              Seq(catalogName, db, ident.name()))
+        require(partitions.length <= 1,
+          "graft snapshot tables take at most ONE partition transform")
+        val partCol = partitions.headOption.map(transformSpec)
+          // An unpartitioned CREATE lays out by the first column —
+          // the same default the INSERT path applies.
+          .getOrElse(schema.fieldNames.head)
+        val keyCol = Option(properties.get("key.column")).getOrElse("")
+        SnapStore.createEmpty(dir, schema, partCol, keyCol)
+        loadTable(ident)
+      case _ =>
+        throw new UnsupportedOperationException(
+          "graft tables are creatable only under conf-mounted " +
+            "warehouses (spark.graft.catalog.dir.<db>)")
+    }
 
   /** `ALTER TABLE … ADD COLUMN` on a snapshot table is a pure
     * metadata commit through [[SnapStore.addColumn]] (historical
@@ -427,8 +485,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         throw new UnsupportedOperationException("graft catalog is read-only")
     }
   }
+  /** `DROP TABLE` — SNAPSHOT tables only (their directory trees are
+    * catalog-owned); the corpus parquet warehouses stay read-only.
+    * Adopted absolute-path files outside the tree are untouched.
+    */
   override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    ident.namespace() match {
+      case Array(db) =>
+        mountedDir(db).map(_.resolve(ident.name()))
+          .filter(SnapStore.isSnapTable) match {
+          case Some(dir) => SnapStore.dropTable(dir); true
+          case None => throw new UnsupportedOperationException(
+            "only graft snapshot tables are droppable — corpus " +
+              "warehouses are read-only")
+        }
+      case _ =>
+        throw new UnsupportedOperationException("graft catalog is read-only")
+    }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
 
@@ -513,6 +586,24 @@ object FilesMetadataTable {
     StructField("partition_max", org.apache.spark.sql.types.StringType, nullable = true),
     StructField("spec_col", org.apache.spark.sql.types.StringType, nullable = true),
     StructField("seq", org.apache.spark.sql.types.IntegerType, nullable = true)))
+}
+
+/** A zero-row table under a fixed schema — the read face of a
+  * FILELESS snapshot (freshly `CREATE TABLE`d, or fully deleted): a
+  * zero-path `ParquetTable` cannot plan, an empty local scan can.
+  */
+final class EmptyReadTable(tableName: String, schemaV: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = schemaV
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new LocalScan(schemaV,
+          Array.empty[org.apache.spark.sql.catalyst.InternalRow], tableName)
+    }
 }
 
 /** A driver-side metadata table: the rows are computed on the driver

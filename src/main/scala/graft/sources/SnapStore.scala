@@ -723,6 +723,35 @@ object SnapStore {
     m
   }
 
+  /** Create an EMPTY table — the `CREATE TABLE` face (Iceberg tables
+    * are born empty; data arrives by INSERT/CTAS writes): snapshot v1
+    * is a pure metadata commit with no data files. The partition spec
+    * and key column validate against the schema now so the first
+    * write cannot commit an unprunable layout.
+    */
+  def createEmpty(table: Path, schema: StructType, partCol: String,
+      keyCol: String = ""): Manifest = {
+    require(currentVersion(table).isEmpty, s"table $table already exists")
+    require(schema.fields.nonEmpty, "table schema must have columns")
+    if (partCol.nonEmpty) {
+      val src = PartTransforms.parse(partCol).source
+      require(schema.fieldNames.contains(src),
+        s"partition source column '$src' is not in the table schema")
+    }
+    require(keyCol.isEmpty || schema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' is not in the table schema")
+    val m = Manifest(1, 0, "create", schema, Seq.empty, partCol,
+      Seq.empty, keyCol)
+    commitManifest(table, m)
+    m
+  }
+
+  /** Drop the table: delete its directory tree (manifests, refs,
+    * owned `data/`; ADOPTED absolute-path files are NOT touched —
+    * they live outside the tree). The `DROP TABLE` face.
+    */
+  def dropTable(table: Path): Unit = deleteTree(table)
+
   // ----------------------------------------------------------------
   // Reads.
 

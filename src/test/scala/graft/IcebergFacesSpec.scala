@@ -146,6 +146,79 @@ class IcebergFacesSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("CREATE TABLE / CTAS / DROP TABLE: snapshot tables are born " +
+    "empty under mounted warehouses, CTAS lands create+write, the " +
+    "full DML surface works on created tables, corpus dirs stay " +
+    "read-only") {
+    val root = Files.createTempDirectory("graft-ddlspec")
+    root.toFile.deleteOnExit()
+    mountAs("ddl", root)
+
+    // CREATE TABLE: empty v1, readable (0 rows), partitioned spec +
+    // key column recorded.
+    spark.sql("""CREATE TABLE graft.ddl.t (id BIGINT, part BIGINT,
+      txt STRING) PARTITIONED BY (part)
+      TBLPROPERTIES ('key.column' = 'id')""")
+    val t = root.resolve("t")
+    assert(SnapStore.isSnapTable(t))
+    val m1 = SnapStore.currentManifest(t)
+    assert(m1.version == 1 && m1.files.isEmpty &&
+      m1.partCol == "part" && m1.keyCol == "id")
+    assert(spark.table("graft.ddl.t").count() == 0,
+      "a freshly created table must read as empty")
+
+    // The normal write + DML faces work on a created table.
+    spark.sql("INSERT INTO graft.ddl.t " +
+      "SELECT id, pmod(id, 4), concat('d', id) FROM range(0, 32)")
+    assert(spark.table("graft.ddl.t").count() == 32)
+    spark.sql("UPDATE graft.ddl.t SET txt = 'u' WHERE id = 5")
+    spark.sql("DELETE FROM graft.ddl.t WHERE id >= 30")
+    assert(spark.table("graft.ddl.t").count() == 30)
+    assert(spark.sql("SELECT txt FROM graft.ddl.t WHERE id = 5")
+      .collect()(0).getString(0) == "u")
+
+    // Creating over an existing table refuses with the analysis error.
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE graft.ddl.t (x INT)")
+    }
+    // CREATE TABLE IF NOT EXISTS is a no-op on the conflict.
+    spark.sql("CREATE TABLE IF NOT EXISTS graft.ddl.t (x INT)")
+    assert(spark.table("graft.ddl.t").count() == 30)
+
+    // Hidden-transform PARTITIONED BY round-trips onto the spec.
+    spark.sql("""CREATE TABLE graft.ddl.tb (id BIGINT, d DATE)
+      PARTITIONED BY (bucket(4, id))""")
+    assert(SnapStore.currentManifest(root.resolve("tb"))
+      .partCol == "bucket(4,id)")
+    spark.sql("""CREATE TABLE graft.ddl.td (id BIGINT, d DATE)
+      PARTITIONED BY (days(d))""")
+    assert(SnapStore.currentManifest(root.resolve("td"))
+      .partCol == "days(d)")
+
+    // CTAS: create + write land together; contents queryable.
+    spark.sql("CREATE TABLE graft.ddl.c PARTITIONED BY (part) AS " +
+      "SELECT id, pmod(id, 4) AS part, concat('c', id) AS txt " +
+      "FROM range(0, 16)")
+    assert(spark.table("graft.ddl.c").count() == 16)
+    assert(SnapStore.currentManifest(root.resolve("c")).partCol == "part")
+
+    // DROP TABLE removes the tree; the name is reusable.
+    spark.sql("DROP TABLE graft.ddl.c")
+    assert(!Files.exists(root.resolve("c")))
+    intercept[Exception] { spark.table("graft.ddl.c").count() }
+    spark.sql("CREATE TABLE graft.ddl.c (x INT)")
+    assert(spark.table("graft.ddl.c").count() == 0)
+
+    // Corpus parquet warehouses stay read-only: a plain parquet dir
+    // refuses DROP.
+    val pq = root.resolve("plainpq")
+    spark.range(4).write.parquet(pq.toString)
+    val e = intercept[Exception] { spark.sql("DROP TABLE graft.ddl.plainpq") }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
+  }
+
+  // ----------------------------------------------------------------
   test("compaction folds ADOPTED files into owned data/ files — the " +
     "second half of the 100 TB migration (adopt now, localize on " +
     "the table's own maintenance schedule)") {
