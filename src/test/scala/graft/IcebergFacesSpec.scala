@@ -216,6 +216,16 @@ class IcebergFacesSpec extends SparkSpec {
     spark.range(4).write.parquet(pq.toString)
     val e = intercept[Exception] { spark.sql("DROP TABLE graft.ddl.plainpq") }
     assert(e.getMessage.contains("read-only"), e.getMessage)
+
+    // TRUNCATE TABLE (the advertised capability) empties the table as
+    // one COW commit; the pre-truncate contents still time-travel.
+    val preVer = SnapStore.currentVersion(t).get
+    spark.sql("TRUNCATE TABLE graft.ddl.t")
+    assert(spark.table("graft.ddl.t").count() == 0,
+      "TRUNCATE must empty the table")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ddl.t " +
+      s"VERSION AS OF '$preVer'").collect()(0).getLong(0) == 30L,
+      "pre-truncate contents must still time-travel")
   }
 
   // ----------------------------------------------------------------
