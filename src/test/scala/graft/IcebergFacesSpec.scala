@@ -85,6 +85,55 @@ class IcebergFacesSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("timestamp-travel property (seed-stable): after a random " +
+    "commit sequence, every recorded instant resolves to exactly " +
+    "the state that was current then") {
+    val rnd = new scala.util.Random(0x715aee1L)
+    val root = Files.createTempDirectory("graft-tsprop")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    var nextId = 0L
+    def batch(n: Int) = {
+      val ids = (nextId until nextId + n).toSeq; nextId += n
+      spark.createDataFrame(ids.map(i => (i, s"v$i"))).toDF("id", "txt")
+        .select(col("id"), pmod(col("id"), lit(4L)).as("part"), col("txt"))
+    }
+    SnapStore.create(spark, t, batch(20), "part")
+    def tick(): Unit = {
+      val head = SnapStore.commitInstantMs(t,
+        SnapStore.currentVersion(t).get)
+      while (System.currentTimeMillis() <= head) Thread.sleep(1L)
+    }
+    val states = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def record(): Unit = {
+      val v = SnapStore.currentVersion(t).get
+      states += ((SnapStore.commitInstantMs(t, v),
+        SnapStore.read(spark, t).count()))
+    }
+    record()
+    (1 to 6).foreach { _ =>
+      tick()
+      rnd.nextInt(3) match {
+        case 0 => SnapStore.append(spark, t, batch(1 + rnd.nextInt(5)), "part")
+        case 1 => SnapStore.deleteWhere(spark, t,
+          col("id") % 7 === rnd.nextInt(7).toLong)
+        case 2 => SnapStore.rollback(t,
+          SnapStore.liveVersions(t).head) // back to v1, as a new commit
+      }
+      record()
+    }
+    spark.conf.set("spark.graft.catalog.dir.tsprop", root.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    states.foreach { case (ms, n) =>
+      val got = spark.sql("SELECT COUNT(*) AS n FROM graft.tsprop.t " +
+        s"TIMESTAMP AS OF timestamp_millis(${ms}L)")
+        .collect()(0).getLong(0)
+      assert(got == n, s"as-of $ms: got $got want $n")
+    }
+  }
+
+  // ----------------------------------------------------------------
   test("add_files adopts external parquet metadata-only: mtimes " +
     "untouched, bounds prune, MOR deletes apply, name collisions " +
     "and empty sources refuse") {
