@@ -286,6 +286,20 @@ object GraftProcedures {
         val m = SnapStore.rewriteDeleteFiles(spark, dir)
         Array[Any](m.version, m.deleteFiles.size)
       }),
+    // Iceberg ALTER TABLE … ADD/REPLACE PARTITION FIELD (an
+    // extensions-only SQL face upstream): metadata-only partition-
+    // spec evolution through CALL.
+    "evolve_spec" -> new Proc("evolve_spec",
+      Array(str("table"), str("spec")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("spec", StringType, nullable = false))),
+      { in =>
+        val spec = in.getUTF8String(1).toString
+        val m = SnapStore.evolveSpec(
+          tableDir(in.getUTF8String(0).toString), spec)
+        Array[Any](m.version, u(spec))
+      }),
     // Iceberg add_files: metadata-only adoption of an existing
     // parquet directory — one stats job, zero data rewritten, the
     // 100 TB migration path.

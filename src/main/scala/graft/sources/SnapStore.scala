@@ -2459,8 +2459,11 @@ object SnapStore {
   def evolveSpec(table: Path, newPartCol: String): Manifest =
     withCommitRetry(table) { () =>
       val cur = currentManifest(table)
-      require(cur.schema.fieldNames.contains(newPartCol),
-        s"partition column '$newPartCol' is not in the table schema")
+      // The spec may be a hidden transform (`days(d)`, `bucket(4,k)`)
+      // — validate its SOURCE column, like create/createEmpty do.
+      val src = PartTransforms.parse(newPartCol).source
+      require(cur.schema.fieldNames.contains(src),
+        s"partition source column '$src' is not in the table schema")
       require(cur.partCol != newPartCol, s"spec is already '$newPartCol'")
       val m = Manifest(cur.version + 1, cur.version, "evolve-spec",
         cur.schema, cur.files, newPartCol, cur.deleteFiles, cur.keyCol,

@@ -275,6 +275,26 @@ class IcebergFacesSpec extends SparkSpec {
     assert(spark.sql("SELECT COUNT(*) AS n FROM graft.ddl.t " +
       s"VERSION AS OF '$preVer'").collect()(0).getLong(0) == 30L,
       "pre-truncate contents must still time-travel")
+
+    // CREATE OR REPLACE TABLE AS SELECT: drop + recreate compose.
+    spark.sql("CREATE OR REPLACE TABLE graft.ddl.c PARTITIONED BY " +
+      "(part) AS SELECT id, pmod(id, 4) AS part, 'r' AS txt " +
+      "FROM range(0, 12)")
+    assert(spark.table("graft.ddl.c").count() == 12,
+      "CREATE OR REPLACE must land the replacement contents")
+    assert(spark.table("graft.ddl.c").schema.fieldNames.toSeq ==
+      Seq("id", "part", "txt"))
+
+    // CALL evolve_spec: metadata-only partition-spec evolution via
+    // the SQL procedure face.
+    val res = spark.sql(
+      "CALL graft.system.evolve_spec('ddl.c', 'bucket(4,id)')")
+      .collect()(0)
+    assert(res.getString(1) == "bucket(4,id)")
+    assert(SnapStore.currentManifest(root.resolve("c"))
+      .partCol == "bucket(4,id)")
+    assert(spark.table("graft.ddl.c").count() == 12,
+      "spec evolution must not touch contents")
   }
 
   // ----------------------------------------------------------------
