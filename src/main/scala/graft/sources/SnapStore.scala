@@ -2998,11 +2998,22 @@ object SnapStore {
         } else {
           val forkPaths = fork.files.map(_.path).toSet
           val added = hm.files.filterNot(f => forkPaths(f.path))
-          Manifest(v, cur.version, "cherrypick", cur.schema,
-            cur.files ++ added.map(_.copy(seq = v)), cur.partCol,
-            cur.deleteFiles, cur.keyCol, cur.evos)
+          // IDEMPOTENT republish: a crash between the publish commit
+          // and the branch drop leaves a published stage behind, and
+          // re-applying it would DUPLICATE its rows. If main already
+          // carries every staged file, this publish is a no-op —
+          // return the current head, drop the stale branch (Iceberg
+          // guards the same way via wap-id ancestry checks).
+          val curPaths = cur.files.map(_.path).toSet
+          if (added.nonEmpty && added.forall(f => curPaths(f.path)))
+            cur
+          else
+            Manifest(v, cur.version, "cherrypick", cur.schema,
+              cur.files ++ added.map(_.copy(seq = v)), cur.partCol,
+              cur.deleteFiles, cur.keyCol, cur.evos)
         }
-      (next, Seq.empty, tryCommitManifest(table, next))
+      if (next.version == cur.version) (next, Seq.empty, true)
+      else (next, Seq.empty, tryCommitManifest(table, next))
     }
     dropBranch(table, b)
     m

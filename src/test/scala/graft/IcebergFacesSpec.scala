@@ -410,10 +410,37 @@ class IcebergFacesSpec extends SparkSpec {
         pmod(col("id"), lit(4L)).as("part"),
         concat(lit("post"), col("id")).as("txt")), "part")
     assert(SnapStore.currentVersion(t).contains(2))
+    // Snapshot the staging chain's manifests so the crash-between-
+    // publish-and-drop scenario can be simulated below.
+    val bname = SnapStore.wapStageBranch("b1")
+    val snapDir = t.resolve("_snapshots")
+    val staleCopies = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(snapDir)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(s"branch-$bname-"))
+        .map(p => p.getFileName.toString -> Files.readAllBytes(p))
+        .toSeq
+      finally s.close()
+    }
+    assert(staleCopies.nonEmpty)
     val res = spark.sql(
       "CALL graft.system.cherrypick_snapshot('wapid.t', 'b1')")
       .collect()(0)
     assert(res.getString(0) == "b1" && res.getInt(1) == 3)
+    // Crash simulation: the publish committed but the branch drop was
+    // lost — restore the stale staging chain; a REPUBLISH must be an
+    // idempotent no-op (no duplicate rows, no new version) and must
+    // clear the stale branch.
+    staleCopies.foreach { case (n, bytes) =>
+      Files.write(snapDir.resolve(n), bytes) }
+    val before = spark.table("graft.wapid.t").count()
+    val again = SnapStore.cherrypickSnapshot(spark, t, "b1")
+    assert(again.version == 3, "stale republish must not commit")
+    assert(spark.table("graft.wapid.t").count() == before,
+      "stale republish must not duplicate rows")
+    assert(SnapStore.branchHead(t, bname).isEmpty,
+      "stale republish must clear the leftover staging chain")
     assert(spark.sql(
       "SELECT COUNT(*) AS n FROM graft.wapid.t WHERE id >= 1000")
       .collect()(0).getLong(0) == 10L,
