@@ -298,6 +298,49 @@ class IcebergFacesSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("add_files composes with split manifests: adopting into a " +
+    ">64-file table groups absolute-path entries and round-trips") {
+    val root = Files.createTempDirectory("graft-addsplit")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    // >64 owned files → the manifest is already split (range-cluster
+    // on doc_id so no range is empty at the small fixture).
+    SnapStore.create(spark, t, docs, "part", numFiles = 80,
+      clusterExprs = Seq(col("doc_id")))
+    assert(SnapStore.currentManifest(t).groups.nonEmpty,
+      "fixture must exercise the split-manifest layer")
+    val ext = root.resolve("ext")
+    docs.withColumn("doc_id", col("doc_id") + 40000L)
+      .write.mode("overwrite").parquet(ext.toString)
+    val m = SnapStore.addFiles(spark, t, ext)
+    assert(m.files.count(_.path.startsWith(ext.toString)) > 0)
+    // The committed split manifest round-trips the absolute paths.
+    val reread = SnapStore.currentManifest(t)
+    assert(reread.groups.nonEmpty)
+    assert(reread.files.map(_.path).toSet == m.files.map(_.path).toSet)
+    assert(SnapStore.read(spark, t).count() == docs.count() * 2)
+  }
+
+  // ----------------------------------------------------------------
+  test("MERGE INTO a freshly created EMPTY table inserts through the " +
+    "row-level path (no groups to replace)") {
+    val root = Files.createTempDirectory("graft-emptymerge")
+    root.toFile.deleteOnExit()
+    mountAs("emt", root)
+    spark.sql("""CREATE TABLE graft.emt.t (id BIGINT, part BIGINT,
+      txt STRING) PARTITIONED BY (part)""")
+    spark.sql(
+      """MERGE INTO graft.emt.t t
+        |USING (SELECT id, pmod(id, 4L) AS part,
+        |  concat('m', id) AS txt FROM range(0, 10)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET txt = s.txt
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table("graft.emt.t").count() == 10,
+      "MERGE into an empty table must insert every source row")
+  }
+
+  // ----------------------------------------------------------------
   test("compaction folds ADOPTED files into owned data/ files — the " +
     "second half of the 100 TB migration (adopt now, localize on " +
     "the table's own maintenance schedule)") {
