@@ -2625,10 +2625,16 @@ object Maintenance {
   def ensureDocsWapId(s: SparkSession, dir: String): Path = synchronized {
     val t = root(dir).resolve("docs_wapid")
     val b = base(s, dir)
+    val bname = SnapStore.wapStageBranch("batch7")
     if (SnapStore.currentVersion(t).isEmpty)
       SnapStore.create(s, t, b, partCol, keyCol = "doc_id")
     mount(s, dir)
-    if (SnapStore.currentVersion(t).contains(1)) {
+    // Crash-reentrant staging (code review r12): the INSERT runs only
+    // while the staging chain is ABSENT, so a run that died between
+    // stage and publish resumes at the publish instead of staging a
+    // second copy and wedging on the branch-version require.
+    if (SnapStore.currentVersion(t).contains(1) &&
+      SnapStore.branchHead(t, bname).isEmpty) {
       val confKey = "spark.graft.wap.id"
       val old = s.conf.getOption(confKey)
       s.conf.set(confKey, "batch7")
@@ -2640,8 +2646,7 @@ object Maintenance {
         s.sql("INSERT INTO graft.maint.docs_wapid SELECT * FROM wapid_batch")
         require(SnapStore.currentVersion(t).contains(1),
           "id-staged INSERT moved main — staging is broken")
-        require(SnapStore.branchHead(t,
-          SnapStore.wapStageBranch("batch7")).contains(2),
+        require(SnapStore.branchHead(t, bname).contains(2),
           "the staged snapshot must land on the id's hidden chain")
       } finally old match {
         case Some(v) => s.conf.set(confKey, v)
@@ -2654,14 +2659,22 @@ object Maintenance {
         "WHERE doc_id >= 800000").collect()(0).getLong(0)
       require(plain == 0L,
         s"id-staged rows leaked into a plain read ($plain rows)")
+    }
+    if (SnapStore.currentVersion(t).contains(1) &&
+      SnapStore.branchHead(t, bname).contains(2)) {
       s.sql(
         "CALL graft.system.publish_changes('maint.docs_wapid', 'batch7')")
       require(SnapStore.currentVersion(t).contains(2),
         "publish_changes must commit the staged rows onto main")
-      require(SnapStore.branchHead(t,
-        SnapStore.wapStageBranch("batch7")).isEmpty,
+      require(SnapStore.branchHead(t, bname).isEmpty,
         "the staging chain must drop on publish")
     }
+    // A crash between the publish commit and the branch drop leaves a
+    // stale chain behind main v2: the idempotent republish clears it.
+    if (SnapStore.currentVersion(t).contains(2) &&
+      SnapStore.branchHead(t, bname).nonEmpty)
+      s.sql(
+        "CALL graft.system.publish_changes('maint.docs_wapid', 'batch7')")
     t
   }
 

@@ -35,10 +35,12 @@ object Multimodal {
   /** The PLUGGABLE codec seam (VERDICT r11 #7): a real deployment
     * sets `spark.graft.mm.codec` to a class implementing this trait
     * (constructed ONCE PER PARTITION on the executor — the codec-init
-    * cost point `mapInPandas` pipelines get) and every decode-shaped
-    * operator routes through it; the default is the deterministic
-    * [[StubCodec]] this container's oracles pin (no image/audio libs
-    * exist here). Implementations need a public no-arg constructor
+    * cost point `mapInPandas` pipelines get) and [[decodeFeatures]]
+    * routes through it; [[frameSample]] and [[resizeThumbs]] are
+    * decode-FREE columnar/stride stubs by design and do not consult
+    * the codec. The default is the deterministic [[StubCodec]] this
+    * container's oracles pin (no image/audio libs exist here).
+    * Implementations need a public no-arg constructor
     * (they are instantiated by name task-side, so the driver never
     * has to serialize codec state — exactly how a JNI/FFmpeg handle
     * must be created where it is used).
@@ -71,10 +73,17 @@ object Multimodal {
   /** Instantiate the session's configured codec BY NAME — called
     * inside mapPartitions, so each partition builds its own instance
     * (one codec init per partition, zero driver-side serialization).
+    * Resolution goes through the TASK context classloader: codec
+    * classes shipped via `--jars`/`spark.jars` load on executors
+    * through the mutable URL loader, which the defining-classloader
+    * `Class.forName(name)` overload cannot see (code review r12).
     */
-  private[ops] def codecFor(className: String): MediaCodec =
-    Class.forName(className).getDeclaredConstructor()
+  private[ops] def codecFor(className: String): MediaCodec = {
+    val loader = Option(Thread.currentThread().getContextClassLoader)
+      .getOrElse(getClass.getClassLoader)
+    Class.forName(className, true, loader).getDeclaredConstructor()
       .newInstance().asInstanceOf[MediaCodec]
+  }
 
   // ---------------------------------------------------------------
   /** Decode + feature-extract over the typed blob Dataset via

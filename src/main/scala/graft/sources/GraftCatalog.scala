@@ -941,8 +941,11 @@ final class AllFilesMetadataTable(tableName: String,
   override def schema(): StructType = AllFilesMetadataTable.schema
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    // Try-wrapped like the branch walks: a version expired between
+    // the listing and the parse vanishes instead of failing the
+    // whole metadata query (code review r12).
     val mains = SnapStore.liveVersions(dir)
-      .map(v => SnapStore.manifest(dir, v))
+      .flatMap(v => scala.util.Try(SnapStore.manifest(dir, v)).toOption)
     val branches = SnapStore.listBranches(dir).flatMap(b =>
       SnapStore.branchVersions(dir, b)
         .flatMap(v => scala.util.Try(
@@ -1050,8 +1053,7 @@ final class AllManifestsMetadataTable(tableName: String,
     }
     val branches = SnapStore.listBranches(dir).flatMap { b =>
       SnapStore.branchVersions(dir, b).map { v =>
-        (b, v,
-          dir.resolve("_snapshots").resolve(f"branch-$b-v$v%05d.manifest"),
+        (b, v, SnapStore.branchManifestFileOf(dir, b, v),
           scala.util.Try(SnapStore.branchManifest(dir, b, v)).toOption)
       }
     }
@@ -1095,9 +1097,12 @@ final class AllEntriesMetadataTable(tableName: String,
   override def schema(): StructType = AllEntriesMetadataTable.schema
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
-    val live = SnapStore.liveVersions(dir)
-    // ONE parse per live manifest serves every snapshot's diff.
-    val byV = live.map(v => v -> SnapStore.manifest(dir, v)).toMap
+    // ONE parse per live manifest serves every snapshot's diff;
+    // Try-wrapped so a racing expiry drops the row, not the query.
+    val byV = SnapStore.liveVersions(dir)
+      .flatMap(v => scala.util.Try(SnapStore.manifest(dir, v)).toOption
+        .map(v -> _)).toMap
+    val live = byV.keys.toSeq.sorted
     live.flatMap { v =>
       val m = byV(v)
       val parent = byV.get(m.parent)
@@ -1146,8 +1151,11 @@ final class AllDataFilesMetadataTable(tableName: String,
   override def schema(): StructType = AllDataFilesMetadataTable.schema
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    // Try-wrapped like the branch walks: a version expired between
+    // the listing and the parse vanishes instead of failing the
+    // whole metadata query (code review r12).
     val mains = SnapStore.liveVersions(dir)
-      .map(v => SnapStore.manifest(dir, v))
+      .flatMap(v => scala.util.Try(SnapStore.manifest(dir, v)).toOption)
     val branches = SnapStore.listBranches(dir).flatMap(b =>
       SnapStore.branchVersions(dir, b)
         .flatMap(v => scala.util.Try(
@@ -1183,8 +1191,11 @@ final class AllDeleteFilesMetadataTable(tableName: String,
   override def schema(): StructType = AllDeleteFilesMetadataTable.schema
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    // Try-wrapped like the branch walks: a version expired between
+    // the listing and the parse vanishes instead of failing the
+    // whole metadata query (code review r12).
     val mains = SnapStore.liveVersions(dir)
-      .map(v => SnapStore.manifest(dir, v))
+      .flatMap(v => scala.util.Try(SnapStore.manifest(dir, v)).toOption)
     val branches = SnapStore.listBranches(dir).flatMap(b =>
       SnapStore.branchVersions(dir, b)
         .flatMap(v => scala.util.Try(
@@ -1407,6 +1418,7 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
     // explicit publish. The branch materializes INSIDE deleteWhere,
     // after its probe finds matches — a no-match staged DELETE is a
     // full no-op (no fork, no branch commit; ADVICE r11).
+    SnapStore.requireOneWapConf(SparkSession.active)
     val wap = SnapStore.wapBranch(SparkSession.active)
     // Id-keyed staging covers the INSERT faces only (cherry-pick can
     // only re-apply appends/overwrites onto a moved main) — a DELETE
@@ -1451,10 +1463,9 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
                 // an unreferenced snapshot main never points at,
                 // published later by `cherrypick_snapshot` /
                 // `publish_changes`. Either way main never moves and
-                // the branch materializes at first write.
-                SnapStore.wapBranch(data.sparkSession)
-                  .orElse(SnapStore.wapId(data.sparkSession)
-                    .map(SnapStore.wapStageBranch)) match {
+                // the branch materializes at first write. Both confs
+                // set refuses (inside wapStaging).
+                SnapStore.wapStaging(data.sparkSession) match {
                   case Some(b) =>
                     SnapStore.ensureBranch(dir, b)
                     if (replace || overwrite)
@@ -1860,6 +1871,8 @@ final class SnapRowLevelOperation(
     * EXPLAIN or a failed query must not fork anything on disk); until
     * then the scan reads main, which IS the would-be fork state.
     */
+  SnapStore.requireOneWapConf(SparkSession.active)
+
   private val wapBranch: Option[String] =
     SnapStore.wapBranch(SparkSession.active)
 

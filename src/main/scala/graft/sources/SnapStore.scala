@@ -1401,14 +1401,22 @@ object SnapStore {
         val head = branchHead(table, b)
           .map(_ => branchHeadManifest(table, b))
           .getOrElse(currentManifest(table))
-        if (probe(head).isEmpty) return head
+        val headHit = probe(head)
+        if (headHit.isEmpty) return head
         ensureBranch(table, b)
         withBranchCommitRetry(table, b) { cur =>
           require(cur.deleteFiles.isEmpty,
             s"branch '$b' unexpectedly carries delete files")
           val v = cur.version + 1
           val forkV = branchManifest(table, b, 1).parent
-          step(cur, v, forkV + v, probe(cur))
+          // The pre-check's hit set is valid for ANY manifest with
+          // the same file list (a fresh fork copies main's), so the
+          // common first attempt skips the second probe scan; only a
+          // genuinely rebased retry re-probes (code review r12).
+          val hit =
+            if (cur.files.map(_.path) == head.files.map(_.path)) headHit
+            else probe(cur)
+          step(cur, v, forkV + v, hit)
         }
       case None => withCommitRetry(table) { () =>
         val cur = currentManifest(table)
@@ -2048,6 +2056,14 @@ object SnapStore {
       count(lit(1)).as("rows")) ++
       (if (withKey) Seq(min(col(keyCol)).as("kmn"), max(col(keyCol)).as("kmx"))
        else Seq.empty)
+    // `input_file_name()` returns the file URI with percent-encoded
+    // path characters; EXTERNAL file names (unlike Spark-generated
+    // ones) may contain spaces/'%'/'#' — decode through the URI so
+    // the stats key matches the on-disk basename, else the file would
+    // be silently skipped as zero-row (code review r12).
+    def decodedName(uri: String): String =
+      try fileName(new java.net.URI(uri).getPath)
+      catch { case NonFatal(_) => fileName(uri) }
     val stats = src.groupBy(input_file_name().as("f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -2061,7 +2077,7 @@ object SnapStore {
           else if (keyCol.nonEmpty && keyCol == cur0.partCol)
             (render(r.get(1)), render(r.get(2)))
           else ("", "")
-        fileName(r.getString(0)) ->
+        decodedName(r.getString(0)) ->
           (render(r.get(1)), render(r.get(2)), r.getLong(3), kmn, kmx)
       }.toMap
     // Zero-row adopted files are skipped (never referenced) but NOT
@@ -2072,6 +2088,14 @@ object SnapStore {
           specCol = cur0.partCol, keyMin = kmn, keyMax = kmx)
       }
     }
+    // Loud, never silent: every stats row must have keyed back to an
+    // on-disk name (a decode mismatch would otherwise silently drop
+    // the file from the adopt).
+    val adoptedNames = adopted.map(_.getFileName.toString).toSet
+    val unmatched = stats.keys.filterNot(adoptedNames)
+    require(unmatched.isEmpty,
+      s"adopted-file stats keys did not match on-disk names: " +
+        unmatched.take(3).mkString(", "))
     require(entries.nonEmpty, s"every parquet under $sourceDir is empty")
     withCommitRetry(table) { () =>
       val cur = currentManifest(table)
@@ -2936,14 +2960,29 @@ object SnapStore {
   def wapId(spark: SparkSession): Option[String] = {
     val id = Seq("spark.graft.wap.id", "spark.wap.id")
       .flatMap(k => spark.conf.getOption(k)).find(_.nonEmpty)
-    id.foreach { i =>
-      require(i.matches(BranchName),
-        s"spark.wap.id '$i' must match $BranchName")
-      require(wapBranch(spark).isEmpty,
-        "spark.wap.id and spark.wap.branch are both set — " +
-          "pick one staging mechanism")
-    }
+    id.foreach(i => require(i.matches(BranchName),
+      s"spark.wap.id '$i' must match $BranchName"))
     id
+  }
+
+  /** Refuse the AMBIGUOUS session: both the branch conf and the id
+    * conf set (Iceberg rejects the combination — the staging targets
+    * conflict). Every write-path router calls this FIRST, so the
+    * refusal fires whichever conf would otherwise win (code review
+    * r12: a branch-first orElse left the check dead).
+    */
+  def requireOneWapConf(spark: SparkSession): Unit =
+    require(wapBranch(spark).isEmpty || wapId(spark).isEmpty,
+      "spark.wap.id and spark.wap.branch are both set — " +
+        "pick one staging mechanism")
+
+  /** The write path's staging target: the branch conf's branch, or
+    * the id conf's hidden chain; None = write to main. Both set
+    * refuses ([[requireOneWapConf]]).
+    */
+  def wapStaging(spark: SparkSession): Option[String] = {
+    requireOneWapConf(spark)
+    wapBranch(spark).orElse(wapId(spark).map(wapStageBranch))
   }
 
   /** The hidden staging branch an id-keyed WAP write lands on: the
@@ -2968,9 +3007,32 @@ object SnapStore {
     * appends and dynamic overwrites, same fence). The staging branch
     * drops after a successful publish.
     */
+  /** The operation tag a publish of wap id `id` stamps into its main
+    * commit — the DURABLE already-published record
+    * [[cherrypickSnapshot]]'s idempotence checks (Iceberg records the
+    * wap id in the snapshot summary for the same ancestry check).
+    */
+  private def cherrypickOp(id: String): String = s"cherrypick-$id"
+
   def cherrypickSnapshot(spark: SparkSession, table: Path,
       id: String): Manifest = {
     val b = wapStageBranch(id)
+    // IDEMPOTENT republish: a crash between the publish commit and
+    // the branch drop leaves a published stage behind, and
+    // re-applying it would DUPLICATE its rows (or resurrect them
+    // after a later rewrite moved them into fresh files — a path
+    // check cannot see that). The published record is the operation
+    // tag on the live main history: if any live snapshot is this
+    // id's cherrypick, the publish already happened — drop the stale
+    // chain and return the head. (If the cherrypick snapshot itself
+    // EXPIRED, its staging branch is long dropped with it: a
+    // republish would need both leftovers to survive, which expiry's
+    // branch retention and this drop make a non-path.)
+    if (liveVersions(table)
+      .exists(v => operationOf(table, v) == cherrypickOp(id))) {
+      dropBranch(table, b)
+      return currentManifest(table)
+    }
     val head = branchHead(table, b).getOrElse(
       throw new IllegalArgumentException(
         s"no staged snapshot for wap id '$id' under $table"))
@@ -2992,28 +3054,24 @@ object SnapStore {
           require(cur.version == fork.parent,
             s"cannot cherry-pick staged overwrite '$id': main moved " +
               s"(${fork.parent} -> ${cur.version}) since staging")
-          Manifest(v, cur.version, "cherrypick", hm.schema,
+          Manifest(v, cur.version, cherrypickOp(id), hm.schema,
             hm.files.map(f => f.copy(seq = v)), hm.partCol,
             Seq.empty, hm.keyCol, hm.evos)
         } else {
           val forkPaths = fork.files.map(_.path).toSet
           val added = hm.files.filterNot(f => forkPaths(f.path))
-          // IDEMPOTENT republish: a crash between the publish commit
-          // and the branch drop leaves a published stage behind, and
-          // re-applying it would DUPLICATE its rows. If main already
-          // carries every staged file, this publish is a no-op —
-          // return the current head, drop the stale branch (Iceberg
-          // guards the same way via wap-id ancestry checks).
+          // Belt to the op-tag check above: a staged file already on
+          // main can only mean a publish this attempt raced — never
+          // append a path the head already lists.
           val curPaths = cur.files.map(_.path).toSet
-          if (added.nonEmpty && added.forall(f => curPaths(f.path)))
-            cur
-          else
-            Manifest(v, cur.version, "cherrypick", cur.schema,
-              cur.files ++ added.map(_.copy(seq = v)), cur.partCol,
-              cur.deleteFiles, cur.keyCol, cur.evos)
+          require(!added.exists(f => curPaths(f.path)),
+            s"staged files of wap id '$id' already reference main — " +
+              "a concurrent publish won; re-run to no-op")
+          Manifest(v, cur.version, cherrypickOp(id), cur.schema,
+            cur.files ++ added.map(_.copy(seq = v)), cur.partCol,
+            cur.deleteFiles, cur.keyCol, cur.evos)
         }
-      if (next.version == cur.version) (next, Seq.empty, true)
-      else (next, Seq.empty, tryCommitManifest(table, next))
+      (next, Seq.empty, tryCommitManifest(table, next))
     }
     dropBranch(table, b)
     m
@@ -3021,6 +3079,13 @@ object SnapStore {
 
   private def branchManifestPath(table: Path, name: String, v: Int): Path =
     snapDir(table).resolve(f"branch-$name-v$v%05d.manifest")
+
+  /** The on-disk manifest file of a branch version — the branch
+    * analogue of [[manifestFileOf]], exposed so metadata tables never
+    * re-encode the naming scheme (code review r12).
+    */
+  def branchManifestFileOf(table: Path, name: String, v: Int): Path =
+    branchManifestPath(table, name, v)
 
   /** Live versions of one branch's chain, ascending. */
   def branchVersions(table: Path, name: String): Seq[Int] = {

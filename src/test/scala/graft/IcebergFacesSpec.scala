@@ -484,6 +484,21 @@ class IcebergFacesSpec extends SparkSpec {
       "stale republish must not duplicate rows")
     assert(SnapStore.branchHead(t, bname).isEmpty,
       "stale republish must clear the leftover staging chain")
+    // Harder still: a compaction REWRITES the published files into
+    // fresh paths (a path-based check could no longer see them), yet
+    // a republish of the stale chain must still no-op — the durable
+    // already-published record is the cherrypick operation tag on the
+    // live history, not file paths.
+    val total = SnapStore.currentManifest(t).files.map(_.bytes).sum
+    SnapStore.compact(spark, t, "part", targetBytes = total + 1)
+    staleCopies.foreach { case (n, bytes) =>
+      Files.write(snapDir.resolve(n), bytes) }
+    val afterCompact = spark.table("graft.wapid.t").count()
+    val again2 = SnapStore.cherrypickSnapshot(spark, t, "b1")
+    assert(again2.version == SnapStore.currentVersion(t).get &&
+      spark.table("graft.wapid.t").count() == afterCompact,
+      "republish after a rewrite must no-op via the op-tag record")
+    assert(SnapStore.branchHead(t, bname).isEmpty)
     assert(spark.sql(
       "SELECT COUNT(*) AS n FROM graft.wapid.t WHERE id >= 1000")
       .collect()(0).getLong(0) == 10L,
