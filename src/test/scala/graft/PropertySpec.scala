@@ -150,7 +150,7 @@ class PropertySpec extends SparkSpec {
 
     (1 to 14).foreach { step =>
       val m0 = SnapStore.currentManifest(t)
-      val op = rnd.nextInt(8)
+      val op = rnd.nextInt(9)
       op match {
         case 0 | 1 => // append (the common op — double weight)
           val ids = freshIds(1 + rnd.nextInt(3))
@@ -201,6 +201,15 @@ class PropertySpec extends SparkSpec {
         case 7 => // manifest rebalance + orphan sweep
           SnapStore.rewriteManifests(t, targetEntries = 4 + rnd.nextInt(12))
           SnapStore.removeOrphans(t, minAgeMs = 0)
+        case 8 => // add_files: adopt an external parquet batch (r12) —
+          // adopted entries then flow through every later op (merges
+          // probe their key bounds, deletes rewrite them into owned
+          // files, compaction folds them, expiry collects them).
+          val ids = freshIds(2 + rnd.nextInt(4))
+          val ext = dir.resolve(s"ext-$step")
+          frame(ids, i => s"x-$i").write.parquet(ext.toString)
+          SnapStore.addFiles(spark, t, ext)
+          ids.foreach(i => model(i) = s"x-$i")
       }
       checkInvariants(s"step $step (op $op)")
     }
