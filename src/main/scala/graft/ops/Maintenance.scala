@@ -2795,6 +2795,238 @@ object Maintenance {
       |UNION ALL SELECT 3, 2, 0, CAST(n31 AS BIGINT) FROM c
       |ORDER BY snapshot, status, content""".stripMargin
 
+  /** `docs_snapsrc` → `docs_snapclone`: the `snapshot` zero-copy
+    * clone lifecycle (Iceberg's `snapshot` procedure). The SOURCE is
+    * v1 create + v2 MOR equality delete (every seventeenth doc), so
+    * the clone carries a pending DELETE file, not just data. `CALL
+    * graft.system.snapshot` creates the clone with zero data IO; an
+    * append then lands on the CLONE ONLY (+900000 ids, every
+    * twenty-ninth doc) — the source stays frozen at v2 (required
+    * here; file-level physical claims live in IcebergFacesSpec).
+    */
+  def ensureDocsClone(s: SparkSession, dir: String): (Path, Path) =
+    synchronized {
+      val src = root(dir).resolve("docs_snapsrc")
+      val clone = root(dir).resolve("docs_snapclone")
+      val b = base(s, dir)
+      if (SnapStore.currentVersion(src).isEmpty)
+        SnapStore.create(s, src, b, partCol, keyCol = "doc_id")
+      if (SnapStore.currentVersion(src).contains(1))
+        SnapStore.deleteEquality(s, src,
+          b.filter(pmod(col("doc_id"), lit(17L)) === 0).select("doc_id"),
+          "doc_id")
+      mount(s, dir)
+      if (SnapStore.currentVersion(clone).isEmpty)
+        s.sql("CALL graft.system.snapshot('maint.docs_snapsrc', " +
+          "'maint.docs_snapclone')")
+      // The clone's first manifest KEEPS the source's version (2) so
+      // carried sequence numbers stay coherent; the clone-side append
+      // commits v3 (seq 3 — outranks the carried eq delete at seq 2).
+      if (SnapStore.currentVersion(clone).contains(2))
+        SnapStore.append(s, clone,
+          b.filter(pmod(col("doc_id"), lit(29L)) === 0)
+            .withColumn("doc_id", col("doc_id") + 900000L)
+            .withColumn("source", lit("srcS")),
+          partCol)
+      require(SnapStore.currentVersion(src).contains(2),
+        "clone-side writes must never move the source table")
+      (src, clone)
+    }
+
+  /** Clone contents per partition after the clone-only append: the
+    * oracle recomputes source-minus-deletes plus the appended batch.
+    * A hash match proves the zero-copy clone serves the source's
+    * files (with the carried MOR delete applying) AND took the
+    * divergent write — while the lifecycle's require pins the source
+    * frozen.
+    */
+  def snapshotClone(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (_, clone) = ensureDocsClone(s, dir)
+    SnapStore.read(s, clone)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val snapshotCloneOracle: String =
+    s"""WITH live AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 17 != 0
+       |  UNION ALL
+       |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 29 = 0)
+       |SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM live
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** `docs_migrate`: the `migrate` in-place conversion lifecycle
+    * (Iceberg's `migrate` procedure). The fixture is written as a
+    * PLAIN parquet directory (no snapshot metadata at all); `CALL
+    * graft.system.migrate` adopts its files where they sit (v1,
+    * bare-name entries, one stats job — mtimes spec-pinned); a MOR
+    * equality delete (every nineteenth doc) then proves the migrated
+    * table serves full DML like a born-snapshot one.
+    */
+  def ensureDocsMigrate(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_migrate")
+    if (!SnapStore.isSnapTable(t)) {
+      if (!Files.exists(t.resolve("_SUCCESS")))
+        base(s, dir).write.mode("overwrite").parquet(t.toString)
+      mount(s, dir)
+      s.sql("CALL graft.system.migrate('maint.docs_migrate', " +
+        s"'$partCol', 'doc_id')")
+    }
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).contains(1))
+      SnapStore.deleteEquality(s, t,
+        base(s, dir).filter(pmod(col("doc_id"), lit(19L)) === 0)
+          .select("doc_id"),
+        "doc_id")
+    t
+  }
+
+  /** Migrated-table contents per partition: the oracle recomputes
+    * the fixture minus the MOR-deleted keys — a hash match proves
+    * the in-place adoption serves every original row and subsequent
+    * merge-on-read DML applies to the adopted files.
+    */
+  def migrateRead(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsMigrate(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val migrateReadOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE doc_id % 19 != 0
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** `docs_default`: the ADD COLUMN DEFAULT lifecycle (Iceberg v3
+    * initial defaults). v1 create WITHOUT the column → v2 `ALTER
+    * TABLE … ADD COLUMN bonus BIGINT DEFAULT 5` (pure metadata; old
+    * files physically lack the column) → v3 append with EXPLICIT
+    * bonus values (`tok`). Reads substitute the default for
+    * pre-evolution files and serve written values for new ones.
+    */
+  def ensureDocsDefault(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_default")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol, keyCol = "doc_id")
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).contains(1))
+      s.sql("ALTER TABLE graft.maint.docs_default " +
+        "ADD COLUMN bonus BIGINT DEFAULT 5")
+    if (SnapStore.currentVersion(t).contains(2))
+      SnapStore.append(s, t,
+        b.filter(pmod(col("doc_id"), lit(27L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 600000L)
+          .withColumn("source", lit("srcV"))
+          .withColumn("bonus", col("tok")),
+        partCol)
+    t
+  }
+
+  /** Post-default contents per partition with the defaulted column
+    * aggregated: the oracle recomputes old rows at the constant and
+    * appended rows at their explicit values — a hash match proves
+    * the initial default substitutes exactly on pre-evolution files
+    * and never leaks onto post-evolution ones.
+    */
+  def addDefault(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsDefault(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bonus")).as("sum_bonus"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val addDefaultOracle: String =
+    s"""WITH live AS (
+       |  SELECT doc_id, text, CAST(5 AS BIGINT) AS bonus FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 600000, text,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS bonus
+       |  FROM documents WHERE doc_id % 27 = 0)
+       |SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(bonus) AS BIGINT) AS sum_bonus,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM live
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
+  /** `docs_dv`: the DELETION-VECTOR lifecycle (Iceberg v3 position
+    * deletes). v1 create → v2 position delete under
+    * `spark.graft.delete.vectors=true` (one compact `.dv` blob per
+    * affected data file) → v3 a SECOND DV delete whose vectors MERGE
+    * and supersede v2's per file (the v3 one-DV-per-file invariant).
+    * Reads route by `refs` and apply the ordinals from the blobs.
+    */
+  def ensureDocsDv(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_dv")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol, keyCol = "doc_id")
+    val confKey = "spark.graft.delete.vectors"
+    val old = s.conf.getOption(confKey)
+    s.conf.set(confKey, "true")
+    try {
+      if (SnapStore.currentVersion(t).contains(1))
+        SnapStore.deletePositions(s, t,
+          pmod(col("doc_id"), lit(21L)) === 0)
+      if (SnapStore.currentVersion(t).contains(2)) {
+        SnapStore.deletePositions(s, t,
+          pmod(col("doc_id"), lit(33L)) === 0)
+        val dvs = SnapStore.currentManifest(t).deleteFiles
+          .filter(d => d.path.endsWith(".dv"))
+        require(dvs.nonEmpty && dvs.map(_.refs.head).distinct.size
+          == dvs.size, "one DV per data file (v3 supersede) required")
+      }
+    } finally old match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
+    mount(s, dir)
+    t
+  }
+
+  /** Post-DV contents per partition: the oracle recomputes the
+    * fixture minus both deleted key sets — a hash match proves the
+    * delta-varint blobs suppress exactly the named ordinals (and
+    * nothing else) through the merged, superseded vectors.
+    */
+  def deleteVectors(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsDv(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col(partCol))
+  }
+
+  val deleteVectorsOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE doc_id % 21 != 0 AND doc_id % 33 != 0
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -2937,5 +3169,21 @@ object Maintenance {
     Q("maint_create_ctas", createCtas, Some(createCtasOracle),
       "CREATE TABLE + CTAS through the catalog: table born empty " +
         "metadata-only, the SELECT lands as its first write, INSERT " +
-        "and DELETE faces work on the created table"))
+        "and DELETE faces work on the created table"),
+    Q("maint_snapshot_clone", snapshotClone, Some(snapshotCloneOracle),
+      "CALL snapshot: zero-copy clone referencing the source's files " +
+        "(pending MOR delete carried), diverging by a clone-only " +
+        "append while the source stays frozen"),
+    Q("maint_migrate", migrateRead, Some(migrateReadOracle),
+      "CALL migrate: plain parquet directory converted in place to a " +
+        "snapshot table (files adopted where they sit), then MOR " +
+        "DML applies to the adopted files"),
+    Q("maint_add_default", addDefault, Some(addDefaultOracle),
+      "ADD COLUMN DEFAULT (v3 initial defaults): pre-evolution files " +
+        "read the constant, post-evolution writes carry explicit " +
+        "values"),
+    Q("maint_delete_vectors", deleteVectors, Some(deleteVectorsOracle),
+      "deletion vectors (v3): per-data-file delta-varint blobs, " +
+        "merge-and-supersede on re-delete, ordinal application on " +
+        "read"))
 }

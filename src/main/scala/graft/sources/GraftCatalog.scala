@@ -452,6 +452,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * files read the column as null — the Iceberg evolution
     * contract). Everything else stays rejected.
     */
+  /** Advertise column-default support so the analyzer permits
+    * `ADD COLUMN … DEFAULT` / `CREATE TABLE (… DEFAULT …)` against
+    * this catalog (Iceberg v3 default values).
+    */
+  override def capabilities():
+      java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val snapDir = ident.namespace() match {
       case Array(db) => mountedDir(db).map(_.resolve(ident.name()))
@@ -461,6 +471,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     snapDir match {
       case Some(dir) =>
         changes.foreach {
+          // `ADD COLUMN … DEFAULT <lit>` (Iceberg v3 initial default):
+          // the stored SQL text becomes the column's metadata default
+          // AND the `adddef` evolution old files substitute at scan.
+          case add: TableChange.AddColumn if add.fieldNames().length == 1 &&
+              add.defaultValue() != null =>
+            SnapStore.addColumnDefault(dir, StructField(
+              add.fieldNames()(0), add.dataType(), nullable = true),
+              add.defaultValue().getSql)
           case add: TableChange.AddColumn if add.fieldNames().length == 1 =>
             SnapStore.addColumn(dir, StructField(
               add.fieldNames()(0), add.dataType(), nullable = true))
@@ -904,15 +922,19 @@ final class PositionDeletesMetadataTable(tableName: String,
     val reader = SnapBatch.rowReader(spark, readSchema, readSchema)
     pos.iterator.flatMap { d =>
       val p = dir.resolve(d.path)
-      reader(PartitionedFile(InternalRow.empty,
-        org.apache.spark.paths.SparkPath.fromPathString(p.toString),
-        0L, d.bytes, Array.empty[String], 0L, d.bytes, Map.empty))
-        .map { r =>
-          // The reader reuses its row buffer — copy the values out.
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array[Any](u(r.getUTF8String(0).toString), r.getLong(1),
-              u(d.path), d.seq)): InternalRow
-        }
+      // Deletion vectors (.dv, v3 encoding) decode directly; parquet
+      // pair files read through the row reader.
+      val rows: Iterator[InternalRow] =
+        if (DeleteVectors.isDv(d.path)) DeleteVectors.rowIterator(p.toString)
+        else reader(PartitionedFile(InternalRow.empty,
+          org.apache.spark.paths.SparkPath.fromPathString(p.toString),
+          0L, d.bytes, Array.empty[String], 0L, d.bytes, Map.empty))
+      rows.map { r =>
+        // The reader reuses its row buffer — copy the values out.
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](u(r.getUTF8String(0).toString), r.getLong(1),
+            u(d.path), d.seq)): InternalRow
+      }
     }.toArray
   }
 }

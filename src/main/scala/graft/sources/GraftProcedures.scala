@@ -51,6 +51,20 @@ object GraftProcedures {
 
   private def u(s: String) = UTF8String.fromString(s)
 
+  /** Resolve `db.tbl` to a mounted path that need NOT be a snapshot
+    * table yet — the target of `snapshot` (must not exist) and the
+    * source of `migrate` (a plain parquet directory).
+    */
+  private def rawDir(ref: String): Path = {
+    val parts = ref.split('.')
+    require(parts.length == 2,
+      s"table must be 'db.table', got '$ref'")
+    GraftCatalog.mountedDir(spark, parts(0))
+      .map(_.resolve(parts(1)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"database '${parts(0)}' is not mounted"))
+  }
+
   /** One procedure: fixed IN parameters, a result schema, and the
     * action producing the single result row.
     */
@@ -299,6 +313,35 @@ object GraftProcedures {
         val m = SnapStore.evolveSpec(
           tableDir(in.getUTF8String(0).toString), spec)
         Array[Any](m.version, u(spec))
+      }),
+    // Iceberg snapshot: zero-copy clone — a NEW independent table
+    // whose first snapshot references the source's current files.
+    // No data IO at all; the clone is born gc.enabled=false (expiry
+    // and orphan cleanup refuse — the files belong to the source).
+    "snapshot" -> new Proc("snapshot",
+      Array(str("source_table"), str("table")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("data_files", IntegerType, nullable = false))),
+      { in =>
+        val src = tableDir(in.getUTF8String(0).toString)
+        val m = SnapStore.snapshotClone(src,
+          rawDir(in.getUTF8String(1).toString))
+        Array[Any](m.version, m.files.size)
+      }),
+    // Iceberg migrate: convert a plain parquet directory into a
+    // snapshot table IN PLACE — files adopted where they sit, one
+    // stats job, the table owns them afterwards. `key_col` may be ''.
+    "migrate" -> new Proc("migrate",
+      Array(str("table"), str("part_col"), str("key_col")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("data_files", IntegerType, nullable = false))),
+      { in =>
+        val m = SnapStore.migrate(spark,
+          rawDir(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString, in.getUTF8String(2).toString)
+        Array[Any](m.version, m.files.size)
       }),
     // Iceberg add_files: metadata-only adoption of an existing
     // parquet directory — one stats job, zero data rewritten, the

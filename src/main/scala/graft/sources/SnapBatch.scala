@@ -529,7 +529,16 @@ final class SnapNativeBatch(
     */
   private def deleteLoad(ds: Seq[SnapStore.DeleteFile],
       readSchema: StructType): SnapDeleteLoad = {
-    val readerFunc = SnapBatch.rowReader(spark, readSchema, readSchema)
+    val parquetReader = SnapBatch.rowReader(spark, readSchema, readSchema)
+    // Deletion-vector blobs (`.dv`, Iceberg v3 encoding) decode
+    // task-side into the SAME `(file, pos)` row shape the pos-delete
+    // parquet reader yields — one cache structure serves both.
+    val readerFunc: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+        Iterator[InternalRow] = pf => {
+      val p = pf.filePath.toString
+      if (DeleteVectors.isDv(p)) DeleteVectors.rowIterator(p)
+      else parquetReader(pf)
+    }
     SnapDeleteLoad(
       cacheKey = ds.map(_.path).sorted
         .mkString(s"${dir.toAbsolutePath}#", ",", ""),
@@ -597,12 +606,23 @@ final class SnapNativeBatch(
           Seq(StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
             LongType, nullable = true)) else Nil))
         val readerFunc = SnapBatch.rowReader(spark, written, readSchema)
+        // Initial-default substitutions (Iceberg v3 `adddef` evos):
+        // every file of this treatment predates the add, so the
+        // null-filled column IS the constant — emit the literal.
+        val defaults = SnapStore.addDefaultsFor(applicable, m.schema)
+          .map { case (fin, sql) =>
+            fin -> SnapStore.defaultLiteral(sql, m.schema(fin).dataType)
+          }.toMap
         val outExprs = required.fields.toSeq.zipWithIndex.map {
           case (f, i) =>
-            val wt = readFields(i).dataType
-            val br = BoundReference(i, wt, nullable = true)
-            (if (wt == f.dataType) br else Cast(br, f.dataType, Some(tz)))
-              : Expression
+            defaults.get(f.name) match {
+              case Some(litv) => litv: Expression
+              case None =>
+                val wt = readFields(i).dataType
+                val br = BoundReference(i, wt, nullable = true)
+                (if (wt == f.dataType) br else Cast(br, f.dataType, Some(tz)))
+                  : Expression
+            }
         }
         val keyExpr = keyIdx.map { ki =>
           val p = readIdx.indexOf(ki)

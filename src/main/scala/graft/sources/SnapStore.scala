@@ -833,9 +833,9 @@ object SnapStore {
     // collected to the driver: each affected group anti-joins the
     // SAME frame, broadcast when the manifest's row counts say it is
     // small, shuffled otherwise (size-guarded; ADVICE/VERDICT r6).
-    lazy val posPairsDf: DataFrame = spark.read
-      .parquet(posDeletes.map(d => table.resolve(d.path).toString): _*)
-      .select(col("file").as("__dfile"), col("pos").as("__dpos"))
+    lazy val posPairsDf: DataFrame =
+      DeleteVectors.pairsDf(spark, table, posDeletes)
+        .select(col("file").as("__dfile"), col("pos").as("__dpos"))
     val posRows = posDeletes.map(_.rows).sum
     // Affected-file routing comes from manifest metadata
     // ([[DeleteFile.refs]], Iceberg's referenced-data-file field) —
@@ -890,9 +890,9 @@ object SnapStore {
       return scanFiles(spark, table, m, fs, withMeta = true).drop("__ri")
     val eqDeletes = m.deleteFiles.filter(_.kind == "eq")
     val posDeletes = m.deleteFiles.filter(_.kind == "pos")
-    lazy val posPairsDf: DataFrame = spark.read
-      .parquet(posDeletes.map(d => table.resolve(d.path).toString): _*)
-      .select(col("file").as("__dfile"), col("pos").as("__dpos"))
+    lazy val posPairsDf: DataFrame =
+      DeleteVectors.pairsDf(spark, table, posDeletes)
+        .select(col("file").as("__dfile"), col("pos").as("__dpos"))
     val posRows = posDeletes.map(_.rows).sum
     val posAffected: Set[String] = posAffectedFiles(spark, table, posDeletes)
     val groups = fs.groupBy(f =>
@@ -937,6 +937,12 @@ object SnapStore {
         case "widen" => StructType(sch.fields.map(f =>
           if (f.name == e.col) f.copy(dataType = DataType.fromJson(e.arg))
           else f))
+        // Initial default (`adddef`): the written file simply LACKS
+        // the column — requesting it null-fills (both the plain and
+        // vectorized parquet readers route a requested-but-absent
+        // nullable column to missingColumns), and the read paths then
+        // substitute the default. The written schema keeps the field.
+        case "adddef" => sch
         case other => throw new IllegalStateException(
           s"unknown evolution kind '$other' in manifest")
       }
@@ -981,7 +987,14 @@ object SnapStore {
         .withColumn("__ri", col("_metadata.row_index"))
       val renamed = applicable.filter(_.kind == "rename")
         .foldLeft(df)((d, e) => d.withColumnRenamed(e.col, e.arg))
-      renamed.select(m.schema.fields.toSeq.map(f =>
+      // Initial defaults: every file of this group predates the add
+      // (that is what made the evo applicable), so the null-filled
+      // column substitutes the constant outright.
+      val defaulted = addDefaultsFor(applicable, m.schema)
+        .foldLeft(renamed) { case (d, (fin, sql)) =>
+          d.withColumn(fin, expr(sql).cast(m.schema(fin).dataType))
+        }
+      defaulted.select(m.schema.fields.toSeq.map(f =>
         col(f.name).cast(f.dataType).as(f.name)) ++ metaCols: _*)
     }.reduce(_ unionByName _)
   }
@@ -1605,6 +1618,17 @@ object SnapStore {
     Files.createDirectories(dataDir)
     val tmp = table.resolve(s".pdelete-tmp-${ProcessHandle.current().pid()}" +
       s"-${UUID.randomUUID().toString.take(8)}")
+    if (DeleteVectors.enabled(spark))
+      deletePositionsDv(spark, table, cur, v, hits, dataDir, tmp)
+    else deletePositionsParquet(spark, table, cur, v, hits, dataDir, tmp)
+  }
+
+  /** The parquet position-delete encoding (Iceberg v2): pair files
+    * written distributed, one per surviving probe partition.
+    */
+  private def deletePositionsParquet(spark: SparkSession, table: Path,
+      cur: Manifest, v: Int, hits: DataFrame, dataDir: Path,
+      tmp: Path): (Manifest, Seq[FileEntry], Boolean) = {
     hits.write.mode("overwrite").parquet(tmp.toString)
     val parts = {
       val stream = Files.list(tmp)
@@ -1651,6 +1675,65 @@ object SnapStore {
       tryCommitManifest(table, m))
   }
 
+  /** The deletion-vector encoding (Iceberg v3,
+    * `spark.graft.delete.vectors=true`): ONE `.dv` blob per affected
+    * data file — delta-varint sorted ordinals, self-naming — written
+    * DISTRIBUTED (hits repartition by file; each task streams its
+    * files' sorted positions straight into blobs, no driver
+    * materialization; only the per-blob summary rows collect). The
+    * v3 one-DV-per-file invariant holds by MERGE-AND-SUPERSEDE: a
+    * new DV for a data file folds every pending DV already
+    * referencing it and the commit drops the superseded entries
+    * (their blobs expire with the old snapshots). Parquet pos
+    * entries from pre-DV commits stay alongside — position
+    * suppression is idempotent, so the union application both read
+    * paths do is exact.
+    */
+  private def deletePositionsDv(spark: SparkSession, table: Path,
+      cur: Manifest, v: Int, hits: DataFrame, dataDir: Path,
+      tmp: Path): (Manifest, Seq[FileEntry], Boolean) = {
+    import spark.implicits._
+    Files.createDirectories(tmp)
+    val oldDvByRef: Map[String, Seq[DeleteFile]] = cur.deleteFiles
+      .filter(d => d.kind == "pos" && DeleteVectors.isDv(d.path))
+      .groupBy(_.refs.head)
+    val oldPathsByRef: Map[String, Seq[String]] =
+      oldDvByRef.map { case (r, ds) =>
+        r -> ds.map(d => table.resolve(d.path).toString)
+      }
+    val tmpStr = tmp.toString
+    val summaries: Array[(String, String, Long)] = hits
+      .repartition(col("file")).sortWithinPartitions("file", "pos")
+      .select(col("file").as("_1"), col("pos").as("_2"))
+      .as[(String, Long)]
+      .mapPartitions(it => DeleteVectors.writeGroups(it, oldPathsByRef,
+        tmpStr))
+      .collect()
+    val moved = summaries.zipWithIndex.map { case ((ref, tmpName, n), i) =>
+      val name = s"dv-v$v-$i-${UUID.randomUUID().toString.take(8)}.dv"
+      Files.move(tmp.resolve(tmpName), dataDir.resolve(name),
+        StandardCopyOption.ATOMIC_MOVE)
+      (ref, name, n)
+    }
+    deleteTree(tmp)
+    val superseded = moved
+      .flatMap { case (ref, _, _) =>
+        oldDvByRef.getOrElse(ref, Seq.empty).map(_.path)
+      }.toSet
+    val ds = moved.map { case (ref, name, n) =>
+      DeleteFile(s"data/$name", "", n, Files.size(dataDir.resolve(name)),
+        "pos", v, Seq(ref))
+    }.toSeq
+    // A no-match delete commits a files-unchanged snapshot with NO
+    // delete entries, exactly like the parquet encoding.
+    val m = Manifest(v, cur.version, "delete-pos", cur.schema, cur.files,
+      cur.partCol,
+      cur.deleteFiles.filterNot(d => superseded(d.path)) ++ ds,
+      cur.keyCol, cur.evos)
+    (m, ds.map(d => FileEntry(d.path, "", "", 0, 0)),
+      tryCommitManifest(table, m))
+  }
+
   /** Delete-file compaction — Iceberg's
     * `rewrite_position_delete_files`: merge accumulated small pending
     * delete parquets into fewer ones WITHOUT touching any data file
@@ -1679,7 +1762,8 @@ object SnapStore {
     */
   def rewriteDeleteFiles(spark: SparkSession, table: Path): Manifest = {
     def mergeable(m: Manifest): Boolean =
-      m.deleteFiles.count(_.kind == "pos") > 1 ||
+      m.deleteFiles.count(d => d.kind == "pos" &&
+        !DeleteVectors.isDv(d.path)) > 1 ||
         m.deleteFiles.filter(_.kind == "eq").groupBy(_.seq)
           .exists(_._2.length > 1)
     if (!mergeable(currentManifest(table))) return currentManifest(table)
@@ -1696,7 +1780,13 @@ object SnapStore {
       val untouched = scala.collection.mutable.ArrayBuffer.empty[DeleteFile]
       val merged = scala.collection.mutable.ArrayBuffer.empty[DeleteFile]
       // Position deletes: one merged distributed write when >1 file.
-      val pos = cur.deleteFiles.filter(_.kind == "pos")
+      // Deletion vectors pass through untouched — they are already
+      // one-per-data-file, merged on write (the v3 invariant); only
+      // parquet pair files accumulate mergeable debt.
+      val pos = cur.deleteFiles.filter(d => d.kind == "pos" &&
+        !DeleteVectors.isDv(d.path))
+      untouched ++= cur.deleteFiles.filter(d => d.kind == "pos" &&
+        DeleteVectors.isDv(d.path))
       if (pos.length > 1) {
         val df = spark.read
           .parquet(pos.map(d => table.resolve(d.path).toString): _*)
@@ -1914,14 +2004,12 @@ object SnapStore {
             .join(keysB, col(kc) === col("__delk"), "left_semi"))
         }
         val posRows: Option[DataFrame] = if (poss.isEmpty) None else {
-          val pairs0 = spark.read
-            .parquet(poss.map(d => table.resolve(d.path).toString): _*)
+          val pairs0 = DeleteVectors.pairsDf(spark, table, poss)
             .select(col("file").as("__dfile"), col("pos").as("__dpos"))
           val oldPoss = from.deleteFiles.filter(_.kind == "pos")
           val pairs =
             if (oldPoss.isEmpty) pairs0
-            else pairs0.join(spark.read
-              .parquet(oldPoss.map(d => table.resolve(d.path).toString): _*)
+            else pairs0.join(DeleteVectors.pairsDf(spark, table, oldPoss)
               .select(col("file").as("__ofile"), col("pos").as("__opos")),
               col("__dfile") === col("__ofile") &&
                 col("__dpos") === col("__opos"),
@@ -2034,22 +2122,55 @@ object SnapStore {
       sourceDir: Path): Manifest = {
     val cur0 = currentManifest(table)
     require(cur0.partCol.nonEmpty, "table has no partition spec")
-    require(Files.isDirectory(sourceDir),
-      s"add_files source '$sourceDir' is not a directory")
-    val stream = Files.list(sourceDir)
-    val adopted =
+    val adopted = listParquet(sourceDir, "add_files source")
+    val entries = adoptionEntries(spark, adopted, cur0.partCol, cur0.keyCol)
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      require(cur.partCol == cur0.partCol,
+        "partition spec evolved mid-adopt — retry add_files")
+      val names = (cur.files.map(f => fileName(f.path)) ++
+        entries.map(e => fileName(e.path)))
+      require(names.distinct.size == names.size,
+        "adopted file names collide with existing table files — " +
+          "rename the source files (delete routing keys on file NAME)")
+      val v = cur.version + 1
+      val m = Manifest(v, cur.version, "add-files", cur.schema,
+        cur.files ++ entries.map(_.copy(seq = v)), cur.partCol,
+        cur.deleteFiles, cur.keyCol, cur.evos)
+      // Nothing to clean on a lost race: the adopted files pre-exist
+      // and are shared across attempts.
+      (m, Seq.empty, tryCommitManifest(table, m))
+    }
+  }
+
+  /** The parquet files directly under `dir` (non-recursive, sorted —
+    * Spark writes flat part files), refused loudly when none exist.
+    */
+  private def listParquet(dir: Path, what: String): Seq[Path] = {
+    require(Files.isDirectory(dir), s"$what '$dir' is not a directory")
+    val stream = Files.list(dir)
+    val files =
       try stream.iterator().asScala
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
         .map(_.toAbsolutePath)
         .toSeq.sortBy(_.toString)
       finally stream.close()
-    require(adopted.nonEmpty, s"no parquet files under $sourceDir")
-    // One stats job over ONLY the adopted files (column-pruned to the
-    // partition + key columns), keyed by physical file.
-    val spec = PartTransforms.parse(cur0.partCol)
-    val keyCol = cur0.keyCol
-    val withKey = keyCol.nonEmpty && keyCol != cur0.partCol
+    require(files.nonEmpty, s"no parquet files under $dir")
+    files
+  }
+
+  /** One column-pruned stats job over EXISTING parquet files (rows +
+    * typed partition/key bounds — the same write-time metrics owned
+    * writes collect, so every manifest-level prune bites on adopted
+    * files too), keyed by physical file. The shared metrics pass
+    * behind [[addFiles]] and [[migrate]]; entries carry ABSOLUTE
+    * paths (callers relativize when the files live inside the table).
+    */
+  private def adoptionEntries(spark: SparkSession, adopted: Seq[Path],
+      partCol: String, keyCol: String): Seq[FileEntry] = {
+    val spec = PartTransforms.parse(partCol)
+    val withKey = keyCol.nonEmpty && keyCol != partCol
     val src = spark.read.parquet(adopted.map(_.toString): _*)
     val pexpr = PartTransforms.exprFor(spec, src.schema)
     val aggs = Seq(min(pexpr).as("mn"), max(pexpr).as("mx"),
@@ -2069,12 +2190,12 @@ object SnapStore {
       .collect()
       .map { r =>
         require(!r.isNullAt(1) && !r.isNullAt(2),
-          s"partition column '${cur0.partCol}' must be non-null in " +
+          s"partition column '$partCol' must be non-null in " +
             "adopted files")
         val (kmn, kmx) =
           if (withKey && !r.isNullAt(4) && !r.isNullAt(5))
             (render(r.get(4)), render(r.get(5)))
-          else if (keyCol.nonEmpty && keyCol == cur0.partCol)
+          else if (keyCol.nonEmpty && keyCol == partCol)
             (render(r.get(1)), render(r.get(2)))
           else ("", "")
         decodedName(r.getString(0)) ->
@@ -2085,7 +2206,7 @@ object SnapStore {
     val entries = adopted.flatMap { p =>
       stats.get(p.getFileName.toString).map { case (mn, mx, rows, kmn, kmx) =>
         FileEntry(p.toString, mn, mx, rows, Files.size(p),
-          specCol = cur0.partCol, keyMin = kmn, keyMax = kmx)
+          specCol = partCol, keyMin = kmn, keyMax = kmx)
       }
     }
     // Loud, never silent: every stats row must have keyed back to an
@@ -2096,24 +2217,88 @@ object SnapStore {
     require(unmatched.isEmpty,
       s"adopted-file stats keys did not match on-disk names: " +
         unmatched.take(3).mkString(", "))
-    require(entries.nonEmpty, s"every parquet under $sourceDir is empty")
-    withCommitRetry(table) { () =>
-      val cur = currentManifest(table)
-      require(cur.partCol == cur0.partCol,
-        "partition spec evolved mid-adopt — retry add_files")
-      val names = (cur.files.map(f => fileName(f.path)) ++
-        entries.map(e => fileName(e.path)))
-      require(names.distinct.size == names.size,
-        "adopted file names collide with existing table files — " +
-          "rename the source files (delete routing keys on file NAME)")
-      val v = cur.version + 1
-      val m = Manifest(v, cur.version, "add-files", cur.schema,
-        cur.files ++ entries.map(_.copy(seq = v)), cur.partCol,
-        cur.deleteFiles, cur.keyCol, cur.evos)
-      // Nothing to clean on a lost race: the adopted files pre-exist
-      // and are shared across attempts.
-      (m, Seq.empty, tryCommitManifest(table, m))
-    }
+    require(entries.nonEmpty, s"every adopted parquet file is empty")
+    entries
+  }
+
+  // ----------------------------------------------------------------
+  // Table migration (the snapshot / migrate / add_files trio).
+
+  /** Is file garbage collection enabled for this table? `false` on
+    * tables created by [[snapshotClone]] — they reference the SOURCE
+    * table's files, which are not theirs to delete (Iceberg's
+    * `snapshot` procedure sets `gc.enabled=false` the same way, and
+    * its `expire_snapshots`/`remove_orphan_files` refuse on such
+    * tables).
+    */
+  def gcEnabled(table: Path): Boolean =
+    !Files.exists(snapDir(table).resolve("gc.disabled"))
+
+  private def requireGc(table: Path, op: String): Unit =
+    require(gcEnabled(table),
+      s"$op: file GC is disabled on $table (gc.enabled=false — a " +
+        "snapshot-clone table references its source's files, which " +
+        "are not safe to delete)")
+
+  /** Zero-copy table clone — Iceberg's `snapshot` procedure: create
+    * an INDEPENDENT table at `target` whose first snapshot references
+    * exactly the SOURCE table's current files (data and pending
+    * delete files alike, path-rewritten absolute), carrying schema,
+    * partition spec, key column, and the evolution log. No data IO at
+    * all — not even a stats job, the manifest entries carry over.
+    *
+    * Writes to the clone land in the clone's own `data/` and never
+    * touch the source; writes to the source are invisible to the
+    * clone. The first manifest keeps the SOURCE's version number (not
+    * 1) so carried sequence numbers stay coherent: a clone-side
+    * append outranks carried equality deletes exactly like a
+    * source-side one would.
+    *
+    * The clone is born with `gc.enabled=false` ([[gcEnabled]]):
+    * snapshot expiry and orphan cleanup refuse, because "unreferenced"
+    * clone files may be live source files. Compact the clone to fold
+    * carried files into owned `data/` if reclaimability matters.
+    */
+  def snapshotClone(source: Path, target: Path): Manifest = {
+    require(isSnapTable(source), s"'$source' is not a snapshot table")
+    require(currentVersion(target).isEmpty, s"table $target already exists")
+    val src = currentManifest(source)
+    def abs(p: String): String =
+      source.resolve(p).toAbsolutePath.normalize().toString
+    val m = Manifest(math.max(src.version, 1), 0, "snapshot", src.schema,
+      src.files.map(f => f.copy(path = abs(f.path))), src.partCol,
+      src.deleteFiles.map(d => d.copy(path = abs(d.path))), src.keyCol,
+      src.evos)
+    commitManifest(target, m)
+    Files.write(snapDir(target).resolve("gc.disabled"),
+      "source table owns the referenced files\n".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    m
+  }
+
+  /** IN-PLACE migration of a plain parquet directory into a snapshot
+    * table — Iceberg's `migrate` procedure: the directory itself
+    * becomes the table root, its parquet files are adopted where they
+    * sit (entries store the bare file name, which resolves against
+    * the root — the table stays relocatable), and the only IO is the
+    * shared column-pruned stats job. Unlike [[snapshotClone]], the
+    * migrated table OWNS its files (Iceberg's migrate replaces the
+    * source table): expiry may delete them once unreferenced.
+    */
+  def migrate(spark: SparkSession, table: Path, partCol: String,
+      keyCol: String = ""): Manifest = {
+    require(!isSnapTable(table), s"'$table' is already a snapshot table")
+    require(partCol.nonEmpty, "migrate requires a partition spec")
+    val files = listParquet(table, "migrate source")
+    val entries = adoptionEntries(spark, files, partCol, keyCol)
+      .map(e => e.copy(path = fileName(e.path), seq = 1))
+    val schema = spark.read.parquet(files.map(_.toString): _*).schema
+    require(keyCol.isEmpty || schema.fieldNames.contains(keyCol),
+      s"key column '$keyCol' is not in the migrated schema")
+    val m = Manifest(1, 0, "migrate", schema, entries, partCol,
+      Seq.empty, keyCol)
+    commitManifest(table, m)
+    m
   }
 
   /** Full-table OVERWRITE — the commit behind SQL `INSERT OVERWRITE`:
@@ -2651,6 +2836,10 @@ object SnapStore {
 
   private def expireSet(table: Path,
       deadCandidates: Seq[Int]): (Seq[Int], Seq[String]) = {
+    // Every expiry face funnels here; a gc-disabled (snapshot-clone)
+    // table refuses before anything is computed — its "dead" files
+    // may be the SOURCE table's live data.
+    if (deadCandidates.nonEmpty) requireGc(table, "expire_snapshots")
     val vs = liveVersions(table)
     val protect = tags(table).values.toSet
     // Tagged snapshots are retention-protected, like Iceberg's tagged
@@ -2701,6 +2890,7 @@ object SnapStore {
     * in flight (single-process tests, quiesced maintenance windows).
     */
   def removeOrphans(table: Path, minAgeMs: Long = 3L * 3600 * 1000): Seq[String] = {
+    requireGc(table, "remove_orphan_files")
     val dataDir = table.resolve("data")
     if (!Files.isDirectory(dataDir)) return Seq.empty
     // Parse every live manifest ONCE; both the referenced data-file
@@ -3381,6 +3571,25 @@ object SnapStore {
       .map(_.col).toSet
 
   def addColumn(table: Path, field: StructField): Manifest =
+    addColumnImpl(table, field, None)
+
+  /** `ADD COLUMN … DEFAULT <sql>` — Iceberg v3's INITIAL DEFAULT:
+    * rows written BEFORE the column existed read the default (not
+    * null) through the manifest evolution log (`adddef` [[Evo]] —
+    * old files substitute the literal at scan time on both read
+    * paths; a rewrite materializes it physically, after which the
+    * evo no longer applies to the new files). The default must be a
+    * FOLDABLE literal expression — validated here, at ALTER time,
+    * never at read. The field's metadata carries Spark's
+    * `EXISTS_DEFAULT`/`CURRENT_DEFAULT` keys so SQL `INSERT` column
+    * lists that omit the column fill it engine-side.
+    */
+  def addColumnDefault(table: Path, field: StructField,
+      defaultSql: String): Manifest =
+    addColumnImpl(table, field, Some(defaultSql))
+
+  private def addColumnImpl(table: Path, field: StructField,
+      defaultSql: Option[String]): Manifest =
     withCommitRetry(table) { () =>
       val cur = currentManifest(table)
       require(!cur.schema.fieldNames.contains(field.name),
@@ -3389,11 +3598,55 @@ object SnapStore {
         s"column name '${field.name}' is still the as-written name of " +
           "a renamed column in live data files — rewrite the table " +
           "(compact/applyDeletes) before reusing it")
-      val m = Manifest(cur.version + 1, cur.version, "add-column",
-        StructType(cur.schema.fields :+ field.copy(nullable = true)),
-        cur.files, cur.partCol, cur.deleteFiles, cur.keyCol, cur.evos)
+      val v = cur.version + 1
+      val added = defaultSql match {
+        case None => field.copy(nullable = true)
+        case Some(sql) =>
+          // Fail unfoldable/ill-typed defaults NOW (the Iceberg v3
+          // contract: initial defaults are constants of the column
+          // type), never at read.
+          defaultLiteral(sql, field.dataType)
+          field.copy(nullable = true, metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(field.metadata)
+              .putString("EXISTS_DEFAULT", sql)
+              .putString("CURRENT_DEFAULT", sql)
+              .build())
+      }
+      val m = Manifest(v, cur.version, "add-column",
+        StructType(cur.schema.fields :+ added),
+        cur.files, cur.partCol, cur.deleteFiles, cur.keyCol,
+        cur.evos ++ defaultSql.map(Evo(v, "adddef", field.name, _)))
       (m, Seq.empty, tryCommitManifest(table, m))
     }
+
+  /** The initial-default substitutions a file group with `applicable`
+    * pending evolutions needs, as FINAL column name → default SQL
+    * (later renames within the log followed; a since-dropped column
+    * contributes nothing). Shared by both read paths.
+    */
+  private[sources] def addDefaultsFor(applicable: Seq[Evo],
+      schema: StructType): Seq[(String, String)] =
+    applicable.filter(_.kind == "adddef").flatMap { e =>
+      val fin = applicable.filter(r => r.kind == "rename" && r.seq > e.seq)
+        .sortBy(_.seq).foldLeft(e.col)((n, r) => if (r.col == n) r.arg else n)
+      if (schema.fieldNames.contains(fin)) Some(fin -> e.arg) else None
+    }
+
+  /** Evaluate a stored default-SQL text to a Catalyst literal of the
+    * column's CURRENT type — parse + foldability check + cast, all
+    * driver-side constant work (no job).
+    */
+  private[sources] def defaultLiteral(sql: String,
+      dt: DataType): org.apache.spark.sql.catalyst.expressions.Literal = {
+    val parsed = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(sql)
+    require(parsed.foldable && parsed.resolved,
+      s"column default '$sql' must be a constant literal expression")
+    val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+      parsed, dt, Some(java.util.TimeZone.getDefault.getID))
+    org.apache.spark.sql.catalyst.expressions.Literal(cast.eval(null), dt)
+  }
 
   /** Schema evolution: `DROP COLUMN` is a pure metadata commit — the
     * new manifest lists the SAME data files under the narrowed

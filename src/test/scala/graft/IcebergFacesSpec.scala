@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 
 import graft.sources.SnapStore
@@ -744,5 +746,257 @@ class IcebergFacesSpec extends SparkSpec {
     assert(snaps(3)._1 == v3.files.size &&
       snaps(3)._3 == v2.files.size,
       "the fold must report full replacement")
+  }
+
+  // ----------------------------------------------------------------
+  test("deletion vectors (v3): position deletes write one compact .dv " +
+    "per data file, coexist with parquet pair files, supersede on " +
+    "re-delete, apply on both scan paths, and fold away") {
+    val root = Files.createTempDirectory("graft-dvspec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    mountAs("dvspec", root)
+
+    // A PARQUET-encoded position delete first (conf off): mixed
+    // encodings must coexist.
+    SnapStore.deletePositions(spark, t, pmod(col("doc_id"), lit(6L)) === 0)
+    val afterPq = SnapStore.currentManifest(t)
+    assert(afterPq.deleteFiles.nonEmpty &&
+      afterPq.deleteFiles.forall(d => d.kind == "pos" &&
+        d.path.endsWith(".parquet")))
+
+    val confKey = "spark.graft.delete.vectors"
+    spark.conf.set(confKey, "true")
+    try {
+      // DV-encoded delete: one blob per affected data file, refs = 1.
+      SnapStore.deletePositions(spark, t,
+        pmod(col("doc_id"), lit(10L)) === 0)
+      val m1 = SnapStore.currentManifest(t)
+      val dvs1 = m1.deleteFiles.filter(d => d.path.endsWith(".dv"))
+      assert(dvs1.nonEmpty && dvs1.forall(d =>
+        d.kind == "pos" && d.refs.size == 1))
+      assert(dvs1.map(_.refs.head).distinct.size == dvs1.size,
+        "one DV per data file (v3 invariant)")
+      // Delta-varint ordinals beat 8-byte-per-row encodings easily.
+      dvs1.foreach(d => assert(d.bytes < d.rows * 8 + 128,
+        s"DV ${d.path} is not compact: ${d.bytes}B for ${d.rows} rows"))
+      val live1 = docs.filter(pmod(col("doc_id"), lit(6L)) =!= 0 &&
+        pmod(col("doc_id"), lit(10L)) =!= 0).count()
+      // Native DSv2 path (catalog SQL) and V1 path agree.
+      assert(spark.table("graft.dvspec.t").count() == live1)
+      assert(SnapStore.read(spark, t).count() == live1)
+
+      // Re-delete: the new DV MERGES and SUPERSEDES per data file.
+      SnapStore.deletePositions(spark, t,
+        pmod(col("doc_id"), lit(15L)) === 0)
+      val m2 = SnapStore.currentManifest(t)
+      val dvs2 = m2.deleteFiles.filter(d => d.path.endsWith(".dv"))
+      assert(dvs2.map(_.refs.head).distinct.size == dvs2.size,
+        "supersede must keep at most one DV per data file")
+      val live2 = docs.filter(pmod(col("doc_id"), lit(6L)) =!= 0 &&
+        pmod(col("doc_id"), lit(10L)) =!= 0 &&
+        pmod(col("doc_id"), lit(15L)) =!= 0).count()
+      assert(spark.table("graft.dvspec.t").count() == live2)
+
+      // The .position_deletes metadata table decodes DVs too.
+      val deleted = docs.count() - live2
+      assert(spark.table("graft.dvspec.t.position_deletes").count()
+        >= deleted, "metadata table must list at least the net pairs")
+
+      // rewrite_delete_files leaves DVs alone (already one-per-file).
+      val dvPathsBefore = dvs2.map(_.path).toSet
+      SnapStore.rewriteDeleteFiles(spark, t)
+      val afterRw = SnapStore.currentManifest(t)
+      assert(afterRw.deleteFiles.filter(d => d.path.endsWith(".dv"))
+        .map(_.path).toSet == dvPathsBefore)
+
+      // applyDeletes folds BOTH encodings into the data files.
+      SnapStore.applyDeletes(spark, t, "part")
+      assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
+      assert(spark.table("graft.dvspec.t").count() == live2)
+    } finally spark.conf.unset(confKey)
+  }
+
+  // ----------------------------------------------------------------
+  test("ADD COLUMN DEFAULT (v3 initial defaults): old files read the " +
+    "default on both scan paths, new writes carry values, renames " +
+    "follow, INSERT fills the omitted column, rewrites materialize") {
+    val root = Files.createTempDirectory("graft-defspec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    val nOld = docs.count()
+    mountAs("defspec", root)
+    spark.sql(
+      "ALTER TABLE graft.defspec.t ADD COLUMN bonus BIGINT DEFAULT 7")
+    // Old files lack the column physically; reads substitute 7.
+    assert(SnapStore.read(spark, t).filter(col("bonus") === 7L).count()
+      == nOld)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft.defspec.t WHERE bonus = 7")
+      .collect()(0).getLong(0) == nOld)
+
+    // A post-add append carries explicit values, old rows keep 7.
+    SnapStore.append(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(13L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 700000L)
+        .withColumn("bonus", col("doc_id")), "part")
+    val nNew = docs.filter(pmod(col("doc_id"), lit(13L)) === 0).count()
+    val byBonus = SnapStore.read(spark, t)
+      .groupBy(col("bonus") === 7L).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    assert(byBonus(true) == nOld && byBonus(false) == nNew)
+
+    // SQL INSERT omitting the column fills the CURRENT default.
+    spark.sql("INSERT INTO graft.defspec.t (doc_id, part, source, text) " +
+      "VALUES (990001, 1, 'srcD', 'hello world')")
+    assert(spark.sql("SELECT bonus FROM graft.defspec.t " +
+      "WHERE doc_id = 990001").collect()(0).getLong(0) == 7L)
+
+    // Pending MOR delete routes reads through the NATIVE DSv2 batch:
+    // the default must substitute there too.
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 0).select("doc_id"),
+      "doc_id")
+    val liveOld = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0).count()
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft.defspec.t WHERE bonus = 7")
+      .collect()(0).getLong(0) == liveOld + 1)
+
+    // RENAME follows: the default substitutes under the new name.
+    spark.sql("ALTER TABLE graft.defspec.t RENAME COLUMN bonus TO extra")
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft.defspec.t WHERE extra = 7")
+      .collect()(0).getLong(0) == liveOld + 1)
+
+    // A rewrite (fold) MATERIALIZES the default physically; contents
+    // unchanged after.
+    SnapStore.applyDeletes(spark, t, "part")
+    assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
+    assert(spark.sql(
+      "SELECT COUNT(*) AS n FROM graft.defspec.t WHERE extra = 7")
+      .collect()(0).getLong(0) == liveOld + 1)
+
+    // Unfoldable defaults refuse at ALTER time.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.defspec.t " +
+        "ADD COLUMN bad BIGINT DEFAULT doc_id + 1")
+    }
+  }
+
+  // ----------------------------------------------------------------
+  test("CALL snapshot: zero-copy clone — no data IO, source files " +
+    "untouched, pending MOR delete carried; clone and source diverge " +
+    "independently; GC faces refuse on the clone") {
+    val root = Files.createTempDirectory("graft-clonespec")
+    root.toFile.deleteOnExit()
+    val src = root.resolve("src")
+    SnapStore.create(spark, src, docs, "part", keyCol = "doc_id")
+    SnapStore.deleteEquality(spark, src,
+      docs.filter(pmod(col("doc_id"), lit(7L)) === 0).select("doc_id"),
+      "doc_id")
+    def srcFiles(): Map[String, java.nio.file.attribute.FileTime] = {
+      val s = Files.list(src.resolve("data"))
+      try s.iterator().asScala
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p))
+        .toMap
+      finally s.close()
+    }
+    val before = srcFiles()
+    mountAs("clonespec", root)
+    val r = spark.sql(
+      "CALL graft.system.snapshot('clonespec.src', 'clonespec.c')")
+      .collect()(0)
+    // The clone's first manifest keeps the SOURCE version so carried
+    // sequence numbers stay coherent.
+    assert(r.getInt(0) == 2)
+    val clone = root.resolve("c")
+    assert(SnapStore.isSnapTable(clone))
+    assert(!Files.isDirectory(clone.resolve("data")),
+      "zero-copy: the clone must own no data files at birth")
+    assert(srcFiles() == before, "source files must be byte-untouched")
+
+    // The carried equality delete applies on clone reads.
+    val expectLive = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0).count()
+    assert(SnapStore.read(spark, clone).count() == expectLive)
+    assert(spark.table("graft.clonespec.c").count() == expectLive)
+
+    // Divergence: a clone-side append lands on the clone only.
+    SnapStore.append(spark, clone,
+      docs.filter(pmod(col("doc_id"), lit(31L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L), "part")
+    val extra = docs.filter(pmod(col("doc_id"), lit(31L)) === 0).count()
+    assert(SnapStore.read(spark, clone).count() == expectLive + extra)
+    assert(SnapStore.currentVersion(src).contains(2),
+      "clone writes must never move the source")
+    assert(SnapStore.read(spark, src).count() == expectLive)
+
+    // gc.enabled=false: every file-deleting face refuses.
+    assert(!SnapStore.gcEnabled(clone) && SnapStore.gcEnabled(src))
+    val e1 = intercept[IllegalArgumentException] {
+      SnapStore.expire(clone, keepLast = 1)
+    }
+    assert(e1.getMessage.contains("gc.enabled=false"))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapStore.removeOrphans(clone, minAgeMs = 0)
+    }
+    assert(e2.getMessage.contains("gc.enabled=false"))
+
+    // A second clone onto an existing table refuses.
+    intercept[Exception] {
+      spark.sql(
+        "CALL graft.system.snapshot('clonespec.src', 'clonespec.c')")
+        .collect()
+    }
+  }
+
+  // ----------------------------------------------------------------
+  test("CALL migrate: in-place conversion of a plain parquet dir — " +
+    "files adopted where they sit (mtimes pinned), reads match the " +
+    "original, post-migrate DML works, re-migrate refuses") {
+    val root = Files.createTempDirectory("graft-migspec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("m")
+    docs.write.parquet(t.toString)
+    def mtimes(): Map[String, java.nio.file.attribute.FileTime] = {
+      val s = Files.list(t)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p))
+        .toMap
+      finally s.close()
+    }
+    val before = mtimes()
+    val plainCount = spark.read.parquet(t.toString).count()
+    mountAs("migspec", root)
+    val r = spark.sql(
+      "CALL graft.system.migrate('migspec.m', 'part', 'doc_id')")
+      .collect()(0)
+    assert(r.getInt(0) == 1)
+    assert(SnapStore.isSnapTable(t))
+    assert(mtimes() == before, "adopted files must be byte-untouched")
+    // Entries are bare names resolving against the root (relocatable)
+    // and cover every non-empty on-disk parquet.
+    val m = SnapStore.currentManifest(t)
+    assert(m.files.forall(f => !f.path.contains("/")),
+      "migrated entries must be root-relative bare names")
+    assert(m.files.map(_.path).toSet.subsetOf(before.keySet))
+    assert(SnapStore.read(spark, t).count() == plainCount)
+    assert(spark.table("graft.migspec.m").count() == plainCount)
+
+    // Post-migrate DML: a MOR equality delete applies to adopted files.
+    SnapStore.deleteEquality(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(11L)) === 0).select("doc_id"),
+      "doc_id")
+    val live = docs.filter(pmod(col("doc_id"), lit(11L)) =!= 0).count()
+    assert(SnapStore.read(spark, t).count() == live)
+
+    // Migrating an already-migrated table refuses.
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.migrate('migspec.m', 'part', 'doc_id')")
+        .collect()
+    }
+    assert(e.getMessage.contains("already a snapshot table"))
   }
 }
