@@ -3027,6 +3027,38 @@ object Maintenance {
        |GROUP BY 1
        |ORDER BY 1""".stripMargin
 
+  /** `docs_meta`: metadata columns. v1 create only; the SPJ-eligible
+    * layout routes the catalog read through the native batch, whose
+    * per-file readers serve Iceberg's `_file`/`_pos`.
+    */
+  def ensureDocsMeta(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_meta")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    mount(s, dir)
+    t
+  }
+
+  /** Per-partition row counts beside DISTINCT `(_file, _pos)` pair
+    * counts: the pair is unique per physical row by construction, so
+    * the oracle's `n_pairs = n_docs` equality proves the metadata
+    * columns identify every row exactly once — no duplicated or
+    * dropped ordinals across files, splits, or tasks.
+    */
+  def metadataCols(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsMeta(s, dir)
+    s.sql(s"""SELECT $partCol AS part, COUNT(*) AS n_docs,
+      COUNT(DISTINCT concat(_file, '#', _pos)) AS n_pairs
+      FROM graft.maint.docs_meta GROUP BY 1 ORDER BY 1""")
+  }
+
+  val metadataColsOracle: String =
+    s"""SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  COUNT(*) AS n_pairs
+       |FROM documents
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   def all: Seq[Q] = Seq(
     Q("maint_merge_upsert", mergeUpsert, Some(mergeUpsertOracle),
       "copy-on-write MERGE: touched-partition files rewritten, rest carried"),
@@ -3185,5 +3217,8 @@ object Maintenance {
     Q("maint_delete_vectors", deleteVectors, Some(deleteVectorsOracle),
       "deletion vectors (v3): per-data-file delta-varint blobs, " +
         "merge-and-supersede on re-delete, ordinal application on " +
-        "read"))
+        "read"),
+    Q("maint_metadata_cols", metadataCols, Some(metadataColsOracle),
+      "metadata columns _file/_pos through the native DSv2 read: " +
+        "every physical row identified exactly once"))
 }

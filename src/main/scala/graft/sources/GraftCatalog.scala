@@ -157,13 +157,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // takes effect without invalidating cached relations
         // (ADVICE r10).
         val spj = SnapSpj.layoutKey(m).isDefined
+        // `spark.graft.read.native=true` forces the native route for
+        // CLEAN snapshots too — the way to select `_file`/`_pos`
+        // metadata columns on them (clean files keep their vectorized
+        // delegate scans inside the native batch; only the routing
+        // face changes). Load-time conf: a cached relation keeps its
+        // route until re-resolved, like any loadTable decision.
+        val forceNative = session.conf
+          .getOption("spark.graft.read.native").exists(_.toBoolean)
         val underlying: Table =
           // A FILELESS snapshot (freshly CREATEd, or fully deleted)
           // serves an empty local scan under the manifest schema — a
           // zero-path ParquetTable cannot plan.
           if (m.files.isEmpty)
             new EmptyReadTable(s"$catalogName.$db.$name", m.schema)
-          else if (m.deleteFiles.isEmpty && !evoApplies && !spj)
+          else if (m.deleteFiles.isEmpty && !evoApplies && !spj &&
+            !forceNative)
             ParquetTable(
               s"$catalogName.$db.$name",
               session,
@@ -1393,7 +1402,21 @@ object GraftCatalog {
   */
 final class SnapTable(underlying: Table, dir: java.nio.file.Path)
     extends Table with SupportsRead with SupportsDelete
-    with SupportsWrite with SupportsRowLevelOperations {
+    with SupportsWrite with SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` / `_pos` forward from the native read face when that is
+    * the active route (MOR/evolved/SPJ snapshots, or every snapshot
+    * under `spark.graft.read.native=true`); the plain ParquetTable
+    * delegate cannot serve them — select through the native route.
+    */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    underlying match {
+      case s: org.apache.spark.sql.connector.catalog.SupportsMetadataColumns =>
+        s.metadataColumns()
+      case _ => Array.empty
+    }
 
   /** SQL `UPDATE` / `MERGE INTO` — Spark's group-based copy-on-write
     * row-level path: the operation's scan is the table's normal
@@ -1695,7 +1718,8 @@ private[graft] final case class GraftDateBound(fname: String, f: Int => Int)
 }
 
 final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
-    m: SnapStore.Manifest) extends Table with SupportsRead {
+    m: SnapStore.Manifest) extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.read.Scan
   import org.apache.spark.sql.sources.Filter
 
@@ -1704,20 +1728,44 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
+  /** Iceberg's `_file` / `_pos` metadata columns: the physical file
+    * name and within-file row ordinal, served by the native batch's
+    * per-file readers.
+    */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    SnapBatch.MetaNames.map { n =>
+      val f = SnapBatch.metaField(n)
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = f.name
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          f.dataType
+        override def isNullable: Boolean = false
+      }
+    }.toArray
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
       private var required: StructType = m.schema
+      private var metaCols: Seq[String] = Seq.empty
       private var conds: Seq[org.apache.spark.sql.Column] = Seq.empty
       private var translatable: Array[Filter] = Array.empty
       private var pushedAll: Array[Filter] = Array.empty
 
-      override def pruneColumns(s: StructType): Unit =
+      override def pruneColumns(s: StructType): Unit = {
+        // Requested metadata columns split off the data projection
+        // (requested order preserved); the scan appends their values
+        // after the data columns, matching readSchema below.
+        metaCols = s.fieldNames.toSeq
+          .filter(SnapBatch.MetaNames.contains)
         // An empty projection (COUNT(*)) keeps one narrow column so
         // the scan stays a valid row-preserving plan. Canonicalized
         // to manifest field order (what the delegates produce).
-        required = SnapBatch.requiredOf(m, s)
+        required = SnapBatch.requiredOf(m, StructType(
+          s.fields.filterNot(f => SnapBatch.MetaNames.contains(f.name))))
+      }
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         conds = filters.toSeq.flatMap(SnapTable.toColumn)
@@ -1766,7 +1814,7 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
             @volatile private var pruned: Seq[SnapStore.FileEntry] = statics
             private lazy val nat = new SnapNativeBatch(spark, dir, m,
               statics, () => pruned, required, pushedAll.toSeq,
-              spjKey.map(_.keyType))
+              spjKey.map(_.keyType), metaCols)
 
             /** Dynamic partition pruning on the read path (Iceberg's
               * `SparkScan` runtime filtering): a selective dimension
@@ -1808,16 +1856,18 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
                   new org.apache.spark.sql.connector.read.partitioning
                     .UnknownPartitioning(0)
               }
-            override def readSchema(): StructType = required
+            override def readSchema(): StructType = StructType(
+              required.fields.toSeq ++ metaCols.map(SnapBatch.metaField))
             override def toBatch: org.apache.spark.sql.connector.read.Batch =
               this
             // COLUMNAR whenever the schema allows (VERDICT r8 #4):
             // clean files keep vectorized parquet batches, affected
             // files bridge rows task-side. Answered WITHOUT planning
             // partitions (a pure schema predicate), so physical
-            // planning stays cheap.
+            // planning stays cheap. Metadata-column scans are
+            // row-wise (per-file readers own file identity).
             override def columnarSupportMode(): Scan.ColumnarSupportMode =
-              if (SnapColumnar.supported(required))
+              if (metaCols.isEmpty && SnapColumnar.supported(required))
                 Scan.ColumnarSupportMode.SUPPORTED
               else Scan.ColumnarSupportMode.UNSUPPORTED
             override def planInputPartitions(): Array[

@@ -749,6 +749,67 @@ class IcebergFacesSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("metadata columns _file/_pos: per-file names match the " +
+    "manifest, ordinals are dense per file, MOR deletes suppress the " +
+    "right ordinals, clean tables serve them under the native route") {
+    val root = Files.createTempDirectory("graft-metaspec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
+    mountAs("metaspec", root)
+
+    // A clean NON-SPJ layout (files span partition values) takes the
+    // plain delegate route, which has no metadata columns; the
+    // conf-forced native route serves them. The SPJ-layout table `t`
+    // below routes native by default and serves them without the conf.
+    val t2 = root.resolve("t2")
+    SnapStore.create(spark, t2, docs, "part",
+      clusterExprs = Seq(pmod(col("doc_id"), lit(5L))))
+    val m2 = SnapStore.currentManifest(t2)
+    assert(m2.files.exists(f => f.partMin != f.partMax),
+      "fixture must be non-SPJ (multi-valued files)")
+    intercept[Exception] {
+      spark.sql("SELECT _file FROM graft.metaspec.t2 LIMIT 1").collect()
+    }
+    spark.conf.set("spark.graft.read.native", "true")
+    try {
+      assert(spark.sql("SELECT COUNT(DISTINCT _file) AS n " +
+        "FROM graft.metaspec.t2").collect()(0).getLong(0)
+        == m2.files.size.toLong)
+      val m = SnapStore.currentManifest(t)
+      def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+      val perFile: Map[String, (Long, Long, Long)] = spark.sql(
+        "SELECT _file, COUNT(*) AS n, MAX(_pos) AS mx, " +
+          "COUNT(DISTINCT _pos) AS d FROM graft.metaspec.t GROUP BY _file")
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3))))
+        .toMap
+      assert(perFile.keySet == m.files.map(f => nameOf(f.path)).toSet,
+        "_file values must be exactly the manifest file names")
+      m.files.foreach { f =>
+        val (n, mx, d) = perFile(nameOf(f.path))
+        assert(n == f.rows && d == n && mx == n - 1,
+          s"${f.path}: ordinals must be dense 0..${f.rows - 1}")
+      }
+
+      // A position delete suppresses exactly its named ordinals: the
+      // surviving (_file, _pos) pairs are the complement.
+      SnapStore.deletePositions(spark, t,
+        pmod(col("doc_id"), lit(7L)) === 0)
+      val survivors = spark.sql(
+        "SELECT _file, _pos FROM graft.metaspec.t").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val deletedPairs = spark
+        .table("graft.metaspec.t.position_deletes")
+        .select(col("file"), col("pos")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(survivors.intersect(deletedPairs).isEmpty)
+      assert(survivors.size + deletedPairs.size == docs.count())
+    } finally spark.conf.unset("spark.graft.read.native")
+  }
+
+  // ----------------------------------------------------------------
   test("deletion vectors (v3): position deletes write one compact .dv " +
     "per data file, coexist with parquet pair files, supersede on " +
     "re-delete, apply on both scan paths, and fold away") {
@@ -810,6 +871,17 @@ class IcebergFacesSpec extends SparkSpec {
       val afterRw = SnapStore.currentManifest(t)
       assert(afterRw.deleteFiles.filter(d => d.path.endsWith(".dv"))
         .map(_.path).toSet == dvPathsBefore)
+
+      // Changelog netting composes with DV supersede: each step emits
+      // only the NEWLY deleted rows (merged vectors minus the prior
+      // snapshot's pairs), so the DELETE total over the chain is the
+      // distinct deleted-row count, with no INSERTs.
+      val cl = SnapStore.changelogRead(spark, t, 1,
+        SnapStore.currentVersion(t).get)
+      val byType = cl.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byType.getOrElse("DELETE", 0L) == docs.count() - live2)
+      assert(!byType.contains("INSERT"))
 
       // applyDeletes folds BOTH encodings into the data files.
       SnapStore.applyDeletes(spark, t, "part")

@@ -150,7 +150,7 @@ class PropertySpec extends SparkSpec {
 
     (1 to 14).foreach { step =>
       val m0 = SnapStore.currentManifest(t)
-      val op = rnd.nextInt(9)
+      val op = rnd.nextInt(10)
       op match {
         case 0 | 1 => // append (the common op — double weight)
           val ids = freshIds(1 + rnd.nextInt(3))
@@ -210,6 +210,26 @@ class PropertySpec extends SparkSpec {
           frame(ids, i => s"x-$i").write.parquet(ext.toString)
           SnapStore.addFiles(spark, t, ext)
           ids.foreach(i => model(i) = s"x-$i")
+        case 9 => // deletion-vector position delete (v3 encoding,
+          // r12): the .dv blobs then flow through every later op —
+          // reads decode them, applyDeletes folds them, supersede
+          // keeps one per file, expiry + orphan sweeps collect the
+          // displaced blobs.
+          val p = rnd.nextInt(8).toLong
+          val r3 = rnd.nextInt(3).toLong
+          val confKey = "spark.graft.delete.vectors"
+          spark.conf.set(confKey, "true")
+          try SnapStore.deletePositions(spark, t,
+            col("part") === p &&
+              org.apache.spark.sql.functions.pmod(col("doc_id"),
+                org.apache.spark.sql.functions.lit(3L)) === r3)
+          finally spark.conf.unset(confKey)
+          val dvs = SnapStore.currentManifest(t).deleteFiles
+            .filter(_.path.endsWith(".dv"))
+          assert(dvs.map(_.refs.head).distinct.size == dvs.size,
+            s"step $step: one DV per data file (v3 supersede)")
+          model.keys.filter(k => k % 8 == p && k % 3 == r3).toSeq
+            .foreach(model.remove)
       }
       checkInvariants(s"step $step (op $op)")
     }
