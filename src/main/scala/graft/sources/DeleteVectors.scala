@@ -27,8 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * readers branch on the `.dv` suffix.
   *
   * Format: magic `GDV1` · varint name length · data-file-name UTF-8
-  * bytes · delta varints until EOF (first position absolute, then
-  * `gap - 1` per successor — strictly increasing, deduplicated).
+  * bytes · varint cardinality · that many delta varints (first
+  * position absolute, then `gap - 1` per successor — strictly
+  * increasing, deduplicated). The recorded cardinality makes
+  * truncation detectable at decode.
   */
 object DeleteVectors {
 
@@ -62,7 +64,7 @@ object DeleteVectors {
       val merged = b.result().sorted.distinct
       val name = s"dv-${java.util.UUID.randomUUID().toString.take(12)}.dv"
       val os = Files.newOutputStream(java.nio.file.Paths.get(tmpDir, name))
-      val n = try write(os, file, merged.iterator) finally os.close()
+      val n = try write(os, file, merged) finally os.close()
       out += ((file, name, n))
     }
     out.iterator
@@ -91,29 +93,35 @@ object DeleteVectors {
     acc | (b.toLong << shift)
   }
 
-  /** Stream a STRICTLY-INCREASING (caller-sorted, deduplicated)
-    * position sequence for `dataFile` into `out`. Returns the count.
+  /** Write the STRICTLY-INCREASING (caller-sorted, deduplicated)
+    * position array for `dataFile` into `out`. Returns the count.
+    * The cardinality rides the header so a TRUNCATED blob (partial
+    * write/copy) is detected at decode instead of silently serving
+    * fewer deletions (code review r12).
     */
   def write(out: OutputStream, dataFile: String,
-      positions: Iterator[Long]): Long = {
+      positions: Array[Long]): Long = {
     val d = new DataOutputStream(new BufferedOutputStream(out, 1 << 16))
     d.write(Magic)
     val name = dataFile.getBytes(UTF_8)
     writeVarint(d, name.length.toLong)
     d.write(name)
+    writeVarint(d, positions.length.toLong)
     var prev = -1L
-    var n = 0L
     positions.foreach { p =>
       require(p > prev, s"positions must be strictly increasing ($p after $prev)")
       writeVarint(d, if (prev < 0) p else p - prev - 1)
       prev = p
-      n += 1
     }
     d.flush()
-    n
+    positions.length.toLong
   }
 
-  /** Decode a `.dv` blob: (referenced data file name, sorted positions). */
+  /** Decode a `.dv` blob: (referenced data file name, sorted
+    * positions). A blob shorter or longer than its recorded
+    * cardinality refuses loudly — deletions must never silently
+    * shrink.
+    */
   def read(in: InputStream): (String, Array[Long]) = {
     val d = new DataInputStream(new BufferedInputStream(in, 1 << 16))
     val magic = new Array[Byte](4)
@@ -123,16 +131,23 @@ object DeleteVectors {
     val nameLen = readVarint(d).toInt
     val name = new Array[Byte](nameLen)
     d.readFully(name)
+    val count = readVarint(d)
     val b = new mutable.ArrayBuilder.ofLong
     var prev = -1L
-    var eof = false
-    while (!eof) {
-      try {
+    var i = 0L
+    try {
+      while (i < count) {
         val delta = readVarint(d)
         prev = if (prev < 0) delta else prev + delta + 1
         b.addOne(prev)
-      } catch { case _: EOFException => eof = true }
+        i += 1
+      }
+    } catch {
+      case _: EOFException => throw new IllegalStateException(
+        s"truncated deletion vector: $i of $count positions present")
     }
+    require(d.read() < 0,
+      "corrupt deletion vector: trailing bytes after the recorded count")
     (new String(name, UTF_8), b.result())
   }
 

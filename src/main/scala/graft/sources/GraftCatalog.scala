@@ -1734,15 +1734,22 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
     */
   override def metadataColumns():
       Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    SnapBatch.MetaNames.map { n =>
-      val f = SnapBatch.metaField(n)
-      new org.apache.spark.sql.connector.catalog.MetadataColumn {
-        override def name(): String = f.name
-        override def dataType(): org.apache.spark.sql.types.DataType =
-          f.dataType
-        override def isNullable: Boolean = false
-      }
-    }.toArray
+    // A DATA column carrying one of the reserved names (possible on
+    // adopted/migrated parquet) wins — the metadata column is simply
+    // not advertised, and pruneColumns never diverts it.
+    SnapBatch.MetaNames
+      .filterNot(m.schema.fieldNames.contains)
+      .map { n =>
+        val f = SnapBatch.metaField(n)
+        new org.apache.spark.sql.connector.catalog.MetadataColumn {
+          override def name(): String = f.name
+          override def dataType(): org.apache.spark.sql.types.DataType =
+            f.dataType
+          // Nullability must match metaField (the scan's readSchema):
+          // _partition IS NULL would otherwise constant-fold away.
+          override def isNullable: Boolean = f.nullable
+        }
+      }.toArray
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
@@ -1757,14 +1764,17 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
       override def pruneColumns(s: StructType): Unit = {
         // Requested metadata columns split off the data projection
         // (requested order preserved); the scan appends their values
-        // after the data columns, matching readSchema below.
-        metaCols = s.fieldNames.toSeq
-          .filter(SnapBatch.MetaNames.contains)
+        // after the data columns, matching readSchema below. A DATA
+        // column carrying a reserved name is never diverted.
+        def isMeta(n: String): Boolean =
+          SnapBatch.MetaNames.contains(n) &&
+            !m.schema.fieldNames.contains(n)
+        metaCols = s.fieldNames.toSeq.filter(isMeta)
         // An empty projection (COUNT(*)) keeps one narrow column so
         // the scan stays a valid row-preserving plan. Canonicalized
         // to manifest field order (what the delegates produce).
         required = SnapBatch.requiredOf(m, StructType(
-          s.fields.filterNot(f => SnapBatch.MetaNames.contains(f.name))))
+          s.fields.filterNot(f => isMeta(f.name))))
       }
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {

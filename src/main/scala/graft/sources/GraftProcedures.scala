@@ -39,14 +39,10 @@ object GraftProcedures {
 
   /** Resolve `db.tbl` to a mounted snapshot-table root. */
   private def tableDir(ref: String): Path = {
-    val parts = ref.split('.')
-    require(parts.length == 2,
-      s"table must be 'db.table', got '$ref'")
-    GraftCatalog.mountedDir(spark, parts(0))
-      .map(_.resolve(parts(1)))
-      .filter(d => Files.isDirectory(d) && SnapStore.isSnapTable(d))
-      .getOrElse(throw new IllegalArgumentException(
-        s"'$ref' is not a mounted snapshot table"))
+    val d = rawDir(ref)
+    require(Files.isDirectory(d) && SnapStore.isSnapTable(d),
+      s"'$ref' is not a mounted snapshot table")
+    d
   }
 
   private def u(s: String) = UTF8String.fromString(s)

@@ -73,15 +73,24 @@ import org.apache.spark.unsafe.types.UTF8String
 object SnapBatch {
 
   /** Iceberg's metadata-column names served by the native batch:
-    * `_file` (the physical data file path's name) and `_pos` (the
-    * row's within-file ordinal).
+    * `_file` (the physical data file path's name), `_pos` (the row's
+    * within-file ordinal), `_partition` (the file's single
+    * TRANSFORMED partition value, rendered — NULL for files that
+    * span values, e.g. written under an earlier spec), and `_spec`
+    * (the transform spec string the file was written under — the
+    * readable analogue of Iceberg's `_spec_id`).
     */
   val MetaFile = "_file"
   val MetaPos = "_pos"
-  val MetaNames: Seq[String] = Seq(MetaFile, MetaPos)
+  val MetaPartition = "_partition"
+  val MetaSpec = "_spec"
+  val MetaNames: Seq[String] = Seq(MetaFile, MetaPos, MetaPartition, MetaSpec)
   def metaField(name: String): StructField = name match {
     case MetaFile => StructField(MetaFile, StringType, nullable = false)
     case MetaPos => StructField(MetaPos, LongType, nullable = false)
+    case MetaPartition =>
+      StructField(MetaPartition, StringType, nullable = true)
+    case MetaSpec => StructField(MetaSpec, StringType, nullable = false)
     case other => throw new IllegalArgumentException(
       s"unknown metadata column '$other'")
   }
@@ -728,7 +737,9 @@ final class SnapNativeBatch(
             val len = math.min(maxSplit, f.bytes - off)
             add(SnapFilePartitionOfGroup(gid,
               dir.resolve(f.path).toString, fileName(f.path),
-              off, len, f.bytes))
+              off, len, f.bytes,
+              if (f.partMin == f.partMax) Some(f.partMin) else None,
+              f.specCol))
             off += len
           }
         }
@@ -762,7 +773,8 @@ private final case class SnapCleanPartition(group: Int,
 
 private final case class SnapFilePartitionOfGroup(group: Int,
     path: String, fileName: String, start: Long, length: Long,
-    fileSize: Long) extends InputPartition
+    fileSize: Long, partValue: Option[String] = None,
+    specCol: String = "") extends InputPartition
 
 private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
     columnar: Boolean, schema: StructType)
@@ -780,12 +792,13 @@ private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
           case None => r
           case Some(exprs) => new SnapProjectingReader(r, exprs)
         }
-      case SnapFilePartitionOfGroup(g, path, name, start, length, size) =>
+      case fp @ SnapFilePartitionOfGroup(g, path, _, start, length,
+          size, _, _) =>
         val spec = groups(g).asInstanceOf[SnapAffectedGroup]
         val pf = PartitionedFile(InternalRow.empty,
           SparkPath.fromPathString(path), start, length,
           Array.empty[String], 0L, size, Map.empty)
-        new SnapAffectedReader(spec.reader(pf), spec, name)
+        new SnapAffectedReader(spec.reader(pf), spec, fp)
       case other => throw new IllegalStateException(
         s"unexpected partition type: $other")
     }
@@ -874,19 +887,27 @@ private final class SnapProjectingReader(
 private final class SnapAffectedReader(
     it: Iterator[InternalRow],
     spec: SnapAffectedGroup,
-    fileName: String) extends PartitionReader[InternalRow] {
-  // Metadata columns append after the data projection: `_file` is a
-  // per-reader constant (this partition IS one file), `_pos` reads
-  // the synthesized within-file row index — exact across splits and
-  // row-group skipping.
+    part: SnapFilePartitionOfGroup) extends PartitionReader[InternalRow] {
+  private def fileName: String = part.fileName
+  // Metadata columns append after the data projection: `_file`,
+  // `_partition`, and `_spec` are per-reader constants (this
+  // partition IS one file), `_pos` reads the synthesized within-file
+  // row index — exact across splits and row-group skipping.
   private lazy val proj = UnsafeProjection.create(
     spec.outExprs ++ spec.metaCols.map {
       case SnapBatch.MetaFile =>
         org.apache.spark.sql.catalyst.expressions.Literal(
-          UTF8String.fromString(fileName), StringType): Expression
+          UTF8String.fromString(part.fileName), StringType): Expression
       case SnapBatch.MetaPos =>
         BoundReference(spec.rowIdxOrd.get, LongType,
           nullable = false): Expression
+      case SnapBatch.MetaPartition =>
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          part.partValue.map(UTF8String.fromString).orNull,
+          StringType): Expression
+      case SnapBatch.MetaSpec =>
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          UTF8String.fromString(part.specCol), StringType): Expression
       case other => throw new IllegalStateException(
         s"unknown metadata column '$other'")
     })

@@ -811,14 +811,20 @@ object SnapStore {
     * shared by the DataFrame read path and the native batch.
     */
   private[sources] def posAffectedFiles(spark: SparkSession, table: Path,
-      posDeletes: Seq[DeleteFile]): Set[String] =
-    if (posDeletes.isEmpty) Set.empty
-    else if (posDeletes.forall(_.refs.nonEmpty))
-      posDeletes.flatMap(_.refs).toSet
-    else spark.read
-      .parquet(posDeletes.map(d => table.resolve(d.path).toString): _*)
-      .select(col("file")).distinct()
-      .collect().map(_.getString(0)).toSet
+      posDeletes: Seq[DeleteFile]): Set[String] = {
+    if (posDeletes.isEmpty) return Set.empty
+    // Only refs-less LEGACY entries pay the content scan — and those
+    // are always parquet pair files (DV blobs carry refs by
+    // construction and are not parquet; code review r12).
+    val (withRefs, legacy) = posDeletes.partition(_.refs.nonEmpty)
+    val scanned =
+      if (legacy.isEmpty) Set.empty[String]
+      else spark.read
+        .parquet(legacy.map(d => table.resolve(d.path).toString): _*)
+        .select(col("file")).distinct()
+        .collect().map(_.getString(0)).toSet
+    withRefs.flatMap(_.refs).toSet ++ scanned
+  }
 
   private[graft] def readManifest(spark: SparkSession, table: Path,
       m: Manifest): DataFrame = {
@@ -2123,7 +2129,8 @@ object SnapStore {
     val cur0 = currentManifest(table)
     require(cur0.partCol.nonEmpty, "table has no partition spec")
     val adopted = listParquet(sourceDir, "add_files source")
-    val entries = adoptionEntries(spark, adopted, cur0.partCol, cur0.keyCol)
+    val src = spark.read.parquet(adopted.map(_.toString): _*)
+    val entries = adoptionEntries(src, adopted, cur0.partCol, cur0.keyCol)
     withCommitRetry(table) { () =>
       val cur = currentManifest(table)
       require(cur.partCol == cur0.partCol,
@@ -2167,11 +2174,10 @@ object SnapStore {
     * behind [[addFiles]] and [[migrate]]; entries carry ABSOLUTE
     * paths (callers relativize when the files live inside the table).
     */
-  private def adoptionEntries(spark: SparkSession, adopted: Seq[Path],
+  private def adoptionEntries(src: DataFrame, adopted: Seq[Path],
       partCol: String, keyCol: String): Seq[FileEntry] = {
     val spec = PartTransforms.parse(partCol)
     val withKey = keyCol.nonEmpty && keyCol != partCol
-    val src = spark.read.parquet(adopted.map(_.toString): _*)
     val pexpr = PartTransforms.exprFor(spec, src.schema)
     val aggs = Seq(min(pexpr).as("mn"), max(pexpr).as("mx"),
       count(lit(1)).as("rows")) ++
@@ -2269,10 +2275,15 @@ object SnapStore {
       src.files.map(f => f.copy(path = abs(f.path))), src.partCol,
       src.deleteFiles.map(d => d.copy(path = abs(d.path))), src.keyCol,
       src.evos)
-    commitManifest(target, m)
+    // The marker lands BEFORE the manifest: a crash between the two
+    // leaves a markered non-table (harmless — re-clone overwrites),
+    // never a GC-ENABLED clone whose expiry could delete source files
+    // (code review r12).
+    Files.createDirectories(snapDir(target))
     Files.write(snapDir(target).resolve("gc.disabled"),
       "source table owns the referenced files\n".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
+    commitManifest(target, m)
     m
   }
 
@@ -2290,12 +2301,17 @@ object SnapStore {
     require(!isSnapTable(table), s"'$table' is already a snapshot table")
     require(partCol.nonEmpty, "migrate requires a partition spec")
     val files = listParquet(table, "migrate source")
-    val entries = adoptionEntries(spark, files, partCol, keyCol)
-      .map(e => e.copy(path = fileName(e.path), seq = 1))
-    val schema = spark.read.parquet(files.map(_.toString): _*).schema
-    require(keyCol.isEmpty || schema.fieldNames.contains(keyCol),
+    // One read serves schema validation AND the stats job; the cheap
+    // checks run BEFORE the expensive pass (code review r12).
+    val src = spark.read.parquet(files.map(_.toString): _*)
+    require(keyCol.isEmpty || src.schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' is not in the migrated schema")
-    val m = Manifest(1, 0, "migrate", schema, entries, partCol,
+    require(src.schema.fieldNames.contains(
+      PartTransforms.parse(partCol).source),
+      s"partition source of '$partCol' is not in the migrated schema")
+    val entries = adoptionEntries(src, files, partCol, keyCol)
+      .map(e => e.copy(path = fileName(e.path), seq = 1))
+    val m = Manifest(1, 0, "migrate", src.schema, entries, partCol,
       Seq.empty, keyCol)
     commitManifest(table, m)
     m
@@ -3643,9 +3659,16 @@ object SnapStore {
       .parseExpression(sql)
     require(parsed.foldable && parsed.resolved,
       s"column default '$sql' must be a constant literal expression")
+    val raw = parsed.eval(null)
     val cast = org.apache.spark.sql.catalyst.expressions.Cast(
       parsed, dt, Some(java.util.TimeZone.getDefault.getID))
-    org.apache.spark.sql.catalyst.expressions.Literal(cast.eval(null), dt)
+    val v = cast.eval(null)
+    // An ill-typed default (non-ANSI Cast returns null) must refuse
+    // HERE, never silently read as NULL later; an explicit
+    // `DEFAULT NULL` (raw == null) stays legal (code review r12).
+    require(raw == null || v != null,
+      s"column default '$sql' does not fit type ${dt.catalogString}")
+    org.apache.spark.sql.catalyst.expressions.Literal(v, dt)
   }
 
   /** Schema evolution: `DROP COLUMN` is a pure metadata commit — the
@@ -3666,9 +3689,19 @@ object SnapStore {
       require(cur.deleteFiles.forall(d => d.keyCol != name),
         s"cannot drop '$name': a pending equality-delete file is " +
           "keyed on it — run applyDeletes first")
+      // A dropped column's initial-default record dies with it: kept,
+      // it would resurrect the OLD column's default onto a future
+      // unrelated column re-using the name (code review r12). The
+      // final-name walk matches addDefaultsFor's.
+      def finalNameOf(e: Evo): String =
+        cur.evos.filter(r => r.kind == "rename" && r.seq > e.seq)
+          .sortBy(_.seq).foldLeft(e.col)((n, r) =>
+            if (r.col == n) r.arg else n)
+      val keptEvos = cur.evos.filterNot(e =>
+        e.kind == "adddef" && finalNameOf(e) == name)
       val m = Manifest(cur.version + 1, cur.version, "drop-column",
         StructType(cur.schema.fields.filterNot(_.name == name)),
-        cur.files, cur.partCol, cur.deleteFiles, cur.keyCol, cur.evos)
+        cur.files, cur.partCol, cur.deleteFiles, cur.keyCol, keptEvos)
       (m, Seq.empty, tryCommitManifest(table, m))
     }
 

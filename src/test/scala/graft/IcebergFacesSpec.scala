@@ -793,6 +793,19 @@ class IcebergFacesSpec extends SparkSpec {
           s"${f.path}: ordinals must be dense 0..${f.rows - 1}")
       }
 
+      // _partition/_spec: per-file constants from the manifest — the
+      // SPJ-layout table's files are single-valued, so _partition is
+      // the rendered transformed value and _spec the write spec.
+      val pv = spark.sql("SELECT DISTINCT _partition, _spec " +
+        "FROM graft.metaspec.t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(pv == m.files.map(f => (f.partMin, f.specCol)).toSet)
+      assert(pv.forall(_._2 == "part"))
+      // The loosely-clustered t2's files span partition values:
+      // _partition is NULL there (honest unknown), _spec still set.
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.metaspec.t2 " +
+        "WHERE _partition IS NULL").collect()(0).getLong(0) > 0)
+
       // A position delete suppresses exactly its named ordinals: the
       // surviving (_file, _pos) pairs are the complement.
       SnapStore.deletePositions(spark, t,
