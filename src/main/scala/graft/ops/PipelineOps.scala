@@ -1311,9 +1311,107 @@ object PipelineOps {
        |ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------
+  /** DSIR-style data selection (importance resampling with hashed
+    * n-gram features — Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): fit bag-of-hashed-ngram
+    * models on a TARGET split and the RAW pool, score every raw doc
+    * by how target-leaning its features are, keep the top-k.
+    *
+    * Re-expressed for exact cross-engine arithmetic: instead of the
+    * paper's log-probability quotient (float `ln` differs by ulps
+    * across engines and flips rank ties), each feature contributes
+    * the CROSS-MULTIPLIED smoothed-probability difference
+    * `(cnt_t[b]+1)·(R+B) − (cnt_r[b]+1)·(T+B)` — an exact BIGINT
+    * whose sign and ordering agree with `p̂_t(b) − p̂_r(b)` (common
+    * positive denominator). Same feature model, same selection
+    * semantics, integer-deterministic gate. (At 100 TB totals,
+    * switch the accumulator to DECIMAL(38,0); BIGINT holds to ~1e9
+    * bucket counts.)
+    *
+    * Scale shape: features explode once; bucket counts are ONE
+    * map-side-combining hash agg over B=512 buckets; the scoring
+    * table is B rows — broadcast; per-doc scores are a second hash
+    * agg; top-k is TakeOrdered. No all-pairs, no driver collect.
+    */
+  def dsirTopk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val B = 512L
+    val feats = Tables.documents(s, dir)
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 2)
+      .withColumn("whs", expr(s"transform(ws, w -> fold_hash(w, 31, 0, $P))"))
+      // Bag-of-features (multiplicity kept — the multinomial model):
+      // hashed unigrams plus hashed bigrams, all folded into B buckets.
+      .withColumn("feats", expr(
+        s"""concat(
+           |  transform(whs, h -> pmod(h, ${B}L)),
+           |  transform(sequence(1, size(whs) - 1), i ->
+           |    pmod((element_at(whs, i) * 131 + element_at(whs, i + 1))
+           |      % $P, ${B}L)))""".stripMargin))
+      .withColumn("is_target",
+        pmod(col("doc_id") * 2654435761L, lit(10L)) === 0)
+      .select(col("doc_id"), col("is_target"),
+        explode(col("feats")).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val contrib = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        ((col("ct") + 1) * (col("tr") + B) -
+          (col("cr") + 1) * (col("tt") + B)).as("contrib"))
+    feats.filter(!col("is_target"))
+      .join(broadcast(contrib), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("contrib")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  val dsirTopkOracle: String = {
+    val wordHash = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(string_split(w, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(a, b) -> (a * 31 + b) % $P)"
+    s"""WITH whs AS (
+       |  SELECT doc_id,
+       |    list_transform(string_split(text, ' '), w -> $wordHash) AS whs,
+       |    len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 2),
+       |f AS (
+       |  SELECT doc_id,
+       |    unnest(list_concat(
+       |      list_transform(whs, h -> h % 512),
+       |      list_transform(range(1, n), i ->
+       |        ((whs[i] * 131 + whs[i + 1]) % $P) % 512))) AS b,
+       |    (doc_id * 2654435761) % 10 = 0 AS is_target
+       |  FROM whs),
+       |counts AS (
+       |  SELECT b,
+       |    COUNT(*) FILTER (WHERE is_target) AS ct,
+       |    COUNT(*) FILTER (WHERE NOT is_target) AS cr
+       |  FROM f GROUP BY b),
+       |totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+       |contrib AS (
+       |  SELECT b, (ct + 1) * (tr + 512) - (cr + 1) * (tt + 512) AS contrib
+       |  FROM counts, totals)
+       |SELECT f.doc_id, COUNT(*) AS n_feats,
+       |  CAST(SUM(contrib) AS BIGINT) AS score
+       |FROM f JOIN contrib ON f.b = contrib.b
+       |WHERE NOT f.is_target
+       |GROUP BY f.doc_id
+       |ORDER BY score DESC, f.doc_id
+       |LIMIT 25""".stripMargin
+  }
+
   def all: Seq[Q] = Seq(
     Q("pipe_decontaminate", decontaminate, Some(decontaminateOracle),
       "6-gram overlap decontamination of train docs vs a 5% eval split"),
+    Q("pipe_dsir_topk", dsirTopk, Some(dsirTopkOracle),
+      "DSIR-style hashed-ngram importance scoring: target-leaning " +
+        "raw docs selected by exact integer cross-multiplied " +
+        "probability differences"),
     Q("pipe_quantize_int8", quantize, Some(quantizeOracle),
       "per-vector symmetric int8 quantization with integer metrics"),
     Q("pipe_corpus_stats", corpusStats, Some(corpusStatsOracle),

@@ -449,6 +449,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .getOrElse(schema.fieldNames.head)
         val keyCol = Option(properties.get("key.column")).getOrElse("")
         SnapStore.createEmpty(dir, schema, partCol, keyCol)
+        // Persist the user's TBLPROPERTIES (Iceberg keeps the table
+        // property map in metadata); engine-reserved keys stay out.
+        val reserved = Set("owner", "provider", "location", "comment",
+          "external", "option.path", "path")
+        val userProps = properties.asScala.toMap
+          .filterNot { case (k, _) => reserved(k.toLowerCase) }
+        if (userProps.nonEmpty) SnapStore.setProperties(dir, userProps)
         loadTable(ident)
       case _ =>
         throw new UnsupportedOperationException(
@@ -503,9 +510,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // (int→long, float→double, decimal precision growth).
           case up: TableChange.UpdateColumnType if up.fieldNames().length == 1 =>
             SnapStore.widenColumn(dir, up.fieldNames()(0), up.newDataType())
+          // `SET/UNSET TBLPROPERTIES`: the persisted property map
+          // (Iceberg's table properties) — upserted/dropped as
+          // metadata, surfaced by SHOW TBLPROPERTIES, honored where
+          // a behavior reads them (`commit.retry.num-retries`).
+          case setp: TableChange.SetProperty =>
+            SnapStore.setProperties(dir,
+              Map(setp.property() -> setp.value()))
+          case rmp: TableChange.RemoveProperty =>
+            SnapStore.unsetProperties(dir, Seq(rmp.property()))
           case other => throw new UnsupportedOperationException(
-            "graft snapshot tables support ADD/DROP/RENAME COLUMN and " +
-              s"type widening only, got $other")
+            "graft snapshot tables support ADD/DROP/RENAME COLUMN, " +
+              s"type widening, and SET/UNSET TBLPROPERTIES only, got $other")
         }
         loadTable(ident)
       case None =>
@@ -1437,7 +1453,17 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
   override def name(): String = underlying.name()
   override def schema(): StructType = underlying.schema()
   override def partitioning(): Array[Transform] = underlying.partitioning()
-  override def properties(): util.Map[String, String] = underlying.properties()
+  /** The persisted property map layered over the delegate's (SHOW
+    * TBLPROPERTIES face); the stored entries win on collision.
+    */
+  override def properties(): util.Map[String, String] = {
+    val merged = new java.util.HashMap[String, String](
+      underlying.properties())
+    SnapStore.tableProperties(dir).foreach { case (k, v) =>
+      merged.put(k, v)
+    }
+    merged
+  }
   // Advertise exactly the implemented surface (read + V1 batch
   // write): passing through the parquet table's capability set would
   // let unimplemented paths pass the analyzer's capability check and

@@ -296,6 +296,18 @@ object GraftProcedures {
         val m = SnapStore.rewriteDeleteFiles(spark, dir)
         Array[Any](m.version, m.deleteFiles.size)
       }),
+    // The same merge under Iceberg's exact procedure name.
+    "rewrite_position_delete_files" ->
+      new Proc("rewrite_position_delete_files",
+        Array(str("table")),
+        StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("delete_files", IntegerType, nullable = false))),
+        { in =>
+          val dir = tableDir(in.getUTF8String(0).toString)
+          val m = SnapStore.rewriteDeleteFiles(spark, dir)
+          Array[Any](m.version, m.deleteFiles.size)
+        }),
     // Iceberg ALTER TABLE … ADD/REPLACE PARTITION FIELD (an
     // extensions-only SQL face upstream): metadata-only partition-
     // spec evolution through CALL.
@@ -378,6 +390,22 @@ object GraftProcedures {
         val m = SnapStore.cherrypickSnapshot(spark,
           tableDir(in.getUTF8String(0).toString), id)
         Array[Any](u(id), m.version)
+      }),
+    // Iceberg create_changelog_view: register the net row-change
+    // frame between two snapshots as a temp view (the SQL face of
+    // the changelog read; the view stays LAZY — nothing scans until
+    // queried, like Iceberg's procedure).
+    "create_changelog_view" -> new Proc("create_changelog_view",
+      Array(str("table"), str("view_name"), int("start_version"),
+        int("end_version")),
+      StructType(Seq(
+        StructField("view_name", StringType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val view = in.getUTF8String(1).toString
+        SnapStore.changelogRead(spark, dir, in.getInt(2), in.getInt(3))
+          .createOrReplaceTempView(view)
+        Array[Any](u(view))
       }),
     // Fold pending delete files back into the data (the rewrite face
     // of Iceberg's rewrite_position_delete_files / delete compaction).

@@ -574,15 +574,19 @@ object SnapStore {
     */
   private def withCommitRetry(table: Path, maxAttempts: Int = 50)(
       body: () => (Manifest, Seq[FileEntry], Boolean)): Manifest = {
+    // The per-table property (Iceberg `commit.retry.num-retries`)
+    // overrides the default budget — one tiny metadata read per
+    // commit, read once up front.
+    val budget = commitRetriesOf(table, maxAttempts)
     var attempt = 0
     while (true) {
       attempt += 1
       val (m, written, committed) = body()
       if (committed) return m
       written.foreach(f => Files.deleteIfExists(table.resolve(f.path)))
-      if (attempt >= maxAttempts)
+      if (attempt >= budget)
         throw new java.util.ConcurrentModificationException(
-          s"gave up after $maxAttempts conflicting commits on $table")
+          s"gave up after $budget conflicting commits on $table")
       // Jittered backoff so a herd of losers doesn't re-collide in
       // lockstep (the losing attempt's recompute is the expensive
       // part; the sleep just de-synchronizes the next read-commit
@@ -2245,6 +2249,58 @@ object SnapStore {
       s"$op: file GC is disabled on $table (gc.enabled=false — a " +
         "snapshot-clone table references its source's files, which " +
         "are not safe to delete)")
+
+  // ----------------------------------------------------------------
+  // Table properties (Iceberg's table-level property map).
+
+  private def propsPath(table: Path): Path =
+    snapDir(table).resolve("table.properties")
+
+  /** The persisted table-property map — Iceberg's `TBLPROPERTIES`
+    * face, stored as URL-encoded `k=v` lines beside the manifests.
+    * Unknown keys are carried verbatim (Iceberg's contract: engines
+    * honor what they understand, preserve the rest).
+    */
+  def tableProperties(table: Path): Map[String, String] = {
+    val p = propsPath(table)
+    if (!Files.exists(p)) return Map.empty
+    Files.readAllLines(p).asScala
+      .filter(_.contains('='))
+      .map { l =>
+        val i = l.indexOf('=')
+        dec(l.substring(0, i)) -> dec(l.substring(i + 1))
+      }.toMap
+  }
+
+  private def writeProperties(table: Path,
+      props: Map[String, String]): Unit = {
+    Files.createDirectories(snapDir(table))
+    val body = props.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+      .mkString("", "\n", "\n")
+    val tmp = snapDir(table).resolve(
+      s".props-tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, propsPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** `ALTER TABLE … SET TBLPROPERTIES` — upsert, atomic replace. */
+  def setProperties(table: Path, kv: Map[String, String]): Unit =
+    synchronized { writeProperties(table, tableProperties(table) ++ kv) }
+
+  /** `ALTER TABLE … UNSET TBLPROPERTIES` — drop, atomic replace. */
+  def unsetProperties(table: Path, keys: Seq[String]): Unit =
+    synchronized { writeProperties(table, tableProperties(table) -- keys) }
+
+  /** The honored retry-budget property (Iceberg's
+    * `commit.retry.num-retries`); absent/invalid → the default.
+    */
+  private[graft] def commitRetriesOf(table: Path, default: Int): Int =
+    tableProperties(table).get("commit.retry.num-retries")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .filter(_ >= 1)
+      .getOrElse(default)
 
   /** Zero-copy table clone — Iceberg's `snapshot` procedure: create
     * an INDEPENDENT table at `target` whose first snapshot references

@@ -749,6 +749,48 @@ class IcebergFacesSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("table properties: CREATE TBLPROPERTIES persists, SET/UNSET " +
+    "alter the stored map, SHOW TBLPROPERTIES surfaces it, and " +
+    "commit.retry.num-retries bounds the retry budget") {
+    val root = Files.createTempDirectory("graft-propspec")
+    root.toFile.deleteOnExit()
+    mountAs("propspec", root)
+    spark.sql("""CREATE TABLE graft.propspec.t (doc_id BIGINT,
+      part BIGINT, text STRING) PARTITIONED BY (part)
+      TBLPROPERTIES ('key.column' = 'doc_id', 'owner.team' = 'data')""")
+    val t = root.resolve("t")
+    def props(): Map[String, String] =
+      spark.sql("SHOW TBLPROPERTIES graft.propspec.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("owner.team").contains("data"))
+    assert(props().get("key.column").contains("doc_id"))
+
+    spark.sql("ALTER TABLE graft.propspec.t SET TBLPROPERTIES " +
+      "('commit.retry.num-retries' = '3', 'note' = 'hello world')")
+    assert(props().get("note").contains("hello world"))
+    assert(SnapStore.tableProperties(t)
+      .get("commit.retry.num-retries").contains("3"))
+
+    spark.sql("ALTER TABLE graft.propspec.t UNSET TBLPROPERTIES ('note')")
+    assert(!props().contains("note"))
+
+    // Every commit reads its retry budget from the property (invalid
+    // or absent values keep the default).
+    assert(SnapStore.commitRetriesOf(t, 50) == 3)
+    spark.sql("ALTER TABLE graft.propspec.t SET TBLPROPERTIES " +
+      "('commit.retry.num-retries' = 'zero')")
+    assert(SnapStore.commitRetriesOf(t, 50) == 50)
+
+    // Writes still work with properties present; persisted map
+    // survives re-resolution.
+    docs.limit(50).createOrReplaceTempView("prop_seed")
+    spark.sql("INSERT INTO graft.propspec.t " +
+      "SELECT doc_id, part, text FROM prop_seed")
+    assert(spark.table("graft.propspec.t").count() == 50)
+    assert(props().get("owner.team").contains("data"))
+  }
+
+  // ----------------------------------------------------------------
   test("metadata columns _file/_pos: per-file names match the " +
     "manifest, ordinals are dense per file, MOR deletes suppress the " +
     "right ordinals, clean tables serve them under the native route") {
@@ -895,6 +937,16 @@ class IcebergFacesSpec extends SparkSpec {
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(byType.getOrElse("DELETE", 0L) == docs.count() - live2)
       assert(!byType.contains("INSERT"))
+
+      // The SQL face: CALL create_changelog_view registers the same
+      // frame lazily under a temp-view name.
+      val cur = SnapStore.currentVersion(t).get
+      val r = spark.sql("CALL graft.system.create_changelog_view(" +
+        s"'dvspec.t', 'dv_changes', 1, $cur)").collect()(0)
+      assert(r.getString(0) == "dv_changes")
+      assert(spark.table("dv_changes")
+        .filter(col("_change_type") === "DELETE").count()
+        == docs.count() - live2)
 
       // applyDeletes folds BOTH encodings into the data files.
       SnapStore.applyDeletes(spark, t, "part")

@@ -41,7 +41,11 @@ class PlanAuditSpec extends SparkSpec {
     // r5: PQ/ADC's exact-rank audit joins the 3-row broadcast query
     // set against candidates on a non-equi (!=) condition — the same
     // broadcast-query-set class as sim_topk_brute.
-    "sim_topk_pq_adc")
+    "sim_topk_pq_adc",
+    // r12: DSIR's corpus totals are a broadcast 1-row aggregate
+    // cross-joined into the B-bucket scoring table — the BM25
+    // corpus-constants class.
+    "pipe_dsir_topk")
 
   // Queries allowed an unpartitioned WindowExec whose input subtree
   // carries NO aggregate. Empty = every global window in the registry
