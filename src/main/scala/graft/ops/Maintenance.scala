@@ -38,7 +38,7 @@ object Maintenance {
   /** Bump to invalidate previously materialized lifecycles when the
     * scenario logic changes (the root directory is keyed by it).
     */
-  private val logicVersion = "m7"
+  private val logicVersion = "m8"
 
   /** Per-fixture root for the maintained tables, mounted as database
     * `maint` on the graft DSv2 catalog. Keyed by a hash of the FULL

@@ -1337,34 +1337,51 @@ object PipelineOps {
   def dsirTopk(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val B = 512L
-    val feats = Tables.documents(s, dir)
+    // Words explode ONCE and hash through the codegen'd scalar
+    // fold_hash (an array-lambda formulation re-evaluates the whole
+    // hashed array per bigram element — measured 20x slower); the
+    // successor hash arrives by a lead window keyed per doc (fine-
+    // grained keys, no skew). Everything collapses immediately to
+    // (doc, bucket, multiplicity) — bounded by docs x B — and bucket
+    // totals plus per-doc scores both derive from that small frame.
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("i"))
+    val docBucket = Tables.documents(s, dir)
       .withColumn("ws", split(col("text"), " "))
       .filter(size(col("ws")) >= 2)
-      .withColumn("whs", expr(s"transform(ws, w -> fold_hash(w, 31, 0, $P))"))
-      // Bag-of-features (multiplicity kept — the multinomial model):
-      // hashed unigrams plus hashed bigrams, all folded into B buckets.
-      .withColumn("feats", expr(
-        s"""concat(
-           |  transform(whs, h -> pmod(h, ${B}L)),
-           |  transform(sequence(1, size(whs) - 1), i ->
-           |    pmod((element_at(whs, i) * 131 + element_at(whs, i + 1))
-           |      % $P, ${B}L)))""".stripMargin))
       .withColumn("is_target",
         pmod(col("doc_id") * 2654435761L, lit(10L)) === 0)
       .select(col("doc_id"), col("is_target"),
-        explode(col("feats")).as("b"))
-    val counts = feats.groupBy(col("b")).agg(
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
-      sum(when(!col("is_target"), 1L).otherwise(0L)).as("cr"))
+        posexplode(col("ws")).as(Seq("i", "w")))
+      .withColumn("h", expr(s"fold_hash(w, 31, 0, $P)"))
+      .withColumn("h2", lead(col("h"), 1).over(win))
+      // Bag-of-features (multiplicity kept — the multinomial model):
+      // hashed unigrams plus hashed bigrams, folded into B buckets.
+      .select(col("doc_id"), col("is_target"), explode(array(
+        pmod(col("h"), lit(B)),
+        when(col("h2").isNotNull,
+          pmod((col("h") * 131L + col("h2")) % P, lit(B))))).as("b"))
+      .filter(col("b").isNotNull)
+      .groupBy(col("doc_id"), col("is_target"), col("b"))
+      .agg(count(lit(1)).as("n"))
+      // Three consumers (bucket counts, totals, per-doc scores) read
+      // this frame; exchange reuse does not fire across the branches,
+      // so pin it once (the Graph.scala convention — executor-local,
+      // lineage-truncating, no driver materialization).
+      .localCheckpoint(eager = false)
+    val counts = docBucket.groupBy(col("b")).agg(
+      sum(when(col("is_target"), col("n")).otherwise(0L)).as("ct"),
+      sum(when(!col("is_target"), col("n")).otherwise(0L)).as("cr"))
     val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
     val contrib = counts.crossJoin(broadcast(totals))
       .select(col("b"),
         ((col("ct") + 1) * (col("tr") + B) -
           (col("cr") + 1) * (col("tt") + B)).as("contrib"))
-    feats.filter(!col("is_target"))
+    docBucket.filter(!col("is_target"))
       .join(broadcast(contrib), Seq("b"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_feats"), sum(col("contrib")).as("score"))
+      .agg(sum(col("n")).as("n_feats"),
+        sum(col("n") * col("contrib")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(25)
   }

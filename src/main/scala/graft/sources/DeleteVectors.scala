@@ -34,7 +34,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object DeleteVectors {
 
-  private val Magic = Array[Byte]('G', 'D', 'V', '1')
+  // v2 of the blob layout (the cardinality header landed after v1;
+  // the magic bump makes any v1 blob refuse loudly at the magic
+  // check instead of mis-decoding its first delta as a count).
+  private val Magic = Array[Byte]('G', 'D', 'V', '2')
 
   /** Is this manifest path a deletion vector? */
   def isDv(path: String): Boolean = path.endsWith(".dv")

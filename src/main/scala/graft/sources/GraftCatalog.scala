@@ -145,8 +145,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // serves — Iceberg's SparkTable likewise serves MOR reads
         // transparently (VERDICT r6 task #1). Either way the table
         // keeps the full DML surface (SnapTable wraps both).
-        val evoApplies = m.evos.nonEmpty &&
-          m.files.exists(f => m.evos.exists(_.seq > f.seq))
+        val readEvos = m.evos.filter(_.kind != "drop")
+        val evoApplies = readEvos.nonEmpty &&
+          m.files.exists(f => readEvos.exists(_.seq > f.seq))
         // A storage-partitioned-join-eligible LAYOUT routes through
         // the native scan even when clean: only that scan can report
         // KeyGroupedPartitioning (its clean path is the same
@@ -451,10 +452,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         SnapStore.createEmpty(dir, schema, partCol, keyCol)
         // Persist the user's TBLPROPERTIES (Iceberg keeps the table
         // property map in metadata); engine-reserved keys stay out.
-        val reserved = Set("owner", "provider", "location", "comment",
-          "external", "option.path", "path")
         val userProps = properties.asScala.toMap
-          .filterNot { case (k, _) => reserved(k.toLowerCase) }
+          .filterNot { case (k, _) =>
+            GraftCatalog.ReservedProps(k.toLowerCase)
+          }
         if (userProps.nonEmpty) SnapStore.setProperties(dir, userProps)
         loadTable(ident)
       case _ =>
@@ -515,6 +516,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // metadata, surfaced by SHOW TBLPROPERTIES, honored where
           // a behavior reads them (`commit.retry.num-retries`).
           case setp: TableChange.SetProperty =>
+            // Engine-reserved keys and the create-time-consumed
+            // key.column refuse (the manifest is the truth for the
+            // key column — a drifting stored copy would lie in SHOW
+            // TBLPROPERTIES; code review r12).
+            val k = setp.property().toLowerCase
+            require(!GraftCatalog.ReservedProps(k) && k != "key.column",
+              s"table property '${setp.property()}' is engine-managed " +
+                "and cannot be SET")
             SnapStore.setProperties(dir,
               Map(setp.property() -> setp.value()))
           case rmp: TableChange.RemoveProperty =>
@@ -1396,6 +1405,13 @@ object GraftCatalog {
     * scheme has exactly one definition.
     */
   private[sources] val ConfPrefix = "spark.graft.catalog.dir."
+
+  /** Engine-managed property keys: never persisted by CREATE, never
+    * settable by ALTER (lower-cased comparison).
+    */
+  private[sources] val ReservedProps: Set[String] = Set(
+    "owner", "provider", "location", "comment", "external",
+    "option.path", "path")
 
   /** Materialized root for a conf-mounted database in `session`. */
   private[sources] def mountedDir(session: SparkSession,

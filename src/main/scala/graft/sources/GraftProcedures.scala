@@ -100,6 +100,21 @@ object GraftProcedures {
         s"graft-procedure $procName")).iterator()
   }
 
+  /** One body, two names: the delete-file merge under both our short
+    * verb and Iceberg's exact `rewrite_position_delete_files`.
+    */
+  private def rewriteDeleteProc(name: String): UnboundProcedure =
+    new Proc(name,
+      Array(str("table")),
+      StructType(Seq(
+        StructField("version", IntegerType, nullable = false),
+        StructField("delete_files", IntegerType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val m = SnapStore.rewriteDeleteFiles(spark, dir)
+        Array[Any](m.version, m.deleteFiles.size)
+      })
+
   private val procs: Map[String, UnboundProcedure] = Map(
     // Iceberg ancestors_of: the ancestry line of a snapshot (0 = the
     // current head), one row per ancestor with its commit instant.
@@ -286,28 +301,10 @@ object GraftProcedures {
     // Iceberg rewrite_position_delete_files: merge small pending
     // delete parquets metadata-only — data files untouched, pos
     // deletes merge freely, eq deletes merge within one sequence.
-    "rewrite_delete_files" -> new Proc("rewrite_delete_files",
-      Array(str("table")),
-      StructType(Seq(
-        StructField("version", IntegerType, nullable = false),
-        StructField("delete_files", IntegerType, nullable = false))),
-      { in =>
-        val dir = tableDir(in.getUTF8String(0).toString)
-        val m = SnapStore.rewriteDeleteFiles(spark, dir)
-        Array[Any](m.version, m.deleteFiles.size)
-      }),
+    "rewrite_delete_files" -> rewriteDeleteProc("rewrite_delete_files"),
     // The same merge under Iceberg's exact procedure name.
     "rewrite_position_delete_files" ->
-      new Proc("rewrite_position_delete_files",
-        Array(str("table")),
-        StructType(Seq(
-          StructField("version", IntegerType, nullable = false),
-          StructField("delete_files", IntegerType, nullable = false))),
-        { in =>
-          val dir = tableDir(in.getUTF8String(0).toString)
-          val m = SnapStore.rewriteDeleteFiles(spark, dir)
-          Array[Any](m.version, m.deleteFiles.size)
-        }),
+      rewriteDeleteProc("rewrite_position_delete_files"),
     // Iceberg ALTER TABLE … ADD/REPLACE PARTITION FIELD (an
     // extensions-only SQL face upstream): metadata-only partition-
     // spec evolution through CALL.

@@ -490,7 +490,8 @@ final class SnapNativeBatch(
 
   private val eqDeletes = m.deleteFiles.filter(_.kind == "eq")
   private val posDeletes = m.deleteFiles.filter(_.kind == "pos")
-  private val evos = m.evos.sortBy(_.seq)
+  // Drop tombstones are ALTER-time guards only (see SnapStore).
+  private val evos = m.evos.filter(_.kind != "drop").sortBy(_.seq)
   // Iceberg metadata columns (`_file`, `_pos`): served by routing
   // EVERY file through the per-file reader path (the only one that
   // knows file identity and row ordinals) and appending the values

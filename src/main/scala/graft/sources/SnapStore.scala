@@ -157,8 +157,14 @@ object SnapStore {
     * `.metadata_log_entries` surface's `file` column. */
   def manifestFileOf(table: Path, v: Int): Path = manifestPath(table, v)
 
-  /** Is `dir` a snapshot table root? */
-  def isSnapTable(dir: Path): Boolean = Files.isDirectory(snapDir(dir))
+  /** Is `dir` a snapshot table root? Requires at least one LIVE
+    * manifest — a `_snapshots` dir holding only side files (e.g. a
+    * clone's `gc.disabled` marker after a crash between marker and
+    * first commit) is NOT a table, so the name stays creatable and
+    * re-clonable instead of wedging (code review r12).
+    */
+  def isSnapTable(dir: Path): Boolean =
+    Files.isDirectory(snapDir(dir)) && liveVersions(dir).nonEmpty
 
   // ----------------------------------------------------------------
   // Typed bounds.
@@ -953,6 +959,9 @@ object SnapStore {
         // nullable column to missingColumns), and the read paths then
         // substitute the default. The written schema keeps the field.
         case "adddef" => sch
+        // Drop tombstone: reads are schema-driven (the column never
+        // projects); the record only blocks name reuse at ALTER time.
+        case "drop" => sch
         case other => throw new IllegalStateException(
           s"unknown evolution kind '$other' in manifest")
       }
@@ -985,7 +994,10 @@ object SnapStore {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(m.schema.fields ++ (if (withMeta) metaFields else Nil)))
-    val evos = m.evos.sortBy(_.seq)
+    // Drop tombstones are ALTER-time guards only — including them
+    // in the applicable count would needlessly route pre-drop files
+    // onto the conversion path (reads are schema-driven).
+    val evos = m.evos.filter(_.kind != "drop").sortBy(_.seq)
     val metaCols =
       if (withMeta) Seq(col("__fn"), col("__ri")) else Seq.empty[Column]
     fs.groupBy(f => evos.count(_.seq > f.seq)).toSeq.map { case (k, gfs) =>
@@ -2293,14 +2305,18 @@ object SnapStore {
   def unsetProperties(table: Path, keys: Seq[String]): Unit =
     synchronized { writeProperties(table, tableProperties(table) -- keys) }
 
-  /** The honored retry-budget property (Iceberg's
-    * `commit.retry.num-retries`); absent/invalid → the default.
+  /** The TOTAL-ATTEMPT commit budget from the honored retry property
+    * (Iceberg's `commit.retry.num-retries` counts RETRIES, so N means
+    * N+1 attempts and 0 means fail on the first conflict); absent or
+    * invalid → `defaultAttempts`.
     */
-  private[graft] def commitRetriesOf(table: Path, default: Int): Int =
+  private[graft] def commitRetriesOf(table: Path,
+      defaultAttempts: Int): Int =
     tableProperties(table).get("commit.retry.num-retries")
       .flatMap(v => scala.util.Try(v.toInt).toOption)
-      .filter(_ >= 1)
-      .getOrElse(default)
+      .filter(_ >= 0)
+      .map(_ + 1)
+      .getOrElse(defaultAttempts)
 
   /** Zero-copy table clone — Iceberg's `snapshot` procedure: create
     * an INDEPENDENT table at `target` whose first snapshot references
@@ -3670,6 +3686,10 @@ object SnapStore {
         s"column name '${field.name}' is still the as-written name of " +
           "a renamed column in live data files — rewrite the table " +
           "(compact/applyDeletes) before reusing it")
+      require(!droppedNameBlocked(cur, field.name),
+        s"column name '${field.name}' was DROPPED while live data " +
+          "files still carry its values — rewrite the table " +
+          "(compact/applyDeletes) before reusing it")
       val v = cur.version + 1
       val added = defaultSql match {
         case None => field.copy(nullable = true)
@@ -3755,11 +3775,29 @@ object SnapStore {
             if (r.col == n) r.arg else n)
       val keptEvos = cur.evos.filterNot(e =>
         e.kind == "adddef" && finalNameOf(e) == name)
-      val m = Manifest(cur.version + 1, cur.version, "drop-column",
+      // A DROP TOMBSTONE rides the log: live files written BEFORE the
+      // drop may physically carry the column (directly, or under an
+      // as-written name a rename maps here), and a name-based re-ADD
+      // would silently resurrect their stale values. The tombstone
+      // makes ADD/RENAME refuse the name until every pre-drop file is
+      // rewritten (code review r12); reads ignore it (schema-driven).
+      val v = cur.version + 1
+      val m = Manifest(v, cur.version, "drop-column",
         StructType(cur.schema.fields.filterNot(_.name == name)),
-        cur.files, cur.partCol, cur.deleteFiles, cur.keyCol, keptEvos)
+        cur.files, cur.partCol, cur.deleteFiles, cur.keyCol,
+        keptEvos :+ Evo(v, "drop", name, ""))
       (m, Seq.empty, tryCommitManifest(table, m))
     }
+
+  /** Does a drop tombstone block reusing `name`? True while any LIVE
+    * file predates a drop of that name — such files may physically
+    * hold the old column's values, which a name-based read of a
+    * re-added column would resurrect. Rewrites (compact/fold) lift
+    * the block naturally: rewritten files outrank the tombstone.
+    */
+  private def droppedNameBlocked(cur: Manifest, name: String): Boolean =
+    cur.evos.exists(e => e.kind == "drop" && e.col == name &&
+      cur.files.exists(_.seq < e.seq))
 
   /** Schema evolution: `RENAME COLUMN` as a pure metadata commit —
     * Iceberg renames by field-id indirection; with name-based parquet
@@ -3784,6 +3822,10 @@ object SnapStore {
         s"column name '$to' is still the as-written name of a " +
           "renamed column in live data files — rewrite the table " +
           "(compact/applyDeletes) before reusing it")
+      require(!droppedNameBlocked(cur, to),
+        s"column name '$to' was DROPPED while live data files still " +
+          "carry its values — rewrite the table (compact/applyDeletes) " +
+          "before reusing it")
       require(cur.deleteFiles.forall(d => d.keyCol != from),
         s"cannot rename '$from': a pending equality-delete file is " +
           "keyed on it — run applyDeletes first")

@@ -277,7 +277,7 @@ final class SnapMicroBatchStream(spark: SparkSession,
     val files = feed(m).slice(s, e)
     if (files.isEmpty) return Array.empty
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val evos = m.evos.sortBy(_.seq)
+    val evos = m.evos.filter(_.kind != "drop").sortBy(_.seq)
     // Current physical name + mid-stream widen guard, once per batch.
     val currentNames = startSchema.fields.toSeq.map { f0 =>
       val nc = currentNameOf(m, f0.name)

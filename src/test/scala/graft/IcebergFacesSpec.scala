@@ -774,12 +774,26 @@ class IcebergFacesSpec extends SparkSpec {
     spark.sql("ALTER TABLE graft.propspec.t UNSET TBLPROPERTIES ('note')")
     assert(!props().contains("note"))
 
-    // Every commit reads its retry budget from the property (invalid
-    // or absent values keep the default).
-    assert(SnapStore.commitRetriesOf(t, 50) == 3)
+    // Every commit reads its retry budget from the property: Iceberg
+    // semantics — N retries = N+1 attempts, 0 = fail on the first
+    // conflict; invalid or absent values keep the default.
+    assert(SnapStore.commitRetriesOf(t, 50) == 4)
+    spark.sql("ALTER TABLE graft.propspec.t SET TBLPROPERTIES " +
+      "('commit.retry.num-retries' = '0')")
+    assert(SnapStore.commitRetriesOf(t, 50) == 1)
     spark.sql("ALTER TABLE graft.propspec.t SET TBLPROPERTIES " +
       "('commit.retry.num-retries' = 'zero')")
     assert(SnapStore.commitRetriesOf(t, 50) == 50)
+
+    // Engine-managed keys refuse at SET.
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.propspec.t SET TBLPROPERTIES " +
+        "('key.column' = 'text')")
+    }
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.propspec.t SET TBLPROPERTIES " +
+        "('path' = '/elsewhere')")
+    }
 
     // Writes still work with properties present; persisted map
     // survives re-resolution.
@@ -1020,6 +1034,29 @@ class IcebergFacesSpec extends SparkSpec {
       spark.sql("ALTER TABLE graft.defspec.t " +
         "ADD COLUMN bad BIGINT DEFAULT doc_id + 1")
     }
+    // Ill-typed defaults refuse at ALTER time (never silent NULLs).
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.defspec.t " +
+        "ADD COLUMN bad2 BIGINT DEFAULT 'oops'")
+    }
+
+    // DROP + re-ADD of a name refuses while live files may still
+    // carry the old column's values (the drop tombstone); a rewrite
+    // lifts the block, and the re-added column reads NULL/default-
+    // free — never the dropped column's stale data.
+    spark.sql("ALTER TABLE graft.defspec.t DROP COLUMN extra")
+    val eDrop = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.defspec.t ADD COLUMN extra BIGINT")
+    }
+    assert(eDrop.getMessage.contains("DROPPED"))
+    intercept[Exception] {
+      spark.sql("ALTER TABLE graft.defspec.t RENAME COLUMN tok TO extra")
+    }
+    SnapStore.compact(spark, t, "part", targetBytes = Long.MaxValue / 2)
+    spark.sql("ALTER TABLE graft.defspec.t ADD COLUMN extra BIGINT")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.defspec.t " +
+      "WHERE extra IS NOT NULL").collect()(0).getLong(0) == 0L,
+      "a re-added column after rewrite must read NULL, never stale data")
   }
 
   // ----------------------------------------------------------------
