@@ -3043,13 +3043,24 @@ object Maintenance {
     * counts: the pair is unique per physical row by construction, so
     * the oracle's `n_pairs = n_docs` equality proves the metadata
     * columns identify every row exactly once — no duplicated or
-    * dropped ordinals across files, splits, or tasks.
+    * dropped ordinals across files, splits, or tasks. The native
+    * route is FORCED by conf: whether the layout happens to be
+    * SPJ-eligible (which also routes native) depends on range-
+    * sampling boundaries and must not decide metadata-column
+    * availability.
     */
   def metadataCols(s: SparkSession, dir: String): DataFrame = {
     ensureDocsMeta(s, dir)
-    s.sql(s"""SELECT $partCol AS part, COUNT(*) AS n_docs,
+    val confKey = "spark.graft.read.native"
+    val old = s.conf.getOption(confKey)
+    s.conf.set(confKey, "true")
+    try s.sql(s"""SELECT $partCol AS part, COUNT(*) AS n_docs,
       COUNT(DISTINCT concat(_file, '#', _pos)) AS n_pairs
       FROM graft.maint.docs_meta GROUP BY 1 ORDER BY 1""")
+    finally old match {
+      case Some(v) => s.conf.set(confKey, v)
+      case None => s.conf.unset(confKey)
+    }
   }
 
   val metadataColsOracle: String =

@@ -966,6 +966,26 @@ class IcebergFacesSpec extends SparkSpec {
       SnapStore.applyDeletes(spark, t, "part")
       assert(SnapStore.currentManifest(t).deleteFiles.isEmpty)
       assert(spark.table("graft.dvspec.t").count() == live2)
+
+      // Corruption detection: a truncated blob refuses loudly (the
+      // cardinality header), a wrong-magic blob refuses at the magic.
+      val scratch = Files.createTempFile(root, "dv-corrupt", ".dv")
+      val full = {
+        val os = Files.newOutputStream(scratch)
+        try graft.sources.DeleteVectors.write(os, "f.parquet",
+          Array(3L, 9L, 1000L, 1001L))
+        finally os.close()
+        Files.readAllBytes(scratch)
+      }
+      Files.write(scratch, full.dropRight(2))
+      val eTrunc = intercept[IllegalStateException] {
+        graft.sources.DeleteVectors.read(scratch)
+      }
+      assert(eTrunc.getMessage.contains("truncated"))
+      Files.write(scratch, "GDV1junk".getBytes)
+      intercept[IllegalArgumentException] {
+        graft.sources.DeleteVectors.read(scratch)
+      }
     } finally spark.conf.unset(confKey)
   }
 
