@@ -657,11 +657,20 @@ final class SnapNativeBatch(
             }
         }
         val keyExpr = keyIdx.map { ki =>
-          val p = readIdx.indexOf(ki)
-          val wt = readFields(p).dataType
-          val ct = m.schema.fields(ki).dataType
-          val br = BoundReference(p, wt, nullable = true)
-          (if (wt == ct) br else Cast(br, ct, Some(tz))): Expression
+          // An eq-delete key on a DEFAULTED column: every row of this
+          // treatment predates the add, so the key IS the constant —
+          // the physical column reads null and would silently spare
+          // the rows the V1 path (which substitutes the default
+          // before its anti-join) correctly deletes.
+          defaults.get(m.schema.fields(ki).name) match {
+            case Some(litv) => litv: Expression
+            case None =>
+              val p = readIdx.indexOf(ki)
+              val wt = readFields(p).dataType
+              val ct = m.schema.fields(ki).dataType
+              val br = BoundReference(p, wt, nullable = true)
+              (if (wt == ct) br else Cast(br, ct, Some(tz))): Expression
+          }
         }
         SnapAffectedGroup(readerFunc, outExprs, keyExpr,
           if (eqs.nonEmpty) Some(eqLoadOf(eqs)) else None,

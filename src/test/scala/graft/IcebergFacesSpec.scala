@@ -1080,6 +1080,39 @@ class IcebergFacesSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("equality deletes keyed on a DEFAULTED column treat " +
+    "pre-evolution rows as the constant on both scan paths") {
+    val root = Files.createTempDirectory("graft-defdelspec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs, "part")
+    mountAs("defdelspec", root)
+    spark.sql(
+      "ALTER TABLE graft.defdelspec.t ADD COLUMN bonus BIGINT DEFAULT 7")
+    // Post-evolution rows carry explicit bonus = 1.
+    SnapStore.append(spark, t,
+      docs.filter(pmod(col("doc_id"), lit(11L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumn("bonus", lit(1L)), "part")
+    val nNew = docs.filter(pmod(col("doc_id"), lit(11L)) === 0).count()
+    // Delete WHERE bonus = 7: every pre-evolution row logically
+    // carries 7 (the initial default), so all of them go; the
+    // explicit bonus=1 appends survive.
+    val keyFrame = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(7L)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("bonus",
+          org.apache.spark.sql.types.LongType))))
+    SnapStore.deleteEquality(spark, t, keyFrame, "bonus")
+    assert(spark.table("graft.defdelspec.t").count() == nNew,
+      "native path must apply the eq delete against the default")
+    assert(SnapStore.read(spark, t).count() == nNew,
+      "V1 path must agree")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.defdelspec.t " +
+      "WHERE bonus = 1").collect()(0).getLong(0) == nNew)
+  }
+
+  // ----------------------------------------------------------------
   test("CALL snapshot: zero-copy clone — no data IO, source files " +
     "untouched, pending MOR delete carried; clone and source diverge " +
     "independently; GC faces refuse on the clone") {
