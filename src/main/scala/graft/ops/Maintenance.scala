@@ -2723,6 +2723,16 @@ object Maintenance {
         SELECT doc_id, part, source, text, tok FROM graft_ctas_base
         WHERE part < 6""")
     }
+    // Crash repair (code review r12): CTAS is two commits (create v1,
+    // SELECT lands as v2) — a run that died between them leaves an
+    // empty v1 no other branch advances. Land the SELECT as a plain
+    // INSERT; contents are identical to the CTAS's write.
+    if (SnapStore.currentVersion(t).contains(1)) {
+      base(s, dir).createOrReplaceTempView("graft_ctas_base")
+      s.sql("""INSERT INTO graft.maint.docs_ctas
+        SELECT doc_id, part, source, text, tok FROM graft_ctas_base
+        WHERE part < 6""")
+    }
     if (SnapStore.currentVersion(t).contains(2)) {
       base(s, dir).createOrReplaceTempView("graft_ctas_base")
       s.sql("""INSERT INTO graft.maint.docs_ctas

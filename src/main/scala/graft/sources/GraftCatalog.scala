@@ -737,9 +737,13 @@ final class SnapshotsMetadataTable(tableName: String,
   override def schema(): StructType = SnapshotsMetadataTable.schema
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     // ONE parse per live manifest serves totals, instant, and diff.
-    val live = SnapStore.liveVersions(dir)
-    val byV = live.map(v => v -> SnapStore.manifest(dir, v)).toMap
-    live.map { v =>
+    // Try-wrapped like the .all_* walks: a version expired between
+    // the listing and the parse drops its row instead of failing the
+    // whole query (code review r12).
+    val byV = SnapStore.liveVersions(dir)
+      .flatMap(v => scala.util.Try(SnapStore.manifest(dir, v)).toOption
+        .map(v -> _)).toMap
+    byV.keys.toSeq.sorted.map { v =>
       val m = byV(v)
       val curPaths = m.files.map(_.path).toSet
       val added = byV.get(m.parent) match {
@@ -997,15 +1001,9 @@ final class AllFilesMetadataTable(tableName: String,
   override def schema(): StructType = AllFilesMetadataTable.schema
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
-    // Try-wrapped like the branch walks: a version expired between
-    // the listing and the parse vanishes instead of failing the
-    // whole metadata query (code review r12).
-    val mains = SnapStore.liveVersions(dir)
-      .flatMap(v => scala.util.Try(SnapStore.manifest(dir, v)).toOption)
-    val branches = SnapStore.listBranches(dir).flatMap(b =>
-      SnapStore.branchVersions(dir, b)
-        .flatMap(v => scala.util.Try(
-          SnapStore.branchManifest(dir, b, v)).toOption))
+    // The shared lenient walk: racing expiry drops rows, never fails
+    // the query (code review r12).
+    val (mains, branches) = SnapStore.liveManifestsLenient(dir)
     val cur = mains.lastOption
     val curPaths = cur.map(m => m.files.map(_.path).toSet ++
       m.deleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
@@ -1059,28 +1057,12 @@ final class EntriesMetadataTable(tableName: String,
     val cur = SnapStore.currentManifest(dir)
     val parent = SnapStore.liveVersions(dir).filter(_ == cur.parent)
       .headOption.map(v => SnapStore.manifest(dir, v))
-    def row(status: Int, content: Int, path: String, seq: Int,
-        records: Long): org.apache.spark.sql.catalyst.InternalRow =
-      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](status, content, u(path), seq, records))
-    val curPaths = cur.files.map(_.path).toSet
-    val curDelPaths = cur.deleteFiles.map(_.path).toSet
-    val data = cur.files.map(f =>
-      row(if (f.seq == cur.version) 1 else 0, 0, f.path, f.seq, f.rows))
-    val dels = cur.deleteFiles.map(d =>
-      row(if (d.seq == cur.version) 1 else 0,
-        if (d.kind == "pos") 1 else 2, d.path, d.seq, d.rows))
-    val gone = parent.toSeq.flatMap(_.files)
-      .filterNot(f => curPaths(f.path))
-      .map(f => row(2, 0, f.path, f.seq, f.rows))
-    // Delete files this commit REMOVED (applyDeletes folds, compact
-    // retirement, rewrite_delete_files merges) surface as status=2
-    // rows with their content kind — previously only gone DATA files
-    // did (ADVICE r11).
-    val goneDels = parent.toSeq.flatMap(_.deleteFiles)
-      .filterNot(d => curDelPaths(d.path))
-      .map(d => row(2, if (d.kind == "pos") 1 else 2, d.path, d.seq, d.rows))
-    (data ++ dels ++ gone ++ goneDels).toArray
+    SnapStore.entriesDiff(cur, parent).map {
+      case (status, content, path, seq, records) =>
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](status, content, u(path), seq, records)):
+          org.apache.spark.sql.catalyst.InternalRow
+    }.toArray
   }
 }
 
@@ -1160,26 +1142,12 @@ final class AllEntriesMetadataTable(tableName: String,
         .map(v -> _)).toMap
     val live = byV.keys.toSeq.sorted
     live.flatMap { v =>
-      val m = byV(v)
-      val parent = byV.get(m.parent)
-      def row(status: Int, content: Int, path: String, seq: Int,
-          records: Long): org.apache.spark.sql.catalyst.InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](v, status, content, u(path), seq, records))
-      val curPaths = m.files.map(_.path).toSet
-      val curDelPaths = m.deleteFiles.map(_.path).toSet
-      m.files.map(f =>
-        row(if (f.seq == v) 1 else 0, 0, f.path, f.seq, f.rows)) ++
-        m.deleteFiles.map(d =>
-          row(if (d.seq == v) 1 else 0,
-            if (d.kind == "pos") 1 else 2, d.path, d.seq, d.rows)) ++
-        parent.toSeq.flatMap(_.files)
-          .filterNot(f => curPaths(f.path))
-          .map(f => row(2, 0, f.path, f.seq, f.rows)) ++
-        parent.toSeq.flatMap(_.deleteFiles)
-          .filterNot(d => curDelPaths(d.path))
-          .map(d => row(2, if (d.kind == "pos") 1 else 2, d.path,
-            d.seq, d.rows))
+      SnapStore.entriesDiff(byV(v), byV.get(byV(v).parent)).map {
+        case (status, content, path, seq, records) =>
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](v, status, content, u(path), seq, records)):
+            org.apache.spark.sql.catalyst.InternalRow
+      }
     }.toArray
   }
 }
@@ -1207,15 +1175,9 @@ final class AllDataFilesMetadataTable(tableName: String,
   override def schema(): StructType = AllDataFilesMetadataTable.schema
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
-    // Try-wrapped like the branch walks: a version expired between
-    // the listing and the parse vanishes instead of failing the
-    // whole metadata query (code review r12).
-    val mains = SnapStore.liveVersions(dir)
-      .flatMap(v => scala.util.Try(SnapStore.manifest(dir, v)).toOption)
-    val branches = SnapStore.listBranches(dir).flatMap(b =>
-      SnapStore.branchVersions(dir, b)
-        .flatMap(v => scala.util.Try(
-          SnapStore.branchManifest(dir, b, v)).toOption))
+    // The shared lenient walk: racing expiry drops rows, never fails
+    // the query (code review r12).
+    val (mains, branches) = SnapStore.liveManifestsLenient(dir)
     val curPaths = mains.lastOption
       .map(_.files.map(_.path).toSet).getOrElse(Set.empty[String])
     (mains ++ branches).flatMap(_.files)
@@ -1247,15 +1209,9 @@ final class AllDeleteFilesMetadataTable(tableName: String,
   override def schema(): StructType = AllDeleteFilesMetadataTable.schema
   protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
     def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
-    // Try-wrapped like the branch walks: a version expired between
-    // the listing and the parse vanishes instead of failing the
-    // whole metadata query (code review r12).
-    val mains = SnapStore.liveVersions(dir)
-      .flatMap(v => scala.util.Try(SnapStore.manifest(dir, v)).toOption)
-    val branches = SnapStore.listBranches(dir).flatMap(b =>
-      SnapStore.branchVersions(dir, b)
-        .flatMap(v => scala.util.Try(
-          SnapStore.branchManifest(dir, b, v)).toOption))
+    // The shared lenient walk: racing expiry drops rows, never fails
+    // the query (code review r12).
+    val (mains, branches) = SnapStore.liveManifestsLenient(dir)
     val curPaths = mains.lastOption
       .map(_.deleteFiles.map(_.path).toSet).getOrElse(Set.empty[String])
     (mains ++ branches).flatMap(_.deleteFiles)
@@ -1554,6 +1510,12 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
                 // set refuses (inside wapStaging).
                 SnapStore.wapStaging(data.sparkSession) match {
                   case Some(b) =>
+                    // Reusing an ALREADY-PUBLISHED wap id refuses at
+                    // stage time (Iceberg's duplicate-WAP-commit
+                    // error) — the publish path would otherwise have
+                    // to distinguish the new batch from the published
+                    // leftover (code review r12).
+                    SnapStore.requireUnpublishedWapId(dir, b)
                     SnapStore.ensureBranch(dir, b)
                     if (replace || overwrite)
                       SnapStore.overwrite(data.sparkSession, dir, data,

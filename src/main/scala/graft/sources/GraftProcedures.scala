@@ -115,6 +115,22 @@ object GraftProcedures {
         Array[Any](m.version, m.deleteFiles.size)
       })
 
+  /** One body, two names: publish an id-staged (spark.wap.id)
+    * snapshot onto the CURRENT main head.
+    */
+  private def publishProc(name: String): UnboundProcedure =
+    new Proc(name,
+      Array(str("table"), str("wap_id")),
+      StructType(Seq(
+        StructField("wap_id", StringType, nullable = false),
+        StructField("current_version", IntegerType, nullable = false))),
+      { in =>
+        val id = in.getUTF8String(1).toString
+        val m = SnapStore.cherrypickSnapshot(spark,
+          tableDir(in.getUTF8String(0).toString), id)
+        Array[Any](u(id), m.version)
+      })
+
   private val procs: Map[String, UnboundProcedure] = Map(
     // Iceberg ancestors_of: the ancestry line of a snapshot (0 = the
     // current head), one row per ancestor with its commit instant.
@@ -358,36 +374,18 @@ object GraftProcedures {
         StructField("added_files", IntegerType, nullable = false))),
       { in =>
         val dir = tableDir(in.getUTF8String(0).toString)
-        val before = SnapStore.currentManifest(dir).files.size
         val m = SnapStore.addFiles(spark, dir,
           Paths.get(in.getUTF8String(1).toString))
-        Array[Any](m.version, m.files.size - before)
+        // Exact adopted count: diff against the COMMIT's parent (a
+        // pre-retry snapshot read would fold a racing writer's delta
+        // into the number; code review r12).
+        val parentFiles = SnapStore.manifest(dir, m.parent).files.size
+        Array[Any](m.version, m.files.size - parentFiles)
       }),
-    // Iceberg cherrypick_snapshot: publish an id-staged (spark.wap.id)
-    // snapshot onto the CURRENT main head.
-    "cherrypick_snapshot" -> new Proc("cherrypick_snapshot",
-      Array(str("table"), str("wap_id")),
-      StructType(Seq(
-        StructField("wap_id", StringType, nullable = false),
-        StructField("current_version", IntegerType, nullable = false))),
-      { in =>
-        val id = in.getUTF8String(1).toString
-        val m = SnapStore.cherrypickSnapshot(spark,
-          tableDir(in.getUTF8String(0).toString), id)
-        Array[Any](u(id), m.version)
-      }),
-    // Iceberg publish_changes: the same publish under its newer name.
-    "publish_changes" -> new Proc("publish_changes",
-      Array(str("table"), str("wap_id")),
-      StructType(Seq(
-        StructField("wap_id", StringType, nullable = false),
-        StructField("current_version", IntegerType, nullable = false))),
-      { in =>
-        val id = in.getUTF8String(1).toString
-        val m = SnapStore.cherrypickSnapshot(spark,
-          tableDir(in.getUTF8String(0).toString), id)
-        Array[Any](u(id), m.version)
-      }),
+    // Iceberg cherrypick_snapshot / publish_changes: one publish
+    // body under both its names (older and newer Iceberg verbs).
+    "cherrypick_snapshot" -> publishProc("cherrypick_snapshot"),
+    "publish_changes" -> publishProc("publish_changes"),
     // Iceberg create_changelog_view: register the net row-change
     // frame between two snapshots as a temp view (the SQL face of
     // the changelog read; the view stays LAZY — nothing scans until

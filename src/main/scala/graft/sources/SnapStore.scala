@@ -382,6 +382,44 @@ object SnapStore {
     Files.getLastModifiedTime(p).toMillis
   }
 
+  /** Every LIVE manifest — (main versions ascending, branch
+    * versions) — each parse Try-wrapped: a version expired between
+    * the listing and the parse vanishes instead of failing the
+    * caller. The `.all_*` metadata-table race convention, shared so
+    * the lenient walk exists ONCE (code review r12).
+    */
+  def liveManifestsLenient(table: Path): (Seq[Manifest], Seq[Manifest]) = (
+    liveVersions(table)
+      .flatMap(v => scala.util.Try(manifest(table, v)).toOption),
+    listBranches(table).flatMap(b => branchVersions(table, b)
+      .flatMap(v =>
+        scala.util.Try(branchManifest(table, b, v)).toOption)))
+
+  /** One snapshot's entries diff vs its live parent — `(status,
+    * content, path, seq, rows)` with status 1 = added by this
+    * snapshot, 0 = carried, 2 = gone (data AND delete files — ADVICE
+    * r11); content 0/1/2 = data/pos/eq. The ONE classification
+    * behind `.entries` and `.all_entries` (code review r12: it had
+    * drifted into two copies).
+    */
+  def entriesDiff(m: Manifest, parent: Option[Manifest]):
+      Seq[(Int, Int, String, Int, Long)] = {
+    def kind(k: String): Int = if (k == "pos") 1 else 2
+    val curPaths = m.files.map(_.path).toSet
+    val curDelPaths = m.deleteFiles.map(_.path).toSet
+    m.files.map(f =>
+      (if (f.seq == m.version) 1 else 0, 0, f.path, f.seq, f.rows)) ++
+      m.deleteFiles.map(d =>
+        (if (d.seq == m.version) 1 else 0, kind(d.kind), d.path, d.seq,
+          d.rows)) ++
+      parent.toSeq.flatMap(_.files)
+        .filterNot(f => curPaths(f.path))
+        .map(f => (2, 0, f.path, f.seq, f.rows)) ++
+      parent.toSeq.flatMap(_.deleteFiles)
+        .filterNot(d => curDelPaths(d.path))
+        .map(d => (2, kind(d.kind), d.path, d.seq, d.rows))
+  }
+
   def currentManifest(table: Path): Manifest =
     manifest(table, currentVersion(table).getOrElse(
       throw new IllegalArgumentException(s"No snapshots under $table")))
@@ -725,6 +763,8 @@ object SnapStore {
       clusterExprs: Seq[Column] = Seq.empty,
       keyCol: String = ""): Manifest = {
     require(currentVersion(table).isEmpty, s"table $table already exists")
+    // Like createEmpty: never inherit a crashed clone's GC marker.
+    Files.deleteIfExists(snapDir(table).resolve("gc.disabled"))
     val files = writeDataFiles(spark, table, df, partCol, "base-v1", numFiles,
       clusterExprs, keyCol)
     val m = Manifest(1, 0, "create", df.schema, files.map(_.copy(seq = 1)),
@@ -743,6 +783,10 @@ object SnapStore {
       keyCol: String = ""): Manifest = {
     require(currentVersion(table).isEmpty, s"table $table already exists")
     require(schema.fields.nonEmpty, "table schema must have columns")
+    // A crashed clone may have left a gc.disabled marker with no
+    // manifest; a fresh table OWNS its files and must not inherit the
+    // permanently-wedged GC state (code review r12).
+    Files.deleteIfExists(snapDir(table).resolve("gc.disabled"))
     if (partCol.nonEmpty) {
       val src = PartTransforms.parse(partCol).source
       require(schema.fieldNames.contains(src),
@@ -2383,6 +2427,8 @@ object SnapStore {
       s"partition source of '$partCol' is not in the migrated schema")
     val entries = adoptionEntries(src, files, partCol, keyCol)
       .map(e => e.copy(path = fileName(e.path), seq = 1))
+    // Like create/createEmpty: never inherit a crashed clone's marker.
+    Files.deleteIfExists(snapDir(table).resolve("gc.disabled"))
     val m = Manifest(1, 0, "migrate", src.schema, entries, partCol,
       Seq.empty, keyCol)
     commitManifest(table, m)
@@ -3273,6 +3319,19 @@ object SnapStore {
     */
   def wapStageBranch(id: String): String = s"wapid_$id"
 
+  /** Refuse staging under an id whose cherrypick already landed on
+    * LIVE main history — Iceberg's duplicate-WAP-commit error. A
+    * branch-conf name (not `wapid_*`) passes untouched.
+    */
+  def requireUnpublishedWapId(table: Path, stageBranch: String): Unit =
+    if (stageBranch.startsWith("wapid_")) {
+      val id = stageBranch.stripPrefix("wapid_")
+      require(!liveVersions(table)
+        .exists(v => operationOf(table, v) == cherrypickOp(id)),
+        s"wap id '$id' was already published on this table — stage " +
+          "under a fresh id (duplicate WAP commit)")
+    }
+
   /** Publish an id-staged snapshot onto the CURRENT main head —
     * Iceberg's `cherrypick_snapshot` / `publish_changes`: the staged
     * chain's ADDED files append to main's head as one new commit
@@ -3308,8 +3367,37 @@ object SnapStore {
     // branch retention and this drop make a non-path.)
     if (liveVersions(table)
       .exists(v => operationOf(table, v) == cherrypickOp(id))) {
-      dropBranch(table, b)
-      return currentManifest(table)
+      branchHead(table, b) match {
+        case None => return currentManifest(table) // clean no-op
+        case Some(h) =>
+          // Drop the stale chain ONLY when it is PROVABLY the
+          // crash-between-publish-and-drop leftover: either every
+          // staged file already rides main, or the chain's head was
+          // committed strictly BEFORE the publish instant (a rewrite
+          // may have moved the published files off their paths — the
+          // instants still prove the order). A REUSED id staging
+          // fresh rows AFTER a publish fails both proofs and must
+          // refuse — Iceberg's duplicate-WAP-commit error — never
+          // silently discard the new batch (code review r12).
+          val cur = currentManifest(table)
+          val curPaths = cur.files.map(_.path).toSet
+          val forkPaths = branchManifest(table, b, 1).files
+            .map(_.path).toSet
+          val staged = branchManifest(table, b, h).files.map(_.path)
+            .filterNot(forkPaths)
+          val pubV = liveVersions(table)
+            .filter(v => operationOf(table, v) == cherrypickOp(id)).max
+          val stale = staged.forall(curPaths) ||
+            branchCommitInstantMs(table, b, h) < commitInstantMs(table, pubV)
+          if (stale) {
+            dropBranch(table, b)
+            return currentManifest(table)
+          }
+          throw new IllegalArgumentException(
+            s"wap id '$id' was already published and its chain holds " +
+              "UNPUBLISHED staged rows — stage them under a fresh id " +
+              "(duplicate WAP commit)")
+      }
     }
     val head = branchHead(table, b).getOrElse(
       throw new IllegalArgumentException(

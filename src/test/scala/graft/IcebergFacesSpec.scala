@@ -1080,6 +1080,49 @@ class IcebergFacesSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("a reused wap id refuses at stage time and at publish instead " +
+    "of silently discarding the new batch (duplicate WAP commit)") {
+    val root = Files.createTempDirectory("graft-wapreusespec")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs, "part")
+    mountAs("wapreuse", root)
+    val confKey = "spark.graft.wap.id"
+    docs.filter(pmod(col("doc_id"), lit(17L)) === 0)
+      .withColumn("doc_id", col("doc_id") + 300000L)
+      .createOrReplaceTempView("wap_reuse_batch")
+    spark.conf.set(confKey, "batch1")
+    try {
+      spark.sql("INSERT INTO graft.wapreuse.t " +
+        "SELECT * FROM wap_reuse_batch")
+      spark.sql(
+        "CALL graft.system.publish_changes('wapreuse.t', 'batch1')")
+      assert(SnapStore.currentVersion(t).contains(2))
+      // Staging AGAIN under the published id refuses loudly.
+      val e = intercept[Exception] {
+        spark.sql("INSERT INTO graft.wapreuse.t " +
+          "SELECT doc_id + 1, part, source, text FROM wap_reuse_batch")
+      }
+      assert(e.getMessage.contains("already published"))
+    } finally spark.conf.unset(confKey)
+    // Publish-side belt: a chain holding UNPUBLISHED rows under a
+    // published id (forced through the programmatic API) refuses
+    // rather than silently dropping the batch.
+    val b = SnapStore.wapStageBranch("batch1")
+    SnapStore.ensureBranch(t, b)
+    SnapStore.appendToBranch(spark, t, b,
+      docs.filter(pmod(col("doc_id"), lit(23L)) === 0)
+        .withColumn("doc_id", col("doc_id") + 400000L), "part")
+    val e2 = intercept[IllegalArgumentException] {
+      SnapStore.cherrypickSnapshot(spark, t, "batch1")
+    }
+    assert(e2.getMessage.contains("duplicate WAP commit"))
+    // The staged rows never leaked onto main.
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.wapreuse.t " +
+      "WHERE doc_id >= 400000").collect()(0).getLong(0) == 0L)
+  }
+
+  // ----------------------------------------------------------------
   test("equality deletes keyed on a DEFAULTED column treat " +
     "pre-evolution rows as the constant on both scan paths") {
     val root = Files.createTempDirectory("graft-defdelspec")
@@ -1176,6 +1219,21 @@ class IcebergFacesSpec extends SparkSpec {
         "CALL graft.system.snapshot('clonespec.src', 'clonespec.c')")
         .collect()
     }
+
+    // A crashed clone (marker written, manifest never committed)
+    // neither wedges the name nor leaks gc.enabled=false into a
+    // fresh table created there.
+    val ghost = root.resolve("ghost")
+    Files.createDirectories(ghost.resolve("_snapshots"))
+    Files.write(ghost.resolve("_snapshots").resolve("gc.disabled"),
+      "stale".getBytes)
+    assert(!SnapStore.isSnapTable(ghost),
+      "a marker-only _snapshots dir must not read as a table")
+    spark.sql("CREATE TABLE graft.clonespec.ghost " +
+      "(id BIGINT, part BIGINT) PARTITIONED BY (part)")
+    assert(SnapStore.isSnapTable(ghost))
+    assert(SnapStore.gcEnabled(ghost),
+      "a fresh table must not inherit the crashed clone's GC state")
   }
 
   // ----------------------------------------------------------------
