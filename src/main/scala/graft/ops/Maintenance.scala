@@ -3054,23 +3054,25 @@ object Maintenance {
     * the oracle's `n_pairs = n_docs` equality proves the metadata
     * columns identify every row exactly once — no duplicated or
     * dropped ordinals across files, splits, or tasks. The native
-    * route is FORCED by conf: whether the layout happens to be
-    * SPJ-eligible (which also routes native) depends on range-
-    * sampling boundaries and must not decide metadata-column
-    * availability.
+    * route is pinned STRUCTURALLY (VERDICT r12 hygiene): the read
+    * goes through [[graft.sources.SnapReadSource]] — the
+    * always-native TableProvider face — instead of a session conf
+    * scoped around lazy plan construction, so no future move of the
+    * route decision to scan-build time can silently un-force it.
     */
   def metadataCols(s: SparkSession, dir: String): DataFrame = {
-    ensureDocsMeta(s, dir)
-    val confKey = "spark.graft.read.native"
-    val old = s.conf.getOption(confKey)
-    s.conf.set(confKey, "true")
-    try s.sql(s"""SELECT $partCol AS part, COUNT(*) AS n_docs,
-      COUNT(DISTINCT concat(_file, '#', _pos)) AS n_pairs
-      FROM graft.maint.docs_meta GROUP BY 1 ORDER BY 1""")
-    finally old match {
-      case Some(v) => s.conf.set(confKey, v)
-      case None => s.conf.unset(confKey)
-    }
+    import org.apache.spark.sql.functions._
+    val t = ensureDocsMeta(s, dir)
+    val v = SnapStore.currentVersion(t).getOrElse(
+      sys.error(s"docs_meta table missing under $t"))
+    s.read.format("graft.sources.SnapReadSource")
+      .option("dir", t.toString).option("version", v).load()
+      .select(col(partCol), col("_file"), col("_pos"))
+      .groupBy(col(partCol).as("part"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(concat(col("_file"), lit("#"), col("_pos")))
+          .as("n_pairs"))
+      .orderBy(col("part"))
   }
 
   val metadataColsOracle: String =

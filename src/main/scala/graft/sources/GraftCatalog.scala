@@ -165,7 +165,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // face changes). Load-time conf: a cached relation keeps its
         // route until re-resolved, like any loadTable decision.
         val forceNative = session.conf
-          .getOption("spark.graft.read.native").exists(_.toBoolean)
+          .getOption("spark.graft.read.native").exists(_.toBoolean) ||
+          // A merge-on-read write mode routes native too: the delta
+          // DML rewrite resolves its `_file`/`_pos` row ids from the
+          // table's metadata columns, which only the native face
+          // advertises (Iceberg tables are always on the equivalent
+          // native scan).
+          SnapStore.anyMergeOnRead(dir)
         val underlying: Table =
           // A FILELESS snapshot (freshly CREATEd, or fully deleted)
           // serves an empty local scan under the manifest schema — a
@@ -527,6 +533,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             SnapStore.setProperties(dir,
               Map(setp.property() -> setp.value()))
           case rmp: TableChange.RemoveProperty =>
+            // UNSET guards the same keys SET does (ADVICE r12): an
+            // UNSET of `key.column` would silently drop the
+            // create-time stored key-column record from the SHOW
+            // TBLPROPERTIES face — the exact drift the SET guard
+            // exists to prevent.
+            val rk = rmp.property().toLowerCase
+            require(!GraftCatalog.ReservedProps(rk) && rk != "key.column",
+              s"table property '${rmp.property()}' is engine-managed " +
+                "and cannot be UNSET")
             SnapStore.unsetProperties(dir, Seq(rmp.property()))
           case other => throw new UnsupportedOperationException(
             "graft snapshot tables support ADD/DROP/RENAME COLUMN, " +
@@ -935,46 +950,60 @@ object RefsMetadataTable {
   * metadata table: the PAIR-level inventory of pending position
   * deletes (`.delete_files` is the file-level one) — one row per
   * suppressed `(data file, ordinal)` with the delete parquet that
-  * holds it and its commit sequence. Contents come from the pending
-  * pos-delete parquets, streamed through the parquet reader at scan
-  * planning; the volume is the table's pending MOR DEBT (what
-  * accumulated since the last `rewrite_delete_files`/`apply_deletes`
-  * fold), which is manifest-scale by construction — the same bound
-  * Iceberg's metadata-table scans rely on between maintenance runs.
+  * holds it and its commit sequence.
+  *
+  * Served as a DISTRIBUTED DSv2 batch (VERDICT r12 #1): unlike every
+  * other metadata table, pair cardinality is O(deleted rows), not
+  * O(files) — a 100 TB table can carry billions of pending ordinals,
+  * so materializing them on the driver (the r12 shape) OOMs exactly
+  * where the table matters most. One input partition per pending
+  * delete file; pair parquets read task-side through the shared
+  * serializable [[SnapBatch.rowReader]], DV blobs decode task-side
+  * via [[DeleteVectors.rowIterator]] — the same split Iceberg's
+  * `PositionDeletesTable` scan makes. The `file` column carries the
+  * RESOLVED data-file path (Iceberg's `file_path` convention, the
+  * join key against `_file` and `.files`), mapped task-side from the
+  * stored name by the partition's manifest-derived name→path table —
+  * restricted to the delete file's referenced names when the
+  * manifest recorded them, manifest-scale either way.
   */
 final class PositionDeletesMetadataTable(tableName: String,
-    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+    dir: java.nio.file.Path) extends Table with SupportsRead {
+  override def name(): String = tableName
   override def schema(): StructType = PositionDeletesMetadataTable.schema
-  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
-    import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
-    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
-    val spark = SparkSession.active
-    val pos = SnapStore.currentManifest(dir).deleteFiles
-      .filter(_.kind == "pos").sortBy(d => (d.seq, d.path))
-    if (pos.isEmpty)
-      return Array.empty[InternalRow]
-    val readSchema = StructType(Seq(
-      StructField("file", org.apache.spark.sql.types.StringType, nullable = true),
-      StructField("pos", org.apache.spark.sql.types.LongType, nullable = true)))
-    val reader = SnapBatch.rowReader(spark, readSchema, readSchema)
-    pos.iterator.flatMap { d =>
-      val p = dir.resolve(d.path)
-      // Deletion vectors (.dv, v3 encoding) decode directly; parquet
-      // pair files read through the row reader.
-      val rows: Iterator[InternalRow] =
-        if (DeleteVectors.isDv(d.path)) DeleteVectors.rowIterator(p.toString)
-        else reader(PartitionedFile(InternalRow.empty,
-          org.apache.spark.paths.SparkPath.fromPathString(p.toString),
-          0L, d.bytes, Array.empty[String], 0L, d.bytes, Map.empty))
-      rows.map { r =>
-        // The reader reuses its row buffer — copy the values out.
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](u(r.getUTF8String(0).toString), r.getLong(1),
-            u(d.path), d.seq)): InternalRow
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan = {
+        val spark = SparkSession.active
+        val m = SnapStore.currentManifest(dir)
+        val pos = m.deleteFiles.filter(_.kind == "pos")
+          .sortBy(d => (d.seq, d.path))
+        val nameToPath: Map[String, String] = m.files
+          .map(f => SnapStore.fileName(f.path) ->
+            dir.resolve(f.path).toString).toMap
+        val pairSchema = StructType(Seq(
+          StructField("file", org.apache.spark.sql.types.StringType,
+            nullable = true),
+          StructField("pos", org.apache.spark.sql.types.LongType,
+            nullable = true)))
+        // Driver-built, serializable, invoked task-side — pair
+        // contents never touch the driver.
+        val reader = SnapBatch.rowReader(spark, pairSchema, pairSchema)
+        new PositionDeletesScan(dir.toString, pos.map { d =>
+          val routed =
+            if (d.refs.nonEmpty) {
+              val rs = d.refs.toSet
+              nameToPath.filter(kv => rs(kv._1))
+            }
+            else nameToPath
+          PositionDeletesPartition(dir.resolve(d.path).toString, d.path,
+            d.seq, d.bytes, routed)
+        }, reader)
       }
-    }.toArray
-  }
+    }
 }
 
 object PositionDeletesMetadataTable {
@@ -983,6 +1012,70 @@ object PositionDeletesMetadataTable {
     StructField("pos", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("delete_file", org.apache.spark.sql.types.StringType, nullable = false),
     StructField("seq", org.apache.spark.sql.types.IntegerType, nullable = false)))
+}
+
+final case class PositionDeletesPartition(path: String, relPath: String,
+    seq: Int, bytes: Long, nameToPath: Map[String, String])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+/** The distributed scan behind [[PositionDeletesMetadataTable]]:
+  * one partition per pending delete file, decoded task-side.
+  */
+final class PositionDeletesScan(tableDir: String,
+    parts: Seq[PositionDeletesPartition],
+    reader: org.apache.spark.sql.execution.datasources.PartitionedFile =>
+      Iterator[org.apache.spark.sql.catalyst.InternalRow])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  override def readSchema(): StructType = PositionDeletesMetadataTable.schema
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def description(): String =
+    s"graft-position-deletes $tableDir, ${parts.size} delete files"
+
+  override def planInputPartitions():
+      Array[org.apache.spark.sql.connector.read.InputPartition] =
+    parts.toArray
+
+  override def createReaderFactory():
+      org.apache.spark.sql.connector.read.PartitionReaderFactory = {
+    val r = reader
+    new org.apache.spark.sql.connector.read.PartitionReaderFactory {
+      override def createReader(
+          p: org.apache.spark.sql.connector.read.InputPartition):
+          org.apache.spark.sql.connector.read.PartitionReader[InternalRow] =
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private val part = p.asInstanceOf[PositionDeletesPartition]
+          private val delFile =
+            org.apache.spark.unsafe.types.UTF8String.fromString(part.relPath)
+          private val it: Iterator[InternalRow] =
+            if (DeleteVectors.isDv(part.relPath))
+              DeleteVectors.rowIterator(part.path)
+            else r(org.apache.spark.sql.execution.datasources.PartitionedFile(
+              InternalRow.empty,
+              org.apache.spark.paths.SparkPath.fromPathString(part.path),
+              0L, part.bytes, Array.empty[String], 0L, part.bytes, Map.empty))
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            if (!it.hasNext) return false
+            val row = it.next()
+            val name = row.getUTF8String(0).toString
+            cur = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](
+                org.apache.spark.unsafe.types.UTF8String.fromString(
+                  part.nameToPath.getOrElse(name, name)),
+                row.getLong(1), delFile, part.seq))
+            true
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = it match {
+            case c: java.io.Closeable => c.close()
+            case _ => ()
+          }
+        }
+    }
+  }
 }
 
 /** `db.table.all_files` — Iceberg's `table.all_files` metadata

@@ -73,7 +73,8 @@ import org.apache.spark.unsafe.types.UTF8String
 object SnapBatch {
 
   /** Iceberg's metadata-column names served by the native batch:
-    * `_file` (the physical data file path's name), `_pos` (the row's
+    * `_file` (the full resolved data file path, Iceberg's
+    * convention), `_pos` (the row's
     * within-file ordinal), `_partition` (the file's single
     * TRANSFORMED partition value, rendered — NULL for files that
     * span values, e.g. written under an earlier spec), and `_spec`
@@ -906,8 +907,12 @@ private final class SnapAffectedReader(
   private lazy val proj = UnsafeProjection.create(
     spec.outExprs ++ spec.metaCols.map {
       case SnapBatch.MetaFile =>
+        // The FULL resolved data-file path, matching Iceberg's
+        // `_file` (ADVICE r12): queries join it against the
+        // `.files`/`.position_deletes` path columns, which carry
+        // resolved paths — a bare name would silently mismatch.
         org.apache.spark.sql.catalyst.expressions.Literal(
-          UTF8String.fromString(part.fileName), StringType): Expression
+          UTF8String.fromString(part.path), StringType): Expression
       case SnapBatch.MetaPos =>
         BoundReference(spec.rowIdxOrd.get, LongType,
           nullable = false): Expression

@@ -2212,17 +2212,33 @@ object SnapStore {
 
   /** The parquet files directly under `dir` (non-recursive, sorted —
     * Spark writes flat part files), refused loudly when none exist.
+    * A hive-partitioned layout (parquet inside SUBdirectories)
+    * refuses loudly too (ADVICE r12): silently adopting only the
+    * top-level files would pass a partial adoption as complete —
+    * unlike Iceberg's migrate, this adoption path is flat-only.
     */
   private def listParquet(dir: Path, what: String): Seq[Path] = {
     require(Files.isDirectory(dir), s"$what '$dir' is not a directory")
     val stream = Files.list(dir)
-    val files =
-      try stream.iterator().asScala
-        .filter(p => Files.isRegularFile(p) &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(_.toAbsolutePath)
-        .toSeq.sortBy(_.toString)
-      finally stream.close()
+    val (subdirs, files) = {
+      val (d, f) =
+        try stream.iterator().asScala.toSeq.partition(Files.isDirectory(_))
+        finally stream.close()
+      (d, f.filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toAbsolutePath).sortBy(_.toString))
+    }
+    val nested = subdirs.filter { sub =>
+      val walk = Files.walk(sub)
+      try walk.iterator().asScala.exists(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    require(nested.isEmpty,
+      s"$what '$dir' holds parquet files inside subdirectories " +
+        s"(${nested.map(_.getFileName).mkString(", ")}) — adoption is " +
+        "flat-only; flatten the layout (partition values must live in " +
+        "the rows, not the directory names)")
     require(files.nonEmpty, s"no parquet files under $dir")
     files
   }
@@ -2589,6 +2605,146 @@ object SnapStore {
 
   private[sources] def dropStaging(table: Path, staging: Path): Unit =
     deleteTree(staging)
+
+  /** Commit a merge-on-read DELTA staged by [[SnapDeltaWrite]]'s
+    * task writers (the MOR-mode SQL DML path): adopt the staged new
+    * DATA parquets (MERGE inserts / split-update reinserts) and the
+    * staged position-delete PAIR parquets as one snapshot — zero
+    * base data rewritten. The data half runs the usual stats pass;
+    * the delete half runs the same per-file pair-count + refs job
+    * [[deletePositions]] uses, so manifest routing
+    * ([[DeleteFile.refs]]) works identically. Conflict rules, the
+    * delta analogues of Iceberg's commit validation:
+    *
+    *  - a concurrent commit that REWROTE/removed a data file this
+    *    operation's pairs reference aborts (the ordinals would
+    *    dangle — the rows may live elsewhere now);
+    *  - a concurrent schema/spec change aborts (the staged data rows
+    *    were written under the read schema);
+    *  - concurrent APPENDS and concurrent DELETE commits carry
+    *    safely: pair application is per-(file, ordinal) and
+    *    idempotent, so overlapping delete sets union exactly.
+    */
+  private[sources] def commitDeltaFromStaging(spark: SparkSession,
+      table: Path, dataTmp: Path, delTmp: Path, operation: String,
+      readM: Manifest): Manifest = {
+    def staged(tmp: Path): Seq[Path] =
+      if (!Files.isDirectory(tmp)) Seq.empty
+      else {
+        val stream = Files.list(tmp)
+        try stream.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .toSeq.sortBy(_.getFileName.toString)
+        finally stream.close()
+      }
+    val stagedData = staged(dataTmp)
+    val stagedDel = staged(delTmp)
+    if (stagedData.isEmpty && stagedDel.isEmpty) {
+      // A no-match DML is a full no-op — no snapshot, like the COW
+      // paths.
+      dropDeltaStaging(dataTmp, delTmp)
+      return currentManifest(table)
+    }
+    val dataDir = table.resolve("data")
+    Files.createDirectories(dataDir)
+    val run = UUID.randomUUID().toString.take(8)
+    val movedData = stagedData.zipWithIndex.map { case (src, i) =>
+      val name = s"$operation-$i-$run.parquet"
+      Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    val movedDel = stagedDel.zipWithIndex.map { case (src, i) =>
+      val name = s"pdelete-$operation-$i-$run.parquet"
+      Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+      name
+    }
+    dropDeltaStaging(dataTmp, delTmp)
+    // From here every abort cleans the moved files (the append-path
+    // invariant: no unreferenced orphans under data/).
+    try {
+      val newFiles = statsEntries(spark, dataDir, movedData, readM.partCol,
+        readM.keyCol)
+      // Pair counts + referenced data-file names, one distributed
+      // job over only the just-staged delete parquets.
+      val delStats: Map[String, (Long, Seq[String])] =
+        if (movedDel.isEmpty) Map.empty
+        else spark.read
+          .parquet(movedDel.map(n => dataDir.resolve(n).toString): _*)
+          .groupBy(input_file_name().as("__df"))
+          .agg(count(lit(1)).as("n"), collect_set(col("file")).as("refs"))
+          .collect()
+          .map(r => fileName(r.getString(0)) ->
+            (r.getLong(1), r.getSeq[String](2).sorted))
+          .toMap
+      val ds = movedDel.flatMap { n =>
+        delStats.get(n) match {
+          case Some((rows, refs)) =>
+            Some(DeleteFile(s"data/$n", "", rows,
+              Files.size(dataDir.resolve(n)), "pos", Int.MaxValue, refs))
+          case None => // zero-pair part: drop, never reference
+            Files.deleteIfExists(dataDir.resolve(n)); None
+        }
+      }
+      val allRefs = ds.flatMap(_.refs).toSet
+      withCommitRetry(table) { () =>
+        val cur = currentManifest(table)
+        require(cur.schema == readM.schema && cur.evos == readM.evos &&
+          cur.partCol == readM.partCol,
+          s"concurrent schema/spec change conflicts with this $operation — " +
+            "aborting")
+        val live = cur.files.map(f => fileName(f.path)).toSet
+        require(allRefs.forall(live),
+          s"concurrent commit rewrote files this $operation read — " +
+            "aborting")
+        val v = cur.version + 1
+        val m = Manifest(v, cur.version, operation, cur.schema,
+          cur.files ++ newFiles.map(_.copy(seq = v)), cur.partCol,
+          cur.deleteFiles ++ ds.map(_.copy(seq = v)), cur.keyCol, cur.evos)
+        (m, Seq.empty, tryCommitManifest(table, m))
+      }
+    } catch { case NonFatal(e) =>
+      (movedData ++ movedDel).foreach(n =>
+        Files.deleteIfExists(dataDir.resolve(n)))
+      throw e
+    }
+  }
+
+  private[sources] def dropDeltaStaging(dataTmp: Path, delTmp: Path): Unit = {
+    deleteTree(dataTmp)
+    deleteTree(delTmp)
+  }
+
+  /** Parquet write options derived from the table's stored
+    * properties: `write.parquet.compression-codec` drives every
+    * writer that threads these options through (Iceberg's write
+    * property of the same name).
+    */
+  private[sources] def parquetWriteOptions(table: Path): Map[String, String] =
+    tableProperties(table).get("write.parquet.compression-codec")
+      .map(c => Map("compression" -> c)).getOrElse(Map.empty)
+
+  /** The per-command SQL write mode (Iceberg's `write.delete.mode` /
+    * `write.update.mode` / `write.merge.mode` table properties):
+    * `copy-on-write` (default — group rewrite) or `merge-on-read`
+    * (delta — delete files + new data files, zero base rewrite).
+    * Unknown values refuse at operation build, never silently COW.
+    */
+  private[graft] def writeModeOf(table: Path, cmd: String): String = {
+    val key = s"write.${cmd.toLowerCase(java.util.Locale.ROOT)}.mode"
+    val mode = tableProperties(table).getOrElse(key, "copy-on-write")
+    require(mode == "copy-on-write" || mode == "merge-on-read",
+      s"unknown $key '$mode' — use copy-on-write or merge-on-read")
+    mode
+  }
+
+  /** Whether ANY SQL write mode is merge-on-read — the load-time
+    * signal to route the table's read face native, so the delta
+    * operation's `_file`/`_pos` row ids resolve.
+    */
+  private[sources] def anyMergeOnRead(table: Path): Boolean =
+    Seq("delete", "update", "merge").exists(c =>
+      tableProperties(table).get(s"write.$c.mode")
+        .contains("merge-on-read"))
 
   /** The partition-bound ordering for a column, if prunable. */
   private[graft] def partOrdering(schema: StructType,
@@ -3381,13 +3537,25 @@ object SnapStore {
           // silently discard the new batch (code review r12).
           val cur = currentManifest(table)
           val curPaths = cur.files.map(_.path).toSet
-          val forkPaths = branchManifest(table, b, 1).files
-            .map(_.path).toSet
-          val staged = branchManifest(table, b, h).files.map(_.path)
-            .filterNot(forkPaths)
+          val forkM = branchManifest(table, b, 1)
+          val forkPaths = forkM.files.map(_.path).toSet
+          val headM = branchManifest(table, b, h)
+          // The staged diff counts DELETE files too (ADVICE r12): a
+          // re-staged chain that only added delete files via the
+          // direct SnapStore API would otherwise have an EMPTY staged
+          // data set, making `forall` vacuously true and silently
+          // dropping the unpublished batch. An empty combined diff is
+          // likewise NOT provably stale — only the instant ordering
+          // can prove that case.
+          val forkDeletes = forkM.deleteFiles.map(_.path).toSet
+          val stagedDeletes = headM.deleteFiles.map(_.path)
+            .filterNot(forkDeletes)
+          val staged = headM.files.map(_.path).filterNot(forkPaths)
           val pubV = liveVersions(table)
             .filter(v => operationOf(table, v) == cherrypickOp(id)).max
-          val stale = staged.forall(curPaths) ||
+          val allStaged = staged ++ stagedDeletes
+          val stale = (allStaged.nonEmpty && staged.forall(curPaths) &&
+            stagedDeletes.forall(cur.deleteFiles.map(_.path).toSet)) ||
             branchCommitInstantMs(table, b, h) < commitInstantMs(table, pubV)
           if (stale) {
             dropBranch(table, b)

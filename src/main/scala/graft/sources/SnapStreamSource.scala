@@ -311,12 +311,27 @@ final class SnapMicroBatchStream(spark: SparkSession,
       }
       val readSchema = StructType(readFields)
       val reader = SnapBatch.rowReader(spark, written, readSchema)
+      // Initial-default substitutions (Iceberg v3 `adddef` evos,
+      // ADVICE r12): every file of this treatment predates the
+      // ADD COLUMN ... DEFAULT, so the null-filled physical column
+      // IS the constant — emit the literal, exactly as both batch
+      // paths do. Keyed by CURRENT name (what addDefaultsFor
+      // yields); the mid-stream widen guard above proved the current
+      // type equals the started one, so the literal's type is right.
+      val defaults = SnapStore.addDefaultsFor(applicable, m.schema)
+        .map { case (fin, sql) =>
+          fin -> SnapStore.defaultLiteral(sql, m.schema(fin).dataType)
+        }.toMap
       val outExprs = startSchema.fields.toSeq.zipWithIndex.map {
         case (f0, i) =>
-          val wt = readFields(i).dataType
-          val br = BoundReference(i, wt, nullable = true)
-          (if (wt == f0.dataType) br else Cast(br, f0.dataType, Some(tz)))
-            : Expression
+          defaults.get(currentNames(i)) match {
+            case Some(litv) => litv: Expression
+            case None =>
+              val wt = readFields(i).dataType
+              val br = BoundReference(i, wt, nullable = true)
+              (if (wt == f0.dataType) br else Cast(br, f0.dataType, Some(tz)))
+                : Expression
+          }
       }
       gfs.foreach { f =>
         val abs = dir.resolve(f.path).toString

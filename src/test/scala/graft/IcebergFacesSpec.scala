@@ -833,7 +833,7 @@ class IcebergFacesSpec extends SparkSpec {
         "FROM graft.metaspec.t2").collect()(0).getLong(0)
         == m2.files.size.toLong)
       val m = SnapStore.currentManifest(t)
-      def nameOf(p: String): String = p.substring(p.lastIndexOf('/') + 1)
+      def pathOf(fp: String): String = t.resolve(fp).toString
       val perFile: Map[String, (Long, Long, Long)] = spark.sql(
         "SELECT _file, COUNT(*) AS n, MAX(_pos) AS mx, " +
           "COUNT(DISTINCT _pos) AS d FROM graft.metaspec.t GROUP BY _file")
@@ -841,10 +841,10 @@ class IcebergFacesSpec extends SparkSpec {
         .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
           r.getLong(3))))
         .toMap
-      assert(perFile.keySet == m.files.map(f => nameOf(f.path)).toSet,
-        "_file values must be exactly the manifest file names")
+      assert(perFile.keySet == m.files.map(f => pathOf(f.path)).toSet,
+        "_file values must be exactly the resolved manifest file paths")
       m.files.foreach { f =>
-        val (n, mx, d) = perFile(nameOf(f.path))
+        val (n, mx, d) = perFile(pathOf(f.path))
         assert(n == f.rows && d == n && mx == n - 1,
           s"${f.path}: ordinals must be dense 0..${f.rows - 1}")
       }
