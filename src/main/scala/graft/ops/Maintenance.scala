@@ -2561,6 +2561,112 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** `docs_mordml`: merge-on-read SQL DML (VERDICT r12 #2 —
+    * Iceberg's `write.delete.mode` / `write.update.mode` /
+    * `write.merge.mode = merge-on-read` table properties). v1 create
+    * + the three mode properties → v2 SQL `DELETE` of every
+    * seventeenth-mod-4 doc commits a POSITION-DELETE file (zero data
+    * rewritten — spec-pinned mtimes in MorDmlSpec) → v3 SQL `MERGE`
+    * re-sources every surviving `%23==1` doc (split
+    * delete+reinsert: pairs suppress the old rows, replacement rows
+    * land as new files) and inserts `%29==2` re-keyed `+900000` as
+    * `morI`. The base data files never rewrite; reads net pairs by
+    * `(file, ordinal)`.
+    */
+  def ensureDocsMordml(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_mordml")
+    if (SnapStore.currentVersion(t).isEmpty) {
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+      SnapStore.setProperties(t, Map(
+        "write.delete.mode" -> "merge-on-read",
+        "write.update.mode" -> "merge-on-read",
+        "write.merge.mode" -> "merge-on-read"))
+    }
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).contains(1)) {
+      s.sql("DELETE FROM graft.maint.docs_mordml WHERE doc_id % 17 = 4")
+      require(SnapStore.currentManifest(t).operation == "delete-mor",
+        "the DELETE must route merge-on-read")
+    }
+    if (SnapStore.currentVersion(t).contains(2)) {
+      val b = base(s, dir)
+      b.filter(pmod(col("doc_id"), lit(23L)) === 1 &&
+          pmod(col("doc_id"), lit(17L)) =!= 4)
+        .withColumn("source", lit("morU"))
+        .unionByName(b.filter(pmod(col("doc_id"), lit(29L)) === 2)
+          .withColumn("doc_id", col("doc_id") + 900000L)
+          .withColumn("source", lit("morI")))
+        .createOrReplaceTempView("graft_mordml_src")
+      s.sql(
+        """MERGE INTO graft.maint.docs_mordml t
+          |USING graft_mordml_src s
+          |ON t.doc_id = s.doc_id
+          |WHEN MATCHED THEN UPDATE SET t.source = s.source
+          |WHEN NOT MATCHED THEN INSERT
+          |  (doc_id, part, source, text, tok)
+          |  VALUES (s.doc_id, s.part, s.source, s.text, s.tok)""".stripMargin)
+      require(SnapStore.currentManifest(t).operation == "merge-mor",
+        "the MERGE must route merge-on-read")
+    }
+    t
+  }
+
+  /** MOR SQL DELETE face: per-partition counts + checksum over the
+    * post-DML table — the oracle recomputes the delete + merge
+    * logically, so a hash match proves the pair suppression nets
+    * exactly the deleted ordinals on the read path (no resurrection,
+    * no over-delete) while the data files stayed in place.
+    */
+  def sqlDeleteMor(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsMordml(s, dir)
+    require(SnapStore.currentManifest(t).deleteFiles.exists(_.kind == "pos"),
+      "the MOR lifecycle must leave pending position-delete files")
+    s.sql(s"""SELECT part, COUNT(*) AS n_docs,
+      CAST(SUM(tok) AS BIGINT) AS sum_tok,
+      CAST(SUM(fold_hash(text, 31, 0, $P)) AS BIGINT) AS chk
+      FROM graft.maint.docs_mordml GROUP BY part ORDER BY part""")
+  }
+
+  val sqlDeleteMorOracle: String =
+    s"""WITH fin AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 17 != 4
+       |  UNION ALL
+       |  SELECT doc_id + 900000, text FROM documents WHERE doc_id % 29 = 2)
+       |SELECT doc_id % $nParts AS part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM fin
+       |GROUP BY doc_id % $nParts
+       |ORDER BY part""".stripMargin
+
+  /** MOR SQL MERGE face: per-source contents after the delta MERGE —
+    * updates re-sourced via split delete+reinsert, inserts appended,
+    * every base file untouched (MorDmlSpec pins the mtimes).
+    */
+  def sqlMergeMor(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ensureDocsMordml(s, dir)
+    s.sql(s"""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(fold_hash(text, 31, 0, $P)) AS BIGINT) AS chk
+      FROM graft.maint.docs_mordml GROUP BY source ORDER BY source""")
+  }
+
+  val sqlMergeMorOracle: String =
+    s"""WITH fin AS (
+       |  SELECT CASE WHEN doc_id % 23 = 1 THEN 'morU' ELSE source END
+       |    AS source, text
+       |  FROM documents
+       |  WHERE doc_id % 17 != 4
+       |  UNION ALL
+       |  SELECT 'morI' AS source, text FROM documents WHERE doc_id % 29 = 2)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM fin
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** `docs_add`: the `add_files` onboarding lifecycle (VERDICT r11
     * #3). v1 create holds parts 0–3 only; parts 4–7 are written as a
     * PLAIN parquet directory outside the table → v2 `CALL
@@ -3209,6 +3315,12 @@ object Maintenance {
       "full MERGE clause surface: MATCHED DELETE, MATCHED UPDATE, " +
         "NOT MATCHED INSERT, NOT MATCHED BY SOURCE UPDATE in one " +
         "atomic replace snapshot"),
+    Q("maint_sql_delete_mor", sqlDeleteMor, Some(sqlDeleteMorOracle),
+      "merge-on-read SQL DELETE (write.delete.mode): position-delete " +
+        "file committed, zero data rewrite, reads net the pairs"),
+    Q("maint_sql_merge_mor", sqlMergeMor, Some(sqlMergeMorOracle),
+      "merge-on-read SQL MERGE (write.merge.mode): split " +
+        "delete+reinsert pairs + new data files, base files untouched"),
     Q("maint_add_files", addFilesRead, Some(addFilesReadOracle),
       "add_files onboarding: metadata-only adoption of external " +
         "parquet (one stats job, zero rewrite); adopted files prune, " +

@@ -1499,20 +1499,31 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
       case _ => Array.empty
     }
 
-  /** SQL `UPDATE` / `MERGE INTO` — Spark's group-based copy-on-write
-    * row-level path: the operation's scan is the table's normal
-    * parquet scan, the rewrite runs as Spark's own distributed
-    * parquet write into a staging dir (clustered + sorted on the
-    * partition column by the write's required distribution, so the
-    * new layout keeps tight bounds), and the job-level commit adopts
-    * the staged files as one atomic replace snapshot.
+  /** SQL `DELETE` / `UPDATE` / `MERGE INTO` — routed by the table's
+    * per-command write-mode properties (Iceberg's `write.delete.mode`
+    * / `write.update.mode` / `write.merge.mode`):
+    *
+    *  - `copy-on-write` (default): Spark's group-based path — the
+    *    operation's scan is the table's normal parquet scan, the
+    *    rewrite runs as Spark's own distributed parquet write into a
+    *    staging dir (clustered + sorted on the partition column by
+    *    the write's required distribution), and the job-level commit
+    *    adopts the staged files as one atomic replace snapshot.
+    *  - `merge-on-read`: Spark's delta-based path
+    *    ([[SnapDeltaOperation]], `SupportsDelta`) — matched rows are
+    *    identified by `_file`/`_pos` row ids and commit as
+    *    position-delete files plus (for MERGE/UPDATE) new data
+    *    files, zero base data rewritten.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo):
       org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
-        new SnapRowLevelOperation(info.command(), underlying, dir)
+        if (SnapStore.writeModeOf(dir,
+          info.command().toString) == "merge-on-read")
+          new SnapDeltaOperation(info.command(), dir)
+        else new SnapRowLevelOperation(info.command(), underlying, dir)
     }
 
   override def name(): String = underlying.name()
@@ -1542,7 +1553,11 @@ final class SnapTable(underlying: Table, dir: java.nio.file.Path)
 
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
-    filters.forall(f => SnapTable.toColumn(f).isDefined)
+    // Under `write.delete.mode = merge-on-read`, every SQL DELETE
+    // takes the delta row-level path (delete files, zero rewrite) —
+    // this filter-based path is the COW file rewrite.
+    SnapStore.writeModeOf(dir, "delete") == "copy-on-write" &&
+      filters.forall(f => SnapTable.toColumn(f).isDefined)
 
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {

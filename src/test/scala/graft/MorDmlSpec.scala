@@ -1,0 +1,221 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.SnapStore
+
+/** Merge-on-read SQL DML (Iceberg's `write.delete.mode` /
+  * `write.update.mode` / `write.merge.mode = merge-on-read`): SQL
+  * DELETE/UPDATE/MERGE route through the delta-based row-level
+  * operation — position-delete files plus new data files, ZERO base
+  * data rewritten (untouched paths and mtimes prove it), composing
+  * with the fold/compact maintenance lifecycle.
+  */
+class MorDmlSpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sf).select(
+    col("doc_id"),
+    pmod(col("doc_id"), lit(4L)).as("part"),
+    col("source"), col("text"))
+
+  private def mountAs(db: String, root: Path): Unit = {
+    spark.conf.set(s"spark.graft.catalog.dir.$db", root.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+  }
+
+  private def morTable(db: String, root: Path,
+      modes: Seq[String] = Seq("delete", "update", "merge")): Path = {
+    mountAs(db, root)
+    val props = modes.map(m => s"'write.$m.mode' = 'merge-on-read'")
+      .mkString(", ")
+    spark.sql(s"""CREATE TABLE graft.$db.t
+      (doc_id BIGINT, part BIGINT, source STRING, text STRING)
+      PARTITIONED BY (part)
+      TBLPROPERTIES ($props)""")
+    docs.createOrReplaceTempView(s"${db}_seed")
+    spark.sql(s"INSERT INTO graft.$db.t " +
+      s"SELECT doc_id, part, source, text FROM ${db}_seed")
+    root.resolve("t")
+  }
+
+  private def dataState(t: Path): Map[String, java.nio.file.attribute.FileTime] =
+    SnapStore.currentManifest(t).files
+      .map(f => f.path -> Files.getLastModifiedTime(t.resolve(f.path)))
+      .toMap
+
+  // ----------------------------------------------------------------
+  test("MOR SQL DELETE: commits a position-delete file, zero data " +
+    "rewrite (paths and mtimes untouched), reads net the deletes on " +
+    "both scan paths") {
+    val root = Files.createTempDirectory("graft-mordel")
+    root.toFile.deleteOnExit()
+    val t = morTable("mordel", root)
+    val before = dataState(t)
+    val v0 = SnapStore.currentVersion(t).get
+
+    spark.sql("DELETE FROM graft.mordel.t WHERE doc_id % 5 = 0 AND part = 2")
+
+    val m = SnapStore.currentManifest(t)
+    assert(m.version == v0 + 1 && m.operation == "delete-mor")
+    assert(dataState(t) == before,
+      "a MOR delete must not touch any data file")
+    val pos = m.deleteFiles.filter(_.kind == "pos")
+    assert(pos.nonEmpty, "the delete must commit position-delete files")
+    val expectedGone = docs.filter(col("doc_id") % 5 === 0 &&
+      col("part") === 2).count()
+    assert(pos.map(_.rows).sum == expectedGone,
+      s"pair count ${pos.map(_.rows).sum} != matched rows $expectedGone")
+    // refs recorded → reads route by manifest metadata.
+    assert(pos.forall(_.refs.nonEmpty))
+
+    val left = spark.sql("SELECT COUNT(*) AS n FROM graft.mordel.t")
+      .collect()(0).getLong(0)
+    assert(left == docs.count() - expectedGone)
+    // No survivor matches the predicate.
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.mordel.t " +
+      "WHERE doc_id % 5 = 0 AND part = 2").collect()(0).getLong(0) == 0L)
+    // The programmatic read path agrees.
+    assert(SnapStore.read(spark, t).count() == left)
+  }
+
+  // ----------------------------------------------------------------
+  test("MOR SQL MERGE: one snapshot carrying position deletes for " +
+    "matched rows AND new data files for updates+inserts; base files " +
+    "untouched; a second MERGE composes; fold repays the debt") {
+    val root = Files.createTempDirectory("graft-mormerge")
+    root.toFile.deleteOnExit()
+    val t = morTable("mormerge", root)
+    val before = dataState(t)
+    val baseCount = docs.count()
+
+    // Source: update every doc_id % 7 == 0 (flag its source), insert
+    // fresh ids above 100000.
+    docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("source", lit("merged"))
+      .unionByName(docs.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 100000L)
+        .withColumn("source", lit("inserted")))
+      .createOrReplaceTempView("mormerge_changes")
+
+    spark.sql("""MERGE INTO graft.mormerge.t AS tgt
+      USING mormerge_changes AS src ON tgt.doc_id = src.doc_id
+      WHEN MATCHED THEN UPDATE SET source = src.source
+      WHEN NOT MATCHED THEN INSERT (doc_id, part, source, text)
+        VALUES (src.doc_id, src.part, src.source, src.text)""")
+
+    val m = SnapStore.currentManifest(t)
+    assert(m.operation == "merge-mor")
+    // Base files all untouched; NEW files appended for the rewritten
+    // rows + inserts.
+    before.foreach { case (p, mtime) =>
+      assert(m.files.exists(_.path == p),
+        s"base file $p must survive a MOR merge")
+      assert(Files.getLastModifiedTime(t.resolve(p)) == mtime,
+        s"base file $p must not be rewritten")
+    }
+    assert(m.files.size > before.size, "updates/inserts land as NEW files")
+    val pos = m.deleteFiles.filter(_.kind == "pos")
+    val matched = docs.filter(col("doc_id") % 7 === 0).count()
+    assert(pos.map(_.rows).sum == matched,
+      "matched rows suppress via position deletes")
+
+    val merged = spark.sql("SELECT COUNT(*) AS n FROM graft.mormerge.t " +
+      "WHERE source = 'merged'").collect()(0).getLong(0)
+    assert(merged == matched)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.mormerge.t")
+      .collect()(0).getLong(0) == baseCount + 10)
+
+    // Updated rows keep their other columns.
+    val sample = spark.sql("SELECT text FROM graft.mormerge.t " +
+      "WHERE doc_id = 7").collect()(0).getString(0)
+    val orig = docs.filter(col("doc_id") === 7).select("text")
+      .collect()(0).getString(0)
+    assert(sample == orig, "non-SET columns must carry through the update")
+
+    // applyDeletes folds the MOR debt; contents identical after.
+    val afterFold = SnapStore.applyDeletes(spark, t, "part")
+    assert(afterFold.deleteFiles.isEmpty)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.mormerge.t " +
+      "WHERE source = 'merged'").collect()(0).getLong(0) == matched)
+  }
+
+  // ----------------------------------------------------------------
+  test("MOR SQL UPDATE: split delete+insert — one snapshot, position " +
+    "deletes + replacement rows as new files, base untouched") {
+    val root = Files.createTempDirectory("graft-morupd")
+    root.toFile.deleteOnExit()
+    val t = morTable("morupd", root)
+    val before = dataState(t)
+
+    spark.sql("UPDATE graft.morupd.t SET source = 'upd' " +
+      "WHERE doc_id % 9 = 1")
+
+    val m = SnapStore.currentManifest(t)
+    assert(m.operation == "update-mor")
+    before.foreach { case (p, mtime) =>
+      assert(m.files.exists(_.path == p) &&
+        Files.getLastModifiedTime(t.resolve(p)) == mtime,
+        s"base file $p must survive a MOR update untouched")
+    }
+    val touched = docs.filter(col("doc_id") % 9 === 1).count()
+    assert(m.deleteFiles.filter(_.kind == "pos").map(_.rows).sum == touched)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.morupd.t " +
+      "WHERE source = 'upd'").collect()(0).getLong(0) == touched)
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.morupd.t")
+      .collect()(0).getLong(0) == docs.count())
+    // Partition column carried → partition counts unchanged.
+    val parts = spark.sql("SELECT part, COUNT(*) AS n FROM graft.morupd.t " +
+      "GROUP BY part ORDER BY part").collect().map(r => r.getLong(1)).toSeq
+    val expect = docs.groupBy("part").count().orderBy("part")
+      .collect().map(_.getLong(1)).toSeq
+    assert(parts == expect)
+  }
+
+  // ----------------------------------------------------------------
+  test("MOR DML guard rails: no-match DML is a full no-op, WAP " +
+    "staging refuses before side effects, unknown modes refuse, COW " +
+    "tables are unaffected by the dispatch") {
+    val root = Files.createTempDirectory("graft-morguard")
+    root.toFile.deleteOnExit()
+    val t = morTable("morguard", root)
+    val v0 = SnapStore.currentVersion(t).get
+
+    // No-match DELETE: no snapshot.
+    spark.sql("DELETE FROM graft.morguard.t WHERE doc_id < 0")
+    assert(SnapStore.currentVersion(t).contains(v0),
+      "a no-match MOR delete must not commit")
+
+    // WAP branch staging refuses at operation build.
+    spark.conf.set("spark.graft.wap.branch", "morstage")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("DELETE FROM graft.morguard.t WHERE doc_id = 1")
+      }
+      assert(e.getMessage.contains("merge-on-read"), e.getMessage)
+      assert(SnapStore.branchHead(t, "morstage").isEmpty,
+        "the refusal must not fork the branch")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+
+    // Unknown mode value refuses loudly.
+    spark.sql("ALTER TABLE graft.morguard.t SET TBLPROPERTIES " +
+      "('write.delete.mode' = 'lazy')")
+    val e2 = intercept[Exception] {
+      spark.sql("DELETE FROM graft.morguard.t WHERE doc_id = 1")
+    }
+    assert(e2.getMessage.contains("unknown write.delete.mode"),
+      e2.getMessage)
+    spark.sql("ALTER TABLE graft.morguard.t SET TBLPROPERTIES " +
+      "('write.delete.mode' = 'copy-on-write')")
+
+    // Explicit copy-on-write now routes the COW path (rewrites).
+    spark.sql("DELETE FROM graft.morguard.t WHERE doc_id % 13 = 2")
+    val m = SnapStore.currentManifest(t)
+    assert(m.deleteFiles.isEmpty || m.operation != "delete-mor",
+      "explicit COW mode must not write delete files")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.morguard.t " +
+      "WHERE doc_id % 13 = 2").collect()(0).getLong(0) == 0L)
+  }
+}
