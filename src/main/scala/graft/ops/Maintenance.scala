@@ -2667,6 +2667,52 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** `docs_stats`: the `compute_table_stats` / ANALYZE face (VERDICT
+    * r12 #3). v1 create → the CALL computes per-column NDV/null
+    * stats in one distributed agg and persists them beside the
+    * manifests (the CBO then consumes them — TableStatsSpec pins the
+    * SMJ→broadcast flip). The entry serves the LOW-cardinality
+    * columns, where the HLL sketch is exact and DuckDB recomputes
+    * the same counts.
+    */
+  def ensureDocsStats(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_stats")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    mount(s, dir)
+    t
+  }
+
+  def tableStats(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsStats(s, dir)
+    val res = s
+      .sql("CALL graft.system.compute_table_stats('maint.docs_stats')")
+      .filter(col("column").isin("part", "source", "doc_id"))
+    // The HLL sketch carries a published error bound, not exactness
+    // (±5% rsd) — the oracle face therefore checks each NDV against
+    // the EXACT distinct count within 10%, plus the exact null
+    // counts, as hash-stable booleans.
+    val exact = s.sql(
+      """SELECT CAST(COUNT(DISTINCT part) AS BIGINT) AS e_part,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS e_source,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS e_doc_id
+        |FROM graft.maint.docs_stats""".stripMargin)
+    res.crossJoin(broadcast(exact))
+      .withColumn("e", when(col("column") === "part", col("e_part"))
+        .when(col("column") === "source", col("e_source"))
+        .otherwise(col("e_doc_id")))
+      .select(col("column").as("col_name"), col("null_count"),
+        (abs(col("ndv") - col("e")) <=
+          greatest(lit(1L), col("e") / 10)).as("ndv_sane"))
+      .orderBy(col("col_name"))
+  }
+
+  val tableStatsOracle: String =
+    s"""SELECT col_name, CAST(0 AS BIGINT) AS null_count,
+       |  TRUE AS ndv_sane
+       |FROM (VALUES ('doc_id'), ('part'), ('source')) AS t(col_name)
+       |ORDER BY col_name""".stripMargin
+
   /** `docs_add`: the `add_files` onboarding lifecycle (VERDICT r11
     * #3). v1 create holds parts 0–3 only; parts 4–7 are written as a
     * PLAIN parquet directory outside the table → v2 `CALL
@@ -3315,6 +3361,9 @@ object Maintenance {
       "full MERGE clause surface: MATCHED DELETE, MATCHED UPDATE, " +
         "NOT MATCHED INSERT, NOT MATCHED BY SOURCE UPDATE in one " +
         "atomic replace snapshot"),
+    Q("maint_table_stats", tableStats, Some(tableStatsOracle),
+      "compute_table_stats: per-column NDV/null stats computed " +
+        "distributed, persisted, served to the CBO"),
     Q("maint_sql_delete_mor", sqlDeleteMor, Some(sqlDeleteMorOracle),
       "merge-on-read SQL DELETE (write.delete.mode): position-delete " +
         "file committed, zero data rewrite, reads net the pairs"),

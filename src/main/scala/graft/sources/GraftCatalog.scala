@@ -171,7 +171,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // table's metadata columns, which only the native face
           // advertises (Iceberg tables are always on the equivalent
           // native scan).
-          SnapStore.anyMergeOnRead(dir)
+          SnapStore.anyMergeOnRead(dir) ||
+          // Stored ANALYZE stats route native as well — only the
+          // native scan's DSv2 Statistics serves the column stats
+          // the CBO consumes (clean files keep their vectorized
+          // delegate readers either way).
+          SnapStore.hasColStats(dir)
         val underlying: Table =
           // A FILELESS snapshot (freshly CREATEd, or fully deleted)
           // serves an empty local scan under the manifest schema — a
@@ -1947,8 +1952,16 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
               */
             override def filterAttributes():
                 Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+              // Only when the projection RETAINS the source column:
+              // Spark's runtime-filtering rules resolve the reported
+              // attribute against the scan's OUTPUT, and a
+              // column-pruned scan that dropped it would fail
+              // analysis (surfaced by the CBO stats spec — a
+              // dimension projected to its join key alone).
               if (m.partCol.nonEmpty && PartTransforms.sourceTypeOpt(
-                PartTransforms.parse(m.partCol), m.schema).isDefined)
+                PartTransforms.parse(m.partCol), m.schema).isDefined &&
+                required.fieldNames.contains(
+                  PartTransforms.parse(m.partCol).source))
                 Array(org.apache.spark.sql.connector.expressions.Expressions
                   .column(PartTransforms.parse(m.partCol).source))
               else Array.empty
@@ -2003,6 +2016,33 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
               new org.apache.spark.sql.connector.read.Statistics {
                 override def sizeInBytes(): java.util.OptionalLong =
                   java.util.OptionalLong.of(pruned.map(_.bytes).sum)
+                /** Stored `compute_table_stats` output as DSv2 column
+                  * statistics (VERDICT r12 #3): NDV + null counts +
+                  * bounds feed Spark's CBO filter-selectivity
+                  * estimation, flipping join strategies (a filtered
+                  * dimension with a known NDV broadcasts instead of
+                  * sort-merge-joining). Served as computed — the
+                  * Iceberg staleness contract: stats describe the
+                  * snapshot they were ANALYZEd at until recomputed.
+                  */
+                override def columnStats(): java.util.Map[
+                    org.apache.spark.sql.connector.expressions.NamedReference,
+                    org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+                  val out = new java.util.HashMap[
+                    org.apache.spark.sql.connector.expressions.NamedReference,
+                    org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+                  SnapStore.tableColStats(dir).foreach { case (_, _, cols) =>
+                    cols.foreach { case (n, s) =>
+                      m.schema.fields.find(_.name == n).foreach { f =>
+                        out.put(
+                          org.apache.spark.sql.connector.expressions
+                            .Expressions.column(n),
+                          new GraftColumnStatistics(s, f.dataType))
+                      }
+                    }
+                  }
+                  out
+                }
                 override def numRows(): java.util.OptionalLong = {
                   // Subtract only the delete rows that can APPLY to
                   // the pruned subset (sequence-scoped eq, ref-routed
@@ -2044,6 +2084,47 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
           }
       }
     }
+}
+
+/** One column's stored stats served on the DSv2 column-statistics
+  * face: rendered min/max bounds parse back to the CATALYST value
+  * form the CBO's estimation expects (int/long/double boxed
+  * primitives, dates as epoch days) — unparseable or unsupported
+  * types simply omit the bound, never lie.
+  */
+private[graft] final class GraftColumnStatistics(s: SnapStore.ColStat,
+    dt: org.apache.spark.sql.types.DataType)
+    extends org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+  private def parse(v: String): Option[Object] = try {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType => Some(java.lang.Integer.valueOf(v.toInt))
+      case LongType => Some(java.lang.Long.valueOf(v.toLong))
+      case ShortType => Some(java.lang.Short.valueOf(v.toShort))
+      case DoubleType => Some(java.lang.Double.valueOf(v.toDouble))
+      case FloatType => Some(java.lang.Float.valueOf(v.toFloat))
+      case DateType => Some(java.lang.Integer.valueOf(
+        java.time.LocalDate.parse(v).toEpochDay.toInt))
+      case _: DecimalType =>
+        Some(org.apache.spark.sql.types.Decimal(BigDecimal(v)))
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
+  private def opt(v: Option[String]): java.util.Optional[Object] =
+    v.flatMap(parse) match {
+      case Some(x) => java.util.Optional.of(x)
+      case None => java.util.Optional.empty()
+    }
+  override def distinctCount(): java.util.OptionalLong =
+    java.util.OptionalLong.of(s.ndv)
+  override def nullCount(): java.util.OptionalLong =
+    java.util.OptionalLong.of(s.nulls)
+  override def avgLen(): java.util.OptionalLong =
+    java.util.OptionalLong.of(s.avgLen)
+  override def maxLen(): java.util.OptionalLong =
+    java.util.OptionalLong.of(s.maxLen)
+  override def min(): java.util.Optional[Object] = opt(s.min)
+  override def max(): java.util.Optional[Object] = opt(s.max)
 }
 
 /** The group-based copy-on-write row-level operation behind SQL

@@ -147,6 +147,24 @@ object GraftProcedures {
         SnapStore.ancestorsOf(dir, v)
           .map { case (ver, ts) => Array[Any](ver, ts) }.toArray
       }),
+    // Iceberg compute_table_stats (ANALYZE): one distributed agg
+    // computing per-column NDV/null/bounds statistics, persisted
+    // beside the manifests and served to Spark's CBO through the
+    // scan's DSv2 column statistics (VERDICT r12 #3). One row per
+    // column.
+    "compute_table_stats" -> new RowsProc("compute_table_stats",
+      Array(str("table")),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("ndv", LongType, nullable = false),
+        StructField("null_count", LongType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val (_, stats) = SnapStore.computeTableStats(spark, dir)
+        stats.toSeq.sortBy(_._1).map { case (n, s) =>
+          Array[Any](u(n), s.ndv, s.nulls)
+        }.toArray
+      }),
     // Iceberg expire_snapshots: drop old manifests + orphaned files.
     "expire_snapshots" -> new Proc("expire_snapshots",
       Array(str("table"), int("retain_last")),

@@ -2746,6 +2746,119 @@ object SnapStore {
       tableProperties(table).get(s"write.$c.mode")
         .contains("merge-on-read"))
 
+  /** One column's stored statistics (the `compute_table_stats`
+    * output): NDV, null count, string lengths, and — for
+    * order-comparable primitives — rendered min/max bounds.
+    */
+  final case class ColStat(ndv: Long, nulls: Long, avgLen: Long,
+      maxLen: Long, min: Option[String], max: Option[String])
+
+  private def colStatsPath(table: Path): Path =
+    snapDir(table).resolve("colstats")
+
+  /** `compute_table_stats` (VERDICT r12 #3 — Iceberg's ANALYZE
+    * procedure writing NDV sketches for the CBO): ONE distributed
+    * aggregation over the table's CURRENT delete-aware contents
+    * computes per-column approx NDV (HLL — the same sketch family
+    * Iceberg's puffin theta files carry), null counts, string length
+    * stats, and numeric/date bounds, persisted beside the manifests.
+    * Scans then surface them as DSv2 column statistics
+    * ([[BridgedReadTable]]), which Spark's CBO folds into filter
+    * selectivity and join-strategy choices — the difference between
+    * broadcasting a filtered dimension and sort-merge-joining it at
+    * 100 TB. Stats are stamped with the snapshot version they were
+    * computed at and serve until recomputed (Iceberg's staleness
+    * contract).
+    */
+  def computeTableStats(spark: SparkSession, table: Path,
+      columns: Seq[String] = Seq.empty): (Long, Map[String, ColStat]) = {
+    val m = currentManifest(table)
+    val cols =
+      if (columns.isEmpty) m.schema.fields.toSeq.map(_.name)
+      else {
+        columns.foreach(c => require(m.schema.fieldNames.contains(c),
+          s"no column '$c' in ${m.schema.fieldNames.mkString(", ")}"))
+        columns
+      }
+    def bounded(dt: DataType): Boolean = dt match {
+      case _: NumericType | DateType | TimestampType => true
+      case _ => false
+    }
+    val df = read(spark, table)
+    val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { n =>
+      val c = col(n)
+      Seq(approx_count_distinct(c).as(s"__ndv_$n"),
+        count(when(c.isNull, lit(1))).as(s"__nulls_$n")) ++
+        (m.schema(n).dataType match {
+          case dt if bounded(dt) =>
+            Seq(min(c).cast("string").as(s"__min_$n"),
+              max(c).cast("string").as(s"__max_$n"))
+          case org.apache.spark.sql.types.StringType =>
+            Seq(ceil(avg(length(c))).as(s"__avg_$n"),
+              max(length(c)).cast("long").as(s"__maxl_$n"))
+          case _ => Seq.empty
+        })
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def lng(name: String): Long =
+      if (row.isNullAt(row.fieldIndex(name))) 0L
+      else row.getAs[Number](name).longValue()
+    def str(name: String): Option[String] =
+      if (!row.schema.fieldNames.contains(name) ||
+        row.isNullAt(row.fieldIndex(name))) None
+      else Some(row.getAs[Any](name).toString)
+    val rows = lng("__rows")
+    val stats = cols.map { n =>
+      val hasLen = row.schema.fieldNames.contains(s"__avg_$n")
+      n -> ColStat(lng(s"__ndv_$n"), lng(s"__nulls_$n"),
+        if (hasLen) lng(s"__avg_$n") else 8L,
+        if (hasLen) lng(s"__maxl_$n") else 8L,
+        str(s"__min_$n"), str(s"__max_$n"))
+    }.toMap
+    // Persist atomically (write tmp + move), one line per column.
+    val sb = new StringBuilder
+    sb.append(s"version=${m.version}\n").append(s"rows=$rows\n")
+    cols.foreach { n =>
+      val s = stats(n)
+      sb.append(s"col=$n\t${s.ndv}\t${s.nulls}\t${s.avgLen}\t${s.maxLen}" +
+        s"\t${s.min.getOrElse("")}\t${s.max.getOrElse("")}\n")
+    }
+    val tmp = snapDir(table).resolve(
+      s".colstats-tmp-${UUID.randomUUID().toString.take(8)}")
+    Files.createDirectories(snapDir(table))
+    Files.write(tmp, sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.move(tmp, colStatsPath(table), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    (rows, stats)
+  }
+
+  /** The stored column statistics, if computed: (stamped version,
+    * row count, per-column stats). Absent until
+    * `compute_table_stats` runs.
+    */
+  def tableColStats(table: Path): Option[(Int, Long, Map[String, ColStat])] = {
+    val p = colStatsPath(table)
+    if (!Files.exists(p)) return None
+    val lines = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").toSeq.filter(_.nonEmpty)
+    val kv = lines.filter(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    val cols = lines.filter(_.startsWith("col=")).map { l =>
+      val parts = l.substring(4).split("\t", -1)
+      parts(0) -> ColStat(parts(1).toLong, parts(2).toLong,
+        parts(3).toLong, parts(4).toLong,
+        Some(parts(5)).filter(_.nonEmpty), Some(parts(6)).filter(_.nonEmpty))
+    }.toMap
+    Some((kv("version").toInt, kv("rows").toLong, cols))
+  }
+
+  /** Whether stored column stats exist — the load-time signal to
+    * route the read face native so the scan can surface them.
+    */
+  private[sources] def hasColStats(table: Path): Boolean =
+    Files.exists(colStatsPath(table))
+
   /** The partition-bound ordering for a column, if prunable. */
   private[graft] def partOrdering(schema: StructType,
       partCol: String): Option[Ordering[String]] = {
