@@ -735,7 +735,10 @@ object SnapStore {
     // sort-order rewrite exists to buy.
     df.repartitionByRange(numFiles, cluster: _*)
       .sortWithinPartitions(cluster: _*)
-      .write.mode("overwrite").parquet(tmp.toString)
+      // `write.parquet.compression-codec` (table property) drives the
+      // codec on every owned data write.
+      .write.options(parquetWriteOptions(table))
+      .mode("overwrite").parquet(tmp.toString)
     val stream = Files.list(tmp)
     val written =
       try stream.iterator().asScala
@@ -1533,7 +1536,8 @@ object SnapStore {
     Files.createDirectories(dataDir)
     val tmp = table.resolve(s".$prefix-tmp-${ProcessHandle.current().pid()}" +
       s"-${UUID.randomUUID().toString.take(8)}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    df.write.options(parquetWriteOptions(table))
+      .mode("overwrite").parquet(tmp.toString)
     val parts = {
       val stream = Files.list(tmp)
       try stream.iterator().asScala
@@ -1695,7 +1699,8 @@ object SnapStore {
   private def deletePositionsParquet(spark: SparkSession, table: Path,
       cur: Manifest, v: Int, hits: DataFrame, dataDir: Path,
       tmp: Path): (Manifest, Seq[FileEntry], Boolean) = {
-    hits.write.mode("overwrite").parquet(tmp.toString)
+    hits.write.options(parquetWriteOptions(table))
+      .mode("overwrite").parquet(tmp.toString)
     val parts = {
       val stream = Files.list(tmp)
       try stream.iterator().asScala
@@ -2937,6 +2942,14 @@ object SnapStore {
     */
   def compact(spark: SparkSession, table: Path, partCol: String,
       targetBytes: Long, where: Option[Column] = None): Manifest = {
+    // A non-positive target defers to the table's
+    // `write.target-file-size-bytes` property (Iceberg's write
+    // property — the per-table default real deployments set), falling
+    // back to Iceberg's stock 512 MB.
+    val target =
+      if (targetBytes > 0) targetBytes
+      else tableProperties(table).get("write.target-file-size-bytes")
+        .map(_.toLong).getOrElse(512L * 1024 * 1024)
     // Legacy refs-less position-delete probes are commit-INDEPENDENT
     // (a delete parquet is immutable once committed): memoize across
     // retry attempts so a contended commit doesn't re-read every
@@ -2985,7 +2998,7 @@ object SnapStore {
     val bins = scala.collection.mutable.ArrayBuffer(
       scala.collection.mutable.ArrayBuffer.empty[FileEntry])
     sorted.foreach { f =>
-      if (bins.last.nonEmpty && bins.last.map(_.bytes).sum + f.bytes > targetBytes)
+      if (bins.last.nonEmpty && bins.last.map(_.bytes).sum + f.bytes > target)
         bins += scala.collection.mutable.ArrayBuffer.empty[FileEntry]
       bins.last += f
     }
@@ -3020,7 +3033,8 @@ object SnapStore {
           .repartition(multis.size, col("__bin"))
           .sortWithinPartitions(col("__bin"),
             PartTransforms.exprFor(PartTransforms.parse(partCol), cur.schema))
-          .write.partitionBy("__bin").mode("overwrite").parquet(tmp.toString)
+          .write.options(parquetWriteOptions(table))
+          .partitionBy("__bin").mode("overwrite").parquet(tmp.toString)
         val dataDir = table.resolve("data")
         val moved = multis.indices.flatMap { i =>
           val binDir = tmp.resolve(s"__bin=$i")
