@@ -2713,6 +2713,65 @@ object Maintenance {
        |FROM (VALUES ('doc_id'), ('part'), ('source')) AS t(col_name)
        |ORDER BY col_name""".stripMargin
 
+  /** `docs_lineage`: Iceberg v3 ROW LINEAGE (VERDICT r12 #5). v1
+    * create assigns file-level first-row-ids at commit (`_row_id` =
+    * `first_row_id + _pos`, the v3 inheritance scheme) → v2
+    * merge-on-read SQL UPDATE re-sources every `%23==1` doc — base
+    * files untouched, so unchanged rows keep their ids EXACTLY while
+    * the rewritten rows land as new rows with fresh ids and
+    * `_last_updated_sequence_number = 2` → v3 compaction folds the
+    * whole layout, MATERIALIZING each row's id/sequence into the
+    * rewritten files (bin-packing reorders rows, so derivation alone
+    * could not survive). The entry groups by the last-updated
+    * sequence: the per-group counts and DISTINCT-id counts are
+    * deterministic, proving ids carried the compact and sequences
+    * bumped on exactly the updated rows (RowLineageSpec pins the
+    * per-doc stability).
+    */
+  def ensureDocsLineage(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_lineage")
+    if (SnapStore.currentVersion(t).isEmpty) {
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+      SnapStore.setProperties(t,
+        Map("write.update.mode" -> "merge-on-read"))
+    }
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).contains(1)) {
+      s.sql("UPDATE graft.maint.docs_lineage SET source = 'linU' " +
+        "WHERE doc_id % 23 = 1")
+      require(SnapStore.currentManifest(t).operation == "update-mor")
+    }
+    if (SnapStore.currentVersion(t).contains(2)) {
+      SnapStore.compact(s, t, partCol, Long.MaxValue)
+      require(SnapStore.currentManifest(t).files.forall(_.lineage),
+        "the compact must materialize row lineage")
+    }
+    t
+  }
+
+  def rowLineage(s: SparkSession, dir: String): DataFrame = {
+    val t = ensureDocsLineage(s, dir)
+    val v = SnapStore.currentVersion(t).get
+    s.read.format("graft.sources.SnapReadSource")
+      .option("dir", t.toString).option("version", v).load()
+      .groupBy(col("_last_updated_sequence_number").as("last_seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("_row_id")).as("n_ids"))
+      .orderBy(col("last_seq"))
+  }
+
+  val rowLineageOracle: String =
+    s"""SELECT CAST(1 AS BIGINT) AS last_seq,
+       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 23 != 1)
+       |    AS n_docs,
+       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 23 != 1)
+       |    AS n_ids
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT),
+       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 23 = 1),
+       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 23 = 1)
+       |ORDER BY last_seq""".stripMargin
+
   /** `docs_add`: the `add_files` onboarding lifecycle (VERDICT r11
     * #3). v1 create holds parts 0–3 only; parts 4–7 are written as a
     * PLAIN parquet directory outside the table → v2 `CALL
@@ -3361,6 +3420,10 @@ object Maintenance {
       "full MERGE clause surface: MATCHED DELETE, MATCHED UPDATE, " +
         "NOT MATCHED INSERT, NOT MATCHED BY SOURCE UPDATE in one " +
         "atomic replace snapshot"),
+    Q("maint_row_lineage", rowLineage, Some(rowLineageOracle),
+      "v3 row lineage: ids assigned at commit, stable across a " +
+        "compact (materialized), last-updated sequence bumps on the " +
+        "MOR update"),
     Q("maint_table_stats", tableStats, Some(tableStatsOracle),
       "compute_table_stats: per-column NDV/null stats computed " +
         "distributed, persisted, served to the CBO"),

@@ -85,13 +85,24 @@ object SnapBatch {
   val MetaPos = "_pos"
   val MetaPartition = "_partition"
   val MetaSpec = "_spec"
-  val MetaNames: Seq[String] = Seq(MetaFile, MetaPos, MetaPartition, MetaSpec)
+  /** Iceberg v3 row lineage: `_row_id` = the file's assigned
+    * `first_row_id + _pos` (or the row's materialized id after a
+    * rewrite carried it), `_last_updated_sequence_number` = the
+    * commit sequence that last wrote the row. NULL for files that
+    * predate lineage assignment.
+    */
+  val MetaRowId = "_row_id"
+  val MetaLastSeq = "_last_updated_sequence_number"
+  val MetaNames: Seq[String] =
+    Seq(MetaFile, MetaPos, MetaPartition, MetaSpec, MetaRowId, MetaLastSeq)
   def metaField(name: String): StructField = name match {
     case MetaFile => StructField(MetaFile, StringType, nullable = false)
     case MetaPos => StructField(MetaPos, LongType, nullable = false)
     case MetaPartition =>
       StructField(MetaPartition, StringType, nullable = true)
     case MetaSpec => StructField(MetaSpec, StringType, nullable = false)
+    case MetaRowId => StructField(MetaRowId, LongType, nullable = true)
+    case MetaLastSeq => StructField(MetaLastSeq, LongType, nullable = true)
     case other => throw new IllegalArgumentException(
       s"unknown metadata column '$other'")
   }
@@ -499,6 +510,8 @@ final class SnapNativeBatch(
   // after the data columns — the order the scan's readSchema
   // advertises them.
   private val wantPos = metaCols.contains(SnapBatch.MetaPos)
+  private val wantRowId = metaCols.contains(SnapBatch.MetaRowId)
+  private val wantLastSeq = metaCols.contains(SnapBatch.MetaLastSeq)
 
   // Affected-file routing from manifest metadata (DeleteFile.refs);
   // legacy refs-less entries pay one distinct scan of the delete
@@ -511,12 +524,16 @@ final class SnapNativeBatch(
     * the entry and the manifest, so every batch instance of one scan
     * computes the identical treatment table.
     */
-  private def treatmentOf(f: SnapStore.FileEntry): (Int, Seq[String], Boolean) =
+  private def treatmentOf(f: SnapStore.FileEntry):
+      (Int, Seq[String], Boolean, Boolean) =
     (evos.count(_.seq > f.seq),
       eqDeletes.filter(_.seq > f.seq).map(_.path),
-      posAffected(fileName(f.path)))
+      posAffected(fileName(f.path)),
+      // Materialized-lineage files need their physical lineage
+      // columns in the read schema when lineage columns are asked.
+      f.lineage)
 
-  private def isClean(t: (Int, Seq[String], Boolean)): Boolean =
+  private def isClean(t: (Int, Seq[String], Boolean, Boolean)): Boolean =
     metaCols.isEmpty && t._1 == 0 && t._2.isEmpty && !t._3
 
   /** The stable treatment table, derived from the FULL statics
@@ -525,10 +542,10 @@ final class SnapNativeBatch(
     * static file lists the clean-delegate factories are built over.
     */
   private lazy val staticsByTreatment:
-      Seq[((Int, Seq[String], Boolean), Seq[SnapStore.FileEntry])] =
+      Seq[((Int, Seq[String], Boolean, Boolean), Seq[SnapStore.FileEntry])] =
     statics.groupBy(treatmentOf).toSeq.sortBy(_._1.toString())
 
-  private lazy val treatments: Seq[(Int, Seq[String], Boolean)] =
+  private lazy val treatments: Seq[(Int, Seq[String], Boolean, Boolean)] =
     staticsByTreatment.map(_._1)
 
   private def cleanDelegateBuilder(
@@ -617,7 +634,7 @@ final class SnapNativeBatch(
         SnapCleanGroup(scan.toBatch.createReaderFactory(), conv)
           : SnapGroupSpec
       } else {
-        val (k, eqs, posHit) = t
+        val (k, eqs, posHit, hasLin) = t
         val applicable = evos.takeRight(k)
         val written = SnapStore.readSchemaFor(m, applicable)
         val idxOf = m.schema.fieldNames.zipWithIndex.toMap
@@ -634,8 +651,17 @@ final class SnapNativeBatch(
         // an error before its row-index generator ever looks at the
         // name; nullable routes it to missingColumns, which the
         // generator then fills.
-        val needRowIdx = posHit || wantPos
-        val readSchema = StructType(readFields ++ (if (needRowIdx)
+        // Materialized lineage columns read physically from files
+        // that carry them; derivable files synthesize from the row
+        // index instead.
+        val matLin = hasLin && (wantRowId || wantLastSeq)
+        val needRowIdx = posHit || wantPos || (wantRowId && !matLin)
+        val matFields =
+          if (matLin)
+            Seq(StructField(SnapBatch.MetaRowId, LongType, nullable = true),
+              StructField(SnapBatch.MetaLastSeq, LongType, nullable = true))
+          else Nil
+        val readSchema = StructType(readFields ++ matFields ++ (if (needRowIdx)
           Seq(StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
             LongType, nullable = true)) else Nil))
         val readerFunc = SnapBatch.rowReader(spark, written, readSchema)
@@ -676,9 +702,13 @@ final class SnapNativeBatch(
         SnapAffectedGroup(readerFunc, outExprs, keyExpr,
           if (eqs.nonEmpty) Some(eqLoadOf(eqs)) else None,
           keyIdx.map(ki => m.schema.fields(ki).dataType),
-          if (needRowIdx) Some(readFields.length) else None,
+          if (needRowIdx) Some(readFields.length + matFields.length)
+          else None,
           if (posHit) Some(posLoad) else None,
-          metaCols): SnapGroupSpec
+          metaCols,
+          rowIdOrd = if (matLin) Some(readFields.length) else None,
+          lastSeqOrd = if (matLin) Some(readFields.length + 1) else None)
+          : SnapGroupSpec
       }
     }.toArray
   }
@@ -750,7 +780,7 @@ final class SnapNativeBatch(
               dir.resolve(f.path).toString, fileName(f.path),
               off, len, f.bytes,
               if (f.partMin == f.partMax) Some(f.partMin) else None,
-              f.specCol))
+              f.specCol, f.firstRowId, f.seq))
             off += len
           }
         }
@@ -774,7 +804,9 @@ private final case class SnapAffectedGroup(
     keyType: Option[DataType],
     rowIdxOrd: Option[Int],
     posLoad: Option[SnapDeleteLoad],
-    metaCols: Seq[String] = Seq.empty) extends SnapGroupSpec
+    metaCols: Seq[String] = Seq.empty,
+    rowIdOrd: Option[Int] = None,
+    lastSeqOrd: Option[Int] = None) extends SnapGroupSpec
 
 private final case class SnapCleanPartition(group: Int,
     inner: InputPartition) extends InputPartition {
@@ -785,7 +817,8 @@ private final case class SnapCleanPartition(group: Int,
 private final case class SnapFilePartitionOfGroup(group: Int,
     path: String, fileName: String, start: Long, length: Long,
     fileSize: Long, partValue: Option[String] = None,
-    specCol: String = "") extends InputPartition
+    specCol: String = "", firstRowId: Long = -1L,
+    fileSeq: Int = 0) extends InputPartition
 
 private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
     columnar: Boolean, schema: StructType)
@@ -804,7 +837,7 @@ private final class SnapDispatchFactory(groups: Array[SnapGroupSpec],
           case Some(exprs) => new SnapProjectingReader(r, exprs)
         }
       case fp @ SnapFilePartitionOfGroup(g, path, _, start, length,
-          size, _, _) =>
+          size, _, _, _, _) =>
         val spec = groups(g).asInstanceOf[SnapAffectedGroup]
         val pf = PartitionedFile(InternalRow.empty,
           SparkPath.fromPathString(path), start, length,
@@ -923,6 +956,31 @@ private final class SnapAffectedReader(
       case SnapBatch.MetaSpec =>
         org.apache.spark.sql.catalyst.expressions.Literal(
           UTF8String.fromString(part.specCol), StringType): Expression
+      case SnapBatch.MetaRowId =>
+        // Materialized (rewritten) files serve the stored id; plain
+        // files derive first_row_id + ordinal (v3 inheritance);
+        // pre-lineage files honestly serve NULL.
+        spec.rowIdOrd match {
+          case Some(o) => BoundReference(o, LongType, nullable = true)
+            : Expression
+          case None =>
+            if (part.firstRowId < 0L)
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                null, LongType): Expression
+            else org.apache.spark.sql.catalyst.expressions.Add(
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                part.firstRowId, LongType),
+              BoundReference(spec.rowIdxOrd.get, LongType,
+                nullable = false)): Expression
+        }
+      case SnapBatch.MetaLastSeq =>
+        spec.lastSeqOrd match {
+          case Some(o) => BoundReference(o, LongType, nullable = true)
+            : Expression
+          case None =>
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              part.fileSeq.toLong, LongType): Expression
+        }
       case other => throw new IllegalStateException(
         s"unknown metadata column '$other'")
     })

@@ -94,7 +94,8 @@ object SnapStore {
     */
   final case class FileEntry(path: String, partMin: String, partMax: String,
       rows: Long, bytes: Long, specCol: String = "", seq: Int = 1,
-      keyMin: String = "", keyMax: String = "")
+      keyMin: String = "", keyMax: String = "",
+      firstRowId: Long = -1L, lineage: Boolean = false)
 
   /** A delete file (Iceberg v2 merge-on-read). `kind` is `"eq"` — a
     * small parquet of deleted key values, applied to every data file
@@ -147,7 +148,8 @@ object SnapStore {
       deleteFiles: Seq[DeleteFile] = Seq.empty, keyCol: String = "",
       evos: Seq[Evo] = Seq.empty,
       groups: Seq[(String, Seq[FileEntry])] = Seq.empty,
-      instantMs: Long = 0L)
+      instantMs: Long = 0L,
+      nextRowId: Long = -1L)
 
   private def snapDir(table: Path): Path = table.resolve("_snapshots")
   private def manifestPath(table: Path, v: Int): Path =
@@ -253,7 +255,9 @@ object SnapStore {
       if (parts.length > 5) parts(5) else "",
       if (parts.length > 6) parts(6).toInt else 1,
       if (parts.length > 7) dec(parts(7)) else "",
-      if (parts.length > 8) dec(parts(8)) else "")
+      if (parts.length > 8) dec(parts(8)) else "",
+      if (parts.length > 9) parts(9).toLong else -1L,
+      if (parts.length > 10) parts(10) == "1" else false)
   }
 
   /** Parsed manifest-group files, by absolute path. Group files are
@@ -326,6 +330,10 @@ object SnapStore {
       opt("partcol"), dfiles, opt("keycol"), evos, groups,
       instantMs = opt("instant") match {
         case "" => 0L
+        case s => s.toLong
+      },
+      nextRowId = opt("nextrowid") match {
+        case "" => -1L
         case s => s.toLong
       })
   }
@@ -443,7 +451,7 @@ object SnapStore {
   private def fileLine(f: FileEntry): String =
     s"file=${f.path}\t${enc(f.partMin)}\t${enc(f.partMax)}\t${f.rows}" +
       s"\t${f.bytes}\t${f.specCol}\t${f.seq}\t${enc(f.keyMin)}" +
-      s"\t${enc(f.keyMax)}"
+      s"\t${enc(f.keyMax)}\t${f.firstRowId}\t${if (f.lineage) 1 else 0}"
 
   /** The inline (degenerate single-file) snapshot body; `refs`
     * switches the FILES section to manifest-list references.
@@ -461,6 +469,7 @@ object SnapStore {
         if (m.instantMs > 0) m.instantMs else System.currentTimeMillis()}\n")
       .append(s"schema=${m.schema.json}\n")
     if (m.partCol.nonEmpty) body.append(s"partcol=${m.partCol}\n")
+    if (m.nextRowId >= 0L) body.append(s"nextrowid=${m.nextRowId}\n")
     if (m.keyCol.nonEmpty) body.append(s"keycol=${m.keyCol}\n")
     refs match {
       case None =>
@@ -585,8 +594,36 @@ object SnapStore {
     (refs, written.toSeq)
   }
 
-  private def tryCommitManifest(table: Path, m: Manifest,
+  /** Iceberg v3 ROW LINEAGE assignment, applied to every MAIN-chain
+    * commit as it installs: data files without a first-row-id get one
+    * from the table's `next-row-id` counter (carried entries keep
+    * theirs — builders copy manifests by value, so an id assigned
+    * once rides every later snapshot), and the counter advances by
+    * the assigned row counts. A row's `_row_id` is then
+    * `first_row_id + _pos`, with no per-row storage — exactly the
+    * v3 inheritance scheme. Files whose rows carry MATERIALIZED
+    * lineage columns (compaction outputs — the ids could not stay
+    * derivable across the rewrite) skip assignment: their ids live
+    * in the data.
+    */
+  private def withRowLineage(table: Path, m: Manifest): Manifest = {
+    val assignedMax = m.files.filter(_.firstRowId >= 0L)
+      .map(f => f.firstRowId + f.rows).foldLeft(0L)(math.max)
+    val parentNext =
+      if (m.parent <= 0) 0L
+      else scala.util.Try(manifest(table, m.parent).nextRowId)
+        .getOrElse(-1L)
+    var next = Seq(assignedMax, parentNext, 0L).max
+    val files = m.files.map { f =>
+      if (f.firstRowId >= 0L || f.lineage) f
+      else { val fr = next; next += f.rows; f.copy(firstRowId = fr) }
+    }
+    m.copy(files = files, nextRowId = next)
+  }
+
+  private def tryCommitManifest(table: Path, m0: Manifest,
       regroupEntries: Option[Int] = None): Boolean = {
+    val m = withRowLineage(table, m0)
     Files.createDirectories(snapDir(table))
     if (m.files.size <= InlineFileThreshold)
       return installExclusive(manifestPath(table, m.version), manifestBody(m))
@@ -948,9 +985,17 @@ object SnapStore {
     * to the files it names.
     */
   private[sources] def scanWithDeletes(spark: SparkSession, table: Path,
-      m: Manifest, fs: Seq[FileEntry]): DataFrame = {
+      m: Manifest, fs: Seq[FileEntry],
+      lineageFields: Seq[StructField] = Seq.empty): DataFrame = {
+    // `lineageFields` keeps the row ordinal and reads the physical
+    // lineage columns of files that carry them — the compaction
+    // rewrite derives carried `_row_id`s from either.
+    val keepCols = (m.schema.fieldNames.toSeq :+ "__fn") ++
+      (if (lineageFields.nonEmpty) "__ri" +: lineageFields.map(_.name)
+       else Seq.empty)
     if (m.deleteFiles.isEmpty)
-      return scanFiles(spark, table, m, fs, withMeta = true).drop("__ri")
+      return scanFiles(spark, table, m, fs, withMeta = true,
+        extraFields = lineageFields).select(keepCols.map(col): _*)
     val eqDeletes = m.deleteFiles.filter(_.kind == "eq")
     val posDeletes = m.deleteFiles.filter(_.kind == "pos")
     lazy val posPairsDf: DataFrame =
@@ -962,7 +1007,8 @@ object SnapStore {
       (eqDeletes.filter(_.seq > f.seq).map(_.path),
         posAffected(fileName(f.path))))
     groups.map { case ((eqs, posHit), gfs) =>
-      var df = scanFiles(spark, table, m, gfs, withMeta = true)
+      var df = scanFiles(spark, table, m, gfs, withMeta = true,
+        extraFields = lineageFields)
       if (posHit) {
         val pd =
           if (posRows <= BroadcastDeleteRows) broadcast(posPairsDf)
@@ -982,7 +1028,7 @@ object SnapStore {
           else dk0
         df = df.join(dk, df(kc) === col("__delk"), "left_anti")
       }
-      df.select((m.schema.fieldNames.toSeq :+ "__fn").map(col): _*)
+      df.select(keepCols.map(col): _*)
     }.reduce(_ unionByName _)
   }
 
@@ -1033,10 +1079,11 @@ object SnapStore {
     */
   private[graft] def scanFiles(spark: SparkSession, table: Path,
       m: Manifest, fs: Seq[FileEntry],
-      withMeta: Boolean = false): DataFrame = {
+      withMeta: Boolean = false,
+      extraFields: Seq[StructField] = Seq.empty): DataFrame = {
     val metaFields = Seq(
       StructField("__fn", StringType, nullable = false),
-      StructField("__ri", LongType, nullable = false))
+      StructField("__ri", LongType, nullable = false)) ++ extraFields
     if (fs.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1046,10 +1093,15 @@ object SnapStore {
     // onto the conversion path (reads are schema-driven).
     val evos = m.evos.filter(_.kind != "drop").sortBy(_.seq)
     val metaCols =
-      if (withMeta) Seq(col("__fn"), col("__ri")) else Seq.empty[Column]
+      if (withMeta) Seq(col("__fn"), col("__ri")) ++
+        extraFields.map(f => col(f.name))
+      else Seq.empty[Column]
     fs.groupBy(f => evos.count(_.seq > f.seq)).toSeq.map { case (k, gfs) =>
       val applicable = evos.takeRight(k)
-      var df = spark.read.schema(readSchemaFor(m, applicable))
+      // `extraFields` (nullable) read physically when a file carries
+      // them, null otherwise — the materialized-lineage read path.
+      var df = spark.read.schema(StructType(
+          readSchemaFor(m, applicable).fields ++ extraFields))
         .parquet(gfs.map(f => table.resolve(f.path).toString): _*)
       if (withMeta) df = df
         .withColumn("__fn", col("_metadata.file_name"))
@@ -3007,6 +3059,19 @@ object SnapStore {
     // path, same stats, same sequence — byte-identical on disk.
     val carried = outside ++ bins.filter(_.size == 1).flatten.toSeq
     val multis = bins.filter(_.size > 1).map(_.toSeq).toSeq
+    // ROW-LINEAGE carry (Iceberg v3): bin-packing reorders rows, so
+    // derived `first_row_id + _pos` ids would change — MATERIALIZE
+    // each row's id and last-updated sequence into the rewritten
+    // files instead (from the source file's derivation, or its own
+    // materialized columns if it was itself a compaction output).
+    // Only when every source carries lineage and the names are free.
+    val linFields = Seq(
+      StructField("_row_id", LongType, nullable = true),
+      StructField("_last_updated_sequence_number", LongType,
+        nullable = true))
+    val lineageable = multis.flatten.nonEmpty &&
+      multis.flatten.forall(f => f.firstRowId >= 0L || f.lineage) &&
+      linFields.forall(lf => !cur.schema.fieldNames.contains(lf.name))
     val rewritten: Seq[FileEntry] =
       if (multis.isEmpty) Seq.empty
       else {
@@ -3026,7 +3091,27 @@ object SnapStore {
         // DELETE-AWARE: pending deletes applicable to a rewritten
         // file fold into its bin's output (a plain scan would
         // resurrect the suppressed rows).
-        scanWithDeletes(spark, table, cur, multis.flatten.toSeq)
+        val scanned0 = scanWithDeletes(spark, table, cur,
+          multis.flatten.toSeq,
+          lineageFields = if (lineageable) linFields else Seq.empty)
+        val scanned =
+          if (!lineageable) scanned0
+          else {
+            val lin = multis.flatten.toSeq
+              .map(f => (fileName(f.path),
+                if (f.firstRowId >= 0L) f.firstRowId else -1L,
+                f.seq.toLong))
+              .toDF("__fname0", "__fr", "__fseq")
+            scanned0
+              .join(broadcast(lin), col("__fn") === col("__fname0"))
+              .withColumn("_row_id", coalesce(col("_row_id"),
+                when(col("__fr") >= 0L, col("__fr") + col("__ri"))))
+              .withColumn("_last_updated_sequence_number",
+                coalesce(col("_last_updated_sequence_number"),
+                  col("__fseq")))
+              .drop("__fname0", "__fr", "__fseq", "__ri")
+          }
+        scanned
           .withColumnRenamed("__fn", "__fname")
           .join(broadcast(binMap), Seq("__fname"))
           .drop("__fname")
@@ -3050,7 +3135,9 @@ object SnapStore {
           }
         }
         deleteTree(tmp)
-        statsEntries(spark, dataDir, moved, partCol, cur.keyCol)
+        val entries = statsEntries(spark, dataDir, moved, partCol,
+          cur.keyCol)
+        if (lineageable) entries.map(_.copy(lineage = true)) else entries
       }
     // Delete-file retirement: keep only entries still APPLICABLE to
     // a carried file — an equality delete needs a carried file of

@@ -676,9 +676,10 @@ class MaintenanceSpec extends SparkSpec {
     assert(rewritten.forall(_.path.matches(".*-b\\d+-0-.*")),
       s"each bin must emit exactly one file: ${rewritten.map(_.path)}")
     assert(binIds.distinct.size == binIds.size)
-    // O(1) jobs (scan+route+write, stats, broadcast) — NOT 2 jobs per
-    // bin as a serial per-bin rewrite would cost.
-    assert(jobs <= 6,
+    // O(1) jobs (scan+route+write, stats, bin broadcast, and the
+    // r13 row-lineage map broadcast) — NOT 2 jobs per bin as a
+    // serial per-bin rewrite would cost.
+    assert(jobs <= 7,
       s"compaction must not scale jobs with bins: $jobs jobs for ${binIds.size} bins")
     // Layout-only: contents identical.
     val a = SnapStore.read(spark, t, Some(1)).orderBy("doc_id").collect()
