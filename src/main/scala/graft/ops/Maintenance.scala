@@ -2772,6 +2772,56 @@ object Maintenance {
        |  (SELECT COUNT(*) FROM documents WHERE doc_id % 23 = 1)
        |ORDER BY last_seq""".stripMargin
 
+  /** `docs_reg`: the `register_table` lifecycle (VERDICT r12 #6).
+    * An EXTERNAL snapshot table (built under the warehouse's hidden
+    * `.ext_reg/` dir — outside the catalog's table namespace) adopts
+    * under `maint.docs_reg` with zero copies via `CALL
+    * register_table` (the name is a symlink to the root — manifests,
+    * history and all); a post-registration SQL INSERT through the
+    * registered name then commits onto the SOURCE root, proving the
+    * adoption carried the full write surface, not just reads.
+    */
+  def ensureDocsReg(s: SparkSession, dir: String): Path = synchronized {
+    val src = root(dir).resolve(".ext_reg").resolve("src")
+    if (SnapStore.currentVersion(src).isEmpty)
+      SnapStore.create(s, src,
+        base(s, dir).filter(pmod(col("doc_id"), lit(29L)) =!= 7), partCol)
+    mount(s, dir)
+    val alias = root(dir).resolve("docs_reg")
+    if (!java.nio.file.Files.exists(alias,
+      java.nio.file.LinkOption.NOFOLLOW_LINKS))
+      s.sql(s"CALL graft.system.register_table('maint.docs_reg', '$src')")
+    if (SnapStore.currentVersion(src).contains(1)) {
+      base(s, dir).filter(pmod(col("doc_id"), lit(29L)) === 7)
+        .withColumn("source", lit("regI"))
+        .createOrReplaceTempView("graft_reg_batch")
+      s.sql("INSERT INTO graft.maint.docs_reg " +
+        "SELECT doc_id, part, source, text, tok FROM graft_reg_batch")
+      require(SnapStore.currentVersion(src).contains(2),
+        "the INSERT must commit on the registered source root")
+    }
+    alias
+  }
+
+  def registerTable(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ensureDocsReg(s, dir)
+    s.sql(s"""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(fold_hash(text, 31, 0, $P)) AS BIGINT) AS chk
+      FROM graft.maint.docs_reg GROUP BY source ORDER BY source""")
+  }
+
+  val registerTableOracle: String =
+    s"""WITH fin AS (
+       |  SELECT source, text FROM documents WHERE doc_id % 29 != 7
+       |  UNION ALL
+       |  SELECT 'regI' AS source, text FROM documents WHERE doc_id % 29 = 7)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM fin
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** `docs_add`: the `add_files` onboarding lifecycle (VERDICT r11
     * #3). v1 create holds parts 0–3 only; parts 4–7 are written as a
     * PLAIN parquet directory outside the table → v2 `CALL
@@ -3420,6 +3470,10 @@ object Maintenance {
       "full MERGE clause surface: MATCHED DELETE, MATCHED UPDATE, " +
         "NOT MATCHED INSERT, NOT MATCHED BY SOURCE UPDATE in one " +
         "atomic replace snapshot"),
+    Q("maint_register_table", registerTable, Some(registerTableOracle),
+      "register_table: external root adopted zero-copy (manifests " +
+        "included), SQL INSERT through the registered name commits " +
+        "on the source"),
     Q("maint_row_lineage", rowLineage, Some(rowLineageOracle),
       "v3 row lineage: ids assigned at commit, stable across a " +
         "compact (materialized), last-updated sequence bumps on the " +

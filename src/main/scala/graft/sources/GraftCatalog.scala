@@ -566,6 +566,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Array(db) =>
         mountedDir(db).map(_.resolve(ident.name()))
           .filter(SnapStore.isSnapTable) match {
+          case Some(dir) if java.nio.file.Files.isSymbolicLink(dir) =>
+            // A REGISTERED table (`register_table` symlink): DROP
+            // unregisters the name only — the source root, its
+            // manifests and data stay untouched (Iceberg's
+            // drop-without-purge contract for registered tables).
+            java.nio.file.Files.delete(dir); true
           case Some(dir) => SnapStore.dropTable(dir); true
           case None => throw new UnsupportedOperationException(
             "only graft snapshot tables are droppable — corpus " +
@@ -1471,6 +1477,17 @@ object GraftCatalog {
   private[sources] def mountedDir(session: SparkSession,
       db: String): Option[java.nio.file.Path] =
     session.conf.getOption(ConfPrefix + db)
+      .map(java.nio.file.Paths.get(_))
+      .filter(java.nio.file.Files.isDirectory(_))
+
+  /** Every conf-mounted warehouse root in `session` — the ownership
+    * domain `register_table` checks against.
+    */
+  private[sources] def mountedRoots(
+      session: SparkSession): Seq[java.nio.file.Path] =
+    session.conf.getAll.keys.toSeq.sorted
+      .filter(_.startsWith(ConfPrefix))
+      .flatMap(k => session.conf.getOption(k))
       .map(java.nio.file.Paths.get(_))
       .filter(java.nio.file.Files.isDirectory(_))
 }

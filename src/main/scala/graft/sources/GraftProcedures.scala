@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -146,6 +148,42 @@ object GraftProcedures {
           throw new IllegalArgumentException(s"No snapshots under $dir"))
         SnapStore.ancestorsOf(dir, v)
           .map { case (ver, ts) => Array[Any](ver, ts) }.toArray
+      }),
+    // Iceberg register_table: adopt an EXISTING snapshot-table root
+    // — manifests, history, branches and all — under a catalog name,
+    // zero copies (the name becomes a symlink to the root). Refuses
+    // roots any mounted warehouse already owns (double ownership:
+    // expiry through one name would break the other) and re-registers
+    // of an already-registered root. DROP on a registered name
+    // unregisters only; the source stays (VERDICT r12 #6).
+    "register_table" -> new Proc("register_table",
+      Array(str("table"), str("source_root")),
+      StructType(Seq(
+        StructField("table", StringType, nullable = false),
+        StructField("current_version", IntegerType, nullable = false),
+        StructField("data_files", IntegerType, nullable = false))),
+      { in =>
+        val ref = in.getUTF8String(0).toString
+        val target = rawDir(ref)
+        val src = Paths.get(in.getUTF8String(1).toString)
+        require(Files.isDirectory(src) && SnapStore.isSnapTable(src),
+          s"'$src' is not a snapshot table root")
+        require(!Files.exists(target,
+          java.nio.file.LinkOption.NOFOLLOW_LINKS),
+          s"table '$ref' already exists")
+        val real = src.toRealPath()
+        val owned = GraftCatalog.mountedRoots(spark).flatMap { root =>
+          val stream = Files.list(root)
+          try stream.iterator().asScala.toSeq.filter(SnapStore.isSnapTable(_))
+          finally stream.close()
+        }.exists(child =>
+          scala.util.Try(child.toRealPath() == real).getOrElse(false))
+        require(!owned,
+          s"'$src' is already owned by a mounted warehouse — " +
+            "registering it twice would double-own its retention")
+        Files.createSymbolicLink(target, real)
+        val m = SnapStore.currentManifest(target)
+        Array[Any](u(ref), m.version, m.files.size)
       }),
     // Iceberg compute_table_stats (ANALYZE): one distributed agg
     // computing per-column NDV/null/bounds statistics, persisted
