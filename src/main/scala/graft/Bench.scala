@@ -16,6 +16,7 @@ object Bench {
     // run the suite REPS times and report per-query medians.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")

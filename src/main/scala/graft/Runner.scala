@@ -280,6 +280,7 @@ object Runner {
     val runId = opts.getOrElse("run-id", s"run_${System.currentTimeMillis()}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -2822,6 +2822,40 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** `docs_view`: the VIEW face (VERDICT r12 stretch). A persisted
+    * view over the `docs_stats` table (created once via the
+    * `create_view` CALL, definition stored beside the warehouse)
+    * serves a filtered projection; the entry aggregates THROUGH the
+    * view, proving the injected resolution rule substitutes the
+    * stored SQL and the filter reaches the base scan
+    * (ViewCatalogSpec pins the pushdown and the view-on-view nest).
+    */
+  def ensureDocsView(s: SparkSession, dir: String): Unit = synchronized {
+    ensureDocsStats(s, dir)
+    val vf = root(dir).resolve("_views").resolve("docs_view.view")
+    if (!java.nio.file.Files.isRegularFile(vf))
+      s.sql("""CALL graft.system.create_view('maint.docs_view',
+        'SELECT doc_id, part, source, text FROM graft.maint.docs_stats
+         WHERE doc_id % 3 != 2')""")
+  }
+
+  def viewRead(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ensureDocsView(s, dir)
+    s.sql(s"""SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(fold_hash(text, 31, 0, $P)) AS BIGINT) AS chk
+      FROM graft.maint.docs_view WHERE part < 6
+      GROUP BY source ORDER BY source""")
+  }
+
+  val viewReadOracle: String =
+    s"""SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM documents
+       |WHERE doc_id % 3 != 2 AND doc_id % $nParts < 6
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** `docs_add`: the `add_files` onboarding lifecycle (VERDICT r11
     * #3). v1 create holds parts 0–3 only; parts 4–7 are written as a
     * PLAIN parquet directory outside the table → v2 `CALL
@@ -3470,6 +3504,9 @@ object Maintenance {
       "full MERGE clause surface: MATCHED DELETE, MATCHED UPDATE, " +
         "NOT MATCHED INSERT, NOT MATCHED BY SOURCE UPDATE in one " +
         "atomic replace snapshot"),
+    Q("maint_view", viewRead, Some(viewReadOracle),
+      "persisted views: stored definition resolves via the injected " +
+        "rule, filter pushes through to the base scan"),
     Q("maint_register_table", registerTable, Some(registerTableOracle),
       "register_table: external root adopted zero-copy (manifests " +
         "included), SQL INSERT through the registered name commits " +

@@ -45,6 +45,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.ViewCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   /** The catalog's V2 functions — the `FunctionCatalog` face Spark's
@@ -582,6 +583,158 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft catalog is read-only")
+
+  // ------------------------------------------------------------------
+  // DSv2 ViewCatalog (Iceberg views): views persist as one small
+  // properties file each under `<warehouse>/<db>/_views/`, holding
+  // the definition SQL, its resolution context (catalog + namespace),
+  // and the declared schema — the same durable-definition contract
+  // Iceberg's view metadata keeps. Reads re-plan the stored SQL in
+  // the stored context, so a view over a snapshot table always sees
+  // the table's CURRENT snapshot.
+
+  private def viewsDir(db: String): Option[java.nio.file.Path] =
+    mountedDir(db).map(_.resolve("_views"))
+
+  private def viewPath(ident: Identifier): Option[java.nio.file.Path] =
+    ident.namespace() match {
+      case Array(db) => viewsDir(db).map(_.resolve(s"${ident.name()}.view"))
+      case _ => None
+    }
+
+  override def listViews(namespace: String*): Array[Identifier] =
+    namespace.toSeq match {
+      case Seq(db) => viewsDir(db)
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map { d =>
+          val stream = java.nio.file.Files.list(d)
+          try stream.iterator().asScala.toSeq
+            .map(_.getFileName.toString)
+            .filter(_.endsWith(".view")).sorted
+            .map(n => Identifier.of(Array(db), n.stripSuffix(".view")))
+            .toArray
+          finally stream.close()
+        }.getOrElse(Array.empty)
+      case _ => Array.empty
+    }
+
+  override def viewExists(ident: Identifier): Boolean =
+    viewPath(ident).exists(java.nio.file.Files.isRegularFile(_))
+
+  override def loadView(ident: Identifier):
+      org.apache.spark.sql.connector.catalog.View = {
+    val p = viewPath(ident)
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(p)
+    try props.load(in) finally in.close()
+    def arr(k: String): Array[String] = props.getProperty(k, "") match {
+      case "" => Array.empty
+      case v => v.split("\u0001", -1)
+    }
+    val viewProps = new java.util.HashMap[String, String]()
+    props.stringPropertyNames().asScala
+      .filter(_.startsWith("prop.")).foreach(k =>
+        viewProps.put(k.stripPrefix("prop."), props.getProperty(k)))
+    new org.apache.spark.sql.connector.catalog.View {
+      override def name(): String =
+        (Seq(catalogName) ++ ident.namespace() :+ ident.name())
+          .mkString(".")
+      override def query(): String = props.getProperty("sql")
+      override def currentCatalog(): String =
+        props.getProperty("currentCatalog")
+      override def currentNamespace(): Array[String] =
+        arr("currentNamespace")
+      override def schema(): StructType = org.apache.spark.sql.types
+        .DataType.fromJson(props.getProperty("schema"))
+        .asInstanceOf[StructType]
+      override def queryColumnNames(): Array[String] =
+        arr("queryColumnNames")
+      override def columnAliases(): Array[String] = arr("columnAliases")
+      override def columnComments(): Array[String] = arr("columnComments")
+      override def properties(): util.Map[String, String] = viewProps
+    }
+  }
+
+  override def createView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo):
+      org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val p = viewPath(ident).getOrElse(
+      throw new UnsupportedOperationException(
+        "views are creatable only under conf-mounted warehouses"))
+    if (java.nio.file.Files.isRegularFile(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    // A TABLE of the same name shadows — refuse the collision.
+    require(!tableExists(ident),
+      s"a table named '${ident.name()}' already exists")
+    val props = new java.util.Properties()
+    props.setProperty("sql", info.sql())
+    props.setProperty("currentCatalog", info.currentCatalog())
+    props.setProperty("currentNamespace",
+      info.currentNamespace().mkString("\u0001"))
+    props.setProperty("schema", info.schema().json)
+    props.setProperty("queryColumnNames",
+      info.queryColumnNames().mkString("\u0001"))
+    props.setProperty("columnAliases",
+      info.columnAliases().mkString("\u0001"))
+    props.setProperty("columnComments",
+      info.columnComments().mkString("\u0001"))
+    info.properties().asScala.foreach { case (k, v) =>
+      props.setProperty(s"prop.$k", v)
+    }
+    java.nio.file.Files.createDirectories(p.getParent)
+    val out = java.nio.file.Files.newOutputStream(p)
+    try props.store(out, null) finally out.close()
+    loadView(ident)
+  }
+
+  override def alterView(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.ViewChange*):
+      org.apache.spark.sql.connector.catalog.View = {
+    val p = viewPath(ident)
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident))
+    val props = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(p)
+    try props.load(in) finally in.close()
+    changes.foreach {
+      case sp: org.apache.spark.sql.connector.catalog
+          .ViewChange.SetProperty =>
+        props.setProperty(s"prop.${sp.property()}", sp.value())
+      case rp: org.apache.spark.sql.connector.catalog
+          .ViewChange.RemoveProperty =>
+        props.remove(s"prop.${rp.property()}")
+      case other => throw new UnsupportedOperationException(
+        s"unsupported view change $other")
+    }
+    val out = java.nio.file.Files.newOutputStream(p)
+    try props.store(out, null) finally out.close()
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    viewPath(ident).exists(java.nio.file.Files.deleteIfExists(_))
+
+  override def renameView(oldIdent: Identifier,
+      newIdent: Identifier): Unit = {
+    val from = viewPath(oldIdent)
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .getOrElse(throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(oldIdent))
+    val to = viewPath(newIdent).getOrElse(
+      throw new UnsupportedOperationException(
+        "views are renameable only within mounted warehouses"))
+    if (java.nio.file.Files.isRegularFile(to))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(newIdent)
+    java.nio.file.Files.createDirectories(to.getParent)
+    java.nio.file.Files.move(from, to)
+  }
 
   /** Conf-mounted database names in the active session. */
   private def mountedDbs: Seq[String] =

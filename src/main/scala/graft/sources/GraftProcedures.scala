@@ -149,6 +149,56 @@ object GraftProcedures {
         SnapStore.ancestorsOf(dir, v)
           .map { case (ver, ts) => Array[Any](ver, ts) }.toArray
       }),
+    // View DDL verbs — the SQL driving surface for the DSv2
+    // ViewCatalog (stock Spark 4.1 parses CREATE/DROP VIEW for v2
+    // catalogs but ships no execution path; Iceberg fills the same
+    // gap with extensions). create_view VALIDATES the definition by
+    // planning it (so only resolvable — and therefore acyclic —
+    // definitions persist), then stores it through the catalog's
+    // ViewCatalog face; reads resolve via ResolveGraftViews.
+    "create_view" -> new Proc("create_view",
+      Array(str("view"), str("sql")),
+      StructType(Seq(
+        StructField("view", StringType, nullable = false),
+        StructField("columns", IntegerType, nullable = false))),
+      { in =>
+        val ref = in.getUTF8String(0).toString
+        val parts = ref.split('.')
+        require(parts.length == 2, s"view must be 'db.view', got '$ref'")
+        val sql = in.getUTF8String(1).toString
+        val schema = spark.sql(sql).schema // plans → validates
+        val vc = spark.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+        vc.createView(new org.apache.spark.sql.connector.catalog.ViewInfo(
+          Identifier.of(Array(parts(0)), parts(1)),
+          sql, "graft", Array(parts(0)), schema, schema.fieldNames,
+          Array.empty, Array.empty, java.util.Map.of()))
+        Array[Any](u(ref), schema.fields.length)
+      }),
+    "drop_view" -> new Proc("drop_view",
+      Array(str("view")),
+      StructType(Seq(
+        StructField("view", StringType, nullable = false),
+        StructField("dropped", BooleanType, nullable = false))),
+      { in =>
+        val ref = in.getUTF8String(0).toString
+        val parts = ref.split('.')
+        require(parts.length == 2, s"view must be 'db.view', got '$ref'")
+        val vc = spark.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+        Array[Any](u(ref),
+          vc.dropView(Identifier.of(Array(parts(0)), parts(1))))
+      }),
+    "list_views" -> new RowsProc("list_views",
+      Array(str("db")),
+      StructType(Seq(
+        StructField("view", StringType, nullable = false))),
+      { in =>
+        val vc = spark.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+        vc.listViews(in.getUTF8String(0).toString)
+          .map(i => Array[Any](u(i.name()))).sortBy(_(0).toString)
+      }),
     // Iceberg register_table: adopt an EXISTING snapshot-table root
     // — manifests, history, branches and all — under a catalog name,
     // zero copies (the name becomes a symlink to the root). Refuses

@@ -45,7 +45,11 @@ class PlanAuditSpec extends SparkSpec {
     // r12: DSIR's corpus totals are a broadcast 1-row aggregate
     // cross-joined into the B-bucket scoring table — the BM25
     // corpus-constants class.
-    "pipe_dsir_topk")
+    "pipe_dsir_topk",
+    // r13: the stats entry cross-joins the broadcast 1-row
+    // exact-distinct frame into the 3-row CALL result to compute the
+    // NDV-tolerance booleans — the corpus-constants class.
+    "maint_table_stats")
 
   // Queries allowed an unpartitioned WindowExec whose input subtree
   // carries NO aggregate. Empty = every global window in the registry
