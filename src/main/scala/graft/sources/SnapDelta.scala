@@ -247,7 +247,11 @@ final class SnapDeltaWriter(f: SnapDeltaWriterFactory, partitionId: Int,
     Files.deleteIfExists(java.nio.file.Paths.get(f.delTmp, s"del-$suffix"))
   }
 
-  override def close(): Unit = {
+  // Idempotent: Spark closes the writer after commit() (which
+  // already closed it to flush footers before reporting the files).
+  private var closed = false
+  override def close(): Unit = if (!closed) {
+    closed = true
     if (dataW != null) { dataW.close() }
     if (pairW != null) { pairW.close() }
   }
