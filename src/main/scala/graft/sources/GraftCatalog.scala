@@ -449,6 +449,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     ident.namespace() match {
       case Array(db) if mountedDir(db).isDefined =>
         val dir = mountedDir(db).get.resolve(ident.name())
+        // A VIEW of the same name refuses too (create_view refuses
+        // the mirror collision): a name must resolve to exactly one
+        // of table-or-view, never race the resolution rules.
+        require(!viewExists(ident),
+          s"a view named '${ident.name()}' already exists")
         if (SnapStore.isSnapTable(dir) ||
           java.nio.file.Files.exists(dir.resolve("_SUCCESS")))
           throw new org.apache.spark.sql.catalyst.analysis
