@@ -145,6 +145,24 @@ class PropertySpec extends SparkSpec {
         s"$label: leaked (unreferenced) group files: ${disk -- refd}")
       assert(SnapStore.read(spark, t).count() == model.size.toLong,
         s"$label: row count diverged from the model")
+      // v3 row lineage (r13): assigned id ranges stay pairwise
+      // DISJOINT across every random op mix, the counter bounds them
+      // all, and materialized files never also claim a derived range
+      // — the no-id-reuse invariant every op must preserve.
+      val ranges = m.files.filter(_.firstRowId >= 0L)
+        .map(f => (f.firstRowId, f.firstRowId + f.rows)).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) =>
+          assert(e1 <= s2, s"$label: overlapping row-id ranges")
+        case _ => ()
+      }
+      if (m.nextRowId >= 0L && ranges.nonEmpty)
+        assert(ranges.last._2 <= m.nextRowId,
+          s"$label: next-row-id ${m.nextRowId} below assigned " +
+            s"${ranges.last._2}")
+      m.files.filter(_.lineage).foreach(f =>
+        assert(f.firstRowId < 0L,
+          s"$label: materialized file ${f.path} also claims a range"))
     }
     checkInvariants("create")
 
