@@ -1812,10 +1812,21 @@ object SnapStore {
     * suppression is idempotent, so the union application both read
     * paths do is exact.
     */
-  private def deletePositionsDv(spark: SparkSession, table: Path,
-      cur: Manifest, v: Int, hits: DataFrame, dataDir: Path,
-      tmp: Path): (Manifest, Seq[FileEntry], Boolean) = {
+  /** Write one merged DV blob per affected data file from a
+    * `(file, pos)` pair frame, folding (superseding) every pending
+    * DV already referencing the file — the v3 one-DV-per-file
+    * invariant. Distributed: pairs repartition by file, each task
+    * streams its files' sorted positions straight into blobs; only
+    * the per-blob summary rows collect. Returns the new entries
+    * (stamped `v`) and the superseded old-DV paths. Shared by the
+    * predicate position delete AND the merge-on-read SQL DML commit.
+    */
+  private def writeDvBlobs(spark: SparkSession, table: Path,
+      cur: Manifest, v: Int, hits: DataFrame,
+      dataDir: Path): (Seq[DeleteFile], Set[String]) = {
     import spark.implicits._
+    val tmp = table.resolve(s".dv-tmp-${ProcessHandle.current().pid()}" +
+      s"-${UUID.randomUUID().toString.take(8)}")
     Files.createDirectories(tmp)
     val oldDvByRef: Map[String, Seq[DeleteFile]] = cur.deleteFiles
       .filter(d => d.kind == "pos" && DeleteVectors.isDv(d.path))
@@ -1847,6 +1858,13 @@ object SnapStore {
       DeleteFile(s"data/$name", "", n, Files.size(dataDir.resolve(name)),
         "pos", v, Seq(ref))
     }.toSeq
+    (ds, superseded)
+  }
+
+  private def deletePositionsDv(spark: SparkSession, table: Path,
+      cur: Manifest, v: Int, hits: DataFrame, dataDir: Path,
+      tmp: Path): (Manifest, Seq[FileEntry], Boolean) = {
+    val (ds, superseded) = writeDvBlobs(spark, table, cur, v, hits, dataDir)
     // A no-match delete commits a files-unchanged snapshot with NO
     // delete entries, exactly like the parquet encoding.
     val m = Manifest(v, cur.version, "delete-pos", cur.schema, cur.files,
@@ -2710,12 +2728,24 @@ object SnapStore {
       Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
       name
     }
-    val movedDel = stagedDel.zipWithIndex.map { case (src, i) =>
-      val name = s"pdelete-$operation-$i-$run.parquet"
-      Files.move(src, dataDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-      name
-    }
-    dropDeltaStaging(dataTmp, delTmp)
+    // DV encoding (`spark.graft.delete.vectors=true`, Iceberg v3 —
+    // where position deletes ARE deletion vectors): the staged pair
+    // parquets stay in the tmp dir as pure transport; the commit
+    // folds them into one merged blob per affected data file
+    // (supersede included) instead of adopting them as v2 pair
+    // files. Blob construction is snapshot-dependent (the fold reads
+    // the CURRENT pending DVs), so it runs inside the retry.
+    val useDv = stagedDel.nonEmpty && DeleteVectors.enabled(spark)
+    val movedDel =
+      if (useDv) Seq.empty
+      else stagedDel.zipWithIndex.map { case (src, i) =>
+        val name = s"pdelete-$operation-$i-$run.parquet"
+        Files.move(src, dataDir.resolve(name),
+          StandardCopyOption.ATOMIC_MOVE)
+        name
+      }
+    if (!useDv) dropDeltaStaging(dataTmp, delTmp)
+    else deleteTree(dataTmp)
     // From here every abort cleans the moved files (the append-path
     // invariant: no unreferenced orphans under data/).
     try {
@@ -2733,7 +2763,7 @@ object SnapStore {
           .map(r => fileName(r.getString(0)) ->
             (r.getLong(1), r.getSeq[String](2).sorted))
           .toMap
-      val ds = movedDel.flatMap { n =>
+      val pairEntries = movedDel.flatMap { n =>
         delStats.get(n) match {
           case Some((rows, refs)) =>
             Some(DeleteFile(s"data/$n", "", rows,
@@ -2742,26 +2772,48 @@ object SnapStore {
             Files.deleteIfExists(dataDir.resolve(n)); None
         }
       }
-      val allRefs = ds.flatMap(_.refs).toSet
-      withCommitRetry(table) { () =>
+      lazy val pairDf = spark.read
+        .parquet(stagedDel.map(_.toString): _*)
+        .select(col("file"), col("pos"))
+      // The referenced data-file NAMES, computed once (bounded by the
+      // touched-file count): the conflict check must run BEFORE any
+      // attempt writes DV blobs, so an abort never leaks them.
+      lazy val pairRefs: Seq[String] =
+        if (stagedDel.isEmpty) Seq.empty
+        else pairDf.select(col("file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+      val committed = withCommitRetry(table) { () =>
         val cur = currentManifest(table)
         require(cur.schema == readM.schema && cur.evos == readM.evos &&
           cur.partCol == readM.partCol,
           s"concurrent schema/spec change conflicts with this $operation — " +
             "aborting")
         val live = cur.files.map(f => fileName(f.path)).toSet
-        require(allRefs.forall(live),
+        val refsToCheck =
+          if (useDv) pairRefs else pairEntries.flatMap(_.refs)
+        require(refsToCheck.forall(live),
           s"concurrent commit rewrote files this $operation read — " +
             "aborting")
         val v = cur.version + 1
+        val (ds, superseded) =
+          if (useDv) writeDvBlobs(spark, table, cur, v, pairDf, dataDir)
+          else (pairEntries.map(_.copy(seq = v)), Set.empty[String])
         val m = Manifest(v, cur.version, operation, cur.schema,
           cur.files ++ newFiles.map(_.copy(seq = v)), cur.partCol,
-          cur.deleteFiles ++ ds.map(_.copy(seq = v)), cur.keyCol, cur.evos)
-        (m, Seq.empty, tryCommitManifest(table, m))
+          cur.deleteFiles.filterNot(d => superseded(d.path)) ++ ds,
+          cur.keyCol, cur.evos)
+        // DV blobs ride the retry's cleanup list (only `path` is
+        // used) so a lost race never leaks them.
+        (m, if (useDv) ds.map(d => FileEntry(d.path, "", "", 0, 0))
+          else Seq.empty,
+          tryCommitManifest(table, m))
       }
+      if (useDv) deleteTree(delTmp)
+      committed
     } catch { case NonFatal(e) =>
       (movedData ++ movedDel).foreach(n =>
         Files.deleteIfExists(dataDir.resolve(n)))
+      dropDeltaStaging(dataTmp, delTmp)
       throw e
     }
   }

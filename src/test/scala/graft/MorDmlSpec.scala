@@ -175,6 +175,56 @@ class MorDmlSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("MOR SQL DELETE composes with v3 deletion vectors: under the " +
+    "DV conf the commit folds the staged pairs into one blob per " +
+    "affected file (supersede held), reads net them exactly") {
+    val root = Files.createTempDirectory("graft-mordv")
+    root.toFile.deleteOnExit()
+    val t = morTable("mordv", root)
+    val before = dataState(t)
+    spark.conf.set("spark.graft.delete.vectors", "true")
+    try {
+      spark.sql("DELETE FROM graft.mordv.t WHERE doc_id % 6 = 1")
+      val m = SnapStore.currentManifest(t)
+      val dvs = m.deleteFiles.filter(d => d.path.endsWith(".dv"))
+      assert(dvs.nonEmpty, "the DV conf must route the delta commit " +
+        s"to blob encoding, got ${m.deleteFiles}")
+      assert(m.deleteFiles.filter(_.kind == "pos").forall(d =>
+        d.path.endsWith(".dv")), "no parquet pair files under the conf")
+      assert(dvs.map(_.refs.head).distinct.size == dvs.size,
+        "one DV per data file (v3 invariant)")
+      assert(dataState(t) == before, "zero data rewrite")
+
+      // A second DV-mode DELETE supersedes per affected file: still
+      // one blob per file, both delete sets applied.
+      spark.sql("DELETE FROM graft.mordv.t WHERE doc_id % 6 = 3")
+      val m2 = SnapStore.currentManifest(t)
+      val dvs2 = m2.deleteFiles.filter(d => d.path.endsWith(".dv"))
+      assert(dvs2.map(_.refs.head).distinct.size == dvs2.size,
+        "supersede must hold across delta commits")
+      val gone = docs.filter(col("doc_id") % 6 === 1 ||
+        col("doc_id") % 6 === 3).count()
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.mordv.t")
+        .collect()(0).getLong(0) == docs.count() - gone)
+      assert(SnapStore.read(spark, t).count() == docs.count() - gone)
+    } finally spark.conf.unset("spark.graft.delete.vectors")
+  }
+
+  // ----------------------------------------------------------------
+  test("the delta scan pushes the DML condition: a MOR DELETE's plan " +
+    "carries PushedFilters (unlike the group-based COW scan, which " +
+    "must read replaced groups whole)") {
+    val root = Files.createTempDirectory("graft-morpush")
+    root.toFile.deleteOnExit()
+    morTable("morpush", root)
+    val plan = spark.sql("EXPLAIN FORMATTED DELETE FROM graft.morpush.t " +
+      "WHERE doc_id = 37").collect()(0).getString(0)
+    assert(plan.contains("PushedFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PushedFilters.*doc_id.*"),
+      s"the delta scan must report the pushed condition:\n$plan")
+  }
+
+  // ----------------------------------------------------------------
   test("MOR DML guard rails: no-match DML is a full no-op, WAP " +
     "staging refuses before side effects, unknown modes refuse, COW " +
     "tables are unaffected by the dispatch") {
