@@ -121,6 +121,14 @@ class PropertySpec extends SparkSpec {
     SnapStore.create(spark, t, frame(ids0, i => s"t-$i"), "part",
       numFiles = 96, keyCol = "doc_id")
     ids0.foreach(i => model(i) = s"t-$i")
+    // Mount + MOR delete mode: the op mix drives the delta SQL DML
+    // path (r13) alongside every programmatic COW/MOR face.
+    SnapStore.setProperties(t,
+      Map("write.delete.mode" -> "merge-on-read"))
+    spark.conf.set("spark.graft.catalog.dir.proprand", dir.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft",
+        "graft.sources.GraftCatalog")
 
     def mfOnDisk(): Set[String] = {
       val s = Files.list(t.resolve("_snapshots"))
@@ -168,7 +176,7 @@ class PropertySpec extends SparkSpec {
 
     (1 to 14).foreach { step =>
       val m0 = SnapStore.currentManifest(t)
-      val op = rnd.nextInt(10)
+      val op = rnd.nextInt(11)
       op match {
         case 0 | 1 => // append (the common op — double weight)
           val ids = freshIds(1 + rnd.nextInt(3))
@@ -247,6 +255,15 @@ class PropertySpec extends SparkSpec {
           assert(dvs.map(_.refs.head).distinct.size == dvs.size,
             s"step $step: one DV per data file (v3 supersede)")
           model.keys.filter(k => k % 8 == p && k % 3 == r3).toSeq
+            .foreach(model.remove)
+        case 10 => // merge-on-read SQL DELETE (r13): the delta
+          // row-level path commits pair files through the catalog
+          // route, composing with every programmatic op around it.
+          val p = rnd.nextInt(8).toLong
+          val r5 = rnd.nextInt(5).toLong
+          spark.sql("DELETE FROM graft.proprand.t " +
+            s"WHERE part = $p AND doc_id % 5 = $r5")
+          model.keys.filter(k => k % 8 == p && k % 5 == r5).toSeq
             .foreach(model.remove)
       }
       checkInvariants(s"step $step (op $op)")
