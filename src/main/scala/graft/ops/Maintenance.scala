@@ -2641,6 +2641,37 @@ object Maintenance {
        |GROUP BY doc_id % $nParts
        |ORDER BY part""".stripMargin
 
+  /** Changelog UPDATE PAIRING over the delta MERGE commit (Iceberg's
+    * `compute_updates`): the v2→v3 changelog of the MOR-DML
+    * lifecycle, identifier `doc_id` — each matched doc surfaces as
+    * an `UPDATE_BEFORE` (its pre-image source) paired with an
+    * `UPDATE_AFTER` (`morU`), fresh keys stay `INSERT` (`morI`). The
+    * oracle recomputes all three classes with their source values,
+    * so a hash match proves the pairing relabeled EXACTLY the
+    * same-identifier same-commit delete+insert pairs.
+    */
+  def changelogUpdates(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsMordml(s, dir)
+    s.sql("""CALL graft.system.create_changelog_view_with_updates(
+      'maint.docs_mordml', 'graft_mordml_changes', 2, 3, 'doc_id')""")
+    s.sql("""SELECT _change_type AS change_type, source,
+      COUNT(*) AS n_docs
+      FROM graft_mordml_changes
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  }
+
+  val changelogUpdatesOracle: String =
+    s"""WITH upd AS (
+       |  SELECT source FROM documents
+       |  WHERE doc_id % 23 = 1 AND doc_id % 17 != 4)
+       |SELECT 'INSERT' AS change_type, 'morI' AS source,
+       |  (SELECT COUNT(*) FROM documents WHERE doc_id % 29 = 2) AS n_docs
+       |UNION ALL
+       |SELECT 'UPDATE_AFTER', 'morU', (SELECT COUNT(*) FROM upd)
+       |UNION ALL
+       |SELECT 'UPDATE_BEFORE', source, COUNT(*) FROM upd GROUP BY source
+       |ORDER BY change_type, source""".stripMargin
+
   /** MOR SQL MERGE face: per-source contents after the delta MERGE —
     * updates re-sourced via split delete+reinsert, inserts appended,
     * every base file untouched (MorDmlSpec pins the mtimes).
@@ -3521,6 +3552,10 @@ object Maintenance {
     Q("maint_sql_delete_mor", sqlDeleteMor, Some(sqlDeleteMorOracle),
       "merge-on-read SQL DELETE (write.delete.mode): position-delete " +
         "file committed, zero data rewrite, reads net the pairs"),
+    Q("maint_changelog_updates", changelogUpdates,
+      Some(changelogUpdatesOracle),
+      "changelog update pairing (compute_updates): same-identifier " +
+        "delete+insert in one commit relabel UPDATE_BEFORE/AFTER"),
     Q("maint_sql_merge_mor", sqlMergeMor, Some(sqlMergeMorOracle),
       "merge-on-read SQL MERGE (write.merge.mode): split " +
         "delete+reinsert pairs + new data files, base files untouched"),

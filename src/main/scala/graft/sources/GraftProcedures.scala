@@ -508,6 +508,25 @@ object GraftProcedures {
           .createOrReplaceTempView(view)
         Array[Any](u(view))
       }),
+    // Iceberg create_changelog_view(compute_updates => true,
+    // identifier_columns => …): same registration, with DELETE+INSERT
+    // pairs of one identifier within one commit relabeled
+    // UPDATE_BEFORE/UPDATE_AFTER.
+    "create_changelog_view_with_updates" ->
+      new Proc("create_changelog_view_with_updates",
+        Array(str("table"), str("view_name"), int("start_version"),
+          int("end_version"), str("identifier_columns")),
+        StructType(Seq(
+          StructField("view_name", StringType, nullable = false))),
+        { in =>
+          val dir = tableDir(in.getUTF8String(0).toString)
+          val view = in.getUTF8String(1).toString
+          val ids = in.getUTF8String(4).toString.split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          SnapStore.changelogWithUpdates(spark, dir, in.getInt(2),
+            in.getInt(3), ids).createOrReplaceTempView(view)
+          Array[Any](u(view))
+        }),
     // Fold pending delete files back into the data (the rewrite face
     // of Iceberg's rewrite_position_delete_files / delete compaction).
     "apply_deletes" -> new Proc("apply_deletes",

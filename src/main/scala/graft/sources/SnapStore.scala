@@ -2062,6 +2062,38 @@ object SnapStore {
     * EQ debt (its ordinal read would need a delete-aware scan that
     * keeps ordinals).
     */
+  /** Changelog with UPDATE PAIRING (Iceberg's `create_changelog_view
+    * (compute_updates => true, identifier_columns => …)`): a DELETE
+    * and an INSERT of the same identifier inside one commit relabel
+    * as `UPDATE_BEFORE`/`UPDATE_AFTER` — the pre/post image pair CDC
+    * consumers apply as one update. One keyed window over
+    * `(identifier, commit)` — a shuffle bounded by the CHANGE volume
+    * (never the table), exactly Iceberg's repartition-by-identifier
+    * shape.
+    */
+  def changelogWithUpdates(spark: SparkSession, table: Path,
+      fromVersion: Int, toVersion: Int,
+      identifierCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(identifierCols.nonEmpty, "identifier columns required")
+    val base = changelogRead(spark, table, fromVersion, toVersion)
+    identifierCols.foreach(c => require(base.columns.contains(c),
+      s"identifier column '$c' is not in the changelog schema"))
+    val w = Window.partitionBy(
+      (identifierCols.map(col) :+ col("_commit_version")): _*)
+    base
+      .withColumn("__has_d", max(when(col("_change_type") === "DELETE",
+        1).otherwise(0)).over(w))
+      .withColumn("__has_i", max(when(col("_change_type") === "INSERT",
+        1).otherwise(0)).over(w))
+      .withColumn("_change_type",
+        when(col("__has_d") === 1 && col("__has_i") === 1,
+          when(col("_change_type") === "DELETE", lit("UPDATE_BEFORE"))
+            .otherwise(lit("UPDATE_AFTER")))
+          .otherwise(col("_change_type")))
+      .drop("__has_d", "__has_i")
+  }
+
   def changelogRead(spark: SparkSession, table: Path,
       fromVersion: Int, toVersion: Int): DataFrame = {
     require(fromVersion < toVersion,
