@@ -763,9 +763,22 @@ object SnapStore {
     // an explicit count is exempt from AQE partition coalescing —
     // at tiny fixtures AQE would otherwise fold everything into one
     // file and there'd be no layout to prune, compact, or carry.
+    // `write.sort.order` (table property — Iceberg's persisted sort
+    // order, the face behind `ALTER TABLE … WRITE ORDERED BY`):
+    // appends with no explicit clustering sort by the partition
+    // transform THEN the stored order columns, so file AND row-group
+    // bounds stay tight on the declared sort columns with no
+    // per-write argument.
+    val propOrder: Seq[Column] =
+      if (clusterExprs.nonEmpty) Seq.empty
+      else tableProperties(table).get("write.sort.order").toSeq
+        .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
+        .filter(df.schema.fieldNames.contains(_))
+        .map(col)
     val cluster =
       if (clusterExprs.nonEmpty) clusterExprs
-      else Seq(PartTransforms.exprFor(PartTransforms.parse(partCol), df.schema))
+      else PartTransforms.exprFor(PartTransforms.parse(partCol),
+        df.schema) +: propOrder
     // Rows inside each file sort by the full cluster key, so file-level
     // min/max (manifest) AND row-group min/max (parquet footer) both
     // stay tight on the clustered columns — the double pruning a

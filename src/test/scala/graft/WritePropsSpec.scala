@@ -74,6 +74,30 @@ class WritePropsSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("write.sort.order drives append-time row clustering: rows " +
+    "inside each written file sort by the declared columns") {
+    val root = Files.createTempDirectory("graft-sortorder")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("doc_id") < 40), "part")
+    SnapStore.setProperties(t, Map("write.sort.order" -> "source, doc_id"))
+    SnapStore.append(spark, t,
+      docs.filter(col("doc_id") >= 40 && col("doc_id") < 120), "part")
+    val m = SnapStore.currentManifest(t)
+    val appended = m.files.filter(_.seq == m.version)
+    assert(appended.nonEmpty)
+    appended.foreach { f =>
+      val rows = spark.read.parquet(t.resolve(f.path).toString)
+        .select("part", "source", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(rows == rows.sortBy(identity),
+        s"rows in ${f.path} must sort by (part, source, doc_id)")
+    }
+    // Contents untouched by the layout property.
+    assert(SnapStore.read(spark, t).count() == 120L)
+  }
+
+  // ----------------------------------------------------------------
   test("write.target-file-size-bytes is the default compaction bin " +
     "size: a tiny target packs nothing, a large one folds the layout") {
     val root = Files.createTempDirectory("graft-target")
