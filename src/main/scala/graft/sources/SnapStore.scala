@@ -2005,10 +2005,17 @@ object SnapStore {
       numFiles: Int = 8): Manifest = withCommitRetry(table) { () =>
     val cur = currentManifest(table)
     require(cur.deleteFiles.nonEmpty, "no pending delete files")
-    val df = read(spark, table) // data minus pending deletes
+    // ROW-LINEAGE carry (r13, same contract as compact): the fold
+    // rewrites every surviving row, so derived ids would change —
+    // materialize each row's id/sequence into the folded files (from
+    // the source file's derivation or its own materialized columns).
+    val (df, lineageable) = lineageScan(spark, table, cur, cur.files)
     val v = cur.version + 1
-    val newFiles = writeDataFiles(spark, table, df, partCol,
+    val newFiles0 = writeDataFiles(spark, table, df, partCol,
       s"applydel-v$v", numFiles, keyCol = cur.keyCol)
+    val newFiles =
+      if (lineageable) newFiles0.map(_.copy(lineage = true))
+      else newFiles0
     // Full rewrite: every new file postdates every evolution, so the
     // evolution log retires here (its applicable set is empty forever).
     val m = Manifest(v, cur.version, "apply-deletes", cur.schema,
@@ -2016,6 +2023,45 @@ object SnapStore {
       if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,
       cur.keyCol)
     (m, newFiles, tryCommitManifest(table, m))
+  }
+
+  /** A delete-aware scan of `fs` that — when every source file
+    * carries lineage (assigned or materialized) and the column names
+    * are free — appends materialized `_row_id` /
+    * `_last_updated_sequence_number` columns so a full rewrite
+    * preserves row identity. Falls back to the plain delete-aware
+    * scan otherwise. Shared by [[applyDeletes]] and
+    * [[rewriteClustered]]; [[compact]] inlines the same recipe with
+    * its bin routing.
+    */
+  private def lineageScan(spark: SparkSession, table: Path,
+      cur: Manifest, fs: Seq[FileEntry]): (DataFrame, Boolean) = {
+    import spark.implicits._
+    val linFields = Seq(
+      StructField("_row_id", LongType, nullable = true),
+      StructField("_last_updated_sequence_number", LongType,
+        nullable = true))
+    val lineageable = fs.nonEmpty &&
+      fs.forall(f => f.firstRowId >= 0L || f.lineage) &&
+      linFields.forall(lf => !cur.schema.fieldNames.contains(lf.name))
+    if (!lineageable)
+      // Legacy (pre-lineage) tables keep the native delete-aware
+      // read — per-task delete application, vectorized clean files.
+      (read(spark, table), false)
+    else {
+      val lin = fs
+        .map(f => (fileName(f.path), f.firstRowId, f.seq.toLong))
+        .toDF("__fname0", "__fr", "__fseq")
+      val df = scanWithDeletes(spark, table, cur, fs,
+        lineageFields = linFields)
+        .join(broadcast(lin), col("__fn") === col("__fname0"))
+        .withColumn("_row_id", coalesce(col("_row_id"),
+          when(col("__fr") >= 0L, col("__fr") + col("__ri"))))
+        .withColumn("_last_updated_sequence_number",
+          coalesce(col("_last_updated_sequence_number"), col("__fseq")))
+        .drop("__fn", "__fname0", "__fr", "__fseq", "__ri")
+      (df, true)
+    }
   }
 
   // ----------------------------------------------------------------
@@ -3297,16 +3343,22 @@ object SnapStore {
     val cur = currentManifest(table)
     require(cur.deleteFiles.isEmpty,
       "pending delete files: run applyDeletes first")
-    val df = scanFiles(spark, table, cur, cur.files)
+    // Row lineage carries through the sort rewrite exactly like the
+    // fold/compact (materialized columns — the reorder breaks
+    // derivation).
+    val (df, lineageable) = lineageScan(spark, table, cur, cur.files)
     val v = cur.version + 1
     // Sort WITHIN the partition layout (Iceberg sort orders apply
     // under the partition spec): the partition column leads the
     // clustering so per-file partition bounds stay tight for manifest
     // pruning, and the sort columns cluster inside it.
-    val newFiles = writeDataFiles(spark, table, df, partCol,
+    val newFiles0 = writeDataFiles(spark, table, df, partCol,
       s"cluster-v$v", numFiles,
       PartTransforms.exprFor(PartTransforms.parse(partCol), cur.schema) +:
         clusterExprs, cur.keyCol)
+    val newFiles =
+      if (lineageable) newFiles0.map(_.copy(lineage = true))
+      else newFiles0
     val m = Manifest(v, cur.version, "rewrite-sorted", cur.schema,
       newFiles.map(_.copy(seq = v)),
       if (cur.partCol.nonEmpty) cur.partCol else partCol, Seq.empty,

@@ -87,13 +87,16 @@ class RowLineageSpec extends SparkSpec {
         s"untouched doc $d must keep its id and seq exactly")
     }
 
-    // Compaction folds everything into new files — ids and sequences
-    // must carry EXACTLY (materialized into the rewritten data).
+    // The FOLD rewrites every surviving row — ids and sequences must
+    // carry EXACTLY (materialized into the folded files, r13): the
+    // natural MOR cycle (delta DML → applyDeletes) never loses
+    // identity.
     SnapStore.applyDeletes(spark, t, "part")                          // v4
     val l4 = lineage(t)
-    // The fold rewrites whole files; under v3 the engine must carry
-    // ids when it can — ours reassigns on the COW fold (documented),
-    // so compare from the post-fold baseline for the compact checks.
+    assert(l4 == l3,
+      "applyDeletes must carry every (_row_id, _last_seq) exactly")
+    assert(SnapStore.currentManifest(t).files.forall(_.lineage),
+      "fold outputs must be marked lineage-materialized")
     SnapStore.compact(spark, t, "part", Long.MaxValue)                // v5
     val l5 = lineage(t)
     assert(l5 == l4,
