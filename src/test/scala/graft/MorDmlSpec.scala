@@ -225,6 +225,52 @@ class MorDmlSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("racing MOR SQL DELETEs all commit through the delta retry: " +
+    "disjoint predicates, distinct snapshots, pair union exact, no " +
+    "orphan delete files") {
+    val root = Files.createTempDirectory("graft-morrace")
+    root.toFile.deleteOnExit()
+    val t = morTable("morrace", root)
+    val v0 = SnapStore.currentVersion(t).get
+    val writers = 4
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    try {
+      val futures = (0 until writers).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            spark.sql("DELETE FROM graft.morrace.t " +
+              s"WHERE doc_id % 16 = $i")
+            SnapStore.currentVersion(t).get
+          }
+        })
+      }
+      futures.foreach(_.get(300, java.util.concurrent.TimeUnit.SECONDS))
+      val m = SnapStore.currentManifest(t)
+      assert(m.version == v0 + writers,
+        s"every racer must win its own snapshot, head ${m.version}")
+      // Pairs union exactly: each predicate's rows suppressed once.
+      val gone = docs.filter(pmod(col("doc_id"), lit(16L)) < writers)
+        .count()
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.morrace.t")
+        .collect()(0).getLong(0) == docs.count() - gone)
+      assert(m.deleteFiles.filter(_.kind == "pos").map(_.rows).sum == gone,
+        "no racer's pairs may be lost or duplicated")
+      // Lost attempts left no unreferenced delete parquets behind.
+      val referenced = m.files.map(_.path).toSet ++
+        m.deleteFiles.map(_.path).toSet
+      val stream = java.nio.file.Files.list(t.resolve("data"))
+      val onDisk =
+        try {
+          import scala.jdk.CollectionConverters._
+          stream.iterator().asScala
+            .map(p => s"data/${p.getFileName}").toSet
+        } finally stream.close()
+      assert(onDisk == referenced,
+        s"orphans after the race: ${onDisk -- referenced}")
+    } finally pool.shutdown()
+  }
+
+  // ----------------------------------------------------------------
   test("MOR DML guard rails: no-match DML is a full no-op, WAP " +
     "staging refuses before side effects, unknown modes refuse, COW " +
     "tables are unaffected by the dispatch") {
