@@ -13,6 +13,7 @@ object Explain {
     val doTime = args.length > 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

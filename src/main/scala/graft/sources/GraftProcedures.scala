@@ -189,6 +189,23 @@ object GraftProcedures {
         Array[Any](u(ref),
           vc.dropView(Identifier.of(Array(parts(0)), parts(1))))
       }),
+    "rename_view" -> new Proc("rename_view",
+      Array(str("view"), str("new_name")),
+      StructType(Seq(
+        StructField("view", StringType, nullable = false))),
+      { in =>
+        val ref = in.getUTF8String(0).toString
+        val parts = ref.split('.')
+        require(parts.length == 2, s"view must be 'db.view', got '$ref'")
+        val to = in.getUTF8String(1).toString
+        require(!to.contains('.'),
+          "new_name is a bare view name (renames stay in the db)")
+        val vc = spark.sessionState.catalogManager.catalog("graft")
+          .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+        vc.renameView(Identifier.of(Array(parts(0)), parts(1)),
+          Identifier.of(Array(parts(0)), to))
+        Array[Any](u(s"${parts(0)}.$to"))
+      }),
     "list_views" -> new RowsProc("list_views",
       Array(str("db")),
       StructType(Seq(

@@ -50,6 +50,11 @@ class RegisterTableSpec extends SparkSpec {
     // Zero copies: the name is a link, the data lives at the source.
     assert(Files.isSymbolicLink(wh.resolve("alias")))
 
+    // Metadata tables resolve through the registered name too.
+    assert(spark.table("graft.regwh.alias.snapshots").count() == 2L)
+    assert(spark.table("graft.regwh.alias.files").count() ==
+      SnapStore.currentManifest(src).files.size.toLong)
+
     // DML through the registered name commits to the source root.
     docs.filter(col("doc_id") >= 70 && col("doc_id") < 75)
       .createOrReplaceTempView("reg_batch")

@@ -88,6 +88,15 @@ class ViewCatalogSpec extends SparkSpec {
     assert(v.currentCatalog() == "graft")
     assert(v.schema().fieldNames.toSeq == Seq("part", "n"))
 
+    // rename_view moves the definition; old name stops resolving.
+    spark.sql("CALL graft.system.rename_view('vws.v_top', 'v_top2')")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.vws.v_top2")
+      .collect()(0).getLong(0) >= 1L)
+    intercept[Exception] {
+      spark.sql("SELECT * FROM graft.vws.v_top").collect()
+    }
+    spark.sql("CALL graft.system.rename_view('vws.v_top2', 'v_top')")
+
     // drop_view removes the definition; the base table is untouched.
     spark.sql("CALL graft.system.drop_view('vws.v_top')")
     spark.sql("CALL graft.system.drop_view('vws.v_by_part')")
