@@ -58,13 +58,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * ([[PartTransforms.Bucket]]): murmur3(seed 42) pmod n.
     */
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array("bucket", "days", "months", "years")
+    Array("bucket", "hours", "days", "months", "years")
       .map(Identifier.of(namespace, _))
 
   override def loadFunction(ident: Identifier):
       org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
     ident.name() match {
       case "bucket" => GraftBucketUnbound
+      case "hours" => GraftHoursUnbound
       case "days" => GraftDateUnbound.days
       case "months" => GraftDateUnbound.months
       case "years" => GraftDateUnbound.years
@@ -428,6 +429,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     def lits: Seq[Any] = args.collect { case l: Literal[_] => l.value() }
     (t.name(), refs, lits) match {
       case ("identity", Seq(r), _) => r
+      case ("hours", Seq(r), _) => s"hours($r)"
       case ("days", Seq(r), _) => s"days($r)"
       case ("months", Seq(r), _) => s"months($r)"
       case ("years", Seq(r), _) => s"years($r)"
@@ -692,9 +694,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       props.setProperty(s"prop.$k", v)
     }
     java.nio.file.Files.createDirectories(p.getParent)
-    val out = java.nio.file.Files.newOutputStream(p)
-    try props.store(out, null) finally out.close()
+    // Exclusive install (tmp + createLink), like every other metadata
+    // write: two concurrent createView calls can both pass the
+    // exists-check above, and a truncating stream would let a
+    // concurrent loadView observe a partial file.
+    val tmp = writeViewTmp(p, props)
+    try {
+      java.nio.file.Files.createLink(p, tmp)
+      java.nio.file.Files.deleteIfExists(tmp)
+    } catch { case _: java.nio.file.FileAlreadyExistsException =>
+      java.nio.file.Files.deleteIfExists(tmp)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    }
     loadView(ident)
+  }
+
+  /** Serialize view properties to a sibling temp file; the caller
+    * installs it with createLink (exclusive) or ATOMIC_MOVE (replace).
+    */
+  private def writeViewTmp(p: java.nio.file.Path,
+      props: java.util.Properties): java.nio.file.Path = {
+    val tmp = p.resolveSibling(
+      s".${p.getFileName}.tmp-${ProcessHandle.current().pid()}-" +
+        Thread.currentThread().getId)
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try props.store(out, null) finally out.close()
+    tmp
   }
 
   override def alterView(ident: Identifier,
@@ -717,8 +743,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case other => throw new UnsupportedOperationException(
         s"unsupported view change $other")
     }
-    val out = java.nio.file.Files.newOutputStream(p)
-    try props.store(out, null) finally out.close()
+    // tmp + ATOMIC_MOVE: a concurrent loadView sees either the old or
+    // the new properties file, never a truncated one.
+    java.nio.file.Files.move(writeViewTmp(p, props), p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     loadView(ident)
   }
 
@@ -1990,6 +2019,43 @@ private[graft] object GraftDateUnbound {
   })
   val years: GraftDateUnbound =
     GraftDateUnbound("years", d => local(d).getYear - 1970)
+}
+
+/** The catalog's `hours` V2 function — Iceberg's `hour` transform,
+  * byte-exact with the write-side [[PartTransforms.Hours]] eval: a
+  * TIMESTAMP's internal form is UTC micros, floor-divided by the
+  * hour. One-argument bind (TIMESTAMP → INT).
+  */
+private[graft] object GraftHoursUnbound
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  override def name(): String = "hours"
+  override def description(): String =
+    "hours(timestamp): the snap write layout transform"
+  override def bind(inputType: StructType):
+      org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 1 &&
+      inputType.fields(0).dataType ==
+        org.apache.spark.sql.types.TimestampType,
+      s"hours expects (value TIMESTAMP), got $inputType")
+    GraftHoursBound
+  }
+}
+
+private[graft] object GraftHoursBound
+    extends org.apache.spark.sql.connector.catalog.functions
+      .ScalarFunction[Integer] {
+  override def inputTypes(): Array[org.apache.spark.sql.types.DataType] =
+    Array(org.apache.spark.sql.types.TimestampType)
+  override def resultType(): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def name(): String = "hours"
+  override def canonicalName(): String = "graft.hours(timestamp)"
+  override def isResultNullable: Boolean = true
+  override def produceResult(input: org.apache.spark.sql.catalyst
+      .InternalRow): Integer =
+    // NULL in → NULL out, like every V2 function here.
+    if (input.isNullAt(0)) null
+    else Math.floorDiv(input.getLong(0), PartTransforms.MicrosPerHour).toInt
 }
 
 private[graft] final case class GraftDateBound(fname: String, f: Int => Int)

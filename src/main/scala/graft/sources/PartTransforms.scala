@@ -113,6 +113,41 @@ object PartTransforms {
     def monotonic: Boolean = true
   }
 
+  private[sources] val MicrosPerHour = 3600L * 1000 * 1000
+
+  /** `hours(col)`: TIMESTAMP → hours since epoch (Int) — Iceberg's
+    * `hour` transform, the grain event-grade warehouses partition at.
+    * Both forms floor-divide the UTC microsecond instant: the Column
+    * form subtracts `pmod` before dividing so the quotient is an
+    * exact multiple (no float rounding at hour boundaries), the
+    * driver form is `Math.floorDiv` on the same micros.
+    */
+  final case class Hours(source: String) extends Spec {
+    val raw = s"hours($source)"
+    def toColumnFor(sourceType: DataType): Column = {
+      require(sourceType == TimestampType,
+        s"hours() requires a TIMESTAMP source, got $sourceType")
+      val us = unix_micros(col(source))
+      ((us - pmod(us, lit(MicrosPerHour))) / lit(MicrosPerHour))
+        .cast(IntegerType)
+    }
+    def eval(v: Any, sourceType: DataType): Any = {
+      val instant = v match {
+        case t: java.sql.Timestamp => t.toInstant
+        case i: java.time.Instant => i
+        case s: String => java.time.Instant.parse(s)
+        case other => throw new IllegalArgumentException(
+          s"not a timestamp value: $other (${other.getClass.getName})")
+      }
+      val micros = Math.addExact(
+        Math.multiplyExact(instant.getEpochSecond, 1000000L),
+        (instant.getNano / 1000).toLong)
+      Math.floorDiv(micros, MicrosPerHour).toInt
+    }
+    def resultType(sourceType: DataType): DataType = IntegerType
+    def monotonic: Boolean = true
+  }
+
   /** `bucket(n,col)`: Murmur3 hash bucket in `[0, n)`. The Column
     * form is `pmod(hash(col), n)`; `eval` runs the IDENTICAL
     * catalyst expression (`Murmur3Hash`, seed 42 — what
@@ -170,6 +205,7 @@ object PartTransforms {
     def monotonic: Boolean = true
   }
 
+  private val HoursRe = """hours\(\s*([^)\s]+)\s*\)""".r
   private val DaysRe = """days\(\s*([^)\s]+)\s*\)""".r
   private val MonthsRe = """months\(\s*([^)\s]+)\s*\)""".r
   private val YearsRe = """years\(\s*([^)\s]+)\s*\)""".r
@@ -180,6 +216,7 @@ object PartTransforms {
     * transform call is an identity column name (so every existing
     * manifest/spec keeps its meaning). */
   def parse(spec: String): Spec = spec.trim match {
+    case HoursRe(c) => Hours(c)
     case DaysRe(c) => Days(c)
     case MonthsRe(c) => Months(c)
     case YearsRe(c) => Years(c)
@@ -213,6 +250,7 @@ object PartTransforms {
   def renameSource(raw: String, from: String, to: String): String =
     parse(raw) match {
       case Identity(`from`) => to
+      case Hours(`from`) => Hours(to).raw
       case Days(`from`) => Days(to).raw
       case Months(`from`) => Months(to).raw
       case Years(`from`) => Years(to).raw

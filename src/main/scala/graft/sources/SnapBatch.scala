@@ -295,6 +295,10 @@ private[graft] object SnapSpj {
       case PartTransforms.Years(src)
           if dateCol(m, src) => SpjKey(E.years(src), src,
         org.apache.spark.sql.types.IntegerType)
+      case PartTransforms.Hours(src)
+          if m.schema.fields.exists(f => f.name == src &&
+            f.dataType == org.apache.spark.sql.types.TimestampType) =>
+        SpjKey(E.hours(src), src, org.apache.spark.sql.types.IntegerType)
       case _ => return None // truncate / non-date sources: not reported
     }
     val ok = m.files.forall(f => f.partMin.nonEmpty &&

@@ -148,9 +148,18 @@ final class SnapDeltaWrite(dir: Path, readM: SnapStore.Manifest,
         info.schema(), df, dc, pf, pc)
     }
 
-    override def commit(messages: Array[WriterCommitMessage]): Unit =
+    // The commit adopts ONLY the files the committed task attempts
+    // reported ([[SnapDeltaTaskFiles]]): a crashed or zombie attempt
+    // whose abort never ran may have left parquets in the staging
+    // dirs, and adopting them would duplicate rows (or commit a
+    // truncated footer). commitDeltaFromStaging drops the unlisted
+    // leftovers.
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.collect { case m: SnapDeltaTaskFiles => m }
       SnapStore.commitDeltaFromStaging(spark, dir, dataTmp, delTmp,
-        s"${cmd.toString.toLowerCase(java.util.Locale.ROOT)}-mor", readM)
+        s"${cmd.toString.toLowerCase(java.util.Locale.ROOT)}-mor", readM,
+        msgs.flatMap(_.dataFiles).toSet, msgs.flatMap(_.deleteFiles).toSet)
+    }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       SnapStore.dropDeltaStaging(dataTmp, delTmp)

@@ -2025,14 +2025,19 @@ object SnapStore {
     (m, newFiles, tryCommitManifest(table, m))
   }
 
-  /** A delete-aware scan of `fs` that — when every source file
-    * carries lineage (assigned or materialized) and the column names
-    * are free — appends materialized `_row_id` /
+  /** A delete-aware scan of `fs` that — when any source file carries
+    * lineage (assigned or materialized) and the column names are
+    * free — appends materialized `_row_id` /
     * `_last_updated_sequence_number` columns so a full rewrite
-    * preserves row identity. Falls back to the plain delete-aware
-    * scan otherwise. Shared by [[applyDeletes]] and
-    * [[rewriteClustered]]; [[compact]] inlines the same recipe with
-    * its bin routing.
+    * preserves row identity. Sources WITHOUT lineage (pre-upgrade
+    * files mixed with post-upgrade appends) serve NULL for both —
+    * the v3 contract: a rewrite never fabricates ids for rows that
+    * had stable ones, and never re-stamps rows that had none. Falls
+    * back to the plain delete-aware scan only when NO source carries
+    * lineage (a fully pre-lineage table, where commit-time assignment
+    * is the first id those rows ever get). Shared by [[applyDeletes]]
+    * and [[rewriteClustered]]; [[compact]] inlines the same recipe
+    * with its bin routing.
     */
   private def lineageScan(spark: SparkSession, table: Path,
       cur: Manifest, fs: Seq[FileEntry]): (DataFrame, Boolean) = {
@@ -2041,8 +2046,8 @@ object SnapStore {
       StructField("_row_id", LongType, nullable = true),
       StructField("_last_updated_sequence_number", LongType,
         nullable = true))
-    val lineageable = fs.nonEmpty &&
-      fs.forall(f => f.firstRowId >= 0L || f.lineage) &&
+    val lineageable =
+      fs.exists(f => f.firstRowId >= 0L || f.lineage) &&
       linFields.forall(lf => !cur.schema.fieldNames.contains(lf.name))
     if (!lineageable)
       // Legacy (pre-lineage) tables keep the native delete-aware
@@ -2050,7 +2055,8 @@ object SnapStore {
       (read(spark, table), false)
     else {
       val lin = fs
-        .map(f => (fileName(f.path), f.firstRowId, f.seq.toLong))
+        .map(f => (fileName(f.path), f.firstRowId,
+          if (f.firstRowId >= 0L) Some(f.seq.toLong) else None))
         .toDF("__fname0", "__fr", "__fseq")
       val df = scanWithDeletes(spark, table, cur, fs,
         lineageFields = linFields)
@@ -2128,7 +2134,11 @@ object SnapStore {
     * consumers apply as one update. One keyed window over
     * `(identifier, commit)` — a shuffle bounded by the CHANGE volume
     * (never the table), exactly Iceberg's repartition-by-identifier
-    * shape.
+    * shape. Pairing is ONE-TO-ONE: with an unbalanced set (one
+    * delete plus two inserts of an identifier in one commit) the
+    * deletes and inserts pair off by rank and the residual rows keep
+    * their DELETE/INSERT labels — never a dangling UPDATE_BEFORE
+    * without its UPDATE_AFTER.
     */
   def changelogWithUpdates(spark: SparkSession, table: Path,
       fromVersion: Int, toVersion: Int,
@@ -2138,19 +2148,25 @@ object SnapStore {
     val base = changelogRead(spark, table, fromVersion, toVersion)
     identifierCols.foreach(c => require(base.columns.contains(c),
       s"identifier column '$c' is not in the changelog schema"))
-    val w = Window.partitionBy(
-      (identifierCols.map(col) :+ col("_commit_version")): _*)
+    val grp = identifierCols.map(col) :+ col("_commit_version")
+    val w = Window.partitionBy(grp: _*)
+    // Rank within (identifier, commit, change type), ordered over the
+    // full row for determinism; pairing is arbitrary among equal
+    // identifiers, the COUNT of pairs is not.
+    val wt = Window.partitionBy((grp :+ col("_change_type")): _*)
+      .orderBy(base.columns.map(col): _*)
     base
-      .withColumn("__has_d", max(when(col("_change_type") === "DELETE",
+      .withColumn("__n_d", sum(when(col("_change_type") === "DELETE",
         1).otherwise(0)).over(w))
-      .withColumn("__has_i", max(when(col("_change_type") === "INSERT",
+      .withColumn("__n_i", sum(when(col("_change_type") === "INSERT",
         1).otherwise(0)).over(w))
+      .withColumn("__rk", row_number().over(wt))
       .withColumn("_change_type",
-        when(col("__has_d") === 1 && col("__has_i") === 1,
+        when(col("__rk") <= least(col("__n_d"), col("__n_i")),
           when(col("_change_type") === "DELETE", lit("UPDATE_BEFORE"))
             .otherwise(lit("UPDATE_AFTER")))
           .otherwise(col("_change_type")))
-      .drop("__has_d", "__has_i")
+      .drop("__n_d", "__n_i", "__rk")
   }
 
   def changelogRead(spark: SparkSession, table: Path,
@@ -2787,24 +2803,39 @@ object SnapStore {
     *    dangle — the rows may live elsewhere now);
     *  - a concurrent schema/spec change aborts (the staged data rows
     *    were written under the read schema);
-    *  - concurrent APPENDS and concurrent DELETE commits carry
-    *    safely: pair application is per-(file, ordinal) and
-    *    idempotent, so overlapping delete sets union exactly.
+    *  - concurrent APPENDS carry safely, and so do concurrent delete
+    *    commits FOR A DELETE: pair application is per-(file, ordinal)
+    *    and idempotent, so overlapping delete sets union exactly;
+    *  - for UPDATE/MERGE a concurrent commit that added delete files
+    *    applying to this operation's read set aborts (Iceberg's
+    *    RowDelta `validateNoConflictingDeleteFiles`): two racing
+    *    updates of one row would otherwise both delete-and-reinsert
+    *    it (a duplicate), and an update racing a delete would
+    *    resurrect the deleted row.
+    *
+    * Only the staged parquets named in `committedData`/`committedDel`
+    * (the task writers' commit messages) are adopted; leftovers from
+    * crashed or zombie attempts whose abort never ran are dropped.
     */
   private[sources] def commitDeltaFromStaging(spark: SparkSession,
       table: Path, dataTmp: Path, delTmp: Path, operation: String,
-      readM: Manifest): Manifest = {
-    def staged(tmp: Path): Seq[Path] =
+      readM: Manifest, committedData: Set[String],
+      committedDel: Set[String]): Manifest = {
+    def staged(tmp: Path, committed: Set[String]): Seq[Path] =
       if (!Files.isDirectory(tmp)) Seq.empty
       else {
         val stream = Files.list(tmp)
-        try stream.iterator().asScala
-          .filter(_.getFileName.toString.endsWith(".parquet"))
-          .toSeq.sortBy(_.getFileName.toString)
-        finally stream.close()
+        val all =
+          try stream.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+          finally stream.close()
+        val (listed, zombies) =
+          all.partition(p => committed(p.getFileName.toString))
+        zombies.foreach(Files.deleteIfExists(_))
+        listed.sortBy(_.getFileName.toString)
       }
-    val stagedData = staged(dataTmp)
-    val stagedDel = staged(delTmp)
+    val stagedData = staged(dataTmp, committedData)
+    val stagedDel = staged(delTmp, committedDel)
     if (stagedData.isEmpty && stagedDel.isEmpty) {
       // A no-match DML is a full no-op — no snapshot, like the COW
       // paths.
@@ -2885,6 +2916,24 @@ object SnapStore {
         require(refsToCheck.forall(live),
           s"concurrent commit rewrote files this $operation read — " +
             "aborting")
+        // UPDATE/MERGE read the rows they re-emit, so a delete file
+        // committed since readM that can apply to the read set is a
+        // write-write conflict: abort (Iceberg RowDelta's
+        // validateNoConflictingDeleteFiles). A DELETE skips this —
+        // racing deletes of one row union idempotently. Position
+        // deletes conflict via their referenced file names; equality
+        // deletes (and refs-less legacy entries) apply to every
+        // lower-sequence file, so any new one conflicts.
+        if (operation != "delete-mor") {
+          val readDeletes = readM.deleteFiles.map(_.path).toSet
+          val refSet = refsToCheck.toSet
+          val conflicting = cur.deleteFiles
+            .filterNot(d => readDeletes(d.path))
+            .filter(d => d.refs.isEmpty || d.refs.exists(refSet))
+          require(conflicting.isEmpty,
+            s"concurrent delete files ${conflicting.map(_.path).mkString(", ")} " +
+              s"apply to rows this $operation read — aborting")
+        }
         val v = cur.version + 1
         val (ds, superseded) =
           if (useDv) writeDvBlobs(spark, table, cur, v, pairDf, dataDir)
@@ -3207,13 +3256,15 @@ object SnapStore {
     // each row's id and last-updated sequence into the rewritten
     // files instead (from the source file's derivation, or its own
     // materialized columns if it was itself a compaction output).
-    // Only when every source carries lineage and the names are free.
+    // When any source carries lineage and the names are free;
+    // no-lineage sources serve NULL for both columns (see
+    // [[lineageScan]] — never fabricate, never re-stamp).
     val linFields = Seq(
       StructField("_row_id", LongType, nullable = true),
       StructField("_last_updated_sequence_number", LongType,
         nullable = true))
-    val lineageable = multis.flatten.nonEmpty &&
-      multis.flatten.forall(f => f.firstRowId >= 0L || f.lineage) &&
+    val lineageable =
+      multis.flatten.exists(f => f.firstRowId >= 0L || f.lineage) &&
       linFields.forall(lf => !cur.schema.fieldNames.contains(lf.name))
     val rewritten: Seq[FileEntry] =
       if (multis.isEmpty) Seq.empty
@@ -3241,9 +3292,8 @@ object SnapStore {
           if (!lineageable) scanned0
           else {
             val lin = multis.flatten.toSeq
-              .map(f => (fileName(f.path),
-                if (f.firstRowId >= 0L) f.firstRowId else -1L,
-                f.seq.toLong))
+              .map(f => (fileName(f.path), f.firstRowId,
+                if (f.firstRowId >= 0L) Some(f.seq.toLong) else None))
               .toDF("__fname0", "__fr", "__fseq")
             scanned0
               .join(broadcast(lin), col("__fn") === col("__fname0"))
