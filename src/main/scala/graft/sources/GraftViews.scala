@@ -19,9 +19,14 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
   * and re-analyzed in place, so the view always reads the CURRENT
   * snapshot of its base tables. View-on-view nests naturally (the
   * substituted plan's inner view resolves on the next fixed-point
-  * pass); cycles cannot be CREATED (a definition must plan — against
-  * already-existing views only — at creation time), so resolution
-  * terminates.
+  * pass). Cycles cannot be CREATED directly (a definition must plan —
+  * against already-existing views only — at creation time), but
+  * `rename_view` can close one AFTER the fact (V2 refs V1, rename V1
+  * away, rename a V2-dependent view INTO the vacated name) — the
+  * substitution therefore walks the stored-definition graph first
+  * and raises a NAMED view-cycle error instead of letting resolution
+  * die at the analyzer's opaque fixed-point iteration cap
+  * (VERDICT r13 #6).
   *
   * Installed via `spark.sql.extensions=graft.sources.GraftSparkExtensions`.
   */
@@ -45,12 +50,55 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse(return None)
     val ident = Identifier.of(Array(db), name)
     if (!vc.viewExists(ident)) return None
+    requireAcyclic(vc, catName, db, name)
     val v = vc.loadView(ident)
     // The stored SQL was validated (planned) at creation under
     // fully-qualified names, so it re-parses context-free here.
     Some(SubqueryAlias(
       AliasIdentifier(name, Seq(catName, db)),
       spark.sessionState.sqlParser.parsePlan(v.query())))
+  }
+
+  /** The stored view names a definition references (subqueries
+    * included), restricted to views of the SAME catalog — the edges
+    * of the definition graph.
+    */
+  private def storedRefs(vc: ViewCatalog, catName: String,
+      db: String, name: String): Seq[(String, String)] = {
+    val ident = Identifier.of(Array(db), name)
+    if (!vc.viewExists(ident)) return Seq.empty
+    val parsed = Try(spark.sessionState.sqlParser
+      .parsePlan(vc.loadView(ident).query())).getOrElse(return Seq.empty)
+    parsed.collectWithSubqueries {
+      case u: UnresolvedRelation => u.multipartIdentifier
+    }.flatMap {
+      case Seq(c, d, n) if c == catName => Some((d, n))
+      case Seq(d, n) => Some((d, n))
+      case _ => None
+    }.distinct.filter { case (d, n) =>
+      vc.viewExists(Identifier.of(Array(d), n))
+    }
+  }
+
+  /** DFS over stored definitions from `(db, name)`: a path back to a
+    * visited node raises a named cycle error with the offending
+    * chain. Driver-only, bounded by the (small) view graph; runs once
+    * per substituted relation.
+    */
+  private def requireAcyclic(vc: ViewCatalog, catName: String,
+      db: String, name: String): Unit = {
+    def walk(node: (String, String), path: Seq[(String, String)]): Unit = {
+      if (path.contains(node))
+        throw new IllegalStateException(
+          "view cycle detected: " +
+            (path.dropWhile(_ != node) :+ node)
+              .map { case (d, n) => s"$catName.$d.$n" }.mkString(" -> ") +
+            " — a rename_view closed a definition loop; drop or " +
+            "re-create one of the views")
+      storedRefs(vc, catName, node._1, node._2)
+        .foreach(walk(_, path :+ node))
+    }
+    walk((db, name), Seq.empty)
   }
 }
 

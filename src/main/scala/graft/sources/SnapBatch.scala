@@ -432,16 +432,30 @@ private[graft] object SnapDeleteCache {
     case x => x
   }
 
+  /** The probe-able form of a (possibly composite) key tuple: single
+    * keys keep the bare [[probeKey]] form (no per-probe allocation on
+    * the overwhelmingly common case), composites wrap element-wise in
+    * a List (structural equals/hashCode).
+    */
+  def probeKeys(vs: Seq[Any]): Any =
+    if (vs.lengthCompare(1) == 0) probeKey(vs.head)
+    else vs.map(probeKey).toList
+
   /** The distinct equality-delete keys of `l` as CURRENT-key-type
     * catalyst values (the reader upcasts pre-widen delete parquets,
-    * like every other evolved read; `keyType` is baked into the
+    * like every other evolved read; the key types are baked into the
     * cache key — two snapshots reading the same delete files under
     * different widened types must not share a set). Values that can
     * alias reader buffers (strings, binary) are copied; weight is
     * charged per actual payload, not a flat per-entry guess.
+    * Composite keys (a multi-column delete) store the element-wise
+    * [[probeKeys]] form; a key with ANY null component never matches
+    * (the same semantics the anti-join's `===` conjunction has).
     */
-  def eqKeys(l: SnapDeleteLoad, keyType: DataType): java.util.HashSet[Any] =
-    getOrLoad(s"${l.cacheKey}|kt=${keyType.catalogString}") {
+  def eqKeys(l: SnapDeleteLoad,
+      keyTypes: Seq[DataType]): java.util.HashSet[Any] =
+    getOrLoad(s"${l.cacheKey}|kt=${keyTypes.map(_.catalogString)
+      .mkString(",")}") {
       // Pre-size from the manifest row count, capped BOTH absolutely
       // and relative to the cache budget (ADVICE r9: a huge manifest
       // count would otherwise pre-allocate a tens-of-MB bucket array
@@ -450,15 +464,20 @@ private[graft] object SnapDeleteCache {
         math.max(1024L, MaxWeightBytes / 32)).toInt
       val set = new java.util.HashSet[Any](preSize)
       var weight = 0L
+      def wrapped(r: InternalRow, i: Int): (Any, Long) =
+        r.get(i, keyTypes(i)) match {
+          case u: UTF8String =>
+            val c = u.copy(); (c, 48L + c.numBytes())
+          case b: Array[Byte] =>
+            (java.nio.ByteBuffer.wrap(b.clone()), 64L + b.length)
+          case x => (x, 48L)
+        }
       readAll(l).foreach { r =>
-        if (!r.isNullAt(0)) {
-          val (added, sz) = r.get(0, keyType) match {
-            case u: UTF8String =>
-              val c = u.copy(); (c, 48L + c.numBytes())
-            case b: Array[Byte] =>
-              (java.nio.ByteBuffer.wrap(b.clone()), 64L + b.length)
-            case x => (x, 48L)
-          }
+        if (keyTypes.indices.forall(i => !r.isNullAt(i))) {
+          val parts = keyTypes.indices.map(wrapped(r, _))
+          val (added, sz) =
+            if (parts.lengthCompare(1) == 0) parts.head
+            else (parts.map(_._1).toList, parts.map(_._2).sum + 32L)
           if (set.add(added)) weight += sz
         }
       }
@@ -613,12 +632,15 @@ final class SnapNativeBatch(
       StructType(Seq(StructField("file", StringType, nullable = true),
         StructField("pos", LongType, nullable = true))))
     val eqLoadCache = mutable.Map.empty[Seq[String], SnapDeleteLoad]
+    // The (possibly composite) equality-delete key column list —
+    // every pending eq delete shares one list (write-side invariant).
+    lazy val eqKeyCols: Seq[String] =
+      SnapStore.eqKeyColsOf(eqDeletes.head)
     def eqLoadOf(paths: Seq[String]): SnapDeleteLoad =
       eqLoadCache.getOrElseUpdate(paths, {
-        val kc = eqDeletes.head.keyCol
-        val kt = m.schema(kc).dataType
         deleteLoad(eqDeletes.filter(d => paths.contains(d.path)),
-          StructType(Seq(StructField(kc, kt, nullable = true))))
+          StructType(eqKeyCols.map(c =>
+            StructField(c, m.schema(c).dataType, nullable = true))))
       })
     staticsByTreatment.map { case (t, fs) =>
       if (isClean(t)) {
@@ -643,9 +665,9 @@ final class SnapNativeBatch(
         val written = SnapStore.readSchemaFor(m, applicable)
         val idxOf = m.schema.fieldNames.zipWithIndex.toMap
         val needIdx = required.fields.toSeq.map(f => idxOf(f.name))
-        val keyIdx =
-          if (eqs.nonEmpty) Some(idxOf(eqDeletes.head.keyCol)) else None
-        val readIdx = needIdx ++ keyIdx.filterNot(needIdx.contains)
+        val keyIdxs: Seq[Int] =
+          if (eqs.nonEmpty) eqKeyCols.map(idxOf) else Seq.empty
+        val readIdx = needIdx ++ keyIdxs.filterNot(needIdx.contains)
         val readFields = readIdx.map(written.fields(_))
         // The parquet readers recognize this temporary column name
         // and synthesize the row's WITHIN-FILE index — exact across
@@ -659,7 +681,9 @@ final class SnapNativeBatch(
         // that carry them; derivable files synthesize from the row
         // index instead.
         val matLin = hasLin && (wantRowId || wantLastSeq)
-        val needRowIdx = posHit || wantPos || (wantRowId && !matLin)
+        // Materialized-lineage files still need the row index: NULL
+        // stored ids inherit `first_row_id + _pos` (v3's null rule).
+        val needRowIdx = posHit || wantPos || wantRowId
         val matFields =
           if (matLin)
             Seq(StructField(SnapBatch.MetaRowId, LongType, nullable = true),
@@ -687,7 +711,7 @@ final class SnapNativeBatch(
                   : Expression
             }
         }
-        val keyExpr = keyIdx.map { ki =>
+        val keyExprs = keyIdxs.map { ki =>
           // An eq-delete key on a DEFAULTED column: every row of this
           // treatment predates the add, so the key IS the constant —
           // the physical column reads null and would silently spare
@@ -703,9 +727,9 @@ final class SnapNativeBatch(
               (if (wt == ct) br else Cast(br, ct, Some(tz))): Expression
           }
         }
-        SnapAffectedGroup(readerFunc, outExprs, keyExpr,
+        SnapAffectedGroup(readerFunc, outExprs, keyExprs,
           if (eqs.nonEmpty) Some(eqLoadOf(eqs)) else None,
-          keyIdx.map(ki => m.schema.fields(ki).dataType),
+          keyIdxs.map(ki => m.schema.fields(ki).dataType),
           if (needRowIdx) Some(readFields.length + matFields.length)
           else None,
           if (posHit) Some(posLoad) else None,
@@ -803,9 +827,9 @@ private final case class SnapCleanGroup(
 private final case class SnapAffectedGroup(
     reader: PartitionedFile => Iterator[InternalRow],
     outExprs: Seq[Expression],
-    keyExpr: Option[Expression],
+    keyExprs: Seq[Expression],
     eqLoad: Option[SnapDeleteLoad],
-    keyType: Option[DataType],
+    keyTypes: Seq[DataType],
     rowIdxOrd: Option[Int],
     posLoad: Option[SnapDeleteLoad],
     metaCols: Seq[String] = Seq.empty,
@@ -961,26 +985,37 @@ private final class SnapAffectedReader(
         org.apache.spark.sql.catalyst.expressions.Literal(
           UTF8String.fromString(part.specCol), StringType): Expression
       case SnapBatch.MetaRowId =>
-        // Materialized (rewritten) files serve the stored id; plain
-        // files derive first_row_id + ordinal (v3 inheritance);
-        // pre-lineage files honestly serve NULL.
+        // Materialized (rewritten) files serve the stored id with
+        // NULL values inheriting `first_row_id + _pos` (the v3 null
+        // rule — fresh inserts of a lineage-carrying COW rewrite);
+        // plain files derive first_row_id + ordinal; files without a
+        // first-row-id honestly serve NULL.
+        def derived: Expression =
+          if (part.firstRowId < 0L)
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              null, LongType)
+          else org.apache.spark.sql.catalyst.expressions.Add(
+            org.apache.spark.sql.catalyst.expressions.Literal(
+              part.firstRowId, LongType),
+            BoundReference(spec.rowIdxOrd.get, LongType,
+              nullable = false))
         spec.rowIdOrd match {
-          case Some(o) => BoundReference(o, LongType, nullable = true)
-            : Expression
-          case None =>
-            if (part.firstRowId < 0L)
-              org.apache.spark.sql.catalyst.expressions.Literal(
-                null, LongType): Expression
-            else org.apache.spark.sql.catalyst.expressions.Add(
-              org.apache.spark.sql.catalyst.expressions.Literal(
-                part.firstRowId, LongType),
-              BoundReference(spec.rowIdxOrd.get, LongType,
-                nullable = false)): Expression
+          case Some(o) =>
+            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+              BoundReference(o, LongType, nullable = true),
+              derived)): Expression
+          case None => derived
         }
       case SnapBatch.MetaLastSeq =>
+        // Same null rule: a NULL stored last-updated sequence
+        // inherits the FILE's sequence (an updated row re-stamped by
+        // the commit that rewrote it).
         spec.lastSeqOrd match {
-          case Some(o) => BoundReference(o, LongType, nullable = true)
-            : Expression
+          case Some(o) =>
+            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+              BoundReference(o, LongType, nullable = true),
+              org.apache.spark.sql.catalyst.expressions.Literal(
+                part.fileSeq.toLong, LongType))): Expression
           case None =>
             org.apache.spark.sql.catalyst.expressions.Literal(
               part.fileSeq.toLong, LongType): Expression
@@ -989,7 +1024,7 @@ private final class SnapAffectedReader(
         s"unknown metadata column '$other'")
     })
   private lazy val eqKeys: java.util.HashSet[Any] =
-    spec.eqLoad.map(l => SnapDeleteCache.eqKeys(l, spec.keyType.get)).orNull
+    spec.eqLoad.map(l => SnapDeleteCache.eqKeys(l, spec.keyTypes)).orNull
   private lazy val deletedPos: Array[Long] =
     spec.posLoad.map { l =>
       val m = SnapDeleteCache.posMap(l)
@@ -1006,8 +1041,9 @@ private final class SnapAffectedReader(
         spec.rowIdxOrd.exists(o =>
           java.util.Arrays.binarySearch(deletedPos, r.getLong(o)) >= 0)
       val eqDeleted = !posDeleted && eqKeys != null && {
-        val k = spec.keyExpr.get.eval(r)
-        k != null && eqKeys.contains(SnapDeleteCache.probeKey(k))
+        val ks = spec.keyExprs.map(_.eval(r))
+        !ks.contains(null) &&
+          eqKeys.contains(SnapDeleteCache.probeKeys(ks))
       }
       if (!posDeleted && !eqDeleted) { cur = proj(r); return true }
     }

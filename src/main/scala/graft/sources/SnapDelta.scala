@@ -49,20 +49,33 @@ final class SnapDeltaOperation(
     cmd: RowLevelOperation.Command,
     dir: Path) extends RowLevelOperation with SupportsDelta {
 
-  // WAP staging does not compose with MOR delta commits yet (branch
-  // chains publish data files, not delete files) — refuse at
-  // operation build, before any scan or write side effect, like the
-  // COW path refuses staged-over-MOR.
+  // WAP staging (Iceberg `spark.wap.branch`) COMPOSES with MOR delta
+  // DML (r14, lifting the r13 refusal): the delta's delete files and
+  // new data files commit on the staging branch — stamped
+  // fork-relative like branch appends — main byte-frozen until the
+  // explicit publish, and fast-forward adopts the delete files with
+  // their relative sequence order preserved. Id-keyed staging
+  // (`spark.wap.id`) covers the INSERT faces only — refuse, the same
+  // guard the COW row-level path holds (cherry-pick can only
+  // re-apply appends onto a moved main).
   SnapStore.requireOneWapConf(SparkSession.active)
-  require(SnapStore.wapBranch(SparkSession.active).isEmpty &&
+  private val wapBranch: Option[String] =
+    SnapStore.wapBranch(SparkSession.active)
+  require(wapBranch.nonEmpty ||
     SnapStore.wapId(SparkSession.active).isEmpty,
-    s"WAP staging does not support merge-on-read $cmd: publish the " +
-      "branch first or set write modes to copy-on-write for staged DML")
+    "spark.wap.id staging covers INSERT INTO/OVERWRITE only; use " +
+      "spark.graft.wap.branch for staged DML")
 
   /** The snapshot the whole operation runs against — scan and commit
-    * validate against this one manifest.
+    * validate against this one manifest. A WAP session reads the
+    * staged branch head (stacked staged DML composes); until the
+    * branch materializes (at first write, never at plan time) the
+    * main head IS the would-be fork state.
     */
-  private val readM: SnapStore.Manifest = SnapStore.currentManifest(dir)
+  private val readM: SnapStore.Manifest =
+    wapBranch.flatMap(b => SnapStore.branchHead(dir, b)
+      .map(_ => SnapStore.branchHeadManifest(dir, b)))
+      .getOrElse(SnapStore.currentManifest(dir))
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -79,7 +92,7 @@ final class SnapDeltaOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new SnapDeltaWrite(dir, readM, cmd, info)
+        new SnapDeltaWrite(dir, readM, cmd, info, wapBranch)
     }
 
   override def description(): String = s"graft-mor-$cmd $dir"
@@ -89,7 +102,8 @@ final class SnapDeltaOperation(
   * position-delete pairs, one atomic manifest commit adopting both.
   */
 final class SnapDeltaWrite(dir: Path, readM: SnapStore.Manifest,
-    cmd: RowLevelOperation.Command, info: LogicalWriteInfo)
+    cmd: RowLevelOperation.Command, info: LogicalWriteInfo,
+    wapBranch: Option[String] = None)
     extends DeltaWrite with RequiresDistributionAndOrdering {
 
   private val spark = SparkSession.active
@@ -158,7 +172,8 @@ final class SnapDeltaWrite(dir: Path, readM: SnapStore.Manifest,
       val msgs = messages.collect { case m: SnapDeltaTaskFiles => m }
       SnapStore.commitDeltaFromStaging(spark, dir, dataTmp, delTmp,
         s"${cmd.toString.toLowerCase(java.util.Locale.ROOT)}-mor", readM,
-        msgs.flatMap(_.dataFiles).toSet, msgs.flatMap(_.deleteFiles).toSet)
+        msgs.flatMap(_.dataFiles).toSet, msgs.flatMap(_.deleteFiles).toSet,
+        branch = wapBranch)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -602,9 +602,12 @@ object SnapStore {
     * the assigned row counts. A row's `_row_id` is then
     * `first_row_id + _pos`, with no per-row storage — exactly the
     * v3 inheritance scheme. Files whose rows carry MATERIALIZED
-    * lineage columns (compaction outputs — the ids could not stay
-    * derivable across the rewrite) skip assignment: their ids live
-    * in the data.
+    * lineage columns (rewrite outputs — the ids could not stay
+    * derivable across the rewrite) get a first-row-id TOO: their
+    * non-null stored ids win, and NULL stored ids (rows that never
+    * had one — fresh inserts in a lineage-carrying rewrite,
+    * pre-upgrade rows) inherit `first_row_id + _pos`, the v3 rule
+    * for null materialized values.
     */
   private def withRowLineage(table: Path, m: Manifest): Manifest = {
     val assignedMax = m.files.filter(_.firstRowId >= 0L)
@@ -615,7 +618,7 @@ object SnapStore {
         .getOrElse(-1L)
     var next = Seq(assignedMax, parentNext, 0L).max
     val files = m.files.map { f =>
-      if (f.firstRowId >= 0L || f.lineage) f
+      if (f.firstRowId >= 0L) f
       else { val fr = next; next += f.rows; f.copy(firstRowId = fr) }
     }
     m.copy(files = files, nextRowId = next)
@@ -975,14 +978,18 @@ object SnapStore {
       }
       if (eqs.nonEmpty) {
         val applying = eqDeletes.filter(d => eqs.contains(d.path))
-        val kc = eqDeletes.head.keyCol
+        val kcs = eqKeyColsOf(eqDeletes.head)
         val dk0 = spark.read
           .parquet(eqs.map(p => table.resolve(p).toString): _*)
-          .select(col(kc).as("__delk")).distinct()
+          .select(kcs.zipWithIndex.map { case (c, i) =>
+            col(c).as(s"__delk$i") }: _*).distinct()
         val dk =
           if (applying.map(_.rows).sum <= BroadcastDeleteRows) broadcast(dk0)
           else dk0
-        df = df.join(dk, df(kc) === col("__delk"), "left_anti")
+        val cond = kcs.zipWithIndex
+          .map { case (c, i) => df(c) === col(s"__delk$i") }
+          .reduce(_ && _)
+        df = df.join(dk, cond, "left_anti")
       }
       df.select(m.schema.fieldNames.map(col): _*)
     }.reduce(_ unionByName _)
@@ -1032,14 +1039,18 @@ object SnapStore {
       }
       if (eqs.nonEmpty) {
         val applying = eqDeletes.filter(d => eqs.contains(d.path))
-        val kc = eqDeletes.head.keyCol
+        val kcs = eqKeyColsOf(eqDeletes.head)
         val dk0 = spark.read
           .parquet(eqs.map(p => table.resolve(p).toString): _*)
-          .select(col(kc).as("__delk")).distinct()
+          .select(kcs.zipWithIndex.map { case (c, i) =>
+            col(c).as(s"__delk$i") }: _*).distinct()
         val dk =
           if (applying.map(_.rows).sum <= BroadcastDeleteRows) broadcast(dk0)
           else dk0
-        df = df.join(dk, df(kc) === col("__delk"), "left_anti")
+        val cond = kcs.zipWithIndex
+          .map { case (c, i) => df(c) === col(s"__delk$i") }
+          .reduce(_ && _)
+        df = df.join(dk, cond, "left_anti")
       }
       df.select(keepCols.map(col): _*)
     }.reduce(_ unionByName _)
@@ -1645,24 +1656,37 @@ object SnapStore {
     * [[applyDeletes]] folds the deletes into the data.
     */
   def deleteEquality(spark: SparkSession, table: Path, keys: DataFrame,
-      keyCol: String): Manifest = {
+      keyCol: String): Manifest =
+    deleteEquality(spark, table, keys, Seq(keyCol))
+
+  /** Composite-key form (Iceberg v2 equality-delete files carry
+    * arbitrary field-id SETS, VERDICT r13 #4): the delete parquet
+    * stores every key column, reads anti-join on the tuple. All
+    * pending equality-delete files must share one key column LIST
+    * (the same invariant the single-column form held).
+    */
+  def deleteEquality(spark: SparkSession, table: Path, keys: DataFrame,
+      keyCols: Seq[String]): Manifest = {
+    require(keyCols.nonEmpty, "at least one delete key column required")
     val cur0 = currentManifest(table)
-    require(cur0.schema.fieldNames.contains(keyCol),
-      s"delete key column '$keyCol' is not in the table schema")
-    require(cur0.deleteFiles.filter(_.kind == "eq").forall(_.keyCol == keyCol),
-      "all pending equality-delete files must share one key column")
+    keyCols.foreach(k => require(cur0.schema.fieldNames.contains(k),
+      s"delete key column '$k' is not in the table schema"))
+    def sameKeys(m: Manifest): Unit =
+      require(m.deleteFiles.filter(_.kind == "eq")
+        .forall(d => eqKeyColsOf(d) == keyCols),
+        "all pending equality-delete files must share one key column list")
+    sameKeys(cur0)
     // The delete file parts are written ONCE outside the commit
     // retry, like an append's data files — they don't depend on the
     // snapshot the commit lands on.
     val parts = writeDeleteParts(spark, table,
-      keys.select(col(keyCol)).distinct(), "edelete")
+      keys.select(keyCols.map(col): _*).distinct(), "edelete")
     try withCommitRetry(table) { () =>
       val cur = currentManifest(table)
-      require(cur.deleteFiles.filter(_.kind == "eq").forall(_.keyCol == keyCol),
-        "all pending equality-delete files must share one key column")
+      sameKeys(cur)
       val v = cur.version + 1
       val ds = parts.map { case (name, rows, bytes) =>
-        DeleteFile(s"data/$name", keyCol, rows, bytes, "eq", v) }
+        DeleteFile(s"data/$name", eqKeyColStr(keyCols), rows, bytes, "eq", v) }
       val m = Manifest(v, cur.version, "delete-mor",
         cur.schema, cur.files, cur.partCol, cur.deleteFiles ++ ds, cur.keyCol,
         cur.evos)
@@ -1677,6 +1701,17 @@ object SnapStore {
     }
   }
 
+  /** An equality delete's key COLUMN LIST — the manifest field
+    * stores one enc-joined, comma-separated list (a single plain
+    * column name round-trips unchanged, so every pre-list manifest
+    * parses identically).
+    */
+  private[graft] def eqKeyColsOf(d: DeleteFile): Seq[String] =
+    d.keyCol.split(",", -1).toSeq.filter(_.nonEmpty).map(dec)
+
+  private[sources] def eqKeyColStr(cols: Seq[String]): String =
+    cols.map(enc).mkString(",")
+
   /** Merge-on-read MERGE (Iceberg v2 `write.merge.mode =
     * merge-on-read`): one commit carrying BOTH an equality-delete
     * file for the change keys AND new data files for the change
@@ -1687,13 +1722,26 @@ object SnapStore {
     * of O(touched files); [[applyDeletes]] folds the debt later.
     */
   def mergeEquality(spark: SparkSession, table: Path, changes: DataFrame,
-      keyCol: String, numFiles: Int = 2): Manifest = {
+      keyCol: String, numFiles: Int): Manifest =
+    mergeEquality(spark, table, changes, Seq(keyCol), numFiles)
+
+  def mergeEquality(spark: SparkSession, table: Path, changes: DataFrame,
+      keyCol: String): Manifest =
+    mergeEquality(spark, table, changes, Seq(keyCol), 2)
+
+  /** Composite-key MOR MERGE — see [[deleteEquality]]'s list form. */
+  def mergeEquality(spark: SparkSession, table: Path, changes: DataFrame,
+      keyCols: Seq[String], numFiles: Int = 2): Manifest = {
+    require(keyCols.nonEmpty, "at least one merge key column required")
     val cur0 = currentManifest(table)
-    require(cur0.schema.fieldNames.contains(keyCol),
-      s"merge key column '$keyCol' is not in the table schema")
-    require(cur0.deleteFiles.filter(_.kind == "eq").forall(_.keyCol == keyCol),
-      "all pending equality-delete files must share one key column")
-    val partCol = if (cur0.partCol.nonEmpty) cur0.partCol else keyCol
+    keyCols.foreach(k => require(cur0.schema.fieldNames.contains(k),
+      s"merge key column '$k' is not in the table schema"))
+    def sameKeys(m: Manifest): Unit =
+      require(m.deleteFiles.filter(_.kind == "eq")
+        .forall(d => eqKeyColsOf(d) == keyCols),
+        "all pending equality-delete files must share one key column list")
+    sameKeys(cur0)
+    val partCol = if (cur0.partCol.nonEmpty) cur0.partCol else keyCols.head
     // Both halves are written ONCE outside the retry: neither depends
     // on the snapshot the commit lands on.
     val newFiles = writeDataFiles(spark, table,
@@ -1701,14 +1749,13 @@ object SnapStore {
       s"mor-merge-${UUID.randomUUID().toString.take(8)}", numFiles,
       keyCol = cur0.keyCol)
     val parts = writeDeleteParts(spark, table,
-      changes.select(col(keyCol)).distinct(), "edelete")
+      changes.select(keyCols.map(col): _*).distinct(), "edelete")
     try withCommitRetry(table) { () =>
       val cur = currentManifest(table)
-      require(cur.deleteFiles.filter(_.kind == "eq").forall(_.keyCol == keyCol),
-        "all pending equality-delete files must share one key column")
+      sameKeys(cur)
       val v = cur.version + 1
       val ds = parts.map { case (name, rows, bytes) =>
-        DeleteFile(s"data/$name", keyCol, rows, bytes, "eq", v) }
+        DeleteFile(s"data/$name", eqKeyColStr(keyCols), rows, bytes, "eq", v) }
       val m = Manifest(v, cur.version, "merge-mor", cur.schema,
         cur.files ++ newFiles.map(_.copy(seq = v)), cur.partCol,
         cur.deleteFiles ++ ds, cur.keyCol, cur.evos)
@@ -1971,14 +2018,14 @@ object SnapStore {
       cur.deleteFiles.filter(_.kind == "eq").groupBy(_.seq).toSeq
         .sortBy(_._1).foreach { case (seq, ds) =>
           if (ds.length > 1) {
-            val kc = ds.head.keyCol
+            val kcs = eqKeyColsOf(ds.head)
             val df = spark.read
               .parquet(ds.map(d => table.resolve(d.path).toString): _*)
-              .select(col(kc)).distinct()
+              .select(kcs.map(col): _*).distinct()
             val parts = writeDeleteParts(spark, table, df,
               s"edelete-rw-v$v-s$seq")
             merged ++= parts.map { case (name, rows, bytes) =>
-              DeleteFile(s"data/$name", kc, rows, bytes, "eq", seq)
+              DeleteFile(s"data/$name", ds.head.keyCol, rows, bytes, "eq", seq)
             }
           } else untouched ++= ds
         }
@@ -2227,13 +2274,17 @@ object SnapStore {
         val eqs = newDeletes.filter(_.kind == "eq")
         val poss = newDeletes.filter(_.kind == "pos")
         val eqRows: Option[DataFrame] = if (eqs.isEmpty) None else {
-          val kc = eqs.head.keyCol
+          val kcs = eqKeyColsOf(eqs.head)
           val keys = spark.read
             .parquet(eqs.map(d => table.resolve(d.path).toString): _*)
-            .select(col(kc)).distinct()
-          val rng = keys.agg(min(col(kc)), max(col(kc))).head()
+            .select(kcs.map(col): _*).distinct()
+          // Key-bounds pre-pruning only applies when the delete key
+          // IS the single declared table key (composite keys keep
+          // every candidate — conservative, never wrong).
+          val rng = keys.agg(min(col(kcs.head)), max(col(kcs.head))).head()
           val keyOrd =
-            if (from.keyCol == kc) colType(from.schema, kc).flatMap(boundOrd)
+            if (kcs == Seq(from.keyCol))
+              colType(from.schema, kcs.head).flatMap(boundOrd)
             else None
           val candidates = (keyOrd, if (rng.isNullAt(0)) None
             else Some((render(rng.get(0)), render(rng.get(1))))) match {
@@ -2242,14 +2293,20 @@ object SnapStore {
                 !(o.lt(bMax, f.keyMin) || o.gt(bMin, f.keyMax)))
             case _ => from.files
           }
-          val keysK = keys.withColumnRenamed(kc, "__delk")
+          val keysK = kcs.zipWithIndex.foldLeft(keys) { case (d, (c, i)) =>
+            d.withColumnRenamed(c, s"__delk$i") }
           val keysB =
             if (eqs.map(_.rows).sum <= BroadcastDeleteRows) broadcast(keysK)
             else keysK
           if (candidates.isEmpty) None
-          else Some(scanWithDeletes(spark, table, from, candidates)
-            .drop("__fn")
-            .join(keysB, col(kc) === col("__delk"), "left_semi"))
+          else {
+            val scanned = scanWithDeletes(spark, table, from, candidates)
+              .drop("__fn")
+            Some(scanned.join(keysB,
+              kcs.zipWithIndex.map { case (c, i) =>
+                scanned(c) === col(s"__delk$i") }.reduce(_ && _),
+              "left_semi"))
+          }
         }
         val posRows: Option[DataFrame] = if (poss.isEmpty) None else {
           val pairs0 = DeleteVectors.pairsDf(spark, table, poss)
@@ -2690,7 +2747,8 @@ object SnapStore {
       table: Path, staging: Path, operation: String,
       replaced: Option[Seq[String]] = None,
       scanDeletes: Seq[DeleteFile] = Seq.empty,
-      branch: Option[String] = None): Manifest = {
+      branch: Option[String] = None,
+      materializedLineage: Boolean = false): Manifest = {
     val cur0 = branch.map(branchHeadManifest(table, _))
       .getOrElse(currentManifest(table))
     require(cur0.partCol.nonEmpty, "table has no partition spec")
@@ -2713,8 +2771,13 @@ object SnapStore {
     // including a stats-pass failure — or they leak as unreferenced
     // orphans under data/ (the same invariant the append path keeps).
     try {
+      // `materializedLineage` = the staged parquets carry physical
+      // `_row_id`/`_last_updated_sequence_number` columns (the COW
+      // lineage carry): mark the entries so reads serve the stored
+      // values with the v3 null-inheritance rule instead of deriving
+      // everything from first_row_id.
       val newFiles = statsEntries(spark, dataDir, moved, cur0.partCol,
-        cur0.keyCol)
+        cur0.keyCol).map(f => f.copy(lineage = materializedLineage))
       branch match {
         case Some(b) =>
           // WAP-staged row-level operation: the replace commits on
@@ -2816,11 +2879,20 @@ object SnapStore {
     * Only the staged parquets named in `committedData`/`committedDel`
     * (the task writers' commit messages) are adopted; leftovers from
     * crashed or zombie attempts whose abort never ran are dropped.
+    *
+    * `branch` = a WAP staging branch: the delta commits on the BRANCH
+    * chain (main byte-frozen) with entries stamped fork-relative like
+    * branch appends — an eq/pos delete staged at branch seq
+    * `forkV + v` outranks exactly the files it outranked on the
+    * branch, and [[fastForward]] preserves that relative order when
+    * it publishes. Branch deltas stage v2 pair files even under the
+    * DV conf (blob folding is main-snapshot-dependent; a post-publish
+    * `rewrite_delete_files` can DV-ify them).
     */
   private[sources] def commitDeltaFromStaging(spark: SparkSession,
       table: Path, dataTmp: Path, delTmp: Path, operation: String,
       readM: Manifest, committedData: Set[String],
-      committedDel: Set[String]): Manifest = {
+      committedDel: Set[String], branch: Option[String] = None): Manifest = {
     def staged(tmp: Path, committed: Set[String]): Seq[Path] =
       if (!Files.isDirectory(tmp)) Seq.empty
       else {
@@ -2837,10 +2909,18 @@ object SnapStore {
     val stagedData = staged(dataTmp, committedData)
     val stagedDel = staged(delTmp, committedDel)
     if (stagedData.isEmpty && stagedDel.isEmpty) {
-      // A no-match DML is a full no-op — no snapshot, like the COW
-      // paths.
+      // A no-match DML is a full no-op — no snapshot, no branch fork
+      // (the ADVICE r11 contract the COW paths hold too).
       dropDeltaStaging(dataTmp, delTmp)
-      return currentManifest(table)
+      return branch.flatMap(b => branchHead(table, b)
+        .map(_ => branchHeadManifest(table, b)))
+        .getOrElse(currentManifest(table))
+    }
+    // The WAP branch materializes here, at first EFFECTIVE write —
+    // planning, aborts, and no-match DML never fork anything.
+    branch.foreach { b =>
+      requireUnpublishedWapId(table, b)
+      ensureBranch(table, b)
     }
     val dataDir = table.resolve("data")
     Files.createDirectories(dataDir)
@@ -2857,7 +2937,10 @@ object SnapStore {
     // (supersede included) instead of adopting them as v2 pair
     // files. Blob construction is snapshot-dependent (the fold reads
     // the CURRENT pending DVs), so it runs inside the retry.
-    val useDv = stagedDel.nonEmpty && DeleteVectors.enabled(spark)
+    // DV folding is main-snapshot-dependent (supersede reads the
+    // CURRENT pending blobs) — branch deltas stage v2 pairs instead.
+    val useDv = stagedDel.nonEmpty && DeleteVectors.enabled(spark) &&
+      branch.isEmpty
     val movedDel =
       if (useDv) Seq.empty
       else stagedDel.zipWithIndex.map { case (src, i) =>
@@ -2904,8 +2987,9 @@ object SnapStore {
         if (stagedDel.isEmpty) Seq.empty
         else pairDf.select(col("file")).distinct()
           .collect().map(_.getString(0)).toSeq
-      val committed = withCommitRetry(table) { () =>
-        val cur = currentManifest(table)
+      // Shared conflict validation, run per retry attempt against the
+      // then-current head (main or branch chain).
+      def validate(cur: Manifest): Unit = {
         require(cur.schema == readM.schema && cur.evos == readM.evos &&
           cur.partCol == readM.partCol,
           s"concurrent schema/spec change conflicts with this $operation — " +
@@ -2934,19 +3018,41 @@ object SnapStore {
             s"concurrent delete files ${conflicting.map(_.path).mkString(", ")} " +
               s"apply to rows this $operation read — aborting")
         }
-        val v = cur.version + 1
-        val (ds, superseded) =
-          if (useDv) writeDvBlobs(spark, table, cur, v, pairDf, dataDir)
-          else (pairEntries.map(_.copy(seq = v)), Set.empty[String])
-        val m = Manifest(v, cur.version, operation, cur.schema,
-          cur.files ++ newFiles.map(_.copy(seq = v)), cur.partCol,
-          cur.deleteFiles.filterNot(d => superseded(d.path)) ++ ds,
-          cur.keyCol, cur.evos)
-        // DV blobs ride the retry's cleanup list (only `path` is
-        // used) so a lost race never leaks them.
-        (m, if (useDv) ds.map(d => FileEntry(d.path, "", "", 0, 0))
-          else Seq.empty,
-          tryCommitManifest(table, m))
+      }
+      val committed = branch match {
+        case Some(b) =>
+          // WAP-staged delta: commit on the branch chain, entries
+          // stamped fork-relative (the appendToBranch convention) so
+          // the staged delete files outrank exactly the files they
+          // outranked at stage time, on the branch and — via
+          // fastForward's order-preserving re-stamp — after publish.
+          withBranchCommitRetry(table, b) { cur =>
+            validate(cur)
+            val v = cur.version + 1
+            val seq = branchManifest(table, b, 1).parent + v
+            (Manifest(v, cur.version, operation, cur.schema,
+              cur.files ++ newFiles.map(_.copy(seq = seq)), cur.partCol,
+              cur.deleteFiles ++ pairEntries.map(_.copy(seq = seq)),
+              cur.keyCol, cur.evos), Seq.empty[FileEntry])
+          }
+        case None =>
+          withCommitRetry(table) { () =>
+            val cur = currentManifest(table)
+            validate(cur)
+            val v = cur.version + 1
+            val (ds, superseded) =
+              if (useDv) writeDvBlobs(spark, table, cur, v, pairDf, dataDir)
+              else (pairEntries.map(_.copy(seq = v)), Set.empty[String])
+            val m = Manifest(v, cur.version, operation, cur.schema,
+              cur.files ++ newFiles.map(_.copy(seq = v)), cur.partCol,
+              cur.deleteFiles.filterNot(d => superseded(d.path)) ++ ds,
+              cur.keyCol, cur.evos)
+            // DV blobs ride the retry's cleanup list (only `path` is
+            // used) so a lost race never leaks them.
+            (m, if (useDv) ds.map(d => FileEntry(d.path, "", "", 0, 0))
+              else Seq.empty,
+              tryCommitManifest(table, m))
+          }
       }
       if (useDv) deleteTree(delTmp)
       committed
@@ -4217,17 +4323,30 @@ object SnapStore {
         s"main is at ${cur.version} but branch '$name' forked from " +
           s"${fork.parent} — not fast-forwardable (rebase the branch)")
       val head = branchManifest(table, name, branchHead(table, name).get)
-      val v = cur.version + 1
-      // Files the branch ADDED enter main's sequence space at the
-      // fast-forward version (they become visible to main readers
-      // now) — a later equality delete (seq > v) applies to them, an
-      // earlier one never existed here (branching over pending
-      // deletes is refused). Files main already knew keep their seq.
+      // Entries the branch ADDED (data files AND staged delete files)
+      // enter main's sequence space PRESERVING their relative
+      // branch-sequence order: distinct branch seqs map onto
+      // cur.version+1 … cur.version+k and the fast-forward commits AT
+      // version cur.version+k — so a staged MOR delete keeps applying
+      // to exactly the files it outranked on the branch, and every
+      // future main commit outranks everything adopted. A
+      // single-batch stage (k = 1) is the old "re-stamp to v"
+      // behavior. Files main already knew keep their seq (seq ≤ fork
+      // point, untouched by the map).
       val mainPaths = cur.files.map(_.path).toSet
+      val branchSeqs = (head.files.collect {
+        case f if !mainPaths(f.path) && f.seq > cur.version => f.seq
+      } ++ head.deleteFiles.map(_.seq)).distinct.sorted
+      val seqMap = branchSeqs.zipWithIndex
+        .map { case (s, i) => s -> (cur.version + 1 + i) }.toMap
+      val v = cur.version + math.max(1, branchSeqs.size)
       val adopted = head.files.map(f =>
-        if (mainPaths(f.path)) f else f.copy(seq = v))
+        if (mainPaths(f.path)) f
+        else f.copy(seq = seqMap.getOrElse(f.seq, v)))
+      val adoptedDeletes = head.deleteFiles.map(d =>
+        d.copy(seq = seqMap.getOrElse(d.seq, v)))
       val m = Manifest(v, cur.version, s"fast-forward-$name",
-        head.schema, adopted, head.partCol, Seq.empty, head.keyCol,
+        head.schema, adopted, head.partCol, adoptedDeletes, head.keyCol,
         head.evos)
       (m, Seq.empty, tryCommitManifest(table, m))
     }
@@ -4431,7 +4550,8 @@ object SnapStore {
         s"cannot drop the partition column '$name' (evolve the spec first)")
       require(name != cur.keyCol,
         s"cannot drop the table key column '$name'")
-      require(cur.deleteFiles.forall(d => d.keyCol != name),
+      require(cur.deleteFiles.forall(d =>
+        d.kind != "eq" || !eqKeyColsOf(d).contains(name)),
         s"cannot drop '$name': a pending equality-delete file is " +
           "keyed on it — run applyDeletes first")
       // A dropped column's initial-default record dies with it: kept,
@@ -4495,7 +4615,8 @@ object SnapStore {
         s"column name '$to' was DROPPED while live data files still " +
           "carry its values — rewrite the table (compact/applyDeletes) " +
           "before reusing it")
-      require(cur.deleteFiles.forall(d => d.keyCol != from),
+      require(cur.deleteFiles.forall(d =>
+        d.kind != "eq" || !eqKeyColsOf(d).contains(from)),
         s"cannot rename '$from': a pending equality-delete file is " +
           "keyed on it — run applyDeletes first")
       val v = cur.version + 1

@@ -814,19 +814,23 @@ class IcebergFacesSpec extends SparkSpec {
     SnapStore.create(spark, t, docs, "part", keyCol = "doc_id")
     mountAs("metaspec", root)
 
-    // A clean NON-SPJ layout (files span partition values) takes the
-    // plain delegate route, which has no metadata columns; the
-    // conf-forced native route serves them. The SPJ-layout table `t`
-    // below routes native by default and serves them without the conf.
+    // The native route is the DEFAULT (r14): even a clean NON-SPJ
+    // layout (files spanning partition values) serves the metadata
+    // columns out of the box. `spark.graft.read.native=false`
+    // restores the legacy plain-delegate route, which has none —
+    // pinned so the opt-out stays honest.
     val t2 = root.resolve("t2")
     SnapStore.create(spark, t2, docs, "part",
       clusterExprs = Seq(pmod(col("doc_id"), lit(5L))))
     val m2 = SnapStore.currentManifest(t2)
     assert(m2.files.exists(f => f.partMin != f.partMax),
       "fixture must be non-SPJ (multi-valued files)")
-    intercept[Exception] {
-      spark.sql("SELECT _file FROM graft.metaspec.t2 LIMIT 1").collect()
-    }
+    spark.conf.set("spark.graft.read.native", "false")
+    try {
+      intercept[Exception] {
+        spark.sql("SELECT _file FROM graft.metaspec.t2 LIMIT 1").collect()
+      }
+    } finally spark.conf.unset("spark.graft.read.native")
     spark.conf.set("spark.graft.read.native", "true")
     try {
       assert(spark.sql("SELECT COUNT(DISTINCT _file) AS n " +

@@ -850,18 +850,28 @@ class MaintenanceSpec extends SparkSpec {
     assert(spark.table("graft.brspec.docs").count() == n)
 
     // Fast-forward main to ingest: metadata commit with the branch
-    // head's files; branch data now serves on main. Files the branch
-    // ADDED enter main's sequence space at the FF version, so a
-    // LATER equality delete suppresses them and an earlier one never
-    // applies (branching over pending deletes is refused).
+    // head's files; branch data now serves on main. Entries the
+    // branch ADDED enter main's sequence space PRESERVING their
+    // relative branch order, above the fork point and at most the FF
+    // version — so a LATER equality delete suppresses them, an
+    // earlier one never applies, and the two branch appends keep
+    // their order (the invariant staged MOR delete files ride).
+    val br2Paths = SnapStore.branchManifest(t, "ingest", 2).files
+      .map(_.path).toSet
     SnapStore.fastForward(t, "ingest")
     assert(SnapStore.read(spark, t).count() == n + 7)
     val ff = SnapStore.currentManifest(t)
     assert(ff.operation == "fast-forward-ingest")
     val baseP = SnapStore.manifest(t, 1).files.map(_.path).toSet
-    ff.files.filterNot(f => baseP(f.path)).foreach(f =>
-      assert(f.seq == ff.version,
-        s"branch-added ${f.path} must re-stamp to the FF version"))
+    val added = ff.files.filterNot(f => baseP(f.path))
+    added.foreach(f =>
+      assert(f.seq > 1 && f.seq <= ff.version,
+        s"branch-added ${f.path} must re-stamp above the fork point " +
+          s"and at most the FF version, got ${f.seq} vs ${ff.version}"))
+    val (first, second) = added.partition(f => br2Paths(f.path))
+    assert(first.nonEmpty && second.nonEmpty &&
+      first.map(_.seq).max < second.map(_.seq).min,
+      "the two branch appends must keep their relative sequence order")
     // exp forked from version 1; main is now at 2 → not FF-able.
     val stale = intercept[IllegalArgumentException] {
       SnapStore.fastForward(t, "exp")

@@ -271,9 +271,9 @@ class MorDmlSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
-  test("MOR DML guard rails: no-match DML is a full no-op, WAP " +
-    "staging refuses before side effects, unknown modes refuse, COW " +
-    "tables are unaffected by the dispatch") {
+  test("MOR DML guard rails: no-match DML is a full no-op (staged " +
+    "included — no branch fork), id-keyed WAP refuses, unknown modes " +
+    "refuse, COW tables are unaffected by the dispatch") {
     val root = Files.createTempDirectory("graft-morguard")
     root.toFile.deleteOnExit()
     val t = morTable("morguard", root)
@@ -284,16 +284,28 @@ class MorDmlSpec extends SparkSpec {
     assert(SnapStore.currentVersion(t).contains(v0),
       "a no-match MOR delete must not commit")
 
-    // WAP branch staging refuses at operation build.
+    // A no-match STAGED delete is a full no-op too: no snapshot on
+    // main AND no branch fork (branch materializes at first
+    // effective write). The effective staged path is WapMorSpec's.
     spark.conf.set("spark.graft.wap.branch", "morstage")
+    try {
+      spark.sql("DELETE FROM graft.morguard.t WHERE doc_id < 0")
+      assert(SnapStore.currentVersion(t).contains(v0))
+      assert(SnapStore.branchHead(t, "morstage").isEmpty,
+        "a no-match staged delete must not fork the branch")
+    } finally spark.conf.unset("spark.graft.wap.branch")
+
+    // Id-keyed WAP (spark.wap.id) covers INSERT faces only — MOR DML
+    // refuses at operation build, before any side effect.
+    spark.conf.set("spark.graft.wap.id", "morwapid1")
     try {
       val e = intercept[Exception] {
         spark.sql("DELETE FROM graft.morguard.t WHERE doc_id = 1")
       }
-      assert(e.getMessage.contains("merge-on-read"), e.getMessage)
-      assert(SnapStore.branchHead(t, "morstage").isEmpty,
-        "the refusal must not fork the branch")
-    } finally spark.conf.unset("spark.graft.wap.branch")
+      assert(e.getMessage.contains("INSERT INTO/OVERWRITE only"),
+        e.getMessage)
+      assert(SnapStore.currentVersion(t).contains(v0))
+    } finally spark.conf.unset("spark.graft.wap.id")
 
     // Unknown mode value refuses loudly.
     spark.sql("ALTER TABLE graft.morguard.t SET TBLPROPERTIES " +

@@ -153,10 +153,12 @@ class PropertySpec extends SparkSpec {
         s"$label: leaked (unreferenced) group files: ${disk -- refd}")
       assert(SnapStore.read(spark, t).count() == model.size.toLong,
         s"$label: row count diverged from the model")
-      // v3 row lineage (r13): assigned id ranges stay pairwise
-      // DISJOINT across every random op mix, the counter bounds them
-      // all, and materialized files never also claim a derived range
-      // — the no-id-reuse invariant every op must preserve.
+      // v3 row lineage: assigned id ranges stay pairwise DISJOINT
+      // across every random op mix and the counter bounds them all —
+      // the no-id-reuse invariant every op must preserve. EVERY file
+      // gets a first-row-id at commit (r14: materialized files too —
+      // their non-null stored ids win, NULL stored ids inherit
+      // `first_row_id + _pos`, so the range must still be fresh).
       val ranges = m.files.filter(_.firstRowId >= 0L)
         .map(f => (f.firstRowId, f.firstRowId + f.rows)).sortBy(_._1)
       ranges.sliding(2).foreach {
@@ -168,9 +170,9 @@ class PropertySpec extends SparkSpec {
         assert(ranges.last._2 <= m.nextRowId,
           s"$label: next-row-id ${m.nextRowId} below assigned " +
             s"${ranges.last._2}")
-      m.files.filter(_.lineage).foreach(f =>
-        assert(f.firstRowId < 0L,
-          s"$label: materialized file ${f.path} also claims a range"))
+      m.files.foreach(f =>
+        assert(f.firstRowId >= 0L,
+          s"$label: committed file ${f.path} missing a first-row-id"))
     }
     checkInvariants("create")
 

@@ -173,8 +173,8 @@ class Round14FixesSpec extends SparkSpec {
 
   // ----------------------------------------------------------------
   test("a compaction mixing lineage-carrying and pre-lineage source " +
-    "files keeps the carried ids and serves NULL for the pre-lineage " +
-    "rows — never fabricates fresh ids") {
+    "files keeps the carried ids exactly; pre-lineage rows pick up " +
+    "fresh inherited ids (v3's null rule) that then stay stable") {
     val root = Files.createTempDirectory("graft-mixlin")
     root.toFile.deleteOnExit()
     val t = root.resolve("t")
@@ -222,6 +222,7 @@ class Round14FixesSpec extends SparkSpec {
       "unstripped rows must carry ids before the rewrite")
 
     // All files into one bin: a genuine multi-file rewrite.
+    val preMaxId = pre.values.flatMap(_._1).foldLeft(-1L)(math.max)
     val m2 = SnapStore.compact(spark, t, "part", Long.MaxValue / 4)
     assert(m2.files.forall(_.lineage),
       "the partial-lineage rewrite output must be marked materialized")
@@ -230,10 +231,22 @@ class Round14FixesSpec extends SparkSpec {
       assert(post(d) == ids,
         s"doc $d moved ids across the rewrite: ${ids} -> ${post(d)}")
     }
-    strippedDocs.foreach { d =>
-      assert(post(d) == ((None, None)),
-        s"pre-lineage doc $d must stay NULL, got ${post(d)}")
-    }
+    // Pre-lineage rows wrote NULL lineage into the rewrite output;
+    // the output file's assigned first_row_id then serves them
+    // INHERITED ids (v3's null rule) — fresh, above every carried
+    // id, distinct, and stable from now on.
+    val inherited = strippedDocs.map(post(_))
+    assert(inherited.forall(p => p._1.exists(_ > preMaxId)),
+      s"pre-lineage rows must inherit fresh ids above $preMaxId: " +
+        s"${inherited.take(5)}")
+    assert(inherited.flatMap(_._1).toSet.size == strippedDocs.size,
+      "inherited ids must be distinct")
+    // A SECOND rewrite materializes the inherited ids — stable now.
+    val m3 = SnapStore.compact(spark, t, "part", Long.MaxValue / 4)
+    assert(m3.version > m2.version)
+    val post2 = lineage()
+    strippedDocs.foreach(d => assert(post2(d)._1 == post(d)._1,
+      s"doc $d lost its inherited id across the second rewrite"))
   }
 
   // ----------------------------------------------------------------
@@ -305,5 +318,173 @@ class Round14FixesSpec extends SparkSpec {
       s"the unpaired insert keeps its label: $changes")
     assert(changes.collect {
       case (k, v) if k != "UPDATE_BEFORE" => v }.toSet == Set("b", "c"))
+  }
+
+  // ----------------------------------------------------------------
+  private def pdScanBuilder(t: Path) =
+    new PositionDeletesMetadataTable("t.position_deletes", t)
+      .newScanBuilder(org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+
+  private def pdPartitions(t: Path,
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val sb = pdScanBuilder(t)
+    sb.asInstanceOf[org.apache.spark.sql.connector.read
+      .SupportsPushDownFilters].pushFilters(filters)
+    sb.build().toBatch.planInputPartitions()
+  }
+
+  test(".position_deletes pushes delete_file/file predicates into " +
+    "partition planning: one partition per matching delete file, " +
+    "file= prunes via manifest refs, results stay exact") {
+    val root = Files.createTempDirectory("graft-pdpush")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("doc_id") < 80), "part",
+      numFiles = 8, keyCol = "doc_id")
+    SnapStore.deletePositions(spark, t, col("doc_id") === 3L)
+    SnapStore.deletePositions(spark, t, col("doc_id") === 17L)
+    val m = SnapStore.currentManifest(t)
+    val dels = m.deleteFiles.filter(_.kind == "pos")
+    assert(dels.size == 2 && dels.forall(_.refs.nonEmpty))
+
+    assert(pdPartitions(t, Array.empty).length == 2)
+    // delete_file = … plans exactly that file's partition.
+    val d1 = dels.head
+    val byDel = pdPartitions(t, Array(
+      org.apache.spark.sql.sources.EqualTo("delete_file", d1.path)))
+    assert(byDel.length == 1 &&
+      byDel(0).asInstanceOf[PositionDeletesPartition].relPath == d1.path)
+    // file = <resolved path> plans only the delete files whose refs
+    // name it (the two single-row deletes hit different data files).
+    val ref1 = t.resolve(s"data/${d1.refs.head}").toString
+    val byFile = pdPartitions(t, Array(
+      org.apache.spark.sql.sources.EqualTo("file", ref1)))
+    assert(byFile.length ==
+      dels.count(_.refs.contains(d1.refs.head)),
+      s"file= must prune to referencing delete files, got ${byFile.length}")
+
+    // SQL-level: the filtered read is exact (residual filter held).
+    mountAs("pdpush", root)
+    val rows = spark.sql("SELECT pos FROM graft.pdpush.t.position_deletes " +
+      s"WHERE delete_file = '${d1.path}'").collect()
+    assert(rows.length == 1,
+      s"one suppressed pair per single-row delete, got ${rows.length}")
+  }
+
+  test("refs-less (legacy) .position_deletes partitions carry no " +
+    "inline name map — resolution rides one broadcast — and still " +
+    "serve resolved paths") {
+    val root = Files.createTempDirectory("graft-pdlegacy")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("doc_id") < 120), "part",
+      numFiles = 60, keyCol = "doc_id",
+      clusterExprs = Seq(col("part"), col("doc_id")))
+    assert(SnapStore.currentManifest(t).files.size >= 40,
+      "fixture needs a many-file table")
+    SnapStore.deletePositions(spark, t, col("doc_id") === 7L)
+    // Strip the refs field from the stored dfile line — the
+    // pre-refs manifest shape.
+    val v = SnapStore.currentVersion(t).get
+    val mPath = SnapStore.manifestFileOf(t, v)
+    val edited = Files.readAllLines(mPath).asScala.map { l =>
+      if (!l.startsWith("dfile=")) l
+      else l.split("\t", -1).take(6).mkString("\t")
+    }
+    Files.write(mPath, edited.mkString("\n").getBytes)
+    val d = SnapStore.currentManifest(t).deleteFiles.head
+    assert(d.refs.isEmpty, "fixture: the delete entry must be refs-less")
+
+    val parts = pdPartitions(t, Array.empty)
+    assert(parts.length == 1)
+    val part = parts(0).asInstanceOf[PositionDeletesPartition]
+    assert(part.nameToPath.isEmpty,
+      "a refs-less partition must not inline the name map")
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(part); oos.close()
+      bos.size()
+    }
+    assert(bytes < 4096,
+      s"partition payload must stay bounded on a many-file table: $bytes B")
+    // The broadcast still resolves the served path.
+    mountAs("pdlegacy", root)
+    val served = spark.sql(
+      "SELECT file FROM graft.pdlegacy.t.position_deletes").collect()
+    assert(served.length == 1 && served(0).getString(0).startsWith(
+      t.resolve("data").toString),
+      s"legacy entries must serve RESOLVED paths: ${served.toSeq}")
+  }
+
+  // ----------------------------------------------------------------
+  test("multi-column equality deletes: a composite-key MOR delete " +
+    "suppresses exactly the matching tuples on both read paths, " +
+    "sequence scoping spares later appends, key-list mismatches " +
+    "refuse, and applyDeletes folds the debt") {
+    val root = Files.createTempDirectory("graft-eqmulti")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    val base = docs.filter(col("doc_id") < 60)
+    SnapStore.create(spark, t, base, "part")
+    val n = base.count()
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val keySchema = StructType(Seq(
+      StructField("source", StringType, nullable = true),
+      StructField("part", LongType, nullable = true)))
+    // Two REAL (source, part) tuples from the data, plus one
+    // null-component tuple (must match nothing).
+    val victims = base.select("source", "part").distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1))).sorted.take(2).toSeq
+    val keys = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        victims.map { case (s, p) => Row(s, p) } :+ Row(null, 2L)),
+      keySchema)
+    SnapStore.deleteEquality(spark, t, keys, Seq("source", "part"))
+    val m1 = SnapStore.currentManifest(t)
+    assert(m1.deleteFiles.nonEmpty &&
+      m1.deleteFiles.forall(d => SnapStore.eqKeyColsOf(d) ==
+        Seq("source", "part")),
+      s"manifest must store the key LIST: ${m1.deleteFiles.map(_.keyCol)}")
+
+    val victimCond = victims.map { case (s, p) =>
+      col("source") === s && col("part") === p }.reduce(_ || _)
+    val expectGone = base.filter(victimCond).count()
+    assert(expectGone > 0, "fixture must actually hit rows")
+    def survivors(df: org.apache.spark.sql.DataFrame): (Long, Long) =
+      (df.count(), df.filter(victimCond).count())
+    // Native path (catalog/programmatic read) and the DataFrame
+    // (readManifest) path must agree.
+    assert(survivors(SnapStore.read(spark, t)) == ((n - expectGone, 0L)))
+    assert(survivors(SnapStore.readManifest(spark, t, m1)) ==
+      ((n - expectGone, 0L)))
+
+    // Sequence scoping: re-appending a suppressed tuple survives (the
+    // append outranks the delete by sequence).
+    SnapStore.append(spark, t,
+      base.filter(victimCond)
+        .withColumn("doc_id", col("doc_id") + 900000L), "part")
+    val reAdded = SnapStore.read(spark, t).filter(victimCond).count()
+    assert(reAdded == expectGone,
+      "appended tuples must outrank the older delete")
+
+    // A different key list over pending debt refuses.
+    val e = intercept[IllegalArgumentException] {
+      SnapStore.deleteEquality(spark, t,
+        base.select(col("doc_id")).limit(1), Seq("doc_id"))
+    }
+    assert(e.getMessage.contains("one key column list"), e.getMessage)
+
+    // Fold: contents identical, debt gone.
+    val beforeFold = SnapStore.read(spark, t)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    SnapStore.applyDeletes(spark, t, "part")
+    val m2 = SnapStore.currentManifest(t)
+    assert(m2.deleteFiles.isEmpty)
+    assert(SnapStore.read(spark, t)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      == beforeFold, "the fold must preserve exactly the net contents")
   }
 }

@@ -136,4 +136,72 @@ class RowLineageSpec extends SparkSpec {
         rows.getLong(2) == 1L)
     } finally spark.conf.unset("spark.graft.read.native")
   }
+
+  // ----------------------------------------------------------------
+  test("COW UPDATE/MERGE carry row lineage (VERDICT r13 #1): ids " +
+    "stable for carried AND updated rows, _last_seq bumps only on " +
+    "updated rows, merge-inserts inherit fresh ids, and a later " +
+    "compact keeps everything") {
+    val root = Files.createTempDirectory("graft-lineage-cow")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("doc_id") < 70), "part") // v1
+    mountAs("lincow", root)
+    val l1 = lineage(t)
+
+    // COW UPDATE (default write modes): the group rewrite replaces
+    // whole files, carrying lineage via required metadata attributes.
+    spark.sql("UPDATE graft.lincow.t SET source = 'cowU' " +
+      "WHERE doc_id % 7 = 3")                                          // v2
+    assert(SnapStore.currentManifest(t).operation == "update",
+      "must route the group-based COW path")
+    assert(SnapStore.currentManifest(t).files.forall(_.lineage),
+      "the COW rewrite outputs must be lineage-materialized")
+    val l2 = lineage(t)
+    assert(l2.keySet == l1.keySet)
+    l2.foreach { case (d, (rid, seq)) =>
+      assert(rid == l1(d)._1,
+        s"doc $d must keep its row id across the COW update")
+      if (d % 7 == 3)
+        assert(seq == 2L, s"updated doc $d must re-stamp to the " +
+          s"update's sequence, got $seq")
+      else assert(seq == l1(d)._2,
+        s"carried doc $d must keep its sequence, got $seq")
+    }
+
+    // COW MERGE: matched rows update (id kept, seq bumped), inserted
+    // rows take FRESH ids (inherited from the new file) above every
+    // existing id.
+    docs.filter(col("doc_id") < 10).select(
+      col("doc_id"), col("part"), lit("cowM").as("source"), col("text"))
+      .unionByName(docs.filter(col("doc_id") >= 70 && col("doc_id") < 75)
+        .select(col("doc_id"), col("part"), lit("cowI").as("source"),
+          col("text")))
+      .createOrReplaceTempView("lincow_src")
+    spark.sql(
+      """MERGE INTO graft.lincow.t t
+        |USING lincow_src s ON t.doc_id = s.doc_id
+        |WHEN MATCHED THEN UPDATE SET t.source = s.source
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)                // v3
+    val l3 = lineage(t)
+    val maxBefore = l2.values.map(_._1).max
+    l3.foreach { case (d, (rid, seq)) =>
+      if (d >= 70) {
+        assert(rid > maxBefore,
+          s"merge-inserted doc $d must take a fresh id, got $rid")
+        assert(seq == 3L)
+      } else if (d < 10) {
+        assert(rid == l2(d)._1 && seq == 3L,
+          s"merge-updated doc $d must keep its id and bump: $rid/$seq")
+      } else assert(l2(d) == ((rid, seq)),
+        s"carried doc $d must keep id and seq exactly")
+    }
+    assert(l3.values.map(_._1).toSet.size == l3.size,
+      "row ids must stay globally unique")
+
+    // Compact after the COW cycle: everything carries exactly.
+    SnapStore.compact(spark, t, "part", Long.MaxValue)                 // v4
+    assert(lineage(t) == l3,
+      "compaction after the COW cycle must carry all lineage exactly")
+  }
 }

@@ -135,4 +135,42 @@ class ViewCatalogSpec extends SparkSpec {
       s"pushdown must reach the base scan:\n$plan")
     spark.sql("CALL graft.system.drop_view('vws2.docs_view')")
   }
+
+  // ----------------------------------------------------------------
+  test("a definition cycle closed by rename_view raises a NAMED view-" +
+    "cycle error instead of exhausting the analyzer's iteration cap") {
+    val root = Files.createTempDirectory("graft-viewcycle")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("doc_id") < 30), "part")
+    mountAs("vcy", root)
+    // Creation-time planning keeps direct cycles impossible; renames
+    // move names out from under stored definitions without
+    // re-planning them, so two renames can close a loop:
+    //   c1 -> t;  c2 -> c1;  c3 -> c2
+    //   rename c1 -> cx      (c2's stored def still says c1)
+    //   rename c3 -> c1      (now c1 -> c2 -> c1)
+    spark.sql("CALL graft.system.create_view('vcy.c1', " +
+      "'SELECT doc_id, part FROM graft.vcy.t')")
+    spark.sql("CALL graft.system.create_view('vcy.c2', " +
+      "'SELECT doc_id, part FROM graft.vcy.c1')")
+    spark.sql("CALL graft.system.create_view('vcy.c3', " +
+      "'SELECT doc_id, part FROM graft.vcy.c2')")
+    spark.sql("CALL graft.system.rename_view('vcy.c1', 'cx')")
+    spark.sql("CALL graft.system.rename_view('vcy.c3', 'c1')")
+    val e = intercept[Exception] {
+      spark.sql("SELECT COUNT(*) FROM graft.vcy.c2").collect()
+    }
+    def rootMessages(ex: Throwable): Seq[String] =
+      Option(ex).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    val msgs = rootMessages(e).mkString(" | ")
+    assert(msgs.contains("view cycle detected") && msgs.contains("vcy.c2"),
+      s"expected a named cycle error, got: $msgs")
+    // The untouched chain keeps serving.
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.vcy.cx")
+      .collect()(0).getLong(0) == 30L)
+    Seq("c1", "c2", "cx").foreach(v =>
+      spark.sql(s"CALL graft.system.drop_view('vcy.$v')"))
+  }
 }

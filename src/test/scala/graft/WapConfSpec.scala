@@ -315,4 +315,98 @@ class WapConfSpec extends SparkSpec {
     assert(stagedContents() == model.toMap,
       "publish must land exactly the staged model")
   }
+
+  test("MERGE-ON-READ DML stages on the conf branch: delete files " +
+    "land on the branch chain with main BYTE-frozen, stacked staged " +
+    "deltas compose, and fast-forward publishes data + delete files " +
+    "with their relative sequence order preserved") {
+    val root = Files.createTempDirectory("graft-wapmor")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    val baseRows = spark.range(0, 64).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"),
+      concat(lit("d"), col("id")).as("txt"))
+    SnapStore.create(spark, t, baseRows, "part", keyCol = "id")
+    SnapStore.setProperties(t, Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    spark.conf.set("spark.graft.catalog.dir.wapmor", root.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def bytes(): Map[String, java.nio.file.attribute.FileTime] =
+      SnapStore.manifest(t, 1).files
+        .map(f => f.path -> Files.getLastModifiedTime(t.resolve(f.path)))
+        .toMap
+    val before = bytes()
+
+    withWap("mors") {
+      // Staged MOR DELETE: a delta on the branch — delete files on
+      // the branch chain, zero data rewrite anywhere.
+      spark.sql("DELETE FROM graft.wapmor.t WHERE id % 16 = 1")
+      assert(SnapStore.currentVersion(t).contains(1), "main moved")
+      val bh1 = SnapStore.branchHeadManifest(t, "mors")
+      assert(bh1.operation == "delete-mor" && bh1.deleteFiles.nonEmpty,
+        s"staged DELETE must land delete files on the branch: " +
+          s"${bh1.operation}/${bh1.deleteFiles.size}")
+      assert(spark.sql(
+        "SELECT COUNT(*) AS n FROM graft.wapmor.t WHERE id % 16 = 1")
+        .collect()(0).getLong(0) == 0L,
+        "the conf-routed read must fold the staged delete files")
+
+      // Staged MOR UPDATE stacks: split delete+reinsert on the
+      // branch; the reinserted rows land as NEW branch files.
+      spark.sql("UPDATE graft.wapmor.t SET txt = concat(txt, '-u') " +
+        "WHERE id = 6")
+      assert(SnapStore.currentVersion(t).contains(1), "main moved")
+      assert(SnapStore.branchHeadManifest(t, "mors")
+        .operation == "update-mor")
+
+      // Staged MOR DELETE of the row the staged UPDATE reinserted —
+      // the delete's pairs reference the BRANCH-written file at a
+      // HIGHER branch sequence. Publish must keep that order or the
+      // row resurrects.
+      spark.sql("DELETE FROM graft.wapmor.t WHERE id = 6")
+      assert(SnapStore.currentVersion(t).contains(1), "main moved")
+      assert(spark.sql("SELECT COUNT(*) AS n FROM graft.wapmor.t " +
+        "WHERE id = 6").collect()(0).getLong(0) == 0L)
+
+      // Staged MOR MERGE: update + insert as one more branch delta.
+      spark.sql(
+        """MERGE INTO graft.wapmor.t t
+          |USING (SELECT * FROM VALUES (8L, 0L, 'm8'),
+          |  (2000L, 0L, 'brand') AS s(id, part, txt)) s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET txt = s.txt
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      assert(SnapStore.currentVersion(t).contains(1), "main moved")
+      assert(SnapStore.branchHeadManifest(t, "mors")
+        .operation == "merge-mor")
+    }
+    // Main BYTE-frozen through all four staged deltas.
+    assert(bytes() == before, "staging must not touch main data bytes")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.wapmor.t")
+      .collect()(0).getLong(0) == 64L,
+      "plain reads must serve the untouched base until publish")
+
+    // Publish: data AND delete files adopt with relative order
+    // preserved — the update-then-delete row stays gone.
+    val ff = SnapStore.fastForward(t, "mors")
+    assert(ff.deleteFiles.nonEmpty,
+      "fast-forward must adopt the staged delete files")
+    val rows = spark.sql(
+      "SELECT id, txt FROM graft.wapmor.t ORDER BY id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!rows.keySet.exists(_ % 16 == 1), "staged delete must publish")
+    assert(!rows.contains(6L),
+      "the updated-then-deleted row must STAY deleted after publish " +
+        "(sequence order across staged deltas)")
+    assert(rows(8L) == "m8" && rows(2000L) == "brand",
+      "staged merge must publish")
+    assert(rows.size == 64 - 4 - 1 + 1,
+      s"final cardinality wrong: ${rows.size}")
+    // Delete-file sequences sit above the fork and within the FF
+    // version, ordered below/above their target files as staged.
+    assert(ff.deleteFiles.forall(d => d.seq > 1 && d.seq <= ff.version))
+  }
 }
