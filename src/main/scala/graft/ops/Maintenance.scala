@@ -1985,6 +1985,52 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** `docs_hours`: the `hours(ts)` hidden partition transform
+    * (VERDICT r13 #3 — Iceberg's `hour`, the grain event warehouses
+    * partition at). Six hourly partitions derived from doc_id, then a
+    * one-hour-scoped SQL DELETE; the oracle recomputes the hour
+    * derivation and the delete logically, so a hash match proves the
+    * transform's write clustering, int hour bounds, and the
+    * delete composed correctly. The prune/SPJ physical claims are
+    * HoursTransformSpec's.
+    */
+  def ensureDocsHours(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_hours")
+    if (SnapStore.currentVersion(t).isEmpty) {
+      val df = base(s, dir).withColumn("ts", expr(
+        "timestamp_micros((473000 + doc_id % 6) * 3600000000 + " +
+          "(doc_id % 60) * 60000000)"))
+      SnapStore.create(s, t, df, "hours(ts)")
+    }
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).contains(1))
+      s.sql("DELETE FROM graft.maint.docs_hours WHERE " +
+        "ts >= timestamp_micros(473002 * 3600000000) AND " +
+        "ts < timestamp_micros(473003 * 3600000000) AND tok % 2 = 0")
+    t
+  }
+
+  def hoursPartition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsHours(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("n_docs"), checksum(col("text")).as("chk"))
+      .orderBy(col("hr"))
+  }
+
+  val hoursPartitionOracle: String =
+    s"""WITH f AS (
+       |  SELECT CAST(473000 + doc_id % 6 AS BIGINT) AS hr, text
+       |  FROM documents
+       |  WHERE NOT (doc_id % 6 = 2 AND
+       |    len(string_split(text, ' ')) % 2 = 0))
+       |SELECT hr, COUNT(*) AS n_docs,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM f
+       |GROUP BY hr
+       |ORDER BY hr""".stripMargin
+
   /** `docs_cfil`: FILTERED compaction (Iceberg
     * `rewrite_data_files(where => …)`) — v1 deliberately fragmented
     * create, then a `CALL graft.system.rewrite_data_files_where`
@@ -3650,6 +3696,10 @@ object Maintenance {
         "INTO + UPDATE + DELETE all stage on the conf's branch — " +
         "main provably never moves until fast-forward publishes the " +
         "audited state atomically"),
+    Q("maint_hours_partition", hoursPartition, Some(hoursPartitionOracle),
+      "hours(ts) hidden partition transform: hourly write clustering " +
+        "with int hour bounds, a one-hour-scoped DELETE composes " +
+        "(prune and SPJ faces spec-pinned)"),
     Q("maint_wap_mor", wapMorPublish, Some(wapMorPublishOracle),
       "WAP staging of merge-on-read DML: staged DELETE + MERGE land " +
         "delete files on the conf branch (main byte-frozen), " +

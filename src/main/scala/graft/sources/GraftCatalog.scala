@@ -2182,6 +2182,11 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
             if (f.name == SnapBatch.MetaLastSeq)
               """{"__preserve_on_update": false, """ +
                 """"__preserve_on_reinsert": false}"""
+            else if (f.name == SnapBatch.MetaRowId)
+              // Reinsert preservation DEFAULTS false — declare it so
+              // a MOR update's split delete+reinsert keeps the row's
+              // identity (v3: updates preserve _row_id on every path).
+              """{"__preserve_on_reinsert": true}"""
             else null // the interface default: no extra metadata
         }
       }.toArray

@@ -83,6 +83,22 @@ final class SnapDeltaOperation(
     Array(Expressions.column(SnapBatch.MetaFile),
       Expressions.column(SnapBatch.MetaPos))
 
+  /** v3 row-lineage carry on the DELTA path too (matching the COW
+    * group rewrite): `_row_id` is declared preserve-on-reinsert, so
+    * a split-update's reinserted row keeps its identity; the
+    * sequence column nullifies and the read re-stamps it from the
+    * new file. Fresh MERGE inserts carry no metadata and inherit
+    * fresh ids. Skipped only when a data column shadows the names.
+    */
+  private val lineageMeta: Seq[String] = {
+    val want = Seq(SnapBatch.MetaRowId, SnapBatch.MetaLastSeq)
+    if (want.forall(n => !readM.schema.fieldNames.contains(n))) want
+    else Seq.empty
+  }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    lineageMeta.map(Expressions.column).toArray
+
   override def representUpdateAsDeleteAndInsert(): Boolean = true
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -92,7 +108,7 @@ final class SnapDeltaOperation(
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
-        new SnapDeltaWrite(dir, readM, cmd, info, wapBranch)
+        new SnapDeltaWrite(dir, readM, cmd, info, wapBranch, lineageMeta)
     }
 
   override def description(): String = s"graft-mor-$cmd $dir"
@@ -103,7 +119,8 @@ final class SnapDeltaOperation(
   */
 final class SnapDeltaWrite(dir: Path, readM: SnapStore.Manifest,
     cmd: RowLevelOperation.Command, info: LogicalWriteInfo,
-    wapBranch: Option[String] = None)
+    wapBranch: Option[String] = None,
+    lineageMeta: Seq[String] = Seq.empty)
     extends DeltaWrite with RequiresDistributionAndOrdering {
 
   private val spark = SparkSession.active
@@ -152,14 +169,23 @@ final class SnapDeltaWrite(dir: Path, readM: SnapStore.Manifest,
       (f, new SerializableHadoopConf(job.getConfiguration))
     }
 
+    // v3 lineage carry: the staged data parquets materialize the
+    // lineage metadata after the data columns (reinserts keep their
+    // preserved `_row_id`; the nullified sequence and fresh inserts'
+    // NULLs re-stamp/assign via the read's v3 null rule).
+    private val stagedSchema: StructType =
+      if (lineageMeta.isEmpty) info.schema()
+      else StructType(info.schema().fields ++
+        lineageMeta.map(SnapBatch.metaField))
+
     override def createBatchWriterFactory(
         p: PhysicalWriteInfo): DeltaWriterFactory = {
       Files.createDirectories(dataTmp)
       Files.createDirectories(delTmp)
-      val (df, dc) = factoryFor(info.schema())
+      val (df, dc) = factoryFor(stagedSchema)
       val (pf, pc) = factoryFor(SnapDeltaWriter.PairSchema)
       SnapDeltaWriterFactory(dataTmp.toString, delTmp.toString,
-        info.schema(), df, dc, pf, pc)
+        stagedSchema, df, dc, pf, pc, lineageMeta.size)
     }
 
     // The commit adopts ONLY the files the committed task attempts
@@ -173,7 +199,7 @@ final class SnapDeltaWrite(dir: Path, readM: SnapStore.Manifest,
       SnapStore.commitDeltaFromStaging(spark, dir, dataTmp, delTmp,
         s"${cmd.toString.toLowerCase(java.util.Locale.ROOT)}-mor", readM,
         msgs.flatMap(_.dataFiles).toSet, msgs.flatMap(_.deleteFiles).toSet,
-        branch = wapBranch)
+        branch = wapBranch, materializedLineage = lineageMeta.nonEmpty)
     }
 
     override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -203,7 +229,8 @@ final case class SnapDeltaTaskFiles(dataFiles: Seq[String],
 final case class SnapDeltaWriterFactory(dataTmp: String, delTmp: String,
     dataSchema: StructType,
     dataFactory: OutputWriterFactory, dataConf: SerializableHadoopConf,
-    pairFactory: OutputWriterFactory, pairConf: SerializableHadoopConf)
+    pairFactory: OutputWriterFactory, pairConf: SerializableHadoopConf,
+    metaFields: Int = 0)
     extends DeltaWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DeltaWriter[InternalRow] =
@@ -231,15 +258,29 @@ final class SnapDeltaWriter(f: SnapDeltaWriterFactory, partitionId: Int,
   private var pairW: OutputWriter = _
   private val pairRow = new GenericInternalRow(2)
 
-  override def insert(row: InternalRow): Unit = {
+  private val metaNulls = new GenericInternalRow(f.metaFields)
+  private val joined =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+
+  private def writeData(row: InternalRow): Unit = {
     if (dataW == null)
       dataW = f.dataFactory.newInstance(
         s"${f.dataTmp}/ins-$suffix", f.dataSchema, ctx(f.dataConf.value))
     dataW.write(row)
   }
 
+  // Fresh inserts carry NO metadata: NULL lineage columns, which the
+  // read inherits as fresh first_row_id + pos ids (v3's null rule).
+  override def insert(row: InternalRow): Unit =
+    if (f.metaFields == 0) writeData(row)
+    else writeData(joined(row, metaNulls))
+
+  // A split-update's reinsert keeps its metadata: the preserved
+  // `_row_id` (row identity survives the update) and the NULLIFIED
+  // sequence (re-stamped to this commit by the read).
   override def reinsert(metadata: InternalRow, row: InternalRow): Unit =
-    insert(row)
+    if (f.metaFields == 0) writeData(row)
+    else writeData(joined(row, metadata))
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit = {
     if (pairW == null)

@@ -2892,7 +2892,8 @@ object SnapStore {
   private[sources] def commitDeltaFromStaging(spark: SparkSession,
       table: Path, dataTmp: Path, delTmp: Path, operation: String,
       readM: Manifest, committedData: Set[String],
-      committedDel: Set[String], branch: Option[String] = None): Manifest = {
+      committedDel: Set[String], branch: Option[String] = None,
+      materializedLineage: Boolean = false): Manifest = {
     def staged(tmp: Path, committed: Set[String]): Seq[Path] =
       if (!Files.isDirectory(tmp)) Seq.empty
       else {
@@ -2954,8 +2955,11 @@ object SnapStore {
     // From here every abort cleans the moved files (the append-path
     // invariant: no unreferenced orphans under data/).
     try {
+      // Delta data files may carry materialized lineage columns (the
+      // MOR-path v3 carry) — marked so reads serve the stored values
+      // under the null-inheritance rule.
       val newFiles = statsEntries(spark, dataDir, movedData, readM.partCol,
-        readM.keyCol)
+        readM.keyCol).map(f => f.copy(lineage = materializedLineage))
       // Pair counts + referenced data-file names, one distributed
       // job over only the just-staged delete parquets.
       val delStats: Map[String, (Long, Seq[String])] =

@@ -70,8 +70,9 @@ class RowLineageSpec extends SparkSpec {
     assert(appended.forall(_._2 == 2L))
 
     // MOR SQL UPDATE: base files untouched → unchanged rows keep ids
-    // byte-identical; rewritten rows land as new rows (new id, v3's
-    // delete+insert representation) with the bumped sequence.
+    // byte-identical; rewritten rows KEEP their ids too (r14 — the
+    // reinsert carries the preserved `_row_id`, v3's update contract
+    // on every write path) with the bumped sequence.
     SnapStore.setProperties(t,
       Map("write.update.mode" -> "merge-on-read"))
     mountAs("lineage", root)
@@ -81,7 +82,8 @@ class RowLineageSpec extends SparkSpec {
     assert(l3.size == 80)
     l3.foreach { case (d, (rid, seq)) =>
       if (d % 10 == 3) {
-        assert(rid >= n + 20, s"updated doc $d must take a fresh id")
+        assert(rid == l2(d)._1,
+          s"updated doc $d must KEEP its row id (v3 update contract)")
         assert(seq == 3L, s"updated doc $d must carry the UPDATE seq")
       } else assert(l2(d) == ((rid, seq)),
         s"untouched doc $d must keep its id and seq exactly")
