@@ -1275,39 +1275,51 @@ object SnapStore {
       case CIn(a, vs) if attrIs(a) && vs.nonEmpty &&
           vs.forall(litVal(_).isDefined) => vs.map(litVal(_).get)
     }
-    // RANGE conjuncts on an IDENTITY source column prune by rendered
-    // bound comparison (the filtered-compaction `where part <= 2`
-    // face; also tightens range-predicate DML). Identity only: a
-    // transform need not be monotonic, so a source range does not
-    // bound the transformed partition value.
+    // RANGE conjuncts on a MONOTONIC spec prune by rendered bound
+    // comparison in the TRANSFORMED domain (r14 — previously
+    // identity-only): `ts < X` on an hours(ts) layout keeps only
+    // files whose hour bounds can intersect, so a time-scoped DML
+    // probe on an event table opens that window's footers, not every
+    // file. Strict bounds become INCLUSIVE for non-identity
+    // transforms — t is monotonic but not injective, so `src < v`
+    // only implies `t(src) <= t(v)`. Bucket (non-monotonic) never
+    // range-prunes.
     val rangePreds = scala.collection.mutable.Buffer.empty[FileEntry => Boolean]
-    if (spec.isInstanceOf[PartTransforms.Identity])
+    if (spec.monotonic)
       partOrdering(m.schema, m.partCol).foreach { o =>
-        def hi(v: Any, inc: Boolean): FileEntry => Boolean = {
-          val r = render(v)
+        val identity = spec.isInstanceOf[PartTransforms.Identity]
+        def tr(v: Any): String = render(spec.eval(v, st))
+        def hi(v: Any, incRaw: Boolean): FileEntry => Boolean = {
+          val inc = incRaw || !identity
+          val r = tr(v)
           f => if (inc) !o.gt(f.partMin, r) else o.lt(f.partMin, r)
         }
-        def lo(v: Any, inc: Boolean): FileEntry => Boolean = {
-          val r = render(v)
+        def lo(v: Any, incRaw: Boolean): FileEntry => Boolean = {
+          val inc = incRaw || !identity
+          val r = tr(v)
           f => if (inc) !o.lt(f.partMax, r) else o.gt(f.partMax, r)
         }
+        // An unevaluable literal (a transform refusing the value's
+        // form) drops ONLY that conjunct — conservative, never wrong.
+        def safe(add: => FileEntry => Boolean): Unit =
+          try rangePreds += add catch { case NonFatal(_) => () }
         conjuncts(condExpr).foreach {
           case CLe(a, l) if attrIs(a) && litVal(l).isDefined =>
-            rangePreds += hi(litVal(l).get, inc = true)
+            safe(hi(litVal(l).get, incRaw = true))
           case CLt(a, l) if attrIs(a) && litVal(l).isDefined =>
-            rangePreds += hi(litVal(l).get, inc = false)
+            safe(hi(litVal(l).get, incRaw = false))
           case CGe(a, l) if attrIs(a) && litVal(l).isDefined =>
-            rangePreds += lo(litVal(l).get, inc = true)
+            safe(lo(litVal(l).get, incRaw = true))
           case CGt(a, l) if attrIs(a) && litVal(l).isDefined =>
-            rangePreds += lo(litVal(l).get, inc = false)
+            safe(lo(litVal(l).get, incRaw = false))
           case CLe(l, a) if attrIs(a) && litVal(l).isDefined =>
-            rangePreds += lo(litVal(l).get, inc = true)
+            safe(lo(litVal(l).get, incRaw = true))
           case CLt(l, a) if attrIs(a) && litVal(l).isDefined =>
-            rangePreds += lo(litVal(l).get, inc = false)
+            safe(lo(litVal(l).get, incRaw = false))
           case CGe(l, a) if attrIs(a) && litVal(l).isDefined =>
-            rangePreds += hi(litVal(l).get, inc = true)
+            safe(hi(litVal(l).get, incRaw = true))
           case CGt(l, a) if attrIs(a) && litVal(l).isDefined =>
-            rangePreds += hi(litVal(l).get, inc = false)
+            safe(hi(litVal(l).get, incRaw = false))
           case _ => ()
         }
       }

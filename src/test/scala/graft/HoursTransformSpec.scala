@@ -108,6 +108,17 @@ class HoursTransformSpec extends SparkSpec {
     val n = SnapStore.readPrunedRange(spark, t, lo, hi)
       .filter(col("ts") >= lit(lo) && col("ts") < lit(hi)).count()
     assert(n == 40L)
+
+    // DML probe pruning (r14): a time-range condition prunes the
+    // probe candidates in the TRANSFORMED domain — a time-scoped
+    // DELETE on an hours layout opens only that window's footers.
+    // The strict `<` upper bound stays INCLUSIVE after the transform
+    // (monotonic, not injective), so hour 473003 is conservatively
+    // kept.
+    val cand = SnapStore.probeCandidates(spark, m,
+      col("ts") >= lit(lo) && col("ts") < lit(hi))
+    assert(cand.map(_.partMin.toInt).toSet == Set(473001, 473002, 473003),
+      s"probe range prune wrong: ${cand.map(_.partMin).sorted}")
   }
 
   // ----------------------------------------------------------------
