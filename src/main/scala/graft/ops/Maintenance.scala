@@ -1890,6 +1890,15 @@ object Maintenance {
     }
     mount(s, dir)
     val confKey = "spark.graft.wap.branch"
+    // Self-heal a PARTIALLY staged lifecycle (a crash between the
+    // staged DELETE and the staged MERGE would otherwise wedge this
+    // face forever: staging skipped because the branch exists,
+    // publish skipped because the head is short): drop the partial
+    // branch and restage whole — staging is then restart-idempotent
+    // like every sibling ensure* lifecycle.
+    if (SnapStore.currentVersion(t).contains(1) &&
+      SnapStore.branchHead(t, "morstage").exists(_ != 3))
+      SnapStore.dropBranch(t, "morstage")
     if (SnapStore.branchHead(t, "morstage").isEmpty &&
       SnapStore.currentVersion(t).contains(1)) {
       val mainBytes = SnapStore.currentManifest(t).files

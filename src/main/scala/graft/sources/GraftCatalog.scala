@@ -692,32 +692,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       props.setProperty(s"prop.$k", v)
     }
     java.nio.file.Files.createDirectories(p.getParent)
-    // Exclusive install (tmp + createLink), like every other metadata
-    // write: two concurrent createView calls can both pass the
-    // exists-check above, and a truncating stream would let a
-    // concurrent loadView observe a partial file.
-    val tmp = writeViewTmp(p, props)
-    try {
-      java.nio.file.Files.createLink(p, tmp)
-      java.nio.file.Files.deleteIfExists(tmp)
-    } catch { case _: java.nio.file.FileAlreadyExistsException =>
-      java.nio.file.Files.deleteIfExists(tmp)
+    // Exclusive install (tmp + createLink) through the ONE shared
+    // implementation ([[SnapStore.installExclusiveBytes]]): two
+    // concurrent createView calls can both pass the exists-check
+    // above, and a truncating stream would let a concurrent loadView
+    // observe a partial file.
+    if (!SnapStore.installExclusiveBytes(p, propsBytes(props)))
       throw new org.apache.spark.sql.catalyst.analysis
         .ViewAlreadyExistsException(ident)
-    }
     loadView(ident)
   }
 
-  /** Serialize view properties to a sibling temp file; the caller
-    * installs it with createLink (exclusive) or ATOMIC_MOVE (replace).
+  private def propsBytes(props: java.util.Properties): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    props.store(bos, null)
+    bos.toByteArray
+  }
+
+  /** Serialize view properties to a sibling temp file for an
+    * ATOMIC_MOVE replace (alterView's path).
     */
   private def writeViewTmp(p: java.nio.file.Path,
       props: java.util.Properties): java.nio.file.Path = {
     val tmp = p.resolveSibling(
       s".${p.getFileName}.tmp-${ProcessHandle.current().pid()}-" +
         Thread.currentThread().getId)
-    val out = java.nio.file.Files.newOutputStream(tmp)
-    try props.store(out, null) finally out.close()
+    java.nio.file.Files.write(tmp, propsBytes(props))
     tmp
   }
 

@@ -60,34 +60,46 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The stored view names a definition references (subqueries
-    * included), restricted to views of the SAME catalog — the edges
-    * of the definition graph.
+    * included) — the edges of the definition graph. MIRRORS
+    * [[viewPlanFor]]'s resolution rule exactly: a 3-part name is an
+    * edge only under THIS catalog, a 2-part name only when the
+    * session's current catalog IS this catalog (anything else would
+    * never be substituted at resolution, so counting it would raise
+    * spurious cycle errors for resolvable queries).
     */
   private def storedRefs(vc: ViewCatalog, catName: String,
       db: String, name: String): Seq[(String, String)] = {
     val ident = Identifier.of(Array(db), name)
     if (!vc.viewExists(ident)) return Seq.empty
+    val currentIsThis =
+      spark.sessionState.catalogManager.currentCatalog.name() == catName
     val parsed = Try(spark.sessionState.sqlParser
       .parsePlan(vc.loadView(ident).query())).getOrElse(return Seq.empty)
     parsed.collectWithSubqueries {
       case u: UnresolvedRelation => u.multipartIdentifier
     }.flatMap {
       case Seq(c, d, n) if c == catName => Some((d, n))
-      case Seq(d, n) => Some((d, n))
+      case Seq(d, n) if currentIsThis => Some((d, n))
       case _ => None
     }.distinct.filter { case (d, n) =>
       vc.viewExists(Identifier.of(Array(d), n))
     }
   }
 
-  /** DFS over stored definitions from `(db, name)`: a path back to a
-    * visited node raises a named cycle error with the offending
-    * chain. Driver-only, bounded by the (small) view graph; runs once
-    * per substituted relation.
+  /** DFS over stored definitions from `(db, name)`: a back edge onto
+    * the current path raises a named cycle error with the offending
+    * chain. Classic three-color DFS — nodes finished once are never
+    * revisited and each definition parses at most once per walk, so
+    * an acyclic diamond-shaped graph costs O(nodes + edges), not
+    * O(paths). Driver-only; runs once per substituted relation.
     */
   private def requireAcyclic(vc: ViewCatalog, catName: String,
       db: String, name: String): Unit = {
+    val done = scala.collection.mutable.Set.empty[(String, String)]
+    val refsMemo =
+      scala.collection.mutable.Map.empty[(String, String), Seq[(String, String)]]
     def walk(node: (String, String), path: Seq[(String, String)]): Unit = {
+      if (done(node)) return
       if (path.contains(node))
         throw new IllegalStateException(
           "view cycle detected: " +
@@ -95,8 +107,10 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
               .map { case (d, n) => s"$catName.$d.$n" }.mkString(" -> ") +
             " — a rename_view closed a definition loop; drop or " +
             "re-create one of the views")
-      storedRefs(vc, catName, node._1, node._2)
+      refsMemo.getOrElseUpdate(node,
+        storedRefs(vc, catName, node._1, node._2))
         .foreach(walk(_, path :+ node))
+      done += node
     }
     walk((db, name), Seq.empty)
   }

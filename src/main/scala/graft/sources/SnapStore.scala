@@ -496,11 +496,19 @@ object SnapStore {
     * silently REPLACE the winner (observed: duplicate version ids
     * under a 12-writer race before this protocol).
     */
-  private def installExclusive(target: Path, body: String): Boolean = {
+  private def installExclusive(target: Path, body: String): Boolean =
+    installExclusiveBytes(target,
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Shared with the view catalog's definition writes — ONE copy of
+    * the concurrency-sensitive link dance (code review r14).
+    */
+  private[sources] def installExclusiveBytes(target: Path,
+      body: Array[Byte]): Boolean = {
     val tmp = target.resolveSibling(
       s".${target.getFileName}.tmp-${ProcessHandle.current().pid()}-" +
         Thread.currentThread().getId)
-    Files.writeString(tmp, body)
+    Files.write(tmp, body)
     try {
       Files.createLink(target, tmp)
       Files.deleteIfExists(tmp)
@@ -2210,10 +2218,16 @@ object SnapStore {
     val grp = identifierCols.map(col) :+ col("_commit_version")
     val w = Window.partitionBy(grp: _*)
     // Rank within (identifier, commit, change type), ordered over the
-    // full row for determinism; pairing is arbitrary among equal
-    // identifiers, the COUNT of pairs is not.
+    // ORDERABLE columns for determinism — unorderable types (maps)
+    // must not enter the sort or the whole changelog would refuse;
+    // pairing is arbitrary among equal identifiers, the COUNT of
+    // pairs is not.
+    val orderables = base.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions
+        .RowOrdering.isOrderable(f.dataType))
+      .map(f => col(f.name)).toSeq
     val wt = Window.partitionBy((grp :+ col("_change_type")): _*)
-      .orderBy(base.columns.map(col): _*)
+      .orderBy(orderables: _*)
     base
       .withColumn("__n_d", sum(when(col("_change_type") === "DELETE",
         1).otherwise(0)).over(w))
