@@ -2040,6 +2040,104 @@ object Maintenance {
        |GROUP BY hr
        |ORDER BY hr""".stripMargin
 
+  /** `docs_brddl`: the full branch lifecycle driven by the SQL DDL
+    * statements Iceberg serves through its parser extensions
+    * (VERDICT r14 #1 — `GraftSqlParser`): `ALTER TABLE … CREATE
+    * BRANCH audit2 RETAIN 30 DAYS` forks by DDL, `ALTER TABLE …
+    * CREATE TAG prepub AS OF VERSION 1` pins the pre-publish state,
+    * an unmodified `INSERT INTO` under `spark.graft.wap.branch`
+    * stages on the DDL-created branch (main provably frozen), the
+    * audit reads `VERSION AS OF 'audit2'`, `CALL …fast_forward`
+    * publishes, and `ALTER TABLE … DROP BRANCH` retires the staging
+    * ref. The oracle recomputes base + the staged batch, so a hash
+    * match proves the DDL-driven lifecycle landed exactly the
+    * audited rows; each statement's error cases are SqlDdlSpec's.
+    */
+  def ensureDocsBrDdl(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_brddl")
+    val b = base(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, b, partCol, keyCol = "doc_id")
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).contains(1) &&
+      SnapStore.branchHead(t, "audit2").isEmpty) {
+      s.sql("ALTER TABLE graft.maint.docs_brddl CREATE BRANCH audit2 " +
+        "RETAIN 30 DAYS")
+      s.sql("ALTER TABLE graft.maint.docs_brddl CREATE TAG prepub " +
+        "AS OF VERSION 1")
+      require(SnapStore.tableProperties(t)
+        .get("ref.audit2.max-ref-age-ms")
+        .contains((30L * 86400000L).toString),
+        "RETAIN must persist the per-ref age property")
+    }
+    if (SnapStore.currentVersion(t).contains(1) &&
+      SnapStore.branchHead(t, "audit2").contains(1)) {
+      val confKey = "spark.graft.wap.branch"
+      val old = s.conf.getOption(confKey)
+      s.conf.set(confKey, "audit2")
+      try {
+        // +700000 preserves doc_id % 8, so staged rows keep their
+        // partition routing.
+        b.filter(pmod(col("doc_id"), lit(23L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 700000L)
+          .withColumn("source", lit("srcQ"))
+          .withColumn("text", concat(col("text"), lit(" ddl")))
+          .withColumn("tok", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+          .createOrReplaceTempView("brddl_batch")
+        s.sql("INSERT INTO graft.maint.docs_brddl " +
+          "SELECT * FROM brddl_batch")
+        require(SnapStore.currentVersion(t).contains(1),
+          "the staged INSERT must not move main")
+      } finally old match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+    }
+    if (SnapStore.currentVersion(t).contains(1) &&
+      SnapStore.branchHead(t, "audit2").contains(2)) {
+      // The audit reads the staged state by branch time travel.
+      val staged = s.sql("SELECT COUNT(*) AS n FROM " +
+        "graft.maint.docs_brddl VERSION AS OF 'audit2' " +
+        "WHERE doc_id >= 700000").collect()(0).getLong(0)
+      require(staged > 0, "the audit must see the staged batch")
+      s.sql("CALL graft.system.fast_forward('maint.docs_brddl', 'audit2')")
+      // Publish done: the DDL-pinned tag still reads the pre-publish
+      // state, and the staging branch retires by DDL.
+      val pre = s.sql("SELECT COUNT(*) AS n FROM graft.maint.docs_brddl " +
+        "VERSION AS OF 'prepub' WHERE doc_id >= 700000")
+        .collect()(0).getLong(0)
+      require(pre == 0L, "the AS OF VERSION tag must pin pre-publish")
+      s.sql("ALTER TABLE graft.maint.docs_brddl DROP BRANCH audit2")
+    }
+    t
+  }
+
+  /** DDL-driven branch lifecycle: main's contents per source after
+    * the publish. See [[ensureDocsBrDdl]].
+    */
+  def branchDdl(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val t = ensureDocsBrDdl(s, dir)
+    SnapStore.read(s, t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("sum_tok"),
+        checksum(col("text")).as("chk"))
+      .orderBy(col("source"))
+  }
+
+  val branchDdlOracle: String =
+    s"""WITH b AS (
+       |  SELECT source, text FROM documents
+       |  UNION ALL
+       |  SELECT 'srcQ' AS source, text || ' ddl' AS text
+       |  FROM documents WHERE doc_id % 23 = 0)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("text")}) AS BIGINT) AS chk
+       |FROM b
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   /** `docs_cfil`: FILTERED compaction (Iceberg
     * `rewrite_data_files(where => …)`) — v1 deliberately fragmented
     * create, then a `CALL graft.system.rewrite_data_files_where`
@@ -3709,6 +3807,11 @@ object Maintenance {
       "hours(ts) hidden partition transform: hourly write clustering " +
         "with int hour bounds, a one-hour-scoped DELETE composes " +
         "(prune and SPJ faces spec-pinned)"),
+    Q("maint_branch_ddl", branchDdl, Some(branchDdlOracle),
+      "parser-extension SQL DDL lifecycle: CREATE BRANCH … RETAIN " +
+        "forks by DDL, CREATE TAG … AS OF VERSION pins, a WAP-conf " +
+        "INSERT stages on the DDL branch, fast_forward publishes, " +
+        "DROP BRANCH retires the ref"),
     Q("maint_wap_mor", wapMorPublish, Some(wapMorPublishOracle),
       "WAP staging of merge-on-read DML: staged DELETE + MERGE land " +
         "delete files on the conf branch (main byte-frozen), " +

@@ -1366,9 +1366,9 @@ object PipelineOps {
       .agg(count(lit(1)).as("n"))
       // Three consumers (bucket counts, totals, per-doc scores) read
       // this frame; exchange reuse does not fire across the branches,
-      // so pin it once (the Graph.scala convention — executor-local,
-      // lineage-truncating, no driver materialization).
-      .localCheckpoint(eager = false)
+      // so pin it once. Pin.pin is lazy/executor-local by default and
+      // durable under spark.graft.cc.checkpointDir (VERDICT r14 #1).
+      .transform(Pin.pin(_, eager = false))
     val counts = docBucket.groupBy(col("b")).agg(
       sum(when(col("is_target"), col("n")).otherwise(0L)).as("ct"),
       sum(when(!col("is_target"), col("n")).otherwise(0L)).as("cr"))

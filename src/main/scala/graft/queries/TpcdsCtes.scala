@@ -170,8 +170,14 @@ object TpcdsCtes {
       .select(col("n_nationkey").as("n1_key"), col("n_name").as("store_name"))
     val n2 = Tables.nation(s, dir)
       .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+    // `syear` is a group key, so restricting the input to the two years
+    // the self-join keeps is semantics-identical — and it lets the year
+    // predicate push into the orders parquet scan instead of aggregating
+    // every year only to filter the cache afterwards (VERDICT r14 #2).
+    val ordersTwoYears = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")).isin(1996, 1997))
     val crossSales = Tables.lineitem(s, dir)
-      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(ordersTwoYears, col("l_orderkey") === col("o_orderkey"))
       .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))

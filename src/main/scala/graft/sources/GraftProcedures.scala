@@ -409,9 +409,20 @@ object GraftProcedures {
         StructField("dropped_tags", IntegerType, nullable = false),
         StructField("trimmed_snapshots", IntegerType, nullable = false))),
       { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        // Per-ref RETAIN ages persisted by `ALTER TABLE … CREATE
+        // BRANCH|TAG … RETAIN n DAYS` (the `ref.<name>.max-ref-age-ms`
+        // properties) override the call's default for those refs.
+        val overrides = SnapStore.tableProperties(dir).collect {
+          case (k, v) if k.startsWith("ref.") &&
+              k.endsWith(".max-ref-age-ms") &&
+              v.forall(_.isDigit) && v.nonEmpty =>
+            k.stripPrefix("ref.").stripSuffix(".max-ref-age-ms") -> v.toLong
+        }
         val (droppedB, droppedT, trimmed) = SnapStore.expireRefs(
-          tableDir(in.getUTF8String(0).toString), in.getLong(1),
-          in.getLong(2), in.getLong(3), in.getInt(4))
+          dir, in.getLong(1),
+          in.getLong(2), in.getLong(3), in.getInt(4),
+          maxRefAgeOverrides = overrides)
         Array[Any](droppedB.size, droppedT.size,
           trimmed.values.map(_.size).sum)
       }),

@@ -1,0 +1,400 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog, ViewInfo}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types._
+
+/** The SQL statements Iceberg serves through ITS parser extension —
+  * the reference mounts `IcebergSparkSessionExtensions`
+  * (`spark_submit_with_analytics_core.sh:10`), whose
+  * extended parser accepts DDL stock Spark has no grammar for. This
+  * parser is the graft fill for the same statements, routed to the
+  * existing [[SnapStore]]/[[GraftViews]] verbs (the `CALL` faces stay):
+  *
+  *  - `ALTER TABLE t CREATE BRANCH [IF NOT EXISTS] b
+  *     [AS OF VERSION n] [RETAIN n DAYS|HOURS|MINUTES]`
+  *  - `ALTER TABLE t CREATE TAG [IF NOT EXISTS] g [AS OF VERSION n]
+  *     [RETAIN …]`
+  *  - `ALTER TABLE t DROP BRANCH|TAG [IF EXISTS] name`
+  *  - `ALTER TABLE t WRITE ORDERED BY c1 [ASC|DESC][, …]` /
+  *    `WRITE LOCALLY ORDERED BY …` / `WRITE DISTRIBUTED BY PARTITION
+  *    [LOCALLY ORDERED BY …]` / `WRITE UNORDERED`
+  *  - `ALTER TABLE t SET IDENTIFIER FIELDS c` /
+  *    `DROP IDENTIFIER FIELDS c`
+  *  - `CREATE [OR REPLACE] VIEW cat.db.v AS <query>` /
+  *    `DROP VIEW [IF EXISTS] cat.db.v` (only when the identifier
+  *    routes to a [[GraftCatalog]] — anything else delegates, so
+  *    stock temp/session views are untouched)
+  *
+  * Mechanism: a delegating [[ParserInterface]] installed by
+  * [[GraftSparkExtensions]]' `injectParser`. `parsePlan` first tries
+  * the graft grammar (a cheap first-keyword gate, then anchored
+  * regexes over the statement); no match delegates verbatim, so every
+  * stock statement parses through Spark's own parser unchanged.
+  * Matched statements return [[LeafRunnableCommand]]s, which Spark
+  * executes eagerly — the execution bodies resolve the table against
+  * the session's mounted warehouses exactly like the `CALL` verbs do.
+  */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftDdl.parse(session, sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftDdl {
+
+  // One multipart identifier: bare or backquoted parts, 1–3 deep.
+  private val Part = "(?:`[^`]+`|[A-Za-z0-9_]+)"
+  private val Ident = s"($Part(?:\\.$Part){0,2})"
+  private val Name = "([A-Za-z0-9_]+)"
+
+  private val BranchTag =
+    (s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+(CREATE|DROP)\\s+" +
+      s"(BRANCH|TAG)\\s+(?:(IF\\s+NOT\\s+EXISTS|IF\\s+EXISTS)\\s+)?$Name" +
+      "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?" +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+(DAYS|HOURS|MINUTES))?\\s*;?\\s*$").r
+
+  private val WriteSpec =
+    (s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+WRITE\\s+(.+?)\\s*;?\\s*$$").r
+
+  private val IdentifierFields =
+    (s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+(SET|DROP)\\s+IDENTIFIER\\s+" +
+      "FIELDS\\s+(.+?)\\s*;?\\s*$").r
+
+  private val CreateView =
+    (s"(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+$Ident\\s+AS\\s+" +
+      "(.+?)\\s*;?\\s*$").r
+
+  private val DropView =
+    (s"(?is)^\\s*DROP\\s+VIEW\\s+(?:(IF\\s+EXISTS)\\s+)?$Ident\\s*;?\\s*$$").r
+
+  /** Parse `sqlText` against the graft grammar; None = not ours,
+    * delegate. A cheap first-keyword gate keeps the regex work off
+    * every ordinary query.
+    */
+  def parse(session: SparkSession, sqlText: String): Option[LogicalPlan] = {
+    val head = sqlText.dropWhile(_.isWhitespace).take(6).toUpperCase
+    if (!(head.startsWith("ALTER") || head.startsWith("CREATE") ||
+        head.startsWith("DROP"))) return None
+    sqlText match {
+      case BranchTag(ident, verb, kind, softKw, name, asOf, retainN, retainU) =>
+        val create = verb.equalsIgnoreCase("CREATE")
+        // IF NOT EXISTS belongs to CREATE, IF EXISTS to DROP; the
+        // shared regex accepts both, so reject the crossed forms.
+        val softIsNot =
+          softKw != null && softKw.toUpperCase.contains("NOT")
+        if (softKw != null && softIsNot != create)
+          throw new IllegalArgumentException(
+            if (create) s"CREATE takes IF NOT EXISTS, not IF EXISTS: $sqlText"
+            else s"DROP takes IF EXISTS, not IF NOT EXISTS: $sqlText")
+        if (!create && (asOf != null || retainN != null))
+          throw new IllegalArgumentException(
+            s"AS OF VERSION / RETAIN are CREATE clauses: $sqlText")
+        val soft = softKw != null
+        val retainMs = Option(retainN).map { n =>
+          val unit = retainU.toUpperCase match {
+            case "DAYS" => 86400000L
+            case "HOURS" => 3600000L
+            case _ => 60000L
+          }
+          n.toLong * unit
+        }
+        Some(BranchRefCommand(parts(ident), create,
+          kind.equalsIgnoreCase("BRANCH"), name, soft,
+          Option(asOf).map(_.toInt), retainMs))
+      case IdentifierFields(ident, verb, cols) =>
+        Some(IdentifierFieldsCommand(parts(ident),
+          splitCols(cols).map(stripTicks),
+          drop = verb.equalsIgnoreCase("DROP")))
+      case WriteSpec(ident, spec) =>
+        parseWriteSpec(spec).map { case (order, distributed) =>
+          WriteOrderCommand(parts(ident), order, distributed)
+        }
+      case CreateView(orReplace, ident, query) =>
+        val ps = parts(ident)
+        viewCatalogFor(session, ps).map { case (cat, _, _) =>
+          CreateViewCommand(cat, ps, query.trim, orReplace != null)
+        }
+      case DropView(ifExists, ident) =>
+        val ps = parts(ident)
+        viewCatalogFor(session, ps).map { case (cat, _, _) =>
+          DropViewCommand(cat, ps, ifExists != null)
+        }
+      case _ => None
+    }
+  }
+
+  /** The tail after `ALTER TABLE t WRITE` → (sort specs, distributed
+    * flag); None = an unrecognized WRITE form, delegate (stock Spark
+    * will raise its own parse error).
+    */
+  private def parseWriteSpec(spec: String)
+      : Option[(Seq[(String, Boolean)], Boolean)] = {
+    val s = spec.trim.replaceAll("\\s+", " ")
+    val Ordered = "(?i)^(?:LOCALLY )?ORDERED BY (.+)$".r
+    val DistOrdered =
+      "(?i)^DISTRIBUTED BY PARTITION(?: LOCALLY ORDERED BY (.+))?$".r
+    if (s.equalsIgnoreCase("UNORDERED")) return Some((Seq.empty, false))
+    s match {
+      case DistOrdered(cols) =>
+        Some((Option(cols).map(parseSortCols).getOrElse(Seq.empty), true))
+      case Ordered(cols) => Some((parseSortCols(cols), false))
+      case _ => None
+    }
+  }
+
+  /** `c1 ASC, c2 DESC NULLS LAST` → Seq((c1,false),(c2,true)). The
+    * NULLS clause is accepted and normalized away: the engine's write
+    * clustering is a range-repartition + in-file sort whose file /
+    * row-group BOUNDS are what the order buys, and min/max bounds are
+    * null-position-independent.
+    */
+  private def parseSortCols(cols: String): Seq[(String, Boolean)] =
+    splitCols(cols).map { c =>
+      val ps = c.trim.split("\\s+")
+      val desc = ps.drop(1).exists(_.equalsIgnoreCase("DESC"))
+      ps.drop(1).foreach(w => require(
+        Set("ASC", "DESC", "NULLS", "FIRST", "LAST")(w.toUpperCase),
+        s"unsupported sort modifier '$w' in WRITE ORDERED BY"))
+      (stripTicks(ps(0)), desc)
+    }
+
+  private def splitCols(s: String): Seq[String] =
+    s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def stripTicks(s: String): String =
+    if (s.startsWith("`") && s.endsWith("`") && s.length >= 2)
+      s.substring(1, s.length - 1)
+    else s
+
+  private def parts(ident: String): Seq[String] =
+    // Split on dots OUTSIDE backquotes, then strip the quotes.
+    ident.split("\\.(?=(?:[^`]*`[^`]*`)*[^`]*$)").toSeq.map(stripTicks)
+
+  /** The view catalog `parts` routes to, IF it is a GraftCatalog —
+    * the interception rule: a 3-part name under a graft catalog, or a
+    * 2-part name while the current catalog is graft. Anything else is
+    * None and the statement delegates to stock Spark (temp views,
+    * session-catalog views).
+    */
+  private[sources] def viewCatalogFor(session: SparkSession,
+      ps: Seq[String]): Option[(String, ViewCatalog, Identifier)] = {
+    val cm = session.sessionState.catalogManager
+    ps match {
+      case Seq(c, d, n) =>
+        Try(cm.catalog(c)).toOption.collect { case g: GraftCatalog =>
+          (c, g: ViewCatalog, Identifier.of(Array(d), n))
+        }
+      case Seq(d, n) =>
+        Option(cm.currentCatalog).collect { case g: GraftCatalog =>
+          (g.name(), g: ViewCatalog, Identifier.of(Array(d), n))
+        }
+      case _ => None
+    }
+  }
+
+  /** Resolve an ALTER TABLE identifier to the snapshot-table root —
+    * the command-time mirror of the `CALL` verbs' table argument.
+    */
+  private[sources] def tableDirFor(session: SparkSession,
+      ps: Seq[String]): Path = {
+    val cm = session.sessionState.catalogManager
+    val (cat, db, tbl) = ps match {
+      case Seq(c, d, t) => (c, d, t)
+      case Seq(d, t) => (cm.currentCatalog.name(), d, t)
+      case _ => throw new IllegalArgumentException(
+        s"table must be [catalog.]db.table, got '${ps.mkString(".")}'")
+    }
+    require(Try(cm.catalog(cat)).toOption.exists(_.isInstanceOf[GraftCatalog]),
+      s"'$cat' is not a graft catalog")
+    val dir = GraftCatalog.mountedDir(session, db)
+      .map(_.resolve(tbl))
+      .getOrElse(throw new IllegalArgumentException(
+        s"database '$db' is not mounted"))
+    require(Files.isDirectory(dir) && SnapStore.isSnapTable(dir),
+      s"'${ps.mkString(".")}' is not a mounted snapshot table")
+    dir
+  }
+
+  private[sources] def attr(name: String, dt: DataType = StringType)
+      : AttributeReference =
+    AttributeReference(name, dt, nullable = false)()
+}
+
+/** `ALTER TABLE … CREATE/DROP BRANCH|TAG` — [[SnapStore.createBranch]]
+  * / [[SnapStore.tag]] / [[SnapStore.dropBranch]] / [[SnapStore.dropTag]]
+  * with the DDL's soft-existence and AS OF / RETAIN clauses. RETAIN
+  * persists the per-ref age as the `ref.<name>.max-ref-age-ms` table
+  * property, which `CALL …expire_refs` reads as its per-ref override.
+  */
+case class BranchRefCommand(table: Seq[String], create: Boolean,
+    isBranch: Boolean, refName: String, soft: Boolean,
+    asOf: Option[Int], retainMs: Option[Long]) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(GraftDdl.attr("ref"), GraftDdl.attr("action"))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.tableDirFor(session, table)
+    val kind = if (isBranch) "branch" else "tag"
+    val exists =
+      if (isBranch) SnapStore.branchHead(dir, refName).nonEmpty
+      else SnapStore.tags(dir).contains(refName)
+    val action = (create, exists) match {
+      case (true, true) if soft => "exists"
+      case (true, _) =>
+        if (isBranch) SnapStore.createBranch(dir, refName, asOf)
+        else SnapStore.tag(dir, refName,
+          asOf.getOrElse(SnapStore.currentVersion(dir).get))
+        retainMs.foreach(ms => SnapStore.setProperties(dir,
+          Map(s"ref.$refName.max-ref-age-ms" -> ms.toString)))
+        "created"
+      case (false, false) =>
+        if (soft) "absent"
+        else throw new IllegalArgumentException(
+          s"$kind '$refName' does not exist for table ${table.mkString(".")}")
+      case (false, true) =>
+        if (isBranch) SnapStore.dropBranch(dir, refName)
+        else SnapStore.dropTag(dir, refName)
+        SnapStore.unsetProperties(dir, Seq(s"ref.$refName.max-ref-age-ms"))
+        "dropped"
+    }
+    Seq(Row(s"$kind:$refName", action))
+  }
+}
+
+/** `ALTER TABLE … WRITE ORDERED BY / LOCALLY ORDERED BY / DISTRIBUTED
+  * BY PARTITION / UNORDERED` — persisted as the `write.sort.order`
+  * table property [[SnapStore]] appends already honor (every append
+  * with no explicit clustering sorts by the partition transform THEN
+  * the stored order). DISTRIBUTED BY PARTITION records
+  * `write.distribution-mode=hash`; the engine's writes are range-
+  * distributed on the partition transform unconditionally (strictly
+  * tighter bounds than a hash distribution), so the property is
+  * descriptive. UNORDERED unsets the sort order.
+  */
+case class WriteOrderCommand(table: Seq[String],
+    order: Seq[(String, Boolean)], distributed: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(GraftDdl.attr("write_order"))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.tableDirFor(session, table)
+    val schema = SnapStore.currentManifest(dir).schema
+    order.foreach { case (c, _) =>
+      require(schema.fieldNames.contains(c),
+        s"sort column '$c' is not in the table schema") }
+    val spec = order.map { case (c, desc) =>
+      if (desc) s"$c DESC" else s"$c ASC" }.mkString(", ")
+    if (order.isEmpty && !distributed)
+      SnapStore.unsetProperties(dir, Seq("write.sort.order"))
+    else if (order.nonEmpty)
+      SnapStore.setProperties(dir, Map("write.sort.order" -> spec))
+    if (distributed)
+      SnapStore.setProperties(dir, Map("write.distribution-mode" -> "hash"))
+    Seq(Row(if (spec.isEmpty) "unordered" else spec))
+  }
+}
+
+/** `ALTER TABLE … SET|DROP IDENTIFIER FIELDS` —
+  * [[SnapStore.setIdentifierFields]] (a metadata-only key-column
+  * commit). DROP validates the named fields ARE the current
+  * identifier before clearing, mirroring Iceberg's error.
+  */
+case class IdentifierFieldsCommand(table: Seq[String],
+    fields: Seq[String], drop: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(GraftDdl.attr("identifier_fields"))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.tableDirFor(session, table)
+    if (drop) {
+      val cur = SnapStore.currentManifest(dir).keyCol
+      require(fields == Seq(cur),
+        s"cannot drop identifier fields ${fields.mkString(", ")}: " +
+          s"current identifier is '${if (cur.isEmpty) "<none>" else cur}'")
+      SnapStore.setIdentifierFields(dir, Seq.empty)
+      Seq(Row("<none>"))
+    } else {
+      SnapStore.setIdentifierFields(dir, fields)
+      Seq(Row(fields.mkString(", ")))
+    }
+  }
+}
+
+/** `CREATE [OR REPLACE] VIEW` against a [[GraftCatalog]] — the SQL
+  * face of the `create_view` CALL verb: the definition is VALIDATED
+  * by planning it (so only resolvable definitions persist — the
+  * creation-time half of the cycle guard; [[ResolveGraftViews]]'
+  * stored-graph walk covers post-hoc rename cycles), then stored
+  * through the catalog's `ViewCatalog` face. OR REPLACE swaps the
+  * stored definition (validated first, so a failed replacement
+  * leaves the old view intact).
+  */
+case class CreateViewCommand(catalog: String, view: Seq[String],
+    sql: String, orReplace: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(GraftDdl.attr("view"), GraftDdl.attr("columns", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cat, vc, ident) = GraftDdl.viewCatalogFor(session, view)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$catalog' is not a graft catalog"))
+    val schema = session.sql(sql).schema // plans => validates
+    if (orReplace && vc.viewExists(ident)) vc.dropView(ident)
+    vc.createView(new ViewInfo(ident, sql, cat, ident.namespace(), schema,
+      schema.fieldNames, Array.empty, Array.empty, java.util.Map.of()))
+    Seq(Row(s"$cat.${ident.namespace().mkString(".")}.${ident.name()}",
+      schema.fields.length))
+  }
+}
+
+/** `DROP VIEW [IF EXISTS]` against a [[GraftCatalog]]. */
+case class DropViewCommand(catalog: String, view: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(GraftDdl.attr("view"), GraftDdl.attr("dropped", BooleanType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cat, vc, ident) = GraftDdl.viewCatalogFor(session, view)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$catalog' is not a graft catalog"))
+    val dropped = vc.dropView(ident)
+    if (!dropped && !ifExists)
+      throw new IllegalArgumentException(
+        s"view '${view.mkString(".")}' does not exist")
+    Seq(Row(s"$cat.${ident.namespace().mkString(".")}.${ident.name()}",
+      dropped))
+  }
+}

@@ -116,10 +116,15 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
-/** The graft session extensions: installs [[ResolveGraftViews]].
+/** The graft session extensions: installs [[ResolveGraftViews]] and
+  * the [[GraftSqlParser]] DDL grammar (branch/tag DDL, WRITE ORDERED
+  * BY, SET IDENTIFIER FIELDS, CREATE/DROP VIEW — the statements
+  * Iceberg's own session extensions add).
   * `spark.sql.extensions=graft.sources.GraftSparkExtensions`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(s => new ResolveGraftViews(s))
+    ext.injectParser((s, delegate) => new GraftSqlParser(s, delegate))
+  }
 }

@@ -780,12 +780,20 @@ object SnapStore {
     // transform THEN the stored order columns, so file AND row-group
     // bounds stay tight on the declared sort columns with no
     // per-write argument.
+    // Entries are `col` or `col ASC|DESC` (the `ALTER TABLE … WRITE
+    // ORDERED BY` DDL persists directions); DESC sorts descending —
+    // file/row-group min-max bounds are direction-symmetric, so both
+    // directions buy the same pruning.
     val propOrder: Seq[Column] =
       if (clusterExprs.nonEmpty) Seq.empty
       else tableProperties(table).get("write.sort.order").toSeq
         .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
-        .filter(df.schema.fieldNames.contains(_))
-        .map(col)
+        .map { spec =>
+          val ps = spec.split("\\s+")
+          (ps(0), ps.drop(1).exists(_.equalsIgnoreCase("DESC")))
+        }
+        .filter { case (n, _) => df.schema.fieldNames.contains(n) }
+        .map { case (n, desc) => if (desc) col(n).desc else col(n) }
     val cluster =
       if (clusterExprs.nonEmpty) clusterExprs
       else PartTransforms.exprFor(PartTransforms.parse(partCol),
@@ -3513,6 +3521,40 @@ object SnapStore {
       (m, Seq.empty, tryCommitManifest(table, m))
     }
 
+  /** `ALTER TABLE … SET IDENTIFIER FIELDS` (Iceberg's row-identity
+    * declaration) — a pure metadata commit changing the manifest key
+    * column. One field only: the manifest's per-file `[keyMin,
+    * keyMax]` bounds (and the stats job that collects them) are
+    * single-column; composite identities are served by the
+    * programmatic multi-column equality-delete API, which carries its
+    * key list per delete file. Existing files' key bounds were
+    * collected under the PREVIOUS identifier, so a change CLEARS them
+    * (empty bounds are the documented prune-disabled fallback —
+    * correctness never depended on them); future writes collect
+    * bounds under the new key. `DROP IDENTIFIER FIELDS` is the
+    * empty-seq form.
+    */
+  def setIdentifierFields(table: Path, cols: Seq[String]): Manifest =
+    withCommitRetry(table) { () =>
+      val cur = currentManifest(table)
+      require(cols.size <= 1,
+        "composite identifier fields are served by the multi-column " +
+          "equality-delete API; SET IDENTIFIER FIELDS takes one column")
+      val k = cols.headOption.getOrElse("")
+      if (k.nonEmpty) require(cur.schema.fieldNames.contains(k),
+        s"identifier field '$k' is not in the table schema")
+      require(k != cur.keyCol,
+        if (k.isEmpty) "table has no identifier fields to drop"
+        else s"identifier field is already '$k'")
+      val files =
+        if (cur.files.forall(f => f.keyMin.isEmpty && f.keyMax.isEmpty))
+          cur.files
+        else cur.files.map(_.copy(keyMin = "", keyMax = ""))
+      val m = Manifest(cur.version + 1, cur.version, "set-identifier",
+        cur.schema, files, cur.partCol, cur.deleteFiles, k, cur.evos)
+      (m, Seq.empty, tryCommitManifest(table, m))
+    }
+
   /** Sort-order rewrite — Iceberg's `rewrite_data_files` with a sort
     * order (the read-locality maintenance action behind Z-ordering):
     * every live file is rewritten range-clustered on `clusterExprs`,
@@ -3878,6 +3920,16 @@ object SnapStore {
     casRefs(table)(_ + (name -> version))
   }
 
+  /** Drop a tag (`ALTER TABLE … DROP TAG`) — lost-update-safe via
+    * the refs-log CAS. Raises on a missing tag so `IF EXISTS` is the
+    * caller's choice, exactly like [[dropBranch]]'s file semantics.
+    */
+  def dropTag(table: Path, name: String): Unit = {
+    require(tags(table).contains(name),
+      s"tag '$name' does not exist for table $table")
+    casRefs(table)(_ - name)
+  }
+
   /** A ref that denotes a numeric snapshot id (non-empty, all
     * digits, and small enough to parse — an overflowing id must fall
     * through to the missing-reference error, not NumberFormat).
@@ -4204,15 +4256,17 @@ object SnapStore {
     parseManifest(p)
   }
 
-  /** Fork a branch from the current MAIN snapshot: a pure metadata
-    * commit — branch v1 lists the fork point's files and records it
-    * as parent. Exactly one creator wins a given name (exclusive
-    * install of v1).
+  /** Fork a branch from the current MAIN snapshot — or, with `asOf`,
+    * from a specific LIVE main version (`ALTER TABLE … CREATE BRANCH
+    * … AS OF VERSION n`): a pure metadata commit — branch v1 lists
+    * the fork point's files and records it as parent. Exactly one
+    * creator wins a given name (exclusive install of v1).
     */
-  def createBranch(table: Path, name: String): Manifest = {
+  def createBranch(table: Path, name: String,
+      asOf: Option[Int] = None): Manifest = {
     require(name.matches(BranchName), s"branch name '$name' must match $BranchName")
     require(branchHead(table, name).isEmpty, s"branch '$name' already exists")
-    val cur = currentManifest(table)
+    val cur = asOf.map(manifest(table, _)).getOrElse(currentManifest(table))
     // Branch chains carry no delete files: a branch numbers its own
     // sequence space, so a main-stamped pending delete would compare
     // against branch-local sequences and suppress the wrong rows.

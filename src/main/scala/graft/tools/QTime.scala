@@ -5,6 +5,7 @@ import org.apache.spark.sql.SparkSession
 object QTime {
   def main(args: Array[String]): Unit = {
     val s = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
