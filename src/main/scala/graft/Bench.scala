@@ -75,7 +75,10 @@ object Bench {
     // needing judge re-measurement.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
-      spark.range(0, 20000000L, 1, 8)
+      // 100M rows (~0.3 s uncontended): long enough that scheduler
+      // jitter is a small fraction of the reading — the r14 20M probe
+      // read 0.05-0.5 s, too noisy to normalize against.
+      spark.range(0, 100000000L, 1, 8)
         .selectExpr("sum(id * 3 + (id & 7)) AS s")
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
@@ -114,6 +117,25 @@ object Bench {
     val calibJson = calib
       .map { case (a, b) => f"[$a%.3f,$b%.3f]" }
       .mkString("[", ",", "]")
+    // Calibration-normalized pass totals (VERDICT r14 #10): the
+    // probe's wall time has no plan/data dependence, so a pass whose
+    // probe read k× the run's best probe was k×-contended — dividing
+    // the pass total by that ratio projects what an uncontended pass
+    // would have read. The POST-pass probe is the reference (every
+    // pass's cPost runs in a warm JVM; pass 1's cPre bears session
+    // warm-up and would over-correct). normalized_min_total is the
+    // self-adjudicating signal on a contended box: if it tracks the
+    // committed same-HEAD baseline while min_total swings, the swing
+    // is steal, not a code regression (NOTES.md "Bench
+    // normalization").
+    val calibWarm = calib.map(_._2)
+    val calibBest = calibWarm.min
+    val normalizedTotals = passes.map(_.map(_._2).sum)
+      .zip(calibWarm)
+      .map { case (t, c) => t / (c / calibBest) }
+    val normalizedJson = normalizedTotals
+      .map(t => f"$t%.1f").mkString("[", ",", "]")
+    val normalizedMin = f"${normalizedTotals.min}%.1f"
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
     val perQuery = named.map { case (name, _) =>
       name -> median(passes.map(_.find(_._1 == name).get._2))
@@ -174,7 +196,7 @@ object Bench {
     // regression signal (VERDICT r3 "What's wrong" #4). The same
     // object also lands in BENCH.json so the driver can always parse
     // a complete copy from disk.
-    val json = s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"stream_entries":$streamJson,"calibration_sec":$calibJson,"failed":$failedJson,"worst_reps":$worstReps,"worst_gc_ms":$worstGc,"queries":$qs,"queries_min":$qsMin}"""
+    val json = s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"stream_entries":$streamJson,"calibration_sec":$calibJson,"normalized_totals":$normalizedJson,"normalized_min_total":$normalizedMin,"failed":$failedJson,"worst_reps":$worstReps,"worst_gc_ms":$worstGc,"queries":$qs,"queries_min":$qsMin}"""
     println(json)
     // The FINAL stdout line is a COMPACT copy without the per-query
     // maps: the driver captures only a 2000-char stdout tail, and the
@@ -182,7 +204,7 @@ object Bench {
     // the round artifact (VERDICT r5 "What's wrong" #4). Totals parse
     // from this line; the per-query regression signal stays complete
     // in BENCH.json above.
-    println(s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"calibration_sec":$calibJson,"failed":$failedJson,"queries_in":"BENCH.json"}""")
+    println(s"""{"metric":"min_total","value":$minTotal,"unit":"sec","sf":"$sfDir","reps":$reps,"pass_totals":$passTotals,"min_total":$minTotal,"median_total":$total,"min_total_plan":$minTotalPlan,"stream_lifecycle_sec":$streamTotal,"calibration_sec":$calibJson,"normalized_totals":$normalizedJson,"normalized_min_total":$normalizedMin,"failed":$failedJson,"queries_in":"BENCH.json"}""")
     // Output path is overridable and defaults to the working directory
     // (ADVICE r4: a hardcoded absolute path breaks any other checkout).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")

@@ -2138,6 +2138,58 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** `docs_pstats`: partition statistics (VERDICT r14 #5 — Iceberg's
+    * partition-stats files, extended with partition-grain per-column
+    * NDV/null/bounds): one `compute_partition_stats` CALL — a single
+    * distributed agg grouped by the partition transform — persists
+    * the stats beside the manifests, and `.partition_stats` serves
+    * them with zero data IO. The oracle recomputes every value
+    * (exact NDV, not sketched) from the fixture, so a hash match
+    * proves the grouped stats job and the metadata surface end to
+    * end. Spec-evolution staleness is Round15FixesSpec's.
+    */
+  def ensureDocsPstats(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_pstats")
+    if (SnapStore.currentVersion(t).isEmpty)
+      SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+    mount(s, dir)
+    if (SnapStore.tablePartitionStats(t).isEmpty)
+      s.sql("CALL graft.system.compute_partition_stats(" +
+        "'maint.docs_pstats', 'source,tok')")
+    t
+  }
+
+  def partitionStats(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsPstats(s, dir)
+    s.sql("""SELECT partition AS part_value, `column` AS col_name,
+      row_count, ndv, null_count, `min` AS min_val, `max` AS max_val
+      FROM graft.maint.docs_pstats.partition_stats
+      ORDER BY part_value, col_name""")
+  }
+
+  val partitionStatsOracle: String =
+    s"""WITH b AS (
+       |  SELECT CAST(doc_id % $nParts AS VARCHAR) AS part_value, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents),
+       |per_part AS (
+       |  SELECT part_value, COUNT(*) AS row_count,
+       |    COUNT(DISTINCT source) AS ndv_source,
+       |    COUNT(DISTINCT tok) AS ndv_tok,
+       |    CAST(MIN(tok) AS VARCHAR) AS min_tok,
+       |    CAST(MAX(tok) AS VARCHAR) AS max_tok
+       |  FROM b GROUP BY part_value)
+       |SELECT part_value, 'source' AS col_name, row_count,
+       |  ndv_source AS ndv, CAST(0 AS BIGINT) AS null_count,
+       |  CAST(NULL AS VARCHAR) AS min_val, CAST(NULL AS VARCHAR) AS max_val
+       |FROM per_part
+       |UNION ALL
+       |SELECT part_value, 'tok' AS col_name, row_count,
+       |  ndv_tok AS ndv, CAST(0 AS BIGINT) AS null_count,
+       |  min_tok AS min_val, max_tok AS max_val
+       |FROM per_part
+       |ORDER BY part_value, col_name""".stripMargin
+
   /** `docs_cfil`: FILTERED compaction (Iceberg
     * `rewrite_data_files(where => …)`) — v1 deliberately fragmented
     * create, then a `CALL graft.system.rewrite_data_files_where`
@@ -3807,6 +3859,11 @@ object Maintenance {
       "hours(ts) hidden partition transform: hourly write clustering " +
         "with int hour bounds, a one-hour-scoped DELETE composes " +
         "(prune and SPJ faces spec-pinned)"),
+    Q("maint_partition_stats", partitionStats, Some(partitionStatsOracle),
+      "compute_partition_stats: one distributed agg grouped by the " +
+        "partition transform persists per-partition per-column exact " +
+        "NDV/null/bounds; .partition_stats serves them zero-IO " +
+        "(spec-staleness guarded, spec-pinned)"),
     Q("maint_branch_ddl", branchDdl, Some(branchDdlOracle),
       "parser-extension SQL DDL lifecycle: CREATE BRANCH … RETAIN " +
         "forks by DDL, CREATE TAG … AS OF VERSION pins, a WAP-conf " +

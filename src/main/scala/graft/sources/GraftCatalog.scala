@@ -266,6 +266,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           .filter(SnapStore.isSnapTable)
           .getOrElse(throw new NoSuchTableException(ident))
         new PartitionsMetadataTable(s"$catalogName.$db.$table.partitions", dir)
+      // `db.table.partition_stats` — stored per-partition per-column
+      // NDV/null/bounds (compute_partition_stats), spec-staleness
+      // guarded.
+      case Array(db, table) if ident.name() == "partition_stats" =>
+        val dir = mountedDir(db).map(_.resolve(table))
+          .filter(SnapStore.isSnapTable)
+          .getOrElse(throw new NoSuchTableException(ident))
+        new PartitionStatsMetadataTable(
+          s"$catalogName.$db.$table.partition_stats", dir)
       // `db.table.history` — Iceberg's `table.history` surface:
       // made_current_at + ancestry of the current snapshot.
       case Array(db, table) if ident.name() == "history" =>
@@ -1173,19 +1182,25 @@ final class PositionDeletesMetadataTable(tableName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder
       with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
-      import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+      import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 
       // Partition pruning by predicate (VERDICT r13 #5, Iceberg's
       // PositionDeletesTable filter support): `delete_file = …`
       // prunes input partitions directly (one partition per delete
       // file), `file = …` prunes via manifest refs — a billion-pair
       // debt probe for one file then plans only the delete files
-      // that can name it. Every filter stays RESIDUAL (Spark
-      // re-applies it above the scan), so the prune is pure work
-      // avoidance: refs-less legacy entries stay conservatively
-      // planned.
+      // that can name it — and `seq` comparisons prune by the delete
+      // file's sequence (a PER-PARTITION CONSTANT, so a range
+      // conjunct decides whole partitions — the incremental-audit
+      // probe "pairs committed after snapshot N" plans only the
+      // delete files stamped above N; VERDICT r14 #6). Every filter
+      // stays RESIDUAL (Spark re-applies it above the scan), so the
+      // prune is pure work avoidance: refs-less legacy entries stay
+      // conservatively planned.
       private var delFileKeep: Option[Set[String]] = None
       private var fileKeep: Option[Set[String]] = None
+      private var seqMin = Int.MinValue // inclusive
+      private var seqMax = Int.MaxValue // inclusive
       private var pushed: Array[Filter] = Array.empty
 
       private def strings(v: Any): Option[String] = v match {
@@ -1196,6 +1211,27 @@ final class PositionDeletesMetadataTable(tableName: String,
       private def merge(cur: Option[Set[String]],
           vs: Set[String]): Option[Set[String]] =
         Some(cur.map(_.intersect(vs)).getOrElse(vs))
+      private def ints(v: Any): Option[Int] = v match {
+        case i: Int => Some(i)
+        case i: java.lang.Integer => Some(i.intValue())
+        case l: Long if l >= Int.MinValue && l <= Int.MaxValue =>
+          Some(l.toInt)
+        case _ => None
+      }
+      // Saturating bound tighteners: `seq > MaxValue` must prune
+      // everything, not overflow back around.
+      private def tightenMin(v: Int, strict: Boolean): Unit = {
+        val b = if (!strict) v
+          else if (v == Int.MaxValue) { seqMax = Int.MinValue; v }
+          else v + 1
+        seqMin = math.max(seqMin, b)
+      }
+      private def tightenMax(v: Int, strict: Boolean): Unit = {
+        val b = if (!strict) v
+          else if (v == Int.MinValue) { seqMin = Int.MaxValue; v }
+          else v - 1
+        seqMax = math.min(seqMax, b)
+      }
 
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val usable = filters.filter {
@@ -1208,6 +1244,17 @@ final class PositionDeletesMetadataTable(tableName: String,
             fileKeep = merge(fileKeep, strings(v).toSet); true
           case In("file", vs) if vs.forall(strings(_).nonEmpty) =>
             fileKeep = merge(fileKeep, vs.flatMap(strings).toSet); true
+          case EqualTo("seq", v) if ints(v).nonEmpty =>
+            tightenMin(ints(v).get, strict = false)
+            tightenMax(ints(v).get, strict = false); true
+          case GreaterThan("seq", v) if ints(v).nonEmpty =>
+            tightenMin(ints(v).get, strict = true); true
+          case GreaterThanOrEqual("seq", v) if ints(v).nonEmpty =>
+            tightenMin(ints(v).get, strict = false); true
+          case LessThan("seq", v) if ints(v).nonEmpty =>
+            tightenMax(ints(v).get, strict = true); true
+          case LessThanOrEqual("seq", v) if ints(v).nonEmpty =>
+            tightenMax(ints(v).get, strict = false); true
           case _ => false
         }
         pushed = usable
@@ -1225,6 +1272,7 @@ final class PositionDeletesMetadataTable(tableName: String,
           .filter(d => delFileKeep.forall(_.contains(d.path)))
           .filter(d => fileNamesKeep.forall(keep =>
             d.refs.isEmpty || d.refs.exists(keep)))
+          .filter(d => d.seq >= seqMin && d.seq <= seqMax)
           .sortBy(d => (d.seq, d.path))
         val nameToPath: Map[String, String] = m.files
           .map(f => SnapStore.fileName(f.path) ->
@@ -1706,6 +1754,51 @@ object PartitionsMetadataTable {
     StructField("total_bytes", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("position_delete_file_count", org.apache.spark.sql.types.IntegerType, nullable = false),
     StructField("equality_delete_file_count", org.apache.spark.sql.types.IntegerType, nullable = false)))
+}
+
+/** `db.table.partition_stats` — the partition-statistics surface
+  * (Iceberg's partition stats files, extended with partition-grain
+  * per-column NDV/null/bounds for partition-level CBO): one row per
+  * (partition value, column) from the file `compute_partition_stats`
+  * persisted beside the manifests. STALENESS: rows serve only while
+  * the stored stats were computed under the CURRENT partition spec —
+  * after `evolve_spec` the stored partitions no longer describe the
+  * table's partitioning, so the surface is EMPTY until recomputed
+  * (spec-pinned), exactly like an Iceberg engine dropping stats whose
+  * spec id no longer matches. Zero data IO — the stats job already
+  * ran; this is a file read.
+  */
+final class PartitionStatsMetadataTable(tableName: String,
+    dir: java.nio.file.Path) extends LocalRowsTable(tableName) {
+  override def schema(): StructType = PartitionStatsMetadataTable.schema
+  protected def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val m = SnapStore.currentManifest(dir)
+    SnapStore.tablePartitionStats(dir) match {
+      case Some((version, spec, parts)) if spec == m.partCol =>
+        parts.sortBy(_._1).flatMap { case (part, rows, byCol) =>
+          byCol.toSeq.sortBy(_._1).map { case (colName, s) =>
+            new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](u(part), u(colName), rows, s.ndv, s.nulls,
+                s.min.map(u).orNull, s.max.map(u).orNull, version)):
+              org.apache.spark.sql.catalyst.InternalRow
+          }
+        }.toArray
+      case _ => Array.empty // absent or stale (spec evolved)
+    }
+  }
+}
+
+object PartitionStatsMetadataTable {
+  val schema: StructType = StructType(Seq(
+    StructField("partition", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("column", org.apache.spark.sql.types.StringType, nullable = false),
+    StructField("row_count", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("ndv", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("null_count", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("min", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("max", org.apache.spark.sql.types.StringType, nullable = true),
+    StructField("stats_version", org.apache.spark.sql.types.IntegerType, nullable = false)))
 }
 
 

@@ -270,6 +270,31 @@ object GraftProcedures {
           Array[Any](u(n), s.ndv, s.nulls)
         }.toArray
       }),
+    // Partition-grain stats (VERDICT r14 #5 — Iceberg's partition
+    // statistics files, extended with per-partition per-column NDV):
+    // ONE distributed agg grouped by the partition transform;
+    // persisted beside colstats, served via `.partition_stats`
+    // (spec-staleness guarded). `columns` is a comma-separated list;
+    // empty = every column.
+    "compute_partition_stats" -> new RowsProc("compute_partition_stats",
+      Array(str("table"), str("columns")),
+      StructType(Seq(
+        StructField("partition", StringType, nullable = false),
+        StructField("column", StringType, nullable = false),
+        StructField("row_count", LongType, nullable = false),
+        StructField("ndv", LongType, nullable = false),
+        StructField("null_count", LongType, nullable = false))),
+      { in =>
+        val dir = tableDir(in.getUTF8String(0).toString)
+        val cols = in.getUTF8String(1).toString
+          .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        SnapStore.computePartitionStats(spark, dir, cols)
+          .flatMap { case (part, rows, byCol) =>
+            byCol.toSeq.sortBy(_._1).map { case (n, s) =>
+              Array[Any](u(part), u(n), rows, s.ndv, s.nulls)
+            }
+          }.toArray
+      }),
     // Iceberg expire_snapshots: drop old manifests + orphaned files.
     "expire_snapshots" -> new Proc("expire_snapshots",
       Array(str("table"), int("retain_last")),

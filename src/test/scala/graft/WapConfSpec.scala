@@ -409,4 +409,89 @@ class WapConfSpec extends SparkSpec {
     // version, ordered below/above their target files as staged.
     assert(ff.deleteFiles.forall(d => d.seq > 1 && d.seq <= ff.version))
   }
+
+  test("MOR DML staged on the conf branch under the DV conf lands " +
+    "deletion-vector blobs on the BRANCH chain (main byte-frozen), " +
+    "a stacked staged delete supersedes the branch's own blob, " +
+    "mixed pair/blob staging publishes in order") {
+    val root = Files.createTempDirectory("graft-wapdv")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    val baseRows = spark.range(0, 64).select(col("id"),
+      pmod(col("id"), lit(4L)).as("part"),
+      concat(lit("d"), col("id")).as("txt"))
+    SnapStore.create(spark, t, baseRows, "part", keyCol = "id")
+    SnapStore.setProperties(t, Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    spark.conf.set("spark.graft.catalog.dir.wapdv", root.toString)
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+    def mainBytes(): Map[String, java.nio.file.attribute.FileTime] =
+      SnapStore.manifest(t, 1).files
+        .map(f => f.path -> Files.getLastModifiedTime(t.resolve(f.path)))
+        .toMap
+    val before = mainBytes()
+    def branchDvs() = SnapStore.branchHeadManifest(t, "dvs")
+      .deleteFiles.filter(d => graft.sources.DeleteVectors.isDv(d.path))
+    def branchPairs() = SnapStore.branchHeadManifest(t, "dvs")
+      .deleteFiles.filterNot(d => graft.sources.DeleteVectors.isDv(d.path))
+
+    withWap("dvs") {
+      // First staged delta with the DV conf OFF: v2 pair parquets on
+      // the branch (the mixed-encoding precondition).
+      spark.sql("DELETE FROM graft.wapdv.t WHERE id = 33")
+      assert(branchPairs().nonEmpty && branchDvs().isEmpty)
+
+      spark.conf.set("spark.graft.delete.vectors", "true")
+      try {
+        // Staged DV delete: blobs on the BRANCH chain, main frozen.
+        spark.sql("DELETE FROM graft.wapdv.t WHERE id % 16 = 1")
+        assert(SnapStore.currentVersion(t).contains(1), "main moved")
+        val dvs1 = branchDvs()
+        assert(dvs1.nonEmpty,
+          "staged DV delete must land .dv blobs on the branch chain")
+        assert(dvs1.forall(_.refs.size == 1),
+          "one blob per referenced data file")
+
+        // A second staged delete touching the same data files must
+        // SUPERSEDE the branch's own blobs (fold, not accumulate):
+        // blob count per referenced file stays 1.
+        spark.sql("DELETE FROM graft.wapdv.t WHERE id % 16 = 5")
+        val dvs2 = branchDvs()
+        assert(dvs2.map(_.refs.head).distinct.size == dvs2.size,
+          "superseded branch blobs must drop — one live blob per file")
+        val sharedRefs =
+          dvs1.map(_.refs.head).toSet intersect dvs2.map(_.refs.head).toSet
+        assert(sharedRefs.nonEmpty, "the two deletes overlap data files")
+        assert(dvs1.filter(d => sharedRefs(d.refs.head)).map(_.path).toSet
+          .intersect(dvs2.map(_.path).toSet).isEmpty,
+          "the overlapped files' old blobs must be superseded")
+
+        // The conf-routed read folds pairs AND blobs.
+        val gone = spark.sql("SELECT COUNT(*) AS n FROM graft.wapdv.t " +
+          "WHERE id % 16 IN (1, 5) OR id = 33").collect()(0).getLong(0)
+        assert(gone == 0L)
+      } finally spark.conf.unset("spark.graft.delete.vectors")
+    }
+    assert(mainBytes() == before, "staging must not touch main bytes")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM graft.wapdv.t")
+      .collect()(0).getLong(0) == 64L, "main serves the base until publish")
+
+    // Publish: pair AND blob delete files adopt; contents exact.
+    val ff = SnapStore.fastForward(t, "dvs")
+    assert(ff.deleteFiles.exists(d =>
+      graft.sources.DeleteVectors.isDv(d.path)) &&
+      ff.deleteFiles.exists(d =>
+        !graft.sources.DeleteVectors.isDv(d.path)),
+      "fast-forward must adopt both encodings")
+    val ids = spark.sql("SELECT id FROM graft.wapdv.t ORDER BY id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = (0L until 64L)
+      .filterNot(i => i % 16 == 1 || i % 16 == 5 || i == 33).toSet
+    assert(ids == expected,
+      s"published contents wrong (missing=${(expected -- ids).take(5)} " +
+        s"extra=${(ids -- expected).take(5)})")
+  }
 }
