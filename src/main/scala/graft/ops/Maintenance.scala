@@ -2138,6 +2138,67 @@ object Maintenance {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** `docs_variant`: the VARIANT type (Iceberg v3 / Spark 4.1,
+    * VERDICT r14 #7) through the native path end to end — SQL
+    * `CREATE TABLE … (payload VARIANT)` on the DSv2 catalog, an
+    * INSERT building payloads with `parse_json`, a merge-on-read SQL
+    * DELETE over the variant-carrying table (delete pairs — the
+    * variant column itself never rewrites), and a native batch read
+    * whose `variant_get` predicate stays RESIDUAL (no pushdown
+    * translation exists for variant paths — correctness by re-apply
+    * above the scan). The oracle recomputes every extracted field
+    * from the fixture columns the JSON was built from, so a hash
+    * match proves parquet variant encode/decode round-tripped
+    * through write, MOR read, and extraction. Compaction-preserves-
+    * values is Round15FixesSpec's.
+    */
+  def ensureDocsVariant(s: SparkSession, dir: String): Path = synchronized {
+    val t = root(dir).resolve("docs_variant")
+    mount(s, dir)
+    if (SnapStore.currentVersion(t).isEmpty) {
+      s.sql("""CREATE TABLE graft.maint.docs_variant
+        (doc_id BIGINT, part BIGINT, payload VARIANT)
+        PARTITIONED BY (part)
+        TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+      base(s, dir).selectExpr("doc_id", "part",
+        "parse_json(concat('{\"flag\":', CAST(doc_id % 2 AS STRING), " +
+          "',\"len\":', CAST(tok AS STRING), " +
+          "',\"src\":\"', source, '\"}')) AS payload")
+        .createOrReplaceTempView("variant_seed")
+      s.sql("INSERT INTO graft.maint.docs_variant " +
+        "SELECT * FROM variant_seed")
+    }
+    if (SnapStore.currentVersion(t).contains(2))
+      s.sql("DELETE FROM graft.maint.docs_variant WHERE doc_id % 13 = 5")
+    t
+  }
+
+  def variantTable(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    ensureDocsVariant(s, dir)
+    s.sql("SELECT part, payload FROM graft.maint.docs_variant " +
+      "WHERE variant_get(payload, '$.flag', 'long') = 1")
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("variant_get(payload, '$.len', 'long')")).as("sum_len"),
+        checksum(expr("variant_get(payload, '$.src', 'string')")).as("chk"))
+      .orderBy(col("part"))
+  }
+
+  val variantTableOracle: String =
+    s"""WITH f AS (
+       |  SELECT doc_id % $nParts AS part, doc_id % 2 AS flag,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len, source
+       |  FROM documents
+       |  WHERE NOT doc_id % 13 = 5)
+       |SELECT part, COUNT(*) AS n_docs,
+       |  CAST(SUM(len) AS BIGINT) AS sum_len,
+       |  CAST(SUM(${foldSql("source")}) AS BIGINT) AS chk
+       |FROM f
+       |WHERE flag = 1
+       |GROUP BY part
+       |ORDER BY part""".stripMargin
+
   /** `docs_pstats`: partition statistics (VERDICT r14 #5 — Iceberg's
     * partition-stats files, extended with partition-grain per-column
     * NDV/null/bounds): one `compute_partition_stats` CALL — a single
@@ -3859,6 +3920,11 @@ object Maintenance {
       "hours(ts) hidden partition transform: hourly write clustering " +
         "with int hour bounds, a one-hour-scoped DELETE composes " +
         "(prune and SPJ faces spec-pinned)"),
+    Q("maint_variant", variantTable, Some(variantTableOracle),
+      "VARIANT (v3) through the native path: SQL CREATE TABLE with a " +
+        "variant column, parse_json INSERT, MOR DELETE over it, " +
+        "native read with variant_get extraction (residual filter); " +
+        "compaction-preserves-values spec-pinned"),
     Q("maint_partition_stats", partitionStats, Some(partitionStatsOracle),
       "compute_partition_stats: one distributed agg grouped by the " +
         "partition transform persists per-partition per-column exact " +

@@ -3175,11 +3175,24 @@ object SnapStore {
     * computed at and serve until recomputed (Iceberg's staleness
     * contract).
     */
+  /** Types the NDV/null aggregates can group and hash. VARIANT (v3)
+    * and MAP have no ordering/hash support in Spark's aggregates —
+    * the default all-columns stats pass SKIPS them (Iceberg's ANALYZE
+    * likewise computes no NDV for such columns); naming one
+    * explicitly raises Spark's own type error, loudly.
+    */
+  private def ndvSupported(dt: DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.VariantType => false
+    case _: org.apache.spark.sql.types.MapType => false
+    case _ => true
+  }
+
   def computeTableStats(spark: SparkSession, table: Path,
       columns: Seq[String] = Seq.empty): (Long, Map[String, ColStat]) = {
     val m = currentManifest(table)
     val cols =
-      if (columns.isEmpty) m.schema.fields.toSeq.map(_.name)
+      if (columns.isEmpty) m.schema.fields.toSeq
+        .filter(f => ndvSupported(f.dataType)).map(_.name)
       else {
         columns.foreach(c => require(m.schema.fieldNames.contains(c),
           s"no column '$c' in ${m.schema.fieldNames.mkString(", ")}"))
@@ -3265,7 +3278,8 @@ object SnapStore {
       : Seq[(String, Long, Map[String, PartColStat])] = {
     val m = currentManifest(table)
     val cols =
-      if (columns.isEmpty) m.schema.fields.toSeq.map(_.name)
+      if (columns.isEmpty) m.schema.fields.toSeq
+        .filter(f => ndvSupported(f.dataType)).map(_.name)
       else {
         columns.foreach(c => require(m.schema.fieldNames.contains(c),
           s"no column '$c' in ${m.schema.fieldNames.mkString(", ")}"))

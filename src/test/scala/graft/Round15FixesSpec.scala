@@ -122,4 +122,43 @@ class Round15FixesSpec extends SparkSpec {
     assert(parts2.toSeq == Seq("0", "1", "2"),
       s"new-spec partitions must serve, got ${parts2.toSeq}")
   }
+
+  test("VARIANT columns ride write, MOR delete, compaction, and the " +
+    "native read unchanged; the delete-aware rewrite preserves " +
+    "extracted values exactly") {
+    val root = Files.createTempDirectory("graft-varmor")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    mountAs("varmor", root)
+    spark.sql("""CREATE TABLE graft.varmor.t
+      (doc_id BIGINT, part BIGINT, payload VARIANT)
+      PARTITIONED BY (part)
+      TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""")
+    docs.filter(col("doc_id") < 80).selectExpr("doc_id", "part",
+      "parse_json(concat('{\"k\":', CAST(doc_id * 7 AS STRING), " +
+        "',\"s\":\"v', CAST(doc_id AS STRING), '\"}')) AS payload")
+      .createOrReplaceTempView("varmor_seed")
+    spark.sql("INSERT INTO graft.varmor.t SELECT * FROM varmor_seed")
+    spark.sql("DELETE FROM graft.varmor.t WHERE doc_id % 5 = 2")
+    assert(SnapStore.currentManifest(t).deleteFiles.nonEmpty,
+      "the MOR delete must stay pending (pairs, no rewrite)")
+
+    def contents(): Map[Long, (Long, String)] =
+      spark.sql("SELECT doc_id, " +
+        "variant_get(payload, '$.k', 'long') AS k, " +
+        "variant_get(payload, '$.s', 'string') AS s " +
+        "FROM graft.varmor.t").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val before = contents()
+    assert(before.size == 80 - 16 && before(0L) == (0L, "v0") &&
+      !before.contains(2L), s"pre-compact contents wrong: ${before.size}")
+
+    // Delete-aware compaction folds the pairs; variant values carry.
+    SnapStore.compact(spark, t, "part",
+      SnapStore.currentManifest(t).files.map(_.bytes).sum)
+    assert(SnapStore.currentManifest(t).deleteFiles.isEmpty,
+      "compaction must fold the pending delete")
+    assert(contents() == before,
+      "the rewrite must preserve every extracted variant value")
+  }
 }
