@@ -2447,15 +2447,82 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
                   val out = new java.util.HashMap[
                     org.apache.spark.sql.connector.expressions.NamedReference,
                     org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+                  // Partition-grain refinement (r15 — the CBO half of
+                  // compute_partition_stats): when the scan PRUNED to
+                  // a subset of files and per-partition stats exist
+                  // under the current spec, per-column NDV/null/bound
+                  // estimates roll up from only the partitions whose
+                  // value can fall inside a surviving file's bounds —
+                  // a one-partition scan of a 1000-partition table
+                  // then estimates that partition's NDV, not the
+                  // table's, which is the difference between
+                  // broadcasting and sort-merge-joining the slice.
+                  // NDV sums cap at the table NDV (values can repeat
+                  // across partitions); null counts sum exactly.
+                  // Only when every surviving file's bounds are under
+                  // the CURRENT spec — a mid-evolution mixed layout
+                  // would compare incomparable bound strings.
+                  val specUniform = pruned.forall(f =>
+                    f.specCol.isEmpty || f.specCol == m.partCol)
+                  val partRefined: Map[String, SnapStore.ColStat] =
+                    if (pruned.size >= m.files.size || !specUniform)
+                      Map.empty
+                    else (for {
+                      (_, spec, parts) <- SnapStore.tablePartitionStats(dir)
+                        .filter(_._2 == m.partCol).toSeq
+                      ord <- SnapStore.partOrdering(m.schema, spec).toSeq
+                      kept = parts.filter { case (v, _, _) =>
+                        pruned.exists(f => f.partMin.nonEmpty &&
+                          f.partMax.nonEmpty &&
+                          ord.lteq(f.partMin, v) && ord.lteq(v, f.partMax))
+                      }
+                      if kept.nonEmpty
+                      colName <- kept.flatMap(_._3.keys).distinct
+                      stats = kept.flatMap(_._3.get(colName))
+                      if stats.size == kept.size // every kept part covers it
+                    } yield {
+                      val colOrd = m.schema.fields
+                        .find(_.name == colName)
+                        .flatMap(f => SnapStore.boundOrd(f.dataType))
+                      def fold(vs: Seq[String], pick: (String, String) => String)
+                          : Option[String] =
+                        if (vs.isEmpty || colOrd.isEmpty) None
+                        else Some(vs.reduce(pick))
+                      colName -> SnapStore.ColStat(
+                        stats.map(_.ndv).sum, stats.map(_.nulls).sum,
+                        8L, 8L,
+                        fold(stats.flatMap(_.min),
+                          (a, b) => if (colOrd.get.lteq(a, b)) a else b),
+                        fold(stats.flatMap(_.max),
+                          (a, b) => if (colOrd.get.gteq(a, b)) a else b))
+                    }).toMap
                   SnapStore.tableColStats(dir).foreach { case (_, _, cols) =>
                     cols.foreach { case (n, s) =>
+                      m.schema.fields.find(_.name == n).foreach { f =>
+                        val refined = partRefined.get(n)
+                          .map(p => p.copy(
+                            ndv = math.min(p.ndv, s.ndv),
+                            avgLen = s.avgLen, maxLen = s.maxLen))
+                          .getOrElse(s)
+                        out.put(
+                          org.apache.spark.sql.connector.expressions
+                            .Expressions.column(n),
+                          new GraftColumnStatistics(refined, f.dataType))
+                      }
+                    }
+                  }
+                  // Columns with partition stats but no table stats
+                  // still serve the rolled-up estimate.
+                  val tableCols = SnapStore.tableColStats(dir)
+                    .map(_._3.keySet).getOrElse(Set.empty)
+                  partRefined.foreach { case (n, p) =>
+                    if (!tableCols.contains(n))
                       m.schema.fields.find(_.name == n).foreach { f =>
                         out.put(
                           org.apache.spark.sql.connector.expressions
                             .Expressions.column(n),
-                          new GraftColumnStatistics(s, f.dataType))
+                          new GraftColumnStatistics(p, f.dataType))
                       }
-                    }
                   }
                   out
                 }

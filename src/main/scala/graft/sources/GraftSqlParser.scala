@@ -88,6 +88,14 @@ object GraftDdl {
     (s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+(SET|DROP)\\s+IDENTIFIER\\s+" +
       "FIELDS\\s+(.+?)\\s*;?\\s*$").r
 
+  private val ReplacePartField =
+    (s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+REPLACE\\s+PARTITION\\s+" +
+      "FIELD\\s+(.+?)\\s+WITH\\s+(.+?)\\s*;?\\s*$").r
+
+  private val AddDropPartField =
+    (s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+(ADD|DROP)\\s+PARTITION\\s+" +
+      "FIELD\\s+(.+?)\\s*;?\\s*$").r
+
   private val CreateView =
     (s"(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+$Ident\\s+AS\\s+" +
       "(.+?)\\s*;?\\s*$").r
@@ -133,6 +141,19 @@ object GraftDdl {
         Some(IdentifierFieldsCommand(parts(ident),
           splitCols(cols).map(stripTicks),
           drop = verb.equalsIgnoreCase("DROP")))
+      case ReplacePartField(ident, oldF, newF) =>
+        Some(PartitionFieldCommand(parts(ident),
+          Some(stripTicks(oldF.trim)), stripTicks(newF.trim)))
+      case AddDropPartField(ident, verb, field) =>
+        // Single-field-spec engine: ADD/DROP parse and refuse with a
+        // pointer at the supported REPLACE form — a targeted error
+        // beats stock Spark's bare parse failure, and silently
+        // treating ADD as replace would change pruning semantics.
+        throw new IllegalArgumentException(
+          s"${verb.toUpperCase} PARTITION FIELD is not supported: the " +
+            "engine keeps ONE active partition field per table — use " +
+            "ALTER TABLE … REPLACE PARTITION FIELD <current> WITH " +
+            s"<new> (got: ${field.trim})")
       case WriteSpec(ident, spec) =>
         parseWriteSpec(spec).map { case (order, distributed) =>
           WriteOrderCommand(parts(ident), order, distributed)
@@ -348,6 +369,32 @@ case class IdentifierFieldsCommand(table: Seq[String],
       SnapStore.setIdentifierFields(dir, fields)
       Seq(Row(fields.mkString(", ")))
     }
+  }
+}
+
+/** `ALTER TABLE … REPLACE PARTITION FIELD old WITH new` — Iceberg's
+  * extensions-only partition-evolution DDL, routed to
+  * [[SnapStore.evolveSpec]] (the metadata-only spec commit behind the
+  * `evolve_spec` CALL verb). The named OLD field must BE the current
+  * spec (compared structurally, so `bucket(4, k)` matches
+  * `bucket(4,k)`) — Iceberg raises the same cannot-find-field error.
+  */
+case class PartitionFieldCommand(table: Seq[String],
+    oldField: Option[String], newField: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(GraftDdl.attr("partition_spec"))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.tableDirFor(session, table)
+    val cur = SnapStore.currentManifest(dir).partCol
+    oldField.foreach { o =>
+      require(PartTransforms.parse(o) == PartTransforms.parse(cur),
+        s"cannot replace partition field '$o': the current spec is " +
+          s"'$cur'")
+    }
+    SnapStore.evolveSpec(dir, newField)
+    Seq(Row(newField))
   }
 }
 

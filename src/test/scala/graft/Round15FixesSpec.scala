@@ -123,6 +123,47 @@ class Round15FixesSpec extends SparkSpec {
       s"new-spec partitions must serve, got ${parts2.toSeq}")
   }
 
+  test("partition-pruned scans serve PARTITION-GRAIN column stats: " +
+    "NDV/null/bounds roll up from only the surviving partitions, " +
+    "unpruned scans keep the table-level stats") {
+    val root = Files.createTempDirectory("graft-pscbo")
+    root.toFile.deleteOnExit()
+    val t = root.resolve("t")
+    // doc_id values are globally unique, so one partition's NDV is
+    // ~1/4 of the table's — a refinement the estimate must reflect.
+    SnapStore.create(spark, t, docs.filter(col("doc_id") < 200), "part",
+      keyCol = "doc_id")
+    mountAs("pscbo", root)
+    spark.sql("CALL graft.system.compute_table_stats('pscbo.t')")
+    spark.sql("CALL graft.system.compute_partition_stats(" +
+      "'pscbo.t', 'doc_id,source')")
+
+    def colStatsOf(sql: String): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val scan = spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+        .columnStats().asScala.map { case (ref, cs) =>
+          ref.fieldNames().mkString(".") ->
+            (cs.distinctCount().getAsLong, cs.nullCount().getAsLong)
+        }.toMap
+    }
+
+    val full = colStatsOf("SELECT doc_id, source FROM graft.pscbo.t")
+    val one = colStatsOf(
+      "SELECT doc_id, source FROM graft.pscbo.t WHERE part = 3")
+    assert(one("doc_id")._1 == 50L,
+      s"one-partition scan must serve that partition's exact NDV, " +
+        s"got ${one("doc_id")._1}")
+    assert(full("doc_id")._1 > 150L,
+      s"unpruned scan keeps table-level NDV, got ${full("doc_id")._1}")
+    // Repeating column: the per-partition NDV sum caps at table NDV.
+    assert(one("source")._1 <= full("source")._1)
+  }
+
   test("VARIANT columns ride write, MOR delete, compaction, and the " +
     "native read unchanged; the delete-aware rewrite preserves " +
     "extracted values exactly") {

@@ -198,6 +198,37 @@ class SqlDdlSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("ALTER TABLE REPLACE PARTITION FIELD evolves the spec " +
+    "metadata-only (structural old-field match); ADD/DROP refuse " +
+    "with a pointer at REPLACE") {
+    val root = tempRoot("ddlpart")
+    val t = root.resolve("t")
+    SnapStore.create(spark, t,
+      docs.filter(col("doc_id") < 40)
+        .withColumn("ts", expr("timestamp_micros(doc_id * 3600000000)")),
+      "part")
+    mountAs("dpf", root)
+
+    spark.sql("ALTER TABLE graft.dpf.t REPLACE PARTITION FIELD part " +
+      "WITH hours(ts)")
+    val m = SnapStore.currentManifest(t)
+    assert(m.partCol == "hours(ts)" && m.version == 2,
+      s"metadata-only spec commit expected, got ${m.partCol}/v${m.version}")
+
+    val wrongOld = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.dpf.t REPLACE PARTITION FIELD part " +
+        "WITH days(ts)") }
+    assert(wrongOld.getMessage.contains("current spec"))
+
+    val add = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.dpf.t ADD PARTITION FIELD days(ts)") }
+    assert(add.getMessage.contains("REPLACE PARTITION FIELD"))
+    val drop = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.dpf.t DROP PARTITION FIELD hours(ts)") }
+    assert(drop.getMessage.contains("REPLACE PARTITION FIELD"))
+  }
+
+  // ----------------------------------------------------------------
   test("CREATE/DROP VIEW SQL DDL: create validates and persists, " +
     "SELECT resolves, OR REPLACE swaps, DROP errors without IF " +
     "EXISTS, stock temp views stay on the stock path") {
