@@ -26,7 +26,12 @@ object Pin {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.cc.checkpointDir") match {
       case Some(d) =>
-        s.sparkContext.setCheckpointDir(d)
+        // setCheckpointDir mkdirs a FRESH random subdirectory every
+        // call — per-round calls would leak one directory (plus its
+        // checkpoint payload) per iteration (review r15 #5). Set it
+        // once per context; later rounds reuse the established dir.
+        if (s.sparkContext.getCheckpointDir.isEmpty)
+          s.sparkContext.setCheckpointDir(d)
         df.checkpoint()
       case None => df.localCheckpoint(eager)
     }

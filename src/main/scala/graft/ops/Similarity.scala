@@ -717,16 +717,39 @@ object Similarity {
     */
   private[graft] def idxRoot(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-snap",
-      graft.queries.Materialize.pathTag(dir, "ivx1"))
+      graft.queries.Materialize.pathTag(dir, "ivx2"))
 
-  private val IndexedVersionProp = "graft.ann.indexed-version"
   private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 6)
+
+  /** The incremental cursor rides INSIDE the centroid table as a
+    * sentinel row `(label = -1, i = 0, csum = 0, ccnt = <indexed
+    * vecs version>)`: the overwrite that merges new partials commits
+    * the data AND the cursor in ONE snapshot, so a crash anywhere in
+    * [[refreshIvfIndex]] leaves a state a re-run converges from —
+    * a separate cursor property would let the merge land without the
+    * cursor and double-count on retry (review r15 #3). Readers take
+    * `i >= 1` (dims are 1-based).
+    */
+  private def centSentinel(s: SparkSession, vecsVersion: Int): DataFrame =
+    s.range(1).select(lit(-1).cast("int").as("label"),
+      lit(0).cast("int").as("i"),
+      lit(0).cast(Dec38).as("csum"),
+      lit(vecsVersion.toLong).as("ccnt"))
+
+  private def centCursor(s: SparkSession,
+      centT: java.nio.file.Path): Int = {
+    import graft.sources.SnapStore
+    val rows = SnapStore.read(s, centT).filter(col("i") === 0)
+      .select(col("ccnt")).collect()
+    require(rows.length == 1, s"index cursor row missing/duplicated " +
+      s"(${rows.length} sentinel rows)")
+    rows(0).getLong(0).toInt
+  }
 
   /** Build (idempotently) the persisted index at `root` over
     * `source` (vec_id, label, v): the `vecs` base table plus
-    * `ivf_centroids` (label, i, csum, ccnt) and `ivf_assign`
-    * (vec_id, alabel). The centroid table records which `vecs`
-    * version it indexed, the cursor [[refreshIvfIndex]] reads.
+    * `ivf_centroids` (label, i, csum, ccnt — with the cursor
+    * sentinel) and `ivf_assign` (vec_id, alabel).
     */
   private[graft] def buildIvfIndex(s: SparkSession,
       root: java.nio.file.Path, source: => DataFrame): Unit = synchronized {
@@ -744,10 +767,9 @@ object Similarity {
       SnapStore.create(s, centT,
         dims.groupBy(col("label"), col("i"))
           .agg(sum(col("val").cast(Dec38)).as("csum"),
-            count(lit(1)).as("ccnt")),
+            count(lit(1)).as("ccnt"))
+          .unionByName(centSentinel(s, vecsVersion)),
         "label")
-      SnapStore.setProperties(centT,
-        Map(IndexedVersionProp -> vecsVersion.toString))
     }
     val asgT = root.resolve("ivf_assign")
     if (SnapStore.currentVersion(asgT).isEmpty)
@@ -768,10 +790,14 @@ object Similarity {
 
   /** Incremental re-index after appends to `vecs`: the manifest
     * incremental read serves EXACTLY the appended rows (zero old
-    * files scanned), the assignment table appends them, and the
-    * centroid sums merge new partials with the stored 10×64 rows —
-    * an O(new data) refresh whose result is bit-identical to a full
-    * rebuild (exact decimal sums commute). No-op when the index is
+    * files scanned), the assignment table appends them (anti-joined
+    * against its own contents, so a crashed previous refresh never
+    * duplicates posting-list entries), and the centroid sums merge
+    * new partials with the stored 10×64 rows — an O(new data)
+    * refresh whose result is bit-identical to a full rebuild (exact
+    * decimal sums commute). The merged centroids and the advanced
+    * cursor land in ONE overwrite snapshot (the sentinel row), so
+    * any crash leaves a re-runnable state. No-op when the index is
     * current. Returns the number of newly indexed vectors.
     */
   private[graft] def refreshIvfIndex(s: SparkSession,
@@ -780,35 +806,45 @@ object Similarity {
     val vecsT = root.resolve("vecs")
     val centT = root.resolve("ivf_centroids")
     val asgT = root.resolve("ivf_assign")
-    val indexed = SnapStore.tableProperties(centT)
-      .get(IndexedVersionProp).map(_.toInt).getOrElse(
-        throw new IllegalStateException("index has no version cursor"))
+    val indexed = centCursor(s, centT)
     val current = SnapStore.currentVersion(vecsT).get
     if (current == indexed) return 0L
     val fresh = SnapStore.incrementalRead(s, vecsT,
       fromVersion = indexed, toVersion = current).cache()
-    val n = fresh.count()
-    if (n > 0) {
-      SnapStore.append(s, asgT,
-        fresh.select(col("vec_id"), col("label").as("alabel")), "alabel")
-      val partials = fresh
-        .select(col("label"), posexplode(col("v")))
-        .select(col("label"), (col("pos") + 1).as("i"),
-          col("col").as("val"))
-        .groupBy(col("label"), col("i"))
-        .agg(sum(col("val").cast(Dec38)).as("csum"),
-          count(lit(1)).as("ccnt"))
-      val merged = SnapStore.read(s, centT)
-        .unionByName(partials)
-        .groupBy(col("label"), col("i"))
-        .agg(sum(col("csum")).cast(Dec38).as("csum"),
-          sum(col("ccnt")).as("ccnt"))
-      SnapStore.overwrite(s, centT, merged, "label")
-    }
-    fresh.unpersist()
-    SnapStore.setProperties(centT,
-      Map(IndexedVersionProp -> current.toString))
-    n
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        // Idempotent posting-list append: a crashed prior refresh
+        // may have appended already — only truly-new ids land.
+        val newAsg = fresh
+          .select(col("vec_id"), col("label").as("alabel"))
+          .join(SnapStore.read(s, asgT).select(col("vec_id")),
+            Seq("vec_id"), "left_anti")
+        if (newAsg.limit(1).count() > 0)
+          SnapStore.append(s, asgT, newAsg, "alabel")
+        val partials = fresh
+          .select(col("label"), posexplode(col("v")))
+          .select(col("label"), (col("pos") + 1).as("i"),
+            col("col").as("val"))
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("val").cast(Dec38)).as("csum"),
+            count(lit(1)).as("ccnt"))
+        val merged = SnapStore.read(s, centT).filter(col("i") >= 1)
+          .unionByName(partials)
+          .groupBy(col("label"), col("i"))
+          .agg(sum(col("csum")).cast(Dec38).as("csum"),
+            sum(col("ccnt")).as("ccnt"))
+        SnapStore.overwrite(s, centT,
+          merged.unionByName(centSentinel(s, current)), "label")
+      } else {
+        // Data-free range (e.g. a metadata-only commit): bump the
+        // cursor alone — still one atomic overwrite of a tiny table.
+        SnapStore.overwrite(s, centT,
+          SnapStore.read(s, centT).filter(col("i") >= 1)
+            .unionByName(centSentinel(s, current)), "label")
+      }
+      n
+    } finally fresh.unpersist()
   }
 
   /** IVF top-5 served FROM the persisted index: centroid route reads
@@ -825,6 +861,7 @@ object Similarity {
     val vecs = SnapStore.read(s, root.resolve("vecs"))
       .withColumn("norm", expr(normExpr))
     val centroids = SnapStore.read(s, root.resolve("ivf_centroids"))
+      .filter(col("i") >= 1) // i = 0 is the cursor sentinel row
       .select(col("label"), col("i"),
         (col("csum").cast("double") / col("ccnt")).as("cval"))
     val cnorms = centroids.groupBy(col("label"))

@@ -685,6 +685,47 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // A TABLE of the same name shadows — refuse the collision.
     require(!tableExists(ident),
       s"a table named '${ident.name()}' already exists")
+    val props = viewPropsOf(info)
+    java.nio.file.Files.createDirectories(p.getParent)
+    // Exclusive install (tmp + createLink) through the ONE shared
+    // implementation ([[SnapStore.installExclusiveBytes]]): two
+    // concurrent createView calls can both pass the exists-check
+    // above, and a truncating stream would let a concurrent loadView
+    // observe a partial file.
+    if (!SnapStore.installExclusiveBytes(p, propsBytes(props)))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .ViewAlreadyExistsException(ident)
+    loadView(ident)
+  }
+
+  /** ATOMIC replace (the SQL `CREATE OR REPLACE VIEW` face): one
+    * tmp + ATOMIC_MOVE swap, so there is NO window where the view is
+    * missing, and a crashed replacement leaves the OLD definition
+    * intact — the interface's DEFAULT is drop-then-create, which has
+    * both failure modes (review r15 #6).
+    */
+  override def replaceView(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.View = {
+    val ident = info.ident()
+    val p = viewPath(ident).getOrElse(
+      throw new UnsupportedOperationException(
+        "views are creatable only under conf-mounted warehouses"))
+    if (!orCreate && !java.nio.file.Files.isRegularFile(p))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchViewException(ident)
+    require(!tableExists(ident),
+      s"a table named '${ident.name()}' already exists")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.move(writeViewTmp(p, viewPropsOf(info)), p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    loadView(ident)
+  }
+
+  private def viewPropsOf(
+      info: org.apache.spark.sql.connector.catalog.ViewInfo)
+      : java.util.Properties = {
     val props = new java.util.Properties()
     props.setProperty("sql", info.sql())
     props.setProperty("currentCatalog", info.currentCatalog())
@@ -700,16 +741,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     info.properties().asScala.foreach { case (k, v) =>
       props.setProperty(s"prop.$k", v)
     }
-    java.nio.file.Files.createDirectories(p.getParent)
-    // Exclusive install (tmp + createLink) through the ONE shared
-    // implementation ([[SnapStore.installExclusiveBytes]]): two
-    // concurrent createView calls can both pass the exists-check
-    // above, and a truncating stream would let a concurrent loadView
-    // observe a partial file.
-    if (!SnapStore.installExclusiveBytes(p, propsBytes(props)))
-      throw new org.apache.spark.sql.catalyst.analysis
-        .ViewAlreadyExistsException(ident)
-    loadView(ident)
+    props
   }
 
   private def propsBytes(props: java.util.Properties): Array[Byte] = {
@@ -2461,9 +2493,14 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
                   // across partitions); null counts sum exactly.
                   // Only when every surviving file's bounds are under
                   // the CURRENT spec — a mid-evolution mixed layout
-                  // would compare incomparable bound strings.
+                  // would compare incomparable bound strings — AND
+                  // every surviving file HAS bounds: an unbounded
+                  // (legacy/statless) file's rows belong to unknown
+                  // partitions, so a rollup that excluded them would
+                  // understate the scan (review r15 #4).
                   val specUniform = pruned.forall(f =>
-                    f.specCol.isEmpty || f.specCol == m.partCol)
+                    (f.specCol.isEmpty || f.specCol == m.partCol) &&
+                      f.partMin.nonEmpty && f.partMax.nonEmpty)
                   val partRefined: Map[String, SnapStore.ColStat] =
                     if (pruned.size >= m.files.size || !specUniform)
                       Map.empty
@@ -2471,9 +2508,16 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
                       (_, spec, parts) <- SnapStore.tablePartitionStats(dir)
                         .filter(_._2 == m.partCol).toSeq
                       ord <- SnapStore.partOrdering(m.schema, spec).toSeq
+                      // A null-partition group stores value "" — no
+                      // file bound can name it (bounds ignore nulls),
+                      // and a numeric ordering would throw on the
+                      // parse. Its rows could hide inside ANY
+                      // surviving file, so its presence disables the
+                      // refinement entirely rather than understating
+                      // the scan (review r15 #1).
+                      if parts.forall(_._1.nonEmpty)
                       kept = parts.filter { case (v, _, _) =>
-                        pruned.exists(f => f.partMin.nonEmpty &&
-                          f.partMax.nonEmpty &&
+                        pruned.exists(f =>
                           ord.lteq(f.partMin, v) && ord.lteq(v, f.partMax))
                       }
                       if kept.nonEmpty

@@ -234,7 +234,15 @@ object GraftDdl {
           (c, g: ViewCatalog, Identifier.of(Array(d), n))
         }
       case Seq(d, n) =>
-        Option(cm.currentCatalog).collect { case g: GraftCatalog =>
+        // `global_temp.v` is Spark's global-temp namespace even when
+        // the current catalog is graft — delegate it, or the DDL
+        // would shadow stock global temp views (review r15 #2). An
+        // EXPLICIT 3-part `graft.global_temp.v` stays intercepted.
+        val globalTempDb = session.conf
+          .getOption("spark.sql.globalTempDatabase")
+          .getOrElse("global_temp")
+        if (d.equalsIgnoreCase(globalTempDb)) None
+        else Option(cm.currentCatalog).collect { case g: GraftCatalog =>
           (g.name(), g: ViewCatalog, Identifier.of(Array(d), n))
         }
       case _ => None
@@ -330,10 +338,15 @@ case class WriteOrderCommand(table: Seq[String],
   override def run(session: SparkSession): Seq[Row] = {
     val dir = GraftDdl.tableDirFor(session, table)
     val schema = SnapStore.currentManifest(dir).schema
-    order.foreach { case (c, _) =>
-      require(schema.fieldNames.contains(c),
-        s"sort column '$c' is not in the table schema") }
-    val spec = order.map { case (c, desc) =>
+    // Resolve case-insensitively (Spark's default analysis) and
+    // persist the schema's CANONICAL spelling, so the stored order
+    // matches the writer's fieldName lookups (review r15 #7).
+    val resolved = order.map { case (c, desc) =>
+      (schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"sort column '$c' is not in the table schema")), desc)
+    }
+    val spec = resolved.map { case (c, desc) =>
       if (desc) s"$c DESC" else s"$c ASC" }.mkString(", ")
     if (order.isEmpty && !distributed)
       SnapStore.unsetProperties(dir, Seq("write.sort.order"))
@@ -360,7 +373,8 @@ case class IdentifierFieldsCommand(table: Seq[String],
     val dir = GraftDdl.tableDirFor(session, table)
     if (drop) {
       val cur = SnapStore.currentManifest(dir).keyCol
-      require(fields == Seq(cur),
+      require(cur.nonEmpty &&
+        fields.map(_.toLowerCase) == Seq(cur.toLowerCase),
         s"cannot drop identifier fields ${fields.mkString(", ")}: " +
           s"current identifier is '${if (cur.isEmpty) "<none>" else cur}'")
       SnapStore.setIdentifierFields(dir, Seq.empty)
@@ -418,9 +432,13 @@ case class CreateViewCommand(catalog: String, view: Seq[String],
       .getOrElse(throw new IllegalArgumentException(
         s"'$catalog' is not a graft catalog"))
     val schema = session.sql(sql).schema // plans => validates
-    if (orReplace && vc.viewExists(ident)) vc.dropView(ident)
-    vc.createView(new ViewInfo(ident, sql, cat, ident.namespace(), schema,
-      schema.fieldNames, Array.empty, Array.empty, java.util.Map.of()))
+    val info = new ViewInfo(ident, sql, cat, ident.namespace(), schema,
+      schema.fieldNames, Array.empty, Array.empty, java.util.Map.of())
+    // OR REPLACE is the catalog's ATOMIC swap (tmp + ATOMIC_MOVE) —
+    // never drop-then-create, which would lose the old view if the
+    // create half failed (review r15 #6).
+    if (orReplace) vc.replaceView(info, true)
+    else vc.createView(info)
     Seq(Row(s"$cat.${ident.namespace().mkString(".")}.${ident.name()}",
       schema.fields.length))
   }

@@ -3688,9 +3688,14 @@ object SnapStore {
       require(cols.size <= 1,
         "composite identifier fields are served by the multi-column " +
           "equality-delete API; SET IDENTIFIER FIELDS takes one column")
-      val k = cols.headOption.getOrElse("")
-      if (k.nonEmpty) require(cur.schema.fieldNames.contains(k),
-        s"identifier field '$k' is not in the table schema")
+      // Resolve case-insensitively (Spark's default analysis) and
+      // CANONICALIZE to the schema's spelling, so the stored key
+      // matches the stats job's column lookups (review r15 #7).
+      val k = cols.headOption.map { c =>
+        cur.schema.fieldNames.find(_.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"identifier field '$c' is not in the table schema"))
+      }.getOrElse("")
       require(k != cur.keyCol,
         if (k.isEmpty) "table has no identifier fields to drop"
         else s"identifier field is already '$k'")

@@ -53,6 +53,7 @@ class AnnIndexSpec extends SparkSpec {
 
     def centroids(root: java.nio.file.Path) =
       SnapStore.read(spark, root.resolve("ivf_centroids"))
+        .filter(col("i") >= 1) // exclude the cursor sentinel
         .select(col("label"), col("i"), col("csum").cast("string"),
           col("ccnt"))
         .collect().map(r => (r.getInt(0), r.getInt(1),
@@ -65,5 +66,32 @@ class AnnIndexSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(assignments(rootInc) == assignments(rootFull))
     assert(assignments(rootInc).size == 330)
+  }
+
+  test("a refresh that crashed between the posting-list append and " +
+    "the centroid merge re-runs to convergence: no duplicate " +
+    "assignments, centroids merged exactly once") {
+    val root = Files.createTempDirectory("graft-anncrash")
+    root.toFile.deleteOnExit()
+    Similarity.buildIvfIndex(spark, root, vecsOf(200))
+    val appended = vecsOf(25, idOffset = 20000L)
+    SnapStore.append(spark, root.resolve("vecs"), appended, "label")
+    // Simulate the crashed first half: the assignment append landed,
+    // the centroid overwrite (which carries the cursor) did not.
+    SnapStore.append(spark, root.resolve("ivf_assign"),
+      appended.select(col("vec_id"), col("label").as("alabel")), "alabel")
+
+    val n = Similarity.refreshIvfIndex(spark, root)
+    assert(n == 25L)
+    val asg = SnapStore.read(spark, root.resolve("ivf_assign"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(asg.size == 225 && asg.distinct.size == 225,
+      s"re-run must not duplicate posting-list entries: ${asg.size}")
+    // Centroid counts account for every vector exactly once.
+    val total = SnapStore.read(spark, root.resolve("ivf_centroids"))
+      .filter(col("i") === 1)
+      .agg(org.apache.spark.sql.functions.sum(col("ccnt")))
+      .collect()(0).getLong(0)
+    assert(total == 225L, s"centroid counts must sum to 225, got $total")
   }
 }

@@ -287,6 +287,38 @@ class SqlDdlSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("DDL column names resolve case-insensitively (canonical " +
+    "spelling persists) and global_temp views delegate to stock " +
+    "Spark even when the current catalog is graft") {
+    val root = tempRoot("ddlci")
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("doc_id") < 30), "part",
+      keyCol = "doc_id")
+    mountAs("dci", root)
+
+    spark.sql("ALTER TABLE graft.dci.t WRITE ORDERED BY TOK DESC")
+    assert(SnapStore.tableProperties(t)
+      .get("write.sort.order").contains("tok DESC"),
+      "the schema's canonical spelling must persist")
+    spark.sql("ALTER TABLE graft.dci.t SET IDENTIFIER FIELDS SOURCE")
+    assert(SnapStore.currentManifest(t).keyCol == "source")
+    spark.sql("ALTER TABLE graft.dci.t DROP IDENTIFIER FIELDS Source")
+    assert(SnapStore.currentManifest(t).keyCol.isEmpty)
+
+    // global_temp stays stock-routed under a graft current catalog.
+    spark.sql("CREATE GLOBAL TEMPORARY VIEW gddl_tv AS SELECT 11 AS v")
+    val prev = spark.catalog.currentCatalog()
+    spark.sql("USE graft")
+    try {
+      assert(spark.sql("SELECT v FROM global_temp.gddl_tv")
+        .collect()(0).getInt(0) == 11)
+      spark.sql("DROP VIEW global_temp.gddl_tv")
+      intercept[Exception] {
+        spark.sql("SELECT v FROM global_temp.gddl_tv").collect() }
+    } finally spark.sql(s"USE $prev")
+  }
+
+  // ----------------------------------------------------------------
   test("a replacement that closes a view cycle persists (validation " +
     "planned against the OLD definition) and the read-time walk " +
     "raises the named cycle error") {
