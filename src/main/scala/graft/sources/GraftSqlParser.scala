@@ -76,7 +76,8 @@ object GraftDdl {
   private val Name = "([A-Za-z0-9_]+)"
 
   private val BranchTag =
-    (s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+(CREATE|DROP)\\s+" +
+    (s"(?is)^\\s*ALTER\\s+TABLE\\s+$Ident\\s+" +
+      "(CREATE\\s+OR\\s+REPLACE|CREATE|REPLACE|DROP)\\s+" +
       s"(BRANCH|TAG)\\s+(?:(IF\\s+NOT\\s+EXISTS|IF\\s+EXISTS)\\s+)?$Name" +
       "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?" +
       "(?:\\s+RETAIN\\s+(\\d+)\\s+(DAYS|HOURS|MINUTES))?\\s*;?\\s*$").r
@@ -100,6 +101,14 @@ object GraftDdl {
     (s"(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+$Ident\\s+AS\\s+" +
       "(.+?)\\s*;?\\s*$").r
 
+  private val AlterViewProps =
+    (s"(?is)^\\s*ALTER\\s+VIEW\\s+$Ident\\s+(SET|UNSET)\\s+" +
+      "TBLPROPERTIES\\s*\\((.+)\\)\\s*;?\\s*$").r
+
+  // One 'k' = 'v' pair (SET) or one 'k' (UNSET), comma-separated.
+  private val PropPair = "'((?:[^'\\\\]|\\\\.)*)'\\s*=\\s*'((?:[^'\\\\]|\\\\.)*)'".r
+  private val PropKey = "'((?:[^'\\\\]|\\\\.)*)'".r
+
   private val DropView =
     (s"(?is)^\\s*DROP\\s+VIEW\\s+(?:(IF\\s+EXISTS)\\s+)?$Ident\\s*;?\\s*$$").r
 
@@ -113,11 +122,18 @@ object GraftDdl {
         head.startsWith("DROP"))) return None
     sqlText match {
       case BranchTag(ident, verb, kind, softKw, name, asOf, retainN, retainU) =>
-        val create = verb.equalsIgnoreCase("CREATE")
-        // IF NOT EXISTS belongs to CREATE, IF EXISTS to DROP; the
-        // shared regex accepts both, so reject the crossed forms.
+        val v = verb.toUpperCase.replaceAll("\\s+", " ")
+        val create = v.startsWith("CREATE") || v == "REPLACE"
+        val replace = v.contains("REPLACE")
+        // IF NOT EXISTS belongs to plain CREATE, IF EXISTS to DROP;
+        // the shared regex accepts all, so reject crossed forms —
+        // and OR REPLACE already tolerates existence, so combining
+        // it with a soft-existence clause is contradictory.
         val softIsNot =
           softKw != null && softKw.toUpperCase.contains("NOT")
+        if (softKw != null && replace)
+          throw new IllegalArgumentException(
+            s"OR REPLACE does not combine with IF [NOT] EXISTS: $sqlText")
         if (softKw != null && softIsNot != create)
           throw new IllegalArgumentException(
             if (create) s"CREATE takes IF NOT EXISTS, not IF EXISTS: $sqlText"
@@ -134,7 +150,11 @@ object GraftDdl {
           }
           n.toLong * unit
         }
-        Some(BranchRefCommand(parts(ident), create,
+        val mode =
+          if (v == "CREATE OR REPLACE") "create_or_replace"
+          else if (v == "REPLACE") "replace"
+          else if (create) "create" else "drop"
+        Some(BranchRefCommand(parts(ident), mode,
           kind.equalsIgnoreCase("BRANCH"), name, soft,
           Option(asOf).map(_.toInt), retainMs))
       case IdentifierFields(ident, verb, cols) =>
@@ -168,9 +188,33 @@ object GraftDdl {
         viewCatalogFor(session, ps).map { case (cat, _, _) =>
           DropViewCommand(cat, ps, ifExists != null)
         }
+      case AlterViewProps(ident, verb, list) =>
+        val ps = parts(ident)
+        viewCatalogFor(session, ps).map { case (cat, _, _) =>
+          if (verb.equalsIgnoreCase("SET")) {
+            val pairs = PropPair.findAllMatchIn(list)
+              .map(m => unescape(m.group(1)) -> unescape(m.group(2)))
+              .toSeq
+            require(pairs.nonEmpty,
+              s"SET TBLPROPERTIES expects 'k' = 'v' pairs: ($list)")
+            AlterViewPropsCommand(cat, ps, pairs, unset = false)
+          } else {
+            // UNSET list: bare 'k' entries (reject any k=v shape).
+            require(!list.contains("="),
+              s"UNSET TBLPROPERTIES takes keys only: ($list)")
+            val keys = PropKey.findAllMatchIn(list)
+              .map(m => unescape(m.group(1))).toSeq
+            require(keys.nonEmpty,
+              s"UNSET TBLPROPERTIES expects 'k' keys: ($list)")
+            AlterViewPropsCommand(cat, ps, keys.map(_ -> ""), unset = true)
+          }
+        }
       case _ => None
     }
   }
+
+  private def unescape(s: String): String =
+    s.replace("\\'", "'").replace("\\\\", "\\")
 
   /** The tail after `ALTER TABLE t WRITE` → (sort specs, distributed
     * flag); None = an unrecognized WRITE form, delegate (stock Spark
@@ -277,13 +321,19 @@ object GraftDdl {
     AttributeReference(name, dt, nullable = false)()
 }
 
-/** `ALTER TABLE … CREATE/DROP BRANCH|TAG` — [[SnapStore.createBranch]]
-  * / [[SnapStore.tag]] / [[SnapStore.dropBranch]] / [[SnapStore.dropTag]]
-  * with the DDL's soft-existence and AS OF / RETAIN clauses. RETAIN
-  * persists the per-ref age as the `ref.<name>.max-ref-age-ms` table
-  * property, which `CALL …expire_refs` reads as its per-ref override.
+/** `ALTER TABLE … CREATE [OR REPLACE]/REPLACE/DROP BRANCH|TAG` —
+  * [[SnapStore.createBranch]] / [[SnapStore.tag]] /
+  * [[SnapStore.dropBranch]] / [[SnapStore.dropTag]] with the DDL's
+  * soft-existence and AS OF / RETAIN clauses. RETAIN persists the
+  * per-ref age as the `ref.<name>.max-ref-age-ms` table property,
+  * which `CALL …expire_refs` reads as its per-ref override. A TAG
+  * replace is an ATOMIC refs-CAS move; a BRANCH replace drops the
+  * chain and re-forks (documented small window where the name
+  * resolves to nothing — branch chains are manifest FILES, not a
+  * single swappable ref); bare `REPLACE` requires the ref to exist,
+  * `CREATE OR REPLACE` tolerates either state (Iceberg's split).
   */
-case class BranchRefCommand(table: Seq[String], create: Boolean,
+case class BranchRefCommand(table: Seq[String], mode: String,
     isBranch: Boolean, refName: String, soft: Boolean,
     asOf: Option[Int], retainMs: Option[Long]) extends LeafRunnableCommand {
 
@@ -293,23 +343,44 @@ case class BranchRefCommand(table: Seq[String], create: Boolean,
   override def run(session: SparkSession): Seq[Row] = {
     val dir = GraftDdl.tableDirFor(session, table)
     val kind = if (isBranch) "branch" else "tag"
-    val exists =
+    def exists =
       if (isBranch) SnapStore.branchHead(dir, refName).nonEmpty
       else SnapStore.tags(dir).contains(refName)
-    val action = (create, exists) match {
-      case (true, true) if soft => "exists"
-      case (true, _) =>
-        if (isBranch) SnapStore.createBranch(dir, refName, asOf)
-        else SnapStore.tag(dir, refName,
-          asOf.getOrElse(SnapStore.currentVersion(dir).get))
-        retainMs.foreach(ms => SnapStore.setProperties(dir,
-          Map(s"ref.$refName.max-ref-age-ms" -> ms.toString)))
-        "created"
-      case (false, false) =>
+    def install(): Unit = {
+      if (isBranch) SnapStore.createBranch(dir, refName, asOf)
+      else SnapStore.tag(dir, refName,
+        asOf.getOrElse(SnapStore.currentVersion(dir).get))
+      retainMs.foreach(ms => SnapStore.setProperties(dir,
+        Map(s"ref.$refName.max-ref-age-ms" -> ms.toString)))
+    }
+    val action = mode match {
+      case "create" if exists && soft => "exists"
+      case "create" if exists =>
+        // createBranch refuses duplicates itself; the tag verb is a
+        // MOVE (the refs CAS) — plain CREATE TAG must refuse here,
+        // not silently repoint (that is REPLACE's job).
+        throw new IllegalArgumentException(
+          s"$kind '$refName' already exists for table " +
+            s"${table.mkString(".")} — use CREATE OR REPLACE")
+      case "create" => install(); "created"
+      case "replace" | "create_or_replace" =>
+        val was = exists
+        if (mode == "replace" && !was)
+          throw new IllegalArgumentException(
+            s"$kind '$refName' does not exist for table " +
+              s"${table.mkString(".")} — use CREATE OR REPLACE")
+        if (was) {
+          // Tag moves are one refs-CAS (atomic); branch chains are
+          // files — drop then re-fork.
+          if (isBranch) SnapStore.dropBranch(dir, refName)
+        }
+        install()
+        if (was) "replaced" else "created"
+      case "drop" if !exists =>
         if (soft) "absent"
         else throw new IllegalArgumentException(
           s"$kind '$refName' does not exist for table ${table.mkString(".")}")
-      case (false, true) =>
+      case "drop" =>
         if (isBranch) SnapStore.dropBranch(dir, refName)
         else SnapStore.dropTag(dir, refName)
         SnapStore.unsetProperties(dir, Seq(s"ref.$refName.max-ref-age-ms"))
@@ -441,6 +512,32 @@ case class CreateViewCommand(catalog: String, view: Seq[String],
     else vc.createView(info)
     Seq(Row(s"$cat.${ident.namespace().mkString(".")}.${ident.name()}",
       schema.fields.length))
+  }
+}
+
+/** `ALTER VIEW … SET/UNSET TBLPROPERTIES` against a [[GraftCatalog]]
+  * — routed to the catalog's `alterView` (tmp + ATOMIC_MOVE
+  * property swap); stock Spark 4.1 parses the statement but has no
+  * v2-view execution path, the same gap the other view DDL fills.
+  */
+case class AlterViewPropsCommand(catalog: String, view: Seq[String],
+    props: Seq[(String, String)], unset: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(GraftDdl.attr("view"), GraftDdl.attr("properties", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.connector.catalog.ViewChange
+    val (cat, vc, ident) = GraftDdl.viewCatalogFor(session, view)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$catalog' is not a graft catalog"))
+    val changes: Seq[ViewChange] =
+      if (unset) props.map { case (k, _) => ViewChange.removeProperty(k) }
+      else props.map { case (k, v) => ViewChange.setProperty(k, v) }
+    vc.alterView(ident, changes: _*)
+    Seq(Row(s"$cat.${ident.namespace().mkString(".")}.${ident.name()}",
+      props.size))
   }
 }
 

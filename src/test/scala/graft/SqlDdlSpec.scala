@@ -287,6 +287,65 @@ class SqlDdlSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("CREATE OR REPLACE BRANCH/TAG repoints, bare REPLACE requires " +
+    "existence, plain CREATE TAG refuses a duplicate, and ALTER " +
+    "VIEW SET/UNSET TBLPROPERTIES round-trips") {
+    val root = tempRoot("ddlrep")
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("doc_id") < 30), "part")
+    SnapStore.append(spark, t,
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 50), "part")
+    mountAs("drp", root)
+
+    spark.sql("ALTER TABLE graft.drp.t CREATE TAG pin AS OF VERSION 1")
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.drp.t CREATE TAG pin") }
+    assert(dup.getMessage.contains("already exists"))
+    assert(SnapStore.tags(t)("pin") == 1)
+    spark.sql("ALTER TABLE graft.drp.t CREATE OR REPLACE TAG pin " +
+      "AS OF VERSION 2")
+    assert(SnapStore.tags(t)("pin") == 2, "OR REPLACE must repoint")
+    spark.sql("ALTER TABLE graft.drp.t REPLACE TAG pin AS OF VERSION 1")
+    assert(SnapStore.tags(t)("pin") == 1, "bare REPLACE must repoint")
+    val noRef = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.drp.t REPLACE TAG nope") }
+    assert(noRef.getMessage.contains("does not exist"))
+
+    spark.sql("ALTER TABLE graft.drp.t CREATE BRANCH wip AS OF VERSION 1")
+    assert(SnapStore.readBranch(spark, t, "wip").count() == 30L)
+    spark.sql("ALTER TABLE graft.drp.t CREATE OR REPLACE BRANCH wip")
+    assert(SnapStore.readBranch(spark, t, "wip").count() == 50L,
+      "OR REPLACE BRANCH must re-fork from the requested point")
+    val crossed = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.drp.t CREATE OR REPLACE BRANCH " +
+        "IF NOT EXISTS wip") }
+    assert(crossed.getMessage.contains("does not combine"))
+
+    // ALTER VIEW TBLPROPERTIES through the catalog's atomic swap.
+    spark.sql("CREATE VIEW graft.drp.v AS " +
+      "SELECT COUNT(*) AS n FROM graft.drp.t")
+    spark.sql("ALTER VIEW graft.drp.v SET TBLPROPERTIES " +
+      "('note' = 'audited', 'tier' = 'gold')")
+    def viewProps(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val cm = spark.sessionState.catalogManager
+      cm.catalog("graft")
+        .asInstanceOf[org.apache.spark.sql.connector.catalog.ViewCatalog]
+        .loadView(org.apache.spark.sql.connector.catalog.Identifier
+          .of(Array("drp"), "v"))
+        .properties().asScala.toMap
+    }
+    assert(viewProps().get("note").contains("audited") &&
+      viewProps().get("tier").contains("gold"))
+    spark.sql("ALTER VIEW graft.drp.v UNSET TBLPROPERTIES ('note')")
+    assert(!viewProps().contains("note") &&
+      viewProps().get("tier").contains("gold"))
+    // The definition still resolves after the property edits.
+    assert(spark.sql("SELECT n FROM graft.drp.v")
+      .collect()(0).getLong(0) == 50L)
+  }
+
+  // ----------------------------------------------------------------
   test("DDL column names resolve case-insensitively (canonical " +
     "spelling persists) and global_temp views delegate to stock " +
     "Spark even when the current catalog is graft") {
