@@ -154,9 +154,13 @@ object Curation {
           "x -> x.cmv)").as("cm"))
         // Truncate lineage each round (VERDICT r9, like
         // Graph.pageRankRanks): the centroid frame is k rows, so the
-        // eager checkpoint is one tiny materialization and the next
-        // round's plan stays O(1) at any round count.
-        .localCheckpoint()
+        // eager pin is one tiny materialization and the next round's
+        // plan stays O(1) at any round count. Pin.pin makes it
+        // durable under spark.graft.cc.checkpointDir like the other
+        // iterative ops (VERDICT r15 #4). NO supersedes: the
+        // post-loop stats frame reads lastAssigned, whose plan still
+        // references the PREVIOUS round's pinned centroids.
+        .transform(Pin.pin(_))
     }
     val stats = lastAssigned.groupBy(col("cid"))
       .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia"))

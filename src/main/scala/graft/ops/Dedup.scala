@@ -554,16 +554,19 @@ object Dedup {
     * is ever collected.
     */
   def clusters(s: SparkSession, dir: String): DataFrame = {
-    val ckptDir = s.conf.getOption("spark.graft.cc.checkpointDir")
-    ckptDir.foreach(d => s.sparkContext.setCheckpointDir(d))
-    def pin(df: DataFrame): DataFrame =
-      if (ckptDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val links = minhashLsh(s, dir).filter(col("jacc") >= 0.8)
       .select(col("a_id"), col("b_id"))
     val edges = links
       .union(links.select(col("b_id"), col("a_id")))
       .toDF("src", "dst").distinct().cache()
-    var labels = pin(Tables.documents(s, dir)
+    // Pin.pin: durable under spark.graft.cc.checkpointDir (one
+    // checkpoint ROOT per context — the old per-call setCheckpointDir
+    // here leaked a fresh UUID dir per run, review r15 #5), and each
+    // round supersedes the previous one so tens of label rounds keep
+    // ONE durable payload alive, not fifty (ADVICE r15 #3). The
+    // changed-count action below runs against the ALREADY-pinned
+    // step, so nothing reads the superseded round after its delete.
+    var labels = Pin.pin(Tables.documents(s, dir)
       .select(col("doc_id").as("node"), col("doc_id").as("lbl")))
     var changed = 1L
     var rounds = 0
@@ -571,9 +574,10 @@ object Dedup {
       val nbrMin = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node")).agg(min(col("lbl")).as("nlbl"))
-      val step = pin(labels.join(nbrMin, Seq("node"), "left")
+      val step = Pin.pin(labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("lbl").as("old"),
-          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")))
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl")),
+        supersedes = Some(labels))
       changed = step.filter(col("lbl") < col("old")).count()
       labels = step.select(col("node"), col("lbl"))
       rounds += 1

@@ -4,7 +4,8 @@ import org.apache.spark.sql.DataFrame
 
 /** Lineage-truncation helper shared by the iterative/multi-consumer
   * operators ([[Graph]] page-rank rounds, [[PipelineOps]] DSIR's
-  * three-consumer feature frame, [[Dedup.clusters]]' label rounds).
+  * three-consumer feature frame, [[Dedup.clusters]]' label rounds,
+  * [[Curation]] k-means rounds).
   *
   * By default a pin is `localCheckpoint` — executor memory/disk, no
   * driver materialization, fine in local mode. Setting
@@ -14,15 +15,30 @@ import org.apache.spark.sql.DataFrame
   * longer kills the query mid-iteration, and checkpoint blocks don't
   * pin executor storage memory across tens of rounds (VERDICT r14
   * "What's wrong" #1).
+  *
+  * Durable-checkpoint RETENTION: Spark only deletes checkpoint files
+  * itself under `spark.cleaner.referenceTracking.cleanCheckpoints`,
+  * a context-CONSTRUCTION conf this library cannot assume — so tens
+  * of iteration rounds would otherwise leak one payload per round
+  * for the life of the context (ADVICE r15 #3). Iterative callers
+  * therefore pass the round they are replacing as `supersedes`; its
+  * files are deleted as soon as the NEW checkpoint has materialized.
+  * Only pass a frame that nothing else still reads — e.g.
+  * [[Curation.kmeansConverge]] keeps its last-assignment frame
+  * reading the PREVIOUS round's centroids, so it must NOT supersede.
   */
 object Pin {
   /** Truncate `df`'s lineage: durable `checkpoint()` when
     * `spark.graft.cc.checkpointDir` is set, else `localCheckpoint`.
     * `eager=false` defers materialization to the first action (only
     * honored on the local path; durable checkpoints are always eager
-    * so the directory write is the recovery point).
+    * so the directory write is the recovery point). `supersedes`: a
+    * previously pinned frame whose durable checkpoint this pin
+    * replaces — deleted after the new checkpoint materializes (the
+    * new payload is the recovery point; the old one is dead).
     */
-  def pin(df: DataFrame, eager: Boolean = true): DataFrame = {
+  def pin(df: DataFrame, eager: Boolean = true,
+      supersedes: Option[DataFrame] = None): DataFrame = {
     val s = df.sparkSession
     s.conf.getOption("spark.graft.cc.checkpointDir") match {
       case Some(d) =>
@@ -32,8 +48,27 @@ object Pin {
         // once per context; later rounds reuse the established dir.
         if (s.sparkContext.getCheckpointDir.isEmpty)
           s.sparkContext.setCheckpointDir(d)
-        df.checkpoint()
+        val pinned = df.checkpoint() // eager: materialized HERE
+        supersedes.foreach(deleteCheckpoint)
+        pinned
       case None => df.localCheckpoint(eager)
+    }
+  }
+
+  /** Delete a pinned frame's durable checkpoint files. A frame that
+    * was never durably checkpointed (local pin, or not a pin at all)
+    * is a no-op — so round-1 callers can pass their un-pinned seed
+    * frame without special-casing.
+    */
+  private def deleteCheckpoint(prev: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    prev.queryExecution.analyzed.collectFirst {
+      case l: LogicalRDD => l.rdd.getCheckpointFile
+    }.flatten.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(
+        prev.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
     }
   }
 }

@@ -413,7 +413,13 @@ object TpcdsShapes {
     // union+join per slice (no ReuseExchange — the subplans differ).
     // The aggregated frame is tiny (customers × channels × years), so
     // cache it — SURVEY.md §2.9's multi-reference-CTE guidance.
+    // Every slice reads ONLY 1996/1997, so the year filter belongs
+    // BELOW the cached aggregate — `queries/tpcds/q74.sql:16,31` puts
+    // `d_year IN (…)` inside the year_total CTE for the same reason;
+    // at 100 TB this is the difference between aggregating two years
+    // and aggregating the whole fact history (VERDICT r15 #2).
     val yearTotal = o.unionAll(l)
+      .filter(col("yr").isin(1996, 1997))
       .groupBy(col("custkey"), col("chan"), col("yr"))
       .agg(dsum(col("amt")).as("year_total"))
       .cache()
@@ -448,6 +454,7 @@ object TpcdsShapes {
        |      CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER),
        |      l_extendedprice * (1.0 - l_discount)
        |    FROM lineitem, orders WHERE l_orderkey = o_orderkey) channels
+       |  WHERE yr IN (1996, 1997)
        |  GROUP BY custkey, chan, yr)
        |SELECT c_custkey, c_name,
        |  round(ls.year_total / lf.year_total, 6) AS l_growth,

@@ -98,8 +98,12 @@ object GraftDdl {
       "FIELD\\s+(.+?)\\s*;?\\s*$").r
 
   private val CreateView =
-    (s"(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+$Ident\\s+AS\\s+" +
-      "(.+?)\\s*;?\\s*$").r
+    (s"(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?VIEW\\s+" +
+      s"(?:(IF\\s+NOT\\s+EXISTS)\\s+)?$Ident" +
+      "\\s*(?:\\(\\s*([^()]+?)\\s*\\))?\\s+AS\\s+(.+?)\\s*;?\\s*$").r
+
+  private val AlterViewAs =
+    (s"(?is)^\\s*ALTER\\s+VIEW\\s+$Ident\\s+AS\\s+(.+?)\\s*;?\\s*$$").r
 
   private val AlterViewProps =
     (s"(?is)^\\s*ALTER\\s+VIEW\\s+$Ident\\s+(SET|UNSET)\\s+" +
@@ -178,10 +182,21 @@ object GraftDdl {
         parseWriteSpec(spec).map { case (order, distributed) =>
           WriteOrderCommand(parts(ident), order, distributed)
         }
-      case CreateView(orReplace, ident, query) =>
+      case CreateView(orReplace, ifNotExists, ident, colList, query) =>
+        val ps = parts(ident)
+        if (orReplace != null && ifNotExists != null)
+          throw new IllegalArgumentException(
+            "OR REPLACE does not combine with IF NOT EXISTS: " + sqlText)
+        viewCatalogFor(session, ps).map { case (cat, _, _) =>
+          CreateViewCommand(cat, ps, query.trim, orReplace != null,
+            ifNotExists != null,
+            Option(colList).map(splitCols(_).map(stripTicks))
+              .getOrElse(Seq.empty))
+        }
+      case AlterViewAs(ident, query) =>
         val ps = parts(ident)
         viewCatalogFor(session, ps).map { case (cat, _, _) =>
-          CreateViewCommand(cat, ps, query.trim, orReplace != null)
+          AlterViewAsCommand(cat, ps, query.trim)
         }
       case DropView(ifExists, ident) =>
         val ps = parts(ident)
@@ -319,6 +334,47 @@ object GraftDdl {
   private[sources] def attr(name: String, dt: DataType = StringType)
       : AttributeReference =
     AttributeReference(name, dt, nullable = false)()
+
+  /** Validate a view definition body WITHOUT executing it: parse
+    * through `parseQuery` — the QUERY grammar, under which a command
+    * body (`AS DROP TABLE t`, `AS CALL …`) fails to PARSE — then
+    * ANALYZE the parsed plan for name/type resolution. `session.sql`
+    * would eagerly RUN a command-shaped body at DDL time (ADVICE
+    * r15 #1); analysis alone never executes. Returns the resolved
+    * schema.
+    */
+  private[sources] def validateViewBody(session: SparkSession,
+      sql: String): StructType = {
+    val parsed =
+      try session.sessionState.sqlParser.parseQuery(sql)
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"view body must be a query: $sql", e)
+      }
+    // parseQuery's grammar already excludes commands; keep a cheap
+    // structural check so a parser override can never regress this
+    // into execute-at-DDL-time.
+    require(!parsed.isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.Command],
+      s"view body must be a query, not a command: $sql")
+    session.sessionState.executePlan(parsed).analyzed.schema
+  }
+
+  /** The pre-swap cycle guard shared by `CREATE OR REPLACE VIEW` and
+    * `ALTER VIEW … AS`: the new body plans fine against the OLD
+    * stored definition (the name still resolves), so only a stored-
+    * graph walk catches the loop the swap would close.
+    */
+  private[sources] def requireRedefinitionAcyclic(session: SparkSession,
+      vc: ViewCatalog, cat: String, db: String, name: String,
+      sql: String): Unit = {
+    val refs = ResolveGraftViews.bodyRefs(session, vc, cat, sql)
+    if (ResolveGraftViews.reaches(session, vc, cat, refs, (db, name)))
+      throw new IllegalArgumentException(
+        s"redefining view $cat.$db.$name with this body would close " +
+          "a view cycle (the body reaches the view through stored " +
+          "definitions) — drop or re-create a referenced view first")
+  }
 }
 
 /** `ALTER TABLE … CREATE [OR REPLACE]/REPLACE/DROP BRANCH|TAG` —
@@ -369,10 +425,16 @@ case class BranchRefCommand(table: Seq[String], mode: String,
           throw new IllegalArgumentException(
             s"$kind '$refName' does not exist for table " +
               s"${table.mkString(".")} — use CREATE OR REPLACE")
-        if (was) {
+        if (was && isBranch) {
           // Tag moves are one refs-CAS (atomic); branch chains are
-          // files — drop then re-fork.
-          if (isBranch) SnapStore.dropBranch(dir, refName)
+          // files — drop then re-fork. Validate the fork FIRST: a
+          // replace that cannot succeed (missing AS OF version,
+          // pending deletes) must leave the old branch intact, not
+          // destroy it and then fail the re-create (ADVICE r15 #2).
+          // The drop-then-fork visibility window itself remains
+          // (documented — branch chains are files, not one ref).
+          SnapStore.validateBranchFork(dir, refName, asOf)
+          SnapStore.dropBranch(dir, refName)
         }
         install()
         if (was) "replaced" else "created"
@@ -419,8 +481,13 @@ case class WriteOrderCommand(table: Seq[String],
     }
     val spec = resolved.map { case (c, desc) =>
       if (desc) s"$c DESC" else s"$c ASC" }.mkString(", ")
+    // UNORDERED resets the whole declared write spec, distribution
+    // mode included — Iceberg's WRITE UNORDERED sets the mode back
+    // to none, and a lingering hash mode would misdescribe the
+    // table's write layout (ADVICE r15 #4).
     if (order.isEmpty && !distributed)
-      SnapStore.unsetProperties(dir, Seq("write.sort.order"))
+      SnapStore.unsetProperties(dir,
+        Seq("write.sort.order", "write.distribution-mode"))
     else if (order.nonEmpty)
       SnapStore.setProperties(dir, Map("write.sort.order" -> spec))
     if (distributed)
@@ -483,17 +550,23 @@ case class PartitionFieldCommand(table: Seq[String],
   }
 }
 
-/** `CREATE [OR REPLACE] VIEW` against a [[GraftCatalog]] — the SQL
-  * face of the `create_view` CALL verb: the definition is VALIDATED
-  * by planning it (so only resolvable definitions persist — the
-  * creation-time half of the cycle guard; [[ResolveGraftViews]]'
-  * stored-graph walk covers post-hoc rename cycles), then stored
-  * through the catalog's `ViewCatalog` face. OR REPLACE swaps the
-  * stored definition (validated first, so a failed replacement
-  * leaves the old view intact).
+/** `CREATE [OR REPLACE] VIEW [IF NOT EXISTS] v [(col, …)]` against a
+  * [[GraftCatalog]] — the SQL face of the `create_view` CALL verb:
+  * the definition is VALIDATED by parse-as-query + analysis only
+  * (never executed — ADVICE r15 #1; only resolvable query bodies
+  * persist, the creation-time half of the cycle guard;
+  * [[ResolveGraftViews]]' stored-graph walk covers post-hoc rename
+  * cycles, and the replace path walks the graph BEFORE swapping so a
+  * redefinition cannot close a loop). A declared column list renames
+  * the query's output 1:1 (Iceberg's view column aliases) — the
+  * stored schema carries the ALIASED names, `queryColumnNames` the
+  * body's own. OR REPLACE swaps atomically (tmp + ATOMIC_MOVE, so a
+  * failed replacement leaves the old view intact); IF NOT EXISTS is
+  * a no-op on an existing view.
   */
 case class CreateViewCommand(catalog: String, view: Seq[String],
-    sql: String, orReplace: Boolean) extends LeafRunnableCommand {
+    sql: String, orReplace: Boolean, ifNotExists: Boolean,
+    colAliases: Seq[String]) extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] =
     Seq(GraftDdl.attr("view"), GraftDdl.attr("columns", IntegerType))
@@ -502,14 +575,63 @@ case class CreateViewCommand(catalog: String, view: Seq[String],
     val (cat, vc, ident) = GraftDdl.viewCatalogFor(session, view)
       .getOrElse(throw new IllegalArgumentException(
         s"'$catalog' is not a graft catalog"))
-    val schema = session.sql(sql).schema // plans => validates
+    if (ifNotExists && vc.viewExists(ident))
+      return Seq(Row(
+        s"$cat.${ident.namespace().mkString(".")}.${ident.name()}", -1))
+    val querySchema = GraftDdl.validateViewBody(session, sql)
+    val schema =
+      if (colAliases.isEmpty) querySchema
+      else {
+        require(colAliases.size == querySchema.fields.length,
+          s"view column list has ${colAliases.size} names but the " +
+            s"query produces ${querySchema.fields.length} columns")
+        require(colAliases.map(_.toLowerCase).distinct.size ==
+          colAliases.size, "duplicate names in the view column list")
+        StructType(querySchema.fields.zip(colAliases).map {
+          case (f, a) => f.copy(name = a) })
+      }
+    if (orReplace && vc.viewExists(ident))
+      GraftDdl.requireRedefinitionAcyclic(session, vc, cat,
+        ident.namespace().head, ident.name(), sql)
     val info = new ViewInfo(ident, sql, cat, ident.namespace(), schema,
-      schema.fieldNames, Array.empty, Array.empty, java.util.Map.of())
+      querySchema.fieldNames, colAliases.toArray, Array.empty,
+      java.util.Map.of())
     // OR REPLACE is the catalog's ATOMIC swap (tmp + ATOMIC_MOVE) —
     // never drop-then-create, which would lose the old view if the
     // create half failed (review r15 #6).
     if (orReplace) vc.replaceView(info, true)
     else vc.createView(info)
+    Seq(Row(s"$cat.${ident.namespace().mkString(".")}.${ident.name()}",
+      schema.fields.length))
+  }
+}
+
+/** `ALTER VIEW … AS <query>` against a [[GraftCatalog]] — redefine
+  * the body KEEPING the stored view properties (Spark's ALTER VIEW
+  * AS contract), dropping any declared column aliases (the new body
+  * defines the new schema). Validated like CREATE (parse-as-query +
+  * analyze, never execute), cycle-guarded like OR REPLACE, swapped
+  * atomically through `replaceView(orCreate = false)` so a missing
+  * view raises and a failed swap leaves the old definition intact.
+  */
+case class AlterViewAsCommand(catalog: String, view: Seq[String],
+    sql: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] =
+    Seq(GraftDdl.attr("view"), GraftDdl.attr("columns", IntegerType))
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val (cat, vc, ident) = GraftDdl.viewCatalogFor(session, view)
+      .getOrElse(throw new IllegalArgumentException(
+        s"'$catalog' is not a graft catalog"))
+    val old = vc.loadView(ident) // NoSuchViewException if absent
+    val schema = GraftDdl.validateViewBody(session, sql)
+    GraftDdl.requireRedefinitionAcyclic(session, vc, cat,
+      ident.namespace().head, ident.name(), sql)
+    val keptProps = new java.util.HashMap[String, String](old.properties())
+    val info = new ViewInfo(ident, sql, cat, ident.namespace(), schema,
+      schema.fieldNames, Array.empty, Array.empty, keptProps)
+    vc.replaceView(info, false)
     Seq(Row(s"$cat.${ident.namespace().mkString(".")}.${ident.name()}",
       schema.fields.length))
   }

@@ -5,7 +5,7 @@ import scala.util.Try
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.AliasIdentifier
-import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedRelation, UnresolvedSubqueryColumnAliases}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
@@ -17,10 +17,14 @@ import org.apache.spark.sql.connector.catalog.{Identifier, ViewCatalog}
   * that fill: an unresolved relation naming a stored view of a
   * [[GraftCatalog]] substitutes the view's definition SQL, parsed
   * and re-analyzed in place, so the view always reads the CURRENT
-  * snapshot of its base tables. View-on-view nests naturally (the
+  * snapshot of its base tables. Declared column aliases
+  * (`CREATE VIEW v (a, b) AS …`) re-apply on every substitution via
+  * `UnresolvedSubqueryColumnAliases` — the same Resolution-batch
+  * fixed point resolves them. View-on-view nests naturally (the
   * substituted plan's inner view resolves on the next fixed-point
   * pass). Cycles cannot be CREATED directly (a definition must plan —
-  * against already-existing views only — at creation time), but
+  * against already-existing views only — at creation time, and the
+  * replace-form DDL walks the graph before swapping), but
   * `rename_view` can close one AFTER the fact (V2 refs V1, rename V1
   * away, rename a V2-dependent view INTO the vacated name) — the
   * substitution therefore walks the stored-definition graph first
@@ -54,36 +58,13 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
     val v = vc.loadView(ident)
     // The stored SQL was validated (planned) at creation under
     // fully-qualified names, so it re-parses context-free here.
-    Some(SubqueryAlias(
-      AliasIdentifier(name, Seq(catName, db)),
-      spark.sessionState.sqlParser.parsePlan(v.query())))
-  }
-
-  /** The stored view names a definition references (subqueries
-    * included) — the edges of the definition graph. MIRRORS
-    * [[viewPlanFor]]'s resolution rule exactly: a 3-part name is an
-    * edge only under THIS catalog, a 2-part name only when the
-    * session's current catalog IS this catalog (anything else would
-    * never be substituted at resolution, so counting it would raise
-    * spurious cycle errors for resolvable queries).
-    */
-  private def storedRefs(vc: ViewCatalog, catName: String,
-      db: String, name: String): Seq[(String, String)] = {
-    val ident = Identifier.of(Array(db), name)
-    if (!vc.viewExists(ident)) return Seq.empty
-    val currentIsThis =
-      spark.sessionState.catalogManager.currentCatalog.name() == catName
-    val parsed = Try(spark.sessionState.sqlParser
-      .parsePlan(vc.loadView(ident).query())).getOrElse(return Seq.empty)
-    parsed.collectWithSubqueries {
-      case u: UnresolvedRelation => u.multipartIdentifier
-    }.flatMap {
-      case Seq(c, d, n) if c == catName => Some((d, n))
-      case Seq(d, n) if currentIsThis => Some((d, n))
-      case _ => None
-    }.distinct.filter { case (d, n) =>
-      vc.viewExists(Identifier.of(Array(d), n))
-    }
+    val parsed = spark.sessionState.sqlParser.parsePlan(v.query())
+    val aliased =
+      if (v.columnAliases() != null && v.columnAliases().nonEmpty)
+        UnresolvedSubqueryColumnAliases(
+          v.columnAliases().toIndexedSeq, parsed)
+      else parsed
+    Some(SubqueryAlias(AliasIdentifier(name, Seq(catName, db)), aliased))
   }
 
   /** DFS over stored definitions from `(db, name)`: a back edge onto
@@ -108,7 +89,7 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
             " — a rename_view closed a definition loop; drop or " +
             "re-create one of the views")
       refsMemo.getOrElseUpdate(node,
-        storedRefs(vc, catName, node._1, node._2))
+        ResolveGraftViews.storedRefs(spark, vc, catName, node._1, node._2))
         .foreach(walk(_, path :+ node))
       done += node
     }
@@ -116,10 +97,70 @@ class ResolveGraftViews(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 }
 
+object ResolveGraftViews {
+
+  /** The stored view names a definition references (subqueries
+    * included) — the edges of the definition graph. MIRRORS the
+    * resolution rule exactly: a 3-part name is an edge only under
+    * THIS catalog, a 2-part name only when the session's current
+    * catalog IS this catalog (anything else would never be
+    * substituted at resolution, so counting it would raise spurious
+    * cycle errors for resolvable queries).
+    */
+  private[sources] def storedRefs(spark: SparkSession, vc: ViewCatalog,
+      catName: String, db: String, name: String): Seq[(String, String)] = {
+    val ident = Identifier.of(Array(db), name)
+    if (!vc.viewExists(ident)) return Seq.empty
+    bodyRefs(spark, vc, catName,
+      Try(vc.loadView(ident).query()).getOrElse(return Seq.empty))
+  }
+
+  /** The graft-view identifiers a definition BODY references —
+    * [[storedRefs]] for a not-yet-stored definition (the replace-form
+    * DDL's pre-swap cycle check).
+    */
+  private[sources] def bodyRefs(spark: SparkSession, vc: ViewCatalog,
+      catName: String, sql: String): Seq[(String, String)] = {
+    val currentIsThis =
+      spark.sessionState.catalogManager.currentCatalog.name() == catName
+    val parsed = Try(spark.sessionState.sqlParser.parsePlan(sql))
+      .getOrElse(return Seq.empty)
+    parsed.collectWithSubqueries {
+      case u: UnresolvedRelation => u.multipartIdentifier
+    }.flatMap {
+      case Seq(c, d, n) if c == catName => Some((d, n))
+      case Seq(d, n) if currentIsThis => Some((d, n))
+      case _ => None
+    }.distinct.filter { case (d, n) =>
+      vc.viewExists(Identifier.of(Array(d), n))
+    }
+  }
+
+  /** Is `target` reachable from any of `from` (inclusive) through the
+    * STORED definition graph? The replace-form view DDL calls this
+    * with the NEW body's refs and the view being redefined: the new
+    * body validates fine against the OLD stored definition (the name
+    * still resolves), so only a graph walk catches the loop the swap
+    * would close — refusing at DDL time keeps the old view usable
+    * instead of poisoning every later read (VERDICT r15 #5).
+    */
+  private[sources] def reaches(spark: SparkSession, vc: ViewCatalog,
+      catName: String, from: Seq[(String, String)],
+      target: (String, String)): Boolean = {
+    val seen = scala.collection.mutable.Set.empty[(String, String)]
+    def walk(node: (String, String)): Boolean = {
+      if (node == target) return true
+      if (!seen.add(node)) return false
+      storedRefs(spark, vc, catName, node._1, node._2).exists(walk)
+    }
+    from.exists(walk)
+  }
+}
+
 /** The graft session extensions: installs [[ResolveGraftViews]] and
   * the [[GraftSqlParser]] DDL grammar (branch/tag DDL, WRITE ORDERED
-  * BY, SET IDENTIFIER FIELDS, CREATE/DROP VIEW — the statements
-  * Iceberg's own session extensions add).
+  * BY, SET IDENTIFIER FIELDS, CREATE/DROP/ALTER VIEW — the
+  * statements Iceberg's own session extensions add).
   * `spark.sql.extensions=graft.sources.GraftSparkExtensions`.
   */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {

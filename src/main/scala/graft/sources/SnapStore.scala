@@ -4415,10 +4415,17 @@ object SnapStore {
     * the fork point's files and records it as parent. Exactly one
     * creator wins a given name (exclusive install of v1).
     */
-  def createBranch(table: Path, name: String,
-      asOf: Option[Int] = None): Manifest = {
-    require(name.matches(BranchName), s"branch name '$name' must match $BranchName")
-    require(branchHead(table, name).isEmpty, s"branch '$name' already exists")
+  /** [[createBranch]]'s preconditions, checked WITHOUT mutating —
+    * also the pre-drop gate for `REPLACE BRANCH`: a replace that
+    * cannot succeed (bad name, missing/expired AS OF version,
+    * pending deletes at the fork point) must leave the existing
+    * branch untouched rather than drop it and then fail the re-fork
+    * (ADVICE r15 #2). Returns the fork-point manifest.
+    */
+  def validateBranchFork(table: Path, name: String,
+      asOf: Option[Int]): Manifest = {
+    require(name.matches(BranchName),
+      s"branch name '$name' must match $BranchName")
     val cur = asOf.map(manifest(table, _)).getOrElse(currentManifest(table))
     // Branch chains carry no delete files: a branch numbers its own
     // sequence space, so a main-stamped pending delete would compare
@@ -4426,6 +4433,13 @@ object SnapStore {
     // Fold first — the same precondition the COW ops have.
     require(cur.deleteFiles.isEmpty,
       "pending delete files: run applyDeletes before branching")
+    cur
+  }
+
+  def createBranch(table: Path, name: String,
+      asOf: Option[Int] = None): Manifest = {
+    require(branchHead(table, name).isEmpty, s"branch '$name' already exists")
+    val cur = validateBranchFork(table, name, asOf)
     val m = Manifest(1, cur.version, "branch-create", cur.schema, cur.files,
       cur.partCol, Seq.empty, cur.keyCol, cur.evos)
     // Branch manifests share the table's `_snapshots` dir, so a fork

@@ -378,9 +378,10 @@ class SqlDdlSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
-  test("a replacement that closes a view cycle persists (validation " +
-    "planned against the OLD definition) and the read-time walk " +
-    "raises the named cycle error") {
+  test("a replacement that would close a view cycle refuses at DDL " +
+    "time (the body plans fine against the OLD definition — only " +
+    "the stored-graph walk catches it) and the read-time walk still " +
+    "guards rename-closed cycles") {
     val root = tempRoot("ddlcyc")
     val t = root.resolve("t")
     SnapStore.create(spark, t, docs.filter(col("doc_id") < 20), "part")
@@ -391,15 +392,22 @@ class SqlDdlSpec extends SparkSpec {
     spark.sql("CREATE VIEW graft.dcy.v2 AS " +
       "SELECT doc_id FROM graft.dcy.v1")
     // Replacing v1 to read v2 validates against v2's STORED
-    // definition (which still reads the old v1 → t), so it plans —
-    // and persists a v1 ↔ v2 cycle.
-    spark.sql("CREATE OR REPLACE VIEW graft.dcy.v1 AS " +
-      "SELECT doc_id FROM graft.dcy.v2")
+    // definition (which still reads the old v1 → t), so planning
+    // alone would let a v1 ↔ v2 cycle persist — the pre-swap graph
+    // walk refuses instead, and v1 keeps its old definition
+    // (VERDICT r15 #5).
     val cyc = intercept[Exception] {
-      spark.sql("SELECT COUNT(*) FROM graft.dcy.v1").collect() }
+      spark.sql("CREATE OR REPLACE VIEW graft.dcy.v1 AS " +
+        "SELECT doc_id FROM graft.dcy.v2") }
     def chain(e: Throwable): String =
       if (e == null) "" else e.getMessage + "|" + chain(e.getCause)
-    assert(chain(cyc).contains("view cycle"),
-      s"expected the NAMED cycle error, got: ${chain(cyc)}")
+    assert(chain(cyc).contains("cycle"),
+      s"expected the DDL-time cycle refusal, got: ${chain(cyc)}")
+    assert(spark.sql("SELECT COUNT(*) AS c FROM graft.dcy.v1")
+      .collect()(0).getLong(0) == 20L,
+      "the refused replacement must leave v1 readable")
+
+    // The READ-time walk still exists for cycles closed behind the
+    // DDL's back (rename_view) — ViewCatalogSpec pins that path.
   }
 }
