@@ -2228,6 +2228,90 @@ object Maintenance {
       ORDER BY part_value, col_name""")
   }
 
+  /** Incremental partition-stats lifecycle (VERDICT r15 #3/#8):
+    * full `compute_partition_stats` at v1, a partition-CONFINED
+    * append (part 2 only, ids shifted by a multiple of 8 so the
+    * partition routing is preserved), then the `mode =>
+    * 'incremental'` CALL — which the fixture REQUIREs to have
+    * (a) taken the incremental path, scanning ONLY the files whose
+    * bounds intersect the touched partition, and (b) left stats
+    * byte-equal to a from-scratch recompute. The entry serves the
+    * refreshed `.partition_stats` surface (stale = false after the
+    * refresh); the oracle recomputes every partition's stats over
+    * base ∪ appended logically.
+    */
+  def ensureDocsPstatsInc(s: SparkSession, dir: String): Path =
+    synchronized {
+      val t = root(dir).resolve("docs_pstats2")
+      if (SnapStore.currentVersion(t).isEmpty)
+        SnapStore.create(s, t, base(s, dir), partCol, keyCol = "doc_id")
+      mount(s, dir)
+      if (SnapStore.tablePartitionStats(t).isEmpty)
+        s.sql("CALL graft.system.compute_partition_stats(" +
+          "'maint.docs_pstats2', 'source,tok')")
+      if (SnapStore.currentVersion(t).contains(1))
+        SnapStore.append(s, t, base(s, dir)
+          .filter(col(partCol) === 2L && pmod(col("doc_id"), lit(5L)) === 0)
+          .withColumn("doc_id", col("doc_id") + 800000L), partCol)
+      if (SnapStore.tablePartitionStats(t).exists(_._1 == 1) &&
+        SnapStore.currentVersion(t).contains(2)) {
+        // `stale` shows on the surface before the refresh.
+        val staleFlags = s.sql("SELECT DISTINCT stale FROM " +
+          "graft.maint.docs_pstats2.partition_stats").collect()
+          .map(_.getBoolean(0)).toSeq
+        require(staleFlags == Seq(true),
+          s"post-append stats must surface stale=true, got $staleFlags")
+        val nFiles = SnapStore.currentManifest(t).files.size
+        val (inc, scanned) = SnapStore.computePartitionStatsIncremental(
+          s, t, Seq("source", "tok"))
+        require(scanned.exists(n => n > 0 && n < nFiles),
+          s"the incremental path must scan only the touched " +
+            s"partition's files, got $scanned of $nFiles")
+        val fullRecompute =
+          SnapStore.computePartitionStats(s, t, Seq("source", "tok"))
+        require(inc == fullRecompute,
+          "incremental merge-by-replacement must equal the full " +
+            "recompute exactly")
+      }
+      t
+    }
+
+  def partitionStatsInc(s: SparkSession, dir: String): DataFrame = {
+    ensureDocsPstatsInc(s, dir)
+    s.sql("""SELECT partition AS part_value, `column` AS col_name,
+      row_count, ndv, null_count, `min` AS min_val, `max` AS max_val,
+      stale
+      FROM graft.maint.docs_pstats2.partition_stats
+      ORDER BY part_value, col_name""")
+  }
+
+  val partitionStatsIncOracle: String =
+    s"""WITH b AS (
+       |  SELECT CAST(doc_id % $nParts AS VARCHAR) AS part_value, source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT '2', source, CAST(len(string_split(text, ' ')) AS BIGINT)
+       |  FROM documents WHERE doc_id % $nParts = 2 AND doc_id % 5 = 0),
+       |per_part AS (
+       |  SELECT part_value, COUNT(*) AS row_count,
+       |    COUNT(DISTINCT source) AS ndv_source,
+       |    COUNT(DISTINCT tok) AS ndv_tok,
+       |    CAST(MIN(tok) AS VARCHAR) AS min_tok,
+       |    CAST(MAX(tok) AS VARCHAR) AS max_tok
+       |  FROM b GROUP BY part_value)
+       |SELECT part_value, 'source' AS col_name, row_count,
+       |  ndv_source AS ndv, CAST(0 AS BIGINT) AS null_count,
+       |  CAST(NULL AS VARCHAR) AS min_val, CAST(NULL AS VARCHAR) AS max_val,
+       |  FALSE AS stale
+       |FROM per_part
+       |UNION ALL
+       |SELECT part_value, 'tok' AS col_name, row_count,
+       |  ndv_tok AS ndv, CAST(0 AS BIGINT) AS null_count,
+       |  min_tok AS min_val, max_tok AS max_val, FALSE AS stale
+       |FROM per_part
+       |ORDER BY part_value, col_name""".stripMargin
+
   val partitionStatsOracle: String =
     s"""WITH b AS (
        |  SELECT CAST(doc_id % $nParts AS VARCHAR) AS part_value, source,
@@ -2669,6 +2753,127 @@ object Maintenance {
        |  CAST(SUM(a.tok + b.tok) AS BIGINT) AS sum_tok,
        |  MIN(a.doc_id) AS min_id, MAX(a.doc_id) AS max_id
        |FROM a JOIN b ON a.doc_id = b.doc_id""".stripMargin
+
+  /** Multi-field partition spec lifecycle (VERDICT r15 #1 —
+    * Iceberg's `PARTITIONED BY (p, bucket(4, id))` compound
+    * layouts): two tables created under the compound spec
+    * `part2,bucket(4,doc_id)` with per-(part, bucket) commits (every
+    * file single-valued on BOTH fields), a merge-on-read position
+    * DELETE probed through the compound bounds, entry-time REQUIREs
+    * pinning (a) per-field file bounds, (b) the per-field prunes and
+    * their conjunction being decisive, and (c) the TWO-transform
+    * storage-partitioned join running shuffle-free on
+    * `(part2, doc_id)` — then the join result, delete-adjusted,
+    * hash-compared against the oracle's logical recompute.
+    */
+  def ensureDocsMulti(s: SparkSession, dir: String): (Path, Path) =
+    synchronized {
+      val bexpr = pmod(hash(col("doc_id")), lit(4))
+      val multiSpecStr = "part2,bucket(4,doc_id)"
+      def build(name: String, rows: DataFrame): Path = {
+        val t = root(dir).resolve(name)
+        if (SnapStore.currentVersion(t).isEmpty) {
+          var first = true
+          (0L to 1L).foreach { p =>
+            (0 until 4).foreach { k =>
+              val slice = rows.filter(col("part2") === p && bexpr === k)
+              if (first) {
+                SnapStore.create(s, t, slice, multiSpecStr, numFiles = 1)
+                first = false
+              } else SnapStore.append(s, t, slice, multiSpecStr,
+                numFiles = 1)
+            }
+          }
+        }
+        t
+      }
+      val b = base(s, dir).select(col("doc_id"),
+        pmod(col("doc_id"), lit(2L)).as("part2"), col("text"), col("tok"))
+      val ta = build("docs_multi_a", b)
+      val tb = build("docs_multi_b",
+        b.filter(pmod(col("doc_id"), lit(5L)) === 0)
+          .select(col("doc_id"), col("part2"), col("tok")))
+      // Merge-on-read position DELETE over the compound layout: the
+      // probe prunes by the part2 bounds (field 0) and the rewrite
+      // lands position-delete files the read folds.
+      if (SnapStore.currentVersion(ta).contains(8))
+        SnapStore.deletePositions(s, ta,
+          col("part2") === 1L && pmod(col("doc_id"), lit(3L)) === 0)
+      mount(s, dir)
+      (ta, tb)
+    }
+
+  def multiSpec(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val (ta, _) = ensureDocsMulti(s, dir)
+    val m = SnapStore.currentManifest(ta)
+    // (a) Per-field bounds rode the manifest.
+    require(m.partCol == "part2,bucket(4,doc_id)" &&
+      m.files.forall(f => SnapStore.splitBounds(f.partMin).length == 2),
+      s"compound per-field bounds expected under '${m.partCol}'")
+    // (b) Each field prunes alone; the conjunction refutes an
+    // impossible tuple outright.
+    val all = m.files.size
+    val byPart = SnapStore.probeCandidates(s, m, col("part2") === 0L).size
+    val byBucket = SnapStore.probeCandidates(s, m, col("doc_id") === 0L).size
+    require(byPart < all && byBucket < all,
+      s"both fields must prune ($byPart/$byBucket of $all)")
+    // The conjunction opens ONE (part, bucket) cell: each commit
+    // wrote one single-tuple file, so an equality pair lands on
+    // exactly the one file whose tuple matches both fields.
+    val conj = SnapStore.probeCandidates(s, m,
+      col("part2") === 0L && col("doc_id") === 2L).size
+    require(conj <= 1 && conj < byPart && conj < byBucket,
+      s"the conjunction must prune to one (part, bucket) cell " +
+        s"(kept $conj; part=$byPart bucket=$byBucket)")
+    // (c) The two-transform SPJ join runs with no scan-side shuffle.
+    val olds = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = s.sql(
+        s"""SELECT a.part2, COUNT(*) AS n_pairs,
+           |  SUM(a.tok + b.tok) AS sum_tok,
+           |  SUM(fold_hash(a.text, 31, 0, $P)) AS chk
+           |FROM graft.maint.docs_multi_a a
+           |JOIN graft.maint.docs_multi_b b
+           |  ON a.part2 = b.part2 AND a.doc_id = b.doc_id
+           |GROUP BY a.part2 ORDER BY a.part2""".stripMargin)
+      val rows = j.collect()
+      // The per-part aggregate and ORDER BY legitimately shuffle
+      // ABOVE the join (part2 alone is a strict subset of the
+      // two-field grouping keys); the SPJ claim is the SCAN sides:
+      // zero exchanges below the join node.
+      val below = graft.plans.PlanShape.exchangesBelowJoin(
+        j.queryExecution.executedPlan)
+      require(below.contains(0),
+        s"the compound-spec SPJ must not shuffle the fact sides " +
+          s"(found $below below the join):\n${j.queryExecution.executedPlan}")
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), j.schema)
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val multiSpecOracle: String =
+    s"""WITH a AS (
+       |  SELECT doc_id, doc_id % 2 AS part2, text,
+       |    len(string_split(text, ' ')) AS tok
+       |  FROM documents
+       |  WHERE NOT (doc_id % 2 = 1 AND doc_id % 3 = 0)),
+       |b AS (
+       |  SELECT doc_id, doc_id % 2 AS part2,
+       |    len(string_split(text, ' ')) AS tok
+       |  FROM documents WHERE doc_id % 5 = 0)
+       |SELECT a.part2, COUNT(*) AS n_pairs,
+       |  CAST(SUM(a.tok + b.tok) AS BIGINT) AS sum_tok,
+       |  CAST(SUM(${foldSql("a.text")}) AS BIGINT) AS chk
+       |FROM a JOIN b ON a.part2 = b.part2 AND a.doc_id = b.doc_id
+       |GROUP BY a.part2
+       |ORDER BY a.part2""".stripMargin
 
   val spjJoinOracle: String =
     s"""WITH a AS (
@@ -3930,6 +4135,17 @@ object Maintenance {
         "partition transform persists per-partition per-column exact " +
         "NDV/null/bounds; .partition_stats serves them zero-IO " +
         "(spec-staleness guarded, spec-pinned)"),
+    Q("maint_partition_stats_inc", partitionStatsInc,
+      Some(partitionStatsIncOracle),
+      "incremental compute_partition_stats: a partition-confined " +
+        "append refreshes ONLY the touched partition's stats over a " +
+        "bound-pruned scan (spec-pinned O(touched) + full-recompute " +
+        "equality); .partition_stats serves a stale flag"),
+    Q("maint_multi_spec", multiSpec, Some(multiSpecOracle),
+      "multi-field partition spec (part2, bucket(4, doc_id)): " +
+        "per-field file bounds, conjunctive pruning, MOR position " +
+        "delete through the compound probe, and the two-transform " +
+        "SPJ join pinned shuffle-free"),
     Q("maint_branch_ddl", branchDdl, Some(branchDdlOracle),
       "parser-extension SQL DDL lifecycle: CREATE BRANCH … RETAIN " +
         "forks by DDL, CREATE TAG … AS OF VERSION pins, a WAP-conf " +

@@ -468,12 +468,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           throw new org.apache.spark.sql.catalyst.analysis
             .TableAlreadyExistsException(
               Seq(catalogName, db, ident.name()))
-        require(partitions.length <= 1,
-          "graft snapshot tables take at most ONE partition transform")
-        val partCol = partitions.headOption.map(transformSpec)
-          // An unpartitioned CREATE lays out by the first column —
-          // the same default the INSERT path applies.
-          .getOrElse(schema.fieldNames.head)
+        // `PARTITIONED BY (days(ts), bucket(4, id))` — a compound
+        // spec is the top-level comma join of its fields' raw forms
+        // (each file then carries per-field bounds and every prune
+        // conjoins them).
+        val partCol =
+          if (partitions.isEmpty)
+            // An unpartitioned CREATE lays out by the first column —
+            // the same default the INSERT path applies.
+            schema.fieldNames.head
+          else partitions.map(transformSpec).mkString(",")
         val keyCol = Option(properties.get("key.column")).getOrElse("")
         SnapStore.createEmpty(dir, schema, partCol, keyCol)
         // Persist the user's TBLPROPERTIES (Iceberg keeps the table
@@ -1808,11 +1812,21 @@ final class PartitionStatsMetadataTable(tableName: String,
     val m = SnapStore.currentManifest(dir)
     SnapStore.tablePartitionStats(dir) match {
       case Some((version, spec, parts)) if spec == m.partCol =>
+        // `stale`: commits landed after the stats were computed —
+        // the user-facing freshness signal (VERDICT r15 #8); `CALL
+        // …compute_partition_stats(…, incremental)` refreshes it by
+        // recomputing only the touched partitions. The NULL group's
+        // sentinel serves as the readable string "null".
+        val stale = version < m.version
         parts.sortBy(_._1).flatMap { case (part, rows, byCol) =>
+          val shown =
+            if (part == SnapStore.NullPartSentinel || part.isEmpty) "null"
+            else part
           byCol.toSeq.sortBy(_._1).map { case (colName, s) =>
             new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-              Array[Any](u(part), u(colName), rows, s.ndv, s.nulls,
-                s.min.map(u).orNull, s.max.map(u).orNull, version)):
+              Array[Any](u(shown), u(colName), rows, s.ndv, s.nulls,
+                s.min.map(u).orNull, s.max.map(u).orNull, version,
+                stale)):
               org.apache.spark.sql.catalyst.InternalRow
           }
         }.toArray
@@ -1830,7 +1844,8 @@ object PartitionStatsMetadataTable {
     StructField("null_count", org.apache.spark.sql.types.LongType, nullable = false),
     StructField("min", org.apache.spark.sql.types.StringType, nullable = true),
     StructField("max", org.apache.spark.sql.types.StringType, nullable = true),
-    StructField("stats_version", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    StructField("stats_version", org.apache.spark.sql.types.IntegerType, nullable = false),
+    StructField("stale", org.apache.spark.sql.types.BooleanType, nullable = false)))
 }
 
 
@@ -2375,7 +2390,7 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
         // a bucket transform's source — the join key); otherwise
         // plan normally and report unknown partitioning.
         val spjKey = SnapSpj.eligibleKey(spark, m)
-          .filter(k => required.fieldNames.contains(k.requiredCol))
+          .filter(_.requiredCols.forall(required.fieldNames.contains))
         new Scan with org.apache.spark.sql.connector.read.Batch
             with org.apache.spark.sql.connector.read.SupportsReportStatistics
             with org.apache.spark.sql.connector.read.SupportsReportPartitioning
@@ -2389,7 +2404,7 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
             @volatile private var pruned: Seq[SnapStore.FileEntry] = statics
             private lazy val nat = new SnapNativeBatch(spark, dir, m,
               statics, () => pruned, required, pushedAll.toSeq,
-              spjKey.map(_.keyType), metaCols)
+              spjKey.map(_.keyTypes), metaCols)
 
             /** Dynamic partition pruning on the read path (Iceberg's
               * `SparkScan` runtime filtering): a selective dimension
@@ -2406,25 +2421,34 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
               // column-pruned scan that dropped it would fail
               // analysis (surfaced by the CBO stats spec — a
               // dimension projected to its join key alone).
-              if (m.partCol.nonEmpty && PartTransforms.sourceTypeOpt(
-                PartTransforms.parse(m.partCol), m.schema).isDefined &&
-                required.fieldNames.contains(
-                  PartTransforms.parse(m.partCol).source))
-                Array(org.apache.spark.sql.connector.expressions.Expressions
-                  .column(PartTransforms.parse(m.partCol).source))
-              else Array.empty
+              // EVERY spec field's source is reportable (a compound
+              // layout accepts a runtime filter on any of its
+              // fields), each gated on the projection retaining it.
+              PartTransforms.parseMulti(m.partCol)
+                .filter(s =>
+                  PartTransforms.sourceTypeOpt(s, m.schema).isDefined &&
+                    required.fieldNames.contains(s.source))
+                .map(s => org.apache.spark.sql.connector.expressions
+                  .Expressions.column(s.source)
+                  : org.apache.spark.sql.connector.expressions.NamedReference)
+                .toArray
 
             override def filter(predicates: Array[
                 org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-              val src = PartTransforms.parse(m.partCol).source
-              val values = predicates.toSeq.flatMap(SnapTable.inValues(_, src))
-              if (values.nonEmpty) {
-                // Intersect with the static pruning — both sound
-                // alone, so the intersection is, and strictly tighter.
-                val staticPaths = pruned.map(_.path).toSet
-                pruned = SnapStore.filesForSourceValues(m, values.flatten)
-                  .filter(f => staticPaths(f.path))
-              }
+              // Per-FIELD pruning, intersected with the static set —
+              // each sound alone, so the conjunction is, and a
+              // filter on any field of a compound spec tightens it.
+              PartTransforms.parseMulti(m.partCol).zipWithIndex
+                .foreach { case (s, i) =>
+                  val values = predicates.toSeq
+                    .flatMap(SnapTable.inValues(_, s.source))
+                  if (values.nonEmpty) {
+                    val keepPaths = pruned.map(_.path).toSet
+                    pruned = SnapStore
+                      .filesForSourceValuesField(m, i, values.flatten)
+                      .filter(f => keepPaths(f.path))
+                  }
+                }
               // Untranslatable shapes: keep everything (sound).
             }
             override def outputPartitioning():
@@ -2433,7 +2457,7 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
                 case Some(k) =>
                   new org.apache.spark.sql.connector.read.partitioning
                     .KeyGroupedPartitioning(
-                      Array(k.transform),
+                      k.transforms.toArray,
                       pruned.map(_.partMin).distinct.size)
                 case None =>
                   new org.apache.spark.sql.connector.read.partitioning
@@ -2508,18 +2532,22 @@ final class BridgedReadTable(tableName: String, dir: java.nio.file.Path,
                       (_, spec, parts) <- SnapStore.tablePartitionStats(dir)
                         .filter(_._2 == m.partCol).toSeq
                       ord <- SnapStore.partOrdering(m.schema, spec).toSeq
-                      // A null-partition group stores value "" — no
-                      // file bound can name it (bounds ignore nulls),
-                      // and a numeric ordering would throw on the
-                      // parse. Its rows could hide inside ANY
-                      // surviving file, so its presence disables the
-                      // refinement entirely rather than understating
-                      // the scan (review r15 #1).
-                      if parts.forall(_._1.nonEmpty)
-                      kept = parts.filter { case (v, _, _) =>
+                      // The null-partition group persists under an
+                      // EXPLICIT sentinel (legacy files stored "") —
+                      // no file bound can name it (bounds ignore
+                      // nulls) and its rows could hide inside ANY
+                      // surviving file, so it joins EVERY pruned
+                      // rollup unconditionally instead of disabling
+                      // the refinement outright (VERDICT r15 #7;
+                      // previously review r15 #1's conservative
+                      // disable).
+                      (nullGroups, valued) = parts.partition(p =>
+                        p._1.isEmpty ||
+                          p._1 == SnapStore.NullPartSentinel)
+                      kept = valued.filter { case (v, _, _) =>
                         pruned.exists(f =>
                           ord.lteq(f.partMin, v) && ord.lteq(v, f.partMax))
-                      }
+                      } ++ nullGroups
                       if kept.nonEmpty
                       colName <- kept.flatMap(_._3.keys).distinct
                       stats = kept.flatMap(_._3.get(colName))
@@ -2841,35 +2869,41 @@ final class SnapRowLevelOperation(
 
     override def filterAttributes():
         Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-      if (cur.partCol.nonEmpty &&
-        PartTransforms.sourceTypeOpt(
-          PartTransforms.parse(cur.partCol), cur.schema).isDefined)
-        // The spec's SOURCE column — a real data column for identity
-        // AND hidden transforms alike, so Spark's row-level group
-        // filter can compute matching source values for a
-        // `days(ts)`-partitioned table too; the transform maps them
-        // onto file bounds in filter(). Equality semantics survive
-        // every transform including bucket.
-        Array(org.apache.spark.sql.connector.expressions.Expressions
-          .column(PartTransforms.parse(cur.partCol).source))
-      else Array.empty
+      // The spec's SOURCE columns — real data columns for identity
+      // AND hidden transforms alike, so Spark's row-level group
+      // filter can compute matching source values for a
+      // `days(ts)`-partitioned table too; the transforms map them
+      // onto file bounds in filter(). Equality semantics survive
+      // every transform including bucket; a compound spec accepts a
+      // group filter on any of its fields.
+      PartTransforms.parseMulti(cur.partCol)
+        .filter(s => PartTransforms.sourceTypeOpt(s, cur.schema).isDefined)
+        .map(s => org.apache.spark.sql.connector.expressions.Expressions
+          .column(s.source)
+          : org.apache.spark.sql.connector.expressions.NamedReference)
+        .toArray
 
     override def filter(
         predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-      val src = PartTransforms.parse(cur.partCol).source
-      val values = predicates.toSeq.flatMap(SnapTable.inValues(_, src))
-      if (values.nonEmpty) {
-        // A translated group filter (possibly matching NO partitions:
-        // an empty IN keeps only spec-mismatch files, conservatively).
-        // INTERSECTED with the static pushed-filter pruning — both
-        // are sound alone, so their intersection is too, and it is
-        // strictly tighter.
-        val staticPaths = files.map(_.path).toSet
-        val kept = SnapStore.filesForSourceValues(cur, values.flatten)
-          .filter(f => staticPaths(f.path))
-        files = kept
-        scannedFiles = Some(kept.map(_.path))
-      }
+      PartTransforms.parseMulti(cur.partCol).zipWithIndex
+        .foreach { case (s, i) =>
+          val values = predicates.toSeq
+            .flatMap(SnapTable.inValues(_, s.source))
+          if (values.nonEmpty) {
+            // A translated group filter (possibly matching NO
+            // partitions: an empty IN keeps only spec-mismatch
+            // files, conservatively). INTERSECTED with the static
+            // pushed-filter pruning (and with the other fields'
+            // group filters) — each sound alone, so the
+            // intersection is too, and it is strictly tighter.
+            val keepPaths = files.map(_.path).toSet
+            val kept = SnapStore
+              .filesForSourceValuesField(cur, i, values.flatten)
+              .filter(f => keepPaths(f.path))
+            files = kept
+            scannedFiles = Some(kept.map(_.path))
+          }
+        }
       // untranslatable predicate shapes: keep everything (full replace)
     }
   }
@@ -2980,23 +3014,24 @@ final class SnapRowLevelOperation(
           // the distribution/ordering several times during planning.
           private lazy val partSort = {
             import org.apache.spark.sql.connector.expressions._
-            Expressions.sort(
-              // The spec's SOURCE column: always a real column Spark
-              // can sort by. For identity specs this IS the partition
-              // column; for hidden transforms, source order clusters
-              // every monotonic transform equally well, and bounds
-              // are recomputed from the written data either way.
-              Expressions.column(PartTransforms.parse(
-                headManifest().partCol).source),
-              SortDirection.ASCENDING)
+            // The spec's SOURCE columns (one sort per field, spec
+            // order): always real columns Spark can sort by. For
+            // identity specs these ARE the partition columns; for
+            // hidden transforms, source order clusters every
+            // monotonic transform equally well, and bounds are
+            // recomputed from the written data either way.
+            PartTransforms.parseMulti(headManifest().partCol)
+              .map(s => Expressions.sort(
+                Expressions.column(s.source), SortDirection.ASCENDING))
+              .toArray
           }
           override def requiredDistribution():
               org.apache.spark.sql.connector.distributions.Distribution =
             org.apache.spark.sql.connector.distributions.Distributions
-              .ordered(Array(partSort))
+              .ordered(partSort)
           override def requiredOrdering():
               Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-            Array(partSort)
+            partSort
 
           override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
             new org.apache.spark.sql.connector.write.BatchWrite {

@@ -276,8 +276,15 @@ object GraftProcedures {
     // persisted beside colstats, served via `.partition_stats`
     // (spec-staleness guarded). `columns` is a comma-separated list;
     // empty = every column.
+    // `mode`: 'full' (default) recomputes everything; 'incremental'
+    // recomputes ONLY the partitions touched since the stored stats'
+    // stamped version over a bound-pruned read, falling back to full
+    // across replace-style history / spec or column-set changes
+    // (VERDICT r15 #3/#8).
     "compute_partition_stats" -> new RowsProc("compute_partition_stats",
-      Array(str("table"), str("columns")),
+      Array(str("table"), str("columns"),
+        ProcedureParameter.in("mode", StringType)
+          .defaultValue("'full'").build()),
       StructType(Seq(
         StructField("partition", StringType, nullable = false),
         StructField("column", StringType, nullable = false),
@@ -288,8 +295,17 @@ object GraftProcedures {
         val dir = tableDir(in.getUTF8String(0).toString)
         val cols = in.getUTF8String(1).toString
           .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        SnapStore.computePartitionStats(spark, dir, cols)
-          .flatMap { case (part, rows, byCol) =>
+        val mode =
+          if (in.numFields > 2 && !in.isNullAt(2))
+            in.getUTF8String(2).toString.toLowerCase
+          else "full"
+        require(mode == "full" || mode == "incremental",
+          s"mode must be 'full' or 'incremental', got '$mode'")
+        val stats =
+          if (mode == "incremental")
+            SnapStore.computePartitionStatsIncremental(spark, dir, cols)._1
+          else SnapStore.computePartitionStats(spark, dir, cols)
+        stats.flatMap { case (part, rows, byCol) =>
             byCol.toSeq.sortBy(_._1).map { case (n, s) =>
               Array[Any](u(part), u(n), rows, s.ndv, s.nulls)
             }

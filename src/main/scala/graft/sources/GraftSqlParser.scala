@@ -166,18 +166,11 @@ object GraftDdl {
           splitCols(cols).map(stripTicks),
           drop = verb.equalsIgnoreCase("DROP")))
       case ReplacePartField(ident, oldF, newF) =>
-        Some(PartitionFieldCommand(parts(ident),
+        Some(PartitionFieldCommand(parts(ident), "replace",
           Some(stripTicks(oldF.trim)), stripTicks(newF.trim)))
       case AddDropPartField(ident, verb, field) =>
-        // Single-field-spec engine: ADD/DROP parse and refuse with a
-        // pointer at the supported REPLACE form — a targeted error
-        // beats stock Spark's bare parse failure, and silently
-        // treating ADD as replace would change pruning semantics.
-        throw new IllegalArgumentException(
-          s"${verb.toUpperCase} PARTITION FIELD is not supported: the " +
-            "engine keeps ONE active partition field per table — use " +
-            "ALTER TABLE … REPLACE PARTITION FIELD <current> WITH " +
-            s"<new> (got: ${field.trim})")
+        Some(PartitionFieldCommand(parts(ident),
+          verb.toLowerCase, None, stripTicks(field.trim)))
       case WriteSpec(ident, spec) =>
         parseWriteSpec(spec).map { case (order, distributed) =>
           WriteOrderCommand(parts(ident), order, distributed)
@@ -524,29 +517,51 @@ case class IdentifierFieldsCommand(table: Seq[String],
   }
 }
 
-/** `ALTER TABLE … REPLACE PARTITION FIELD old WITH new` — Iceberg's
+/** `ALTER TABLE … ADD/DROP/REPLACE PARTITION FIELD` — Iceberg's
   * extensions-only partition-evolution DDL, routed to
   * [[SnapStore.evolveSpec]] (the metadata-only spec commit behind the
-  * `evolve_spec` CALL verb). The named OLD field must BE the current
-  * spec (compared structurally, so `bucket(4, k)` matches
-  * `bucket(4,k)`) — Iceberg raises the same cannot-find-field error.
+  * `evolve_spec` CALL verb). Fields compare STRUCTURALLY
+  * (`bucket(4, k)` matches `bucket(4,k)`); ADD appends a new field
+  * to the spec (refusing a structural duplicate), DROP removes one
+  * (dropping the last field leaves the table unpartitioned —
+  * Iceberg's void evolution), REPLACE swaps one field in place,
+  * keeping the others — each raising Iceberg's cannot-find-field
+  * error when the named field is not in the current spec.
   */
-case class PartitionFieldCommand(table: Seq[String],
-    oldField: Option[String], newField: String)
+case class PartitionFieldCommand(table: Seq[String], verb: String,
+    oldField: Option[String], field: String)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(GraftDdl.attr("partition_spec"))
 
   override def run(session: SparkSession): Seq[Row] = {
     val dir = GraftDdl.tableDirFor(session, table)
-    val cur = SnapStore.currentManifest(dir).partCol
-    oldField.foreach { o =>
-      require(PartTransforms.parse(o) == PartTransforms.parse(cur),
-        s"cannot replace partition field '$o': the current spec is " +
-          s"'$cur'")
+    val cur = PartTransforms.parseMulti(SnapStore.currentManifest(dir).partCol)
+    val parsed = PartTransforms.parse(field)
+    val next: Seq[PartTransforms.Spec] = verb match {
+      case "add" =>
+        require(!cur.contains(parsed),
+          s"partition field '$field' is already in the spec " +
+            s"'${PartTransforms.rawMulti(cur)}'")
+        cur :+ parsed
+      case "drop" =>
+        require(cur.contains(parsed),
+          s"cannot drop partition field '$field': the current spec " +
+            s"is '${PartTransforms.rawMulti(cur)}'")
+        cur.filterNot(_ == parsed)
+      case "replace" =>
+        val o = PartTransforms.parse(oldField.get)
+        require(cur.contains(o),
+          s"cannot replace partition field '${oldField.get}': the " +
+            s"current spec is '${PartTransforms.rawMulti(cur)}'")
+        require(!cur.filterNot(_ == o).contains(parsed),
+          s"partition field '$field' is already in the spec " +
+            s"'${PartTransforms.rawMulti(cur)}'")
+        cur.map(s => if (s == o) parsed else s)
     }
-    SnapStore.evolveSpec(dir, newField)
-    Seq(Row(newField))
+    val raw = PartTransforms.rawMulti(next)
+    SnapStore.evolveSpec(dir, raw)
+    Seq(Row(if (raw.isEmpty) "<unpartitioned>" else raw))
   }
 }
 

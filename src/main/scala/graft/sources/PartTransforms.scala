@@ -225,6 +225,41 @@ object PartTransforms {
     case c => Identity(c)
   }
 
+  /** Split a (possibly compound) spec string on TOP-LEVEL commas —
+    * `days(ts),bucket(4,id)` is two fields, the comma inside
+    * `bucket(4,id)` is the transform's own argument separator.
+    */
+  private def splitTop(raw: String): Seq[String] = {
+    val out = scala.collection.mutable.Buffer.empty[String]
+    val sb = new StringBuilder
+    var depth = 0
+    raw.foreach {
+      case '(' => depth += 1; sb += '('
+      case ')' => depth -= 1; sb += ')'
+      case ',' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** A MULTI-FIELD partition spec (Iceberg's `PARTITIONED BY
+    * (days(ts), bucket(4, id))`): the spec string is the top-level
+    * comma join of its fields' raw forms, and every single-field
+    * spec parses to the one-element list — so the whole engine can
+    * treat `partCol` as a field LIST with zero manifest-format
+    * change. An empty string is the unpartitioned spec (zero
+    * fields).
+    */
+  def parseMulti(raw: String): Seq[Spec] = splitTop(raw).map(parse)
+
+  /** More than one partition field? */
+  def isCompound(raw: String): Boolean = splitTop(raw).size > 1
+
+  /** The canonical raw form of a field list — what [[parseMulti]]
+    * round-trips. */
+  def rawMulti(specs: Seq[Spec]): String = specs.map(_.raw).mkString(",")
+
   /** The transformed value as a Column, resolving the source type
     * from the table schema — the one entry point write clustering,
     * stats, and change-set pruning use. */
@@ -248,14 +283,14 @@ object PartTransforms {
     * unchanged.
     */
   def renameSource(raw: String, from: String, to: String): String =
-    parse(raw) match {
-      case Identity(`from`) => to
-      case Hours(`from`) => Hours(to).raw
-      case Days(`from`) => Days(to).raw
-      case Months(`from`) => Months(to).raw
-      case Years(`from`) => Years(to).raw
-      case Bucket(n, `from`) => Bucket(n, to).raw
-      case Truncate(w, `from`) => Truncate(w, to).raw
-      case _ => raw
-    }
+    rawMulti(parseMulti(raw).map {
+      case Identity(`from`) => Identity(to)
+      case Hours(`from`) => Hours(to)
+      case Days(`from`) => Days(to)
+      case Months(`from`) => Months(to)
+      case Years(`from`) => Years(to)
+      case Bucket(n, `from`) => Bucket(n, to)
+      case Truncate(w, `from`) => Truncate(w, to)
+      case other => other
+    })
 }

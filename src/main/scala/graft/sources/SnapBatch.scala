@@ -199,16 +199,19 @@ object SnapBatch {
 private[graft] object SnapSpj {
 
   /** The reportable grouping of an eligible layout: the connector
-    * transform to report, the data column that must survive the
-    * projection for the grouping to be consumable (the identity
-    * column itself, or a bucket transform's SOURCE — the join key),
-    * and the type of the partition VALUE a `HasPartitionKey` row
-    * carries (the bucket NUMBER is an int whatever the source type).
+    * transforms to report (ONE PER SPEC FIELD — a compound
+    * `days(d),bucket(4,k)` layout reports a two-transform
+    * `KeyGroupedPartitioning`, Iceberg's multi-field SPJ), the data
+    * columns that must survive the projection for the grouping to be
+    * consumable (each identity column itself, or a transform's
+    * SOURCE — the join keys), and the types of the partition VALUES
+    * a `HasPartitionKey` row carries, positionally (a bucket NUMBER
+    * is an int whatever the source type).
     */
   final case class SpjKey(
-      transform: org.apache.spark.sql.connector.expressions.Transform,
-      requiredCol: String,
-      keyType: DataType)
+      transforms: Seq[org.apache.spark.sql.connector.expressions.Transform],
+      requiredCols: Seq[String],
+      keyTypes: Seq[DataType])
 
   def sessionEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
@@ -272,39 +275,52 @@ private[graft] object SnapSpj {
     if (m.partCol.isEmpty || m.files.isEmpty)
       return None
     import org.apache.spark.sql.connector.expressions.{Expressions => E}
-    val key = PartTransforms.parse(m.partCol) match {
+    val specs = PartTransforms.parseMulti(m.partCol)
+    // One reportable (transform, required column, key type) per spec
+    // field — ALL fields must be reportable or the scan degrades to
+    // normal planning (a partially-keyed grouping would mis-align).
+    val fields = specs.map {
       case PartTransforms.Identity(c) =>
         val dt = m.schema.fields.find(_.name == c).map(_.dataType)
           .getOrElse(return None)
         if (!supportedType(dt)) return None
-        SpjKey(E.identity(c), c, dt)
+        (E.identity(c), c, dt)
       case PartTransforms.Bucket(n, src) =>
         if (!m.schema.fieldNames.contains(src)) return None
-        SpjKey(E.bucket(n, src), src,
-          org.apache.spark.sql.types.IntegerType)
+        (E.bucket(n, src), src,
+          org.apache.spark.sql.types.IntegerType: DataType)
       // Date transforms resolve through the same FunctionCatalog face
       // (graft.days/months/years — byte-exact with the write-side
       // evals), so date-partitioned tables co-locate joins on the
       // DATE column. Key values are the transform outputs (ints).
       case PartTransforms.Days(src)
-          if dateCol(m, src) => SpjKey(E.days(src), src,
-        org.apache.spark.sql.types.IntegerType)
+          if dateCol(m, src) => (E.days(src), src,
+        org.apache.spark.sql.types.IntegerType: DataType)
       case PartTransforms.Months(src)
-          if dateCol(m, src) => SpjKey(E.months(src), src,
-        org.apache.spark.sql.types.IntegerType)
+          if dateCol(m, src) => (E.months(src), src,
+        org.apache.spark.sql.types.IntegerType: DataType)
       case PartTransforms.Years(src)
-          if dateCol(m, src) => SpjKey(E.years(src), src,
-        org.apache.spark.sql.types.IntegerType)
+          if dateCol(m, src) => (E.years(src), src,
+        org.apache.spark.sql.types.IntegerType: DataType)
       case PartTransforms.Hours(src)
           if m.schema.fields.exists(f => f.name == src &&
             f.dataType == org.apache.spark.sql.types.TimestampType) =>
-        SpjKey(E.hours(src), src, org.apache.spark.sql.types.IntegerType)
+        (E.hours(src), src, org.apache.spark.sql.types.IntegerType: DataType)
       case _ => return None // truncate / non-date sources: not reported
     }
-    val ok = m.files.forall(f => f.partMin.nonEmpty &&
-      f.partMin == f.partMax &&
-      (f.specCol.isEmpty || f.specCol == m.partCol))
-    if (ok) Some(key) else None
+    // Every live file must be PROVABLY single-valued on EVERY field
+    // (per-field bounds equal and present) under the CURRENT spec.
+    val nf = specs.length
+    val ok = m.files.forall { f =>
+      val mins = SnapStore.splitBounds(f.partMin)
+      val maxs = SnapStore.splitBounds(f.partMax)
+      mins.length == nf && maxs.length == nf &&
+        mins.forall(_.nonEmpty) && mins == maxs &&
+        (f.specCol.isEmpty || f.specCol == m.partCol)
+    }
+    if (ok) Some(SpjKey(fields.map(_._1), fields.map(_._2),
+      fields.map(_._3)))
+    else None
   }
 }
 
@@ -315,10 +331,10 @@ private[graft] object SnapSpj {
   * here are plain serializable primitives / UTF8Strings).
   */
 private final case class SnapKeyedPartition(inner: InputPartition,
-    keyValue: Any) extends InputPartition
+    keyValues: Seq[Any]) extends InputPartition
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new cexpr.GenericInternalRow(Array(keyValue))
+    new cexpr.GenericInternalRow(keyValues.toArray)
   override def preferredLocations(): Array[String] =
     inner.preferredLocations()
 }
@@ -517,7 +533,7 @@ final class SnapNativeBatch(
     currentFiles: () => Seq[SnapStore.FileEntry],
     required: StructType,
     pushed: Seq[Filter],
-    spjKeyType: Option[DataType] = None,
+    spjKeyTypes: Option[Seq[DataType]] = None,
     metaCols: Seq[String] = Seq.empty) extends Batch {
 
   import SnapBatch._
@@ -757,24 +773,26 @@ final class SnapNativeBatch(
     new SnapDispatchFactory(specs, columnarizable, required)
 
   override def planInputPartitions(): Array[InputPartition] = {
-    spjKeyType match {
+    spjKeyTypes match {
       case None => planTreatment(currentFiles(), None)
-      case Some(dt) =>
+      case Some(dts) =>
         // SPJ planning: per-VALUE sub-plans (eligibility proved every
-        // file single-valued, so `partMin` IS the file's value), each
-        // partition tagged with its key for Spark's group alignment.
-        // Clean delegates plan per value so a delegate FilePartition
-        // can never pack two values into one split.
+        // file single-valued on every field, so `partMin` IS the
+        // file's partition TUPLE), each partition tagged with its
+        // positional key values for Spark's group alignment. Clean
+        // delegates plan per value so a delegate FilePartition can
+        // never pack two values into one split.
         currentFiles().groupBy(_.partMin).toSeq.sortBy(_._1)
           .flatMap { case (v, fs) =>
-            val key = SnapSpj.parseValue(dt, v)
-            planTreatment(fs, Some(key))
+            val keys = SnapStore.splitBounds(v).zip(dts)
+              .map { case (s, dt) => SnapSpj.parseValue(dt, s) }
+            planTreatment(fs, Some(keys))
           }.toArray
     }
   }
 
   private def planTreatment(files: Seq[SnapStore.FileEntry],
-      key: Option[Any]): Array[InputPartition] = {
+      key: Option[Seq[Any]]): Array[InputPartition] = {
     val parts = mutable.ArrayBuffer.empty[InputPartition]
     def add(p: InputPartition): Unit =
       parts += key.map(SnapKeyedPartition(p, _)).getOrElse(p)
@@ -807,7 +825,12 @@ final class SnapNativeBatch(
             add(SnapFilePartitionOfGroup(gid,
               dir.resolve(f.path).toString, fileName(f.path),
               off, len, f.bytes,
-              if (f.partMin == f.partMax) Some(f.partMin) else None,
+              // `_partition` display form: compound tuples render
+              // `a/b` (Iceberg's partition-path style), single
+              // fields the bare value.
+              if (f.partMin == f.partMax)
+                Some(SnapStore.splitBounds(f.partMin).mkString("/"))
+              else None,
               f.specCol, f.firstRowId, f.seq))
             off += len
           }

@@ -146,9 +146,9 @@ final class SnapDeltaWrite(dir: Path, readM: SnapStore.Manifest,
       Expressions.sort(Expressions.column(SnapBatch.MetaPos),
         SortDirection.ASCENDING))
     if (cmd == RowLevelOperation.Command.DELETE) rowIdSorts
-    else Expressions.sort(
-      Expressions.column(PartTransforms.parse(readM.partCol).source),
-      SortDirection.ASCENDING) +: rowIdSorts
+    else PartTransforms.parseMulti(readM.partCol)
+      .map(s => Expressions.sort(Expressions.column(s.source),
+        SortDirection.ASCENDING)).toArray ++ rowIdSorts
   }
   override def requiredDistribution(): Distribution =
     Distributions.ordered(sorts)

@@ -225,6 +225,80 @@ object SnapStore {
       parts.exists(p => o.gteq(p, f.partMin) && o.lteq(p, f.partMax))
   }
 
+  // ----------------------------------------------------------------
+  // Multi-field partition bounds (compound specs).
+
+  /** Separator joining PER-FIELD rendered bounds inside
+    * `FileEntry.partMin`/`partMax` under a COMPOUND spec
+    * (`days(ts),bucket(4,id)` → `"<days>\u0001<bucket>"`). A
+    * single-field spec stores the bare rendered value — every
+    * existing manifest parses unchanged, and [[splitBounds]] of a
+    * bare value is the one-element list. `enc` URL-encodes manifest
+    * fields, so the control character survives serialization; no
+    * rendered numeric/date value can contain it, and a string
+    * identity value cannot either (partition values are table cell
+    * values, which parquet stores as valid UTF-8 the engine never
+    * introduces U+0001 into — and a collision would only make
+    * pruning conservative, never wrong, because bound COMPARISONS
+    * under compound specs are always per-split-field).
+    */
+  private[sources] val FieldSep = "\u0001"
+
+  private[sources] def joinBounds(vs: Seq[String]): String =
+    vs.mkString(FieldSep)
+
+  private[graft] def splitBounds(s: String): Seq[String] =
+    if (s.isEmpty) Seq.empty else s.split(FieldSep, -1).toSeq
+
+  /** Field `idx`'s rendered bound, None when the stored bounds
+    * don't carry it (legacy entry, fewer fields than the current
+    * spec) — callers treat None as unbounded (conservative).
+    */
+  private def fieldBound(s: String, idx: Int): Option[String] = {
+    val parts = splitBounds(s)
+    if (idx < parts.length && parts(idx).nonEmpty) Some(parts(idx))
+    else None
+  }
+
+  /** Per-FIELD bound orderings of a (possibly compound) spec — the
+    * multi-field face of [[partOrdering]]. A field whose source
+    * column or bound type is unresolvable contributes None
+    * (conservative: that field never prunes).
+    */
+  private[graft] def partOrderings(schema: StructType,
+      partCol: String): Seq[Option[Ordering[String]]] =
+    PartTransforms.parseMulti(partCol).map { spec =>
+      PartTransforms.sourceTypeOpt(spec, schema)
+        .map(spec.resultType).flatMap(boundOrd)
+    }
+
+  /** Does field `idx` of the file's bounds admit any of `values`?
+    * Missing ordering or missing stored bound = yes (conservative).
+    */
+  private def intersectsPartsField(ord: Option[Ordering[String]],
+      values: Set[String], f: FileEntry, idx: Int): Boolean = ord match {
+    case None => true
+    case Some(o) =>
+      (fieldBound(f.partMin, idx), fieldBound(f.partMax, idx)) match {
+        case (Some(mn), Some(mx)) =>
+          values.exists(p =>
+            try o.gteq(p, mn) && o.lteq(p, mx)
+            catch { case NonFatal(_) => true })
+        case _ => true
+      }
+  }
+
+  /** Does any change TUPLE fall inside the file's per-field bounds?
+    * A tuple is inside iff EVERY field's component is inside that
+    * field's bounds — the conjunction a compound spec prunes on.
+    */
+  private def intersectsTuples(ords: Seq[Option[Ordering[String]]],
+      tuples: Set[Seq[String]], f: FileEntry): Boolean =
+    tuples.exists(t => ords.indices.forall { i =>
+      if (i >= t.length) true
+      else intersectsPartsField(ords(i), Set(t(i)), f, i)
+    })
+
   private def enc(v: String): String = URLEncoder.encode(v, "UTF-8")
   private def dec(v: String): String = URLDecoder.decode(v, "UTF-8")
 
@@ -707,12 +781,16 @@ object SnapStore {
     // Bounds are of the TRANSFORMED partition value (identity specs
     // transform to the column itself) — hidden partitioning stores
     // what the layout is clustered by, and pruning compares
-    // transformed predicate values against it.
+    // transformed predicate values against it. A compound spec
+    // collects min/max PER FIELD in the same single stats job and
+    // stores them field-joined ([[joinBounds]]).
     val src = spark.read.parquet(paths: _*)
-    val spec = PartTransforms.parse(partCol)
-    val pexpr = PartTransforms.exprFor(spec, src.schema)
-    val aggs = Seq(min(pexpr).as("mn"), max(pexpr).as("mx"),
-      count(lit(1)).as("rows")) ++
+    val specs = PartTransforms.parseMulti(partCol)
+    val pexprs = specs.map(PartTransforms.exprFor(_, src.schema))
+    val nf = pexprs.length
+    val aggs = pexprs.zipWithIndex.flatMap { case (e, i) =>
+      Seq(min(e).as(s"mn$i"), max(e).as(s"mx$i")) } ++
+      Seq(count(lit(1)).as("rows")) ++
       (if (withKey) Seq(min(col(keyCol)).as("kmn"), max(col(keyCol)).as("kmx"))
        else Seq.empty)
     val stats = src
@@ -720,18 +798,22 @@ object SnapStore {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        // Columns: 0=f, 1=mn, 2=mx, 3=rows, then (when collected)
-        // 4=kmn, 5=kmx.
-        require(!r.isNullAt(1) && !r.isNullAt(2),
-          s"partition column '$partCol' must be non-null")
+        // Columns: 0=f, then per-field (mn_i, mx_i) pairs, then
+        // rows, then (when collected) kmn, kmx.
+        (0 until nf).foreach(i =>
+          require(!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i),
+            s"partition column '$partCol' must be non-null"))
+        val mn = joinBounds((0 until nf).map(i => render(r.get(1 + 2 * i))))
+        val mx = joinBounds((0 until nf).map(i => render(r.get(2 + 2 * i))))
+        val rowsIdx = 1 + 2 * nf
         val (kmn, kmx) =
-          if (withKey && !r.isNullAt(4) && !r.isNullAt(5))
-            (render(r.get(4)), render(r.get(5)))
+          if (withKey && !r.isNullAt(rowsIdx + 1) && !r.isNullAt(rowsIdx + 2))
+            (render(r.get(rowsIdx + 1)), render(r.get(rowsIdx + 2)))
           else if (keyCol.nonEmpty && keyCol == partCol)
-            (render(r.get(1)), render(r.get(2)))
+            (mn, mx)
           else ("", "")
         fileName(r.getString(0)) ->
-          (render(r.get(1)), render(r.get(2)), r.getLong(3), kmn, kmx)
+          (mn, mx, r.getLong(rowsIdx), kmn, kmx)
       }.toMap
     moved.flatMap { n =>
       stats.get(n) match {
@@ -796,8 +878,8 @@ object SnapStore {
         .map { case (n, desc) => if (desc) col(n).desc else col(n) }
     val cluster =
       if (clusterExprs.nonEmpty) clusterExprs
-      else PartTransforms.exprFor(PartTransforms.parse(partCol),
-        df.schema) +: propOrder
+      else PartTransforms.parseMulti(partCol)
+        .map(PartTransforms.exprFor(_, df.schema)) ++ propOrder
     // Rows inside each file sort by the full cluster key, so file-level
     // min/max (manifest) AND row-group min/max (parquet footer) both
     // stay tight on the clustered columns — the double pruning a
@@ -859,10 +941,9 @@ object SnapStore {
     // manifest; a fresh table OWNS its files and must not inherit the
     // permanently-wedged GC state (code review r12).
     Files.deleteIfExists(snapDir(table).resolve("gc.disabled"))
-    if (partCol.nonEmpty) {
-      val src = PartTransforms.parse(partCol).source
-      require(schema.fieldNames.contains(src),
-        s"partition source column '$src' is not in the table schema")
+    if (partCol.nonEmpty) PartTransforms.parseMulti(partCol).foreach { s =>
+      require(schema.fieldNames.contains(s.source),
+        s"partition source column '${s.source}' is not in the table schema")
     }
     require(keyCol.isEmpty || schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' is not in the table schema")
@@ -1187,11 +1268,16 @@ object SnapStore {
     */
   private[graft] def prunedFiles(m: Manifest,
       sourceValues: Seq[Any]): Seq[FileEntry] = {
-    val spec = PartTransforms.parse(m.partCol)
+    // Bare-value faces address the FIRST spec field (a compound
+    // spec's leading transform); column-addressed pruning over every
+    // field goes through [[probeCandidates]]/[[filesForSourceValues]].
+    val spec = PartTransforms.parseMulti(m.partCol).headOption
+      .getOrElse(return m.files)
     PartTransforms.sourceTypeOpt(spec, m.schema) match {
       case None => m.files
       case Some(st) =>
-        filesIntersecting(m, sourceValues.map(v => render(spec.eval(v, st))).toSet)
+        filesIntersectingField(m, 0,
+          sourceValues.map(v => render(spec.eval(v, st))).toSet)
     }
   }
 
@@ -1209,17 +1295,24 @@ object SnapStore {
 
   private[graft] def prunedFilesRange(m: Manifest, lo: Any,
       hi: Any): Seq[FileEntry] = {
-    val spec = PartTransforms.parse(m.partCol)
+    // Like [[prunedFiles]]: the bare-value range addresses the FIRST
+    // spec field; the other fields of a compound spec stay
+    // unconstrained here.
+    val spec = PartTransforms.parseMulti(m.partCol).headOption
+      .getOrElse(return m.files)
     require(spec.monotonic,
-      s"range pruning needs a monotonic partition spec, not '${m.partCol}'")
+      s"range pruning needs a monotonic partition spec, not '${spec.raw}'")
     (PartTransforms.sourceTypeOpt(spec, m.schema),
-      partOrdering(m.schema, m.partCol)) match {
+      partOrderings(m.schema, m.partCol).headOption.flatten) match {
       case (Some(st), Some(o)) =>
         val tl = render(spec.eval(lo, st))
         val th = render(spec.eval(hi, st))
         m.files.filter(f =>
           (f.specCol.nonEmpty && f.specCol != m.partCol) ||
-            !(o.lt(th, f.partMin) || o.gt(tl, f.partMax)))
+            ((fieldBound(f.partMin, 0), fieldBound(f.partMax, 0)) match {
+              case (Some(mn), Some(mx)) => !(o.lt(th, mn) || o.gt(tl, mx))
+              case _ => true
+            }))
       case _ => m.files
     }
   }
@@ -1246,10 +1339,8 @@ object SnapStore {
       cond: Column): Seq[FileEntry] = {
     import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo => CEq, Expression => CExpr, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe}
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-    if (m.partCol.isEmpty) return m.files
-    val spec = PartTransforms.parse(m.partCol)
-    val st = PartTransforms.sourceTypeOpt(spec, m.schema)
-      .getOrElse(return m.files)
+    val specs = PartTransforms.parseMulti(m.partCol)
+    if (specs.isEmpty) return m.files
     val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
     // Resolve the Column against the table schema through a
     // throwaway ANALYZED plan (driver-only, no job): the analyzed
@@ -1264,92 +1355,100 @@ object SnapStore {
         case _ => return m.files
       }
       catch { case NonFatal(_) => return m.files }
-    def attrIs(e: CExpr): Boolean = e match {
-      case a: AttributeReference => a.name == spec.source
-      case _ => false
-    }
-    // A literal-side's EXTERNAL value, only when the spec can
-    // evaluate it soundly: after analysis the comparison's sides
-    // share a type, which must match the source column's (a bucket
-    // spec hashes an Int and a Long differently); identity specs
-    // over integral types are exempt (numeric renders agree).
-    def litVal(e: CExpr): Option[Any] =
-      if (e.foldable && (e.dataType == st ||
-        (spec.isInstanceOf[PartTransforms.Identity] &&
-          integral(e.dataType) && integral(st))))
-        Option(e.eval(null)).map(v =>
-          org.apache.spark.sql.catalyst.CatalystTypeConverters
-            .convertToScala(v, e.dataType))
-      else None
     def conjuncts(e: CExpr): Seq[CExpr] = e match {
       case CAnd(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val values: Option[Seq[Any]] = conjuncts(condExpr).collectFirst {
-      case CEq(a, l) if attrIs(a) && litVal(l).isDefined => Seq(litVal(l).get)
-      case CEq(l, a) if attrIs(a) && litVal(l).isDefined => Seq(litVal(l).get)
-      case CIn(a, vs) if attrIs(a) && vs.nonEmpty &&
-          vs.forall(litVal(_).isDefined) => vs.map(litVal(_).get)
-    }
-    // RANGE conjuncts on a MONOTONIC spec prune by rendered bound
-    // comparison in the TRANSFORMED domain (r14 — previously
-    // identity-only): `ts < X` on an hours(ts) layout keeps only
-    // files whose hour bounds can intersect, so a time-scoped DML
-    // probe on an event table opens that window's footers, not every
-    // file. Strict bounds become INCLUSIVE for non-identity
-    // transforms — t is monotonic but not injective, so `src < v`
-    // only implies `t(src) <= t(v)`. Bucket (non-monotonic) never
-    // range-prunes.
-    val rangePreds = scala.collection.mutable.Buffer.empty[FileEntry => Boolean]
-    if (spec.monotonic)
-      partOrdering(m.schema, m.partCol).foreach { o =>
-        val identity = spec.isInstanceOf[PartTransforms.Identity]
-        def tr(v: Any): String = render(spec.eval(v, st))
-        def hi(v: Any, incRaw: Boolean): FileEntry => Boolean = {
-          val inc = incRaw || !identity
-          val r = tr(v)
-          f => if (inc) !o.gt(f.partMin, r) else o.lt(f.partMin, r)
+    val conjs = conjuncts(condExpr)
+    val ords = partOrderings(m.schema, m.partCol)
+    // One admit-predicate per (spec field, usable conjunct): the
+    // file survives only if EVERY predicate admits its bounds — a
+    // compound spec prunes on the CONJUNCTION of its fields (a
+    // `days(ts) = d AND bucket-source = k` probe opens one bucket of
+    // one day). Per-field soundness rules are unchanged from the
+    // single-field engine: literal types must match the source
+    // (identity-over-integral exempt), only monotonic fields
+    // translate ranges, and strict bounds widen to inclusive under
+    // non-identity transforms (t monotonic but not injective).
+    val fieldPreds = scala.collection.mutable.Buffer.empty[FileEntry => Boolean]
+    specs.zipWithIndex.foreach { case (spec, i) =>
+      PartTransforms.sourceTypeOpt(spec, m.schema).foreach { st =>
+        def attrIs(e: CExpr): Boolean = e match {
+          case a: AttributeReference => a.name == spec.source
+          case _ => false
         }
-        def lo(v: Any, incRaw: Boolean): FileEntry => Boolean = {
-          val inc = incRaw || !identity
-          val r = tr(v)
-          f => if (inc) !o.lt(f.partMax, r) else o.gt(f.partMax, r)
-        }
+        def litVal(e: CExpr): Option[Any] =
+          if (e.foldable && (e.dataType == st ||
+            (spec.isInstanceOf[PartTransforms.Identity] &&
+              integral(e.dataType) && integral(st))))
+            Option(e.eval(null)).map(v =>
+              org.apache.spark.sql.catalyst.CatalystTypeConverters
+                .convertToScala(v, e.dataType))
+          else None
         // An unevaluable literal (a transform refusing the value's
         // form) drops ONLY that conjunct — conservative, never wrong.
         def safe(add: => FileEntry => Boolean): Unit =
-          try rangePreds += add catch { case NonFatal(_) => () }
-        conjuncts(condExpr).foreach {
-          case CLe(a, l) if attrIs(a) && litVal(l).isDefined =>
-            safe(hi(litVal(l).get, incRaw = true))
-          case CLt(a, l) if attrIs(a) && litVal(l).isDefined =>
-            safe(hi(litVal(l).get, incRaw = false))
-          case CGe(a, l) if attrIs(a) && litVal(l).isDefined =>
-            safe(lo(litVal(l).get, incRaw = true))
-          case CGt(a, l) if attrIs(a) && litVal(l).isDefined =>
-            safe(lo(litVal(l).get, incRaw = false))
-          case CLe(l, a) if attrIs(a) && litVal(l).isDefined =>
-            safe(lo(litVal(l).get, incRaw = true))
-          case CLt(l, a) if attrIs(a) && litVal(l).isDefined =>
-            safe(lo(litVal(l).get, incRaw = false))
-          case CGe(l, a) if attrIs(a) && litVal(l).isDefined =>
-            safe(hi(litVal(l).get, incRaw = true))
-          case CGt(l, a) if attrIs(a) && litVal(l).isDefined =>
-            safe(hi(litVal(l).get, incRaw = false))
-          case _ => ()
+          try fieldPreds += add catch { case NonFatal(_) => () }
+        def tr(v: Any): String = render(spec.eval(v, st))
+        conjs.collectFirst {
+          case CEq(a, l) if attrIs(a) && litVal(l).isDefined =>
+            Seq(litVal(l).get)
+          case CEq(l, a) if attrIs(a) && litVal(l).isDefined =>
+            Seq(litVal(l).get)
+          case CIn(a, vs) if attrIs(a) && vs.nonEmpty &&
+              vs.forall(litVal(_).isDefined) => vs.map(litVal(_).get)
+        }.foreach { vs =>
+          safe {
+            val rendered = vs.map(tr).toSet
+            f => intersectsPartsField(ords(i), rendered, f, i)
+          }
+        }
+        if (spec.monotonic) ords(i).foreach { o =>
+          val identity = spec.isInstanceOf[PartTransforms.Identity]
+          def hi(v: Any, incRaw: Boolean): FileEntry => Boolean = {
+            val inc = incRaw || !identity
+            val r = tr(v)
+            f => fieldBound(f.partMin, i) match {
+              case Some(mn) => if (inc) !o.gt(mn, r) else o.lt(mn, r)
+              case None => true
+            }
+          }
+          def lo(v: Any, incRaw: Boolean): FileEntry => Boolean = {
+            val inc = incRaw || !identity
+            val r = tr(v)
+            f => fieldBound(f.partMax, i) match {
+              case Some(mx) => if (inc) !o.lt(mx, r) else o.gt(mx, r)
+              case None => true
+            }
+          }
+          conjs.foreach {
+            case CLe(a, l) if attrIs(a) && litVal(l).isDefined =>
+              safe(hi(litVal(l).get, incRaw = true))
+            case CLt(a, l) if attrIs(a) && litVal(l).isDefined =>
+              safe(hi(litVal(l).get, incRaw = false))
+            case CGe(a, l) if attrIs(a) && litVal(l).isDefined =>
+              safe(lo(litVal(l).get, incRaw = true))
+            case CGt(a, l) if attrIs(a) && litVal(l).isDefined =>
+              safe(lo(litVal(l).get, incRaw = false))
+            case CLe(l, a) if attrIs(a) && litVal(l).isDefined =>
+              safe(lo(litVal(l).get, incRaw = true))
+            case CLt(l, a) if attrIs(a) && litVal(l).isDefined =>
+              safe(lo(litVal(l).get, incRaw = false))
+            case CGe(l, a) if attrIs(a) && litVal(l).isDefined =>
+              safe(hi(litVal(l).get, incRaw = true))
+            case CGt(l, a) if attrIs(a) && litVal(l).isDefined =>
+              safe(hi(litVal(l).get, incRaw = false))
+            case _ => ()
+          }
         }
       }
-    val eqPruned = values match {
-      case Some(vs) => prunedFiles(m, vs)
-      case None => m.files
     }
-    if (rangePreds.isEmpty) eqPruned
-    else eqPruned.filter(f =>
-      // Conservative keeps: stale-spec bounds, missing bounds, or an
-      // unparsable rendered bound under the current ordering.
+    if (fieldPreds.isEmpty) m.files
+    else m.files.filter(f =>
+      // Conservative keeps: stale-spec bounds, or a predicate whose
+      // bound comparison fails under the current ordering.
       (f.specCol.nonEmpty && f.specCol != m.partCol) ||
-        f.partMin.isEmpty || f.partMax.isEmpty ||
-        rangePreds.forall(p => try p(f) catch { case NonFatal(_) => true }))
+        fieldPreds.forall(p => try p(f) catch { case NonFatal(_) => true }))
   }
 
   // ----------------------------------------------------------------
@@ -1362,11 +1461,18 @@ object SnapStore {
     * definition (it is the write footprint).
     */
   private def changeStats(changes: DataFrame, partCol: String,
-      keyCol: String): (Set[String], Option[(String, String)]) = {
-    val r = changes.agg(collect_set(PartTransforms.exprFor(
-        PartTransforms.parse(partCol), changes.schema)).as("ps"),
+      keyCol: String): (Set[Seq[String]], Option[(String, String)]) = {
+    // Partition TUPLES (one component per spec field — single-field
+    // specs are the one-element tuple): the distinct transformed
+    // values the change set writes into, collected in the same
+    // single aggregate as the key range.
+    val specs = PartTransforms.parseMulti(partCol)
+    val pexprs = specs.map(PartTransforms.exprFor(_, changes.schema))
+    val r = changes.agg(collect_set(struct(pexprs: _*)).as("ps"),
       min(col(keyCol)).as("kmn"), max(col(keyCol)).as("kmx")).head()
-    val parts = r.getSeq[Any](0).map(render).toSet
+    val parts = r.getSeq[org.apache.spark.sql.Row](0)
+      .map(t => specs.indices.map(i => render(t.get(i))).toSeq)
+      .toSet[Seq[String]]
     val keyRange =
       if (r.isNullAt(1) || r.isNullAt(2)) None
       else Some((render(r.get(1)), render(r.get(2))))
@@ -1420,16 +1526,18 @@ object SnapStore {
       changes: DataFrame, keyCol: String,
       partCol: String): (Seq[FileEntry], Seq[FileEntry]) = {
     val (parts, keyRange) = changeStats(changes, partCol, keyCol)
-    val ord = partOrdering(cur.schema, partCol)
+    val ords = partOrderings(cur.schema, partCol)
     // A file's bounds are only trustworthy under the change set's
     // spec: files written before a partition-spec evolution carry
     // their OLD spec's bounds (specCol), so they are conservatively
     // touched — the first post-evolution merge migrates them to the
     // new spec, after which pruning bites again (Iceberg's per-file
-    // spec-id semantics, resolved by rewrite-on-touch).
+    // spec-id semantics, resolved by rewrite-on-touch). Compound
+    // specs prune tuple-wise: a file is touched only if some change
+    // tuple fits inside EVERY field's bounds.
     val (touched0, untouched0) = cur.files.partition(f =>
       (f.specCol.nonEmpty && f.specCol != partCol) ||
-        intersectsParts(ord, parts, f))
+        intersectsTuples(ords, parts, f))
     // Partition-moving updates: a matched row whose CURRENT partition
     // differs from its change row's would otherwise survive in a
     // carried file while the change inserts — a duplicate key. Find
@@ -2525,11 +2633,13 @@ object SnapStore {
     */
   private def adoptionEntries(src: DataFrame, adopted: Seq[Path],
       partCol: String, keyCol: String): Seq[FileEntry] = {
-    val spec = PartTransforms.parse(partCol)
+    val specs = PartTransforms.parseMulti(partCol)
     val withKey = keyCol.nonEmpty && keyCol != partCol
-    val pexpr = PartTransforms.exprFor(spec, src.schema)
-    val aggs = Seq(min(pexpr).as("mn"), max(pexpr).as("mx"),
-      count(lit(1)).as("rows")) ++
+    val pexprs = specs.map(PartTransforms.exprFor(_, src.schema))
+    val nf = pexprs.length
+    val aggs = pexprs.zipWithIndex.flatMap { case (e, i) =>
+      Seq(min(e).as(s"mn$i"), max(e).as(s"mx$i")) } ++
+      Seq(count(lit(1)).as("rows")) ++
       (if (withKey) Seq(min(col(keyCol)).as("kmn"), max(col(keyCol)).as("kmx"))
        else Seq.empty)
     // `input_file_name()` returns the file URI with percent-encoded
@@ -2544,17 +2654,21 @@ object SnapStore {
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map { r =>
-        require(!r.isNullAt(1) && !r.isNullAt(2),
-          s"partition column '$partCol' must be non-null in " +
-            "adopted files")
+        (0 until nf).foreach(i =>
+          require(!r.isNullAt(1 + 2 * i) && !r.isNullAt(2 + 2 * i),
+            s"partition column '$partCol' must be non-null in " +
+              "adopted files"))
+        val mn = joinBounds((0 until nf).map(i => render(r.get(1 + 2 * i))))
+        val mx = joinBounds((0 until nf).map(i => render(r.get(2 + 2 * i))))
+        val rowsIdx = 1 + 2 * nf
         val (kmn, kmx) =
-          if (withKey && !r.isNullAt(4) && !r.isNullAt(5))
-            (render(r.get(4)), render(r.get(5)))
+          if (withKey && !r.isNullAt(rowsIdx + 1) && !r.isNullAt(rowsIdx + 2))
+            (render(r.get(rowsIdx + 1)), render(r.get(rowsIdx + 2)))
           else if (keyCol.nonEmpty && keyCol == partCol)
-            (render(r.get(1)), render(r.get(2)))
+            (mn, mx)
           else ("", "")
         decodedName(r.getString(0)) ->
-          (render(r.get(1)), render(r.get(2)), r.getLong(3), kmn, kmx)
+          (mn, mx, r.getLong(rowsIdx), kmn, kmx)
       }.toMap
     // Zero-row adopted files are skipped (never referenced) but NOT
     // deleted — they are not ours to remove before the adopt commits.
@@ -2711,9 +2825,10 @@ object SnapStore {
     val src = spark.read.parquet(files.map(_.toString): _*)
     require(keyCol.isEmpty || src.schema.fieldNames.contains(keyCol),
       s"key column '$keyCol' is not in the migrated schema")
-    require(src.schema.fieldNames.contains(
-      PartTransforms.parse(partCol).source),
-      s"partition source of '$partCol' is not in the migrated schema")
+    PartTransforms.parseMulti(partCol).foreach(s =>
+      require(src.schema.fieldNames.contains(s.source),
+        s"partition source '${s.source}' of '$partCol' is not in the " +
+          "migrated schema"))
     val entries = adoptionEntries(src, files, partCol, keyCol)
       .map(e => e.copy(path = fileName(e.path), seq = 1))
     // Like create/createEmpty: never inherit a crashed clone's marker.
@@ -3273,25 +3388,50 @@ object SnapStore {
     * until recomputed (the same staleness contract
     * [[computeTableStats]] holds, hardened for the spec edge).
     */
-  def computePartitionStats(spark: SparkSession, table: Path,
-      columns: Seq[String] = Seq.empty)
-      : Seq[(String, Long, Map[String, PartColStat])] = {
-    val m = currentManifest(table)
-    val cols =
-      if (columns.isEmpty) m.schema.fields.toSeq
-        .filter(f => ndvSupported(f.dataType)).map(_.name)
-      else {
-        columns.foreach(c => require(m.schema.fieldNames.contains(c),
-          s"no column '$c' in ${m.schema.fieldNames.mkString(", ")}"))
-        columns
-      }
+  /** The marker under which the NULL partition group persists in the
+    * partition-stats file — an EXPLICIT sentinel (a control character
+    * no rendered partition value can produce), so consumers can tell
+    * "the null partition" apart from a legacy empty string and from
+    * any real value: the CBO rollup then treats its rows as
+    * potentially present in EVERY pruned scan instead of disabling
+    * partition-grain refinement outright (VERDICT r15 #7).
+    */
+  private[graft] val NullPartSentinel = "\u0000null"
+
+  /** Resolve a requested column list against the schema (empty =
+    * every NDV-supported column). */
+  private def partStatsCols(m: Manifest, columns: Seq[String]): Seq[String] =
+    if (columns.isEmpty) m.schema.fields.toSeq
+      .filter(f => ndvSupported(f.dataType)).map(_.name)
+    else {
+      columns.foreach(c => require(m.schema.fieldNames.contains(c),
+        s"no column '$c' in ${m.schema.fieldNames.mkString(", ")}"))
+      columns
+    }
+
+  /** The partition-identity STRING expression the stats group by:
+    * compound specs join per-field renders with [[FieldSep]] (the
+    * manifest-bound encoding), single fields use the bare render —
+    * existing stats files keep their meaning.
+    */
+  private def partStatsExpr(m: Manifest): org.apache.spark.sql.Column = {
+    val partExprs = PartTransforms.parseMulti(m.partCol)
+      .map(s => PartTransforms.exprFor(s, m.schema).cast("string"))
+    if (partExprs.length > 1) concat_ws(FieldSep, partExprs: _*)
+    else partExprs.head
+  }
+
+  /** ONE distributed aggregation of `df` grouped by the partition
+    * transform → per-partition (rows, per-column exact
+    * NDV/null/bounds). The NULL group lands under
+    * [[NullPartSentinel]].
+    */
+  private def partStatsAggregate(df: DataFrame, m: Manifest,
+      cols: Seq[String]): Seq[(String, Long, Map[String, PartColStat])] = {
     def bounded(dt: DataType): Boolean = dt match {
       case _: NumericType | DateType | TimestampType => true
       case _ => false
     }
-    val partExpr = PartTransforms.exprFor(
-      PartTransforms.parse(m.partCol), m.schema)
-    val df = read(spark, table)
     val aggs = Seq(count(lit(1)).as("__rows")) ++ cols.flatMap { n =>
       val c = col(n)
       Seq(countDistinct(c).as(s"__ndv_$n"),
@@ -3301,11 +3441,11 @@ object SnapStore {
             max(c).cast("string").as(s"__max_$n"))
         else Seq.empty)
     }
-    val rows = df.groupBy(partExpr.cast("string").as("__part"))
+    val rows = df.groupBy(partStatsExpr(m).as("__part"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // one row per PARTITION — manifest-scale, not data
       .sortBy(r => Option(r.getString(0)).getOrElse(""))
-    val out = rows.toSeq.map { r =>
+    rows.toSeq.map { r =>
       def lng(name: String): Long =
         if (r.isNullAt(r.fieldIndex(name))) 0L
         else r.getAs[Number](name).longValue()
@@ -3313,15 +3453,22 @@ object SnapStore {
         if (!r.schema.fieldNames.contains(name) ||
           r.isNullAt(r.fieldIndex(name))) None
         else Some(r.getAs[Any](name).toString)
-      val part = Option(r.getString(0)).getOrElse("")
+      val part = Option(r.getString(0)).getOrElse(NullPartSentinel)
       (part, lng("__rows"), cols.map { n =>
         n -> PartColStat(lng(s"__ndv_$n"), lng(s"__nulls_$n"),
           str(s"__min_$n"), str(s"__max_$n"))
       }.toMap)
     }
+  }
+
+  /** Persist partition stats atomically (tmp + ATOMIC_MOVE), stamped
+    * with the computed-at snapshot version and spec. */
+  private def persistPartStats(table: Path, version: Int, spec: String,
+      cols: Seq[String],
+      out: Seq[(String, Long, Map[String, PartColStat])]): Unit = {
     val sb = new StringBuilder
-    sb.append(s"version=${m.version}\n")
-    sb.append(s"spec=${m.partCol}\n")
+    sb.append(s"version=$version\n")
+    sb.append(s"spec=$spec\n")
     out.foreach { case (part, nRows, byCol) =>
       sb.append(s"part=${enc(part)}\t$nRows\n")
       cols.foreach { n =>
@@ -3337,7 +3484,106 @@ object SnapStore {
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     Files.move(tmp, partStatsPath(table), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def computePartitionStats(spark: SparkSession, table: Path,
+      columns: Seq[String] = Seq.empty)
+      : Seq[(String, Long, Map[String, PartColStat])] = {
+    val m = currentManifest(table)
+    val cols = partStatsCols(m, columns)
+    val out = partStatsAggregate(read(spark, table), m, cols)
+    persistPartStats(table, m.version, m.partCol, cols, out)
     out
+  }
+
+  /** INCREMENTAL `compute_partition_stats` (VERDICT r15 #3, the IVF
+    * cursor pattern applied to stats): when stored stats exist under
+    * the CURRENT spec + column set and the history since their
+    * stamped version is append-only, only the partitions the new
+    * files touch are recomputed — over a BOUND-PRUNED delete-aware
+    * read of just the files whose bounds intersect the touched
+    * partition tuples — and merged by REPLACEMENT (per-partition NDV
+    * is exact, so replacing a partition's row is exact, and
+    * untouched partitions carry verbatim). Anything else — no stored
+    * stats, spec evolved, column set changed, replace-style commits
+    * (merge/delete/compact/rollback) in the window, or a mixed-spec
+    * file layout — falls back to the full recompute.
+    *
+    * Returns the (persisted) stats plus `Some(scanned-file-count)`
+    * when the incremental path served, `None` when it fell back —
+    * the spec pins O(touched partitions) scan volume on it.
+    */
+  def computePartitionStatsIncremental(spark: SparkSession, table: Path,
+      columns: Seq[String] = Seq.empty)
+      : (Seq[(String, Long, Map[String, PartColStat])], Option[Int]) = {
+    val m = currentManifest(table)
+    def full() = (computePartitionStats(spark, table, columns), None)
+    val stored = tablePartitionStats(table).getOrElse(return full())
+    val (v0, spec0, parts0) = stored
+    if (spec0 != m.partCol || v0 > m.version) return full()
+    val cols = partStatsCols(m, columns)
+    val storedCols = parts0.headOption.map(_._3.keySet)
+      .getOrElse(Set.empty[String])
+    if (parts0.nonEmpty && storedCols != cols.toSet) return full()
+    if (v0 == m.version) return (parts0, Some(0))
+    val appendOnly = ((v0 + 1) to m.version).forall { v =>
+      val op = manifest(table, v).operation
+      op == "append" || op == "rewrite-manifests"
+    }
+    if (!appendOnly) return full()
+    // Mixed-spec layouts can't bound-prune the recompute soundly.
+    if (m.files.exists(f => f.specCol.nonEmpty && f.specCol != m.partCol))
+      return full()
+    val fromFiles = manifest(table, v0).files.map(_.path).toSet
+    val added = m.files.filterNot(f => fromFiles(f.path))
+    if (added.isEmpty) {
+      persistPartStats(table, m.version, m.partCol, cols, parts0)
+      return (parts0, Some(0))
+    }
+    // The partitions the new files touch: distinct transform tuples
+    // of the ADDED rows only (pending eq-delete debt predates the
+    // appends, so it cannot apply to them — the raw added scan is the
+    // appended rows exactly).
+    val touched = readManifest(spark, table, m.copy(files = added))
+      .select(partStatsExpr(m).as("__part")).distinct()
+      .collect().map(r => Option(r.getString(0)).getOrElse(NullPartSentinel))
+      .toSet
+    // Bound-pruned recompute: only files whose per-field bounds can
+    // intersect a touched tuple are read (the NULL tuple can hide in
+    // any file — its presence keeps every file, still correct).
+    val ords = partOrderings(m.schema, m.partCol)
+    val tuples = touched.map(t =>
+      if (t == NullPartSentinel) Seq.empty[String] else splitBounds(t))
+    val cand =
+      if (tuples.exists(_.isEmpty)) m.files
+      else m.files.filter(f => tuples.exists(t =>
+        ords.indices.forall(i =>
+          i >= t.length || {
+            val ord = ords(i)
+            ord.isEmpty || {
+              val o = ord.get
+              (fieldBound(f.partMin, i), fieldBound(f.partMax, i)) match {
+                case (Some(mn), Some(mx)) =>
+                  try o.gteq(t(i), mn) && o.lteq(t(i), mx)
+                  catch { case NonFatal(_) => true }
+                case _ => true
+              }
+            }
+          })))
+    val touchedSeq = touched.toSeq.filterNot(_ == NullPartSentinel)
+    val pexpr = partStatsExpr(m)
+    val keep =
+      (if (touchedSeq.nonEmpty) pexpr.isInCollection(touchedSeq)
+       else lit(false)) ||
+        (if (touched(NullPartSentinel)) pexpr.isNull else lit(false))
+    val prunedDf = readManifest(spark, table, m.copy(files = cand))
+      .filter(keep)
+    val fresh = partStatsAggregate(prunedDf, m, cols)
+    val freshParts = fresh.map(_._1).toSet
+    val merged = (parts0.filterNot(p =>
+      touched(p._1) || freshParts(p._1)) ++ fresh).sortBy(_._1)
+    persistPartStats(table, m.version, m.partCol, cols, merged)
+    (merged, Some(cand.size))
   }
 
   /** The stored partition statistics, if computed: (stamped version,
@@ -3403,6 +3649,12 @@ object SnapStore {
   /** The partition-bound ordering for a column, if prunable. */
   private[graft] def partOrdering(schema: StructType,
       partCol: String): Option[Ordering[String]] = {
+    // Compound specs never expose a WHOLE-BOUND ordering: the stored
+    // bound is a field-joined tuple string, so single-bound
+    // comparisons under it would be wrong — per-field comparisons go
+    // through [[partOrderings]] instead, and every legacy single-
+    // bound consumer stays conservative (None) on compound tables.
+    if (PartTransforms.isCompound(partCol)) return None
     val spec = PartTransforms.parse(partCol)
     PartTransforms.sourceTypeOpt(spec, schema)
       .map(spec.resultType).flatMap(boundOrd)
@@ -3411,14 +3663,23 @@ object SnapStore {
   /** Files whose partition bounds may hold any of `values` (rendered
     * partition values) — the file-granular group selection behind
     * runtime group filtering. Conservative on spec mismatch or
-    * unprunable types.
+    * unprunable types. Under a compound spec `values` are FIELD-0
+    * renders; [[filesIntersectingField]] serves the other fields.
     */
   private[sources] def filesIntersecting(m: Manifest,
+      values: Set[String]): Seq[FileEntry] =
+    filesIntersectingField(m, 0, values)
+
+  /** Files whose bounds for spec FIELD `idx` may hold any of
+    * `values` — the per-field prune a compound spec conjoins.
+    */
+  private[sources] def filesIntersectingField(m: Manifest, idx: Int,
       values: Set[String]): Seq[FileEntry] = {
-    val ord = partOrdering(m.schema, m.partCol)
+    val ords = partOrderings(m.schema, m.partCol)
+    val ord = if (idx < ords.length) ords(idx) else None
     m.files.filter(f =>
       (f.specCol.nonEmpty && f.specCol != m.partCol) ||
-        intersectsParts(ord, values, f))
+        intersectsPartsField(ord, values, f, idx))
   }
 
   /** Files an equality predicate on the spec's SOURCE column may
@@ -3433,8 +3694,18 @@ object SnapStore {
     * numeric either way).
     */
   private[sources] def filesForSourceValues(m: Manifest,
+      vals: Seq[(Any, DataType)]): Seq[FileEntry] =
+    filesForSourceValuesField(m, 0, vals)
+
+  /** [[filesForSourceValues]] addressed at spec FIELD `idx` — the
+    * per-field face compound-spec runtime filtering conjoins (each
+    * field's source column can receive its own dynamic filter).
+    */
+  private[sources] def filesForSourceValuesField(m: Manifest, idx: Int,
       vals: Seq[(Any, DataType)]): Seq[FileEntry] = {
-    val spec = PartTransforms.parse(m.partCol)
+    val specs = PartTransforms.parseMulti(m.partCol)
+    if (idx >= specs.length) return m.files
+    val spec = specs(idx)
     val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
     PartTransforms.sourceTypeOpt(spec, m.schema) match {
       case None => m.files
@@ -3446,7 +3717,7 @@ object SnapStore {
           else None
         }
         if (rendered.forall(_.isDefined))
-          filesIntersecting(m, rendered.flatten.toSet)
+          filesIntersectingField(m, idx, rendered.flatten.toSet)
         else m.files
     }
   }
@@ -3601,8 +3872,9 @@ object SnapStore {
           .join(broadcast(binMap), Seq("__fname"))
           .drop("__fname")
           .repartition(multis.size, col("__bin"))
-          .sortWithinPartitions(col("__bin"),
-            PartTransforms.exprFor(PartTransforms.parse(partCol), cur.schema))
+          .sortWithinPartitions(col("__bin") +:
+            PartTransforms.parseMulti(partCol)
+              .map(PartTransforms.exprFor(_, cur.schema)): _*)
           .write.options(parquetWriteOptions(table))
           .partitionBy("__bin").mode("overwrite").parquet(tmp.toString)
         val dataDir = table.resolve("data")
@@ -3658,13 +3930,20 @@ object SnapStore {
     withCommitRetry(table) { () =>
       val cur = currentManifest(table)
       // The spec may be a hidden transform (`days(d)`, `bucket(4,k)`)
-      // — validate its SOURCE column, like create/createEmpty do.
-      val src = PartTransforms.parse(newPartCol).source
-      require(cur.schema.fieldNames.contains(src),
-        s"partition source column '$src' is not in the table schema")
-      require(cur.partCol != newPartCol, s"spec is already '$newPartCol'")
+      // or a COMPOUND field list (`days(d),bucket(4,k)` — Iceberg's
+      // ADD/DROP PARTITION FIELD evolution) — validate every field's
+      // SOURCE column, like create/createEmpty do; refuse duplicate
+      // fields. The empty spec is the unpartitioned layout (the
+      // DROP-last-field form).
+      val fields = PartTransforms.parseMulti(newPartCol)
+      fields.foreach(s => require(cur.schema.fieldNames.contains(s.source),
+        s"partition source column '${s.source}' is not in the table schema"))
+      require(fields.distinct.size == fields.size,
+        s"duplicate partition fields in '$newPartCol'")
+      val canonical = PartTransforms.rawMulti(fields)
+      require(cur.partCol != canonical, s"spec is already '$canonical'")
       val m = Manifest(cur.version + 1, cur.version, "evolve-spec",
-        cur.schema, cur.files, newPartCol, cur.deleteFiles, cur.keyCol,
+        cur.schema, cur.files, canonical, cur.deleteFiles, cur.keyCol,
         cur.evos)
       (m, Seq.empty, tryCommitManifest(table, m))
     }
@@ -3735,8 +4014,9 @@ object SnapStore {
     // pruning, and the sort columns cluster inside it.
     val newFiles0 = writeDataFiles(spark, table, df, partCol,
       s"cluster-v$v", numFiles,
-      PartTransforms.exprFor(PartTransforms.parse(partCol), cur.schema) +:
-        clusterExprs, cur.keyCol)
+      PartTransforms.parseMulti(partCol)
+        .map(PartTransforms.exprFor(_, cur.schema)) ++ clusterExprs,
+      cur.keyCol)
     val newFiles =
       if (lineageable) newFiles0.map(_.copy(lineage = true))
       else newFiles0
@@ -4797,7 +5077,7 @@ object SnapStore {
       val cur = currentManifest(table)
       require(cur.schema.fieldNames.contains(name),
         s"column $name does not exist")
-      require(name != cur.partCol,
+      require(PartTransforms.parseMulti(cur.partCol).forall(_.raw != name),
         s"cannot drop the partition column '$name' (evolve the spec first)")
       require(name != cur.keyCol,
         s"cannot drop the table key column '$name'")
@@ -4924,7 +5204,7 @@ object SnapStore {
       // column — partition source or table key — refuses it; integral
       // and decimal renders are width-exact.
       require(field.dataType != FloatType ||
-        (PartTransforms.parse(cur.partCol).source != name &&
+        (PartTransforms.parseMulti(cur.partCol).forall(_.source != name) &&
           cur.keyCol != name),
         s"cannot widen float column '$name': it is a pruning column " +
           "(partition source or table key) and float bounds do not " +
@@ -4941,7 +5221,7 @@ object SnapStore {
       // hash-identical (byte/short/int all hash as int; decimals at
       // ≤18 digits both hash their unscaled long).
       val bucketSources = (cur.partCol +: cur.files.map(_.specCol))
-        .filter(_.nonEmpty).distinct.map(PartTransforms.parse)
+        .filter(_.nonEmpty).distinct.flatMap(PartTransforms.parseMulti)
         .collect { case b: PartTransforms.Bucket => b.source }
       val hashCompatible = (field.dataType, to) match {
         case (ByteType | ShortType, ShortType | IntegerType) => true

@@ -106,10 +106,16 @@ class DedupSpec extends SparkSpec {
         .map(_.toString).toSeq
       assert(durable === baseline)
       // The conf actually took the durable path: checkpoint files
-      // exist under the directory.
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
-      assert(wrote > 0, s"no checkpoint files under $ckpt")
+      // exist under the ESTABLISHED context checkpoint dir — Pin
+      // sets it once per context (review r15 #5), so when an
+      // earlier durable test already pinned a directory, this run's
+      // payloads land THERE, not under this test's conf value.
+      val actual = spark.sparkContext.getCheckpointDir.getOrElse(ckpt)
+      val p = new org.apache.hadoop.fs.Path(actual)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("rdd-")),
+        s"no checkpoint payloads under $actual")
     } finally spark.conf.unset("spark.graft.cc.checkpointDir")
   }
 

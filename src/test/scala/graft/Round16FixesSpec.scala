@@ -214,6 +214,112 @@ class Round16FixesSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
+  test("incremental compute_partition_stats falls back to a full " +
+    "recompute across replace-style history and after a spec change") {
+    val root = tempRoot("r16ps")
+    val t = root.resolve("t")
+    SnapStore.create(spark, t, docs.filter(col("doc_id") < 160), "part",
+      keyCol = "doc_id")
+    mountAs("r16p", root)
+    SnapStore.computePartitionStats(spark, t, Seq("source"))
+
+    // A MOR position delete is replace-style history: incremental
+    // must fall back (None) and still serve delete-aware stats.
+    SnapStore.deletePositions(spark, t,
+      col("part") === 1L && pmod(col("doc_id"), lit(2L)) === 0)
+    val (afterDelete, mode) =
+      SnapStore.computePartitionStatsIncremental(spark, t, Seq("source"))
+    assert(mode.isEmpty, "replace-style history must fall back to full")
+    assert(afterDelete == SnapStore.computePartitionStats(spark, t,
+      Seq("source")))
+
+    // A spec evolution invalidates the stored stats: fallback again.
+    SnapStore.evolveSpec(t, "truncate(40,doc_id)")
+    val (_, mode2) =
+      SnapStore.computePartitionStatsIncremental(spark, t, Seq("source"))
+    assert(mode2.isEmpty, "a spec change must fall back to full")
+    // A repeat call with no new commits is a zero-scan no-op.
+    val (_, mode3) =
+      SnapStore.computePartitionStatsIncremental(spark, t, Seq("source"))
+    assert(mode3.contains(0), "up-to-date stats must cost zero scan")
+  }
+
+  // ----------------------------------------------------------------
+  test("a null partition group persists under the explicit sentinel, " +
+    "serves as 'null' with a stale flag on .partition_stats, and no " +
+    "longer disables the pruned-scan CBO refinement") {
+    val root = tempRoot("r16np")
+    val t = root.resolve("t")
+    // A nullable identity partition column with SOME null rows (the
+    // write path only requires per-file bounds to exist, i.e. at
+    // least one non-null value per file).
+    val rows = Tables.documents(spark, sf).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(50L)) === 49L, lit(null))
+          .otherwise(pmod(col("doc_id"), lit(4L))).as("part"),
+        col("source"))
+    SnapStore.create(spark, t, rows, "part", keyCol = "doc_id",
+      numFiles = 4)
+    mountAs("r16n", root)
+    spark.sql("CALL graft.system.compute_table_stats('r16n.t')")
+    spark.sql("CALL graft.system.compute_partition_stats(" +
+      "'r16n.t', 'doc_id,source')")
+
+    val parts = spark.sql("SELECT DISTINCT partition FROM " +
+      "graft.r16n.t.partition_stats ORDER BY partition").collect()
+      .map(_.getString(0)).toSeq
+    assert(parts.contains("null"),
+      s"the null group must serve as 'null', got $parts")
+    assert(spark.sql("SELECT DISTINCT stale FROM " +
+      "graft.r16n.t.partition_stats").collect()
+      .map(_.getBoolean(0)).toSeq == Seq(false))
+
+    // The pruned-scan refinement still engages: a one-partition scan
+    // serves LESS than the table NDV but at least that partition's
+    // (the null group's rows are conservatively included — never
+    // understating).
+    def ndvOf(sql: String): Long = {
+      import scala.jdk.CollectionConverters._
+      val scan = spark.sql(sql).queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan
+      }.head
+      scan.asInstanceOf[org.apache.spark.sql.connector.read
+        .SupportsReportStatistics].estimateStatistics()
+        .columnStats().asScala.collectFirst {
+          case (ref, cs) if ref.fieldNames().mkString(".") == "doc_id" =>
+            cs.distinctCount().getAsLong
+        }.get
+    }
+    val full = ndvOf("SELECT doc_id, source FROM graft.r16n.t")
+    val one = ndvOf(
+      "SELECT doc_id, source FROM graft.r16n.t WHERE part = 3")
+    val nullRows = 4L // doc_id % 50 == 49 under 200
+    val partRows = spark.sql("SELECT row_count FROM " +
+      "graft.r16n.t.partition_stats WHERE partition = '3' " +
+      "AND column = 'doc_id'").collect()(0).getLong(0)
+    assert(one < full,
+      s"refinement must engage despite the null group ($one vs $full)")
+    assert(one >= partRows,
+      s"refined NDV must never understate the partition ($one < $partRows)")
+    assert(one <= partRows + nullRows,
+      s"refined NDV is the partition plus at most the null group " +
+        s"($one > $partRows + $nullRows)")
+  }
+
+  // ----------------------------------------------------------------
+  test("maint_partition_stats_inc entry: the incremental lifecycle's " +
+    "REQUIREs hold and the refreshed surface serves every partition " +
+    "fresh") {
+    val out = ops.Maintenance.partitionStatsInc(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.getBoolean(7)), "stale must be false after " +
+      "the incremental refresh")
+    val parts = out.map(_.getString(0)).distinct.sorted
+    assert(parts.length == 8, s"eight partitions expected, got $parts")
+  }
+
+  // ----------------------------------------------------------------
   test("kmeans rounds pin durably under the conf and stay exact") {
     val baseline = ops.Curation.kmeansConverge(spark, sf).collect()
       .map(_.toString).toSeq

@@ -198,9 +198,10 @@ class SqlDdlSpec extends SparkSpec {
   }
 
   // ----------------------------------------------------------------
-  test("ALTER TABLE REPLACE PARTITION FIELD evolves the spec " +
-    "metadata-only (structural old-field match); ADD/DROP refuse " +
-    "with a pointer at REPLACE") {
+  test("ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD evolve the " +
+    "spec metadata-only (structural field match): ADD builds a " +
+    "compound spec, REPLACE swaps one field keeping the rest, DROP " +
+    "removes one and the last drop leaves the table unpartitioned") {
     val root = tempRoot("ddlpart")
     val t = root.resolve("t")
     SnapStore.create(spark, t,
@@ -220,12 +221,31 @@ class SqlDdlSpec extends SparkSpec {
         "WITH days(ts)") }
     assert(wrongOld.getMessage.contains("current spec"))
 
-    val add = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.dpf.t ADD PARTITION FIELD days(ts)") }
-    assert(add.getMessage.contains("REPLACE PARTITION FIELD"))
-    val drop = intercept[Exception] {
-      spark.sql("ALTER TABLE graft.dpf.t DROP PARTITION FIELD hours(ts)") }
-    assert(drop.getMessage.contains("REPLACE PARTITION FIELD"))
+    // ADD appends (structural duplicate refuses), REPLACE swaps the
+    // named field only, DROP removes one field at a time.
+    spark.sql("ALTER TABLE graft.dpf.t ADD PARTITION FIELD " +
+      "bucket(4, doc_id)")
+    assert(SnapStore.currentManifest(t).partCol ==
+      "hours(ts),bucket(4,doc_id)")
+    val dup = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.dpf.t ADD PARTITION FIELD " +
+        "bucket(4,doc_id)") }
+    assert(dup.getMessage.contains("already in the spec"))
+    spark.sql("ALTER TABLE graft.dpf.t REPLACE PARTITION FIELD " +
+      "hours(ts) WITH days(ts)")
+    assert(SnapStore.currentManifest(t).partCol ==
+      "days(ts),bucket(4,doc_id)")
+    spark.sql("ALTER TABLE graft.dpf.t DROP PARTITION FIELD days(ts)")
+    assert(SnapStore.currentManifest(t).partCol == "bucket(4,doc_id)")
+    val missing = intercept[Exception] {
+      spark.sql("ALTER TABLE graft.dpf.t DROP PARTITION FIELD part") }
+    assert(missing.getMessage.contains("current spec"))
+    spark.sql("ALTER TABLE graft.dpf.t DROP PARTITION FIELD " +
+      "bucket(4, doc_id)")
+    assert(SnapStore.currentManifest(t).partCol.isEmpty,
+      "dropping the last field must leave the table unpartitioned")
+    // The unpartitioned table still reads (conservative full scan).
+    assert(SnapStore.read(spark, t).count() == 40L)
   }
 
   // ----------------------------------------------------------------
