@@ -52,14 +52,21 @@ object Curation {
           "x -> CAST(floor(x * 1000000) AS BIGINT))").as("xm"))
     val cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("xm").as("cm"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     val assigned = e.crossJoin(broadcast(cents))
       // codegen'd native expression — the per-(vector, centroid) hot
       // path; integer sums are associative, so it equals the HOF fold.
       .withColumn("dist", expr("vec_l2sq(xm, cm)"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("cid"), col("xm"), col("dist"))
+      // argmin as ONE hash aggregate (min_by over the (dist, cid)
+      // order key — cid is unique per candidate so the min is exact
+      // and tie-free, same "lowest dist then lowest cid" rule as the
+      // old row_number window) instead of a sort-based window over
+      // k rows per vector: removes the per-vector sort and gets
+      // map-side partial aggregation (optimization guide §2.3).
+      .groupBy(col("vec_id"))
+      .agg(min_by(struct(col("cid"), col("xm"), col("dist")),
+        struct(col("dist"), col("cid"))).as("best"))
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.xm").as("xm"), col("best.dist").as("dist"))
     val sums = assigned
       .select(col("cid"), col("dist"), posexplode(col("xm")))
       .select(col("cid"), col("dist"), (col("pos") + 1).as("i"), col("col").as("xv"))
@@ -128,20 +135,29 @@ object Curation {
     */
   def kmeansConverge(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    // Scanned once per round plus the post-loop stats pass — cache
+    // the quantized frame instead of re-reading + re-transforming the
+    // parquet four times (guide §5: reuse beats recompute here; the
+    // frame is one array column per vector).
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"),
         expr("transform(CAST(embedding AS array<double>), " +
           "x -> CAST(floor(x * 1000000) AS BIGINT))").as("xm"))
+      .cache()
     var cents = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("xm").as("cm"))
     var lastAssigned: DataFrame = null
     for (_ <- 1 to 3) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      // Same argmin-as-aggregate shape as kmeansStep: min_by on the
+      // (dist, cid) order key replaces the sort-based row_number
+      // window — one hash agg with map-side partials per round.
       val assigned = e.crossJoin(broadcast(cents))
         .withColumn("dist", expr("vec_l2sq(xm, cm)"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("vec_id"), col("cid"), col("xm"), col("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min_by(struct(col("cid"), col("xm"), col("dist")),
+          struct(col("dist"), col("cid"))).as("best"))
+        .select(col("vec_id"), col("best.cid").as("cid"),
+          col("best.xm").as("xm"), col("best.dist").as("dist"))
       lastAssigned = assigned
       cents = assigned
         .select(col("cid"), posexplode(col("xm")))
@@ -233,7 +249,13 @@ object Curation {
         "transform(sequence(1, size(ws) - 1), " +
           "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("bg"))
     val docBg = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-    val global = bg.groupBy(col("bg")).agg(count(lit(1)).as("gc"))
+    // Global counts fold the per-doc aggregate (Σ per-doc c == corpus
+    // count): the second aggregate runs over the already-reduced
+    // frame, and its input subtree is byte-identical to docBg's, so
+    // exchange reuse shares ONE scan+explode instead of re-exploding
+    // the corpus for the global count (guide §2.3/§2.4). The join
+    // back on bg keeps the AQE-skew-splittable shape.
+    val global = docBg.groupBy(col("bg")).agg(sum(col("c")).as("gc"))
     // Overflow safety at corpus scale: each c*gc term and their sum
     // accumulate in DECIMAL(38,0) (exact to 1e38, mirrored by the
     // oracle's HUGEINT), not BIGINT — at ~1e13 corpus bigrams a stop

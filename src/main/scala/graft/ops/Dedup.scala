@@ -196,6 +196,7 @@ object Dedup {
     */
   def bandSweep(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
+    import s.implicits._
     val P = 1000000007L
     val words = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr("array_distinct(split(text, ' '))")).as("w"))
@@ -205,33 +206,46 @@ object Dedup {
     val aggs = sort_array(collect_set(col("h"))).as("hs") +: mins
     val sigs = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*).cache()
     val hs = sigs.select(col("doc_id"), col("hs"))
-    val results = Seq((2, 6), (3, 4), (4, 3), (6, 2)).map { case (nb, r) =>
-      val bandStructs = (1 to nb).map { i =>
+    // All four configurations ride ONE exploded frame keyed by a cfg
+    // column (the band count — unique per configuration), so the
+    // sweep is a single rep-agg + candidate join + verify pass over
+    // 15 rows/doc instead of four separate 2-6-row passes: same total
+    // exploded volume, one quarter the stages/shuffles (optimization
+    // guide §2.4 — share one exchange across same-keyed work). The
+    // left join against the literal config list keeps the contract
+    // that a configuration with zero candidates still emits its row.
+    val configs = Seq((2, 6), (3, 4), (4, 3), (6, 2))
+    val bandStructs = configs.flatMap { case (nb, r) =>
+      (1 to nb).map { i =>
         val cs = ((i - 1) * r + 1 to i * r)
           .map(k => s"CAST(m$k AS STRING)").mkString(", ")
-        s"named_struct('band', $i, 'sig', concat_ws('_', $cs))"
-      }.mkString(", ")
-      val bands = sigs
-        .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-      val reps = bands.groupBy(col("band"), col("sig"))
-        .agg(min(col("doc_id")).as("a_id"), count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") > 1)
-      bands.join(reps, Seq("band", "sig"))
-        .filter(col("doc_id") =!= col("a_id"))
-        .select(col("a_id"), col("doc_id").as("b_id")).distinct()
-        .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
-        .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
-        .withColumn("jacc",
-          size(array_intersect(col("a_hs"), col("b_hs"))) /
-            size(array_union(col("a_hs"), col("b_hs"))))
-        .agg(count(lit(1)).as("candidates"),
-          coalesce(sum(when(col("jacc") >= 0.8, 1L).otherwise(0L)), lit(0L))
-            .as("confirmed"))
-        .select(lit(nb).as("bands"), lit(r).as("rows_per_band"),
-          col("candidates"), col("confirmed"))
-    }
-    results.reduce(_ unionAll _).orderBy(col("bands"))
+        s"named_struct('cfg', $nb, 'band', $i, 'sig', concat_ws('_', $cs))"
+      }
+    }.mkString(", ")
+    val bands = sigs
+      .select(col("doc_id"), explode(expr(s"array($bandStructs)")).as("bs"))
+      .select(col("doc_id"), col("bs.cfg").as("cfg"),
+        col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val reps = bands.groupBy(col("cfg"), col("band"), col("sig"))
+      .agg(min(col("doc_id")).as("a_id"), count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > 1)
+    val verified = bands.join(reps, Seq("cfg", "band", "sig"))
+      .filter(col("doc_id") =!= col("a_id"))
+      .select(col("cfg"), col("a_id"), col("doc_id").as("b_id")).distinct()
+      .join(hs.select(col("doc_id").as("a_id"), col("hs").as("a_hs")), Seq("a_id"))
+      .join(hs.select(col("doc_id").as("b_id"), col("hs").as("b_hs")), Seq("b_id"))
+      .withColumn("jacc",
+        size(array_intersect(col("a_hs"), col("b_hs"))) /
+          size(array_union(col("a_hs"), col("b_hs"))))
+      .groupBy(col("cfg"))
+      .agg(count(lit(1)).as("cand_n"),
+        sum(when(col("jacc") >= 0.8, 1L).otherwise(0L)).as("conf_n"))
+    configs.toDF("bands", "rows_per_band")
+      .join(verified, col("bands") === col("cfg"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("cand_n"), lit(0L)).as("candidates"),
+        coalesce(col("conf_n"), lit(0L)).as("confirmed"))
+      .orderBy(col("bands"))
   }
 
   val bandSweepOracle: String = {
@@ -566,8 +580,16 @@ object Dedup {
     // ONE durable payload alive, not fifty (ADVICE r15 #3). The
     // changed-count action below runs against the ALREADY-pinned
     // step, so nothing reads the superseded round after its delete.
-    var labels = Pin.pin(Tables.documents(s, dir)
-      .select(col("doc_id").as("node"), col("doc_id").as("lbl")))
+    //
+    // Only edge-incident nodes iterate (optimization guide §2.3 —
+    // shuffle fewer bytes): a document with no LSH link keeps
+    // lbl = doc_id through every round and influences nobody, so the
+    // per-round join/agg/pin runs over the edge-node subset (the
+    // symmetric edge set's dst side covers every endpoint) and the
+    // singleton majority rejoins once at the end. At 100 TB near-dup
+    // corpora the linked subset is a small fraction of documents.
+    var labels = Pin.pin(edges.select(col("dst").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")))
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -583,8 +605,11 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sizes, Seq("lbl"))
+    val full = Tables.documents(s, dir).select(col("doc_id").as("node"))
+      .join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("lbl"), col("node")).as("lbl"))
+    val sizes = full.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    full.join(sizes, Seq("lbl"))
       .select(col("node").as("doc_id"), col("lbl").as("cluster_id"),
         col("cluster_size"))
       .orderBy(col("doc_id"))

@@ -39,14 +39,21 @@ object Graph {
       .agg(sum(col("occ")).as("cfreq"))
       .filter(col("cfreq").between(2, 10))
       .select(col("chunk"))
+    // members and edges are each referenced twice downstream and both
+    // are SMALL by construction (members: ≤ 10 rows per informative
+    // chunk; edges: bounded by sources²) — without the caches every
+    // reference inlines the whole documents→explode→agg chunk
+    // pipeline again (the r16 before-plan carried 16 Generate nodes /
+    // 18 parquet scans for this one query; optimization guide §2.4).
     val members = chunks.join(informative, Seq("chunk"))
-      .select(col("chunk"), col("source"))
+      .select(col("chunk"), col("source")).cache()
     val m1 = members.select(col("chunk"), col("source").as("src"))
     val m2 = members.select(col("chunk"), col("source").as("dst"))
     val edges = m1.join(m2, Seq("chunk"))
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
+      .cache()
     val outMass = edges.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
     val contrib = edges.join(outMass, Seq("src"))
       .select(col("dst"), expr("(w * 1000000) div out_w").as("share_micro"))
@@ -127,19 +134,26 @@ object Graph {
       .agg(sum(col("occ")).as("cfreq"))
       .filter(col("cfreq").between(2, 10))
       .select(col("chunk"))
+    // Same reuse discipline as sourceRank: members (≤ 10 rows per
+    // informative chunk) and edges (sources²-bounded) each feed two
+    // downstream references — cache them so building `shares` costs
+    // ONE chunk pipeline instead of inlining it 8× (guide §2.4).
     val members = chunks.join(informative, Seq("chunk"))
-      .select(col("chunk"), col("source"))
+      .select(col("chunk"), col("source")).cache()
     val edges = members.select(col("chunk"), col("source").as("src"))
       .join(members.select(col("chunk"), col("source").as("dst")), Seq("chunk"))
       .filter(col("src") =!= col("dst"))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("w"))
+      .cache()
     val shares = edges
       .join(edges.groupBy(col("src")).agg(sum(col("w")).as("out_w")), Seq("src"))
       .select(col("src"), col("dst"),
         expr("(w * 1000000) div out_w").as("share"))
       .cache()
-    val sources = Tables.documents(s, dir).select(col("source")).distinct()
+    // One row per source, joined back every round — cache it so the
+    // per-round plan doesn't rescan documents for the distinct.
+    val sources = Tables.documents(s, dir).select(col("source")).distinct().cache()
     var rank = sources.withColumn("pr", lit(1000000L))
     for (_ <- 1 to rounds) {
       val prevRank = rank

@@ -407,12 +407,21 @@ object PipelineOps {
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, (size(ws) + 3) div 4 - 1), " +
           "i -> concat_ws(' ', slice(ws, 4 * i + 1, 4)))")).as("chunk"))
-    val freq = chunks.groupBy(col("chunk")).agg(count(lit(1)).as("cfreq"))
-    chunks.join(freq, Seq("chunk"))
+    // Reduce to per-(doc, chunk) multiplicities first: the global
+    // frequency then folds the reduced frame (Σ per-doc n == corpus
+    // cfreq), its input subtree is byte-identical to docChunk's so
+    // exchange reuse shares one scan+explode, and the join back runs
+    // over aggregated rows instead of raw chunk instances (guide
+    // §2.3). The weighted sums below are instance-count algebra —
+    // results are bit-identical to the instance-level aggregate.
+    val docChunk = chunks.groupBy(col("doc_id"), col("chunk"))
+      .agg(count(lit(1)).as("n"))
+    val freq = docChunk.groupBy(col("chunk")).agg(sum(col("n")).as("cfreq"))
+    docChunk.join(freq, Seq("chunk"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_chunks"),
-        sum(when(col("cfreq") >= 3, 1L).otherwise(0L)).as("n_boiler"),
-        sum(when(col("cfreq") < 3, expr("size(split(chunk, ' '))"))
+      .agg(sum(col("n")).as("n_chunks"),
+        sum(when(col("cfreq") >= 3, col("n")).otherwise(0L)).as("n_boiler"),
+        sum(when(col("cfreq") < 3, expr("size(split(chunk, ' '))") * col("n"))
           .otherwise(0L)).as("clean_words"))
       .orderBy(col("doc_id"))
   }

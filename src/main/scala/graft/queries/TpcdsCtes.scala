@@ -32,24 +32,43 @@ object TpcdsCtes {
     */
   def weekOffsetSelfJoin(s: SparkSession, dir: String): DataFrame = {
     val anchor = lit("1970-01-05") // a Monday
+    def dt(d: String) = lit(d).cast("date")
     val days = Seq("mon", "tue", "wed", "thu", "fri", "sat", "sun")
     val wscs = Tables.lineitem(s, dir)
       .select(asDate(col("l_shipdate")).as("d"), col("l_extendedprice").as("price"))
       .unionAll(Tables.orders(s, dir)
         .select(asDate(col("o_orderdate")).as("d"), col("o_totalprice").as("price")))
+    // Only weeks with at least one 1996 or 1997 day survive the
+    // year-filtered join-backs, and every day of such a week lies
+    // within ±6 days of those year bounds — so the date band below is
+    // semantics-identical and reaches the parquet scans as a pushed
+    // range instead of pivoting the whole fact history (optimization
+    // guide §6; the same move as the q64/q74 year pushdowns). Weeks
+    // fully inside the 6-day slack margins form extra pivot groups
+    // that the in96/in97 flags drop, exactly like the old join.
     val wk = wscs
+      .filter(col("d").between(dt("1995-12-26"), dt("1998-01-06")))
       .withColumn("week_seq", floor(datediff(col("d"), anchor) / 7))
       .withColumn("dow", pmod(datediff(col("d"), anchor), lit(7)))
     val pivots = days.zipWithIndex.map { case (nm, i) =>
       dsum(when(col("dow") === i, col("price"))).as(s"${nm}_sales")
     }
-    val wswscs = wk.groupBy(col("week_seq")).agg(pivots.head, pivots.tail: _*)
-    def yearWeeks(y: Int) = wk.filter(year(col("d")) === y)
-      .select(col("week_seq")).distinct()
-    val y = wswscs.join(yearWeeks(1996), Seq("week_seq"))
+    // The year membership of each week rides the SAME aggregate as
+    // the pivot (max-of-indicator == DISTINCT-week-of-year join), so
+    // the query is ONE scan + one shuffle instead of three scans (the
+    // pivot plus two distinct year-week joins) — guide §2.4.
+    val flags = Seq(
+      max(when(year(col("d")) === 1996, 1).otherwise(0)).as("in96"),
+      max(when(year(col("d")) === 1997, 1).otherwise(0)).as("in97"))
+    // Referenced twice (1996 and 1997 slices); the aggregated frame is
+    // weeks × 9 columns — cache it like the other multi-reference CTEs.
+    val wswscs = wk.groupBy(col("week_seq"))
+      .agg((pivots ++ flags).head, (pivots ++ flags).tail: _*)
+      .cache()
+    val y = wswscs.filter(col("in96") === 1)
       .select(col("week_seq").as("week_seq1") +:
         days.map(nm => col(s"${nm}_sales").as(s"${nm}1")): _*)
-    val z = wswscs.join(yearWeeks(1997), Seq("week_seq"))
+    val z = wswscs.filter(col("in97") === 1)
       .select(col("week_seq").as("week_seq2") +:
         days.map(nm => col(s"${nm}_sales").as(s"${nm}2")): _*)
     val ratios = days.map(nm =>
@@ -176,14 +195,21 @@ object TpcdsCtes {
     // every year only to filter the cache afterwards (VERDICT r14 #2).
     val ordersTwoYears = Tables.orders(s, dir)
       .filter(year(col("o_orderdate")).isin(1996, 1997))
+    // Join order (guide §3): the two selective reducers — the
+    // returned-part semi-filter and the two-year orders slice — come
+    // FIRST so the dimension joins probe only surviving fact rows;
+    // the r16 before-plan had returns_ui as the LAST of 7 broadcast
+    // joins, carrying every 7-year lineitem row through 6 probes
+    // before dropping non-returned parts. Inner joins commute, so the
+    // result is bit-identical.
     val crossSales = Tables.lineitem(s, dir)
+      .join(returnsUi, col("l_partkey") === col("r_item_sk"))
       .join(ordersTwoYears, col("l_orderkey") === col("o_orderkey"))
       .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
       .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
-      .join(returnsUi, col("l_partkey") === col("r_item_sk"))
       .withColumn("syear", year(col("o_orderdate")))
       .groupBy(col("p_name").as("product_name"), col("l_partkey").as("item_sk"),
         col("store_name"), col("cust_nation"), col("syear"))
