@@ -68,6 +68,10 @@ object Dedup {
       .select(col("doc_id"), col("lang"), col("source"),
         explode(expr("array_distinct(split(text, ' '))")).as("w"))
       .withColumn("h", expr(s"fold_hash(w, 31, 0, $P)"))
+    // Referenced four times, but NOT cached for the same measured
+    // reason as minhashLsh's sigs: the (doc_id, lang, source)
+    // exchange is AQE-reused across consumers and a cache was a net
+    // loss at r16 (0.64 → 0.89 s standalone).
     val sets = words.groupBy(col("doc_id"), col("lang"), col("source"))
       .agg(sort_array(collect_set(col("h"))).as("hs"), min(col("h")).as("minh"))
     val reps = sets.groupBy(col("lang"), col("source"), col("minh"))
@@ -150,6 +154,14 @@ object Dedup {
     val mins = (1 to 12).map(k =>
       min((lit(2L * k + 1) * col("h") + lit(7919L * k)) % P).as(s"m$k"))
     val aggs = sort_array(collect_set(col("h"))).as("hs") +: mins
+    // Referenced three times (band explode + both verify sides), but
+    // deliberately NOT cached: the subtree ends in the (doc_id)
+    // exchange, which AQE exchange reuse shares across the three
+    // consumers at runtime, and a measured r16 cache attempt was a
+    // net LOSS (0.56 → 0.77 s standalone, clusters 2.4 → 3.0 s) —
+    // materializing the hs arrays costs more than re-running the
+    // cheap post-shuffle aggregate (guide §5: cache only when reuse
+    // beats the memory pressure).
     val sigs = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
     val bands = sigs.select(col("doc_id"),
         explode(expr("array(" +
@@ -374,11 +386,15 @@ object Dedup {
       .map(j => s"(CASE WHEN $prefix$j >= 0 THEN shiftleft(CAST(1 AS BIGINT), $j) " +
         "ELSE CAST(0 AS BIGINT) END)")
       .mkString(" + ")
+    // Referenced three times (band explode + both hamming sides) —
+    // cache the 3-column signature frame; each rebuild re-runs the
+    // word explode plus all 64 vote aggregates (guide §5).
     val sigs = words.groupBy(col("doc_id"))
       .agg(votes.head, votes.tail: _*)
       .withColumn("sim_lo", expr(half("a")))
       .withColumn("sim_hi", expr(half("b")))
       .select(col("doc_id"), col("sim_lo"), col("sim_hi"))
+      .cache()
     val bands = sigs.select(col("doc_id"),
         explode(expr("array(" +
           "named_struct('band', 0, 'key', sim_lo & 65535), " +
@@ -488,11 +504,15 @@ object Dedup {
     val bucketExpr = (0 to 5)
       .map(k => s"(CASE WHEN ${planeDot(k)} >= 0 THEN ${1 << k} ELSE 0 END)")
       .mkString(" + ")
+    // Referenced three times (reps + both link sides); the bucket
+    // column re-evaluates six 64-dim hyperplane folds per row per
+    // rebuild — cache the scored frame once (guide §5).
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", expr("sqrt(vec_dot(v, v))"))
       .withColumn("bucket", expr(bucketExpr))
+      .cache()
     val reps = e.groupBy(col("label"), col("bucket"))
       .agg(min(col("vec_id")).as("a_id"), count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > 1)
@@ -747,6 +767,8 @@ object Dedup {
     val mins = (1 to 12).map(k =>
       min((lit(2L * k + 1) * col("h") + lit(7919L * k)) % P).as(s"m$k"))
     val aggs = sort_array(collect_set(col("h"))).as("hs") +: mins
+    // NOT cached — same measured tradeoff as minhashLsh's sigs (the
+    // exchange is AQE-reused; materializing hs arrays was a wash).
     val sigs = words.groupBy(col("doc_id"), col("incoming"))
       .agg(aggs.head, aggs.tail: _*)
     val bands = sigs.select(col("doc_id"), col("incoming"),

@@ -487,8 +487,11 @@ object Similarity {
     * windows over the matched candidates only.
     */
   def contrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    // sigs is joined twice (anchors + candidates) and each rebuild
+    // re-runs the 4-hyperplane dot aggregates over every dimension
+    // row — cache it (guide §5).
     val e = vecs(s, dir)
-    val sigs = lshSigs(e)
+    val sigs = lshSigs(e).cache()
     val anchors = e.filter(pmod(col("vec_id"), lit(100L)) === 0)
       .join(sigs, Seq("vec_id"))
       .select(col("vec_id").as("a_id"), col("label").as("a_label"),
@@ -496,14 +499,25 @@ object Similarity {
     val cands = e.join(sigs, Seq("vec_id"))
       .select(col("vec_id").as("cand_id"), col("label").as("c_label"),
         col("v").as("c_v"), col("norm").as("c_norm"), col("sig"))
-    val w = Window.partitionBy(col("a_id"), col("is_pos"))
-      .orderBy(col("cosine").desc, col("cand_id"))
+    // Best-per-(anchor, polarity) as ONE max_by hash aggregate on the
+    // (cosine, -cand_id) order key — same "highest cosine, then
+    // lowest cand_id" rule as the old row_number window, without the
+    // per-bucket sort and with map-side partials (guide §2.3). The
+    // tiny two-rows-per-anchor result is cached because the pos and
+    // neg slices both read it; before, each slice re-ran the whole
+    // join + window.
     val best = cands.join(broadcast(anchors), Seq("sig"))
       .filter(col("a_id") =!= col("cand_id"))
       .withColumn("cosine", expr(dotExpr) / (col("q_norm") * col("c_norm")))
       .withColumn("is_pos", col("c_label") === col("a_label"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") === 1)
+      .groupBy(col("a_id"), col("is_pos"))
+      .agg(max_by(
+        struct(col("a_label"), col("cand_id"), col("c_label"), col("cosine")),
+        struct(col("cosine"), (-col("cand_id")).as("nid"))).as("best"))
+      .select(col("a_id"), col("is_pos"), col("best.a_label").as("a_label"),
+        col("best.cand_id").as("cand_id"), col("best.c_label").as("c_label"),
+        col("best.cosine").as("cosine"))
+      .cache()
     val pos = best.filter(col("is_pos"))
       .select(col("a_id"), col("a_label"),
         col("cand_id").as("pos_id"), col("cosine").as("pos_cos"))

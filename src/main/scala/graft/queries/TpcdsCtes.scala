@@ -117,8 +117,46 @@ object TpcdsCtes {
     * customers via HAVING against `(50 / 100.0) * (SELECT * FROM
     * max_cte)`, then a UNION ALL of two channels each semi-filtered
     * by BOTH CTEs through IN subqueries, reduced to one total.
-    * SQL-form: one text runs on both engines.
+    *
+    * DataFrame-form since r16 (the same conversion crossSales2Ref got
+    * in r3; the SQL text below stays as the DuckDB oracle): in
+    * SQL-form the per-customer aggregate ran twice (max_cust_sales +
+    * best_customers), and the two UNION ALL channels — identical but
+    * for `o_orderstatus = 'F'` vs `'O'` — each re-joined
+    * lineitem⋈orders. Here the per-customer frame is built ONCE and
+    * cached, and the union collapses to one pass filtered
+    * `o_orderstatus IN ('F','O')`: the exact DECIMAL(38,6) sum is
+    * order-independent, so Σ(F rows) + Σ(O rows) ≡ Σ(F∪O rows) bit
+    * for bit (optimization guide §2.3/§2.4).
     */
+  def cteChainMax(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sales = col("l_quantity") * col("l_extendedprice")
+    val li = Tables.lineitem(s, dir)
+    val freqParts = li
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(substring(col("p_name"), 1, 10).as("pdesc"), col("p_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 20)
+      .select(col("p_partkey").as("item_sk"))
+    val perCust = li
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(dsum(sales).as("csales"))
+      .cache()
+    val cmax = perCust.agg(max(col("csales")).as("cmax"))
+    val best = perCust.crossJoin(broadcast(cmax))
+      .filter(col("csales") > lit(50) / lit(100.0) * col("cmax"))
+      .select(col("o_custkey").as("best_key"))
+    li.join(Tables.orders(s, dir)
+        .filter(col("o_orderstatus").isin("F", "O"))
+        .select(col("o_orderkey"), col("o_custkey")),
+      col("l_orderkey") === col("o_orderkey"))
+      .join(freqParts, col("l_partkey") === col("item_sk"), "left_semi")
+      .join(best, col("o_custkey") === col("best_key"), "left_semi")
+      .agg(sum(sales.cast(DecimalType(38, 6))).cast("double").as("total_sales"))
+  }
+
   val cteChainMaxSql: String = {
     val csales = dsumSql("l_quantity * l_extendedprice")
     s"""WITH frequent_parts AS (
@@ -280,7 +318,7 @@ object TpcdsCtes {
   def all: Seq[Q] = Seq(
     Q("tpcds_week_offset_selfjoin", weekOffsetSelfJoin, Some(weekOffsetSelfJoinOracle),
       "53-week-offset self-join over a 7-day pivot CTE (q02)"),
-    shared("tpcds_cte_chain_max", cteChainMaxSql,
+    Q("tpcds_cte_chain_max", cteChainMax, Some(cteChainMaxSql),
       "chained CTEs, agg-of-agg max into HAVING scalar subquery (q23)"),
     Q("tpcds_cross_sales_2ref", crossSales2Ref, Some(crossSales2RefSql),
       "2x-referenced multi-join cross_sales CTE built ONCE, year self-join (q64)"))
