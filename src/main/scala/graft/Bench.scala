@@ -17,10 +17,19 @@ object Bench {
     // 5 (VERDICT r15 #6: re-establish a trustworthy raw floor — more
     // passes give the min a real chance to dodge steal bursts).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    // Allow shuffled-hash joins when the planner's size conditions
+    // hold (optimization guide §3.1/§9: SMJ pays a sort both sides;
+    // SHJ skips it and the planner still falls back to SMJ when a
+    // build side risks not fitting). Measured r16 on the self-join
+    // shapes: tpch_q21 1.81 -> 1.02 s isolated, corpus_tpch_q09
+    // 0.49 -> 0.42, no regressions. Env-overridable so any grid
+    // point can A/B the planner default.
+    val preferSmj = sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false")
     val spark = SparkSession.builder()
       .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       .config("spark.ui.enabled", "false")
       // The SQL status store retains per-execution plan/metric state
       // for 1000 executions by default; a 275-query × 3-rep suite

@@ -284,6 +284,9 @@ object Runner {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Same join-planner default as Bench (guide §3.1/§9).
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
       .config("spark.sql.debug.maxToStringFields", "1000")
       .config("spark.ui.enabled", "false")

@@ -15,6 +15,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // Same join-planner default as Bench (guide §3.1/§9) so the
+      // correctness gate exercises the plans the bench times.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.ui.enabled", "false")
       // Cap SQL status-store retention: 277 one-shot executions of
       // retained plan/metric state are dead weight this JVM GCs

@@ -179,6 +179,13 @@ object Graph {
       // (ADVICE r15 #3 — no per-iteration checkpoint leak).
       rank = Pin.pin(rank, supersedes = Some(prevRank))
     }
+    // The final rank is pinned (checkpoint-backed), so its plan no
+    // longer references the loop caches — release the storage rather
+    // than letting the session carry it until the next clearCache.
+    shares.unpersist()
+    edges.unpersist()
+    members.unpersist()
+    sources.unpersist()
     rank
   }
 

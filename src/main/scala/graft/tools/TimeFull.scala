@@ -13,12 +13,19 @@ import org.apache.spark.sql.SparkSession
 object TimeFull {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val s = SparkSession.builder().master(s"local[$cpus]")
+    // A/B knob for session-conf experiments, e.g.
+    // SPARK_GRAFT_EXTRA_CONF="spark.sql.join.preferSortMergeJoin=false;k=v"
+    val extra = sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "")
+      .split(";").filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k, v)
+      }
+    val b0 = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.sources.GraftSparkExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.ui.retainedExecutions", "8")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    val s = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     graft.plans.TopK.register(s)
     s.conf.set("spark.graft.topk.rewrite", "true")

@@ -49,7 +49,11 @@ class PlanAuditSpec extends SparkSpec {
     // r13: the stats entry cross-joins the broadcast 1-row
     // exact-distinct frame into the 3-row CALL result to compute the
     // NDV-tolerance booleans — the corpus-constants class.
-    "maint_table_stats")
+    "maint_table_stats",
+    // r16: the q23 shape's DataFrame conversion cross-joins the
+    // broadcast 1-row max(csales) scalar into the per-customer frame
+    // for the HAVING compare — the corpus-constants class.
+    "tpcds_cte_chain_max")
 
   // Queries allowed an unpartitioned WindowExec whose input subtree
   // carries NO aggregate. Empty = every global window in the registry
@@ -75,6 +79,13 @@ class PlanAuditSpec extends SparkSpec {
     try {
       val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
+          // Hermetic like the bench (it clears caches between
+          // queries): an earlier query's cached frame would
+          // otherwise substitute InMemoryTableScan into a LATER
+          // query's identical subtree and hide the aggregate the
+          // window check looks for (r16: pagerank's cached
+          // source-distinct frame masked curriculum_interleave's).
+          spark.catalog.clearCache()
           val qe = fn(spark, sf).queryExecution
           val plan = qe.executedPlan.toString
           val cart = plan.contains("CartesianProduct")
